@@ -1,0 +1,26 @@
+"""ai_coach_data_source_orchestrator_spark — a PySpark-native analytics engine.
+
+Re-implements the query and data-processing capabilities of the reference
+repo ``fs-jbracamonte/ai-coach-data-source-orchestrator`` (an ETL / multi-source
+data-aggregation orchestrator, see SURVEY.md) as an idiomatic Spark
+DataFrame engine, designed for 100 TB scale:
+
+- ``sources``    — table loaders + REST connector scaffolds (pushdown,
+                   pagination→partitions, retry/backoff).
+- ``functions``  — pure column-expression libraries (name normalization,
+                   multi-format dates, markup conversion, sanitization,
+                   text analytics). UDF-free wherever possible so Catalyst
+                   can optimize.
+- ``operators``  — composite DataFrame operators (semi-joins, hierarchy
+                   resolution, dedup families, similarity search,
+                   multimodal plumbing).
+- ``plans``      — the query registry: every SURVEY §2 operator expressed
+                   as a (Spark query, DuckDB oracle SQL) pair over the
+                   driver's synthetic tables.
+- ``streaming``  — Structured Streaming analogues of the event-time
+                   semantics in SURVEY §2.9.
+- ``warehouse``  — upsert/idempotency semantics mirroring the reference's
+                   unique-key constraints (SURVEY §1.3).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,105 @@
+"""Date parsing / windowing expressions (X7, X8, X12, X13, F1, F4).
+
+Reference parity:
+- multi-format filename-date extraction with strict validity
+  (datasource-generator/lib/date-range-filter.js:61-133 — ISO-T,
+  MM_DD_YYYY, MM_DD_YY with <=50→20xx pivot, "Month DD, YYYY");
+- markdown-heading dates (``## 2025-10-13`` / ``## October 13, 2025``,
+  date-range-filter.js:143-170);
+- inclusive [start, end] predicates (:45-53);
+- filename-date OR mtime fallback (transcripts/download-from-drive.js:160-181);
+- unix day bounds (slack/lib/api.js:315-326);
+- Monday week anchor + Mon..Sun frame (generate_dashboard.js:286-336).
+
+All pure column expressions; ``try_to_timestamp`` gives the reference's
+strict-validity behavior (2025-02-30 → NULL, never a rolled-over date).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _try_date(s: Column, fmt: str) -> Column:
+    return F.try_to_timestamp(s, F.lit(fmt)).cast("date")
+
+
+def date_from_filename(filename: Column) -> Column:
+    """X7 — coalesce cascade over the reference's accepted formats.
+    Unparseable → NULL (callers bucket these explicitly, never drop
+    silently — generate_dashboard.js:357-367).
+    """
+    iso_t = _try_date(F.regexp_extract(filename, r"(\d{4}-\d{2}-\d{2})[T_]", 1), "yyyy-MM-dd")
+    iso_plain = _try_date(F.regexp_extract(filename, r"(\d{4}-\d{2}-\d{2})", 1), "yyyy-MM-dd")
+    mdy4 = _try_date(F.regexp_extract(filename, r"(\d{1,2}_\d{1,2}_\d{4})", 1), "M_d_yyyy")
+    # MM_DD_YY with the reference's pivot: YY<=50 → 20YY else 19YY
+    # (transcript-to-markdown.js:254-262).
+    yy_raw = F.regexp_extract(filename, r"(\d{1,2}_\d{1,2}_\d{2})(?!\d)", 1)
+    yy = F.substring_index(yy_raw, "_", -1).cast("int")
+    century = F.when(yy <= 50, yy + 2000).otherwise(yy + 1900)
+    mdy2 = _try_date(
+        F.when(
+            yy_raw != "",
+            F.concat(F.substring_index(yy_raw, "_", 2), F.lit("_"), century.cast("string")),
+        ),
+        "M_d_yyyy",
+    )
+    month_name = _try_date(
+        F.regexp_extract(filename, r"([A-Za-z]+ \d{1,2}, \d{4})", 1), "MMMM d, yyyy"
+    )
+    return F.coalesce(iso_t, iso_plain, mdy4, mdy2, month_name)
+
+
+def date_from_heading(line: Column) -> Column:
+    """X8 — ``## 2025-10-13`` or ``## October 13, 2025``."""
+    body = F.regexp_extract(line, r"^##\s+(.+?)\s*$", 1)
+    return F.coalesce(_try_date(body, "yyyy-MM-dd"), _try_date(body, "MMMM d, yyyy"))
+
+
+def in_range(d: Column, start: str | None, end: str | None) -> Column:
+    """F1 — inclusive, open-ended bounds allowed (None side = unbounded)."""
+    cond = F.lit(True)
+    if start is not None:
+        cond = cond & (d >= F.lit(start).cast("date"))
+    if end is not None:
+        cond = cond & (d <= F.lit(end).cast("date"))
+    return cond
+
+
+def filename_or_mtime_in_range(
+    fname_date: Column, mtime: Column, start: str | None, end: str | None
+) -> Column:
+    """F4 — include if filename-date in range OR modified-time in range."""
+    return (fname_date.isNotNull() & in_range(fname_date, start, end)) | in_range(
+        F.to_date(mtime), start, end
+    )
+
+
+def unix_day_bounds(d: Column) -> tuple[Column, Column]:
+    """X12 — (start-of-day, end-of-day) epoch seconds."""
+    start = F.unix_timestamp(d.cast("timestamp"))
+    return start, start + 86399
+
+
+def monday_of(d: Column) -> Column:
+    """X13 — any date → its Monday (Spark dayofweek: 1=Sun..7=Sat)."""
+    return F.date_sub(d, (F.dayofweek(d) + 5) % 7)
+
+
+def week_frame(spark: SparkSession, start: str, end: str) -> DataFrame:
+    """Materialized Mon..Sun day frame covering [start, end] — used as
+    the left side of frame joins so empty days stay present (A13)."""
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                monday_of(F.to_date(F.lit(start))),
+                F.date_add(monday_of(F.to_date(F.lit(end))), 6),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    ).select(
+        "day",
+        monday_of(F.col("day")).alias("week_start"),
+        F.date_format("day", "EEEE").alias("weekday"),
+    )

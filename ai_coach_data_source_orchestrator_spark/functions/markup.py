@@ -1,0 +1,121 @@
+"""Markup conversion expressions (X2–X6, X23).
+
+Reference parity, all as regexp_replace chains (JVM-side, codegen):
+- ``wiki_to_markdown``      — Jira wiki → markdown (jira/csv-to-markdown.js:62-89)
+- ``slack_markup_normalize``— Slack <@U>/<#C|ch>/<url|label> rewrites
+                              (slack/lib/format.js:20-47); user-mention
+                              resolution is a join (J3) done in
+                              operators/slack_ops.py, this handles the
+                              structural fallback form
+- ``html_inline_to_markdown`` / ``html_to_plain`` / ``html_bullet_items``
+                              — HTML → markdown/plain (daily-reports/
+                              csv-to-markdown.js:229-294)
+- ``linkify_issue_keys``    — [ABC-123] → [ABC-123](host/browse/ABC-123)
+                              unless already a link / image
+                              (generate_weekly_digest.js:281-292)
+- ``extract_json_name``     — stringified-JSON field → .name/.displayName
+                              (jira/csv-to-markdown.js:19-33)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def wiki_to_markdown(col: Column) -> Column:
+    c = F.regexp_replace(col, r"\{color:[^}]*\}(.*?)\{color\}", "$1")
+    # h1. .. h6. headings — Spark regex has no callback, so one rule per level.
+    for level in range(1, 7):
+        c = F.regexp_replace(c, rf"(?m)^h{level}\.\s+(.*)$", "#" * level + " $1")
+    c = F.regexp_replace(c, r"\*([^*]+)\*", "**$1**")
+    c = F.regexp_replace(c, r"(?m)^#\s+(.*)$", "1. $1")
+    c = F.regexp_replace(c, r"(?m)^\*\s+(.*)$", "- $1")
+    c = F.regexp_replace(c, r"\[([^|\]]*)\|([^\]]*)\]", "[$1]($2)")
+    c = F.regexp_replace(c, r"\n\s*\n\s*\n", "\n\n")
+    return F.trim(c)
+
+
+def slack_markup_normalize(col: Column) -> Column:
+    """Structural Slack-markup rewrites with raw-id mention fallback;
+    operators/slack_ops.resolve_mentions upgrades ids to display names.
+    """
+    c = F.regexp_replace(col, r"<@([A-Z0-9]+)(\|[^>]+)?>", "@$1")
+    c = F.regexp_replace(c, r"<#[A-Z0-9]+\|([^>]+)>", "#$1")
+    c = F.regexp_replace(c, r"<(https?://[^|>]+)\|([^>]+)>", "[$2]($1)")
+    c = F.regexp_replace(c, r"<(https?://[^>]+)>", "$1")
+    return c
+
+
+def html_inline_to_markdown(col: Column) -> Column:
+    c = F.regexp_replace(col, r"(?i)<\s*(b|strong)\s*>", "**")
+    c = F.regexp_replace(c, r"(?i)<\s*/\s*(b|strong)\s*>", "**")
+    c = F.regexp_replace(c, r"(?i)<\s*(i|em)\s*>", "*")
+    c = F.regexp_replace(c, r"(?i)<\s*/\s*(i|em)\s*>", "*")
+    c = F.regexp_replace(c, r"(?i)<\s*code\s*>", "`")
+    c = F.regexp_replace(c, r"(?i)<\s*/\s*code\s*>", "`")
+    c = F.regexp_replace(c, r"(?i)<\s*br\s*/?\s*>", "\n")
+    return c
+
+
+def strip_html_tags(col: Column) -> Column:
+    return F.regexp_replace(col, r"<[^>]+>", "")
+
+
+def decode_entities(col: Column) -> Column:
+    c = col
+    for ent, repl in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&nbsp;", " "),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(repl))
+    return c
+
+
+def html_to_plain(col: Column) -> Column:
+    c = decode_entities(strip_html_tags(html_inline_to_markdown(col)))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_bullet_items(col: Column) -> Column:
+    """<li> items → array<string> of cleaned markdown lines (X5).
+    Pure expressions: regexp_extract_all for the items, transform for
+    the per-item cleanup.
+    """
+    items = F.regexp_extract_all(col, F.lit(r"(?i)<li[^>]*>(.*?)</li>"), F.lit(1))
+
+    def clean(item: Column) -> Column:
+        c = F.regexp_replace(item, r"(?i)^\s*<p[^>]*>", "")
+        c = F.regexp_replace(c, r"(?i)</p>\s*$", "")
+        c = decode_entities(strip_html_tags(html_inline_to_markdown(c)))
+        return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+    return F.filter(F.transform(items, clean), lambda x: F.length(x) > 0)
+
+
+def linkify_issue_keys(col: Column, jira_host: str) -> Column:
+    """X6 — [ABC-123] → markdown link; skips image refs (![..]) and
+    existing links ([KEY](...)).
+    """
+    host = jira_host.replace("https://", "").replace("http://", "").rstrip("/")
+    return F.regexp_replace(
+        col,
+        r"(^|[^!])\[([A-Z][A-Z0-9]+-\d+)\](?!\()",
+        f"$1[$2](https://{host}/browse/$2)",
+    )
+
+
+def extract_json_name(col: Column) -> Column:
+    """X23 — parse stringified JSON, prefer .name then .displayName then
+    .value, else the raw string."""
+    return F.coalesce(
+        F.get_json_object(col, "$.name"),
+        F.get_json_object(col, "$.displayName"),
+        F.get_json_object(col, "$.value"),
+        col,
+    )

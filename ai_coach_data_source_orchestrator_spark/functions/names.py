@@ -1,0 +1,195 @@
+"""Name normalization + alias matching (reference parity: X1, J2, F6,
+F7, J10 — lib/name-matcher.js, datasource-generator/generate_datasources.js).
+
+The reference matches transcript participants / Jira assignees / report
+authors against a configured team via normalized alias lookup with
+first-configured-member-wins ordering. Here that becomes:
+
+1. ``normalize_name`` — pure column expression (X1, lib/name-matcher.js:164-179):
+   lowercase, trim, strip ``(...)``/``[...]`` qualifiers, strip ``.,;:``,
+   hyphens/underscores → space, collapse whitespace.
+2. ``build_alias_rows`` — driver-side expansion of a team mapping into
+   one row per (alias, canonical, priority): full name, configured
+   aliases, first+last variants with Jr/Sr/III suffix stripping, and the
+   >=4-letter guard for generated variants
+   (generate_datasources.js:275-295).
+3. ``match_names`` — broadcast join probe→alias + row_number on
+   (priority, alias_rank): first-match-wins as data, not iteration order.
+4. ``team_threshold_filter`` — F6 (lib/name-matcher.js:329-391): keep a
+   group iff countDistinct(matched members) >= minimum_required; empty
+   team config ⇒ include all; empty participants ⇒ exclude.
+
+The alias table is broadcast (it is team-roster-sized); the only shuffle
+is the per-group distinct count in the threshold filter.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections.abc import Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+NAME_SUFFIXES = {"jr", "jr.", "sr", "sr.", "ii", "iii", "iv", "v"}
+
+
+def normalize_name(col: Column) -> Column:
+    """X1 — normalizeNameForMatching as a pure column expression."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"\([^)]*\)|\[[^\]]*\]", "")
+    c = F.regexp_replace(c, r"[.,;:]", "")
+    c = F.regexp_replace(c, r"[-_]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalize_name_py(name: str | None) -> str:
+    """Driver-side twin of ``normalize_name`` (used for alias expansion;
+    must stay semantically identical to the column version)."""
+    if not name or not isinstance(name, str):
+        return ""
+    s = name.lower().strip()
+    s = re.sub(r"\([^)]*\)|\[[^\]]*\]", "", s)
+    s = re.sub(r"[.,;:]", "", s)
+    s = re.sub(r"[-_]", " ", s)
+    s = re.sub(r"\s+", " ", s)
+    return s.strip()
+
+
+def _deaccent(s: str) -> str:
+    # NFKD de-accenting, generate_datasources.js:247-250.
+    return "".join(c for c in unicodedata.normalize("NFKD", s) if not unicodedata.combining(c))
+
+
+def strip_suffix_parts(parts: list[str]) -> tuple[str, str]:
+    """(first, last) with generational suffixes dropped from the last
+    position (generate_datasources.js:277-281)."""
+    first = parts[0] if parts else ""
+    raw_last = parts[-1] if parts else ""
+    if raw_last.lower() in NAME_SUFFIXES and len(parts) >= 2:
+        return first, parts[-2]
+    return first, raw_last
+
+
+def build_alias_rows(
+    team_members: Iterable[str],
+    mappings: Mapping[str, Any] | None = None,
+) -> list[tuple[str, str, int, int]]:
+    """Expand an ordered team-member list + mapping into alias rows
+    ``(alias_norm, canonical_name, priority, alias_rank)``.
+
+    priority = position in the configured team list (first-match-wins,
+    lib/name-matcher.js:277-289); alias_rank = position within that
+    member's alias list (full name first). Generated first+last
+    variants apply the >=4-letter guard so short fragments like "Rey"
+    can't cause false positives; explicitly configured aliases are
+    exempt from the guard (the reference only guards *generated*
+    variations).
+    """
+    mappings = mappings or {}
+    rows: list[tuple[str, str, int, int]] = []
+    for prio, member in enumerate(team_members):
+        seen: set[str] = set()
+        rank = 0
+
+        def add(alias: str, guarded: bool, member=member, prio=prio) -> None:
+            nonlocal rank
+            norm = normalize_name_py(_deaccent(alias))
+            if not norm or norm in seen:
+                return
+            if guarded and len(re.sub(r"[^a-z]", "", norm)) < 4:
+                return
+            seen.add(norm)
+            rows.append((norm, member, prio, rank))
+            rank += 1
+
+        data = mappings.get(member)
+        if isinstance(data, dict):
+            add(data.get("fullName") or member, guarded=False)
+            for a in data.get("aliases") or []:
+                add(a, guarded=False)
+        elif isinstance(data, str):
+            add(member, guarded=False)
+            add(data, guarded=False)
+        add(member, guarded=False)
+
+        parts = member.strip().split()
+        first, last = strip_suffix_parts(parts)
+        if first and last and first != last:
+            add(f"{first} {last}", guarded=True)
+            add(first, guarded=True)
+            add(last, guarded=True)
+    return rows
+
+
+def alias_table(spark, team_members, mappings=None) -> DataFrame:
+    return spark.createDataFrame(
+        build_alias_rows(team_members, mappings),
+        "alias_norm string, canonical_name string, priority int, alias_rank int",
+    )
+
+
+def match_names(
+    probes: DataFrame, aliases: DataFrame, probe_col: str = "name", how: str = "left"
+) -> DataFrame:
+    """Resolve each probe row to its first-match team member.
+
+    Adds ``canonical_name`` / ``matched_via`` / ``priority`` columns
+    (null when unmatched and how='left'). Broadcast join — no shuffle of
+    the probe side beyond the dedup window on matches.
+    """
+    norm = normalize_name(F.col(probe_col)).alias("__probe_norm")
+    probed = probes.withColumn("__probe_norm", norm).withColumn(
+        "__probe_id", F.monotonically_increasing_id()
+    )
+    joined = probed.join(
+        F.broadcast(aliases), F.col("__probe_norm") == F.col("alias_norm"), how
+    )
+    w = Window.partitionBy("__probe_id").orderBy(
+        F.col("priority").asc_nulls_last(), F.col("alias_rank").asc_nulls_last()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .withColumnRenamed("alias_norm", "matched_via")
+        .drop("__rn", "__probe_norm", "__probe_id", "alias_rank")
+    )
+
+
+def team_threshold_filter(
+    participants: DataFrame,
+    aliases: DataFrame,
+    group_col: str = "filename",
+    participant_col: str = "participant",
+    minimum_required: int = 1,
+) -> DataFrame:
+    """F6 — keep groups with >= minimum_required distinct matched team
+    members. Returns (group_col, matched_count, should_include).
+
+    Reference edge cases preserved (lib/name-matcher.js:329-391):
+    empty team/alias config ⇒ include all groups (matched_count=0);
+    groups with zero participants are the caller's concern (they simply
+    produce no rows here — reference excludes them).
+    """
+    if aliases.isEmpty():
+        return participants.select(group_col).distinct().select(
+            F.col(group_col),
+            F.lit(0).alias("matched_count"),
+            F.lit(True).alias("should_include"),
+        )
+    matched = participants.join(
+        F.broadcast(aliases),
+        normalize_name(F.col(participant_col)) == F.col("alias_norm"),
+        "left",
+    )
+    return matched.groupBy(group_col).agg(
+        F.countDistinct("canonical_name").alias("matched_count")
+    ).select(
+        F.col(group_col),
+        "matched_count",
+        (F.col("matched_count") >= minimum_required).alias("should_include"),
+    )

@@ -1,0 +1,192 @@
+"""Sanitization pipeline (X16–X18) — slack/lib/sanitizer.js parity.
+
+Order matters and mirrors the reference (sanitizer.js:159-190):
+code-fence redaction → secret masking → prompt-injection denylist.
+
+- Secret masking and the denylist are pure regexp column expressions.
+- Code-fence redaction walks fenced blocks with state (which lines are
+  inside a fence) — that is the one genuinely non-regular piece, done
+  as a vectorized pandas UDF over the whole text (X17; SURVEY §2.10
+  allows exactly 3 UDFs, this is one of them).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+REDACTED_SECRET = "[REDACTED SECRET]"
+REDACTED_KEY_BLOCK = "[REDACTED SECRET KEY BLOCK]"
+REDACTED_PROMPT = "[REDACTED PROMPT INSTRUCTION]"
+
+# configs/shared/prompt-denylist.json (36 phrases).
+DEFAULT_PROMPT_DENYLIST = (
+    "ignore previous instructions",
+    "disregard previous instructions",
+    "act as system",
+    "begin system prompt",
+    "role: system",
+    "system:",
+    "override all prior",
+    "act as admin",
+    "act as root",
+    "elevate privileges",
+    "execute the following prompt",
+    "forget previous instructions",
+    "forget all previous",
+    "reset instructions",
+    "bypass safety",
+    "disable safety",
+    "ignore safety",
+    "ignore policies",
+    "override rules",
+    "disregard rules",
+    "ignore constraints",
+    "system instruction",
+    "begin instruction",
+    "treat this as system",
+    "treat the following as system",
+    "developer mode",
+    "jailbreak",
+    "simulate system",
+    "you are now system",
+    "run the following command",
+    "execute these commands",
+    "print your hidden instructions",
+    "reveal your system prompt",
+    "dump system prompt",
+    "show system prompt",
+    "show hidden prompt",
+)
+
+
+def mask_secrets(col: Column) -> Column:
+    """X16 — sanitizer.js:104-122, same rule order."""
+    c = F.regexp_replace(
+        col,
+        r"-----BEGIN [A-Z ]+ PRIVATE KEY-----[\s\S]*?-----END [A-Z ]+ PRIVATE KEY-----",
+        REDACTED_KEY_BLOCK,
+    )
+    c = F.regexp_replace(c, r"xox(?:p|b|o|a|r|s)-[A-Za-z0-9-]+", REDACTED_SECRET)
+    c = F.regexp_replace(c, r"A[KS]IA[0-9A-Z]{16}", REDACTED_SECRET)
+    c = F.regexp_replace(
+        c,
+        r"(?i)\b(access[-_]?token|token|auth|authorization|password|passwd|pwd|apikey|api[_-]?key)[=:]\s*(?:[A-Za-z0-9._~+/-]|=){6,}",
+        "$1=" + REDACTED_SECRET,
+    )
+    c = F.regexp_replace(c, r"\b([A-Z][A-Z0-9_]{1,48})\s*=\s*[^\s\"']+", "$1=" + REDACTED_SECRET)
+    return c
+
+
+def apply_prompt_denylist(col: Column, phrases: Iterable[str] = DEFAULT_PROMPT_DENYLIST) -> Column:
+    """X18 — replace any LINE containing a denylisted phrase
+    (case-insensitive, literal-escaped) with the redaction marker."""
+    pattern = "(?i)(" + "|".join(re.escape(p) for p in phrases) + ")"
+    lines = F.split(col, "\n")
+    redacted = F.transform(
+        lines, lambda line: F.when(line.rlike(pattern), F.lit(REDACTED_PROMPT)).otherwise(line)
+    )
+    return F.array_join(redacted, "\n")
+
+
+# --- X17: code-fence redaction + classification (pandas UDF) ---------------
+
+_SHELL_LANGS = {"bash", "shell", "sh", "zsh", "ps1", "powershell", "cmd"}
+_CODE_LANGS = {
+    "js", "javascript", "ts", "typescript", "py", "python", "java", "go", "ruby",
+    "php", "c", "cpp", "csharp", "cs", "json", "yaml", "yml", "toml", "sql",
+    "kotlin", "swift",
+}
+
+_COMMAND_PATTERNS = [
+    re.compile(r"^\s*[$>#] ", re.M),
+    re.compile(r"\b(npm|pnpm|yarn)\s+(run\s+)?[a-z0-9:_-]+", re.I),
+    re.compile(r"\b(git|curl|wget|tar|zip|unzip|chmod|chown|scp|ssh)\b", re.I),
+    re.compile(r"\b(docker|kubectl|helm|terraform|gcloud|aws|az)\b", re.I),
+    re.compile(r"\b(systemctl|service|brew|apt|yum|dnf|pip|pip3|python|node)\b", re.I),
+    re.compile(r"^\s*(dir|copy|del|type)\s+", re.I | re.M),
+]
+_STACK_PATTERNS = [
+    re.compile(r"traceback \(most recent call last\)", re.I),
+    re.compile(r"^\s*at\s+\S+\s+\(.+\)$", re.M),
+    re.compile(r"Exception in thread "),
+    re.compile(r"\bCaused by:"),
+]
+_ERROR_PATTERNS = [re.compile(r"\berror\b[:\s]", re.I), re.compile(r"npm ERR!", re.I)]
+_LOG_PATTERNS = [
+    re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}.*\b(ERROR|WARN|INFO|DEBUG|TRACE)\b", re.M),
+    re.compile(r"^\w{3}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2}\s+\S+\s+\S+\[", re.M),
+    re.compile(r"level=(info|warn|error|debug)", re.I),
+]
+
+
+def classify_block(value: str, lang: str) -> str:
+    """sanitizer.js:24-82 classifier, same precedence."""
+    text = (value or "")[:5000]
+    first_lines = "\n".join(text.split("\n")[:5])
+    lang_lower = (lang or "").lower()
+    if lang_lower in _SHELL_LANGS:
+        return "command"
+    if lang_lower in _CODE_LANGS:
+        return "code"
+    if any(p.search(text) for p in _COMMAND_PATTERNS):
+        return "command"
+    if any(p.search(first_lines) or p.search(text) for p in _STACK_PATTERNS):
+        return "stacktrace"
+    if any(p.search(first_lines) or p.search(text) for p in _ERROR_PATTERNS):
+        return "error_log"
+    if any(p.search(first_lines) or p.search(text) for p in _LOG_PATTERNS):
+        return "log"
+    likely_json = len(re.findall(r'"[A-Za-z0-9_.-]+"\s*:\s*', text)) >= 3
+    yaml_keys = len(re.findall(r"^\s*[A-Za-z0-9_.-]+\s*:\s*.+$", text, re.M))
+    has_k8s = re.search(r"\bapiVersion:|\bkind:|\bmetadata:", text) is not None
+    common_config = re.search(
+        r"(^|\b)(config|configuration|settings|version|name|dependencies|scripts|env)(\b|:)",
+        text,
+        re.I,
+    )
+    if likely_json or yaml_keys >= 3 or has_k8s or common_config:
+        return "config"
+    return "code"
+
+
+_FENCE_RE = re.compile(r"```([A-Za-z0-9_+-]*)\n(.*?)```", re.S)
+_INLINE_RE = re.compile(r"`([^`\n]+)`")
+
+
+def redact_code_py(text: str | None) -> str:
+    """Fenced blocks → '[REDACTED CODE n lines, language=x, kind=y]';
+    inline code → '[REDACTED INLINE CODE, kind=y]' (sanitizer.js:86-101).
+    """
+    if not text:
+        return ""
+
+    def fence_repl(m: re.Match) -> str:
+        lang = m.group(1) or "plain"
+        body = m.group(2)
+        if body.endswith("\n"):
+            body = body[:-1]
+        n_lines = body.count("\n") + 1
+        kind = classify_block(body, m.group(1) or "")
+        return f"[REDACTED CODE {n_lines} lines, language={lang}, kind={kind}]"
+
+    out = _FENCE_RE.sub(fence_repl, text)
+    out = _INLINE_RE.sub(
+        lambda m: f"[REDACTED INLINE CODE, kind={classify_block(m.group(1), '')}]", out
+    )
+    return out
+
+
+@F.pandas_udf(StringType())
+def redact_code(texts: pd.Series) -> pd.Series:
+    return texts.map(redact_code_py)
+
+
+def sanitize_text(col: Column, denylist: Iterable[str] = DEFAULT_PROMPT_DENYLIST) -> Column:
+    """Full X17 → X16 → X18 pipeline in reference order."""
+    return apply_prompt_denylist(mask_secrets(redact_code(col)), denylist)

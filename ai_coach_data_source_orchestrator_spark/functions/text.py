@@ -1,0 +1,118 @@
+"""Text-analytics column expressions: tokenization, shingling, language
+ID, quality scoring, fingerprinting.
+
+Everything here is a pure ``pyspark.sql.functions`` Column builder — no
+UDFs — so the hot path stays inside whole-stage codegen and Catalyst can
+prune/push as usual. These back the LLM-training-data-pipeline operators
+(dedup families, quality filtering) registered in ``plans/queries_text.py``.
+
+Design for 100 TB: each function is per-row (embarrassingly parallel, no
+shuffle); the only shuffles in the downstream dedup operators are the
+groupBy on hash keys and the LSH band join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword langid
+# heuristic. Deterministic and mirrored verbatim in the DuckDB oracle.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+# Order in which ties are broken (first wins) — must match the oracle's
+# CASE order.
+LANG_PRIORITY = ("en", "de", "es", "fr")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND punctuation
+    boundaries, then add ceil(chars/4) as the reference's own heuristic
+    (generate_weekly_digest.js:758 — ``Math.ceil(chars/4)``) for
+    comparison. Returns the regex-split count.
+    """
+    toks = F.split(F.trim(text), r"[\s\.,;:!\?\(\)\[\]]+")
+    return F.size(F.filter(toks, lambda t: F.length(t) > 0))
+
+
+def char_token_estimate(text: Column) -> Column:
+    """The reference's token estimate: ceil(chars / 4)."""
+    return F.ceil(F.length(text) / 4).cast("bigint")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (the unit set for Jaccard/MinHash)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) found in ``words``."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def langid(text: Column) -> Column:
+    """Stopword-hit language ID: argmax over LANG_STOPWORDS scores,
+    ties broken by LANG_PRIORITY order, zero hits → 'und'.
+    """
+    toks = tokens(text)
+    scores = {lang: stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build the when-chain in reverse so earlier priorities win.
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation (6-dp rounded)."""
+    n = F.length(text)
+    n_punct = n - F.length(F.regexp_replace(text, r"[\.,;:!\?\(\)\[\]'\"]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(n_punct / n.cast("double"), 6))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are English stopwords (quality signal)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    hits = stopword_hits(toks, LANG_STOPWORDS["en"])
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(hits / n.cast("double"), 6))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(total / F.size(toks).cast("double"), 6)
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: sha256 of the sorted
+    distinct token set. Equal fingerprints ⇒ same bag-of-words — the
+    'document fingerprinting' primitive for shuffle-free exact-family
+    dedup (group on the fingerprint, no pairwise comparison).
+    """
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    return F.sha2(canon, 256)

@@ -1,0 +1,217 @@
+"""Deduplication operator family for training-data pipelines.
+
+Four strategies, ordered by cost/recall trade-off:
+
+- ``exact_dedup``        — hash-groupBy on sha256(text). One shuffle on
+                           a uniformly-distributed key; the only correct
+                           choice when "duplicate" means byte-identical.
+- ``fingerprint_dedup``  — same, on the sorted-token-set fingerprint
+                           (catches reorderings/whitespace variants).
+- ``jaccard_pairs``      — exact pairwise n-gram Jaccard. O(n²); the
+                           correctness oracle for the LSH path, never
+                           the 100 TB path.
+- ``minhash_lsh_pairs``  — MinHash signatures + banded LSH join + exact
+                           verify. The scale path: candidate generation
+                           is a self-equi-join on (band, band_hash), so
+                           total work is O(n·P) hashing plus a join whose
+                           size is ~true-duplicate pairs. With B bands of
+                           R rows, P(candidate | jaccard=s) = 1-(1-s^R)^B;
+                           defaults (B=32, R=2) give miss-probability
+                           ≈6e-7 at s=0.6, so verified output equals the
+                           brute-force oracle with near-certainty.
+- ``simhash`` / ``simhash_pairs`` — 64-bit SimHash over tokens with a
+                           banded hamming-distance join (non-SQL-
+                           expressible → rows-only driver check).
+
+All signature computation is pure column expressions (xxhash64 /
+array ops) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, tokens
+
+DEFAULT_NUM_PERM = 64
+DEFAULT_BANDS = 32  # rows-per-band = NUM_PERM / BANDS = 2
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivor (min id) per identical text + how many copies it had."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Dedup on the order-insensitive token-set fingerprint."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh"))
+
+
+def _jaccard(sa: Column, sb: Column) -> Column:
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(F.round(inter / union.cast("double"), 6))
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold. O(n²) cross join —
+    correctness baseline only; use ``minhash_lsh_pairs`` at scale.
+    """
+    s = _shingle_sets(df, text_col, id_col, k)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _perm_hasher(p: int):
+    # NB: must be a single-argument lambda — PySpark treats a second
+    # lambda parameter as the array index, so a `lambda s, p=p:` default
+    # arg would silently hash with the index instead of the perm seed.
+    return lambda s: F.xxhash64(s, F.lit(p))
+
+
+def minhash_signature(sh: Column, num_perm: int = DEFAULT_NUM_PERM) -> Column:
+    """MinHash signature as array<bigint>: min over shingles of
+    xxhash64(shingle, perm_index) per permutation. Empty shingle sets
+    get sentinel MAX_LONG values (they match nothing).
+    """
+    mins = [F.array_min(F.transform(sh, _perm_hasher(p))) for p in range(num_perm)]
+    sentinel = F.lit(2**63 - 1).cast("bigint")
+    return F.array(*[F.coalesce(m, sentinel) for m in mins])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Near-dup pairs via MinHash+LSH candidates, exact-Jaccard verified.
+
+    Plan shape (the part that matters at 100 TB):
+      1. per-row signature (narrow, no shuffle);
+      2. explode to (doc, band, band_hash) — bands× row inflation of a
+         3-column frame, not of the documents;
+      3. self-join on (band, band_hash): shuffle is keyed by band hash,
+         which is uniform unless the corpus is pathologically repetitive
+         (AQE skew-join handles the dup-heavy case);
+      4. distinct candidate pairs, then one more join back to shingle
+         sets for exact verification — candidates ≪ n², so this join is
+         output-sized.
+    """
+    rows_per_band = num_perm // bands
+    s = _shingle_sets(df, text_col, id_col, k).where(F.size("sh") > 0)
+    sig = s.select("doc_id", "sh", minhash_signature(F.col("sh"), num_perm).alias("mh"))
+
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.element_at("mh", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    candidates = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    Explode distinct tokens → per-bit ±1 contributions weighted by token
+    presence → sign per bit → reassembled bigint. One shuffle (groupBy
+    doc). 64 conditional-sum aggregates sounds wide but stays a single
+    partial-aggregation pass.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) bands — any
+    pair within the distance budget must agree exactly on ≥1 band, so a
+    band-equality self-join generates all candidates (no false
+    negatives), then bit_count(xor) verifies. Same join shape as MinHash
+    LSH → same scale story.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = simhash(df, text_col, id_col)
+    mask = (1 << width) - 1
+    bands_arr = F.array(
+        *[
+            F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).cast("bigint")
+            for i in range(n_bands)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.posexplode(bands_arr).alias("band", "band_val"))
+    left = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val")
+    right = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_val")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

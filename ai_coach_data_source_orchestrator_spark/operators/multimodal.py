@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real image/audio decode libraries are not in this container, so the
+decode step is STUBBED (``decode_media`` raises NotImplementedError;
+``extract_features`` uses a deterministic fake). Everything Spark-side —
+schema, Arrow batch shape, ``mapInPandas`` signature, partitioning — is
+real and oracle-tested, so swapping in a real decoder (PIL/ffmpeg) is a
+one-function change inside the pandas iterator.
+
+Scale: payloads stay in executor-space binary columns end-to-end (never
+collected); feature extraction is ``mapInPandas`` over Arrow batches, so
+per-batch Python overhead is amortized and partition count controls
+decode parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("byte_size", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("byte_size", LongType()),
+        StructField("header_hex", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+_MIMES = ("image/png", "audio/wav", "video/mp4")
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Treat document text as an opaque binary payload with typed
+    metadata — the multimodal storage model: binary column + mime +
+    size + checksum, all computed JVM-side.
+    """
+    payload = F.encode("text", "UTF-8")
+    mime = F.element_at(F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        mime.alias("mime"),
+        payload.alias("payload"),
+        F.octet_length("text").cast("bigint").alias("byte_size"),
+        F.sha2("text", 256).alias("sha256"),
+    )
+
+
+def decode_media(payload: bytes, mime: str):
+    """Real decode entry point — intentionally stubbed.
+
+    In production this dispatches to PIL / soundfile / pyav by mime.
+    The container has none of those, so the operator surface exists but
+    decoding is explicit about being unavailable.
+    """
+    raise NotImplementedError(
+        f"media decode for {mime!r} requires codec libraries not present in this environment"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Deterministic fake feature extraction over Arrow batches.
+
+    Stands in for decode→resize→feature; the batch shape (pandas
+    DataFrame per Arrow batch, vectorized column ops, no per-row Python
+    loop for the arithmetic) is exactly what a real decoder plugs into.
+    """
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            size = pdf["byte_size"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "byte_size": size,
+                    # First 8 payload bytes, as a real decoder would sniff
+                    # the container header.
+                    "header_hex": pdf["payload"].map(lambda b: bytes(b[:8]).hex()),
+                    "width": 64 + size % 1024,
+                    "height": 64 + (size * 7) % 1024,
+                }
+            )
+
+    return media.mapInPandas(_features, schema=FEATURE_SCHEMA)

@@ -1,0 +1,122 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, fold the dot product with ``F.zip_with`` /
+  ``F.aggregate`` (JVM-side, no UDF), rank with a per-query window.
+  Exact, one pass over the corpus; the correctness baseline.
+- ``lsh_topk`` — random-hyperplane (sign) LSH: deterministic ±1
+  hyperplanes derived from xxhash64 (no RNG state, resumable), bucket by
+  signature, search only same-bucket candidates, exact re-rank inside
+  the bucket. The 100 TB path: the corpus is hashed once (narrow), and
+  each query touches one bucket — a fraction 2^-bits of the data.
+
+Embeddings are cast to double before arithmetic so scores are
+IEEE-deterministic and engine-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — deterministic summation order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded).
+
+    The query set is broadcast → the corpus is scanned once with no
+    shuffle; the only shuffle is the per-query top-k window over
+    |queries|·|corpus| scored rows. For large query sets prefer
+    repartitioning queries and chunked corpus joins.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    sim = cosine(F.col("qv"), F.col("nv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 12) -> Column:
+    """Deterministic sign-LSH bucket id.
+
+    Hyperplane j has component d = +1 if xxhash64(j, d) is even else -1;
+    bit j of the signature = [dot(vec, h_j) > 0]. Pure expressions, no
+    stored model — any executor recomputes the same planes.
+    """
+    bucket = F.lit(0).cast("bigint")
+    for j in range(bits):
+        coef = lambda d, j=j: F.when(  # noqa: E731
+            F.pmod(F.xxhash64(F.lit(j), F.lit(d)), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+        proj = None
+        for d in range(dim):
+            term = F.element_at(vec, d + 1) * coef(d)
+            proj = term if proj is None else proj + term
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint"))
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: candidates share the query's LSH bucket; exact cosine
+    re-rank within the bucket. Recall < 1 by construction (measured in
+    tests against ``brute_force_topk``); raise recall with fewer bits or
+    multi-probe (not needed for the driver corpus).
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv"))
+    c = c.withColumn("bucket", hyperplane_signature(F.col("nv"), dim, bits))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("bucket", hyperplane_signature(F.col("qv"), dim, bits))
+
+    sim = cosine(F.col("qv"), F.col("nv"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )

@@ -1,0 +1,175 @@
+"""Transcript parsing operators (X19, A15, F6) — reference parity with
+transcripts/transcript-to-markdown.js:154-213 (5-pattern line detector,
+header-then-content accumulation) and :59-82 (participants).
+
+The reference parses line-by-line with mutable state (currentSpeaker /
+currentContent). Distributed restatement:
+
+- explode lines with position;
+- classify each line against the 5 ordered regex patterns (pure
+  expressions);
+- "current speaker" = ``last(header, ignorenulls)`` over a per-file
+  position-ordered window;
+- "flush on next entry" = segment id via running count of entry lines;
+  content lines group by (file, segment) and concat in position order.
+
+One shuffle per stage, all keyed by file — the window and the final
+groupBy reuse the same partitioning. Files are independent, so this
+scales to any corpus size; a single pathological multi-GB transcript
+would bound one task (acceptable: the reference's unit is a meeting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TIME = r"\d{1,2}:\d{2}(?::\d{2})?"
+
+# Ordered as in detectTranscriptLine — first match wins.
+P0 = rf"^({_TIME})\s*-\s*(.+)$"  # header: time - speaker
+P1 = rf"^({_TIME})\s+([^:]+):\s*(.+)$"  # time speaker: content
+P2 = rf"^\[({_TIME})\]\s+([^:]+):\s*(.+)$"  # [time] speaker: content
+P3 = rf"^([^(]+)\s*\(({_TIME})\):\s*(.+)$"  # speaker (time): content
+P4 = r"^([^:]+):\s*(.+)$"  # speaker: content
+
+
+def detect_line(line: Column) -> Column:
+    """Struct(time, speaker, content, pattern) for entry lines, else
+    pattern = -1. Pattern precedence matches the reference exactly."""
+    return (
+        F.when(
+            line.rlike(P0),
+            F.struct(
+                F.regexp_extract(line, P0, 1).alias("time"),
+                F.trim(F.regexp_extract(line, P0, 2)).alias("speaker"),
+                F.lit("").alias("content"),
+                F.lit(0).alias("pattern"),
+            ),
+        )
+        .when(
+            line.rlike(P2),  # bracketed-time must be tested before P1 can't match it ([ not a digit)
+            F.struct(
+                F.regexp_extract(line, P2, 1).alias("time"),
+                F.trim(F.regexp_extract(line, P2, 2)).alias("speaker"),
+                F.trim(F.regexp_extract(line, P2, 3)).alias("content"),
+                F.lit(2).alias("pattern"),
+            ),
+        )
+        .when(
+            line.rlike(P1),
+            F.struct(
+                F.regexp_extract(line, P1, 1).alias("time"),
+                F.trim(F.regexp_extract(line, P1, 2)).alias("speaker"),
+                F.trim(F.regexp_extract(line, P1, 3)).alias("content"),
+                F.lit(1).alias("pattern"),
+            ),
+        )
+        .when(
+            line.rlike(P3),
+            F.struct(
+                F.regexp_extract(line, P3, 2).alias("time"),
+                F.trim(F.regexp_extract(line, P3, 1)).alias("speaker"),
+                F.trim(F.regexp_extract(line, P3, 3)).alias("content"),
+                F.lit(3).alias("pattern"),
+            ),
+        )
+        .when(
+            line.rlike(P4),
+            F.struct(
+                F.lit("").alias("time"),
+                F.trim(F.regexp_extract(line, P4, 1)).alias("speaker"),
+                F.trim(F.regexp_extract(line, P4, 2)).alias("content"),
+                F.lit(4).alias("pattern"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(None).cast("string").alias("time"),
+                F.lit(None).cast("string").alias("speaker"),
+                line.alias("content"),
+                F.lit(-1).alias("pattern"),
+            )
+        )
+    )
+
+
+def _lines(df: DataFrame, file_col: str, content_col: str) -> DataFrame:
+    return (
+        df.select(F.col(file_col).alias("filename"), F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "raw"))
+        .withColumn("line", F.trim("raw"))
+        .where(F.length("line") > 0)
+        .withColumn("m", detect_line(F.col("line")))
+    )
+
+
+def parse_transcripts(df: DataFrame, file_col: str = "filename", content_col: str = "content") -> DataFrame:
+    """→ utterance rows (filename, pos, time, speaker, utterance, pattern).
+
+    Inline-content entries (patterns 1-4) emit directly; content lines
+    following a pattern-0 header accumulate (space-joined, position
+    order) until the next entry line, attributed to the most recent
+    header — the reference's flushCurrentEntry semantics.
+    """
+    lines = _lines(df, file_col, content_col)
+    w = Window.partitionBy("filename").orderBy("pos")
+
+    is_entry = F.col("m.pattern") >= 0
+    header = F.when(F.col("m.pattern") == 0, F.struct(F.col("m.time"), F.col("m.speaker"), F.col("pos")))
+    lines = (
+        lines.withColumn("cur_header", F.last(header, ignorenulls=True).over(w))
+        # Segment increments at every entry line → content between
+        # entries forms one flush group.
+        .withColumn("segment", F.sum(F.when(is_entry, 1).otherwise(0)).over(w))
+    )
+
+    inline = lines.where(is_entry & (F.col("m.pattern") != 0)).select(
+        "filename",
+        "pos",
+        F.col("m.time").alias("time"),
+        F.col("m.speaker").alias("speaker"),
+        F.col("m.content").alias("utterance"),
+        F.col("m.pattern").alias("pattern"),
+    )
+
+    accumulated = (
+        lines.where((~is_entry) & F.col("cur_header").isNotNull())
+        .groupBy("filename", "segment")
+        .agg(
+            F.min("pos").alias("pos"),
+            F.first("cur_header").alias("hdr"),
+            F.concat_ws(" ", F.collect_list("line")).alias("utterance"),
+        )
+        .select(
+            "filename",
+            "pos",
+            F.col("hdr.time").alias("time"),
+            F.col("hdr.speaker").alias("speaker"),
+            "utterance",
+            F.lit(0).alias("pattern"),
+        )
+    )
+
+    # Content lines before any header: passthrough rows, no speaker.
+    preamble = lines.where((~is_entry) & F.col("cur_header").isNull()).select(
+        "filename",
+        "pos",
+        F.lit(None).cast("string").alias("time"),
+        F.lit(None).cast("string").alias("speaker"),
+        F.col("line").alias("utterance"),
+        F.lit(-1).alias("pattern"),
+    )
+
+    return inline.unionByName(accumulated).unionByName(preamble)
+
+
+def participants(df: DataFrame, file_col: str = "filename", content_col: str = "content") -> DataFrame:
+    """A15 — distinct sorted speakers per file (original casing kept,
+    transcript-to-markdown.js:59-82)."""
+    lines = _lines(df, file_col, content_col)
+    return (
+        lines.where(F.col("m.speaker").isNotNull() & (F.length("m.speaker") > 0))
+        .groupBy("filename")
+        .agg(F.array_sort(F.collect_set(F.col("m.speaker"))).alias("participants"))
+    )

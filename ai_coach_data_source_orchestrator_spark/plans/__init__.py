@@ -1,0 +1,9 @@
+from .registry import REGISTRY, QuerySpec, register
+
+# Importing the query modules populates REGISTRY via @register.
+from . import queries_relational  # noqa: E402,F401
+from . import queries_events  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401
+from . import queries_similarity  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,269 @@
+"""Event-time operator inventory (SURVEY §2.5 time aggs, §2.8 date fns,
+§2.9 streaming-adjacent semantics) over the ``events`` table.
+
+The reference's event-time behaviors — daily tumbling grouping, the
+Monday-anchored week frame with empty buckets materialized, thread/
+session grouping, month-over-month label set-diffs, multi-format date
+extraction — re-expressed as single-pass DataFrame plans. The batch
+forms live here; ``streaming/`` carries the watermarked equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# A10/A11/X9/X12 — daily tumbling grouping with epoch day bounds
+# (reference: slack/lib/format.js:245-263; slack/lib/api.js:315-326)
+# ---------------------------------------------------------------------------
+@register(
+    "a10_daily_window",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+           CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT) AS day_start_epoch,
+           CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) + 86399 AS BIGINT) AS day_end_epoch
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    survey_ids=("A10", "A11", "X9", "X12"),
+    description="Daily tumbling grouping + unix start/end-of-day bounds",
+)
+def a10_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # groupBy(to_date(ts)) instead of window(ts,'1 day'): same tumbling
+    # semantics, simpler key, and the streaming variant (streaming/daily.py)
+    # swaps in window()+watermark without changing downstream schema.
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    day_start = F.unix_timestamp(day.cast("timestamp"))
+    return ev.groupBy(day.alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
+        F.first(day_start).alias("day_start_epoch"),
+        F.first(day_start + 86399).alias("day_end_epoch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13/X13 — Monday-anchored week frame, empty buckets materialized
+# (reference: generate_dashboard.js:286-376)
+# ---------------------------------------------------------------------------
+FRAME_START = "2024-01-01"  # a Monday
+FRAME_END = "2024-01-28"  # the Sunday closing week 4
+
+
+@register(
+    "a13_week_frame",
+    oracle=f"""
+    WITH frame AS (
+        SELECT CAST(d AS DATE) AS day
+        FROM generate_series(DATE '{FRAME_START}', DATE '{FRAME_END}', INTERVAL 1 DAY) t(d)
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT f.day,
+           f.day - (CAST(isodow(f.day) AS INTEGER) - 1) AS week_start,
+           dayname(f.day) AS weekday,
+           COALESCE(d.cnt, 0) AS n_events
+    FROM frame f LEFT JOIN daily d ON f.day = d.day
+    """,
+    survey_ids=("A13", "X13"),
+    description="Mon..Sun frame join keeps empty days as zero rows",
+)
+def a13_week_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The frame is generated (sequence+explode, tiny) and the fact side
+    # is pre-aggregated to one row per day before the join — so the
+    # left join is frame-sized regardless of event volume.
+    ev = load_table(spark, sf_dir, "events")
+    frame = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(FRAME_START)), F.to_date(F.lit(FRAME_END)), F.expr("interval 1 day")
+            )
+        ).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("cnt"))
+    # Monday anchor: Spark dayofweek is 1=Sunday..7=Saturday.
+    week_start = F.date_sub(F.col("day"), (F.dayofweek("day") + 5) % 7)
+    return (
+        frame.join(daily, "day", "left")
+        .select(
+            "day",
+            week_start.alias("week_start"),
+            F.date_format("day", "EEEE").alias("weekday"),
+            F.coalesce("cnt", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — gap-based sessionization (thread/session grouping, batch form)
+# ---------------------------------------------------------------------------
+SESSION_GAP_S = 1800
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_S} * 1000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    survey_ids=("S10", "F11"),
+    description="30-min-gap sessionization via lag window, per-user rollup",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle on user_id serves both the lag window and the final
+    # groupBy (same partitioning → Exchange reuse). The streaming
+    # analogue is session_window/applyInPandasWithState in streaming/.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    # Exact integer microseconds on both sides — fractional-second
+    # truncation must not decide session boundaries differently.
+    new_session = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > SESSION_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "ts")
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14/U7 — label set-diff between two periods (+added/-removed)
+# (reference: jira/lib/changelog-flatten.js:60-116)
+# ---------------------------------------------------------------------------
+@register(
+    "a14_array_set_diff",
+    oracle="""
+    WITH per_half AS (
+        SELECT user_id,
+               COALESCE(list_sort(list_distinct(list(event_type) FILTER (WHERE day(ts) <= 15))), []) AS before_types,
+               COALESCE(list_sort(list_distinct(list(event_type) FILTER (WHERE day(ts) > 15))), []) AS after_types
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           COALESCE(array_to_string(list_sort(list_filter(after_types, t -> NOT list_contains(before_types, t))), ','), '') AS added,
+           COALESCE(array_to_string(list_sort(list_filter(before_types, t -> NOT list_contains(after_types, t))), ','), '') AS removed
+    FROM per_half
+    """,
+    survey_ids=("A14", "U7"),
+    description="array_except both directions → '+added/-removed' label diff",
+)
+def a14_array_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_set per period then array_except — the whole diff is
+    # map-side-combinable aggregation, no second shuffle. Arrays are
+    # sorted + comma-joined so the comparison is order-insensitive.
+    ev = load_table(spark, sf_dir, "events")
+    before = F.array_sort(
+        F.array_distinct(F.collect_list(F.when(F.dayofmonth("ts") <= 15, F.col("event_type"))))
+    )
+    after = F.array_sort(
+        F.array_distinct(F.collect_list(F.when(F.dayofmonth("ts") > 15, F.col("event_type"))))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(before.alias("before_types"), after.alias("after_types"))
+        .select(
+            "user_id",
+            F.array_join(F.array_sort(F.array_except("after_types", "before_types")), ",").alias("added"),
+            F.array_join(F.array_sort(F.array_except("before_types", "after_types")), ",").alias("removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7/X8 — multi-format date extraction cascade
+# (reference: datasource-generator/lib/date-range-filter.js:61-133;
+#  transcripts/transcript-to-markdown.js:219-308)
+# ---------------------------------------------------------------------------
+@register(
+    "x7_multiformat_date_extract",
+    oracle="""
+    WITH files AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 4
+                   WHEN 0 THEN 'fathom-transcripts-' || strftime(o_orderdate, '%Y-%m-%d') || 'T07_16_03+00_00.txt'
+                   WHEN 1 THEN 'weekly_sync_' || strftime(o_orderdate, '%m_%d_%Y') || '.txt'
+                   WHEN 2 THEN 'standup-' || strftime(o_orderdate, '%B') || ' ' ||
+                               CAST(day(o_orderdate) AS VARCHAR) || ', ' ||
+                               CAST(year(o_orderdate) AS VARCHAR) || '.txt'
+                   ELSE 'meeting-notes.txt'
+               END AS filename
+        FROM orders
+    )
+    SELECT o_orderkey, filename,
+           COALESCE(
+               TRY_CAST(TRY_STRPTIME(regexp_extract(filename, '(\\d{4}-\\d{2}-\\d{2})T', 1), '%Y-%m-%d') AS DATE),
+               TRY_CAST(TRY_STRPTIME(regexp_extract(filename, '_(\\d{2}_\\d{2}_\\d{4})\\.', 1), '%m_%d_%Y') AS DATE),
+               TRY_CAST(TRY_STRPTIME(regexp_extract(filename, '-([A-Za-z]+ \\d{1,2}, \\d{4})\\.', 1), '%B %-d, %Y') AS DATE)
+           ) AS parsed_date
+    FROM files
+    """,
+    survey_ids=("X7", "X8", "F4"),
+    description="ISO-T / MM_DD_YYYY / 'Month DD, YYYY' filename-date cascade",
+)
+def x7_multiformat_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure column expressions (regexp_extract + try_to_date coalesce
+    # cascade) — no UDF, so the cascade stays inside codegen. Unparseable
+    # names yield NULL (the reference's explicit unknown-date bucket).
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    filename = (
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(F.lit("fathom-transcripts-"), F.date_format(od, "yyyy-MM-dd"), F.lit("T07_16_03+00_00.txt")),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 1,
+            F.concat(F.lit("weekly_sync_"), F.date_format(od, "MM_dd_yyyy"), F.lit(".txt")),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.concat(
+                F.lit("standup-"),
+                F.date_format(od, "MMMM"),
+                F.lit(" "),
+                F.dayofmonth(od).cast("string"),
+                F.lit(", "),
+                F.year(od).cast("string"),
+                F.lit(".txt"),
+            ),
+        )
+        .otherwise(F.lit("meeting-notes.txt"))
+    )
+    files = orders.select("o_orderkey", filename.alias("filename"))
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.regexp_extract("filename", r"(\d{4}-\d{2}-\d{2})T", 1), F.lit("yyyy-MM-dd")).cast("date"),
+        F.try_to_timestamp(F.regexp_extract("filename", r"_(\d{2}_\d{2}_\d{4})\.", 1), F.lit("MM_dd_yyyy")).cast("date"),
+        F.try_to_timestamp(F.regexp_extract("filename", r"-([A-Za-z]+ \d{1,2}, \d{4})\.", 1), F.lit("MMMM d, yyyy")).cast("date"),
+    )
+    return files.select("o_orderkey", "filename", parsed.alias("parsed_date"))

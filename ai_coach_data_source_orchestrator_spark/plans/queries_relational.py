@@ -1,0 +1,546 @@
+"""Relational operator inventory (SURVEY §2.3–§2.7) over the star schema.
+
+Each query re-expresses a reference operator pattern (filter semantics,
+semi-joins, alias-normalized first-match joins, fixed-depth hierarchy
+resolution, grouped stats with percentages, canonical ordering, top-1
+per group, unions, dedup) on the driver's TPC-H-ish tables, with an
+exactly-equivalent DuckDB oracle.
+
+Numeric policy: double columns are cast to DECIMAL(18,2) *before*
+aggregation (exact arithmetic in both engines), then the final value is
+cast back to double and rounded — float summation order can never flip
+the comparison hash.
+
+Scale notes are given per query; the common ones:
+- dims (region/nation/supplier/customer at dim-like sizes) are joined
+  with explicit ``broadcast()`` hints → no shuffle of the fact side;
+- aggregations are expressed so Spark plans partial (map-side) + final
+  aggregation — verified via ``.explain`` (HashAggregate x2);
+- window top-1 uses ``row_number`` over a keyed partition, which
+  shuffles once on the partition key and streams — no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+DEC = "decimal(18,2)"
+
+# Date range used by the filter-family queries (orders span 1995..2001).
+SHIP_START = "1995-03-01"
+SHIP_END = "1996-02-29"
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F10 — inclusive date-range predicates
+# (reference: datasource-generator/lib/date-range-filter.js:45-53,
+#  jira/export-to-csv.js:109-119, jira/lib/changelog-markdown.js:47-54)
+# ---------------------------------------------------------------------------
+@register(
+    "f1_date_range_filter",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '{SHIP_START}' AND DATE '{SHIP_END}'
+    """,
+    survey_ids=("F1", "F2", "F10"),
+    description="Inclusive [start,end] date-range filter pushed to the parquet scan",
+)
+def f1_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The BETWEEN lands in PushedFilters on the parquet scan; ReadSchema
+    # carries only the three projected columns. At 100 TB with
+    # date-partitioned data this is partition pruning, not a full scan.
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = F.to_date("l_shipdate")
+    return li.where(ship.between(F.lit(SHIP_START), F.lit(SHIP_END))).select(
+        "l_orderkey", "l_linenumber", ship.alias("ship_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3/F6 — keep a parent row only if >=1 child row is in range (semi-join)
+# (reference: jira/export-to-csv.js:287-301 — issues with >=1 in-range comment)
+# ---------------------------------------------------------------------------
+@register(
+    "f3_semi_join_children_in_range",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '{SHIP_START}' AND DATE '{SHIP_END}'
+    )
+    """,
+    survey_ids=("F3", "F6"),
+    description="Parent kept iff >=1 child in date range (left_semi join)",
+)
+def f3_semi_join_children_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left_semi never materializes child columns and stops at first match.
+    # The child side is filtered *before* the join so the shuffle moves
+    # only in-range keys; AQE can convert to broadcast if the filtered
+    # side collapses.
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    in_range = li.where(F.to_date("l_shipdate").between(F.lit(SHIP_START), F.lit(SHIP_END)))
+    return orders.join(in_range, orders.o_orderkey == in_range.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — group by status with canonical render order
+# (reference: jira/csv-to-markdown.js:94-132 — fixed status order list)
+# ---------------------------------------------------------------------------
+_STATUS_RANK_SQL = """
+    CASE o_orderstatus WHEN 'P' THEN 0 WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 99 END
+"""
+
+
+@register(
+    "a1_status_groups_canonical_order",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           {_STATUS_RANK_SQL} AS status_rank,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    survey_ids=("A1", "A2"),
+    description="Hash-group by status + canonical order rank column",
+)
+def a1_status_groups_canonical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Canonical order (reference hard-codes [To Do, ..., Done, Unknown])
+    # becomes a rank column, so ordering is data, not iteration order.
+    orders = load_table(spark, sf_dir, "orders")
+    rank = (
+        F.when(F.col("o_orderstatus") == "P", 0)
+        .when(F.col("o_orderstatus") == "O", 1)
+        .when(F.col("o_orderstatus") == "F", 2)
+        .otherwise(99)
+    )
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.first(rank).alias("status_rank"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — counts + percentages (1 decimal)
+# (reference: jira/team-report.js:442-502)
+# ---------------------------------------------------------------------------
+@register(
+    "a3_group_stats_pct",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(100.0 * COUNT(*) / (SELECT COUNT(*) FROM orders), 1) AS pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("A3", "O6"),
+    description="Group counts with share-of-total percentage",
+)
+def a3_group_stats_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Share-of-total via an unpartitioned window over the *aggregated*
+    # rows (a handful of groups), not over the fact table — the single-
+    # partition window touches only |groups| rows, so it is safe at scale.
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders")
+    )
+    total = F.sum("n_orders").over(Window.partitionBy())
+    return counts.select(
+        "priority",
+        "n_orders",
+        F.round(F.lit(100.0) * F.col("n_orders") / total, 1).alias("pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1+A3+A4+A5 — the status×assignee breakdown family as one CUBE
+# (reference: jira/team-report.js:505-549 — hand-rolled nested loops)
+# ---------------------------------------------------------------------------
+@register(
+    "a45_status_priority_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    survey_ids=("A4", "A5", "A1", "A3"),
+    description="cube(status, priority) replaces four hand-rolled grouping loops",
+)
+def a45_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One cube = per-status, per-priority, per-pair and grand totals in a
+    # single pass with partial aggregation; the reference computes these
+    # four ways in four separate loops.
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J11/A16 — fact-to-dims star join with rollup (flagship query)
+# (reference: daily-reports/db-query.js:313-337 4-table join;
+#  scripts/query-neon-db.js:59-90 per-team rollups)
+# ---------------------------------------------------------------------------
+@register(
+    "j1_star_join_revenue",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '{SHIP_START}' AND DATE '{SHIP_END}'
+    GROUP BY r_name, n_name
+    """,
+    survey_ids=("J1", "J11", "A16"),
+    description="Fact ⋈ 4 broadcast dims → per-region/nation revenue rollup",
+    bench=True,
+)
+def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customer/nation/region are broadcast: the lineitem⋈orders join is
+    # the only shuffle (on orderkey), and the date filter runs at the
+    # scan. At 1000 executors this is one shuffle of the filtered fact —
+    # the minimum possible for this query shape.
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    revenue_item = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    return (
+        li.where(F.to_date("l_shipdate").between(F.lit(SHIP_START), F.lit(SHIP_END)))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(revenue_item).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 — top-1 per group by recency (the system's only top-k)
+# (reference: generate_weekly_digest.js:139-174 latest-file pick)
+# ---------------------------------------------------------------------------
+@register(
+    "o3_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           CAST(o_orderdate AS DATE) AS latest_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    survey_ids=("O3", "O1", "O2"),
+    description="row_number() top-1 per key, ties broken by key for determinism",
+)
+def o3_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic tie-break (orderkey desc) so Spark and the oracle
+    # pick the same row when two orders share a date. One shuffle on
+    # custkey; at scale prefer this over a groupBy+join (single pass).
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.to_date("o_orderdate").alias("latest_orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/X1/F7 — alias-normalized first-match-wins lookup join
+# (reference: lib/name-matcher.js:164-179 normalization, 265-292 first-match)
+# ---------------------------------------------------------------------------
+# X1 normalization as a shared SQL fragment (same semantics both engines):
+# lowercase, strip (...) / [...] qualifiers, strip .,;: punctuation,
+# -/_ → space, collapse whitespace, trim.
+def _norm_sql(col: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"lower({col}), '\\([^)]*\\)|\\[[^\\]]*\\]', ''), '[.,;:]', ''), "
+        "'[-_]', ' '), '\\s+', ' '))"
+    )
+
+
+def _norm_col(col):
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"\([^)]*\)|\[[^\]]*\]", "")
+    c = F.regexp_replace(c, r"[.,;:]", "")
+    c = F.regexp_replace(c, r"[-_]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+@register(
+    "j2_alias_first_match_join",
+    oracle=f"""
+    WITH aliases AS (
+        SELECT {_norm_sql('c_name')} AS alias_norm, c_custkey AS member_key, 1 AS priority
+        FROM customer
+        UNION ALL
+        SELECT 'group ' || CAST(c_custkey % 7 AS VARCHAR), c_custkey, 2
+        FROM customer
+    ),
+    probes AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN c_name || ' (Full Scale)'
+                    ELSE '  ' || upper(c_name) || '  ' END AS probe
+        FROM customer
+        UNION ALL
+        SELECT 'Group ' || CAST(g AS VARCHAR) FROM generate_series(0, 6) t(g)
+    ),
+    matched AS (
+        SELECT p.probe, a.member_key, a.priority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.probe ORDER BY a.priority, a.member_key
+               ) AS rn
+        FROM probes p
+        JOIN aliases a ON {_norm_sql('p.probe')} = a.alias_norm
+    )
+    SELECT probe, member_key AS matched_key, priority AS matched_priority
+    FROM matched WHERE rn = 1
+    """,
+    survey_ids=("J2", "X1", "F7", "J10"),
+    description="Normalize-then-join alias resolution, first-configured-match wins",
+)
+def j2_alias_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The alias table is dimension-sized → broadcast; first-match-wins is
+    # an explicit (priority, member_key) row_number, not iteration order.
+    # This is the engine-level form of the reference name-matcher; the
+    # full fidelity version (alias expansion, >=4-letter guard, suffix
+    # stripping) lives in functions/names.py with its own test table.
+    customer = load_table(spark, sf_dir, "customer")
+
+    aliases = customer.select(
+        _norm_col(F.col("c_name")).alias("alias_norm"),
+        F.col("c_custkey").alias("member_key"),
+        F.lit(1).alias("priority"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("group "), (F.col("c_custkey") % 7).cast("string")).alias("alias_norm"),
+            F.col("c_custkey").alias("member_key"),
+            F.lit(2).alias("priority"),
+        )
+    )
+
+    probes = customer.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.concat(F.col("c_name"), F.lit(" (Full Scale)"))
+        )
+        .otherwise(F.concat(F.lit("  "), F.upper(F.col("c_name")), F.lit("  ")))
+        .alias("probe")
+    ).unionByName(
+        spark.range(0, 7).select(F.concat(F.lit("Group "), F.col("id").cast("string")).alias("probe"))
+    )
+
+    w = Window.partitionBy("probe").orderBy("priority", "member_key")
+    return (
+        probes.join(F.broadcast(aliases), _norm_col(F.col("probe")) == F.col("alias_norm"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe",
+            F.col("member_key").alias("matched_key"),
+            F.col("priority").alias("matched_priority"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/J6 — fixed-depth hierarchy resolution via chained self-joins
+# (reference: jira/build-epic-tree.js:254-280 — epic = self | parent |
+#  grandparent, a 3-level epic→story→subtask tree)
+# ---------------------------------------------------------------------------
+_PARENT_SQL = "CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_partkey - 1 END"
+
+
+@register(
+    "j5_hierarchy_resolution",
+    oracle=f"""
+    WITH items AS (
+        SELECT p_partkey AS key, p_partkey % 3 AS level,
+               {_PARENT_SQL} AS parent_key
+        FROM part
+    )
+    SELECT i.key, i.level,
+           CASE WHEN i.level = 0 THEN i.key
+                WHEN i.level = 1 THEN p.key
+                ELSE g.key END AS epic_key
+    FROM items i
+    LEFT JOIN items p ON i.parent_key = p.key
+    LEFT JOIN items g ON p.parent_key = g.key
+    """,
+    survey_ids=("J5", "J6", "S5", "S6"),
+    description="Epic/story/subtask resolution as two chained self-left-joins",
+)
+def j5_hierarchy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference walks parents with per-key API calls and 40-key IN
+    # batches; over a full DataFrame the same semantics are two self-
+    # joins — fixed depth, so no recursion, and both joins shuffle on
+    # the same key (Exchange reuse).
+    part = load_table(spark, sf_dir, "part")
+    items = part.select(
+        F.col("p_partkey").alias("key"),
+        (F.col("p_partkey") % 3).alias("level"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("p_partkey") - 1)
+        .alias("parent_key"),
+    )
+    p = items.select(F.col("key").alias("p_key"), F.col("parent_key").alias("p_parent_key"))
+    g = items.select(F.col("key").alias("g_key"))
+    return (
+        items.join(p, items.parent_key == p.p_key, "left")
+        .join(g, F.col("p_parent_key") == g.g_key, "left")
+        .select(
+            "key",
+            "level",
+            F.when(F.col("level") == 0, F.col("key"))
+            .when(F.col("level") == 1, F.col("p_key"))
+            .otherwise(F.col("g_key"))
+            .alias("epic_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A8/A16 — summary aggregates (count, distinct, min/max)
+# (reference: generate_weekly_digest.js:497-515)
+# ---------------------------------------------------------------------------
+@register(
+    "a8_summary_aggregates",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(o_orderdate) AS DATE) AS first_date,
+           CAST(MAX(o_orderdate) AS DATE) AS last_date
+    FROM orders
+    """,
+    survey_ids=("A8", "A6", "A9", "A16", "A17"),
+    description="count / countDistinct / min / max digest summary",
+)
+def a8_summary_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # countDistinct here is exact (the digest is a correctness artifact);
+    # the scale path for monitoring-style counts is approx_count_distinct
+    # — see text_stats queries.
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.to_date(F.min("o_orderdate")).alias("first_date"),
+        F.to_date(F.max("o_orderdate")).alias("last_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — OR-of-overrides predicate (base filter OR per-entity exceptions)
+# (reference: daily-reports/db-query.js:266-337)
+# ---------------------------------------------------------------------------
+@register(
+    "f8_or_of_overrides",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+       OR (o_custkey % 50 = 0 AND o_orderpriority IN ('2-HIGH', '3-MEDIUM'))
+       OR (o_custkey % 97 = 0 AND o_orderstatus = 'F')
+    """,
+    survey_ids=("F8", "F12", "F13"),
+    description="Base predicate OR per-entity override clauses",
+)
+def f8_or_of_overrides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A disjunction of per-entity overrides stays a single scan-level
+    # predicate (no join, no union-of-scans); Catalyst pushes the whole
+    # OR tree into the parquet reader.
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        | ((F.col("o_custkey") % 50 == 0) & F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"))
+        | ((F.col("o_custkey") % 97 == 0) & (F.col("o_orderstatus") == "F"))
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# U6 — union of tagged sources into one digest
+# (reference: generate_weekly_digest.js:307-394)
+# ---------------------------------------------------------------------------
+@register(
+    "u6_union_tagged_sources",
+    oracle="""
+    SELECT 'orders' AS source, o_orderpriority AS section, COUNT(*) AS n_rows
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'events' AS source, event_type AS section, COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+    survey_ids=("U6",),
+    description="unionByName of per-source section summaries with a source tag",
+)
+def u6_union_tagged_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    a = orders.groupBy(F.col("o_orderpriority").alias("section")).agg(F.count("*").alias("n_rows")).select(
+        F.lit("orders").alias("source"), "section", "n_rows"
+    )
+    b = events.groupBy(F.col("event_type").alias("section")).agg(F.count("*").alias("n_rows")).select(
+        F.lit("events").alias("source"), "section", "n_rows"
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# U1/U3/U5 — distinct / dedup-by-key
+# (reference: jira/build-epic-tree.js:219-235, 655-658)
+# ---------------------------------------------------------------------------
+@register(
+    "u3_dedup_by_key",
+    oracle="""
+    SELECT l_orderkey, MIN(l_linenumber) AS first_linenumber
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    survey_ids=("U1", "U3", "U5"),
+    description="Dedup child rows by key keeping a deterministic representative",
+)
+def u3_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dropDuplicates(key) is non-deterministic about *which* row
+    # survives; for oracle parity (and real idempotency semantics,
+    # SURVEY §1.3) dedup is expressed as min-per-key. Same single
+    # shuffle as dropDuplicates, deterministic survivor.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(F.min("l_linenumber").alias("first_linenumber"))

@@ -1,0 +1,83 @@
+"""Similarity-search + multimodal operator inventory over ``embeddings``
+and ``documents``.
+
+``knn_brute_force_cosine`` is the exact baseline (oracle:
+list_cosine_similarity in DuckDB); ``knn_lsh_buckets`` is the ANN scale
+path (recall measured in tests, rows-only driver check);
+``multimodal_features`` runs the mapInPandas plumbing against a SQL
+oracle of the same deterministic fake features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..sources.tables import load_table
+from .registry import register
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+@register(
+    "knn_brute_force_cosine",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+        FROM q JOIN c ON query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS cosine_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    survey_ids=("O3",),
+    description="Exact cosine top-k per query vector (broadcast + zip_with fold)",
+    bench=True,
+)
+def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.brute_force_topk(emb, queries, k=TOP_K)
+
+
+@register(
+    "knn_lsh_buckets",
+    oracle=None,
+    survey_ids=("O3",),
+    description="Sign-LSH bucketed ANN top-k with exact in-bucket re-rank",
+)
+def knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.lsh_topk(emb, queries, k=TOP_K, bits=8, dim=64)
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+           lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
+           64 + CAST(octet_length(encode(text)) AS BIGINT) % 1024 AS width,
+           64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 1024 AS height
+    FROM documents
+    """,
+    survey_ids=("S13", "K7"),
+    description="Binary media columns + mapInPandas feature extraction (stub decode)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.as_media_table(docs))

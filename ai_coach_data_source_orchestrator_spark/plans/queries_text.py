@@ -1,0 +1,215 @@
+"""Text-analytics + dedup operator inventory over ``documents``.
+
+The LLM-training-data-pipeline operators (BASELINE.json north star):
+exact/fingerprint dedup, n-gram Jaccard, MinHash+LSH, SimHash, language
+ID, quality scoring, token counting, fingerprinting. Spark side is pure
+column expressions / banded joins (operators/dedup.py); the DuckDB
+oracles mirror the same arithmetic list-function-for-list-function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..sources.tables import load_table
+from .registry import register
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy) + sha256 checksum (X15)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    survey_ids=("U3", "X15", "K8"),
+    description="Exact dedup: hash-groupBy on sha256(text), min-id survivor",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT sha256(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    survey_ids=("U3", "X15"),
+    description="Order-insensitive token-set fingerprint dedup",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fingerprint_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish + chars/4 estimate, A17)
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+           len(list_filter(regexp_split_to_array(trim(text), '[\\s\\.,;:!\\?\\(\\)\\[\\]]+'),
+                           t -> length(t) > 0)) AS n_tokens_bpe,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS token_estimate
+    FROM documents
+    """,
+    survey_ids=("A17",),
+    description="Whitespace + punctuation-aware token counts + chars/4 estimate",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+        T.char_token_estimate(F.col("text")).alias("token_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?\\(\\)\\[\\]''\"]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+           (length(text) BETWEEN 50 AND 5000
+            AND len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x)))
+                >= CAST(floor(0.01 * len(toks)) AS BIGINT)) AS passes_quality
+    FROM t
+    """,
+    survey_ids=("F12",),
+    description="Length / punctuation / stopword-ratio quality signals + gate",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    toks = T.tokens(F.col("text"))
+    hits = T.stopword_hits(toks, T.LANG_STOPWORDS["en"])
+    # floor() explicitly — Spark's double→bigint cast truncates while
+    # DuckDB's rounds, so the threshold must be floored on both sides.
+    passes = n.between(50, 5000) & (hits >= F.floor(F.lit(0.01) * F.size(toks)).cast("bigint"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        T.mean_token_len(F.col("text")).alias("mean_token_len"),
+        passes.alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS s_en,
+               len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+               len(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x))) AS s_es,
+               len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+    survey_ids=("X1",),
+    description="Stopword-hit language ID, fixed tie-break priority",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.langid(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup — exact pairwise (oracle baseline)
+# ---------------------------------------------------------------------------
+_SHINGLES_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                            i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM toks
+    )
+"""
+
+_JACCARD_PAIRS_SQL = (
+    _SHINGLES_SQL
+    + """
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0 THEN 0.0
+                          ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.6
+    """
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_SQL,
+    survey_ids=("U7",),
+    description="Exact all-pairs 3-gram Jaccard >= 0.6 (O(n²) baseline)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup — the scale path; oracle is the brute-force
+# Jaccard (LSH miss probability ≈6e-7 at the threshold, see dedup.py)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_PAIRS_SQL,
+    survey_ids=("U7",),
+    description="MinHash(64) + 32×2 banded LSH candidates, exact-Jaccard verified",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup — banded hamming join (not SQL-expressible → rows-only)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    oracle=None,
+    survey_ids=("U7",),
+    description="64-bit SimHash, pigeonhole-banded hamming<=3 pair join",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)

@@ -1,0 +1,72 @@
+"""Query registry: the engine's operator inventory as runnable queries.
+
+Every operator claimed in SURVEY.md §2 is registered here as a
+``QuerySpec``: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus an
+equivalent ANSI-SQL oracle string that DuckDB runs on the same parquet
+tables. The driver (and ``tests/test_oracle_parity.py``) compares the
+two order-insensitively, so:
+
+- every computed column is aliased identically on both sides;
+- double-typed aggregates go through ``DECIMAL(18,2)`` sums (exact in
+  both engines) before a final cast+round, so float summation order can
+  never flip the hash;
+- result ordering is irrelevant (compare sorts), but ties in top-k /
+  rank queries are broken by explicit key columns so both engines pick
+  the same rows.
+
+Oracle-less specs (``oracle=None``) are genuinely non-SQL-expressible
+ops (LSH banding, stateful streaming); the driver records a weaker
+rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    survey_ids: tuple[str, ...] = ()
+    description: str = ""
+    bench: bool = False  # include in bench.py headline set
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    survey_ids: tuple[str, ...] = (),
+    description: str = "",
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            survey_ids=tuple(survey_ids),
+            description=description or (fn.__doc__ or "").strip().splitlines()[0] if (description or fn.__doc__) else "",
+            bench=bench,
+        )
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM), but every
+setting here is chosen to also make sense on a 1000-executor cluster:
+AQE handles runtime re-planning (skew joins, partition coalescing),
+shuffle partitions are sized for the local test volume and are expected
+to be raised (or left to AQE) at real scale, and Arrow makes the few
+Pandas-UDF paths batch-vectorized instead of row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ai-coach-data-source-orchestrator-spark") -> SparkSession:
+    """Build (or reuse) the session used by tests and bench.py.
+
+    The driver's harness supplies its own session to ``__spark_entry__``;
+    queries must therefore never depend on these exact confs — they are
+    performance defaults, not correctness requirements.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime partition coalescing + skew-join splitting. At
+        # 100 TB this is what keeps a static shuffle-partition number from
+        # being wrong in both directions.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sized for local sf0.001–sf0.1 runs; AQE coalesces down, a real
+        # cluster job would raise this (or set it to cores*3).
+        .config("spark.sql.shuffle.partitions", "32")
+        # Arrow for the pandas-UDF paths (similarity, multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dimension tables (region/nation/customer at test SF) stay under
+        # this; at 100 TB the same hint-driven broadcasts still apply
+        # because the dims grow far slower than facts.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

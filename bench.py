@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = every registry query flagged ``bench=True`` plus a
+representative spread of the rest (set SPARK_GRAFT_BENCH_ALL=1 to run
+the full registry). Each query is executed by a count() over the result
+(forces full evaluation, no driver-side materialization of wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY  # noqa: E402
+from ai_coach_data_source_orchestrator_spark.session import get_spark  # noqa: E402
+
+# Queries that are O(n²) by design (brute-force baselines for the LSH
+# paths) are excluded from the default headline set at bench SF.
+EXCLUDE_AT_SCALE = {"dedup_ngram_jaccard"}
+
+HEADLINE = [
+    "j1_star_join_revenue",
+    "f3_semi_join_children_in_range",
+    "a45_status_priority_cube",
+    "o3_latest_order_per_customer",
+    "j2_alias_first_match_join",
+    "a10_daily_window",
+    "sessionize_events",
+    "a14_array_set_diff",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "knn_brute_force_cosine",
+    "knn_lsh_buckets",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("ai-coach-orchestrator-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        names = [n for n in REGISTRY if n not in EXCLUDE_AT_SCALE]
+    else:
+        names = [n for n in HEADLINE if n in REGISTRY]
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Mirror of the driver's correctness gate: run every registered query
+on Spark and its DuckDB oracle on the same parquet, compare row counts,
+column names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+from ai_coach_data_source_orchestrator_spark.sources.tables import TABLES
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(rows, cols):
+    """Order-insensitive canonical form: sort columns by name, stringify
+    values (floats rounded to 9 sig decimals), sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.9g}"
+        if isinstance(v, bool):
+            return str(bool(v)).lower()
+        return str(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+ORACLE_SPECS = [s for s in REGISTRY.values() if s.oracle is not None]
+ROWS_ONLY_SPECS = [s for s in REGISTRY.values() if s.oracle is None]
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_parity(spark, sf_dir, spec):
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    con = _duck(sf_dir)
+    cur = con.execute(spec.oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{spec.name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{spec.name}: row count {len(srows)} vs {len(orows)}"
+    sc, oc = _canon(srows, scols), _canon(orows, ocols)
+    mism = [i for i, (a, b) in enumerate(zip(sc, oc)) if a != b][:5]
+    assert sc == oc, f"{spec.name}: first value mismatches at {[(i, sc[i], oc[i]) for i in mism]}"
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
+def test_rows_only_runs(spark, sf_dir, spec):
+    sdf = spec.fn(spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    # queries/oracle_sql contract: every oracle key is a query key
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 20
