@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles, tokens
+from ..functions.text import fingerprint, shingles
+from ..sources.tables import ensure_parallelism
 
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 32  # rows-per-band = NUM_PERM / BANDS = 2
@@ -57,7 +58,11 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh"))
+    # Shingling is the CPU-heavy per-row step — make sure it isn't
+    # serialized on a single input split.
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    )
 
 
 def _jaccard(sa: Column, sb: Column) -> Column:
@@ -124,11 +129,19 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     s = _shingle_sets(df, text_col, id_col, k).where(F.size("sh") > 0)
-    sig = s.select("doc_id", "sh", minhash_signature(F.col("sh"), num_perm).alias("mh"))
+
+    # Signature via explode + 64 min-aggregates: hashing runs once per
+    # (doc, shingle) row in a single codegen stage with map-side partial
+    # mins — much cheaper than 64 per-row array transforms (which also
+    # bloat the expression tree and Catalyst analysis time).
+    exploded = s.select("doc_id", F.explode("sh").alias("g"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("g"), F.lit(p))).alias(f"m{p}") for p in range(num_perm)]
+    )
 
     band_hashes = F.array(
         *[
-            F.xxhash64(*[F.element_at("mh", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+            F.xxhash64(*[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)])
             for b in range(bands)
         ]
     )
@@ -155,16 +168,23 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side.
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document over k-token shingles, fully JVM-side.
 
-    Explode distinct tokens → per-bit ±1 contributions weighted by token
-    presence → sign per bit → reassembled bigint. One shuffle (groupBy
-    doc). 64 conditional-sum aggregates sounds wide but stays a single
-    partial-aggregation pass.
+    Explode distinct shingles → per-bit ±1 contributions → sign per bit
+    → reassembled bigint. One shuffle (groupBy doc); 64 conditional-sum
+    aggregates stay a single partial-aggregation pass.
+
+    Shingles, not unigrams: on a small shared vocabulary every document
+    has nearly the same token SET, which collapses token-level SimHash
+    (every pair lands within a few hamming bits). k-gram features keep
+    the discriminative power of word order.
     """
     toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("tok"))
         .select("doc_id", F.xxhash64("tok").alias("h"))
     )
     bit_sums = [

@@ -57,9 +57,11 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     metadata — the multimodal storage model: binary column + mime +
     size + checksum, all computed JVM-side.
     """
+    from ..sources.tables import ensure_parallelism
+
     payload = F.encode("text", "UTF-8")
     mime = F.element_at(F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int"))
-    return docs.select(
+    return ensure_parallelism(docs).select(
         "doc_id",
         mime.alias("mime"),
         payload.alias("payload"),

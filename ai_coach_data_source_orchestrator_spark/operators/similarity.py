@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.tables import ensure_parallelism
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -52,7 +54,9 @@ def brute_force_topk(
     |queries|·|corpus| scored rows. For large query sets prefer
     repartitioning queries and chunked corpus joins.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     sim = cosine(F.col("qv"), F.col("nv"))
     scored = (
@@ -67,22 +71,32 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, bits: int = 12) -> Column:
-    """Deterministic sign-LSH bucket id.
+def _hyperplane(j: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane j — sha256-derived, no RNG state, so
+    every executor (and every rerun) regenerates identical planes."""
+    import hashlib
 
-    Hyperplane j has component d = +1 if xxhash64(j, d) is even else -1;
-    bit j of the signature = [dot(vec, h_j) > 0]. Pure expressions, no
-    stored model — any executor recomputes the same planes.
+    out = []
+    for d in range(dim):
+        h = hashlib.sha256(f"hyperplane:{j}:{d}".encode()).digest()
+        out.append(1.0 if h[0] % 2 == 0 else -1.0)
+    return out
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 12) -> Column:
+    """Deterministic sign-LSH bucket id: bit j = [dot(vec, h_j) > 0].
+
+    Hyperplanes are embedded as literal arrays and each projection is a
+    single zip_with+aggregate fold — a compact expression tree (the
+    previous per-component when-chain form cost ~15 s of pure Catalyst
+    analysis/codegen at ANY data size).
     """
     bucket = F.lit(0).cast("bigint")
     for j in range(bits):
-        coef = lambda d, j=j: F.when(  # noqa: E731
-            F.pmod(F.xxhash64(F.lit(j), F.lit(d)), F.lit(2)) == 0, F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
-        proj = None
-        for d in range(dim):
-            term = F.element_at(vec, d + 1) * coef(d)
-            proj = term if proj is None else proj + term
+        plane = F.array(*[F.lit(c) for c in _hyperplane(j, dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, h: x * h), F.lit(0.0), lambda acc, x: acc + x
+        )
         bucket = bucket.bitwiseOR(
             F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint"))
         )
@@ -103,7 +117,9 @@ def lsh_topk(
     tests against ``brute_force_topk``); raise recall with fewer bits or
     multi-probe (not needed for the driver corpus).
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
     c = c.withColumn("bucket", hyperplane_signature(F.col("nv"), dim, bits))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("bucket", hyperplane_signature(F.col("qv"), dim, bits))

@@ -53,3 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only when the input is underpartitioned.
+
+    Single-file local tables arrive as one partition, which serializes
+    every downstream CPU-heavy operator (shingling, hashing, scoring).
+    At real scale inputs come pre-split (many parquet files), so this is
+    a no-op there — the check is on actual partition count, not size.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
