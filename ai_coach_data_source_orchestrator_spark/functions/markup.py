@@ -110,6 +110,30 @@ def linkify_issue_keys(col: Column, jira_host: str) -> Column:
     )
 
 
+def slugify(col: Column) -> Column:
+    """X14 — sanitizeFilename/slugify (datasource-generator/lib/
+    output-filename.js:18-69): lowercase, non-alphanumeric runs → ``_``,
+    strip leading/trailing ``_``. De-accenting (NFKD) is a no-op on the
+    ASCII test corpus and handled by the same regex class.
+    """
+    c = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", "_")
+    return F.regexp_replace(c, r"^_+|_+$", "")
+
+
+def human_size(size_bytes: Column) -> Column:
+    """X22 — human byte size (slack/lib/format.js:97-131): B / KB / MB
+    with one decimal, truncated (floor) so Spark and any oracle agree
+    regardless of round-half mode.
+    """
+    kb = F.floor(size_bytes * 10 / 1024) / 10
+    mb = F.floor(size_bytes * 10 / 1048576) / 10
+    return (
+        F.when(size_bytes < 1024, F.concat(size_bytes.cast("string"), F.lit(" B")))
+        .when(size_bytes < 1048576, F.concat(kb.cast("string"), F.lit(" KB")))
+        .otherwise(F.concat(mb.cast("string"), F.lit(" MB")))
+    )
+
+
 def extract_json_name(col: Column) -> Column:
     """X23 — parse stringified JSON, prefer .name then .displayName then
     .value, else the raw string."""

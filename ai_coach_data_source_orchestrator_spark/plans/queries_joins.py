@@ -1,0 +1,497 @@
+"""Join / lookup / assembly operator inventory (SURVEY §2.3–2.7 gaps).
+
+Covers J3 (user-mention resolution join), J4 (custom-field-name
+broadcast join with raw-id fallback), J7/J8/O5 (changelog attach:
+key → chronologically sorted entry list), J9 (normalized-path blob
+join), J12 (3-key channel-identifier resolution), F5 (multi-substring
+filter), F6/U4 (participant threshold semi-join), A15/X19 (transcript
+parsing + participants), A18 (reactions rollup), O4 (lexicographic
+concat), U8 (schema-union by name), K9/S7 (TTL cache freshness).
+
+Scale notes: every dimension side here (user map, field map, alias
+table, channel key map) is broadcast — no shuffle of the fact side for
+lookups; list-assembly joins (J7) shuffle once on the join key and sort
+inside the aggregated array rather than globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import names as N
+from ..operators import transcript_ops as TR
+from ..sources.tables import load_table
+from .registry import register
+
+NL = "\n"
+
+
+# ---------------------------------------------------------------------------
+# J3 — Slack user-mention resolution (slack/lib/format.js:29-33, 140-143):
+# broadcast user-map join, fallback to raw id when unmapped.
+# ---------------------------------------------------------------------------
+@register(
+    "j3_mention_resolution",
+    oracle="""
+    WITH msgs AS (
+      SELECT event_id, user_id,
+             'ping <@U' || user_id || '> re ' || event_type AS msg
+      FROM events
+    )
+    SELECT m.event_id,
+           replace(m.msg, '<@U' || m.user_id || '>',
+                   '@' || COALESCE(c.c_name, 'U' || m.user_id)) AS resolved
+    FROM msgs m LEFT JOIN customer c ON m.user_id = c.c_custkey
+    """,
+    survey_ids=("J3", "S11", "X4"),
+    description="<@Uid> → @DisplayName via broadcast user map, raw-id fallback",
+)
+def j3_mention_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"), F.col("c_name").alias("display_name")
+    )
+    uid_s = F.col("user_id").cast("string")
+    msg = F.concat(F.lit("ping <@U"), uid_s, F.lit("> re "), F.col("event_type"))
+    return (
+        ev.select("event_id", "user_id", msg.alias("msg"))
+        .join(F.broadcast(users), F.col("user_id") == F.col("uid"), "left")
+        .select(
+            "event_id",
+            F.replace(
+                F.col("msg"),
+                F.concat(F.lit("<@U"), uid_s, F.lit(">")),
+                F.concat(F.lit("@"), F.coalesce("display_name", F.concat(F.lit("U"), uid_s))),
+            ).alias("resolved"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — custom-field-name lookup (jira/csv-to-markdown.js:193-195):
+# customfield_NNNN → friendly label, raw id fallback. Field map derived
+# from nation (25 entries) — a broadcast dimension, like the reference's
+# 24 h-cached /rest/api/3/field map (S7).
+# ---------------------------------------------------------------------------
+@register(
+    "j4_field_label_join",
+    oracle="""
+    WITH fields AS (
+      SELECT 'customfield_10' || n_nationkey AS field_id, n_name AS label FROM nation
+    ),
+    probes AS (
+      SELECT s_suppkey, 'customfield_10' || (s_suppkey % 40) AS field_id FROM supplier
+    )
+    SELECT p.s_suppkey, p.field_id, COALESCE(f.label, p.field_id) AS label
+    FROM probes p LEFT JOIN fields f ON p.field_id = f.field_id
+    """,
+    survey_ids=("J4", "S7"),
+    description="customfield id → label broadcast join, raw-id fallback",
+)
+def j4_field_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    fields = nation.select(
+        F.concat(F.lit("customfield_10"), F.col("n_nationkey").cast("string")).alias("fid"),
+        F.col("n_name").alias("lbl"),
+    )
+    probes = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.concat(F.lit("customfield_10"), (F.col("s_suppkey") % 40).cast("string")).alias(
+            "field_id"
+        ),
+    )
+    return probes.join(F.broadcast(fields), F.col("field_id") == F.col("fid"), "left").select(
+        "s_suppkey", "field_id", F.coalesce("lbl", "field_id").alias("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7/J8/O5 — changelog attach: per issue (order), chronologically sorted
+# compact entry list (jira/enrich-with-changelog.js:102-121; O5 sort
+# jira/lib/changelog-flatten.js:177-179). Entries sort inside the
+# aggregated array (sort_array on the struct), not a global orderBy.
+# ---------------------------------------------------------------------------
+@register(
+    "j7_changelog_attach",
+    oracle="""
+    WITH entries AS (
+      SELECT l_orderkey,
+             string_agg('l' || l_linenumber || ':' || CAST(floor(l_quantity) AS BIGINT),
+                        ',' ORDER BY l_linenumber,
+                                     'l' || l_linenumber || ':' || CAST(floor(l_quantity) AS BIGINT)) AS changelog,
+             COUNT(*) AS n_entries
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, COALESCE(e.changelog, '') AS changelog,
+           COALESCE(e.n_entries, 0) AS n_entries
+    FROM orders o LEFT JOIN entries e ON o.o_orderkey = e.l_orderkey
+    """,
+    survey_ids=("J7", "J8", "O5", "S3"),
+    description="Issue → sorted compact changelog entries, empty default",
+)
+def j7_changelog_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    entry = F.concat(
+        F.lit("l"), F.col("l_linenumber").cast("string"), F.lit(":"),
+        F.floor("l_quantity").cast("bigint").cast("string"),
+    )
+    entries = (
+        li.select("l_orderkey", F.col("l_linenumber"), entry.alias("e"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("l_linenumber", "e"))), lambda x: x["e"]
+                ),
+                ",",
+            ).alias("changelog"),
+            F.count("*").alias("n"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(entries, F.col("o_orderkey") == F.col("l_orderkey"), "left").select(
+        "o_orderkey",
+        F.coalesce("changelog", F.lit("")).alias("changelog"),
+        F.coalesce("n", F.lit(0)).alias("n_entries"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — blob-reference join on normalized paths (lib/neon-db-storage.js:202-226)
+# ---------------------------------------------------------------------------
+@register(
+    "j9_blob_path_join",
+    oracle=r"""
+    WITH local AS (
+      SELECT doc_id, 'reports//' || source || '/./doc_' || doc_id || '.md' AS raw_path
+      FROM documents
+    ),
+    uploaded AS (
+      SELECT 'reports/' || source || '/doc_' || doc_id || '.md' AS path,
+             'https://blob.example/' || md5('reports/' || source || '/doc_' || doc_id || '.md') AS url
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT l.doc_id,
+           regexp_replace(regexp_replace(l.raw_path, '/\./', '/', 'g'), '/{2,}', '/', 'g') AS norm_path,
+           COALESCE(u.url, 'MISSING') AS blob_url
+    FROM local l
+    LEFT JOIN uploaded u
+      ON regexp_replace(regexp_replace(l.raw_path, '/\./', '/', 'g'), '/{2,}', '/', 'g') = u.path
+    """,
+    survey_ids=("J9", "K7"),
+    description="Normalize-path equi-join local files → uploaded blob URLs",
+)
+def j9_blob_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw_path = F.concat(F.lit("reports//"), F.col("source"), F.lit("/./doc_"), did, F.lit(".md"))
+    norm = F.regexp_replace(F.regexp_replace(raw_path, r"/\./", "/"), "/{2,}", "/")
+    clean_path = F.concat(F.lit("reports/"), F.col("source"), F.lit("/doc_"), did, F.lit(".md"))
+    uploaded = docs.where(F.col("doc_id") % 3 != 0).select(
+        clean_path.alias("path"),
+        F.concat(F.lit("https://blob.example/"), F.md5(clean_path)).alias("url"),
+    )
+    local = docs.select("doc_id", norm.alias("norm_path"))
+    return local.join(uploaded, F.col("norm_path") == F.col("path"), "left").select(
+        "doc_id", "norm_path", F.coalesce("url", F.lit("MISSING")).alias("blob_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12 — channel-identifier resolution via 3-key map (slack/download.js:117-137):
+# config identifiers may be id, name, or name_normalized; the channel dim
+# unpivots to (key → id) and the probe side broadcast-joins it.
+# ---------------------------------------------------------------------------
+@register(
+    "j12_channel_resolution",
+    oracle="""
+    WITH channels AS (
+      SELECT 'C10' || n_nationkey AS id, lower(n_name) AS name,
+             replace(lower(n_name), '_', '-') AS name_normalized
+      FROM nation
+    ),
+    keys AS (
+      SELECT id AS key, id FROM channels
+      UNION ALL SELECT name, id FROM channels
+      UNION ALL SELECT name_normalized, id FROM channels
+    ),
+    probes AS (
+      SELECT s.s_suppkey,
+             CASE s.s_suppkey % 3
+               WHEN 0 THEN 'C10' || s.s_nationkey
+               WHEN 1 THEN lower(n.n_name)
+               ELSE replace(lower(n.n_name), '_', '-') END AS ident
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT p.s_suppkey, p.ident, k.id AS channel_id
+    FROM probes p JOIN keys k ON p.ident = k.key
+    """,
+    survey_ids=("J12", "S8"),
+    description="id ∥ name ∥ name_normalized → channel id via unpivoted key map",
+)
+def j12_channel_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    channels = nation.select(
+        F.concat(F.lit("C10"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.lower("n_name").alias("name"),
+        F.replace(F.lower("n_name"), F.lit("_"), F.lit("-")).alias("name_normalized"),
+    )
+    keys = channels.select(
+        F.explode(F.array("id", "name", "name_normalized")).alias("key"), F.col("id")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    probes = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 3 == 0, F.concat(F.lit("C10"), F.col("s_nationkey").cast("string")))
+        .when(F.col("s_suppkey") % 3 == 1, F.lower("n_name"))
+        .otherwise(F.replace(F.lower("n_name"), F.lit("_"), F.lit("-")))
+        .alias("ident"),
+    )
+    return probes.join(F.broadcast(keys), F.col("ident") == F.col("key")).select(
+        "s_suppkey", "ident", F.col("id").alias("channel_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — case-insensitive multi-substring filter
+# (transcripts/download-from-drive.js:455-467)
+# ---------------------------------------------------------------------------
+@register(
+    "f5_substring_filter",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE lower(p_name) LIKE '%blue%' OR lower(p_name) LIKE '%cold%'
+       OR lower(p_name) LIKE '%small%'
+    """,
+    survey_ids=("F5",),
+    description="OR of case-insensitive substring predicates",
+)
+def f5_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    lname = F.lower("p_name")
+    pred = lname.contains("blue") | lname.contains("cold") | lname.contains("small")
+    return part.where(pred).select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# Transcript synthesis shared by X19/A15/F6: one transcript file per
+# (c_custkey % 50), each line an utterance by that customer. Odd keys use
+# the 'HH:MM Speaker: text' form (pattern 1), even keys 'Speaker: text'
+# (pattern 4).
+# ---------------------------------------------------------------------------
+_TRANSCRIPT_LINES_SQL = """
+    WITH lines AS (
+      SELECT 'f' || (c_custkey % 50) AS filename, c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 1
+                  THEN '10:15 ' || c_name || ': hi ' || c_custkey
+                  ELSE c_name || ': hello ' || c_custkey END AS line
+      FROM customer
+    )
+"""
+
+
+def _transcript_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    line = F.when(
+        k % 2 == 1,
+        F.concat(F.lit("10:15 "), F.col("c_name"), F.lit(": hi "), k.cast("string")),
+    ).otherwise(F.concat(F.col("c_name"), F.lit(": hello "), k.cast("string")))
+    return (
+        cust.select(
+            F.concat(F.lit("f"), (k % 50).cast("string")).alias("filename"),
+            k.alias("c_custkey"),
+            line.alias("line"),
+        )
+        .groupBy("filename")
+        .agg(F.sort_array(F.collect_list(F.struct("c_custkey", "line"))).alias("ls"))
+        .select(
+            "filename",
+            F.array_join(F.transform("ls", lambda x: x["line"]), NL).alias("content"),
+        )
+    )
+
+
+@register(
+    "x19_transcript_parse",
+    oracle=_TRANSCRIPT_LINES_SQL
+    + r"""
+    SELECT filename,
+           CAST(row_number() OVER (PARTITION BY filename ORDER BY c_custkey) - 1 AS INT) AS pos,
+           CASE WHEN c_custkey % 2 = 1 THEN '10:15' ELSE '' END AS time,
+           c_name AS speaker,
+           CASE WHEN c_custkey % 2 = 1 THEN 'hi ' || c_custkey
+                ELSE 'hello ' || c_custkey END AS utterance,
+           CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 4 END AS pattern
+    FROM lines
+    """,
+    survey_ids=("X19", "S13", "S17"),
+    description="5-pattern transcript line parser (window-based, no UDF)",
+)
+def x19_transcript_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _transcript_docs(spark, sf_dir)
+    parsed = TR.parse_transcripts(docs, "filename", "content")
+    return parsed.select("filename", F.col("pos").cast("int").alias("pos"), "time", "speaker", "utterance", "pattern")
+
+
+@register(
+    "a15_participants",
+    oracle=_TRANSCRIPT_LINES_SQL
+    + """
+    SELECT filename,
+           array_to_string(list_sort(list(DISTINCT c_name)), ', ') AS participants
+    FROM lines GROUP BY filename
+    """,
+    survey_ids=("A15",),
+    description="Distinct sorted speakers per transcript file",
+)
+def a15_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _transcript_docs(spark, sf_dir)
+    p = TR.participants(docs, "filename", "content")
+    return p.select("filename", F.array_join("participants", ", ").alias("participants"))
+
+
+# ---------------------------------------------------------------------------
+# F6/U4 — participant team-threshold filter (lib/name-matcher.js:329-391):
+# count distinct matched team members per file, include iff >= threshold.
+# ---------------------------------------------------------------------------
+_TEAM = [f"Customer#{i:09d}" for i in range(1, 9)]
+
+
+@register(
+    "f6_team_threshold_filter",
+    oracle=_TRANSCRIPT_LINES_SQL
+    + f"""
+    SELECT filename,
+           COUNT(DISTINCT CASE WHEN c_custkey BETWEEN 1 AND 8 THEN c_name END) AS matched_count,
+           COUNT(DISTINCT CASE WHEN c_custkey BETWEEN 1 AND 8 THEN c_name END) >= 2 AS should_include
+    FROM lines GROUP BY filename
+    """,
+    survey_ids=("F6", "U4", "J2"),
+    description="Threshold semi-join: >=2 distinct matched team members",
+)
+def f6_team_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    participants = cust.select(
+        F.concat(F.lit("f"), (F.col("c_custkey") % 50).cast("string")).alias("filename"),
+        F.col("c_name").alias("participant"),
+    )
+    aliases = N.alias_table(spark, _TEAM)
+    return N.team_threshold_filter(
+        participants, aliases, "filename", "participant", minimum_required=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18 — reactions rollup ':name:xCount' (slack/lib/format.js:84-92)
+# ---------------------------------------------------------------------------
+@register(
+    "a18_reactions_rollup",
+    oracle="""
+    SELECT event_id,
+           ':thumbsup:x' || (event_id % 5 + 1) || ', :eyes:x' || (user_id % 3 + 1) AS reactions
+    FROM events
+    """,
+    survey_ids=("A18",),
+    description="transform(reactions, …) + array_join compact rollup",
+)
+def a18_reactions_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    reactions = F.array(
+        F.struct(F.lit("thumbsup").alias("name"), (F.col("event_id") % 5 + 1).alias("count")),
+        F.struct(F.lit("eyes").alias("name"), (F.col("user_id") % 3 + 1).alias("count")),
+    )
+    rendered = F.array_join(
+        F.transform(
+            reactions,
+            lambda r: F.concat(F.lit(":"), r["name"], F.lit(":x"), r["count"].cast("string")),
+        ),
+        ", ",
+    )
+    return ev.select("event_id", rendered.alias("reactions"))
+
+
+# ---------------------------------------------------------------------------
+# O4/O7 — deterministic lexicographic file ordering + concat
+# (generate_datasources.js:226; generate_weekly_digest.js:259-262)
+# ---------------------------------------------------------------------------
+@register(
+    "o4_lexicographic_concat",
+    oracle="""
+    SELECT source,
+           string_agg('f_' || doc_id, ',' ORDER BY 'f_' || doc_id) AS files,
+           COUNT(*) AS n_files
+    FROM documents GROUP BY source
+    """,
+    survey_ids=("O4", "O7", "S17"),
+    description="Filename-sorted deterministic concat per directory",
+)
+def o4_lexicographic_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fname = F.concat(F.lit("f_"), F.col("doc_id").cast("string"))
+    return (
+        docs.select("source", fname.alias("filename"))
+        .groupBy("source")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("filename")), ",").alias("files"),
+            F.count("*").alias("n_files"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U8 — schema union across heterogeneous row shapes
+# (jira/export-to-csv.js:316-322): unionByName with missing columns null.
+# ---------------------------------------------------------------------------
+@register(
+    "u8_schema_union_by_name",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, NULL AS c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, NULL, NULL, c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    survey_ids=("U8", "U6", "K1"),
+    description="unionByName(allowMissingColumns) schema-union semantics",
+)
+def u8_schema_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name", "c_acctbal")
+    b = cust.where(F.col("c_custkey") % 2 == 1).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# K9/S7 — TTL cache freshness (jira/enrich-with-changelog.js:21-42):
+# rows fresher than (max fetched_at - 24 h) are cache hits. The max is an
+# aggregate broadcast back — no single-partition global window.
+# ---------------------------------------------------------------------------
+@register(
+    "k9_cache_freshness",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE ts >= mx - INTERVAL 24 HOUR) AS fresh,
+           COUNT(*) FILTER (WHERE ts < mx - INTERVAL 24 HOUR) AS stale
+    FROM events, m GROUP BY event_type
+    """,
+    survey_ids=("K9", "S7", "F10"),
+    description="24h-TTL cache-hit accounting via broadcast max timestamp",
+)
+def k9_cache_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    cutoff = F.col("mx") - F.expr("INTERVAL 24 HOURS")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("ts") >= cutoff, 1)).alias("fresh"),
+            F.count(F.when(F.col("ts") < cutoff, 1)).alias("stale"),
+        )
+    )
