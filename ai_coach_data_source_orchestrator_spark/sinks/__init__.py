@@ -1,0 +1,21 @@
+from .writers import (
+    csv_write_union_header,
+    json_snapshot_write,
+    partitioned_csv_write,
+    blob_path,
+    with_checksum,
+)
+from .merge import upsert_parquet, UPSERT_KEYS
+from .render import render_markdown_report, render_python_datasource
+
+__all__ = [
+    "csv_write_union_header",
+    "json_snapshot_write",
+    "partitioned_csv_write",
+    "blob_path",
+    "with_checksum",
+    "upsert_parquet",
+    "UPSERT_KEYS",
+    "render_markdown_report",
+    "render_python_datasource",
+]

@@ -1,0 +1,92 @@
+"""Warehouse upsert sink (SURVEY §2.2 K8, §1.3 unique-key groups).
+
+The reference upserts into Postgres with ``ON CONFLICT ... DO UPDATE``
+on three key groups (lib/neon-db-storage.js:325-344, 385-406;
+db/schema.js:45, 65, 130):
+
+- daily_reports:        (team_id, author_name, report_date)
+- meeting_transcripts:  (team_id, filename, transcript_date)
+- generated_reports:    (team_id, report_type_id, content_hash)
+
+Spark restatement: MERGE INTO on Delta when available; this container
+has no Delta, so ``upsert_parquet`` implements the same semantics on
+plain parquet — read current, anti-join+union new, latest-wins by a
+monotonic version column, rewrite. The rewrite is atomic-by-rename at
+the directory level; at real scale use Delta/Iceberg MERGE with the
+same key columns (the keys, not the mechanism, are the contract) and
+partition the table so a merge rewrites only touched partitions.
+
+Idempotency: re-running the same batch yields an identical table
+(content-hash keys make duplicate inserts no-ops) — mirrored in
+tests/test_sinks.py the way db/schema.js's unique constraints
+guarantee it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+UPSERT_KEYS: dict[str, tuple[str, ...]] = {
+    "daily_reports": ("team_id", "author_name", "report_date"),
+    "meeting_transcripts": ("team_id", "filename", "transcript_date"),
+    "generated_reports": ("team_id", "report_type_id", "content_hash"),
+}
+
+
+def latest_wins(df: DataFrame, keys: tuple[str, ...], version_col: str) -> DataFrame:
+    """One row per key, highest version wins (ON CONFLICT DO UPDATE)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: tuple[str, ...],
+    version_col: str,
+) -> DataFrame:
+    """MERGE-emulation on parquet: existing ∪ updates → latest-wins on
+    ``keys``. Returns the merged table (also rewritten at table_path).
+    """
+    spark.catalog.refreshByPath(table_path)  # drop stale file-listing cache
+    try:
+        current = spark.read.parquet(table_path)
+        staged = current.unionByName(updates, allowMissingColumns=True)
+    except Exception:  # first write — table does not exist yet
+        staged = updates
+    merged = latest_wins(staged, keys, version_col)
+    # Materialize before overwrite: the plan reads the same path it
+    # rewrites, so collect to driver only if tiny — otherwise stage via
+    # a temp dir. Warehouse tables here are small-by-construction
+    # (report-level rows); at scale this is exactly what Delta MERGE
+    # replaces.
+    merged.cache()
+    merged.count()
+    merged.write.mode("overwrite").parquet(table_path)
+    spark.catalog.refreshByPath(table_path)
+    out = spark.read.parquet(table_path)
+    merged.unpersist()
+    return out
+
+
+def lineage_links(report_rows: DataFrame, source_cols: tuple[str, ...]) -> DataFrame:
+    """report_data_links (db/schema.js:134-157): exactly-one-of source
+    FKs. The CHECK constraint becomes a validation filter + explode to
+    (report_id, source_type, source_id) edges."""
+    nonnull = sum(F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in source_cols)
+    valid = report_rows.where(nonnull == 1)
+    edges = F.array(
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(F.lit(c).alias("source_type"), F.col(c).cast("string").alias("source_id")),
+            )
+            for c in source_cols
+        ]
+    )
+    return valid.select(
+        "report_id", F.explode(F.filter(edges, lambda x: x.isNotNull())).alias("edge")
+    ).select("report_id", F.col("edge.source_type"), F.col("edge.source_id"))

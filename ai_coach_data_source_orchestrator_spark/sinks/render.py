@@ -1,0 +1,62 @@
+"""Report render sinks (SURVEY §2.2 K4, K6).
+
+The reference renders markdown reports and packages them into Python
+"datasource" files with triple-quoted data sections
+(generate_weekly_digest.js:529-549, 740-746). Rendering is inherently
+row-wise string building; the distributed part — grouping, ordering,
+summary aggregation — happens in DataFrames, and only the final small
+section strings are collected for templating (reports are per-team
+documents, KBs not TBs; SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def render_markdown_report(
+    sections: DataFrame,
+    title: str,
+    section_col: str = "content",
+    order_col: str = "section_order",
+) -> str:
+    """K4 — concatenate ordered section strings under a title header.
+    ``sections`` must already be small (per-team report rows)."""
+    rows = sections.orderBy(order_col).select(section_col).collect()
+    body = "\n\n".join(r[0] for r in rows if r[0])
+    return f"# {title}\n\n{body}\n"
+
+
+def _escape_triple_quotes(text: str) -> str:
+    return text.replace('"""', '\\"\\"\\"')
+
+
+def render_python_datasource(
+    data_sections: dict[str, str],
+    generated_at: str,
+    include_helpers: bool = False,
+) -> str:
+    """K6 — emit a Python datasource module: one triple-quoted constant
+    per section (JIRA_DATA / DAILY_REPORTS_DATA / TRANSCRIPT_DATA ...),
+    '\"\"\"' escaped (generate_weekly_digest.js:529-549). ``generated_at``
+    is injectable so goldens hash-match (SURVEY §7.4 risk 6 — the
+    reference embeds wall-clock). Helper functions are stripped in the
+    shipped file (:740-746), so ``include_helpers`` defaults False.
+    """
+    parts = [f'"""Generated datasource. generated_at={generated_at}"""\n']
+    for name, content in data_sections.items():
+        parts.append(f'{name} = """\n{_escape_triple_quotes(content)}\n"""\n')
+    if include_helpers:
+        parts.append(
+            "def get_sections():\n"
+            "    return {k: v for k, v in globals().items() if k.endswith('_DATA')}\n"
+        )
+    return "\n".join(parts)
+
+
+def token_estimates(sections: DataFrame, content_col: str = "content") -> DataFrame:
+    """A17 — ceil(chars/4) per section (generate_weekly_digest.js:758-769)."""
+    return sections.withColumn(
+        "token_estimate", F.ceil(F.length(F.col(content_col)) / 4).cast("bigint")
+    )

@@ -1,0 +1,58 @@
+"""File/object-store sinks (SURVEY §2.2 K1–K3, K5, K7).
+
+Spark-first restatements of the reference's writers:
+
+- K1 dynamic-header CSV (jira/export-to-csv.js:313-369): header = the
+  union of all row shapes → ``unionByName(allowMissingColumns=True)``
+  before a single ``write.csv``; the schema union is U8 at the sink.
+- K2/K3 per-group files (jira/split-by-assignee.js:114-147,
+  daily-reports/db-query.js:367-394): ``partitionBy`` — one directory
+  per key, written in parallel, no driver-side grouping.
+- K5 JSON snapshot (slack/download.js:205-226).
+- K7 blob upload (lib/vercel-blob-uploader.js:65-108): deterministic
+  path template + sha256 checksum column; the store write itself is a
+  plain parquet/text write to an object-store URI at scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def csv_write_union_header(dfs: list[DataFrame], path: str, mode: str = "overwrite") -> DataFrame:
+    """K1 — union heterogeneous row shapes by name (missing columns
+    null), sorted column order like the reference's sorted header union
+    (export-to-csv.js:316-322), then one distributed CSV write."""
+    unioned = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+    ordered = unioned.select(*sorted(unioned.columns))
+    ordered.write.mode(mode).option("header", True).csv(path)
+    return ordered
+
+
+def partitioned_csv_write(df: DataFrame, path: str, partition_col: str, mode: str = "overwrite") -> None:
+    """K2/K3 — one output directory per key (assignee / employee)."""
+    df.write.mode(mode).partitionBy(partition_col).option("header", True).csv(path)
+
+
+def json_snapshot_write(df: DataFrame, path: str, partition_col: str | None = None, mode: str = "overwrite") -> None:
+    """K5 — JSON snapshot; per-channel envelopes become a partition
+    column instead of one file per channel."""
+    writer = df.write.mode(mode)
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.json(path)
+
+
+def blob_path(project: str, module: str, name: str, start_date: str, end_date: str) -> str:
+    """K7 — deterministic blob pathname
+    ``{project}/{module}/{name}_{start}_to_{end}.md``
+    (vercel-blob-uploader.js:65-108)."""
+    return f"{project}/{module}/{name}_{start_date}_to_{end_date}.md"
+
+
+def with_checksum(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """K7 — sha256 content checksum column (vercel-blob-uploader.js:22)."""
+    return df.withColumn("checksum", F.sha2(F.col(content_col), 256))

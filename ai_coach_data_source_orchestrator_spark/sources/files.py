@@ -1,0 +1,72 @@
+"""File-based scans (SURVEY §2.1 S15–S18) and their schema conventions.
+
+- S15 CSV: ``spark.read.csv`` with header + BOM tolerance (the
+  reference's csv-parser normalizes headers/BOM —
+  daily-reports/csv-to-markdown.js:24-50).
+- S16 JSON: ``spark.read.json`` over Slack snapshot envelopes
+  (slack/convert-to-markdown.js:105-113).
+- S17 markdown-directory: wholetext + ``input_file_name()`` with
+  lexicographic ordering (generate_weekly_digest.js:179-263).
+- S18 Python-literal extraction: regex pull of ``X_DATA = \"\"\"...\"\"\"``
+  sections out of generated datasource files
+  (lib/jira-data-extractor.js:18-44).
+
+These run on executor-side distributed reads (no driver collect);
+S17's wholetext=one-row-per-file is the right unit because reports are
+small; a multi-GB file would need ``spark.read.text`` line mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """S15 — header CSV scan. Explicit schema in production paths
+    (SURVEY §1.2: no inference), inference allowed for exploration."""
+    reader = spark.read.option("header", True).option("encoding", "UTF-8")
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(path)
+    # BOM tolerance: strip a leading BOM that survived into the first
+    # header name (csv-to-markdown.js:25-27).
+    renames = {c: c.lstrip("﻿") for c in df.columns if c.startswith("﻿")}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """S16 — JSON scan (one object per line or multiline envelopes)."""
+    reader = spark.read.option("multiLine", True)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_markdown_dir(spark: SparkSession, path: str) -> DataFrame:
+    """S17 — all .md files in a directory → (filename, content), sorted
+    filename order re-established downstream via orderBy (O4) since
+    distributed reads have no iteration order."""
+    return (
+        spark.read.text(f"{path}/*.md", wholetext=True)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("filename"),
+            F.col("value").alias("content"),
+        )
+    )
+
+
+PY_LITERAL_PATTERN = '(?s){name}\\s*=\\s*"""(.*?)"""'
+
+
+def extract_python_literal(df: DataFrame, var_name: str, content_col: str = "content") -> DataFrame:
+    """S18 — pull a triple-quoted module-level literal out of generated
+    .py text (jira-data-extractor.js:18-44): ``VAR = \"\"\"...\"\"\"`` →
+    ``literal_text`` column ('' when absent, reference returns null —
+    callers filter on length)."""
+    pat = PY_LITERAL_PATTERN.format(name=var_name)
+    return df.withColumn("literal_text", F.regexp_extract(F.col(content_col), pat, 1))

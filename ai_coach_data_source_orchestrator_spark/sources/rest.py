@@ -1,0 +1,550 @@
+"""REST connector framework (SURVEY §2.1 S1–S13).
+
+The reference ingests Jira / Slack / Google Drive through paginated
+HTTPS loops with retry/backoff and bounded concurrency. Catalyst cannot
+see through HTTP, so pushdown is explicit: every reader takes its
+predicate parameters (date ranges, projects, folders) and encodes them
+into request params — the REST analogue of partition pruning
+(SURVEY §4 "Predicate pushdown into sources").
+
+Architecture (100 TB framing): listing/dimension scans (channels,
+users, field map, file catalog) are driver-side serial loops producing
+small DataFrames that downstream joins broadcast. Fan-out scans
+(per-issue comments/changelogs, per-channel history, per-file
+downloads) distribute over a key DataFrame via ``mapInPandas`` with a
+BOUNDED partition count — the reference's concurrency pool of 5
+(jira/lib/changelog-client.js:159-202) maps to ``concurrency``
+partitions, not one-task-per-key, so a 200-task fleet never
+429-storms the API.
+
+All readers take an injectable ``transport`` callable
+``(method, url, params) -> (status, headers, body_dict)`` — the
+reference tests inject ``httpRequestImpl`` the same way
+(jira/lib/changelog-client.js:43-54). No network access happens in
+this repo's tests.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+Transport = Callable[[str, str, dict], tuple[int, dict, Any]]
+
+# Reference backoff: 1 s, 2 s, 4 s (jira/export-to-csv.js:21;
+# jira/lib/changelog-client.js:53). Slack honors Retry-After with a
+# 60 s default (slack/lib/api.js:63-66).
+DEFAULT_BACKOFF = (1.0, 2.0, 4.0)
+NON_FATAL_STATUSES = (401, 403, 404)  # → empty result (changelog-client.js:87-90)
+
+
+def request_with_retry(
+    transport: Transport,
+    method: str,
+    url: str,
+    params: dict,
+    backoff: tuple[float, ...] = DEFAULT_BACKOFF,
+    default_retry_after: float = 60.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Any | None:
+    """One logical request: 429 → honor Retry-After else exponential
+    backoff; 401/403/404 → None (non-fatal empty, reference semantics);
+    other non-2xx → raise after retries exhausted.
+    """
+    attempts = len(backoff) + 1
+    last_status = None
+    for attempt in range(attempts):
+        status, headers, body = transport(method, url, params)
+        if 200 <= status < 300:
+            return body
+        if status in NON_FATAL_STATUSES:
+            return None
+        last_status = status
+        if attempt == attempts - 1:
+            break
+        if status == 429:
+            retry_after = headers.get("Retry-After") or headers.get("retry-after")
+            sleep(float(retry_after) if retry_after else min(default_retry_after, backoff[attempt]))
+        else:
+            sleep(backoff[attempt])
+    raise RuntimeError(f"{method} {url} failed after {attempts} attempts (status {last_status})")
+
+
+def paginate(
+    fetch_page: Callable[[Any], tuple[list, Any]],
+    first_token: Any = None,
+    max_pages: int = 100_000,
+) -> Iterator[list]:
+    """Generic cursor/offset pagination loop: ``fetch_page(token) ->
+    (rows, next_token)``; stops on falsy next_token. Serial by design —
+    cursor tokens chain, so pages cannot be fetched independently; the
+    parallel axis is keys/channels, not pages.
+    """
+    token = first_token
+    for _ in range(max_pages):
+        rows, token = fetch_page(token)
+        if rows:
+            yield rows
+        if not token:
+            return
+    raise RuntimeError("pagination did not terminate (cursor loop?)")
+
+
+# ---------------------------------------------------------------------------
+# Jira (S1–S7)
+# ---------------------------------------------------------------------------
+
+JIRA_ISSUE_SCHEMA = (
+    "key string, summary string, status string, assignee string, issue_type string, "
+    "parent_key string, updated string, created string, custom_fields map<string,string>"
+)
+JIRA_COMMENT_SCHEMA = "issue_key string, author string, created string, updated string, body string"
+JIRA_CHANGELOG_SCHEMA = (
+    "issue_key string, history_id string, author string, created string, "
+    "field string, from_string string, to_string string"
+)
+
+
+def _flatten_issue(raw: dict) -> dict:
+    f = raw.get("fields", {}) or {}
+    return {
+        "key": raw.get("key"),
+        "summary": f.get("summary"),
+        "status": (f.get("status") or {}).get("name"),
+        "assignee": (f.get("assignee") or {}).get("displayName"),
+        "issue_type": (f.get("issuetype") or {}).get("name"),
+        "parent_key": (f.get("parent") or {}).get("key"),
+        "updated": f.get("updated"),
+        "created": f.get("created"),
+        "custom_fields": {
+            k: str(v) for k, v in f.items() if k.startswith("customfield_") and v not in (None, "")
+        },
+    }
+
+
+def jira_issue_search(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    project: str,
+    updated_since: str,
+    page_size: int = 50,
+) -> DataFrame:
+    """S1 — JQL search scan (jira/export-to-csv.js:230-272).
+
+    Pushdown: ``project`` and ``updated >= start`` live in the JQL
+    string — the source-side predicate. Serial ``nextPageToken`` loop
+    (tokens chain); the result is a bronze DataFrame that downstream
+    plans (comments semi-join F3, epic self-joins J5/J6) consume.
+    """
+    jql = f"project = {project} AND updated >= {updated_since} ORDER BY updated DESC"
+
+    def fetch(token):
+        params = {"jql": jql, "maxResults": page_size, "fields": ["*all"]}
+        if token:
+            params["nextPageToken"] = token
+        body = request_with_retry(transport, "POST", f"{base_url}/rest/api/3/search/jql", params)
+        if body is None:
+            return [], None
+        return [_flatten_issue(i) for i in body.get("issues", [])], body.get("nextPageToken")
+
+    rows = [r for page in paginate(fetch) for r in page]
+    return spark.createDataFrame(rows, JIRA_ISSUE_SCHEMA)
+
+
+def _fanout(
+    spark: SparkSession,
+    keys: DataFrame,
+    key_col: str,
+    fetch_one: Callable[[str], list[dict]],
+    out_schema: str,
+    concurrency: int = 5,
+) -> DataFrame:
+    """Distribute per-key fetches across ``concurrency`` partitions
+    (S2/S3/S10/S13 pattern). One partition ≈ one member of the
+    reference's worker pool; rate limits bound concurrency, not data
+    volume, so this does NOT scale partitions with key count.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.split(" ")[0] for f in out_schema.split(", ")]
+        for b in batches:
+            out = [row for k in b[key_col] for row in fetch_one(k)]
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    n = max(1, min(concurrency, 20))  # reference cap 20 (changelog-client.js:160)
+    return keys.select(key_col).repartition(n).mapInPandas(run, out_schema)
+
+
+def jira_comments_fanout(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    issue_keys: DataFrame,
+    key_col: str = "key",
+    page_size: int = 100,
+    concurrency: int = 5,
+) -> DataFrame:
+    """S2 — per-issue comment scan (jira/export-to-csv.js:84-102),
+    100/page, distributed over issues with bounded concurrency."""
+
+    def fetch_one(key: str) -> list[dict]:
+        out: list[dict] = []
+
+        def page(token):
+            start = token or 0
+            body = request_with_retry(
+                transport, "GET", f"{base_url}/rest/api/3/issue/{key}/comment",
+                {"startAt": start, "maxResults": page_size},
+            )
+            if body is None:
+                return [], None
+            comments = body.get("comments", [])
+            nxt = start + len(comments)
+            return comments, (nxt if nxt < body.get("total", 0) else None)
+
+        for rows in paginate(page):
+            out.extend(
+                {
+                    "issue_key": key,
+                    "author": (c.get("author") or {}).get("displayName"),
+                    "created": c.get("created"),
+                    "updated": c.get("updated"),
+                    "body": c.get("body") if isinstance(c.get("body"), str) else str(c.get("body")),
+                }
+                for c in rows
+            )
+        return out
+
+    return _fanout(spark, issue_keys, key_col, fetch_one, JIRA_COMMENT_SCHEMA, concurrency)
+
+
+def jira_changelogs_fanout(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    issue_keys: DataFrame,
+    key_col: str = "key",
+    page_size: int = 100,
+    concurrency: int = 5,
+) -> DataFrame:
+    """S3 — per-issue changelog scan (jira/lib/changelog-client.js:
+    125-202): paginated, 401/403/404 → empty, 429 backoff, pool of 5
+    (partitions), flattened to one row per change item
+    (changelog-flatten.js:155-180)."""
+
+    def fetch_one(key: str) -> list[dict]:
+        out: list[dict] = []
+
+        def page(token):
+            start = token or 0
+            body = request_with_retry(
+                transport, "GET", f"{base_url}/rest/api/3/issue/{key}/changelog",
+                {"startAt": start, "maxResults": page_size},
+            )
+            if body is None:
+                return [], None
+            values = body.get("values", [])
+            nxt = start + len(values)
+            return values, (nxt if nxt < body.get("total", 0) else None)
+
+        for histories in paginate(page):
+            for h in histories:
+                for item in h.get("items", []):
+                    out.append(
+                        {
+                            "issue_key": key,
+                            "history_id": str(h.get("id")),
+                            "author": (h.get("author") or {}).get("displayName"),
+                            "created": h.get("created"),
+                            "field": item.get("field"),
+                            "from_string": item.get("fromString"),
+                            "to_string": item.get("toString"),
+                        }
+                    )
+        return out
+
+    return _fanout(spark, issue_keys, key_col, fetch_one, JIRA_CHANGELOG_SCHEMA, concurrency)
+
+
+def jira_field_map(spark: SparkSession, transport: Transport, base_url: str) -> DataFrame:
+    """S7 — field metadata scan (jira/lib/field-map.js:110-221):
+    {id → name} lookup, broadcast downstream (J4). Freshness/TTL is the
+    caller's concern (K9 pattern: snapshot table + freshness column)."""
+    body = request_with_retry(transport, "GET", f"{base_url}/rest/api/3/field", {}) or []
+    rows = [{"field_id": f.get("id"), "field_name": f.get("name")} for f in body]
+    return spark.createDataFrame(rows, "field_id string, field_name string")
+
+
+# ---------------------------------------------------------------------------
+# Slack (S8–S11)
+# ---------------------------------------------------------------------------
+
+SLACK_MESSAGE_SCHEMA = (
+    "channel_id string, ts string, user string, text string, thread_ts string, reply_count bigint"
+)
+
+
+def slack_channels(
+    spark: SparkSession, transport: Transport, base_url: str, page_size: int = 200
+) -> DataFrame:
+    """S8 — conversations.list cursor scan (slack/lib/api.js:120-175),
+    excludes archived; dimension DF for J12 resolution."""
+
+    def page(cursor):
+        params = {"limit": page_size, "exclude_archived": True}
+        if cursor:
+            params["cursor"] = cursor
+        body = request_with_retry(transport, "GET", f"{base_url}/conversations.list", params)
+        if body is None:
+            return [], None
+        nxt = (body.get("response_metadata") or {}).get("next_cursor") or None
+        return body.get("channels", []), nxt
+
+    rows = [
+        {
+            "id": c.get("id"),
+            "name": c.get("name"),
+            "name_normalized": c.get("name_normalized"),
+            "purpose": ((c.get("purpose") or {}).get("value")),
+        }
+        for chans in paginate(page)
+        for c in chans
+    ]
+    return spark.createDataFrame(rows, "id string, name string, name_normalized string, purpose string")
+
+
+def slack_history_fanout(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    channels: DataFrame,
+    oldest_epoch: float,
+    latest_epoch: float,
+    channel_col: str = "id",
+    page_size: int = 200,
+    concurrency: int = 5,
+) -> DataFrame:
+    """S9 — conversations.history with oldest/latest pushdown
+    (slack/lib/api.js:187-252): the unix-ts bounds are the event-time
+    predicate pushed into the API params (partition-pruning analogue);
+    cursor pages chain serially per channel, channels fan out."""
+
+    def fetch_one(channel_id: str) -> list[dict]:
+        out: list[dict] = []
+
+        def page(cursor):
+            params = {
+                "channel": channel_id,
+                "oldest": oldest_epoch,
+                "latest": latest_epoch,
+                "limit": page_size,
+            }
+            if cursor:
+                params["cursor"] = cursor
+            body = request_with_retry(transport, "GET", f"{base_url}/conversations.history", params)
+            if body is None:
+                return [], None
+            nxt = (body.get("response_metadata") or {}).get("next_cursor") or None
+            return body.get("messages", []), nxt
+
+        for msgs in paginate(page):
+            out.extend(
+                {
+                    "channel_id": channel_id,
+                    "ts": m.get("ts"),
+                    "user": m.get("user"),
+                    "text": m.get("text"),
+                    "thread_ts": m.get("thread_ts"),
+                    "reply_count": int(m.get("reply_count") or 0),
+                }
+                for m in msgs
+            )
+        return out
+
+    return _fanout(spark, channels, channel_col, fetch_one, SLACK_MESSAGE_SCHEMA, concurrency)
+
+
+def slack_thread_replies_fanout(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    messages: DataFrame,
+    concurrency: int = 5,
+) -> DataFrame:
+    """S10 — conversations.replies for thread parents only
+    (``thread_ts == ts AND reply_count > 0``, slack/download.js:173-193);
+    drops the parent itself (slice(1) — api.js:264-307)."""
+    from pyspark.sql import functions as F
+
+    parents = messages.where(
+        (F.col("thread_ts") == F.col("ts")) & (F.col("reply_count") > 0)
+    ).select(F.concat_ws("|", "channel_id", "ts").alias("parent_ref"))
+
+    def fetch_one(ref: str) -> list[dict]:
+        channel_id, ts = ref.split("|", 1)
+        body = request_with_retry(
+            transport, "GET", f"{base_url}/conversations.replies", {"channel": channel_id, "ts": ts}
+        )
+        if body is None:
+            return []
+        return [
+            {
+                "channel_id": channel_id,
+                "ts": m.get("ts"),
+                "user": m.get("user"),
+                "text": m.get("text"),
+                "thread_ts": m.get("thread_ts"),
+                "reply_count": int(m.get("reply_count") or 0),
+            }
+            for m in body.get("messages", [])[1:]  # slice(1): drop parent
+        ]
+
+    return _fanout(spark, parents, "parent_ref", fetch_one, SLACK_MESSAGE_SCHEMA, concurrency)
+
+
+def slack_user_map(
+    spark: SparkSession, transport: Transport, base_url: str, page_size: int = 200
+) -> DataFrame:
+    """S11 — users.list scan with display-name coalescing
+    (slack/lib/api.js:344-393): real_name ‖ display_name ‖ name ‖ id."""
+
+    def page(cursor):
+        params = {"limit": page_size}
+        if cursor:
+            params["cursor"] = cursor
+        body = request_with_retry(transport, "GET", f"{base_url}/users.list", params)
+        if body is None:
+            return [], None
+        nxt = (body.get("response_metadata") or {}).get("next_cursor") or None
+        return body.get("members", []), nxt
+
+    rows = [
+        {
+            "user_id": u.get("id"),
+            "display_name": (
+                u.get("real_name")
+                or (u.get("profile") or {}).get("display_name")
+                or u.get("name")
+                or u.get("id")
+            ),
+        }
+        for users in paginate(page)
+        for u in users
+    ]
+    return spark.createDataFrame(rows, "user_id string, display_name string")
+
+
+# ---------------------------------------------------------------------------
+# Google Drive (S12–S13)
+# ---------------------------------------------------------------------------
+
+
+def drive_listing(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    folder_id: str,
+    page_size: int = 1000,
+) -> DataFrame:
+    """S12 — files.list catalog scan (transcripts/download-from-drive.js:
+    306-325): folder/trashed predicates and the field projection are
+    pushed into the ``q``/``fields`` params (column pruning F13)."""
+    q = f"'{folder_id}' in parents and mimeType != 'application/vnd.google-apps.folder' and trashed = false"
+
+    def page(token):
+        params = {
+            "q": q,
+            "pageSize": page_size,
+            "fields": "nextPageToken, files(id, name, mimeType, size, modifiedTime)",
+        }
+        if token:
+            params["pageToken"] = token
+        body = request_with_retry(transport, "GET", f"{base_url}/drive/v3/files", params)
+        if body is None:
+            return [], None
+        return body.get("files", []), body.get("nextPageToken")
+
+    rows = [
+        {
+            "id": f.get("id"),
+            "name": f.get("name"),
+            "mime_type": f.get("mimeType"),
+            "size": int(f.get("size") or 0),
+            "modified_time": f.get("modifiedTime"),
+        }
+        for files in paginate(page)
+        for f in files
+    ]
+    return spark.createDataFrame(
+        rows, "id string, name string, mime_type string, size bigint, modified_time string"
+    )
+
+
+def drive_download_fanout(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    listing: DataFrame,
+    concurrency: int = 5,
+) -> DataFrame:
+    """S13 — files.get alt=media content fetch per catalog entry,
+    bounded fan-out → (id, content) rows for the transcript parser
+    (X19)."""
+
+    def fetch_one(file_id: str) -> list[dict]:
+        body = request_with_retry(
+            transport, "GET", f"{base_url}/drive/v3/files/{file_id}", {"alt": "media"}
+        )
+        return [] if body is None else [{"id": file_id, "content": str(body)}]
+
+    return _fanout(spark, listing, "id", fetch_one, "id string, content string", concurrency)
+
+
+# ---------------------------------------------------------------------------
+# JDBC (S14)
+# ---------------------------------------------------------------------------
+
+
+def jdbc_daily_reports(
+    spark: SparkSession,
+    url: str,
+    start_date: str,
+    end_date: str,
+    employee_ids: list[int],
+    properties: dict | None = None,
+):
+    """S14 — MySQL daily-reports scan (daily-reports/db-query.js:23-178,
+    266-337). The WHERE clause (template id, date range, employee IN
+    list) is pushed into the source query — Spark executes it DB-side
+    via the dbtable subquery; the SSH tunnel is infra outside the
+    engine. Returns a configured DataFrameReader→DataFrame; requires a
+    reachable DB + driver jar, so tests cover only the query text via
+    ``daily_reports_query``.
+    """
+    query = daily_reports_query(start_date, end_date, employee_ids)
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", f"({query}) t")
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def daily_reports_query(start_date: str, end_date: str, employee_ids: list[int]) -> str:
+    """The pushed-down SQL (parameter shapes mirror db-query.js:266-337)."""
+    ids = ", ".join(str(int(i)) for i in employee_ids) or "NULL"
+    return (
+        "SELECT er.employee_id, e.first_name, e.last_name, er.content, er.todo, "
+        "er.report_date, rt.name AS template, cp.name AS project "
+        "FROM employee_reports er "
+        "JOIN employees e ON er.employee_id = e.id "
+        "JOIN report_templates rt ON er.report_template_id = rt.id "
+        "JOIN client_projects cp ON er.client_project_id = cp.id "
+        "WHERE er.report_template_id = 1 "
+        f"AND er.report_date BETWEEN '{start_date}' AND '{end_date}' "
+        f"AND er.employee_id IN ({ids}) "
+        "ORDER BY er.employee_id, er.report_date DESC"
+    )

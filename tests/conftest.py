@@ -5,7 +5,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_ROOT)
+
+# Python workers (pandas UDF / mapInPandas) spawn with PYTHONPATH, not the
+# driver's sys.path — closures defined in test modules need both dirs there.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO_ROOT, _TESTS_DIR, os.environ.get("PYTHONPATH")) if p
+)
 
 from ai_coach_data_source_orchestrator_spark.session import get_spark  # noqa: E402
 

@@ -1,0 +1,247 @@
+"""Connector tests (S1–S18) with injected fake transports — mirrors the
+reference's injectable httpRequestImpl test style
+(jira/lib/changelog-client.js:43-54; test/test-jira-changelog-client.js).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.sources import files as FS
+from ai_coach_data_source_orchestrator_spark.sources import rest as R
+
+BASE = "https://api.example"
+
+
+# ---------------------------------------------------------------------------
+# Retry / backoff / non-fatal statuses
+# ---------------------------------------------------------------------------
+def test_retry_429_honors_retry_after():
+    calls, sleeps = [], []
+
+    def transport(method, url, params):
+        calls.append(url)
+        if len(calls) < 3:
+            return 429, {"Retry-After": "7"}, None
+        return 200, {}, {"ok": True}
+
+    body = R.request_with_retry(transport, "GET", f"{BASE}/x", {}, sleep=sleeps.append)
+    assert body == {"ok": True}
+    assert len(calls) == 3
+    assert sleeps == [7.0, 7.0]
+
+
+def test_retry_exponential_backoff_then_raises():
+    sleeps = []
+
+    def transport(method, url, params):
+        return 500, {}, None
+
+    with pytest.raises(RuntimeError, match="status 500"):
+        R.request_with_retry(transport, "GET", f"{BASE}/x", {}, sleep=sleeps.append)
+    assert sleeps == [1.0, 2.0, 4.0]  # reference backoff (export-to-csv.js:21)
+
+
+@pytest.mark.parametrize("status", [401, 403, 404])
+def test_non_fatal_statuses_return_none(status):
+    body = R.request_with_retry(lambda m, u, p: (status, {}, None), "GET", f"{BASE}/x", {})
+    assert body is None  # changelog-client.js:87-90 → empty result
+
+
+# ---------------------------------------------------------------------------
+# Jira S1: JQL pushdown + nextPageToken pagination
+# ---------------------------------------------------------------------------
+def _jira_pages(method, url, params):
+    assert "project = ENG AND updated >= 2025-01-01" in params["jql"]  # pushdown
+    token = params.get("nextPageToken")
+    if token is None:
+        issues = [
+            {"key": "ENG-1", "fields": {"summary": "a", "status": {"name": "Done"},
+                                        "customfield_10020": "Sprint 4"}},
+            {"key": "ENG-2", "fields": {"summary": "b", "assignee": {"displayName": "Ada"},
+                                        "parent": {"key": "ENG-1"}}},
+        ]
+        return 200, {}, {"issues": issues, "nextPageToken": "p2"}
+    assert token == "p2"
+    return 200, {}, {"issues": [{"key": "ENG-3", "fields": {"summary": "c"}}]}
+
+
+def test_jira_issue_search_paginates_and_flattens(spark):
+    df = R.jira_issue_search(spark, _jira_pages, BASE, "ENG", "2025-01-01")
+    rows = {r["key"]: r for r in df.collect()}
+    assert set(rows) == {"ENG-1", "ENG-2", "ENG-3"}
+    assert rows["ENG-1"]["status"] == "Done"
+    assert rows["ENG-1"]["custom_fields"] == {"customfield_10020": "Sprint 4"}
+    assert rows["ENG-2"]["assignee"] == "Ada"
+    assert rows["ENG-2"]["parent_key"] == "ENG-1"
+
+
+# ---------------------------------------------------------------------------
+# Jira S2/S3: bounded fan-out over issue keys
+# ---------------------------------------------------------------------------
+def _comments_transport(method, url, params):
+    key = url.rsplit("/", 2)[-2]
+    start = params["startAt"]
+    if key == "ENG-404":
+        return 404, {}, None
+    all_comments = [
+        {"author": {"displayName": f"U{i}"}, "created": f"2025-01-0{i+1}", "body": f"c{i}"}
+        for i in range(3)
+    ]
+    page = all_comments[start : start + 2]
+    return 200, {}, {"comments": page, "total": 3}
+
+
+def test_jira_comments_fanout_paginated_and_nonfatal(spark):
+    keys = spark.createDataFrame([("ENG-1",), ("ENG-404",)], "key string")
+    df = R.jira_comments_fanout(spark, _comments_transport, BASE, keys, page_size=2)
+    rows = df.collect()
+    assert sorted(r["body"] for r in rows) == ["c0", "c1", "c2"]  # 404 issue → empty
+    assert all(r["issue_key"] == "ENG-1" for r in rows)
+
+
+def _changelog_transport(method, url, params):
+    return 200, {}, {
+        "values": [
+            {"id": 9, "author": {"displayName": "Ada"}, "created": "2025-02-01",
+             "items": [{"field": "status", "fromString": "To Do", "toString": "Done"},
+                        {"field": "assignee", "fromString": None, "toString": "Ada"}]}
+        ],
+        "total": 1,
+    }
+
+
+def test_jira_changelog_fanout_flattens_items(spark):
+    keys = spark.createDataFrame([("ENG-1",)], "key string")
+    df = R.jira_changelogs_fanout(spark, _changelog_transport, BASE, keys)
+    rows = df.collect()
+    assert len(rows) == 2  # one row per item (changelog-flatten.js:155-180)
+    assert {r["field"] for r in rows} == {"status", "assignee"}
+
+
+def test_fanout_bounds_partitions(spark):
+    keys = spark.createDataFrame([(f"K-{i}",) for i in range(50)], "key string")
+    out = R._fanout(spark, keys, "key", lambda k: [{"key": k}], "key string", concurrency=5)
+    assert out.rdd.getNumPartitions() == 5  # pool of 5, never 50 tasks
+
+
+# ---------------------------------------------------------------------------
+# Slack S8–S11
+# ---------------------------------------------------------------------------
+def _slack_transport(method, url, params):
+    if url.endswith("conversations.list"):
+        assert params["exclude_archived"] is True
+        if params.get("cursor") is None:
+            return 200, {}, {
+                "channels": [{"id": "C1", "name": "eng", "name_normalized": "eng",
+                              "purpose": {"value": "dev"}}],
+                "response_metadata": {"next_cursor": "c2"},
+            }
+        return 200, {}, {"channels": [{"id": "C2", "name": "ops", "name_normalized": "ops"}],
+                          "response_metadata": {"next_cursor": ""}}
+    if url.endswith("conversations.history"):
+        assert params["oldest"] == 100.0 and params["latest"] == 200.0  # date pushdown
+        return 200, {}, {"messages": [
+            {"ts": "150.000100", "user": "U1", "text": "root", "thread_ts": "150.000100",
+             "reply_count": 2},
+            {"ts": "160.5", "user": "U2", "text": "plain"},
+        ]}
+    if url.endswith("conversations.replies"):
+        return 200, {}, {"messages": [
+            {"ts": "150.000100", "user": "U1", "text": "root"},   # parent — dropped
+            {"ts": "151.1", "user": "U3", "text": "r1", "thread_ts": "150.000100"},
+            {"ts": "152.2", "user": "U4", "text": "r2", "thread_ts": "150.000100"},
+        ]}
+    if url.endswith("users.list"):
+        return 200, {}, {"members": [
+            {"id": "U1", "real_name": "Ada L"},
+            {"id": "U2", "profile": {"display_name": "grace"}},
+            {"id": "U3", "name": "handle3"},
+            {"id": "U4"},
+        ]}
+    raise AssertionError(url)
+
+
+def test_slack_channels_cursor_pagination(spark):
+    df = R.slack_channels(spark, _slack_transport, BASE)
+    assert sorted(r["id"] for r in df.collect()) == ["C1", "C2"]
+
+
+def test_slack_history_and_thread_replies(spark):
+    channels = spark.createDataFrame([("C1",)], "id string")
+    hist = R.slack_history_fanout(spark, _slack_transport, BASE, channels, 100.0, 200.0)
+    msgs = hist.collect()
+    assert len(msgs) == 2
+    replies = R.slack_thread_replies_fanout(spark, _slack_transport, BASE, hist)
+    rr = replies.collect()
+    assert sorted(r["text"] for r in rr) == ["r1", "r2"]  # parent dropped (slice(1))
+
+
+def test_slack_user_map_coalescing(spark):
+    df = R.slack_user_map(spark, _slack_transport, BASE)
+    m = {r["user_id"]: r["display_name"] for r in df.collect()}
+    # real_name ‖ display_name ‖ name ‖ id (slack/lib/api.js:344-393)
+    assert m == {"U1": "Ada L", "U2": "grace", "U3": "handle3", "U4": "U4"}
+
+
+# ---------------------------------------------------------------------------
+# Drive S12–S13
+# ---------------------------------------------------------------------------
+def _drive_transport(method, url, params):
+    if url.endswith("/drive/v3/files"):
+        assert "'folder9' in parents" in params["q"] and "trashed = false" in params["q"]
+        return 200, {}, {"files": [
+            {"id": "f1", "name": "Standup 2025-01-06.txt", "mimeType": "text/plain",
+             "size": "120", "modifiedTime": "2025-01-06T10:00:00Z"},
+        ]}
+    return 200, {}, "Alice: hello\nBob: hi"
+
+
+def test_drive_listing_and_download(spark):
+    listing = R.drive_listing(spark, _drive_transport, BASE, "folder9")
+    assert listing.collect()[0]["name"] == "Standup 2025-01-06.txt"
+    content = R.drive_download_fanout(spark, _drive_transport, BASE, listing)
+    assert "Alice: hello" in content.collect()[0]["content"]
+
+
+# ---------------------------------------------------------------------------
+# S14 — pushed-down JDBC query text
+# ---------------------------------------------------------------------------
+def test_daily_reports_query_pushdown():
+    q = R.daily_reports_query("2025-01-01", "2025-01-07", [3, 5])
+    assert "report_template_id = 1" in q
+    assert "BETWEEN '2025-01-01' AND '2025-01-07'" in q
+    assert "IN (3, 5)" in q
+    assert "ORDER BY er.employee_id, er.report_date DESC" in q
+
+
+# ---------------------------------------------------------------------------
+# S15–S18 — file scans
+# ---------------------------------------------------------------------------
+def test_csv_roundtrip_with_bom(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text('﻿key,value\nA,1\nB,2\n', encoding="utf-8")
+    df = FS.read_csv(spark, str(p))
+    assert df.columns[0] == "key"  # BOM stripped
+    assert df.count() == 2
+
+
+def test_markdown_dir_scan_and_literal_extraction(spark, tmp_path):
+    (tmp_path / "b_report.md").write_text("# B\nbody-b")
+    (tmp_path / "a_report.md").write_text("# A\nbody-a")
+    df = FS.read_markdown_dir(spark, str(tmp_path))
+    names = sorted(r["filename"] for r in df.collect())
+    assert names == ["a_report.md", "b_report.md"]
+
+    py = 'HEADER = 1\nJIRA_DATA = """\nline1\nline2\n"""\nTAIL = 2'
+    src = spark.createDataFrame([(py,)], "content string")
+    out = FS.extract_python_literal(src, "JIRA_DATA")
+    assert out.collect()[0]["literal_text"] == "\nline1\nline2\n"
+
+
+def test_json_scan(spark, tmp_path):
+    p = tmp_path / "snap.json"
+    p.write_text('{"channel": "C1", "messageCount": 2, "messages": [{"ts": "1.5"}, {"ts": "2.5"}]}')
+    df = FS.read_json(spark, str(p))
+    row = df.collect()[0]
+    assert row["channel"] == "C1" and row["messageCount"] == 2
