@@ -19,8 +19,12 @@ Reference parity, all as regexp_replace chains (JVM-side, codegen):
 
 from __future__ import annotations
 
+import json
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 
 def wiki_to_markdown(col: Column) -> Column:
@@ -108,6 +112,47 @@ def linkify_issue_keys(col: Column, jira_host: str) -> Column:
         r"(^|[^!])\[([A-Z][A-Z0-9]+-\d+)\](?!\()",
         f"$1[$2](https://{host}/browse/$2)",
     )
+
+
+def adf_to_text_py(adf_json: str | None) -> str:
+    """X3 — Atlassian Document Format tree → plain text
+    (jira/build-epic-tree.js:358-384): paragraph/heading → line blocks,
+    bulletList/orderedList items → '- ' lines, mention → @Name,
+    hardBreak → newline, text nodes concatenate. Malformed JSON → ''.
+
+    Recursive JSON-tree walk — one of the three sanctioned UDFs
+    (SURVEY §2.10); everything else in this module stays a column
+    expression.
+    """
+    if not adf_json:
+        return ""
+    try:
+        root = json.loads(adf_json)
+    except (ValueError, TypeError):
+        return ""
+
+    def walk(node: dict) -> str:
+        t = node.get("type")
+        kids = node.get("content") or []
+        if t == "text":
+            return node.get("text") or ""
+        if t == "mention":
+            return "@" + ((node.get("attrs") or {}).get("text") or "").lstrip("@")
+        if t == "hardBreak":
+            return "\n"
+        inner = "".join(walk(k) for k in kids)
+        if t in ("paragraph", "heading"):
+            return inner + "\n"
+        if t == "listItem":
+            return "- " + inner
+        return inner
+
+    return walk(root if isinstance(root, dict) else {}).strip()
+
+
+@F.pandas_udf(StringType())
+def adf_to_text(col: pd.Series) -> pd.Series:
+    return col.map(adf_to_text_py)
 
 
 def slugify(col: Column) -> Column:

@@ -177,7 +177,7 @@ def a3_group_stats_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    survey_ids=("A4", "A5", "A1", "A3"),
+    survey_ids=("A4", "A5", "A1", "A3", "A7"),
     description="cube(status, priority) replaces four hand-rolled grouping loops",
 )
 def a45_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,304 @@
+"""Sink round-trip + render queries (SURVEY §2.2) and the X3 ADF UDF.
+
+K-operators are writers, so each query WRITES to a fresh temp dir and
+reads the result back — the returned DataFrame proves the round trip
+(header union, partition layout, upsert-key semantics) and the DuckDB
+oracle checks the values that must survive it. Data written is always a
+small aggregate (dimension-scale); at 100 TB these writers target
+object-store URIs with the same code path (``partitionBy`` /
+``parquet``), never the driver.
+
+K4/K6 (render sinks) are modelled at the data layer: the per-team
+section/content/checksum/blob-path rows. The final string templating is
+driver-side by design (reports are KBs — SURVEY §7.3) and covered in
+tests/test_sinks.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.markup import adf_to_text
+from ..sinks.merge import upsert_parquet
+from ..sinks.writers import csv_write_union_header, partitioned_csv_write
+from ..sources.tables import load_table
+from .registry import register
+
+NL = "\n"
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_")
+
+
+# ---------------------------------------------------------------------------
+# K1 — dynamic-header CSV union write → read-back
+# ---------------------------------------------------------------------------
+@register(
+    "k1_csv_union_header_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name AS name, NULL AS region_ref FROM nation
+    UNION ALL
+    SELECT n_nationkey, NULL, 'R' || n_regionkey FROM nation
+    """,
+    survey_ids=("K1", "U8", "S15"),
+    description="Union-header CSV write, schema preserved through read-back",
+)
+def k1_csv_union_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.select("n_nationkey", F.col("n_name").alias("name"))
+    b = nation.select(
+        "n_nationkey", F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("region_ref")
+    )
+    out = _tmp("k1")
+    csv_write_union_header([a, b], out)
+    back = spark.read.option("header", True).schema(
+        "n_nationkey int, name string, region_ref string"
+    ).csv(out)
+    return back
+
+
+# ---------------------------------------------------------------------------
+# K2/K3/A12 — partitioned per-key CSV write → read-back with partition col
+# ---------------------------------------------------------------------------
+@register(
+    "k2_partitioned_write_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_ids=("K2", "K3", "A12"),
+    description="partitionBy per-key write; counts survive the round trip",
+)
+def k2_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.select(
+        F.col("o_orderpriority").alias("priority"), F.col("o_orderkey").cast("string").alias("k")
+    )
+    out = _tmp("k2")
+    partitioned_csv_write(per_key, out, "priority")
+    back = spark.read.option("header", True).schema("k string, priority string").csv(out)
+    return back.groupBy("priority").agg(F.count("*").alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# K5 — JSON snapshot write → read-back
+# ---------------------------------------------------------------------------
+@register(
+    "k5_json_snapshot_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           strftime(min(ts), '%Y-%m-%d') AS first_day
+    FROM events GROUP BY event_type
+    """,
+    survey_ids=("K5", "S16"),
+    description="JSON snapshot envelope write/read, per-type rollup",
+)
+def k5_json_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    snap = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
+    )
+    out = _tmp("k5")
+    snap.write.mode("overwrite").json(out)
+    return spark.read.schema("event_type string, n bigint, first_day string").json(out)
+
+
+# ---------------------------------------------------------------------------
+# K8 — upsert MERGE semantics, idempotent under replay
+# ---------------------------------------------------------------------------
+@register(
+    "k8_upsert_merge",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'v2' ELSE 'v1' END AS content,
+           CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version
+    FROM orders
+    """,
+    survey_ids=("K8", "U3"),
+    description="Latest-wins upsert on unique key; replay is a no-op",
+)
+def k8_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", F.lit("v1").alias("content"), F.lit(1).alias("version"))
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("v2").alias("content"), F.lit(2).alias("version")
+    )
+    path = _tmp("k8") + "/table"
+    upsert_parquet(spark, path, base, ("o_orderkey",), "version")
+    upsert_parquet(spark, path, updates, ("o_orderkey",), "version")
+    # Replay the same batch — idempotency is part of the contract.
+    merged = upsert_parquet(spark, path, updates, ("o_orderkey",), "version")
+    return merged.select("o_orderkey", "content", "version")
+
+
+# ---------------------------------------------------------------------------
+# K4/K6/K7/A17 — report render data layer: per-team section content,
+# sha256 checksum, deterministic blob path, token estimate
+# ---------------------------------------------------------------------------
+@register(
+    "k6_datasource_sections",
+    oracle="""
+    WITH sections AS (
+      SELECT r.r_name AS team,
+             '# Report: ' || r.r_name || chr(10) ||
+             string_agg('- ' || n.n_name, chr(10) ORDER BY n.n_name) AS content
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+    )
+    SELECT team, content,
+           sha256(content) AS checksum,
+           'acme/digest/' || team || '_2025-01-06_to_2025-01-12.md' AS blob_key,
+           CAST(ceil(length(content) / 4.0) AS BIGINT) AS token_estimate
+    FROM sections
+    """,
+    survey_ids=("K4", "K6", "K7", "A17", "X14"),
+    description="Rendered section rows: content + checksum + blob path + tokens",
+)
+def k6_datasource_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sections = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("team"))
+        .agg(F.sort_array(F.collect_list("n_name")).alias("members"))
+        .select(
+            "team",
+            F.concat(
+                F.lit("# Report: "), F.col("team"), F.lit(NL),
+                F.array_join(F.transform("members", lambda m: F.concat(F.lit("- "), m)), NL),
+            ).alias("content"),
+        )
+    )
+    return sections.select(
+        "team",
+        "content",
+        F.sha2("content", 256).alias("checksum"),
+        F.concat(
+            F.lit("acme/digest/"), F.col("team"), F.lit("_2025-01-06_to_2025-01-12.md")
+        ).alias("blob_key"),
+        F.ceil(F.length("content") / 4).cast("bigint").alias("token_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — ADF tree flattening (pandas UDF #3)
+# ---------------------------------------------------------------------------
+@register(
+    "x3_adf_flatten",
+    oracle="""
+    SELECT doc_id,
+           'Heading ' || doc_id || chr(10) ||
+           'Body for doc ' || doc_id || ' by @Ada Lovelace' AS plain_text
+    FROM documents
+    """,
+    survey_ids=("X3",),
+    description="Atlassian Document Format JSON tree → plain text (UDF)",
+)
+def x3_adf_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    adf = F.concat(
+        F.lit('{"type": "doc", "content": ['
+              '{"type": "heading", "attrs": {"level": 2}, "content": ['
+              '{"type": "text", "text": "Heading '), did, F.lit('"}]}, '
+              '{"type": "paragraph", "content": ['
+              '{"type": "text", "text": "Body for doc '), did, F.lit(' "}, '
+              '{"type": "text", "text": "by "}, '
+              '{"type": "mention", "attrs": {"id": "u1", "text": "@Ada Lovelace"}}'
+              ']}]}'),
+    )
+    return docs.select("doc_id", adf_to_text(adf).alias("plain_text"))
+
+
+# ---------------------------------------------------------------------------
+# S18 — Python-literal extraction scan (lib/jira-data-extractor.js:18-44)
+# ---------------------------------------------------------------------------
+_TQ = '"' * 3  # keeps the SQL's triple-quotes out of this module's own literals
+
+@register(
+    "s18_python_literal_extract",
+    oracle=(
+        "WITH src AS (\n"
+        "  SELECT doc_id,\n"
+        "         'HEADER = 1' || chr(10) ||\n"
+        f"         'JIRA_DATA = {_TQ}' || chr(10) || substr(text, 1, 40) || chr(10) || '{_TQ}' ||\n"
+        "         chr(10) || 'TAIL = 2' AS pysrc\n"
+        "  FROM documents\n"
+        ")\n"
+        "SELECT doc_id,\n"
+        f"       regexp_extract(pysrc, '(?s)JIRA_DATA\\s*=\\s*{_TQ}(.*?){_TQ}', 1) AS literal_text\n"
+        "FROM src"
+    ),
+    survey_ids=("S18", "S17"),
+    description="Extract JIRA_DATA triple-quoted literal from generated .py",
+)
+def s18_python_literal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import extract_python_literal
+
+    docs = load_table(spark, sf_dir, "documents")
+    pysrc = F.concat(
+        F.lit("HEADER = 1" + NL + 'JIRA_DATA = """' + NL),
+        F.substring("text", 1, 40),
+        F.lit(NL + '"""' + NL + "TAIL = 2"),
+    )
+    src = docs.select("doc_id", pysrc.alias("content"))
+    return extract_python_literal(src, "JIRA_DATA").select("doc_id", "literal_text")
+
+
+# ---------------------------------------------------------------------------
+# X21 — changelog compact formatter (jira/lib/changelog-flatten.js:81-148):
+# per-field rendering rules as one when-chain over synthesized changes.
+# ---------------------------------------------------------------------------
+@register(
+    "x21_changelog_compact",
+    oracle="""
+    WITH changes AS (
+      SELECT l_orderkey * 10 + l_linenumber AS change_id,
+             CASE l_linenumber % 4
+               WHEN 0 THEN 'status' WHEN 1 THEN 'assignee'
+               WHEN 2 THEN 'description' ELSE 'priority' END AS field,
+             l_returnflag AS from_s, l_linestatus AS to_s,
+             CAST(floor(l_quantity) AS BIGINT) AS n_chars
+      FROM lineitem
+    )
+    SELECT change_id,
+      CASE field
+        WHEN 'status' THEN 'Status: ' || from_s || ' → ' || to_s
+        WHEN 'assignee' THEN 'Assignee: → ' || to_s
+        WHEN 'description' THEN 'Description updated (' || n_chars || ' chars)'
+        WHEN 'priority' THEN 'Priority: ' || from_s || ' → ' || to_s
+        ELSE field || ': ' || to_s END AS rendered
+    FROM changes
+    """,
+    survey_ids=("X21", "A14"),
+    description="Per-field changelog rendering rules (when-chain)",
+)
+def x21_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    field = (
+        F.when(F.col("l_linenumber") % 4 == 0, F.lit("status"))
+        .when(F.col("l_linenumber") % 4 == 1, F.lit("assignee"))
+        .when(F.col("l_linenumber") % 4 == 2, F.lit("description"))
+        .otherwise(F.lit("priority"))
+    )
+    changes = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("change_id"),
+        field.alias("field"),
+        F.col("l_returnflag").alias("from_s"),
+        F.col("l_linestatus").alias("to_s"),
+        F.floor("l_quantity").cast("bigint").cast("string").alias("n_chars"),
+    )
+    rendered = (
+        F.when(F.col("field") == "status", F.concat(F.lit("Status: "), F.col("from_s"), F.lit(" → "), F.col("to_s")))
+        .when(F.col("field") == "assignee", F.concat(F.lit("Assignee: → "), F.col("to_s")))
+        .when(F.col("field") == "description", F.concat(F.lit("Description updated ("), F.col("n_chars"), F.lit(" chars)")))
+        .when(F.col("field") == "priority", F.concat(F.lit("Priority: "), F.col("from_s"), F.lit(" → "), F.col("to_s")))
+        .otherwise(F.concat(F.col("field"), F.lit(": "), F.col("to_s")))
+    )
+    return changes.select("change_id", rendered.alias("rendered"))

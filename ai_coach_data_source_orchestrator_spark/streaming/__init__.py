@@ -1,0 +1,10 @@
+from .windows import daily_counts_stream, weekly_frame_stream, dead_letter_split
+from .sessionize import session_windows_stream, running_user_totals_stream
+
+__all__ = [
+    "daily_counts_stream",
+    "weekly_frame_stream",
+    "dead_letter_split",
+    "session_windows_stream",
+    "running_user_totals_stream",
+]

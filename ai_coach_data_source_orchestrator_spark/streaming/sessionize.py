@@ -1,0 +1,102 @@
+"""Stateful streaming operators (SURVEY §2.9, §2.10).
+
+- ``session_windows_stream`` — gap-based sessionization via the
+  built-in ``session_window`` (the right tool for activity sessions;
+  NOT for Slack thread grouping, which is keyed grouping on thread_ts —
+  SURVEY §2.9 calls this out explicitly).
+- ``running_user_totals_stream`` — custom keyed state via
+  ``applyInPandasWithState``: per-user running totals with timeout —
+  the Spark-native replacement for the reference's incremental 24 h
+  caches (jira/enrich-with-changelog.js:21-42) when the cache must
+  update continuously rather than per cron run.
+
+State sizing at scale: both operators key by user — state grows with
+|active users|, not event volume, and the watermark/timeout reaps idle
+keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEC = "decimal(18,2)"
+
+
+def session_windows_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Activity sessionization: events within ``gap`` of each other per
+    user form one session. Incremental; closed sessions emit once the
+    watermark passes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("s"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    # Idle keys expire after an hour of processing time — the 24 h-TTL
+    # cache analogue; expired state simply rebuilds on next sight.
+    state.setTimeoutDuration(3_600_000)
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom keyed state: cumulative per-user event count + value sum,
+    emitted every micro-batch (update mode)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def thread_grouping(messages: DataFrame) -> DataFrame:
+    """Slack thread "sessionization" done right: keyed grouping on
+    thread_ts (slack/download.js:173-193), NOT session_window — batch
+    or foreachBatch form. Parents without replies group alone."""
+    key = F.coalesce("thread_ts", "ts")
+    return (
+        messages.groupBy(key.alias("thread_key"), "channel_id")
+        .agg(
+            F.count("*").alias("n_messages"),
+            F.max(F.col("reply_count")).alias("reply_count"),
+            F.sort_array(F.collect_list(F.struct("ts", "user", "text"))).alias("thread"),
+        )
+    )

@@ -1,0 +1,75 @@
+"""Structured Streaming windowed aggregations (SURVEY §2.9).
+
+The reference is cron-batch, but its event-time semantics map directly:
+
+- date-bounded ingestion windows → watermark + event-time filter
+- daily tumbling grouping (slack/lib/format.js:245-263) →
+  ``window(ts, '1 day')`` with a watermark for late data
+- unparseable/late data → explicit dead-letter output, never silently
+  dropped (generate_dashboard.js:357-367 ``unknownDate`` bucket)
+- Mon-anchored weekly frame (generate_dashboard.js:286-336) →
+  ``window(ts, '7 days', startTime offset)`` anchored to Monday
+
+All plans here are incremental: state is bounded by the watermark
+horizon, so a 100 TB/day firehose holds only open windows in state,
+and the shuffle key (window, …) matches the output partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming A10: daily tumbling counts/sums with late-data
+    tolerance ``watermark``. Batch oracle: queries_events.a10_daily_window.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "n_events", "n_users_approx", "total_value")
+    )
+
+
+def weekly_frame_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming A13: Monday-anchored weekly tumbling window.
+
+    ``window(ts, '7 days')`` aligns to the epoch (a Thursday), so the
+    Monday anchor needs ``startTime='4 days'`` — epoch+4d = Monday
+    1970-01-05. Empty buckets can't be materialized in a stream (no
+    rows → no trigger); the batch frame join (queries_events.a13) stays
+    the completeness path, this is the incremental rollup.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days", "7 days", "4 days").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("date").alias("week_monday"),
+            F.date_format(F.col("w.start"), "EEEE").alias("anchor_dow"),  # always Monday
+            "n_events",
+        )
+    )
+
+
+def dead_letter_split(raw: DataFrame, ts_col: str = "raw_ts") -> tuple[DataFrame, DataFrame]:
+    """Unparseable-date side output: rows whose ``raw_ts`` fails to
+    parse go to a dead-letter frame (the reference's ``unknownDate``
+    bucket — never silently dropped). Works identically on batch and
+    streaming DataFrames (pure filter split, no state).
+    """
+    # try_to_timestamp: ANSI mode (Spark 4 default) makes to_timestamp
+    # THROW on malformed input — the dead-letter path must classify, not
+    # fail the job.
+    parsed = raw.withColumn("ts", F.try_to_timestamp(F.col(ts_col)))
+    good = parsed.where(F.col("ts").isNotNull())
+    dead = parsed.where(F.col("ts").isNull()).drop("ts")
+    return good, dead

@@ -1,0 +1,121 @@
+"""Structured Streaming tests (§2.9): file source → availableNow
+trigger → memory sink; results compared against the equivalent batch
+aggregation on the same rows.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark import streaming as ST
+
+EVENTS = [
+    # (event_id, ts, user_id, value)
+    (1, "2024-01-01 00:05:00", 1, 10.0),
+    (2, "2024-01-01 00:10:00", 1, 5.0),
+    (3, "2024-01-01 09:00:00", 1, 1.0),   # > 30 min gap → new session
+    (4, "2024-01-01 23:59:00", 2, 2.0),
+    (5, "2024-01-02 00:01:00", 2, 3.0),   # next day
+    (6, "2024-01-08 12:00:00", 3, 7.0),   # next ISO week (Mon 2024-01-08)
+]
+SCHEMA = "event_id int, ts string, user_id bigint, value double"
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    d = tmp_path / "stream_in"
+    spark.createDataFrame(EVENTS, SCHEMA).withColumn("ts", F.to_timestamp("ts")).coalesce(
+        1
+    ).write.parquet(str(d))
+    return str(d)
+
+
+def _run_to_memory(spark, sdf, output_mode: str):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _read_stream(spark, stream_dir):
+    return spark.readStream.schema(
+        "event_id int, ts timestamp, user_id bigint, value double"
+    ).parquet(stream_dir)
+
+
+def test_daily_counts_stream_matches_batch(spark, stream_dir):
+    # update mode: append emits only watermark-closed windows, and the
+    # final day's window never closes in a single availableNow pass.
+    out = _run_to_memory(spark, ST.daily_counts_stream(_read_stream(spark, stream_dir)), "update")
+    rows = {str(r["day"]): r for r in out.collect()}
+    assert rows["2024-01-01"]["n_events"] == 4
+    assert rows["2024-01-01"]["total_value"] == 18.0
+    assert rows["2024-01-02"]["n_events"] == 1
+    assert rows["2024-01-08"]["n_events"] == 1
+
+
+def test_weekly_frame_stream_monday_anchor(spark, stream_dir):
+    out = _run_to_memory(spark, ST.weekly_frame_stream(_read_stream(spark, stream_dir)), "update")
+    rows = {str(r["week_monday"]): r for r in out.collect()}
+    # 2024-01-01 IS a Monday; the second week starts 2024-01-08.
+    assert set(rows) == {"2024-01-01", "2024-01-08"}
+    assert all(r["anchor_dow"] == "Monday" for r in rows.values())
+    assert rows["2024-01-01"]["n_events"] == 5
+
+
+def test_session_window_gap_split(spark, stream_dir):
+    out = _run_to_memory(
+        spark, ST.session_windows_stream(_read_stream(spark, stream_dir), gap="30 minutes"), "append"
+    )
+    u1 = [r for r in out.collect() if r["user_id"] == 1]
+    # user 1: events at 00:05/00:10 (one session) and 09:00 (another).
+    assert sorted(r["n_events"] for r in u1) == [1, 2]
+    assert {r["session_value"] for r in u1} == {15.0, 1.0}
+
+
+def test_running_user_totals_stateful(spark, stream_dir):
+    out = _run_to_memory(
+        spark, ST.running_user_totals_stream(_read_stream(spark, stream_dir)), "update"
+    )
+    # One availableNow pass → one update per user with cumulative totals.
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert rows[1]["n_events"] == 3 and rows[1]["total_value"] == 16.0
+    assert rows[2]["n_events"] == 2 and rows[2]["total_value"] == 5.0
+    assert rows[3]["n_events"] == 1
+
+
+def test_dead_letter_split(spark):
+    raw = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "ok"), ("not-a-date", "bad"), (None, "null")],
+        "raw_ts string, tag string",
+    )
+    good, dead = ST.dead_letter_split(raw)
+    assert [r["tag"] for r in good.collect()] == ["ok"]
+    assert sorted(r["tag"] for r in dead.collect()) == ["bad", "null"]  # never dropped
+
+
+def test_thread_grouping_keyed_not_sessionized(spark):
+    from ai_coach_data_source_orchestrator_spark.streaming.sessionize import thread_grouping
+
+    msgs = spark.createDataFrame(
+        [
+            ("C1", "100.1", "U1", "root", "100.1", 2),
+            ("C1", "101.0", "U2", "r1", "100.1", 0),
+            ("C1", "102.0", "U3", "r2", "100.1", 0),
+            ("C1", "200.0", "U4", "lone", None, 0),
+        ],
+        "channel_id string, ts string, user string, text string, thread_ts string, reply_count int",
+    )
+    out = {r["thread_key"]: r for r in thread_grouping(msgs).collect()}
+    assert out["100.1"]["n_messages"] == 3
+    assert [m["text"] for m in out["100.1"]["thread"]] == ["root", "r1", "r2"]
+    assert out["200.0"]["n_messages"] == 1
