@@ -54,15 +54,27 @@ def char_token_estimate(text: Column) -> Column:
     return F.ceil(F.length(text) / 4).cast("bigint")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles (the unit set for Jaccard/MinHash)."""
-    toks = tokens(text)
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles from a MATERIALIZED token-array column.
+
+    ``toks`` must be a bound column (not an inline ``split(...)``
+    expression): higher-order functions run interpreted, so an inline
+    split would re-run the regex once per shingle position — measured
+    ~4 s for 5 k small docs vs ~0.3 s with the tokens materialized.
+    """
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (the unit set for Jaccard/MinHash).
+    Prefer tokenizing into a column first and calling
+    ``shingles_of_tokens`` in hot paths (see that docstring)."""
+    return shingles_of_tokens(tokens(text), k)
 
 
 def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:

@@ -31,9 +31,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint, shingles_of_tokens, tokens
 from ..sources.tables import ensure_parallelism
+
+
+def _stage(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that downstream branches consume 2-4×
+    (self-join sides + verify joins). Without this, Spark recomputes the
+    whole shingle→hash pipeline once per branch — measured 3-4× the
+    query runtime at sf0.1. MEMORY_AND_DISK so eviction degrades to
+    recompute, never OOM; in a production pipeline this boundary is a
+    stage table (bronze → signatures), which is exactly what a persist
+    models. LRU eviction reclaims leaked handles between queries.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 32  # rows-per-band = NUM_PERM / BANDS = 2
@@ -59,10 +72,18 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     # Shingling is the CPU-heavy per-row step — make sure it isn't
-    # serialized on a single input split.
-    return ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    # serialized on a single input split, and tokenize into a
+    # PERSISTED column first: higher-order functions run interpreted,
+    # and CollapseProject would otherwise inline the split() back into
+    # the transform lambda, re-running the regex once per shingle
+    # position (measured 6.6 s vs 1.0 s at sf0.1). The persist is the
+    # collapse barrier; a plain select is not.
+    toked = _stage(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+        )
     )
+    return toked.select("doc_id", shingles_of_tokens(F.col("__toks"), k).alias("sh"))
 
 
 def _jaccard(sa: Column, sb: Column) -> Column:
@@ -128,15 +149,19 @@ def minhash_lsh_pairs(
          output-sized.
     """
     rows_per_band = num_perm // bands
-    s = _shingle_sets(df, text_col, id_col, k).where(F.size("sh") > 0)
+    s = _stage(_shingle_sets(df, text_col, id_col, k).where(F.size("sh") > 0))
 
-    # Signature via explode + 64 min-aggregates: hashing runs once per
-    # (doc, shingle) row in a single codegen stage with map-side partial
-    # mins — much cheaper than 64 per-row array transforms (which also
-    # bloat the expression tree and Catalyst analysis time).
-    exploded = s.select("doc_id", F.explode("sh").alias("g"))
+    # Signature via explode + 64 min-aggregates: one codegen stage with
+    # map-side partial mins — much cheaper than 64 per-row array
+    # transforms (which also bloat the expression tree and Catalyst
+    # analysis time). Each shingle STRING is hashed once to a long; the
+    # per-permutation values re-hash that long (hashing a bigint is ~an
+    # order of magnitude cheaper than re-hashing the string 64×).
+    exploded = s.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id", F.xxhash64("g").alias("hg")
+    )
     sig = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("g"), F.lit(p))).alias(f"m{p}") for p in range(num_perm)]
+        *[F.min(F.xxhash64(F.col("hg"), F.lit(p))).alias(f"m{p}") for p in range(num_perm)]
     )
 
     band_hashes = F.array(
@@ -145,9 +170,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
-    )
+    # banded is tiny (3 longs × bands per doc) and feeds BOTH sides of
+    # the self-join — persist so the signature aggregation runs once.
+    banded = _stage(sig.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash")))
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     candidates = (
@@ -183,8 +208,8 @@ def simhash(
     the discriminative power of word order.
     """
     toks = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("tok"))
+        _shingle_sets(df, text_col, id_col, k)
+        .select("doc_id", F.explode("sh").alias("tok"))
         .select("doc_id", F.xxhash64("tok").alias("h"))
     )
     bit_sums = [
@@ -224,7 +249,11 @@ def simhash_pairs(
             for i in range(n_bands)
         ]
     )
-    banded = sh.select("doc_id", "simhash", F.posexplode(bands_arr).alias("band", "band_val"))
+    # Persist: both self-join sides re-derive the 64-aggregate SimHash
+    # otherwise (2× the whole pipeline).
+    banded = _stage(
+        sh.select("doc_id", "simhash", F.posexplode(bands_arr).alias("band", "band_val"))
+    )
     left = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_val")
     right = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_val")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

@@ -57,6 +57,15 @@ def main() -> None:
     else:
         names = [n for n in HEADLINE if n in REGISTRY]
 
+    # Warm up the JVM (codegen, shuffle machinery) and the parquet
+    # footer caches so the first timed query isn't charged for session
+    # startup — at a real cluster these costs amortize across jobs.
+    from ai_coach_data_source_orchestrator_spark.sources.tables import TABLES, load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
