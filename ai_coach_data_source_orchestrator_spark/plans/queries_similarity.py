@@ -81,3 +81,59 @@ def knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.as_media_table(docs))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact oracle + LSH scale path + IVF ANN)
+# ---------------------------------------------------------------------------
+COS_T = 0.35  # ≈99.9th pct of the synthetic corpus (near-random vectors —
+# real near-dup corpora sit at 0.9+; the operator is threshold-agnostic)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(range(1, 65),
+                          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(range(1, 65),
+                          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= {COS_T}
+    """,
+    survey_ids=("U7",),
+    description="Exact all-pairs embedding-cosine near-dup (oracle baseline)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_dup_pairs(emb, threshold=COS_T)
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=None,
+    survey_ids=("U7",),
+    description="Sign-LSH bucketed embedding near-dup (multi-table, verified)",
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bits/tables tuned for the low-similarity synthetic corpus (see
+    # cosine_dup_pairs_lsh docstring: p_bit=1-θ/π≈0.61 at t=0.35 →
+    # 2 bits × 8 tables ≈ 0.97 recall); recall itself is asserted in
+    # tests/test_similarity.py on constructed near-dups.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_dup_pairs_lsh(emb, threshold=COS_T, bits=2, n_tables=8)
+
+
+@register(
+    "knn_ivf",
+    oracle=None,
+    survey_ids=("O3",),
+    description="IVF coarse-quantized ANN top-k (n_probe of n_centroids lists)",
+    bench=True,
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk(emb, queries, k=TOP_K, n_centroids=16, n_probe=4)

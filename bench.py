@@ -42,6 +42,8 @@ HEADLINE = [
     "text_quality_score",
     "knn_brute_force_cosine",
     "knn_lsh_buckets",
+    "knn_ivf",
+    "dedup_embedding_cosine_lsh",
     "multimodal_features",
 ]
 

@@ -1,0 +1,90 @@
+"""ANN quality tests: recall of the approximate paths (sign-LSH,
+IVF) against the exact brute-force baseline, measured on constructed
+near-duplicate data where ground truth is known.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(spark):
+    """200 base vectors + 50 perturbed near-duplicates (cosine ≈ 0.99).
+    Deterministic seed; ids 1000+i duplicate ids i for i < 50."""
+    rng = random.Random(42)
+    rows = []
+    base = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(32)]
+        base.append(v)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(50):
+        v = [x + rng.gauss(0, 0.02) for x in base[i]]
+        rows.append((1000 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_dup_exact_finds_planted_pairs(neardup_corpus):
+    pairs = S.cosine_dup_pairs(neardup_corpus, threshold=0.95).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(i, 1000 + i) for i in range(50)}
+    assert planted <= found
+    # random 32-dim gaussians essentially never hit cosine 0.95
+    assert len(found - planted) == 0
+
+
+def test_cosine_dup_lsh_recall(neardup_corpus):
+    got = S.cosine_dup_pairs_lsh(
+        neardup_corpus, threshold=0.95, dim=32, bits=8, n_tables=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(i, 1000 + i) for i in range(50)}
+    recall = len(found & planted) / len(planted)
+    # p_bit = 1 - arccos(0.99)/π ≈ 0.955; 8 bits → 0.69/table;
+    # 4 tables → 1-(1-0.69)^4 ≈ 0.99 expected recall.
+    assert recall >= 0.9
+    # exact verification ⇒ no false positives
+    assert found <= {(r["id_a"], r["id_b"]) for r in
+                     S.cosine_dup_pairs(neardup_corpus, threshold=0.95).collect()}
+
+
+def test_ivf_topk_recall_vs_brute_force(neardup_corpus):
+    queries = neardup_corpus.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(neardup_corpus, queries, k=5)
+    approx = S.ivf_topk(neardup_corpus, queries, k=5, n_centroids=8, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the lists (4/8) on clustered gaussians
+    assert recall >= 0.6, f"IVF recall {recall}"
+
+
+def test_ivf_rank1_is_planted_duplicate(neardup_corpus):
+    queries = neardup_corpus.where(F.col("vec_id") < 10)
+    approx = S.ivf_topk(neardup_corpus, queries, k=1, n_centroids=8, n_probe=8)
+    # full probe (8/8) degrades to exact: rank-1 neighbor of i is 1000+i
+    got = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    assert got == {i: 1000 + i for i in range(10)}
+
+
+def test_hyperplane_seed_independence():
+    p0 = S._hyperplane(0, 16, seed=0)
+    p1 = S._hyperplane(0, 16, seed=1)
+    assert p0 != p1
+    assert S._hyperplane(0, 16, seed=0) == p0  # deterministic
+    assert all(abs(x) == 1.0 for x in p0)
+
+
+def test_cosine_math_matches_python(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0]), (2, [1.0, 1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    got = S.cosine_dup_pairs(df, threshold=0.0).collect()[0]
+    assert got["cosine_sim"] == round(1.0 / (math.sqrt(2) * math.sqrt(2)), 6)
