@@ -1,0 +1,295 @@
+"""Connector-family queries (SURVEY §2.1 S1/S2/S4/S9/S12/S14).
+
+These run the REAL REST connector framework (sources/rest.py) end to
+end — pagination loops, retry paths, bounded fan-out partitions — with
+a deterministic in-memory transport derived from the driver's parquet
+tables, so each connector pipeline has an exact DuckDB oracle over the
+same tables. The reference injects its HTTP layer the same way for
+tests (jira/lib/changelog-client.js:43-54 ``httpRequestImpl``).
+
+Scale framing: the driver-side part of each query touches only
+dimension-sized tables (supplier/customer/part — the connector *server*
+side); the Spark side is the connector's own architecture — listing
+scans produce small DataFrames, per-key fetches fan out over bounded
+``mapInPandas`` partitions (the reference's worker-pool of 5,
+jira/lib/changelog-client.js:159-202). At 100 TB the REST sources are
+never the big tables; ingest volume is bounded by API rate limits, and
+the big-data path starts at the bronze parquet these produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import rest
+from ..sources.tables import load_table
+from .registry import register
+
+_BASE = "https://fake.example"
+
+
+def _status_of(suppkey: int) -> str:
+    return ("To Do", "In Progress", "Done")[suppkey % 3]
+
+
+# ---------------------------------------------------------------------------
+# S1/S2/S4 — Jira JQL search + per-issue comments fan-out, end to end
+# (reference: jira/export-to-csv.js:230-272 search loop, 84-102 comment
+#  pagination; point lookups S4/build-epic-tree.js:238-248 are replaced
+#  by joining the already-scanned issues DF — see J5)
+# ---------------------------------------------------------------------------
+@register(
+    "s1_jira_connector_roundtrip",
+    oracle="""
+    SELECT CASE s_suppkey % 3 WHEN 0 THEN 'To Do'
+                              WHEN 1 THEN 'In Progress'
+                              ELSE 'Done' END AS status,
+           COUNT(*) AS n_issues,
+           CAST(SUM(s_suppkey % 4) AS BIGINT) AS n_comments
+    FROM supplier
+    GROUP BY 1
+    """,
+    survey_ids=("S1", "S2", "S4"),
+    description="Jira search+comments connectors (paginated, fanned out) → status rollup",
+)
+def s1_jira_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fake Jira server derived from `supplier`: issue SUP-<k> with
+    # status k%3 and k%4 comments. Pages of 50 via nextPageToken, so at
+    # sf>=0.01 the search loop genuinely paginates; comments fan out
+    # over 5 mapInPandas partitions (the reference's pool size).
+    sups = sorted(
+        (int(r["s_suppkey"]), r["s_name"])
+        for r in load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name").collect()
+    )
+    issues = [
+        {
+            "key": f"SUP-{k}",
+            "fields": {
+                "summary": name,
+                "status": {"name": _status_of(k)},
+                "assignee": {"displayName": name},
+                "issuetype": {"name": "Task"},
+                "updated": "2024-06-01T00:00:00.000+0000",
+                "created": "2024-01-01T00:00:00.000+0000",
+            },
+        }
+        for k, name in sups
+    ]
+    comments = {
+        f"SUP-{k}": [
+            {
+                "author": {"displayName": name},
+                "created": f"2024-06-0{i + 1}T00:00:00.000+0000",
+                "body": f"comment {i}",
+            }
+            for i in range(k % 4)
+        ]
+        for k, name in sups
+    }
+
+    def transport(method, url, params):
+        if url.endswith("/search/jql"):
+            start = int(params.get("nextPageToken") or 0)
+            page = issues[start : start + params["maxResults"]]
+            nxt = start + len(page)
+            body = {"issues": page}
+            if nxt < len(issues):
+                body["nextPageToken"] = str(nxt)
+            return 200, {}, body
+        if url.endswith("/comment"):
+            key = url.rsplit("/", 2)[-2]
+            rows = comments.get(key, [])
+            start = params["startAt"]
+            return 200, {}, {
+                "comments": rows[start : start + params["maxResults"]],
+                "total": len(rows),
+            }
+        return 404, {}, None
+
+    issues_df = rest.jira_issue_search(spark, transport, _BASE, "SUP", "2024-01-01")
+    comments_df = rest.jira_comments_fanout(spark, transport, _BASE, issues_df.select("key"))
+
+    per_issue = comments_df.groupBy("issue_key").agg(F.count("*").alias("n_comments"))
+    return (
+        issues_df.join(per_issue, issues_df.key == per_issue.issue_key, "left")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_issues"),
+            F.sum(F.coalesce("n_comments", F.lit(0))).alias("n_comments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9/S8 — Slack channels scan + history fan-out with oldest/latest pushdown
+# (reference: slack/lib/api.js:120-175 channel cursor scan, 187-252
+#  history with unix-ts bounds — the event-time predicate lives in the
+#  request params, the REST analogue of partition pruning)
+# ---------------------------------------------------------------------------
+_SLACK_EPOCH = 1_700_000_000
+
+
+@register(
+    "s9_slack_history_pushdown",
+    oracle=f"""
+    SELECT 'C' || CAST(c_nationkey AS VARCHAR) AS channel_id,
+           COUNT(*) AS n_messages,
+           CAST(COUNT(DISTINCT c_custkey % 10) AS BIGINT) AS n_users
+    FROM customer
+    WHERE (c_custkey % 1000) * 60 BETWEEN 15000 AND 45000
+    GROUP BY 1
+    """,
+    survey_ids=("S9", "S8"),
+    description="Slack history connector with oldest/latest pushdown → per-channel rollup",
+)
+def s9_slack_history_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fake Slack derived from `customer`: one message per customer in
+    # channel C<nationkey> at epoch 1.7e9 + (custkey%1000)*60. The
+    # oldest/latest bounds are applied SERVER-side (that's the point of
+    # S9 pushdown: the API filters, we never see out-of-range rows).
+    custs = [
+        (int(r["c_custkey"]), int(r["c_nationkey"]))
+        for r in load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").collect()
+    ]
+    by_channel: dict[str, list[dict]] = {}
+    for ck, nk in custs:
+        by_channel.setdefault(f"C{nk}", []).append(
+            {"ts": f"{_SLACK_EPOCH + (ck % 1000) * 60}.000000", "user": f"U{ck % 10}",
+             "text": f"msg {ck}", "reply_count": 0}
+        )
+    for msgs in by_channel.values():
+        msgs.sort(key=lambda m: (m["ts"], m["user"], m["text"]))
+    channels = sorted(by_channel)
+
+    def transport(method, url, params):
+        if url.endswith("/conversations.list"):
+            start = int(params.get("cursor") or 0)
+            page = channels[start : start + params["limit"]]
+            nxt = start + len(page)
+            meta = {"next_cursor": str(nxt)} if nxt < len(channels) else {}
+            return 200, {}, {
+                "channels": [
+                    {"id": c, "name": f"chan-{c}", "name_normalized": f"chan-{c}"} for c in page
+                ],
+                "response_metadata": meta,
+            }
+        if url.endswith("/conversations.history"):
+            msgs = [
+                m
+                for m in by_channel.get(params["channel"], [])
+                if params["oldest"] <= float(m["ts"]) <= params["latest"]
+            ]
+            start = int(params.get("cursor") or 0)
+            page = msgs[start : start + params["limit"]]
+            nxt = start + len(page)
+            meta = {"next_cursor": str(nxt)} if nxt < len(msgs) else {}
+            return 200, {}, {"messages": page, "response_metadata": meta}
+        return 404, {}, None
+
+    chans_df = rest.slack_channels(spark, transport, _BASE)
+    history = rest.slack_history_fanout(
+        spark, transport, _BASE, chans_df,
+        oldest_epoch=_SLACK_EPOCH + 15_000, latest_epoch=_SLACK_EPOCH + 45_000,
+        page_size=200,
+    )
+    return history.groupBy("channel_id").agg(
+        F.count("*").alias("n_messages"),
+        F.countDistinct("user").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12 — Google Drive catalog scan with q-predicate pushdown
+# (reference: transcripts/download-from-drive.js:306-325 — folder /
+#  not-folder / not-trashed predicates and the field projection are in
+#  the request itself; pages of 1000)
+# ---------------------------------------------------------------------------
+@register(
+    "s12_drive_catalog_scan",
+    oracle="""
+    SELECT CASE WHEN p_size % 2 = 0 THEN 'text/plain' ELSE 'application/pdf' END AS mime_type,
+           COUNT(*) AS n_files,
+           CAST(SUM(p_size) AS BIGINT) * 100 AS total_bytes
+    FROM part
+    WHERE p_partkey % 10 <> 0
+    GROUP BY 1
+    """,
+    survey_ids=("S12",),
+    description="Drive files.list connector (q pushdown, 1000/page) → mime rollup",
+)
+def s12_drive_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fake Drive derived from `part`: every 10th partkey is a "folder"
+    # that the q= predicate excludes SERVER-side — the listing we get
+    # back is already pruned, mirroring how the reference never pays
+    # for trashed/folder rows.
+    parts = sorted(
+        (int(r["p_partkey"]), r["p_name"], int(r["p_size"]))
+        for r in load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size").collect()
+    )
+    files = [
+        {
+            "id": f"f{k}",
+            "name": f"{name} {k}.txt",
+            "mimeType": "text/plain" if size % 2 == 0 else "application/pdf",
+            "size": str(size * 100),
+            "modifiedTime": "2024-03-01T00:00:00Z",
+        }
+        for k, name, size in parts
+        if k % 10 != 0  # q= excludes folders server-side
+    ]
+
+    def transport(method, url, params):
+        if url.endswith("/drive/v3/files"):
+            assert "trashed = false" in params["q"]
+            start = int(params.get("pageToken") or 0)
+            page = files[start : start + params["pageSize"]]
+            nxt = start + len(page)
+            body = {"files": page}
+            if nxt < len(files):
+                body["nextPageToken"] = str(nxt)
+            return 200, {}, body
+        return 404, {}, None
+
+    listing = rest.drive_listing(spark, transport, _BASE, folder_id="root")
+    return listing.groupBy("mime_type").agg(
+        F.count("*").alias("n_files"),
+        F.sum("size").alias("total_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S14 — JDBC dbtable-subquery pushdown shape
+# (reference: daily-reports/db-query.js:266-337 — the 4-table join +
+#  WHERE runs DB-side; our jdbc_daily_reports ships the same SQL as a
+#  dbtable subquery. No MySQL exists in this environment, so this query
+#  executes the identical pushed-down statement over the star schema —
+#  employees→customer, employee_reports→orders — proving the query
+#  shape; sources/rest.py::jdbc_daily_reports builds the real reader.)
+# ---------------------------------------------------------------------------
+_S14_SQL = """
+    SELECT er.o_custkey AS employee_id,
+           e.c_name AS employee_name,
+           CAST(er.o_orderdate AS DATE) AS report_date,
+           er.o_totalprice AS amount
+    FROM orders er
+    JOIN customer e ON er.o_custkey = e.c_custkey
+    WHERE er.o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+      AND er.o_custkey % 100 < 5
+"""
+
+
+@register(
+    "s14_jdbc_pushdown_join",
+    oracle=_S14_SQL,
+    survey_ids=("S14", "J1", "O2"),
+    description="JDBC-pushdown query shape (join + range + IN) run source-side",
+)
+def s14_jdbc_pushdown_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # With a real MySQL this exact text goes into .option("dbtable",
+    # "(...) t") and executes remotely; here the same statement runs on
+    # Spark SQL views of the parquet tables. Either way the predicate
+    # set (template, date range, employee IN) never leaves the source.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_S14_SQL)
