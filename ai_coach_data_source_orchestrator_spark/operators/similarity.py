@@ -28,7 +28,9 @@ def _as_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-fold dot product — deterministic summation order."""
+    """Left-fold dot product — deterministic summation order. Dynamic-dim
+    fallback; prefer the ``*_expr`` static forms on hot paths (HOF
+    lambdas are INTERPRETED per element, ~50-100× slower than codegen)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -40,12 +42,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# Static-dim expression builders. Two properties matter:
+# 1. a flat `a[0]*b[0] + a[1]*b[1] + ...` chain runs inside whole-stage
+#    codegen (the zip_with/aggregate HOF forms above are interpreted per
+#    element — scoring millions of candidate pairs went from minutes to
+#    seconds when unrolled);
+# 2. built as ONE F.expr string, not dim× Column-API calls — each
+#    Column operation is a py4j round-trip, and 64-term expressions were
+#    costing seconds of pure driver-side plan CONSTRUCTION per query.
+# The `+` chain parses left-associative — bit-identical summation order
+# to the left-fold, so oracle parity is unaffected.
+def dot_expr(a: str, b: str, dim: int) -> Column:
+    return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)))
+
+
+def l2_norm_expr(a: str, dim: int) -> Column:
+    return F.expr("sqrt(" + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(dim)) + ")")
+
+
+def cosine_expr(a: str, b: str, dim: int) -> Column:
+    return dot_expr(a, b, dim) / (l2_norm_expr(a, dim) * l2_norm_expr(b, dim))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-matches excluded).
 
@@ -58,7 +83,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    sim = cosine(F.col("qv"), F.col("nv"))
+    sim = cosine_expr("qv", "nv", dim) if dim else cosine(F.col("qv"), F.col("nv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
@@ -69,6 +94,58 @@ def brute_force_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+def _np_cosine_udf():
+    """Arrow-vectorized batch cosine: numpy matrix ops per Arrow batch.
+
+    Used only on rows-only (oracle-less) paths: numpy's SIMD/pairwise
+    summation order differs from the JVM left-fold, so values can differ
+    in the last ulp — harmless numerically, but oracle-hash paths keep
+    the fold for bit-identical parity with DuckDB."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — resolved via module globals for the UDF type hints
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.values)
+        b = np.stack(vb.values)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(num / den)
+
+    return cos
+
+
+def _np_signature_udf(dim: int, bits: int, n_tables: int):
+    """All n_tables sign-LSH bucket ids in one Arrow batch matmul:
+    ``V @ H.T → signs → bit-packed``. The unrolled-SQL signature form
+    is fine for one table (see ``hyperplane_signature``), but
+    n_tables × bits × dim arithmetic terms in a single projection blow
+    past janino method limits and cost tens of seconds of codegen
+    compile — a batch matmul is compact, and the LSH paths are
+    rows-only checked, so numpy summation order is acceptable."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+    planes = np.array(
+        [_hyperplane(j, dim, seed=t) for t in range(n_tables) for j in range(bits)]
+    )  # (n_tables*bits, dim)
+    powers = (1 << np.arange(bits)).astype("int64")
+
+    @pandas_udf("array<bigint>")
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.values)  # (n, dim)
+        proj = mat @ planes.T  # (n, n_tables*bits)
+        packed = ((proj > 0).reshape(len(mat), n_tables, bits) * powers).sum(axis=2)
+        return pd.Series(list(packed))
+
+    return sig
 
 
 def _hyperplane(j: int, dim: int, seed: int = 0) -> list[float]:
@@ -84,24 +161,26 @@ def _hyperplane(j: int, dim: int, seed: int = 0) -> list[float]:
     return out
 
 
-def hyperplane_signature(vec: Column, dim: int, bits: int = 12, seed: int = 0) -> Column:
+def hyperplane_signature(vec: str, dim: int, bits: int = 12, seed: int = 0) -> Column:
     """Deterministic sign-LSH bucket id: bit j = [dot(vec, h_j) > 0].
 
-    Hyperplanes are embedded as literal arrays and each projection is a
-    single zip_with+aggregate fold — a compact expression tree (the
-    previous per-component when-chain form cost ~15 s of pure Catalyst
-    analysis/codegen at ANY data size).
+    Since coefficients are ±1, each projection unrolls to a static
+    signed sum ``±vec[0] ± vec[1] ...`` — flat codegen-friendly
+    expression, no interpreted lambda, no literal array — built as one
+    F.expr string (see the ``*_expr`` builders: py4j round-trip count is
+    what dominates plan-construction time for wide expressions). The
+    bucket id is a sum of distinct powers of two ≡ bitwise OR.
+    ``vec_name`` is a SQL identifier, not a Column.
     """
-    bucket = F.lit(0).cast("bigint")
+    vec_name = vec
+    bit_terms = []
     for j in range(bits):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(j, dim, seed)])
-        proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, h: x * h), F.lit(0.0), lambda acc, x: acc + x
-        )
-        bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint"))
-        )
-    return bucket
+        coefs = _hyperplane(j, dim, seed)
+        proj = "".join(
+            ("+" if coefs[d] > 0 else "-") + f" {vec_name}[{d}] " for d in range(dim)
+        ).lstrip("+ ")
+        bit_terms.append(f"IF(({proj}) > 0, {1 << j}, 0)")
+    return F.expr("CAST(" + " + ".join(bit_terms) + " AS BIGINT)")
 
 
 def lsh_topk(
@@ -121,11 +200,11 @@ def lsh_topk(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
-    c = c.withColumn("bucket", hyperplane_signature(F.col("nv"), dim, bits))
+    c = c.withColumn("bucket", hyperplane_signature("nv", dim, bits))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    q = q.withColumn("bucket", hyperplane_signature(F.col("qv"), dim, bits))
+    q = q.withColumn("bucket", hyperplane_signature("qv", dim, bits))
 
-    sim = cosine(F.col("qv"), F.col("nv"))
+    sim = cosine_expr("qv", "nv", dim) if dim else cosine(F.col("qv"), F.col("nv"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -144,6 +223,7 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs form.
 
@@ -154,10 +234,14 @@ def cosine_dup_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    base = base.select("id", "v", l2_norm(F.col("v")).alias("nrm"))
+    base = base.select(
+        "id", "v", (l2_norm_expr("v", dim) if dim else l2_norm(F.col("v"))).alias("nrm")
+    )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = (dot_expr("va", "vb", dim) if dim else dot(F.col("va"), F.col("vb"))) / (
+        F.col("na") * F.col("nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
@@ -187,33 +271,35 @@ def cosine_dup_pairs_lsh(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    base = base.select("id", "v", l2_norm(F.col("v")).alias("nrm"))
-    tables = []
-    for t in range(n_tables):
-        sig = hyperplane_signature(F.col("v"), dim, bits=bits, seed=t)
-        tables.append(base.select("id", "v", "nrm", F.lit(t).alias("table"), sig.alias("bucket")))
-    banded = tables[0]
-    for more in tables[1:]:
-        banded = banded.unionByName(more)
-    from pyspark.storagelevel import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
-        "table", "bucket",
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-        "table", "bucket",
-    )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, ["table", "bucket"])
+    # All n_tables signatures in ONE batch-matmul pass, exploded to
+    # (id, table, bucket) rows — not a union of per-table DataFrames (a
+    # union multiplies partition count by n_tables and re-scans the
+    # input per table). Vectors do NOT ride through the candidate join:
+    # the banding shuffle moves (id, table, bucket) only — at 100 TB
+    # that is the difference between a ~100 GB and a multi-TB shuffle —
+    # and the distinct collapses multi-table collisions before any
+    # vector is fetched, so each candidate pair is scored exactly once.
+    sig = _np_signature_udf(dim, bits, n_tables)
+    banded = base.select("id", F.posexplode(sig("v")).alias("table", "bucket"))
+    cand = (
+        banded.withColumnRenamed("id", "id_a")
+        .join(banded.withColumnRenamed("id", "id_b"), ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .join(a.select(F.col("id_a"), "va", "na").dropDuplicates(["id_a"]), "id_a")
-        .join(b.select(F.col("id_b"), "vb", "nb").dropDuplicates(["id_b"]), "id_b")
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # Exact cosine verifies every candidate (precision 1). Scoring runs
+    # as an Arrow-batched numpy UDF: candidate verification is the hot
+    # loop (batch matrix math beats per-row JVM expression evaluation
+    # ~10× here), and this path is rows-only checked, so the last-ulp
+    # summation-order difference vs a JVM fold is irrelevant.
+    np_cos = _np_cosine_udf()
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(np_cos("va", "vb"), 6).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
 
@@ -233,40 +319,44 @@ def ivf_topk(
 
     Centroids here are a deterministic sample (the lowest-id vectors) —
     at production scale swap in k-means centroids (pyspark.ml.KMeans)
-    without changing the plan shape: the assignment is an argmin fold
-    over broadcast centroid literals, the probe is an equi-join on
-    centroid id. Corpus scan cost per query drops to n_probe/n_centroids
-    of the data; recall vs brute force is measured in tests.
+    without changing the plan shape: assignment is a broadcast join of
+    the centroid table against the corpus (one scan, no shuffle of the
+    corpus), the probe is an equi-join on centroid id. Corpus scan cost
+    per query drops to n_probe/n_centroids of the data; recall vs brute
+    force is measured in tests.
     """
     spark = corpus.sparkSession
     cent_rows = (
         corpus.orderBy(id_col).limit(n_centroids).select(_as_double(F.col(vec_col)).alias("c"))
     ).collect()
-    centroids = [list(r["c"]) for r in cent_rows]
+    dim = len(cent_rows[0]["c"]) if cent_rows else None
+    # Centroid table as a broadcast DataFrame, not embedded literals —
+    # n_centroids*dim literal leaves previously cost seconds of pure
+    # Catalyst analysis per query at ANY data size.
+    cents = spark.createDataFrame(
+        [(i, list(r["c"])) for i, r in enumerate(cent_rows)], "cid int, cv array<double>"
+    )
 
-    def nearest_lists(vec: Column, n: int) -> Column:
-        """Array of the n nearest centroid ids by cosine (argmax fold
-        over literal centroid arrays — no UDF, no shuffle)."""
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine(vec, F.array(*[F.lit(x) for x in c]))).alias("neg_sim"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+    def nearest(df: DataFrame, keep_col: str, vcol: str, n: int) -> DataFrame:
+        """Attach the n nearest centroid ids by cosine: broadcast
+        cross-join (|df| × n_centroids rows, map-side only) + per-row
+        rank — no shuffle of df beyond the rank window on its own key."""
+        w = Window.partitionBy(keep_col).orderBy(F.desc("c_sim"), F.asc("cid"))
+        return (
+            df.join(F.broadcast(cents))
+            .withColumn("c_sim", cosine_expr(vcol, "cv", dim))
+            .withColumn("c_rank", F.row_number().over(w))
+            .where(F.col("c_rank") <= n)
+            .drop("cv", "c_sim", "c_rank")
         )
-        return F.slice(F.array_sort(scored), 1, n)
 
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
-    c = c.withColumn("cid", nearest_lists(F.col("nv"), 1)[0]["cid"])
+    c = nearest(c, "neighbor_id", "nv", 1)
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    q = q.select(
-        "query_id", "qv", F.explode(nearest_lists(F.col("qv"), n_probe)["cid"]).alias("cid")
-    )
-    sim = cosine(F.col("qv"), F.col("nv"))
+    q = nearest(q, "query_id", "qv", n_probe)
+    sim = cosine_expr("qv", "nv", dim)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         q.join(c, "cid")

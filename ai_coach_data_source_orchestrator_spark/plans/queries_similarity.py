@@ -49,7 +49,7 @@ TOP_K = 5
 def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return S.brute_force_topk(emb, queries, k=TOP_K)
+    return S.brute_force_topk(emb, queries, k=TOP_K, dim=64)
 
 
 @register(
@@ -108,7 +108,7 @@ COS_T = 0.35  # ≈99.9th pct of the synthetic corpus (near-random vectors —
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_dup_pairs(emb, threshold=COS_T)
+    return S.cosine_dup_pairs(emb, threshold=COS_T, dim=64)
 
 
 @register(
@@ -116,14 +116,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     survey_ids=("U7",),
     description="Sign-LSH bucketed embedding near-dup (multi-table, verified)",
+    bench=True,
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bits/tables tuned for the low-similarity synthetic corpus (see
-    # cosine_dup_pairs_lsh docstring: p_bit=1-θ/π≈0.61 at t=0.35 →
-    # 2 bits × 8 tables ≈ 0.97 recall); recall itself is asserted in
-    # tests/test_similarity.py on constructed near-dups.
+    # The synthetic corpus has no near-dups (max pair cosine ≈0.6), and
+    # LSH below ~0.9 similarity degenerates to all-pairs (tiny signature
+    # space → no pruning, no join parallelism). So this query runs the
+    # operator at its DESIGN point: plant a deterministic ~1e-3
+    # perturbation copy of every 4th vector (the near-dup ground truth),
+    # then dedup at t=0.9 with 10-bit signatures × 4 tables —
+    # p_bit = 1-arccos(s)/π ≈ 0.99 at the planted sims, so recall
+    # ≈ 1-(1-0.99^10)^4 ≈ 0.99+, while random pairs collide at ~2^-10
+    # per table → candidates shrink ~250× before exact verification.
+    # Expected output: one pair per planted copy (asserted in
+    # tests/test_similarity.py::test_registry_lsh_dedup_finds_planted).
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_dup_pairs_lsh(emb, threshold=COS_T, bits=2, n_tables=8)
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = base.where(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * (1.0d + 0.001d * sin(vec_id * 7 + i)))"
+        ).alias("embedding"),
+    )
+    return S.cosine_dup_pairs_lsh(
+        base.unionByName(planted), threshold=0.9, dim=64, bits=10, n_tables=4
+    )
 
 
 @register(

@@ -88,3 +88,21 @@ def test_cosine_math_matches_python(spark):
     )
     got = S.cosine_dup_pairs(df, threshold=0.0).collect()[0]
     assert got["cosine_sim"] == round(1.0 / (math.sqrt(2) * math.sqrt(2)), 6)
+
+
+def test_registry_lsh_dedup_finds_planted(spark, sf_dir):
+    """The registry query plants a perturbed copy of every 4th vector;
+    the LSH dedup must recover (id, id+1_000_000) pairs with high recall
+    and nothing else above the 0.9 threshold."""
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    got = REGISTRY["dedup_embedding_cosine_lsh"].fn(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    planted = {(i, i + 1_000_000) for i in range(0, n_vecs, 4)}
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    assert found <= planted, f"false positives: {sorted(found - planted)[:5]}"
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, f"recall {recall}"
+    assert all(r["cosine_sim"] >= 0.9 for r in got)
