@@ -32,10 +32,17 @@ def date_from_filename(filename: Column) -> Column:
     """
     iso_t = _try_date(F.regexp_extract(filename, r"(\d{4}-\d{2}-\d{2})[T_]", 1), "yyyy-MM-dd")
     iso_plain = _try_date(F.regexp_extract(filename, r"(\d{4}-\d{2}-\d{2})", 1), "yyyy-MM-dd")
-    mdy4 = _try_date(F.regexp_extract(filename, r"(\d{1,2}_\d{1,2}_\d{4})", 1), "M_d_yyyy")
+    # MM_DD_YYYY / MM-DD-YYYY (date-range-filter.js:72-78 accepts either
+    # separator); digit lookarounds keep the match from starting or
+    # ending inside a longer number, and the extracted separators are
+    # normalized to "_" so one parse format covers both.
+    mdy4_raw = F.regexp_extract(filename, r"(?<!\d)(\d{1,2}[-_]\d{1,2}[-_]\d{4})(?!\d)", 1)
+    mdy4 = _try_date(F.translate(mdy4_raw, "-", "_"), "M_d_yyyy")
     # MM_DD_YY with the reference's pivot: YY<=50 → 20YY else 19YY
-    # (transcript-to-markdown.js:254-262).
-    yy_raw = F.regexp_extract(filename, r"(\d{1,2}_\d{1,2}_\d{2})(?!\d)", 1)
+    # (transcript-to-markdown.js:254-262, date-range-filter.js:81-92).
+    yy_raw = F.translate(
+        F.regexp_extract(filename, r"(?<!\d)(\d{1,2}[-_]\d{1,2}[-_]\d{2})(?!\d)", 1), "-", "_"
+    )
     yy = F.substring_index(yy_raw, "_", -1).cast("int")
     century = F.when(yy <= 50, yy + 2000).otherwise(yy + 1900)
     mdy2 = _try_date(
@@ -45,16 +52,25 @@ def date_from_filename(filename: Column) -> Column:
         ),
         "M_d_yyyy",
     )
+    # "Month DD, YYYY" — initcap'd so month-name matching is
+    # case-insensitive (Java DateTimeFormatter is case-sensitive).
     month_name = _try_date(
-        F.regexp_extract(filename, r"([A-Za-z]+ \d{1,2}, \d{4})", 1), "MMMM d, yyyy"
+        F.initcap(F.regexp_extract(filename, r"(?i)([A-Za-z]+ \d{1,2}, \d{4})", 1)),
+        "MMMM d, yyyy",
     )
     return F.coalesce(iso_t, iso_plain, mdy4, mdy2, month_name)
 
 
 def date_from_heading(line: Column) -> Column:
-    """X8 — ``## 2025-10-13`` or ``## October 13, 2025``."""
-    body = F.regexp_extract(line, r"^##\s+(.+?)\s*$", 1)
-    return F.coalesce(_try_date(body, "yyyy-MM-dd"), _try_date(body, "MMMM d, yyyy"))
+    """X8 — ``## 2025-10-13`` (space optional, date-range-filter.js:146)
+    or ``## October 13, 2025`` (comma optional, case-insensitive
+    month — :154-166)."""
+    body = F.initcap(F.regexp_extract(line, r"^##\s*(.+?)\s*$", 1))
+    return F.coalesce(
+        _try_date(body, "yyyy-MM-dd"),
+        _try_date(body, "MMMM d, yyyy"),
+        _try_date(body, "MMMM d yyyy"),
+    )
 
 
 def in_range(d: Column, start: str | None, end: str | None) -> Column:

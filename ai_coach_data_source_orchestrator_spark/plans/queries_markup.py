@@ -269,7 +269,7 @@ def x14_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
         regexp_replace(
          regexp_replace(
           regexp_replace(msg,
-           '-----BEGIN [A-Z ]+ PRIVATE KEY-----[\s\S]*?-----END [A-Z ]+ PRIVATE KEY-----',
+           '-----BEGIN (?:[A-Z]+ )*PRIVATE KEY-----[\s\S]*?-----END (?:[A-Z]+ )*PRIVATE KEY-----',
            '[REDACTED SECRET KEY BLOCK]', 'g'),
           'xox(?:p|b|o|a|r|s)-[A-Za-z0-9-]+', '[REDACTED SECRET]', 'g'),
          'A[KS]IA[0-9A-Z]{16}', '[REDACTED SECRET]', 'g'),
