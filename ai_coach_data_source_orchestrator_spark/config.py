@@ -1,0 +1,123 @@
+"""Hierarchical job configuration (SURVEY §1.1 "Config").
+
+The reference deep-merges three JSON layers per (team, report_type) run
+— ``configs/shared/defaults.json`` → ``configs/<team>/config.json`` →
+``configs/<team>/config.<report_type>.json`` — with ARRAYS REPLACED,
+not concatenated (lib/config.js:294-320, 329-426), then validates with
+Joi (schemas/config.schema.js; unknown keys allowed, lib/config.js:109).
+
+Config is job parameters, not data: the merged dict parameterizes the
+pipeline (date range, team roster, source toggles) and never enters a
+DataFrame. Validation is eager and driver-side so a bad config fails
+before any cluster work starts.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Any
+
+ALLOWED_REPORT_TYPES = ("1on1", "team", "weekly")
+
+
+class ConfigurationError(ValueError):
+    pass
+
+
+def merge_configs(base: Any, override: Any) -> Any:
+    """Deep merge with the reference's exact semantics
+    (lib/config.js:294-320): dicts merge recursively, ARRAYS REPLACE
+    entirely, scalars override, absent override returns base."""
+    if not isinstance(override, (dict, list)):
+        return base if override is None else override
+    if isinstance(override, list):
+        return list(override)
+    if not isinstance(base, dict):
+        return dict(override)
+    out = dict(base)
+    for key, override_val in override.items():
+        base_val = out.get(key)
+        if isinstance(override_val, list):
+            out[key] = list(override_val)
+        elif isinstance(override_val, dict) and isinstance(base_val, dict):
+            out[key] = merge_configs(base_val, override_val)
+        else:
+            out[key] = override_val
+    return out
+
+
+def _load_json(path: str) -> dict:
+    try:
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+    except json.JSONDecodeError as e:
+        raise ConfigurationError(f"Failed to parse {path}: {e}") from e
+
+
+def load_config(configs_dir: str, team: str, report_type: str) -> dict:
+    """3-layer hierarchical load (lib/config.js:329-426): shared
+    defaults (optional) → team base (required) → report-type override
+    (required)."""
+    if not isinstance(team, str) or not team.strip():
+        raise ConfigurationError("TEAM must be a non-empty string.")
+    if report_type not in ALLOWED_REPORT_TYPES:
+        raise ConfigurationError(
+            f"Invalid REPORT_TYPE: {report_type!r}. Allowed: {', '.join(ALLOWED_REPORT_TYPES)}."
+        )
+    team_dir = os.path.join(configs_dir, team)
+    if not os.path.isdir(team_dir):
+        teams = sorted(
+            d for d in (os.listdir(configs_dir) if os.path.isdir(configs_dir) else [])
+            if os.path.isdir(os.path.join(configs_dir, d)) and d != "shared"
+        )
+        raise ConfigurationError(
+            f"Team directory not found: {team_dir}. Available teams: {', '.join(teams) or '(none)'}."
+        )
+
+    defaults_path = os.path.join(configs_dir, "shared", "defaults.json")
+    base_path = os.path.join(team_dir, "config.json")
+    override_path = os.path.join(team_dir, f"config.{report_type}.json")
+
+    merged: dict = {}
+    if os.path.exists(defaults_path):
+        merged = merge_configs(merged, _load_json(defaults_path))
+    if not os.path.exists(base_path):
+        raise ConfigurationError(f"Team base config not found: {base_path}.")
+    merged = merge_configs(merged, _load_json(base_path))
+    if not os.path.exists(override_path):
+        raise ConfigurationError(
+            f"Report override config not found: {override_path}. "
+            f"Available report types: {', '.join(ALLOWED_REPORT_TYPES)}."
+        )
+    merged = merge_configs(merged, _load_json(override_path))
+    merged.setdefault("team", team)
+    merged.setdefault("report_type", report_type)
+    validate_config(merged)
+    return merged
+
+
+def _valid_iso_date(s: Any) -> bool:
+    # Strict validity, lib/validators.js:13-33 — 2025-02-30 is rejected,
+    # never rolled over.
+    if not isinstance(s, str):
+        return False
+    try:
+        datetime.date.fromisoformat(s)
+        return True
+    except ValueError:
+        return False
+
+
+def validate_config(cfg: dict) -> None:
+    """The load-bearing subset of schemas/config.schema.js: date-range
+    shape/validity/ordering. Unknown keys are allowed (:109)."""
+    dr = cfg.get("date_range") or cfg.get("dateRange")
+    if dr is not None:
+        start, end = dr.get("start_date") or dr.get("start"), dr.get("end_date") or dr.get("end")
+        for label, v in (("start_date", start), ("end_date", end)):
+            if v is not None and not _valid_iso_date(v):
+                raise ConfigurationError(f"{label} must be a valid YYYY-MM-DD date, got {v!r}")
+        if start and end and start > end:
+            raise ConfigurationError(f"start_date {start} must be <= end_date {end}")

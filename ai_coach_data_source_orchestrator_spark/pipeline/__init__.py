@@ -1,0 +1,3 @@
+from .weekly import WeeklyInputs, WeeklyResult, run_weekly_digest
+
+__all__ = ["WeeklyInputs", "WeeklyResult", "run_weekly_digest"]

@@ -1,0 +1,282 @@
+"""The flagship weekly-digest pipeline (SURVEY §3.1) as ONE Spark job.
+
+The reference runs this as six child processes handing off files
+(generate_weekly_digest.js:777-828 spawning daily:all → jira:team-all →
+epic-tree → transcripts:download → digest → blob/db). Here every stage
+is DataFrame lineage inside one driver program; the only collected data
+are the final per-team section strings (KBs), exactly where the
+reference also materializes whole documents.
+
+Stage map (operator IDs from SURVEY §2):
+  Jira:        F2/F3 comment-range semi-join → J2/F7 alias resolution →
+               A1-A5 status groups/stats → J5 epic resolution →
+               J7/X21 changelog attach+compact → X2 wiki→md → X6 linkify
+  Daily:       F1/A11 date-range group-by-day → X5 HTML→text
+  Transcripts: X19 parse → A15 participants → F6 threshold filter
+  Digest:      A6-A9 summaries → U6 tagged section union → K6 datasource
+  Warehouse:   K8 upsert on (team_id, report_type_id, content_hash) +
+               X15 sha256 idempotency key
+
+Scale: per-team data is filtered at the scans (date pushdown) and every
+lookup (roster aliases) is broadcast; nothing driver-side grows with
+input volume — only with the number of rendered sections.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dates as D
+from ..functions import markup as M
+from ..functions import names as N
+from ..operators import transcript_ops as T
+from ..sinks.merge import upsert_parquet
+from ..sinks.render import render_python_datasource
+
+# Canonical status render order (jira/csv-to-markdown.js:98-104).
+STATUS_ORDER = ["To Do", "Backlog", "Selected for Development", "In Progress", "Done", "Unknown"]
+
+
+@dataclass
+class WeeklyInputs:
+    jira_issues: DataFrame  # FIXTURES §1
+    jira_comments: DataFrame  # FIXTURES §2
+    jira_changelogs: DataFrame  # FIXTURES §3 (flattened)
+    daily_reports: DataFrame  # FIXTURES §6-ish: employee/report_date/content
+    transcripts: DataFrame  # (filename, content, modified_time)
+
+
+@dataclass
+class WeeklyResult:
+    issues_in_scope: DataFrame  # post semi-join, with canonical assignee + epic
+    status_stats: DataFrame  # A1-A5 counts + pct, canonical order rank
+    changelog_lines: DataFrame  # per issue rendered changelog bullets (X21)
+    daily_by_day: DataFrame  # A11 (report_date, author, text)
+    transcript_files: DataFrame  # post F6 (filename, participants, matched_count)
+    sections: DataFrame  # U6 (source, section_order, content)
+    summary: dict  # A6-A9
+    datasource_text: str  # K6
+
+
+def _status_rank() -> F.Column:
+    rank = F.when(F.lit(False), 0)
+    for i, s in enumerate(STATUS_ORDER):
+        rank = rank.when(F.col("status_c") == s, i)
+    return rank.otherwise(len(STATUS_ORDER))
+
+
+def run_weekly_digest(
+    spark: SparkSession,
+    inputs: WeeklyInputs,
+    config: dict,
+    generated_at: str,
+    warehouse_path: str | None = None,
+) -> WeeklyResult:
+    start = config["date_range"]["start_date"]
+    end = config["date_range"]["end_date"]
+    team = config["team"]
+    members = config.get("team_members", [])
+    mappings = config.get("name_mappings")
+    min_participants = int(config.get("transcripts", {}).get("minimum_participants", 1))
+    jira_host = config.get("jira", {}).get("host", "https://jira.example.com")
+
+    aliases = N.alias_table(spark, members, mappings)
+
+    # --- Jira vertical ----------------------------------------------------
+    # F2: comment kept if coalesce(updated, created) in range (inclusive,
+    # jira/export-to-csv.js:109-119); F3: issue kept iff >=1 such comment.
+    ts = F.coalesce("updated", "created")
+    comments_in_range = inputs.jira_comments.where(
+        ts.cast("date").between(F.lit(start), F.lit(end))
+    )
+    issues = inputs.jira_issues.join(
+        comments_in_range.select("issue_key").distinct(),
+        inputs.jira_issues.key == F.col("issue_key"),
+        "left_semi",
+    )
+
+    # J2/F7: assignee → canonical team member; unmatched keeps raw name,
+    # null → 'Unassigned' (jira/team-report.js:137-139).
+    matched = N.match_names(issues, aliases, probe_col="assignee")
+    issues = matched.withColumn(
+        "assignee_c",
+        F.coalesce(F.col("canonical_name"), F.col("assignee"), F.lit("Unassigned")),
+    ).withColumn("status_c", F.coalesce(F.col("status"), F.lit("Unknown")))
+
+    # J5: epic = self | parent | grandparent (build-epic-tree.js:254-280).
+    p = inputs.jira_issues.select(
+        F.col("key").alias("p_key"),
+        F.col("issue_type").alias("p_type"),
+        F.col("parent_key").alias("p_parent_key"),
+    )
+    g = inputs.jira_issues.select(F.col("key").alias("g_key"), F.col("issue_type").alias("g_type"))
+    issues = (
+        issues.join(p, issues.parent_key == p.p_key, "left")
+        .join(g, F.col("p_parent_key") == g.g_key, "left")
+        .withColumn(
+            "epic_key",
+            F.when(F.col("issue_type") == "Epic", F.col("key"))
+            .when(F.col("p_type") == "Epic", F.col("p_key"))
+            .when(F.col("g_type") == "Epic", F.col("g_key")),
+        )
+        .drop("p_key", "p_type", "p_parent_key", "g_key", "g_type")
+    )
+
+    # A1-A5: one cube pass → status totals (+canonical order) and
+    # status×assignee cells; pct at 1 decimal (team-report.js:442-502).
+    cells = issues.cube("status_c", "assignee_c").agg(F.count("*").alias("n"))
+    total = issues.count()
+    status_stats = (
+        cells.where(F.col("status_c").isNotNull())
+        .withColumn("status_rank", _status_rank())
+        .withColumn("pct", F.round(F.lit(100.0) * F.col("n") / F.lit(max(total, 1)), 1))
+    )
+
+    # J7/X21: in-range changelog entries, compact-rendered
+    # (changelog-flatten.js:81-148), F10 end-date cutoff.
+    ch = inputs.jira_changelogs.where(F.col("created").cast("date") <= F.lit(end))
+    rendered = (
+        F.when(
+            F.col("field") == "status",
+            F.concat(F.lit("Status: "), F.coalesce("from_string", F.lit("?")), F.lit(" → "), F.coalesce("to_string", F.lit("?"))),
+        )
+        .when(F.col("field") == "assignee", F.concat(F.lit("Assignee: → "), F.coalesce("to_string", F.lit("Unassigned"))))
+        .when(
+            F.col("field") == "description",
+            F.concat(F.lit("Description updated ("), F.length(F.coalesce("to_string", F.lit(""))).cast("string"), F.lit(" chars)")),
+        )
+        .otherwise(F.concat(F.initcap("field"), F.lit(": "), F.coalesce("to_string", F.lit("?"))))
+    )
+    changelog_lines = ch.join(
+        issues.select(F.col("key").alias("issue_key")), "issue_key", "left_semi"
+    ).select("issue_key", F.col("created"), rendered.alias("line"))
+
+    # Render the Jira section: per status (canonical order) one block of
+    # "- [KEY] summary (assignee)" lines, wiki→md + linkify (X2, X6).
+    ticket_line = F.concat(
+        F.lit("- ["), F.col("key"), F.lit("] "),
+        M.wiki_to_markdown(F.coalesce("summary", F.lit(""))),
+        F.lit(" ("), F.col("assignee_c"), F.lit(")"),
+    )
+    status_blocks = (
+        issues.select("status_c", F.struct("key", ticket_line.alias("line")).alias("t"))
+        .groupBy("status_c")
+        .agg(F.array_join(F.transform(F.array_sort(F.collect_list("t")), lambda t: t["line"]), "\n").alias("block"))
+        .withColumn("status_rank", _status_rank())
+        .select(
+            M.linkify_issue_keys(
+                F.concat(F.lit("### "), F.col("status_c"), F.lit("\n"), F.col("block")), jira_host
+            ).alias("content"),
+            "status_rank",
+        )
+    )
+    jira_md = "\n\n".join(r["content"] for r in status_blocks.orderBy("status_rank").collect())
+
+    # --- Daily-reports vertical (F1/A11/X5) -------------------------------
+    daily = inputs.daily_reports.where(F.col("report_date").between(F.lit(start), F.lit(end)))
+    daily_by_day = daily.select(
+        "report_date",
+        F.concat_ws(" ", "first_name", "last_name").alias("author"),
+        M.html_to_plain(F.col("content")).alias("text"),
+    )
+    day_blocks = (
+        daily_by_day.groupBy("report_date")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("author", "text"))),
+                    lambda s: F.concat(F.lit("**"), s["author"], F.lit("**: "), s["text"]),
+                ),
+                "\n",
+            ).alias("block")
+        )
+        .orderBy("report_date")
+        .select(F.concat(F.lit("## "), F.col("report_date").cast("string"), F.lit("\n"), F.col("block")).alias("content"))
+    )
+    daily_md = "\n\n".join(r["content"] for r in day_blocks.collect())
+
+    # --- Transcripts vertical (X19/A15/F6/F4) -----------------------------
+    tf = inputs.transcripts.withColumn("fname_date", D.date_from_filename(F.col("filename")))
+    tf = tf.where(
+        D.filename_or_mtime_in_range(F.col("fname_date"), F.col("modified_time"), start, end)
+    )
+    parts = T.participants(tf)
+    part_rows = parts.select("filename", F.explode("participants").alias("participant"))
+    keep = N.team_threshold_filter(
+        part_rows, aliases, minimum_required=min_participants
+    ).where(F.col("should_include"))
+    transcript_files = parts.join(keep, "filename").select(
+        "filename", "participants", "matched_count"
+    )
+    utter = T.parse_transcripts(tf.join(transcript_files, "filename", "left_semi"))
+    t_blocks = (
+        utter.where(F.col("speaker").isNotNull())
+        .select("filename", F.struct("pos", F.concat(F.col("speaker"), F.lit(": "), F.col("utterance")).alias("line")).alias("u"))
+        .groupBy("filename")
+        .agg(F.array_join(F.transform(F.array_sort(F.collect_list("u")), lambda u: u["line"]), "\n").alias("block"))
+        .orderBy("filename")  # O4 lexicographic concat
+        .select(F.concat(F.lit("# Transcript: "), F.col("filename"), F.lit("\n"), F.col("block")).alias("content"))
+    )
+    transcript_md = "\n\n".join(r["content"] for r in t_blocks.collect())
+
+    # --- Digest assembly (A6-A9, U6, K6) ----------------------------------
+    summary = {
+        "n_issues": total,
+        "n_distinct_keys": issues.select("key").distinct().count(),  # A6
+        "n_daily_reports": daily_by_day.count(),  # A8
+        "n_daily_authors": daily_by_day.select("author").distinct().count(),
+        "n_transcripts": transcript_files.count(),  # A9
+        "date_range": f"{start} to {end}",
+        "team": team,
+    }
+    sections = spark.createDataFrame(
+        [
+            ("jira", 0, jira_md),
+            ("daily", 1, daily_md),
+            ("transcripts", 2, transcript_md),
+        ],
+        "source string, section_order int, content string",
+    )
+    datasource_text = render_python_datasource(
+        {
+            "JIRA_DATA": jira_md,
+            "DAILY_REPORTS_DATA": daily_md,
+            "TRANSCRIPT_DATA": transcript_md,
+        },
+        generated_at=generated_at,
+    )
+
+    # --- Warehouse (K8/X15): idempotent upsert by content hash ------------
+    # The hash covers the DATA sections, not the rendered file: the
+    # render embeds generated_at, so hashing it would make every run a
+    # "new" report — the reference has exactly that bug (it hashes
+    # output containing new Date(), SURVEY §7.4 risk 6). Hashing the
+    # sections means regenerating unchanged data only refreshes
+    # generated_at on the existing row.
+    if warehouse_path is not None:
+        content_key = "\n\x00\n".join([jira_md, daily_md, transcript_md])
+        report_row = spark.createDataFrame(
+            [(team, "weekly", generated_at, datasource_text, content_key)],
+            "team_id string, report_type_id string, generated_at string, output string, content_src string",
+        ).withColumn("content_hash", F.sha2("content_src", 256)).drop("content_src")
+        upsert_parquet(
+            spark,
+            warehouse_path,
+            report_row,
+            keys=("team_id", "report_type_id", "content_hash"),
+            version_col="generated_at",
+        )
+
+    return WeeklyResult(
+        issues_in_scope=issues,
+        status_stats=status_stats,
+        changelog_lines=changelog_lines,
+        daily_by_day=daily_by_day,
+        transcript_files=transcript_files,
+        sections=sections,
+        summary=summary,
+        datasource_text=datasource_text,
+    )

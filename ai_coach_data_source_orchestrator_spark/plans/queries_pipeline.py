@@ -1,0 +1,104 @@
+"""End-to-end weekly-digest pipeline as a registry query (SURVEY §3.1).
+
+Derives deterministic domain fixtures (Jira issues/comments/changelogs,
+daily reports, transcripts) from the driver's star-schema tables, runs
+the full ``pipeline.weekly`` composition — semi-join, alias matching,
+epic resolution, cube stats, changelog compaction, HTML/wiki
+conversion, transcript parse + threshold filter, digest render — and
+returns the status-stats frame. Non-SQL-expressible as one oracle (the
+pipeline is a composition of a dozen operators, several already
+oracle-checked individually), so this is a rows-only driver check; the
+semantic assertions live in tests/test_weekly_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import WeeklyInputs, run_weekly_digest
+from ..sources.tables import load_table
+from .registry import register
+
+_START, _END = "2025-10-06", "2025-10-12"
+
+
+@register(
+    "weekly_digest_pipeline",
+    oracle=None,
+    survey_ids=("F2", "F3", "J2", "J5", "J7", "A1", "A3", "X2", "X5", "X6", "X19", "F6", "K6", "K8"),
+    description="Full weekly-digest pipeline end-to-end on table-derived fixtures",
+)
+def weekly_digest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    issues = sup.select(
+        F.concat(F.lit("SUP-"), k.cast("string")).alias("key"),
+        F.concat(F.lit("work item *"), F.col("s_name"), F.lit("*")).alias("summary"),
+        F.element_at(F.array(F.lit("To Do"), F.lit("In Progress"), F.lit("Done")), (k % 3 + 1).cast("int")).alias("status"),
+        F.when(k % 5 != 0, F.col("s_name")).alias("assignee"),
+        F.when(k % 7 == 0, F.lit("Epic")).otherwise(F.lit("Story")).alias("issue_type"),
+        F.when(k % 7 != 0, F.concat(F.lit("SUP-"), (k - k % 7).cast("string"))).alias("parent_key"),
+    )
+    comments = sup.select(
+        F.concat(F.lit("SUP-"), k.cast("string")).alias("issue_key"),
+        F.concat(F.lit("c"), k.cast("string")).alias("comment_id"),
+        F.when(k % 2 == 1, F.lit("2025-10-07 10:00:00")).otherwise(F.lit("2025-09-01 10:00:00")).alias("created"),
+        F.lit(None).cast("string").alias("updated"),
+        F.lit("note").alias("body"),
+    )
+    changelogs = sup.where(k % 4 == 1).select(
+        F.concat(F.lit("SUP-"), k.cast("string")).alias("issue_key"),
+        F.concat(F.lit("h"), k.cast("string")).alias("history_id"),
+        F.col("s_name").alias("author"),
+        F.lit("2025-10-08 11:00:00").alias("created"),
+        F.lit("status").alias("field"),
+        F.lit("To Do").alias("from_string"),
+        F.lit("In Progress").alias("to_string"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    daily = cust.select(
+        F.col("c_custkey").cast("int").alias("employee_id"),
+        F.lit("Emp").alias("first_name"),
+        F.col("c_name").alias("last_name"),
+        F.concat(F.lit("<b>report</b> by "), F.col("c_name")).alias("content"),
+        F.date_add(F.lit(_START).cast("date"), (F.col("c_custkey") % 14).cast("int")).alias("report_date"),
+    )
+    # Team roster = first three suppliers; one transcript matches, one is
+    # externals-only, one is out of range.
+    roster = [r["s_name"] for r in sup.orderBy("s_suppkey").limit(3).collect()]
+    transcripts = spark.createDataFrame(
+        [
+            (
+                "fathom-transcripts-2025-10-08T07_00_00+00_00.md",
+                f"07:00 - {roster[0]}\nstatus update\n07:01 - External Guest\nack",
+                "2025-10-08 07:30:00",
+            ),
+            (
+                "fathom-transcripts-2025-10-09T07_00_00+00_00.md",
+                "Alice: externals only\nBob: yep",
+                "2025-10-09 07:30:00",
+            ),
+            (
+                "fathom-transcripts-2025-09-01T07_00_00+00_00.md",
+                f"07:00 - {roster[1]}\nout of range",
+                "2025-09-01 07:30:00",
+            ),
+        ],
+        "filename string, content string, modified_time string",
+    )
+    config = {
+        "team": "bench-team",
+        "report_type": "weekly",
+        "date_range": {"start_date": _START, "end_date": _END},
+        "team_members": roster,
+        "transcripts": {"minimum_participants": 1},
+        "jira": {"host": "https://jira.example.com"},
+    }
+    result = run_weekly_digest(
+        spark, WeeklyInputs(issues, comments, changelogs, daily, transcripts), config,
+        generated_at="2025-10-13T00:00:00Z",
+    )
+    return result.status_stats.select(
+        "status_c", "assignee_c", "n", "status_rank", "pct"
+    )

@@ -1,0 +1,77 @@
+"""Config loader tests — merge semantics per lib/config.js:294-320
+(arrays REPLACE, dicts deep-merge, scalars override) and the 3-layer
+hierarchical load (:329-426)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.config import (
+    ConfigurationError,
+    load_config,
+    merge_configs,
+    validate_config,
+)
+
+
+def test_merge_arrays_replace_not_concat():
+    base = {"team_members": ["A", "B", "C"], "x": 1}
+    override = {"team_members": ["D"]}
+    assert merge_configs(base, override)["team_members"] == ["D"]
+
+
+def test_merge_nested_dicts_deep_merge():
+    base = {"jira": {"host": "h1", "project": "P"}, "slack": {"limit": 15}}
+    override = {"jira": {"project": "Q"}}
+    got = merge_configs(base, override)
+    assert got["jira"] == {"host": "h1", "project": "Q"}
+    assert got["slack"] == {"limit": 15}
+
+
+def test_merge_scalar_override_and_none_passthrough():
+    assert merge_configs({"a": 1}, {"a": 2})["a"] == 2
+    assert merge_configs({"a": 1}, None) == {"a": 1}
+    assert merge_configs(None, {"a": 1}) == {"a": 1}
+
+
+def _write_configs(tmp_path, defaults, base, override, team="teamx", rt="weekly"):
+    (tmp_path / "shared").mkdir(parents=True)
+    (tmp_path / team).mkdir()
+    (tmp_path / "shared" / "defaults.json").write_text(json.dumps(defaults))
+    (tmp_path / team / "config.json").write_text(json.dumps(base))
+    (tmp_path / team / f"config.{rt}.json").write_text(json.dumps(override))
+    return str(tmp_path)
+
+
+def test_three_layer_precedence(tmp_path):
+    d = _write_configs(
+        tmp_path,
+        defaults={"jira": {"host": "default-host"}, "slack": {"limit": 15}, "flags": ["a"]},
+        base={"jira": {"project": "PROJ"}, "team_members": ["Ann"], "flags": ["b", "c"]},
+        override={"slack": {"limit": 100}, "flags": ["z"]},
+    )
+    cfg = load_config(d, "teamx", "weekly")
+    assert cfg["jira"] == {"host": "default-host", "project": "PROJ"}
+    assert cfg["slack"] == {"limit": 100}  # report override wins
+    assert cfg["flags"] == ["z"]  # arrays replaced at every layer
+    assert cfg["team"] == "teamx" and cfg["report_type"] == "weekly"
+
+
+def test_load_errors(tmp_path):
+    with pytest.raises(ConfigurationError, match="Team directory not found"):
+        load_config(str(tmp_path), "ghost", "weekly")
+    d = _write_configs(tmp_path, {}, {}, {})
+    with pytest.raises(ConfigurationError, match="Invalid REPORT_TYPE"):
+        load_config(d, "teamx", "monthly")
+    with pytest.raises(ConfigurationError, match="non-empty"):
+        load_config(d, "  ", "weekly")
+
+
+def test_validate_date_range_strict():
+    validate_config({"date_range": {"start_date": "2025-10-01", "end_date": "2025-10-31"}})
+    with pytest.raises(ConfigurationError, match="valid YYYY-MM-DD"):
+        validate_config({"date_range": {"start_date": "2025-02-30", "end_date": "2025-03-01"}})
+    with pytest.raises(ConfigurationError, match="must be <="):
+        validate_config({"date_range": {"start_date": "2025-11-01", "end_date": "2025-10-01"}})

@@ -1,0 +1,176 @@
+"""End-to-end weekly-digest pipeline test (SURVEY §3.1, §5 plan item 3).
+
+Fixture data follows FIXTURES.md §1-§3 shapes; assertions check the
+reference's semantic contracts: comment-range semi-join drops issues
+without in-range comments, alias resolution groups under canonical
+names, epic resolution walks parent chains, the threshold filter keeps
+only team transcripts, summaries come from structured rows (not regex
+re-parsing), and the warehouse upsert is idempotent by content hash.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline import WeeklyInputs, run_weekly_digest
+
+START, END = "2025-10-06", "2025-10-12"
+
+CONFIG = {
+    "team": "ai-coach",
+    "report_type": "weekly",
+    "date_range": {"start_date": START, "end_date": END},
+    "team_members": ["Jolony Tim Tangpuz", "Harold Inacay"],
+    "transcripts": {"minimum_participants": 1},
+    "jira": {"host": "https://jira.example.com", "project": "PROJ"},
+}
+
+
+@pytest.fixture(scope="module")
+def inputs(spark):
+    issues = spark.createDataFrame(
+        [
+            # key, summary, status, assignee, issue_type, parent_key, created, updated
+            ("PROJ-1", "Epic of work", "In Progress", None, "Epic", None),
+            ("PROJ-2", "Story *bold* here", "In Progress", "Jolony Tim Tangpuz (Full Scale)", "Story", "PROJ-1"),
+            ("PROJ-3", "Subtask thing", "Done", "Harold Inacay", "Sub-task", "PROJ-2"),
+            ("PROJ-4", "Stale story", "To Do", "Harold Inacay", "Story", "PROJ-1"),  # no in-range comments
+            ("PROJ-5", "Orphan task", "Weird Status", None, "Task", None),
+        ],
+        "key string, summary string, status string, assignee string, issue_type string, parent_key string",
+    )
+    comments = spark.createDataFrame(
+        [
+            ("PROJ-1", "c1", "2025-10-07 10:00:00", None, "on epic"),
+            ("PROJ-2", "c2", "2025-09-01 10:00:00", "2025-10-08 10:00:00", "updated in range"),
+            ("PROJ-3", "c3", "2025-10-09 10:00:00", None, "done note"),
+            ("PROJ-4", "c4", "2025-09-01 10:00:00", None, "out of range"),
+            ("PROJ-5", "c5", "2025-10-10 10:00:00", None, "weird"),
+        ],
+        "issue_key string, comment_id string, created string, updated string, body string",
+    )
+    changelogs = spark.createDataFrame(
+        [
+            ("PROJ-2", "h1", "alice", "2025-10-08 11:00:00", "status", "To Do", "In Progress"),
+            ("PROJ-2", "h2", "alice", "2025-10-08 11:00:00", "assignee", None, "Jolony Tim Tangpuz"),
+            ("PROJ-3", "h3", "bob", "2025-12-01 11:00:00", "status", "In Progress", "Done"),  # after end → cut (F10)
+            ("PROJ-4", "h4", "bob", "2025-10-08 11:00:00", "status", "A", "B"),  # issue dropped by F3
+        ],
+        "issue_key string, history_id string, author string, created string, field string, from_string string, to_string string",
+    )
+    daily = spark.createDataFrame(
+        [
+            (1, "Jolony Tim", "Tangpuz", "<ul><li>did a thing</li><li>did more</li></ul>", "2025-10-07"),
+            (2, "Harold", "Inacay", "<b>report</b> text", "2025-10-08"),
+            (1, "Jolony Tim", "Tangpuz", "out of range", "2025-09-07"),
+        ],
+        "employee_id int, first_name string, last_name string, content string, report_date string",
+    ).selectExpr("employee_id", "first_name", "last_name", "content", "CAST(report_date AS DATE) report_date")
+    transcripts = spark.createDataFrame(
+        [
+            (
+                "fathom-transcripts-2025-10-08T07_00_00+00_00.md",
+                "07:00 - Jolony Tim Tangpuz\nhello team\n07:01 - External Guest\nhi there",
+                "2025-10-08 07:30:00",
+            ),
+            (
+                "fathom-transcripts-2025-10-09T07_00_00+00_00.md",
+                "Alice: external only meeting\nBob: yep",
+                "2025-10-09 07:30:00",
+            ),
+            (
+                "fathom-transcripts-2025-09-01T07_00_00+00_00.md",
+                "07:00 - Harold Inacay\nout of range",
+                "2025-09-01 07:30:00",
+            ),
+        ],
+        "filename string, content string, modified_time string",
+    )
+    return WeeklyInputs(issues, comments, changelogs, daily, transcripts)
+
+
+@pytest.fixture(scope="module")
+def result(spark, inputs):
+    return run_weekly_digest(spark, inputs, CONFIG, generated_at="2025-10-13T00:00:00Z")
+
+
+def test_comment_semi_join_drops_stale_issue(result):
+    keys = {r["key"] for r in result.issues_in_scope.select("key").collect()}
+    assert keys == {"PROJ-1", "PROJ-2", "PROJ-3", "PROJ-5"}  # PROJ-4 dropped (F3)
+
+
+def test_alias_resolution_and_unassigned(result):
+    by_key = {r["key"]: r["assignee_c"] for r in result.issues_in_scope.collect()}
+    assert by_key["PROJ-2"] == "Jolony Tim Tangpuz"  # qualifier stripped, canonical
+    assert by_key["PROJ-3"] == "Harold Inacay"
+    assert by_key["PROJ-1"] == "Unassigned"
+
+
+def test_epic_resolution_three_levels(result):
+    by_key = {r["key"]: r["epic_key"] for r in result.issues_in_scope.collect()}
+    assert by_key["PROJ-1"] == "PROJ-1"  # epic → self
+    assert by_key["PROJ-2"] == "PROJ-1"  # story → parent epic
+    assert by_key["PROJ-3"] == "PROJ-1"  # subtask → grandparent epic
+    assert by_key["PROJ-5"] is None  # no epic in chain
+
+
+def test_changelog_attach_and_cutoff(result):
+    lines = [(r["issue_key"], r["line"]) for r in result.changelog_lines.collect()]
+    assert ("PROJ-2", "Status: To Do → In Progress") in lines
+    assert ("PROJ-2", "Assignee: → Jolony Tim Tangpuz") in lines
+    assert all(k != "PROJ-3" for k, _ in lines)  # after end_date → cut (F10)
+    assert all(k != "PROJ-4" for k, _ in lines)  # dropped issue → no changelog
+
+
+def test_status_stats_canonical_order(result):
+    totals = {
+        r["status_c"]: (r["n"], r["status_rank"], r["pct"])
+        for r in result.status_stats.where("assignee_c IS NULL").collect()
+    }
+    assert totals["In Progress"][0] == 2
+    assert totals["Done"][0] == 1
+    assert totals["In Progress"][1] < totals["Done"][1]  # canonical order
+    assert totals["Weird Status"][1] == 6  # leftover ranks after known statuses
+    assert totals["In Progress"][2] == 50.0  # 2/4 → 50.0 (1 decimal)
+
+
+def test_daily_grouping_and_html(result):
+    rows = {(str(r["report_date"]), r["author"]): r["text"] for r in result.daily_by_day.collect()}
+    assert len(rows) == 2  # out-of-range row filtered
+    assert "did a thing" in rows[("2025-10-07", "Jolony Tim Tangpuz")]
+    assert "<ul>" not in rows[("2025-10-07", "Jolony Tim Tangpuz")]  # X5 strips HTML
+    assert "report" in rows[("2025-10-08", "Harold Inacay")]
+
+
+def test_transcript_threshold_filter(result):
+    files = {r["filename"] for r in result.transcript_files.collect()}
+    assert files == {"fathom-transcripts-2025-10-08T07_00_00+00_00.md"}
+    # externals-only meeting and out-of-range file both excluded (F6, F4)
+
+
+def test_summaries_from_structured_rows(result):
+    s = result.summary
+    assert s["n_issues"] == 4 and s["n_distinct_keys"] == 4
+    assert s["n_daily_reports"] == 2 and s["n_daily_authors"] == 2
+    assert s["n_transcripts"] == 1
+
+
+def test_datasource_render_and_linkify(result):
+    ds = result.datasource_text
+    assert 'JIRA_DATA = """' in ds and 'TRANSCRIPT_DATA = """' in ds
+    assert "[PROJ-2](https://jira.example.com/browse/PROJ-2)" in ds  # X6
+    assert "**bold**" in ds  # X2 wiki → markdown
+    assert "generated_at=2025-10-13T00:00:00Z" in ds  # injectable timestamp
+    assert "Jolony Tim Tangpuz: hello team" in ds
+
+
+def test_warehouse_upsert_idempotent(spark, inputs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wh") / "generated_reports")
+    for _ in range(2):  # same content twice → one row (K8 content-hash key)
+        run_weekly_digest(spark, inputs, CONFIG, "2025-10-13T00:00:00Z", warehouse_path=path)
+    assert spark.read.parquet(path).count() == 1
+    # new generated_at, same content hash → still one row, latest wins
+    run_weekly_digest(spark, inputs, CONFIG, "2025-10-14T00:00:00Z", warehouse_path=path)
+    tbl = spark.read.parquet(path)
+    assert tbl.count() == 1
+    assert tbl.collect()[0]["generated_at"] == "2025-10-14T00:00:00Z"
