@@ -1,0 +1,87 @@
+"""Dashboard pipeline (SURVEY §3 entry point 4, A13/X13):
+Monday-anchored week frame with empty days materialized and an
+explicit unknown-date bucket.
+
+Reference (generate_dashboard.js:286-376): week bounds prefer
+transcripts.date_filter → slack.date_filter → jira start/end; the
+start date normalizes to its Monday; a fixed Mon..Sun 7-slot frame is
+built; transcripts land on their filename-parsed date; files whose
+name yields no date go to ``unknownDate`` — never silently dropped
+(:357-367). The datasource emit adds TRANSCRIPT_DATA_BY_DAY as a JSON
+literal (generate_dashboard.js:494-532).
+
+Spark restatement: the frame is a 7-row DataFrame (dates.week_frame)
+used as the LEFT side of the join so empty days stay present — the
+tumbling-window analogue with closed, calendar-anchored buckets.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dates as D
+from ..sinks.render import render_python_datasource
+
+
+@dataclass
+class DashboardResult:
+    by_day: DataFrame  # (day, weekday, n_transcripts, transcripts array)
+    unknown: DataFrame  # (filename,) — unparseable dates, kept explicitly
+    datasource_text: str  # K6 dashboard variant with JSON literal
+
+
+def week_bounds(config: dict) -> tuple[str, str]:
+    """Coalesce order per generate_dashboard.js:299-307."""
+    tf = (config.get("transcripts") or {}).get("date_filter") or {}
+    sf = (config.get("slack") or {}).get("date_filter") or {}
+    jf = config.get("jira") or {}
+    start = tf.get("start_date") or sf.get("start_date") or jf.get("start_date")
+    end = tf.get("end_date") or sf.get("end_date") or jf.get("end_date") or start
+    if not start:
+        raise ValueError("dashboard week bounds unresolvable from config")
+    return start, end
+
+
+def run_dashboard_week(
+    spark: SparkSession,
+    transcripts: DataFrame,  # (filename, content, ...)
+    config: dict,
+    generated_at: str = "1970-01-01T00:00:00Z",
+) -> DashboardResult:
+    start, _ = week_bounds(config)
+    # One Mon..Sun frame anchored at the Monday of `start` (X13).
+    frame = D.week_frame(spark, start, start)
+
+    parsed = transcripts.withColumn("fdate", D.date_from_filename(F.col("filename")))
+    unknown = parsed.where(F.col("fdate").isNull()).select("filename")
+    by_day = (
+        frame.join(parsed.where(F.col("fdate").isNotNull()), frame.day == F.col("fdate"), "left")
+        .groupBy("day", "weekday")
+        .agg(
+            F.count("filename").alias("n_transcripts"),
+            F.array_sort(F.collect_list("filename")).alias("transcripts"),
+        )
+        .orderBy("day")
+    )
+
+    day_rows = by_day.collect()
+    unknown_rows = [r["filename"] for r in unknown.collect()]
+    payload = {
+        "byDay": [
+            {
+                "day": r["weekday"],
+                "date": str(r["day"]),
+                "transcripts": list(r["transcripts"]),
+            }
+            for r in day_rows
+        ],
+        "unknownDate": unknown_rows,
+    }
+    datasource_text = render_python_datasource(
+        {"TRANSCRIPT_DATA_BY_DAY": json.dumps(payload, indent=2)}, generated_at=generated_at
+    )
+    return DashboardResult(by_day=by_day, unknown=unknown, datasource_text=datasource_text)

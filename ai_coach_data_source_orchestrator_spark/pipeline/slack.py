@@ -1,0 +1,137 @@
+"""Slack capture pipeline (SURVEY §3.3): messages → day-grouped,
+thread-aware, sanitized markdown.
+
+Reference flow (slack/convert-to-markdown.js + slack/lib/format.js):
+user-map join (J3), markup normalization (X4), reactions rollup (A18),
+thread replies rendered under their parent (F11/S10), day tumbling
+grouping with intra-day ts sort (A10), then the sanitizer chain
+(X16–X18) producing BOTH raw and sanitized outputs
+(convert-to-markdown.js:175-181).
+
+Scale: the user map is broadcast; the only shuffles are the per-thread
+and per-(channel, day) groupings, both keyed by bounded-cardinality
+keys. Mention rewriting folds a per-message array of (mention →
+display-name) pairs — no per-user regex chain, no driver loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.markup import slack_markup_normalize
+from ..functions.sanitize import sanitize_text
+
+
+@dataclass
+class SlackInputs:
+    messages: DataFrame  # channel_id, ts, user, text, thread_ts, reply_count,
+    #                      reactions array<struct<name string, count bigint>>
+    user_map: DataFrame  # user_id, display_name
+
+
+@dataclass
+class SlackResult:
+    day_messages: DataFrame  # (channel_id, day, n_messages, n_threads)
+    rendered: DataFrame  # (channel_id, day, content_raw, content_sanitized)
+
+
+def resolve_mentions(messages: DataFrame, user_map: DataFrame, text_col: str = "text") -> DataFrame:
+    """J3 — rewrite every ``<@U…>`` to @DisplayName (fallback: raw id,
+    slack/lib/format.js:29-33). Extract mentions → explode → broadcast
+    join → fold replacements back over the text. Handles any number of
+    mentions per message without per-user expressions."""
+    with_id = messages.withColumn("__msg_id", F.monotonically_increasing_id())
+    mentions = (
+        with_id.select(
+            "__msg_id", F.explode(F.expr(f"regexp_extract_all({text_col}, '<@(U[A-Z0-9]+)>', 1)")).alias("uid")
+        )
+        .join(F.broadcast(user_map), F.col("uid") == F.col("user_id"), "left")
+        .groupBy("__msg_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.concat(F.lit("<@"), F.col("uid"), F.lit(">")).alias("pat"),
+                    F.concat(F.lit("@"), F.coalesce("display_name", "uid")).alias("sub"),
+                )
+            ).alias("pairs")
+        )
+    )
+    folded = F.aggregate(
+        F.coalesce("pairs", F.array()),
+        F.col(text_col),
+        lambda acc, p: F.replace(acc, p["pat"], p["sub"]),
+    )
+    return (
+        with_id.join(mentions, "__msg_id", "left")
+        .withColumn(text_col, folded)
+        .drop("__msg_id", "pairs")
+    )
+
+
+def reactions_rollup(reactions_col: str = "reactions") -> F.Column:
+    """A18 — ``:name:xCount`` compact list (slack/lib/format.js:84-92)."""
+    return F.array_join(
+        F.transform(
+            F.coalesce(F.col(reactions_col), F.array()),
+            lambda r: F.concat(F.lit(":"), r["name"], F.lit(":x"), r["count"].cast("string")),
+        ),
+        " ",
+    )
+
+
+def run_slack_capture(spark: SparkSession, inputs: SlackInputs, config: dict) -> SlackResult:
+    users = inputs.user_map
+    msgs = resolve_mentions(inputs.messages, users)
+    msgs = msgs.join(F.broadcast(users), msgs.user == users.user_id, "left").select(
+        msgs["*"], F.coalesce("display_name", "user").alias("author")
+    )
+
+    ts_d = F.col("ts").cast("double")
+    line = F.concat(
+        F.lit("["), F.date_format(F.timestamp_seconds(ts_d), "HH:mm"), F.lit("] "),
+        F.col("author"), F.lit(": "),
+        slack_markup_normalize(F.col("text")),
+        F.when(F.size(F.coalesce("reactions", F.array())) > 0, F.concat(F.lit(" ("), reactions_rollup(), F.lit(")"))).otherwise(F.lit("")),
+    )
+    msgs = msgs.withColumn("line", line).withColumn(
+        "thread_key", F.coalesce("thread_ts", "ts")
+    )
+
+    # F11: replies (thread_ts != ts) render indented under their parent;
+    # parents (or singletons) carry the thread. One grouping per thread.
+    threads = (
+        msgs.withColumn(
+            "tline",
+            F.when(F.col("thread_ts").isNotNull() & (F.col("thread_ts") != F.col("ts")),
+                   F.concat(F.lit("    ↳ "), F.col("line"))).otherwise(F.col("line")),
+        )
+        .groupBy("channel_id", "thread_key")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct(ts_d.alias("t"), F.col("tline").alias("l")))), lambda s: s["l"]),
+                "\n",
+            ).alias("thread_text"),
+            F.min(ts_d).alias("t0"),
+            F.count("*").alias("n_msgs"),
+        )
+        .withColumn("day", F.to_date(F.timestamp_seconds(F.col("t0"))))
+    )
+
+    # A10: day tumbling grouping, thread order by first-message ts.
+    day_messages = threads.groupBy("channel_id", "day").agg(
+        F.sum("n_msgs").alias("n_messages"), F.count("*").alias("n_threads")
+    )
+    rendered = (
+        threads.groupBy("channel_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("t0", F.col("thread_text").alias("x")))), lambda s: s["x"]),
+                "\n",
+            ).alias("content_raw")
+        )
+        .withColumn("content_sanitized", sanitize_text(F.col("content_raw")))
+    )
+    return SlackResult(day_messages=day_messages, rendered=rendered)

@@ -102,3 +102,99 @@ def weekly_digest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.status_stats.select(
         "status_c", "assignee_c", "n", "status_rank", "pct"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dashboard week frame (A13/X13/X7): Monday-anchored Mon..Sun frame,
+# empty days materialized, filename-date placement. Fixture filenames
+# derive from `part`; days Oct 10-12 are intentionally empty so the
+# left-frame join's empty-bucket behavior is oracle-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "dashboard_week_frame",
+    oracle=r"""
+    WITH t AS (
+      SELECT CASE WHEN p_partkey % 5 = 0
+                  THEN 'notes-' || CAST(p_partkey AS VARCHAR) || '.md'
+                  ELSE 'call-10_' || lpad(CAST(p_partkey % 7 + 3 AS VARCHAR), 2, '0') || '_2025.md'
+             END AS filename
+      FROM part
+    ),
+    parsed AS (
+      SELECT filename,
+             TRY_CAST(TRY_STRPTIME(regexp_extract(filename, '(\d{1,2}_\d{1,2}_\d{4})', 1),
+                                   '%m_%d_%Y') AS DATE) AS fdate
+      FROM t
+    ),
+    frame AS (
+      SELECT CAST(UNNEST(generate_series(DATE '2025-10-06', DATE '2025-10-12',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    )
+    SELECT f.day, strftime(f.day, '%A') AS weekday, COUNT(p.filename) AS n_transcripts
+    FROM frame f LEFT JOIN parsed p ON f.day = p.fdate
+    GROUP BY 1, 2
+    """,
+    survey_ids=("A13", "X13", "X7", "F4"),
+    description="Dashboard Mon..Sun frame join; empty days kept, unknown dates bucketed",
+)
+def dashboard_week_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dashboard import run_dashboard_week
+
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    transcripts = part.select(
+        F.when(k % 5 == 0, F.concat(F.lit("notes-"), k.cast("string"), F.lit(".md")))
+        .otherwise(
+            F.concat(
+                F.lit("call-10_"),
+                F.lpad((k % 7 + 3).cast("string"), 2, "0"),
+                F.lit("_2025.md"),
+            )
+        )
+        .alias("filename"),
+        F.lit("content").alias("content"),
+    )
+    config = {"transcripts": {"date_filter": {"start_date": "2025-10-06"}}}
+    result = run_dashboard_week(spark, transcripts, config)
+    return result.by_day.select("day", "weekday", "n_transcripts")
+
+
+# ---------------------------------------------------------------------------
+# Slack capture composite (J3/X4/A10/A18/F11/X16-X18): day-grouped,
+# thread-aware, sanitized markdown. Composite of several individually
+# oracle-checked operators → rows-only; semantics asserted in
+# tests/test_slack_pipeline.py.
+# ---------------------------------------------------------------------------
+@register(
+    "slack_capture_pipeline",
+    oracle=None,
+    survey_ids=("J3", "X4", "A10", "A18", "F11", "S10", "X16", "X17", "X18"),
+    description="Slack capture: mention-resolved, thread-grouped, sanitized markdown",
+)
+def slack_capture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.slack import SlackInputs, run_slack_capture
+
+    ev = load_table(spark, sf_dir, "events")
+    base_ts = 1_760_000_000  # epoch anchor; events spread over ~3 days
+    uid = (F.col("user_id") % 50).cast("string")
+    messages = ev.select(
+        F.concat(F.lit("C"), (F.col("event_id") % 4).cast("string")).alias("channel_id"),
+        F.format_string("%.6f", (F.lit(base_ts) + F.col("event_id") * 40).cast("double")).alias("ts"),
+        F.concat(F.lit("U"), uid).alias("user"),
+        F.concat(F.lit("saw "), F.col("event_type"), F.lit(" from <@U"), uid, F.lit(">")).alias("text"),
+        F.when(
+            F.col("event_id") % 6 == 1,
+            F.format_string("%.6f", (F.lit(base_ts) + (F.col("event_id") - 1) * 40).cast("double")),
+        ).alias("thread_ts"),
+        (F.col("event_id") % 3).cast("bigint").alias("reply_count"),
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.array(F.struct(F.lit("thumbsup").alias("name"), F.lit(2).cast("bigint").alias("count"))),
+        ).alias("reactions"),
+    )
+    users = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("U"), (F.col("c_custkey") % 50).cast("string")).alias("user_id"),
+        F.col("c_name").alias("display_name"),
+    ).dropDuplicates(["user_id"])
+    result = run_slack_capture(spark, SlackInputs(messages, users), {})
+    return result.day_messages

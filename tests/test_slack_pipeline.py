@@ -1,0 +1,98 @@
+"""Slack capture + dashboard pipeline semantics (SURVEY §3.3, A13).
+
+Covers: multi-mention resolution with raw-id fallback (J3), thread
+replies rendered under parents (F11/S10), day tumbling grouping (A10),
+reactions rollup (A18), sanitizer application (X16-X18), and the
+dashboard's Monday frame with empty days + unknown-date bucket.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.dashboard import run_dashboard_week
+from ai_coach_data_source_orchestrator_spark.pipeline.slack import SlackInputs, run_slack_capture
+
+DAY1_NOON = 1_760_011_200  # 2025-10-09 12:00:00 UTC
+DAY2_NOON = DAY1_NOON + 86_400
+
+
+@pytest.fixture(scope="module")
+def slack_result(spark):
+    messages = spark.createDataFrame(
+        [
+            # parent with two replies, a reaction, and two mentions
+            ("C1", f"{DAY1_NOON}.000100", "U1", "hey <@U2> and <@U9> check ```py\nx=1\n```", f"{DAY1_NOON}.000100", 2,
+             [("thumbsup", 2)]),
+            ("C1", f"{DAY1_NOON + 60}.000200", "U2", "on it", f"{DAY1_NOON}.000100", 0, None),
+            ("C1", f"{DAY1_NOON + 120}.000300", "U3", "token xoxb-123-abc done", f"{DAY1_NOON}.000100", 0, None),
+            # singleton, next day
+            ("C1", f"{DAY2_NOON}.000400", "U2", "new day standalone", None, 0, None),
+            # other channel
+            ("C2", f"{DAY1_NOON}.000500", "U9", "lonely", None, 0, None),
+        ],
+        "channel_id string, ts string, user string, text string, thread_ts string, "
+        "reply_count bigint, reactions array<struct<name string, count bigint>>",
+    )
+    users = spark.createDataFrame(
+        [("U1", "Ann Lee"), ("U2", "Bo Chen"), ("U3", "Cy Dee")],
+        "user_id string, display_name string",
+    )
+    return run_slack_capture(spark, SlackInputs(messages, users), {})
+
+
+def test_day_grouping_and_thread_counts(slack_result):
+    rows = {
+        (r["channel_id"], str(r["day"])): (r["n_messages"], r["n_threads"])
+        for r in slack_result.day_messages.collect()
+    }
+    assert rows[("C1", "2025-10-09")] == (3, 1)  # one thread of 3
+    assert rows[("C1", "2025-10-10")] == (1, 1)
+    assert rows[("C2", "2025-10-09")] == (1, 1)
+
+
+def test_mentions_replies_reactions_render(slack_result):
+    raw = {
+        (r["channel_id"], str(r["day"])): r["content_raw"]
+        for r in slack_result.rendered.collect()
+    }
+    c1 = raw[("C1", "2025-10-09")]
+    assert "@Bo Chen" in c1  # mention resolved
+    assert "@U9" in c1  # unknown mention falls back to raw id (J3)
+    assert "(:thumbsup:x2)" in c1  # A18
+    assert "    ↳ " in c1  # replies indented under parent
+    assert c1.index("Ann Lee") < c1.index("on it")  # parent first, ts order
+    assert "[12:0" in c1  # HH:mm prefix
+
+
+def test_sanitized_variant(slack_result):
+    san = {
+        (r["channel_id"], str(r["day"])): r["content_sanitized"]
+        for r in slack_result.rendered.collect()
+    }
+    c1 = san[("C1", "2025-10-09")]
+    assert "xoxb-" not in c1 and "[REDACTED SECRET]" in c1
+    assert "x=1" not in c1 and "[REDACTED CODE" in c1
+
+
+def test_dashboard_frame_empty_days_and_unknown(spark):
+    transcripts = spark.createDataFrame(
+        [
+            ("fathom-transcripts-2025-10-08T07_00_00+00_00.md", "a"),
+            ("call-10_08_2025.md", "b"),
+            ("call-10_11_2025.md", "c"),
+            ("mystery-notes.md", "d"),  # unparseable → unknown bucket
+            ("call-09_01_2025.md", "e"),  # outside week → not in frame
+        ],
+        "filename string, content string",
+    )
+    cfg = {"transcripts": {"date_filter": {"start_date": "2025-10-08"}}}  # Wed → Monday 10-06
+    res = run_dashboard_week(spark, transcripts, cfg)
+    rows = {str(r["day"]): (r["weekday"], r["n_transcripts"]) for r in res.by_day.collect()}
+    assert len(rows) == 7 and min(rows) == "2025-10-06" and max(rows) == "2025-10-12"
+    assert rows["2025-10-06"] == ("Monday", 0)  # empty day materialized
+    assert rows["2025-10-08"] == ("Wednesday", 2)
+    assert rows["2025-10-11"] == ("Saturday", 1)
+    assert [r["filename"] for r in res.unknown.collect()] == ["mystery-notes.md"]
+    assert '"unknownDate"' in res.datasource_text
+    assert "TRANSCRIPT_DATA_BY_DAY" in res.datasource_text
