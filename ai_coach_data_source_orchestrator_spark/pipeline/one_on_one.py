@@ -1,0 +1,179 @@
+"""1-on-1 datasource pipeline: the fuzzy member→document join (J10).
+
+Reference (datasource-generator/generate_datasources.js:238-353): for
+each team member, find their markdown report by (a) content match — an
+``**Employee**:``/``**Assignee**:`` header line whose value matches the
+member's full name, first+last tokens, or a configured alias (with NFKD
+de-accenting, generational-suffix stripping, word boundaries, and a
+≥4-letter guard on variations) — else (b) filename match requiring BOTH
+first and last name as word-bounded tokens.
+
+DataFrame restatement (SURVEY §2.4 J10 — "a normalized-key equi-join,
+not similarity scoring"): normalization collapses every non-alphanumeric
+run to a single space, so the reference's word-boundary regexes become
+token-boundary containment on padded strings — a broadcast theta-join
+on ``contains``, with an explicit match-rank column (content=1,
+filename=2) and first-file-wins determinism via min(filename) per rank.
+The document table is the big side and is never collected; the
+variation table is roster-sized and broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.names import strip_suffix_parts
+from ..sinks.render import render_python_datasource
+
+_SUFFIX_RE = r"(?i)\b(jr|sr|ii|iii|iv|v)\b\.?"
+
+
+def _norm_py(s: str) -> str:
+    s = "".join(c for c in unicodedata.normalize("NFKD", s or "") if not unicodedata.combining(c))
+    s = re.sub(_SUFFIX_RE, " ", s.lower())
+    return re.sub(r"[^a-z0-9]+", " ", s).strip()
+
+
+_ACCENTED = "áàâäãåāéèêëēíìîïīóòôöõōúùûüūçñýÿšžğ"
+_FOLDED = "aaaaaaaeeeeeiiiiioooooouuuuucnyyszg"
+
+
+def _norm_col(col: F.Column) -> F.Column:
+    # Column twin of _norm_py. De-accenting uses a translate table over
+    # the common Latin diacritics (the reference NFKD-folds; a full
+    # Unicode fold needs a UDF — names outside this set fall back to
+    # the first+last token rule, which drops the accented characters).
+    c = F.translate(F.lower(col), _ACCENTED, _FOLDED)
+    c = F.regexp_replace(c, _SUFFIX_RE, " ")
+    return F.trim(F.regexp_replace(c, r"[^a-z0-9]+", " "))
+
+
+def _pad(col: F.Column) -> F.Column:
+    return F.concat(F.lit(" "), col, F.lit(" "))
+
+
+def member_variations(members: list[str], mappings: dict | None = None) -> list[tuple]:
+    """(member, variation_norm) rows: full name, configured aliases and
+    fullName, first+last (suffix-stripped) — dash/underscore/space
+    variants collapse to one normalized form. ≥4-letter guard applied
+    to every variation (generate_datasources.js:291-293)."""
+    mappings = mappings or {}
+    rows = []
+    for m in members:
+        vars_: set[str] = {_norm_py(m)}
+        data = mappings.get(m)
+        if isinstance(data, dict):
+            for a in data.get("aliases") or []:
+                vars_.add(_norm_py(a))
+            if data.get("fullName"):
+                vars_.add(_norm_py(data["fullName"]))
+        first, last = strip_suffix_parts(m.strip().split())
+        if first and last and first != last:
+            vars_.add(_norm_py(f"{first} {last}"))
+        rows.extend(
+            (m, v) for v in vars_ if len(re.sub(r"[^a-z]", "", v)) >= 4
+        )
+        rows.append((m, f"\x01pair\x01{_norm_py(first)}\x01{_norm_py(last)}"))
+    return rows
+
+
+@dataclass
+class OneOnOneResult:
+    member_docs: DataFrame  # (member, filename, match_rank)
+    datasources: dict[str, str]  # member -> rendered datasource text
+
+
+def match_member_documents(
+    spark: SparkSession,
+    docs: DataFrame,  # (filename, content)
+    members: list[str],
+    mappings: dict | None = None,
+) -> DataFrame:
+    """→ (member, filename, match_rank): rank 1 = Employee/Assignee
+    content header match, rank 2 = filename first+last match; one row
+    per member (lowest rank, then lexicographic filename — the
+    reference's directory-order-first made deterministic)."""
+    var_rows = member_variations(members, mappings)
+    phrases = spark.createDataFrame(
+        [(m, v) for m, v in var_rows if not v.startswith("\x01")], "member string, phrase string"
+    )
+    pairs = spark.createDataFrame(
+        [
+            (m, v.split("\x01")[2], v.split("\x01")[3])
+            for m, v in var_rows
+            if v.startswith("\x01")
+        ],
+        "member string, first string, last string",
+    )
+
+    # Candidate name values from **Employee**:/Assignee: header lines.
+    header_val = F.regexp_extract(
+        F.col("line"), r"(?i)^(?:\*\*)?(?:Employee|Assignee)(?:\*\*)?:\s*(.+)$", 1
+    )
+    mentions = (
+        docs.select("filename", F.explode(F.split("content", "\n")).alias("line"))
+        .select("filename", header_val.alias("cand"))
+        .where(F.length("cand") > 0)
+        .select("filename", _pad(_norm_col(F.col("cand"))).alias("cand_p"))
+    )
+
+    by_phrase = mentions.join(
+        F.broadcast(phrases), F.col("cand_p").contains(_pad(F.col("phrase"))), "inner"
+    ).select("member", "filename")
+    by_pair = mentions.join(
+        F.broadcast(pairs),
+        F.col("cand_p").contains(_pad(F.col("first")))
+        & F.col("cand_p").contains(_pad(F.col("last"))),
+        "inner",
+    ).select("member", "filename")
+    content_matches = by_phrase.unionByName(by_pair).withColumn("match_rank", F.lit(1))
+
+    fname_p = _pad(_norm_col(F.col("filename")))
+    by_filename = (
+        docs.select("filename", fname_p.alias("fname_p"))
+        .join(
+            F.broadcast(pairs),
+            F.col("fname_p").contains(_pad(F.col("first")))
+            & F.col("fname_p").contains(_pad(F.col("last"))),
+            "inner",
+        )
+        .select("member", "filename")
+        .withColumn("match_rank", F.lit(2))
+    )
+
+    all_matches = content_matches.unionByName(by_filename)
+    w = Window.partitionBy("member").orderBy("match_rank", "filename")
+    return (
+        all_matches.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def run_one_on_one(
+    spark: SparkSession,
+    docs: DataFrame,
+    members: list[str],
+    mappings: dict | None = None,
+    generated_at: str = "1970-01-01T00:00:00Z",
+) -> OneOnOneResult:
+    """Per-member datasource emit (generate_datasources.js main flow):
+    each member's matched document becomes their DAILY_REPORTS_DATA."""
+    matched = match_member_documents(spark, docs, members, mappings)
+    with_content = matched.join(docs, "filename").select(
+        "member", "filename", "match_rank", "content"
+    )
+    rows = with_content.collect()  # roster-sized
+    datasources = {
+        r["member"]: render_python_datasource(
+            {"DAILY_REPORTS_DATA": r["content"]}, generated_at=generated_at
+        )
+        for r in rows
+    }
+    return OneOnOneResult(member_docs=matched, datasources=datasources)

@@ -198,3 +198,43 @@ def slack_capture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates(["user_id"])
     result = run_slack_capture(spark, SlackInputs(messages, users), {})
     return result.day_messages
+
+
+# ---------------------------------------------------------------------------
+# J10 — fuzzy member→document join (generate_datasources.js:238-353).
+# Docs and roster both derive from `customer`, so every roster member
+# has exactly one content match; the rich variants (aliases, token
+# reorder, suffixes, de-accenting, filename fallback) are asserted in
+# tests/test_one_on_one.py.
+# ---------------------------------------------------------------------------
+@register(
+    "j10_member_doc_join",
+    oracle=r"""
+    WITH docs AS (
+      SELECT 'report_' || CAST(c_custkey AS VARCHAR) || '.md' AS filename,
+             ' ' || regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g') || ' ' AS cand_p
+      FROM customer
+    ),
+    members AS (
+      SELECT c_name AS member,
+             ' ' || regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g') || ' ' AS phrase_p
+      FROM customer WHERE c_custkey % 100 = 3
+    )
+    SELECT m.member, MIN(d.filename) AS filename, 1 AS match_rank
+    FROM members m JOIN docs d ON contains(d.cand_p, m.phrase_p)
+    GROUP BY m.member
+    """,
+    survey_ids=("J10",),
+    description="Member→document join on normalized token-boundary containment",
+)
+def j10_member_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.one_on_one import match_member_documents
+
+    cust = load_table(spark, sf_dir, "customer")
+    docs = cust.select(
+        F.concat(F.lit("report_"), F.col("c_custkey").cast("string"), F.lit(".md")).alias("filename"),
+        F.concat(F.lit("# Report\n**Employee**: "), F.col("c_name"), F.lit("\n- work")).alias("content"),
+    )
+    members = [r["c_name"] for r in cust.where(F.col("c_custkey") % 100 == 3).collect()]
+    out = match_member_documents(spark, docs, members)
+    return out.select("member", "filename", F.col("match_rank").cast("int").alias("match_rank"))

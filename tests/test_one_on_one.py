@@ -1,0 +1,73 @@
+"""J10 fuzzy member→document join tests — mirrors the reference's
+matching rules (generate_datasources.js:238-353): content header match
+beats filename match, first+last tokens in any order, alias phrases,
+suffix stripping, de-accenting, ≥4-letter guard, and the no-match case.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.one_on_one import (
+    match_member_documents,
+    member_variations,
+    run_one_on_one,
+)
+
+DOCS = [
+    ("report_maria_garcia.md", "# Daily Reports\n**Employee**: María García\n- did stuff"),
+    ("report_2.md", "# Daily Reports\n**Assignee**: Tangpuz, Jolony Tim\n- other stuff"),
+    ("weekly-harold-inacay-notes.md", "# Notes\nno header lines here"),
+    ("report_king.md", "Employee: Martin Luther King Jr.\n- civil stuff"),
+    ("unrelated.md", "**Employee**: Somebody Else\n- nope"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "filename string, content string")
+
+
+def _match(spark, docs_df, members, mappings=None):
+    out = match_member_documents(spark, docs_df, members, mappings)
+    return {r["member"]: (r["filename"], r["match_rank"]) for r in out.collect()}
+
+
+def test_content_match_deaccent_and_reorder(spark, docs_df):
+    got = _match(spark, docs_df, ["Maria Garcia", "Jolony Tim Tangpuz"])
+    # de-accented content header matches plain-ASCII member name
+    assert got["Maria Garcia"] == ("report_maria_garcia.md", 1)
+    # 'Tangpuz, Jolony Tim' matches first+last tokens in any order
+    assert got["Jolony Tim Tangpuz"] == ("report_2.md", 1)
+
+
+def test_filename_fallback_needs_both_tokens(spark, docs_df):
+    got = _match(spark, docs_df, ["Harold Inacay", "Harold Smith"])
+    assert got["Harold Inacay"] == ("weekly-harold-inacay-notes.md", 2)
+    assert "Harold Smith" not in got  # first token alone is not enough
+
+
+def test_suffix_stripped_plain_header(spark, docs_df):
+    got = _match(spark, docs_df, ["Martin Luther King"])
+    assert got["Martin Luther King"] == ("report_king.md", 1)
+
+
+def test_alias_phrase_match(spark, docs_df):
+    mappings = {"Harold Inacay": {"aliases": ["Somebody Else"]}}
+    got = _match(spark, docs_df, ["Harold Inacay"], mappings)
+    # alias phrase content match (rank 1) beats the filename match (rank 2)
+    assert got["Harold Inacay"] == ("unrelated.md", 1)
+
+
+def test_variation_guard_drops_short_fragments():
+    rows = member_variations(["Rey Lee"], {"Rey Lee": {"aliases": ["Rey"]}})
+    phrases = [v for _, v in rows if not v.startswith("\x01")]
+    assert "rey lee" in phrases  # 6 letters → kept
+    assert "rey" not in phrases  # <4 letters → guarded out (J10 guards ALL variations)
+
+
+def test_datasource_emit(spark, docs_df):
+    res = run_one_on_one(spark, docs_df, ["Maria Garcia"], generated_at="2025-10-13")
+    assert set(res.datasources) == {"Maria Garcia"}
+    ds = res.datasources["Maria Garcia"]
+    assert 'DAILY_REPORTS_DATA = """' in ds and "did stuff" in ds
