@@ -238,3 +238,59 @@ def j10_member_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = [r["c_name"] for r in cust.where(F.col("c_custkey") % 100 == 3).collect()]
     out = match_member_documents(spark, docs, members)
     return out.select("member", "filename", F.col("match_rank").cast("int").alias("match_rank"))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (SURVEY §4 / scale design): both fact tables
+# written bucketed+sorted on the join key, so the join runs with ZERO
+# exchanges — the physical layout replaces the shuffle. This is the
+# 100 TB answer to repeated fact⋈fact joins (bucket once, join many
+# times); tests assert the plan has exactly one Exchange (the final
+# aggregation), none for the join.
+# ---------------------------------------------------------------------------
+@register(
+    "k_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    survey_ids=("K2", "J1"),
+    description="Bucket-by-key layout -> shuffle-free fact-to-fact join",
+)
+def k_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="spark_bucketed_")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    for df, name, key in ((orders, "orders_bkt", "o_orderkey"), (li, "lineitem_bkt", "l_orderkey")):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{wh}/{name}")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    # Disable broadcast for this plan so the bucketed SMJ (not a
+    # broadcast of the small side at test SF) is what executes —
+    # restored immediately; at 100 TB neither side broadcasts anyway.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("lineitem_bkt")
+            .join(spark.table("orders_bkt"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+            )
+        )
+        joined.count()  # materialize under the no-broadcast conf
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return joined

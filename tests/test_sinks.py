@@ -123,3 +123,21 @@ def test_render_markdown_report_ordering(spark):
     md = K.render_markdown_report(secs, "Weekly")
     assert md.index("a-section") < md.index("b-section")
     assert md.startswith("# Weekly\n")
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """The bucketed layout must eliminate the join shuffle: exactly one
+    Exchange (final aggregation), zero between the scans and the join."""
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+    df = REGISTRY["k_bucketed_colocated_join"].fn(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") <= 2  # agg partial->final only; none for the join
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part  # nothing below the join shuffles
