@@ -115,6 +115,10 @@ def validate_config(cfg: dict) -> None:
     shape/validity/ordering. Unknown keys are allowed (:109)."""
     dr = cfg.get("date_range") or cfg.get("dateRange")
     if dr is not None:
+        if not isinstance(dr, dict):
+            raise ConfigurationError(
+                f"date_range must be an object with start/end dates, got {type(dr).__name__}"
+            )
         start, end = dr.get("start_date") or dr.get("start"), dr.get("end_date") or dr.get("end")
         for label, v in (("start_date", start), ("end_date", end)):
             if v is not None and not _valid_iso_date(v):

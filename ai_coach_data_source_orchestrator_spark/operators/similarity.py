@@ -304,6 +304,73 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def _centroid_matrix(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    method: str = "sample",
+):
+    """Centroid set as a small driver-side numpy matrix (n_centroids × dim).
+
+    ``sample``: the lowest-id vectors — deterministic, no training pass.
+    ``kmeans``: pyspark.ml KMeans (fixed seed) — one extra bounded
+    training job over the corpus; better-balanced inverted lists, hence
+    better recall per probed list at real scale.
+    """
+    import numpy as np
+
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+        model = KMeans(k=n_centroids, seed=7, maxIter=10).fit(feats)
+        return np.array(model.clusterCenters(), dtype="float64")
+    rows = (
+        corpus.orderBy(id_col).limit(n_centroids).select(_as_double(F.col(vec_col)).alias("c"))
+    ).collect()
+    return np.array([list(r["c"]) for r in rows], dtype="float64")
+
+
+def _np_nearest_centroids_udf(cent_mat, n: int):
+    """Arrow-batched projection: top-``n`` centroid ids by cosine for
+    each vector, as one batch matmul against the (tiny, closure-carried)
+    centroid matrix. Ties break toward the lower centroid id (stable
+    argsort) — same ordering contract as a desc-sim/asc-cid rank."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+    C = cent_mat / np.maximum(np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def nearest(v: pd.Series) -> pd.Series:
+        M = np.stack(v.values)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T  # (batch, n_centroids)
+        order = np.argsort(-sims, kind="stable", axis=1)[:, :n].astype("int32")
+        return pd.Series(list(order))
+
+    return nearest
+
+
+def ivf_assign(df: DataFrame, vec_col: str, cent_mat, n: int, out_col: str = "cids") -> DataFrame:
+    """Attach the ``n`` nearest centroid ids as an array column.
+
+    Pure projection — no join, no window, no Exchange: each row is
+    scored against the broadcast-by-closure centroid matrix inside one
+    Arrow batch matmul. This is the scale-critical property: corpus
+    assignment touches each row exactly once where a cross-join +
+    row_number() form shuffles |corpus| × n_centroids rows. (IVF is a
+    rows-only path, so numpy summation order is acceptable — see
+    ``_np_cosine_udf``.)
+    """
+    nearest = _np_nearest_centroids_udf(cent_mat, n)
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -312,54 +379,36 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroid_method: str = "sample",
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
     ``n_centroids`` lists, search only the ``n_probe`` nearest lists per
     query.
 
-    Centroids here are a deterministic sample (the lowest-id vectors) —
-    at production scale swap in k-means centroids (pyspark.ml.KMeans)
-    without changing the plan shape: assignment is a broadcast join of
-    the centroid table against the corpus (one scan, no shuffle of the
-    corpus), the probe is an equi-join on centroid id. Corpus scan cost
-    per query drops to n_probe/n_centroids of the data; recall vs brute
-    force is measured in tests.
+    Plan shape: corpus assignment is a shuffle-free Arrow projection
+    (``ivf_assign``); the probe is a broadcast equi-join of the (small)
+    query side against the corpus on centroid id; the only shuffle is
+    the final per-query top-k window — the same one the exact
+    brute-force form needs. Corpus scan cost per query drops to
+    n_probe/n_centroids of the data; recall vs brute force is measured
+    in tests. ``centroid_method="kmeans"`` swaps in trained centroids
+    behind the same signature.
     """
-    spark = corpus.sparkSession
-    cent_rows = (
-        corpus.orderBy(id_col).limit(n_centroids).select(_as_double(F.col(vec_col)).alias("c"))
-    ).collect()
-    dim = len(cent_rows[0]["c"]) if cent_rows else None
-    # Centroid table as a broadcast DataFrame, not embedded literals —
-    # n_centroids*dim literal leaves previously cost seconds of pure
-    # Catalyst analysis per query at ANY data size.
-    cents = spark.createDataFrame(
-        [(i, list(r["c"])) for i, r in enumerate(cent_rows)], "cid int, cv array<double>"
-    )
-
-    def nearest(df: DataFrame, keep_col: str, vcol: str, n: int) -> DataFrame:
-        """Attach the n nearest centroid ids by cosine: broadcast
-        cross-join (|df| × n_centroids rows, map-side only) + per-row
-        rank — no shuffle of df beyond the rank window on its own key."""
-        w = Window.partitionBy(keep_col).orderBy(F.desc("c_sim"), F.asc("cid"))
-        return (
-            df.join(F.broadcast(cents))
-            .withColumn("c_sim", cosine_expr(vcol, "cv", dim))
-            .withColumn("c_rank", F.row_number().over(w))
-            .where(F.col("c_rank") <= n)
-            .drop("cv", "c_sim", "c_rank")
-        )
+    cent_mat = _centroid_matrix(corpus, id_col, vec_col, n_centroids, centroid_method)
+    dim = int(cent_mat.shape[1]) if cent_mat.size else None
 
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
-    c = nearest(c, "neighbor_id", "nv", 1)
+    c = ivf_assign(c, "nv", cent_mat, 1).withColumn("cid", F.col("cids")[0]).drop("cids")
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    q = nearest(q, "query_id", "qv", n_probe)
+    q = ivf_assign(q, "qv", cent_mat, n_probe).select(
+        "query_id", "qv", F.explode("cids").alias("cid")
+    )
     sim = cosine_expr("qv", "nv", dim)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        q.join(c, "cid")
+        c.join(F.broadcast(q), "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
         .withColumn("rank", F.row_number().over(w))

@@ -31,13 +31,18 @@ from pyspark.sql.window import Window
 from ..functions.names import strip_suffix_parts
 from ..sinks.render import render_python_datasource
 
-_SUFFIX_RE = r"(?i)\b(jr|sr|ii|iii|iv|v)\b\.?"
+# Generational suffixes are stripped ONLY from the trailing token — the
+# reference (generate_datasources.js:277-281) removes them from the
+# final name position, never mid-name, so a middle initial "V" or a
+# token like "II" inside a name survives ("John V Smith" → "john v
+# smith", "John Smith Jr." → "john smith").
+_TRAILING_SUFFIX_RE = r" (jr|sr|ii|iii|iv|v)$"
 
 
 def _norm_py(s: str) -> str:
     s = "".join(c for c in unicodedata.normalize("NFKD", s or "") if not unicodedata.combining(c))
-    s = re.sub(_SUFFIX_RE, " ", s.lower())
-    return re.sub(r"[^a-z0-9]+", " ", s).strip()
+    s = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+    return re.sub(_TRAILING_SUFFIX_RE, "", s)
 
 
 _ACCENTED = "áàâäãåāéèêëēíìîïīóòôöõōúùûüūçñýÿšžğ"
@@ -50,8 +55,8 @@ def _norm_col(col: F.Column) -> F.Column:
     # Unicode fold needs a UDF — names outside this set fall back to
     # the first+last token rule, which drops the accented characters).
     c = F.translate(F.lower(col), _ACCENTED, _FOLDED)
-    c = F.regexp_replace(c, _SUFFIX_RE, " ")
-    return F.trim(F.regexp_replace(c, r"[^a-z0-9]+", " "))
+    c = F.trim(F.regexp_replace(c, r"[^a-z0-9]+", " "))
+    return F.regexp_replace(c, _TRAILING_SUFFIX_RE, "")
 
 
 def _pad(col: F.Column) -> F.Column:

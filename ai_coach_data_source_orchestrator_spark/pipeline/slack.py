@@ -38,18 +38,30 @@ class SlackResult:
     rendered: DataFrame  # (channel_id, day, content_raw, content_sanitized)
 
 
-def resolve_mentions(messages: DataFrame, user_map: DataFrame, text_col: str = "text") -> DataFrame:
+def resolve_mentions(
+    messages: DataFrame,
+    user_map: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("channel_id", "ts"),
+) -> DataFrame:
     """J3 — rewrite every ``<@U…>`` to @DisplayName (fallback: raw id,
     slack/lib/format.js:29-33). Extract mentions → explode → broadcast
     join → fold replacements back over the text. Handles any number of
-    mentions per message without per-user expressions."""
-    with_id = messages.withColumn("__msg_id", F.monotonically_increasing_id())
+    mentions per message without per-user expressions.
+
+    The explode branch and the final join are keyed by the natural
+    Slack message key ``(channel_id, ts)`` — NOT a synthetic
+    ``monotonically_increasing_id``, which is nondeterministic across
+    recomputations of an uncached lineage (e.g. after a task retry or a
+    round-robin repartition upstream) and could attach replacements to
+    the wrong messages."""
+    keys = list(key_cols)
     mentions = (
-        with_id.select(
-            "__msg_id", F.explode(F.expr(f"regexp_extract_all({text_col}, '<@(U[A-Z0-9]+)>', 1)")).alias("uid")
+        messages.select(
+            *keys, F.explode(F.expr(f"regexp_extract_all({text_col}, '<@(U[A-Z0-9]+)>', 1)")).alias("uid")
         )
         .join(F.broadcast(user_map), F.col("uid") == F.col("user_id"), "left")
-        .groupBy("__msg_id")
+        .groupBy(*keys)
         .agg(
             F.collect_list(
                 F.struct(
@@ -64,11 +76,7 @@ def resolve_mentions(messages: DataFrame, user_map: DataFrame, text_col: str = "
         F.col(text_col),
         lambda acc, p: F.replace(acc, p["pat"], p["sub"]),
     )
-    return (
-        with_id.join(mentions, "__msg_id", "left")
-        .withColumn(text_col, folded)
-        .drop("__msg_id", "pairs")
-    )
+    return messages.join(mentions, keys, "left").withColumn(text_col, folded).drop("pairs")
 
 
 def reactions_rollup(reactions_col: str = "reactions") -> F.Column:

@@ -171,9 +171,15 @@ def run_weekly_digest(
                 F.concat(F.lit("### "), F.col("status_c"), F.lit("\n"), F.col("block")), jira_host
             ).alias("content"),
             "status_rank",
+            "status_c",
         )
     )
-    jira_md = "\n\n".join(r["content"] for r in status_blocks.orderBy("status_rank").collect())
+    # Tie-break non-canonical statuses (same fallback rank) by name so
+    # the rendered section order — and hence content_hash — is
+    # deterministic across runs (K8/X15 idempotent-upsert contract).
+    jira_md = "\n\n".join(
+        r["content"] for r in status_blocks.orderBy("status_rank", "status_c").collect()
+    )
 
     # --- Daily-reports vertical (F1/A11/X5) -------------------------------
     daily = inputs.daily_reports.where(F.col("report_date").between(F.lit(start), F.lit(end)))

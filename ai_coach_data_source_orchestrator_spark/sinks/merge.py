@@ -10,11 +10,14 @@ db/schema.js:45, 65, 130):
 
 Spark restatement: MERGE INTO on Delta when available; this container
 has no Delta, so ``upsert_parquet`` implements the same semantics on
-plain parquet — read current, anti-join+union new, latest-wins by a
-monotonic version column, rewrite. The rewrite is atomic-by-rename at
-the directory level; at real scale use Delta/Iceberg MERGE with the
-same key columns (the keys, not the mechanism, are the contract) and
-partition the table so a merge rewrites only touched partitions.
+plain parquet — read current, union new, latest-wins by a monotonic
+version column, write to a staging directory, then atomically swap the
+staging dir into place (Hadoop FileSystem rename). The merged plan
+never writes the path it reads, so there is no read-then-overwrite
+hazard and no reliance on cache pinning. At real scale use
+Delta/Iceberg MERGE with the same key columns (the keys, not the
+mechanism, are the contract) and partition the table so a merge
+rewrites only touched partitions.
 
 Idempotency: re-running the same batch yields an identical table
 (content-hash keys make duplicate inserts no-ops) — mirrored in
@@ -50,7 +53,15 @@ def upsert_parquet(
 ) -> DataFrame:
     """MERGE-emulation on parquet: existing ∪ updates → latest-wins on
     ``keys``. Returns the merged table (also rewritten at table_path).
+
+    Atomicity: the merged result is written to ``<path>.__staging__``
+    (a different directory than the one being read), then swapped in
+    via two directory renames — current → ``.__backup__``, staging →
+    current — and the backup is dropped. A crash mid-swap leaves either
+    the old table or the complete new one plus a recoverable backup;
+    it can never expose a half-written table to the merge's own scan.
     """
+    table_path = table_path.rstrip("/")
     spark.catalog.refreshByPath(table_path)  # drop stale file-listing cache
     try:
         current = spark.read.parquet(table_path)
@@ -58,18 +69,33 @@ def upsert_parquet(
     except Exception:  # first write — table does not exist yet
         staged = updates
     merged = latest_wins(staged, keys, version_col)
-    # Materialize before overwrite: the plan reads the same path it
-    # rewrites, so collect to driver only if tiny — otherwise stage via
-    # a temp dir. Warehouse tables here are small-by-construction
-    # (report-level rows); at scale this is exactly what Delta MERGE
-    # replaces.
-    merged.cache()
-    merged.count()
-    merged.write.mode("overwrite").parquet(table_path)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    dest = HPath(table_path)
+    fs = dest.getFileSystem(hconf)
+    staging = HPath(table_path + ".__staging__")
+    backup = HPath(table_path + ".__backup__")
+    fs.delete(staging, True)
+    fs.delete(backup, True)
+
+    # Write the full merge to staging: the plan reads table_path and
+    # writes a *different* directory, so the scan is never invalidated.
+    merged.write.mode("overwrite").parquet(staging.toString())
+
+    if fs.exists(dest):
+        if not fs.rename(dest, backup):
+            raise IOError(f"upsert_parquet: could not move {table_path} aside")
+    if not fs.rename(staging, dest):
+        # restore the old table before failing
+        if fs.exists(backup):
+            fs.rename(backup, dest)
+        raise IOError(f"upsert_parquet: could not publish staging for {table_path}")
+    fs.delete(backup, True)
+
     spark.catalog.refreshByPath(table_path)
-    out = spark.read.parquet(table_path)
-    merged.unpersist()
-    return out
+    return spark.read.parquet(table_path)
 
 
 def lineage_links(report_rows: DataFrame, source_cols: tuple[str, ...]) -> DataFrame:

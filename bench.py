@@ -68,20 +68,26 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
-    # Best-of-2 per query (pyperf/JMH practice): the first run carries
-    # one-time codegen/janino compilation and py4j plan construction;
-    # the second measures steady-state throughput, which is what scales
-    # to a long-running cluster job. Reported value = min of the two.
+    # Two runs per query (pyperf/JMH practice): the first ("cold")
+    # carries one-time codegen/janino compilation and py4j plan
+    # construction; the second ("warm") measures steady-state
+    # throughput, which is what scales to a long-running cluster job.
+    # The headline value remains min-of-2 (warm, comparable to r01);
+    # both cold and warm are recorded so a single-shot cost is visible.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     total = 0.0
     for name in names:
         spec = REGISTRY[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        dt = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        warm[name] = round(runs[1], 3)
+        dt = round(min(runs), 3)
         timings[name] = dt
         total += dt
 
@@ -92,6 +98,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "queries_warm": warm,
+                "cold_total": round(sum(cold.values()), 3),
+                "methodology": "value=min(cold,warm) per query; cold=first run incl. codegen",
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

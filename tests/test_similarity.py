@@ -74,6 +74,40 @@ def test_ivf_rank1_is_planted_duplicate(neardup_corpus):
     assert got == {i: 1000 + i for i in range(10)}
 
 
+def test_ivf_assign_plan_has_no_exchange(neardup_corpus):
+    """Scale contract: corpus→centroid assignment is a pure Arrow
+    projection — no Exchange (shuffle), no join, no window. The old
+    cross-join + row_number form shuffled |corpus| × n_centroids rows."""
+    cent_mat = S._centroid_matrix(neardup_corpus, "vec_id", "embedding", 8)
+    assigned = S.ivf_assign(
+        neardup_corpus.select("vec_id", S._as_double(F.col("embedding")).alias("v")),
+        "v",
+        cent_mat,
+        1,
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+    # every row gets exactly one centroid id in [0, 8)
+    rows = assigned.collect()
+    assert len(rows) == neardup_corpus.count()
+    assert all(len(r["cids"]) == 1 and 0 <= r["cids"][0] < 8 for r in rows)
+
+
+def test_ivf_kmeans_centroids_recall(neardup_corpus):
+    """KMeans centroids behind the same signature: recall at 4/8 probes
+    should be at least as good as the sampled-centroid default."""
+    queries = neardup_corpus.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(neardup_corpus, queries, k=5)
+    approx = S.ivf_topk(
+        neardup_corpus, queries, k=5, n_centroids=8, n_probe=4, centroid_method="kmeans"
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF-kmeans recall {recall}"
+
+
 def test_hyperplane_seed_independence():
     p0 = S._hyperplane(0, 16, seed=0)
     p1 = S._hyperplane(0, 16, seed=1)

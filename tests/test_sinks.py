@@ -78,6 +78,34 @@ def test_latest_wins_tie_and_order():
     pass  # covered by test_upsert_parquet (window semantics)
 
 
+def test_upsert_parquet_atomic_no_cache_reliance(spark, tmp_path, monkeypatch):
+    """The merge must not depend on cache pinning (evictable) and must
+    clean up its staging/backup directories after the atomic swap."""
+    import os
+
+    from pyspark.sql import DataFrame
+
+    def _no_cache(self, *a, **k):
+        raise AssertionError("upsert_parquet must not rely on cache/persist")
+
+    monkeypatch.setattr(DataFrame, "cache", _no_cache)
+    monkeypatch.setattr(DataFrame, "persist", _no_cache)
+
+    path = str(tmp_path / "generated_reports")
+    keys = K.UPSERT_KEYS["generated_reports"]
+    schema = "team_id int, report_type_id int, content_hash string, body string, version int"
+    b1 = spark.createDataFrame([(1, 1, "h1", "a", 1), (1, 2, "h2", "b", 1)], schema)
+    b2 = spark.createDataFrame([(1, 1, "h1", "a2", 2), (2, 1, "h3", "c", 2)], schema)
+    K.upsert_parquet(spark, path, b1, keys, "version")
+    merged = K.upsert_parquet(spark, path, b2, keys, "version")
+    rows = {(r.team_id, r.report_type_id, r.content_hash): r.body for r in merged.collect()}
+    assert rows == {(1, 1, "h1"): "a2", (1, 2, "h2"): "b", (2, 1, "h3"): "c"}
+    assert not os.path.exists(path + ".__staging__")
+    assert not os.path.exists(path + ".__backup__")
+    # the published table survives a fresh cold read
+    assert spark.read.parquet(path).count() == 3
+
+
 def test_lineage_links_exactly_one_source(spark):
     rows = spark.createDataFrame(
         [
