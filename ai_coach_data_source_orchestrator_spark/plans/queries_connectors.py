@@ -97,6 +97,10 @@ def s1_jira_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             if nxt < len(issues):
                 body["nextPageToken"] = str(nxt)
             return 200, {}, body
+        if url.endswith("/search"):  # classic offset endpoint (parallel S1)
+            start = int(params.get("startAt") or 0)
+            page = issues[start : start + params["maxResults"]]
+            return 200, {}, {"issues": page, "total": len(issues)}
         if url.endswith("/comment"):
             key = url.rsplit("/", 2)[-2]
             rows = comments.get(key, [])
@@ -107,7 +111,10 @@ def s1_jira_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         return 404, {}, None
 
-    issues_df = rest.jira_issue_search(spark, transport, _BASE, "SUP", "2024-01-01")
+    # Parallel S1: probe total once, then page offsets fan out over
+    # bounded mapInPandas partitions — issues never accumulate on the
+    # driver (the serial cursor form is unit-tested in test_sources.py).
+    issues_df = rest.jira_issue_search_pages(spark, transport, _BASE, "SUP", "2024-01-01")
     comments_df = rest.jira_comments_fanout(spark, transport, _BASE, issues_df.select("key"))
 
     per_issue = comments_df.groupBy("issue_key").agg(F.count("*").alias("n_comments"))

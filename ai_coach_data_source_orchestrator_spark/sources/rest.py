@@ -155,6 +155,60 @@ def jira_issue_search(
     return spark.createDataFrame(rows, JIRA_ISSUE_SCHEMA)
 
 
+def jira_issue_search_pages(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    project: str,
+    updated_since: str,
+    page_size: int = 50,
+    concurrency: int = 5,
+) -> DataFrame:
+    """S1 scale path — partition-per-page offset reader
+    (SURVEY §2.1 S1; jira/export-to-csv.js:230-272).
+
+    The cursor-token endpoint chains pages and forces a serial loop
+    (``jira_issue_search`` above). The classic ``/rest/api/3/search``
+    endpoint exposes ``startAt``/``total`` offset pagination, which IS
+    independently fetchable: the driver issues ONE probe request
+    (``maxResults=0``) for the total, builds a page-spec DataFrame of
+    start offsets, and fans the fetches out over ``concurrency``
+    bounded ``mapInPandas`` partitions — the same worker-pool shape as
+    ``_fanout``. Issue rows materialize on executors, never the driver,
+    so issue volume bounds executor memory, not driver memory.
+    """
+    import pandas as pd
+
+    jql = f"project = {project} AND updated >= {updated_since} ORDER BY updated DESC"
+    url = f"{base_url}/rest/api/3/search"
+    probe = request_with_retry(
+        transport, "POST", url, {"jql": jql, "maxResults": 0, "startAt": 0}
+    )
+    total = int((probe or {}).get("total") or 0)
+    if total == 0:
+        return spark.createDataFrame([], JIRA_ISSUE_SCHEMA)
+
+    specs = spark.createDataFrame(
+        [(o,) for o in range(0, total, page_size)], "start_at bigint"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.split(" ")[0] for f in JIRA_ISSUE_SCHEMA.split(", ")]
+        for b in batches:
+            out: list[dict] = []
+            for start in b["start_at"]:
+                body = request_with_retry(
+                    transport, "POST", url,
+                    {"jql": jql, "maxResults": page_size, "startAt": int(start),
+                     "fields": ["*all"]},
+                )
+                out.extend(_flatten_issue(i) for i in (body or {}).get("issues", []))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    n = max(1, min(concurrency, 20))  # reference pool cap (changelog-client.js:160)
+    return specs.repartition(n).mapInPandas(run, JIRA_ISSUE_SCHEMA)
+
+
 def _fanout(
     spark: SparkSession,
     keys: DataFrame,

@@ -76,6 +76,51 @@ def test_jira_issue_search_paginates_and_flattens(spark):
     assert rows["ENG-2"]["parent_key"] == "ENG-1"
 
 
+def _jira_offset_server(n_issues: int, page_size_seen: list = None):
+    issues = [
+        {"key": f"ENG-{i}", "fields": {"summary": f"s{i}", "status": {"name": "Done"}}}
+        for i in range(n_issues)
+    ]
+
+    def transport(method, url, params):
+        assert url.endswith("/search")
+        start = int(params.get("startAt") or 0)
+        page = issues[start : start + params["maxResults"]] if params["maxResults"] else []
+        return 200, {}, {"issues": page, "total": len(issues)}
+
+    return transport
+
+
+def test_jira_issue_search_pages_is_distributed(spark, monkeypatch):
+    """S1 scale contract: page fetches run on executors across >1
+    partition; the driver never materializes a full-result list
+    (createDataFrame is only ever called with the tiny offset specs)."""
+    import ai_coach_data_source_orchestrator_spark.sources.rest as rest_mod
+
+    seen_driver_rows = []
+    real_create = spark.createDataFrame
+
+    def spy(data, schema=None, **kw):
+        seen_driver_rows.append(sum(1 for _ in data) if isinstance(data, list) else 0)
+        return real_create(data, schema, **kw)
+
+    monkeypatch.setattr(spark, "createDataFrame", spy)
+    df = rest_mod.jira_issue_search_pages(
+        spark, _jira_offset_server(137), BASE, "ENG", "2025-01-01", page_size=10, concurrency=4
+    )
+    assert df.rdd.getNumPartitions() == 4  # bounded pool, >1 partition
+    rows = df.collect()
+    assert len(rows) == 137
+    assert {r["key"] for r in rows} == {f"ENG-{i}" for i in range(137)}
+    # driver-side createDataFrame only saw the 14 offset-spec rows
+    assert max(seen_driver_rows) <= 14
+
+
+def test_jira_issue_search_pages_empty(spark):
+    df = R.jira_issue_search_pages(spark, _jira_offset_server(0), BASE, "ENG", "2025-01-01")
+    assert df.count() == 0 and "custom_fields" in df.columns
+
+
 # ---------------------------------------------------------------------------
 # Jira S2/S3: bounded fan-out over issue keys
 # ---------------------------------------------------------------------------
