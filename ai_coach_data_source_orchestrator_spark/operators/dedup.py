@@ -134,6 +134,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH candidates, exact-Jaccard verified.
 
@@ -143,10 +144,22 @@ def minhash_lsh_pairs(
          3-column frame, not of the documents;
       3. self-join on (band, band_hash): shuffle is keyed by band hash,
          which is uniform unless the corpus is pathologically repetitive
-         (AQE skew-join handles the dup-heavy case);
+         (AQE skew-join handles moderate skew);
       4. distinct candidate pairs, then one more join back to shingle
          sets for exact verification — candidates ≪ n², so this join is
          output-sized.
+
+    Skew guard: a bucket with m members yields m²/2 candidate pairs, so
+    one flood of near-identical documents (the classic web-crawl
+    boilerplate case) turns the band self-join into a quadratic hot key
+    that AQE can split across tasks but cannot shrink. With
+    ``max_bucket_size`` set, oversized buckets are dropped before the
+    self-join via a broadcast anti-join of just the hot (band, hash)
+    keys — the standard production LSH cap. The recall cost is
+    deliberate and bounded: a bucket only exceeds the cap when its
+    documents are overwhelmingly mutual duplicates, which the cheap
+    exact/fingerprint dedup pass (dedup.py:55,64) already collapses
+    upstream; LSH's job is the NEAR-dup tail.
     """
     rows_per_band = num_perm // bands
     s = _stage(_shingle_sets(df, text_col, id_col, k).where(F.size("sh") > 0))
@@ -160,19 +173,34 @@ def minhash_lsh_pairs(
     exploded = s.select("doc_id", F.explode("sh").alias("g")).select(
         "doc_id", F.xxhash64("g").alias("hg")
     )
-    sig = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("hg"), F.lit(p))).alias(f"m{p}") for p in range(num_perm)]
-    )
+    # Single-F.expr forms (see simhash): num_perm min-aggregates and the
+    # per-band re-hash each cost hundreds of py4j round-trips as Column
+    # objects — seconds of driver-side plan construction per call.
+    mins = ", ".join(f"min(xxhash64(hg, {p}))" for p in range(num_perm))
+    sig = exploded.groupBy("doc_id").agg(F.expr(f"array({mins})").alias("ms"))
 
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)])
+    band_hashes = F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64("
+            + ", ".join(f"ms[{b * rows_per_band + r}]" for r in range(rows_per_band))
+            + ")"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     # banded is tiny (3 longs × bands per doc) and feeds BOTH sides of
     # the self-join — persist so the signature aggregation runs once.
     banded = _stage(sig.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash")))
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("__bs"))
+            .where(F.col("__bs") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        # only the (few) oversized buckets are broadcast, never the data
+        banded = banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     candidates = (
@@ -212,19 +240,20 @@ def simhash(
         .select("doc_id", F.explode("sh").alias("tok"))
         .select("doc_id", F.xxhash64("tok").alias("h"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
-            F.lit(0).cast("bigint")
+    # Both wide expressions are built as ONE F.expr string each: the
+    # Column-API form (64 sum(when(...)) objects + a 64-term bitwiseOR
+    # chain) cost ~1.5 s of pure py4j plan construction per call —
+    # 4× the actual execution time at sf0.1.
+    bit_sums = ", ".join(
+        f"sum(if((shiftright(h, {b}) & 1) = 1, 1, -1))" for b in range(64)
+    )
+    agg = toks.groupBy("doc_id").agg(F.expr(f"array({bit_sums})").alias("bs"))
+    sim = F.expr(
+        " | ".join(
+            f"IF(bs[{b}] > 0, SHIFTLEFT(CAST(1 AS BIGINT), {b}), CAST(0 AS BIGINT))"
+            for b in range(64)
         )
-        sim = bit if sim is None else sim.bitwiseOR(bit)
+    )
     return agg.select("doc_id", sim.alias("simhash"))
 
 

@@ -1,0 +1,310 @@
+"""Epic-tree nested markdown render + changelog injection (J6/J8).
+
+Reference: ``jira/build-epic-tree.js`` — ``formatEpicSection`` (:522-550)
+renders epic → ``### Children`` → per-child ``formatIssueFull`` (:494-520)
+→ ``#### Subtasks`` → per-subtask ``formatIssueFull``, with subtasks
+deduplicated by key within their parent (:655-662) — and
+``jira/append-changelog-to-epic-tree.js`` — ``injectChangelog`` (:30-51)
+inserts a ``##### Changelog`` block immediately after every
+``###``/``####`` heading that carries an issue key, with per-history
+date+author bullet groups from ``jira/lib/changelog-markdown.js``
+(``getChangelogBullets`` :60-105).
+
+Spark restatement — everything is DataFrame lineage until one markdown
+string per epic:
+
+- the tree is two self-joins on ``parent_key`` (children of epics,
+  subtasks of children) — the J5 family, no recursion needed because the
+  reference hierarchy is fixed at three levels;
+- per-issue blocks are column expressions; per-parent nesting is
+  ``collect_list`` + ``array_sort`` (key order — deterministic where the
+  reference inherits API order) + ``array_join``. The only shuffles are
+  the per-parent and per-epic groupings, keyed by bounded keys, and only
+  rendered strings move — never the issue rows themselves twice;
+- changelog injection is line-level and distributed: ``posexplode`` the
+  markdown's lines, regexp-extract the heading key, broadcast-join the
+  per-issue bullet blocks, reassemble with an ordered aggregate. No
+  driver-side line loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEADING_KEY_RE = r"^#{3,4} \[([A-Z][A-Z0-9]+-[0-9]+)\]"
+
+
+def _info_lines(pairs: list[tuple[str, Column]]) -> Column:
+    """``**Label**: value  `` lines, null/empty entries dropped — the
+    ``.filter(i => i.value)`` idiom of formatKeyInfoLines (:407-419)."""
+    cells = [
+        F.when(
+            c.isNotNull() & (c.cast("string") != ""),
+            F.concat(F.lit(f"**{label}**: "), c.cast("string"), F.lit("  ")),
+        )
+        for label, c in pairs
+    ]
+    return F.array_join(F.filter(F.array(*cells), lambda x: x.isNotNull()), "\n")
+
+
+def issue_block(comments_md: Column | None = None) -> Column:
+    """formatIssueFull (:494-520) over the flattened issue schema:
+    ``#### [KEY] summary`` + key-info lines + optional comments section
+    + ``---`` separator. Operates on columns named key/summary/status/
+    assignee/issue_type/created/updated."""
+    header = F.concat(
+        F.lit("#### ["), F.col("key"), F.lit("] "),
+        F.coalesce(F.col("summary"), F.lit("Untitled")),
+    )
+    info = _info_lines(
+        [
+            ("Type", F.col("issue_type")),
+            ("Status", F.col("status")),
+            ("Assignee", F.col("assignee")),
+            ("Created", F.col("created").cast("date").cast("string")),
+            ("Updated", F.col("updated").cast("date").cast("string")),
+        ]
+    )
+    parts = [
+        header,
+        F.lit("\n\n"),
+        F.when(info != "", F.concat(info, F.lit("\n\n"))).otherwise(F.lit("")),
+    ]
+    if comments_md is not None:
+        parts.append(F.coalesce(comments_md, F.lit("")))
+    parts.append(F.lit("---\n\n"))
+    return F.concat(*parts)
+
+
+def comments_section(comments: DataFrame, key_col: str = "issue_key") -> DataFrame:
+    """Per-issue ``##### Comments`` block (formatCommentsSection
+    :478-492): 1-indexed, chronological; ``(issue_key, comments_md)``."""
+    author = F.col("author") if "author" in comments.columns else F.lit(None).cast("string")
+    entry = F.struct(
+        F.col("created").alias("c"),
+        F.coalesce(author, F.lit("Unknown")).alias("a"),
+        F.coalesce(F.col("body"), F.lit("")).alias("b"),
+    )
+
+    def render(e: Column, i: Column) -> Column:
+        return F.concat(
+            F.lit("**Comment "), (i + 1).cast("string"), F.lit("** by "), e["a"],
+            F.lit(" on "), e["c"].cast("date").cast("string"), F.lit(":\n\n"),
+            e["b"], F.lit("\n\n"),
+        )
+
+    return (
+        comments.groupBy(F.col(key_col).alias("__ck"))
+        .agg(
+            F.concat(
+                F.lit("##### Comments\n\n"),
+                F.array_join(F.transform(F.array_sort(F.collect_list(entry)), render), ""),
+            ).alias("comments_md")
+        )
+        .withColumnRenamed("__ck", key_col)
+    )
+
+
+def render_epic_tree(issues: DataFrame, comments: DataFrame | None = None) -> DataFrame:
+    """(epic_key, markdown): one nested epic→children→subtasks section
+    per epic (formatEpicSection :522-550; assembly loop :607-677).
+
+    ``issues`` is the flattened S1 schema (key, summary, status,
+    assignee, issue_type, parent_key, created, updated). Children are
+    issues whose parent is an epic; subtasks are issues whose parent is
+    a child — each level a broadcast-friendly self-equi-join. Subtasks
+    dedup by (parent, key) the way the reference dedups its fetch list
+    (:655-662); children and subtasks order by key.
+    """
+    # Normalize optional columns: missing fields render as absent lines,
+    # the way the reference's `.filter(i => i.value)` drops them.
+    for opt in ("summary", "status", "assignee", "created", "updated"):
+        if opt not in issues.columns:
+            issues = issues.withColumn(opt, F.lit(None).cast("string"))
+
+    cmd = None
+    if comments is not None:
+        cmd = comments_section(comments)
+
+    def with_comments(df: DataFrame) -> tuple[DataFrame, Column | None]:
+        if cmd is None:
+            return df, None
+        joined = df.join(cmd, df.key == cmd.issue_key, "left").drop("issue_key")
+        return joined, F.col("comments_md")
+
+    epics = issues.where(F.col("issue_type") == "Epic")
+    epic_keys = epics.select(F.col("key").alias("epic_key"))
+    children = issues.join(
+        epic_keys, issues.parent_key == epic_keys.epic_key, "inner"
+    ).drop("epic_key")
+    child_keys = children.select(F.col("key").alias("child_key"))
+    subtasks = (
+        issues.join(child_keys, issues.parent_key == child_keys.child_key, "inner")
+        .drop("child_key")
+        .where(F.col("issue_type") != "Epic")
+        .dropDuplicates(["parent_key", "key"])
+    )
+
+    st, st_cmd = with_comments(subtasks)
+    st_sections = (
+        st.select(
+            F.col("parent_key").alias("st_parent"),
+            F.struct("key", issue_block(st_cmd).alias("b")).alias("t"),
+        )
+        .groupBy("st_parent")
+        .agg(
+            F.concat(
+                F.lit("#### Subtasks\n\n"),
+                F.array_join(F.transform(F.array_sort(F.collect_list("t")), lambda t: t["b"]), ""),
+            ).alias("subtasks_md")
+        )
+    )
+
+    ch, ch_cmd = with_comments(children)
+    ch = ch.join(st_sections, ch.key == st_sections.st_parent, "left").drop("st_parent")
+    child_block = F.concat(issue_block(ch_cmd), F.coalesce(F.col("subtasks_md"), F.lit("")))
+    children_md = (
+        ch.select(
+            F.col("parent_key").alias("epic_key"),
+            F.struct("key", child_block.alias("b")).alias("t"),
+        )
+        .groupBy("epic_key")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("t")), lambda t: t["b"]), ""
+            ).alias("children_md")
+        )
+    )
+
+    epic_info = _info_lines(
+        [
+            ("Status", F.col("status")),
+            ("Assignee", F.col("assignee")),
+            ("Created", F.col("created").cast("date").cast("string")),
+            ("Updated", F.col("updated").cast("date").cast("string")),
+        ]
+    )
+    return (
+        epics.join(children_md, epics.key == children_md.epic_key, "left")
+        .select(
+            F.col("key").alias("epic_key"),
+            F.concat(
+                F.lit("## ["), F.col("key"), F.lit("] "),
+                F.coalesce(F.col("summary"), F.lit("Untitled Epic")),
+                F.lit("\n\n"),
+                F.when(epic_info != "", F.concat(epic_info, F.lit("\n\n"))).otherwise(F.lit("")),
+                F.lit("### Children\n\n"),
+                F.coalesce(F.col("children_md"), F.lit("")),
+            ).alias("markdown"),
+        )
+    )
+
+
+def compact_change_line() -> Column:
+    """X21 compact change-item summary (changelog-flatten.js:81-148)
+    over columns field/from_string/to_string — shared with the weekly
+    pipeline render."""
+    return (
+        F.when(
+            F.col("field") == "status",
+            F.concat(
+                F.lit("Status: "), F.coalesce("from_string", F.lit("?")),
+                F.lit(" → "), F.coalesce("to_string", F.lit("?")),
+            ),
+        )
+        .when(
+            F.col("field") == "assignee",
+            F.concat(F.lit("Assignee: → "), F.coalesce("to_string", F.lit("Unassigned"))),
+        )
+        .when(
+            F.col("field") == "description",
+            F.concat(
+                F.lit("Description updated ("),
+                F.length(F.coalesce("to_string", F.lit(""))).cast("string"),
+                F.lit(" chars)"),
+            ),
+        )
+        .otherwise(F.concat(F.initcap("field"), F.lit(": "), F.coalesce("to_string", F.lit("?"))))
+    )
+
+
+def changelog_bullets(changelogs: DataFrame, end_date: str | None = None) -> DataFrame:
+    """(issue_key, bullets_md): per-history ``date author`` header +
+    ``- item`` lines, chronological, F10 end-date cutoff — the
+    getChangelogBullets block format (changelog-markdown.js:60-105).
+    Groups join with a blank line."""
+    ch = changelogs
+    if end_date is not None:
+        ch = ch.where(F.col("created").cast("date") <= F.lit(end_date))
+    item = F.struct(F.col("field").alias("f"), compact_change_line().alias("l"))
+    groups = (
+        ch.groupBy("issue_key", "history_id")
+        .agg(
+            F.min("created").alias("created"),
+            F.min("author").alias("author"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(item)), lambda i: F.concat(F.lit("- "), i["l"])),
+                "\n",
+            ).alias("items_md"),
+        )
+        .select(
+            "issue_key",
+            F.struct(
+                "created",
+                "history_id",
+                F.concat(
+                    F.col("created").cast("date").cast("string"), F.lit(" "),
+                    F.coalesce("author", F.lit("Unknown")), F.lit("\n"), F.col("items_md"),
+                ).alias("block"),
+            ).alias("g"),
+        )
+    )
+    return (
+        groups.groupBy("issue_key")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("g")), lambda g: g["block"]), "\n\n"
+            ).alias("bullets_md")
+        )
+    )
+
+
+def inject_changelog(
+    tree: DataFrame,
+    bullets: DataFrame,
+    doc_col: str = "epic_key",
+    md_col: str = "markdown",
+) -> DataFrame:
+    """J8 — insert ``##### Changelog`` + bullets after every ``### [KEY]``
+    / ``#### [KEY]`` heading whose key has bullets
+    (append-changelog-to-epic-tree.js:30-51).
+
+    Distributed restatement of the reference's line loop: posexplode
+    lines → regexp-extract the heading key → broadcast-join bullets →
+    ordered reassembly. The explode/reassemble shuffles carry one
+    document's lines under one key — documents parallelize across the
+    cluster instead of a driver loop over files.
+    """
+    lines = tree.select(
+        F.col(doc_col), F.posexplode(F.split(F.col(md_col), "\n")).alias("pos", "line")
+    ).withColumn("hkey", F.regexp_extract("line", _HEADING_KEY_RE, 1))
+    b = F.broadcast(bullets.withColumnRenamed("issue_key", "bkey"))
+    joined = lines.join(
+        b, (lines.hkey != "") & (lines.hkey == b.bkey), "left"
+    ).drop("hkey", "bkey")
+    out_line = F.when(
+        F.col("bullets_md").isNotNull(),
+        F.concat(
+            F.col("line"), F.lit("\n\n##### Changelog\n\n"), F.col("bullets_md"), F.lit("\n")
+        ),
+    ).otherwise(F.col("line"))
+    return (
+        joined.select(doc_col, F.struct("pos", out_line.alias("l")).alias("t"))
+        .groupBy(doc_col)
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("t")), lambda t: t["l"]), "\n"
+            ).alias(md_col)
+        )
+    )

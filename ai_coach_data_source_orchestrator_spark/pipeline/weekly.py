@@ -33,6 +33,7 @@ from ..functions import dates as D
 from ..functions import markup as M
 from ..functions import names as N
 from ..operators import transcript_ops as T
+from . import epic_tree as ET
 from ..sinks.merge import upsert_parquet
 from ..sinks.render import render_python_datasource
 
@@ -59,6 +60,7 @@ class WeeklyResult:
     sections: DataFrame  # U6 (source, section_order, content)
     summary: dict  # A6-A9
     datasource_text: str  # K6
+    epic_tree_md: str = ""  # J6/J8 nested render with injected changelog
 
 
 def _status_rank() -> F.Column:
@@ -138,18 +140,7 @@ def run_weekly_digest(
     # J7/X21: in-range changelog entries, compact-rendered
     # (changelog-flatten.js:81-148), F10 end-date cutoff.
     ch = inputs.jira_changelogs.where(F.col("created").cast("date") <= F.lit(end))
-    rendered = (
-        F.when(
-            F.col("field") == "status",
-            F.concat(F.lit("Status: "), F.coalesce("from_string", F.lit("?")), F.lit(" → "), F.coalesce("to_string", F.lit("?"))),
-        )
-        .when(F.col("field") == "assignee", F.concat(F.lit("Assignee: → "), F.coalesce("to_string", F.lit("Unassigned"))))
-        .when(
-            F.col("field") == "description",
-            F.concat(F.lit("Description updated ("), F.length(F.coalesce("to_string", F.lit(""))).cast("string"), F.lit(" chars)")),
-        )
-        .otherwise(F.concat(F.initcap("field"), F.lit(": "), F.coalesce("to_string", F.lit("?"))))
-    )
+    rendered = ET.compact_change_line()
     changelog_lines = ch.join(
         issues.select(F.col("key").alias("issue_key")), "issue_key", "left_semi"
     ).select("issue_key", F.col("created"), rendered.alias("line"))
@@ -204,6 +195,20 @@ def run_weekly_digest(
     )
     daily_md = "\n\n".join(r["content"] for r in day_blocks.collect())
 
+    # --- Epic tree (J6/J8): nested epic→child→subtask render with
+    # changelog bullets injected after issue headings — the reference's
+    # flagship md_output artifact (build-epic-tree.js:607-677 +
+    # append-changelog-to-epic-tree.js), produced alongside the flat
+    # team report exactly as the reference's weekly run does. Only the
+    # epics reachable from in-scope issues render.
+    in_scope_epics = issues.select("epic_key").where(F.col("epic_key").isNotNull()).distinct()
+    tree = ET.render_epic_tree(inputs.jira_issues, comments=inputs.jira_comments)
+    tree = tree.join(in_scope_epics, "epic_key", "left_semi")
+    tree = ET.inject_changelog(tree, ET.changelog_bullets(inputs.jira_changelogs, end_date=end))
+    epic_tree_md = "\n\n".join(
+        r["markdown"] for r in tree.orderBy("epic_key").collect()
+    )
+
     # --- Transcripts vertical (X19/A15/F6/F4) -----------------------------
     tf = inputs.transcripts.withColumn("fname_date", D.date_from_filename(F.col("filename")))
     tf = tf.where(
@@ -241,14 +246,16 @@ def run_weekly_digest(
     sections = spark.createDataFrame(
         [
             ("jira", 0, jira_md),
-            ("daily", 1, daily_md),
-            ("transcripts", 2, transcript_md),
+            ("epic_tree", 1, epic_tree_md),
+            ("daily", 2, daily_md),
+            ("transcripts", 3, transcript_md),
         ],
         "source string, section_order int, content string",
     )
     datasource_text = render_python_datasource(
         {
             "JIRA_DATA": jira_md,
+            "EPIC_TREE_DATA": epic_tree_md,
             "DAILY_REPORTS_DATA": daily_md,
             "TRANSCRIPT_DATA": transcript_md,
         },
@@ -263,7 +270,7 @@ def run_weekly_digest(
     # sections means regenerating unchanged data only refreshes
     # generated_at on the existing row.
     if warehouse_path is not None:
-        content_key = "\n\x00\n".join([jira_md, daily_md, transcript_md])
+        content_key = "\n\x00\n".join([jira_md, epic_tree_md, daily_md, transcript_md])
         report_row = spark.createDataFrame(
             [(team, "weekly", generated_at, datasource_text, content_key)],
             "team_id string, report_type_id string, generated_at string, output string, content_src string",
@@ -285,4 +292,5 @@ def run_weekly_digest(
         sections=sections,
         summary=summary,
         datasource_text=datasource_text,
+        epic_tree_md=epic_tree_md,
     )

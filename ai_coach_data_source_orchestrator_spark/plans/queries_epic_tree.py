@@ -1,0 +1,188 @@
+"""Epic-tree render (J6) + changelog injection (J8) as oracle-checked
+registry queries.
+
+The fixture derives a 3-level Jira hierarchy from ``supplier``:
+suppkey%9==0 → Epic, 1..5 → Story under that group's epic, 6..8 →
+Sub-task under the group's story 1..3. The DuckDB oracles replicate the
+FULL markdown assembly (build-epic-tree.js formatEpicSection /
+formatIssueFull) and the line-level changelog injection
+(append-changelog-to-epic-tree.js:30-51) byte-for-byte — string_agg
+with ORDER BY mirrors the array_sort/array_join aggregation, and
+list_transform over split lines mirrors the posexplode/reassemble plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import epic_tree as E
+from ..sources.tables import load_table
+from .registry import register
+
+_ISSUE_CTE = """
+    sup AS (SELECT s_suppkey AS k, s_name FROM supplier),
+    issue AS (
+      SELECT 'SUP-' || CAST(k AS VARCHAR) AS key,
+             s_name AS summary,
+             CASE k % 3 WHEN 0 THEN 'To Do' WHEN 1 THEN 'In Progress' ELSE 'Done' END AS status,
+             s_name AS assignee,
+             CASE WHEN k % 9 = 0 THEN 'Epic'
+                  WHEN k % 9 <= 5 THEN 'Story'
+                  ELSE 'Sub-task' END AS issue_type,
+             CASE WHEN k % 9 = 0 THEN NULL
+                  WHEN k % 9 <= 5 THEN 'SUP-' || CAST(k - k % 9 AS VARCHAR)
+                  ELSE 'SUP-' || CAST(k - k % 9 + (k % 9 - 5) AS VARCHAR) END AS parent_key
+      FROM sup
+    ),
+    blk AS (
+      SELECT key, parent_key,
+             '#### [' || key || '] ' || summary || chr(10) || chr(10) ||
+             '**Type**: ' || issue_type || '  ' || chr(10) ||
+             '**Status**: ' || status || '  ' || chr(10) ||
+             '**Assignee**: ' || assignee || '  ' || chr(10) || chr(10) ||
+             '---' || chr(10) || chr(10) AS block
+      FROM issue
+    ),
+    epic AS (SELECT * FROM issue WHERE issue_type = 'Epic'),
+    child AS (
+      SELECT c.key, c.parent_key, b.block
+      FROM issue c JOIN epic e ON c.parent_key = e.key JOIN blk b ON b.key = c.key
+    ),
+    sub AS (
+      SELECT s.key, s.parent_key, b.block
+      FROM issue s JOIN child c ON s.parent_key = c.key JOIN blk b ON b.key = s.key
+      WHERE s.issue_type <> 'Epic'
+    ),
+    subsec AS (
+      SELECT parent_key,
+             '#### Subtasks' || chr(10) || chr(10) || string_agg(block, '' ORDER BY key) AS subtasks_md
+      FROM sub GROUP BY parent_key
+    ),
+    childmd AS (
+      SELECT c.parent_key AS epic_key,
+             string_agg(c.block || COALESCE(ss.subtasks_md, ''), '' ORDER BY c.key) AS children_md
+      FROM child c LEFT JOIN subsec ss ON ss.parent_key = c.key
+      GROUP BY c.parent_key
+    ),
+    tree AS (
+      SELECT e.key AS epic_key,
+             '## [' || e.key || '] ' || e.summary || chr(10) || chr(10) ||
+             '**Status**: ' || e.status || '  ' || chr(10) ||
+             '**Assignee**: ' || e.assignee || '  ' || chr(10) || chr(10) ||
+             '### Children' || chr(10) || chr(10) || COALESCE(cm.children_md, '') AS markdown
+      FROM epic e LEFT JOIN childmd cm ON cm.epic_key = e.key
+    )
+"""
+
+
+def _issue_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    lvl = k % 9
+    return sup.select(
+        F.concat(F.lit("SUP-"), k.cast("string")).alias("key"),
+        F.col("s_name").alias("summary"),
+        F.element_at(
+            F.array(F.lit("To Do"), F.lit("In Progress"), F.lit("Done")), (k % 3 + 1).cast("int")
+        ).alias("status"),
+        F.col("s_name").alias("assignee"),
+        F.when(lvl == 0, F.lit("Epic"))
+        .when(lvl <= 5, F.lit("Story"))
+        .otherwise(F.lit("Sub-task"))
+        .alias("issue_type"),
+        F.when(lvl == 0, F.lit(None).cast("string"))
+        .when(lvl <= 5, F.concat(F.lit("SUP-"), (k - lvl).cast("string")))
+        .otherwise(F.concat(F.lit("SUP-"), (k - lvl + (lvl - 5)).cast("string")))
+        .alias("parent_key"),
+        F.lit(None).cast("string").alias("created"),
+        F.lit(None).cast("string").alias("updated"),
+    )
+
+
+@register(
+    "epic_tree_render",
+    oracle=f"""
+    WITH {_ISSUE_CTE}
+    SELECT epic_key, markdown FROM tree
+    """,
+    survey_ids=("J6", "J5", "O4", "U3"),
+    description="3-level epic→child→subtask nested markdown render, full-doc oracle",
+)
+def epic_tree_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.render_epic_tree(_issue_frame(spark, sf_dir))
+
+
+def _changelog_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    key = F.concat(F.lit("SUP-"), k.cast("string"))
+    a = sup.where(k % 4 == 1).select(
+        key.alias("issue_key"),
+        F.lit("h1").alias("history_id"),
+        F.col("s_name").alias("author"),
+        F.lit("2025-10-08 11:00:00").alias("created"),
+        F.lit("status").alias("field"),
+        F.lit("To Do").alias("from_string"),
+        F.lit("Done").alias("to_string"),
+    )
+    b = sup.where(k % 8 == 5).select(
+        key.alias("issue_key"),
+        F.lit("h0").alias("history_id"),
+        F.col("s_name").alias("author"),
+        F.lit("2025-10-07 10:00:00").alias("created"),
+        F.lit("priority").alias("field"),
+        F.lit(None).cast("string").alias("from_string"),
+        F.lit("High").alias("to_string"),
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "j8_changelog_injection",
+    oracle=rf"""
+    WITH {_ISSUE_CTE},
+    chg AS (
+      SELECT 'SUP-' || CAST(k AS VARCHAR) AS issue_key, 'h1' AS history_id, s_name AS author,
+             '2025-10-08 11:00:00' AS created, 'status' AS field,
+             'To Do' AS from_string, 'Done' AS to_string
+      FROM sup WHERE k % 4 = 1
+      UNION ALL
+      SELECT 'SUP-' || CAST(k AS VARCHAR), 'h0', s_name,
+             '2025-10-07 10:00:00', 'priority', NULL, 'High'
+      FROM sup WHERE k % 8 = 5
+    ),
+    hist AS (
+      SELECT issue_key, history_id, min(created) AS created, min(author) AS author,
+             string_agg(
+               '- ' || CASE WHEN field = 'status'
+                            THEN 'Status: ' || COALESCE(from_string, '?') || ' → ' || COALESCE(to_string, '?')
+                            ELSE 'Priority: ' || COALESCE(to_string, '?') END,
+               chr(10) ORDER BY field) AS items
+      FROM chg GROUP BY issue_key, history_id
+    ),
+    bullets AS (
+      SELECT issue_key,
+             string_agg(CAST(CAST(created AS DATE) AS VARCHAR) || ' ' || author || chr(10) || items,
+                        chr(10) || chr(10) ORDER BY created, history_id) AS bullets_md
+      FROM hist GROUP BY issue_key
+    ),
+    m AS (SELECT map(list(issue_key), list(bullets_md)) AS km FROM bullets)
+    SELECT t.epic_key,
+           array_to_string(
+             list_transform(
+               string_split(t.markdown, chr(10)),
+               x -> COALESCE(
+                 x || chr(10) || chr(10) || '##### Changelog' || chr(10) || chr(10) ||
+                 (km[regexp_extract(x, '^#{{3,4}} \[([A-Z][A-Z0-9]+-[0-9]+)\]', 1)])[1] || chr(10),
+                 x)),
+             chr(10)) AS markdown
+    FROM tree t, m
+    """,
+    survey_ids=("J8", "X21", "F10"),
+    description="Changelog bullet injection after ###/####[KEY] headings, full-doc oracle",
+)
+def j8_changelog_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tree = E.render_epic_tree(_issue_frame(spark, sf_dir))
+    bullets = E.changelog_bullets(_changelog_frame(spark, sf_dir))
+    return E.inject_changelog(tree, bullets)

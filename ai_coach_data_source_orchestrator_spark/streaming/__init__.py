@@ -1,5 +1,6 @@
 from .windows import daily_counts_stream, weekly_frame_stream, dead_letter_split
 from .sessionize import session_windows_stream, running_user_totals_stream
+from .sinks import upsert_stream
 
 __all__ = [
     "daily_counts_stream",
@@ -7,4 +8,5 @@ __all__ = [
     "dead_letter_split",
     "session_windows_stream",
     "running_user_totals_stream",
+    "upsert_stream",
 ]

@@ -1,0 +1,47 @@
+"""Streaming → warehouse upsert round-trip (SURVEY §2.9 last row).
+
+The reference's incremental loop re-runs a cron batch and upserts into
+Postgres ``ON CONFLICT DO UPDATE`` (lib/neon-db-storage.js:325-344); the
+Structured Streaming restatement is ``foreachBatch`` handing each
+micro-batch to the same MERGE-emulation the batch pipelines use
+(sinks/merge.upsert_parquet). Idempotency carries over: a replayed
+micro-batch (restart without checkpoint, at-least-once redelivery)
+upserts the same keys at the same version — latest-wins leaves the
+table byte-identical, so exactly-once TABLE STATE from at-least-once
+delivery, the same guarantee the reference gets from its unique
+constraints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..sinks.merge import upsert_parquet
+
+
+def upsert_stream(
+    sdf: DataFrame,
+    table_path: str,
+    keys: tuple[str, ...],
+    version_col: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    await_seconds: int = 120,
+):
+    """Drain ``sdf`` (availableNow) into a parquet warehouse table via
+    per-micro-batch MERGE. Returns the finished StreamingQuery."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df.sparkSession, table_path, batch_df, keys, version_col)
+
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    return q

@@ -1,0 +1,68 @@
+"""LSH band-join skew guard: a flood of near-identical documents makes
+one (band, band_hash) bucket quadratically hot; the ``max_bucket_size``
+cap must bound the self-join without losing the normal near-dup tail.
+(AQE skew-join — enabled in session.py — splits moderately skewed
+partitions at runtime; the cap handles the quadratic case AQE can
+split but not shrink.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.operators.dedup import minhash_lsh_pairs
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
+    "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa",
+]
+
+
+def _doc(i: int) -> str:
+    # 12 tokens, deterministic, pairwise-dissimilar shingle sets
+    return " ".join(WORDS[(i * 7 + j * 3) % 16] + str((i + j * 5) % 97) for j in range(12))
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(spark):
+    rows = []
+    for i in range(40):  # uniform base
+        rows.append((i, _doc(i)))
+    for i in range(5):  # planted near-dups: one token changed
+        rows.append((1000 + i, _doc(i).rsplit(" ", 1)[0] + " changedtail"))
+    flood = "flood " * 30  # 300 byte-identical docs → one hot bucket per band
+    for i in range(300):
+        rows.append((5000 + i, flood))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_hot_bucket_cap_bounds_flood_keeps_neardups(skewed_corpus):
+    planted = {(i, 1000 + i) for i in range(5)}
+
+    capped = minhash_lsh_pairs(skewed_corpus, threshold=0.5, max_bucket_size=50).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    # the 300-doc flood (300²/2 ≈ 45k pairs) is dropped entirely...
+    assert not any(a >= 5000 for a, _ in got)
+    # ...while every planted near-dup in the uniform tail survives
+    assert planted <= got
+
+
+def test_uncapped_flood_pairs_exist(skewed_corpus):
+    # sanity: without the cap the flood really does flood — proving the
+    # cap (not chance) is what removed it above. 300 docs → 44 850 pairs.
+    out = minhash_lsh_pairs(skewed_corpus, threshold=0.5).where("doc_a >= 5000")
+    assert out.count() == 300 * 299 // 2
+
+
+def test_cap_shrinks_candidate_work(skewed_corpus):
+    # the capped plan's verified output is ~45k pairs smaller — the
+    # quadratic term is gone, which is the wall-clock story at scale
+    # (each candidate pair costs an exact-Jaccard verification).
+    n_capped = minhash_lsh_pairs(skewed_corpus, threshold=0.5, max_bucket_size=50).count()
+    n_flood = 300 * 299 // 2
+    # the base generator emits shifted-copy docs, so ~100 genuine
+    # near-dup pairs exist in the tail; what matters is the quadratic
+    # flood term is gone entirely
+    assert n_capped < 1000
+    n_uncapped = minhash_lsh_pairs(skewed_corpus, threshold=0.5).count()
+    assert n_uncapped >= n_flood

@@ -1,0 +1,178 @@
+"""Goldens for the epic-tree nested render (J6) and changelog
+injection (J8) — reference jira/build-epic-tree.js:494-550, 607-677 and
+jira/append-changelog-to-epic-tree.js:30-51.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline import epic_tree as E
+
+ISSUE_SCHEMA = (
+    "key string, summary string, status string, assignee string, issue_type string, "
+    "parent_key string, created string, updated string"
+)
+COMMENT_SCHEMA = "issue_key string, author string, created string, body string"
+CHANGELOG_SCHEMA = (
+    "issue_key string, history_id string, author string, created string, "
+    "field string, from_string string, to_string string"
+)
+
+
+@pytest.fixture(scope="module")
+def issues(spark):
+    rows = [
+        ("PROJ-1", "Big epic", "In Progress", "Ada", "Epic", None,
+         "2025-10-01 09:00:00", "2025-10-10 09:00:00"),
+        ("PROJ-2", "Child A", "Done", "Bob", "Story", "PROJ-1", "2025-10-02 09:00:00", None),
+        ("PROJ-3", "Child B", "To Do", None, "Story", "PROJ-1", None, None),
+        ("PROJ-4", "Sub 1", "Done", "Cee", "Sub-task", "PROJ-2", None, None),
+        ("PROJ-4", "Sub 1", "Done", "Cee", "Sub-task", "PROJ-2", None, None),  # dup → dedup
+        ("PROJ-9", "Orphan", "To Do", None, "Story", "PROJ-999", None, None),  # no epic
+    ]
+    return spark.createDataFrame(rows, ISSUE_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def comments(spark):
+    rows = [
+        ("PROJ-2", "Ada", "2025-10-03 10:00:00", "first comment"),
+        ("PROJ-2", "Bob", "2025-10-04 10:00:00", "second comment"),
+        ("PROJ-4", "Cee", "2025-10-05 10:00:00", "sub comment"),
+    ]
+    return spark.createDataFrame(rows, COMMENT_SCHEMA)
+
+
+GOLDEN_TREE = (
+    "## [PROJ-1] Big epic\n"
+    "\n"
+    "**Status**: In Progress  \n"
+    "**Assignee**: Ada  \n"
+    "**Created**: 2025-10-01  \n"
+    "**Updated**: 2025-10-10  \n"
+    "\n"
+    "### Children\n"
+    "\n"
+    "#### [PROJ-2] Child A\n"
+    "\n"
+    "**Type**: Story  \n"
+    "**Status**: Done  \n"
+    "**Assignee**: Bob  \n"
+    "**Created**: 2025-10-02  \n"
+    "\n"
+    "##### Comments\n"
+    "\n"
+    "**Comment 1** by Ada on 2025-10-03:\n"
+    "\n"
+    "first comment\n"
+    "\n"
+    "**Comment 2** by Bob on 2025-10-04:\n"
+    "\n"
+    "second comment\n"
+    "\n"
+    "---\n"
+    "\n"
+    "#### Subtasks\n"
+    "\n"
+    "#### [PROJ-4] Sub 1\n"
+    "\n"
+    "**Type**: Sub-task  \n"
+    "**Status**: Done  \n"
+    "**Assignee**: Cee  \n"
+    "\n"
+    "##### Comments\n"
+    "\n"
+    "**Comment 1** by Cee on 2025-10-05:\n"
+    "\n"
+    "sub comment\n"
+    "\n"
+    "---\n"
+    "\n"
+    "#### [PROJ-3] Child B\n"
+    "\n"
+    "**Type**: Story  \n"
+    "**Status**: To Do  \n"
+    "\n"
+    "---\n"
+    "\n"
+)
+
+
+def test_nested_render_golden(issues, comments):
+    out = {r["epic_key"]: r["markdown"] for r in E.render_epic_tree(issues, comments).collect()}
+    assert set(out) == {"PROJ-1"}  # orphan's fake epic never renders
+    assert out["PROJ-1"] == GOLDEN_TREE
+
+
+def test_subtask_dedup_and_ordering(issues, comments):
+    md = E.render_epic_tree(issues, comments).collect()[0]["markdown"]
+    assert md.count("#### [PROJ-4] Sub 1") == 1  # dedup by (parent, key)
+    # children in key order: PROJ-2 before PROJ-3
+    assert md.index("#### [PROJ-2]") < md.index("#### [PROJ-3]")
+    # subtask section nests under its parent (before the next child)
+    assert md.index("#### Subtasks") < md.index("#### [PROJ-3]")
+
+
+def test_epic_without_children_renders_empty_children(spark):
+    solo = spark.createDataFrame(
+        [("X-1", "Solo", "Done", "Ada", "Epic", None, None, None)], ISSUE_SCHEMA
+    )
+    md = E.render_epic_tree(solo).collect()[0]["markdown"]
+    assert md.endswith("### Children\n\n")
+
+
+@pytest.fixture(scope="module")
+def changelogs(spark):
+    rows = [
+        ("PROJ-2", "h1", "Ada", "2025-10-05 09:00:00", "status", "To Do", "In Progress"),
+        ("PROJ-2", "h1", "Ada", "2025-10-05 09:00:00", "assignee", None, "Bob"),
+        ("PROJ-2", "h2", "Bob", "2025-10-06 09:00:00", "status", "In Progress", "Done"),
+        ("PROJ-4", "h3", "Cee", "2025-10-07 09:00:00", "priority", None, "High"),
+        ("PROJ-2", "h9", "Zed", "2025-11-01 09:00:00", "status", "Done", "Reopened"),  # > end
+    ]
+    return spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+
+
+GOLDEN_PROJ2_BULLETS = (
+    "2025-10-05 Ada\n"
+    "- Assignee: → Bob\n"
+    "- Status: To Do → In Progress\n"
+    "\n"
+    "2025-10-06 Bob\n"
+    "- Status: In Progress → Done"
+)
+
+
+def test_changelog_bullets_golden(changelogs):
+    out = {
+        r["issue_key"]: r["bullets_md"]
+        for r in E.changelog_bullets(changelogs, end_date="2025-10-12").collect()
+    }
+    assert out["PROJ-2"] == GOLDEN_PROJ2_BULLETS  # grouped by history, chronological
+    assert out["PROJ-4"] == "2025-10-07 Cee\n- Priority: High"
+    assert "Reopened" not in out["PROJ-2"]  # F10 end-date cutoff
+
+
+def test_injection_placement_golden(issues, comments, changelogs):
+    tree = E.render_epic_tree(issues, comments)
+    bullets = E.changelog_bullets(changelogs, end_date="2025-10-12")
+    md = E.inject_changelog(tree, bullets).collect()[0]["markdown"]
+
+    # injected immediately after the issue heading line, reference line
+    # sequence: heading, blank, '##### Changelog', blank, bullets, blank
+    # after the injected block comes the original blank line, so three
+    # newlines separate the last bullet from the issue's **Type** line —
+    # byte-matching the reference's out.push sequence.
+    expected_proj2 = (
+        "#### [PROJ-2] Child A\n\n##### Changelog\n\n" + GOLDEN_PROJ2_BULLETS + "\n\n\n**Type**"
+    )
+    assert expected_proj2 in md
+    assert "#### [PROJ-4] Sub 1\n\n##### Changelog\n\n2025-10-07 Cee\n- Priority: High\n" in md
+    assert md.count("##### Changelog") == 2  # PROJ-2 + PROJ-4; PROJ-3 untouched
+    # epic-level '## [PROJ-1]' heading (2 #s) is NOT an injection point
+    assert "## [PROJ-1] Big epic\n\n##### Changelog" not in md
+    # everything else byte-identical to the uninjected render
+    assert md.replace(
+        "\n\n##### Changelog\n\n" + GOLDEN_PROJ2_BULLETS + "\n", ""
+    ).replace("\n\n##### Changelog\n\n2025-10-07 Cee\n- Priority: High\n", "") == GOLDEN_TREE

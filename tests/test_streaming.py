@@ -103,6 +103,32 @@ def test_dead_letter_split(spark):
     assert sorted(r["tag"] for r in dead.collect()) == ["bad", "null"]  # never dropped
 
 
+def test_foreachbatch_upsert_roundtrip_idempotent(spark, stream_dir, tmp_path):
+    """SURVEY §2.9 last row: stream → foreachBatch → upsert_parquet.
+    A full replay of the same input (fresh checkpoint = at-least-once
+    redelivery of every micro-batch) must leave the table identical —
+    second delivery inserts 0 rows."""
+    table = str(tmp_path / "daily_counts")
+
+    def run(cp: str):
+        ST.upsert_stream(
+            ST.daily_counts_stream(_read_stream(spark, stream_dir)),
+            table,
+            keys=("day",),
+            version_col="n_events",
+            checkpoint_dir=str(tmp_path / cp),
+        )
+
+    run("cp1")
+    first = sorted(map(tuple, spark.read.parquet(table).collect()))
+    days = {str(r[0]) for r in first}
+    assert days == {"2024-01-01", "2024-01-02", "2024-01-08"}
+
+    run("cp2")  # fresh checkpoint → every batch redelivered
+    second = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert second == first  # replay inserted 0 rows, updated 0 values
+
+
 def test_thread_grouping_keyed_not_sessionized(spark):
     from ai_coach_data_source_orchestrator_spark.streaming.sessionize import thread_grouping
 

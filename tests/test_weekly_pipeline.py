@@ -164,6 +164,26 @@ def test_datasource_render_and_linkify(result):
     assert "Jolony Tim Tangpuz: hello team" in ds
 
 
+def test_epic_tree_section_nested_and_injected(result):
+    """J6/J8: the weekly run produces the nested epic-tree artifact with
+    changelog bullets injected after issue headings, alongside the flat
+    status blocks (the reference's weekly run emits both md_outputs)."""
+    md = result.epic_tree_md
+    assert md.startswith("## [PROJ-1] Epic of work")
+    assert "#### [PROJ-2] Story *bold* here" in md  # child
+    assert "#### Subtasks\n\n#### [PROJ-3] Subtask thing" in md  # nested level 3
+    assert "#### [PROJ-4] Stale story" in md  # all epic children render, not just seeds
+    # J8 injection: two histories → two chronological bullet groups
+    assert (
+        "#### [PROJ-2] Story *bold* here\n\n##### Changelog\n\n"
+        "2025-10-08 alice\n- Status: To Do → In Progress\n\n"
+        "2025-10-08 alice\n- Assignee: → Jolony Tim Tangpuz\n" in md
+    )
+    assert "In Progress → Done" not in md  # PROJ-3 change after end_date → cut (F10)
+    # the epic-tree section feeds the datasource and the content hash
+    assert 'EPIC_TREE_DATA = """' in result.datasource_text
+
+
 def test_warehouse_upsert_idempotent(spark, inputs, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("wh") / "generated_reports")
     for _ in range(2):  # same content twice → one row (K8 content-hash key)
