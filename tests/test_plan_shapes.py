@@ -1,0 +1,86 @@
+"""Plan-shape assertions for the scale contracts (SURVEY §4).
+
+These pin the properties that matter at 100 TB but are invisible in
+row-level correctness tests: predicate pushdown reaching the parquet
+scan, column pruning in ReadSchema, dimension broadcasts in the star
+join, and whole-stage codegen on hot expression paths. A regression
+here (e.g. a UDF wrapping a filter column) silently turns a pruned scan
+into a full-table read — exactly the class of bug .explain() catches
+and pytest otherwise misses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_f1_pushes_date_filter_to_scan(spark, sf_dir):
+    df = REGISTRY["f1_date_range_filter"].fn(spark, sf_dir)
+    plan = _executed(df)
+    scan = plan[plan.index("FileScan") :] if "FileScan" in plan else plan
+    assert "PushedFilters" in plan
+    # the l_shipdate range bounds reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in plan, scan[:500]
+    assert "LessThan(l_shipda" in plan, scan[:500]
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _executed(df)
+    i = plan.index("ReadSchema")
+    schema = plan[i : i + 200]
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    # untouched wide columns must NOT be read
+    assert "l_comment" not in schema and "l_shipdate" not in schema
+
+
+def test_j1_star_join_broadcasts_dims(spark, sf_dir):
+    df = REGISTRY["j1_star_join_revenue"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    # the fact table is never sort-merge-shuffled against a dimension
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    # F3: the in-range comment probe must plan as a (broadcast) semi
+    # join — not materialize the distinct key set through an inner join.
+    df = REGISTRY["f3_semi_join_children_in_range"].fn(spark, sf_dir)
+    assert "LeftSemi" in _optimized(df)
+
+
+def test_text_quality_stays_in_codegen(spark, sf_dir):
+    # X-family column expressions must run inside WholeStageCodegen —
+    # no BatchEvalPython (row-at-a-time UDF) in the hot path.
+    df = REGISTRY["text_quality_score"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "*(" in plan  # WholeStageCodegen stage markers
+    assert "BatchEvalPython" not in plan
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_dir):
+    # The LSH candidate generator must be a hash-partitioned equi-join
+    # on (band, band_hash) — never a nested-loop/cartesian product.
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_epic_tree_render_no_python_udf(spark, sf_dir):
+    # the whole nested render is column expressions + aggregates
+    df = REGISTRY["epic_tree_render"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
