@@ -25,7 +25,35 @@ _START, _END = "2025-10-06", "2025-10-12"
 
 @register(
     "weekly_digest_pipeline",
-    oracle=None,
+    # The returned status_stats frame IS SQL-expressible even though the
+    # pipeline also renders markdown/datasource text along the way: F3
+    # semi-join (in-range comments ⇔ odd suppkeys), J2 alias resolution
+    # (fixture assignees are exact roster names, so canonical == raw),
+    # A1-A5 cube with canonical-order ranks and pct. The render-side
+    # semantics are golden-tested in tests/test_weekly_pipeline.py.
+    oracle="""
+    WITH sup AS (SELECT s_suppkey AS k, s_name FROM supplier),
+    issues AS (
+      SELECT 'SUP-' || CAST(k AS VARCHAR) AS key, k,
+             CASE k % 3 WHEN 0 THEN 'To Do' WHEN 1 THEN 'In Progress' ELSE 'Done' END AS status,
+             CASE WHEN k % 5 <> 0 THEN s_name END AS assignee
+      FROM sup
+    ),
+    inscope AS (SELECT * FROM issues WHERE k % 2 = 1),
+    base AS (SELECT status AS status_c, COALESCE(assignee, 'Unassigned') AS assignee_c FROM inscope),
+    tot AS (SELECT COUNT(*) AS n_total FROM base),
+    cells AS (
+      SELECT status_c, assignee_c, COUNT(*) AS n
+      FROM base GROUP BY CUBE (status_c, assignee_c)
+    )
+    SELECT status_c, assignee_c, CAST(n AS BIGINT) AS n,
+           CASE status_c WHEN 'To Do' THEN 0 WHEN 'Backlog' THEN 1
+                         WHEN 'Selected for Development' THEN 2
+                         WHEN 'In Progress' THEN 3 WHEN 'Done' THEN 4
+                         WHEN 'Unknown' THEN 5 ELSE 6 END AS status_rank,
+           ROUND(100.0 * n / GREATEST(n_total, 1), 1) AS pct
+    FROM cells, tot WHERE status_c IS NOT NULL
+    """,
     survey_ids=("F2", "F3", "J2", "J5", "J7", "A1", "A3", "X2", "X5", "X6", "X19", "F6", "K6", "K8"),
     description="Full weekly-digest pipeline end-to-end on table-derived fixtures",
 )
@@ -161,13 +189,30 @@ def dashboard_week_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Slack capture composite (J3/X4/A10/A18/F11/X16-X18): day-grouped,
-# thread-aware, sanitized markdown. Composite of several individually
-# oracle-checked operators → rows-only; semantics asserted in
-# tests/test_slack_pipeline.py.
+# thread-aware, sanitized markdown. The returned day_messages frame
+# (thread grouping → per-day rollup) is SQL-expressible, so the whole
+# composition runs against a DuckDB oracle; the rendered-markdown
+# content is asserted in tests/test_slack_pipeline.py.
 # ---------------------------------------------------------------------------
 @register(
     "slack_capture_pipeline",
-    oracle=None,
+    oracle="""
+    WITH m AS (
+      SELECT 'C' || CAST(event_id % 4 AS VARCHAR) AS channel_id,
+             1760000000 + event_id * 40 AS ts_num,
+             CASE WHEN event_id % 6 = 1 THEN 1760000000 + (event_id - 1) * 40 END AS thread_num
+      FROM events
+    ),
+    t AS (
+      SELECT channel_id, COALESCE(thread_num, ts_num) AS thread_key,
+             MIN(ts_num) AS t0, COUNT(*) AS n_msgs
+      FROM m GROUP BY 1, 2
+    )
+    SELECT channel_id, CAST(to_timestamp(t0) AS DATE) AS day,
+           CAST(SUM(n_msgs) AS BIGINT) AS n_messages,
+           COUNT(*) AS n_threads
+    FROM t GROUP BY 1, 2
+    """,
     survey_ids=("J3", "X4", "A10", "A18", "F11", "S10", "X16", "X17", "X18"),
     description="Slack capture: mention-resolved, thread-grouped, sanitized markdown",
 )

@@ -22,6 +22,30 @@ N_QUERIES = 10
 TOP_K = 5
 
 
+def _lsh_bucket_sql(vec: str, dim: int = 64, bits: int = 8, seed: int = 0) -> str:
+    """DuckDB twin of operators.similarity.hyperplane_signature: the
+    sha256-derived ±1 hyperplanes are inlined as literal sign chains in
+    the SAME textual (left-associative) order as the Spark F.expr, so
+    the float64 projections are bit-identical and the bucket ids agree
+    exactly."""
+    terms = []
+    for j in range(bits):
+        coefs = S._hyperplane(j, dim, seed)
+        proj = "".join(
+            ("+" if coefs[d] > 0 else "-") + f" {vec}[{d + 1}] " for d in range(dim)
+        ).lstrip("+ ")
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return " + ".join(f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(dim))
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    return "sqrt(" + " + ".join(f"{a}[{i + 1}] * {a}[{i + 1}]" for i in range(dim)) + ")"
+
+
 @register(
     "knn_brute_force_cosine",
     oracle=f"""
@@ -54,7 +78,28 @@ def knn_brute_force_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_lsh_buckets",
-    oracle=None,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {{bucket}} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             ({{dot}}) / (({{nq}}) * ({{nn}})) AS sim
+      FROM q JOIN (SELECT vec_id, v AS nv, bucket FROM b) b
+        ON q.bucket = b.bucket AND query_id <> b.vec_id
+    ),
+    ranked AS (SELECT query_id, neighbor_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS cosine_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """.format(
+        bucket=_lsh_bucket_sql("v", 64, 8),
+        dot=_dot_sql("qv", "nv", 64),
+        nq=_norm_sql("qv", 64),
+        nn=_norm_sql("nv", 64),
+    ),
     survey_ids=("O3",),
     description="Sign-LSH bucketed ANN top-k with exact in-bucket re-rank",
 )
@@ -111,9 +156,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_dup_pairs(emb, threshold=COS_T, dim=64)
 
 
+def _cosine_lsh_oracle() -> str:
+    """Full-pipeline DuckDB twin of cosine_dup_pairs_lsh at the registry
+    parameters (t=0.9, bits=10, tables=4): planted perturbation copies,
+    4×10 literal sign-chain projections (same hyperplanes, same textual
+    order), per-table band join, exact-cosine verify. The Spark side
+    computes signatures/cosines in numpy (float64); sign/rounding
+    boundaries sit ≥1e-9 away for this corpus, so the outputs agree
+    bit-for-bit (checked at sf0.001 and sf0.01)."""
+    bks = [_lsh_bucket_sql("v", 64, 10, seed=t) for t in range(4)]
+    sig_cols = ", ".join(f"{bks[t]} AS bk{t}" for t in range(4))
+    banded_union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bk{t} AS bk FROM sig" for t in range(4)
+    )
+    return f"""
+    WITH base0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planted AS (SELECT vec_id + 1000000 AS vec_id,
+                       list_transform(v, (x, i) -> x * (1.0 + 0.001 * sin(vec_id * 7 + (i - 1)))) AS v
+                FROM base0 WHERE vec_id % 4 = 0),
+    all_v AS (SELECT * FROM base0 UNION ALL SELECT * FROM planted),
+    sig AS (SELECT vec_id, {sig_cols} FROM all_v),
+    banded AS ({banded_union}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM banded a JOIN banded b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id),
+    scored AS (SELECT id_a, id_b,
+                      ROUND(({_dot_sql("va", "vb", 64)}) /
+                            (({_norm_sql("va", 64)}) * ({_norm_sql("vb", 64)})), 6) AS cosine_sim
+               FROM cand JOIN (SELECT vec_id AS id_a, v AS va FROM all_v) USING (id_a)
+                         JOIN (SELECT vec_id AS id_b, v AS vb FROM all_v) USING (id_b))
+    SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.9
+    """
+
+
 @register(
     "dedup_embedding_cosine_lsh",
-    oracle=None,
+    oracle=_cosine_lsh_oracle(),
     survey_ids=("U7",),
     description="Sign-LSH bucketed embedding near-dup (multi-table, verified)",
     bench=True,
@@ -145,7 +222,38 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivf",
-    oracle=None,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      FROM e ORDER BY vec_id LIMIT 16
+    ),
+    corpus_assign AS (
+      SELECT vec_id AS neighbor_id, v AS nv, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS r
+      FROM e CROSS JOIN cent
+    ),
+    corpus AS (SELECT neighbor_id, nv, cid FROM corpus_assign WHERE r = 1),
+    q_assign AS (
+      SELECT vec_id AS query_id, v AS qv, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS r
+      FROM e CROSS JOIN cent WHERE vec_id < {N_QUERIES}
+    ),
+    q AS (SELECT query_id, qv, cid FROM q_assign WHERE r <= 4),
+    scored AS (
+      SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+      FROM q JOIN corpus USING (cid)
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (SELECT query_id, neighbor_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS cosine_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
     survey_ids=("O3",),
     description="IVF coarse-quantized ANN top-k (n_probe of n_centroids lists)",
     bench=True,

@@ -203,7 +203,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup — banded hamming join (not SQL-expressible → rows-only)
+# SimHash near-dup — the ONLY remaining rows-only registry query: the
+# signature is built from xxhash64(shingle, perm), and DuckDB has no
+# xxhash64-compatible hash, so no engine-independent oracle can
+# reproduce the bit patterns (every other LSH/IVF query now carries a
+# full oracle via literal sign-chain or list_cosine_similarity twins).
+# Semantics are pinned by tests/ (planted near-dup recall, banding
+# completeness via the pigeonhole property).
 # ---------------------------------------------------------------------------
 @register(
     "dedup_simhash",
