@@ -99,10 +99,16 @@ def brute_force_topk(
 def _np_cosine_udf():
     """Arrow-vectorized batch cosine: numpy matrix ops per Arrow batch.
 
-    Used only on rows-only (oracle-less) paths: numpy's SIMD/pairwise
-    summation order differs from the JVM left-fold, so values can differ
-    in the last ulp — harmless numerically, but oracle-hash paths keep
-    the fold for bit-identical parity with DuckDB."""
+    numpy's SIMD/pairwise summation order differs from the JVM left-fold
+    and from a SQL `a[1]*b[1] + ...` chain, so values can differ in the
+    last ulp. The cosine-LSH oracle survives this because its decision
+    points (6-decimal rounding, ≥0.9 threshold) sit ≥1e-9 away from the
+    boundary for the test corpus — verified at sf0.001/sf0.01. Paths
+    whose oracle compares raw ranks/values (brute-force kNN) keep the
+    JVM fold for bit-identical parity. (A JVM sign-chain variant was
+    tried: 4 tables × 10 bits × 64 dims in one projection exceeds the
+    janino 64 KB method limit and falls back to interpreted — 10×
+    slower than this batch matmul.)"""
     import numpy as np
     import pandas as pd  # noqa: F401 — resolved via module globals for the UDF type hints
     from pyspark.sql.functions import pandas_udf
@@ -125,9 +131,10 @@ def _np_signature_udf(dim: int, bits: int, n_tables: int):
     ``V @ H.T → signs → bit-packed``. The unrolled-SQL signature form
     is fine for one table (see ``hyperplane_signature``), but
     n_tables × bits × dim arithmetic terms in a single projection blow
-    past janino method limits and cost tens of seconds of codegen
-    compile — a batch matmul is compact, and the LSH paths are
-    rows-only checked, so numpy summation order is acceptable."""
+    past janino method limits (measured: "Code grows beyond 64 KB" →
+    interpreted fallback, 10× slower) — a batch matmul is compact, and
+    the sign decisions agree with the oracle's literal chains for any
+    projection not within ~1e-13 of zero (see _np_cosine_udf)."""
     import numpy as np
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
