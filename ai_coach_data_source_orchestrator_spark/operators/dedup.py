@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import fingerprint, shingles_of_tokens, tokens
@@ -218,6 +219,54 @@ def minhash_lsh_pairs(
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (MOSS; Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003): hash every ORDERED k-token shingle,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum, dedupe. Guarantees: any shared run of ≥ w+k-1 tokens
+    between two documents yields ≥1 shared fingerprint, and the
+    fingerprint density is ~2/(w+1) — a tunable, position-robust
+    subsample of the shingle set.
+
+    Plan: one narrow projection (tokens → grams → sha2-derived hex
+    hash), one window (partitioned by document — bounded state, no
+    cross-document shuffle skew), one distinct. Short documents
+    (< w windows) still emit their global minimum (pos 0's clipped
+    window), matching the paper's at-least-one guarantee. Hashes are
+    the first 16 hex chars of sha256 — lexicographic min on fixed-width
+    hex equals numeric min, and DuckDB's sha256() reproduces them
+    exactly, so the oracle is engine-independent.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+    )
+    g = (
+        toks.where(n >= k)
+        .select("doc_id", (n - k + 1).alias("n_grams"), F.posexplode(grams).alias("pos", "sh"))
+        .select(
+            "doc_id", "n_grams", "pos", F.substring(F.sha2("sh", 256), 1, 16).alias("h")
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        g.withColumn("fp", F.min("h").over(win))
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
     )
 
 

@@ -54,6 +54,44 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowed rolling-hash fingerprints (MOSS, Schleimer et al. 2003): the
+# position-robust subsample of the shingle space. The oracle replicates
+# the exact pipeline — ordered k-gram sha256 hashes, ROWS-window min,
+# full-window filter with the short-doc guarantee — so the fingerprint
+# SETS hash-match across engines.
+# ---------------------------------------------------------------------------
+_WINNOW_K, _WINNOW_W = 3, 4
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) - {_WINNOW_K} + 1 AS n_grams, i - 1 AS pos,
+             substr(sha256(array_to_string(toks[i:i + {_WINNOW_K - 1}], ' ')), 1, 16) AS h
+      FROM d, unnest(range(1, len(toks) - {_WINNOW_K} + 2)) s(i)
+      WHERE len(toks) >= {_WINNOW_K}
+    ),
+    w AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM w
+    WHERE pos <= greatest(n_grams - {_WINNOW_W}, 0)
+    """,
+    survey_ids=("X15", "U7"),
+    description="MOSS winnowing: window-min of rolling k-gram hashes per document",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token counting (whitespace + BPE-ish + chars/4 estimate, A17)
 # ---------------------------------------------------------------------------
 @register(

@@ -54,6 +54,32 @@ def test_uncapped_flood_pairs_exist(skewed_corpus):
     assert out.count() == 300 * 299 // 2
 
 
+def test_winnow_shared_run_guarantee(spark):
+    """MOSS property: two documents sharing a token run of ≥ w+k-1
+    (= 6 at k=3, w=4) must share ≥1 winnowed fingerprint, regardless of
+    where the run sits in each document."""
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import winnow_fingerprints
+
+    common = "one two three four five six seven"
+    d = spark.createDataFrame(
+        [
+            (1, "aa bb cc " + common),
+            (2, common + " xx yy zz"),
+            (3, "totally different words here indeed friend"),
+            (4, "tiny doc"),  # < k tokens → no fingerprints
+            (5, "just three tokens"),  # exactly k → single clipped-window fp
+        ],
+        "doc_id bigint, text string",
+    )
+    fps: dict[int, set] = {}
+    for r in winnow_fingerprints(d, k=3, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared run must yield a shared fingerprint"
+    assert not (fps[1] | fps[2]) & fps[3]
+    assert 4 not in fps
+    assert len(fps[5]) == 1
+
+
 def test_cap_shrinks_candidate_work(skewed_corpus):
     # the capped plan's verified output is ~45k pairs smaller — the
     # quadratic term is gone, which is the wall-clock story at scale
