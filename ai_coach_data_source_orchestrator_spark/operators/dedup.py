@@ -222,6 +222,72 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component) — min-id connected components over a near-dup
+    pair graph: the step that turns pairwise dedup output into CLUSTERS
+    so one survivor per duplicate family can be chosen (pairs alone
+    under-merge: a~b, b~c must collapse a,b,c together).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label in its closed neighborhood; converges in ≤ graph
+    diameter rounds (near-dup families are dense and shallow — a few
+    rounds in practice; ``max_iter`` bounds pathological chains). Each
+    round is one equi-join + one groupBy keyed by node id — the same
+    shuffle key every round, so at scale the label table can be
+    pre-partitioned once and reused. ``localCheckpoint`` every few
+    rounds cuts the growing lineage (iterative plans otherwise re-run
+    all previous rounds). Driver involvement is one tiny convergence
+    count per round — the standard Spark shape for iterative graph
+    algorithms (GraphX/GraphFrames do the same under the hood).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    edges = _stage(edges)
+    labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for i in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select("node", F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def dedup_survivors(components: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collapse a component mapping to per-family survivors: the min-id
+    member IS the component label, so this is a pure aggregation."""
+    return components.groupBy("component").agg(
+        F.min(id_col).alias("survivor_id"), F.count("*").alias("family_size")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

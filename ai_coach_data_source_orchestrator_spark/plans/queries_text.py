@@ -226,6 +226,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph: pairs alone
+# under-merge (a~b, b~c must collapse into one family); components give
+# one survivor per duplicate family. Spark side is iterative min-label
+# propagation (operators/dedup.py); the oracle computes the same
+# min-reachable-id via a recursive CTE over the (oracle-able) Jaccard
+# pair graph. Every document appears (singletons map to themselves).
+# ---------------------------------------------------------------------------
+_CC_SQL = _SHINGLES_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1) + """
+    , pairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0 THEN 0.0
+                              ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT e.src AS node, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_CC_SQL,
+    survey_ids=("U7", "U3"),
+    description="Min-label connected components: near-dup pairs → duplicate families",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prs = D.jaccard_pairs(docs, k=3, threshold=0.6)
+    return D.connected_components(docs, prs)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup — the scale path; oracle is the brute-force
 # Jaccard (LSH miss probability ≈6e-7 at the threshold, see dedup.py)
 # ---------------------------------------------------------------------------

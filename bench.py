@@ -25,7 +25,9 @@ from ai_coach_data_source_orchestrator_spark.session import get_spark  # noqa: E
 
 # Queries that are O(n²) by design (brute-force baselines for the LSH
 # paths) are excluded from the default headline set at bench SF.
-EXCLUDE_AT_SCALE = {"dedup_ngram_jaccard"}
+# dedup_connected_components builds its pair graph with the O(n²)
+# baseline (the scale path feeds it LSH pairs instead).
+EXCLUDE_AT_SCALE = {"dedup_ngram_jaccard", "dedup_connected_components"}
 
 HEADLINE = [
     "j1_star_join_revenue",

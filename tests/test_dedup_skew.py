@@ -54,6 +54,34 @@ def test_uncapped_flood_pairs_exist(skewed_corpus):
     assert out.count() == 300 * 299 // 2
 
 
+def test_connected_components_merges_chains(spark):
+    """a~b, b~c must land in one family; disjoint pair and singleton
+    stay separate; survivors are the min ids."""
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id bigint")
+    prs = spark.createDataFrame([(2, 3), (1, 2), (10, 11)], "doc_a bigint, doc_b bigint")
+    comp = {r["doc_id"]: r["component"] for r in connected_components(nodes, prs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    surv = {r["component"]: (r["survivor_id"], r["family_size"])
+            for r in dedup_survivors(connected_components(nodes, prs)).collect()}
+    assert surv == {1: (1, 3), 10: (10, 2), 99: (99, 1)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: worst-case diameter for label propagation
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    prs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint")
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import connected_components
+
+    comp = {r["doc_id"]: r["component"] for r in connected_components(nodes, prs).collect()}
+    assert comp == {i: 0 for i in range(n)}
+
+
 def test_winnow_shared_run_guarantee(spark):
     """MOSS property: two documents sharing a token run of ≥ w+k-1
     (= 6 at k=3, w=4) must share ≥1 winnowed fingerprint, regardless of
