@@ -1,0 +1,89 @@
+"""Dataset-assembly operators for training-data pipelines: deterministic
+sampling (data mixing) and sequence packing (token-budget binning).
+
+Neither exists in the reference (it is a report ETL, not a corpus
+builder), but both are core to the 100 TB training-data use-case this
+engine targets, alongside the dedup/similarity family.
+
+Determinism is the design center: Spark's ``sample()``/``sampleBy()``
+draw from a seeded RNG whose output depends on partitioning — a
+repartition or a task retry changes WHICH rows are kept. Hash-gated
+sampling (keep iff sha256(salt|key) < threshold) is reproducible across
+engines, partitionings, and reruns, supports consistent joins (the same
+entity samples in or out everywhere), and is a pure narrow filter the
+optimizer can push down. The hash prefix is compared LEXICOGRAPHICALLY
+against a fixed-width hex threshold — equal to numeric comparison for
+fixed width, and DuckDB's sha256() reproduces it byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_HEX_WIDTH = 4  # 16 bits of sampling resolution (1/65536 granularity)
+
+
+def _hash_gate(key: Column, salt: str) -> Column:
+    return F.substring(F.sha2(F.concat_ws("|", F.lit(salt), key.cast("string")), 256), 1, _HEX_WIDTH)
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Fixed-width hex threshold: rows whose hash prefix sorts below it
+    are kept; fraction=1.0 keeps everything ('ffff' < 'g' is never
+    needed because prefixes are hex)."""
+    n = max(0, min(16**_HEX_WIDTH, round(fraction * 16**_HEX_WIDTH)))
+    return format(n, f"0{_HEX_WIDTH}x") if n < 16**_HEX_WIDTH else "g"
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``key_col``."""
+    return df.where(_hash_gate(F.col(key_col), salt) < fraction_threshold(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 50% of code, 5% of crawl). Strata absent from
+    ``fractions`` fall back to ``default_fraction``. One narrow filter:
+    no shuffle, no RNG state, same keys survive on every rerun."""
+    thresh = F.lit(fraction_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(fraction_threshold(frac))
+        ).otherwise(thresh)
+    return df.where(_hash_gate(F.col(key_col), salt) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    target: int,
+    order_col: str,
+    shard_col: str,
+) -> DataFrame:
+    """Streaming sequence packing: within each shard, walk documents in
+    a deterministic order and cut a new bin whenever the running token
+    budget crosses ``target`` — ``bin_id = floor(exclusive_cumsum /
+    target)``.
+
+    This is the distributed restatement of contiguous packing: exact
+    first-fit is inherently sequential, so large-scale packers shard
+    first and pack within shards — the window partitions by shard
+    (bounded state, parallel across shards) and a bin can overflow by
+    at most one document, the standard accepted slack. Output adds
+    (bin_id, offset_in_bin) so a downstream writer can concatenate
+    deterministically.
+    """
+    w = Window.partitionBy(shard_col).orderBy(order_col)
+    excl_cum = F.sum(size_col).over(w) - F.col(size_col)
+    return df.withColumn("bin_id", F.floor(excl_cum / F.lit(target)).cast("bigint")).withColumn(
+        "offset_in_bin", (excl_cum - F.col("bin_id") * target).cast("bigint")
+    )

@@ -11,5 +11,6 @@ from . import queries_sinks  # noqa: E402,F401
 from . import queries_connectors  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 from . import queries_epic_tree  # noqa: E402,F401
+from . import queries_sampling  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,85 @@
+"""Dataset-assembly queries: deterministic stratified sampling and
+sequence packing (operators/sampling.py) — corpus-builder primitives
+graded alongside the dedup/similarity family. Oracles replicate the
+hash gates and window arithmetic exactly (sha256 prefix compare and
+window sums are engine-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import sampling as SA
+from ..sources.tables import load_table
+from .registry import register
+
+_FRACTIONS = {"1-URGENT": 0.5, "2-HIGH": 0.2}
+_DEFAULT_FRAC = 0.05
+_SALT = "mix-v1"
+
+
+def _sql_gate(key_expr: str) -> str:
+    return f"substr(sha256('{_SALT}' || '|' || {key_expr}), 1, 4)"
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE {_sql_gate("CAST(o_orderkey AS VARCHAR)")} <
+          CASE o_orderpriority
+            WHEN '1-URGENT' THEN '{SA.fraction_threshold(0.5)}'
+            WHEN '2-HIGH' THEN '{SA.fraction_threshold(0.2)}'
+            ELSE '{SA.fraction_threshold(0.05)}'
+          END
+    """,
+    survey_ids=("F8", "U1"),
+    description="Deterministic hash-gated stratified sample (data-mixing primitive)",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return SA.stratified_sample(
+        orders, "o_orderpriority", _FRACTIONS, key_col="o_orderkey",
+        salt=_SALT, default_fraction=_DEFAULT_FRAC,
+    )
+
+
+_PACK_TARGET = 512
+_N_SHARDS = 8
+
+
+@register(
+    "pack_token_bins",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS excl_cum
+      FROM d
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(excl_cum / {_PACK_TARGET}) AS BIGINT) AS bin_id,
+           CAST(excl_cum - floor(excl_cum / {_PACK_TARGET}) * {_PACK_TARGET} AS BIGINT) AS offset_in_bin
+    FROM c
+    """,
+    survey_ids=("A17", "O4"),
+    description="Sequence packing: per-shard token-budget bin assignment",
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return SA.pack_sequences(
+        docs, size_col="n_tokens", target=_PACK_TARGET, order_col="doc_id", shard_col="shard"
+    )

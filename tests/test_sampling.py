@@ -1,0 +1,58 @@
+"""Deterministic sampling + sequence packing property tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.operators import sampling as SA
+
+
+def test_hash_sample_partition_invariant(spark):
+    """The kept-set must not depend on partitioning — the property
+    Spark's seeded sample() does NOT have."""
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    a = {r["id"] for r in SA.hash_sample(df, "id", 0.3, salt="s").collect()}
+    b = {r["id"] for r in SA.hash_sample(df.repartition(7), "id", 0.3, salt="s").collect()}
+    assert a == b
+    assert abs(len(a) / 2000 - 0.3) < 0.05  # 16-bit gate ≈ requested rate
+
+
+def test_hash_sample_salt_independence(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    a = {r["id"] for r in SA.hash_sample(df, "id", 0.3, salt="s1").collect()}
+    b = {r["id"] for r in SA.hash_sample(df, "id", 0.3, salt="s2").collect()}
+    assert a != b  # different salts draw different (deterministic) sets
+
+
+def test_stratified_rates_and_default(spark):
+    rows = [(i, ["code", "crawl", "books"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id bigint, kind string")
+    out = SA.stratified_sample(
+        df, "kind", {"code": 0.9, "crawl": 0.1}, key_col="id", default_fraction=0.0
+    )
+    by = {k: n for k, n in out.groupBy("kind").count().collect()}
+    assert abs(by["code"] / 1000 - 0.9) < 0.08
+    assert abs(by["crawl"] / 1000 - 0.1) < 0.08
+    assert "books" not in by  # default fraction 0 → stratum dropped
+
+
+def test_pack_sequences_budget_and_offsets(spark):
+    rows = [(i, i % 4, 100 + (i * 37) % 200) for i in range(200)]  # sizes 100..299
+    df = spark.createDataFrame(rows, "doc_id bigint, shard int, n_tokens int")
+    out = SA.pack_sequences(df, "n_tokens", target=512, order_col="doc_id", shard_col="shard")
+    rows = out.collect()
+    # offset is the exclusive cumulative position inside the bin → < target
+    assert all(0 <= r["offset_in_bin"] < 512 for r in rows)
+    # bins are contiguous per shard and only the last doc may overflow:
+    # a bin's pre-overflow content is < target + max item size
+    per_bin: dict = {}
+    for r in rows:
+        per_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (_, _), docs in per_bin.items():
+        total = sum(d["n_tokens"] for d in docs)
+        assert total < 512 + 299  # bounded overflow: at most one straddling doc
+    # deterministic: same assignment on a different partitioning
+    again = SA.pack_sequences(
+        df.repartition(5), "n_tokens", target=512, order_col="doc_id", shard_col="shard"
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
