@@ -107,3 +107,90 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_features, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, box_w: int = 256, box_h: int = 256) -> DataFrame:
+    """Aspect-preserving fit into a ``box_w × box_h`` budget.
+
+    The dimension SOURCE is the deterministic fake (container has no
+    decoders — see ``decode_media``), but the aspect-fit arithmetic and
+    the Arrow batch shape are the real thing: vectorized per-batch
+    numpy, no per-row Python in the math, output dims
+    ``floor(dim × min(box_w/w, box_h/h))`` — what a PIL.thumbnail
+    swap-in would compute.
+    """
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            size = pdf["byte_size"].astype("int64")
+            w = (64 + size % 1024).to_numpy(dtype="float64")
+            h = (64 + (size * 7) % 1024).to_numpy(dtype="float64")
+            scale = np.minimum(box_w / w, box_h / h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "width": w.astype("int64"),
+                    "height": h.astype("int64"),
+                    "out_w": np.floor(w * scale).astype("int64"),
+                    "out_h": np.floor(h * scale).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_sec", LongType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, interval_s: int = 10, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling: one input row → N frame rows.
+
+    The load-bearing plumbing property is the 1→N explosion inside
+    ``mapInPandas`` (output cardinality ≠ input cardinality — the shape
+    a real ffmpeg keyframe extractor needs). Duration is a
+    deterministic fake (bytes/10 seconds); each emitted frame carries
+    its timestamp and a payload-derived content hash standing in for
+    the frame bytes. Only ``video/*`` rows produce frames.
+    """
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "ts_sec": [], "frame_sha": []}
+            vids = pdf[pdf["mime"].str.startswith("video/")]
+            for doc_id, payload, byte_size in zip(
+                vids["doc_id"], vids["payload"], vids["byte_size"]
+            ):
+                duration = int(byte_size) // 10
+                n = min(max_frames, 1 + duration // interval_s)
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["ts_sec"].append(i * interval_s)
+                    out["frame_sha"].append(
+                        hashlib.sha256(bytes(payload) + b":" + str(i).encode()).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)

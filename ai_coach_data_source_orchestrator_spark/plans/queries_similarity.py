@@ -128,6 +128,50 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.as_media_table(docs))
 
 
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+             CAST(64 + octet_length(encode(text)) % 1024 AS DOUBLE) AS w,
+             CAST(64 + (octet_length(encode(text)) * 7) % 1024 AS DOUBLE) AS h
+      FROM documents
+    )
+    SELECT doc_id, mime,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(floor(w * least(256 / w, 256 / h)) AS BIGINT) AS out_w,
+           CAST(floor(h * least(256 / w, 256 / h)) AS BIGINT) AS out_h
+    FROM m
+    """,
+    survey_ids=("S13", "K7"),
+    description="Aspect-fit resize plumbing over Arrow batches (stub dims, real math)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_media(M.as_media_table(docs), box_w=256, box_h=256)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS bs
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (SELECT doc_id, text, least(8, 1 + (bs // 10) // 10) AS n_frames FROM v)
+    SELECT doc_id, i AS frame_idx, CAST(i * 10 AS BIGINT) AS ts_sec,
+           substr(sha256(text || ':' || CAST(i AS VARCHAR)), 1, 16) AS frame_sha
+    FROM f, unnest(range(0, n_frames)) s(i)
+    """,
+    survey_ids=("S13",),
+    description="Video frame sampling: 1→N mapInPandas explosion with per-frame hashes",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.as_media_table(docs), interval_s=10, max_frames=8)
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (exact oracle + LSH scale path + IVF ANN)
 # ---------------------------------------------------------------------------
