@@ -110,23 +110,6 @@ def jaccard_pairs(
     )
 
 
-def _perm_hasher(p: int):
-    # NB: must be a single-argument lambda — PySpark treats a second
-    # lambda parameter as the array index, so a `lambda s, p=p:` default
-    # arg would silently hash with the index instead of the perm seed.
-    return lambda s: F.xxhash64(s, F.lit(p))
-
-
-def minhash_signature(sh: Column, num_perm: int = DEFAULT_NUM_PERM) -> Column:
-    """MinHash signature as array<bigint>: min over shingles of
-    xxhash64(shingle, perm_index) per permutation. Empty shingle sets
-    get sentinel MAX_LONG values (they match nothing).
-    """
-    mins = [F.array_min(F.transform(sh, _perm_hasher(p))) for p in range(num_perm)]
-    sentinel = F.lit(2**63 - 1).cast("bigint")
-    return F.array(*[F.coalesce(m, sentinel) for m in mins])
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
