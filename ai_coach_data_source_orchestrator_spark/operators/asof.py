@@ -1,0 +1,63 @@
+"""As-of join — attach the latest right-side row at-or-before each left
+row's timestamp, per key.
+
+Spark has no ASOF JOIN (DuckDB/Pandas/kdb do); the naive restatement is
+a range theta-join (``l.ts >= r.ts`` + rank), which explodes to
+|left|×|right-per-key| intermediate rows before pruning — quadratic on
+hot keys. This implementation is the scale-safe union-window form:
+
+1. tag both streams and union them (narrow, no join);
+2. one window per key ordered by (ts, right-first-on-ties) carries the
+   most recent right payload forward with ``last(ignorenulls)``;
+3. keep left rows.
+
+One shuffle (the window's partition-by-key exchange), state bounded by
+one carried payload per key — the same shape a streaming as-of would
+use with ``applyInPandasWithState``. Right-side rows must be unique per
+(key, ts); pre-aggregate ties (the caller picks the tie semantics) or
+results would depend on union order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: for every left row, the right row with the
+    greatest ``ts_col`` ≤ the left row's, matching on ``on``. Carried
+    columns arrive as ``{prefix}{col}`` plus ``{prefix}{ts_col}``;
+    unmatched left rows keep them null (LEFT ASOF semantics)."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*on, ts_col)]
+    carried = [*value_cols, ts_col]
+
+    r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(1).alias("__is_r"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+    )
+    l = left.withColumn("__is_r", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows sort BEFORE left rows at equal ts so ts-equality counts
+    # as "at or before" (the ASOF >= contract)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in carried:
+        u = u.withColumn(f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w))
+    return u.where(F.col("__is_r") == 0).drop("__is_r")

@@ -267,3 +267,53 @@ def x7_multiformat_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_timestamp(F.regexp_extract("filename", r"-([A-Za-z]+ \d{1,2}, \d{4})\.", 1), F.lit("MMMM d, yyyy")).cast("date"),
     )
     return files.select("o_orderkey", "filename", parsed.alias("parsed_date"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py): latest checkpoint at-or-before each
+# event per user. Spark lacks ASOF JOIN; the union-window restatement is
+# the scale path, and DuckDB's NATIVE ASOF LEFT JOIN is the oracle —
+# engine-independent proof of the semantics. Output timestamps go
+# through whole-second epochs (both engines truncate identically).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_checkpoints",
+    oracle="""
+    WITH ck AS (
+      SELECT user_id, ts, MAX(value) AS ckpt_value
+      FROM events WHERE event_id % 5 = 0
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+           CAST(floor(epoch(ck.ts)) AS BIGINT) AS asof_ts_epoch,
+           ck.ckpt_value AS asof_value
+    FROM events e ASOF LEFT JOIN ck
+      ON e.user_id = ck.user_id AND e.ts >= ck.ts
+    """,
+    survey_ids=("J7", "O5"),
+    description="As-of join: latest per-user checkpoint at-or-before each event",
+)
+def asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    checkpoints = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ckpt_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        checkpoints,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["ckpt_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("asof_ts").alias("asof_ts_epoch"),
+        F.col("asof_ckpt_value").alias("asof_value"),
+    )

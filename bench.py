@@ -27,7 +27,11 @@ from ai_coach_data_source_orchestrator_spark.session import get_spark  # noqa: E
 # paths) are excluded from the default headline set at bench SF.
 # dedup_connected_components builds its pair graph with the O(n²)
 # baseline (the scale path feeds it LSH pairs instead).
-EXCLUDE_AT_SCALE = {"dedup_ngram_jaccard", "dedup_connected_components"}
+EXCLUDE_AT_SCALE = {
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+}
 
 HEADLINE = [
     "j1_star_join_revenue",

@@ -1,0 +1,44 @@
+"""As-of join semantics: at-or-before matching, equal-ts inclusion,
+unmatched-left nulls, per-key isolation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.operators.asof import asof_join
+
+
+def test_asof_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 150), (3, "u1", 200), (4, "u2", 100), (5, "u3", 500)],
+        "event_id bigint, user_id string, ts bigint",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0), ("u1", 180, 2.0), ("u2", 120, 9.0)],
+        "user_id string, ts bigint, v double",
+    )
+    out = {
+        r["event_id"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(left, right, on=["user_id"], ts_col="ts").collect()
+    }
+    assert out[1] == (100, 1.0)  # equal ts counts (at-or-before)
+    assert out[2] == (100, 1.0)  # 150 → latest ≤ is 100
+    assert out[3] == (180, 2.0)  # picks the newer checkpoint
+    assert out[4] == (None, None)  # u2's only checkpoint is later
+    assert out[5] == (None, None)  # u3 has no checkpoints at all
+
+
+def test_asof_does_not_leak_across_keys(spark):
+    left = spark.createDataFrame([(1, "a", 50), (2, "b", 50)], "event_id bigint, k string, ts bigint")
+    right = spark.createDataFrame([("a", 10, 7.0)], "k string, ts bigint, v double")
+    out = {r["event_id"]: r["asof_v"] for r in asof_join(left, right, on=["k"], ts_col="ts").collect()}
+    assert out == {1: 7.0, 2: None}
+
+
+def test_asof_plan_is_single_window_no_join(spark):
+    left = spark.createDataFrame([(1, "a", 50)], "event_id bigint, k string, ts bigint")
+    right = spark.createDataFrame([("a", 10, 7.0)], "k string, ts bigint, v double")
+    plan = asof_join(left, right, on=["k"], ts_col="ts")._jdf.queryExecution().optimizedPlan().toString()
+    # union + window, not a range theta-join that explodes per key
+    assert "Join" not in plan
+    assert "Union" in plan and "Window" in plan
