@@ -61,3 +61,47 @@ def asof_join(
     for c in carried:
         u = u.withColumn(f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w))
     return u.where(F.col("__is_r") == 0).drop("__is_r")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: list[str] | None = None,
+    bucket: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join, bucketed: which points fall inside which
+    intervals (same keys), as an EQUI-join.
+
+    OSS Spark plans ``p.ts BETWEEN i.start AND i.end`` as a broadcast
+    nested loop (or cartesian) — |points| × |intervals-per-key| row
+    comparisons. The bucketed form explodes each interval into the
+    coarse time buckets it covers (⌈length/bucket⌉+1 rows — bounded by
+    interval length, chosen via ``bucket``), equi-joins points on
+    (keys, bucket), then applies the exact BETWEEN filter. A point owns
+    exactly one bucket, so no post-join dedup is needed. Shuffle is
+    keyed by (keys, bucket) — uniform whenever event time is.
+
+    Timestamps are numeric (epoch seconds or any monotone numeric
+    clock). ``bucket`` should be ≳ the typical interval length: too
+    small inflates the interval explode, too large inflates candidate
+    pairs for the exact filter.
+    """
+    on = on or []
+    pts = points.withColumn("__b", F.floor(F.col(point_ts) / bucket).cast("bigint"))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_ts) / bucket).cast("bigint"),
+                F.floor(F.col(end_ts) / bucket).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        pts.join(iv, [*on, "__b"])
+        .where(F.col(point_ts).between(F.col(start_ts), F.col(end_ts)))
+        .drop("__b")
+    )

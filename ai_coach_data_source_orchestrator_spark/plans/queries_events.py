@@ -317,3 +317,51 @@ def asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("asof_ts").alias("asof_ts_epoch"),
         F.col("asof_ckpt_value").alias("asof_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join (operators/asof.py::range_join): events inside
+# per-user maintenance windows. OSS Spark would nested-loop the BETWEEN
+# predicate; the bucket-explode form keeps it an equi-join. Oracle is
+# the plain BETWEEN join DuckDB optimizes natively (IEJoin).
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_windows",
+    oracle="""
+    WITH win AS (
+      SELECT user_id, event_id AS window_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS end_s
+      FROM events WHERE event_id % 20 = 0
+    )
+    SELECT e.event_id, e.user_id, w.window_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch
+    FROM events e JOIN win w
+      ON e.user_id = w.user_id
+     AND CAST(floor(epoch(e.ts)) AS BIGINT) BETWEEN w.start_s AND w.end_s
+    """,
+    survey_ids=("F1", "J7"),
+    description="Bucketed point-in-interval join: events inside per-user 2h windows",
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_epoch", F.unix_timestamp("ts")
+    )
+    windows = ev.where(F.col("event_id") % 20 == 0).select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts_epoch").alias("start_s"),
+        (F.col("ts_epoch") + 7200).alias("end_s"),
+    )
+    out = range_join(
+        ev.select("event_id", "user_id", "ts_epoch"),
+        windows,
+        point_ts="ts_epoch",
+        start_ts="start_s",
+        end_ts="end_s",
+        on=["user_id"],
+        bucket=7200,
+    )
+    return out.select("event_id", "user_id", "window_id", "ts_epoch")

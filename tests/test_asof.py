@@ -35,6 +35,37 @@ def test_asof_does_not_leak_across_keys(spark):
     assert out == {1: 7.0, 2: None}
 
 
+def test_range_join_membership_and_no_dup(spark):
+    from ai_coach_data_source_orchestrator_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 9999), (4, "v", 100)],
+        "pid bigint, k string, ts bigint",
+    )
+    iv = spark.createDataFrame(
+        [("u", 10, 50, 260), ("u", 11, 240, 300)], "k string, wid bigint, s bigint, e bigint"
+    )
+    out = sorted(
+        (r["pid"], r["wid"])
+        for r in range_join(pts, iv, "ts", "s", "e", on=["k"], bucket=100).collect()
+    )
+    # point 2 is inside BOTH overlapping windows — exactly once each;
+    # boundary inclusion; wrong-key and out-of-range points excluded
+    assert out == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    from ai_coach_data_source_orchestrator_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(1, "u", 100)], "pid bigint, k string, ts bigint")
+    iv = spark.createDataFrame([("u", 10, 50, 260)], "k string, wid bigint, s bigint, e bigint")
+    plan = (
+        range_join(pts, iv, "ts", "s", "e", on=["k"], bucket=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_asof_plan_is_single_window_no_join(spark):
     left = spark.createDataFrame([(1, "a", 50)], "event_id bigint, k string, ts bigint")
     right = spark.createDataFrame([("a", 10, 7.0)], "k string, ts bigint, v double")
