@@ -365,3 +365,58 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=7200,
     )
     return out.select("event_id", "user_id", "window_id", "ts_epoch")
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous-aggregate cascade: minute → hour → day,
+# each grain RE-AGGREGATED from the next finer one (never from raw) —
+# the TimescaleDB/Druid rollup pattern. At 100 TB this is the only
+# workable shape: raw events are touched once for the finest grain and
+# every coarser grain reads ~60× less. DECIMAL partial sums compose
+# exactly, so the oracle — direct aggregation of raw events at EVERY
+# grain — hash-matching proves the cascade is lossless.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_hypertable_cascade",
+    oracle="""
+    SELECT 'minute' AS grain,
+           CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS bucket_epoch,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'hour', CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT),
+           COUNT(*), ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT),
+           COUNT(*), ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+    FROM events GROUP BY 2
+    """,
+    survey_ids=("A7", "A10", "A16"),
+    description="Minute→hour→day rollup cascade, coarse grains re-aggregated from fine",
+)
+def rollup_hypertable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(F.date_trunc("minute", "ts").alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_dec").alias("sum_dec")
+    )
+    day = hour.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_dec").alias("sum_dec")
+    )
+
+    def finish(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.unix_timestamp("bucket").alias("bucket_epoch"),
+            "n_events",
+            F.round(F.col("sum_dec").cast("double"), 2).alias("total_value"),
+        )
+
+    return finish(minute, "minute").unionByName(finish(hour, "hour")).unionByName(
+        finish(day, "day")
+    )
