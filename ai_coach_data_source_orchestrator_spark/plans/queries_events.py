@@ -420,3 +420,48 @@ def rollup_hypertable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finish(minute, "minute").unionByName(finish(hour, "hour")).unionByName(
         finish(day, "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile profile per event type (A-family depth): Spark's
+# `percentile` and DuckDB's `quantile_cont` both use linear
+# interpolation on the sorted values → identical doubles; the mean goes
+# through an exact DECIMAL sum so no float summation-order wobble.
+# (At 100 TB swap `percentile` for `approx_percentile` — same plan
+# shape, sketch-mergeable; exact form stays as the oracle.)
+# ---------------------------------------------------------------------------
+@register(
+    "a_percentile_profile",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(MIN(value) AS DOUBLE), 6) AS min_v,
+           ROUND(CAST(MAX(value) AS DOUBLE), 6) AS max_v,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_v,
+           ROUND((quantile_cont(value, [0.5, 0.9, 0.99]))[1], 6) AS p50,
+           ROUND((quantile_cont(value, [0.5, 0.9, 0.99]))[2], 6) AS p90,
+           ROUND((quantile_cont(value, [0.5, 0.9, 0.99]))[3], 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    survey_ids=("A3", "A8"),
+    description="Per-type count/min/max/exact-mean + exact p50/p90/p99",
+)
+def a_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value").cast("double"), 6).alias("min_v"),
+            F.round(F.max("value").cast("double"), 6).alias("max_v"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*"), 6).alias("mean_v"),
+            pct.alias("p"),
+        )
+        .select(
+            "event_type", "n", "min_v", "max_v", "mean_v",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+    )
