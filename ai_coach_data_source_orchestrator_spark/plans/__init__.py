@@ -13,4 +13,73 @@ from . import queries_pipeline  # noqa: E402,F401
 from . import queries_epic_tree  # noqa: E402,F401
 from . import queries_sampling  # noqa: E402,F401
 
+# ---------------------------------------------------------------------------
+# Registry ordering.
+#
+# External harnesses sample the registry front-to-back (insertion order), so
+# the queries with the least external verification history go FIRST: the 31
+# entries never sampled through round 2, then the 8 last sampled in round 1,
+# then entries whose oracle changed this round, then everything already
+# verified in round 2.  New queries added in round 3 are slotted into the
+# front block as they land.
+# ---------------------------------------------------------------------------
+_FRONT = [
+    # -- never externally sampled (rounds 1-2) --
+    "weekly_digest_pipeline",
+    "epic_tree_render",
+    "j8_changelog_injection",
+    "k8_upsert_merge",
+    "s1_jira_connector_roundtrip",
+    "s9_slack_history_pushdown",
+    "s12_drive_catalog_scan",
+    "s14_jdbc_pushdown_join",
+    "x3_adf_flatten",
+    "x19_transcript_parse",
+    "x21_changelog_compact",
+    "k1_csv_union_header_roundtrip",
+    "k2_partitioned_write_roundtrip",
+    "k5_json_snapshot_roundtrip",
+    "k6_datasource_sections",
+    "k9_cache_freshness",
+    "k_bucketed_colocated_join",
+    "s18_python_literal_extract",
+    "j9_blob_path_join",
+    "j10_member_doc_join",
+    "j12_channel_resolution",
+    "f5_substring_filter",
+    "f6_team_threshold_filter",
+    "a15_participants",
+    "a18_reactions_rollup",
+    "o4_lexicographic_concat",
+    "u8_schema_union_by_name",
+    "dashboard_week_frame",
+    "slack_capture_pipeline",
+    "sample_stratified_hash",
+    "pack_token_bins",
+    # -- oracle upgraded round 3 (rows-only → hash-match) --
+    "dedup_simhash",
+    # -- new round-3 queries --
+    "cc_large_star",
+    "knn_ivf_sf1",
+    # -- last sampled in round 1 only --
+    "f9_section_date_trim",
+    "x22_human_size",
+    "x23_json_field_extract",
+    "x24_custom_field_map",
+    "u2_distinct_keys_from_text",
+    "j3_mention_resolution",
+    "j4_field_label_join",
+    "j7_changelog_attach",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = {name: REGISTRY[name] for name in _FRONT if name in REGISTRY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
 __all__ = ["REGISTRY", "QuerySpec", "register"]
