@@ -39,14 +39,22 @@ def asof_join(
     unmatched left rows keep them null (LEFT ASOF semantics)."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*on, ts_col)]
-    carried = [*value_cols, ts_col]
 
+    # All carried columns travel in ONE struct so a single
+    # last(ignorenulls) picks them atomically from the same right row.
+    # Carrying each column independently would skip legitimately-NULL
+    # values and stitch the output from different right rows, breaking
+    # ASOF semantics for nullable right columns. The struct itself is
+    # non-null for every right row (left rows contribute NULL), so
+    # ignorenulls keys on "is this a right row", not on value nullness.
     r = right.select(
         *on,
         F.col(ts_col),
         F.lit(1).alias("__is_r"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
-        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+        F.struct(
+            F.col(ts_col).alias(ts_col),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__carry"),
     )
     l = left.withColumn("__is_r", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -58,9 +66,15 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__is_r").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in carried:
-        u = u.withColumn(f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w))
-    return u.where(F.col("__is_r") == 0).drop("__is_r")
+    u = u.withColumn("__carry", F.last("__carry", ignorenulls=True).over(w))
+    return (
+        u.where(F.col("__is_r") == 0)
+        .select(
+            *left.columns,
+            *[F.col(f"__carry.{c}").alias(f"{prefix}{c}") for c in value_cols],
+            F.col(f"__carry.{ts_col}").alias(f"{prefix}{ts_col}"),
+        )
+    )
 
 
 def range_join(

@@ -19,15 +19,18 @@ Four strategies, ordered by cost/recall trade-off:
                            defaults (B=32, R=2) give miss-probability
                            ≈6e-7 at s=0.6, so verified output equals the
                            brute-force oracle with near-certainty.
-- ``simhash`` / ``simhash_pairs`` — 64-bit SimHash over tokens with a
-                           banded hamming-distance join (non-SQL-
-                           expressible → rows-only driver check).
+- ``simhash`` / ``simhash_pairs`` — SimHash over shingles (60 usable
+                           bits, sha256-derived so DuckDB reproduces
+                           them bit-for-bit) with a banded
+                           hamming-distance join.
 
-All signature computation is pure column expressions (xxhash64 /
-array ops) — no Python in the hot path.
+All signature computation is pure column expressions (hash / array
+ops) — no Python in the hot path.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -259,6 +262,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with changes still flowing means the
+        # returned labels are NOT components: dedup_survivors' "min-id
+        # member IS the label" invariant breaks silently. Surface it.
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({changed} labels still changing) — labels are partial; "
+            "raise max_iter or use connected_components_star for "
+            "long-chain graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
@@ -322,11 +337,19 @@ def winnow_fingerprints(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """64-bit SimHash per document over k-token shingles, fully JVM-side.
+    """SimHash per document over k-token shingles, fully JVM-side.
 
     Explode distinct shingles → per-bit ±1 contributions → sign per bit
     → reassembled bigint. One shuffle (groupBy doc); 64 conditional-sum
     aggregates stay a single partial-aggregation pass.
+
+    The token hash is the first 15 hex chars of sha256 parsed as a
+    60-bit integer (bits 60-63 of the signature are structurally 0) —
+    deliberately NOT xxhash64: sha256 is engine-independent, so a SQL
+    oracle (DuckDB ``('0x'||substr(sha256(t),1,15))::BIGINT``)
+    reproduces the signatures bit-for-bit, same trick as
+    ``winnow_fingerprints``. 60 vs 64 hash bits is immaterial for
+    near-dup discrimination.
 
     Shingles, not unigrams: on a small shared vocabulary every document
     has nearly the same token SET, which collapses token-level SimHash
@@ -336,7 +359,12 @@ def simhash(
     toks = (
         _shingle_sets(df, text_col, id_col, k)
         .select("doc_id", F.explode("sh").alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
     )
     # Both wide expressions are built as ONE F.expr string each: the
     # Column-API form (64 sum(when(...)) objects + a 64-term bitwiseOR

@@ -202,30 +202,90 @@ def render_epic_tree(issues: DataFrame, comments: DataFrame | None = None) -> Da
 
 
 def compact_change_line() -> Column:
-    """X21 compact change-item summary (changelog-flatten.js:81-148)
-    over columns field/from_string/to_string — shared with the weekly
-    pipeline render."""
+    """X21 compact change-item summary — faithful port of ``compactItem``
+    (jira/lib/changelog-flatten.js:81-148) over columns
+    field/from_string/to_string; shared with the weekly pipeline render
+    and the J8 changelog bullets.
+
+    Reference rules: lowercase labels for the known scalar fields with
+    ``-`` for empty endpoints (``status: - → Done``); description renders
+    ``description: [updated; N chars]`` with ``{noformat}`` tags
+    stripped; labels/sprint render set diffs (``+added -removed``,
+    ``(no change)`` when equal — labels prefixes every element, sprint
+    only the first); Link extracts ``relation KEY``; remoteworkitemlink
+    summarizes by target service; Rank keeps Jira's own phrase; anything
+    else falls through to ``field: from → to`` in the original casing.
+    The set diffs are interpreted per element (higher-order functions)
+    — lists here are label sets of a few items, never data-sized.
+    """
+    field = F.trim(F.coalesce(F.col("field"), F.lit("")))
+    lower = F.lower(field)
+    from_s = F.coalesce(F.col("from_string"), F.lit(""))
+    to_s = F.coalesce(F.col("to_string"), F.lit(""))
+    from_str = F.when(from_s == "", F.lit("-")).otherwise(from_s)
+    to_str = F.when(to_s == "", F.lit("-")).otherwise(to_s)
+    arrow = F.concat(from_str, F.lit(" → "), to_str)
+
+    def norm(col: Column) -> Column:
+        return F.filter(
+            F.transform(F.split(col, ","), lambda x: F.trim(x)), lambda x: x != ""
+        )
+
+    added = F.array_except(norm(to_s), norm(from_s))
+    removed = F.array_except(norm(from_s), norm(to_s))
+
+    def diff_join(plus_sep: str, minus_sep: str) -> Column:
+        plus = (
+            F.when(F.size(added) > 0, F.concat(F.lit("+"), F.array_join(added, plus_sep)))
+            .otherwise(F.lit(""))
+        )
+        minus = (
+            F.when(F.size(removed) > 0, F.concat(F.lit("-"), F.array_join(removed, minus_sep)))
+            .otherwise(F.lit(""))
+        )
+        joined = F.array_join(F.filter(F.array(plus, minus), lambda x: x != ""), " ")
+        return F.when(joined == "", F.lit("(no change)")).otherwise(joined)
+
+    link_s = F.trim(F.when(to_s != "", to_s).otherwise(from_s))
+    link_re = r"([^\s].*?)\s+([A-Z][A-Z0-9]+-\d+)"
+    link_key = F.regexp_extract(link_s, link_re, 2)
+    link_line = F.when(
+        link_key != "",
+        F.concat(F.lit("Link: "), F.regexp_extract(link_s, link_re, 1), F.lit(" "), link_key),
+    ).otherwise(F.concat(F.lit("Link: "), F.when(link_s != "", link_s).otherwise(arrow)))
+
+    remote_s = F.lower(F.when(to_s != "", to_s).otherwise(from_s))
+    remote_line = (
+        F.when(remote_s.contains("confluence"), F.lit("linked Confluence page"))
+        .when(remote_s.contains("github"), F.lit("linked GitHub item"))
+        .when(remote_s.contains("document"), F.lit("linked document"))
+        .otherwise(F.lit("linked external item"))
+    )
+
+    desc_line = F.concat(
+        F.lit("description: [updated; "),
+        F.length(F.regexp_replace(to_s, r"\{noformat\}", "")).cast("string"),
+        F.lit(" chars]"),
+    )
+
+    scalar_label = F.when(lower == "story point estimate", F.lit("story points")).otherwise(lower)
+
     return (
         F.when(
-            F.col("field") == "status",
-            F.concat(
-                F.lit("Status: "), F.coalesce("from_string", F.lit("?")),
-                F.lit(" → "), F.coalesce("to_string", F.lit("?")),
+            lower.isin(
+                "status", "assignee", "priority", "summary",
+                "story points", "story point estimate",
             ),
+            F.concat(scalar_label, F.lit(": "), arrow),
         )
-        .when(
-            F.col("field") == "assignee",
-            F.concat(F.lit("Assignee: → "), F.coalesce("to_string", F.lit("Unassigned"))),
-        )
-        .when(
-            F.col("field") == "description",
-            F.concat(
-                F.lit("Description updated ("),
-                F.length(F.coalesce("to_string", F.lit(""))).cast("string"),
-                F.lit(" chars)"),
-            ),
-        )
-        .otherwise(F.concat(F.initcap("field"), F.lit(": "), F.coalesce("to_string", F.lit("?"))))
+        .when(lower == "description", desc_line)
+        .when(lower == "labels", F.concat(F.lit("labels: "), diff_join(",+", ",-")))
+        .when(lower == "sprint", F.concat(F.lit("Sprint: "), diff_join(",", ",")))
+        .when(lower.isin("link", "issuelinks"), link_line)
+        .when(lower.isin("issueparentassociation", "parent"), F.concat(F.lit("parent: "), arrow))
+        .when(lower == "remoteworkitemlink", remote_line)
+        .when(lower == "rank", F.concat(F.lit("Rank: "), to_str))
+        .otherwise(F.concat(field, F.lit(": "), arrow))
     )
 
 

@@ -155,9 +155,8 @@ def _changelog_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist AS (
       SELECT issue_key, history_id, min(created) AS created, min(author) AS author,
              string_agg(
-               '- ' || CASE WHEN field = 'status'
-                            THEN 'Status: ' || COALESCE(from_string, '?') || ' → ' || COALESCE(to_string, '?')
-                            ELSE 'Priority: ' || COALESCE(to_string, '?') END,
+               '- ' || field || ': ' || COALESCE(NULLIF(from_string, ''), '-')
+                    || ' → ' || COALESCE(NULLIF(to_string, ''), '-'),
                chr(10) ORDER BY field) AS items
       FROM chg GROUP BY issue_key, history_id
     ),

@@ -252,53 +252,108 @@ def s18_python_literal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X21 — changelog compact formatter (jira/lib/changelog-flatten.js:81-148):
-# per-field rendering rules as one when-chain over synthesized changes.
+# X21 — changelog compact formatter, faithful compactItem port
+# (jira/lib/changelog-flatten.js:81-148) via pipeline/epic_tree.py's
+# compact_change_line. The fixture branches over ALL eleven rendering
+# rules (scalar fields, description noformat-strip, labels/Sprint set
+# diffs, Link key extraction, parent, remoteWorkItemLink service
+# summary, Rank, story-points label alias, default passthrough); the
+# oracle derives each expected string independently from the same
+# lineitem columns.
 # ---------------------------------------------------------------------------
 @register(
     "x21_changelog_compact",
     oracle="""
     WITH changes AS (
       SELECT l_orderkey * 10 + l_linenumber AS change_id,
-             CASE l_linenumber % 4
-               WHEN 0 THEN 'status' WHEN 1 THEN 'assignee'
-               WHEN 2 THEN 'description' ELSE 'priority' END AS field,
-             l_returnflag AS from_s, l_linestatus AS to_s,
-             CAST(floor(l_quantity) AS BIGINT) AS n_chars
+             (l_orderkey + l_linenumber) % 11 AS b,
+             l_orderkey % 3 AS n, l_returnflag AS rf, l_linestatus AS ls,
+             l_orderkey AS okey, l_linenumber AS ln,
+             CAST(l_shipdate AS VARCHAR) AS si, CAST(floor(l_quantity) AS BIGINT) AS qty
       FROM lineitem
     )
     SELECT change_id,
-      CASE field
-        WHEN 'status' THEN 'Status: ' || from_s || ' → ' || to_s
-        WHEN 'assignee' THEN 'Assignee: → ' || to_s
-        WHEN 'description' THEN 'Description updated (' || n_chars || ' chars)'
-        WHEN 'priority' THEN 'Priority: ' || from_s || ' → ' || to_s
-        ELSE field || ': ' || to_s END AS rendered
+      CASE b
+        WHEN 0 THEN 'status: ' || rf || ' → ' || ls
+        WHEN 1 THEN 'assignee: - → ' || ls
+        WHEN 2 THEN 'description: [updated; ' || length(si) || ' chars]'
+        WHEN 3 THEN CASE WHEN okey % 2 = 0 THEN 'labels: +blue -red'
+                         ELSE 'labels: (no change)' END
+        WHEN 4 THEN 'Sprint: +Sprint ' || (n + 1) || ' -Sprint ' || n
+        WHEN 5 THEN 'Link: blocks PROJ-' || (okey % 100)
+        WHEN 6 THEN 'Rank: Ranked higher'
+        WHEN 7 THEN 'parent: PROJ-1 → -'
+        WHEN 8 THEN CASE okey % 4
+                      WHEN 0 THEN 'linked Confluence page'
+                      WHEN 1 THEN 'linked GitHub item'
+                      WHEN 2 THEN 'linked document'
+                      ELSE 'linked external item' END
+        WHEN 9 THEN 'story points: ' || ln || ' → ' || qty
+        ELSE 'customfield_' || ln || ': ' || rf || ' → ' || ls
+      END AS rendered
     FROM changes
     """,
     survey_ids=("X21", "A14"),
-    description="Per-field changelog rendering rules (when-chain)",
+    description="compactItem-faithful changelog rendering, all 11 field rules",
 )
 def x21_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.epic_tree import compact_change_line
+
     li = load_table(spark, sf_dir, "lineitem")
+    b = (F.col("l_orderkey") + F.col("l_linenumber")) % 11
+    n = (F.col("l_orderkey") % 3).cast("string")
+    n1 = ((F.col("l_orderkey") % 3) + 1).cast("string")
+    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
+    null_s = F.lit(None).cast("string")
     field = (
-        F.when(F.col("l_linenumber") % 4 == 0, F.lit("status"))
-        .when(F.col("l_linenumber") % 4 == 1, F.lit("assignee"))
-        .when(F.col("l_linenumber") % 4 == 2, F.lit("description"))
-        .otherwise(F.lit("priority"))
+        F.when(b == 0, F.lit("status"))
+        .when(b == 1, F.lit("assignee"))
+        .when(b == 2, F.lit("description"))
+        .when(b == 3, F.lit("labels"))
+        .when(b == 4, F.lit("Sprint"))
+        .when(b == 5, F.lit("link"))
+        .when(b == 6, F.lit("Rank"))
+        .when(b == 7, F.lit("parent"))
+        .when(b == 8, F.lit("remoteWorkItemLink"))
+        .when(b == 9, F.lit("Story point estimate"))
+        .otherwise(F.concat(F.lit("customfield_"), F.col("l_linenumber").cast("string")))
+    )
+    from_string = (
+        F.when(b == 0, rf)
+        .when(b == 3, F.concat(F.lit("red, "), rf))
+        .when(b == 4, F.concat(F.lit("Sprint "), n))
+        .when(b == 7, F.lit("PROJ-1"))
+        .when(b == 9, F.col("l_linenumber").cast("string"))
+        .when(b == 10, rf)
+        .otherwise(null_s)
+    )
+    to_string = (
+        F.when(b == 0, ls)
+        .when(b == 1, ls)
+        .when(b == 2, F.concat(F.lit("{noformat}"), F.col("l_shipdate").cast("string"), F.lit("{noformat}")))
+        .when(
+            b == 3,
+            F.when(F.col("l_orderkey") % 2 == 0, F.concat(rf, F.lit(", blue")))
+            .otherwise(F.concat(F.lit("red, "), rf)),
+        )
+        .when(b == 4, F.concat(F.lit("Sprint "), n1))
+        .when(b == 5, F.concat(F.lit("blocks PROJ-"), (F.col("l_orderkey") % 100).cast("string")))
+        .when(b == 6, F.lit("Ranked higher"))
+        .when(
+            b == 8,
+            F.when(F.col("l_orderkey") % 4 == 0, F.lit("see Confluence page"))
+            .when(F.col("l_orderkey") % 4 == 1, F.lit("GitHub PR link"))
+            .when(F.col("l_orderkey") % 4 == 2, F.lit("a Document ref"))
+            .otherwise(F.lit("other system")),
+        )
+        .when(b == 9, F.floor("l_quantity").cast("bigint").cast("string"))
+        .when(b == 10, ls)
+        .otherwise(null_s)
     )
     changes = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("change_id"),
         field.alias("field"),
-        F.col("l_returnflag").alias("from_s"),
-        F.col("l_linestatus").alias("to_s"),
-        F.floor("l_quantity").cast("bigint").cast("string").alias("n_chars"),
+        from_string.alias("from_string"),
+        to_string.alias("to_string"),
     )
-    rendered = (
-        F.when(F.col("field") == "status", F.concat(F.lit("Status: "), F.col("from_s"), F.lit(" → "), F.col("to_s")))
-        .when(F.col("field") == "assignee", F.concat(F.lit("Assignee: → "), F.col("to_s")))
-        .when(F.col("field") == "description", F.concat(F.lit("Description updated ("), F.col("n_chars"), F.lit(" chars)")))
-        .when(F.col("field") == "priority", F.concat(F.lit("Priority: "), F.col("from_s"), F.lit(" → "), F.col("to_s")))
-        .otherwise(F.concat(F.col("field"), F.lit(": "), F.col("to_s")))
-    )
-    return changes.select("change_id", rendered.alias("rendered"))
+    return changes.select("change_id", compact_change_line().alias("rendered"))

@@ -285,19 +285,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup — the ONLY remaining rows-only registry query: the
-# signature is built from xxhash64(shingle, perm), and DuckDB has no
-# xxhash64-compatible hash, so no engine-independent oracle can
-# reproduce the bit patterns (every other LSH/IVF query now carries a
-# full oracle via literal sign-chain or list_cosine_similarity twins).
-# Semantics are pinned by tests/ (planted near-dup recall, banding
-# completeness via the pigeonhole property).
+# SimHash near-dup. Round 3: the token hash moved from xxhash64 to a
+# sha256-derived 60-bit integer (same trick as winnow_fingerprints),
+# which DuckDB reproduces with ('0x'||substr(sha256(t),1,15))::BIGINT —
+# so the last rows-only query now carries a full hash-match oracle. The
+# oracle mirrors the Spark plan term-for-term: 60 sign-sum bits (bits
+# 60-63 are structurally 0 because the hash has 60 bits), OR-assembled
+# into the signature, 4×16-bit pigeonhole bands, bit_count(xor) verify.
 # ---------------------------------------------------------------------------
+_SIMHASH_BITS = " | ".join(
+    f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(60)
+)
+
+_SIMHASH_SQL = (
+    _SHINGLES_SQL
+    + f"""
+    , th AS (
+        SELECT doc_id, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(s) AS tok FROM sh)
+    ),
+    sim AS (
+        SELECT doc_id, {_SIMHASH_BITS} AS simhash
+        FROM th GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS band_val
+        FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """
+)
+
+
 @register(
     "dedup_simhash",
-    oracle=None,
+    oracle=_SIMHASH_SQL,
     survey_ids=("U7",),
-    description="64-bit SimHash, pigeonhole-banded hamming<=3 pair join",
+    description="SimHash (sha256-derived bits), pigeonhole-banded hamming<=3 pair join",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)

@@ -62,6 +62,23 @@ def upsert_parquet(
     it can never expose a half-written table to the merge's own scan.
     """
     table_path = table_path.rstrip("/")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    dest = HPath(table_path)
+    fs = dest.getFileSystem(hconf)
+    staging = HPath(table_path + ".__staging__")
+    backup = HPath(table_path + ".__backup__")
+
+    # Crash recovery: a crash between rename(dest→backup) and
+    # rename(staging→dest) leaves dest missing with the only complete
+    # copy in backup. Restore it before treating this as a first write —
+    # otherwise the merge would run against nothing and the backup be
+    # deleted below, losing the table.
+    if not fs.exists(dest) and fs.exists(backup):
+        if not fs.rename(backup, dest):
+            raise IOError(f"upsert_parquet: could not restore backup for {table_path}")
+
     spark.catalog.refreshByPath(table_path)  # drop stale file-listing cache
     try:
         current = spark.read.parquet(table_path)
@@ -70,13 +87,6 @@ def upsert_parquet(
         staged = updates
     merged = latest_wins(staged, keys, version_col)
 
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    dest = HPath(table_path)
-    fs = dest.getFileSystem(hconf)
-    staging = HPath(table_path + ".__staging__")
-    backup = HPath(table_path + ".__backup__")
     fs.delete(staging, True)
     fs.delete(backup, True)
 

@@ -176,6 +176,16 @@ def jira_issue_search_pages(
     bounded ``mapInPandas`` partitions — the same worker-pool shape as
     ``_fanout``. Issue rows materialize on executors, never the driver,
     so issue volume bounds executor memory, not driver memory.
+
+    Consistency caveat: page offsets are computed from a single probe
+    ``total``, and issues created/updated between the probe and the
+    executor fetches shift rows across page boundaries (aggravated by
+    ``ORDER BY updated DESC`` — the very column being mutated), so a
+    concurrent writer can cause duplicated or skipped issues. This is
+    inherent to offset pagination, not to the fan-out. For exactness
+    under concurrent writes, use the serial cursor path
+    (``jira_issue_search``), or dedupe downstream by issue key keeping
+    max(updated), or sort by a stable ascending key.
     """
     import pandas as pd
 

@@ -28,6 +28,21 @@ def test_asof_basic_and_ties(spark):
     assert out[5] == (None, None)  # u3 has no checkpoints at all
 
 
+def test_asof_null_right_value_comes_from_matched_row(spark):
+    # The matched right row's value is legitimately NULL: the output must
+    # carry that NULL, not stitch in the value from an OLDER right row
+    # (columns must come atomically from the single matched row).
+    left = spark.createDataFrame([(1, "u", 300)], "event_id bigint, u string, ts bigint")
+    right = spark.createDataFrame(
+        [("u", 100, 1.0, "old"), ("u", 200, None, "new")],
+        "u string, ts bigint, v double, tag string",
+    )
+    [r] = asof_join(left, right, on=["u"], ts_col="ts").collect()
+    assert r["asof_ts"] == 200
+    assert r["asof_tag"] == "new"
+    assert r["asof_v"] is None  # NOT 1.0 from the older row
+
+
 def test_asof_does_not_leak_across_keys(spark):
     left = spark.createDataFrame([(1, "a", 50), (2, "b", 50)], "event_id bigint, k string, ts bigint")
     right = spark.createDataFrame([("a", 10, 7.0)], "k string, ts bigint, v double")

@@ -136,11 +136,11 @@ def changelogs(spark):
 
 GOLDEN_PROJ2_BULLETS = (
     "2025-10-05 Ada\n"
-    "- Assignee: → Bob\n"
-    "- Status: To Do → In Progress\n"
+    "- assignee: - → Bob\n"
+    "- status: To Do → In Progress\n"
     "\n"
     "2025-10-06 Bob\n"
-    "- Status: In Progress → Done"
+    "- status: In Progress → Done"
 )
 
 
@@ -150,7 +150,7 @@ def test_changelog_bullets_golden(changelogs):
         for r in E.changelog_bullets(changelogs, end_date="2025-10-12").collect()
     }
     assert out["PROJ-2"] == GOLDEN_PROJ2_BULLETS  # grouped by history, chronological
-    assert out["PROJ-4"] == "2025-10-07 Cee\n- Priority: High"
+    assert out["PROJ-4"] == "2025-10-07 Cee\n- priority: - → High"
     assert "Reopened" not in out["PROJ-2"]  # F10 end-date cutoff
 
 
@@ -168,11 +168,11 @@ def test_injection_placement_golden(issues, comments, changelogs):
         "#### [PROJ-2] Child A\n\n##### Changelog\n\n" + GOLDEN_PROJ2_BULLETS + "\n\n\n**Type**"
     )
     assert expected_proj2 in md
-    assert "#### [PROJ-4] Sub 1\n\n##### Changelog\n\n2025-10-07 Cee\n- Priority: High\n" in md
+    assert "#### [PROJ-4] Sub 1\n\n##### Changelog\n\n2025-10-07 Cee\n- priority: - → High\n" in md
     assert md.count("##### Changelog") == 2  # PROJ-2 + PROJ-4; PROJ-3 untouched
     # epic-level '## [PROJ-1]' heading (2 #s) is NOT an injection point
     assert "## [PROJ-1] Big epic\n\n##### Changelog" not in md
     # everything else byte-identical to the uninjected render
     assert md.replace(
         "\n\n##### Changelog\n\n" + GOLDEN_PROJ2_BULLETS + "\n", ""
-    ).replace("\n\n##### Changelog\n\n2025-10-07 Cee\n- Priority: High\n", "") == GOLDEN_TREE
+    ).replace("\n\n##### Changelog\n\n2025-10-07 Cee\n- priority: - → High\n", "") == GOLDEN_TREE

@@ -106,6 +106,32 @@ def test_upsert_parquet_atomic_no_cache_reliance(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_upsert_parquet_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Crash between rename(dest→backup) and rename(staging→dest) leaves
+    dest missing and the only complete copy in .__backup__. The next run
+    must restore it — NOT treat the merge as a first write and delete
+    the backup (which would lose the table)."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "daily_reports")
+    keys = K.UPSERT_KEYS["daily_reports"]
+    schema = "team_id int, author_name string, report_date string, content string, version int"
+    b1 = spark.createDataFrame([(1, "Ada", "2025-01-06", "v1", 1)], schema)
+    K.upsert_parquet(spark, path, b1, keys, "version")
+
+    # Simulate the mid-swap crash: dest moved aside, staging never landed.
+    shutil.move(path, path + ".__backup__")
+    assert not os.path.exists(path)
+
+    b2 = spark.createDataFrame([(1, "Bob", "2025-01-06", "bob", 2)], schema)
+    merged = K.upsert_parquet(spark, path, b2, keys, "version")
+    rows = {(r.team_id, r.author_name): r.content for r in merged.collect()}
+    # Ada's row survived the crash via backup restore; Bob's was merged in.
+    assert rows == {(1, "Ada"): "v1", (1, "Bob"): "bob"}
+    assert not os.path.exists(path + ".__backup__")
+
+
 def test_lineage_links_exactly_one_source(spark):
     rows = spark.createDataFrame(
         [

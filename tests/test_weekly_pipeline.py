@@ -116,8 +116,8 @@ def test_epic_resolution_three_levels(result):
 
 def test_changelog_attach_and_cutoff(result):
     lines = [(r["issue_key"], r["line"]) for r in result.changelog_lines.collect()]
-    assert ("PROJ-2", "Status: To Do → In Progress") in lines
-    assert ("PROJ-2", "Assignee: → Jolony Tim Tangpuz") in lines
+    assert ("PROJ-2", "status: To Do → In Progress") in lines
+    assert ("PROJ-2", "assignee: - → Jolony Tim Tangpuz") in lines
     assert all(k != "PROJ-3" for k, _ in lines)  # after end_date → cut (F10)
     assert all(k != "PROJ-4" for k, _ in lines)  # dropped issue → no changelog
 
@@ -176,8 +176,8 @@ def test_epic_tree_section_nested_and_injected(result):
     # J8 injection: two histories → two chronological bullet groups
     assert (
         "#### [PROJ-2] Story *bold* here\n\n##### Changelog\n\n"
-        "2025-10-08 alice\n- Status: To Do → In Progress\n\n"
-        "2025-10-08 alice\n- Assignee: → Jolony Tim Tangpuz\n" in md
+        "2025-10-08 alice\n- status: To Do → In Progress\n\n"
+        "2025-10-08 alice\n- assignee: - → Jolony Tim Tangpuz\n" in md
     )
     assert "In Progress → Done" not in md  # PROJ-3 change after end_date → cut (F10)
     # the epic-tree section feeds the datasource and the content hash
