@@ -270,6 +270,25 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Same component semantics via alternating large-star/small-star
+# (Kiveris et al. SoCC'14) — the O(log² n)-round variant for adversarial
+# long-chain graphs where min-label propagation needs O(diameter)
+# rounds. Same recursive-CTE oracle: both must produce identical
+# min-reachable-id components.
+# ---------------------------------------------------------------------------
+@register(
+    "cc_large_star",
+    oracle=_CC_SQL,
+    survey_ids=("U7", "U3"),
+    description="Large-star/small-star connected components (O(log n) rounds)",
+)
+def cc_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prs = D.jaccard_pairs(docs, k=3, threshold=0.6)
+    return D.connected_components_star(docs, prs)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup — the scale path; oracle is the brute-force
 # Jaccard (LSH miss probability ≈6e-7 at the threshold, see dedup.py)
 # ---------------------------------------------------------------------------
