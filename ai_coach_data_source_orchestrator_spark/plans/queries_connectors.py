@@ -7,17 +7,23 @@ tables, so each connector pipeline has an exact DuckDB oracle over the
 same tables. The reference injects its HTTP layer the same way for
 tests (jira/lib/changelog-client.js:43-54 ``httpRequestImpl``).
 
-Scale framing: the driver-side part of each query touches only
-dimension-sized tables (supplier/customer/part — the connector *server*
-side); the Spark side is the connector's own architecture — listing
-scans produce small DataFrames, per-key fetches fan out over bounded
-``mapInPandas`` partitions (the reference's worker-pool of 5,
-jira/lib/changelog-client.js:159-202). At 100 TB the REST sources are
-never the big tables; ingest volume is bounded by API rate limits, and
-the big-data path starts at the bronze parquet these produce.
+Scale framing: the fake servers are *transport closures* that
+synthesize each page on demand from the backing table's key range —
+the only driver-side data is one (count, min, max) aggregate per
+table, so driver memory stays flat at any sf (the r2 version
+``.collect()``-ed whole tables to build the fixtures, capping the sf
+connector queries could run at). The Spark side is the connector's
+own architecture — listing scans produce small DataFrames, per-key
+fetches fan out over bounded ``mapInPandas`` partitions (the
+reference's worker-pool of 5, jira/lib/changelog-client.js:159-202).
+At 100 TB the REST sources are never the big tables; ingest volume is
+bounded by API rate limits, and the big-data path starts at the
+bronze parquet these produce.
 """
 
 from __future__ import annotations
+
+from itertools import islice
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +33,20 @@ from ..sources.tables import load_table
 from .registry import register
 
 _BASE = "https://fake.example"
+
+
+def _key_range(spark: SparkSession, sf_dir: str, table: str, key: str) -> tuple[int, int]:
+    """(min, max) of a contiguous integer key — the ONLY thing the fake
+    servers need from the driver. Contiguity is asserted so the
+    synthesized rows provably match what the oracle derives from the
+    real table."""
+    n, lo, hi = (
+        load_table(spark, sf_dir, table)
+        .agg(F.count("*"), F.min(key), F.max(key))
+        .first()
+    )
+    assert hi - lo + 1 == n, f"{table}.{key} not contiguous: [{lo},{hi}] n={n}"
+    return int(lo), int(hi)
 
 
 def _status_of(suppkey: int) -> str:
@@ -54,56 +74,51 @@ def _status_of(suppkey: int) -> str:
     description="Jira search+comments connectors (paginated, fanned out) → status rollup",
 )
 def s1_jira_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fake Jira server derived from `supplier`: issue SUP-<k> with
-    # status k%3 and k%4 comments. Pages of 50 via nextPageToken, so at
-    # sf>=0.01 the search loop genuinely paginates; comments fan out
-    # over 5 mapInPandas partitions (the reference's pool size).
-    sups = sorted(
-        (int(r["s_suppkey"]), r["s_name"])
-        for r in load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name").collect()
-    )
-    issues = [
-        {
+    # Fake Jira server synthesized from `supplier`'s key range: issue
+    # SUP-<k> with status k%3 and k%4 comments — every attribute is a
+    # function of k, so the transport closure carries two ints and
+    # builds each page on demand (never the whole table). Pages of 50,
+    # so at sf>=0.01 the search loop genuinely paginates; comments fan
+    # out over 5 mapInPandas partitions (the reference's pool size).
+    lo, hi = _key_range(spark, sf_dir, "supplier", "s_suppkey")
+    n_issues = hi - lo + 1
+
+    def _issue(k: int) -> dict:
+        return {
             "key": f"SUP-{k}",
             "fields": {
-                "summary": name,
+                "summary": f"supplier {k}",
                 "status": {"name": _status_of(k)},
-                "assignee": {"displayName": name},
+                "assignee": {"displayName": f"supplier {k}"},
                 "issuetype": {"name": "Task"},
                 "updated": "2024-06-01T00:00:00.000+0000",
                 "created": "2024-01-01T00:00:00.000+0000",
             },
         }
-        for k, name in sups
-    ]
-    comments = {
-        f"SUP-{k}": [
-            {
-                "author": {"displayName": name},
-                "created": f"2024-06-0{i + 1}T00:00:00.000+0000",
-                "body": f"comment {i}",
-            }
-            for i in range(k % 4)
-        ]
-        for k, name in sups
-    }
 
     def transport(method, url, params):
         if url.endswith("/search/jql"):
             start = int(params.get("nextPageToken") or 0)
-            page = issues[start : start + params["maxResults"]]
+            page = [_issue(k) for k in range(lo, hi + 1)[start : start + params["maxResults"]]]
             nxt = start + len(page)
             body = {"issues": page}
-            if nxt < len(issues):
+            if nxt < n_issues:
                 body["nextPageToken"] = str(nxt)
             return 200, {}, body
         if url.endswith("/search"):  # classic offset endpoint (parallel S1)
             start = int(params.get("startAt") or 0)
-            page = issues[start : start + params["maxResults"]]
-            return 200, {}, {"issues": page, "total": len(issues)}
+            page = [_issue(k) for k in range(lo, hi + 1)[start : start + params["maxResults"]]]
+            return 200, {}, {"issues": page, "total": n_issues}
         if url.endswith("/comment"):
-            key = url.rsplit("/", 2)[-2]
-            rows = comments.get(key, [])
+            k = int(url.rsplit("/", 2)[-2].removeprefix("SUP-"))
+            rows = [
+                {
+                    "author": {"displayName": f"supplier {k}"},
+                    "created": f"2024-06-0{i + 1}T00:00:00.000+0000",
+                    "body": f"comment {i}",
+                }
+                for i in range(k % 4 if lo <= k <= hi else 0)
+            ]
             start = params["startAt"]
             return 200, {}, {
                 "comments": rows[start : start + params["maxResults"]],
@@ -140,7 +155,7 @@ _SLACK_EPOCH = 1_700_000_000
 @register(
     "s9_slack_history_pushdown",
     oracle=f"""
-    SELECT 'C' || CAST(c_nationkey AS VARCHAR) AS channel_id,
+    SELECT 'C' || CAST(c_custkey % 25 AS VARCHAR) AS channel_id,
            COUNT(*) AS n_messages,
            CAST(COUNT(DISTINCT c_custkey % 10) AS BIGINT) AS n_users
     FROM customer
@@ -151,23 +166,27 @@ _SLACK_EPOCH = 1_700_000_000
     description="Slack history connector with oldest/latest pushdown → per-channel rollup",
 )
 def s9_slack_history_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fake Slack derived from `customer`: one message per customer in
-    # channel C<nationkey> at epoch 1.7e9 + (custkey%1000)*60. The
-    # oldest/latest bounds are applied SERVER-side (that's the point of
-    # S9 pushdown: the API filters, we never see out-of-range rows).
-    custs = [
-        (int(r["c_custkey"]), int(r["c_nationkey"]))
-        for r in load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").collect()
-    ]
-    by_channel: dict[str, list[dict]] = {}
-    for ck, nk in custs:
-        by_channel.setdefault(f"C{nk}", []).append(
+    # Fake Slack synthesized from `customer`'s key range: one message
+    # per custkey ck in channel C(ck%25) at epoch 1.7e9+(ck%1000)*60.
+    # The oldest/latest bounds are applied SERVER-side (that's the
+    # point of S9 pushdown: the API filters, we never see out-of-range
+    # rows). The history transport materializes one channel's in-range
+    # messages per call — O(n/25) executor-side, zero driver state.
+    lo, hi = _key_range(spark, sf_dir, "customer", "c_custkey")
+    n = hi - lo + 1
+    channels = sorted({f"C{(lo + i) % 25}" for i in range(min(n, 25))})
+
+    def _chan_msgs(channel: str, oldest: float, latest: float) -> list[dict]:
+        m = int(channel[1:])
+        first = lo + ((m - lo) % 25)
+        msgs = [
             {"ts": f"{_SLACK_EPOCH + (ck % 1000) * 60}.000000", "user": f"U{ck % 10}",
              "text": f"msg {ck}", "reply_count": 0}
-        )
-    for msgs in by_channel.values():
-        msgs.sort(key=lambda m: (m["ts"], m["user"], m["text"]))
-    channels = sorted(by_channel)
+            for ck in range(first, hi + 1, 25)
+            if oldest <= _SLACK_EPOCH + (ck % 1000) * 60 <= latest
+        ]
+        msgs.sort(key=lambda r: (r["ts"], r["user"], r["text"]))
+        return msgs
 
     def transport(method, url, params):
         if url.endswith("/conversations.list"):
@@ -182,11 +201,7 @@ def s9_slack_history_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "response_metadata": meta,
             }
         if url.endswith("/conversations.history"):
-            msgs = [
-                m
-                for m in by_channel.get(params["channel"], [])
-                if params["oldest"] <= float(m["ts"]) <= params["latest"]
-            ]
+            msgs = _chan_msgs(params["channel"], params["oldest"], params["latest"])
             start = int(params.get("cursor") or 0)
             page = msgs[start : start + params["limit"]]
             nxt = start + len(page)
@@ -215,9 +230,9 @@ def s9_slack_history_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s12_drive_catalog_scan",
     oracle="""
-    SELECT CASE WHEN p_size % 2 = 0 THEN 'text/plain' ELSE 'application/pdf' END AS mime_type,
+    SELECT CASE WHEN (p_partkey % 50 + 1) % 2 = 0 THEN 'text/plain' ELSE 'application/pdf' END AS mime_type,
            COUNT(*) AS n_files,
-           CAST(SUM(p_size) AS BIGINT) * 100 AS total_bytes
+           CAST(SUM(p_partkey % 50 + 1) AS BIGINT) * 100 AS total_bytes
     FROM part
     WHERE p_partkey % 10 <> 0
     GROUP BY 1
@@ -226,34 +241,34 @@ def s9_slack_history_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Drive files.list connector (q pushdown, 1000/page) → mime rollup",
 )
 def s12_drive_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fake Drive derived from `part`: every 10th partkey is a "folder"
-    # that the q= predicate excludes SERVER-side — the listing we get
-    # back is already pruned, mirroring how the reference never pays
-    # for trashed/folder rows.
-    parts = sorted(
-        (int(r["p_partkey"]), r["p_name"], int(r["p_size"]))
-        for r in load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size").collect()
-    )
-    files = [
-        {
+    # Fake Drive synthesized from `part`'s key range: file f<k> sized
+    # (k%50+1)*100 bytes; every 10th partkey is a "folder" that the q=
+    # predicate excludes SERVER-side — the listing we get back is
+    # already pruned, mirroring how the reference never pays for
+    # trashed/folder rows. Pages are generated lazily from the key
+    # range (islice over a filtered generator), never a full list.
+    lo, hi = _key_range(spark, sf_dir, "part", "p_partkey")
+    n_files = (hi - lo + 1) - (hi // 10 - (lo - 1) // 10)  # keys minus multiples of 10
+
+    def _file(k: int) -> dict:
+        size = k % 50 + 1
+        return {
             "id": f"f{k}",
-            "name": f"{name} {k}.txt",
+            "name": f"part {k}.txt",
             "mimeType": "text/plain" if size % 2 == 0 else "application/pdf",
             "size": str(size * 100),
             "modifiedTime": "2024-03-01T00:00:00Z",
         }
-        for k, name, size in parts
-        if k % 10 != 0  # q= excludes folders server-side
-    ]
 
     def transport(method, url, params):
         if url.endswith("/drive/v3/files"):
             assert "trashed = false" in params["q"]
             start = int(params.get("pageToken") or 0)
-            page = files[start : start + params["pageSize"]]
+            nonfolder = (k for k in range(lo, hi + 1) if k % 10 != 0)
+            page = [_file(k) for k in islice(nonfolder, start, start + params["pageSize"])]
             nxt = start + len(page)
             body = {"files": page}
-            if nxt < len(files):
+            if nxt < n_files:
                 body["nextPageToken"] = str(nxt)
             return 200, {}, body
         return 404, {}, None
