@@ -1,8 +1,10 @@
 from .windows import daily_counts_stream, weekly_frame_stream, dead_letter_split
 from .sessionize import session_windows_stream, running_user_totals_stream
 from .sinks import upsert_stream
+from .asof import asof_join_stream
 
 __all__ = [
+    "asof_join_stream",
     "daily_counts_stream",
     "weekly_frame_stream",
     "dead_letter_split",

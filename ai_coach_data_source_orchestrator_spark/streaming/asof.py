@@ -1,0 +1,194 @@
+"""Streaming as-of join (SURVEY §2.9/§2.10) — the
+``applyInPandasWithState`` analogue promised by ``operators/asof.py``.
+
+Batch as-of (operators/asof.asof_join) carries the latest right payload
+per key with a union + window. A stream can't window over "everything
+so far", so the state that the window scans becomes explicit keyed
+state here, with the same shape the batch docstring predicts:
+
+- both streams are tagged and unioned (narrow, no join), grouped by
+  key, and fed to one ``applyInPandasWithState`` function;
+- per key the state holds (a) a buffer of recent RIGHT rows and (b)
+  the LEFT rows still inside the lateness horizon;
+- event time advances as ``max(ts seen) - allowed_lateness``
+  (a per-key watermark). Left rows at-or-below the horizon are matched
+  against the right buffer — greatest right ts ≤ left ts, exactly the
+  batch operator's contract, robust to ANY arrival order within the
+  lateness bound — and emitted once (append semantics);
+- the right buffer is pruned to rows above the horizon plus the single
+  newest row at-or-below it (any future left row can still need that
+  one, and only that one, from the past).
+
+State per key is O(rows inside the lateness window) — bounded by skew
+in event-time arrival, not stream length. ``allowed_lateness=0`` turns
+it into the zero-delay in-order streaming join (emit every left row
+immediately against all rights seen so far in ts order).
+
+End-of-stream: rows above the horizon stay pending until a later
+micro-batch (or a heartbeat right row) advances event time past them —
+the standard watermark contract; an ``availableNow`` drain therefore
+emits exactly the lefts whose horizon has passed, and a replay from a
+fresh checkpoint re-emits the identical set (deterministic state
+transitions; replay-idempotence is tested).
+
+Reference parity: this is the streaming form of attaching the last
+checkpoint/changelog entry at-or-before each event
+(jira/append-changelog-to-epic-tree.js:30-51 picks the latest history
+snapshot ≤ report time); cited by tests/test_streaming_asof.py.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
+
+
+def _converter(dtype):
+    """Undo pandas' union-frame coercions: the tagged union interleaves
+    each stream's columns with the other side's NULLs, so pandas turns
+    int columns float and None into NaN. Map scalars back to the
+    declared Spark type (NaN → null, 1.0 → 1) before they enter state
+    or output."""
+    if isinstance(dtype, (LongType, IntegerType, ShortType)):
+        return lambda v: None if pd.isna(v) else int(v)
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return lambda v: None if pd.isna(v) else float(v)
+    return lambda v: None if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)) else v
+
+
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    allowed_lateness: float = 0.0,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Streaming left as-of join. ``left``/``right`` are streaming
+    DataFrames sharing key columns ``on`` and a NUMERIC event-time
+    column ``ts_col`` (epoch seconds or any monotone numeric clock —
+    same contract as operators/asof.range_join). Returns an append
+    stream of left rows with ``{prefix}{col}`` carried columns plus
+    ``{prefix}{ts_col}``; unmatched lefts keep them null."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*on, ts_col)]
+    left_extra = [c for c in left.columns if c not in (*on, ts_col)]
+
+    l_tagged = left.select(
+        *on,
+        F.col(ts_col).cast("double").alias(ts_col),
+        F.lit(0).alias("__is_r"),
+        *[F.col(c) for c in left_extra],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(ts_col).cast("double").alias(ts_col),
+        F.lit(1).alias("__is_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    out_schema = StructType(
+        [left.schema[c] for c in on]
+        + [StructField(ts_col, DoubleType(), False)]
+        + [left.schema[c] for c in left_extra]
+        + [
+            StructField(f"{prefix}{c}", right.schema[c].dataType, True)
+            for c in value_cols
+        ]
+        + [StructField(f"{prefix}{ts_col}", DoubleType(), True)]
+    )
+    # State: per-key event-time high water mark, the pruned right
+    # buffer (parallel arrays: ts + one array per value col), and the
+    # pending left buffer (ts + one array per left payload col).
+    state_schema = StructType(
+        [StructField("max_ts", DoubleType(), True),
+         StructField("r_ts", ArrayType(DoubleType()), True)]
+        + [StructField(f"r_{c}", ArrayType(right.schema[c].dataType), True) for c in value_cols]
+        + [StructField("l_ts", ArrayType(DoubleType()), True)]
+        + [StructField(f"l_{c}", ArrayType(left.schema[c].dataType), True) for c in left_extra]
+    )
+    n_v, n_l = len(value_cols), len(left_extra)
+    v_conv = [_converter(right.schema[c].dataType) for c in value_cols]
+    l_conv = [_converter(left.schema[c].dataType) for c in left_extra]
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s = state.get
+            max_ts = s[0] if s[0] is not None else float("-inf")
+            rbuf = list(zip(s[1], *[s[2 + i] for i in range(n_v)], strict=True))
+            lbuf = list(zip(s[2 + n_v], *[s[3 + n_v + i] for i in range(n_l)], strict=True))
+        else:
+            max_ts, rbuf, lbuf = float("-inf"), [], []
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            max_ts = max(max_ts, float(pdf[ts_col].max()))
+            # dict-records iteration: itertuples would rename the
+            # dunder-prefixed tag/value columns positionally
+            for d in pdf.to_dict("records"):
+                if d["__is_r"] == 1:
+                    rbuf.append(
+                        (float(d[ts_col]),
+                         *[cv(d[f"__r_{c}"]) for c, cv in zip(value_cols, v_conv, strict=True)])
+                    )
+                else:
+                    lbuf.append(
+                        (float(d[ts_col]),
+                         *[cv(d[c]) for c, cv in zip(left_extra, l_conv, strict=True)])
+                    )
+
+        horizon = max_ts - allowed_lateness
+        rbuf.sort(key=lambda t: t[0])
+        r_ts = [t[0] for t in rbuf]
+
+        emit, still = [], []
+        for lt in sorted(lbuf, key=lambda t: t[0]):
+            if lt[0] > horizon:
+                still.append(lt)
+                continue
+            i = bisect_right(r_ts, lt[0]) - 1  # greatest right ts <= left ts
+            carry = rbuf[i][1:] + (r_ts[i],) if i >= 0 else (None,) * (n_v + 1)
+            emit.append((*key, lt[0], *lt[1:], *carry))
+
+        # prune rights: keep everything above the horizon plus the
+        # single newest row at-or-below it
+        cut = bisect_right(r_ts, horizon) - 1
+        rbuf = rbuf[max(cut, 0):] if rbuf else rbuf
+
+        state.update((
+            max_ts if max_ts > float("-inf") else None,
+            [t[0] for t in rbuf],
+            *[[t[1 + i] for t in rbuf] for i in range(n_v)],
+            [t[0] for t in still],
+            *[[t[1 + i] for t in still] for i in range(n_l)],
+        ))
+        if emit:
+            yield pd.DataFrame(emit, columns=[f.name for f in out_schema.fields])
+
+    return u.groupBy(*on).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,137 @@
+"""Streaming as-of join tests: the applyInPandasWithState operator must
+reproduce the batch operator's semantics (operators/asof.asof_join) for
+in-order input, for out-of-order arrival within the lateness bound, and
+under full replay from a fresh checkpoint (determinism).
+
+Reference parity: streaming form of latest-snapshot-at-or-before
+attachment (jira/append-changelog-to-epic-tree.js:30-51).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.operators.asof import asof_join
+from ai_coach_data_source_orchestrator_spark.streaming import asof_join_stream
+
+L_SCHEMA = "key string, ts double, event_id bigint"
+R_SCHEMA = "key string, ts double, ckpt_value double"
+
+# Heartbeat rights (ts 1000) advance per-key event time past every real
+# left so an availableNow drain emits them all; no left sits at ts>=1000
+# so batch results over the same rows are unchanged.
+LEFTS = [
+    ("a", 25.0, 1), ("a", 35.0, 2),     # lfile1
+    ("a", 15.0, 3), ("b", 45.0, 7),     # lfile2
+    ("a", 5.0, 4),                      # lfile3
+    ("b", 55.0, 5), ("b", 65.0, 6),     # lfile1
+]
+RIGHTS = [
+    ("a", 30.0, 300.0), ("b", 60.0, 600.0),        # rfile1
+    ("a", 10.0, 100.0), ("a", 20.0, 200.0),        # rfile2
+    ("b", 50.0, None),                             # rfile2 — null value row
+    ("a", 1000.0, 999.0), ("b", 1000.0, 999.0),    # rfile3 heartbeats
+]
+
+L_FILES = [[LEFTS[0], LEFTS[1], LEFTS[5], LEFTS[6]], [LEFTS[2], LEFTS[3]], [LEFTS[4]]]
+R_FILES = [[RIGHTS[0], RIGHTS[1]], [RIGHTS[2], RIGHTS[3], RIGHTS[4]], [RIGHTS[5], RIGHTS[6]]]
+
+
+def _write_files(dirpath, files, names):
+    dirpath.mkdir()
+    for i, rows in enumerate(files):
+        cols = list(zip(*rows, strict=True))
+        table = pa.table(
+            {n: pa.array(cols[j], t) for j, (n, t) in enumerate(names)}
+        )
+        pq.write_table(table, str(dirpath / f"f{i}.parquet"))
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    ldir, rdir = tmp_path / "lefts", tmp_path / "rights"
+    _write_files(
+        ldir, L_FILES,
+        [("key", pa.string()), ("ts", pa.float64()), ("event_id", pa.int64())],
+    )
+    _write_files(
+        rdir, R_FILES,
+        [("key", pa.string()), ("ts", pa.float64()), ("ckpt_value", pa.float64())],
+    )
+    return str(ldir), str(rdir)
+
+
+def _batch_expected(spark, ldir, rdir):
+    out = asof_join(
+        spark.read.schema(L_SCHEMA).parquet(ldir),
+        spark.read.schema(R_SCHEMA).parquet(rdir),
+        on=["key"],
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+def _run_stream(spark, ldir, rdir, tmp_path, cp_name, lateness, max_files=None):
+    def src(d, schema):
+        r = spark.readStream.schema(schema)
+        if max_files:
+            r = r.option("maxFilesPerTrigger", max_files)
+        return r.parquet(d)
+
+    out = asof_join_stream(
+        src(ldir, L_SCHEMA), src(rdir, R_SCHEMA),
+        on=["key"], allowed_lateness=lateness,
+    )
+    name = f"asof_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / cp_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+
+
+def test_stream_matches_batch_in_order(spark, dirs, tmp_path):
+    """Single batch (no maxFilesPerTrigger), zero lateness: every left
+    emits immediately and matches the batch operator row-for-row —
+    including the null-value right at (b, 50): asof_ckpt_value NULL
+    with asof_ts 50 (single-struct stitching), and unmatched lefts
+    (a@5, b@45) all-null."""
+    ldir, rdir = dirs
+    got = _run_stream(spark, ldir, rdir, tmp_path, "cp_inorder", lateness=0.0)
+    assert got == _batch_expected(spark, ldir, rdir)
+    by_id = {r[2]: r for r in got}
+    assert by_id[5][3] is None and by_id[5][4] == 50.0   # null value, real match ts
+    assert by_id[4][3] is None and by_id[4][4] is None   # unmatched left
+
+
+def test_stream_out_of_order_within_lateness(spark, dirs, tmp_path):
+    """maxFilesPerTrigger=1 forces three micro-batches delivering rights
+    AFTER the lefts that need them (right a@10,a@20 arrive a batch after
+    left a@25/a@35). With lateness 20 the pending-left buffer holds rows
+    until the per-key horizon passes, so the final emitted set still
+    equals the batch join."""
+    ldir, rdir = dirs
+    got = _run_stream(
+        spark, ldir, rdir, tmp_path, "cp_ooo", lateness=20.0, max_files=1
+    )
+    assert got == _batch_expected(spark, ldir, rdir)
+
+
+def test_stream_replay_idempotent(spark, dirs, tmp_path):
+    """Fresh checkpoint = full redelivery of every file: state
+    transitions are deterministic, so the replayed emitted set is
+    byte-identical (the streaming analogue of the foreachBatch-upsert
+    replay test)."""
+    ldir, rdir = dirs
+    first = _run_stream(spark, ldir, rdir, tmp_path, "cp_r1", lateness=20.0, max_files=1)
+    second = _run_stream(spark, ldir, rdir, tmp_path, "cp_r2", lateness=20.0, max_files=1)
+    assert first == second == _batch_expected(spark, ldir, rdir)
