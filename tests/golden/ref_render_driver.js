@@ -1,0 +1,90 @@
+// Golden-test driver: executes the REFERENCE repo's own internal render
+// functions (build-epic-tree.js formatEpicSection, changelog-markdown.js
+// getChangelogBullets, append-changelog-to-epic-tree.js injectChangelog)
+// over a JSON fixture and prints {epic_key: markdown} to stdout.
+//
+// The reference modules are loaded FROM /root/reference at runtime via
+// `new Function` with a stub `require` (their top-level config/env/API
+// wiring is irrelevant to the pure render path, and the render helpers
+// are not exported). Nothing is copied into this repo — this file only
+// orchestrates calls into the reference's code so the pytest golden can
+// diff our Spark renderer against the reference's actual output.
+//
+// Usage: node ref_render_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const stub = {
+  config: () => ({}),
+  load: () => ({}),
+  ConfigManager: { loadForReportType: () => ({}) },
+  loadFieldMap: () => ({}),
+  getProjectFolder: () => 'golden',
+  handleError: (e) => { throw e; },
+  JiraAPIError: Error,
+  ConfigurationError: Error,
+  FileSystemError: Error,
+};
+
+function stubRequire(overrides = {}) {
+  return (name) => {
+    if (name in overrides) return overrides[name];
+    if (['fs', 'path', 'https'].includes(name)) return require(name);
+    // Any other module resolves to a callable proxy whose members are
+    // the stubs above (config loaders, error classes, no-op helpers).
+    return new Proxy(function () { return {}; }, {
+      get: (_t, p) => (p in stub ? stub[p] : () => ({})),
+      apply: () => ({}),
+    });
+  };
+}
+
+// Evaluate a reference source file (optionally truncated before its
+// CLI main section) and export the named internal functions.
+function loadModule(file, { upTo, exports: names, overrides } = {}) {
+  const full = path.join(refRoot, file);
+  let src = fs.readFileSync(full, 'utf8');
+  if (upTo) {
+    const i = src.indexOf(upTo);
+    if (i === -1) throw new Error(`marker ${JSON.stringify(upTo)} not in ${file}`);
+    src = src.slice(0, i);
+  }
+  if (names) src += `\n;module.exports = { ${names.join(', ')} };`;
+  const module = { exports: {} };
+  new Function('require', 'module', 'exports', '__dirname', '__filename', src)(
+    stubRequire(overrides), module, module.exports, path.dirname(full), full
+  );
+  return module.exports;
+}
+
+const flatten = loadModule('jira/lib/changelog-flatten.js');
+const clMd = loadModule('jira/lib/changelog-markdown.js', {
+  overrides: { './changelog-flatten': flatten },
+});
+const tree = loadModule('jira/build-epic-tree.js', {
+  upTo: '// --- Main ---',
+  exports: ['formatEpicSection'],
+});
+const inject = loadModule('jira/append-changelog-to-epic-tree.js', {
+  upTo: 'async function main',
+  exports: ['injectChangelog'],
+});
+
+const keyToBullets = new Map();
+for (const [key, histories] of Object.entries(fixture.histories || {})) {
+  const bullets = clMd.getChangelogBullets(key, histories);
+  if (bullets.length > 0) keyToBullets.set(key, bullets);
+}
+
+const out = {};
+for (const epic of fixture.epics) {
+  const children = fixture.children[epic.key] || [];
+  const subsByParent = new Map(Object.entries(fixture.subtasks || {}));
+  const md = tree.formatEpicSection(epic, children, subsByParent, {});
+  out[epic.key] = inject.injectChangelog(md, keyToBullets);
+}
+process.stdout.write(JSON.stringify(out));

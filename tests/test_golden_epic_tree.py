@@ -1,0 +1,223 @@
+"""Golden test: our epic-tree renderer + changelog injection vs the
+REFERENCE's own render functions, executed for real via node
+(tests/golden/ref_render_driver.js drives build-epic-tree.js
+formatEpicSection, changelog-markdown.js getChangelogBullets and
+append-changelog-to-epic-tree.js injectChangelog over a shared
+fixture).
+
+Deliberate divergences, normalized out before comparison — everything
+else must match byte-for-byte:
+
+1. **Issue/comment timestamps**: the reference renders Created/Updated
+   and comment dates with `toLocaleDateString('en-US', {... hour,
+   minute})` ("May 1, 2024, 10:00 AM", host-local time); we render ISO
+   dates ("2024-05-01"). Both are replaced with `<TS>`. Changelog
+   BLOCK headers are exempt — both sides emit date-only ISO there
+   (changelog-flatten.js formatDateYYYYMMDD) and must match exactly.
+2. **Blank-line runs**: the reference's injectChangelog appends a
+   trailing empty bullet line plus its own spacer (two blank lines
+   after an injected block); we emit one. Runs of 2+ blank lines
+   collapse to one on both sides.
+3. **Unrendered optional fields**: Priority/Reporter/Labels,
+   Description, standard/custom fields and the `**Parent**` line render
+   only from Jira fields our flattened S1 schema does not carry; the
+   fixture leaves them unset so both sides skip them (the reference
+   skips empty fields via `.filter(i => i.value)`).
+
+Item order inside a multi-item changelog history: the reference keeps
+Jira's item order; we sort by field name. The fixture's multi-item
+history lists items in field order so both agree (single-item
+histories elsewhere).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline import epic_tree as ET
+
+REF_ROOT = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
+DRIVER = Path(__file__).parent / "golden" / "ref_render_driver.js"
+
+needs_reference = pytest.mark.skipif(
+    shutil.which("node") is None
+    or not os.path.exists(os.path.join(REF_ROOT, "jira", "build-epic-tree.js")),
+    reason="node or reference repo not available",
+)
+
+# --- shared fixture ---------------------------------------------------------
+# (key, summary, status, assignee, issue_type, parent_key, created, updated)
+ISSUES = [
+    ("AIC-1", "Coach rollout", "Done", "Dana Q", "Epic", None,
+     "2024-05-01T10:00:00.000+0000", "2024-06-05T09:30:00.000+0000"),
+    ("AIC-2", "Ingest pipeline", "In Progress", "Bob X", "Story", "AIC-1",
+     "2024-05-02T10:00:00.000+0000", "2024-06-03T12:00:00.000+0000"),
+    ("AIC-3", "Docs pass", "To Do", None, "Task", "AIC-1",
+     "2024-05-04T10:00:00.000+0000", None),
+    ("AIC-4", "Schema migration", "Done", "Eve Z", "Sub-task", "AIC-2",
+     "2024-05-05T10:00:00.000+0000", "2024-05-20T10:00:00.000+0000"),
+    ("AIC-5", "Backfill", "In Progress", None, "Sub-task", "AIC-2",
+     "2024-05-06T10:00:00.000+0000", "2024-05-21T10:00:00.000+0000"),
+    ("AIC-10", "Empty epic", "To Do", None, "Epic", None,
+     "2024-05-07T10:00:00.000+0000", None),
+]
+ISSUE_SCHEMA = (
+    "key string, summary string, status string, assignee string, "
+    "issue_type string, parent_key string, created string, updated string"
+)
+
+# (issue_key, author, created, body) — chronological == field order
+COMMENTS = [
+    ("AIC-2", "Dana Q", "2024-05-03T12:00:00.000+0000", "Looks good to me"),
+    ("AIC-2", None, "2024-05-04T09:00:00.000+0000", "Shipped behind a flag"),
+]
+COMMENT_SCHEMA = "issue_key string, author string, created string, body string"
+
+# (issue_key, history_id, created, author, field, from_string, to_string)
+CHANGELOGS = [
+    # multi-item history: items listed in field order (see module docstring)
+    ("AIC-2", "100", "2024-06-01T08:00:00.000+0000", "Dana Q", "assignee", "", "Bob X"),
+    ("AIC-2", "100", "2024-06-01T08:00:00.000+0000", "Dana Q", "status", "To Do", "In Progress"),
+    ("AIC-2", "101", "2024-06-02T08:00:00.000+0000", "Bob X", "labels", "alpha, beta", "beta, gamma"),
+    ("AIC-4", "102", "2024-06-02T09:00:00.000+0000", "Eve Z", "description", "old", "{noformat}new text{noformat}"),
+    ("AIC-4", "103", "2024-06-03T10:00:00.000+0000", "Eve Z", "Link", "", "blocks AIC-9"),
+    ("AIC-4", "104", "2024-06-04T10:00:00.000+0000", "Eve Z", "Sprint", "Sprint 1", "Sprint 2"),
+    ("AIC-4", "105", "2024-06-05T10:00:00.000+0000", "Eve Z", "Rank", "", "Ranked higher"),
+    ("AIC-4", "106", "2024-06-06T10:00:00.000+0000", "Eve Z", "Deployment Env", "stage", "prod"),
+]
+CHANGELOG_SCHEMA = (
+    "issue_key string, history_id string, created string, author string, "
+    "field string, from_string string, to_string string"
+)
+
+
+def _jira_issue(key, summary, status, assignee, itype, parent, created, updated):
+    fields = {
+        "summary": summary,
+        "status": {"name": status},
+        "issuetype": {"name": itype},
+        "created": created,
+    }
+    if assignee:
+        fields["assignee"] = {"displayName": assignee}
+    if updated:
+        fields["updated"] = updated
+    if parent:
+        fields["parent"] = {"key": parent}  # no fields.summary → no Parent line
+    return {"key": key, "fields": fields}
+
+
+def _reference_fixture():
+    issues = {r[0]: _jira_issue(*r) for r in ISSUES}
+    for ik, author, created, body in COMMENTS:
+        c = {"created": created, "body": body}
+        if author:
+            c["author"] = {"displayName": author}
+        issues[ik].setdefault("_epicTreeComments", []).append(c)
+
+    histories: dict[str, list[dict]] = {}
+    for ik, hid, created, author, field, from_s, to_s in CHANGELOGS:
+        hists = histories.setdefault(ik, [])
+        if not hists or hists[-1]["id"] != hid:
+            hists.append(
+                {"id": hid, "created": created, "author": {"displayName": author}, "items": []}
+            )
+        hists[-1]["items"].append({"field": field, "fromString": from_s, "toString": to_s})
+
+    def with_comments(issue):
+        out = {"key": issue["key"], "fields": issue["fields"]}
+        if "_epicTreeComments" in issue:
+            out["_epicTreeComments"] = issue["_epicTreeComments"]
+        return out
+
+    return {
+        "epics": [with_comments(issues[k]) for k in ("AIC-1", "AIC-10")],
+        "children": {"AIC-1": [with_comments(issues[k]) for k in ("AIC-2", "AIC-3")]},
+        "subtasks": {"AIC-2": [with_comments(issues[k]) for k in ("AIC-4", "AIC-5")]},
+        "histories": histories,
+    }
+
+
+_LOCALE_TS = re.compile(r"[A-Z][a-z]{2} \d{1,2}, \d{4},[  ]\d{1,2}:\d{2}[  ](?:AM|PM)")
+_ISO_DATE_LINE = re.compile(r"(?m)^(\*\*(?:Created|Updated)\*\*: )\d{4}-\d{2}-\d{2}")
+_COMMENT_DATE = re.compile(r"(?m)^(\*\*Comment \d+\*\* by .* on )[^:]+:")
+
+
+def _normalize(md: str) -> str:
+    md = _LOCALE_TS.sub("<TS>", md)
+    md = _ISO_DATE_LINE.sub(r"\g<1><TS>", md)
+    md = _COMMENT_DATE.sub(r"\g<1><TS>:", md)
+    md = re.sub(r"\n{3,}", "\n\n", md)
+    return md.strip()
+
+
+def _run_reference(tmp_path) -> dict[str, str]:
+    fx = tmp_path / "fixture.json"
+    fx.write_text(json.dumps(_reference_fixture()))
+    res = subprocess.run(
+        ["node", str(DRIVER), str(fx), REF_ROOT],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert res.returncode == 0, res.stderr
+    return json.loads(res.stdout)
+
+
+def _run_ours(spark) -> dict[str, str]:
+    issues = spark.createDataFrame(ISSUES, ISSUE_SCHEMA)
+    comments = spark.createDataFrame(COMMENTS, COMMENT_SCHEMA)
+    changelogs = spark.createDataFrame(CHANGELOGS, CHANGELOG_SCHEMA)
+    tree = ET.render_epic_tree(issues, comments=comments)
+    tree = ET.inject_changelog(tree, ET.changelog_bullets(changelogs))
+    return {r["epic_key"]: r["markdown"] for r in tree.collect()}
+
+
+@needs_reference
+def test_epic_tree_matches_reference_render(spark, tmp_path):
+    theirs = _run_reference(tmp_path)
+    ours = _run_ours(spark)
+    assert set(ours) == set(theirs) == {"AIC-1", "AIC-10"}
+    for epic in ("AIC-1", "AIC-10"):
+        a, b = _normalize(ours[epic]), _normalize(theirs[epic])
+        if a != b:
+            import difflib
+
+            diff = "\n".join(
+                difflib.unified_diff(b.splitlines(), a.splitlines(), "reference", "ours", lineterm="")
+            )
+            pytest.fail(f"epic {epic} render diverged:\n{diff}")
+
+
+@needs_reference
+def test_changelog_blocks_exact_no_normalization(spark, tmp_path):
+    """The injected changelog content — date-only header, author, every
+    compact line — must match the reference without ANY timestamp
+    normalization (compactItem fidelity is the contract for J8/X21)."""
+    theirs = _run_reference(tmp_path)["AIC-1"]
+    ours = _run_ours(spark)["AIC-1"]
+    expected = [
+        "2024-06-01 Dana Q",
+        "- assignee: - → Bob X",
+        "- status: To Do → In Progress",
+        "2024-06-02 Bob X",
+        "- labels: +gamma -alpha",
+        "2024-06-02 Eve Z",
+        "- description: [updated; 8 chars]",
+        "2024-06-03 Eve Z",
+        "- Link: blocks AIC-9",
+        "2024-06-04 Eve Z",
+        "- Sprint: +Sprint 2 -Sprint 1",
+        "2024-06-05 Eve Z",
+        "- Rank: Ranked higher",
+        "2024-06-06 Eve Z",
+        "- Deployment Env: stage → prod",
+    ]
+    for line in expected:
+        assert line in theirs, f"reference missing {line!r} — fixture drift?"
+        assert line in ours, f"ours missing {line!r}"
