@@ -60,7 +60,9 @@ _FRONT = [
     "dedup_simhash",
     # -- new round-3 queries --
     "cc_large_star",
-    "knn_ivf_sf1",
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "contamination_ngram_overlap",
     # -- last sampled in round 1 only --
     "f9_section_date_trim",
     "x22_human_size",
