@@ -41,13 +41,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
-        # rejects; read nanos as long and truncate to micros (integer
-        # `div`, not double division — 1e18-scale nanos lose integer
-        # precision in a double).
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+        # the Spark reader rejects without nanosAsLong) or TIMESTAMP(MICROS)
+        # depending on the generator version.  Sniff the decoded type and
+        # normalize to TimestampType either way so downstream plans see one
+        # stable schema.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            # Nanos read as long: truncate to micros with integer `div`
+            # (not double division — 1e18-scale nanos lose precision).
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type != "timestamp":
+            # timestamp_ntz (or anything else) → plain TimestampType.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
