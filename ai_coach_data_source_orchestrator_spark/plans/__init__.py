@@ -76,6 +76,15 @@ _FRONT = [
 
 
 def _reorder_registry() -> None:
+    # Unknown _FRONT names are a bug (twice they've silently masked stale
+    # or never-landed entries) — warn loudly; tests pin the subset.
+    missing = [name for name in _FRONT if name not in REGISTRY]
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"_FRONT entries not registered in REGISTRY: {missing}", stacklevel=2
+        )
     ordered = {name: REGISTRY[name] for name in _FRONT if name in REGISTRY}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
-from ..sources.tables import load_table
+from ..sources.tables import ensure_parallelism, load_table
 from .registry import register
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
@@ -352,3 +352,238 @@ _SIMHASH_SQL = (
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate-token
+# fraction, most-frequent-token fraction, duplicate-bigram fraction — the
+# standard "is this document degenerate boilerplate?" quality gates for
+# training-data filtering. Everything is explode → two-level groupBy:
+# partial aggregation keeps the shuffle keyed on (doc_id, token), which is
+# uniform; no per-row Python anywhere.
+# ---------------------------------------------------------------------------
+_REPETITION_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY doc_id, tok
+    ),
+    ts AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct, MAX(c) AS top_c
+        FROM tc GROUP BY doc_id
+    ),
+    gc AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (
+            SELECT doc_id, array_to_string(toks[i:i + 1], ' ') AS g
+            FROM t, unnest(range(1, len(toks))) s(i)
+            WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, g
+    ),
+    gs AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               COUNT(*) AS n_distinct_grams
+        FROM gc GROUP BY doc_id
+    )
+    SELECT ts.doc_id,
+           ts.n_tokens,
+           ROUND(CAST(ts.n_tokens - ts.n_distinct AS DOUBLE) / ts.n_tokens, 6) AS dup_token_frac,
+           ROUND(CAST(ts.top_c AS DOUBLE) / ts.n_tokens, 6) AS top_token_frac,
+           ROUND(CAST(gs.n_grams - gs.n_distinct_grams AS DOUBLE) / gs.n_grams, 6) AS dup_bigram_frac
+    FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+"""
+
+
+@register(
+    "text_repetition_stats",
+    oracle=_REPETITION_SQL,
+    survey_ids=("F12", "A17"),
+    description="Gopher-style repetition: dup-token / top-token / dup-bigram fractions",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize tokens behind a persist barrier (see dedup._shingle_sets:
+    # CollapseProject would otherwise inline split() into the bigram
+    # transform and re-run the regex once per position).
+    toked = D._stage(
+        ensure_parallelism(docs).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    )
+    tc = (
+        toked.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ts = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+    )
+    gc = (
+        toked.where(n >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    gs = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"), F.count("*").alias("n_distinct_grams")
+    )
+    return ts.join(gs, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        F.round(
+            (F.col("n_grams") - F.col("n_distinct_grams")) / F.col("n_grams"), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction of emails / SSNs / phone numbers / IPv4
+# addresses, with per-type counts — the pre-training sanitization pass
+# (reference analogue: slack/lib/sanitizer.js's secret masking, X16,
+# generalized to PII classes). The synthetic corpus contains no PII, so
+# each document is first augmented with DETERMINISTIC doc_id-derived PII
+# tokens — both engines build the same string, so counts are non-trivial
+# and the redaction output hash-matches. Patterns stay in the common
+# Java-regex/RE2 subset (no lookaround, no backrefs).
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@corp.example.com"
+    " or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ssn 123-45-6789 ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+_PII_SQL = f"""
+    WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(aug, '{_PII_SSN}')) AS n_ssns,
+           len(regexp_extract_all(aug, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(aug, '{_PII_IP}')) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_SSN}', '[SSN]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_IP}', '[IP]', 'g') AS scrubbed
+    FROM a
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=_PII_SQL,
+    survey_ids=("X16",),
+    description="Regex PII redaction (email/SSN/phone/IPv4) with per-type counts",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(aug, _PII_EMAIL, "[EMAIL]"), _PII_SSN, "[SSN]"
+            ),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_SSN)).alias("n_ssns"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(aug, F.lit(_PII_IP)).alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: fraction of each training document's
+# distinct 3-gram shingles that appear anywhere in the "eval" split
+# (every 50th doc_id stands in for a benchmark set). The eval shingle
+# set is benchmark-sized — tiny relative to the corpus — so the hit
+# test is a BROADCAST left join against the training explode: at 100 TB
+# the training side never shuffles, which is the only plan shape that
+# survives (an equi-join shuffle of all training n-grams would dwarf
+# the query). Same decontamination shape as GPT-3/PaLM n-gram overlap.
+# ---------------------------------------------------------------------------
+_CONTAMINATION_SQL = (
+    _SHINGLES_SQL
+    + """
+    , eg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0),
+    j AS (
+        SELECT tr.doc_id, CASE WHEN eg.g IS NULL THEN 0 ELSE 1 END AS hit
+        FROM tr LEFT JOIN eg ON tr.g = eg.g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS overlap_frac,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) >= 0.3 AS contaminated
+    FROM j GROUP BY doc_id
+    """
+)
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=_CONTAMINATION_SQL,
+    survey_ids=("U7",),
+    description="Train/eval 3-gram overlap via broadcast hit-join (decontamination)",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D._shingle_sets(docs, "text", "doc_id", 3)
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_grams = (
+        sh.where(is_eval)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.where(~is_eval).select("doc_id", F.explode("sh").alias("g"))
+    joined = train.join(F.broadcast(eval_grams), "g", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+    )
+    ratio = F.col("n_hits") / F.col("n_grams")
+    return agg.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(ratio, 6).alias("overlap_frac"),
+        (ratio >= 0.3).alias("contaminated"),
+    )

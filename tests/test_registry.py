@@ -1,0 +1,31 @@
+"""Registry invariants: ordering entries stay in sync with registered
+queries, and every spec meets the driver contract's shape."""
+
+from __future__ import annotations
+
+import ai_coach_data_source_orchestrator_spark.plans as plans
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+
+def test_front_names_all_registered():
+    # ADVICE r3: _reorder_registry tolerates unknown names, which twice
+    # masked dangling placeholders. Pin the ordering list to reality.
+    missing = set(plans._FRONT) - set(REGISTRY)
+    assert not missing, f"_FRONT entries not in REGISTRY: {sorted(missing)}"
+
+
+def test_front_names_unique():
+    assert len(plans._FRONT) == len(set(plans._FRONT))
+
+
+def test_registry_front_block_order():
+    # The driver samples the registry front-to-back; the _FRONT block
+    # must actually lead the iteration order.
+    names = list(REGISTRY)
+    front = [n for n in plans._FRONT if n in REGISTRY]
+    assert names[: len(front)] == front
+
+
+def test_specs_have_descriptions():
+    undocumented = [n for n, s in REGISTRY.items() if not s.description]
+    assert not undocumented, f"queries without descriptions: {undocumented}"
