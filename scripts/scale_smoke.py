@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""sf1 scale smoke: does per-row cost stay flat when the data grows 10x?
+
+Synthesizes an sf1-scale dataset from sf0.1 by replicating each table
+``SCALE`` times with structure-preserving perturbations, then runs the
+most expensive headline queries at both scales and reports the per-row
+cost ratio. A ratio near 1 means the plan is linear in the data (the
+100 TB requirement); a superlinear ratio exposes quadratic candidate
+generation or a shuffle that stopped fitting.
+
+Perturbations keep the WORKLOAD SHAPE honest, not just the row count:
+
+- documents: per-replica character substitution (``translate`` with a
+  rotated alphabet) — every within-replica duplicate family is
+  preserved verbatim, but replicas share no shingles, so the
+  near-duplicate rate stays constant instead of growing quadratically
+  with replication (plain copies would make LSH look falsely
+  quadratic: every family becomes 10x bigger, pairs 100x).
+- embeddings: rotate each vector by ``replica`` positions — norms and
+  within-replica geometry (and thus kNN structure) are preserved,
+  cross-replica dot products are scrambled.
+- star schema (j1): key-offset replication — classic fact-table growth
+  with dimension keys remapped per replica.
+
+Artifacts: parquet under ``.scale/sf1/`` (gitignored) and one JSON
+summary at ``SCALE_SMOKE.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY  # noqa: E402
+from ai_coach_data_source_orchestrator_spark.session import get_spark  # noqa: E402
+from ai_coach_data_source_orchestrator_spark.sources.tables import (  # noqa: E402
+    TABLES,
+    load_table,
+)
+
+SCALE = 10
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+
+# (query, table whose row count normalizes the timing)
+QUERIES = [
+    ("j1_star_join_revenue", "lineitem"),
+    ("dedup_minhash_lsh", "documents"),
+    ("dedup_simhash", "documents"),
+    ("knn_lsh_buckets", "embeddings"),
+    ("knn_ivf", "embeddings"),
+    ("dedup_embedding_cosine_lsh", "embeddings"),
+    ("text_repetition_stats", "documents"),
+    ("contamination_ngram_overlap", "documents"),
+]
+
+KEY_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def _alphabet_rotation(r: int) -> tuple[str, str]:
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    rot = r % 26
+    return (
+        lower + upper,
+        lower[rot:] + lower[:rot] + upper[rot:] + upper[:rot],
+    )
+
+
+def synthesize(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name in TABLES:
+        out = f"{DST}/{name}.parquet"
+        if os.path.exists(out):
+            continue
+        df = load_table(spark, SRC, name)
+        if name in ("region", "nation"):
+            # True dimensions don't grow with SF.
+            df.write.mode("overwrite").parquet(out)
+            continue
+        max_ids = {
+            c: (df.agg(F.max(c)).collect()[0][0] or 0) + 1 for c in KEY_COLS.get(name, [])
+        }
+        parts = []
+        for r in range(SCALE):
+            rep = df
+            if name == "documents":
+                src_chars, dst_chars = _alphabet_rotation(r)
+                rep = rep.withColumn("text", F.translate("text", src_chars, dst_chars))
+                rep = rep.withColumn(
+                    "doc_id", (F.col("doc_id") + F.lit(r * 10_000_000)).cast("long")
+                )
+            elif name == "embeddings":
+                dim = 64
+                rot = r % dim
+                if rot:
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", rot + 1, dim - rot),
+                            F.slice("embedding", 1, rot),
+                        ),
+                    )
+                rep = rep.withColumn(
+                    "vec_id", (F.col("vec_id") + F.lit(r * 10_000_000)).cast("long")
+                )
+            else:
+                for c in KEY_COLS.get(name, []):
+                    # nation/region keys are shared dims — don't offset FKs into them
+                    if c in ("c_nationkey", "s_nationkey", "n_regionkey"):
+                        continue
+                    rep = rep.withColumn(c, (F.col(c) + F.lit(r * max_ids[c])).cast("long"))
+            parts.append(rep)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        full.repartition(32).write.mode("overwrite").parquet(out)
+        print(f"synthesized {name}", flush=True)
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark)
+
+    counts = {}
+    for _, table in QUERIES:
+        for d in (SRC, DST):
+            counts[(d, table)] = counts.get((d, table)) or load_table(spark, d, table).count()
+
+    results = {}
+    for name, table in QUERIES:
+        t_small = time_query(spark, name, SRC)
+        spark.catalog.clearCache()  # don't let sf0.1 persists skew sf1 memory
+        t_big = time_query(spark, name, DST)
+        spark.catalog.clearCache()
+        n_small, n_big = counts[(SRC, table)], counts[(DST, table)]
+        per_row_ratio = (t_big / n_big) / (t_small / n_small)
+        results[name] = {
+            "sec_sf0.1": round(t_small, 3),
+            "sec_sf1": round(t_big, 3),
+            "rows_sf0.1": n_small,
+            "rows_sf1": n_big,
+            "per_row_cost_ratio": round(per_row_ratio, 3),
+        }
+        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  per-row ratio {per_row_ratio:.2f}", flush=True)
+
+    summary = {
+        "scale_factor": SCALE,
+        "methodology": "best-of-2 warm; per_row_cost_ratio = (t_big/rows_big)/(t_small/rows_small); <~2 = linear",
+        "queries": results,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALE_SMOKE.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({"max_per_row_ratio": max(r["per_row_cost_ratio"] for r in results.values())}))
+
+
+if __name__ == "__main__":
+    main()
