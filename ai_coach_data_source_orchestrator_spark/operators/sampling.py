@@ -87,3 +87,58 @@ def pack_sequences(
     return df.withColumn("bin_id", F.floor(excl_cum / F.lit(target)).cast("bigint")).withColumn(
         "offset_in_bin", (excl_cum - F.col("bin_id") * target).cast("bigint")
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha_sqrt: bool = True,
+    target_frac: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual/multi-domain
+    sampling rule from mT5/PaLM: p_domain ∝ n_domain^α, α=0.5): compute
+    per-domain keep-probabilities so the sampled corpus totals
+    ``target_frac`` of the input with domain shares rebalanced toward
+    uniform, then keep rows via the deterministic sha256 gate.
+
+    Scale shape: the per-domain count aggregate is domain-cardinality
+    sized (tiny) — it joins back as a BROADCAST, and the row-level gate
+    is a narrow filter, so the data side never shuffles. Rates are
+    rounded to 1e-6 before the compare and the 16-bit hash grid never
+    lands on the 1e-6 grid, so the boundary can't flip between engines.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum(F.sqrt("n")).alias("sw"), F.sum("n").alias("total")
+    )
+    # 1-row aggregate × domain counts: both sides broadcast-sized.
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(target_frac) * F.col("total") * F.sqrt("n") / F.col("sw"))
+                / F.col("n"),
+            ),
+            6,
+        ).alias("p_keep"),
+    )
+    hash_frac = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")), 256),
+                1,
+                _HEX_WIDTH,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(16**_HEX_WIDTH))
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(hash_frac < F.col("p_keep"))
+        .select(key_col, domain_col, "p_keep")
+    )

@@ -58,11 +58,14 @@ _FRONT = [
     "pack_token_bins",
     # -- oracle upgraded round 3 (rows-only → hash-match) --
     "dedup_simhash",
-    # -- new round-3 queries --
+    # -- new round-3/4 queries --
     "cc_large_star",
     "text_repetition_stats",
     "text_pii_scrub",
     "contamination_ngram_overlap",
+    "sample_temperature_mix",
+    "text_token_entropy",
+    "text_c4_filters",
     # -- last sampled in round 1 only --
     "f9_section_date_trim",
     "x22_human_size",

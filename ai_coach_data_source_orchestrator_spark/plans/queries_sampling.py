@@ -83,3 +83,32 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.pack_sequences(
         docs, size_col="n_tokens", target=_PACK_TARGET, order_col="doc_id", shard_col="shard"
     )
+
+
+_MIX_TARGET = 0.5
+_MIX_SALT = "tmix-v1"
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(sqrt(n)) AS sw, SUM(n) AS total FROM c),
+    p AS (
+      SELECT c.source,
+             ROUND(least(1.0, ({_MIX_TARGET} * t.total * sqrt(c.n) / t.sw) / c.n), 6) AS p_keep
+      FROM c, t
+    )
+    SELECT d.doc_id, d.source, p.p_keep
+    FROM documents d JOIN p ON d.source = p.source
+    WHERE ('0x' || substr(sha256('{_MIX_SALT}' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+          / 65536.0 < p.p_keep
+    """,
+    survey_ids=("F8", "U1"),
+    description="Temperature-scaled domain mixing (p ∝ sqrt(n)), sha256-gated",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return SA.temperature_mix_sample(
+        docs, "source", "doc_id", target_frac=_MIX_TARGET, salt=_MIX_SALT
+    )

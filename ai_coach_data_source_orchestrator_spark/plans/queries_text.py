@@ -587,3 +587,132 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("overlap_frac"),
         (ratio >= 0.3).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy: Shannon entropy of the per-document token
+# histogram plus its normalized form — a degenerate-text signal (entropy
+# near 0 = one token repeated; near log2(n_distinct) = uniform). The
+# per-token terms are cast to DECIMAL(28,12) before summing so the
+# cross-engine float summation order can never flip the hash (the
+# registry's standard decimal-sum trick, registry.py:10-12).
+# ---------------------------------------------------------------------------
+_ENTROPY_SQL = f"""
+    WITH tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    w AS (
+        SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
+        FROM tc
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           ROUND(CAST(-SUM(CAST((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)
+                               AS DECIMAL(28,12))) AS DOUBLE), 6) AS token_entropy,
+           ROUND(CASE WHEN MAX(n_distinct) = 1 THEN 0.0
+                      ELSE CAST(-SUM(CAST((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)
+                                          AS DECIMAL(28,12))) AS DOUBLE)
+                           / log2(CAST(MAX(n_distinct) AS DOUBLE)) END, 6) AS norm_entropy
+    FROM w GROUP BY doc_id
+"""
+
+
+@register(
+    "text_token_entropy",
+    oracle=_ENTROPY_SQL,
+    survey_ids=("F12", "A17"),
+    description="Shannon entropy of the per-doc token histogram (+normalized)",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    term = (p * F.log2(p)).cast("decimal(28,12)")
+    agg = (
+        tc.withColumn("n", F.sum("c").over(w))
+        .withColumn("n_distinct", F.count("*").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            (-F.sum(term)).cast("double").alias("h"),
+            F.max("n_distinct").alias("nd"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round("h", 6).alias("token_entropy"),
+        F.round(
+            F.when(F.col("nd") == 1, F.lit(0.0)).otherwise(
+                F.col("h") / F.log2(F.col("nd").cast("double"))
+            ),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic quality filters (Raffel et al. 2020 §2.2): terminal
+# punctuation, minimum length, sane token widths, boilerplate/code
+# markers. All pure column predicates over exact integer arithmetic
+# (mean_token_len divides two exact ints, so the boundary compare is
+# bit-identical across engines), fully pushdown-friendly.
+# ---------------------------------------------------------------------------
+_C4_SQL = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           trim(text) SIMILAR TO '.*[.!?]' AS ends_with_punct,
+           len(toks) >= 5 AS long_enough,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+             BETWEEN 2.0 AND 12.0 AS sane_token_len,
+           NOT (lower(text) LIKE '%lorem ipsum%' OR text LIKE '%{{%'
+                OR lower(text) LIKE '%javascript%') AS no_boilerplate,
+           (trim(text) SIMILAR TO '.*[.!?]'
+            AND len(toks) >= 5
+            AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                BETWEEN 2.0 AND 12.0
+            AND NOT (lower(text) LIKE '%lorem ipsum%' OR text LIKE '%{{%'
+                     OR lower(text) LIKE '%javascript%')) AS passes_c4
+    FROM t
+"""
+
+
+@register(
+    "text_c4_filters",
+    oracle=_C4_SQL,
+    survey_ids=("F12",),
+    description="C4 heuristic filters: terminal punct, length, token width, boilerplate",
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    ends = F.trim(F.col("text")).rlike(r"[.!?]$")
+    long_enough = F.size(toks) >= 5
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ).cast("double") / F.size(toks)
+    sane = mean_len.between(2.0, 12.0)
+    lower = F.lower(F.col("text"))
+    no_boiler = ~(
+        lower.contains("lorem ipsum")
+        | F.col("text").contains("{")
+        | lower.contains("javascript")
+    )
+    return docs.select(
+        "doc_id",
+        ends.alias("ends_with_punct"),
+        long_enough.alias("long_enough"),
+        sane.alias("sane_token_len"),
+        no_boiler.alias("no_boilerplate"),
+        (ends & long_enough & sane & no_boiler).alias("passes_c4"),
+    )
