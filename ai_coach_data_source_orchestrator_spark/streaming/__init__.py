@@ -2,9 +2,11 @@ from .windows import daily_counts_stream, weekly_frame_stream, dead_letter_split
 from .sessionize import session_windows_stream, running_user_totals_stream
 from .sinks import upsert_stream
 from .asof import asof_join_stream
+from .dedup import dedup_stream
 
 __all__ = [
     "asof_join_stream",
+    "dedup_stream",
     "daily_counts_stream",
     "weekly_frame_stream",
     "dead_letter_split",

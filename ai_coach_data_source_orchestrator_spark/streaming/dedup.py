@@ -1,0 +1,43 @@
+"""Streaming exact dedup (SURVEY §2.7 U3/X15 in streaming form).
+
+Batch exact dedup (operators/dedup.exact_dedup) groups the whole corpus
+by content hash; an unbounded stream can't hold every hash ever seen,
+so the streaming restatement is first-seen-wins *within the watermark
+horizon*: ``dropDuplicatesWithinWatermark`` keeps a hash in state only
+until the watermark passes its event time, which bounds state by
+(arrival rate × horizon) instead of corpus size — the standard
+trade-off for dedup over infinite input (duplicates farther apart than
+the horizon are handled by the downstream batch dedup pass over the
+landed table, which this engine also provides).
+
+Scale: state is keyed by the uniformly-distributed content hash, so the
+stateful shuffle has no hot keys; each micro-batch does one exchange on
+the hash — the same single-shuffle shape as the batch operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stream(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-seen document per content hash within the watermark horizon.
+
+    Emits (content_hash, id, ts) for rows whose sha256(text) has not
+    been seen in state; later duplicates inside the horizon are dropped.
+    """
+    hashed = docs.select(
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+        F.col(id_col),
+        F.col(ts_col),
+    )
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

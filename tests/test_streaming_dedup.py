@@ -1,0 +1,82 @@
+"""Streaming exact dedup: first-seen-wins within the watermark horizon
+must (a) keep exactly one row per content hash for in-horizon
+duplicates, (b) agree with the batch operator on WHICH hashes exist,
+and (c) replay deterministically from a fresh checkpoint.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.operators.dedup import exact_dedup
+from ai_coach_data_source_orchestrator_spark.streaming.dedup import dedup_stream
+
+DOCS = [
+    # (doc_id, ts, text) — 8 rows, 5 distinct texts; dups arrive close
+    # together (within the 1h watermark horizon).
+    (1, "2024-01-01 00:00:00", "alpha beta gamma"),
+    (2, "2024-01-01 00:05:00", "delta epsilon"),
+    (3, "2024-01-01 00:10:00", "alpha beta gamma"),   # dup of 1
+    (4, "2024-01-01 00:20:00", "zeta eta theta"),
+    (5, "2024-01-01 00:25:00", "delta epsilon"),      # dup of 2
+    (6, "2024-01-01 00:40:00", "iota kappa"),
+    (7, "2024-01-01 00:45:00", "alpha beta gamma"),   # dup of 1
+    (8, "2024-01-01 00:50:00", "lambda mu nu"),
+]
+SCHEMA = "doc_id bigint, ts string, text string"
+READ_SCHEMA = "doc_id bigint, ts timestamp, text string"
+
+
+@pytest.fixture()
+def doc_stream_dir(spark, tmp_path):
+    d = tmp_path / "docs_in"
+    spark.createDataFrame(DOCS, SCHEMA).withColumn("ts", F.to_timestamp("ts")).coalesce(
+        1
+    ).write.parquet(str(d))
+    return str(d)
+
+
+def _drain(spark, stream_dir, tmp_path, tag):
+    sdf = dedup_stream(
+        spark.readStream.schema(READ_SCHEMA).parquet(stream_dir), watermark="1 hour"
+    )
+    name = f"dedup_{tag}_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}_{uuid.uuid4().hex[:8]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_stream_dedup_one_row_per_hash(spark, doc_stream_dir, tmp_path):
+    rows = _drain(spark, doc_stream_dir, tmp_path, "a")
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes)) == 5
+
+
+def test_stream_dedup_matches_batch_hash_set(spark, doc_stream_dir, tmp_path):
+    rows = _drain(spark, doc_stream_dir, tmp_path, "b")
+    batch = exact_dedup(
+        spark.createDataFrame(DOCS, SCHEMA).select("doc_id", "text")
+    ).collect()
+    assert {r["content_hash"] for r in rows} == {r["content_hash"] for r in batch}
+    # Single-file source arrives in row order, so first-seen == min id
+    # here and the streaming survivor matches the batch min-id survivor.
+    assert {(r["content_hash"], r["doc_id"]) for r in rows} == {
+        (r["content_hash"], r["survivor_id"]) for r in batch
+    }
+
+
+def test_stream_dedup_replay_deterministic(spark, doc_stream_dir, tmp_path):
+    first = _drain(spark, doc_stream_dir, tmp_path, "c")
+    second = _drain(spark, doc_stream_dir, tmp_path, "d")
+    key = lambda r: (r["content_hash"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, first)) == sorted(map(key, second))
