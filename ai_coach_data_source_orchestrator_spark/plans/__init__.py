@@ -24,7 +24,22 @@ from . import queries_sampling  # noqa: E402,F401
 # front block as they land.
 # ---------------------------------------------------------------------------
 _FRONT = [
-    # -- never externally sampled (rounds 1-2) --
+    # -- new in round 4: never driver-checked --
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "contamination_ngram_overlap",
+    "sample_temperature_mix",
+    "text_token_entropy",
+    "text_c4_filters",
+    # -- errored in round 3 on the events-ts encoding regression (fixed
+    #    in sources/tables.py) — need fresh green rows --
+    "k5_json_snapshot_roundtrip",
+    "k9_cache_freshness",
+    "a18_reactions_rollup",
+    "slack_capture_pipeline",
+    "j3_mention_resolution",
+    # -- green in round 3, first driver rows ever (keep in-window for a
+    #    second consecutive green) --
     "weekly_digest_pipeline",
     "epic_tree_render",
     "j8_changelog_injection",
@@ -38,9 +53,7 @@ _FRONT = [
     "x21_changelog_compact",
     "k1_csv_union_header_roundtrip",
     "k2_partitioned_write_roundtrip",
-    "k5_json_snapshot_roundtrip",
     "k6_datasource_sections",
-    "k9_cache_freshness",
     "k_bucketed_colocated_join",
     "s18_python_literal_extract",
     "j9_blob_path_join",
@@ -49,30 +62,19 @@ _FRONT = [
     "f5_substring_filter",
     "f6_team_threshold_filter",
     "a15_participants",
-    "a18_reactions_rollup",
     "o4_lexicographic_concat",
     "u8_schema_union_by_name",
     "dashboard_week_frame",
-    "slack_capture_pipeline",
     "sample_stratified_hash",
     "pack_token_bins",
-    # -- oracle upgraded round 3 (rows-only → hash-match) --
     "dedup_simhash",
-    # -- new round-3/4 queries --
     "cc_large_star",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "contamination_ngram_overlap",
-    "sample_temperature_mix",
-    "text_token_entropy",
-    "text_c4_filters",
-    # -- last sampled in round 1 only --
+    # -- r1+r3 green --
     "f9_section_date_trim",
     "x22_human_size",
     "x23_json_field_extract",
     "x24_custom_field_map",
     "u2_distinct_keys_from_text",
-    "j3_mention_resolution",
     "j4_field_label_join",
     "j7_changelog_attach",
 ]
