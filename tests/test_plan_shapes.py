@@ -84,3 +84,41 @@ def test_epic_tree_render_no_python_udf(spark, sf_dir):
     df = REGISTRY["epic_tree_render"].fn(spark, sf_dir)
     plan = _executed(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    # The train-side explode must join the (benchmark-sized) eval gram
+    # set via broadcast — a shuffled equi-join of all training n-grams
+    # would dwarf the query at 100 TB.
+    df = REGISTRY["contamination_ngram_overlap"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mix_is_broadcast_gate(spark, sf_dir):
+    # Per-domain keep rates are domain-cardinality sized: they must come
+    # back as a broadcast, and the row-level hash gate must stay a
+    # narrow filter (no shuffle of the data side at all).
+    df = REGISTRY["sample_temperature_mix"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_c4_filters_stay_in_codegen(spark, sf_dir):
+    df = REGISTRY["text_c4_filters"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_pushes_gate_to_scan(spark, sf_dir):
+    # The deterministic hash gate is a pure column predicate — it must
+    # reach the scan node as a data filter (not require a shuffle), and
+    # the scan must prune to the two selected columns.
+    df = REGISTRY["sample_stratified_hash"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "Exchange" not in plan  # narrow filter: zero shuffles
+    i = plan.index("ReadSchema")
+    assert "o_orderkey" in plan[i : i + 200] and "o_totalprice" not in plan[i : i + 200]
