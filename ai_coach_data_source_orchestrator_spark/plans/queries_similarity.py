@@ -306,3 +306,36 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return S.ivf_topk(emb, queries, k=TOP_K, n_centroids=16, n_probe=4)
+
+
+_Q8_QELEM = (
+    "CASE WHEN scale > 0 THEN CAST(round((CAST(x AS DOUBLE) - mn) / scale) AS INTEGER) "
+    "ELSE 0 END"
+)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, mn, scale,
+             list_transform(embedding, x -> {_Q8_QELEM}) AS q,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE) - (mn + ({_Q8_QELEM}) * scale)))) AS max_abs_err
+      FROM b
+    )
+    SELECT vec_id, q, ROUND(mn, 6) AS mn, ROUND(scale, 6) AS scale,
+           ROUND(max_abs_err, 6) AS max_abs_err
+    FROM q
+    """,
+    survey_ids=("X15",),
+    description="Int8 scalar quantization of embeddings (4x ANN memory/bandwidth)",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))

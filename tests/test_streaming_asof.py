@@ -9,6 +9,7 @@ attachment (jira/append-changelog-to-epic-tree.js:30-51).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pyarrow as pa
@@ -49,7 +50,14 @@ def _write_files(dirpath, files, names):
         table = pa.table(
             {n: pa.array(cols[j], t) for j, (n, t) in enumerate(names)}
         )
-        pq.write_table(table, str(dirpath / f"f{i}.parquet"))
+        path = str(dirpath / f"f{i}.parquet")
+        pq.write_table(table, path)
+        # FileStreamSource orders by modification time; files written
+        # within the same millisecond tie and maxFilesPerTrigger=1 then
+        # delivers them in arbitrary order (the heartbeat file can beat
+        # the data it must follow). Space mtimes explicitly.
+        base = os.stat(path).st_mtime
+        os.utime(path, (base + 10 * i, base + 10 * i))
 
 
 @pytest.fixture()
