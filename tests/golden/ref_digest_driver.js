@@ -1,0 +1,86 @@
+// Golden-test driver: executes the REFERENCE's weekly-digest ASSEMBLER
+// (datasource-generator/generate_weekly_digest.js generateWeeklyDigest:
+// source-preference pick, summarizeJira/Daily/Transcripts regex
+// summaries, linkifyIssueKeys, python-datasource wrapper + helper
+// strip) over a fixture file tree and prints the generated datasource
+// file to stdout.
+//
+// Like ref_render_driver.js, the reference module is loaded FROM
+// /root/reference via `new Function` with a stub `require`; its
+// __dirname is pointed at <fixtureRoot>/datasource-generator so every
+// input directory (jira/md_output/golden, daily-reports/md-output/
+// golden, transcripts/markdown-output/golden) and the output directory
+// resolve inside the fixture tree. Nothing reference-side is copied
+// into this repo and nothing outside fixtureRoot is written.
+//
+// Usage: node ref_digest_driver.js <fixtureRoot> <config.json> [refRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+// The reference narrates via console.log from module load time on;
+// keep stdout clean for the datasource payload.
+console.log = () => {};
+console.warn = () => {};
+
+const fixtureRoot = process.argv[2];
+const fixtureConfig = JSON.parse(fs.readFileSync(process.argv[3], 'utf8'));
+const refRoot = process.argv[4] || '/root/reference';
+
+const stub = {
+  config: () => ({}),
+  handleError: (e) => { throw e; },
+  ConfigurationError: Error,
+};
+
+function stubRequire(overrides = {}) {
+  return (name) => {
+    if (name in overrides) return overrides[name];
+    if (['fs', 'path', 'https'].includes(name)) return require(name);
+    return new Proxy(function () { return {}; }, {
+      get: (_t, p) => (p in stub ? stub[p] : () => ({})),
+      apply: () => ({}),
+    });
+  };
+}
+
+function loadModule(file, { upTo, exports: names, overrides, dirname } = {}) {
+  const full = path.join(refRoot, file);
+  let src = fs.readFileSync(full, 'utf8');
+  if (upTo) {
+    const i = src.indexOf(upTo);
+    if (i === -1) throw new Error(`marker ${JSON.stringify(upTo)} not in ${file}`);
+    src = src.slice(0, i);
+  }
+  if (names) src += `\n;module.exports = { ${names.join(', ')} };`;
+  const module = { exports: {} };
+  new Function('require', 'module', 'exports', '__dirname', '__filename', src)(
+    stubRequire(overrides), module, module.exports, dirname || path.dirname(full), full
+  );
+  return module.exports;
+}
+
+const dateRangeFilter = loadModule('datasource-generator/lib/date-range-filter.js');
+
+const fakeDirname = path.join(fixtureRoot, 'datasource-generator');
+const Generator = loadModule('datasource-generator/generate_weekly_digest.js', {
+  dirname: fakeDirname,
+  overrides: {
+    '../lib/config': {
+      load: () => fixtureConfig,
+      ConfigManager: { loadForReportType: () => fixtureConfig },
+    },
+    './lib/mapping-resolver': { loadTeamMapping: () => ({ projectFolder: 'golden' }) },
+    '../lib/project-folder': { getProjectFolder: () => 'golden' },
+    './lib/date-range-filter': dateRangeFilter,
+    './lib/output-filename': { buildFilename: () => 'digest.py' },
+    '../lib/error-handler': { handleError: (e) => { throw e; } },
+    '../lib/errors': { ConfigurationError: Error },
+  },
+});
+
+const gen = new Generator();
+gen.generateWeeklyDigest();
+
+const out = path.join(fakeDirname, 'output', 'golden', 'digest.py');
+process.stdout.write(fs.readFileSync(out, 'utf8'));

@@ -1,0 +1,225 @@
+"""Golden test: the weekly-digest ASSEMBLY stage vs the REFERENCE's own
+generateWeeklyDigest (datasource-generator/generate_weekly_digest.js),
+executed for real via node over a fixture file tree built from OUR
+pipeline's rendered sections.
+
+What must agree (asserted):
+
+1. Source preference: the enriched epic tree is picked as the JIRA
+   section (generate_weekly_digest.js:307-311).
+2. Linkify parity (X6): the reference's linkifyIssueKeys over our
+   epic-tree markdown must equal our Spark linkify_issue_keys output
+   byte-for-byte (same negative guards for already-linked/image keys).
+3. JIRA summary regex counts (generate_weekly_digest.js:399-425) over
+   our render must equal the structured-row truth: unique keys by
+   regex == rendered issue count, **Status**-line counts == per-status
+   issue counts — i.e. our renderer emits exactly one countable line
+   per issue, so the reference's regex re-parse can't over-count on it.
+4. Transcript count parity: reference **Total Transcripts** == our
+   threshold-filtered transcript_files count (we write exactly the
+   kept files into its input tree).
+5. Helper strip: the shipped datasource is data-only on both sides
+   (no `def get_weekly_digest_data` survives, :740-746).
+
+Documented divergences (normalized or deliberately not asserted):
+
+- The reference embeds wall-clock (`# Generated on <now>`); stripped.
+- Daily-report summaries: the reference counts `# Daily Report:` file
+  headers from its own daily renderer; our daily section uses `## date`
+  day grouping, so its Total Reports reads 0 over our format. The
+  passthrough of our content is asserted; the count is not parity.
+- Section separators: the reference joins transcript files with
+  `\\n\\n---\\n\\n` and its own per-file headers; we join blocks with
+  `\\n\\n`. Containment is asserted, not byte equality.
+- Triple-quote escaping styles differ (backslash-quote-quote-quote in
+  the reference vs per-quote backslashes in ours); the fixture
+  contains no triple quotes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions import markup as M
+from ai_coach_data_source_orchestrator_spark.pipeline import WeeklyInputs, run_weekly_digest
+
+REF_ROOT = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
+DRIVER = Path(__file__).parent / "golden" / "ref_digest_driver.js"
+
+needs_reference = pytest.mark.skipif(
+    shutil.which("node") is None
+    or not os.path.exists(
+        os.path.join(REF_ROOT, "datasource-generator", "generate_weekly_digest.js")
+    ),
+    reason="node or reference repo not available",
+)
+
+START, END = "2025-10-06", "2025-10-12"
+HOST = "https://jira.example.com"
+
+CONFIG = {
+    "team": "ai-coach",
+    "report_type": "weekly",
+    "date_range": {"start_date": START, "end_date": END},
+    "team_members": ["Jolony Tim Tangpuz", "Harold Inacay"],
+    "transcripts": {"minimum_participants": 1},
+    "jira": {"host": HOST, "project": "PROJ"},
+}
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    issues = spark.createDataFrame(
+        [
+            ("PROJ-1", "Epic of work", "In Progress", None, "Epic", None),
+            ("PROJ-2", "Story here", "In Progress", "Jolony Tim Tangpuz", "Story", "PROJ-1"),
+            ("PROJ-3", "Subtask thing", "Done", "Harold Inacay", "Sub-task", "PROJ-2"),
+            ("PROJ-4", "Stale story", "To Do", "Harold Inacay", "Story", "PROJ-1"),
+            ("PROJ-5", "Orphan task", "Weird Status", None, "Task", None),
+        ],
+        "key string, summary string, status string, assignee string, issue_type string, parent_key string",
+    )
+    comments = spark.createDataFrame(
+        [
+            ("PROJ-1", "c1", "2025-10-07 10:00:00", None, "on epic"),
+            ("PROJ-2", "c2", "2025-09-01 10:00:00", "2025-10-08 10:00:00", "updated in range"),
+            ("PROJ-3", "c3", "2025-10-09 10:00:00", None, "done note"),
+            ("PROJ-5", "c5", "2025-10-10 10:00:00", None, "weird"),
+        ],
+        "issue_key string, comment_id string, created string, updated string, body string",
+    )
+    changelogs = spark.createDataFrame(
+        [
+            ("PROJ-2", "h1", "alice", "2025-10-08 11:00:00", "status", "To Do", "In Progress"),
+        ],
+        "issue_key string, history_id string, author string, created string, field string, from_string string, to_string string",
+    )
+    daily = spark.createDataFrame(
+        [
+            (1, "Jolony Tim", "Tangpuz", "<ul><li>did a thing</li></ul>", "2025-10-07"),
+            (2, "Harold", "Inacay", "<b>report</b> text", "2025-10-08"),
+        ],
+        "employee_id int, first_name string, last_name string, content string, report_date string",
+    ).selectExpr(
+        "employee_id", "first_name", "last_name", "content",
+        "CAST(report_date AS DATE) report_date",
+    )
+    transcripts = spark.createDataFrame(
+        [
+            (
+                "fathom-transcripts-2025-10-08T07_00_00+00_00.md",
+                "07:00 - Jolony Tim Tangpuz\nhello team\n07:01 - External Guest\nhi there",
+                "2025-10-08 07:30:00",
+            ),
+        ],
+        "filename string, content string, modified_time string",
+    )
+    return run_weekly_digest(
+        spark,
+        WeeklyInputs(issues, comments, changelogs, daily, transcripts),
+        CONFIG,
+        generated_at="2025-10-13T00:00:00Z",
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_digest(result, tmp_path_factory):
+    """Build the reference assembler's input tree from OUR rendered
+    sections and run it via node."""
+    root = tmp_path_factory.mktemp("digest_fixture")
+    jira_dir = root / "jira" / "md_output" / "golden"
+    daily_dir = root / "daily-reports" / "md-output" / "golden"
+    tx_dir = root / "transcripts" / "markdown-output" / "golden"
+    for d in (jira_dir, daily_dir, tx_dir):
+        d.mkdir(parents=True)
+
+    (jira_dir / f"epic_tree_with_changelog_{START}_to_{END}.md").write_text(
+        result.epic_tree_md
+    )
+    daily_md = [r["content"] for r in result.sections.collect() if r["source"] == "daily"][0]
+    (daily_dir / "reports.md").write_text(daily_md)
+
+    # one file per transcript OUR pipeline kept, block content only —
+    # the reference adds its own '# Transcript: <file>' headers
+    blocks = {}
+    tx_md = [r["content"] for r in result.sections.collect() if r["source"] == "transcripts"][0]
+    for m in re.finditer(r"# Transcript: (\S+)\n((?:(?!# Transcript: ).)*)", tx_md, re.S):
+        blocks[m.group(1)] = m.group(2).strip("\n")
+    for fname, block in blocks.items():
+        (tx_dir / fname).write_text(block)
+
+    cfg = root / "config.json"
+    cfg.write_text(
+        '{"jira": {"host": "%s", "project": "PROJ", "start_date": "%s", "end_date": "%s"}}'
+        % (HOST, START, END)
+    )
+    proc = subprocess.run(
+        ["node", str(DRIVER), str(root), str(cfg), REF_ROOT],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout, blocks
+
+
+def _exec_datasource(text: str) -> dict:
+    ns: dict = {}
+    exec(text, ns)  # noqa: S102 — fixture-generated data-only module
+    return ns
+
+
+@needs_reference
+def test_epic_tree_is_preferred_source_and_linkify_parity(spark, result, ref_digest):
+    text, _ = ref_digest
+    ns = _exec_datasource(text)
+    jira = ns["JIRA_DATA"]
+    # summary header + '---' separator + linkified epic tree content
+    body = jira.split("---\n\n", 1)[1]
+    ours = (
+        spark.createDataFrame([(result.epic_tree_md,)], "c string")
+        .select(M.linkify_issue_keys(F.col("c"), HOST).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert body == ours
+
+
+@needs_reference
+def test_jira_regex_summary_matches_structured_rows(result, ref_digest):
+    text, _ = ref_digest
+    ns = _exec_datasource(text)
+    header = ns["JIRA_DATA"].split("---\n\n", 1)[0]
+    # The rendered tree holds the epic reachable from in-scope issues
+    # with ALL its children: PROJ-1..4 (PROJ-5 has no epic).
+    assert "**Total Tickets**: 4" in header
+    m = dict(re.findall(r"- \*\*(.+?)\*\*: (\d+)", header.split("### By Status")[1].split("### By Assignee")[0]))
+    assert m == {"In Progress": "2", "Done": "1", "To Do": "1"}
+
+
+@needs_reference
+def test_transcript_count_parity(result, ref_digest):
+    text, blocks = ref_digest
+    ns = _exec_datasource(text)
+    n_ours = result.transcript_files.count()
+    assert len(blocks) == n_ours
+    assert f"**Total Transcripts**: {n_ours}" in ns["TRANSCRIPT_DATA"]
+    for block in blocks.values():
+        assert block in ns["TRANSCRIPT_DATA"]
+
+
+@needs_reference
+def test_daily_passthrough_and_helper_strip(result, ref_digest):
+    text, _ = ref_digest
+    ns = _exec_datasource(text)
+    daily_md = [r["content"] for r in result.sections.collect() if r["source"] == "daily"][0]
+    assert daily_md in ns["DAILY_REPORTS_DATA"]
+    # data-only on both sides
+    assert "def get_weekly_digest_data" not in text
+    assert "def " not in result.datasource_text
