@@ -716,3 +716,83 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         no_boiler.alias("no_boilerplate"),
         (ends & long_enough & sane & no_boiler).alias("passes_c4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL extraction + canonicalization — the web-crawl curation primitive
+# (URL-keyed dedup needs canonical forms: case-folded scheme/host,
+# fragment dropped, tracking params stripped, trailing slashes trimmed).
+# The synthetic corpus has no URLs, so each doc gets a deterministic
+# doc_id-derived URL appended (same both engines), exercising extraction
+# and every normalization rule. Pure column expressions; at scale this
+# is a narrow projection feeding a groupBy(url_norm) dedup.
+# ---------------------------------------------------------------------------
+_URL_AUG_SQL = (
+    "text || ' see https://WWW.Example.com/Path-' || CAST(doc_id AS VARCHAR)"
+    " || '/?utm_source=x&utm_campaign=c&id=' || CAST(doc_id % 7 AS VARCHAR) || '#frag'"
+)
+
+_URL_SQL = f"""
+    WITH a AS (SELECT doc_id, {_URL_AUG_SQL} AS aug FROM documents),
+    e AS (
+      SELECT doc_id,
+             regexp_extract(aug, '(https?://[^\\s)\\]>"'']+)', 1) AS raw
+      FROM a
+    ),
+    p AS (
+      SELECT doc_id, raw,
+             lower(regexp_extract(raw, '^(https?)://', 1)) AS scheme,
+             lower(regexp_extract(raw, '^https?://([^/?#]+)', 1)) AS host,
+             regexp_replace(regexp_extract(raw, '^https?://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+             COALESCE(array_to_string(
+               list_filter(string_split(regexp_extract(raw, '\\?([^#]*)', 1), '&'),
+                           q -> length(q) > 0 AND NOT starts_with(q, 'utm_')), '&'), '') AS qs
+      FROM e
+    )
+    SELECT doc_id, raw AS url_raw, host,
+           scheme || '://' || host || path ||
+             CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm
+    FROM p
+"""
+
+
+@register(
+    "text_url_normalize",
+    oracle=_URL_SQL,
+    survey_ids=("X14", "U3"),
+    description="URL extraction + canonicalization (case-fold, strip utm/fragment)",
+)
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://WWW.Example.com/Path-"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&utm_campaign=c&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    raw = F.regexp_extract(aug, r"""(https?://[^\s)\]>"']+)""", 1)
+    base = docs.select("doc_id", raw.alias("raw"))
+    scheme = F.lower(F.regexp_extract("raw", r"^(https?)://", 1))
+    host = F.lower(F.regexp_extract("raw", r"^https?://([^/?#]+)", 1))
+    path = F.regexp_replace(F.regexp_extract("raw", r"^https?://[^/?#]+([^?#]*)", 1), r"/+$", "")
+    qs = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract("raw", r"\?([^#]*)", 1), "&"),
+            lambda q: (F.length(q) > 0) & ~q.startswith("utm_"),
+        ),
+        "&",
+    )
+    return base.select(
+        "doc_id",
+        F.col("raw").alias("url_raw"),
+        host.alias("host"),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+        ).alias("url_norm"),
+    )
