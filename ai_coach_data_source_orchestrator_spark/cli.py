@@ -1,0 +1,168 @@
+"""Command-line entry points (SURVEY §7.1 ``cli/``) — the engine's
+equivalent of the reference's npm scripts (``npm run <team>:weekly``,
+``jira:epic-tree``, per-report generators; package.json scripts →
+scripts/run-all-weekly.js).
+
+Subcommands:
+
+- ``list``                      — print the query registry (name, ids, description)
+- ``query <name>``              — run any registered query; show rows and/or
+                                  write parquet/csv/json
+- ``weekly``                    — run the flagship weekly-digest pipeline and
+                                  write the Python datasource (+ optional
+                                  warehouse upsert), reading domain inputs
+                                  from ``--inputs-dir`` parquet files
+                                  (issues/comments/changelogs/daily/
+                                  transcripts) or deriving demo fixtures
+                                  from the star schema
+- ``bench``                     — the headline benchmark (delegates to bench.py's
+                                  logic via the registry)
+
+Usage:
+    python -m ai_coach_data_source_orchestrator_spark.cli list
+    python -m ai_coach_data_source_orchestrator_spark.cli query dedup_minhash_lsh \
+        --sf-dir /root/testdata/sf0.01 --show 5 --out /tmp/pairs --format parquet
+    python -m ai_coach_data_source_orchestrator_spark.cli weekly \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/digest.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+
+from .session import get_spark
+from .sources.tables import DEFAULT_SF_DIR
+
+
+def _cmd_list(_args) -> int:
+    from .plans import REGISTRY
+
+    for name, spec in REGISTRY.items():
+        ids = ",".join(spec.survey_ids)
+        print(f"{name:40s} [{ids}] {spec.description}")
+    return 0
+
+
+def _cmd_query(args) -> int:
+    from .plans import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    if args.out:
+        writer = df.write.mode("overwrite")
+        if args.format == "csv":
+            writer.option("header", "true").csv(args.out)
+        elif args.format == "json":
+            writer.json(args.out)
+        else:
+            writer.parquet(args.out)
+        print(f"wrote {args.out} ({args.format})")
+    if args.show:
+        df.show(args.show, truncate=False)
+    if not args.out and not args.show:
+        print(f"{df.count()} rows")
+    return 0
+
+
+def _cmd_weekly(args) -> int:
+    from .pipeline import WeeklyInputs, run_weekly_digest
+    from .plans.queries_pipeline import derive_fixture_inputs
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.inputs_dir:
+        rd = spark.read
+        inputs = WeeklyInputs(
+            jira_issues=rd.parquet(f"{args.inputs_dir}/issues.parquet"),
+            jira_comments=rd.parquet(f"{args.inputs_dir}/comments.parquet"),
+            jira_changelogs=rd.parquet(f"{args.inputs_dir}/changelogs.parquet"),
+            daily_reports=rd.parquet(f"{args.inputs_dir}/daily.parquet"),
+            transcripts=rd.parquet(f"{args.inputs_dir}/transcripts.parquet"),
+        )
+        config = {
+            "team": args.team,
+            "report_type": "weekly",
+            "date_range": {"start_date": args.start, "end_date": args.end},
+            "team_members": args.member or [],
+            "transcripts": {"minimum_participants": args.min_participants},
+            "jira": {"host": args.jira_host},
+        }
+        if not (args.start and args.end):
+            print("--start/--end required with --inputs-dir", file=sys.stderr)
+            return 2
+    else:
+        inputs, config = derive_fixture_inputs(spark, args.sf_dir)
+        if args.team:
+            config["team"] = args.team
+
+    generated_at = args.generated_at or datetime.datetime.now(
+        datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    result = run_weekly_digest(
+        spark, inputs, config, generated_at=generated_at, warehouse_path=args.warehouse
+    )
+    with open(args.out, "w") as f:
+        f.write(result.datasource_text)
+    print(f"wrote {args.out}")
+    if args.epic_tree_out:
+        with open(args.epic_tree_out, "w") as f:
+            f.write(result.epic_tree_md)
+        print(f"wrote {args.epic_tree_out}")
+    for key, val in result.summary.items():
+        print(f"  {key}: {val}")
+    return 0
+
+
+def _cmd_bench(_args) -> int:
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ai_coach_data_source_orchestrator_spark.cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="print the query registry")
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    q.add_argument("--out", help="output path")
+    q.add_argument("--format", choices=["parquet", "csv", "json"], default="parquet")
+    q.add_argument("--show", type=int, default=0, help="print first N rows")
+    q.add_argument("--explain", action="store_true", help="print the physical plan")
+
+    w = sub.add_parser("weekly", help="run the weekly-digest pipeline")
+    w.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    w.add_argument("--inputs-dir", help="dir with issues/comments/changelogs/daily/transcripts parquet")
+    w.add_argument("--out", required=True, help="datasource .py output path")
+    w.add_argument("--epic-tree-out", help="also write the epic-tree markdown")
+    w.add_argument("--warehouse", help="parquet warehouse dir for the idempotent upsert")
+    w.add_argument("--team", default=None)
+    w.add_argument("--member", action="append", help="team member (repeatable)")
+    w.add_argument("--start")
+    w.add_argument("--end")
+    w.add_argument("--min-participants", type=int, default=1)
+    w.add_argument("--jira-host", default="https://jira.example.com")
+    w.add_argument("--generated-at", help="override the embedded timestamp (for reproducible output)")
+
+    sub.add_parser("bench", help="run the headline benchmark")
+
+    args = p.parse_args(argv)
+    return {"list": _cmd_list, "query": _cmd_query, "weekly": _cmd_weekly, "bench": _cmd_bench}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

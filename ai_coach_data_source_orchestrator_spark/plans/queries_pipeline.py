@@ -58,6 +58,16 @@ _START, _END = "2025-10-06", "2025-10-12"
     description="Full weekly-digest pipeline end-to-end on table-derived fixtures",
 )
 def weekly_digest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inputs, config = derive_fixture_inputs(spark, sf_dir)
+    result = run_weekly_digest(spark, inputs, config, generated_at="2025-10-13T00:00:00Z")
+    return result.status_stats.select(
+        "status_c", "assignee_c", "n", "status_rank", "pct"
+    )
+
+
+def derive_fixture_inputs(spark: SparkSession, sf_dir: str) -> tuple[WeeklyInputs, dict]:
+    """Deterministic domain fixtures derived from the star-schema tables
+    — shared by the registry query above and the CLI's demo mode."""
     sup = load_table(spark, sf_dir, "supplier")
     k = F.col("s_suppkey")
     issues = sup.select(
@@ -123,13 +133,7 @@ def weekly_digest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transcripts": {"minimum_participants": 1},
         "jira": {"host": "https://jira.example.com"},
     }
-    result = run_weekly_digest(
-        spark, WeeklyInputs(issues, comments, changelogs, daily, transcripts), config,
-        generated_at="2025-10-13T00:00:00Z",
-    )
-    return result.status_stats.select(
-        "status_c", "assignee_c", "n", "status_rank", "pct"
-    )
+    return WeeklyInputs(issues, comments, changelogs, daily, transcripts), config
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,49 @@
+"""CLI smoke tests: the npm-script equivalents must run end-to-end
+(list, query with output file, weekly with datasource + warehouse)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark import cli
+
+
+def test_list_prints_registry(capsys):
+    assert cli.main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "weekly_digest_pipeline" in out and "dedup_minhash_lsh" in out
+
+
+def test_query_unknown_name_errors():
+    assert cli.main(["query", "nope"]) == 2
+
+
+def test_query_writes_parquet(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "pairs")
+    assert cli.main(
+        ["query", "dedup_exact", "--sf-dir", sf_dir, "--out", out, "--format", "parquet"]
+    ) == 0
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_weekly_writes_datasource_and_warehouse(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "digest.py")
+    wh = str(tmp_path / "wh")
+    assert cli.main(
+        [
+            "weekly", "--sf-dir", sf_dir, "--out", out, "--warehouse", wh,
+            "--generated-at", "2025-10-13T00:00:00Z",
+            "--epic-tree-out", str(tmp_path / "tree.md"),
+        ]
+    ) == 0
+    text = open(out).read()
+    assert "JIRA_DATA" in text and "def " not in text
+    assert os.path.exists(str(tmp_path / "tree.md"))
+    assert spark.read.parquet(wh).count() == 1
+
+
+def test_weekly_inputs_dir_requires_dates(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(["weekly", "--out", str(tmp_path / "d.py"), "--inputs-dir"])  # missing value
