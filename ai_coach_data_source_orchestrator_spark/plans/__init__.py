@@ -33,6 +33,7 @@ _FRONT = [
     "text_c4_filters",
     "embedding_quantize_int8",
     "text_url_normalize",
+    "text_line_dedup",
     # -- errored in round 3 on the events-ts encoding regression (fixed
     #    in sources/tables.py) — need fresh green rows --
     "k5_json_snapshot_roundtrip",

@@ -796,3 +796,90 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
         ).alias("url_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (RefinedWeb/Falcon §3.2, CCNet): drop lines that
+# repeat across >= K distinct documents (navigation chrome, footers,
+# cookie banners), keep document-local prose, reassemble in order.
+# The hot-line list is tiny relative to the corpus (boilerplate by
+# definition), so the removal join BROADCASTS the hot lines against the
+# per-line explode — the corpus side never shuffles; the only wide op
+# is the line-frequency groupBy, keyed by the (uniform) line text.
+# Docs are synthesized to 3 lines each: their own text, one global
+# boilerplate line, and a footer shared by doc_id%5 — both synthetic
+# lines cross the threshold, every original line survives.
+# ---------------------------------------------------------------------------
+_LINE_K = 30
+_LINE_AUG_SQL = (
+    "text || chr(10) || 'shared boilerplate line' || chr(10) || "
+    "'footer variant ' || CAST(doc_id % 5 AS VARCHAR)"
+)
+
+_LINE_DEDUP_SQL = f"""
+    WITH a AS (SELECT doc_id, {_LINE_AUG_SQL} AS aug FROM documents),
+    l AS (
+      SELECT doc_id, i - 1 AS pos, lines[i] AS line
+      FROM (SELECT doc_id, string_split(aug, chr(10)) AS lines FROM a),
+           unnest(range(1, len(lines) + 1)) s(i)
+    ),
+    hot AS (
+      SELECT line FROM l GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= {_LINE_K}
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM l ANTI JOIN hot ON l.line = hot.line
+    )
+    SELECT a.doc_id,
+           (SELECT COUNT(*) FROM l WHERE l.doc_id = a.doc_id) AS n_lines,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.cleaned, '') AS cleaned
+    FROM a
+    LEFT JOIN (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    ) k ON a.doc_id = k.doc_id
+"""
+
+
+@register(
+    "text_line_dedup",
+    oracle=_LINE_DEDUP_SQL,
+    survey_ids=("U7", "U3"),
+    description="Cross-document repeated-line removal (RefinedWeb boilerplate filter)",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit("\nshared boilerplate line\nfooter variant "),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(aug, "\n")).alias("pos", "line")
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _LINE_K)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_lines"))
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
