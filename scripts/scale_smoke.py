@@ -60,6 +60,11 @@ QUERIES = [
     ("dedup_embedding_cosine_lsh", "embeddings"),
     ("text_repetition_stats", "documents"),
     ("contamination_ngram_overlap", "documents"),
+    ("text_line_dedup", "documents"),
+    ("text_url_normalize", "documents"),
+    ("sample_temperature_mix", "documents"),
+    ("embedding_quantize_int8", "embeddings"),
+    ("text_token_entropy", "documents"),
 ]
 
 KEY_COLS = {
