@@ -68,11 +68,17 @@ def main() -> None:
     # Warm up the JVM (codegen, shuffle machinery) and the parquet
     # footer caches so the first timed query isn't charged for session
     # startup — at a real cluster these costs amortize across jobs.
+    # Warm-up failures are non-fatal: a broken loader for one table
+    # must not zero out the whole benchmark (round 3 lost its entire
+    # BENCH record to a single schema-drift exception here).
     from ai_coach_data_source_orchestrator_spark.sources.tables import TABLES, load_table
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in TABLES:
-        load_table(spark, sf_dir, t).count()
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception as e:  # noqa: BLE001
+            print(f"warmup {t}: {type(e).__name__}", file=sys.stderr)
 
     # Two runs per query (pyperf/JMH practice): the first ("cold")
     # carries one-time codegen/janino compilation and py4j plan
@@ -80,17 +86,24 @@ def main() -> None:
     # throughput, which is what scales to a long-running cluster job.
     # The headline value remains min-of-2 (warm, comparable to r01);
     # both cold and warm are recorded so a single-shot cost is visible.
+    # Per-query fault isolation: an erroring query is recorded in
+    # "errors" and excluded from the totals instead of killing the run.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in names:
         spec = REGISTRY[name]
         runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            continue
         cold[name] = round(runs[0], 3)
         warm[name] = round(runs[1], 3)
         dt = round(min(runs), 3)
@@ -107,6 +120,7 @@ def main() -> None:
                 "queries_cold": cold,
                 "queries_warm": warm,
                 "cold_total": round(sum(cold.values()), 3),
+                "errors": errors,
                 "methodology": "value=min(cold,warm) per query; cold=first run incl. codegen",
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
