@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship star-join revenue rollup on sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full operator registry
 (ai_coach_data_source_orchestrator_spark.plans) — one entry per implemented
-operator family from SURVEY.md §2, each with a DuckDB oracle unless the
-op is genuinely non-SQL-expressible (LSH banding variants).
+operator family from SURVEY.md §2 plus the LLM-training-data operators
+(dedup/similarity/quality/sampling/multimodal), every one of them with
+a DuckDB oracle.
 """
 
 from __future__ import annotations
