@@ -65,6 +65,7 @@ QUERIES = [
     ("sample_temperature_mix", "documents"),
     ("embedding_quantize_int8", "embeddings"),
     ("text_token_entropy", "documents"),
+    ("cc_large_star", "documents"),
 ]
 
 KEY_COLS = {
