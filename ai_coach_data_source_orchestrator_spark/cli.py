@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import os
 import sys
 
 from .session import get_spark
@@ -57,7 +58,19 @@ def _cmd_query(args) -> int:
     if args.explain:
         df.explain("formatted")
     if args.out:
-        writer = df.write.mode("overwrite")
+        out_df = df
+        if args.format == "csv":
+            # CSV can't hold nested types — stringify them as JSON so
+            # every registry query (arrays, structs) stays exportable.
+            from pyspark.sql import functions as F
+
+            out_df = df.select(
+                *[
+                    F.to_json(c).alias(c) if df.schema[c].dataType.typeName() in ("array", "struct", "map") else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        writer = out_df.write.mode("overwrite")
         if args.format == "csv":
             writer.option("header", "true").csv(args.out)
         elif args.format == "json":
@@ -76,6 +89,11 @@ def _cmd_weekly(args) -> int:
     from .pipeline import WeeklyInputs, run_weekly_digest
     from .plans.queries_pipeline import derive_fixture_inputs
 
+    if args.inputs_dir and not (args.start and args.end and args.team):
+        # validate BEFORE any Spark work: a raw AnalysisException from a
+        # parquet read must not shadow the usage error
+        print("--start/--end/--team required with --inputs-dir", file=sys.stderr)
+        return 2
     spark = get_spark("ai-coach-orchestrator-cli")
     spark.sparkContext.setLogLevel("ERROR")
     if args.inputs_dir:
@@ -95,9 +113,6 @@ def _cmd_weekly(args) -> int:
             "transcripts": {"minimum_participants": args.min_participants},
             "jira": {"host": args.jira_host},
         }
-        if not (args.start and args.end):
-            print("--start/--end required with --inputs-dir", file=sys.stderr)
-            return 2
     else:
         inputs, config = derive_fixture_inputs(spark, args.sf_dir)
         if args.team:
@@ -124,7 +139,10 @@ def _cmd_weekly(args) -> int:
 def _cmd_bench(_args) -> int:
     import runpy
 
-    runpy.run_path("bench.py", run_name="__main__")
+    # bench.py lives at the repo root next to this package — resolve
+    # from the package location so the subcommand works from any cwd
+    bench = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+    runpy.run_path(bench, run_name="__main__")
     return 0
 
 

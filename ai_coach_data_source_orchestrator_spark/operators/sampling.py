@@ -105,13 +105,18 @@ def temperature_mix_sample(
 
     Scale shape: the per-domain count aggregate is domain-cardinality
     sized (tiny) — it joins back as a BROADCAST, and the row-level gate
-    is a narrow filter, so the data side never shuffles. Rates are
-    rounded to 1e-6 before the compare and the 16-bit hash grid never
-    lands on the 1e-6 grid, so the boundary can't flip between engines.
+    is a narrow filter, so the data side never shuffles. Cross-engine
+    determinism: sqrt(n) terms are summed as DECIMAL(28,12) (the
+    registry's order-independent-sum rule, registry.py:10-12) so both
+    engines derive bit-identical rates; the p_keep round to 1e-6 then
+    can't tie-break differently, and at equality with a hash gridpoint
+    (e.g. 16384/65536 = 0.25 sits on both grids) the strict `<`
+    excludes the row identically in both engines.
     """
     counts = df.groupBy(domain_col).agg(F.count("*").alias("n"))
     tot = counts.agg(
-        F.sum(F.sqrt("n")).alias("sw"), F.sum("n").alias("total")
+        F.sum(F.sqrt("n").cast("decimal(28,12)")).cast("double").alias("sw"),
+        F.sum("n").alias("total"),
     )
     # 1-row aggregate × domain counts: both sides broadcast-sized.
     rates = counts.crossJoin(F.broadcast(tot)).select(

@@ -93,7 +93,8 @@ _MIX_SALT = "tmix-v1"
     "sample_temperature_mix",
     oracle=f"""
     WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-    t AS (SELECT SUM(sqrt(n)) AS sw, SUM(n) AS total FROM c),
+    t AS (SELECT CAST(SUM(CAST(sqrt(n) AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+                 SUM(n) AS total FROM c),
     p AS (
       SELECT c.source,
              ROUND(least(1.0, ({_MIX_TARGET} * t.total * sqrt(c.n) / t.sw) / c.n), 6) AS p_keep

@@ -79,6 +79,13 @@ KEY_COLS = {
     "events": ["event_id", "user_id"],
 }
 
+# One stride per KEY DOMAIN, far above any key value at this sf. A
+# per-table max(col)+1 would misalign fact FKs against dimension PKs
+# whenever the fact doesn't happen to reference the max dimension key
+# (e.g. TPC-H custkeys % 3 == 0 place no orders) — replicas would then
+# point at nonexistent dimension rows and shrink every join silently.
+KEY_STRIDE = 10_000_000
+
 
 def _alphabet_rotation(r: int) -> tuple[str, str]:
     lower = string.ascii_lowercase
@@ -90,8 +97,22 @@ def _alphabet_rotation(r: int) -> tuple[str, str]:
     )
 
 
+def _source_stamp() -> str:
+    return ",".join(
+        f"{t}:{os.path.getmtime(f'{SRC}/{t}.parquet'):.0f}" for t in TABLES
+    )
+
+
 def synthesize(spark) -> None:
     os.makedirs(DST, exist_ok=True)
+    # Invalidate when the driver regenerates the source testdata —
+    # otherwise a new round would silently benchmark fresh sf0.1
+    # against stale sf1 replicas of the OLD data.
+    marker = f"{DST}/.synth_stamp"
+    stamp = _source_stamp()
+    if os.path.exists(marker) and open(marker).read() != stamp:
+        shutil.rmtree(DST)
+        os.makedirs(DST)
     for name in TABLES:
         out = f"{DST}/{name}.parquet"
         if os.path.exists(out):
@@ -101,9 +122,6 @@ def synthesize(spark) -> None:
             # True dimensions don't grow with SF.
             df.write.mode("overwrite").parquet(out)
             continue
-        max_ids = {
-            c: (df.agg(F.max(c)).collect()[0][0] or 0) + 1 for c in KEY_COLS.get(name, [])
-        }
         parts = []
         for r in range(SCALE):
             rep = df
@@ -111,10 +129,10 @@ def synthesize(spark) -> None:
                 src_chars, dst_chars = _alphabet_rotation(r)
                 rep = rep.withColumn("text", F.translate("text", src_chars, dst_chars))
                 rep = rep.withColumn(
-                    "doc_id", (F.col("doc_id") + F.lit(r * 10_000_000)).cast("long")
+                    "doc_id", (F.col("doc_id") + F.lit(r * KEY_STRIDE)).cast("long")
                 )
             elif name == "embeddings":
-                dim = 64
+                dim = df.select(F.size("embedding")).first()[0]
                 rot = r % dim
                 if rot:
                     rep = rep.withColumn(
@@ -125,20 +143,22 @@ def synthesize(spark) -> None:
                         ),
                     )
                 rep = rep.withColumn(
-                    "vec_id", (F.col("vec_id") + F.lit(r * 10_000_000)).cast("long")
+                    "vec_id", (F.col("vec_id") + F.lit(r * KEY_STRIDE)).cast("long")
                 )
             else:
                 for c in KEY_COLS.get(name, []):
                     # nation/region keys are shared dims — don't offset FKs into them
                     if c in ("c_nationkey", "s_nationkey", "n_regionkey"):
                         continue
-                    rep = rep.withColumn(c, (F.col(c) + F.lit(r * max_ids[c])).cast("long"))
+                    rep = rep.withColumn(c, (F.col(c) + F.lit(r * KEY_STRIDE)).cast("long"))
             parts.append(rep)
         full = parts[0]
         for p in parts[1:]:
             full = full.unionByName(p)
         full.repartition(32).write.mode("overwrite").parquet(out)
         print(f"synthesized {name}", flush=True)
+    with open(marker, "w") as f:
+        f.write(stamp)
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:

@@ -44,6 +44,10 @@ def test_weekly_writes_datasource_and_warehouse(spark, sf_dir, tmp_path, capsys)
     assert spark.read.parquet(wh).count() == 1
 
 
-def test_weekly_inputs_dir_requires_dates(tmp_path):
-    with pytest.raises(SystemExit):
-        cli.main(["weekly", "--out", str(tmp_path / "d.py"), "--inputs-dir"])  # missing value
+def test_weekly_inputs_dir_requires_dates_and_team(tmp_path):
+    # validation must fire BEFORE any Spark read — a nonexistent dir
+    # must produce the usage error, not an AnalysisException
+    rc = cli.main(
+        ["weekly", "--out", str(tmp_path / "d.py"), "--inputs-dir", "/nonexistent"]
+    )
+    assert rc == 2
