@@ -24,62 +24,58 @@ from . import queries_sampling  # noqa: E402,F401
 # front block as they land.
 # ---------------------------------------------------------------------------
 _FRONT = [
-    # -- new in round 4: never driver-checked --
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "contamination_ngram_overlap",
-    "sample_temperature_mix",
-    "text_token_entropy",
-    "text_c4_filters",
+    # -- round 5 slot 1: the only never-green query; r4 driver err was the
+    #    pandas canonicalizer choking on array<int> — now serialized --
     "embedding_quantize_int8",
-    "text_url_normalize",
+    # -- rotated this round: latest green driver row is r2, and testdata
+    #    has been regenerated since; all 40 are green in local oracle
+    #    parity, the driver row just needs refreshing --
+    "a8_summary_aggregates",
+    "f8_or_of_overrides",
+    "u6_union_tagged_sources",
+    "u3_dedup_by_key",
+    "a10_daily_window",
+    "a13_week_frame",
+    "sessionize_events",
+    "a14_array_set_diff",
+    "x7_multiformat_date_extract",
+    "asof_join_checkpoints",
+    "range_join_windows",
+    "rollup_hypertable_cascade",
+    "a_percentile_profile",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "text_winnow_fingerprints",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_minhash_lsh",
+    "knn_brute_force_cosine",
+    "knn_lsh_buckets",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "knn_ivf",
+    "x2_wiki_to_markdown",
+    "x4_slack_markup",
+    "x5_html_bullets",
+    "x6_linkify_issue_keys",
+    "x10_x11_timestamp_formats",
+    "x14_slugify",
+    "x16_mask_secrets",
+    "x17_redact_code",
+    "x18_prompt_denylist",
+    "x20_section_split",
+    # -- plan changed this round (broadcast hint dropped for scale);
+    #    oracle unchanged but re-verify through the driver --
     "text_line_dedup",
-    # -- errored in round 3 on the events-ts encoding regression (fixed
-    #    in sources/tables.py) — need fresh green rows --
-    "k5_json_snapshot_roundtrip",
-    "k9_cache_freshness",
-    "a18_reactions_rollup",
-    "slack_capture_pipeline",
-    "j3_mention_resolution",
-    # -- green in round 3, first driver rows ever (keep in-window for a
-    #    second consecutive green) --
-    "weekly_digest_pipeline",
-    "epic_tree_render",
-    "j8_changelog_injection",
-    "k8_upsert_merge",
-    "s1_jira_connector_roundtrip",
-    "s9_slack_history_pushdown",
-    "s12_drive_catalog_scan",
-    "s14_jdbc_pushdown_join",
-    "x3_adf_flatten",
-    "x19_transcript_parse",
-    "x21_changelog_compact",
-    "k1_csv_union_header_roundtrip",
-    "k2_partitioned_write_roundtrip",
-    "k6_datasource_sections",
-    "k_bucketed_colocated_join",
-    "s18_python_literal_extract",
-    "j9_blob_path_join",
-    "j10_member_doc_join",
-    "j12_channel_resolution",
-    "f5_substring_filter",
-    "f6_team_threshold_filter",
-    "a15_participants",
-    "o4_lexicographic_concat",
-    "u8_schema_union_by_name",
-    "dashboard_week_frame",
-    "sample_stratified_hash",
-    "pack_token_bins",
-    "dedup_simhash",
+    # -- candidate-pair feed risk flagged in ADVICE: keep in-window so an
+    #    LSH false negative on regenerated data surfaces immediately --
     "cc_large_star",
-    # -- r1+r3 green --
-    "f9_section_date_trim",
-    "x22_human_size",
-    "x23_json_field_extract",
-    "x24_custom_field_map",
-    "u2_distinct_keys_from_text",
-    "j4_field_label_join",
-    "j7_changelog_attach",
 ]
 
 

@@ -330,12 +330,17 @@ _Q8_QELEM = (
                  x -> abs(CAST(x AS DOUBLE) - (mn + ({_Q8_QELEM}) * scale)))) AS max_abs_err
       FROM b
     )
-    SELECT vec_id, q, ROUND(mn, 6) AS mn, ROUND(scale, 6) AS scale,
-           ROUND(max_abs_err, 6) AS max_abs_err
+    SELECT vec_id, array_to_string(q, ',') AS q, ROUND(mn, 6) AS mn,
+           ROUND(scale, 6) AS scale, ROUND(max_abs_err, 6) AS max_abs_err
     FROM q
     """,
     survey_ids=("X15",),
     description="Int8 scalar quantization of embeddings (4x ANN memory/bandwidth)",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    # The operator returns ``q`` as array<int> (the form internal callers
+    # want); the registry projection serializes it to a comma-joined string
+    # because the external driver canonicalizes rows via pandas sort_values,
+    # which cannot hash/sort Python lists (r4 driver err: "unhashable type").
+    out = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return out.withColumn("q", F.array_join(F.col("q").cast("array<string>"), ","))

@@ -29,3 +29,53 @@ def test_registry_front_block_order():
 def test_specs_have_descriptions():
     undocumented = [n for n, s in REGISTRY.items() if not s.description]
     assert not undocumented, f"queries without descriptions: {undocumented}"
+
+
+def _latest_green_round():
+    """Latest CORRECTNESS round with a green row, per query, from the
+    driver's ``CORRECTNESS_r*.json`` files at the repo root."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest: dict[str, int | None] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                green = bool(row.get("hash_match")) or (
+                    row.get("err") is None and row.get("rows_match")
+                )
+                if green:
+                    latest[name] = rnd
+                else:
+                    latest.setdefault(name, None)
+    return latest, (max(rounds) if rounds else 0)
+
+
+def test_front_window_covers_stale_queries():
+    # Driver-window rotation policy (VERDICT r4 item 5): only the first 50
+    # registry entries get a driver CORRECTNESS row each round, so every
+    # query that is never-green or whose latest green row predates the
+    # previous round (testdata regenerates between rounds) must be in the
+    # _FRONT block — and the block must fit the window.
+    latest, max_round = _latest_green_round()
+    if max_round == 0:
+        return  # no driver rows yet (fresh checkout)
+    needs_rotation = [
+        n
+        for n in REGISTRY
+        if n in latest and (latest[n] is None or latest[n] < max_round - 1)
+    ]
+    missing = sorted(set(needs_rotation) - set(plans._FRONT))
+    assert not missing, (
+        f"queries with stale/absent driver rows not in _FRONT: {missing}"
+    )
+    assert len(plans._FRONT) <= 50, "_FRONT exceeds the 50-slot driver window"
