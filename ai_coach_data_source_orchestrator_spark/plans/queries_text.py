@@ -873,13 +873,22 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = docs.select(
         "doc_id", F.posexplode(F.split(aug, "\n")).alias("pos", "line")
     )
+    # Scale note (VERDICT r4): at 100 TB of web text the repeated-line set
+    # is effectively unbounded (every site footer qualifies), so a forced
+    # broadcast of `hot` is a driver/executor OOM. Key the aggregation and
+    # the anti-join on xxhash64(line) — an 8-byte shuffle key instead of
+    # arbitrary-length text — and give AQE no hint: it broadcasts when the
+    # hot set is actually small and falls back to a shuffle join when not.
+    # (64-bit hash collisions merge two distinct lines' doc-counts; for a
+    # boilerplate-removal heuristic that is an acceptable over-removal.)
+    lines = lines.withColumn("lh", F.xxhash64("line"))
     hot = (
-        lines.groupBy("line")
+        lines.groupBy("lh")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") >= _LINE_K)
-        .select("line")
+        .select("lh")
     )
-    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    kept = lines.join(hot, "lh", "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_kept"),
         F.array_join(

@@ -122,3 +122,20 @@ def test_stratified_sample_pushes_gate_to_scan(spark, sf_dir):
     assert "Exchange" not in plan  # narrow filter: zero shuffles
     i = plan.index("ReadSchema")
     assert "o_orderkey" in plan[i : i + 200] and "o_totalprice" not in plan[i : i + 200]
+
+
+def test_line_dedup_anti_join_unhinted_hash_key(spark, sf_dir):
+    # VERDICT r4: the repeated-line ("hot") set is unbounded at web scale,
+    # so the anti-join must not carry a forced broadcast hint — AQE picks
+    # broadcast only when the set is actually small — and the join key
+    # must be the 8-byte xxhash64 of the line, not the line text.
+    df = REGISTRY["text_line_dedup"].fn(spark, sf_dir)
+    opt = _optimized(df)
+    assert "ResolvedHint" not in opt and "broadcast" not in opt.lower().replace(
+        "broadcasthashjoin", ""
+    )
+    plan = _executed(df)
+    assert "LeftAnti" in plan
+    # anti-join executes as SOME join strategy (AQE may choose either)
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert "xxhash64" in plan
