@@ -172,6 +172,91 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(M.as_media_table(docs), interval_s=10, max_frames=8)
 
 
+# Shared by the image (byte value) and audio (PCM sample) branches: the
+# synthesized payloads are genuine PPM/WAV container bytes whose values
+# are closed-form in doc_id, so the oracle recomputes the decoded
+# features WITHOUT decoding — the Spark side must actually parse the
+# bytes to match. Derived floats use identical left-associative
+# expression order in both engines (see verify-skill float notes).
+_MEAN_MICRO = "CAST(floor(CAST(val_sum AS DOUBLE) * 1000000.0 / n_values + 0.5) AS BIGINT)"
+_RMS_MICRO = (
+    "CAST(floor(sqrt(CAST(val_sumsq AS DOUBLE) / n_values) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    ivals AS (
+      SELECT doc_id, w, h, w * h * 3 AS n_values,
+             SUM((doc_id * 31 + i * 7) % 256) AS val_sum,
+             SUM(((doc_id * 31 + i * 7) % 256) * ((doc_id * 31 + i * 7) % 256)) AS val_sumsq
+      FROM img, unnest(range(w * h * 3)) s(i)
+      GROUP BY doc_id, w, h
+    ),
+    aud AS (
+      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 2 = 1
+    ),
+    avals AS (
+      SELECT doc_id, n_values,
+             SUM((doc_id * 131 + i * 17) % 2003 - 1001) AS val_sum,
+             SUM(((doc_id * 131 + i * 17) % 2003 - 1001)
+                 * ((doc_id * 131 + i * 17) % 2003 - 1001)) AS val_sumsq
+      FROM aud, unnest(range(n_values)) s(i)
+      GROUP BY doc_id, n_values
+    )
+    SELECT doc_id, 'image' AS kind, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
+           CAST(n_values AS BIGINT) AS n_values, CAST(val_sum AS BIGINT) AS val_sum,
+           {_MEAN_MICRO} AS mean_micro, {_RMS_MICRO} AS rms_micro
+    FROM ivals
+    UNION ALL
+    SELECT doc_id, 'audio', NULL, NULL, 8000,
+           CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           {_MEAN_MICRO}, {_RMS_MICRO}
+    FROM avals
+    """,
+    survey_ids=("S13", "K7"),
+    description="REAL media decode: synthesized PPM/WAV bytes parsed back to verified features",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize genuine PPM (P6) / WAV (PCM16) container bytes from
+    closed-form doc_id formulas, then REALLY decode them (header parse +
+    numpy payload extraction) and derive mean-luma / RMS-amplitude
+    features. The oracle recomputes the same features straight from the
+    formulas, so any decode defect (header offset, endianness, channel
+    count) breaks the hash match.
+
+    Scale: synthesis and decode are Arrow-batched mapInPandas over the
+    partitioned documents table; payloads never leave executors; the
+    float derivations run JVM-side from exact integer sums.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.decode_features(M.synthesize_media_corpus(docs))
+    mean_micro = F.floor(
+        F.col("val_sum").cast("double") * F.lit(1000000.0) / F.col("n_values") + F.lit(0.5)
+    ).cast("bigint")
+    rms_micro = F.floor(
+        F.sqrt(F.col("val_sumsq").cast("double") / F.col("n_values")) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return feats.select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "sample_rate",
+        "n_values",
+        "val_sum",
+        mean_micro.alias("mean_micro"),
+        rms_micro.alias("rms_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (exact oracle + LSH scale path + IVF ANN)
 # ---------------------------------------------------------------------------

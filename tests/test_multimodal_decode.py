@@ -1,0 +1,85 @@
+"""Unit tests for the real PPM/PGM/WAV decode path (no Spark needed):
+encode→decode round-trips, header-variant tolerance (comments,
+whitespace), malformed-input rejection, and the still-stubbed
+compressed formats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+    decode_media,
+    encode_ppm,
+    encode_wav_pcm16,
+)
+
+
+def test_ppm_round_trip():
+    rng = np.random.default_rng(7)
+    w, h = 5, 4
+    rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+    d = decode_media(encode_ppm(w, h, rgb.tobytes()), "image/x-portable-pixmap")
+    assert d["kind"] == "image"
+    assert (d["width"], d["height"]) == (w, h)
+    assert np.array_equal(d["values"], rgb)
+
+
+def test_ppm_header_comments_and_whitespace():
+    # netpbm allows comment lines and arbitrary whitespace between tokens.
+    rgb = bytes(range(12))
+    payload = b"P6\n# a comment\n 2\t2 \n# another\n255\n" + rgb
+    d = decode_media(payload, "image/x-portable-pixmap")
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["values"].tobytes() == rgb
+
+
+def test_pgm_single_channel():
+    gray = bytes([0, 128, 255, 64, 32, 16])
+    payload = b"P5\n3 2\n255\n" + gray
+    d = decode_media(payload, "image/x-portable-graymap")
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["values"].size == 6  # 1 channel, not 3
+
+
+def test_wav_round_trip():
+    samples = np.array([0, 1, -1, 32767, -32768, 1234], dtype=np.int16)
+    d = decode_media(encode_wav_pcm16(samples, 16000), "audio/wav")
+    assert d["kind"] == "audio"
+    assert d["sample_rate"] == 16000
+    assert np.array_equal(d["values"], samples)
+
+
+def test_wav_odd_data_chunk_alignment():
+    # RIFF chunks are word-aligned; an extra chunk before data with an
+    # odd size must not desync the parser.
+    import struct
+
+    samples = np.array([5, -5], dtype=np.int16)
+    base = encode_wav_pcm16(samples, 8000)
+    fmt_and_data = base[12:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    payload = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(fmt_and_data)) + b"WAVE" + extra + fmt_and_data
+    d = decode_media(payload, "audio/wav")
+    assert np.array_equal(d["values"], samples)
+
+
+@pytest.mark.parametrize(
+    "payload,mime",
+    [
+        (b"P3\n1 1\n255\n1 2 3", "image/x-portable-pixmap"),  # ASCII ppm unsupported
+        (b"RIFX....WAVE", "audio/wav"),  # wrong endian magic
+        (b"RIFF\x04\x00\x00\x00WAVE", "audio/wav"),  # no fmt/data chunks
+    ],
+)
+def test_malformed_inputs_raise(payload, mime):
+    with pytest.raises(ValueError):
+        decode_media(payload, mime)
+
+
+def test_compressed_formats_still_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n", "image/png")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
