@@ -1,0 +1,141 @@
+"""Streaming ⇄ batch equivalence (VERDICT r4 item 6): the streaming
+sessionize/window operators must produce the SAME aggregates as their
+batch registry twins when the real events table is replayed through a
+file stream. streaming/asof.py and streaming/dedup.py already have this
+proof; this closes the gap for sessionize + daily/weekly windows.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark import streaming as ST
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+EVENT_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+
+def _replay_dir(spark, sf_dir, tmp_path, with_flush: bool = False):
+    """Write the real events table to a stream-source directory. With
+    ``with_flush``, a second file adds one far-future event per user so
+    the watermark passes every real session's end and append mode emits
+    them all (the flush sessions themselves stay unemitted/excluded)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    d = tmp_path / f"stream_{uuid.uuid4().hex[:8]}"
+    ev.coalesce(1).write.parquet(str(d))
+    if with_flush:
+        # One scalar collect (test-only) to place the flush horizon.
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        flush = (
+            ev.select("user_id")
+            .distinct()
+            .select(
+                F.lit(-1).cast("bigint").alias("event_id"),
+                (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+                "user_id",
+                F.lit(None).cast("double").alias("value"),  # marks flush sessions
+            )
+        )
+        flush.coalesce(1).write.mode("append").parquet(str(d))
+    return str(d)
+
+
+def _read_stream(spark, d):
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(d)
+
+
+def _run_to_memory(spark, sdf, output_mode: str):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    # Batch truth: sessionize_events (lag-window gap split, gap=1800 s).
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in REGISTRY["sessionize_events"].fn(spark, sf_dir).collect()
+    }
+
+    d = _replay_dir(spark, sf_dir, tmp_path, with_flush=True)
+    out = _run_to_memory(
+        spark,
+        ST.session_windows_stream(_read_stream(spark, d), gap="30 minutes"),
+        "append",
+    )
+    # Exclude the flush sessions (they contain only the event_id=-1 row,
+    # 30 days after anything real, so they are their own sessions — and
+    # being last, the watermark never closes them anyway).
+    sessions = out.where(F.col("session_value").isNotNull())
+    stream = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    assert batch, "vacuous: batch sessionize produced no rows"
+    assert stream == batch
+
+
+def test_daily_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    batch = {
+        str(r["day"]): (r["n_events"], r["total_value"])
+        for r in REGISTRY["a10_daily_window"].fn(spark, sf_dir).collect()
+    }
+    d = _replay_dir(spark, sf_dir, tmp_path)
+    out = _run_to_memory(
+        spark, ST.daily_counts_stream(_read_stream(spark, d)), "update"
+    )
+    stream = {
+        str(r["day"]): (r["n_events"], round(r["total_value"], 2))
+        for r in out.collect()
+    }
+    assert stream == batch
+
+
+def test_weekly_frame_stream_matches_batch_nonempty_weeks(spark, sf_dir, tmp_path):
+    # a13 materializes empty frame days; the stream can only emit weeks
+    # that have data — compare the non-empty weekly rollup. The batch
+    # frame is clamped to [FRAME_START, FRAME_END], so clamp the stream
+    # side identically.
+    from ai_coach_data_source_orchestrator_spark.plans.queries_events import (
+        FRAME_END,
+        FRAME_START,
+    )
+
+    a13 = REGISTRY["a13_week_frame"].fn(spark, sf_dir)
+    batch = {
+        str(r["week_start"]): r["n_events"]
+        for r in a13.groupBy("week_start")
+        .agg(F.sum("n_events").alias("n_events"))
+        .where(F.col("n_events") > 0)
+        .collect()
+    }
+    d = _replay_dir(spark, sf_dir, tmp_path)
+    out = _run_to_memory(
+        spark, ST.weekly_frame_stream(_read_stream(spark, d)), "update"
+    )
+    stream = {
+        str(r["week_monday"]): r["n_events"]
+        for r in out.where(
+            (F.col("week_monday") >= F.lit(FRAME_START))
+            & (F.col("week_monday") <= F.lit(FRAME_END))
+        ).collect()
+    }
+    assert batch, "vacuous: no frame week has events"
+    assert stream == batch
