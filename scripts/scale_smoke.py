@@ -110,7 +110,15 @@ def synthesize(spark) -> None:
     # against stale sf1 replicas of the OLD data.
     marker = f"{DST}/.synth_stamp"
     stamp = _source_stamp()
-    if os.path.exists(marker) and open(marker).read() != stamp:
+    stale = os.path.exists(marker) and open(marker).read() != stamp
+    # ADVICE r4: a synthesis interrupted before the stamp write leaves
+    # table files with NO marker; a later run must not adopt them as
+    # current (the source may have regenerated in between). Any replica
+    # files without a matching stamp ⇒ rebuild everything.
+    orphaned = not os.path.exists(marker) and any(
+        os.path.exists(f"{DST}/{t}.parquet") for t in TABLES
+    )
+    if stale or orphaned:
         shutil.rmtree(DST)
         os.makedirs(DST)
     for name in TABLES:

@@ -33,10 +33,18 @@ const stub = {
   ConfigurationError: Error,
 };
 
+// ADVICE r4: the reference (retrieved public content) must not get the
+// real fs or any network module through its stubbed require. The digest
+// assembly path under test is file-only: reads from refRoot + the
+// fixture tree, writes only inside the fixture tree.
+const { guardedFs } = require('./sandbox_fs');
+const sandboxedFs = guardedFs([refRoot, fixtureRoot], [fixtureRoot]);
+
 function stubRequire(overrides = {}) {
   return (name) => {
     if (name in overrides) return overrides[name];
-    if (['fs', 'path', 'https'].includes(name)) return require(name);
+    if (name === 'fs') return sandboxedFs;
+    if (name === 'path') return require('path');
     return new Proxy(function () { return {}; }, {
       get: (_t, p) => (p in stub ? stub[p] : () => ({})),
       apply: () => ({}),

@@ -30,10 +30,16 @@ const stub = {
   FileSystemError: Error,
 };
 
+// ADVICE r4: the render helpers under test are pure — the reference
+// code gets a read-only refRoot fs (no writes anywhere) and no network.
+const { guardedFs } = require('./sandbox_fs');
+const sandboxedFs = guardedFs([refRoot], []);
+
 function stubRequire(overrides = {}) {
   return (name) => {
     if (name in overrides) return overrides[name];
-    if (['fs', 'path', 'https'].includes(name)) return require(name);
+    if (name === 'fs') return sandboxedFs;
+    if (name === 'path') return require('path');
     // Any other module resolves to a callable proxy whose members are
     // the stubs above (config loaders, error classes, no-op helpers).
     return new Proxy(function () { return {}; }, {

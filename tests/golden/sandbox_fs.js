@@ -1,0 +1,52 @@
+// Path-restricted fs shim handed to REFERENCE modules by the golden
+// drivers (ADVICE r4): the reference is retrieved public content, so the
+// `fs` it sees through the stubbed require must not reach outside the
+// sandbox — reads only under the given read roots, writes only under
+// the given write roots, and no escape hatches (promises, streams,
+// open fds) beyond the sync calls the golden paths actually use.
+
+const fs = require('fs');
+const path = require('path');
+
+function within(roots, p) {
+  const r = path.resolve(String(p));
+  return roots.some((root) => {
+    const base = path.resolve(root);
+    return r === base || r.startsWith(base + path.sep);
+  });
+}
+
+function guardedFs(readRoots, writeRoots) {
+  const shim = {};
+  const readOps = ['readFileSync', 'existsSync', 'readdirSync', 'statSync', 'lstatSync'];
+  const writeOps = ['writeFileSync', 'appendFileSync', 'mkdirSync', 'rmSync', 'unlinkSync', 'rmdirSync'];
+  for (const op of readOps) {
+    shim[op] = (p, ...rest) => {
+      if (!within(readRoots, p)) throw new Error(`sandbox: fs.${op}(${p}) outside read roots`);
+      return fs[op](p, ...rest);
+    };
+  }
+  for (const op of writeOps) {
+    shim[op] = (p, ...rest) => {
+      if (!within(writeRoots, p)) throw new Error(`sandbox: fs.${op}(${p}) outside write roots`);
+      return fs[op](p, ...rest);
+    };
+  }
+  // Two-path ops: source must be readable, destination writable.
+  for (const op of ['copyFileSync', 'renameSync']) {
+    shim[op] = (src, dest, ...rest) => {
+      if (!within(readRoots, src)) throw new Error(`sandbox: fs.${op} src ${src} outside read roots`);
+      if (!within(writeRoots, dest)) throw new Error(`sandbox: fs.${op} dest ${dest} outside write roots`);
+      return fs[op](src, dest, ...rest);
+    };
+  }
+  return new Proxy(shim, {
+    get: (t, prop) => {
+      if (prop in t) return t[prop];
+      if (prop === 'constants') return fs.constants;
+      throw new Error(`sandbox: fs.${String(prop)} not allowed`);
+    },
+  });
+}
+
+module.exports = { guardedFs };

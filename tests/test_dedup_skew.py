@@ -180,3 +180,29 @@ def test_star_cc_reversed_and_duplicate_edges(spark):
     )
     comp = {r["doc_id"]: r["component"] for r in connected_components_star(nodes, prs).collect()}
     assert comp == {5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_cc_pair_feed_equals_exact_pairs(spark, sf_dir):
+    # ADVICE r4: cc_large_star feeds components from LSH candidate pairs
+    # while its oracle derives from brute-force pairs. Assert pair-SET
+    # equality directly so a future LSH false negative on regenerated
+    # testdata fails HERE with a diagnosable pair-level diff, instead of
+    # as an opaque component-hash mismatch in the driver row.
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.6).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, k=3, threshold=0.6).collect()
+    }
+    missed, spurious = sorted(exact - lsh), sorted(lsh - exact)
+    assert not missed, f"LSH false negatives (breaks cc_large_star oracle): {missed[:10]}"
+    assert not spurious, f"LSH pairs above threshold not in exact set: {spurious[:10]}"
