@@ -1,0 +1,46 @@
+"""Deterministic stand-in for the external secret linter.
+
+The reference optionally shells out to secretlint
+(slack/lib/sanitizer.js:124-157); that tool isn't in this container, so
+this stub speaks the same JSON message shape over the batch protocol of
+``sanitize.external_lint_scrub`` with a fixed, SQL-replicable rule:
+flag every line whose lowercase form contains ``key=`` or
+``password:``. Being closed-form makes the whole subprocess path
+DuckDB-oracleable; swapping in real secretlint is a command change.
+
+Usage: ``python -m ai_coach_data_source_orchestrator_spark.functions.lint_stub`` — reads a JSON
+array of {"id", "text"} on stdin, writes a JSON array of
+{"id", "messages": [{"loc": {"start": {"line": N}}}]} on stdout
+(1-based line numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def flag_lines(text: str) -> list[int]:
+    return [
+        i + 1
+        for i, line in enumerate(text.split("\n"))
+        if "key=" in line.lower() or "password:" in line.lower()
+    ]
+
+
+def main() -> None:
+    docs = json.load(sys.stdin)
+    out = [
+        {
+            "id": d["id"],
+            "messages": [
+                {"loc": {"start": {"line": n}}} for n in flag_lines(d.get("text") or "")
+            ],
+        }
+        for d in docs
+    ]
+    json.dump(out, sys.stdout)
+
+
+if __name__ == "__main__":
+    main()

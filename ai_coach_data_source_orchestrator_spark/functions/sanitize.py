@@ -197,3 +197,89 @@ def redact_code(texts: pd.Series) -> pd.Series:
 def sanitize_text(col: Column, denylist: Iterable[str] = DEFAULT_PROMPT_DENYLIST) -> Column:
     """Full X17 → X16 → X18 pipeline in reference order."""
     return apply_prompt_denylist(mask_secrets(redact_code(col)), denylist)
+
+
+# ---------------------------------------------------------------------------
+# External-linter subprocess hook (sanitizer.js:124-157
+# maskSecretsWithSecretlint): the reference optionally shells out to
+# secretlint, parses its JSON findings, redacts whole flagged lines, and
+# silently falls back to the unmodified text on any failure.
+#
+# Spark-first shape: ONE subprocess per Arrow batch (not per document —
+# at 100 TB the per-text spawn in the reference is the bottleneck;
+# piping a batch through the linter amortizes process startup exactly
+# like RDD.pipe but keeps the DataFrame/Arrow path). Protocol: stdin is
+# a JSON array of {"id", "text"}; stdout a JSON array of {"id",
+# "messages": [{"loc": {"start": {"line": N}}}]} — secretlint's per-file
+# message shape, one entry per document. 1-based line numbers, flagged
+# lines replaced with '[REDACTED SECRET]' (same as the reference).
+# ---------------------------------------------------------------------------
+LINT_SCHEMA = (
+    "doc_id bigint, cleaned string, n_redacted bigint, linted boolean"
+)
+
+
+def external_lint_scrub(
+    df: "DataFrame",
+    command: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout_s: int = 60,
+) -> "DataFrame":
+    """Pipe each Arrow batch of documents through an external linter
+    subprocess and redact the lines it flags. Any spawn/exit/parse
+    failure degrades to passthrough with ``linted=false`` (the
+    reference falls back silently; the flag makes the fallback
+    observable so a misconfigured linter can't masquerade as a clean
+    corpus).
+    """
+    import json
+    import subprocess
+    from collections.abc import Iterator as _It
+
+    def _scrub(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64").tolist()
+            texts = ["" if t is None else str(t) for t in pdf[text_col]]
+            flagged: dict[int, set[int]] | None = None
+            try:
+                payload = json.dumps(
+                    [{"id": i, "text": t} for i, t in zip(ids, texts)]
+                )
+                res = subprocess.run(
+                    command,
+                    input=payload,
+                    capture_output=True,
+                    text=True,
+                    timeout=timeout_s,
+                )
+                if res.returncode == 0 and res.stdout:
+                    flagged = {}
+                    for entry in json.loads(res.stdout):
+                        lines = {
+                            int(m["loc"]["start"]["line"])
+                            for m in entry.get("messages", [])
+                            if isinstance(m.get("loc", {}).get("start"), dict)
+                        }
+                        flagged[int(entry["id"])] = lines
+            except (OSError, subprocess.SubprocessError, ValueError, KeyError, TypeError):
+                flagged = None
+
+            out = {"doc_id": [], "cleaned": [], "n_redacted": [], "linted": []}
+            for i, t in zip(ids, texts):
+                lines = flagged.get(i, set()) if flagged is not None else set()
+                if lines:
+                    parts = t.split("\n")
+                    cleaned = "\n".join(
+                        "[REDACTED SECRET]" if (k + 1) in lines else ln
+                        for k, ln in enumerate(parts)
+                    )
+                else:
+                    cleaned = t
+                out["doc_id"].append(i)
+                out["cleaned"].append(cleaned)
+                out["n_redacted"].append(len(lines))
+                out["linted"].append(flagged is not None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(_scrub, schema=LINT_SCHEMA)

@@ -27,8 +27,10 @@ _FRONT = [
     # -- round 5 slot 1: the only never-green query; r4 driver err was the
     #    pandas canonicalizer choking on array<int> — now serialized --
     "embedding_quantize_int8",
-    # -- new in round 5: real PPM/WAV decode, never driver-checked --
+    # -- new in round 5: real PPM/WAV decode + external-linter hook,
+    #    never driver-checked --
     "multimodal_decode",
+    "text_external_lint",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --

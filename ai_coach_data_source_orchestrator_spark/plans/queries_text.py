@@ -905,3 +905,69 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("cleaned", F.lit("")).alias("cleaned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# External-linter subprocess hook (the reference's optional secretlint
+# shell-out, sanitizer.js:124-157) — the last uncovered reference
+# surface. The deterministic lint stub (functions/lint_stub.py) speaks
+# secretlint's JSON message shape over the batch protocol, and its rule
+# is closed-form, so the full subprocess round trip hash-matches a SQL
+# oracle. Docs are augmented with two flaggable lines + one safe line so
+# every document exercises redaction.
+# ---------------------------------------------------------------------------
+_LINT_AUG_SQL = (
+    "text || chr(10) || 'api_key=k' || CAST(doc_id AS VARCHAR) || chr(10) || "
+    "'safe line ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+    "'password: hunter' || CAST(doc_id % 7 AS VARCHAR)"
+)
+
+_LINT_RULE_SQL = (
+    "position('key=' IN lower(line)) > 0 OR position('password:' IN lower(line)) > 0"
+)
+
+_LINT_SQL = f"""
+    WITH a AS (SELECT doc_id, {_LINT_AUG_SQL} AS aug FROM documents),
+    l AS (
+      SELECT doc_id, i AS pos, lines[i] AS line
+      FROM (SELECT doc_id, string_split(aug, chr(10)) AS lines FROM a),
+           unnest(range(1, len(lines) + 1)) s(i)
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             CASE WHEN {_LINT_RULE_SQL} THEN '[REDACTED SECRET]' ELSE line END AS out_line,
+             CASE WHEN {_LINT_RULE_SQL} THEN 1 ELSE 0 END AS flagged
+      FROM l
+    )
+    SELECT doc_id, string_agg(out_line, chr(10) ORDER BY pos) AS cleaned,
+           CAST(SUM(flagged) AS BIGINT) AS n_redacted, TRUE AS linted
+    FROM m GROUP BY doc_id
+"""
+
+
+@register(
+    "text_external_lint",
+    oracle=_LINT_SQL,
+    survey_ids=("X16",),
+    description="External secret-linter subprocess hook (batched secretlint protocol)",
+)
+def text_external_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+
+    from ..functions import lint_stub
+    from ..functions.sanitize import external_lint_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\napi_key=k"),
+            F.col("doc_id").cast("string"),
+            F.lit("\nsafe line "),
+            F.col("doc_id").cast("string"),
+            F.lit("\npassword: hunter"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return external_lint_scrub(aug, [sys.executable, lint_stub.__file__])

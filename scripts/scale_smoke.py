@@ -46,9 +46,17 @@ from ai_coach_data_source_orchestrator_spark.sources.tables import (  # noqa: E4
     load_table,
 )
 
-SCALE = 10
+# Env-parameterized (VERDICT r4 stretch): SMOKE_SCALE=30 SMOKE_QUERIES=
+# dedup_minhash_lsh,contamination_ngram_overlap SMOKE_OUT=SCALE_SMOKE_SF3.json
+# runs an sf3 smoke of just the highest-ratio operators; defaults
+# reproduce the standard sf1 smoke.
+SCALE = int(os.environ.get("SMOKE_SCALE", "10"))
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale",
+    f"sf{SCALE / 10:g}",
+)
 
 # (query, table whose row count normalizes the timing)
 QUERIES = [
@@ -67,6 +75,15 @@ QUERIES = [
     ("text_token_entropy", "documents"),
     ("cc_large_star", "documents"),
 ]
+
+if os.environ.get("SMOKE_QUERIES"):
+    _wanted = set(os.environ["SMOKE_QUERIES"].split(","))
+    QUERIES = [q for q in QUERIES if q[0] in _wanted]
+    # Synthesize only the tables the selected queries read (plus the
+    # dims every load path touches) — an sf3 lineitem would dominate
+    # synthesis time for a documents-only smoke.
+    _needed = {t for _, t in QUERIES} | {"region", "nation"}
+    TABLES = [t for t in TABLES if t in _needed]
 
 KEY_COLS = {
     "region": ["r_regionkey"],
@@ -211,7 +228,7 @@ def main() -> None:
         "queries": results,
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALE_SMOKE.json"), "w") as f:
+    with open(os.path.join(repo, os.environ.get("SMOKE_OUT", "SCALE_SMOKE.json")), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({"max_per_row_ratio": max(r["per_row_cost_ratio"] for r in results.values())}))
 

@@ -1,0 +1,81 @@
+"""External-linter subprocess hook: redaction correctness, the
+secretlint JSON protocol, and the observable silent-fallback contract
+(reference sanitizer.js:124-157 falls back to unmodified text on any
+linter failure)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from ai_coach_data_source_orchestrator_spark.functions import lint_stub
+from ai_coach_data_source_orchestrator_spark.functions.sanitize import external_lint_scrub
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "clean line\napi_key=abc123\nlast"),
+            (2, "PASSWORD: hunter2\nok"),
+            (3, "nothing to flag"),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_lint_stub_protocol_round_trip():
+    payload = json.dumps([{"id": 7, "text": "a\nkey=x\nb"}])
+    res = subprocess.run(
+        [sys.executable, lint_stub.__file__],
+        input=payload,
+        capture_output=True,
+        text=True,
+        timeout=30,
+    )
+    assert res.returncode == 0
+    out = json.loads(res.stdout)
+    assert out == [{"id": 7, "messages": [{"loc": {"start": {"line": 2}}}]}]
+
+
+def test_redacts_flagged_lines(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in external_lint_scrub(
+            _df(spark), [sys.executable, lint_stub.__file__]
+        ).collect()
+    }
+    assert rows[1]["cleaned"] == "clean line\n[REDACTED SECRET]\nlast"
+    assert rows[1]["n_redacted"] == 1
+    assert rows[2]["cleaned"] == "[REDACTED SECRET]\nok"  # case-insensitive
+    assert rows[3]["cleaned"] == "nothing to flag" and rows[3]["n_redacted"] == 0
+    assert rows[4]["cleaned"] == ""  # null text → empty, not a crash
+    assert all(r["linted"] for r in rows.values())
+
+
+def test_missing_linter_falls_back_observably(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in external_lint_scrub(
+            _df(spark), ["/nonexistent/linter-binary"]
+        ).collect()
+    }
+    # Passthrough (reference behavior) but flagged as un-linted.
+    assert rows[1]["cleaned"].startswith("clean line\napi_key=")
+    assert all(not r["linted"] for r in rows.values())
+    assert all(r["n_redacted"] == 0 for r in rows.values())
+
+
+def test_crashing_linter_falls_back(spark):
+    rows = external_lint_scrub(
+        _df(spark), [sys.executable, "-c", "import sys; sys.exit(3)"]
+    ).collect()
+    assert all(not r["linted"] for r in rows)
+
+
+def test_garbage_output_falls_back(spark):
+    rows = external_lint_scrub(
+        _df(spark), [sys.executable, "-c", "print('not json')"]
+    ).collect()
+    assert all(not r["linted"] for r in rows)
