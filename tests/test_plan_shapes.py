@@ -139,3 +139,24 @@ def test_line_dedup_anti_join_unhinted_hash_key(spark, sf_dir):
     # anti-join executes as SOME join strategy (AQE may choose either)
     assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
     assert "xxhash64" in plan
+
+
+def test_multimodal_decode_shuffles_ids_not_payloads(spark, sf_dir):
+    # synthesize → decode → project is per-partition end-to-end; the only
+    # permissible Exchange is ensure_parallelism's explicit round-robin
+    # of BARE doc_ids below the synthesizer (payload bytes must never
+    # cross the network — the whole point of synthesizing on executors).
+    df = REGISTRY["multimodal_decode"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "ENSURE_REQUIREMENTS" not in plan  # no semantic shuffle
+    # ...and any repartition sits below both MapInPandas stages, so it
+    # carries only the scanned doc_id column.
+    if "Exchange" in plan:
+        assert plan.index("Exchange") > plan.rindex("MapInPandas")
+    assert "ArrowEvalPython" not in plan  # mapInPandas, not per-row UDF
+
+
+def test_external_lint_is_narrow(spark, sf_dir):
+    df = REGISTRY["text_external_lint"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "Exchange" not in plan
