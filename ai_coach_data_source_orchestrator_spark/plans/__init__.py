@@ -80,6 +80,13 @@ _FRONT = [
     # -- candidate-pair feed risk flagged in ADVICE: keep in-window so an
     #    LSH false negative on regenerated data surfaces immediately --
     "cc_large_star",
+    # -- spare slots: oldest of the r3-green set, so freshness keeps
+    #    rolling (window is 50; keep len(_FRONT) <= 50) --
+    "f1_date_range_filter",
+    "f3_semi_join_children_in_range",
+    "a1_status_groups_canonical_order",
+    "a3_group_stats_pct",
+    "a45_status_priority_cube",
 ]
 
 
