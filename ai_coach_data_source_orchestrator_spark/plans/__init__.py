@@ -27,10 +27,11 @@ _FRONT = [
     # -- round 5 slot 1: the only never-green query; r4 driver err was the
     #    pandas canonicalizer choking on array<int> — now serialized --
     "embedding_quantize_int8",
-    # -- new in round 5: real PPM/WAV decode + external-linter hook,
-    #    never driver-checked --
+    # -- new in round 5: real PPM/WAV decode, external-linter hook,
+    #    bigram-LM scoring — never driver-checked --
     "multimodal_decode",
     "text_external_lint",
+    "text_lm_perplexity",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -86,7 +87,6 @@ _FRONT = [
     "f3_semi_join_children_in_range",
     "a1_status_groups_canonical_order",
     "a3_group_stats_pct",
-    "a45_status_priority_cube",
 ]
 
 

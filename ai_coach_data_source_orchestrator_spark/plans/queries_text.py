@@ -971,3 +971,75 @@ def text_external_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return external_lint_scrub(aug, [sys.executable, lint_stub.__file__])
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality scoring (Wenzek et al. 2020 §4.3): train a
+# bigram LM on the corpus itself, score each document by average
+# negative log2 probability of its bigrams (bits/bigram = log2 of the
+# per-bigram perplexity). Low bits ⇒ fluent/common text, high bits ⇒
+# rare constructions or noise — the standard perplexity-bucket filter,
+# with the count tables standing in for KenLM.
+#
+# Scale shape: bigram stream → two corpus-level count tables (groupBy
+# w1,w2 and w1) → two equi-joins back onto the stream → per-doc agg.
+# Count tables are vocab-bounded; the joins shuffle on token keys where
+# stop-words are hot — exactly the skew AQE's skew-join split handles
+# (no hints given). Scoring on the training corpus itself means every
+# bigram has count ≥ 1: no zero probabilities, no smoothing term, fully
+# deterministic. Per-bigram log2 terms go through the same
+# decimal(28,12)-sum trick as text_token_entropy so the Spark and
+# DuckDB float folds are bit-identical.
+# ---------------------------------------------------------------------------
+_LM_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) s(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(log2(CAST(c12.c12 AS DOUBLE) / c1.c1) AS DECIMAL(28,12)) AS term
+      FROM b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+             JOIN c1 ON b.w1 = c1.w1
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, -SUM(term) AS s FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           ROUND(CAST(a.s AS DOUBLE) / a.n_bigrams, 6) AS bits_per_bigram
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register(
+    "text_lm_perplexity",
+    oracle=_LM_SQL,
+    survey_ids=("F12",),
+    description="CCNet-style corpus bigram-LM scoring (bits/bigram = log2 perplexity)",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    pairs = t.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.slice("toks", F.lit(1), F.size("toks") - 1).alias("a"),
+        F.slice("toks", F.lit(2), F.size("toks") - 1).alias("b"),
+    )
+    big = pairs.select("doc_id", F.explode(F.arrays_zip("a", "b")).alias("p")).select(
+        "doc_id", F.col("p.a").alias("w1"), F.col("p.b").alias("w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    term = F.log2(F.col("c12").cast("double") / F.col("c1")).cast("decimal(28,12)")
+    agg = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), (-F.sum(term)).alias("s"))
+    )
+    return docs.select("doc_id").join(agg, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6).alias("bits_per_bigram"),
+    )
