@@ -74,6 +74,10 @@ QUERIES = [
     ("embedding_quantize_int8", "embeddings"),
     ("text_token_entropy", "documents"),
     ("cc_large_star", "documents"),
+    # round 5 additions
+    ("multimodal_decode", "documents"),
+    ("text_external_lint", "documents"),
+    ("text_lm_perplexity", "documents"),
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
