@@ -32,6 +32,7 @@ _FRONT = [
     "multimodal_decode",
     "text_external_lint",
     "text_lm_perplexity",
+    "text_chunk_windows",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -86,7 +87,6 @@ _FRONT = [
     "f1_date_range_filter",
     "f3_semi_join_children_in_range",
     "a1_status_groups_canonical_order",
-    "a3_group_stats_pct",
 ]
 
 

@@ -1043,3 +1043,58 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6).alias("bits_per_bigram"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window token chunking: split each document into overlapping
+# W-token windows on an S-token stride — the standard context-window
+# prep for pretraining/RAG (last window may be short; stride < window
+# gives the overlap that preserves cross-boundary context). Pure
+# builtin columnar explode: sequence → slice → array_join, no Python,
+# narrow except the explode (1→N rows inside a partition).
+# ---------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 32, 24
+
+_CHUNK_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    k AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= {_CHUNK_W} THEN 0
+                  ELSE (len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} END AS kmax
+      FROM t
+    ),
+    c AS (SELECT doc_id, toks, n, i AS ci FROM k, unnest(range(0, kmax + 1)) s(i))
+    SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+           CAST(len(toks[ci * {_CHUNK_S} + 1 : least(ci * {_CHUNK_S} + {_CHUNK_W}, n)]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(toks[ci * {_CHUNK_S} + 1 : least(ci * {_CHUNK_S} + {_CHUNK_W}, n)], ' ')
+             AS chunk_text
+    FROM c
+"""
+
+
+@register(
+    "text_chunk_windows",
+    oracle=_CHUNK_SQL,
+    survey_ids=("A17",),
+    description="Overlapping sliding-window token chunking (context-window prep)",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, S = _CHUNK_W, _CHUNK_S
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    kmax = (
+        F.when(F.size("toks") <= W, F.lit(0))
+        .otherwise(F.expr(f"(size(toks) - {W} + {S} - 1) div {S}"))
+        .cast("int")
+    )
+    c = t.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), kmax)).alias("ci")
+    )
+    chunk = F.slice("toks", F.col("ci") * S + 1, W)
+    return c.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -83,3 +83,42 @@ def test_compressed_formats_still_stubbed():
         decode_media(b"\x89PNG\r\n\x1a\n", "image/png")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+# ---------------------------------------------------------------------------
+# Property-based round-trips: any dims/pixels and any PCM samples must
+# survive encode→decode exactly (hypothesis finds header-boundary and
+# extreme-value cases a fixed fixture misses).
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_ppm_round_trip_property(w, h, seed):
+        rng = np.random.default_rng(seed)
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+        d = decode_media(encode_ppm(w, h, rgb.tobytes()), "image/x-portable-pixmap")
+        assert (d["width"], d["height"]) == (w, h)
+        assert np.array_equal(d["values"], rgb)
+
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+        ),
+        rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_wav_round_trip_property(samples, rate):
+        arr = np.array(samples, dtype=np.int16)
+        d = decode_media(encode_wav_pcm16(arr, rate), "audio/wav")
+        assert d["sample_rate"] == rate
+        assert np.array_equal(d["values"], arr)
+
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass
