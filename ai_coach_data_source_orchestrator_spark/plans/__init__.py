@@ -33,6 +33,8 @@ _FRONT = [
     "text_external_lint",
     "text_lm_perplexity",
     "text_chunk_windows",
+    "corpus_zipf_topk",
+    "dedup_family_histogram",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -82,11 +84,9 @@ _FRONT = [
     # -- candidate-pair feed risk flagged in ADVICE: keep in-window so an
     #    LSH false negative on regenerated data surfaces immediately --
     "cc_large_star",
-    # -- spare slots: oldest of the r3-green set, so freshness keeps
+    # -- spare slot: oldest of the r3-green set, so freshness keeps
     #    rolling (window is 50; keep len(_FRONT) <= 50) --
     "f1_date_range_filter",
-    "f3_semi_join_children_in_range",
-    "a1_status_groups_canonical_order",
 ]
 
 

@@ -1098,3 +1098,86 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus Zipf profile: global top-K token frequencies with deterministic
+# rank (freq DESC, token ASC tiebreak) — the standard corpus-audit view
+# (vocabulary head inspection, stop-word discovery, Zipf-fit sanity).
+# Scale: explode → partial-agg groupBy(token), then TakeOrderedAndProject
+# (distributed top-K merge) — NO global single-partition window; the
+# rank is assigned on the 50 surviving rows only.
+# ---------------------------------------------------------------------------
+_ZIPF_K = 50
+
+_ZIPF_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tf AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank FROM tf
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, tok, CAST(freq AS BIGINT) AS freq
+    FROM ranked WHERE rank <= {_ZIPF_K}
+"""
+
+
+@register(
+    "corpus_zipf_topk",
+    oracle=_ZIPF_SQL,
+    survey_ids=("A17",),
+    description="Corpus-level top-K token frequencies (Zipf head profile)",
+)
+def corpus_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), F.asc("tok")).limit(_ZIPF_K)
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))  # 50 rows only
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "tok",
+        F.col("freq").cast("bigint").alias("freq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-family size histogram: connected components (same LSH pair
+# feed + exact recursive-CTE oracle as cc_large_star) rolled up to
+# family_size → (n_families, n_docs) — the corpus-dedup audit report
+# ("how much of the corpus is in duplicate clusters of what size").
+# ---------------------------------------------------------------------------
+_FAMILY_HIST_SQL = f"""
+    SELECT CAST(n_members AS BIGINT) AS family_size,
+           CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(n_members * COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT component, COUNT(*) AS n_members
+      FROM ({_CC_SQL}) GROUP BY component
+    ) GROUP BY n_members
+"""
+
+
+@register(
+    "dedup_family_histogram",
+    oracle=_FAMILY_HIST_SQL,
+    survey_ids=("U7", "U3"),
+    description="Duplicate-family size histogram from connected components",
+)
+def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prs = D.minhash_lsh_pairs(docs, k=3, threshold=0.6)
+    comp = D.connected_components_star(docs, prs.select("doc_a", "doc_b"))
+    fam = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    return fam.groupBy("n_members").agg(
+        F.col("n_members").cast("bigint").alias("family_size"),
+        F.count("*").cast("bigint").alias("n_families"),
+        (F.col("n_members") * F.count("*")).cast("bigint").alias("n_docs"),
+    ).select("family_size", "n_families", "n_docs")

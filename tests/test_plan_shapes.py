@@ -160,3 +160,13 @@ def test_external_lint_is_narrow(spark, sf_dir):
     df = REGISTRY["text_external_lint"].fn(spark, sf_dir)
     plan = _executed(df)
     assert "Exchange" not in plan
+
+
+def test_zipf_topk_is_distributed_take_ordered(spark, sf_dir):
+    # The global top-K must be TakeOrderedAndProject (per-partition heaps
+    # + driver merge of K rows), NOT a single-partition global sort or a
+    # corpus-wide Window — the rank Window may only see the K survivors.
+    df = REGISTRY["corpus_zipf_topk"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")  # window above top-K
