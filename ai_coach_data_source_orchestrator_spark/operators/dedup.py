@@ -122,6 +122,7 @@ def minhash_lsh_pairs(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     max_bucket_size: int | None = None,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH candidates, exact-Jaccard verified.
 
@@ -196,6 +197,10 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if return_candidates:
+        # Pre-verification candidate set — the streaming near-dup gate's
+        # equivalence target (streaming/neardup.py).
+        return candidates
 
     sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

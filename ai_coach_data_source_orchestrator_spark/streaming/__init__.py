@@ -3,10 +3,12 @@ from .sessionize import session_windows_stream, running_user_totals_stream
 from .sinks import upsert_stream
 from .asof import asof_join_stream
 from .dedup import dedup_stream
+from .neardup import near_dup_gate_stream
 
 __all__ = [
     "asof_join_stream",
     "dedup_stream",
+    "near_dup_gate_stream",
     "daily_counts_stream",
     "weekly_frame_stream",
     "dead_letter_split",

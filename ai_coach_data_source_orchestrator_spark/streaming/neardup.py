@@ -1,0 +1,145 @@
+"""Streaming near-duplicate gate: incremental MinHash-LSH bucket state.
+
+Batch near-dup (operators/dedup.minhash_lsh_pairs) self-joins the banded
+signatures; a stream can't self-join its whole history, so the streaming
+restatement keeps per-(band, band_hash) bucket membership in keyed state
+and emits a candidate pair the moment a document lands in a bucket that
+already has members — the incremental form of the same banding. Exactly
+one stateful operator (``applyInPandasWithState`` keyed by bucket), so
+the plan is legal Structured Streaming.
+
+Signature parity: the narrow column chain here reproduces the batch
+operator's hash chain term-for-term (``xxhash64(shingle)`` →
+``min(xxhash64(h, p))`` per permutation → ``xxhash64(ms…)`` per band),
+so streaming buckets equal batch buckets and the emitted candidate set
+is provably the batch candidate set (tests/test_streaming_neardup.py).
+The higher-order-function mins run interpreted per element — fine at
+stream rates; a firehose deployment would precompute signatures with a
+numpy pandas_udf upstream of the gate.
+
+State sizing: a bucket only grows past a handful of members when its
+documents are overwhelmingly mutual duplicates (same argument as the
+batch ``max_bucket_size`` cap); ``max_bucket`` stops PAIR EMISSION for
+pathological buckets (emission is quadratic in bucket size) while still
+recording membership, and the processing-time TTL reaps idle buckets.
+
+Emitted candidates are UNVERIFIED (like the batch candidate stage);
+exact-Jaccard confirmation belongs in a downstream foreachBatch join
+against the landed corpus, matching the batch operator's verify step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.text import shingles_of_tokens, tokens
+
+NEAR_DUP_SCHEMA = "band int, band_hash bigint, doc_a bigint, doc_b bigint"
+_STATE_SCHEMA = "seen array<bigint>"
+
+
+def streaming_band_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Narrow (no-shuffle, no-persist — both illegal pre-state in a
+    stream) restatement of the batch signature pipeline. Values are
+    bit-identical to operators/dedup.minhash_lsh_pairs' banded frame.
+    """
+    rows_per_band = num_perm // bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_of_tokens(tokens(F.col(text_col)), k).alias("sh"),
+    ).where(F.size("sh") > 0)
+    mins = ", ".join(
+        f"array_min(transform(hg, h -> xxhash64(h, {p})))" for p in range(num_perm)
+    )
+    withms = base.select(
+        "doc_id", F.expr("transform(sh, g -> xxhash64(g))").alias("hg")
+    ).select("doc_id", F.expr(f"array({mins})").alias("ms"))
+    band_hashes = F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64("
+            + ", ".join(f"ms[{b * rows_per_band + r}]" for r in range(rows_per_band))
+            + ")"
+            for b in range(bands)
+        )
+        + ")"
+    )
+    return withms.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
+
+
+def near_dup_gate_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    max_bucket: int = 256,
+    state_ttl_ms: int = 0,
+) -> DataFrame:
+    """Emit (band, band_hash, doc_a, doc_b) candidate pairs as documents
+    arrive; ``doc_a < doc_b`` normalized. Pairs may repeat across bands
+    (same as the batch candidate stage pre-distinct).
+
+    ``state_ttl_ms`` > 0 enables a processing-time TTL that reaps idle
+    buckets — the right setting for a long-lived production stream.
+    Note the trade-off it brings: a query with ProcessingTimeTimeout
+    never self-terminates under ``Trigger.AvailableNow`` (the engine
+    stays alive to fire future timeouts), so bounded replays/backfills
+    should leave it 0 and rely on the downstream batch dedup pass
+    instead.
+    """
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        band, band_hash = int(key[0]), int(key[1])
+        seen = list(state.get[0]) if state.exists else []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for doc in pdf["doc_id"].astype("int64"):
+                d = int(doc)
+                if len(seen) <= max_bucket:
+                    for prev in seen:
+                        out_a.append(min(prev, d))
+                        out_b.append(max(prev, d))
+                seen.append(d)
+        state.update((seen,))
+        if state_ttl_ms > 0:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "band": pd.Series([band] * len(out_a), dtype="int32"),
+                "band_hash": pd.Series([band_hash] * len(out_a), dtype="int64"),
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
+
+    banded = streaming_band_hashes(
+        docs, text_col=text_col, id_col=id_col, k=k, num_perm=num_perm, bands=bands
+    )
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        _update,
+        outputStructType=NEAR_DUP_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -54,26 +54,34 @@ RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _STATE_SCHEMA = "n bigint, total double"
 
 
-def _update_user_totals(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    # Idle keys expire after an hour of processing time — the 24 h-TTL
-    # cache analogue; expired state simply rebuilds on next sight.
-    state.setTimeoutDuration(3_600_000)
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
-    )
-
-
-def running_user_totals_stream(events: DataFrame) -> DataFrame:
+def running_user_totals_stream(events: DataFrame, state_ttl_ms: int = 0) -> DataFrame:
     """Custom keyed state: cumulative per-user event count + value sum,
-    emitted every micro-batch (update mode)."""
+    emitted every micro-batch (update mode).
+
+    ``state_ttl_ms`` > 0 expires idle keys after that much processing
+    time — the 24 h-TTL cache analogue (expired state rebuilds on next
+    sight); right for long-lived production streams. Default 0 = no
+    timeout, because a ProcessingTimeTimeout query never self-terminates
+    under ``Trigger.AvailableNow`` (the engine stays alive to fire
+    future timeouts) — bounded replays would hang until their await
+    deadline.
+    """
+
+    def _update_user_totals(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if state_ttl_ms > 0:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
@@ -82,7 +90,11 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
             outputStructType=RUNNING_TOTALS_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_ttl_ms > 0
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
