@@ -78,6 +78,9 @@ QUERIES = [
     ("multimodal_decode", "documents"),
     ("text_external_lint", "documents"),
     ("text_lm_perplexity", "documents"),
+    ("text_chunk_windows", "documents"),
+    ("corpus_zipf_topk", "documents"),
+    ("dedup_family_histogram", "documents"),
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
