@@ -1,0 +1,67 @@
+"""Streaming train/eval contamination gate: stream-static broadcast join.
+
+The batch operator (plans/queries_text.contamination_ngram_overlap)
+joins exploded training n-grams against the benchmark-sized eval-gram
+set via broadcast. The streaming restatement is the same plan with the
+train side arriving as a stream: a STREAM-STATIC join is stateless in
+Structured Streaming (the static side is just re-broadcast per
+micro-batch), so the only stateful operator is the per-document
+aggregation — and each document's grams arrive inside its own row, so
+every doc's aggregate completes within the micro-batch that carries it.
+
+State note: without a watermark the per-doc aggregation keys accrete
+(update mode re-emits a doc only if its grams somehow arrive twice).
+A production deployment adds ``withWatermark`` on the ingest timestamp
+and groups by (window, doc_id) to bound state; bounded replays and
+backfills can run as-is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_of_tokens, tokens
+
+
+def eval_gram_set(static_docs: DataFrame, k: int = 3, eval_mod: int = 50) -> DataFrame:
+    """Distinct k-gram set of the eval split (doc_id % eval_mod == 0) —
+    bounded-small by definition (eval suites are curated benchmarks),
+    which is what makes the broadcast correct at any corpus scale."""
+    sh = static_docs.select(
+        "doc_id", shingles_of_tokens(tokens(F.col("text")), k).alias("sh")
+    )
+    return (
+        sh.where(F.col("doc_id") % eval_mod == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+
+
+def contamination_gate_stream(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    k: int = 3,
+    eval_mod: int = 50,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Per-arriving-document eval-overlap stats, batch-identical columns:
+    (doc_id, n_grams, n_hits, overlap_frac, contaminated)."""
+    sh = docs.where(F.col("doc_id") % eval_mod != 0).select(
+        "doc_id", shingles_of_tokens(tokens(F.col("text")), k).alias("sh")
+    )
+    train = sh.select("doc_id", F.explode("sh").alias("g"))
+    joined = train.join(F.broadcast(eval_grams), "g", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+    )
+    ratio = F.col("n_hits") / F.col("n_grams")
+    return agg.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(ratio, 6).alias("overlap_frac"),
+        (ratio >= threshold).alias("contaminated"),
+    )

@@ -139,3 +139,40 @@ def test_weekly_frame_stream_matches_batch_nonempty_weeks(spark, sf_dir, tmp_pat
     }
     assert batch, "vacuous: no frame week has events"
     assert stream == batch
+
+
+def test_contamination_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    # Stream-static broadcast join surface: replay documents through a
+    # two-micro-batch file stream against the static eval-gram set and
+    # compare full rows with the batch contamination query.
+    from ai_coach_data_source_orchestrator_spark.streaming.contamination import (
+        contamination_gate_stream,
+        eval_gram_set,
+    )
+
+    static_docs = load_table(spark, sf_dir, "documents")
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["overlap_frac"], r["contaminated"])
+        for r in REGISTRY["contamination_ngram_overlap"].fn(spark, sf_dir).collect()
+    }
+
+    d = tmp_path / f"cg_{uuid.uuid4().hex[:8]}"
+    docs = static_docs.select("doc_id", "text")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(d))
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(str(d))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = _run_to_memory(
+        spark,
+        contamination_gate_stream(stream, eval_gram_set(static_docs)),
+        "update",
+    )
+    streamed = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["overlap_frac"], r["contaminated"])
+        for r in out.collect()
+    }
+    assert batch, "vacuous: batch contamination produced no rows"
+    assert streamed == batch
