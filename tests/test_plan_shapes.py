@@ -170,3 +170,13 @@ def test_zipf_topk_is_distributed_take_ordered(spark, sf_dir):
     plan = _executed(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")  # window above top-K
+
+
+def test_lm_perplexity_joins_unhinted(spark, sf_dir):
+    # The bigram count tables are vocab-sized (can exceed broadcast
+    # limits on real corpora) — no forced broadcast hints; AQE picks the
+    # strategy and handles stop-word key skew.
+    df = REGISTRY["text_lm_perplexity"].fn(spark, sf_dir)
+    assert "ResolvedHint" not in _optimized(df)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
