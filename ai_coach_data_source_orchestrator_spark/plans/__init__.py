@@ -84,9 +84,8 @@ _FRONT = [
     # -- candidate-pair feed risk flagged in ADVICE: keep in-window so an
     #    LSH false negative on regenerated data surfaces immediately --
     "cc_large_star",
-    # -- spare slot: oldest of the r3-green set, so freshness keeps
-    #    rolling (window is 50; keep len(_FRONT) <= 50) --
-    "f1_date_range_filter",
+    # -- new in round 5 (late): matryoshka truncation audit --
+    "embedding_normalize_truncate",
 ]
 
 

@@ -429,3 +429,56 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which cannot hash/sort Python lists (r4 driver err: "unhashable type").
     out = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
     return out.withColumn("q", F.array_join(F.col("q").cast("array<string>"), ","))
+
+
+# ---------------------------------------------------------------------------
+# MRL-style truncation audit (Kusupati et al. 2022): how much cosine
+# quality survives keeping only the first 16 of 64 dims? retention =
+# cos(full, zero-padded truncation) = s16 / (||v64|| * ||v16||), all
+# from the same left-associative product chains as the kNN oracles, so
+# the floats are bit-identical across engines. Pure narrow projection —
+# the audit you run before shipping truncated embeddings to the ANN
+# index (4x memory cut, like quantize_int8's byte cut).
+# ---------------------------------------------------------------------------
+_TRUNC_DIM = 16
+
+
+def _sq_sum_sql(a: str, dims: int) -> str:
+    return " + ".join(f"{a}[{i + 1}] * {a}[{i + 1}]" for i in range(dims))
+
+
+@register(
+    "embedding_normalize_truncate",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, ({_sq_sum_sql('e', 64)}) AS s64, ({_sq_sum_sql('e', _TRUNC_DIM)}) AS s16
+      FROM v
+    )
+    SELECT vec_id, ROUND(sqrt(s64), 6) AS norm, ROUND(sqrt(s16), 6) AS trunc_norm,
+           ROUND(CASE WHEN s16 = 0 THEN 0.0 ELSE s16 / (sqrt(s64) * sqrt(s16)) END, 6)
+             AS retention
+    FROM s
+    """,
+    survey_ids=("X15",),
+    description="Matryoshka truncation audit: norm + cosine retention of first-16-dim cut",
+)
+def embedding_normalize_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    s64 = F.expr(" + ".join(f"e[{i}] * e[{i}]" for i in range(64)))
+    s16 = F.expr(" + ".join(f"e[{i}] * e[{i}]" for i in range(_TRUNC_DIM)))
+    s = v.select("vec_id", s64.alias("s64"), s16.alias("s16"))
+    return s.select(
+        "vec_id",
+        F.round(F.sqrt("s64"), 6).alias("norm"),
+        F.round(F.sqrt("s16"), 6).alias("trunc_norm"),
+        F.round(
+            F.when(F.col("s16") == 0, F.lit(0.0)).otherwise(
+                F.col("s16") / (F.sqrt("s64") * F.sqrt("s16"))
+            ),
+            6,
+        ).alias("retention"),
+    )
