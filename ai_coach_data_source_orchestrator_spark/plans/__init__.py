@@ -78,14 +78,13 @@ _FRONT = [
     "x17_redact_code",
     "x18_prompt_denylist",
     "x20_section_split",
-    # -- plan changed this round (broadcast hint dropped for scale);
-    #    oracle unchanged but re-verify through the driver --
-    "text_line_dedup",
-    # -- candidate-pair feed risk flagged in ADVICE: keep in-window so an
-    #    LSH false negative on regenerated data surfaces immediately --
-    "cc_large_star",
-    # -- new in round 5 (late): matryoshka truncation audit --
+    # -- new in round 5 (late): matryoshka truncation audit, cohort
+    #    retention, ordered funnel. (text_line_dedup / cc_large_star
+    #    yielded their slots: both r4-green, locally oracle-green, and
+    #    the LSH-feed risk now has its own pair-set equality test.) --
     "embedding_normalize_truncate",
+    "cohort_retention",
+    "funnel_view_click_purchase",
 ]
 
 

@@ -465,3 +465,113 @@ def a_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p")[2], 6).alias("p99"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-active day, with day-1 and
+# day-7 return counts — the standard product-analytics cohort table.
+# Scale shape: one groupBy(user) for cohort assignment, one distinct on
+# (user, day), two 1:≤1 equi-joins keyed by user, final groupBy(cohort).
+# Everything integer/date-exact — no float determinism concerns.
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS cohort_size,
+           CAST(SUM(CASE WHEN a1.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_d1,
+           CAST(SUM(CASE WHEN a7.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained_d7
+    FROM f
+    LEFT JOIN act a1 ON a1.user_id = f.user_id AND a1.day = f.cohort_day + 1
+    LEFT JOIN act a7 ON a7.user_id = f.user_id AND a7.day = f.cohort_day + 7
+    GROUP BY f.cohort_day
+    """,
+    survey_ids=("A10", "A16"),
+    description="Cohort retention table: first-active day, day-1/day-7 return counts",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    a1 = act.select(F.col("user_id").alias("u1"), F.col("day").alias("d1"))
+    a7 = act.select(F.col("user_id").alias("u7"), F.col("day").alias("d7"))
+    joined = (
+        f.join(
+            a1,
+            (F.col("user_id") == F.col("u1"))
+            & (F.col("d1") == F.date_add("cohort_day", 1)),
+            "left",
+        )
+        .join(
+            a7,
+            (F.col("user_id") == F.col("u7"))
+            & (F.col("d7") == F.date_add("cohort_day", 7)),
+            "left",
+        )
+    )
+    return joined.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("cohort_size"),
+        F.sum(F.when(F.col("u1").isNotNull(), 1).otherwise(0)).cast("bigint").alias("retained_d1"),
+        F.sum(F.when(F.col("u7").isNotNull(), 1).otherwise(0)).cast("bigint").alias("retained_d7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view → click → purchase, each step's earliest event
+# strictly after the previous step's. Min-timestamp chaining (three
+# filtered groupBys + user-keyed joins) — the set-based restatement of
+# the sequential scan a row-engine would do; no window over the full
+# event stream needed. Timestamps are exact — no float concerns.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    survey_ids=("A10", "O3"),
+    description="Ordered view→click→purchase funnel via min-timestamp chaining",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return out.select(
+        "user_id", "t_view", "t_click", "t_purchase", stage.cast("int").alias("stage")
+    )
