@@ -56,3 +56,37 @@ def test_pack_sequences_budget_and_offsets(spark):
         df.repartition(5), "n_tokens", target=512, order_col="doc_id", shard_col="shard"
     )
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_chunk_windows_invariants(spark, sf_dir):
+    # Structural invariants of the sliding-window chunker on the real
+    # corpus: full coverage (every token position lands in >= 1 chunk),
+    # correct stride (chunk i starts at i*S), and exact window length
+    # for every chunk except possibly the last.
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+    from ai_coach_data_source_orchestrator_spark.plans.queries_text import (
+        _CHUNK_S,
+        _CHUNK_W,
+    )
+
+    rows = REGISTRY["text_chunk_windows"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc, "vacuous: no chunks"
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # contiguous indices from 0
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        n = (len(chunks) - 1) * _CHUNK_S + chunks[-1]["n_tokens"]
+        for i, c in enumerate(chunks):
+            start = i * _CHUNK_S
+            want = min(_CHUNK_W, n - start)
+            assert c["n_tokens"] == want, (doc_id, i, c["n_tokens"], want)
+        # coverage: last chunk must reach the final token
+        assert (len(chunks) - 1) * _CHUNK_S + chunks[-1]["n_tokens"] == n
+        # overlap: consecutive full chunks share W - S tokens
+        if len(chunks) >= 2 and chunks[1]["n_tokens"] == _CHUNK_W:
+            head = chunks[0]["chunk_text"].split(" ")
+            nxt = chunks[1]["chunk_text"].split(" ")
+            assert head[_CHUNK_S:] == nxt[: _CHUNK_W - _CHUNK_S]
