@@ -1181,3 +1181,69 @@ def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_families"),
         (F.col("n_members") * F.count("*")).cast("bigint").alias("n_docs"),
     ).select("family_size", "n_families", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus health report: the daily curation dashboard — doc
+# and char counts, exact-dup counts, and the pass rates of the quality
+# and C4 gates, grouped by source. Composes the registry's own gate
+# queries Spark-side (1:1 doc_id joins, then one groupBy(source)); all
+# aggregates are integer-exact, so the pass-rate division is the only
+# float and both engines compute it identically from the same ints.
+# ---------------------------------------------------------------------------
+_HEALTH_SQL = f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+    per AS (
+      SELECT source, text,
+        (length(text) BETWEEN 50 AND 5000
+         AND len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x)))
+             >= CAST(floor(0.01 * len(toks)) AS BIGINT)) AS pq,
+        (regexp_matches(trim(text), '[.!?]$')
+         AND len(toks) >= 5
+         AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+             BETWEEN 2.0 AND 12.0
+         AND NOT (lower(text) LIKE '%lorem ipsum%' OR text LIKE '%{{%'
+                  OR lower(text) LIKE '%javascript%')) AS pc
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_exact_dups,
+           ROUND(CAST(SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS quality_pass_rate,
+           ROUND(CAST(SUM(CASE WHEN pc THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS c4_pass_rate
+    FROM per GROUP BY source
+"""
+
+
+@register(
+    "corpus_health_report",
+    oracle=_HEALTH_SQL,
+    survey_ids=("A3", "F12"),
+    description="Per-source curation dashboard: counts, exact dups, quality/C4 pass rates",
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("nc"),
+        F.sha2("text", 256).alias("h"),
+    )
+    qq = text_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
+    c4 = text_c4_filters(spark, sf_dir).select("doc_id", "passes_c4")
+    j = base.join(qq, "doc_id").join(c4, "doc_id")
+    n = F.count("*")
+    return j.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        (n - F.countDistinct("h")).cast("bigint").alias("n_exact_dups"),
+        F.round(
+            F.sum(F.when(F.col("passes_quality"), 1).otherwise(0)).cast("double") / n, 6
+        ).alias("quality_pass_rate"),
+        F.round(
+            F.sum(F.when(F.col("passes_c4"), 1).otherwise(0)).cast("double") / n, 6
+        ).alias("c4_pass_rate"),
+    )
