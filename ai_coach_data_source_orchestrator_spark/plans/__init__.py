@@ -35,6 +35,7 @@ _FRONT = [
     "text_chunk_windows",
     "corpus_zipf_topk",
     "dedup_family_histogram",
+    "corpus_health_report",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -70,7 +71,10 @@ _FRONT = [
     "knn_ivf",
     "x2_wiki_to_markdown",
     "x4_slack_markup",
-    "x5_html_bullets",
+    # (x5_html_bullets yielded its slot to corpus_health_report: the window
+    # holds 50 and never-sampled queries outrank r2-stale refreshes; survey
+    # id X5 has an r4-green row via weekly_digest_pipeline, and the query
+    # itself stays green in local oracle parity every pytest run.)
     "x6_linkify_issue_keys",
     "x10_x11_timestamp_formats",
     "x14_slugify",

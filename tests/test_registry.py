@@ -69,13 +69,31 @@ def test_front_window_covers_stale_queries():
     latest, max_round = _latest_green_round()
     if max_round == 0:
         return  # no driver rows yet (fresh checkout)
-    needs_rotation = [
+    # Highest priority: queries with NO green driver row ever — including
+    # brand-new queries the driver has never sampled at all (a gap the r4
+    # version of this test missed: `n in latest` excluded them).
+    never_green = [n for n in REGISTRY if latest.get(n) is None]
+    missing_never = sorted(set(never_green) - set(plans._FRONT))
+    assert not missing_never, (
+        f"never-driver-green queries not in _FRONT: {missing_never}"
+    )
+    # Second priority: green rows older than the previous round (testdata
+    # regenerates between rounds). These may overflow only when the window
+    # is genuinely full, and only by as many slots as the candidate set
+    # exceeds the window — never-green entries must not be displaced.
+    stale = [
         n
         for n in REGISTRY
-        if n in latest and (latest[n] is None or latest[n] < max_round - 1)
+        if latest.get(n) is not None and latest[n] < max_round - 1
     ]
-    missing = sorted(set(needs_rotation) - set(plans._FRONT))
-    assert not missing, (
-        f"queries with stale/absent driver rows not in _FRONT: {missing}"
+    missing_stale = sorted(set(stale) - set(plans._FRONT))
+    forced_overflow = max(0, len(never_green) + len(stale) - 50)
+    assert len(missing_stale) <= forced_overflow, (
+        f"stale queries left out of _FRONT beyond forced overflow "
+        f"({forced_overflow}): {missing_stale}"
     )
+    if missing_stale:
+        assert len(plans._FRONT) == 50, (
+            "stale queries overflowed while _FRONT still had free slots"
+        )
     assert len(plans._FRONT) <= 50, "_FRONT exceeds the 50-slot driver window"
