@@ -89,6 +89,89 @@ def pack_sequences(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    target_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection via
+    Importance Resampling"): score every document by how much its hashed
+    bigram profile looks like a target distribution versus the raw pool.
+
+    ``log w(d) = Σ_b n_b(d) · (ln p̂_tgt[b] − ln p̂_raw[b])`` over
+    ``n_buckets`` hashed-bigram feature buckets, with add-one smoothing
+    on both distributions. Documents scoring > 0 are more
+    target-like than pool-like — the standard pretraining data-selection
+    gate (select top-scoring docs to match a high-quality target).
+
+    Scale shape: the bigram stream is a narrow explode; per-doc bucket
+    counts partial-aggregate map-side down to ≤ ``n_buckets`` rows per
+    doc; the two global distributions are ``n_buckets``-row aggregates
+    that join back as a BROADCAST, so the only full shuffles are the two
+    doc-keyed groupBys. Nothing is collected to the driver.
+
+    Cross-engine determinism: buckets come from a sha256 prefix (DuckDB
+    reproduces it byte-for-byte); the per-(doc,bucket) float terms
+    ``n · λ_b`` are cast to DECIMAL(28,12) before summing (the
+    registry's order-independent-sum rule, registry.py:10-12).
+
+    Returns one row per input doc that has ≥ 1 bigram:
+    ``(id_col, n_bigrams, s)`` where ``s`` is the DECIMAL log-weight sum
+    (callers round/cast for presentation).
+    """
+    toks, tgt = F.col(tokens_col), F.col(target_col)
+    pairs = df.where(F.size(toks) >= 2).select(
+        id_col,
+        target_col,
+        F.slice(toks, F.lit(1), F.size(toks) - 1).alias("a"),
+        F.slice(toks, F.lit(2), F.size(toks) - 1).alias("b"),
+    )
+    big = pairs.select(
+        id_col, target_col, F.explode(F.arrays_zip("a", "b")).alias("p")
+    ).select(
+        id_col,
+        target_col,
+        (
+            F.conv(
+                F.substring(F.sha2(F.concat_ws(" ", "p.a", "p.b"), 256), 1, 8), 16, 10
+            ).cast("bigint")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    per_doc = big.groupBy(id_col, "bucket").agg(F.count("*").alias("n"))
+    raw = big.groupBy("bucket").agg(F.count("*").alias("raw_b"))
+    tgt_counts = big.where(tgt).groupBy("bucket").agg(F.count("*").alias("tgt_b"))
+    totals = big.agg(
+        F.count("*").alias("raw_total"),
+        F.sum(F.when(tgt, 1).otherwise(0)).alias("tgt_total"),
+    )
+    lam = (
+        raw.join(tgt_counts, ["bucket"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("tgt_b", F.lit(0)) + 1).cast("double")
+                    / (F.col("tgt_total") + n_buckets)
+                )
+                - F.log(
+                    (F.col("raw_b") + 1).cast("double")
+                    / (F.col("raw_total") + n_buckets)
+                )
+            ).alias("lam"),
+        )
+    )
+    term = (F.col("n") * F.col("lam")).cast("decimal(28,12)")
+    return (
+        per_doc.join(F.broadcast(lam), ["bucket"])
+        .groupBy(id_col)
+        .agg(F.sum("n").alias("n_bigrams"), F.sum(term).alias("s"))
+    )
+
+
 def temperature_mix_sample(
     df: DataFrame,
     domain_col: str,

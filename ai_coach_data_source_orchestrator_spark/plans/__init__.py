@@ -36,6 +36,7 @@ _FRONT = [
     "corpus_zipf_topk",
     "dedup_family_histogram",
     "corpus_health_report",
+    "sample_dsir_importance",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -69,12 +70,12 @@ _FRONT = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "knn_ivf",
-    "x2_wiki_to_markdown",
     "x4_slack_markup",
-    # (x5_html_bullets yielded its slot to corpus_health_report: the window
-    # holds 50 and never-sampled queries outrank r2-stale refreshes; survey
-    # id X5 has an r4-green row via weekly_digest_pipeline, and the query
-    # itself stays green in local oracle parity every pytest run.)
+    # (x5_html_bullets and x2_wiki_to_markdown yielded their slots to
+    # corpus_health_report and sample_dsir_importance: the window holds 50
+    # and never-sampled queries outrank r2-stale refreshes; survey ids
+    # X5/X2 have r4-green rows via weekly_digest_pipeline, and both
+    # queries stay green in local oracle parity every pytest run.)
     "x6_linkify_issue_keys",
     "x10_x11_timestamp_formats",
     "x14_slugify",

@@ -85,6 +85,74 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023): hashed-bigram importance
+# weights against an in-corpus target (English docs stand in for the
+# "high-quality target" a real pipeline would load separately). The
+# oracle replays the operator's exact arithmetic: same sha256 bucket
+# hash, same add-one smoothing, same decimal(28,12) term sums.
+# ---------------------------------------------------------------------------
+_DSIR_B = 256
+_DSIR_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+_DSIR_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, {_DSIR_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, (lang = 'en') AS is_tgt,
+             ('0x' || substr(sha256(toks[i] || ' ' || toks[i + 1]), 1, 8))::BIGINT
+               % {_DSIR_B} AS bucket
+      FROM t, unnest(range(1, len(toks))) s(i)
+    ),
+    pd AS (SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    raw AS (SELECT bucket, COUNT(*) AS raw_b FROM b GROUP BY 1),
+    tgt AS (SELECT bucket, COUNT(*) AS tgt_b FROM b WHERE is_tgt GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS raw_total,
+                   SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_total FROM b),
+    lam AS (
+      SELECT raw.bucket,
+             ln(CAST(COALESCE(tgt.tgt_b, 0) + 1 AS DOUBLE) / (tot.tgt_total + {_DSIR_B}))
+           - ln(CAST(raw.raw_b + 1 AS DOUBLE) / (tot.raw_total + {_DSIR_B})) AS lam
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot
+    ),
+    sc AS (
+      SELECT pd.doc_id, SUM(pd.n) AS n_bigrams,
+             SUM(CAST(pd.n * lam.lam AS DECIMAL(28,12))) AS s
+      FROM pd JOIN lam ON pd.bucket = lam.bucket GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(ROUND(CAST(sc.s AS DOUBLE), 6), 0.0) AS logw,
+           COALESCE(ROUND(CAST(sc.s AS DOUBLE) / sc.n_bigrams, 6), 0.0) AS logw_per_bigram,
+           COALESCE(CAST(sc.s AS DOUBLE) > 0, FALSE) AS selected
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=_DSIR_SQL,
+    survey_ids=("F8", "U1"),
+    description="DSIR hashed-bigram importance weights vs an English target (select > 0)",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("toks"),
+        (F.col("lang") == "en").alias("is_tgt"),
+    )
+    scored = SA.dsir_importance(t, "doc_id", "toks", "is_tgt", n_buckets=_DSIR_B)
+    return docs.select("doc_id", "lang").join(scored, ["doc_id"], "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce(F.round(F.col("s").cast("double"), 6), F.lit(0.0)).alias("logw"),
+        F.coalesce(
+            F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6), F.lit(0.0)
+        ).alias("logw_per_bigram"),
+        F.coalesce(F.col("s").cast("double") > 0, F.lit(False)).alias("selected"),
+    )
+
+
 _MIX_TARGET = 0.5
 _MIX_SALT = "tmix-v1"
 

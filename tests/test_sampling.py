@@ -58,6 +58,37 @@ def test_pack_sequences_budget_and_offsets(spark):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
 
 
+def test_dsir_discriminates_toward_target(spark, sf_dir):
+    # DSIR's whole point: docs drawn from the target distribution (here
+    # lang='en') must score higher on average than the rest of the pool,
+    # and the score must be partition-invariant (no RNG, no collect).
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+    rows = REGISTRY["sample_dsir_importance"].fn(spark, sf_dir).collect()
+    en = [r["logw_per_bigram"] for r in rows if r["lang"] == "en" and r["n_bigrams"]]
+    other = [r["logw_per_bigram"] for r in rows if r["lang"] != "en" and r["n_bigrams"]]
+    assert en and other, "fixture must contain target and non-target docs"
+    assert sum(en) / len(en) > sum(other) / len(other)
+    # selection gate is consistent with the score
+    assert all((r["logw"] > 0) == r["selected"] for r in rows)
+
+
+def test_dsir_partition_invariant(spark):
+    from pyspark.sql import functions as FF
+
+    from ai_coach_data_source_orchestrator_spark.functions import text as T
+
+    rows = [(i, f"tok{i % 5} tok{(i * 3) % 7} tok{i % 11} end", i % 2 == 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, text string, is_tgt boolean").select(
+        "id", T.tokens(FF.col("text")).alias("toks"), "is_tgt"
+    )
+    a = sorted(map(tuple, SA.dsir_importance(df, "id", "toks", "is_tgt").collect()))
+    b = sorted(
+        map(tuple, SA.dsir_importance(df.repartition(13), "id", "toks", "is_tgt").collect())
+    )
+    assert a == b
+
+
 def test_chunk_windows_invariants(spark, sf_dir):
     # Structural invariants of the sliding-window chunker on the real
     # corpus: full coverage (every token position lands in >= 1 chunk),
