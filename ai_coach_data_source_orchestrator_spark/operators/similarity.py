@@ -424,6 +424,65 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    centroid_method: str = "sample",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic
+    deduplication — coarse-cluster the embeddings, then search for
+    cosine near-duplicates only WITHIN each cluster and keep the
+    lowest-id representative of every duplicate relation.
+
+    This is the third point in the near-dup design space alongside
+    ``cosine_dup_pairs`` (exact, O(n²)) and ``cosine_dup_pairs_lsh``
+    (sign-LSH banding): clustering bounds the pair search to
+    O(Σ|cluster|²), and at real scale ``n_centroids`` grows with the
+    corpus so cluster sizes stay bounded (the paper runs 50k clusters
+    over 5B embeddings). Cross-cluster near-dups are missed by
+    construction — the documented recall trade-off of the method.
+
+    Plan shape: centroid assignment is the shuffle-free Arrow batch
+    matmul from ``ivf_assign``; the only data shuffle is the
+    cluster-keyed self-join (vectors must meet their cluster peers to be
+    scored exactly); the survivor rule is an id-only distinct + left
+    join. Nothing driver-side beyond the tiny centroid matrix.
+
+    Returns one row per input vector: ``(id_col, cluster, is_dup)`` —
+    ``is_dup`` marks vectors having a smaller-id near-duplicate in the
+    same cluster (drop these to dedup; survivors keep the corpus).
+    """
+    cent_mat = _centroid_matrix(df, id_col, vec_col, n_centroids, centroid_method)
+    dim = int(cent_mat.shape[1]) if cent_mat.size else None
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = (
+        ivf_assign(base, "v", cent_mat, 1)
+        .withColumn("cluster", F.col("cids")[0])
+        .drop("cids")
+    )
+    a = assigned.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = (cosine_expr("va", "vb", dim) if dim else cosine(F.col("va"), F.col("vb")))
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(sim, 6) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dropped, ["id"], "left").select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -37,6 +37,7 @@ _FRONT = [
     "dedup_family_histogram",
     "corpus_health_report",
     "sample_dsir_importance",
+    "dedup_semantic_clusters",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -70,11 +71,11 @@ _FRONT = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "knn_ivf",
-    "x4_slack_markup",
-    # (x5_html_bullets and x2_wiki_to_markdown yielded their slots to
-    # corpus_health_report and sample_dsir_importance: the window holds 50
-    # and never-sampled queries outrank r2-stale refreshes; survey ids
-    # X5/X2 have r4-green rows via weekly_digest_pipeline, and both
+    # (x5_html_bullets, x2_wiki_to_markdown and x4_slack_markup yielded
+    # their slots to corpus_health_report / sample_dsir_importance /
+    # dedup_semantic_clusters: the window holds 50 and never-sampled
+    # queries outrank r2-stale refreshes; survey ids X5/X2/X4 all have
+    # r4-green rows via the pipeline queries, and the three yielded
     # queries stay green in local oracle parity every pytest run.)
     "x6_linkify_issue_keys",
     "x10_x11_timestamp_formats",

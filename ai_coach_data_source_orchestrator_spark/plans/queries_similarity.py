@@ -482,3 +482,65 @@ def embedding_normalize_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup. Same
+# planted-perturbation setup as dedup_embedding_cosine_lsh (the corpus
+# has no natural near-dups), same first-16-by-id centroids and
+# assignment rank as the knn_ivf oracle, and the unrolled
+# left-associative dot/norm chains for the in-cluster pair scoring —
+# every float path is one already proven bit-identical across engines.
+# ---------------------------------------------------------------------------
+def _semantic_dedup_oracle() -> str:
+    return f"""
+    WITH base0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planted AS (SELECT vec_id + 1000000 AS vec_id,
+                       list_transform(v, (x, i) -> x * (1.0 + 0.001 * sin(vec_id * 7 + (i - 1)))) AS v
+                FROM base0 WHERE vec_id % 4 = 0),
+    all_v AS (SELECT * FROM base0 UNION ALL SELECT * FROM planted),
+    cent AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+             FROM all_v ORDER BY vec_id LIMIT 16),
+    assign AS (SELECT vec_id, v, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS r
+               FROM all_v CROSS JOIN cent),
+    asg AS (SELECT vec_id, v, cid FROM assign WHERE r = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE ROUND(({_dot_sql("a.v", "b.v", 64)}) /
+                  (({_norm_sql("a.v", 64)}) * ({_norm_sql("b.v", 64)})), 6) >= 0.9
+    ),
+    d AS (SELECT DISTINCT id_b AS vec_id, TRUE AS is_dup FROM pairs)
+    SELECT g.vec_id, CAST(g.cid AS INTEGER) AS cluster,
+           COALESCE(d.is_dup, FALSE) AS is_dup
+    FROM asg g LEFT JOIN d USING (vec_id)
+    """
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semantic_dedup_oracle(),
+    survey_ids=("U7",),
+    description="SemDeDup: cluster-scoped cosine near-dup, min-id survivor",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plants a deterministic ~1e-3 perturbation copy of every 4th vector
+    # (ground truth near-dups, cosine ≈ 0.999) exactly as
+    # dedup_embedding_cosine_lsh does, then runs SemDeDup at t=0.9 with
+    # 16 clusters: each copy lands in its source's cluster and is
+    # flagged; cross-cluster misses (the method's documented trade-off)
+    # are measured in tests/test_similarity.py.
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = base.where(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * (1.0d + 0.001d * sin(vec_id * 7 + i)))"
+        ).alias("embedding"),
+    )
+    out = S.semantic_dedup(
+        base.unionByName(planted), threshold=0.9, n_centroids=16
+    )
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"), "is_dup")

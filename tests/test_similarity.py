@@ -140,3 +140,25 @@ def test_registry_lsh_dedup_finds_planted(spark, sf_dir):
     recall = len(found & planted) / len(planted)
     assert recall >= 0.95, f"recall {recall}"
     assert all(r["cosine_sim"] >= 0.9 for r in got)
+
+
+def test_semantic_dedup_flags_planted_copies(spark, sf_dir):
+    """SemDeDup on the planted corpus: every perturbed copy (cosine
+    ≈0.999 to its source) should land in its source's cluster and be
+    flagged as the duplicate (copies carry the larger id); no natural
+    pair in this corpus exceeds 0.9, so base vectors stay unflagged."""
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    rows = REGISTRY["dedup_semantic_clusters"].fn(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs + (n_vecs + 3) // 4  # base + planted copies
+    flagged = {r["vec_id"] for r in rows if r["is_dup"]}
+    planted = {i + 1_000_000 for i in range(0, n_vecs, 4)}
+    assert flagged <= planted, f"false positives: {sorted(flagged - planted)[:5]}"
+    recall = len(flagged & planted) / len(planted)
+    assert recall >= 0.95, f"cluster-scoped recall {recall}"
+    # copies inherit their source's cluster (perturbation ≪ centroid margin)
+    cl = {r["vec_id"]: r["cluster"] for r in rows}
+    same = sum(cl[p] == cl[p - 1_000_000] for p in planted)
+    assert same / len(planted) >= 0.95
