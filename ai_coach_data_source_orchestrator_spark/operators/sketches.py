@@ -1,0 +1,154 @@
+"""Sketch operators: bounded-memory frequency/cardinality estimation
+for 100 TB-scale corpus profiling.
+
+At real scale, exact per-group ``countDistinct`` and exact top-k token
+counts shuffle the full token stream; the sketch forms below bound the
+post-shuffle state to a few hundred integer registers per group while
+keeping every arithmetic step deterministic and reproducible in ANSI
+SQL — unlike Spark's built-in ``approx_count_distinct``/HLL++ whose
+register layout is engine-private and can't be oracle-checked.
+
+- ``hll_distinct`` — HyperLogLog (Flajolet et al. 2007): 64 registers
+  per group from a sha256-derived 60-bit hash; max leading-zero rank
+  per register; harmonic-mean estimate with the standard small-range
+  (linear counting) correction. Relative error ≈ 1.04/√64 ≈ 13%.
+- ``cms_counts`` / ``cms_topk`` — count-min sketch (Cormode &
+  Muthukrishnan 2005): d×w counter matrix from d independent
+  sha256-derived bucket hashes; point estimate = min over rows; always
+  an overestimate (one-sided error ≤ εN with ε = e/w).
+
+Determinism notes (the registry's cross-engine rules): hashes are
+sha256 prefixes (byte-identical in DuckDB); the HLL 2^-rho terms are
+summed as DECIMAL(38,20) (order-independent, and 2^-55 ≈ 2.8e-17 is
+representable at scale 20); ``power(2.0, -r)`` is exact for integer r
+in IEEE double in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_REGISTERS = 64  # m: 6 index bits
+_HLL_HEX = 15  # 60-bit hash → 6 index bits + 54 rank bits
+_HLL_RANK_BITS = 60 - 6
+
+
+def _hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.sha2(col, 256), 1, _HLL_HEX), 16, 10).cast("bigint")
+
+
+def hll_alpha(m: int = HLL_REGISTERS) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+# Exported so SQL oracles can interpolate the SAME double literals the
+# Spark plan folds in (repr round-trips exactly).
+HLL_ALPHA_M2 = hll_alpha(HLL_REGISTERS) * HLL_REGISTERS * HLL_REGISTERS
+HLL_SMALL_RANGE = 2.5 * HLL_REGISTERS
+
+
+def hll_registers(df: DataFrame, group_col: str, token_col: str) -> DataFrame:
+    """Per-(group, register) max leading-zero rank — the HLL state.
+
+    Scale shape: ``groupBy(group, idx).max(rho)`` partial-aggregates
+    map-side, so the shuffle carries at most ``m`` rows per group per
+    partition regardless of token volume.
+    """
+    h = _hash60(F.col(token_col))
+    idx = (h % HLL_REGISTERS).alias("idx")
+    # shiftright, NOT floor(h / m): double division of a 60-bit value
+    # rounds the low bits (doubles are exact only to 2^53).
+    w = F.shiftright(h, 6)
+    # rank = leading zeros in the 54 rank bits + 1; bin() drops leading
+    # zeros in both engines, so bit-length = length(ltrim(bin(w),'0')).
+    rho = (
+        F.lit(_HLL_RANK_BITS + 1) - F.length(F.ltrim(F.bin(w), F.lit("0")))
+    ).alias("rho")
+    return df.select(F.col(group_col).alias("grp"), idx, rho).groupBy("grp", "idx").agg(
+        F.max("rho").alias("r")
+    )
+
+
+def hll_distinct(df: DataFrame, group_col: str, token_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate: ``(grp, est_distinct)``.
+
+    ``est`` is rounded to 4 decimals by the caller if hash-compared.
+    """
+    m = HLL_REGISTERS
+    regs = hll_registers(df, group_col, token_col)
+    term = F.pow(F.lit(2.0), -F.col("r")).cast("decimal(38,20)")
+    agg = regs.groupBy("grp").agg(
+        F.sum(term).alias("s_nonzero"), F.count("*").alias("present")
+    )
+    v = F.lit(m) - F.col("present")  # registers never hit → value 0 → 2^0 = 1
+    s = F.col("s_nonzero").cast("double") + v.cast("double")
+    raw = F.lit(HLL_ALPHA_M2) / s
+    est = F.when(
+        (raw <= HLL_SMALL_RANGE) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(F.col("grp"), est.alias("est_distinct"))
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+
+
+def _cms_bucket(col: Column, j: int, w: int = CMS_WIDTH) -> Column:
+    return (
+        F.conv(
+            F.substring(F.sha2(F.concat_ws("|", F.lit(f"cms{j}"), col), 256), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % w
+    )
+
+
+def cms_counts(
+    df: DataFrame, token_col: str, d: int = CMS_DEPTH, w: int = CMS_WIDTH
+) -> DataFrame:
+    """The d×w counter matrix: ``(j, bucket, c)`` — at most d·w rows
+    total after the map-side-combined groupBy, independent of corpus
+    size. This is the state a streaming/distributed counter would keep.
+    """
+    rows = None
+    per_j = [
+        df.select(F.lit(j).alias("j"), _cms_bucket(F.col(token_col), j, w).alias("bucket"))
+        for j in range(d)
+    ]
+    rows = per_j[0]
+    for p in per_j[1:]:
+        rows = rows.unionByName(p)
+    return rows.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    counts: DataFrame,
+    token_col: str,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each candidate token: min over the d counter rows.
+
+    ``counts`` is ≤ d·w rows → broadcast; the probe is a narrow
+    explode + broadcast equi-join + per-token min.
+    """
+    probes = None
+    per_j = [
+        candidates.select(
+            F.col(token_col).alias("token"),
+            F.lit(j).alias("j"),
+            _cms_bucket(F.col(token_col), j, w).alias("bucket"),
+        )
+        for j in range(d)
+    ]
+    probes = per_j[0]
+    for p in per_j[1:]:
+        probes = probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(counts), ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est_count"))
+    )

@@ -12,6 +12,7 @@ from . import queries_connectors  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 from . import queries_epic_tree  # noqa: E402,F401
 from . import queries_sampling  # noqa: E402,F401
+from . import queries_sketches  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering.
@@ -38,6 +39,8 @@ _FRONT = [
     "corpus_health_report",
     "sample_dsir_importance",
     "dedup_semantic_clusters",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -71,15 +74,15 @@ _FRONT = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "knn_ivf",
-    # (x5_html_bullets, x2_wiki_to_markdown and x4_slack_markup yielded
-    # their slots to corpus_health_report / sample_dsir_importance /
-    # dedup_semantic_clusters: the window holds 50 and never-sampled
-    # queries outrank r2-stale refreshes; survey ids X5/X2/X4 all have
-    # r4-green rows via the pipeline queries, and the three yielded
+    # (x5_html_bullets, x2_wiki_to_markdown, x4_slack_markup,
+    # x6_linkify_issue_keys and x14_slugify yielded their slots to the
+    # round-5 additions corpus_health_report / sample_dsir_importance /
+    # dedup_semantic_clusters / sketch_hll_distinct /
+    # sketch_cms_heavy_hitters: the window holds 50 and never-sampled
+    # queries outrank r2-stale refreshes; survey ids X5/X2/X4/X6/X14 all
+    # have r4-green rows via the pipeline queries, and the five yielded
     # queries stay green in local oracle parity every pytest run.)
-    "x6_linkify_issue_keys",
     "x10_x11_timestamp_formats",
-    "x14_slugify",
     "x16_mask_secrets",
     "x17_redact_code",
     "x18_prompt_denylist",

@@ -1,0 +1,133 @@
+"""Sketch-based corpus profiling queries (operators/sketches.py): the
+bounded-memory counterparts of the exact profiles (`corpus_zipf_topk`,
+`a_percentile_profile`) — what you actually run first at 100 TB, where
+exact per-group distincts and exact global top-k are a full-stream
+shuffle. Both queries audit the sketch against the exact answer on the
+same data, so the driver hash-check pins the sketch arithmetic AND the
+documented error bounds stay visible in the output.
+
+Oracles replay the sketches bit-for-bit: sha256-derived hashes, shift
+(not float-division) bit extraction, DECIMAL(38,20) harmonic sums, and
+double literals interpolated from the same Python constants the Spark
+plans fold in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import sketches as SK
+from ..sources.tables import load_table
+from .registry import register
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+_HLL_SQL = f"""
+    WITH tk AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT source, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS h FROM tk),
+    r AS (SELECT source, h % {SK.HLL_REGISTERS} AS idx,
+                 MAX({60 - 6 + 1} - length(ltrim(bin(h >> 6), '0'))) AS r
+          FROM h GROUP BY 1, 2),
+    a AS (SELECT source, SUM(CAST(power(2.0, -r) AS DECIMAL(38,20))) AS s_nonzero,
+                 COUNT(*) AS present FROM r GROUP BY 1),
+    e AS (SELECT source, CAST(s_nonzero AS DOUBLE) + ({SK.HLL_REGISTERS} - present) AS s,
+                 ({SK.HLL_REGISTERS} - present) AS v
+          FROM a),
+    est AS (SELECT source,
+                   CASE WHEN ({SK.HLL_ALPHA_M2!r} / s) <= {SK.HLL_SMALL_RANGE!r} AND v > 0
+                        THEN {float(SK.HLL_REGISTERS)!r} * ln({float(SK.HLL_REGISTERS)!r} / v)
+                        ELSE {SK.HLL_ALPHA_M2!r} / s END AS est_distinct
+            FROM e),
+    ex AS (SELECT source, COUNT(DISTINCT tok) AS exact_distinct FROM tk GROUP BY 1)
+    SELECT est.source, ROUND(est.est_distinct, 4) AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           ROUND(abs(est.est_distinct - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+    FROM est JOIN ex USING (source)
+"""
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=_HLL_SQL,
+    survey_ids=("A6",),
+    description="HyperLogLog per-source distinct-token estimate audited vs exact",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    est = SK.hll_distinct(toks, "source", "tok")
+    exact = toks.groupBy("source").agg(F.countDistinct("tok").alias("exact_distinct"))
+    return est.join(exact, est.grp == exact.source).select(
+        "source",
+        F.round("est_distinct", 4).alias("est_distinct"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+_CMS_TOPK = 20
+
+
+def _cms_bucket_sql(tok_expr: str, j: str) -> str:
+    return (
+        f"('0x' || substr(sha256('cms' || CAST({j} AS VARCHAR) || '|' || {tok_expr}), 1, 8))"
+        f"::BIGINT % {SK.CMS_WIDTH}"
+    )
+
+
+_CMS_SQL = f"""
+    WITH tk AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    b AS (SELECT j, {_cms_bucket_sql("tok", "j")} AS bucket
+          FROM tk, unnest([0, 1, 2, 3]) s(j)),
+    cnt AS (SELECT j, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    ex AS (SELECT tok, COUNT(*) AS exact_count FROM tk GROUP BY 1),
+    pr AS (SELECT tok, j, {_cms_bucket_sql("tok", "j")} AS bucket
+           FROM ex, unnest([0, 1, 2, 3]) s(j)),
+    est AS (SELECT pr.tok, MIN(cnt.c) AS est_count
+            FROM pr JOIN cnt USING (j, bucket) GROUP BY 1),
+    ranked AS (SELECT est.tok AS token, est.est_count, ex.exact_count,
+                      ROW_NUMBER() OVER (ORDER BY est.est_count DESC, est.tok) AS rank
+               FROM est JOIN ex ON est.tok = ex.tok)
+    SELECT CAST(rank AS INTEGER) AS rank, token,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overestimate
+    FROM ranked WHERE rank <= {_CMS_TOPK}
+"""
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=_CMS_SQL,
+    survey_ids=("A6",),
+    description="Count-min-sketch heavy hitters audited vs exact counts (top-20)",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    counts = SK.cms_counts(toks, "tok")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    est = SK.cms_estimate(exact, counts, "tok")
+    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
+    return (
+        est.join(exact, est.token == exact.tok)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _CMS_TOPK)
+        .select(
+            "rank",
+            "token",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

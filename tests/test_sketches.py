@@ -1,0 +1,67 @@
+"""Sketch operator properties: HLL error bounds, CMS one-sided error,
+partition invariance (sketches must be layout-independent to be
+mergeable at scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.operators import sketches as SK
+
+
+def _toks(spark, n_groups=4, n_tokens=3000):
+    rows = [
+        (f"g{i % n_groups}", f"tok{(i * 7919) % 997}-{i % n_groups}")
+        for i in range(n_tokens)
+    ]
+    return spark.createDataFrame(rows, "grp string, tok string")
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # m=64 → typical relative error 1.04/sqrt(64) ≈ 13%; assert a
+    # generous 3-sigma bound per group.
+    df = _toks(spark)
+    exact = {
+        r["grp"]: r["n"]
+        for r in df.groupBy("grp").agg(F.countDistinct("tok").alias("n")).collect()
+    }
+    est = {r["grp"]: r["est_distinct"] for r in SK.hll_distinct(df, "grp", "tok").collect()}
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.4, (g, est[g], n)
+
+
+def test_hll_partition_invariant(spark):
+    df = _toks(spark)
+    a = sorted(map(tuple, SK.hll_distinct(df, "grp", "tok").collect()))
+    b = sorted(map(tuple, SK.hll_distinct(df.repartition(17), "grp", "tok").collect()))
+    assert a == b
+
+
+def test_hll_registers_bounded_state(spark):
+    # The whole point of the sketch: per-group state ≤ m registers, with
+    # ranks in [1, 55], regardless of token volume.
+    regs = SK.hll_registers(_toks(spark), "grp", "tok").collect()
+    per_grp: dict = {}
+    for r in regs:
+        per_grp.setdefault(r["grp"], []).append(r)
+        assert 0 <= r["idx"] < SK.HLL_REGISTERS
+        assert 1 <= r["r"] <= 55
+    assert all(len(v) <= SK.HLL_REGISTERS for v in per_grp.values())
+
+
+def test_cms_never_underestimates(spark):
+    df = _toks(spark).select("tok")
+    counts = SK.cms_counts(df, "tok")
+    # the counter matrix is bounded by d*w rows
+    assert counts.count() <= SK.CMS_DEPTH * SK.CMS_WIDTH
+    exact = df.groupBy("tok").agg(F.count("*").alias("exact"))
+    est = SK.cms_estimate(exact, counts, "tok")
+    rows = est.join(exact, est.token == exact.tok).collect()
+    assert rows
+    assert all(r["est_count"] >= r["exact"] for r in rows)  # one-sided error
+    # with w=128 and ~1000 distinct tokens, collisions exist but the
+    # min-over-d keeps average inflation small
+    mean_over = sum(r["est_count"] - r["exact"] for r in rows) / len(rows)
+    total = df.count()
+    assert mean_over <= 2.72 * total / SK.CMS_WIDTH * 2  # ~2 * eN bound
