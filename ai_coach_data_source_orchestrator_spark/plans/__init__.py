@@ -41,6 +41,7 @@ _FRONT = [
     "dedup_semantic_clusters",
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
+    "k_orc_columnar_roundtrip",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -75,15 +76,16 @@ _FRONT = [
     "dedup_embedding_cosine_lsh",
     "knn_ivf",
     # (x5_html_bullets, x2_wiki_to_markdown, x4_slack_markup,
-    # x6_linkify_issue_keys and x14_slugify yielded their slots to the
-    # round-5 additions corpus_health_report / sample_dsir_importance /
-    # dedup_semantic_clusters / sketch_hll_distinct /
-    # sketch_cms_heavy_hitters: the window holds 50 and never-sampled
-    # queries outrank r2-stale refreshes; survey ids X5/X2/X4/X6/X14 all
-    # have r4-green rows via the pipeline queries, and the five yielded
-    # queries stay green in local oracle parity every pytest run.)
+    # x6_linkify_issue_keys, x14_slugify and x16_mask_secrets yielded
+    # their slots to the round-5 additions corpus_health_report /
+    # sample_dsir_importance / dedup_semantic_clusters /
+    # sketch_hll_distinct / sketch_cms_heavy_hitters /
+    # k_orc_columnar_roundtrip: the window holds 50 and never-sampled
+    # queries outrank r2-stale refreshes; survey ids X5/X2/X4/X6/X14/X16
+    # all have r4-green rows via the pipeline queries, and the six
+    # yielded queries stay green in local oracle parity every pytest
+    # run.)
     "x10_x11_timestamp_formats",
-    "x16_mask_secrets",
     "x17_redact_code",
     "x18_prompt_denylist",
     "x20_section_split",

@@ -357,3 +357,40 @@ def x21_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_string.alias("to_string"),
     )
     return changes.select("change_id", compact_change_line().alias("rendered"))
+
+
+# ---------------------------------------------------------------------------
+# K2-family, columnar: ORC write → read-back. Parquet is the engine's
+# native interchange (every other sink query exercises it); ORC is the
+# second first-class columnar format Spark ships a vectorized
+# reader/writer for, and warehouse migrations routinely require both.
+# The round trip proves schema + values survive the format (predicate
+# pushdown and column pruning work the same way on the read-back scan),
+# and the partitionBy layout proves partition-discovery parity with the
+# parquet writer. Sums go through DECIMAL(18,2) per the registry's
+# order-independent-sum rule.
+# ---------------------------------------------------------------------------
+@register(
+    "k_orc_columnar_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ids=("K2", "K3"),
+    description="ORC partitioned write/read-back, per-flag rollup survives the format",
+)
+def k_orc_columnar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    out = _tmp("orc")
+    li.write.mode("overwrite").partitionBy("l_returnflag").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
