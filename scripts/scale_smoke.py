@@ -81,6 +81,11 @@ QUERIES = [
     ("text_chunk_windows", "documents"),
     ("corpus_zipf_topk", "documents"),
     ("dedup_family_histogram", "documents"),
+    # round 5 (late) additions
+    ("sample_dsir_importance", "documents"),
+    ("dedup_semantic_clusters", "embeddings"),
+    ("sketch_hll_distinct", "documents"),
+    ("sketch_cms_heavy_hitters", "documents"),
 ]
 
 if os.environ.get("SMOKE_QUERIES"):

@@ -180,3 +180,49 @@ def test_lm_perplexity_joins_unhinted(spark, sf_dir):
     assert "ResolvedHint" not in _optimized(df)
     plan = _executed(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_lambda_table_broadcasts(spark, sf_dir):
+    # The bucket→log-ratio table is n_buckets rows; it must join back
+    # onto the per-doc bucket counts as a broadcast, never a shuffle of
+    # the doc side against a 256-row table.
+    df = REGISTRY["sample_dsir_importance"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    # no per-row Python: the whole scoring path is columnar
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_counter_matrix_broadcasts(spark, sf_dir):
+    # The d×w counter matrix (≤512 rows) broadcasts to the candidate
+    # probe side.
+    df = REGISTRY["sketch_cms_heavy_hitters"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_agg_is_partial(spark, sf_dir):
+    # The register groupBy must partial-aggregate map-side (HashAggregate
+    # appears in partial + final pairs), so the shuffle carries at most
+    # m rows per group per partition, not the token stream.
+    from ai_coach_data_source_orchestrator_spark.functions import text as T
+    from ai_coach_data_source_orchestrator_spark.operators import sketches as SK
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    plan = _executed(SK.hll_registers(toks, "source", "tok"))
+    assert plan.count("HashAggregate") >= 2, plan[:800]
+    assert "Exchange" in plan  # exactly the one register shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_single_cluster_shuffle(spark, sf_dir):
+    # Centroid assignment is the shuffle-free Arrow projection (pinned
+    # separately in test_similarity); the pair search must be an
+    # equi-join on the cluster key — no cartesian, no nested-loop join.
+    df = REGISTRY["dedup_semantic_clusters"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
