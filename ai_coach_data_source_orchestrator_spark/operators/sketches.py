@@ -70,13 +70,12 @@ def hll_registers(df: DataFrame, group_col: str, token_col: str) -> DataFrame:
     )
 
 
-def hll_distinct(df: DataFrame, group_col: str, token_col: str) -> DataFrame:
-    """Per-group HLL distinct estimate: ``(grp, est_distinct)``.
-
-    ``est`` is rounded to 4 decimals by the caller if hash-compared.
-    """
+def hll_finalize(regs: DataFrame) -> DataFrame:
+    """Harmonic-mean estimate from a register table ``(grp, idx, r)`` —
+    the finalization step, separated so a STREAMING register state (one
+    stateful agg, see streaming/sketch.py) can be finalized by the same
+    arithmetic as the batch path."""
     m = HLL_REGISTERS
-    regs = hll_registers(df, group_col, token_col)
     term = F.pow(F.lit(2.0), -F.col("r")).cast("decimal(38,20)")
     agg = regs.groupBy("grp").agg(
         F.sum(term).alias("s_nonzero"), F.count("*").alias("present")
@@ -88,6 +87,14 @@ def hll_distinct(df: DataFrame, group_col: str, token_col: str) -> DataFrame:
         (raw <= HLL_SMALL_RANGE) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(raw)
     return agg.select(F.col("grp"), est.alias("est_distinct"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, token_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate: ``(grp, est_distinct)``.
+
+    ``est`` is rounded to 4 decimals by the caller if hash-compared.
+    """
+    return hll_finalize(hll_registers(df, group_col, token_col))
 
 
 CMS_DEPTH = 4

@@ -5,12 +5,15 @@ from .asof import asof_join_stream
 from .dedup import dedup_stream
 from .neardup import near_dup_gate_stream
 from .contamination import contamination_gate_stream, eval_gram_set
+from .sketch import hll_registers_stream, hll_finalize
 
 __all__ = [
     "asof_join_stream",
     "contamination_gate_stream",
     "dedup_stream",
     "eval_gram_set",
+    "hll_registers_stream",
+    "hll_finalize",
     "near_dup_gate_stream",
     "daily_counts_stream",
     "weekly_frame_stream",

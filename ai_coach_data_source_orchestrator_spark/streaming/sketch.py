@@ -1,0 +1,36 @@
+"""Streaming cardinality sketch: HLL registers over an unbounded
+token stream.
+
+The batch operator (``operators/sketches.hll_registers``) is a pure
+``groupBy(grp, idx).max(rho)`` — exactly the shape Structured
+Streaming's stateful aggregation supports natively, with state bounded
+by ``m`` registers per group REGARDLESS of stream length (the reason
+HLL, not exact distinct, is the streaming cardinality tool: exact
+``countDistinct`` state grows with the key space and is unsupported on
+streams without watermarked windows).
+
+``tests/test_streaming_sketch.py`` proves the replayed stream's final
+registers — and the derived estimate — equal the batch computation on
+the same data (sketch merge = register max is associative and
+commutative, so arrival order cannot matter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.sketches import hll_finalize, hll_registers
+
+__all__ = ["hll_registers_stream", "hll_finalize"]
+
+
+def hll_registers_stream(sdf: DataFrame, group_col: str, token_col: str) -> DataFrame:
+    """Register state over a streaming DataFrame — run with output mode
+    ``complete`` (the register table is tiny: m rows per group).
+
+    Streams support exactly ONE stateful aggregation per query, so the
+    estimate itself is NOT computed here: finalize the sinked register
+    table with ``hll_finalize`` (re-exported) — the identical arithmetic
+    the batch path uses.
+    """
+    return hll_registers(sdf, group_col, token_col)

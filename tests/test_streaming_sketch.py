@@ -1,0 +1,52 @@
+"""Streaming HLL: the register state computed over a replayed document
+stream must equal the batch registers (sketch merge = max is
+associative/commutative ⇒ arrival order is irrelevant), and finalizing
+the streamed state must reproduce the batch estimate exactly."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark import streaming as ST
+from ai_coach_data_source_orchestrator_spark.functions import text as T
+from ai_coach_data_source_orchestrator_spark.operators import sketches as SK
+from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    d = tmp_path / f"docs_{uuid.uuid4().hex[:8]}"
+    # two files → at least two micro-batches worth of state merging
+    docs.limit(200).coalesce(1).write.parquet(str(d))
+    rest = docs.subtract(docs.limit(200))
+    rest.coalesce(1).write.mode("append").parquet(str(d))
+
+    toks_of = lambda df: df.select(  # noqa: E731
+        "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    batch_regs = sorted(
+        map(tuple, SK.hll_registers(toks_of(docs), "source", "tok").collect())
+    )
+
+    sdf = spark.readStream.schema("source string, text string").parquet(str(d))
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        ST.hll_registers_stream(toks_of(sdf), "source", "tok")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql(f"SELECT * FROM {name}")
+    assert sorted(map(tuple, streamed.collect())) == batch_regs
+    # finalization of the streamed state = the batch estimate, exactly
+    got = {r["grp"]: r["est_distinct"] for r in ST.hll_finalize(streamed).collect()}
+    want = {
+        r["grp"]: r["est_distinct"]
+        for r in SK.hll_distinct(toks_of(docs), "source", "tok").collect()
+    }
+    assert got == want
