@@ -116,11 +116,19 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = SK.cms_counts(toks, "tok")
     exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
     est = SK.cms_estimate(exact, counts, "tok")
-    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
-    return (
+    # Distributed top-K (TakeOrderedAndProject: per-partition heaps +
+    # driver merge), NOT a corpus-wide unpartitioned Window — the first
+    # form of this query row_number'ed every distinct token through one
+    # task and was the worst ratio (0.58) in the sf1 smoke. The rank
+    # Window only ever sees the K survivors.
+    top = (
         est.join(exact, est.token == exact.tok)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _CMS_TOPK)
+        .orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(_CMS_TOPK)
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("token"))  # K rows only
+    return (
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "rank",
             "token",

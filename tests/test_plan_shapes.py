@@ -195,11 +195,15 @@ def test_dsir_lambda_table_broadcasts(spark, sf_dir):
 
 def test_cms_counter_matrix_broadcasts(spark, sf_dir):
     # The d×w counter matrix (≤512 rows) broadcasts to the candidate
-    # probe side.
+    # probe side, and the global top-K is TakeOrderedAndProject — not a
+    # corpus-wide unpartitioned Window (the 0.58-ratio regression the
+    # sf1 smoke caught).
     df = REGISTRY["sketch_cms_heavy_hitters"].fn(spark, sf_dir)
     plan = _executed(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
 def test_hll_register_agg_is_partial(spark, sf_dir):
