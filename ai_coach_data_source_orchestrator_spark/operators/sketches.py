@@ -118,15 +118,24 @@ def cms_counts(
     """The d×w counter matrix: ``(j, bucket, c)`` — at most d·w rows
     total after the map-side-combined groupBy, independent of corpus
     size. This is the state a streaming/distributed counter would keep.
+
+    The d rows per token come from ONE explode over a struct array —
+    not a union of d projections, which would scan the token stream d
+    times.
     """
-    rows = None
-    per_j = [
-        df.select(F.lit(j).alias("j"), _cms_bucket(F.col(token_col), j, w).alias("bucket"))
-        for j in range(d)
-    ]
-    rows = per_j[0]
-    for p in per_j[1:]:
-        rows = rows.unionByName(p)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col(token_col), j, w).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.bucket")
     return rows.groupBy("j", "bucket").agg(F.count("*").alias("c"))
 
 
@@ -140,20 +149,23 @@ def cms_estimate(
     """Point-estimate each candidate token: min over the d counter rows.
 
     ``counts`` is ≤ d·w rows → broadcast; the probe is a narrow
-    explode + broadcast equi-join + per-token min.
+    explode (one scan, not d unioned projections) + broadcast equi-join
+    + per-token min.
     """
-    probes = None
-    per_j = [
-        candidates.select(
-            F.col(token_col).alias("token"),
-            F.lit(j).alias("j"),
-            _cms_bucket(F.col(token_col), j, w).alias("bucket"),
-        )
-        for j in range(d)
-    ]
-    probes = per_j[0]
-    for p in per_j[1:]:
-        probes = probes.unionByName(p)
+    probes = candidates.select(
+        F.col(token_col).alias("token"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col(token_col), j, w).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "p.j", "p.bucket")
     return (
         probes.join(F.broadcast(counts), ["j", "bucket"])
         .groupBy("token")

@@ -42,6 +42,7 @@ _FRONT = [
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "k_orc_columnar_roundtrip",
+    "sketch_quantile_sample",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -76,17 +77,17 @@ _FRONT = [
     "dedup_embedding_cosine_lsh",
     "knn_ivf",
     # (x5_html_bullets, x2_wiki_to_markdown, x4_slack_markup,
-    # x6_linkify_issue_keys, x14_slugify and x16_mask_secrets yielded
-    # their slots to the round-5 additions corpus_health_report /
-    # sample_dsir_importance / dedup_semantic_clusters /
-    # sketch_hll_distinct / sketch_cms_heavy_hitters /
-    # k_orc_columnar_roundtrip: the window holds 50 and never-sampled
-    # queries outrank r2-stale refreshes; survey ids X5/X2/X4/X6/X14/X16
-    # all have r4-green rows via the pipeline queries, and the six
-    # yielded queries stay green in local oracle parity every pytest
-    # run.)
+    # x6_linkify_issue_keys, x14_slugify, x16_mask_secrets and
+    # x17_redact_code yielded their slots to the round-5 additions
+    # corpus_health_report / sample_dsir_importance /
+    # dedup_semantic_clusters / sketch_hll_distinct /
+    # sketch_cms_heavy_hitters / k_orc_columnar_roundtrip /
+    # sketch_quantile_sample: the window holds 50 and never-sampled
+    # queries outrank r2-stale refreshes; survey ids
+    # X5/X2/X4/X6/X14/X16/X17 all have r4-green rows via the pipeline
+    # queries, and the seven yielded queries stay green in local oracle
+    # parity every pytest run.)
     "x10_x11_timestamp_formats",
-    "x17_redact_code",
     "x18_prompt_denylist",
     "x20_section_split",
     # -- new in round 5 (late): matryoshka truncation audit, cohort

@@ -139,3 +139,98 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled quantiles: per-source token-count p50/p90 estimated from a
+# deterministic 25% hash sample, audited against the exact quantiles.
+# The third leg of the sketch family (HLL=cardinality, CMS=frequency,
+# hash-sample=quantiles): at 100 TB the exact per-group percentile
+# sorts the full stream, while the hash gate is a pushed-down narrow
+# filter that cuts the sorted volume 4x with per-group error you can
+# SEE in this query's output — and, unlike Spark's approx_percentile
+# sketch, the sample is reproducible across engines/partitionings/
+# reruns (same sha256 gate as sample_stratified_hash).
+# ---------------------------------------------------------------------------
+_QS_SALT = "qsk-v1"
+_QS_FRAC = 0.25
+
+
+def _qs_sql() -> str:
+    from ..operators.sampling import fraction_threshold
+
+    gate = (
+        f"substr(sha256('{_QS_SALT}' || '|' || CAST(doc_id AS VARCHAR)), 1, 4)"
+        f" < '{fraction_threshold(_QS_FRAC)}'"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    samp AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             ROUND((quantile_cont(n_tokens, [0.5, 0.9]))[1], 6) AS est_p50,
+             ROUND((quantile_cont(n_tokens, [0.5, 0.9]))[2], 6) AS est_p90
+      FROM base WHERE {gate} GROUP BY source
+    ),
+    ex AS (
+      SELECT source,
+             ROUND((quantile_cont(n_tokens, [0.5, 0.9]))[1], 6) AS exact_p50,
+             ROUND((quantile_cont(n_tokens, [0.5, 0.9]))[2], 6) AS exact_p90
+      FROM base GROUP BY source
+    )
+    SELECT samp.source, samp.n_sampled, samp.est_p50, samp.est_p90,
+           ex.exact_p50, ex.exact_p90,
+           ROUND(abs(samp.est_p50 - ex.exact_p50), 4) AS abs_err_p50,
+           ROUND(abs(samp.est_p90 - ex.exact_p90), 4) AS abs_err_p90
+    FROM samp JOIN ex USING (source)
+    """
+
+
+@register(
+    "sketch_quantile_sample",
+    oracle=_qs_sql(),
+    survey_ids=("A8", "U1"),
+    description="Hash-sampled per-source token-count quantiles audited vs exact",
+)
+def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    pct = F.expr("percentile(n_tokens, array(0.5D, 0.9D))")
+    samp = (
+        hash_sample(base, "doc_id", _QS_FRAC, salt=_QS_SALT)
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_sampled"), pct.alias("p"))
+        .select(
+            "source",
+            "n_sampled",
+            F.round(F.col("p")[0], 6).alias("est_p50"),
+            F.round(F.col("p")[1], 6).alias("est_p90"),
+        )
+    )
+    exact = (
+        base.groupBy("source")
+        .agg(pct.alias("p"))
+        .select(
+            "source",
+            F.round(F.col("p")[0], 6).alias("exact_p50"),
+            F.round(F.col("p")[1], 6).alias("exact_p90"),
+        )
+    )
+    return samp.join(exact, ["source"]).select(
+        "source",
+        "n_sampled",
+        "est_p50",
+        "est_p90",
+        "exact_p50",
+        "exact_p90",
+        F.round(F.abs(F.col("est_p50") - F.col("exact_p50")), 4).alias("abs_err_p50"),
+        F.round(F.abs(F.col("est_p90") - F.col("exact_p90")), 4).alias("abs_err_p90"),
+    )

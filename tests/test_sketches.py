@@ -65,3 +65,22 @@ def test_cms_never_underestimates(spark):
     mean_over = sum(r["est_count"] - r["exact"] for r in rows) / len(rows)
     total = df.count()
     assert mean_over <= 2.72 * total / SK.CMS_WIDTH * 2  # ~2 * eN bound
+
+
+def test_quantile_sample_reasonable_and_deterministic(spark, sf_dir):
+    # The 25% hash sample's quantiles should sit near the exact ones
+    # (token counts are tightly distributed per source), and the sampled
+    # set is partition-invariant, so reruns reproduce identical rows.
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+    fn = REGISTRY["sketch_quantile_sample"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sampled"] >= 1
+        # error bound only meaningful once the stratum sample has mass
+        # (at sf0.001 some sources sample down to 1-2 docs)
+        if r["exact_p50"] > 0 and r["n_sampled"] >= 10:
+            assert r["abs_err_p50"] / r["exact_p50"] < 0.5, dict(r.asDict())
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
