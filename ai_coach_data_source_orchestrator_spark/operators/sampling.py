@@ -108,9 +108,10 @@ def dsir_importance(
 
     Scale shape: the bigram stream is a narrow explode; per-doc bucket
     counts partial-aggregate map-side down to ≤ ``n_buckets`` rows per
-    doc; the two global distributions are ``n_buckets``-row aggregates
-    that join back as a BROADCAST, so the only full shuffles are the two
-    doc-keyed groupBys. Nothing is collected to the driver.
+    doc; BOTH global distributions come from one bucket-keyed pass
+    (raw count + conditional target sum in the same aggregate, totals
+    folded from the resulting 256-row table), and the log-ratio table
+    joins back as a BROADCAST. Nothing is collected to the driver.
 
     Cross-engine determinism: buckets come from a sha256 prefix (DuckDB
     reproduces it byte-for-byte); the per-(doc,bucket) float terms
@@ -141,28 +142,28 @@ def dsir_importance(
         ).alias("bucket"),
     )
     per_doc = big.groupBy(id_col, "bucket").agg(F.count("*").alias("n"))
-    raw = big.groupBy("bucket").agg(F.count("*").alias("raw_b"))
-    tgt_counts = big.where(tgt).groupBy("bucket").agg(F.count("*").alias("tgt_b"))
-    totals = big.agg(
-        F.count("*").alias("raw_total"),
-        F.sum(F.when(tgt, 1).otherwise(0)).alias("tgt_total"),
+    # ONE pass builds both distributions (raw = all bigrams, tgt = the
+    # target subset as a conditional sum), and the totals fold from the
+    # 256-row bucket table rather than re-scanning the bigram stream —
+    # the first form of this operator ran four independent explode+hash
+    # passes over the corpus (review finding, this session).
+    bt = big.groupBy("bucket").agg(
+        F.count("*").alias("raw_b"),
+        F.sum(F.when(tgt, 1).otherwise(0)).alias("tgt_b"),
     )
-    lam = (
-        raw.join(tgt_counts, ["bucket"], "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce("tgt_b", F.lit(0)) + 1).cast("double")
-                    / (F.col("tgt_total") + n_buckets)
-                )
-                - F.log(
-                    (F.col("raw_b") + 1).cast("double")
-                    / (F.col("raw_total") + n_buckets)
-                )
-            ).alias("lam"),
-        )
+    totals = bt.agg(
+        F.sum("raw_b").alias("raw_total"), F.sum("tgt_b").alias("tgt_total")
+    )
+    lam = bt.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("tgt_b") + 1).cast("double") / (F.col("tgt_total") + n_buckets)
+            )
+            - F.log(
+                (F.col("raw_b") + 1).cast("double") / (F.col("raw_total") + n_buckets)
+            )
+        ).alias("lam"),
     )
     term = (F.col("n") * F.col("lam")).cast("decimal(28,12)")
     return (

@@ -465,6 +465,11 @@ def semantic_dedup(
         .withColumn("cluster", F.col("cids")[0])
         .drop("cids")
     )
+    # The assignment projection feeds three consumers (both self-join
+    # sides + the final output); with no Exchange to reuse, Spark would
+    # re-run the Arrow matmul over the corpus for each. localCheckpoint
+    # materializes it once (same device dedup.py's CC loop uses).
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = assigned.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     sim = (cosine_expr("va", "vb", dim) if dim else cosine(F.col("va"), F.col("vb")))

@@ -12,7 +12,7 @@ register layout is engine-private and can't be oracle-checked.
   per group from a sha256-derived 60-bit hash; max leading-zero rank
   per register; harmonic-mean estimate with the standard small-range
   (linear counting) correction. Relative error ≈ 1.04/√64 ≈ 13%.
-- ``cms_counts`` / ``cms_topk`` — count-min sketch (Cormode &
+- ``cms_counts`` / ``cms_estimate`` — count-min sketch (Cormode &
   Muthukrishnan 2005): d×w counter matrix from d independent
   sha256-derived bucket hashes; point estimate = min over rows; always
   an overestimate (one-sided error ≤ εN with ε = e/w).
@@ -145,15 +145,25 @@ def cms_estimate(
     token_col: str,
     d: int = CMS_DEPTH,
     w: int = CMS_WIDTH,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Point-estimate each candidate token: min over the d counter rows.
 
     ``counts`` is ≤ d·w rows → broadcast; the probe is a narrow
     explode (one scan, not d unioned projections) + broadcast equi-join
-    + per-token min.
+    + per-token min. The join is LEFT with ``coalesce(c, 0)`` — a
+    candidate whose (j, bucket) row was never incremented has true CMS
+    estimate min(..., 0) = 0, not the min of whichever counters happen
+    to collide (and it must not vanish from the output).
+
+    ``carry_cols`` ride along through the probe and groupBy, so a
+    caller auditing against pre-computed exact counts doesn't have to
+    re-aggregate the token stream a second time for the comparison
+    join.
     """
     probes = candidates.select(
         F.col(token_col).alias("token"),
+        *[F.col(c) for c in carry_cols],
         F.explode(
             F.array(
                 *[
@@ -165,9 +175,9 @@ def cms_estimate(
                 ]
             )
         ).alias("p"),
-    ).select("token", "p.j", "p.bucket")
+    ).select("token", *carry_cols, "p.j", "p.bucket")
     return (
-        probes.join(F.broadcast(counts), ["j", "bucket"])
-        .groupBy("token")
-        .agg(F.min("c").alias("est_count"))
+        probes.join(F.broadcast(counts), ["j", "bucket"], "left")
+        .groupBy("token", *carry_cols)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
     )

@@ -115,17 +115,16 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
     counts = SK.cms_counts(toks, "tok")
     exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
-    est = SK.cms_estimate(exact, counts, "tok")
+    # exact_count rides THROUGH the probe (carry_cols) — joining `est`
+    # back to `exact` would put the corpus-wide token aggregation in the
+    # DAG twice and recompute it (review finding, this session).
+    est = SK.cms_estimate(exact, counts, "tok", carry_cols=("exact_count",))
     # Distributed top-K (TakeOrderedAndProject: per-partition heaps +
     # driver merge), NOT a corpus-wide unpartitioned Window — the first
     # form of this query row_number'ed every distinct token through one
     # task and was the worst ratio (0.58) in the sf1 smoke. The rank
     # Window only ever sees the K survivors.
-    top = (
-        est.join(exact, est.token == exact.tok)
-        .orderBy(F.desc("est_count"), F.asc("token"))
-        .limit(_CMS_TOPK)
-    )
+    top = est.orderBy(F.desc("est_count"), F.asc("token")).limit(_CMS_TOPK)
     w = Window.orderBy(F.desc("est_count"), F.asc("token"))  # K rows only
     return (
         top.withColumn("rank", F.row_number().over(w))

@@ -18,10 +18,13 @@ from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
 def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     d = tmp_path / f"docs_{uuid.uuid4().hex[:8]}"
-    # two files → at least two micro-batches worth of state merging
-    docs.limit(200).coalesce(1).write.parquet(str(d))
-    rest = docs.subtract(docs.limit(200))
-    rest.coalesce(1).write.mode("append").parquet(str(d))
+    # two files → at least two micro-batches worth of state merging.
+    # Deterministic hash split, NOT limit(200)+subtract: an unordered
+    # LIMIT can pick a different subset per job, silently dropping rows
+    # from both files.
+    gate = F.crc32(F.col("text")) % 2 == 0
+    docs.where(gate).coalesce(1).write.parquet(str(d))
+    docs.where(~gate).coalesce(1).write.mode("append").parquet(str(d))
 
     toks_of = lambda df: df.select(  # noqa: E731
         "source", F.explode(T.tokens(F.col("text"))).alias("tok")
