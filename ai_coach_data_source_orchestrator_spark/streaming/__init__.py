@@ -5,7 +5,7 @@ from .asof import asof_join_stream
 from .dedup import dedup_stream
 from .neardup import near_dup_gate_stream
 from .contamination import contamination_gate_stream, eval_gram_set
-from .sketch import hll_registers_stream, hll_finalize
+from .sketch import hll_registers_stream, hll_finalize, cms_counts_stream, cms_estimate
 
 __all__ = [
     "asof_join_stream",
@@ -14,6 +14,8 @@ __all__ = [
     "eval_gram_set",
     "hll_registers_stream",
     "hll_finalize",
+    "cms_counts_stream",
+    "cms_estimate",
     "near_dup_gate_stream",
     "daily_counts_stream",
     "weekly_frame_stream",

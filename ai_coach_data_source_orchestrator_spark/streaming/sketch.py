@@ -19,9 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..operators.sketches import hll_finalize, hll_registers
+from ..operators.sketches import cms_counts, cms_estimate, hll_finalize, hll_registers
 
-__all__ = ["hll_registers_stream", "hll_finalize"]
+__all__ = ["hll_registers_stream", "hll_finalize", "cms_counts_stream", "cms_estimate"]
 
 
 def hll_registers_stream(sdf: DataFrame, group_col: str, token_col: str) -> DataFrame:
@@ -34,3 +34,13 @@ def hll_registers_stream(sdf: DataFrame, group_col: str, token_col: str) -> Data
     the batch path uses.
     """
     return hll_registers(sdf, group_col, token_col)
+
+
+def cms_counts_stream(sdf: DataFrame, token_col: str) -> DataFrame:
+    """Count-min counter matrix over a stream — state bounded at d·w
+    counters total, run with output mode ``complete``. Point-estimate
+    the sinked matrix with ``cms_estimate`` (re-exported), identical to
+    the batch path; counter increment is associative/commutative, so
+    micro-batch boundaries and arrival order cannot change the matrix.
+    """
+    return cms_counts(sdf, token_col)

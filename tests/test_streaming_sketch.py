@@ -53,3 +53,37 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
         for r in SK.hll_distinct(toks_of(docs), "source", "tok").collect()
     }
     assert got == want
+
+
+def test_streaming_cms_matrix_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    d = tmp_path / f"cms_{uuid.uuid4().hex[:8]}"
+    gate = F.crc32(F.col("text")) % 2 == 0
+    docs.where(gate).coalesce(1).write.parquet(str(d))
+    docs.where(~gate).coalesce(1).write.mode("append").parquet(str(d))
+
+    toks_of = lambda df: df.select(  # noqa: E731
+        F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    batch_counts = SK.cms_counts(toks_of(docs), "tok")
+
+    sdf = spark.readStream.schema("source string, text string").parquet(str(d))
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        ST.cms_counts_stream(toks_of(sdf), "tok")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql(f"SELECT * FROM {name}")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch_counts.collect())
+    )
+    # estimates off the streamed matrix = estimates off the batch matrix
+    cand = toks_of(docs).distinct().limit(50)
+    got = sorted(map(tuple, ST.cms_estimate(cand, streamed, "tok").collect()))
+    want = sorted(map(tuple, SK.cms_estimate(cand, batch_counts, "tok").collect()))
+    assert got == want
