@@ -1,0 +1,85 @@
+"""Graph operators for corpus curation: link-graph PageRank.
+
+Host-level PageRank is a standard web-corpus quality prior (rank the
+link graph, upweight documents from authoritative hosts — the signal
+behind Common-Crawl-derived corpus filters). It also exercises a
+category nothing else in the engine does: ITERATIVE float computation
+kept deterministic across engines and partitionings.
+
+Scale shape: each iteration is one edges⋈ranks equi-join on the source
+key and one dst-keyed groupBy — the canonical distributed PageRank
+step. Lineage is cut with localCheckpoint per iteration (the same
+device the connected-components loop uses) so K iterations stay K
+jobs, not a 2^K plan. The rank vector is |hosts| rows: small relative
+to the edge set, and Spark/AQE broadcasts it when it fits.
+
+Determinism: per-edge contributions ``p(u)/deg(u)`` are cast to
+DECIMAL(28,12) before the per-destination sum (the registry's
+order-independent-sum rule), and the damping update is two double ops
+identical in Spark and DuckDB — so K iterations stay bit-identical
+across engines, verified by the unrolled-CTE oracle in
+plans/queries_graph.py.
+
+Simplification (documented): dangling-node mass is dropped rather than
+redistributed — the standard simplified variant; ranks then sum to
+slightly under 1 when sinks exist. The registry query's synthesized
+graph has no sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = DAMPING,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns ``(node, rank)`` for every node appearing as source or
+    destination. ``n_iter`` is fixed (not convergence-tested) so the
+    result is a deterministic function of the graph — the form an
+    oracle can replay.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # scalar driver value: node-set cardinality only
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = e.join(deg, ["src"]).localCheckpoint(eager=False)
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("p"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("p") / F.col("deg")).cast("decimal(28,12)").alias("t"),
+            )
+            .groupBy("node")
+            .agg(F.sum("t").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, ["node"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("p").alias("rank"))

@@ -13,6 +13,7 @@ from . import queries_pipeline  # noqa: E402,F401
 from . import queries_epic_tree  # noqa: E402,F401
 from . import queries_sampling  # noqa: E402,F401
 from . import queries_sketches  # noqa: E402,F401
+from . import queries_graph  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering.
@@ -43,6 +44,7 @@ _FRONT = [
     "sketch_cms_heavy_hitters",
     "k_orc_columnar_roundtrip",
     "sketch_quantile_sample",
+    "graph_host_pagerank",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -77,18 +79,17 @@ _FRONT = [
     "dedup_embedding_cosine_lsh",
     "knn_ivf",
     # (x5_html_bullets, x2_wiki_to_markdown, x4_slack_markup,
-    # x6_linkify_issue_keys, x14_slugify, x16_mask_secrets and
-    # x17_redact_code yielded their slots to the round-5 additions
-    # corpus_health_report / sample_dsir_importance /
+    # x6_linkify_issue_keys, x14_slugify, x16_mask_secrets,
+    # x17_redact_code and x18_prompt_denylist yielded their slots to the
+    # round-5 additions corpus_health_report / sample_dsir_importance /
     # dedup_semantic_clusters / sketch_hll_distinct /
     # sketch_cms_heavy_hitters / k_orc_columnar_roundtrip /
-    # sketch_quantile_sample: the window holds 50 and never-sampled
-    # queries outrank r2-stale refreshes; survey ids
-    # X5/X2/X4/X6/X14/X16/X17 all have r4-green rows via the pipeline
-    # queries, and the seven yielded queries stay green in local oracle
-    # parity every pytest run.)
+    # sketch_quantile_sample / graph_host_pagerank: the window holds 50
+    # and never-sampled queries outrank r2-stale refreshes; survey ids
+    # X5/X2/X4/X6/X14/X16/X17/X18 all have r4-green rows via the
+    # pipeline queries, and the eight yielded queries stay green in
+    # local oracle parity every pytest run.)
     "x10_x11_timestamp_formats",
-    "x18_prompt_denylist",
     "x20_section_split",
     # -- new in round 5 (late): matryoshka truncation audit, cohort
     #    retention, ordered funnel. (text_line_dedup / cc_large_star

@@ -1,0 +1,91 @@
+"""Link-graph PageRank query (operators/graph.py): the host-authority
+quality prior used in web-corpus curation, and the engine's showcase of
+DETERMINISTIC ITERATIVE float computation — five unrolled iterations
+whose per-edge contributions go through DECIMAL(28,12) sums, so Spark
+and the unrolled-CTE DuckDB oracle stay bit-identical.
+
+The synthetic corpus has no links, so the query synthesizes a
+deterministic host graph from doc_id arithmetic (the same
+planted-fixture pattern as text_url_normalize / the LSH dedups): each
+doc contributes edges h(doc_id%30) → h((doc_id*7+3)%30) and
+h((doc_id*13+5)%30), self-loops dropped, edges deduplicated.
+
+DuckDB precision trap: a bare ``1.0`` literal is DECIMAL there, and
+decimal arithmetic is exact where IEEE is not (1.0-0.85 = 0.15 exactly
+as decimal but 0.15000000000000002 as double) — every float literal in
+the oracle is CAST to DOUBLE so both engines run the same IEEE ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import graph as G
+from ..sources.tables import load_table
+from .registry import register
+
+_N_HOSTS = 30
+_D = 0.85
+_ITERS = 5
+
+
+def _pr_sql() -> str:
+    d = f"CAST({_D} AS DOUBLE)"
+    ctes = [
+        f"""raw AS (
+      SELECT 'h' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7 + 3) % {_N_HOSTS} AS VARCHAR) AS dst FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % {_N_HOSTS} AS VARCHAR),
+             'h' || CAST((doc_id * 13 + 5) % {_N_HOSTS} AS VARCHAR) FROM documents
+    )""",
+        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS p FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, _ITERS + 1):
+        ctes.append(
+            f"""c{k} AS (
+      SELECT e.dst AS node, SUM(CAST(p.p / deg.deg AS DECIMAL(28,12))) AS s
+      FROM e JOIN p{k - 1} p ON e.src = p.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""p{k} AS (
+      SELECT nodes.node,
+             (CAST(1.0 AS DOUBLE) - {d}) / nn.n
+               + {d} * COALESCE(CAST(c{k}.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS p
+      FROM nodes CROSS JOIN nn LEFT JOIN c{k} ON nodes.node = c{k}.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS host, ROUND(p, 6) AS rank FROM p{_ITERS}"
+    )
+
+
+@register(
+    "graph_host_pagerank",
+    oracle=_pr_sql(),
+    survey_ids=("U7",),
+    description="Host link-graph PageRank (5 deterministic iterations, quality prior)",
+)
+def graph_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = lambda e: F.concat(F.lit("h"), e.cast("string"))  # noqa: E731
+    e1 = docs.select(
+        h(F.col("doc_id") % _N_HOSTS).alias("src"),
+        h((F.col("doc_id") * 7 + 3) % _N_HOSTS).alias("dst"),
+    )
+    e2 = docs.select(
+        h(F.col("doc_id") % _N_HOSTS).alias("src"),
+        h((F.col("doc_id") * 13 + 5) % _N_HOSTS).alias("dst"),
+    )
+    edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+    out = G.pagerank(edges, damping=_D, n_iter=_ITERS)
+    return out.select(F.col("node").alias("host"), F.round("rank", 6).alias("rank"))

@@ -1,0 +1,33 @@
+"""PageRank properties: mass conservation (no sinks in the synthesized
+graph), partition invariance, and authority ordering on a constructed
+hub graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.operators import graph as G
+
+
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+    rows = REGISTRY["graph_host_pagerank"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30
+    total = sum(r["rank"] for r in rows)
+    # sink-free graph conserves mass (up to the round(…, 6) on 30 rows)
+    assert abs(total - 1.0) < 1e-4, total
+    again = REGISTRY["graph_host_pagerank"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pagerank_ranks_hub_highest(spark):
+    # Star graph: every spoke links to the hub, hub links back to one
+    # spoke. The hub must outrank every spoke regardless of partitioning.
+    edges = [(f"s{i}", "hub") for i in range(10)] + [("hub", "s0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r["node"]: r["rank"] for r in G.pagerank(df).collect()}
+    assert ranks["hub"] == max(ranks.values())
+    assert ranks["s0"] > ranks["s1"]  # s0 gets the hub's backlink
+    again = {r["node"]: r["rank"] for r in G.pagerank(df.repartition(7)).collect()}
+    assert ranks == again
