@@ -181,3 +181,72 @@ def cms_estimate(
         .groupBy("token", *carry_cols)
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
     )
+
+
+BLOOM_K = 4
+BLOOM_M = 256  # bits; small enough that false positives are observable
+
+
+def _bloom_pos(col: Column, j: int, m: int = BLOOM_M) -> Column:
+    return (
+        F.conv(
+            F.substring(F.sha2(F.concat_ws("|", F.lit(f"bl{j}"), col), 256), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+    )
+
+
+def bloom_bits(
+    keys: DataFrame, key_col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """The filter itself: the distinct set-bit positions (≤ m rows) —
+    built distributedly with one explode + distinct, broadcastable to
+    any probe site. This is the classic at-scale denylist shape: the
+    key set may be huge, the filter is m bits."""
+    return (
+        keys.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col(key_col), j, m) for j in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+    out_col: str = "possible_member",
+) -> DataFrame:
+    """Probe: a key is a possible member iff ALL k of its positions are
+    set. Duplicate positions from colliding hash functions are counted
+    per hash function (j), not distinct-ed — distinct-ing would turn a
+    within-key collision into a false NEGATIVE, which Bloom filters
+    must never produce."""
+    probes = df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bloom_pos(F.col(key_col), j, m).alias("pos"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("bp"),
+    ).select("*", "bp.j", "bp.pos").drop("bp")
+    hit = probes.join(
+        F.broadcast(bits.withColumn("hit", F.lit(1))), ["pos"], "left"
+    )
+    group_cols = [c for c in df.columns]
+    return (
+        hit.groupBy(*group_cols)
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == k).alias(out_col))
+    )

@@ -45,6 +45,7 @@ _FRONT = [
     "k_orc_columnar_roundtrip",
     "sketch_quantile_sample",
     "graph_host_pagerank",
+    "sketch_bloom_membership",
     # -- rotated this round: latest green driver row is r2, and testdata
     #    has been regenerated since; all 40 are green in local oracle
     #    parity, the driver row just needs refreshing --
@@ -87,10 +88,11 @@ _FRONT = [
     # sketch_quantile_sample / graph_host_pagerank: the window holds 50
     # and never-sampled queries outrank r2-stale refreshes; survey ids
     # X5/X2/X4/X6/X14/X16/X17/X18 all have r4-green rows via the
-    # pipeline queries, and the eight yielded queries stay green in
-    # local oracle parity every pytest run.)
+    # pipeline queries, and the yielded queries stay green in local
+    # oracle parity every pytest run. x20_section_split likewise yielded
+    # to sketch_bloom_membership — X20's r2 row stays its latest, the
+    # accepted cost of prioritizing never-sampled queries.)
     "x10_x11_timestamp_formats",
-    "x20_section_split",
     # -- new in round 5 (late): matryoshka truncation audit, cohort
     #    retention, ordered funnel. (text_line_dedup / cc_large_star
     #    yielded their slots: both r4-green, locally oracle-green, and

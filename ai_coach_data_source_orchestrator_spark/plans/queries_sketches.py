@@ -233,3 +233,64 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("est_p50") - F.col("exact_p50")), 4).alias("abs_err_p50"),
         F.round(F.abs(F.col("est_p90") - F.col("exact_p90")), 4).alias("abs_err_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership gate: the bounded-memory denylist check (the
+# fourth leg of the sketch family: membership). A content denylist
+# (every 13th doc's text hash) becomes an m=256-bit filter; probing all
+# docs yields possible_member with NO false negatives and an observable
+# false-positive rate (~(fill)^k, a few % at this fill), audited
+# against the exact semi-join in the same output. At 100 TB the filter
+# is m bits broadcast everywhere, while the exact check shuffles the
+# full key set — the query shows precisely what that trade buys.
+# ---------------------------------------------------------------------------
+def _bloom_pos_sql(key: str, j: str) -> str:
+    return (
+        f"('0x' || substr(sha256('bl' || CAST({j} AS VARCHAR) || '|' || {key}), 1, 8))"
+        f"::BIGINT % {SK.BLOOM_M}"
+    )
+
+
+_BLOOM_SQL = f"""
+    WITH k AS (SELECT doc_id, sha256(text) AS key FROM documents),
+    deny AS (SELECT DISTINCT key FROM k WHERE doc_id % 13 = 0),
+    bits AS (SELECT DISTINCT {_bloom_pos_sql("key", "j")} AS pos
+             FROM deny, unnest([0, 1, 2, 3]) s(j)),
+    pr AS (SELECT doc_id, key, j, {_bloom_pos_sql("key", "j")} AS pos
+           FROM k, unnest([0, 1, 2, 3]) s(j)),
+    hits AS (SELECT pr.doc_id, pr.key,
+                    SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS h
+             FROM pr LEFT JOIN bits ON pr.pos = bits.pos GROUP BY 1, 2)
+    SELECT h.doc_id, (h.h = {SK.BLOOM_K}) AS possible_member,
+           (d.key IS NOT NULL) AS exact_member,
+           (h.h = {SK.BLOOM_K} AND d.key IS NULL) AS false_positive
+    FROM hits h LEFT JOIN deny d ON h.key = d.key
+"""
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=_BLOOM_SQL,
+    survey_ids=("X18", "U3"),
+    description="Bloom-filter denylist gate audited vs exact membership (no false negatives)",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("key")
+    )
+    deny = docs.where(F.col("doc_id") % 13 == 0).select("key").distinct()
+    bits = SK.bloom_bits(deny, "key")
+    probed = SK.bloom_probe(docs, "key", bits)
+    exact = deny.withColumn("exact_member", F.lit(True))
+    return (
+        probed.join(F.broadcast(exact), ["key"], "left")
+        .select(
+            "doc_id",
+            "possible_member",
+            F.coalesce("exact_member", F.lit(False)).alias("exact_member"),
+            (F.col("possible_member") & ~F.coalesce("exact_member", F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+    )

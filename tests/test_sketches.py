@@ -84,3 +84,19 @@ def test_quantile_sample_reasonable_and_deterministic(spark, sf_dir):
             assert r["abs_err_p50"] / r["exact_p50"] < 0.5, dict(r.asDict())
     again = fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bloom_no_false_negatives_and_invariance(spark):
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(60)], "k string"
+    )
+    deny = spark.createDataFrame([(f"key{i}",) for i in range(0, 60, 3)], "k string")
+    bits = SK.bloom_bits(deny, "k")
+    assert bits.count() <= SK.BLOOM_K * 20  # ≤ k bits per denied key
+    probed = SK.bloom_probe(keys, "k", bits)
+    rows = {r["k"]: r["possible_member"] for r in probed.collect()}
+    for i in range(0, 60, 3):
+        assert rows[f"key{i}"], "bloom produced a false negative"
+    again = {r["k"]: r["possible_member"]
+             for r in SK.bloom_probe(keys.repartition(7), "k", bits).collect()}
+    assert rows == again
