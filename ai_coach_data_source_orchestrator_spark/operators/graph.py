@@ -56,6 +56,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()  # scalar driver value: node-set cardinality only
+    if n == 0:
+        # empty graph (or all edges were self-loops): empty result, not
+        # a driver-side ZeroDivisionError from 1.0/n
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ew = e.join(deg, ["src"]).localCheckpoint(eager=False)
 

@@ -101,15 +101,21 @@ CMS_DEPTH = 4
 CMS_WIDTH = 128
 
 
-def _cms_bucket(col: Column, j: int, w: int = CMS_WIDTH) -> Column:
+def _salted_bucket(prefix: str, col: Column, j: int, m: int) -> Column:
+    """sha256-prefix bucket hash, shared by CMS and Bloom (one place to
+    fix the derivation; the SQL twin is queries_sketches._salted_bucket_sql)."""
     return (
         F.conv(
-            F.substring(F.sha2(F.concat_ws("|", F.lit(f"cms{j}"), col), 256), 1, 8),
+            F.substring(F.sha2(F.concat_ws("|", F.lit(f"{prefix}{j}"), col), 256), 1, 8),
             16,
             10,
         ).cast("bigint")
-        % w
+        % m
     )
+
+
+def _cms_bucket(col: Column, j: int, w: int = CMS_WIDTH) -> Column:
+    return _salted_bucket("cms", col, j, w)
 
 
 def cms_counts(
@@ -188,14 +194,7 @@ BLOOM_M = 256  # bits; small enough that false positives are observable
 
 
 def _bloom_pos(col: Column, j: int, m: int = BLOOM_M) -> Column:
-    return (
-        F.conv(
-            F.substring(F.sha2(F.concat_ws("|", F.lit(f"bl{j}"), col), 256), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % m
-    )
+    return _salted_bucket("bl", col, j, m)
 
 
 def bloom_bits(
@@ -204,9 +203,13 @@ def bloom_bits(
     """The filter itself: the distinct set-bit positions (≤ m rows) —
     built distributedly with one explode + distinct, broadcastable to
     any probe site. This is the classic at-scale denylist shape: the
-    key set may be huge, the filter is m bits."""
+    key set may be huge, the filter is m bits. NULL keys set no bits
+    (concat_ws would silently hash NULL as the bare salt, giving every
+    NULL key the same phantom positions — and the DuckDB twin's ||
+    propagates NULL instead, so the engines would diverge)."""
     return (
-        keys.select(
+        keys.where(F.col(key_col).isNotNull())
+        .select(
             F.explode(
                 F.array(*[_bloom_pos(F.col(key_col), j, m) for j in range(k)])
             ).alias("pos")
@@ -224,29 +227,27 @@ def bloom_probe(
     out_col: str = "possible_member",
 ) -> DataFrame:
     """Probe: a key is a possible member iff ALL k of its positions are
-    set. Duplicate positions from colliding hash functions are counted
-    per hash function (j), not distinct-ed — distinct-ing would turn a
-    within-key collision into a false NEGATIVE, which Bloom filters
-    must never produce."""
-    probes = df.select(
-        "*",
+    set — tested with ``min(hit) == 1``, which stays correct when the
+    same key (or identical full rows) appears many times in ``df``: an
+    earlier sum==k form double-counted hits across duplicate rows and
+    produced Bloom-forbidden FALSE NEGATIVES (review finding, this
+    session). Each DISTINCT key is probed exactly once and the verdict
+    joins back onto ``df``, preserving input row multiplicity; NULL
+    keys are never members (matching the SQL twin, where NULL
+    propagates through || and the null position can't match)."""
+    keys = df.select(F.col(key_col).alias("_bk")).where(F.col("_bk").isNotNull()).distinct()
+    probes = keys.select(
+        "_bk",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _bloom_pos(F.col(key_col), j, m).alias("pos"),
-                    )
-                    for j in range(k)
-                ]
-            )
-        ).alias("bp"),
-    ).select("*", "bp.j", "bp.pos").drop("bp")
-    hit = probes.join(
-        F.broadcast(bits.withColumn("hit", F.lit(1))), ["pos"], "left"
+            F.array(*[_bloom_pos(F.col("_bk"), j, m) for j in range(k)])
+        ).alias("pos"),
     )
-    group_cols = [c for c in df.columns]
+    hit = probes.join(F.broadcast(bits.withColumn("hit", F.lit(1))), ["pos"], "left")
+    member = hit.groupBy("_bk").agg(
+        (F.min(F.coalesce("hit", F.lit(0))) == 1).alias(out_col)
+    )
     return (
-        hit.groupBy(*group_cols)
-        .agg((F.sum(F.coalesce("hit", F.lit(0))) == k).alias(out_col))
+        df.join(member, F.col(key_col) == F.col("_bk"), "left")
+        .drop("_bk")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
     )

@@ -2,9 +2,11 @@
 bounded-memory counterparts of the exact profiles (`corpus_zipf_topk`,
 `a_percentile_profile`) — what you actually run first at 100 TB, where
 exact per-group distincts and exact global top-k are a full-stream
-shuffle. Both queries audit the sketch against the exact answer on the
-same data, so the driver hash-check pins the sketch arithmetic AND the
-documented error bounds stay visible in the output.
+shuffle. Four estimation axes: cardinality (HLL), frequency (CMS),
+quantiles (deterministic hash sample), membership (Bloom). Every query
+audits the sketch against the exact answer on the same data, so the
+driver hash-check pins the sketch arithmetic AND the documented error
+bounds stay visible in the output.
 
 Oracles replay the sketches bit-for-bit: sha256-derived hashes, shift
 (not float-division) bit extraction, DECIMAL(38,20) harmonic sums, and
@@ -74,11 +76,17 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_TOPK = 20
 
 
-def _cms_bucket_sql(tok_expr: str, j: str) -> str:
+def _salted_bucket_sql(prefix: str, key_expr: str, j: str, m: int) -> str:
+    """DuckDB twin of operators.sketches._salted_bucket — the ONE place
+    the oracle-side hash derivation lives (CMS and Bloom both use it)."""
     return (
-        f"('0x' || substr(sha256('cms' || CAST({j} AS VARCHAR) || '|' || {tok_expr}), 1, 8))"
-        f"::BIGINT % {SK.CMS_WIDTH}"
+        f"('0x' || substr(sha256('{prefix}' || CAST({j} AS VARCHAR) || '|' || {key_expr}), 1, 8))"
+        f"::BIGINT % {m}"
     )
+
+
+def _cms_bucket_sql(tok_expr: str, j: str) -> str:
+    return _salted_bucket_sql("cms", tok_expr, j, SK.CMS_WIDTH)
 
 
 _CMS_SQL = f"""
@@ -246,10 +254,7 @@ def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full key set — the query shows precisely what that trade buys.
 # ---------------------------------------------------------------------------
 def _bloom_pos_sql(key: str, j: str) -> str:
-    return (
-        f"('0x' || substr(sha256('bl' || CAST({j} AS VARCHAR) || '|' || {key}), 1, 8))"
-        f"::BIGINT % {SK.BLOOM_M}"
-    )
+    return _salted_bucket_sql("bl", key, j, SK.BLOOM_M)
 
 
 _BLOOM_SQL = f"""

@@ -31,3 +31,16 @@ def test_pagerank_ranks_hub_highest(spark):
     assert ranks["s0"] > ranks["s1"]  # s0 gets the hub's backlink
     again = {r["node"]: r["rank"] for r in G.pagerank(df.repartition(7)).collect()}
     assert ranks == again
+
+
+def test_pagerank_empty_graph(spark):
+    # Empty edge list must yield an empty result, not a driver-side
+    # ZeroDivisionError from 1.0/0 (review finding, this session).
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert G.pagerank(empty).collect() == []
+    # Self-loops are legitimate PageRank input at the operator level
+    # (the registry query chooses to pre-filter them): a single
+    # self-looping node keeps all the mass.
+    loops = spark.createDataFrame([("a", "a")], "src string, dst string")
+    rows = G.pagerank(loops).collect()
+    assert [(r["node"], round(r["rank"], 9)) for r in rows] == [("a", 1.0)]

@@ -100,3 +100,18 @@ def test_bloom_no_false_negatives_and_invariance(spark):
     again = {r["k"]: r["possible_member"]
              for r in SK.bloom_probe(keys.repartition(7), "k", bits).collect()}
     assert rows == again
+
+
+def test_bloom_probe_duplicate_rows_and_nulls(spark):
+    # Review-confirmed regression scenario: duplicate probe rows must
+    # each keep the correct verdict (an earlier sum==k test form
+    # double-counted hits and reported denied keys as non-members), and
+    # NULL keys are never members.
+    deny = spark.createDataFrame([("a",), ("b",)], "k string")
+    bits = SK.bloom_bits(deny, "k")
+    probe = spark.createDataFrame([("a",), ("a",), ("c",), (None,)], "k string")
+    rows = SK.bloom_probe(probe, "k", bits).collect()
+    assert len(rows) == 4  # row multiplicity preserved
+    verdicts = sorted((r["k"] or "<null>", r["possible_member"]) for r in rows)
+    assert ("a", True) in verdicts and verdicts.count(("a", True)) == 2
+    assert ("<null>", False) in verdicts
