@@ -6,6 +6,7 @@ from .dedup import dedup_stream
 from .neardup import near_dup_gate_stream
 from .contamination import contamination_gate_stream, eval_gram_set
 from .sketch import hll_registers_stream, hll_finalize, cms_counts_stream, cms_estimate
+from .bloom import bloom_gate_stream
 
 __all__ = [
     "asof_join_stream",
@@ -16,6 +17,7 @@ __all__ = [
     "hll_finalize",
     "cms_counts_stream",
     "cms_estimate",
+    "bloom_gate_stream",
     "near_dup_gate_stream",
     "daily_counts_stream",
     "weekly_frame_stream",

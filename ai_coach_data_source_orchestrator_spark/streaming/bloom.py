@@ -1,0 +1,50 @@
+"""Streaming Bloom denylist gate: flag (or drop) arriving documents
+whose content hash is possibly in a denylist, using only an m-bit
+filter built batch-side.
+
+Shape: k stream-static BROADCAST left joins, one per hash function —
+no stateful aggregation at all, so the gate runs in append mode with
+unbounded streams and zero state store (the whole point of probing a
+bloom filter instead of anti-joining the full denylist: the static
+side is m bits, not |denylist| keys). Bloom guarantees carry over:
+no false negatives; false positives at the documented (fill)^k rate.
+
+tests/test_streaming_bloom.py proves the streamed verdicts equal the
+batch ``bloom_probe`` on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketches import BLOOM_K, BLOOM_M, _bloom_pos, bloom_bits
+
+__all__ = ["bloom_gate_stream", "bloom_bits"]
+
+
+def bloom_gate_stream(
+    sdf: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+    out_col: str = "possible_member",
+) -> DataFrame:
+    """Append-mode probe of a static bit set: all k positions present ⇒
+    possible member. NULL keys are never members (same contract as the
+    batch ``bloom_probe``)."""
+    out = sdf
+    hit_cols = []
+    for j in range(k):
+        b = bits.select(F.col("pos").alias(f"_p{j}"), F.lit(1).alias(f"_h{j}"))
+        out = out.join(
+            F.broadcast(b),
+            _bloom_pos(F.col(key_col), j, m) == F.col(f"_p{j}"),
+            "left",
+        ).drop(f"_p{j}")
+        hit_cols.append(F.col(f"_h{j}").isNotNull())
+    verdict = F.col(key_col).isNotNull()
+    for h in hit_cols:
+        verdict = verdict & h
+    return out.withColumn(out_col, verdict).drop(*[f"_h{j}" for j in range(k)])

@@ -1,0 +1,50 @@
+"""Streaming Bloom gate ⇄ batch equivalence: the appended stream's
+verdicts must equal batch bloom_probe on the same documents, and the
+gate must run in append mode (no stateful aggregation)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark import streaming as ST
+from ai_coach_data_source_orchestrator_spark.operators import sketches as SK
+from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+
+def test_streaming_bloom_gate_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("key")
+    )
+    deny = docs.where(F.col("doc_id") % 13 == 0).select("key").distinct()
+    bits = SK.bloom_bits(deny, "key")
+
+    batch = {
+        r["doc_id"]: r["possible_member"]
+        for r in SK.bloom_probe(docs, "key", bits).collect()
+    }
+
+    d = tmp_path / f"bloom_{uuid.uuid4().hex[:8]}"
+    gate = F.crc32(F.col("key")) % 2 == 0
+    docs.where(gate).coalesce(1).write.parquet(str(d))
+    docs.where(~gate).coalesce(1).write.mode("append").parquet(str(d))
+
+    sdf = spark.readStream.schema("doc_id bigint, key string").parquet(str(d))
+    name = f"bg_{uuid.uuid4().hex[:8]}"
+    q = (
+        ST.bloom_gate_stream(sdf, "key", bits)
+        .select("doc_id", "possible_member")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # proves the gate is stateless
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["doc_id"]: r["possible_member"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert streamed == batch
+    assert any(streamed.values())  # the denylisted docs actually flag
