@@ -86,6 +86,9 @@ QUERIES = [
     ("dedup_semantic_clusters", "embeddings"),
     ("sketch_hll_distinct", "documents"),
     ("sketch_cms_heavy_hitters", "documents"),
+    ("sketch_quantile_sample", "documents"),
+    ("sketch_bloom_membership", "documents"),
+    ("graph_host_pagerank", "documents"),
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
