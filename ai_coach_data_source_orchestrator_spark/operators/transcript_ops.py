@@ -35,6 +35,19 @@ P3 = rf"^([^(]+)\s*\(({_TIME})\):\s*(.+)$"  # speaker (time): content
 P4 = r"^([^:]+):\s*(.+)$"  # speaker: content
 
 
+def _format_time(t: Column) -> Column:
+    """Reference formatTime (transcript-to-markdown.js:~220): for
+    H:MM[:SS] captures, emit ``parseInt(hours) + ':' + minutes`` — the
+    hour's leading zero is stripped and SECONDS ARE DROPPED. Found via
+    the node golden (tests/golden/ref_transcript_driver.js): the raw
+    capture diverged on '09:05:30'-style lines."""
+    return F.concat(
+        F.split(t, ":")[0].cast("int").cast("string"),
+        F.lit(":"),
+        F.split(t, ":")[1],
+    )
+
+
 def detect_line(line: Column) -> Column:
     """Struct(time, speaker, content, pattern) for entry lines, else
     pattern = -1. Pattern precedence matches the reference exactly."""
@@ -42,7 +55,7 @@ def detect_line(line: Column) -> Column:
         F.when(
             line.rlike(P0),
             F.struct(
-                F.regexp_extract(line, P0, 1).alias("time"),
+                _format_time(F.regexp_extract(line, P0, 1)).alias("time"),
                 F.trim(F.regexp_extract(line, P0, 2)).alias("speaker"),
                 F.lit("").alias("content"),
                 F.lit(0).alias("pattern"),
@@ -51,7 +64,7 @@ def detect_line(line: Column) -> Column:
         .when(
             line.rlike(P2),  # bracketed-time must be tested before P1 can't match it ([ not a digit)
             F.struct(
-                F.regexp_extract(line, P2, 1).alias("time"),
+                _format_time(F.regexp_extract(line, P2, 1)).alias("time"),
                 F.trim(F.regexp_extract(line, P2, 2)).alias("speaker"),
                 F.trim(F.regexp_extract(line, P2, 3)).alias("content"),
                 F.lit(2).alias("pattern"),
@@ -60,7 +73,7 @@ def detect_line(line: Column) -> Column:
         .when(
             line.rlike(P1),
             F.struct(
-                F.regexp_extract(line, P1, 1).alias("time"),
+                _format_time(F.regexp_extract(line, P1, 1)).alias("time"),
                 F.trim(F.regexp_extract(line, P1, 2)).alias("speaker"),
                 F.trim(F.regexp_extract(line, P1, 3)).alias("content"),
                 F.lit(1).alias("pattern"),
@@ -69,7 +82,7 @@ def detect_line(line: Column) -> Column:
         .when(
             line.rlike(P3),
             F.struct(
-                F.regexp_extract(line, P3, 2).alias("time"),
+                _format_time(F.regexp_extract(line, P3, 2)).alias("time"),
                 F.trim(F.regexp_extract(line, P3, 1)).alias("speaker"),
                 F.trim(F.regexp_extract(line, P3, 3)).alias("content"),
                 F.lit(3).alias("pattern"),

@@ -1,0 +1,34 @@
+// Golden-test driver: runs the REFERENCE repo's transcript parser
+// (transcripts/transcript-to-markdown.js — detectTranscriptLine,
+// formatTime, extractParticipants) over a list of lines read from a
+// JSON fixture and prints per-line parse results + participants as
+// JSON to stdout. The module is a side-effect-free class whose only
+// imports are fs/path/lib-errors (fs used solely by
+// extractParticipantsFromFile, which this driver never calls) — so a
+// plain require is safe; nothing is copied, no writes, no network.
+//
+// Usage: node ref_transcript_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const mod = require(path.join(refRoot, 'transcripts', 'transcript-to-markdown.js'));
+const parser = new mod.TranscriptToMarkdown();
+
+const content = fixture.lines.join('\n');
+const perLine = fixture.lines.map((line) => {
+  const t = line.trim();
+  if (!t) return null;
+  const m = parser.detectTranscriptLine(t);
+  return m ? { time: m.time, speaker: m.speaker, content: m.content } : null;
+});
+
+process.stdout.write(
+  JSON.stringify({
+    per_line: perLine,
+    participants: parser.extractParticipants(content),
+  })
+);

@@ -1,0 +1,94 @@
+"""Golden parity: our Spark transcript line detector vs the reference's
+OWN detectTranscriptLine/formatTime/extractParticipants executed via
+node (tests/golden/ref_transcript_driver.js).
+
+This is the test that caught the formatTime divergence: the reference
+normalizes every captured time to ``parseInt(hours) + ':' + minutes``
+(leading-zero hour stripped, SECONDS DROPPED) while the first Spark
+form emitted the raw capture. The fixture deliberately covers all five
+patterns, zero-padded hours, H:MM:SS times, noise lines, and the
+header-then-content shape.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.operators import transcript_ops as TR
+
+DRIVER = Path(__file__).parent / "golden" / "ref_transcript_driver.js"
+REF = Path("/root/reference")
+
+LINES = [
+    "0:00 - Alice Johnson",            # P0 header
+    "  welcome everyone",               # content for header
+    "  agenda first",                   # second content line, same utterance
+    "00:15 Bob: morning all",           # P1, zero-padded hour
+    "09:05:30 Carol: seconds here",     # P1 with seconds (formatTime drops them)
+    "[10:07] Dave: bracketed time",     # P2
+    "Eve (2:03): paren time",           # P3
+    "Frank: no timestamp",              # P4
+    "10:15 - Grace Lee",                # second header
+    "  closing remarks",                # content for second header
+    "???!!!",                           # noise: matches no pattern, no colon
+    "11:00 Heidi: bye",                 # trailing entry flushes Grace's content
+]
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+def test_line_detection_matches_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps({"lines": LINES}),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+
+    df = spark.createDataFrame([(i, l.strip()) for i, l in enumerate(LINES)], "i int, line string")
+    ours = (
+        df.where(F.length("line") > 0)
+        .select("i", TR.detect_line(F.col("line")).alias("m"))
+        .collect()
+    )
+    got = {r["i"]: r["m"] for r in ours}
+    for i, expected in enumerate(ref["per_line"]):
+        if not LINES[i].strip():
+            continue
+        m = got[i]
+        if expected is None:
+            assert m["pattern"] == -1, (i, LINES[i], m)
+        else:
+            assert m["pattern"] >= 0, (i, LINES[i])
+            assert m["time"] == expected["time"], (i, LINES[i], m["time"], expected["time"])
+            assert m["speaker"] == expected["speaker"], (i, LINES[i])
+            assert (m["content"] or "") == expected["content"], (i, LINES[i])
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+def test_participants_match_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps({"lines": LINES}),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+
+    docs = spark.createDataFrame([("f1", "\n".join(LINES))], "filename string, content string")
+    ours = TR.participants(docs, "filename", "content").collect()[0]["participants"]
+    assert list(ours) == ref["participants"]
