@@ -166,16 +166,22 @@ def slugify(col: Column) -> Column:
 
 
 def human_size(size_bytes: Column) -> Column:
-    """X22 — human byte size (slack/lib/format.js:97-131): B / KB / MB
-    with one decimal, truncated (floor) so Spark and any oracle agree
-    regardless of round-half mode.
+    """X22 — human byte size, REFERENCE-EXACT (slack/lib/format.js
+    formatFileSize, :124-131): ``{bytes}B`` / ``{(b/1024).toFixed(1)}KB``
+    / ``{(b/2^20).toFixed(1)}MB`` — no space before the unit, one
+    rounded decimal (the node golden caught the earlier spaced,
+    floor-truncated form diverging). Cross-engine rounding is safe here
+    BECAUSE the quotients are exact: bytes/2^10 and bytes/2^20 are
+    always representable doubles (power-of-two denominators), so JS
+    toFixed, Spark's BigDecimal HALF_UP round, and DuckDB's ROUND see
+    the same exact value and agree even on .x5 ties.
     """
-    kb = F.floor(size_bytes * 10 / 1024) / 10
-    mb = F.floor(size_bytes * 10 / 1048576) / 10
+    kb = F.round(size_bytes / F.lit(1024.0), 1)
+    mb = F.round(size_bytes / F.lit(1048576.0), 1)
     return (
-        F.when(size_bytes < 1024, F.concat(size_bytes.cast("string"), F.lit(" B")))
-        .when(size_bytes < 1048576, F.concat(kb.cast("string"), F.lit(" KB")))
-        .otherwise(F.concat(mb.cast("string"), F.lit(" MB")))
+        F.when(size_bytes < 1024, F.concat(size_bytes.cast("string"), F.lit("B")))
+        .when(size_bytes < 1048576, F.concat(kb.cast("string"), F.lit("KB")))
+        .otherwise(F.concat(mb.cast("string"), F.lit("MB")))
     )
 
 

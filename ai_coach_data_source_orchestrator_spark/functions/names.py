@@ -78,17 +78,26 @@ def strip_suffix_parts(parts: list[str]) -> tuple[str, str]:
 def build_alias_rows(
     team_members: Iterable[str],
     mappings: Mapping[str, Any] | None = None,
+    generate_variants: bool = False,
 ) -> list[tuple[str, str, int, int]]:
     """Expand an ordered team-member list + mapping into alias rows
     ``(alias_norm, canonical_name, priority, alias_rank)``.
 
     priority = position in the configured team list (first-match-wins,
     lib/name-matcher.js:277-289); alias_rank = position within that
-    member's alias list (full name first). Generated first+last
-    variants apply the >=4-letter guard so short fragments like "Rey"
-    can't cause false positives; explicitly configured aliases are
-    exempt from the guard (the reference only guards *generated*
-    variations).
+    member's alias list (full name first).
+
+    Default parity target is ``getAllAliases``
+    (lib/name-matcher.js:199-241): fullName + configured aliases + the
+    key, and NOTHING generated — the reference's transcript/assignee
+    matching (filterParticipantsByTeam, split-by-assignee.js:84) never
+    invents first/last-name variants; the node golden
+    (tests/test_golden_names.py) pins this. ``generate_variants=True``
+    opts into the DATASOURCE-GENERATOR semantics
+    (generate_datasources.js:255-292): first+last variants under the
+    >=4-letter guard — the behavior J10's ``member_variations`` models.
+    An earlier form conflated the two and generated variants for the
+    matcher paths.
     """
     mappings = mappings or {}
     rows: list[tuple[str, str, int, int]] = []
@@ -98,7 +107,10 @@ def build_alias_rows(
 
         def add(alias: str, guarded: bool, member=member, prio=prio) -> None:
             nonlocal rank
-            norm = normalize_name_py(_deaccent(alias))
+            # De-accenting is generator-path behavior
+            # (generate_datasources.js:247-250); the matcher
+            # (normalizeNameForMatching) never de-accents.
+            norm = normalize_name_py(_deaccent(alias) if generate_variants else alias)
             if not norm or norm in seen:
                 return
             if guarded and len(re.sub(r"[^a-z]", "", norm)) < 4:
@@ -117,18 +129,19 @@ def build_alias_rows(
             add(data, guarded=False)
         add(member, guarded=False)
 
-        parts = member.strip().split()
-        first, last = strip_suffix_parts(parts)
-        if first and last and first != last:
-            add(f"{first} {last}", guarded=True)
-            add(first, guarded=True)
-            add(last, guarded=True)
+        if generate_variants:
+            parts = member.strip().split()
+            first, last = strip_suffix_parts(parts)
+            if first and last and first != last:
+                add(f"{first} {last}", guarded=True)
+                add(first, guarded=True)
+                add(last, guarded=True)
     return rows
 
 
-def alias_table(spark, team_members, mappings=None) -> DataFrame:
+def alias_table(spark, team_members, mappings=None, generate_variants=False) -> DataFrame:
     return spark.createDataFrame(
-        build_alias_rows(team_members, mappings),
+        build_alias_rows(team_members, mappings, generate_variants),
         "alias_norm string, canonical_name string, priority int, alias_rank int",
     )
 

@@ -509,19 +509,19 @@ def f9_section_date_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part
     )
     SELECT p_partkey,
-      CASE WHEN small_b < 1024 THEN small_b || ' B'
-           WHEN small_b < 1048576 THEN (floor(small_b * 10 / 1024) / 10) || ' KB'
-           ELSE (floor(small_b * 10 / 1048576) / 10) || ' MB' END AS h_small,
-      CASE WHEN mid_b < 1024 THEN mid_b || ' B'
-           WHEN mid_b < 1048576 THEN (floor(mid_b * 10 / 1024) / 10) || ' KB'
-           ELSE (floor(mid_b * 10 / 1048576) / 10) || ' MB' END AS h_mid,
-      CASE WHEN big_b < 1024 THEN big_b || ' B'
-           WHEN big_b < 1048576 THEN (floor(big_b * 10 / 1024) / 10) || ' KB'
-           ELSE (floor(big_b * 10 / 1048576) / 10) || ' MB' END AS h_big
+      CASE WHEN small_b < 1024 THEN small_b || 'B'
+           WHEN small_b < 1048576 THEN ROUND(CAST(small_b AS DOUBLE) / 1024, 1) || 'KB'
+           ELSE ROUND(CAST(small_b AS DOUBLE) / 1048576, 1) || 'MB' END AS h_small,
+      CASE WHEN mid_b < 1024 THEN mid_b || 'B'
+           WHEN mid_b < 1048576 THEN ROUND(CAST(mid_b AS DOUBLE) / 1024, 1) || 'KB'
+           ELSE ROUND(CAST(mid_b AS DOUBLE) / 1048576, 1) || 'MB' END AS h_mid,
+      CASE WHEN big_b < 1024 THEN big_b || 'B'
+           WHEN big_b < 1048576 THEN ROUND(CAST(big_b AS DOUBLE) / 1024, 1) || 'KB'
+           ELSE ROUND(CAST(big_b AS DOUBLE) / 1048576, 1) || 'MB' END AS h_big
     FROM src
     """,
     survey_ids=("X22",),
-    description="B/KB/MB human sizes, floor-truncated one decimal",
+    description="B/KB/MB human sizes, reference-exact toFixed(1) format",
 )
 def x22_human_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")

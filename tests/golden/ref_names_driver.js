@@ -1,0 +1,36 @@
+// Golden-test driver: runs the REFERENCE repo's name matcher
+// (lib/name-matcher.js — normalizeNameForMatching, getAllAliases,
+// findMatchingTeamMember, filterParticipantsByTeam) over a JSON
+// fixture and prints results to stdout. The module's fs import is used
+// only by loadTeamMapping, which this driver never calls — plain
+// require, read-only, no network, nothing copied.
+//
+// Usage: node ref_names_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const nm = require(path.join(refRoot, 'lib', 'name-matcher.js'));
+
+const out = {
+  normalized: fixture.names.map((n) => nm.normalizeNameForMatching(n)),
+  aliases: fixture.teamMembers.map((m) => nm.getAllAliases(m, fixture.mapping)),
+  matches: fixture.participants.map((p) => {
+    const r = nm.findMatchingTeamMember(p, fixture.teamMembers, fixture.mapping);
+    return r ? { teamMember: r.teamMember, matchedVia: r.matchedVia } : null;
+  }),
+};
+const f = nm.filterParticipantsByTeam(
+  fixture.participants,
+  fixture.teamMembers,
+  fixture.mapping,
+  fixture.minimumRequired
+);
+out.filter = {
+  shouldInclude: f.shouldInclude,
+  matchedCount: f.matchedCount,
+  matches: f.matches,
+};
+process.stdout.write(JSON.stringify(out));

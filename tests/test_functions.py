@@ -81,11 +81,25 @@ def test_match_exact_and_qualified(spark):
 
 
 def test_match_first_name_only_with_guard(spark):
-    # Generated first-name variant allowed when >=4 letters...
-    assert _match(spark, TEAM, ["Jolony"])["Jolony"] == "Jolony Tim Tangpuz"
-    # ...but a 3-letter generated fragment must NOT match (guard,
-    # generate_datasources.js:289-293). "Rey Lee" would generate "rey".
-    assert _match(spark, ["Rey Lee"], ["Rey"])["Rey"] is None
+    # MATCHER semantics (lib/name-matcher.js getAllAliases, pinned by
+    # tests/test_golden_names.py): first names match only when the
+    # CONFIG provides them as aliases — nothing is generated.
+    assert _match(spark, TEAM, ["Jolony"])["Jolony"] is None
+    got = _match(
+        spark, TEAM, ["Jolony"],
+        {"Jolony Tim Tangpuz": {"aliases": ["Jolony"]}},
+    )
+    assert got["Jolony"] == "Jolony Tim Tangpuz"
+    # GENERATOR semantics (generate_variants=True,
+    # generate_datasources.js:255-292): first-name variant allowed when
+    # >=4 letters, 3-letter fragments guarded out ("Rey Lee" → "rey").
+    def _gen_match(team, probes):
+        aliases = N.alias_table(spark, team, generate_variants=True)
+        pdf = spark.createDataFrame([(p,) for p in probes], "name string")
+        return {r["name"]: r["canonical_name"] for r in N.match_names(pdf, aliases).collect()}
+
+    assert _gen_match(TEAM, ["Jolony"])["Jolony"] == "Jolony Tim Tangpuz"
+    assert _gen_match(["Rey Lee"], ["Rey"])["Rey"] is None
 
 
 def test_match_nickname_alias_exempt_from_guard(spark):
@@ -97,8 +111,19 @@ def test_match_nickname_alias_exempt_from_guard(spark):
 
 def test_match_no_match_and_first_match_wins(spark):
     assert _match(spark, TEAM, ["Unknown Person"])["Unknown Person"] is None
-    got = _match(spark, ["Anna Lee", "Anna Chen"], ["Anna"])
-    assert got["Anna"] == "Anna Lee"  # first configured member wins
+    # Both members configure the same alias: the first configured
+    # member wins (lib/name-matcher.js:277-289 iterates teamMembers in
+    # order and returns the first hit).
+    got = _match(
+        spark,
+        ["Anna Lee", "Anna Chen"],
+        ["Anna"],
+        {
+            "Anna Lee": {"aliases": ["Anna"]},
+            "Anna Chen": {"aliases": ["Anna"]},
+        },
+    )
+    assert got["Anna"] == "Anna Lee"
 
 
 def test_suffix_stripping():

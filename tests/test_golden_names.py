@@ -1,0 +1,124 @@
+"""Golden parity: our alias table / first-match join / threshold filter
+vs the reference's OWN name matcher executed via node
+(tests/golden/ref_names_driver.js).
+
+This golden pinned two divergences fixed this session: (1) the alias
+builder generated first/last-name variants for the MATCHER paths,
+which getAllAliases never does (variants belong only to the
+datasource-generator path, J10); (2) it de-accented aliases, which
+normalizeNameForMatching never does.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions import names as N
+
+DRIVER = Path(__file__).parent / "golden" / "ref_names_driver.js"
+REF = Path("/root/reference")
+
+TEAM = ["Mark Jerly Bundalian", "Ana-María López Jr.", "Chris_Ong", "Bo Li"]
+MAPPING = {
+    "mappings": {
+        "Mark Jerly Bundalian": {"fullName": "Mark J. Bundalian", "aliases": ["Mark", "MJB"]},
+        "Ana-María López Jr.": {"aliases": ["Ana (QA)", "a-lo"]},
+        "Chris_Ong": "c.ong",  # legacy string format
+        # "Bo Li" intentionally absent from the mapping
+    }
+}
+PARTICIPANTS = [
+    "mark",                 # alias hit
+    "Mark J. Bundalian",    # fullName hit
+    "MJB.",                 # punctuation-stripped alias hit
+    "Bundalian",            # bare LAST NAME — matcher must NOT hit (no generated variants)
+    "ana maría lópez jr",   # accented full key, hyphens→spaces
+    "Ana Maria Lopez Jr.",  # de-accented probe — matcher must NOT hit (no de-accenting)
+    "ana (guest)",          # parenthetical stripped → alias 'ana'... only if configured
+    "c.ong",                # legacy string alias
+    "chris ong",            # underscore key normalized
+    "bo li",                # unmapped member, key-only match
+    "Bo",                   # bare first name — must NOT hit
+    "Unknown Person",
+]
+NAMES = [
+    "  José-María  (2) [guest] O'Brien.Sr  ",
+    "A__b--c",
+    "(all parens)",
+    "",
+]
+
+
+def _ref():
+    fixture = {
+        "names": NAMES,
+        "teamMembers": TEAM,
+        "mapping": MAPPING,
+        "participants": PARTICIPANTS,
+        "minimumRequired": 2,
+    }
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(fixture),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+@needs_node
+def test_normalize_matches_reference():
+    ref = _ref()
+    assert [N.normalize_name_py(n) for n in NAMES] == ref["normalized"]
+
+
+@needs_node
+def test_alias_expansion_matches_reference():
+    ref = _ref()
+    rows = N.build_alias_rows(TEAM, MAPPING["mappings"])
+    ours = {m: [] for m in TEAM}
+    for alias_norm, member, _prio, _rank in rows:
+        ours[member].append(alias_norm)
+    for member, ref_aliases in zip(TEAM, ref["aliases"]):
+        assert ours[member] == ref_aliases, (member, ours[member], ref_aliases)
+
+
+@needs_node
+def test_first_match_join_matches_reference(spark):
+    ref = _ref()
+    aliases = N.alias_table(spark, TEAM, MAPPING["mappings"])
+    probes = spark.createDataFrame([(p,) for p in PARTICIPANTS], "name string")
+    got = {
+        r["name"]: (r["canonical_name"], r["matched_via"])
+        for r in N.match_names(probes, aliases).collect()
+    }
+    for p, expected in zip(PARTICIPANTS, ref["matches"]):
+        want = (expected["teamMember"], expected["matchedVia"]) if expected else (None, None)
+        assert got[p] == want, (p, got[p], want)
+
+
+@needs_node
+def test_threshold_filter_matches_reference(spark):
+    ref = _ref()
+    aliases = N.alias_table(spark, TEAM, MAPPING["mappings"])
+    parts = spark.createDataFrame(
+        [("t1", p) for p in PARTICIPANTS], "filename string, participant string"
+    )
+    row = N.team_threshold_filter(
+        parts, aliases, minimum_required=2
+    ).collect()[0]
+    assert row["matched_count"] == ref["filter"]["matchedCount"]
+    assert row["should_include"] == ref["filter"]["shouldInclude"]
