@@ -185,6 +185,45 @@ def human_size(size_bytes: Column) -> Column:
     )
 
 
+def format_attachment(file: Column) -> Column:
+    """X22 — full attachment rendering, reference-exact
+    (slack/lib/format.js formatAttachment, :97-122): ``gif:``/``image:``
+    by mimetype (or .gif filename) with WxH dims when BOTH dims are
+    truthy (0 counts as absent, as in JS), else ``file:`` with the
+    human size when size is truthy. Input: struct<name, title,
+    mimetype, size, original_w, original_h>.
+    """
+    name = F.coalesce(file["name"], file["title"], F.lit("file"))
+    mimetype = F.coalesce(file["mimetype"], F.lit(""))
+    has_dims = (
+        file["original_w"].isNotNull()
+        & (file["original_w"] != 0)
+        & file["original_h"].isNotNull()
+        & (file["original_h"] != 0)
+    )
+    dims = F.when(
+        has_dims,
+        F.concat(
+            F.lit(" ("),
+            file["original_w"].cast("string"),
+            F.lit("x"),
+            file["original_h"].cast("string"),
+            F.lit(")"),
+        ),
+    ).otherwise(F.lit(""))
+    size_sfx = F.when(
+        file["size"].isNotNull() & (file["size"] != 0),
+        F.concat(F.lit(" ("), human_size(file["size"]), F.lit(")")),
+    ).otherwise(F.lit(""))
+    is_gif = mimetype.contains("image/gif") | F.lower(name).endswith(".gif")
+    is_image = mimetype.startswith("image/")
+    return (
+        F.when(is_gif, F.concat(F.lit("gif: "), name, dims))
+        .when(is_image, F.concat(F.lit("image: "), name, dims))
+        .otherwise(F.concat(F.lit("file: "), name, size_sfx))
+    )
+
+
 def extract_json_name(col: Column) -> Column:
     """X23 — parse stringified JSON, prefer .name then .displayName then
     .value, else the raw string."""

@@ -80,13 +80,15 @@ def resolve_mentions(
 
 
 def reactions_rollup(reactions_col: str = "reactions") -> F.Column:
-    """A18 — ``:name:xCount`` compact list (slack/lib/format.js:84-92)."""
+    """A18 — ``:name:xCount`` compact list, ``', '``-joined exactly as
+    the reference's formatReactions (slack/lib/format.js:84-92; an
+    earlier form joined with a bare space)."""
     return F.array_join(
         F.transform(
             F.coalesce(F.col(reactions_col), F.array()),
             lambda r: F.concat(F.lit(":"), r["name"], F.lit(":x"), r["count"].cast("string")),
         ),
-        " ",
+        ", ",
     )
 
 

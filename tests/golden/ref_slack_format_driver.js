@@ -1,0 +1,21 @@
+// Golden-test driver: runs the REFERENCE repo's slack formatters
+// (slack/lib/format.js — dependency-free module: normalizeSlackMarkup,
+// formatReactions, formatAttachment) over a JSON fixture and prints
+// results to stdout. Plain require, no fs/network use by the module.
+//
+// Usage: node ref_slack_format_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const fmt = require(path.join(refRoot, 'slack', 'lib', 'format.js'));
+
+process.stdout.write(
+  JSON.stringify({
+    markup: fixture.texts.map((t) => fmt.normalizeSlackMarkup(t, fixture.userMap)),
+    reactions: fixture.reactions.map((r) => fmt.formatReactions(r)),
+    attachments: fixture.files.map((f) => fmt.formatAttachment(f)),
+  })
+);
