@@ -1,0 +1,37 @@
+// Golden-test driver: executes the REFERENCE repo's changelog
+// compactor (jira/lib/changelog-flatten.js — compactItem, internal;
+// flattenChangelogs, exported) over a JSON fixture and prints results.
+// The module's only import (lib/config) is stubbed — it is consulted
+// solely by the date formatters' getConfigSafe, and a null config means
+// "local time fallback", which the fixture avoids relying on by only
+// exercising compactItem. Source is EVALUATED from /root/reference at
+// runtime (nothing copied), read-only, no network.
+//
+// Usage: node ref_changelog_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const src = fs.readFileSync(
+  path.join(refRoot, 'jira', 'lib', 'changelog-flatten.js'),
+  'utf8'
+);
+const stubRequire = () => ({
+  ConfigManager: { loadForReportType: () => null },
+  load: () => null,
+});
+const mod = new Function(
+  'require',
+  'module',
+  'exports',
+  src + '\n;return { compactItem };'
+)(stubRequire, { exports: {} }, {});
+
+process.stdout.write(
+  JSON.stringify({
+    compact: fixture.items.map(([fieldName, item]) => mod.compactItem(fieldName, item)),
+  })
+);

@@ -1,0 +1,82 @@
+"""Golden parity: our compact_change_line column expression vs the
+reference's OWN compactItem (jira/lib/changelog-flatten.js:81-148)
+executed via node — every one of the 11 field rules probed, including
+set-diff ordering, separators, null endpoints, noformat stripping,
+link-relation extraction, and casing fall-through."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.epic_tree import compact_change_line
+
+DRIVER = Path(__file__).parent / "golden" / "ref_changelog_driver.js"
+REF = Path("/root/reference")
+
+ITEMS = [
+    # Every item carries explicit fromString/toString keys (null when
+    # absent) — Jira's changelog JSON always has both, and a MISSING
+    # toString key would resolve to Object.prototype.toString in the
+    # reference's JS (an artifact real payloads never hit).
+    ["status", {"fromString": "To Do", "toString": "In Progress"}],
+    ["Status", {"fromString": None, "toString": "Done"}],
+    ["assignee", {"fromString": "Alice", "toString": ""}],
+    ["priority", {"fromString": "P2", "toString": "P1"}],
+    ["summary", {"fromString": "old", "toString": "new"}],
+    ["Story Points", {"fromString": "3", "toString": "5"}],
+    ["Story Point Estimate", {"fromString": "", "toString": "8"}],
+    ["description", {"fromString": None, "toString": "abc{noformat}def{noformat}gh"}],
+    ["description", {"fromString": None, "toString": None}],
+    ["labels", {"fromString": "a, b, c", "toString": "b, c, d, e"}],
+    ["labels", {"fromString": "x", "toString": "x"}],
+    ["labels", {"fromString": "", "toString": "only"}],
+    ["Sprint", {"fromString": "Sprint 1, Sprint 2", "toString": "Sprint 2, Sprint 3"}],
+    ["sprint", {"fromString": "S1", "toString": "S1"}],
+    ["link", {"fromString": None, "toString": "blocks PROJ-123"}],
+    ["issuelinks", {"fromString": "is blocked by ABC2-9", "toString": None}],
+    ["link", {"fromString": None, "toString": "freeform note"}],
+    ["link", {"fromString": "", "toString": ""}],
+    ["parent", {"fromString": "EPIC-1", "toString": "EPIC-2"}],
+    ["IssueParentAssociation", {"fromString": None, "toString": "EPIC-3"}],
+    ["remoteworkitemlink", {"fromString": None, "toString": "https://x.atlassian.net/wiki/Confluence/page"}],
+    ["remoteworkitemlink", {"fromString": None, "toString": "https://GitHub.com/org/repo/issues/1"}],
+    ["remoteworkitemlink", {"fromString": None, "toString": "Some Document link"}],
+    ["remoteworkitemlink", {"fromString": None, "toString": "https://other.example"}],
+    ["Rank", {"fromString": None, "toString": "Ranked higher"}],
+    ["CustomWeird Field", {"fromString": "x", "toString": "y"}],
+    [None, {"field": "Flagged", "fromString": "", "toString": "Impediment"}],
+]
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+@needs_node
+def test_compact_item_matches_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps({"items": ITEMS}),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)["compact"]
+
+    rows = []
+    for i, (field_name, item) in enumerate(ITEMS):
+        field = field_name if field_name is not None else item.get("field")
+        rows.append((i, field, item.get("fromString"), item.get("toString")))
+    df = spark.createDataFrame(
+        rows, "i int, field string, from_string string, to_string string"
+    )
+    got = {r["i"]: r["o"] for r in df.select("i", compact_change_line().alias("o")).collect()}
+    for i, expected in enumerate(ref):
+        assert got[i] == expected, (i, ITEMS[i], got[i], expected)
