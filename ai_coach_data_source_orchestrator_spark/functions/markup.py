@@ -131,22 +131,39 @@ def adf_to_text_py(adf_json: str | None) -> str:
     except (ValueError, TypeError):
         return ""
 
-    def walk(node: dict) -> str:
+    def walk(node) -> str:
+        # Reference-exact recursion (adfToPlainText): paragraph/heading
+        # append '\n\n', list containers '\n', every listItem its own
+        # '- …\n' line, and a mention without attrs.text renders
+        # '@user'. (The first port collapsed the block newlines and
+        # emitted a bare '@' — pinned by the node golden,
+        # tests/test_golden_markup.py.)
+        if not node:
+            return ""
+        if isinstance(node, str):
+            return node
+        if isinstance(node, list):
+            return "".join(walk(k) for k in node)
         t = node.get("type")
         kids = node.get("content") or []
         if t == "text":
             return node.get("text") or ""
         if t == "mention":
-            return "@" + ((node.get("attrs") or {}).get("text") or "").lstrip("@")
+            attrs = node.get("attrs") or {}
+            return "@" + (attrs.get("text") or "user")
         if t == "hardBreak":
             return "\n"
         inner = "".join(walk(k) for k in kids)
         if t in ("paragraph", "heading"):
+            return inner + "\n\n"
+        if t in ("bulletList", "orderedList"):
             return inner + "\n"
         if t == "listItem":
-            return "- " + inner
+            return "- " + inner + "\n"
         return inner
 
+    # normalizeDescriptionToMarkdown (build-epic-tree.js:389-396) trims
+    # the flattened text — that caller is the shape this UDF models.
     return walk(root if isinstance(root, dict) else {}).strip()
 
 
@@ -155,13 +172,40 @@ def adf_to_text(col: pd.Series) -> pd.Series:
     return col.map(adf_to_text_py)
 
 
+def _accent_translate() -> tuple[str, str]:
+    """(accented, plain) translate strings covering Latin-1 Supplement +
+    Latin Extended-A — each char whose NFKD decomposition strips to a
+    single ASCII letter, exactly what the reference's
+    ``normalize('NFKD').replace(/[\\u0300-\\u036f]/g, '')`` leaves.
+    (Multi-char decompositions like ĳ→ij can't ride a 1:1 translate and
+    fall through to the ``_`` class — outside the corpus's alphabet.)"""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp)
+        base = "".join(
+            c
+            for c in unicodedata.normalize("NFKD", ch)
+            if not unicodedata.combining(c)
+        )
+        if len(base) == 1 and base != ch and base.isascii() and base.isalpha():
+            src.append(ch)
+            dst.append(base)
+    return "".join(src), "".join(dst)
+
+
+_ACCENTED, _PLAIN = _accent_translate()
+
+
 def slugify(col: Column) -> Column:
-    """X14 — sanitizeFilename/slugify (datasource-generator/lib/
-    output-filename.js:18-69): lowercase, non-alphanumeric runs → ``_``,
-    strip leading/trailing ``_``. De-accenting (NFKD) is a no-op on the
-    ASCII test corpus and handled by the same regex class.
+    """X14 — sanitizeFilename/slugify, reference-exact
+    (datasource-generator/lib/output-filename.js:18-25): NFKD de-accent
+    (as a 1:1 translate — the node golden pins é→e etc.), then
+    non-alphanumeric runs → ``_``, strip edge ``_``, lowercase.
     """
-    c = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", "_")
+    c = F.translate(col, _ACCENTED, _PLAIN)
+    c = F.regexp_replace(F.lower(c), r"[^a-z0-9]+", "_")
     return F.regexp_replace(c, r"^_+|_+$", "")
 
 

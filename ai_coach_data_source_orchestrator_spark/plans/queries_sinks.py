@@ -191,10 +191,13 @@ def k6_datasource_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "x3_adf_flatten",
+    # reference-exact: heading blocks end '\n\n' and mention text
+    # '@Ada Lovelace' renders '@' + attrs.text = '@@Ada Lovelace'
+    # (adfToPlainText, build-epic-tree.js:368-379)
     oracle="""
     SELECT doc_id,
-           'Heading ' || doc_id || chr(10) ||
-           'Body for doc ' || doc_id || ' by @Ada Lovelace' AS plain_text
+           'Heading ' || doc_id || chr(10) || chr(10) ||
+           'Body for doc ' || doc_id || ' by @@Ada Lovelace' AS plain_text
     FROM documents
     """,
     survey_ids=("X3",),

@@ -1,0 +1,48 @@
+// Golden-test driver: runs the REFERENCE repo's markup/naming helpers
+// over a JSON fixture and prints results:
+//  - slugify / sanitizeFilename  (datasource-generator/lib/output-filename.js,
+//    exported — plain require, its only import is 'path')
+//  - convertJiraMarkupToMarkdown + adfToPlainText (internal to
+//    jira/build-epic-tree.js — evaluated with the same truncate-and-stub
+//    technique as ref_render_driver.js; read-only, no network, nothing copied)
+//
+// Usage: node ref_markup_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const ofn = require(path.join(refRoot, 'datasource-generator', 'lib', 'output-filename.js'));
+
+const stub = new Proxy(function () { return {}; }, {
+  get: () => () => ({}),
+  apply: () => ({}),
+});
+function loadInternal(file, upTo, names) {
+  const full = path.join(refRoot, file);
+  let src = fs.readFileSync(full, 'utf8');
+  const i = src.indexOf(upTo);
+  if (i === -1) throw new Error(`marker ${JSON.stringify(upTo)} not in ${file}`);
+  src = src.slice(0, i) + `\n;module.exports = { ${names.join(', ')} };`;
+  const module = { exports: {} };
+  new Function('require', 'module', 'exports', '__dirname', '__filename', src)(
+    () => stub, module, module.exports, path.dirname(full), full
+  );
+  return module.exports;
+}
+
+const tree = loadInternal('jira/build-epic-tree.js', '// --- Main ---', [
+  'convertJiraMarkupToMarkdown',
+  'adfToPlainText',
+]);
+
+process.stdout.write(
+  JSON.stringify({
+    slugs: fixture.slugs.map((s) => ofn.slugify(s)),
+    filenames: fixture.filenames.map((s) => ofn.sanitizeFilename(s)),
+    wiki: fixture.wiki.map((w) => tree.convertJiraMarkupToMarkdown(w)),
+    adf: fixture.adf.map((a) => tree.adfToPlainText(a)),
+  })
+);

@@ -1,0 +1,101 @@
+"""Golden parity: slugify / wiki-markup / ADF-to-text vs the
+reference's own implementations executed via node
+(tests/golden/ref_markup_driver.js).
+
+Caught this session: slugify dropped accents to '_' where the
+reference NFKD-folds them (é→e)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions import markup as M
+
+DRIVER = Path(__file__).parent / "golden" / "ref_markup_driver.js"
+REF = Path("/root/reference")
+
+SLUGS = [
+    "Weekly Report (v2)!",
+    "  José-María Über prüft çalışması  ",
+    "___already__slugged___",
+    "ALL CAPS & Symbols #42",
+    "",
+]
+WIKI = [
+    "h1. Title\nplain *bold* text\n* bullet one\n* bullet two",
+    "{color:red}warning{color} and h3. Sub\n# first\n# second",
+    "[docs|https://example.com/a] then [label with space|http://b.io]",
+    "a\n\n\n\nb",
+    "h2.  double  space",
+]
+ADF = [
+    {"type": "doc", "content": [
+        {"type": "paragraph", "content": [{"type": "text", "text": "hello "},
+                                          {"type": "mention", "attrs": {"text": "@Bob"}}]},
+        {"type": "bulletList", "content": [
+            {"type": "listItem", "content": [{"type": "text", "text": "item1"}]},
+            {"type": "listItem", "content": [{"type": "text", "text": "item2"}]}]},
+        {"type": "heading", "content": [{"type": "text", "text": "H"}]},
+        {"type": "paragraph", "content": [{"type": "text", "text": "line1"},
+                                          {"type": "hardBreak"},
+                                          {"type": "text", "text": "line2"}]},
+    ]},
+    {"type": "paragraph", "content": [{"type": "mention", "attrs": {}}]},
+]
+
+
+def _ref():
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps({"slugs": SLUGS, "filenames": [], "wiki": WIKI, "adf": ADF}),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+@needs_node
+def test_slugify_matches_reference(spark):
+    ref = _ref()["slugs"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(SLUGS)], "i int, s string")
+    got = [
+        r["o"]
+        for r in df.orderBy("i").select(M.slugify(F.col("s")).alias("o")).collect()
+    ]
+    assert got == ref, (got, ref)
+
+
+@needs_node
+def test_wiki_markup_matches_reference(spark):
+    ref = _ref()["wiki"]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(WIKI)], "i int, w string")
+    got = [
+        r["o"]
+        for r in df.orderBy("i").select(M.wiki_to_markdown(F.col("w")).alias("o")).collect()
+    ]
+    assert got == ref, [
+        (i, g, r) for i, (g, r) in enumerate(zip(got, ref)) if g != r
+    ]
+
+
+@needs_node
+def test_adf_matches_reference():
+    ref = _ref()["adf"]
+    # the reference trims at the convertJiraMarkupToMarkdown callers;
+    # adfToPlainText itself returns raw concatenation — our _py twin
+    # strips at the end, so compare stripped on both sides
+    got = [M.adf_to_text_py(json.dumps(a)) for a in ADF]
+    assert got == [r.strip() for r in ref], (got, ref)
