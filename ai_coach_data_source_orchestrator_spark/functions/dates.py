@@ -25,40 +25,87 @@ def _try_date(s: Column, fmt: str) -> Column:
     return F.try_to_timestamp(s, F.lit(fmt)).cast("date")
 
 
+_MONTHS = (
+    "January|February|March|April|May|June|July|August|September|October"
+    "|November|December"
+)
+
+
+def _js_date(y: Column, m: Column, d: Column) -> Column:
+    """``new Date(y, m-1, d)`` with JS's overflow ROLLOVER (month 13 →
+    January next year, day 32 → next month) — restated as exact date
+    arithmetic, where a strict parser would return null."""
+    return F.date_add(
+        F.add_months(F.make_date(y, F.lit(1), F.lit(1)), m - F.lit(1)), d - F.lit(1)
+    )
+
+
 def date_from_filename(filename: Column) -> Column:
-    """X7 — coalesce cascade over the reference's accepted formats.
-    Unparseable → NULL (callers bucket these explicitly, never drop
+    """X7 — reference-exact restatement of
+    ``transcript-to-markdown.js extractDateFromFilename`` (:219-307),
+    pinned by the node golden (tests/test_golden_dates.py): strip the
+    extension, normalize ``[_-]+`` runs to spaces, then first-match in
+    the REFERENCE's order — month-name, YYYY-M-D, M-D-YYYY, MM-DD-YY
+    (pivot: YY<=50 → 20YY else 19YY) — with JS date-rollover semantics.
+    (The first port ran ISO before month names, required 2-digit
+    months, and missed space separators.)
+
+    Unparseable → NULL (the reference falls back to the raw name as a
+    display bucket; callers here bucket NULLs explicitly, never drop
     silently — generate_dashboard.js:357-367).
     """
-    iso_t = _try_date(F.regexp_extract(filename, r"(\d{4}-\d{2}-\d{2})[T_]", 1), "yyyy-MM-dd")
-    iso_plain = _try_date(F.regexp_extract(filename, r"(\d{4}-\d{2}-\d{2})", 1), "yyyy-MM-dd")
-    # MM_DD_YYYY / MM-DD-YYYY (date-range-filter.js:72-78 accepts either
-    # separator); digit lookarounds keep the match from starting or
-    # ending inside a longer number, and the extracted separators are
-    # normalized to "_" so one parse format covers both.
-    mdy4_raw = F.regexp_extract(filename, r"(?<!\d)(\d{1,2}[-_]\d{1,2}[-_]\d{4})(?!\d)", 1)
-    mdy4 = _try_date(F.translate(mdy4_raw, "-", "_"), "M_d_yyyy")
-    # MM_DD_YY with the reference's pivot: YY<=50 → 20YY else 19YY
-    # (transcript-to-markdown.js:254-262, date-range-filter.js:81-92).
-    yy_raw = F.translate(
-        F.regexp_extract(filename, r"(?<!\d)(\d{1,2}[-_]\d{1,2}[-_]\d{2})(?!\d)", 1), "-", "_"
-    )
-    yy = F.substring_index(yy_raw, "_", -1).cast("int")
-    century = F.when(yy <= 50, yy + 2000).otherwise(yy + 1900)
-    mdy2 = _try_date(
-        F.when(
-            yy_raw != "",
-            F.concat(F.substring_index(yy_raw, "_", 2), F.lit("_"), century.cast("string")),
+    base = F.regexp_replace(filename, r"\.[^/.]+$", "")
+    n = F.trim(F.regexp_replace(F.regexp_replace(base, r"[_-]+", " "), r"\s+", " "))
+
+    mname = F.regexp_extract(n, rf"(?i)({_MONTHS})\s+(\d{{1,2}}),?\s+(\d{{4}})", 0)
+    mname_date = F.when(
+        mname != "",
+        _js_date(
+            F.regexp_extract(n, rf"(?i)({_MONTHS})\s+(\d{{1,2}}),?\s+(\d{{4}})", 3).cast("int"),
+            F.coalesce(
+                F.array_position(
+                    F.split(F.lit(_MONTHS.lower()), r"\|"),
+                    F.lower(F.regexp_extract(n, rf"(?i)({_MONTHS})\s+\d{{1,2}},?\s+\d{{4}}", 1)),
+                ).cast("int"),
+                F.lit(1),
+            ),
+            F.regexp_extract(n, rf"(?i)({_MONTHS})\s+(\d{{1,2}}),?\s+(\d{{4}})", 2).cast("int"),
         ),
-        "M_d_yyyy",
     )
-    # "Month DD, YYYY" — initcap'd so month-name matching is
-    # case-insensitive (Java DateTimeFormatter is case-sensitive).
-    month_name = _try_date(
-        F.initcap(F.regexp_extract(filename, r"(?i)([A-Za-z]+ \d{1,2}, \d{4})", 1)),
-        "MMMM d, yyyy",
+
+    sep = r"[\-_ ]"
+    ymd = rf"(\d{{4}}){sep}(\d{{1,2}}){sep}(\d{{1,2}})"
+    ymd_date = F.when(
+        F.regexp_extract(n, ymd, 0) != "",
+        _js_date(
+            F.regexp_extract(n, ymd, 1).cast("int"),
+            F.regexp_extract(n, ymd, 2).cast("int"),
+            F.regexp_extract(n, ymd, 3).cast("int"),
+        ),
     )
-    return F.coalesce(iso_t, iso_plain, mdy4, mdy2, month_name)
+
+    mdy4 = rf"(\d{{1,2}}){sep}(\d{{1,2}}){sep}(\d{{4}})"
+    mdy4_date = F.when(
+        F.regexp_extract(n, mdy4, 0) != "",
+        _js_date(
+            F.regexp_extract(n, mdy4, 3).cast("int"),
+            F.regexp_extract(n, mdy4, 1).cast("int"),
+            F.regexp_extract(n, mdy4, 2).cast("int"),
+        ),
+    )
+
+    mdy2 = rf"(\d{{2}}){sep}(\d{{2}}){sep}(\d{{2}})"
+    yy = F.regexp_extract(n, mdy2, 3).cast("int")
+    mdy2_date = F.when(
+        F.regexp_extract(n, mdy2, 0) != "",
+        _js_date(
+            F.when(yy <= 50, yy + 2000).otherwise(yy + 1900),
+            F.regexp_extract(n, mdy2, 1).cast("int"),
+            F.regexp_extract(n, mdy2, 2).cast("int"),
+        ),
+    )
+
+    return F.coalesce(mname_date, ymd_date, mdy4_date, mdy2_date)
 
 
 def date_from_heading(line: Column) -> Column:

@@ -179,12 +179,22 @@ FILENAME_TABLE = [
     ("transcript.md", None),
     ("meeting-notes.md", None),
     ("", None),
-    ("fathom-transcripts-2025-13-01T00_00_00.md", None),  # month 13
-    ("fathom-transcripts-2025-02-30T00_00_00.md", None),  # Feb 30
-    ("fathom_AICoach-10_14_2025 09_26AM.md", "2025-10-14"),
+    # Out-of-range components ROLL OVER exactly as the reference's
+    # `new Date(y, m-1, d)` does (JS overflow semantics; pinned by
+    # tests/test_golden_dates.py) — the earlier strict-parse Nones here
+    # diverged from the executed reference.
+    ("fathom-transcripts-2025-13-01T00_00_00.md", "2026-01-01"),  # month 13
+    ("fathom-transcripts-2025-02-30T00_00_00.md", "2025-03-02"),  # Feb 30
+    # Node-verified quirk: after [_-]+ → ' ' normalization the YMD
+    # regex matches "2025 09 26" out of "10_14_2025 09_26AM" — the
+    # reference returns September 26, 2025, NOT October 14 (the
+    # executed-code golden beats intuition here).
+    ("fathom_AICoach-10_14_2025 09_26AM.md", "2025-09-26"),
     ("folder/sub/fathom-9-8-2024_notes.md", "2024-09-08"),
     ("fathom_AICoach-10_14_25 09_26AM.md", "2025-10-14"),
-    ("meeting-1_2_01-summary.md", "2001-01-02"),  # YY<=50 → 20YY
+    # MM-DD-YY requires TWO digits per component in the reference;
+    # "1_2_01" falls through to the raw-name fallback (our NULL bucket).
+    ("meeting-1_2_01-summary.md", None),
     ("meeting-12_31_99-summary.md", "1999-12-31"),  # YY>50 → 19YY
 ]
 

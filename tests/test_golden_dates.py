@@ -1,0 +1,76 @@
+"""Golden parity: filename-date extraction vs the reference's OWN
+TranscriptToMarkdown.extractDateFromFilename executed via node.
+
+Caught this session: the first port ran the ISO pattern before month
+names (reference checks month names FIRST), required 2-digit month/day
+(reference accepts 1-digit), and missed space separators (the
+reference normalizes [_-]+ to spaces before matching)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions.dates import date_from_filename
+
+REF = Path("/root/reference")
+
+FILES = [
+    "fathom-transcripts-2025-09-24T07_16_03+00_00.txt",
+    "weekly_sync_09_24_2025.txt",
+    "standup-September 24, 2025.txt",
+    "standup-march 3 2024.txt",          # lowercase month, no comma
+    "team 09_18_25.txt",
+    "mixed September 3, 2024 and 2025-01-02.txt",  # month name wins
+    "spaces 09 18 25.txt",
+    "2025_9_4 short month.txt",
+    "y2k 01-02-51.txt",                  # YY pivot: 51 → 1951
+    "meeting-notes.txt",                 # unparseable
+    "rollover 2025-13-45.txt",           # JS Date() rolls over
+]
+
+_DRIVER_JS = """
+const mod = require('/root/reference/transcripts/transcript-to-markdown.js');
+const p = new mod.TranscriptToMarkdown();
+const files = JSON.parse(require('fs').readFileSync('/dev/stdin', 'utf8'));
+console.log(JSON.stringify(files.map(f => p.extractDateFromFilename(f))));
+"""
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+@needs_node
+def test_filename_dates_match_reference(spark, tmp_path):
+    js = tmp_path / "drv.js"
+    js.write_text(_DRIVER_JS)
+    out = subprocess.run(
+        ["node", str(js)],
+        input=json.dumps(FILES),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+
+    df = spark.createDataFrame([(i, f) for i, f in enumerate(FILES)], "i int, f string")
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", date_from_filename(F.col("f")).alias("d")).collect()
+    }
+    for i, expected in enumerate(ref):
+        try:
+            want = datetime.datetime.strptime(expected, "%B %d, %Y").date()
+        except ValueError:
+            # reference falls back to the raw name → our explicit NULL bucket
+            want = None
+        assert got[i] == want, (i, FILES[i], got[i], expected)
