@@ -91,7 +91,10 @@ def html_bullet_items(col: Column) -> Column:
     Pure expressions: regexp_extract_all for the items, transform for
     the per-item cleanup.
     """
-    items = F.regexp_extract_all(col, F.lit(r"(?i)<li[^>]*>(.*?)</li>"), F.lit(1))
+    # (?s) dotall: the reference's [\s\S]*? spans newlines — without it
+    # multi-line <li> bodies silently dropped (node golden,
+    # tests/test_golden_daily_html.py).
+    items = F.regexp_extract_all(col, F.lit(r"(?is)<li[^>]*>(.*?)</li>"), F.lit(1))
 
     def clean(item: Column) -> Column:
         c = F.regexp_replace(item, r"(?i)^\s*<p[^>]*>", "")

@@ -1,0 +1,41 @@
+// Golden-test driver: runs the REFERENCE repo's daily-report HTML
+// helpers (daily-reports/csv-to-markdown.js — htmlToBulletLines,
+// htmlToPlainText, htmlInlineToMarkdown/stripHtmlTags/decodeEntities
+// via them) over a JSON fixture. The module's top-level config/csv
+// imports are stubbed with string-returning proxies (its main() is
+// guarded by require.main and never runs); read-only, no network,
+// nothing copied.
+//
+// Usage: node ref_daily_html_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const stub = new Proxy(function () { return ''; }, {
+  get: (t, p) => (p === Symbol.toPrimitive ? () => '' : stub),
+  apply: () => '',
+});
+function stubRequire(name) {
+  if (name === 'fs') return fs;
+  if (name === 'path') return path;
+  return stub;
+}
+
+const full = path.join(refRoot, 'daily-reports', 'csv-to-markdown.js');
+const src = fs.readFileSync(full, 'utf8');
+const module_ = { exports: {} };
+new Function('require', 'module', 'exports', '__dirname', '__filename', src)(
+  stubRequire, module_, module_.exports, path.dirname(full), full
+);
+const Converter = module_.exports;
+const c = new Converter();
+
+process.stdout.write(
+  JSON.stringify({
+    bullets: fixture.htmls.map((h) => c.htmlToBulletLines(h)),
+    plain: fixture.htmls.map((h) => c.htmlToPlainText(h)),
+  })
+);

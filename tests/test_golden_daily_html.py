@@ -1,0 +1,56 @@
+"""Golden parity: HTML→bullets / HTML→plain-text vs the reference's own
+daily-reports converter executed via node."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions import markup as M
+
+DRIVER = Path(__file__).parent / "golden" / "ref_daily_html_driver.js"
+REF = Path("/root/reference")
+
+HTMLS = [
+    "<ul><li>first item</li><li>second <b>bold</b> item</li></ul>",
+    "<ul>\n  <li>\n    multi\n    line item\n  </li>\n  <li><p>wrapped in p</p></li>\n</ul>",
+    '<ol><li class="x">attr item</li><li></li><li>   </li></ol>',
+    "<li>a &amp; b &lt;tag&gt; &quot;q&quot; &nbsp;end</li>",
+    "<li><em>it</em> and <code>code</code> and <br/>break</li>",
+    "no list here <p>just text</p>",
+    "",
+]
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+@needs_node
+def test_html_bullets_and_plain_match_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps({"htmls": HTMLS}),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(HTMLS)], "i int, h string")
+    rows = df.select(
+        "i",
+        M.html_bullet_items(F.col("h")).alias("b"),
+        M.html_to_plain(F.col("h")).alias("p"),
+    ).collect()
+    got_b = {r["i"]: list(r["b"]) for r in rows}
+    got_p = {r["i"]: r["p"] for r in rows}
+    for i in range(len(HTMLS)):
+        assert got_b[i] == ref["bullets"][i], (i, HTMLS[i], got_b[i], ref["bullets"][i])
+        assert got_p[i] == ref["plain"][i], (i, HTMLS[i], got_p[i], ref["plain"][i])
