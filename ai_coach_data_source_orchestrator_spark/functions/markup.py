@@ -232,6 +232,50 @@ def human_size(size_bytes: Column) -> Column:
     )
 
 
+def split_daily_sections(doc: Column) -> Column:
+    """X20 — reference-exact restatement of ``splitDailyReportByDate``
+    (lib/neon-db-storage.js:145-194), pinned by the node golden
+    (tests/test_golden_sections.py): split on ``^## (.+)$`` headers,
+    full-whitespace-trim header and body, skip empty bodies, parse the
+    header as 'Month D, YYYY' else extract YYYY-MM-DD (unparseable →
+    section skipped, mirroring the reference's continue), and checksum
+    the RECONSTRUCTED ``## {header}\\n\\n{body}`` — the exact string the
+    reference uploads.
+
+    Returns array<struct<date, content, checksum>>. (JS ``new Date()``
+    also accepts exotic strings like bare "27"; the pipeline contract
+    is date headers, so only the two documented forms are modeled.)
+    """
+    headers = F.transform(
+        F.regexp_extract_all(doc, F.lit(r"(?m)^## (.+)$"), F.lit(1)),
+        lambda h: F.regexp_replace(h, r"^\s+|\s+$", ""),
+    )
+    bodies = F.split(doc, r"(?m)^## .+$", -1)
+    body_tail = F.transform(
+        F.slice(bodies, 2, F.greatest(F.size(bodies) - 1, F.lit(0))),
+        lambda b: F.regexp_replace(b, r"^\s+|\s+$", ""),
+    )
+    pairs = F.filter(
+        F.arrays_zip(headers.alias("h"), body_tail.alias("b")),
+        lambda p: p["b"] != "",  # reference: `if (!sectionContent) continue`
+    )
+
+    def section(p: Column) -> Column:
+        content = F.concat(F.lit("## "), p["h"], F.lit("\n\n"), p["b"])
+        d = F.coalesce(
+            F.try_to_timestamp(p["h"], F.lit("MMMM d, yyyy")).cast("date"),
+            F.try_to_timestamp(
+                F.nullif(F.regexp_extract(p["h"], r"\d{4}-\d{2}-\d{2}", 0), F.lit("")),
+                F.lit("yyyy-MM-dd"),
+            ).cast("date"),
+        )
+        return F.struct(
+            d.alias("date"), content.alias("content"), F.sha2(content, 256).alias("checksum")
+        )
+
+    return F.filter(F.transform(pairs, section), lambda s: s["date"].isNotNull())
+
+
 def format_attachment(file: Column) -> Column:
     """X22 — full attachment rendering, reference-exact
     (slack/lib/format.js formatAttachment, :97-122): ``gif:``/``image:``

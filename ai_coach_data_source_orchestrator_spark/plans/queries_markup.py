@@ -381,32 +381,50 @@ _DOC_SQL = """
 
 @register(
     "x20_section_split",
+    # Reference-exact since the node golden (tests/test_golden_sections.py)
+    # landed: the checksum covers the RECONSTRUCTED '## {header}\n\n{body}'
+    # string splitDailyReportByDate uploads (neon-db-storage.js:183-185),
+    # not the raw split chunk the first form hashed.
     oracle=_DOC_SQL
-    + """
-    SELECT o_custkey,
-           TRY_CAST(string_split(sec, chr(10))[1] AS DATE) AS section_date,
-           sha256(sec) AS checksum,
-           len(string_split(sec, chr(10))) AS n_lines
-    FROM secs WHERE length(sec) > 0
+    + r"""
+    , parts AS (
+      SELECT o_custkey,
+             regexp_replace(string_split(sec, chr(10))[1], '^\s+|\s+$', '', 'g') AS hdr,
+             regexp_replace(CASE WHEN strpos(sec, chr(10)) = 0 THEN ''
+                                 ELSE substr(sec, strpos(sec, chr(10)) + 1) END,
+                            '^\s+|\s+$', '', 'g') AS body
+      FROM secs WHERE length(sec) > 0
+    ),
+    built AS (
+      SELECT o_custkey, TRY_CAST(hdr AS DATE) AS section_date,
+             '## ' || hdr || chr(10) || chr(10) || body AS content
+      FROM parts WHERE body <> ''
+    )
+    SELECT o_custkey, section_date, sha256(content) AS checksum,
+           CAST(length(content) AS BIGINT) AS content_len
+    FROM built WHERE section_date IS NOT NULL
     """,
     survey_ids=("X20", "X8"),
-    description="Split '## date' sections → (date, sha256, n_lines) rows",
+    description="Reference-exact '## date' section split (reconstructed checksum)",
 )
 def x20_section_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    secs = _sections(spark, sf_dir)
-    first_line = F.split("sec", NL).getItem(0)
-    return secs.select(
+    from ..functions.markup import split_daily_sections
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "o_custkey", F.explode(split_daily_sections(F.col("doc"))).alias("s")
+    ).select(
         "o_custkey",
-        F.to_date(first_line).alias("section_date"),
-        F.sha2("sec", 256).alias("checksum"),
-        F.size(F.split("sec", NL)).alias("n_lines"),
+        F.col("s.date").alias("section_date"),
+        F.col("s.checksum").alias("checksum"),
+        F.length("s.content").cast("bigint").alias("content_len"),
     )
 
 
-def _sections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared X20 section pipeline: synthesize per-customer report docs,
-    split on '(?m)^## ' headings. Two shuffles, both keyed on o_custkey
-    (Spark reuses the hash partitioning between the two groupBys).
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize per-customer report docs (o_custkey, doc) — shared by
+    the X20 splitter and the F9 trim query. Two shuffles, both keyed on
+    o_custkey (Spark reuses the hash partitioning between groupBys).
     """
     orders = load_table(spark, sf_dir, "orders")
     d = F.date_format("o_orderdate", "yyyy-MM-dd")
@@ -425,7 +443,7 @@ def _sections(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("section"),
         )
     )
-    docs = (
+    return (
         per_day.groupBy("o_custkey")
         .agg(F.sort_array(F.collect_list(F.struct("d", "section"))).alias("ss"))
         .select(
@@ -433,6 +451,10 @@ def _sections(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform("ss", lambda x: x["section"]), NL).alias("doc"),
         )
     )
+
+
+def _sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
     return (
         docs.select("o_custkey", F.explode(F.split("doc", r"(?m)^## ")).alias("sec"))
         .where(F.length("sec") > 0)

@@ -1,0 +1,45 @@
+// Golden-test driver: executes the REFERENCE repo's daily-report
+// section splitter (lib/neon-db-storage.js — splitDailyReportByDate,
+// internal) over a JSON fixture. The module's db/env imports are
+// stubbed; computeChecksum is overridden with the real sha256 (the
+// same implementation as lib/vercel-blob-uploader.js:22-24). Source is
+// truncated before the first db-touching export and evaluated —
+// read-only, no network, nothing copied.
+//
+// Usage: node ref_sections_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+const crypto = require('crypto');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const stub = new Proxy(function () { return {}; }, {
+  get: () => stub,
+  apply: () => ({}),
+});
+function stubRequire(name) {
+  if (name === './vercel-blob-uploader')
+    return {
+      computeChecksum: (c) => crypto.createHash('sha256').update(c, 'utf8').digest('hex'),
+    };
+  return stub;
+}
+
+const full = path.join(refRoot, 'lib', 'neon-db-storage.js');
+let src = fs.readFileSync(full, 'utf8');
+// keep everything up to the function AFTER splitDailyReportByDate
+const cut = src.indexOf('function findBlobReference');
+if (cut === -1) throw new Error('marker not found');
+src = src.slice(0, cut) + '\n;module.exports = { splitDailyReportByDate };';
+const module_ = { exports: {} };
+new Function('require', 'module', 'exports', '__dirname', '__filename', src)(
+  stubRequire, module_, module_.exports, path.dirname(full), full
+);
+
+process.stdout.write(
+  JSON.stringify(
+    fixture.docs.map((d) => module_.exports.splitDailyReportByDate(d, 'author'))
+  )
+);

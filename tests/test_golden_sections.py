@@ -1,0 +1,53 @@
+"""Golden parity: daily-report section splitting vs the reference's own
+splitDailyReportByDate (lib/neon-db-storage.js) executed via node —
+dates, reconstructed section content, AND sha256 checksums must all
+match byte-for-byte."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions.markup import split_daily_sections
+
+DRIVER = Path(__file__).parent / "golden" / "ref_sections_driver.js"
+REF = Path("/root/reference")
+
+DOCS = [
+    "# Report\n\n## 2025-10-27\n\n- did work\n- more\n\n## October 28, 2025\n\n"
+    "summary line\n\n## Notes\n\nnot a date\n\n## 2025-13-01\n\nbad month\n\n## 2025-10-30\n\n",
+    "no sections at all",
+    "## 2024-02-29\nleap day content",
+    "preamble\n## March 3, 2024\n  indented body  \nsecond line\n",
+    "",
+]
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+@needs_node
+def test_sections_match_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps({"docs": DOCS}),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(DOCS)], "i int, doc string")
+    rows = df.select("i", split_daily_sections(F.col("doc")).alias("s")).collect()
+    got = {r["i"]: [(x["date"].isoformat(), x["content"], x["checksum"]) for x in r["s"]] for r in rows}
+    for i, expected in enumerate(ref):
+        want = [(e["date"], e["content"], e["checksum"]) for e in expected]
+        assert got[i] == want, (i, got[i], want)
