@@ -25,6 +25,18 @@ from . import queries_graph  # noqa: E402,F401
 # verified in round 2.  New queries added in round 3 are slotted into the
 # front block as they land.
 # ---------------------------------------------------------------------------
+# Queries whose ORACLE or OUTPUT changed since their last driver-green
+# row (this session's reference-parity fixes). They occupy window slots
+# ahead of stale refreshes — their historical green rows describe the
+# old output, so a fresh row is strictly more informative than
+# re-greening an unchanged r2 query. tests/test_registry.py counts
+# these when checking the rotation policy's capacity math.
+_CHANGED_ORACLE = (
+    "x22_human_size",
+    "x3_adf_flatten",
+    "x20_section_split",
+)
+
 _FRONT = [
     # -- round 5 slot 1: the only never-green query; r4 driver err was the
     #    pandas canonicalizer choking on array<int> — now serialized --
@@ -46,17 +58,25 @@ _FRONT = [
     "sketch_quantile_sample",
     "graph_host_pagerank",
     "sketch_bloom_membership",
+    # -- oracle/output CHANGED this session (reference-parity fixes from
+    #    the node-golden sweep: toFixed sizes, ADF newlines/mentions,
+    #    reconstructed section checksums) — these outrank stale
+    #    refreshes because their historical green rows describe the OLD
+    #    output --
+    "x22_human_size",
+    "x3_adf_flatten",
+    "x20_section_split",
     # -- rotated this round: latest green driver row is r2, and testdata
-    #    has been regenerated since; all 40 are green in local oracle
-    #    parity, the driver row just needs refreshing --
+    #    has been regenerated since; all are green in local oracle
+    #    parity, the driver row just needs refreshing. (u6/a13/a14
+    #    yielded their slots to the changed-oracle block above: survey
+    #    ids U6/A13/A14 keep r4-green rows via u8_schema_union_by_name /
+    #    dashboard_week_frame / x21_changelog_compact.) --
     "a8_summary_aggregates",
     "f8_or_of_overrides",
-    "u6_union_tagged_sources",
     "u3_dedup_by_key",
     "a10_daily_window",
-    "a13_week_frame",
     "sessionize_events",
-    "a14_array_set_diff",
     "x7_multiformat_date_extract",
     "asof_join_checkpoints",
     "range_join_windows",

@@ -86,8 +86,20 @@ def test_front_window_covers_stale_queries():
         for n in REGISTRY
         if latest.get(n) is not None and latest[n] < max_round - 1
     ]
+    # Changed-oracle queries (declared in plans._CHANGED_ORACLE) take
+    # window slots ahead of stale refreshes; they must be IN the front
+    # block, and the capacity math accounts for the slots they consume
+    # beyond any overlap with the never/stale sets.
+    changed = list(getattr(plans, "_CHANGED_ORACLE", ()))
+    missing_changed = sorted(set(changed) - set(plans._FRONT))
+    assert not missing_changed, (
+        f"changed-oracle queries not in _FRONT: {missing_changed}"
+    )
+    extra_changed = len(set(changed) - set(never_green) - set(stale))
     missing_stale = sorted(set(stale) - set(plans._FRONT))
-    forced_overflow = max(0, len(never_green) + len(stale) - 50)
+    forced_overflow = max(
+        0, len(never_green) + len(stale) + extra_changed - 50
+    )
     assert len(missing_stale) <= forced_overflow, (
         f"stale queries left out of _FRONT beyond forced overflow "
         f"({forced_overflow}): {missing_stale}"
