@@ -1,0 +1,30 @@
+// Golden-test driver: runs the REFERENCE repo's sanitizer heuristics
+// (slack/lib/sanitizer.js — maskSecretsHeuristics is exported and the
+// module's only top-level import is child_process; classifyBlockContent
+// is internal, so the source is additionally evaluated with an export
+// appended). The remark pipeline is NOT touched (dynamic import, never
+// triggered here). Read-only, no subprocess spawned, nothing copied.
+//
+// Usage: node ref_sanitizer_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const full = path.join(refRoot, 'slack', 'lib', 'sanitizer.js');
+const san = require(full);
+
+const src = fs.readFileSync(full, 'utf8');
+const module_ = { exports: {} };
+new Function('require', 'module', 'exports', src + '\n;module.exports.classifyBlockContent = classifyBlockContent;')(
+  require, module_, module_.exports
+);
+
+process.stdout.write(
+  JSON.stringify({
+    masked: fixture.texts.map((t) => san.maskSecretsHeuristics(t)),
+    kinds: fixture.blocks.map(([v, l]) => module_.exports.classifyBlockContent(v, l)),
+  })
+);
