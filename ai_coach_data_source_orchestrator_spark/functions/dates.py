@@ -133,10 +133,28 @@ def in_range(d: Column, start: str | None, end: str | None) -> Column:
 def filename_or_mtime_in_range(
     fname_date: Column, mtime: Column, start: str | None, end: str | None
 ) -> Column:
-    """F4 — include if filename-date in range OR modified-time in range."""
-    return (fname_date.isNotNull() & in_range(fname_date, start, end)) | in_range(
-        F.to_date(mtime), start, end
-    )
+    """F4 — include if filename-date in range OR modified-time in range.
+
+    ``fname_date`` is typically the full ``date_from_filename`` tree (4
+    regex formats × 3 capture groups): predicate pushdown collapses the
+    projection that computes it into the Filter, and FilterExec codegen
+    does no common-subexpression elimination — with the old
+    ``isNotNull(d) & d>=s & d<=e`` shape the tree was inlined 3×,
+    blowing whole-stage codegen past Janino's 64 KB method limit and
+    dropping the stage to interpreted mode. When both bounds are
+    literal we therefore reference ``fname_date`` exactly ONCE via
+    ``array_contains(sequence(start, end), d)`` — the day array is
+    constant-folded, and NULL-in → NULL-out matches the old
+    expression's behavior under filter semantics (row dropped).
+    """
+    if start is not None and end is not None:
+        days = F.sequence(
+            F.lit(start).cast("date"), F.lit(end).cast("date")
+        )
+        fname_in = F.array_contains(days, fname_date)
+    else:
+        fname_in = fname_date.isNotNull() & in_range(fname_date, start, end)
+    return fname_in | in_range(F.to_date(mtime), start, end)
 
 
 def unix_day_bounds(d: Column) -> tuple[Column, Column]:

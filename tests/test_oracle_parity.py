@@ -46,7 +46,24 @@ ROWS_ONLY_SPECS = [s for s in REGISTRY.values() if s.oracle is None]
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
 def test_oracle_parity(spark, sf_dir, spec):
+    from pyspark.sql import types as T
+
     sdf = spec.fn(spark, sf_dir)
+    # Driver-canonicalizer contract (the r4 embedding_quantize_int8
+    # failure): the external harness canonicalizes rows with pandas
+    # sort_values over every column, which raises "unhashable type" on
+    # array/map/struct cells and compares binary unreliably. Our local
+    # _canon stringifies values and would NOT catch this, so pin it at
+    # the schema level: oracled queries emit only atomic columns.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+    ]
+    assert not complex_cols, (
+        f"{spec.name}: driver canonicalizer cannot sort complex/binary "
+        f"columns {complex_cols}; serialize them (array_join/to_json/sha2)"
+    )
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
 
