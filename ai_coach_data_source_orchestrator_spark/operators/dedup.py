@@ -444,6 +444,104 @@ def winnow_fingerprints(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    flag_fraction: float = 0.2,
+) -> DataFrame:
+    """Duplicated-span detection — the distributed restatement of
+    exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"). The paper builds a corpus-wide
+    suffix array to find any ≥50-token run occurring twice; a suffix
+    array over 100 TB is a single-machine structure, so the scalable
+    equivalent hashes every ORDERED ``k``-token gram, keeps grams whose
+    corpus-wide occurrence count is ≥ ``min_count``, and merges each
+    document's hit positions into maximal spans. Any duplicated run of
+    ≥ k tokens is covered by ≥1 duplicated gram, so span recall for
+    runs ≥ k is exact; the resolution loss vs a suffix array is only
+    that span boundaries snap to gram granularity.
+
+    Plan shape (all JVM-side): one narrow projection (tokens → ordered
+    grams → sha2-derived 64-bit hex hash), ONE shuffle on the
+    uniformly-distributed gram hash (groupBy count — partial
+    aggregation applies), an equi-join of hits against hot grams on the
+    same key (AQE picks broadcast iff the hot set is small; web-scale
+    boilerplate makes it unbounded, so no forced broadcast — the r4
+    text_line_dedup lesson), then per-document windows (gaps-and-
+    islands merge: a new island starts when the next hit position is
+    more than k past the previous, i.e. the gram coverage intervals
+    [pos, pos+k-1] no longer touch). State is bounded per document.
+
+    Returns one row per input document: ``n_tokens``, ``n_spans``,
+    ``dup_tokens`` (tokens covered by duplicated spans), ``dup_fraction``
+    and ``flagged`` (fraction ≥ ``flag_fraction`` — the remove/trim
+    candidate set).
+    """
+    toked = _stage(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+        )
+    )
+    n = F.size("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
+    )
+    hits = _stage(
+        toked.where(n >= k)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "pos", F.substring(F.sha2("gram", 256), 1, 16).alias("gh"))
+    )
+    hot = hits.groupBy("gh").count().where(F.col("count") >= min_count).select("gh")
+    dup_hits = hits.join(hot, "gh").select("doc_id", "pos")
+
+    w_lag = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_hits.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.coalesce(F.col("pos") - F.lag("pos").over(w_lag), F.lit(k) + 1) > k,
+                1,
+            ).otherwise(0)
+        ).over(w_lag.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+
+    base = toked.select(
+        "doc_id",
+        F.when(F.length(F.concat_ws(" ", "__toks")) == 0, F.lit(0))
+        .otherwise(F.size("__toks"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    out = (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("dup_tokens") / F.col("n_tokens").cast("double"), 6)
+            ),
+        )
+        .withColumn("flagged", F.col("dup_fraction") >= flag_fraction)
+    )
+    return out
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

@@ -231,3 +231,44 @@ def temperature_mix_sample(
         .where(hash_frac < F.col("p_keep"))
         .select(key_col, domain_col, "p_keep")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test assignment keyed on a GROUP column so correlated
+    rows can never straddle splits — the eval-leakage guard every
+    corpus build needs. Splitting per-document leaks: a near-duplicate
+    family (or all pages of one host) lands partly in train and partly
+    in test, and held-out metrics measure memorization. Keying the hash
+    gate on the family/host/fingerprint column gives every member the
+    same draw, so whole groups move together by construction.
+
+    The gate is the same engine-independent sha256-prefix used by
+    ``hash_sample``; split boundaries are cumulative fixed-width hex
+    thresholds in the declared order, so fractions are exact to
+    1/65536 in expectation and assignment is reproducible across
+    engines, partitionings, and reruns. One narrow projection: no
+    shuffle, no RNG state — at 100 TB this is free, piggybacked on any
+    existing scan.
+    """
+    gate = _hash_gate(F.col(group_col), salt)
+    total = 0.0
+    expr = None
+    bounds: list[tuple[str, str]] = []
+    for name, frac in splits[:-1]:
+        total += frac
+        bounds.append((name, fraction_threshold(total)))
+    for name, bound in bounds:
+        cond = gate < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

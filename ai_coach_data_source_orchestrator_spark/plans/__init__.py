@@ -94,8 +94,11 @@ _FRONT = [
     "knn_brute_force_cosine",
     "knn_lsh_buckets",
     "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
+    # (multimodal_resize / multimodal_frame_sample yielded their slots
+    # to the round-5 additions dedup_span_ngram /
+    # sample_train_test_split below: never-sampled queries outrank
+    # r2-stale refreshes, and the multimodal family still refreshes
+    # this round via multimodal_features + multimodal_decode.)
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "knn_ivf",
@@ -120,6 +123,10 @@ _FRONT = [
     "embedding_normalize_truncate",
     "cohort_retention",
     "funnel_view_click_purchase",
+    # -- new in round 5 (later): duplicated-span dedup (Lee et al.
+    #    exact-substring restatement) and the leakage-safe split --
+    "dedup_span_ngram",
+    "sample_train_test_split",
 ]
 
 

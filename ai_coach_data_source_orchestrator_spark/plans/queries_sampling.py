@@ -181,3 +181,44 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.temperature_mix_sample(
         docs, "source", "doc_id", target_frac=_MIX_TARGET, salt=_MIX_SALT
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: the hash gate is keyed on the
+# token-set FAMILY fingerprint (functions/text.py:fingerprint), so
+# near-exact copies always land in the same split — the eval-leakage
+# guard (operators/sampling.py:leakage_safe_split). The oracle replays
+# the identical family hash and cumulative hex thresholds.
+# ---------------------------------------------------------------------------
+_SPLIT_SALT = "split-v1"
+_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@register(
+    "sample_train_test_split",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             substr(sha256(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')), 1, 16)
+               AS family
+      FROM documents
+    )
+    SELECT doc_id, family,
+      CASE WHEN substr(sha256('{_SPLIT_SALT}' || '|' || family), 1, 4)
+                < '{SA.fraction_threshold(0.9)}' THEN 'train'
+           WHEN substr(sha256('{_SPLIT_SALT}' || '|' || family), 1, 4)
+                < '{SA.fraction_threshold(0.95)}' THEN 'val'
+           ELSE 'test' END AS split
+    FROM f
+    """,
+    survey_ids=("F8", "U1"),
+    description="Leakage-safe train/val/test split keyed on near-dup family fingerprint",
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(T.fingerprint(F.col("text")), 1, 16).alias("family")
+    )
+    return SA.leakage_safe_split(docs, "family", splits=_SPLITS, salt=_SPLIT_SALT).select(
+        "doc_id", "family", "split"
+    )

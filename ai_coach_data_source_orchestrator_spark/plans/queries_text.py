@@ -1247,3 +1247,57 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("passes_c4"), 1).otherwise(0)).cast("double") / n, 6
         ).alias("c4_pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection (Lee et al. 2021 exact-substring dedup,
+# restated as a distributed k-gram hash join — operators/dedup.py:
+# duplicated_spans for the scale rationale). The oracle replays the
+# identical pipeline: ordered 8-gram sha256 hashes, corpus-wide
+# occurrence counts, gaps-and-islands span merge per document.
+# ---------------------------------------------------------------------------
+_SPAN_K = 8
+
+
+@register(
+    "dedup_span_ngram",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             substr(sha256(array_to_string(toks[i:i + {_SPAN_K - 1}], ' ')), 1, 16) AS gh
+      FROM d, unnest(range(1, len(toks) - {_SPAN_K} + 2)) s(i)
+      WHERE len(toks) >= {_SPAN_K}
+    ),
+    hot AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    h AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gh)),
+    lagged AS (
+      SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM h
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM lagged
+    ),
+    sp AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_SPAN_K} - 1 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_tokens FROM sp GROUP BY doc_id)
+    SELECT dd.doc_id,
+           CAST(CASE WHEN length(trim(dd.text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_tokens,
+           CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CASE WHEN (CASE WHEN length(trim(dd.text)) = 0 THEN 0 ELSE len({_TOKS}) END) = 0 THEN 0.0
+                ELSE ROUND(COALESCE(agg.dup_tokens, 0) / CAST(len({_TOKS}) AS DOUBLE), 6) END AS dup_fraction,
+           (CASE WHEN (CASE WHEN length(trim(dd.text)) = 0 THEN 0 ELSE len({_TOKS}) END) = 0 THEN 0.0
+                ELSE ROUND(COALESCE(agg.dup_tokens, 0) / CAST(len({_TOKS}) AS DOUBLE), 6) END) >= 0.2 AS flagged
+    FROM documents dd LEFT JOIN agg ON dd.doc_id = agg.doc_id
+    """,
+    survey_ids=("U7", "X15"),
+    description="Exact-substring-style duplicated-span detection via k-gram hash join",
+)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicated_spans(load_table(spark, sf_dir, "documents"), k=_SPAN_K)

@@ -89,6 +89,8 @@ QUERIES = [
     ("sketch_quantile_sample", "documents"),
     ("sketch_bloom_membership", "documents"),
     ("graph_host_pagerank", "documents"),
+    ("dedup_span_ngram", "documents"),
+    ("sample_train_test_split", "documents"),
 ]
 
 if os.environ.get("SMOKE_QUERIES"):

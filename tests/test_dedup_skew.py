@@ -206,3 +206,60 @@ def test_cc_pair_feed_equals_exact_pairs(spark, sf_dir):
     missed, spurious = sorted(exact - lsh), sorted(lsh - exact)
     assert not missed, f"LSH false negatives (breaks cc_large_star oracle): {missed[:10]}"
     assert not spurious, f"LSH pairs above threshold not in exact set: {spurious[:10]}"
+
+
+def test_duplicated_spans_planted_run(spark):
+    """Two docs share a 12-token run; a third is unique filler. The
+    shared run must surface as ONE merged span in each doc covering at
+    least the full run (boundaries snap to gram granularity)."""
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import duplicated_spans
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} epsilon zeta eta theta"),
+        (3, " ".join(f"uniq{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in duplicated_spans(df, k=8).collect()}
+    assert out[1]["n_spans"] == 1 and out[2]["n_spans"] == 1
+    # every token of the shared run is covered (12), plus at most k-1
+    # neighbors swallowed by gram snapping
+    for d in (1, 2):
+        assert 12 <= out[d]["dup_tokens"] <= 12 + 7
+        assert out[d]["flagged"]  # 12/16 or 12/14 >> 0.2
+    assert out[3]["n_spans"] == 0 and out[3]["dup_tokens"] == 0 and not out[3]["flagged"]
+
+
+def test_duplicated_spans_within_doc_repeat_counts(spark):
+    """A run repeated twice INSIDE one doc is duplicated text too
+    (occurrence count, not distinct-doc count, gates the gram)."""
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import duplicated_spans
+
+    run = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{run} filler1 filler2 {run}")], "doc_id bigint, text string"
+    )
+    out = duplicated_spans(df, k=8).collect()[0]
+    assert out["n_spans"] >= 1
+    assert out["dup_tokens"] >= 16  # both copies of the run are covered
+
+
+def test_duplicated_spans_disjoint_runs_two_islands(spark):
+    """Two shared runs separated by > k unique tokens must NOT merge
+    into one span (gaps-and-islands boundary condition)."""
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import duplicated_spans
+
+    run_a = " ".join(f"a{i}" for i in range(8))
+    run_b = " ".join(f"b{i}" for i in range(8))
+    gap = " ".join(f"u{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, f"{run_a} {gap} {run_b}"),
+            (2, f"x0 x1 {run_a} y0 y1"),
+            (3, f"z0 z1 {run_b} w0 w1"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_spans(df, k=8).collect()}
+    assert out[1]["n_spans"] == 2

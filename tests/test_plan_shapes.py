@@ -230,3 +230,26 @@ def test_semantic_dedup_single_cluster_shuffle(spark, sf_dir):
     plan = _executed(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_span_ngram_no_forced_broadcast_and_codegen_hash(spark, sf_dir):
+    # Same scale flag as text_line_dedup: at web scale the hot-gram set
+    # (boilerplate k-grams) is unbounded, so the hits⋈hot join must not
+    # carry a forced broadcast hint — AQE alone decides. The gram
+    # hashing path must be JVM-side (sha2 in the plan, no Python eval).
+    df = REGISTRY["dedup_span_ngram"].fn(spark, sf_dir)
+    opt = _optimized(df)
+    assert "ResolvedHint" not in opt
+    plan = _executed(df)
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert "sha2" in plan
+    assert "Python" not in plan  # no UDF anywhere in the pipeline
+
+
+def test_train_test_split_is_single_narrow_projection(spark, sf_dir):
+    # The split gate is a pure column expression over the scan: no
+    # Exchange, no join, no aggregate — free at any scale.
+    df = REGISTRY["sample_train_test_split"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Aggregate" not in plan.replace("PartialAggregate", "")

@@ -121,3 +121,32 @@ def test_chunk_windows_invariants(spark, sf_dir):
             head = chunks[0]["chunk_text"].split(" ")
             nxt = chunks[1]["chunk_text"].split(" ")
             assert head[_CHUNK_S:] == nxt[: _CHUNK_W - _CHUNK_S]
+
+
+def test_leakage_safe_split_groups_move_together(spark):
+    """Rows sharing a group key must land in the same split — the
+    whole point of keying the gate on the family, not the row."""
+    rows = [(i, f"fam{i % 50}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, family string")
+    out = SA.leakage_safe_split(df, "family", salt="t")
+    per_family = (
+        out.groupBy("family")
+        .agg(F.size(F.collect_set("split")).alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_family)
+
+
+def test_leakage_safe_split_fractions_and_partition_invariance(spark):
+    df = spark.createDataFrame([(i, str(i)) for i in range(4000)], "id bigint, g string")
+    out = SA.leakage_safe_split(df, "g", salt="t")
+    by = {k: n for k, n in out.groupBy("split").count().collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert abs(by["train"] / 4000 - 0.9) < 0.03
+    assert abs(by["val"] / 4000 - 0.05) < 0.02
+    assert abs(by["test"] / 4000 - 0.05) < 0.02
+    again = {
+        (r["id"], r["split"])
+        for r in SA.leakage_safe_split(df.repartition(7), "g", salt="t").collect()
+    }
+    assert again == {(r["id"], r["split"]) for r in out.collect()}
