@@ -1,0 +1,156 @@
+"""Output naming / team-mapping resolution (driver-scoped).
+
+Reference parity, pinned by the node golden (tests/test_golden_naming.py
+runs the reference's OWN modules):
+
+- ``get_short_name`` — both mapping formats (object ``{shortName}`` and
+  legacy string) plus the lowercase-underscore ASCII fallback
+  (datasource-generator/lib/mapping-resolver.js:88-110);
+- mapping-file resolution priority: configured
+  ``transcripts.teamMappingFile`` → project-specific
+  ``team-name-mapping-{projectFolder}.json`` → default
+  ``team-name-mapping.json`` → empty (mapping-resolver.js:20-60);
+- output filename templating: ``{token}`` fill from context with the
+  ``memberSlug`` slugify fallback and injected today/timestamp tokens,
+  reserved-character sanitization, forced ``.py`` suffix, basename-only
+  (datasource-generator/lib/output-filename.js:5-68).
+
+All of this is roster/config-sized and runs on the driver by design
+(SURVEY §2.2): naming a job's output artifact is not a distributed
+concern — the distributed part (rendering the content) stays in
+DataFrames.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import unicodedata
+from datetime import datetime
+from pathlib import Path, PurePosixPath
+
+
+def make_timestamps(now: datetime) -> dict[str, str]:
+    """``{today: YYYY-MM-DD, timestamp: YYYYMMDD_HHMMSS}``
+    (output-filename.js:5-16). The clock is injected — the reference
+    reads ``new Date()`` internally, which is the one part a
+    deterministic engine must parameterize.
+    """
+    return {
+        "today": now.strftime("%Y-%m-%d"),
+        "timestamp": now.strftime("%Y%m%d_%H%M%S"),
+    }
+
+
+def slugify(value: object) -> str:
+    """NFKD de-accent, non-alphanumeric runs → ``_``, trim, lowercase
+    (output-filename.js:18-25; same algorithm as the markup slugify but
+    with underscore separators)."""
+    s = unicodedata.normalize("NFKD", str(value if value is not None else ""))
+    s = "".join(ch for ch in s if not unicodedata.combining(ch))
+    s = re.sub(r"[^a-zA-Z0-9]+", "_", s)
+    return s.strip("_").lower()
+
+
+def sanitize_filename(name: object) -> str:
+    """Path separators and reserved characters → ``-``, control chars
+    removed, empty → ``datasource`` (output-filename.js:27-38)."""
+    n = str(name if name is not None else "")
+    n = re.sub(r"[\\/]", "-", n)
+    n = re.sub(r"[\0\x08\x0B\x0C\x0E-\x1F\x7F]", "", n)
+    n = re.sub(r'[:*?"<>|]', "-", n).strip()
+    return n or "datasource"
+
+
+def default_template_for_type(report_type: str | None) -> str:
+    """output-filename.js:40-46."""
+    return {
+        "weekly": "datasource_weekly_{project}.py",
+        "team": "datasource_{project}_team.py",
+        "1on1": "datasource_{memberShort}.py",
+        "dashboard": "datasource_dashboard_{project}.py",
+    }.get(report_type or "", "datasource.py")
+
+
+def build_filename(
+    template: str | None, context: dict, now: datetime | None = None
+) -> str:
+    """Token-template output filename (output-filename.js:48-68):
+    ``{token}`` fill (unknown/None tokens → empty), ``memberSlug``
+    falls back to ``slugify(memberFull or memberShort)``, sanitize,
+    force ``.py`` suffix, basename only."""
+    stamps = make_timestamps(now or datetime.now())
+    tokens = {
+        "project": context.get("project"),
+        "projectFolder": context.get("projectFolder"),
+        "team": context.get("team"),
+        "reportType": context.get("reportType"),
+        "start_date": context.get("start_date"),
+        "end_date": context.get("end_date"),
+        "memberShort": context.get("memberShort"),
+        "memberFull": context.get("memberFull"),
+        "memberSlug": context.get("memberSlug")
+        or slugify(context.get("memberFull") or context.get("memberShort") or ""),
+        "today": stamps["today"],
+        "timestamp": stamps["timestamp"],
+    }
+    tpl = template or default_template_for_type(context.get("reportType"))
+    name = re.sub(
+        r"\{(\w+)\}",
+        lambda m: str(tokens[m.group(1)])
+        if tokens.get(m.group(1)) is not None
+        else "",
+        tpl,
+    )
+    name = sanitize_filename(name)
+    if not name.lower().endswith(".py"):
+        name += ".py"
+    return PurePosixPath(name).name
+
+
+def get_short_name(full_name: str, name_mapping: dict) -> str:
+    """mapping-resolver.js:88-110 — object format ``{shortName}``,
+    legacy string format, else lowercase ``_``-joined ASCII fallback
+    (JS ``\\w`` is ASCII-only: accented characters are DROPPED, not
+    transliterated)."""
+    mapping = (name_mapping.get("mappings") or {}).get(full_name)
+    if isinstance(mapping, dict) and mapping.get("shortName"):
+        return mapping["shortName"]
+    if isinstance(mapping, str):
+        return mapping
+    fallback = re.sub(r"\s+", "_", full_name.lower())
+    return re.sub(r"[^a-zA-Z0-9_]", "", fallback)
+
+
+def resolve_team_mapping_file(config: dict, base_dir: str | Path) -> Path | None:
+    """mapping-resolver.js:20-60 — configured path (if it exists) →
+    project-specific ``team-name-mapping-{projectFolder}.json`` (only
+    when the default file names a non-'default' folder) → default
+    ``team-name-mapping.json`` → None."""
+    base = Path(base_dir)
+    configured = (config.get("transcripts") or {}).get("teamMappingFile")
+    if configured:
+        p = Path(configured).resolve()
+        if p.exists():
+            return p
+    default_path = base / "team-name-mapping.json"
+    if default_path.exists():
+        try:
+            folder = json.loads(default_path.read_text()).get("projectFolder")
+            if folder and folder != "default":
+                project_path = base / f"team-name-mapping-{folder}.json"
+                if project_path.exists():
+                    return project_path
+        except (ValueError, OSError):
+            pass
+        return default_path
+    return None
+
+
+def load_team_mapping(config: dict, base_dir: str | Path) -> dict:
+    """mapping-resolver.js:62-80 — resolve then load; missing → empty
+    mapping with the 'default' folder."""
+    path = resolve_team_mapping_file(config, base_dir)
+    if path is not None and path.exists():
+        return json.loads(path.read_text())
+    return {"projectFolder": "default", "mappings": {}}

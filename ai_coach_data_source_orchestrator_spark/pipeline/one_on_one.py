@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import naming as NM
 from ..functions.names import strip_suffix_parts
 from ..sinks.render import render_python_datasource
 
@@ -92,6 +93,9 @@ def member_variations(members: list[str], mappings: dict | None = None) -> list[
 class OneOnOneResult:
     member_docs: DataFrame  # (member, filename, match_rank)
     datasources: dict[str, str]  # member -> rendered datasource text
+    # member -> output filename via the reference's naming path
+    # (getShortName + buildFilename '1on1' template; functions/naming.py)
+    filenames: dict[str, str] | None = None
 
 
 def match_member_documents(
@@ -181,4 +185,23 @@ def run_one_on_one(
         )
         for r in rows
     }
-    return OneOnOneResult(member_docs=matched, datasources=datasources)
+    # Output filename per member, exactly the reference's path:
+    # getShortName (mapping formats + ASCII fallback) feeding the
+    # '1on1' template datasource_{memberShort}.py
+    # (generate_datasources.js → mapping-resolver.js/output-filename.js;
+    # golden-pinned in tests/test_golden_naming.py).
+    name_mapping = {"mappings": mappings or {}}
+    filenames = {
+        m: NM.build_filename(
+            None,
+            {
+                "reportType": "1on1",
+                "memberShort": NM.get_short_name(m, name_mapping),
+                "memberFull": m,
+            },
+        )
+        for m in members
+    }
+    return OneOnOneResult(
+        member_docs=matched, datasources=datasources, filenames=filenames
+    )

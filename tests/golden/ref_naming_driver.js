@@ -1,0 +1,43 @@
+// Golden-test driver: runs the REFERENCE repo's output-naming modules
+// (datasource-generator/lib/output-filename.js — slugify,
+// sanitizeFilename, defaultTemplateForType, makeTimestamps,
+// buildFilename; datasource-generator/lib/mapping-resolver.js —
+// getShortName, resolveTeamMappingFile, loadTeamMapping) over a JSON
+// fixture and prints results to stdout. mapping-resolver reads ONLY
+// the team-name-mapping*.json files the pytest fixture writes under
+// its own tmp dir (passed as baseDir); no network, nothing copied.
+//
+// Usage: node ref_naming_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+// mapping-resolver logs resolution progress with console.log/warn —
+// keep stdout pure JSON for the pytest side.
+console.log = (...a) => process.stderr.write(a.join(' ') + '\n');
+console.warn = (...a) => process.stderr.write(a.join(' ') + '\n');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const of = require(path.join(refRoot, 'datasource-generator', 'lib', 'output-filename.js'));
+const mr = require(path.join(refRoot, 'datasource-generator', 'lib', 'mapping-resolver.js'));
+
+const out = {
+  slugs: fixture.slugInputs.map((s) => of.slugify(s)),
+  sanitized: fixture.sanitizeInputs.map((s) => of.sanitizeFilename(s)),
+  defaults: fixture.reportTypes.map((t) => of.defaultTemplateForType(t)),
+  timestamps: (() => {
+    const [y, mo, d, h, mi, s] = fixture.clock;
+    return of.makeTimestamps(new Date(y, mo - 1, d, h, mi, s));
+  })(),
+  filenames: fixture.filenameCases.map((c) => of.buildFilename(c.template, c.context)),
+  shortNames: fixture.shortNameCases.map((c) => mr.getShortName(c.fullName, c.mapping)),
+  resolved: fixture.resolveCases.map((c) => {
+    const p = mr.resolveTeamMappingFile(c.config, fixture.baseDirs[c.baseDir]);
+    return p ? path.basename(p) : null;
+  }),
+  loaded: fixture.resolveCases.map((c) =>
+    mr.loadTeamMapping(c.config, fixture.baseDirs[c.baseDir])
+  ),
+};
+process.stdout.write(JSON.stringify(out));

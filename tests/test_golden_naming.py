@@ -1,0 +1,189 @@
+"""Golden parity: our output-naming / team-mapping resolution
+(functions/naming.py) vs the reference's OWN output-filename.js and
+mapping-resolver.js executed via node (tests/golden/ref_naming_driver.js).
+
+``{today}``/``{timestamp}`` tokens are excluded from buildFilename
+cases (the reference reads the real clock inside buildFilename);
+makeTimestamps itself is compared on an injected fixed clock.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from datetime import datetime
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.functions import naming as NM
+
+DRIVER = Path(__file__).parent / "golden" / "ref_naming_driver.js"
+REF = Path("/root/reference")
+
+SLUG_INPUTS = [
+    "José-María O'Brien Sr.",
+    "  A__b--c  ",
+    "ŁódźÆon",
+    "___",
+    "",
+    None,
+    "Already_lower 42",
+]
+SANITIZE_INPUTS = [
+    "a/b\\c:d*e?f\"g<h>i|j",
+    "  plain name.py  ",
+    "\x08ctrl\x1fchars\x7f",
+    ":::",
+    "",
+    None,
+]
+REPORT_TYPES = ["weekly", "team", "1on1", "dashboard", "other", None]
+CLOCK = [2025, 10, 13, 4, 5, 6]
+FILENAME_CASES = [
+    {"template": None, "context": {"reportType": "1on1", "memberShort": "mjb"}},
+    {"template": None, "context": {"reportType": "weekly", "project": "Apollo 11"}},
+    {"template": None, "context": {"reportType": None}},
+    {
+        "template": "ds_{project}_{team}_{start_date}_to_{end_date}",
+        "context": {
+            "project": "proj/x",
+            "team": "Côre Team",
+            "start_date": "2025-10-06",
+            "end_date": "2025-10-12",
+        },
+    },
+    {
+        "template": "{memberSlug}_report.PY",
+        "context": {"memberFull": "Ana-María López Jr."},
+    },
+    {"template": "{memberSlug}", "context": {"memberShort": "Bo Li"}},
+    {"template": "{unknownToken}x", "context": {}},
+    {"template": "../escape/{project}", "context": {"project": "p"}},
+]
+SHORT_NAME_CASES = [
+    {"fullName": "Mark Jerly Bundalian", "mapping": {"mappings": {"Mark Jerly Bundalian": {"shortName": "mjb"}}}},
+    {"fullName": "Chris Ong", "mapping": {"mappings": {"Chris Ong": "c.ong"}}},
+    {"fullName": "Ana-María López Jr.", "mapping": {"mappings": {}}},
+    {"fullName": "Bo  Li", "mapping": {"mappings": {"Bo  Li": {"fullName": "no short"}}}},
+    {"fullName": "O'Brien, Seán", "mapping": {"mappings": {}}},
+]
+
+
+@pytest.fixture(scope="module")
+def mapping_dirs(tmp_path_factory):
+    """Three baseDir layouts for the resolution-priority matrix."""
+    root = tmp_path_factory.mktemp("naming_golden")
+    # with-project: default file names a projectFolder that has its own file
+    wp = root / "with_project"
+    wp.mkdir()
+    (wp / "team-name-mapping.json").write_text(
+        json.dumps({"projectFolder": "apollo", "mappings": {"A": "a"}})
+    )
+    (wp / "team-name-mapping-apollo.json").write_text(
+        json.dumps({"projectFolder": "apollo", "mappings": {"B": "b"}})
+    )
+    # default-only: projectFolder 'default' must NOT trigger a project file
+    do = root / "default_only"
+    do.mkdir()
+    (do / "team-name-mapping.json").write_text(
+        json.dumps({"projectFolder": "default", "mappings": {"C": "c"}})
+    )
+    # empty dir: nothing resolvable
+    (root / "empty").mkdir()
+    # configured file outside any baseDir
+    cfg = root / "configured.json"
+    cfg.write_text(json.dumps({"projectFolder": "cfg", "mappings": {"D": "d"}}))
+    return root, cfg
+
+
+def _resolve_cases(cfg_path: Path) -> list[dict]:
+    return [
+        {"config": {}, "baseDir": "with_project"},
+        {"config": {}, "baseDir": "default_only"},
+        {"config": {}, "baseDir": "empty"},
+        {"config": {"transcripts": {"teamMappingFile": str(cfg_path)}}, "baseDir": "empty"},
+        {"config": {"transcripts": {"teamMappingFile": "/nonexistent/x.json"}}, "baseDir": "with_project"},
+    ]
+
+
+@pytest.fixture(scope="module")
+def ref(mapping_dirs):
+    root, cfg = mapping_dirs
+    fixture = {
+        "slugInputs": SLUG_INPUTS,
+        "sanitizeInputs": SANITIZE_INPUTS,
+        "reportTypes": REPORT_TYPES,
+        "clock": CLOCK,
+        "filenameCases": FILENAME_CASES,
+        "shortNameCases": SHORT_NAME_CASES,
+        "resolveCases": _resolve_cases(cfg),
+        "baseDirs": {
+            "with_project": str(root / "with_project"),
+            "default_only": str(root / "default_only"),
+            "empty": str(root / "empty"),
+        },
+    }
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(fixture),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+@needs_node
+def test_slugify_matches_reference(ref):
+    assert [NM.slugify(s) for s in SLUG_INPUTS] == ref["slugs"]
+
+
+@needs_node
+def test_sanitize_matches_reference(ref):
+    assert [NM.sanitize_filename(s) for s in SANITIZE_INPUTS] == ref["sanitized"]
+
+
+@needs_node
+def test_default_templates_match_reference(ref):
+    assert [NM.default_template_for_type(t) for t in REPORT_TYPES] == ref["defaults"]
+
+
+@needs_node
+def test_timestamps_match_reference(ref):
+    assert NM.make_timestamps(datetime(*CLOCK)) == ref["timestamps"]
+
+
+@needs_node
+def test_build_filename_matches_reference(ref):
+    ours = [NM.build_filename(c["template"], c["context"]) for c in FILENAME_CASES]
+    assert ours == ref["filenames"]
+
+
+@needs_node
+def test_short_names_match_reference(ref):
+    ours = [NM.get_short_name(c["fullName"], c["mapping"]) for c in SHORT_NAME_CASES]
+    assert ours == ref["shortNames"]
+
+
+@needs_node
+def test_mapping_resolution_matches_reference(ref, mapping_dirs):
+    root, cfg = mapping_dirs
+    dirs = {
+        "with_project": root / "with_project",
+        "default_only": root / "default_only",
+        "empty": root / "empty",
+    }
+    for case, want_name, want_loaded in zip(
+        _resolve_cases(cfg), ref["resolved"], ref["loaded"]
+    ):
+        got = NM.resolve_team_mapping_file(case["config"], dirs[case["baseDir"]])
+        assert (got.name if got else None) == want_name, case
+        assert NM.load_team_mapping(case["config"], dirs[case["baseDir"]]) == want_loaded, case

@@ -71,3 +71,22 @@ def test_datasource_emit(spark, docs_df):
     assert set(res.datasources) == {"Maria Garcia"}
     ds = res.datasources["Maria Garcia"]
     assert 'DAILY_REPORTS_DATA = """' in ds and "did stuff" in ds
+
+
+def test_run_one_on_one_output_filenames(spark):
+    docs_df = spark.createDataFrame(
+        [("report_maria.md", "**Employee**: Maria Garcia\nnotes")],
+        "filename string, content string",
+    )
+    res = run_one_on_one(
+        spark,
+        docs_df,
+        ["Maria Garcia", "Ana-María López"],
+        mappings={"Maria Garcia": {"shortName": "mgarcia"}},
+        generated_at="2025-10-13",
+    )
+    # mapped member uses the configured shortName; unmapped falls back
+    # to the reference's ASCII lowercase-underscore rule (accents drop)
+    assert res.filenames["Maria Garcia"] == "datasource_mgarcia.py"
+    # hyphens and accented chars both fall outside JS \w and are dropped
+    assert res.filenames["Ana-María López"] == "datasource_anamara_lpez.py"
