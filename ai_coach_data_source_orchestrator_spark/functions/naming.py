@@ -154,3 +154,36 @@ def load_team_mapping(config: dict, base_dir: str | Path) -> dict:
     if path is not None and path.exists():
         return json.loads(path.read_text())
     return {"projectFolder": "default", "mappings": {}}
+
+
+def get_project_folder(
+    team: str | None, config: dict | None, base_dir: str | Path
+) -> str:
+    """Output-scoping folder resolution (lib/project-folder.js:34-63).
+    Priority: team-specific ``team-name-mapping-{team}.json`` (non-empty
+    ``projectFolder``) → ``load_team_mapping`` result when its folder is
+    set and not ``'default'`` → ``config.jira.project`` lowercased →
+    the ``team`` argument → ``'default'``. ``base_dir`` is injectable
+    (the reference hardwires its own ``datasource-generator`` dir)."""
+    base = Path(base_dir)
+    if team and isinstance(team, str):
+        team_file = base / f"team-name-mapping-{team}.json"
+        if team_file.exists():
+            try:
+                folder = json.loads(team_file.read_text()).get("projectFolder")
+                if isinstance(folder, str) and folder.strip():
+                    return folder.strip()
+            except (ValueError, OSError):
+                pass
+    mapping = load_team_mapping(config or {}, base)
+    folder = mapping.get("projectFolder")
+    if isinstance(folder, str) and folder and folder != "default":
+        return folder
+    # JS truthiness on the raw value first (`config.jira.project ?`):
+    # '' and 0 both fall through to the team fallback
+    proj = ((config or {}).get("jira") or {}).get("project")
+    if proj and str(proj).strip():
+        return str(proj).lower().strip()
+    if team and isinstance(team, str) and team.strip():
+        return team.strip()
+    return "default"

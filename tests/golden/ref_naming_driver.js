@@ -39,5 +39,12 @@ const out = {
   loaded: fixture.resolveCases.map((c) =>
     mr.loadTeamMapping(c.config, fixture.baseDirs[c.baseDir])
   ),
+  // project-folder.js hardwires refRoot/datasource-generator as its
+  // base dir (reads the reference's own shipped mapping files,
+  // read-only) — the python side injects the same dir.
+  projectFolders: (fixture.projectFolderCases || []).map((c) => {
+    const pf = require(path.join(refRoot, 'lib', 'project-folder.js'));
+    return pf.getProjectFolder(c.team, c.config);
+  }),
 };
 process.stdout.write(JSON.stringify(out));

@@ -108,6 +108,16 @@ def _resolve_cases(cfg_path: Path) -> list[dict]:
     ]
 
 
+PROJECT_FOLDER_CASES = [
+    {"team": "ai-coach", "config": {}},          # team-specific file hit
+    {"team": "rocks", "config": {}},             # team-specific file hit
+    {"team": "nope", "config": {"jira": {"project": "  APOLLO "}}},  # jira fallback
+    {"team": "nope", "config": {"jira": {"project": ""}}},  # empty project → team
+    {"team": None, "config": {}},                # mapping-resolver default file
+    {"team": "  ", "config": {}},                # whitespace team
+]
+
+
 @pytest.fixture(scope="module")
 def ref(mapping_dirs):
     root, cfg = mapping_dirs
@@ -119,6 +129,7 @@ def ref(mapping_dirs):
         "filenameCases": FILENAME_CASES,
         "shortNameCases": SHORT_NAME_CASES,
         "resolveCases": _resolve_cases(cfg),
+        "projectFolderCases": PROJECT_FOLDER_CASES,
         "baseDirs": {
             "with_project": str(root / "with_project"),
             "default_only": str(root / "default_only"),
@@ -187,3 +198,13 @@ def test_mapping_resolution_matches_reference(ref, mapping_dirs):
         got = NM.resolve_team_mapping_file(case["config"], dirs[case["baseDir"]])
         assert (got.name if got else None) == want_name, case
         assert NM.load_team_mapping(case["config"], dirs[case["baseDir"]]) == want_loaded, case
+
+
+@needs_node
+def test_project_folder_matches_reference(ref):
+    base = REF / "datasource-generator"
+    ours = [
+        NM.get_project_folder(c["team"], c["config"], base)
+        for c in PROJECT_FOLDER_CASES
+    ]
+    assert ours == ref["projectFolders"]
