@@ -187,8 +187,11 @@ def minhash_lsh_pairs(
             .where(F.col("__bs") > max_bucket_size)
             .select("band", "band_hash")
         )
-        # only the (few) oversized buckets are broadcast, never the data
-        banded = banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+        # The hot-bucket set is usually tiny, but its worst case is
+        # n_docs/max_bucket_size rows (boilerplate-heavy corpora) — an
+        # unbounded forced broadcast at 100 TB. No hint: AQE broadcasts
+        # the anti-join side when it is actually small.
+        banded = banded.join(hot, ["band", "band_hash"], "left_anti")
     left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     candidates = (

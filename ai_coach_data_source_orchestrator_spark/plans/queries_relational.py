@@ -217,14 +217,18 @@ def a45_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r_name, n_name
     """,
     survey_ids=("J1", "J11", "A16"),
-    description="Fact ⋈ 4 broadcast dims → per-region/nation revenue rollup",
+    description="Star join: bounded dims broadcast, AQE-sized customer → region/nation revenue",
     bench=True,
 )
 def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # customer/nation/region are broadcast: the lineitem⋈orders join is
-    # the only shuffle (on orderkey), and the date filter runs at the
-    # scan. At 1000 executors this is one shuffle of the filtered fact —
-    # the minimum possible for this query shape.
+    # nation/region carry broadcast hints (25/5 rows — bounded by the
+    # world, not the data). customer does NOT: it scales linearly with
+    # the corpus (~1.5B rows at TPC-H 100 TB), so a forced broadcast is
+    # an executor OOM at scale — AQE broadcasts it at small SF where it
+    # is actually tiny and falls back to a shuffled join when it isn't
+    # (same class of fix as the r4 text_line_dedup flag). The date
+    # filter runs at the scan; the fact side shuffles only on its join
+    # keys.
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -235,7 +239,7 @@ def j1_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.where(F.to_date("l_shipdate").between(F.lit(SHIP_START), F.lit(SHIP_END)))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

@@ -253,3 +253,24 @@ def test_train_test_split_is_single_narrow_projection(spark, sf_dir):
     plan = _executed(df)
     assert "Exchange" not in plan
     assert "Join" not in plan and "Aggregate" not in plan.replace("PartialAggregate", "")
+
+
+def test_j1_customer_join_not_force_broadcast(spark, sf_dir):
+    # customer scales with the corpus (~1.5B rows at 100 TB) — only
+    # nation/region may carry explicit broadcast hints; customer's join
+    # strategy is AQE's call (it still broadcasts at test SF).
+    df = REGISTRY["j1_star_join_revenue"].fn(spark, sf_dir)
+    opt = _optimized(df)
+    # exactly the two bounded-dim hints survive optimization
+    assert opt.count("ResolvedHint") <= 2
+
+
+def test_minhash_hot_bucket_cap_not_force_broadcast(spark, sf_dir):
+    # The hot-bucket anti-join side is worst-case n_docs/cap rows —
+    # no forced broadcast; AQE decides.
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import minhash_lsh_pairs
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=50)
+    assert "ResolvedHint" not in _optimized(df)
