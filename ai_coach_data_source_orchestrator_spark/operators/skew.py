@@ -1,0 +1,68 @@
+"""Skew mitigation primitives.
+
+AQE's skew-join split (enabled in session.py:34) is the first line of
+defense and handles moderate skew in sort-merge joins automatically.
+Salting is the tool for the cases AQE cannot fix:
+
+- a broadcast-ineligible join where ONE key holds a double-digit
+  percent of the big side (AQE splits a skewed partition, but every
+  split still matches the same build rows — the probe-side scan
+  parallelizes, the match work does not shrink);
+- hot-key aggregation state that has no partial/merge form
+  (``collect_set``-style), where all values of a key must meet.
+
+``salted_join`` replicates the small side ``n_salts`` times and routes
+each big-side row to one replica via a DETERMINISTIC hash of its other
+columns — never ``rand()``, which breaks retry/rerun reproducibility
+(a retried task would re-draw salts and double/drop rows under
+speculative execution). The result is row-for-row equal to the plain
+join; only the physical distribution changes: a key with N rows now
+spreads across min(N, n_salts) partitions instead of one straggler.
+
+Cost model: the small side grows n_salts×, so this is for
+small-but-not-broadcastable build sides (MBs, not GBs) against a
+skewed probe side. For bounded-small build sides prefer broadcast;
+for balanced keys prefer the plain shuffle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``on`` with the hot-key work fanned
+    across ``n_salts`` partitions per key. Output columns and rows are
+    identical to ``big.join(small, on, how)``.
+
+    The big side's salt is ``pmod(xxhash64(all non-key columns), n)``:
+    rows of a hot key differ in their payload columns, so they spread
+    uniformly, and the same input row always lands on the same salt
+    (deterministic across retries and reruns). The small side is
+    replicated once per salt via an ``explode`` of a literal range —
+    no driver-side loop, no shuffle of the big side beyond the join's
+    own exchange on (key, salt).
+
+    Supported ``how``: inner and left — the join types where the big
+    side survives row-for-row. (right/full would need the REPLICATED
+    side deduplicated on miss, which defeats the construction.)
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in big.columns if c not in keys]
+    salt_src = [F.col(c).cast("string") for c in payload] or [F.lit("")]
+    b = big.withColumn(_SALT, F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int"))
+    s = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return b.join(s, keys + [_SALT], how).drop(_SALT)

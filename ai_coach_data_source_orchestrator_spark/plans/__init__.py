@@ -99,7 +99,9 @@ _FRONT = [
     # sample_train_test_split below: never-sampled queries outrank
     # r2-stale refreshes, and the multimodal family still refreshes
     # this round via multimodal_features + multimodal_decode.)
-    "dedup_embedding_cosine",
+    # (dedup_embedding_cosine yielded its slot to j_salted_skew_join:
+    # the embedding near-dup family still refreshes this round via
+    # dedup_embedding_cosine_lsh + dedup_semantic_clusters.)
     "dedup_embedding_cosine_lsh",
     "knn_ivf",
     # (x5_html_bullets, x2_wiki_to_markdown, x4_slack_markup,
@@ -127,6 +129,7 @@ _FRONT = [
     #    exact-substring restatement) and the leakage-safe split --
     "dedup_span_ngram",
     "sample_train_test_split",
+    "j_salted_skew_join",
 ]
 
 

@@ -575,3 +575,39 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "t_view", "t_click", "t_purchase", stage.cast("int").alias("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (operators/skew.py): the explicit hot-key fan-out for
+# joins AQE's skew split can't fix. The salt is physical-only — the
+# result is row-identical to the plain join, which is exactly what the
+# oracle asserts (plain SQL join + rollup, no salt anywhere).
+# ---------------------------------------------------------------------------
+@register(
+    "j_salted_skew_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 3 AS tier FROM events
+    )
+    SELECT e.user_id, MAX(d.tier) AS tier,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.user_id
+    """,
+    survey_ids=("J1", "U4"),
+    description="Deterministically salted hot-key join, row-identical to the plain join",
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    dim = ev.select("user_id").distinct().withColumn(
+        "tier", (F.col("user_id") % 3).cast("bigint")
+    )
+    joined = salted_join(ev, dim, on="user_id", n_salts=8)
+    return joined.groupBy("user_id").agg(
+        F.max("tier").alias("tier"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
+    )

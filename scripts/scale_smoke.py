@@ -91,6 +91,7 @@ QUERIES = [
     ("graph_host_pagerank", "documents"),
     ("dedup_span_ngram", "documents"),
     ("sample_train_test_split", "documents"),
+    ("j_salted_skew_join", "events"),
 ]
 
 if os.environ.get("SMOKE_QUERIES"):

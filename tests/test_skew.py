@@ -1,0 +1,61 @@
+"""salted_join equivalence + distribution properties (operators/skew.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.operators.skew import salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (5000 rows) + uniform tail
+    rows = [(7, i, float(i % 10)) for i in range(5000)]
+    rows += [(100 + i % 200, 10_000 + i, 1.0) for i in range(2000)]
+    big = spark.createDataFrame(rows, "k bigint, payload bigint, v double")
+    small = spark.createDataFrame(
+        [(7, "hot")] + [(100 + j, f"t{j}") for j in range(200)], "k bigint, label string"
+    )
+    return big, small
+
+
+def test_salted_inner_equals_plain_join(skewed, spark):
+    big, small = skewed
+    ours = salted_join(big, small, "k", n_salts=8)
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, ours.collect())) == sorted(map(tuple, plain.collect()))
+    assert sorted(ours.columns) == sorted(plain.columns)
+
+
+def test_salted_left_keeps_misses(spark):
+    big = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, p bigint")
+    small = spark.createDataFrame([(1, "a")], "k bigint, label string")
+    out = {tuple(r) for r in salted_join(big, small, "k", n_salts=4, how="left").collect()}
+    assert out == {(1, 10, "a"), (2, 20, None)}
+
+
+def test_salted_join_rejects_right_joins(spark):
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="right")
+
+
+def test_hot_key_spreads_across_salts(skewed):
+    big, small = skewed
+    # reconstruct the internal salt to verify the hot key fans out
+    payload = [c for c in big.columns if c != "k"]
+    salted = big.withColumn(
+        "s", F.pmod(F.xxhash64(*[F.col(c).cast("string") for c in payload]), F.lit(8))
+    )
+    n = salted.where(F.col("k") == 7).select("s").distinct().count()
+    assert n == 8  # 5000 rows cover all 8 salts
+
+
+def test_salt_is_deterministic_across_partitionings(skewed):
+    big, small = skewed
+    a = sorted(map(tuple, salted_join(big, small, "k", n_salts=8).collect()))
+    b = sorted(
+        map(tuple, salted_join(big.repartition(13), small, "k", n_salts=8).collect())
+    )
+    assert a == b
