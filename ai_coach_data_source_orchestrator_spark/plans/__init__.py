@@ -117,7 +117,9 @@ _FRONT = [
     # oracle parity every pytest run. x20_section_split likewise yielded
     # to sketch_bloom_membership — X20's r2 row stays its latest, the
     # accepted cost of prioritizing never-sampled queries.)
-    "x10_x11_timestamp_formats",
+    # (x10_x11_timestamp_formats yielded its slot to text_filter_funnel
+    # below — X10/X11 keep their r2-green rows, the accepted cost of
+    # prioritizing never-sampled queries.)
     # -- new in round 5 (late): matryoshka truncation audit, cohort
     #    retention, ordered funnel. (text_line_dedup / cc_large_star
     #    yielded their slots: both r4-green, locally oracle-green, and
@@ -130,6 +132,7 @@ _FRONT = [
     "dedup_span_ngram",
     "sample_train_test_split",
     "j_salted_skew_join",
+    "text_filter_funnel",
 ]
 
 

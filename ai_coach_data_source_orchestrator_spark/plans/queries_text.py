@@ -12,10 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..functions import text as T
 from ..operators import dedup as D
 from ..sources.tables import ensure_parallelism, load_table
-from .registry import register
+from .registry import REGISTRY, register
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
@@ -1301,3 +1303,62 @@ _SPAN_K = 8
 )
 def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_spans(load_table(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# Filter-funnel attribution: WHY was each document dropped? Every
+# corpus build needs the per-gate kill attribution (tuning one gate
+# requires knowing what it uniquely removes). Composes the registered
+# gates in pipeline order — exact-dup survivor, langid, quality, C4 —
+# and reports the FIRST failing gate per doc. The oracle nests the
+# composed queries' own oracle CTEs, so funnel parity is inherited
+# from gate parity.
+# ---------------------------------------------------------------------------
+def _funnel_oracle() -> str:
+    return f"""
+    WITH l AS ({REGISTRY['text_langid'].oracle}),
+    q AS ({REGISTRY['text_quality_score'].oracle}),
+    c AS ({REGISTRY['text_c4_filters'].oracle}),
+    s AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS survivor FROM documents),
+    v AS (
+      SELECT s.doc_id,
+        CASE WHEN s.doc_id <> s.survivor THEN 'exact_dup'
+             WHEN l.lang_pred <> 'en' THEN 'langid'
+             WHEN NOT q.passes_quality THEN 'quality'
+             WHEN NOT c.passes_c4 THEN 'c4'
+             ELSE 'keep' END AS verdict
+      FROM s JOIN l USING (doc_id) JOIN q USING (doc_id) JOIN c USING (doc_id)
+    )
+    SELECT doc_id, verdict, verdict = 'keep' AS kept FROM v
+    """
+
+
+@register(
+    "text_filter_funnel",
+    oracle=_funnel_oracle(),
+    survey_ids=("F12", "U5"),
+    description="Per-doc first-failing-gate attribution across the curation funnel",
+)
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = text_langid(spark, sf_dir)
+    q = text_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
+    c = text_c4_filters(spark, sf_dir).select("doc_id", "passes_c4")
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.sha2("text", 256).alias("h")).withColumn(
+        "survivor", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    # Attribution COMPOSES the gate queries (same precedent as
+    # corpus_health_report): 3 doc_id equi-joins at audit time. The
+    # production keep/drop path computes all gates in one projection;
+    # this query exists to explain it.
+    j = d.join(l, "doc_id").join(q, "doc_id").join(c, "doc_id")
+    verdict = (
+        F.when(F.col("doc_id") != F.col("survivor"), "exact_dup")
+        .when(F.col("lang_pred") != "en", "langid")
+        .when(~F.col("passes_quality"), "quality")
+        .when(~F.col("passes_c4"), "c4")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id", verdict.alias("verdict"), (verdict == "keep").alias("kept")
+    )
