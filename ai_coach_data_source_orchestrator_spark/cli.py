@@ -111,7 +111,11 @@ def _cmd_weekly(args) -> int:
             "date_range": {"start_date": args.start, "end_date": args.end},
             "team_members": args.member or [],
             "transcripts": {"minimum_participants": args.min_participants},
-            "jira": {"host": args.jira_host},
+            "jira": {
+                "host": args.jira_host,
+                "start_date": args.start,
+                "end_date": args.end,
+            },
         }
     else:
         inputs, config = derive_fixture_inputs(spark, args.sf_dir)

@@ -125,3 +125,166 @@ def validate_config(cfg: dict) -> None:
                 raise ConfigurationError(f"{label} must be a valid YYYY-MM-DD date, got {v!r}")
         if start and end and start > end:
             raise ConfigurationError(f"start_date {start} must be <= end_date {end}")
+    # The reference's per-section runtime sweep runs on every load
+    # (lib/config.js:138-182) — a jira/dailyReports section without its
+    # dates is a hard error there, so it is here too.
+    validate_sections(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Runtime validators (lib/validators.js, applied as lib/config.js:138-182
+# does). Throw/no-throw parity with the reference is pinned by the node
+# golden (tests/test_golden_validators.py).
+# ---------------------------------------------------------------------------
+def _js_parse_config_date(date_str: Any) -> datetime.date | None:
+    """``new Date('YYYY-MM-DD')`` as V8 evaluates it (golden-measured):
+    month must be 01-12 and day 01-31, but day overflow past the month
+    length ROLLS OVER (2025-02-30 → Mar 2) via V8's lenient fallback —
+    it does NOT reject. Returns the (possibly rolled) date, or None."""
+    import re as _re
+
+    if not isinstance(date_str, str):
+        return None
+    m = _re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", date_str)
+    if not m:
+        return None
+    y, mo, d = (int(g) for g in m.groups())
+    if not (1 <= mo <= 12 and 1 <= d <= 31):
+        return None
+    return datetime.date(y, mo, 1) + datetime.timedelta(days=d - 1)
+
+
+def validate_date_format(date_str: Any, field_name: str = "date") -> None:
+    """validators.js:13-33 — YYYY-MM-DD shape, then JS Date validity
+    (see ``_js_parse_config_date``; the stricter no-rollover rule
+    applies only to our own ``date_range`` key, not the reference's
+    section sweep)."""
+    if _js_parse_config_date(date_str) is None:
+        raise ConfigurationError(
+            f"Invalid {field_name} format: {date_str!r} — expected YYYY-MM-DD"
+        )
+
+
+def validate_date_range(start: Any, end: Any, context: str = "") -> None:
+    """validators.js:42-59 — both dates valid, start <= end COMPARED AS
+    JS Dates (so a rolled-over 2025-02-30 sorts as Mar 2). Called with a
+    section's dates whenever the section exists, so a jira/dailyReports
+    section with MISSING dates fails exactly as the reference does."""
+    validate_date_format(start, "start_date")
+    validate_date_format(end, "end_date")
+    if _js_parse_config_date(start) > _js_parse_config_date(end):
+        prefix = f"{context}: " if context else ""
+        raise ConfigurationError(
+            f"{prefix}Invalid date range: start_date ({start}) must be <= end_date ({end})"
+        )
+
+
+def validate_employee_id(employee_id: Any) -> None:
+    """validators.js:67-144 — '' (all employees), positive number,
+    digit string, CSV of digit strings, or non-empty list of positive
+    numbers. JS typeof semantics: booleans are not numbers."""
+    import re as _re
+
+    if employee_id == "" and isinstance(employee_id, str):
+        return
+    if isinstance(employee_id, (int, float)) and not isinstance(employee_id, bool):
+        if employee_id <= 0:
+            raise ConfigurationError(f"Invalid employee_id: {employee_id} (must be positive)")
+        return
+    if isinstance(employee_id, str):
+        ids = [i.strip() for i in employee_id.split(",")] if "," in employee_id else [employee_id]
+        for i in ids:
+            if not _re.fullmatch(r"\d+", i) or int(i) <= 0:
+                raise ConfigurationError(
+                    f"Invalid employee_id: {i!r} (positive numbers only)"
+                )
+        return
+    if isinstance(employee_id, list):
+        if not employee_id:
+            raise ConfigurationError(
+                'Invalid employee_id: empty array (use "" for all employees)'
+            )
+        for i in employee_id:
+            if isinstance(i, bool) or not isinstance(i, (int, float)) or i <= 0:
+                raise ConfigurationError(
+                    f"Invalid employee_id in array: {i!r} (positive numbers only)"
+                )
+        return
+    raise ConfigurationError(
+        f"Invalid employee_id type: {type(employee_id).__name__}"
+    )
+
+
+_DOMAIN_RE = (
+    r"[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?"
+    r"(\.[a-zA-Z0-9]([a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?)*"
+)
+
+
+def validate_jira_host(host: Any) -> None:
+    """validators.js:152-183 — bare domain only. The reference checks
+    the domain regex FIRST, so a protocol-prefixed host fails there
+    (its dedicated protocol branch is unreachable); order preserved.
+    Non-Atlassian hosts warn, never raise."""
+    import re as _re
+    import warnings as _warnings
+
+    if not isinstance(host, str) or not _re.fullmatch(_DOMAIN_RE, host):
+        raise ConfigurationError(
+            f"Invalid Jira host: {host!r} — domain only, no protocol"
+        )
+    if host.startswith(("http://", "https://")):
+        raise ConfigurationError(f"Invalid Jira host: {host!r} — do not include protocol")
+    if "atlassian.net" not in host and "jira" not in host:
+        _warnings.warn(f"Jira host {host!r} does not look like an Atlassian domain")
+
+
+def validate_folder_id(folder_id: Any) -> None:
+    """validators.js:191-204 — 20-50 chars of [A-Za-z0-9_-]."""
+    import re as _re
+
+    if not isinstance(folder_id, str) or not _re.fullmatch(r"[a-zA-Z0-9_-]{20,50}", folder_id):
+        raise ConfigurationError(f"Invalid Google Drive folder ID: {folder_id!r}")
+
+
+def validate_folder_ids(folder_ids: Any) -> None:
+    """validators.js:211-236 — non-empty list, each id valid."""
+    if not isinstance(folder_ids, list):
+        raise ConfigurationError(
+            f"Invalid folder_ids: expected a list, got {type(folder_ids).__name__}"
+        )
+    if not folder_ids:
+        raise ConfigurationError("Invalid folder_ids: list cannot be empty")
+    for i, fid in enumerate(folder_ids):
+        try:
+            validate_folder_id(fid)
+        except ConfigurationError as e:
+            raise ConfigurationError(f"Invalid folder ID at index {i}: {e}") from None
+
+
+def validate_sections(cfg: dict) -> None:
+    """The reference's per-section runtime sweep (lib/config.js:138-182):
+    dailyReports.query → date range + employee_id; jira → date range
+    (+ host when present); transcripts → folder_ids/folderId (list or
+    single) + dateFilter range when enabled."""
+    q = (cfg.get("dailyReports") or {}).get("query")
+    if q is not None:
+        validate_date_range(q.get("report_date_start"), q.get("report_date_end"), "dailyReports")
+        validate_employee_id(q.get("employee_id"))
+    jira = cfg.get("jira")
+    if jira:
+        validate_date_range(jira.get("start_date"), jira.get("end_date"), "jira")
+        if jira.get("host"):
+            validate_jira_host(jira["host"])
+    tr = cfg.get("transcripts")
+    if tr:
+        if tr.get("folder_ids"):
+            validate_folder_ids(tr["folder_ids"])
+        elif tr.get("folderId"):
+            if isinstance(tr["folderId"], list):
+                validate_folder_ids(tr["folderId"])
+            else:
+                validate_folder_id(tr["folderId"])
+        df = tr.get("dateFilter") or {}
+        if df.get("enabled"):
+            validate_date_range(df.get("startDate"), df.get("endDate"), "transcripts.dateFilter")

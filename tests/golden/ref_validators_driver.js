@@ -1,0 +1,36 @@
+// Golden-test driver: runs the REFERENCE repo's runtime config
+// validators (lib/validators.js — validateDateFormat, validateDateRange,
+// validateEmployeeId, validateJiraHost, validateFolderId,
+// validateFolderIds) over a JSON case matrix and prints, per case,
+// whether the validator accepted (true) or threw (false). Pure
+// functions: no fs beyond the fixture read, no network, nothing copied.
+//
+// Usage: node ref_validators_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+console.warn = () => {}; // validateJiraHost warns on non-Atlassian hosts
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const v = require(path.join(refRoot, 'lib', 'validators.js'));
+
+function outcome(fn) {
+  try {
+    fn();
+    return true;
+  } catch (_) {
+    return false;
+  }
+}
+
+const out = {
+  dates: fixture.dates.map((d) => outcome(() => v.validateDateFormat(d))),
+  ranges: fixture.ranges.map((r) => outcome(() => v.validateDateRange(r[0], r[1]))),
+  employees: fixture.employees.map((e) => outcome(() => v.validateEmployeeId(e))),
+  hosts: fixture.hosts.map((h) => outcome(() => v.validateJiraHost(h))),
+  folderIds: fixture.folderIds.map((f) => outcome(() => v.validateFolderId(f))),
+  folderIdLists: fixture.folderIdLists.map((l) => outcome(() => v.validateFolderIds(l))),
+};
+process.stdout.write(JSON.stringify(out));

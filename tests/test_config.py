@@ -48,12 +48,27 @@ def _write_configs(tmp_path, defaults, base, override, team="teamx", rt="weekly"
 def test_three_layer_precedence(tmp_path):
     d = _write_configs(
         tmp_path,
-        defaults={"jira": {"host": "default-host"}, "slack": {"limit": 15}, "flags": ["a"]},
+        # jira sections must carry their dates — the reference's runtime
+        # sweep (validate_sections) rejects a dateless jira section
+        defaults={
+            "jira": {
+                "host": "x.atlassian.net",
+                "start_date": "2025-10-01",
+                "end_date": "2025-10-31",
+            },
+            "slack": {"limit": 15},
+            "flags": ["a"],
+        },
         base={"jira": {"project": "PROJ"}, "team_members": ["Ann"], "flags": ["b", "c"]},
         override={"slack": {"limit": 100}, "flags": ["z"]},
     )
     cfg = load_config(d, "teamx", "weekly")
-    assert cfg["jira"] == {"host": "default-host", "project": "PROJ"}
+    assert cfg["jira"] == {
+        "host": "x.atlassian.net",
+        "project": "PROJ",
+        "start_date": "2025-10-01",
+        "end_date": "2025-10-31",
+    }
     assert cfg["slack"] == {"limit": 100}  # report override wins
     assert cfg["flags"] == ["z"]  # arrays replaced at every layer
     assert cfg["team"] == "teamx" and cfg["report_type"] == "weekly"

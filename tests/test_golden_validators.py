@@ -1,0 +1,114 @@
+"""Golden parity: our runtime config validators (config.py) vs the
+reference's OWN lib/validators.js executed via node — accept/raise
+outcome per case (messages are not compared; the contract is which
+configs load)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import warnings
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark import config as C
+
+DRIVER = Path(__file__).parent / "golden" / "ref_validators_driver.js"
+REF = Path("/root/reference")
+
+DATES = [
+    "2025-01-31", "2025-1-31", "2025-02-30", "2025-13-01", "2025/01/31",
+    "20250131", "", "2024-02-29", "2023-02-29", "2025-00-10", "2025-10-00",
+]
+RANGES = [
+    ["2025-01-01", "2025-01-31"],
+    ["2025-01-31", "2025-01-01"],
+    ["2025-01-15", "2025-01-15"],
+    ["2025-02-30", "2025-03-01"],
+    [None, "2025-01-01"],
+]
+EMPLOYEES = [
+    "", 123, 0, -5, 1.5, "123", "007", "0", "12a", "123,456", "123, 456",
+    "123,,456", [123, 456], [], [123, "456"], [0], None, True,
+]
+HOSTS = [
+    "x.atlassian.net", "jira.mycorp.io", "plain", "has space.net",
+    "https://x.atlassian.net", "-bad.net", "bad-.net", "a.b-c.d", "",
+]
+FOLDER_IDS = [
+    "1BY06tq2GJ17mRr6-gTbRHscrdtWWmC_9", "short", "a" * 20, "a" * 50,
+    "a" * 51, "has space in the folder id!", "",
+]
+FOLDER_ID_LISTS = [
+    ["1BY06tq2GJ17mRr6-gTbRHscrdtWWmC_9"],
+    [],
+    ["ok_folder_id_20_chars", "short"],
+    "not-a-list",
+]
+
+
+@pytest.fixture(scope="module")
+def ref():
+    fixture = {
+        "dates": DATES,
+        "ranges": RANGES,
+        "employees": [e if e is not True else True for e in EMPLOYEES],
+        "hosts": HOSTS,
+        "folderIds": FOLDER_IDS,
+        "folderIdLists": FOLDER_ID_LISTS,
+    }
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(fixture),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+def _ok(fn, *args) -> bool:
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            fn(*args)
+        return True
+    except C.ConfigurationError:
+        return False
+
+
+@needs_node
+def test_date_format_outcomes(ref):
+    assert [_ok(C.validate_date_format, d) for d in DATES] == ref["dates"]
+
+
+@needs_node
+def test_date_range_outcomes(ref):
+    assert [_ok(C.validate_date_range, r[0], r[1]) for r in RANGES] == ref["ranges"]
+
+
+@needs_node
+def test_employee_id_outcomes(ref):
+    ours = [_ok(C.validate_employee_id, e) for e in EMPLOYEES]
+    assert ours == ref["employees"], list(zip(EMPLOYEES, ours, ref["employees"]))
+
+
+@needs_node
+def test_jira_host_outcomes(ref):
+    ours = [_ok(C.validate_jira_host, h) for h in HOSTS]
+    assert ours == ref["hosts"], list(zip(HOSTS, ours, ref["hosts"]))
+
+
+@needs_node
+def test_folder_id_outcomes(ref):
+    assert [_ok(C.validate_folder_id, f) for f in FOLDER_IDS] == ref["folderIds"]
+    ours = [_ok(C.validate_folder_ids, l) for l in FOLDER_ID_LISTS]
+    assert ours == ref["folderIdLists"]
