@@ -218,7 +218,17 @@ def run_weekly_digest(
     part_rows = parts.select("filename", F.explode("participants").alias("participant"))
     keep = N.team_threshold_filter(
         part_rows, aliases, minimum_required=min_participants
-    ).where(F.col("should_include"))
+    )
+    # Multi-person bypass (download-from-drive.js:559-561): a transcript
+    # below the match threshold is still included when it has >2
+    # participants and at least one team match — the reference only
+    # hard-excludes small (1:1-shaped) meetings.
+    keep = keep.join(
+        parts.select("filename", F.size("participants").alias("__np")), "filename"
+    ).where(
+        F.col("should_include")
+        | ((F.col("__np") > 2) & (F.col("matched_count") > 0))
+    )
     transcript_files = parts.join(keep, "filename").select(
         "filename", "participants", "matched_count"
     )

@@ -194,3 +194,40 @@ def test_warehouse_upsert_idempotent(spark, inputs, tmp_path_factory):
     tbl = spark.read.parquet(path)
     assert tbl.count() == 1
     assert tbl.collect()[0]["generated_at"] == "2025-10-14T00:00:00Z"
+
+
+def test_multiperson_bypass_matches_reference(spark, inputs):
+    """download-from-drive.js:559-561: below-threshold transcripts are
+    still included when they have >2 participants and >=1 team match —
+    only small (1:1-shaped) meetings are hard-excluded."""
+    transcripts = spark.createDataFrame(
+        [
+            (  # 4 participants, 1 match, threshold 2 → bypass keeps it
+                "fathom-transcripts-2025-10-08T07_00_00+00_00.md",
+                "07:00 - Jolony Tim Tangpuz\nhello\n07:01 - Ext A\nhi\n"
+                "07:02 - Ext B\nhey\n07:03 - Ext C\nyo",
+                "2025-10-08 07:30:00",
+            ),
+            (  # 2 participants, 1 match, threshold 2 → excluded
+                "fathom-transcripts-2025-10-09T07_00_00+00_00.md",
+                "07:00 - Harold Inacay\nhello\n07:01 - Ext D\nhi",
+                "2025-10-09 07:30:00",
+            ),
+        ],
+        "filename string, content string, modified_time string",
+    )
+    two_min = dict(CONFIG, transcripts={"minimum_participants": 2})
+    res = run_weekly_digest(
+        spark,
+        WeeklyInputs(
+            inputs.jira_issues,
+            inputs.jira_comments,
+            inputs.jira_changelogs,
+            inputs.daily_reports,
+            transcripts,
+        ),
+        two_min,
+        generated_at="2025-10-13T00:00:00Z",
+    )
+    files = {r["filename"] for r in res.transcript_files.collect()}
+    assert files == {"fathom-transcripts-2025-10-08T07_00_00+00_00.md"}
