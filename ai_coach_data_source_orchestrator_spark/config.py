@@ -136,22 +136,28 @@ def validate_config(cfg: dict) -> None:
 # does). Throw/no-throw parity with the reference is pinned by the node
 # golden (tests/test_golden_validators.py).
 # ---------------------------------------------------------------------------
-def _js_parse_config_date(date_str: Any) -> datetime.date | None:
+def _js_parse_config_date(date_str: Any) -> tuple[int, datetime.date] | None:
     """``new Date('YYYY-MM-DD')`` as V8 evaluates it (golden-measured):
     month must be 01-12 and day 01-31, but day overflow past the month
     length ROLLS OVER (2025-02-30 → Mar 2) via V8's lenient fallback —
-    it does NOT reject. Returns the (possibly rolled) date, or None."""
+    it does NOT reject. ASCII digits only (JS ``\\d``), so Arabic-Indic
+    and fullwidth digit strings are rejected. Returns an orderable
+    ``(era, rolled_date)`` tuple — V8 also accepts year 0000 (proleptic
+    Gregorian), which datetime cannot represent, so year 0 parses
+    against leap-equivalent year 4 with era=0 sorting before every
+    era=1 (year >= 1) date. None = invalid."""
     import re as _re
 
     if not isinstance(date_str, str):
         return None
-    m = _re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", date_str)
+    m = _re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", date_str, _re.ASCII)
     if not m:
         return None
     y, mo, d = (int(g) for g in m.groups())
     if not (1 <= mo <= 12 and 1 <= d <= 31):
         return None
-    return datetime.date(y, mo, 1) + datetime.timedelta(days=d - 1)
+    era, base_year = (1, y) if y >= 1 else (0, 4)
+    return era, datetime.date(base_year, mo, 1) + datetime.timedelta(days=d - 1)
 
 
 def validate_date_format(date_str: Any, field_name: str = "date") -> None:
@@ -194,7 +200,9 @@ def validate_employee_id(employee_id: Any) -> None:
     if isinstance(employee_id, str):
         ids = [i.strip() for i in employee_id.split(",")] if "," in employee_id else [employee_id]
         for i in ids:
-            if not _re.fullmatch(r"\d+", i) or int(i) <= 0:
+            # re.ASCII: JS /^\d+$/ is ASCII-only — Arabic-Indic or
+            # fullwidth digits must be rejected, not int()-coerced
+            if not _re.fullmatch(r"\d+", i, _re.ASCII) or int(i) <= 0:
                 raise ConfigurationError(
                     f"Invalid employee_id: {i!r} (positive numbers only)"
                 )
@@ -221,11 +229,31 @@ _DOMAIN_RE = (
 )
 
 
+def _js_string(v: Any) -> str:
+    """JS ``String(v)`` for the values regex.test() coerces: numbers
+    render plainly, booleans lowercase, lists comma-join — a
+    type-sloppy config (``host: 123``) must get the reference's
+    accept/reject outcome, not a Python type error."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, list):
+        return ",".join(_js_string(x) for x in v)
+    if v is None:
+        return "null"
+    return str(v)
+
+
 def validate_jira_host(host: Any) -> None:
     """validators.js:152-183 — bare domain only. The reference checks
     the domain regex FIRST, so a protocol-prefixed host fails there
     (its dedicated protocol branch is unreachable); order preserved.
-    Non-Atlassian hosts warn, never raise."""
+    Non-Atlassian hosts warn, never raise. NON-STRING hosts always
+    raise: the regex .test() would coerce, but the reference's
+    following host.startsWith() call TypeErrors on any non-string
+    (golden-measured on numbers/booleans), so the observable outcome
+    is reject."""
     import re as _re
     import warnings as _warnings
 
@@ -240,10 +268,12 @@ def validate_jira_host(host: Any) -> None:
 
 
 def validate_folder_id(folder_id: Any) -> None:
-    """validators.js:191-204 — 20-50 chars of [A-Za-z0-9_-]."""
+    """validators.js:191-204 — 20-50 chars of [A-Za-z0-9_-], with JS
+    regex string coercion for non-string values."""
     import re as _re
 
-    if not isinstance(folder_id, str) or not _re.fullmatch(r"[a-zA-Z0-9_-]{20,50}", folder_id):
+    fid = folder_id if isinstance(folder_id, str) else _js_string(folder_id)
+    if not _re.fullmatch(r"[a-zA-Z0-9_-]{20,50}", fid):
         raise ConfigurationError(f"Invalid Google Drive folder ID: {folder_id!r}")
 
 
@@ -262,29 +292,61 @@ def validate_folder_ids(folder_ids: Any) -> None:
             raise ConfigurationError(f"Invalid folder ID at index {i}: {e}") from None
 
 
+def _js_truthy(v: Any) -> bool:
+    """JS truthiness for the sweep's guards: None/False/''/0/NaN are
+    falsy; {} and [] are TRUTHY (unlike Python) — so an empty jira
+    section still demands its dates and an empty folder_ids list still
+    hits the non-empty check, exactly as the reference."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, str):
+        return v != ""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        import math as _math
+
+        return v != 0 and not (isinstance(v, float) and _math.isnan(v))
+    return True
+
+
+def _js_get(obj: Any, key: str) -> Any:
+    """``obj.key`` on a possibly-non-object value: JS property access on
+    a truthy primitive yields undefined, never a type error."""
+    return obj.get(key) if isinstance(obj, dict) else None
+
+
 def validate_sections(cfg: dict) -> None:
     """The reference's per-section runtime sweep (lib/config.js:138-182):
     dailyReports.query → date range + employee_id; jira → date range
     (+ host when present); transcripts → folder_ids/folderId (list or
-    single) + dateFilter range when enabled."""
-    q = (cfg.get("dailyReports") or {}).get("query")
-    if q is not None:
-        validate_date_range(q.get("report_date_start"), q.get("report_date_end"), "dailyReports")
-        validate_employee_id(q.get("employee_id"))
+    single) + dateFilter range when enabled. All guards use JS
+    truthiness (``_js_truthy``) so empty-object sections are still
+    validated and empty folder lists still rejected."""
+    q = _js_get(cfg.get("dailyReports"), "query")
+    if _js_truthy(q):
+        validate_date_range(
+            _js_get(q, "report_date_start"), _js_get(q, "report_date_end"), "dailyReports"
+        )
+        validate_employee_id(_js_get(q, "employee_id"))
     jira = cfg.get("jira")
-    if jira:
-        validate_date_range(jira.get("start_date"), jira.get("end_date"), "jira")
-        if jira.get("host"):
-            validate_jira_host(jira["host"])
+    if _js_truthy(jira):
+        validate_date_range(_js_get(jira, "start_date"), _js_get(jira, "end_date"), "jira")
+        if _js_truthy(_js_get(jira, "host")):
+            validate_jira_host(_js_get(jira, "host"))
     tr = cfg.get("transcripts")
-    if tr:
-        if tr.get("folder_ids"):
-            validate_folder_ids(tr["folder_ids"])
-        elif tr.get("folderId"):
-            if isinstance(tr["folderId"], list):
-                validate_folder_ids(tr["folderId"])
+    if _js_truthy(tr):
+        folder_ids = _js_get(tr, "folder_ids")
+        folder_id = _js_get(tr, "folderId")
+        if _js_truthy(folder_ids):
+            validate_folder_ids(folder_ids)
+        elif _js_truthy(folder_id):
+            if isinstance(folder_id, list):
+                validate_folder_ids(folder_id)
             else:
-                validate_folder_id(tr["folderId"])
-        df = tr.get("dateFilter") or {}
-        if df.get("enabled"):
-            validate_date_range(df.get("startDate"), df.get("endDate"), "transcripts.dateFilter")
+                validate_folder_id(folder_id)
+        df = _js_get(tr, "dateFilter")
+        if _js_get(df, "enabled") is True:
+            validate_date_range(
+                _js_get(df, "startDate"), _js_get(df, "endDate"), "transcripts.dateFilter"
+            )

@@ -147,11 +147,16 @@ def filename_or_mtime_in_range(
     constant-folded, and NULL-in → NULL-out matches the old
     expression's behavior under filter semantics (row dropped).
     """
-    if start is not None and end is not None:
+    if start is not None and end is not None and start <= end:
         days = F.sequence(
             F.lit(start).cast("date"), F.lit(end).cast("date")
         )
         fname_in = F.array_contains(days, fname_date)
+    elif start is not None and end is not None:
+        # start > end: Spark's sequence() would default to step -1 and
+        # generate the DESCENDING range, silently inverting the
+        # predicate — the empty range must match nothing.
+        fname_in = F.lit(False)
     else:
         fname_in = fname_date.isNotNull() & in_range(fname_date, start, end)
     return fname_in | in_range(F.to_date(mtime), start, end)

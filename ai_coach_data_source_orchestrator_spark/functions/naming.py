@@ -47,7 +47,10 @@ def slugify(value: object) -> str:
     (output-filename.js:18-25; same algorithm as the markup slugify but
     with underscore separators)."""
     s = unicodedata.normalize("NFKD", str(value if value is not None else ""))
-    s = "".join(ch for ch in s if not unicodedata.combining(ch))
+    # ONLY U+0300-U+036F, like the reference's combining-mark regex —
+    # marks outside that block (e.g. U+20D7) survive the strip and
+    # become underscore separators, not deletions
+    s = "".join(ch for ch in s if not "\u0300" <= ch <= "\u036f")
     s = re.sub(r"[^a-zA-Z0-9]+", "_", s)
     return s.strip("_").lower()
 
@@ -101,6 +104,7 @@ def build_filename(
         if tokens.get(m.group(1)) is not None
         else "",
         tpl,
+        flags=re.ASCII,  # JS \w is ASCII-only
     )
     name = sanitize_filename(name)
     if not name.lower().endswith(".py"):
@@ -116,7 +120,9 @@ def get_short_name(full_name: str, name_mapping: dict) -> str:
     mapping = (name_mapping.get("mappings") or {}).get(full_name)
     if isinstance(mapping, dict) and mapping.get("shortName"):
         return mapping["shortName"]
-    if isinstance(mapping, str):
+    # JS `if (mapping)` guard: an empty-string legacy entry is falsy
+    # and falls through to the fallback, never returned as-is
+    if isinstance(mapping, str) and mapping:
         return mapping
     fallback = re.sub(r"\s+", "_", full_name.lower())
     return re.sub(r"[^a-zA-Z0-9_]", "", fallback)

@@ -222,15 +222,15 @@ def run_weekly_digest(
     # Multi-person bypass (download-from-drive.js:559-561): a transcript
     # below the match threshold is still included when it has >2
     # participants and at least one team match — the reference only
-    # hard-excludes small (1:1-shaped) meetings.
-    keep = keep.join(
-        parts.select("filename", F.size("participants").alias("__np")), "filename"
-    ).where(
-        F.col("should_include")
-        | ((F.col("__np") > 2) & (F.col("matched_count") > 0))
-    )
-    transcript_files = parts.join(keep, "filename").select(
-        "filename", "participants", "matched_count"
+    # hard-excludes small (1:1-shaped) meetings. Applied on the existing
+    # parts⋈keep join, where the participants array is already in hand.
+    transcript_files = (
+        parts.join(keep, "filename")
+        .where(
+            F.col("should_include")
+            | ((F.size("participants") > 2) & (F.col("matched_count") > 0))
+        )
+        .select("filename", "participants", "matched_count")
     )
     utter = T.parse_transcripts(tf.join(transcript_files, "filename", "left_semi"))
     t_blocks = (

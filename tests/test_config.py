@@ -90,3 +90,29 @@ def test_validate_date_range_strict():
         validate_config({"date_range": {"start_date": "2025-02-30", "end_date": "2025-03-01"}})
     with pytest.raises(ConfigurationError, match="must be <="):
         validate_config({"date_range": {"start_date": "2025-11-01", "end_date": "2025-10-01"}})
+
+
+def test_validate_sections_js_truthiness():
+    """lib/config.js guards use JS truthiness: empty-object sections are
+    still validated (and fail on their missing dates), empty folder
+    lists still hit the non-empty check, and falsy primitives skip."""
+    with pytest.raises(ConfigurationError):  # {} is truthy in JS
+        validate_config({"jira": {}})
+    with pytest.raises(ConfigurationError):  # [] is truthy in JS
+        validate_config({"transcripts": {"folder_ids": []}})
+    with pytest.raises(ConfigurationError):  # property access on "x" → undefined dates
+        validate_config({"dailyReports": {"query": "x"}})
+    validate_config({"dailyReports": {"query": ""}})  # "" falsy → skipped
+    validate_config({"transcripts": {"folder_ids": None}})  # falsy → skipped
+    validate_config({"jira": None})  # falsy → skipped
+
+
+def test_validate_year_zero_and_unicode_digits():
+    """V8 accepts year 0000; JS \\d is ASCII-only."""
+    validate_config(
+        {"jira": {"start_date": "0000-01-01", "end_date": "2025-01-01"}}
+    )
+    with pytest.raises(ConfigurationError):
+        validate_config(
+            {"jira": {"start_date": "٢٠٢٥-١٠-٠١", "end_date": "2025-01-01"}}
+        )

@@ -343,3 +343,22 @@ def test_redact_code_counts_lines():
     assert out == "[REDACTED CODE 3 lines, language=js, kind=code]"
     assert SZ.redact_code_py("") == ""
     assert SZ.redact_code_py("no code here") == "no code here"
+
+
+def test_filename_or_mtime_range_inverted_bounds_match_nothing(spark):
+    """start > end is the empty range: Spark's sequence() would default
+    to step -1 and generate a DESCENDING day array, silently inverting
+    the predicate — pinned here after the round-5 review caught it."""
+    df = spark.createDataFrame(
+        [("meeting 2025-10-15.txt", "2020-01-01 00:00:00")],
+        "filename string, modified_time string",
+    )
+    kept = df.where(
+        D.filename_or_mtime_in_range(
+            D.date_from_filename(F.col("filename")),
+            F.col("modified_time"),
+            "2025-10-31",
+            "2025-10-01",
+        )
+    )
+    assert kept.count() == 0

@@ -30,6 +30,8 @@ SLUG_INPUTS = [
     "",
     None,
     "Already_lower 42",
+    "a⃗b",  # combining mark OUTSIDE U+0300-036F must survive the strip
+    "éx",  # combining mark inside the block is removed
 ]
 SANITIZE_INPUTS = [
     "a/b\\c:d*e?f\"g<h>i|j",
@@ -68,6 +70,10 @@ SHORT_NAME_CASES = [
     {"fullName": "Ana-María López Jr.", "mapping": {"mappings": {}}},
     {"fullName": "Bo  Li", "mapping": {"mappings": {"Bo  Li": {"fullName": "no short"}}}},
     {"fullName": "O'Brien, Seán", "mapping": {"mappings": {}}},
+    # empty-string legacy entry is falsy in JS → fallback, not ""
+    {"fullName": "John Doe", "mapping": {"mappings": {"John Doe": ""}}},
+    # empty shortName in object format likewise falls through
+    {"fullName": "Jane Roe", "mapping": {"mappings": {"Jane Roe": {"shortName": ""}}}},
 ]
 
 

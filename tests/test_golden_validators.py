@@ -21,6 +21,8 @@ REF = Path("/root/reference")
 DATES = [
     "2025-01-31", "2025-1-31", "2025-02-30", "2025-13-01", "2025/01/31",
     "20250131", "", "2024-02-29", "2023-02-29", "2025-00-10", "2025-10-00",
+    "0000-01-01",  # V8 accepts year 0 (proleptic Gregorian)
+    "٢٠٢٥-١٠-٠١",  # non-ASCII digits: JS \d rejects
 ]
 RANGES = [
     ["2025-01-01", "2025-01-31"],
@@ -32,14 +34,18 @@ RANGES = [
 EMPLOYEES = [
     "", 123, 0, -5, 1.5, "123", "007", "0", "12a", "123,456", "123, 456",
     "123,,456", [123, 456], [], [123, "456"], [0], None, True,
+    "١٢٣",  # Arabic-Indic digits: JS \d rejects
+    "１２３",  # fullwidth digits: JS \d rejects
 ]
 HOSTS = [
     "x.atlassian.net", "jira.mycorp.io", "plain", "has space.net",
     "https://x.atlassian.net", "-bad.net", "bad-.net", "a.b-c.d", "",
+    123, 1.5, True, ["a.net", "b.net"],  # JS regex.test coerces via String()
 ]
 FOLDER_IDS = [
     "1BY06tq2GJ17mRr6-gTbRHscrdtWWmC_9", "short", "a" * 20, "a" * 50,
     "a" * 51, "has space in the folder id!", "",
+    11111111111111111111,  # 20-digit number: String() coercion passes
 ]
 FOLDER_ID_LISTS = [
     ["1BY06tq2GJ17mRr6-gTbRHscrdtWWmC_9"],
