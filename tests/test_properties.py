@@ -134,3 +134,81 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
             assert got[i] == (float(rv), float(rt))
         else:
             assert got[i] == (None, None)
+
+
+def _brute_duplicated_spans(texts: dict[int, str], k: int) -> dict[int, tuple[int, int]]:
+    """Reference recomputation in plain Python: (n_spans, dup_tokens)
+    per doc — gram occurrence counts, position islands, span lengths."""
+    from collections import Counter
+
+    toks = {i: t.strip().split() if t.strip() else [""] for i, t in texts.items()}
+    grams: Counter = Counter()
+    positions: dict[int, list[int]] = {}
+    for i, ts in toks.items():
+        positions[i] = []
+        for p in range(len(ts) - k + 1):
+            grams[tuple(ts[p : p + k])] += 1
+    hits = {
+        i: [
+            p
+            for p in range(len(ts) - k + 1)
+            if grams[tuple(ts[p : p + k])] >= 2
+        ]
+        for i, ts in toks.items()
+    }
+    out = {}
+    for i, ps in hits.items():
+        # islands: split where gap > k
+        n_spans, dup = 0, 0
+        start = prev = None
+        for p in ps:
+            if prev is None or p - prev > k:
+                if prev is not None:
+                    dup += (prev + k - 1) - start + 1
+                n_spans += 1
+                start = p
+            prev = p
+        if prev is not None:
+            dup += (prev + k - 1) - start + 1
+        out[i] = (n_spans, dup)
+    return out
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_duplicated_spans_matches_bruteforce(spark, docs):
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import duplicated_spans
+
+    k = 3
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["dup_tokens"]) for r in duplicated_spans(df, k=k).collect()}
+    want = _brute_duplicated_spans(texts, k)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=30
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("xyz")), min_size=0, max_size=10
+    ),
+    n_salts=st.sampled_from([1, 3, 8]),
+)
+def test_salted_join_equals_plain_join(spark, big, small, n_salts):
+    from ai_coach_data_source_orchestrator_spark.operators.skew import salted_join
+
+    b = spark.createDataFrame(big, "k bigint, p bigint") if big else spark.createDataFrame([], "k bigint, p bigint")
+    s = spark.createDataFrame(small, "k bigint, label string") if small else spark.createDataFrame([], "k bigint, label string")
+    for how in ("inner", "left"):
+        ours = sorted(map(tuple, salted_join(b, s, "k", n_salts=n_salts, how=how).collect()))
+        plain = sorted(map(tuple, b.join(s, "k", how).collect()))
+        assert ours == plain, (how, n_salts)
