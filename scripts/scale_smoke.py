@@ -92,6 +92,7 @@ QUERIES = [
     ("dedup_span_ngram", "documents"),
     ("sample_train_test_split", "documents"),
     ("j_salted_skew_join", "events"),
+    ("text_filter_funnel", "documents"),
 ]
 
 if os.environ.get("SMOKE_QUERIES"):
