@@ -162,7 +162,15 @@ def classify_block(value: str, lang: str) -> str:
     return "code"
 
 
-_FENCE_RE = re.compile(r"```([A-Za-z0-9_+-]*)\n(.*?)```", re.S)
+# Fences like remark parses them: the opener may be indented (list-item
+# code blocks — the slack document renderer indents fences two/four
+# spaces) and may use 3+ backticks (the renderer escalates to ````
+# when the body itself contains ```); the closer needs at least as
+# many backticks as the opener, on its own line.
+_FENCE_RE = re.compile(
+    r"^[ \t]*(`{3,})([A-Za-z0-9_+-]*)[ \t]*\n(.*?)^[ \t]*\1`*[ \t]*$",
+    re.S | re.M,
+)
 _INLINE_RE = re.compile(r"`([^`\n]+)`")
 
 
@@ -174,12 +182,12 @@ def redact_code_py(text: str | None) -> str:
         return ""
 
     def fence_repl(m: re.Match) -> str:
-        lang = m.group(1) or "plain"
-        body = m.group(2)
+        lang = m.group(2) or "plain"
+        body = m.group(3)
         if body.endswith("\n"):
             body = body[:-1]
         n_lines = body.count("\n") + 1
-        kind = classify_block(body, m.group(1) or "")
+        kind = classify_block(body, m.group(2) or "")
         return f"[REDACTED CODE {n_lines} lines, language={lang}, kind={kind}]"
 
     out = _FENCE_RE.sub(fence_repl, text)

@@ -36,6 +36,11 @@ class SlackInputs:
 class SlackResult:
     day_messages: DataFrame  # (channel_id, day, n_messages, n_threads)
     rendered: DataFrame  # (channel_id, day, content_raw, content_sanitized)
+    # (channel_id, markdown, markdown_sanitized): the reference's full
+    # per-channel document — '## Slack: {ch} ({start} → {end})' header,
+    # '### YYYY-MM-DD' day sections, messagesToMarkdown body (node
+    # golden: tests/test_golden_slack_doc.py)
+    documents: DataFrame | None = None
 
 
 def resolve_mentions(
@@ -100,28 +105,54 @@ def run_slack_capture(spark: SparkSession, inputs: SlackInputs, config: dict) ->
     )
 
     ts_d = F.col("ts").cast("double")
-    line = F.concat(
-        F.lit("["), F.date_format(F.timestamp_seconds(ts_d), "HH:mm"), F.lit("] "),
-        F.col("author"), F.lit(": "),
-        slack_markup_normalize(F.col("text")),
-        F.when(F.size(F.coalesce("reactions", F.array())) > 0, F.concat(F.lit(" ("), reactions_rollup(), F.lit(")"))).otherwise(F.lit("")),
+    is_reply = F.col("thread_ts").isNotNull() & (F.col("thread_ts") != F.col("ts"))
+
+    # --- Reference-exact formatMessage / formatThreadReplies blocks
+    # (slack/lib/format.js:135-243, node golden tests/test_golden_slack_doc.py):
+    # single-line → '- HH:MM name[: (thread replies: N)]: text';
+    # multiline (or contains ```) → header + indented fence block,
+    # escalating to ```` when the body itself holds triple backticks;
+    # reactions on their own '- reactions:' line; replies use '- ↳'
+    # with one extra indent level.
+    time = F.date_format(F.timestamp_seconds(ts_d), "HH:mm")
+    norm = slack_markup_normalize(F.col("text"))
+    is_multi = norm.contains("\n") | norm.contains("```")
+    uses_triple = norm.contains("```")
+    fence_start = F.when(uses_triple, "````").otherwise("```text")
+    fence_end = F.when(uses_triple, "````").otherwise("```")
+    thread_ind = F.when(
+        ~is_reply & (F.coalesce("reply_count", F.lit(0)) > 0),
+        F.concat(F.lit(" (thread replies: "), F.col("reply_count").cast("string"), F.lit(")")),
+    ).otherwise(F.lit(""))
+    head_prefix = F.when(is_reply, "  - ↳ ").otherwise("- ")
+    body_indent = F.when(is_reply, "    ").otherwise("  ")
+    head = F.concat(head_prefix, time, F.lit(" "), F.col("author"), thread_ind, F.lit(":"))
+    fenced = F.concat(
+        head, F.lit("\n"),
+        body_indent, fence_start, F.lit("\n"),
+        F.regexp_replace(norm, "(?m)^", body_indent), F.lit("\n"),
+        body_indent, fence_end,
     )
-    msgs = msgs.withColumn("line", line).withColumn(
+    block = F.when(is_multi, fenced).otherwise(F.concat(head, F.lit(" "), norm))
+    block = F.concat(
+        block,
+        F.when(
+            F.size(F.coalesce("reactions", F.array())) > 0,
+            F.concat(F.lit("\n"), body_indent, F.lit("- reactions: "), reactions_rollup()),
+        ).otherwise(F.lit("")),
+    )
+    msgs = msgs.withColumn("block", block).withColumn(
         "thread_key", F.coalesce("thread_ts", "ts")
     )
 
-    # F11: replies (thread_ts != ts) render indented under their parent;
-    # parents (or singletons) carry the thread. One grouping per thread.
+    # F11: replies render under their parent; parents (or singletons)
+    # carry the thread. One grouping per thread; blocks newline-joined
+    # in ts order exactly as messagesToMarkdown emits them.
     threads = (
-        msgs.withColumn(
-            "tline",
-            F.when(F.col("thread_ts").isNotNull() & (F.col("thread_ts") != F.col("ts")),
-                   F.concat(F.lit("    ↳ "), F.col("line"))).otherwise(F.col("line")),
-        )
-        .groupBy("channel_id", "thread_key")
+        msgs.groupBy("channel_id", "thread_key")
         .agg(
             F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct(ts_d.alias("t"), F.col("tline").alias("l")))), lambda s: s["l"]),
+                F.transform(F.array_sort(F.collect_list(F.struct(ts_d.alias("t"), F.col("block").alias("l")))), lambda s: s["l"]),
                 "\n",
             ).alias("thread_text"),
             F.min(ts_d).alias("t0"),
@@ -144,4 +175,46 @@ def run_slack_capture(spark: SparkSession, inputs: SlackInputs, config: dict) ->
         )
         .withColumn("content_sanitized", sanitize_text(F.col("content_raw")))
     )
-    return SlackResult(day_messages=day_messages, rendered=rendered)
+
+    # Full per-channel document (messagesToMarkdown:268-304): header
+    # with the requested date range (from config, like the download
+    # envelope) or the observed min/max day, then '### date' sections
+    # each ending with a blank line.
+    slack_cfg = (config or {}).get("slack", {}) if isinstance(config, dict) else {}
+    day_sections = rendered.select(
+        "channel_id",
+        "day",
+        F.concat(
+            F.lit("### "), F.date_format("day", "yyyy-MM-dd"), F.lit("\n"),
+            F.col("content_raw"), F.lit("\n\n"),
+        ).alias("section"),
+    )
+    start_lit = slack_cfg.get("start_date")
+    end_lit = slack_cfg.get("end_date")
+    documents = (
+        day_sections.groupBy("channel_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("day", F.col("section").alias("s")))),
+                    lambda s: s["s"],
+                ),
+                "",
+            ).alias("body"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("min_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("max_day"),
+        )
+        .select(
+            "channel_id",
+            F.concat(
+                F.lit("## Slack: "), F.col("channel_id"),
+                F.lit(" ("), F.lit(start_lit) if start_lit else F.col("min_day"),
+                F.lit(" → "), F.lit(end_lit) if end_lit else F.col("max_day"),
+                F.lit(")\n\n"), F.col("body"),
+            ).alias("markdown"),
+        )
+        .withColumn("markdown_sanitized", sanitize_text(F.col("markdown")))
+    )
+    return SlackResult(
+        day_messages=day_messages, rendered=rendered, documents=documents
+    )

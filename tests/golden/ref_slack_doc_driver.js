@@ -1,0 +1,27 @@
+// Golden-test driver: runs the REFERENCE repo's full Slack document
+// assembly (slack/lib/format.js — messagesToMarkdown: channel header,
+// day grouping, formatMessage fence/indicator rules, formatThreadReplies)
+// over a JSON fixture and prints the markdown to stdout. The fixture
+// carries messages in the Slack download shape: thread replies nested
+// under their parent's `replies` array (the flat copies with
+// thread_ts != ts are skipped by messagesToMarkdown itself, as in the
+// real envelope). Dependency-free module: no fs/network beyond the
+// fixture read.
+//
+// Usage: node ref_slack_doc_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const fmt = require(path.join(refRoot, 'slack', 'lib', 'format.js'));
+
+const out = fmt.messagesToMarkdown(
+  fixture.messages,
+  fixture.channelName,
+  fixture.startDate,
+  fixture.endDate,
+  { userMap: fixture.userMap, includeReactions: true, includeThreads: true }
+);
+process.stdout.write(JSON.stringify({ markdown: out }));

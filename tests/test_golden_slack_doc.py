@@ -1,0 +1,107 @@
+"""Golden parity: our per-channel Slack document (pipeline/slack.py
+``SlackResult.documents``) vs the reference's OWN messagesToMarkdown
+executed via node (tests/golden/ref_slack_doc_driver.js) — channel
+header, day sections, fence escalation, thread indicators, reply
+indentation, reactions lines, byte for byte."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.slack import (
+    SlackInputs,
+    run_slack_capture,
+)
+
+DRIVER = Path(__file__).parent / "golden" / "ref_slack_doc_driver.js"
+REF = Path("/root/reference")
+
+DAY1_NOON = 1_760_011_200  # 2025-10-09 12:00:00 UTC
+DAY2_NOON = DAY1_NOON + 86_400
+
+USER_MAP = {"U1": "Ann Lee", "U2": "Bo Chen", "U3": "Cy Dee"}
+
+# (ts, user, text, thread_ts, reply_count, reactions)
+PARENT_TS = f"{DAY1_NOON}.000100"
+MESSAGES = [
+    # multiline with ``` in body → ```` fence escalation, indicator, reaction
+    (PARENT_TS, "U1", "hey <@U2> check ```py\nx=1\n```", PARENT_TS, 2, [("thumbsup", 2)]),
+    # single-line reply
+    (f"{DAY1_NOON + 60}.000200", "U2", "on it", PARENT_TS, 0, None),
+    # multiline reply without ``` → ```text fence, reply reaction
+    (f"{DAY1_NOON + 120}.000300", "U3", "two\nlines", PARENT_TS, 0, [("eyes", 1)]),
+    # single-line parent with unknown-user mention, no reactions
+    (f"{DAY1_NOON + 600}.000400", "U2", "ping <@U9> please", None, 0, None),
+    # next-day singleton from an unmapped user
+    (f"{DAY2_NOON}.000500", "U7", "new day standalone", None, 0, None),
+]
+
+
+def _nested_for_reference() -> list[dict]:
+    """The Slack download envelope shape: replies nested under their
+    parent (and the flat copies retained — messagesToMarkdown skips
+    them itself via the thread_ts check, as with real data)."""
+    msgs = []
+    for ts, user, text, thread_ts, reply_count, reactions in MESSAGES:
+        m = {"ts": ts, "user": user, "text": text}
+        if thread_ts:
+            m["thread_ts"] = thread_ts
+        if reply_count:
+            m["reply_count"] = reply_count
+        if reactions:
+            m["reactions"] = [{"name": n, "count": c} for n, c in reactions]
+        msgs.append(m)
+    by_ts = {m["ts"]: m for m in msgs}
+    for m in msgs:
+        if m.get("thread_ts") and m["thread_ts"] != m["ts"]:
+            by_ts[m["thread_ts"]].setdefault("replies", []).append(m)
+    return msgs
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+@needs_node
+def test_channel_document_matches_reference(spark):
+    fixture = {
+        "messages": _nested_for_reference(),
+        "channelName": "C1",
+        "startDate": "2025-10-09",
+        "endDate": "2025-10-10",
+        "userMap": USER_MAP,
+    }
+    ref = json.loads(
+        subprocess.run(
+            ["node", str(DRIVER), "/dev/stdin"],
+            input=json.dumps(fixture),
+            capture_output=True,
+            text=True,
+            check=True,
+            env={**os.environ, "TZ": "UTC"},
+        ).stdout
+    )["markdown"]
+
+    messages = spark.createDataFrame(
+        [("C1", *m) for m in MESSAGES],
+        "channel_id string, ts string, user string, text string, thread_ts string, "
+        "reply_count bigint, reactions array<struct<name string, count bigint>>",
+    )
+    users = spark.createDataFrame(
+        list(USER_MAP.items()), "user_id string, display_name string"
+    )
+    result = run_slack_capture(
+        spark,
+        SlackInputs(messages, users),
+        {"slack": {"start_date": "2025-10-09", "end_date": "2025-10-10"}},
+    )
+    ours = result.documents.collect()[0]["markdown"]
+    assert ours == ref, f"OURS:\n{ours!r}\n\nREF:\n{ref!r}"

@@ -59,10 +59,12 @@ def test_mentions_replies_reactions_render(slack_result):
     c1 = raw[("C1", "2025-10-09")]
     assert "@Bo Chen" in c1  # mention resolved
     assert "@U9" in c1  # unknown mention falls back to raw id (J3)
-    assert "(:thumbsup:x2)" in c1  # A18
-    assert "    ↳ " in c1  # replies indented under parent
+    assert "- reactions: :thumbsup:x2" in c1  # A18, own line like formatMessage
+    assert "  - ↳ " in c1  # replies indented under parent (formatThreadReplies)
+    assert "(thread replies: 2)" in c1  # reply_count indicator
+    assert "````" in c1  # fence escalates: body contains ```
     assert c1.index("Ann Lee") < c1.index("on it")  # parent first, ts order
-    assert "[12:0" in c1  # HH:mm prefix
+    assert "- 12:0" in c1  # '- HH:MM name:' message heads
 
 
 def test_sanitized_variant(slack_result):
