@@ -78,7 +78,8 @@ _FRONT = [
     "a10_daily_window",
     "sessionize_events",
     "x7_multiformat_date_extract",
-    "asof_join_checkpoints",
+    # (asof_join_checkpoints yielded its slot to slack_render_blocks:
+    # J7 keeps its r4-green row via weekly_digest_pipeline.)
     "range_join_windows",
     "rollup_hypertable_cascade",
     "a_percentile_profile",
@@ -133,6 +134,7 @@ _FRONT = [
     "sample_train_test_split",
     "j_salted_skew_join",
     "text_filter_funnel",
+    "slack_render_blocks",
 ]
 
 

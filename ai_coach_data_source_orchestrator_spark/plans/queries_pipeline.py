@@ -343,3 +343,96 @@ def k_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return joined
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact Slack message-block rendering (slack/lib/format.js
+# formatMessage/formatThreadReplies shapes, node golden
+# tests/test_golden_slack_doc.py), driver-verified: the oracle rebuilds
+# every block — '- HH:MM name (thread replies: N): text', reply '- ↳'
+# indent, per-block reactions lines, thread ts-sort, day grouping — in
+# SQL. Single-line texts only (the fence path is golden-pinned; a
+# multiline fixture would need remark-grade SQL). The user dim is
+# min-aggregated, NOT dropDuplicates: an arbitrary-survivor pick is
+# partition-order-dependent and would make the rendered author
+# nondeterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "slack_render_blocks",
+    oracle="""
+    WITH u AS (
+      SELECT 'U' || CAST(c_custkey % 50 AS VARCHAR) AS user_id,
+             MIN(c_name) AS display_name
+      FROM customer GROUP BY 1
+    ),
+    m AS (
+      SELECT 'C' || CAST(event_id % 4 AS VARCHAR) AS channel_id,
+             1760000000 + event_id * 40 AS ts_num,
+             CASE WHEN event_id % 6 = 1 THEN 1760000000 + (event_id - 1) * 40 END AS thread_num,
+             'U' || CAST(user_id % 50 AS VARCHAR) AS uid,
+             'saw ' || event_type AS verb,
+             event_id % 3 AS reply_count,
+             event_id % 4 = 0 AS has_react
+      FROM events
+    ),
+    j AS (
+      SELECT m.*, COALESCE(u.display_name, m.uid) AS author,
+             COALESCE(m.thread_num, m.ts_num) AS thread_key,
+             m.thread_num IS NOT NULL AND m.thread_num <> m.ts_num AS is_reply
+      FROM m LEFT JOIN u ON m.uid = u.user_id
+    ),
+    b AS (
+      SELECT channel_id, thread_key, ts_num,
+        (CASE WHEN is_reply THEN '  - ↳ ' ELSE '- ' END)
+        || strftime(to_timestamp(ts_num), '%H:%M') || ' ' || author
+        || (CASE WHEN NOT is_reply AND reply_count > 0
+                 THEN ' (thread replies: ' || reply_count || ')' ELSE '' END)
+        || ': ' || verb || ' from @' || author
+        || (CASE WHEN has_react
+                 THEN chr(10) || (CASE WHEN is_reply THEN '    ' ELSE '  ' END)
+                      || '- reactions: :thumbsup:x2'
+                 ELSE '' END)
+        AS block
+      FROM j
+    ),
+    t AS (
+      SELECT channel_id, thread_key,
+             string_agg(block, chr(10) ORDER BY ts_num) AS thread_text,
+             MIN(ts_num) AS t0
+      FROM b GROUP BY 1, 2
+    )
+    SELECT channel_id, CAST(to_timestamp(t0) AS DATE) AS day,
+           string_agg(thread_text, chr(10) ORDER BY t0) AS content_raw
+    FROM t GROUP BY 1, 2
+    """,
+    survey_ids=("X4", "F11", "A18", "J3", "A10"),
+    description="Reference-exact Slack block rendering, day-grouped (formatMessage parity)",
+)
+def slack_render_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.slack import SlackInputs, run_slack_capture
+
+    ev = load_table(spark, sf_dir, "events")
+    base_ts = 1_760_000_000
+    uid = (F.col("user_id") % 50).cast("string")
+    messages = ev.select(
+        F.concat(F.lit("C"), (F.col("event_id") % 4).cast("string")).alias("channel_id"),
+        F.format_string("%.6f", (F.lit(base_ts) + F.col("event_id") * 40).cast("double")).alias("ts"),
+        F.concat(F.lit("U"), uid).alias("user"),
+        F.concat(F.lit("saw "), F.col("event_type"), F.lit(" from <@U"), uid, F.lit(">")).alias("text"),
+        F.when(
+            F.col("event_id") % 6 == 1,
+            F.format_string("%.6f", (F.lit(base_ts) + (F.col("event_id") - 1) * 40).cast("double")),
+        ).alias("thread_ts"),
+        (F.col("event_id") % 3).cast("bigint").alias("reply_count"),
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.array(F.struct(F.lit("thumbsup").alias("name"), F.lit(2).cast("bigint").alias("count"))),
+        ).alias("reactions"),
+    )
+    users = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.concat(F.lit("U"), (F.col("c_custkey") % 50).cast("string")).alias("user_id"))
+        .agg(F.min("c_name").alias("display_name"))
+    )
+    result = run_slack_capture(spark, SlackInputs(messages, users), {})
+    return result.rendered.select("channel_id", "day", "content_raw")
