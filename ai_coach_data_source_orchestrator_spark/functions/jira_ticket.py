@@ -1,0 +1,263 @@
+"""Per-ticket markdown rendering — the final step of SURVEY §3.2's
+``jira:export → split → markdown`` pipeline, restated as ONE column
+expression per ticket (jira/csv-to-markdown.js:210-346 formatTicket,
+:38-58 formatDate, :62-94 convertJiraMarkupToMarkdown). Node golden:
+tests/test_golden_jira_ticket.py executes the reference's own module.
+
+Scale note: the reference renders tickets one at a time on a single
+node after a CSV re-read; here the whole render is a JVM-side string
+expression over the issue DataFrame — no UDF, no collect, composes
+with the split-by-assignee partitioned write (K2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# _corrupt holds the raw text when JSON.parse would throw — from_json's
+# PERMISSIVE mode returns a NON-null all-null struct for malformed
+# input, so struct-null checks cannot see the failure without it.
+_COMMENTS_SCHEMA = (
+    "struct<comments:array<struct<body:string,created:string,"
+    "author:struct<displayName:string>>>,_corrupt:string>"
+)
+
+
+_JS_DATE_RX = (
+    r"^(\d{4})-(\d{2})-(\d{2})"
+    r"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.\d+)?)?)?$"
+)
+
+
+def format_jira_date(c: Column) -> Column:
+    """formatDate (:38-58): empty → ''; unparseable → the raw string;
+    else en-US 'MMM d, yyyy, hh:mm AM/PM' (node toLocaleDateString with
+    2-digit hour/minute — golden-pinned). ``new Date()`` leniency
+    applies: an ISO-shaped string with a day past the month length
+    ROLLS OVER (2025-02-30 → Mar 2) instead of failing — same V8
+    behavior the config validators pin."""
+    strict = F.try_to_timestamp(c)
+
+    def part(i: int) -> Column:
+        return F.regexp_extract(c, _JS_DATE_RX, i)
+
+    y, mo, d = (part(i).cast("int") for i in (1, 2, 3))
+    shaped = (
+        (part(1) != "") & mo.between(1, 12) & d.between(1, 31)
+    )
+    rolled_date = F.date_add(
+        F.add_months(F.make_date(y, F.lit(1), F.lit(1)), mo - 1), d - 1
+    )
+    hh = F.coalesce(F.nullif(part(4), F.lit("")).cast("int"), F.lit(0))
+    mi = F.coalesce(F.nullif(part(5), F.lit("")).cast("int"), F.lit(0))
+    ss = F.coalesce(F.nullif(part(6), F.lit("")).cast("int"), F.lit(0))
+    rolled = F.to_timestamp(rolled_date) + F.make_interval(
+        hours=hh, mins=mi, secs=ss.cast("double")
+    )
+    ts = F.coalesce(strict, F.when(shaped, rolled))
+    return F.when(c.isNull() | (F.trim(c) == ""), F.lit("")).otherwise(
+        F.when(ts.isNull(), c).otherwise(F.date_format(ts, "MMM d, yyyy, hh:mm a"))
+    )
+
+
+def jira_csv_markup_to_md(c: Column) -> Column:
+    """convertJiraMarkupToMarkdown (:62-94), regex-for-regex in the
+    reference's exact order: color-strip, h1.-h6. headers, single-*
+    bold, ordered/unordered lists, [text|url] links, triple-newline
+    collapse, trim. (This is the jira-csv converter — a DIFFERENT,
+    simpler function than the datasource-generator wiki converter
+    modeled by x2_wiki_to_markdown.)"""
+    out = F.coalesce(c, F.lit(""))
+    out = F.regexp_replace(out, r"\{color:[^}]*\}(.*?)\{color\}", r"$1")
+    for level in range(1, 7):
+        out = F.regexp_replace(
+            out, rf"(?m)^h{level}\.\s+(.*)$", "#" * level + r" $1"
+        )
+    out = F.regexp_replace(out, r"\*([^*]+)\*", r"**$1**")
+    out = F.regexp_replace(out, r"(?m)^#\s+(.*)$", r"1. $1")
+    out = F.regexp_replace(out, r"(?m)^\*\s+(.*)$", r"- $1")
+    out = F.regexp_replace(out, r"\[([^|]*)\|([^\]]*)\]", r"[$1]($2)")
+    out = F.regexp_replace(out, r"\n\s*\n\s*\n", "\n\n")
+    return F.trim(out)
+
+
+def _present(v: Column) -> Column:
+    return v.isNotNull() & (F.trim(v) != "")
+
+
+def _info_line(label: str, value: Column) -> Column:
+    return F.when(
+        _present(value), F.concat(F.lit(f"**{label}**: "), value, F.lit("  \n"))
+    ).otherwise(F.lit(""))
+
+
+def _section(lines: Column) -> Column:
+    """keyInfo/standardFields blocks append a blank line only when at
+    least one line rendered (:236-241, :260-265)."""
+    return F.when(lines == "", F.lit("")).otherwise(F.concat(lines, F.lit("\n")))
+
+
+def clean_jira_host(host: str | None) -> str:
+    """formatTicket's host normalization (:230): strip protocol and one
+    trailing slash."""
+    import re
+
+    if not host:
+        return ""
+    return re.sub(r"/$", "", re.sub(r"^https?://", "", str(host)))
+
+
+def format_ticket(
+    cols: dict[str, Column],
+    custom_fields: list[tuple[str, Column]] = (),
+    comments_json: Column | None = None,
+    changelog_bullets: Column | None = None,
+    jira_host: str | None = None,
+) -> Column:
+    """formatTicket (:210-346). ``cols`` is keyed by the reference's
+    CSV labels ('Issue key', 'Summary', 'Issue Type', 'Status',
+    'Priority', 'Assignee', 'Reporter', 'Created', 'Updated',
+    'Description', 'Fix versions', 'Due date', 'Labels', 'Sprint',
+    'Resolution', 'Environment', 'Parent key', 'Parent summary');
+    missing keys behave as absent CSV columns. ``custom_fields`` are
+    (label, value) pairs already resolved through the field map
+    (X24 — extractCustomFields' name cleanup is that query's op).
+    ``comments_json`` is the raw Comment cell: parsed when it starts
+    with '{' (malformed JSON → kept verbatim as a single comment,
+    exactly like the reference's catch), else verbatim."""
+    host = clean_jira_host(jira_host)
+
+    def col(name: str) -> Column:
+        return cols.get(name, F.lit(None).cast("string"))
+
+    # JS `|| fallback`: empty string falls through too, not just null
+    issue_key = F.coalesce(F.nullif(col("Issue key"), F.lit("")), F.lit("N/A"))
+    summary = F.coalesce(F.nullif(col("Summary"), F.lit("")), F.lit("Untitled"))
+    md = F.concat(F.lit("### ["), issue_key, F.lit("] "), summary, F.lit("\n\n"))
+
+    key_info = []
+    if host:
+        url_line = F.when(
+            _present(col("Issue key")) & (issue_key != "N/A"),
+            F.concat(
+                F.lit("**Issue URL**: ["), issue_key,
+                F.lit(f"](https://{host}/browse/"), issue_key, F.lit(")  \n"),
+            ),
+        ).otherwise(F.lit(""))
+        key_info.append(url_line)
+    key_info += [
+        _info_line("Type", col("Issue Type")),
+        _info_line("Status", col("Status")),
+        _info_line("Priority", col("Priority")),
+        _info_line("Assignee", col("Assignee")),
+        _info_line("Reporter", col("Reporter")),
+        _info_line("Created", format_jira_date(col("Created"))),
+        _info_line("Updated", format_jira_date(col("Updated"))),
+    ]
+    md = F.concat(md, _section(F.concat(*key_info)))
+
+    desc = col("Description")
+    md = F.concat(
+        md,
+        F.when(
+            _present(desc),
+            F.concat(
+                F.lit("**Description**:\n"),
+                jira_csv_markup_to_md(F.trim(desc)),
+                F.lit("\n\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+    std = F.concat(
+        _info_line("Fix Versions", col("Fix versions")),
+        _info_line("Due Date", format_jira_date(col("Due date"))),
+        _info_line("Labels", col("Labels")),
+        _info_line("Sprint", col("Sprint")),
+        _info_line("Resolution", col("Resolution")),
+        _info_line("Environment", col("Environment")),
+    )
+    md = F.concat(md, _section(std))
+
+    if custom_fields:
+        cf_lines = F.concat(*[_info_line(label, v) for label, v in custom_fields])
+        md = F.concat(
+            md,
+            F.when(
+                cf_lines != "",
+                F.concat(F.lit("#### Custom Fields\n\n"), cf_lines, F.lit("\n")),
+            ).otherwise(F.lit("")),
+        )
+
+    if comments_json is not None:
+        parsed = F.from_json(
+            comments_json,
+            _COMMENTS_SCHEMA,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        )
+        entries = F.filter(
+            F.coalesce(parsed["comments"], F.array()),
+            lambda cm: cm["body"].isNotNull() & (cm["body"] != ""),
+        )
+        structured = F.array_join(
+            F.transform(
+                entries,
+                lambda cm, i: F.concat(
+                    F.lit("**Comment "), (i + 1).cast("string"),
+                    F.lit("** by "),
+                    F.coalesce(cm["author"]["displayName"], F.lit("Unknown")),
+                    F.lit(" on "), format_jira_date(cm["created"]),
+                    F.lit(":\n\n"), jira_csv_markup_to_md(cm["body"]), F.lit("\n\n"),
+                ),
+            ),
+            "",
+        )
+        raw_comment = F.concat(
+            F.lit("**Comment 1**:\n\n"), comments_json, F.lit("\n\n")
+        )
+        is_jsonish = comments_json.startswith("{")
+        is_malformed = parsed["_corrupt"].isNotNull()
+        body = (
+            F.when(~_present(comments_json), F.lit(""))
+            .when(is_jsonish & is_malformed, raw_comment)  # JSON.parse throws
+            .when(is_jsonish & (structured != ""), structured)
+            .when(is_jsonish, F.lit(""))  # valid JSON, no usable comments
+            .otherwise(raw_comment)
+        )
+        md = F.concat(
+            md,
+            F.when(
+                body != "", F.concat(F.lit("#### Comments\n\n"), body)
+            ).otherwise(F.lit("")),
+        )
+
+    pk, ps = col("Parent key"), col("Parent summary")
+    # plain JS truthiness here (:322) — unlike keyInfo, no trim check,
+    # so a whitespace-only parent summary still renders
+    has_parent = pk.isNotNull() & (pk != "") & ps.isNotNull() & (ps != "")
+    parent_line = (
+        F.concat(
+            F.lit("**Parent**: ["), pk, F.lit(f"](https://{host}/browse/"), pk,
+            F.lit(") "), ps, F.lit("\n\n"),
+        )
+        if host
+        else F.concat(F.lit("**Parent**: ["), pk, F.lit("] "), ps, F.lit("\n\n"))
+    )
+    md = F.concat(md, F.when(has_parent, parent_line).otherwise(F.lit("")))
+
+    if changelog_bullets is not None:
+        bullets = F.coalesce(changelog_bullets, F.array().cast("array<string>"))
+        md = F.concat(
+            md,
+            F.when(
+                F.size(bullets) > 0,
+                F.concat(
+                    F.lit("#### Changelog\n\n"),
+                    F.array_join(bullets, "\n"),
+                    F.lit("\n\n"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+
+    return F.concat(md, F.lit("---\n\n"))

@@ -81,7 +81,8 @@ _FRONT = [
     # (asof_join_checkpoints yielded its slot to slack_render_blocks:
     # J7 keeps its r4-green row via weekly_digest_pipeline.)
     "range_join_windows",
-    "rollup_hypertable_cascade",
+    # (rollup_hypertable_cascade yielded its slot to
+    # x_jira_ticket_render; it stays locally oracle-green every run.)
     "a_percentile_profile",
     "dedup_exact",
     "dedup_fingerprint",
@@ -135,6 +136,7 @@ _FRONT = [
     "j_salted_skew_join",
     "text_filter_funnel",
     "slack_render_blocks",
+    "x_jira_ticket_render",
 ]
 
 

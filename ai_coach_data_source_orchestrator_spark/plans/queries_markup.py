@@ -653,3 +653,53 @@ def u2_distinct_keys_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = F.regexp_extract_all(msg, F.lit(r"\[([A-Z]+-\d+)\]"), F.lit(1))
     return docs.select(F.explode(keys).alias("issue_key")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Per-ticket markdown render — SURVEY §3.2's final step
+# (jira/csv-to-markdown.js:210-346 formatTicket), node-golden-pinned
+# byte-for-byte in tests/test_golden_jira_ticket.py. The fixture
+# constructs ticket fields from `orders`, so the oracle can state the
+# converted output directly (the heading/key-info/Issue-URL shapes,
+# the en-US date format with its midnight '12:00 AM', and the h2./bold
+# wiki transforms applied to the constructed description).
+# ---------------------------------------------------------------------------
+@register(
+    "x_jira_ticket_render",
+    oracle="""
+    SELECT o_orderkey AS k,
+      '### [PROJ-' || o_orderkey || '] Order for customer ' || o_custkey || chr(10) || chr(10)
+      || '**Issue URL**: [PROJ-' || o_orderkey || '](https://x.atlassian.net/browse/PROJ-' || o_orderkey || ')  ' || chr(10)
+      || '**Status**: ' || o_orderstatus || '  ' || chr(10)
+      || '**Priority**: ' || o_orderpriority || '  ' || chr(10)
+      || '**Created**: ' || strftime(o_orderdate, '%b ') || CAST(day(o_orderdate) AS VARCHAR)
+         || ', ' || strftime(o_orderdate, '%Y') || ', 12:00 AM  ' || chr(10) || chr(10)
+      || '**Description**:' || chr(10) || '## Order' || chr(10)
+      || '**' || o_orderstatus || '** at ' || o_orderpriority || chr(10) || chr(10)
+      || '---' || chr(10) || chr(10) AS md
+    FROM orders
+    """,
+    survey_ids=("X2", "K4", "S3"),
+    description="Reference-exact per-ticket markdown render (formatTicket parity)",
+)
+def x_jira_ticket_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import jira_ticket as JT
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = {
+        "Issue key": F.concat(F.lit("PROJ-"), F.col("o_orderkey").cast("string")),
+        "Summary": F.concat(
+            F.lit("Order for customer "), F.col("o_custkey").cast("string")
+        ),
+        "Status": F.col("o_orderstatus"),
+        "Priority": F.col("o_orderpriority"),
+        "Created": F.col("o_orderdate").cast("string"),
+        "Description": F.concat(
+            F.lit("h2. Order\n*"), F.col("o_orderstatus"), F.lit("* at "),
+            F.col("o_orderpriority"),
+        ),
+    }
+    return orders.select(
+        F.col("o_orderkey").alias("k"),
+        JT.format_ticket(cols, jira_host="https://x.atlassian.net/").alias("md"),
+    )

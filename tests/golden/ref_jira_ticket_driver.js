@@ -1,0 +1,47 @@
+// Golden-test driver: executes the REFERENCE repo's per-ticket
+// markdown renderer (jira/csv-to-markdown.js — formatTicket,
+// convertJiraMarkupToMarkdown, formatDate; all internal) over a JSON
+// fixture and prints results. The module auto-runs its CSV main on
+// require, so the source is EVALUATED up to its '// Run the
+// conversion' marker with stubbed requires: config supplies the
+// fixture's jira.host, getChangelogBullets serves the fixture's
+// bullet map, fs/csv-parser are never reached. Read-only, no network,
+// nothing copied.
+//
+// Usage: node ref_jira_ticket_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+let src = fs.readFileSync(path.join(refRoot, 'jira', 'csv-to-markdown.js'), 'utf8');
+const cut = src.indexOf('// Run the conversion');
+if (cut !== -1) src = src.slice(0, cut);
+
+const stubRequire = (name) => {
+  if (name === '../lib/config') return { load: () => fixture.config };
+  if (name === '../lib/project-folder') return { getProjectFolder: () => 'default' };
+  if (name === './lib/changelog-markdown')
+    return { getChangelogBullets: (key) => (fixture.changelogs || {})[key] || [] };
+  if (name === './lib/field-map') return { loadFieldMap: async () => ({}) };
+  if (name === 'dotenv') return { config: () => {} };
+  if (name === 'csv-parser') return () => {};
+  if (name === 'path') return path;
+  if (name === 'fs') return { existsSync: () => false, readdirSync: () => [] };
+  return {};
+};
+
+const mod = new Function(
+  'require', 'module', 'exports', 'process',
+  src + '\n;return { formatTicket, convertJiraMarkupToMarkdown, formatDate };'
+)(stubRequire, { exports: {} }, {}, { env: {} });
+
+process.stdout.write(
+  JSON.stringify({
+    tickets: fixture.tickets.map((t) => mod.formatTicket(t, fixture.fieldMap || {})),
+    markup: (fixture.markupTexts || []).map((t) => mod.convertJiraMarkupToMarkdown(t)),
+    dates: (fixture.dates || []).map((d) => mod.formatDate(d)),
+  })
+);

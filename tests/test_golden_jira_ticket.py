@@ -1,0 +1,178 @@
+"""Golden parity: our per-ticket markdown renderer
+(functions/jira_ticket.py) vs the reference's OWN
+jira/csv-to-markdown.js formatTicket executed via node — the final
+step of SURVEY §3.2's jira:export → split → markdown pipeline, byte
+for byte across heading/key-info/description/custom-fields/comments/
+parent/changelog branches."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions import jira_ticket as JT
+
+DRIVER = Path(__file__).parent / "golden" / "ref_jira_ticket_driver.js"
+REF = Path("/root/reference")
+
+HOST = "x.atlassian.net"
+
+GOOD_COMMENTS = json.dumps(
+    {
+        "comments": [
+            {
+                "body": "looks *good* see [docs|https://d.example]",
+                "created": "2025-10-09T04:05:06",
+                "author": {"displayName": "Ann Lee"},
+            },
+            {"body": "second note", "created": "not-a-date", "author": {}},
+            {"body": "", "created": "2025-10-09T04:05:06"},
+        ]
+    }
+)
+
+TICKETS = [
+    {  # full branch coverage
+        "Issue key": "PROJ-1",
+        "Summary": "Fix the widget",
+        "Issue Type": "Story",
+        "Status": "In Progress",
+        "Priority": "High",
+        "Assignee": "Ann Lee",
+        "Reporter": "Bo Chen",
+        "Created": "2025-10-09T04:05:06",
+        "Updated": "2025-10-12T23:59:00",
+        "Description": "h2. Plan\n*bold* move\n* item one\n* item two\n# first\n{color:#FF991F}hot{color} [site|https://e.example]\n\n\n\ntail",
+        "Fix versions": "1.2",
+        "Due date": "2025-12-01",
+        "Labels": "infra",
+        "Sprint": "Sprint 7",
+        "Resolution": "",
+        "Environment": "   ",
+        "Comment": GOOD_COMMENTS,
+        "Parent key": "PROJ-0",
+        "Parent summary": "Epic of work",
+    },
+    {  # minimal: missing key/summary fallbacks, no sections
+        "Issue key": "",
+        "Summary": "",
+        "Status": "Done",
+    },
+    {  # malformed comment JSON → verbatim single comment; bad dates
+        "Issue key": "PROJ-3",
+        "Summary": "Odd one",
+        "Created": "yesterday-ish",
+        "Comment": "{not json at all",
+        "Parent key": "PROJ-0",
+        "Parent summary": "",
+    },
+    {  # non-JSON comment text; changelog bullets attach
+        "Issue key": "PROJ-4",
+        "Summary": "With changelog",
+        "Comment": "plain remark",
+    },
+]
+
+CHANGELOGS = {"PROJ-4": ["2025-10-09 10:00 alice", "- status: A → B", ""]}
+
+MARKUP_TEXTS = [
+    "h1. Top\nh3. Sub\nplain",
+    "*a* and *b*",
+    "# one\n# two\n* bullet",
+    "[t|u] [only]",
+    "a\n\n\n\n\nb",
+    "",
+    None,
+]
+DATES = ["2025-10-09T04:05:06", "2025-10-09", "garbage", "", "2025-02-30T01:02:03"]
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    fixture = {
+        "tickets": TICKETS,
+        "config": {"jira": {"host": f"https://{HOST}/"}},
+        "changelogs": CHANGELOGS,
+        "fieldMap": {},
+        "markupTexts": MARKUP_TEXTS,
+        "dates": DATES,
+    }
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(fixture),
+        capture_output=True,
+        text=True,
+        check=True,
+        env={**os.environ, "TZ": "UTC"},
+    )
+    return json.loads(out.stdout)
+
+
+def _render_ours(spark):
+    labels = [
+        "Issue key", "Summary", "Issue Type", "Status", "Priority", "Assignee",
+        "Reporter", "Created", "Updated", "Description", "Fix versions",
+        "Due date", "Labels", "Sprint", "Resolution", "Environment",
+        "Comment", "Parent key", "Parent summary",
+    ]
+    rows = [tuple(t.get(lbl) for lbl in labels) for t in TICKETS]
+    schema = ", ".join(f"`{lbl}` string" for lbl in labels)
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "__i", F.monotonically_increasing_id()
+    )
+    bullets = F.create_map(
+        *[x for k, v in CHANGELOGS.items() for x in (F.lit(k), F.array(*[F.lit(b) for b in v]))]
+    )
+    md = JT.format_ticket(
+        {lbl: F.col(f"`{lbl}`") for lbl in labels if lbl != "Comment"},
+        comments_json=F.col("Comment"),
+        changelog_bullets=bullets[F.col("`Issue key`")],
+        jira_host=f"https://{HOST}/",
+    )
+    out = df.select("__i", md.alias("md")).orderBy("__i").collect()
+    return [r["md"] for r in out]
+
+
+@needs_node
+def test_format_ticket_matches_reference(spark, ref):
+    ours = _render_ours(spark)
+    for i, (a, b) in enumerate(zip(ours, ref["tickets"])):
+        assert a == b, f"ticket {i}:\nOURS:\n{a!r}\nREF:\n{b!r}"
+
+
+@needs_node
+def test_markup_matches_reference(spark, ref):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(MARKUP_TEXTS)], "i int, t string"
+    )
+    got = [
+        r["m"]
+        for r in df.select("i", JT.jira_csv_markup_to_md(F.col("t")).alias("m"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == ref["markup"]
+
+
+@needs_node
+def test_dates_match_reference(spark, ref):
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(DATES)], "i int, d string")
+    got = [
+        r["m"]
+        for r in df.select("i", JT.format_jira_date(F.col("d")).alias("m"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == ref["dates"]
