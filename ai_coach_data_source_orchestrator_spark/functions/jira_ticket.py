@@ -261,3 +261,185 @@ def format_ticket(
         )
 
     return F.concat(md, F.lit("---\n\n"))
+
+
+# ---------------------------------------------------------------------------
+# Raw-export field mapping + per-assignee report assembly
+# (jira/csv-to-markdown.js:347-390 mapFieldNames, :394-466
+# convertCsvToMarkdown's document build) — the rest of §3.2's final
+# stage. Node golden: tests/test_golden_jira_report.py.
+# ---------------------------------------------------------------------------
+_NAMEISH_SCHEMA = "struct<name:string,displayName:string,_corrupt:string>"
+_PARENT_SCHEMA = (
+    "struct<key:string,fields:struct<summary:string>,_corrupt:string>"
+)
+
+
+def extract_field_value(v: Column) -> Column:
+    """extractFieldValue (:137-157): falsy/'null'/'undefined'/
+    '[object Object]' → ''; JSON-looking values (containing '\"name\"')
+    yield .name else .displayName; anything else passes through."""
+    parsed = F.from_json(v, _NAMEISH_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt"})
+    named = F.coalesce(parsed["name"], parsed["displayName"])
+    return (
+        F.when(v.isNull() | (v == "") | v.isin("null", "undefined", "[object Object]"), F.lit(""))
+        .when(v.contains('"name"') & parsed["_corrupt"].isNull() & named.isNotNull(), named)
+        .otherwise(v)
+    )
+
+
+def map_export_fields(t: dict[str, Column]) -> dict[str, Column]:
+    """mapFieldNames (:347-390): raw export column names → the CSV
+    labels formatTicket expects, with JSON extraction for the
+    entity-shaped cells and the parent/project envelopes."""
+    parent = F.from_json(
+        t.get("parent", F.lit(None).cast("string")),
+        _PARENT_SCHEMA,
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    parent_ok = (
+        t.get("parent", F.lit(None)).isNotNull()
+        & (t.get("parent", F.lit("")) != "")
+        & parent["_corrupt"].isNull()
+    )
+    project = t.get("project", F.lit(None).cast("string"))
+    proj_parsed = F.from_json(
+        project, _PARENT_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    return {
+        "Issue key": t.get("key", F.lit(None).cast("string")),
+        "Summary": t.get("summary", F.lit(None).cast("string")),
+        "Issue Type": extract_field_value(t.get("issuetype", F.lit(None).cast("string"))),
+        "Status": extract_field_value(t.get("status", F.lit(None).cast("string"))),
+        "Priority": extract_field_value(t.get("priority", F.lit(None).cast("string"))),
+        "Assignee": extract_field_value(t.get("assignee", F.lit(None).cast("string"))),
+        "Reporter": extract_field_value(t.get("reporter", F.lit(None).cast("string"))),
+        "Created": t.get("created", F.lit(None).cast("string")),
+        "Updated": t.get("updated", F.lit(None).cast("string")),
+        "Description": t.get("description", F.lit(None).cast("string")),
+        "Fix versions": t.get("fixVersions", F.lit(None).cast("string")),
+        "Due date": t.get("duedate", F.lit(None).cast("string")),
+        "Labels": t.get("labels", F.lit(None).cast("string")),
+        "Sprint": t.get("sprint", F.lit(None).cast("string")),
+        "Resolution": t.get("resolution", F.lit(None).cast("string")),
+        "Environment": t.get("environment", F.lit(None).cast("string")),
+        "Parent key": F.when(parent_ok, F.coalesce(parent["key"], F.lit(""))).otherwise(F.lit("")),
+        "Parent summary": F.when(
+            parent_ok, F.coalesce(parent["fields"]["summary"], F.lit(""))
+        ).otherwise(F.lit("")),
+        "Project name": extract_field_value(project),
+        "Project key": F.when(
+            project.isNotNull() & (project != ""),
+            F.coalesce(proj_parsed["key"], F.lit("")),
+        ).otherwise(F.lit("")),
+    }
+
+
+_STATUS_ORDER = [
+    "To Do", "Backlog", "Selected for Development", "In Progress", "Done", "Unknown",
+]
+
+
+def _status_rank(status: Column) -> Column:
+    rank = F.lit(len(_STATUS_ORDER))
+    for i, s in reversed(list(enumerate(_STATUS_ORDER))):
+        rank = F.when(status == s, F.lit(i)).otherwise(rank)
+    return rank
+
+
+def assignee_report(
+    df,
+    ticket_md: Column,
+    status: Column,
+    order: Column,
+    project_name: Column,
+    project_key: Column,
+    assignee: Column,
+    group_cols: list[str],
+    start_date: str,
+    end_date: str,
+    generated_at: str,
+):
+    """convertCsvToMarkdown's document build (:429-460): header with
+    project/assignee/range/total metadata, '## Summary' status counts
+    with the reference's singular/plural 'ticket(s)', '## {status} (N)'
+    sections in groupTicketsByStatus's order — the canonical six first,
+    then remaining statuses by first appearance — each holding its
+    tickets in input order, and the footer. ``generated_at`` replaces
+    the reference's two ``new Date()`` stamps (injectable clock).
+
+    Distributed shape: two aggregations (status-level, then
+    group-level) with sorted collect_lists; at 100 TB each assignee
+    document is roster-scoped while the ticket render itself stays on
+    the full DataFrame.
+    """
+    st = F.coalesce(F.nullif(status, F.lit("")), F.lit("Unknown"))
+    base = df.select(
+        *group_cols,
+        st.alias("__st"),
+        order.alias("__ord"),
+        ticket_md.alias("__md"),
+        project_name.alias("__pn"),
+        project_key.alias("__pk"),
+        assignee.alias("__as"),
+    )
+    per_status = base.groupBy(*group_cols, "__st").agg(
+        F.count("*").alias("__n"),
+        F.min("__ord").alias("__first"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ord", F.col("__md").alias("m")))),
+                lambda s: s["m"],
+            ),
+            "",
+        ).alias("__section"),
+    ).withColumn("__rank", _status_rank(F.col("__st")))
+    meta = base.groupBy(*group_cols).agg(
+        F.count("*").alias("__total"),
+        F.min_by("__pn", "__ord").alias("__pn"),
+        F.min_by("__pk", "__ord").alias("__pk"),
+        F.min_by("__as", "__ord").alias("__as"),
+    )
+    assembled = per_status.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("__rank", "__first", "__st", "__n", "__section")
+            )
+        ).alias("__parts")
+    )
+    summary = F.array_join(
+        F.transform(
+            F.col("__parts"),
+            lambda p: F.concat(
+                F.lit("- **"), p["__st"], F.lit("**: "), p["__n"].cast("string"),
+                F.lit(" ticket"),
+                F.when(p["__n"] != 1, F.lit("s")).otherwise(F.lit("")),
+                F.lit("\n"),
+            ),
+        ),
+        "",
+    )
+    sections = F.array_join(
+        F.transform(
+            F.col("__parts"),
+            lambda p: F.concat(
+                F.lit("## "), p["__st"], F.lit(" ("), p["__n"].cast("string"),
+                F.lit(")\n\n"), p["__section"],
+            ),
+        ),
+        "",
+    )
+    pn = F.coalesce(F.nullif(F.col("__pn"), F.lit("")), F.lit("Unknown Project"))
+    pk = F.coalesce(F.nullif(F.col("__pk"), F.lit("")), F.lit("N/A"))
+    doc = F.concat(
+        F.lit("# JIRA Tickets Report - "), pn, F.lit("\n\n"),
+        F.lit("**Project Key**: "), pk, F.lit("  \n"),
+        F.lit("**Assignee**: "), F.col("__as"), F.lit("  \n"),
+        F.lit(f"**Date Range**: {start_date} to {end_date}  \n"),
+        F.lit("**Total Tickets**: "), F.col("__total").cast("string"), F.lit("  \n"),
+        F.lit(f"**Generated**: {generated_at}\n\n"),
+        F.lit("## Summary\n\n"), summary, F.lit("\n"),
+        sections,
+        F.lit(f"\n---\n\n*Report generated from Jira CSV export on {generated_at}*\n"),
+    )
+    return assembled.join(meta, group_cols).select(*group_cols, doc.alias("report_md"))

@@ -1,0 +1,64 @@
+// Golden-test driver: executes the REFERENCE repo's full assignee
+// report assembly (jira/csv-to-markdown.js — convertCsvToMarkdown:
+// mapFieldNames on every row, groupTicketsByStatus ordering, summary
+// counts, per-status sections, header/footer). The module's CSV
+// stream is stubbed: fs.createReadStream/.pipe return an
+// EventEmitter the driver feeds fixture rows through, and
+// fs.writeFileSync captures the assembled markdown instead of
+// touching disk. Source evaluated up to the auto-run marker with
+// stubbed requires; read-only, no network, nothing copied.
+//
+// Usage: node ref_jira_report_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+const { EventEmitter } = require('events');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+let src = fs.readFileSync(path.join(refRoot, 'jira', 'csv-to-markdown.js'), 'utf8');
+const cut = src.indexOf('// Run the conversion');
+if (cut !== -1) src = src.slice(0, cut);
+
+let emitter = null;
+let written = null;
+const stubRequire = (name) => {
+  if (name === '../lib/config') return { load: () => fixture.config };
+  if (name === '../lib/project-folder') return { getProjectFolder: () => 'default' };
+  if (name === './lib/changelog-markdown')
+    return { getChangelogBullets: (key) => (fixture.changelogs || {})[key] || [] };
+  if (name === './lib/field-map') return { loadFieldMap: async () => ({}) };
+  if (name === 'dotenv') return { config: () => {} };
+  if (name === 'csv-parser') {
+    return () => {
+      emitter = new EventEmitter();
+      return emitter;
+    };
+  }
+  if (name === 'path') return path;
+  if (name === 'fs')
+    return {
+      existsSync: () => false,
+      readdirSync: () => [],
+      createReadStream: () => ({ pipe: (x) => x }),
+      writeFileSync: (_p, content) => {
+        written = content;
+      },
+    };
+  return {};
+};
+
+const mod = new Function(
+  'require', 'module', 'exports', 'process',
+  src + '\n;return { convertCsvToMarkdown };'
+)(stubRequire, { exports: {} }, {}, { env: {} });
+
+(async () => {
+  const prom = mod.convertCsvToMarkdown(fixture.csvFileName, 'out.md', fixture.fieldMap || {});
+  // handlers are registered synchronously inside the promise executor
+  fixture.rows.forEach((r) => emitter.emit('data', r));
+  emitter.emit('end');
+  await prom;
+  process.stdout.write(JSON.stringify({ markdown: written }));
+})();

@@ -1,0 +1,117 @@
+"""Golden parity: our assignee report assembly
+(functions/jira_ticket.py map_export_fields + assignee_report +
+format_ticket) vs the reference's OWN convertCsvToMarkdown executed
+via node with a stubbed CSV stream — header, summary counts, status
+section ordering (canonical six then first-appearance), per-ticket
+blocks, footer. The reference's two ``new Date()`` stamps are
+normalized out before comparison (our clock is injectable)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions import jira_ticket as JT
+
+DRIVER = Path(__file__).parent / "golden" / "ref_jira_report_driver.js"
+REF = Path("/root/reference")
+
+HOST = "x.atlassian.net"
+START, END = "2025-10-06", "2025-10-12"
+GEN = "<GENERATED>"
+
+PROJECT_JSON = json.dumps({"key": "PROJ", "name": "Apollo"})
+PARENT_JSON = json.dumps({"key": "PROJ-0", "fields": {"summary": "Epic of work"}})
+
+# raw-export shape (mapFieldNames input); insertion order matters for
+# the non-canonical status ordering
+ROWS = [
+    {"key": "PROJ-2", "summary": "Second", "status": json.dumps({"name": "In Progress"}),
+     "assignee": json.dumps({"displayName": "Ann Lee"}), "created": "2025-10-09T04:05:06",
+     "project": PROJECT_JSON, "parent": PARENT_JSON},
+    {"key": "PROJ-3", "summary": "Weird status", "status": "Blocked",
+     "project": PROJECT_JSON},
+    {"key": "PROJ-1", "summary": "First", "status": json.dumps({"name": "To Do"}),
+     "description": "h1. Top\n*bold*", "project": PROJECT_JSON},
+    {"key": "PROJ-4", "summary": "Also weird", "status": "Blocked",
+     "project": PROJECT_JSON},
+    {"key": "PROJ-5", "summary": "No status at all", "project": PROJECT_JSON},
+]
+
+CSV_FILE = "PROJ_2025-10-06_to_2025-10-12_Ann_Lee.csv"
+
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+def _normalize(md: str) -> str:
+    md = re.sub(r"\*\*Generated\*\*: .*", f"**Generated**: {GEN}", md)
+    return re.sub(
+        r"\*Report generated from Jira CSV export on .*\*",
+        f"*Report generated from Jira CSV export on {GEN}*",
+        md,
+    )
+
+
+@needs_node
+def test_assignee_report_matches_reference(spark):
+    fixture = {
+        "rows": ROWS,
+        "csvFileName": CSV_FILE,
+        "config": {
+            "jira": {"host": HOST, "start_date": START, "end_date": END}
+        },
+        "fieldMap": {},
+    }
+    ref = json.loads(
+        subprocess.run(
+            ["node", str(DRIVER), "/dev/stdin"],
+            input=json.dumps(fixture),
+            capture_output=True,
+            text=True,
+            check=True,
+            env={**os.environ, "TZ": "UTC"},
+        ).stdout
+    )["markdown"]
+
+    raw_labels = [
+        "key", "summary", "status", "assignee", "created", "description",
+        "project", "parent",
+    ]
+    rows = [
+        tuple([i] + [r.get(lbl) for lbl in raw_labels]) for i, r in enumerate(ROWS)
+    ]
+    schema = "__ord int, " + ", ".join(f"{lbl} string" for lbl in raw_labels)
+    df = spark.createDataFrame(rows, schema)
+    mapped = JT.map_export_fields({lbl: F.col(lbl) for lbl in raw_labels})
+    ticket_md = JT.format_ticket(mapped, jira_host=HOST)
+    # assignee comes from the CSV filename in the reference
+    assignee = CSV_FILE
+    assignee = re.sub(r"^[A-Z]+_\d{4}-\d{2}-\d{2}_to_\d{4}-\d{2}-\d{2}_", "", assignee)
+    assignee = assignee.replace(".csv", "").replace("_", " ")
+    out = JT.assignee_report(
+        df.withColumn("__g", F.lit(1)),
+        ticket_md=ticket_md,
+        status=mapped["Status"],
+        order=F.col("__ord"),
+        project_name=mapped["Project name"],
+        project_key=mapped["Project key"],
+        assignee=F.lit(assignee),
+        group_cols=["__g"],
+        start_date=START,
+        end_date=END,
+        generated_at=GEN,
+    ).collect()
+    assert len(out) == 1
+    ours = out[0]["report_md"]
+    assert ours == _normalize(ref), f"OURS:\n{ours!r}\n\nREF:\n{_normalize(ref)!r}"
