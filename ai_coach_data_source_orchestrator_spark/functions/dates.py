@@ -189,3 +189,127 @@ def week_frame(spark: SparkSession, start: str, end: str) -> DataFrame:
         monday_of(F.col("day")).alias("week_start"),
         F.date_format("day", "EEEE").alias("weekday"),
     )
+
+
+_MONTH_MAP = {
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5, "june": 6,
+    "july": 7, "august": 8, "september": 9, "october": 10, "november": 11,
+    "december": 12,
+}
+
+
+def date_from_filename_strict(filename: Column) -> Column:
+    """The OTHER filename-date parser —
+    ``date-range-filter.js:61-133 parseTranscriptDateFromFilename``,
+    used by the dashboard and the team-datasource date filter. It
+    differs from ``date_from_filename`` (transcript-to-markdown's
+    extractDateFromFilename) in both PRECEDENCE and VALIDITY: ISO-T
+    first (not month names), ``.`` counts as a separator in the
+    normalized pass, and parseIsoDate is STRICT — 2025-02-30 → null,
+    never rolled over. The first MATCHING pattern decides: a matched
+    pattern with an invalid date returns null without trying later
+    patterns (``if (m) return parseIsoDate(...)``). Node golden:
+    tests/test_golden_dates.py.
+    """
+    base = F.element_at(F.split(F.element_at(F.split(filename, "/"), -1), r"\\"), -1)
+
+    def strict(s: Column) -> Column:
+        return _try_date(s, "yyyy-MM-dd")
+
+    def iso(y: Column, mo: Column, d: Column) -> Column:
+        return strict(
+            F.concat_ws(
+                "-", y.cast("string"), F.lpad(mo.cast("string"), 2, "0"),
+                F.lpad(d.cast("string"), 2, "0"),
+            )
+        )
+
+    def pivot(yy: Column) -> Column:
+        return F.when(yy <= 50, yy + 2000).otherwise(yy + 1900)
+
+    p1 = r"(\d{4}-\d{2}-\d{2})T"
+    p1a = r"(\d{1,2})[_-](\d{1,2})[_-](\d{4})"
+    p1b = r"(\d{1,2})[_-](\d{1,2})[_-](\d{2})(?!\d)"
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(base, r"[\-_.]+", " "), r"\s+", " ")
+    )
+    p2 = r"\b(\d{1,2}) (\d{1,2}) (\d{4})\b"
+    p3 = r"\b(\d{1,2}) (\d{1,2}) (\d{2})\b"
+    months = "|".join(m.capitalize() for m in _MONTH_MAP)
+    p4 = rf"(?i)\b({months}) (\d{{1,2}}),? (\d{{4}})\b"
+
+    def g(pat: str, i: int, src: Column) -> Column:
+        return F.regexp_extract(src, pat, i)
+
+    month_num = F.lit(None).cast("int")
+    for name, num in _MONTH_MAP.items():
+        month_num = F.when(F.lower(g(p4, 1, norm)) == name, F.lit(num)).otherwise(
+            month_num
+        )
+
+    return (
+        F.when(g(p1, 1, base) != "", strict(g(p1, 1, base)))
+        .when(
+            g(p1a, 0, base) != "",
+            iso(g(p1a, 3, base).cast("int"), g(p1a, 1, base).cast("int"), g(p1a, 2, base).cast("int")),
+        )
+        .when(
+            g(p1b, 0, base) != "",
+            iso(pivot(g(p1b, 3, base).cast("int")), g(p1b, 1, base).cast("int"), g(p1b, 2, base).cast("int")),
+        )
+        .when(
+            g(p2, 0, norm) != "",
+            iso(g(p2, 3, norm).cast("int"), g(p2, 1, norm).cast("int"), g(p2, 2, norm).cast("int")),
+        )
+        .when(
+            g(p3, 0, norm) != "",
+            iso(pivot(g(p3, 3, norm).cast("int")), g(p3, 1, norm).cast("int"), g(p3, 2, norm).cast("int")),
+        )
+        .when(
+            g(p4, 0, norm) != "",
+            iso(g(p4, 3, norm).cast("int"), month_num, g(p4, 2, norm).cast("int")),
+        )
+        .otherwise(F.lit(None).cast("date"))
+    )
+
+
+def date_from_filename_drive(filename: Column) -> Column:
+    """The THIRD filename-date parser —
+    ``transcripts/download-from-drive.js:79-150 extractDateFromFilename``,
+    the one the download-time transcript filter actually uses
+    (isWithinDateRange:160-181, which the weekly pipeline models).
+    Differs from BOTH others: only ``.txt``/``.md`` extensions are
+    stripped, separators are ``-_/`` with STRICT 2-digit month/day
+    (except the 4-digit year), no month names, JS rollover semantics,
+    a 2-digit year always +2000 (no 1951 pivot), and a post-rollover
+    year guard (2020-2030) that FALLS THROUGH to the next pattern
+    instead of returning null. Node golden: tests/test_golden_dates.py.
+    """
+    base = F.regexp_replace(filename, r"(?i)\.(txt|md)$", "")
+    sep = r"[-_/]"
+    p1 = rf"(\d{{4}}){sep}(\d{{2}}){sep}(\d{{2}})"
+    p2 = rf"(\d{{2}}){sep}(\d{{2}}){sep}(\d{{4}})"
+    p3 = rf"(\d{{2}}){sep}(\d{{2}}){sep}(\d{{2}})"
+
+    def g(pat: str, i: int) -> Column:
+        return F.regexp_extract(base, pat, i)
+
+    def gi(pat: str, i: int) -> Column:
+        # the year-guard condition evaluates these EAGERLY (no when()
+        # laziness), so an unmatched ''-extract must become NULL, not
+        # an ANSI cast error
+        return F.nullif(F.regexp_extract(base, pat, i), F.lit("")).cast("int")
+
+    d1 = _js_date(gi(p1, 1), gi(p1, 2), gi(p1, 3))
+    d2 = _js_date(gi(p2, 3), gi(p2, 1), gi(p2, 2))
+    d3 = _js_date(gi(p3, 3) + 2000, gi(p3, 1), gi(p3, 2))
+
+    def ok(pat: str, d: Column) -> Column:
+        return (g(pat, 0) != "") & F.year(d).between(2020, 2030)
+
+    return (
+        F.when(ok(p1, d1), d1)
+        .when(ok(p2, d2), d2)
+        .when(ok(p3, d3), d3)
+        .otherwise(F.lit(None).cast("date"))
+    )

@@ -56,7 +56,14 @@ def run_dashboard_week(
     # One Mon..Sun frame anchored at the Monday of `start` (X13).
     frame = D.week_frame(spark, start, start)
 
-    parsed = transcripts.withColumn("fdate", D.date_from_filename(F.col("filename")))
+    # STRICT parser: the dashboard uses date-range-filter.js's
+    # parseTranscriptDateFromFilename (generate_dashboard.js:346), which
+    # has different precedence and validity than the transcript
+    # pipeline's extractDateFromFilename — round 5 found this wired to
+    # the wrong one (both node-golden-pinned in test_golden_dates.py).
+    parsed = transcripts.withColumn(
+        "fdate", D.date_from_filename_strict(F.col("filename"))
+    )
     unknown = parsed.where(F.col("fdate").isNull()).select("filename")
     by_day = (
         frame.join(parsed.where(F.col("fdate").isNotNull()), frame.day == F.col("fdate"), "left")

@@ -210,7 +210,15 @@ def run_weekly_digest(
     )
 
     # --- Transcripts vertical (X19/A15/F6/F4) -----------------------------
-    tf = inputs.transcripts.withColumn("fname_date", D.date_from_filename(F.col("filename")))
+    # date_from_filename_drive: the download-time filter this models
+    # (download-from-drive.js isWithinDateRange:160-181) uses the drive
+    # module's OWN extractDateFromFilename — 2-digit fields, -_/
+    # separators, +2000 pivot, 2020-2030 guard — not the transcript
+    # markdown parser (round-5 golden sweep; test_golden_dates.py pins
+    # all three parsers separately).
+    tf = inputs.transcripts.withColumn(
+        "fname_date", D.date_from_filename_drive(F.col("filename"))
+    )
     tf = tf.where(
         D.filename_or_mtime_in_range(F.col("fname_date"), F.col("modified_time"), start, end)
     )

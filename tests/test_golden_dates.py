@@ -74,3 +74,146 @@ def test_filename_dates_match_reference(spark, tmp_path):
             # reference falls back to the raw name → our explicit NULL bucket
             want = None
         assert got[i] == want, (i, FILES[i], got[i], expected)
+
+
+_STRICT_DRIVER_JS = """
+const { parseTranscriptDateFromFilename } =
+  require('/root/reference/datasource-generator/lib/date-range-filter.js');
+const files = JSON.parse(require('fs').readFileSync('/dev/stdin', 'utf8'));
+console.log(JSON.stringify(files.map(f => parseTranscriptDateFromFilename(f))));
+"""
+
+STRICT_FILES = FILES + [
+    "subdir/fathom-transcripts-2025-09-24T07_16_03.txt",  # basename split
+    "dots.09.24.2025.txt",         # '.' IS a separator in THIS parser
+    "iso-inline 2025-09-24T0716.txt",
+    "feb 02_30_2025 invalid.txt",  # matched pattern, strict-invalid → null, NO fallthrough
+    "pivot 10_20_25 timeclock.txt",
+    "nopivot 10_20_253 extra-digit.txt",  # (?!\\d) lookahead blocks 1b
+    "Month first October 14, 2025 but also 2025-01-02T here.txt",  # ISO-T wins HERE
+]
+
+
+@needs_node
+def test_strict_filename_dates_match_reference(spark, tmp_path):
+    """The dashboard/team-datasource parser (date-range-filter.js
+    parseTranscriptDateFromFilename) has DIFFERENT precedence (ISO-T
+    first, month names last) and STRICT validity — pinned separately
+    from the transcript parser above; round 5 found the dashboard
+    pipeline wired to the wrong one."""
+    from ai_coach_data_source_orchestrator_spark.functions.dates import (
+        date_from_filename_strict,
+    )
+
+    js = tmp_path / "strict_drv.js"
+    js.write_text(_STRICT_DRIVER_JS)
+    ref = json.loads(
+        subprocess.run(
+            ["node", str(js)],
+            input=json.dumps(STRICT_FILES),
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(STRICT_FILES)], "i int, f string"
+    )
+    got = {
+        r["i"]: (str(r["d"]) if r["d"] else None)
+        for r in df.select(
+            "i", date_from_filename_strict(F.col("f")).alias("d")
+        ).collect()
+    }
+    for i, expected in enumerate(ref):
+        assert got[i] == expected, (i, STRICT_FILES[i], got[i], expected)
+
+
+_DRIVE_DRIVER_JS = """
+const fs = require('fs');
+const path = require('path');
+const stub = new Proxy(function () { return ''; }, {
+  get: (t, p) => (p === Symbol.toPrimitive ? () => '' : stub),
+  apply: () => '',
+});
+const cfg = { transcripts: { downloadDir: '/tmp/x', markdownOutputDir: '/tmp/y' }, jira: {}, slack: {} };
+const stubRequire = (name) => {
+  if (name === 'fs') return fs;
+  if (name === 'path') return path;
+  if (name === './transcript-to-markdown') return { extractParticipants: () => [] };
+  if (name === '../lib/project-folder') return { getProjectFolder: () => 'default' };
+  if (name === '../lib/config')
+    return { load: () => cfg, ConfigManager: { load: () => cfg, loadForReportType: () => cfg } };
+  return stub;
+};
+const full = '/root/reference/transcripts/download-from-drive.js';
+let src = fs.readFileSync(full, 'utf8');
+const cut = src.indexOf('// Run the script');
+if (cut !== -1) src = src.slice(0, cut);
+const mod = new Function(
+  'require', 'module', 'exports', 'process', '__dirname', '__filename',
+  src + '\\n;return { extractDateFromFilename, isWithinDateRange };'
+)(stubRequire, { exports: {} }, {}, { env: {} }, path.dirname(full), full);
+const fixture = JSON.parse(fs.readFileSync('/dev/stdin', 'utf8'));
+console.log(JSON.stringify({
+  dates: fixture.files.map((f) => {
+    const d = mod.extractDateFromFilename(f);
+    return d ? d.toISOString().slice(0, 10) : null;
+  }),
+  inRange: fixture.files.map((f) =>
+    mod.isWithinDateRange(f, fixture.mtime, fixture.start, fixture.end)
+  ),
+}));
+"""
+
+DRIVE_FILES = [
+    "fathom-transcripts-2025-09-24T07_16_03+00_00.txt",
+    "team 09_24_2025.md",
+    "slashes 09/24/2025",          # no extension to strip
+    "pivot 09_24_75.txt",          # +2000 ALWAYS → 2075 → out of range → null
+    "pivot 09_24_25.txt",          # 2025 ✓
+    "short 9_24_2025.txt",         # 1-digit month: NOT matched (2-digit only)
+    "standup-September 24, 2025.txt",  # month names: NOT supported here
+    "rollover 2025-13-45.txt",     # rolls into 2026 → within guard → kept
+    "way-out 1999_09_24.txt",      # p1 year 1999 out of range; p3 then sees '99_09_24'? fallthrough check
+    "multi 2025-09-24 and 10_05_2025.txt",  # first pattern wins
+]
+
+
+@needs_node
+def test_drive_filename_dates_match_reference(spark, tmp_path):
+    """download-from-drive.js's OWN extractDateFromFilename — the
+    parser behind the download-time transcript filter the weekly
+    pipeline models. 2-digit-only fields, -_/ separators, +2000 pivot
+    (no 1900 branch), JS rollover, and a post-rollover 2020-2030 year
+    guard that falls through to the NEXT pattern."""
+    from ai_coach_data_source_orchestrator_spark.functions.dates import (
+        date_from_filename_drive,
+    )
+
+    js = tmp_path / "drive_drv.js"
+    js.write_text(_DRIVE_DRIVER_JS)
+    ref = json.loads(
+        subprocess.run(
+            ["node", str(js)],
+            input=json.dumps(
+                {"files": DRIVE_FILES, "mtime": "2020-01-01T00:00:00Z",
+                 "start": "2025-09-22", "end": "2025-09-28"}
+            ),
+            capture_output=True,
+            text=True,
+            check=True,
+            env={"TZ": "UTC", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        ).stdout
+    )
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(DRIVE_FILES)], "i int, f string"
+    )
+    got = {
+        r["i"]: (str(r["d"]) if r["d"] else None)
+        for r in df.select(
+            "i", date_from_filename_drive(F.col("f")).alias("d")
+        ).collect()
+    }
+    for i, expected in enumerate(ref["dates"]):
+        assert got[i] == expected, (i, DRIVE_FILES[i], got[i], expected)
