@@ -109,14 +109,32 @@ def date_from_filename(filename: Column) -> Column:
 
 
 def date_from_heading(line: Column) -> Column:
-    """X8 — ``## 2025-10-13`` (space optional, date-range-filter.js:146)
-    or ``## October 13, 2025`` (comma optional, case-insensitive
-    month — :154-166)."""
-    body = F.initcap(F.regexp_extract(line, r"^##\s*(.+?)\s*$", 1))
-    return F.coalesce(
-        _try_date(body, "yyyy-MM-dd"),
-        _try_date(body, "MMMM d, yyyy"),
-        _try_date(body, "MMMM d yyyy"),
+    """X8 — ``parseDateFromHeading`` (date-range-filter.js:143-170),
+    regex-for-regex: ``##`` is matched ANYWHERE in the line (the
+    reference does not anchor, so ``### 2025-10-13`` and inline ``##``
+    both hit), ISO first with strict validity and NO fallthrough to
+    the long form when the matched ISO date is invalid, then
+    ``## Month D, YYYY`` with a case-insensitive month-name lookup.
+    Node golden: tests/test_golden_dates.py."""
+    iso = F.regexp_extract(line, r"##\s*(\d{4}-\d{2}-\d{2})", 1)
+    long_rx = r"##\s+([A-Za-z]+)\s+(\d{1,2}),?\s+(\d{4})"
+    mon_name = F.lower(F.regexp_extract(line, long_rx, 1))
+    month_num = F.lit(None).cast("int")
+    for name, num in _MONTH_MAP.items():
+        month_num = F.when(mon_name == name, F.lit(num)).otherwise(month_num)
+    built = F.concat_ws(
+        "-",
+        F.regexp_extract(line, long_rx, 3),
+        F.lpad(month_num.cast("string"), 2, "0"),
+        F.lpad(F.regexp_extract(line, long_rx, 2), 2, "0"),
+    )
+    return (
+        F.when(iso != "", _try_date(iso, "yyyy-MM-dd"))
+        .when(
+            (F.regexp_extract(line, long_rx, 0) != "") & month_num.isNotNull(),
+            _try_date(built, "yyyy-MM-dd"),
+        )
+        .otherwise(F.lit(None).cast("date"))
     )
 
 

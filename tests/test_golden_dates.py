@@ -217,3 +217,52 @@ def test_drive_filename_dates_match_reference(spark, tmp_path):
     }
     for i, expected in enumerate(ref["dates"]):
         assert got[i] == expected, (i, DRIVE_FILES[i], got[i], expected)
+
+
+_HEADING_DRIVER_JS = """
+const { parseDateFromHeading } =
+  require('/root/reference/datasource-generator/lib/date-range-filter.js');
+const lines = JSON.parse(require('fs').readFileSync('/dev/stdin', 'utf8'));
+console.log(JSON.stringify(lines.map(l => parseDateFromHeading(l))));
+"""
+
+HEADINGS = [
+    "## 2025-10-13",
+    "##2025-10-13",                 # \\s* — no space needed
+    "### 2025-10-13",               # unanchored: '##' inside '###' hits
+    "prefix ## 2025-10-13 suffix",  # unanchored inline
+    "## 2025-02-30",                # strict-invalid ISO → null, NO long fallthrough
+    "## October 13, 2025",
+    "## october 13 2025",           # lowercase, comma optional
+    "## OCTOBER 1, 2025",
+    "## Octob 13, 2025",            # unknown month name → null
+    "## 13 October 2025",           # wrong order → null
+    "plain text",
+    "## February 30, 2025",         # long-form strict-invalid → null
+]
+
+
+@needs_node
+def test_heading_dates_match_reference(spark, tmp_path):
+    from ai_coach_data_source_orchestrator_spark.functions.dates import date_from_heading
+
+    js = tmp_path / "heading_drv.js"
+    js.write_text(_HEADING_DRIVER_JS)
+    ref = json.loads(
+        subprocess.run(
+            ["node", str(js)],
+            input=json.dumps(HEADINGS),
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(HEADINGS)], "i int, h string"
+    )
+    got = {
+        r["i"]: (str(r["d"]) if r["d"] else None)
+        for r in df.select("i", date_from_heading(F.col("h")).alias("d")).collect()
+    }
+    for i, expected in enumerate(ref):
+        assert got[i] == expected, (i, HEADINGS[i], got[i], expected)
