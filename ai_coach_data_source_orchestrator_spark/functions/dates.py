@@ -331,3 +331,77 @@ def date_from_filename_drive(filename: Column) -> Column:
         .when(ok(p3, d3), d3)
         .otherwise(F.lit(None).cast("date"))
     )
+
+
+def trim_daily_markdown(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    start: str | None,
+    end: str | None,
+) -> DataFrame:
+    """``trimDailyMarkdownToRange`` (date-range-filter.js:180-232) as a
+    distributed transformer: split each document into lines, classify
+    dated ``##`` headings with the reference-exact ``date_from_heading``,
+    keep the pre-heading header block plus every dated section whose
+    heading falls in [start, end], and return '' when NO section is in
+    range (the header is discarded too — the reference's
+    ``foundAnyInRange`` rule). Returns (id_col, trimmed).
+
+    Shape: posexplode → one running-count window per document (bounded
+    state, partitioned by doc) → conditional re-join. Null/missing
+    bounds return the text unchanged, like the reference.
+    """
+    if start is None or end is None:
+        return df.select(
+            F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("trimmed")
+        )
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    ).withColumn("d", date_from_heading(F.col("line")))
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sec = lines.withColumn(
+        "section_id", F.sum(F.when(F.col("d").isNotNull(), 1).otherwise(0)).over(w)
+    )
+    sec_dates = (
+        sec.where(F.col("d").isNotNull())
+        .select(
+            F.col(id_col).alias("__id2"),
+            F.col("section_id").alias("sid"),
+            F.col("d").alias("sec_date"),
+        )
+    )
+    joined = sec.join(
+        sec_dates,
+        (F.col(id_col) == F.col("__id2")) & (F.col("section_id") == F.col("sid")),
+        "left",
+    ).select(id_col, "pos", "line", "section_id", "sec_date")
+    in_rng = in_range(F.col("sec_date"), start, end)
+    keep = (F.col("section_id") == 0) | in_rng
+    agg = joined.groupBy(id_col).agg(
+        F.max(F.when((F.col("section_id") > 0) & in_rng, True).otherwise(False)).alias(
+            "__found"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct("pos", F.col("line").alias("l")))
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+            "\n",
+        ).alias("__joined"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.when(F.col("__found"), F.col("__joined")).otherwise(F.lit("")).alias("trimmed"),
+    )

@@ -266,3 +266,59 @@ def test_heading_dates_match_reference(spark, tmp_path):
     }
     for i, expected in enumerate(ref):
         assert got[i] == expected, (i, HEADINGS[i], got[i], expected)
+
+
+_TRIM_DRIVER_JS = """
+const { trimDailyMarkdownToRange } =
+  require('/root/reference/datasource-generator/lib/date-range-filter.js');
+const fx = JSON.parse(require('fs').readFileSync('/dev/stdin', 'utf8'));
+console.log(JSON.stringify(fx.docs.map(d =>
+  trimDailyMarkdownToRange(d, fx.start, fx.end))));
+"""
+
+TRIM_DOCS = [
+    # header + in/out sections + trailing empties
+    "# Daily Report\nauthor: ann\n\n## 2025-10-07\nin range A\nmore\n## 2025-09-01\nold stuff\n## 2025-10-08\nin range B\n",
+    # nothing in range → entire result empty (header discarded)
+    "# Header only\n## 2025-01-01\nold\n",
+    # no dated headings at all → header-only accumulates, but foundAny=false → ''
+    "# Just header\nplain line\n",
+    # long-form headings + inline ## hit (unanchored)
+    "intro\n## October 7, 2025\nlong form kept\nsee ## 2025-09-01 inline\ntail\n",
+    # invalid ISO heading starts a section with null date → section dropped
+    "hdr\n## 2025-02-30\nghost section\n## 2025-10-07\nkept\n",
+    "",
+]
+TRIM_START, TRIM_END = "2025-10-06", "2025-10-12"
+
+
+@needs_node
+def test_markdown_trim_matches_reference(spark, tmp_path):
+    """trimDailyMarkdownToRange (date-range-filter.js:180-232) vs our
+    distributed trim_daily_markdown — header retention, section
+    boundaries from the unanchored heading parser, and the
+    no-section-in-range → '' rule, byte for byte."""
+    from ai_coach_data_source_orchestrator_spark.functions.dates import (
+        trim_daily_markdown,
+    )
+
+    js = tmp_path / "trim_drv.js"
+    js.write_text(_TRIM_DRIVER_JS)
+    ref = json.loads(
+        subprocess.run(
+            ["node", str(js)],
+            input=json.dumps({"docs": TRIM_DOCS, "start": TRIM_START, "end": TRIM_END}),
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(TRIM_DOCS)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["trimmed"]
+        for r in trim_daily_markdown(df, "t", "i", TRIM_START, TRIM_END).collect()
+    }
+    for i, expected in enumerate(ref):
+        assert got[i] == expected, (i, got[i], expected)
