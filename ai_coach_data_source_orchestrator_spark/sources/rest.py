@@ -487,18 +487,20 @@ def slack_user_map(
         nxt = (body.get("response_metadata") or {}).get("next_cursor") or None
         return body.get("members", []), nxt
 
+    # Reference reads PROFILE.real_name / PROFILE.display_name (trimmed,
+    # whitespace-only counts as missing — api.js:358-361), never the
+    # top-level real_name, and skips members without an id (:357).
+    def display(u: dict) -> str:
+        profile = u.get("profile") or {}
+        real = str(profile.get("real_name") or "").strip()
+        disp = str(profile.get("display_name") or "").strip()
+        return real or disp or u.get("name") or u.get("id")
+
     rows = [
-        {
-            "user_id": u.get("id"),
-            "display_name": (
-                u.get("real_name")
-                or (u.get("profile") or {}).get("display_name")
-                or u.get("name")
-                or u.get("id")
-            ),
-        }
+        {"user_id": u.get("id"), "display_name": display(u)}
         for users in paginate(page)
         for u in users
+        if u and u.get("id")
     ]
     return spark.createDataFrame(rows, "user_id string, display_name string")
 

@@ -93,6 +93,8 @@ QUERIES = [
     ("sample_train_test_split", "documents"),
     ("j_salted_skew_join", "events"),
     ("text_filter_funnel", "documents"),
+    ("slack_render_blocks", "events"),
+    ("x_jira_ticket_render", "orders"),
 ]
 
 if os.environ.get("SMOKE_QUERIES"):

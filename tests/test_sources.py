@@ -199,10 +199,15 @@ def _slack_transport(method, url, params):
         ]}
     if url.endswith("users.list"):
         return 200, {}, {"members": [
+            # TOP-LEVEL real_name is ignored — the reference reads only
+            # profile.real_name (api.js:358-361); U1 falls to its id
             {"id": "U1", "real_name": "Ada L"},
             {"id": "U2", "profile": {"display_name": "grace"}},
             {"id": "U3", "name": "handle3"},
             {"id": "U4"},
+            {"id": "U5", "profile": {"real_name": "Ada L", "display_name": "ada"}},
+            {"id": "U6", "profile": {"real_name": "   "}, "name": "ws"},  # trim
+            {"name": "no-id"},  # skipped entirely (:357)
         ]}
     raise AssertionError(url)
 
@@ -225,8 +230,16 @@ def test_slack_history_and_thread_replies(spark):
 def test_slack_user_map_coalescing(spark):
     df = R.slack_user_map(spark, _slack_transport, BASE)
     m = {r["user_id"]: r["display_name"] for r in df.collect()}
-    # real_name ‖ display_name ‖ name ‖ id (slack/lib/api.js:344-393)
-    assert m == {"U1": "Ada L", "U2": "grace", "U3": "handle3", "U4": "U4"}
+    # PROFILE.real_name ‖ PROFILE.display_name ‖ name ‖ id, trimmed,
+    # id-less members skipped (slack/lib/api.js:356-362)
+    assert m == {
+        "U1": "U1",       # top-level real_name ignored
+        "U2": "grace",
+        "U3": "handle3",
+        "U4": "U4",
+        "U5": "Ada L",    # profile.real_name wins over display_name
+        "U6": "ws",       # whitespace-only profile names are missing
+    }
 
 
 # ---------------------------------------------------------------------------
