@@ -31,6 +31,7 @@ from collections.abc import Callable, Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 Transport = Callable[[str, str, dict], tuple[int, dict, Any]]
 
@@ -549,6 +550,22 @@ def drive_listing(
     return spark.createDataFrame(
         rows, "id string, name string, mime_type string, size bigint, modified_time string"
     )
+
+
+def drive_prefix_filter(files: DataFrame, prefixes: list[str] | None) -> DataFrame:
+    """The drive 'prefix' filter (download-from-drive.js:459-467) —
+    despite its name, each entry matches as a CASE-INSENSITIVE
+    SUBSTRING anywhere in the file name (``name.includes(pref)``), not
+    a startsWith. Falsy entries are dropped; an empty effective list
+    passes everything through, exactly like the reference."""
+    lowers = [str(p or "").lower() for p in (prefixes or [])]
+    lowers = [p for p in lowers if p]
+    if not lowers:
+        return files
+    cond = F.lower(F.col("name")).contains(lowers[0])
+    for p in lowers[1:]:
+        cond = cond | F.lower(F.col("name")).contains(p)
+    return files.where(cond)
 
 
 def drive_download_fanout(

@@ -303,3 +303,23 @@ def test_json_scan(spark, tmp_path):
     df = FS.read_json(spark, str(p))
     row = df.collect()[0]
     assert row["channel"] == "C1" and row["messageCount"] == 2
+
+
+def test_drive_prefix_filter_is_substring_not_startswith(spark):
+    """download-from-drive.js:459-467 — the 'prefix' matches as a
+    case-insensitive SUBSTRING anywhere in the name (includes, not
+    startsWith); falsy prefixes drop out; empty list passes all."""
+    files = spark.createDataFrame(
+        [
+            ("f1", "Fathom-Standup 2025-01-06.txt"),
+            ("f2", "weekly FATHOM notes.txt"),  # substring mid-name, case-insens
+            ("f3", "retro.txt"),
+        ],
+        "id string, name string",
+    )
+    got = {r["id"] for r in R.drive_prefix_filter(files, ["fathom"]).collect()}
+    assert got == {"f1", "f2"}
+    assert R.drive_prefix_filter(files, []).count() == 3
+    assert R.drive_prefix_filter(files, ["", None]).count() == 3
+    got2 = {r["id"] for r in R.drive_prefix_filter(files, ["RETRO", ""]).collect()}
+    assert got2 == {"f3"}
