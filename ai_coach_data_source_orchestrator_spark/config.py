@@ -346,7 +346,9 @@ def validate_sections(cfg: dict) -> None:
             else:
                 validate_folder_id(folder_id)
         df = _js_get(tr, "dateFilter")
-        if _js_get(df, "enabled") is True:
+        # JS truthy (`dateFilter?.enabled` in lib/config.js:175), not
+        # a strict === true: enabled: 1 / "true" also validate
+        if _js_truthy(_js_get(df, "enabled")):
             validate_date_range(
                 _js_get(df, "startDate"), _js_get(df, "endDate"), "transcripts.dateFilter"
             )

@@ -370,18 +370,12 @@ def trim_daily_markdown(
     sec = lines.withColumn(
         "section_id", F.sum(F.when(F.col("d").isNotNull(), 1).otherwise(0)).over(w)
     )
-    sec_dates = (
-        sec.where(F.col("d").isNotNull())
-        .select(
-            F.col(id_col).alias("__id2"),
-            F.col("section_id").alias("sid"),
-            F.col("d").alias("sec_date"),
-        )
-    )
-    joined = sec.join(
-        sec_dates,
-        (F.col(id_col) == F.col("__id2")) & (F.col("section_id") == F.col("sid")),
-        "left",
+    # The heading is the only non-null d per section, so a window max
+    # over (doc, section) attaches it without the shuffle self-join a
+    # sec⋈sec_dates formulation would cost.
+    joined = sec.withColumn(
+        "sec_date",
+        F.max("d").over(Window.partitionBy(id_col, "section_id")),
     ).select(id_col, "pos", "line", "section_id", "sec_date")
     in_rng = in_range(F.col("sec_date"), start, end)
     keep = (F.col("section_id") == 0) | in_rng

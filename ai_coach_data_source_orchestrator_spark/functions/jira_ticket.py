@@ -42,13 +42,13 @@ def format_jira_date(c: Column) -> Column:
     def part(i: int) -> Column:
         return F.regexp_extract(c, _JS_DATE_RX, i)
 
+    from .dates import _js_date
+
     y, mo, d = (part(i).cast("int") for i in (1, 2, 3))
     shaped = (
         (part(1) != "") & mo.between(1, 12) & d.between(1, 31)
     )
-    rolled_date = F.date_add(
-        F.add_months(F.make_date(y, F.lit(1), F.lit(1)), mo - 1), d - 1
-    )
+    rolled_date = _js_date(y, mo, d)
     hh = F.coalesce(F.nullif(part(4), F.lit("")).cast("int"), F.lit(0))
     mi = F.coalesce(F.nullif(part(5), F.lit("")).cast("int"), F.lit(0))
     ss = F.coalesce(F.nullif(part(6), F.lit("")).cast("int"), F.lit(0))
@@ -138,8 +138,12 @@ def format_ticket(
 
     key_info = []
     if host:
+        # plain JS truthiness (:231) — no trim; a whitespace-only key
+        # still renders its (odd) URL line
         url_line = F.when(
-            _present(col("Issue key")) & (issue_key != "N/A"),
+            col("Issue key").isNotNull()
+            & (col("Issue key") != "")
+            & (issue_key != "N/A"),
             F.concat(
                 F.lit("**Issue URL**: ["), issue_key,
                 F.lit(f"](https://{host}/browse/"), issue_key, F.lit(")  \n"),
@@ -217,7 +221,11 @@ def format_ticket(
             F.lit("**Comment 1**:\n\n"), comments_json, F.lit("\n\n")
         )
         is_jsonish = comments_json.startswith("{")
-        is_malformed = parsed["_corrupt"].isNotNull()
+        # "malformed" must mean JSON.parse THROWS — from_json's corrupt
+        # record also fires on valid-JSON-but-wrong-shape cells (e.g.
+        # {"comments": 5}), where the reference renders NO section, not
+        # the raw cell. try_parse_json is shape-agnostic.
+        is_malformed = F.try_parse_json(comments_json).isNull()
         body = (
             F.when(~_present(comments_json), F.lit(""))
             .when(is_jsonish & is_malformed, raw_comment)  # JSON.parse throws
@@ -278,9 +286,14 @@ _PARENT_SCHEMA = (
 def extract_field_value(v: Column) -> Column:
     """extractFieldValue (:137-157): falsy/'null'/'undefined'/
     '[object Object]' → ''; JSON-looking values (containing '\"name\"')
-    yield .name else .displayName; anything else passes through."""
+    yield .name else .displayName with JS TRUTHINESS fallthrough — an
+    empty-string name falls to displayName, and when both are falsy the
+    RAW value passes through (never '')."""
     parsed = F.from_json(v, _NAMEISH_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt"})
-    named = F.coalesce(parsed["name"], parsed["displayName"])
+    named = F.coalesce(
+        F.nullif(parsed["name"], F.lit("")),
+        F.nullif(parsed["displayName"], F.lit("")),
+    )
     return (
         F.when(v.isNull() | (v == "") | v.isin("null", "undefined", "[object Object]"), F.lit(""))
         .when(v.contains('"name"') & parsed["_corrupt"].isNull() & named.isNotNull(), named)

@@ -105,6 +105,11 @@ def test_validate_sections_js_truthiness():
     validate_config({"dailyReports": {"query": ""}})  # "" falsy → skipped
     validate_config({"transcripts": {"folder_ids": None}})  # falsy → skipped
     validate_config({"jira": None})  # falsy → skipped
+    with pytest.raises(ConfigurationError):  # enabled: 1 is truthy in JS
+        validate_config(
+            {"transcripts": {"dateFilter": {"enabled": 1, "startDate": "bad"}}}
+        )
+    validate_config({"transcripts": {"dateFilter": {"enabled": 0, "startDate": "bad"}}})
 
 
 def test_validate_year_zero_and_unicode_digits():

@@ -43,6 +43,14 @@ ROWS = [
     {"key": "PROJ-4", "summary": "Also weird", "status": "Blocked",
      "project": PROJECT_JSON},
     {"key": "PROJ-5", "summary": "No status at all", "project": PROJECT_JSON},
+    # JS truthiness in extractFieldValue: empty-string name falls to
+    # displayName; both-falsy passes the RAW value through
+    {"key": "PROJ-6", "summary": "Shadowed name",
+     "status": json.dumps({"name": "", "displayName": "In Progress"}),
+     "project": PROJECT_JSON},
+    {"key": "PROJ-7", "summary": "Raw passthrough",
+     "status": json.dumps({"name": None, "displayName": ""}),
+     "project": PROJECT_JSON},
 ]
 
 CSV_FILE = "PROJ_2025-10-06_to_2025-10-12_Ann_Lee.csv"

@@ -77,6 +77,15 @@ TICKETS = [
         "Summary": "With changelog",
         "Comment": "plain remark",
     },
+    {  # valid JSON, wrong shape → parse succeeds, no Comments section
+        "Issue key": "PROJ-5",
+        "Summary": "Wrong shape",
+        "Comment": '{"comments": 5}',
+    },
+    {  # whitespace-only key: JS truthy → URL line renders, N/A fallback not taken
+        "Issue key": " ",
+        "Summary": "WS key",
+    },
 ]
 
 CHANGELOGS = {"PROJ-4": ["2025-10-09 10:00 alice", "- status: A → B", ""]}
