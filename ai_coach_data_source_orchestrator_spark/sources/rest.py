@@ -141,7 +141,7 @@ def jira_issue_search(
     (tokens chain); the result is a bronze DataFrame that downstream
     plans (comments semi-join F3, epic self-joins J5/J6) consume.
     """
-    jql = f"project = {project} AND updated >= {updated_since} ORDER BY updated DESC"
+    jql = f'project = {project} AND updated >= "{updated_since}" ORDER BY updated DESC'
 
     def fetch(token):
         params = {"jql": jql, "maxResults": page_size, "fields": ["*all"]}
@@ -190,7 +190,7 @@ def jira_issue_search_pages(
     """
     import pandas as pd
 
-    jql = f"project = {project} AND updated >= {updated_since} ORDER BY updated DESC"
+    jql = f'project = {project} AND updated >= "{updated_since}" ORDER BY updated DESC'
     url = f"{base_url}/rest/api/3/search"
     probe = request_with_retry(
         transport, "POST", url, {"jql": jql, "maxResults": 0, "startAt": 0}

@@ -97,6 +97,13 @@ QUERIES = [
     ("x_jira_ticket_render", "orders"),
 ]
 
+# Secondary tables a query reads beyond its row-count hint table —
+# the filtered synthesis must materialize these too.
+EXTRA_TABLES = {
+    "slack_render_blocks": {"customer"},
+    "j1_star_join_revenue": {"orders", "customer", "nation", "region"},
+}
+
 if os.environ.get("SMOKE_QUERIES"):
     _wanted = set(os.environ["SMOKE_QUERIES"].split(","))
     QUERIES = [q for q in QUERIES if q[0] in _wanted]
@@ -104,6 +111,8 @@ if os.environ.get("SMOKE_QUERIES"):
     # dims every load path touches) — an sf3 lineitem would dominate
     # synthesis time for a documents-only smoke.
     _needed = {t for _, t in QUERIES} | {"region", "nation"}
+    for name, _ in QUERIES:
+        _needed |= EXTRA_TABLES.get(name, set())
     TABLES = [t for t in TABLES if t in _needed]
 
 KEY_COLS = {

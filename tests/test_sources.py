@@ -52,7 +52,7 @@ def test_non_fatal_statuses_return_none(status):
 # Jira S1: JQL pushdown + nextPageToken pagination
 # ---------------------------------------------------------------------------
 def _jira_pages(method, url, params):
-    assert "project = ENG AND updated >= 2025-01-01" in params["jql"]  # pushdown
+    assert 'project = ENG AND updated >= "2025-01-01"' in params["jql"]  # pushdown, quoted like export-to-csv.js:232
     token = params.get("nextPageToken")
     if token is None:
         issues = [
