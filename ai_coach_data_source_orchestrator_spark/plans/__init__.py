@@ -31,112 +31,46 @@ from . import queries_graph  # noqa: E402,F401
 # old output, so a fresh row is strictly more informative than
 # re-greening an unchanged r2 query. tests/test_registry.py counts
 # these when checking the rotation policy's capacity math.
-_CHANGED_ORACLE = (
-    "x22_human_size",
-    "x3_adf_flatten",
-    "x20_section_split",
-)
+_CHANGED_ORACLE = ()
 
 _FRONT = [
-    # -- round 5 slot 1: the only never-green query; r4 driver err was the
-    #    pandas canonicalizer choking on array<int> — now serialized --
-    "embedding_quantize_int8",
-    # -- new in round 5: real PPM/WAV decode, external-linter hook,
-    #    bigram-LM scoring — never driver-checked --
-    "multimodal_decode",
-    "text_external_lint",
-    "text_lm_perplexity",
-    "text_chunk_windows",
-    "corpus_zipf_topk",
-    "dedup_family_histogram",
-    "corpus_health_report",
-    "sample_dsir_importance",
-    "dedup_semantic_clusters",
-    "sketch_hll_distinct",
-    "sketch_cms_heavy_hitters",
-    "k_orc_columnar_roundtrip",
-    "sketch_quantile_sample",
-    "graph_host_pagerank",
-    "sketch_bloom_membership",
-    # -- oracle/output CHANGED this session (reference-parity fixes from
-    #    the node-golden sweep: toFixed sizes, ADF newlines/mentions,
-    #    reconstructed section checksums) — these outrank stale
-    #    refreshes because their historical green rows describe the OLD
-    #    output --
-    "x22_human_size",
-    "x3_adf_flatten",
-    "x20_section_split",
-    # -- rotated this round: latest green driver row is r2, and testdata
-    #    has been regenerated since; all are green in local oracle
-    #    parity, the driver row just needs refreshing. (u6/a13/a14
-    #    yielded their slots to the changed-oracle block above: survey
-    #    ids U6/A13/A14 keep r4-green rows via u8_schema_union_by_name /
-    #    dashboard_week_frame / x21_changelog_compact.) --
-    "a8_summary_aggregates",
-    "f8_or_of_overrides",
-    "u3_dedup_by_key",
-    "a10_daily_window",
-    "sessionize_events",
-    "x7_multiformat_date_extract",
-    # (asof_join_checkpoints yielded its slot to slack_render_blocks:
-    # J7 keeps its r4-green row via weekly_digest_pipeline.)
-    "range_join_windows",
-    # (rollup_hypertable_cascade yielded its slot to
-    # x_jira_ticket_render; it stays locally oracle-green every run.)
-    "a_percentile_profile",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "text_winnow_fingerprints",
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_minhash_lsh",
-    "knn_brute_force_cosine",
-    "knn_lsh_buckets",
-    "multimodal_features",
-    # (multimodal_resize / multimodal_frame_sample yielded their slots
-    # to the round-5 additions dedup_span_ngram /
-    # sample_train_test_split below: never-sampled queries outrank
-    # r2-stale refreshes, and the multimodal family still refreshes
-    # this round via multimodal_features + multimodal_decode.)
-    # (dedup_embedding_cosine yielded its slot to j_salted_skew_join:
-    # the embedding near-dup family still refreshes this round via
-    # dedup_embedding_cosine_lsh + dedup_semantic_clusters.)
-    "dedup_embedding_cosine_lsh",
-    "knn_ivf",
-    # (x5_html_bullets, x2_wiki_to_markdown, x4_slack_markup,
-    # x6_linkify_issue_keys, x14_slugify, x16_mask_secrets,
-    # x17_redact_code and x18_prompt_denylist yielded their slots to the
-    # round-5 additions corpus_health_report / sample_dsir_importance /
-    # dedup_semantic_clusters / sketch_hll_distinct /
-    # sketch_cms_heavy_hitters / k_orc_columnar_roundtrip /
-    # sketch_quantile_sample / graph_host_pagerank: the window holds 50
-    # and never-sampled queries outrank r2-stale refreshes; survey ids
-    # X5/X2/X4/X6/X14/X16/X17/X18 all have r4-green rows via the
-    # pipeline queries, and the yielded queries stay green in local
-    # oracle parity every pytest run. x20_section_split likewise yielded
-    # to sketch_bloom_membership — X20's r2 row stays its latest, the
-    # accepted cost of prioritizing never-sampled queries.)
-    # (x10_x11_timestamp_formats yielded its slot to text_filter_funnel
-    # below — X10/X11 keep their r2-green rows, the accepted cost of
-    # prioritizing never-sampled queries.)
-    # -- new in round 5 (late): matryoshka truncation audit, cohort
-    #    retention, ordered funnel. (text_line_dedup / cc_large_star
-    #    yielded their slots: both r4-green, locally oracle-green, and
-    #    the LSH-feed risk now has its own pair-set equality test.) --
-    "embedding_normalize_truncate",
-    "cohort_retention",
-    "funnel_view_click_purchase",
-    # -- new in round 5 (later): duplicated-span dedup (Lee et al.
-    #    exact-substring restatement) and the leakage-safe split --
-    "dedup_span_ngram",
-    "sample_train_test_split",
-    "j_salted_skew_join",
-    "text_filter_funnel",
-    "slack_render_blocks",
-    "x_jira_ticket_render",
+    # ------------------------------------------------------------------
+    # Round 6 rotation (VERDICT r5 item 1): zero never-green queries and
+    # zero changed oracles remain, so the window is spent entirely on the
+    # 26 queries whose latest green driver row predates round 4 — the
+    # exact set the hygiene test (tests/test_registry.py) enumerates
+    # against the r5 artifacts. 26 < 50, so the remaining slots go to
+    # queries added this round (appended below as they land).
+    # ------------------------------------------------------------------
+    # Latest green row r2 (testdata regenerated twice since):
+    "a13_week_frame",
+    "a14_array_set_diff",
+    "asof_join_checkpoints",
+    "dedup_embedding_cosine",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "rollup_hypertable_cascade",
+    "u6_union_tagged_sources",
+    "x10_x11_timestamp_formats",
+    "x14_slugify",
+    "x16_mask_secrets",
+    "x17_redact_code",
+    "x18_prompt_denylist",
+    "x2_wiki_to_markdown",
+    "x4_slack_markup",
+    "x5_html_bullets",
+    "x6_linkify_issue_keys",
+    # Latest green row r3:
+    "a1_status_groups_canonical_order",
+    "a3_group_stats_pct",
+    "a45_status_priority_cube",
+    "f1_date_range_filter",
+    "f3_semi_join_children_in_range",
+    "j1_star_join_revenue",
+    "j2_alias_first_match_join",
+    "j5_hierarchy_resolution",
+    "o3_latest_order_per_customer",
+    # -- new in round 6 (never driver-sampled) --
 ]
 
 
