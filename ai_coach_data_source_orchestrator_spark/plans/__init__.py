@@ -31,7 +31,10 @@ from . import queries_graph  # noqa: E402,F401
 # old output, so a fresh row is strictly more informative than
 # re-greening an unchanged r2 query. tests/test_registry.py counts
 # these when checking the rotation policy's capacity math.
-_CHANGED_ORACLE = ()
+# multimodal_decode's corpus gained a P5-PGM leg this round (doc_id % 3
+# split, VERDICT r5 item 6) — its r5 green row describes the old
+# two-kind output, so a fresh driver row outranks stale refreshes.
+_CHANGED_ORACLE = ("multimodal_decode",)
 
 _FRONT = [
     # ------------------------------------------------------------------
@@ -70,6 +73,8 @@ _FRONT = [
     "j2_alias_first_match_join",
     "j5_hierarchy_resolution",
     "o3_latest_order_per_customer",
+    # -- oracle/output CHANGED in round 6 (PGM corpus leg) --
+    "multimodal_decode",
     # -- new in round 6 (never driver-sampled) --
 ]
 

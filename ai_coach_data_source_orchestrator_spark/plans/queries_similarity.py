@@ -189,7 +189,7 @@ _RMS_MICRO = (
     oracle=f"""
     WITH img AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      FROM documents WHERE doc_id % 2 = 0
+      FROM documents WHERE doc_id % 3 = 0
     ),
     ivals AS (
       SELECT doc_id, w, h, w * h * 3 AS n_values,
@@ -198,8 +198,19 @@ _RMS_MICRO = (
       FROM img, unnest(range(w * h * 3)) s(i)
       GROUP BY doc_id, w, h
     ),
+    gry AS (
+      SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    gvals AS (
+      SELECT doc_id, w, h, w * h AS n_values,
+             SUM((doc_id * 37 + i * 11) % 256) AS val_sum,
+             SUM(((doc_id * 37 + i * 11) % 256) * ((doc_id * 37 + i * 11) % 256)) AS val_sumsq
+      FROM gry, unnest(range(w * h)) s(i)
+      GROUP BY doc_id, w, h
+    ),
     aud AS (
-      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 2 = 1
+      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 3 = 2
     ),
     avals AS (
       SELECT doc_id, n_values,
@@ -215,16 +226,21 @@ _RMS_MICRO = (
            {_MEAN_MICRO} AS mean_micro, {_RMS_MICRO} AS rms_micro
     FROM ivals
     UNION ALL
+    SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
+           CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           {_MEAN_MICRO}, {_RMS_MICRO}
+    FROM gvals
+    UNION ALL
     SELECT doc_id, 'audio', NULL, NULL, 8000,
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM avals
     """,
     survey_ids=("S13", "K7"),
-    description="REAL media decode: synthesized PPM/WAV bytes parsed back to verified features",
+    description="REAL media decode: synthesized PPM/PGM/WAV bytes parsed back to verified features",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize genuine PPM (P6) / WAV (PCM16) container bytes from
+    """Synthesize genuine PPM (P6) / PGM (P5) / WAV (PCM16) container bytes from
     closed-form doc_id formulas, then REALLY decode them (header parse +
     numpy payload extraction) and derive mean-luma / RMS-amplitude
     features. The oracle recomputes the same features straight from the

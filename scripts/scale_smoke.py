@@ -258,7 +258,23 @@ def main() -> None:
         "queries": results,
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, os.environ.get("SMOKE_OUT", "SCALE_SMOKE.json")), "w") as f:
+    out_path = os.path.join(repo, os.environ.get("SMOKE_OUT", "SCALE_SMOKE.json"))
+    # VERDICT r5 item 4: merge per-query results across runs instead of
+    # overwriting, so a SMOKE_QUERIES-subset run doesn't erase the
+    # artifact's cumulative coverage. Re-measured queries replace their
+    # old row; a different SMOKE_SCALE in the existing file means the
+    # numbers aren't comparable, so that file is replaced wholesale.
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            prior = None
+        if prior and prior.get("scale_factor") == SCALE:
+            merged = dict(prior.get("queries", {}))
+            merged.update(summary["queries"])
+            summary["queries"] = merged
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({"max_per_row_ratio": max(r["per_row_cost_ratio"] for r in results.values())}))
 

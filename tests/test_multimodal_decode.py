@@ -11,9 +11,20 @@ import pytest
 
 from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
     decode_media,
+    encode_pgm,
     encode_ppm,
     encode_wav_pcm16,
 )
+
+
+def test_pgm_encode_decode_round_trip():
+    rng = np.random.default_rng(11)
+    w, h = 7, 3
+    gray = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+    d = decode_media(encode_pgm(w, h, gray.tobytes()), "image/x-portable-graymap")
+    assert d["kind"] == "image"
+    assert (d["width"], d["height"]) == (w, h)
+    assert np.array_equal(d["values"], gray)
 
 
 def test_ppm_round_trip():
