@@ -291,8 +291,11 @@ def cc_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verified LSH pair set equals the exact pair set with miss
     # probability ≈6e-7 per pair at the 0.6 threshold (dedup.py:116) —
     # dedup_minhash_lsh hash-matches the same brute-force oracle on the
-    # same data. Measured 27 s → ~1 s at sf0.1 (the O(n²) pair build
-    # dominated everything else in the query).
+    # same data, and tests/test_dedup_skew.py::
+    # test_lsh_pair_set_equals_bruteforce_on_testdata pins the pair-set
+    # equality with a pair-level diff so a regeneration that breaks the
+    # assumption fails diagnosably. Measured 27 s → ~1 s at sf0.1 (the
+    # O(n²) pair build dominated everything else in the query).
     docs = load_table(spark, sf_dir, "documents")
     prs = D.minhash_lsh_pairs(docs, k=3, threshold=0.6)
     return D.connected_components_star(docs, prs.select("doc_a", "doc_b"))

@@ -263,3 +263,34 @@ def test_duplicated_spans_disjoint_runs_two_islands(spark):
     )
     out = {r["doc_id"]: r for r in duplicated_spans(df, k=8).collect()}
     assert out[1]["n_spans"] == 2
+
+
+def test_lsh_pair_set_equals_bruteforce_on_testdata(spark, sf_dir):
+    """cc_large_star / dedup_connected_components feed components from
+    the LSH candidate pairs while their oracle reaches over the exact
+    brute-force pair graph; the composition is hash-green only while
+    the two pair SETS are identical on the current testdata (miss
+    probability ~6e-7 per pair at threshold 0.6, dedup.py:116). Pin that
+    assumption with a pair-level diff so a future testdata regeneration
+    that produces an unlucky family fails HERE with the offending pairs,
+    not as an opaque value-hash mismatch in the driver (VERDICT r5
+    item 7)."""
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, k=3, threshold=0.6).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.6).collect()
+    }
+    assert lsh == exact, (
+        f"LSH pair set diverged from brute force on {sf_dir}: "
+        f"missed={sorted(exact - lsh)} spurious={sorted(lsh - exact)}"
+    )
