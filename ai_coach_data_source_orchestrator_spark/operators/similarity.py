@@ -311,6 +311,60 @@ def cosine_dup_pairs_lsh(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    bits: int = 10,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-space contamination gate: corpus vectors whose cosine
+    to ANY eval-benchmark vector clears ``threshold`` — the semantic
+    counterpart of the n-gram contamination check (a paraphrased eval
+    item shares no 8-gram but still embeds next to its source).
+
+    Cross-table variant of ``cosine_dup_pairs_lsh``: both sides get the
+    SAME deterministic sign-LSH signatures (one Arrow matmul pass each),
+    candidates come from an equi-join on (table, bucket), and exact
+    cosine verifies every candidate, so precision is 1 and recall
+    follows the multi-table collision bound documented there.
+
+    Scale: the eval benchmark is bounded-small by definition (the §4
+    broadcast policy's canonical case), so its banded signature table is
+    broadcast — the corpus never shuffles; each corpus partition probes
+    the eval buckets locally. Corpus vectors ride to the verify join by
+    id only.
+    """
+    sig = _np_signature_udf(dim, bits, n_tables)
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    e = evalset.select(
+        F.col(id_col).alias("eval_id"), _as_double(F.col(vec_col)).alias("ev")
+    )
+    c_banded = c.select("corpus_id", F.posexplode(sig("cv")).alias("table", "bucket"))
+    e_banded = e.select("eval_id", F.posexplode(sig("ev")).alias("table", "bucket"))
+    cand = (
+        c_banded.join(F.broadcast(e_banded), ["table", "bucket"])
+        .select("corpus_id", "eval_id")
+        .distinct()
+    )
+    np_cos = _np_cosine_udf()
+    return (
+        cand.join(c.select("corpus_id", "cv"), "corpus_id")
+        .join(F.broadcast(e.select("eval_id", "ev")), "eval_id")
+        .select(
+            "corpus_id",
+            "eval_id",
+            F.round(np_cos("cv", "ev"), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def _centroid_matrix(
     corpus: DataFrame,
     id_col: str,

@@ -14,6 +14,7 @@ from . import queries_epic_tree  # noqa: E402,F401
 from . import queries_sampling  # noqa: E402,F401
 from . import queries_sketches  # noqa: E402,F401
 from . import queries_graph  # noqa: E402,F401
+from . import queries_retrieval  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering.
@@ -76,6 +77,9 @@ _FRONT = [
     # -- oracle/output CHANGED in round 6 (PGM corpus leg) --
     "multimodal_decode",
     # -- new in round 6 (never driver-sampled) --
+    "contamination_semantic",
+    "text_bm25_topk",
+    "source_js_divergence",
 ]
 
 

@@ -1,0 +1,239 @@
+"""Corpus retrieval + distribution-drift analytics over ``documents``.
+
+Round-6 additions to the LLM-training-data inventory: BM25 keyword
+retrieval (the standard lexical ranking a data-curation pipeline uses to
+pull topical subsets out of a 100 TB corpus) and per-source
+Jensen-Shannon divergence (the drift monitor that catches a source whose
+unigram distribution walked away from the corpus).
+
+Float discipline (see registry.py): every per-term float score is
+micro-scaled to a BIGINT *before* any cross-row summation, so float
+addition order — which differs between Spark partial aggregation and
+DuckDB — can never flip the value hash. Transcendentals (ln) on
+deterministic double inputs are bit-identical across both engines (libm
+on this box; same precedent as sqrt/sin in the LSH oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+# Fixed query-term set (ordered — the unrolled score sum follows this
+# order textually in BOTH engines). Chosen from the synthetic corpus
+# vocabulary with a spread of document frequencies.
+BM25_TERMS = ("spark", "join", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    per_term = []
+    for t in BM25_TERMS:
+        tf = f"len(list_filter(toks, x -> x = '{t}'))"
+        idf = f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        score = (
+            f"({idf}) * ({tf} * ({BM25_K1} + 1.0)) / "
+            f"({tf} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        )
+        per_term.append(
+            f"CAST(floor(({score}) * 1000000.0 + 0.5) AS BIGINT)"
+        )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH toked AS (
+        SELECT doc_id, {_TOKS} AS toks,
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens, {df_cols}
+        FROM toked
+    ),
+    scored AS (
+        SELECT doc_id,
+               {" + ".join(per_term)} AS score_micro
+        FROM toked CROSS JOIN (
+            SELECT *, CAST(total_tokens AS DOUBLE) / n_docs AS avgdl FROM stats
+        )
+    ),
+    ranked AS (
+        SELECT doc_id, score_micro,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+        FROM scored WHERE score_micro > 0
+    )
+    SELECT doc_id, score_micro, rank FROM ranked WHERE rank <= {BM25_TOPK}
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    survey_ids=("A17", "F12"),
+    description="BM25 keyword retrieval: corpus df/idf stats + top-k ranked scan",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k for a fixed query-term set.
+
+    Plan shape for 100 TB: ONE aggregation pass computes every corpus
+    statistic (N, total tokens, per-term document frequencies) as a
+    single row — map-side partials, no explode, no per-term job — which
+    is then broadcast (a literal handful of doubles) under every
+    partition's scoring projection. Scoring is a pure column expression
+    per document (no shuffle), and the top-k is TakeOrdered (per
+    partition heap + driver merge of k rows), NOT a global sort or a
+    single-partition window.
+
+    Per-term scores are micro-scaled to BIGINT before the across-term
+    sum, which follows BM25_TERMS order textually in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .alias("dl"),
+    )
+    stats_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    ] + [
+        F.sum(
+            F.when(F.array_contains("toks", t), F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"df_{t}")
+        for t in BM25_TERMS
+    ]
+    stats = toked.agg(*stats_aggs).withColumn(
+        "avgdl", F.col("total_tokens").cast("double") / F.col("n_docs")
+    )
+
+    def term_micro(t: str) -> str:
+        tf = f"size(filter(toks, x -> x = '{t}'))"
+        idf = f"ln(1.0d + (n_docs - df_{t} + 0.5d) / (df_{t} + 0.5d))"
+        score = (
+            f"({idf}) * ({tf} * ({BM25_K1}d + 1.0d)) / "
+            f"({tf} + {BM25_K1}d * (1.0d - {BM25_B}d + {BM25_B}d * dl / avgdl))"
+        )
+        return f"CAST(floor(({score}) * 1000000.0d + 0.5d) AS BIGINT)"
+
+    scored = (
+        toked.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(" + ".join(term_micro(t) for t in BM25_TERMS)).alias("score_micro"),
+        )
+        .where(F.col("score_micro") > 0)
+    )
+    topk = scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(BM25_TOPK)
+    # rank over the k-row result only — never a global single-partition window.
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Per-source Jensen-Shannon divergence vs the corpus unigram distribution
+# ---------------------------------------------------------------------------
+def _jsd_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, COUNT(*) AS n_st FROM tok GROUP BY 1, 2),
+    s_tot AS (SELECT source, SUM(n_st) AS t_s FROM st GROUP BY 1),
+    ct AS (SELECT tok, COUNT(*) AS n_t FROM tok GROUP BY 1),
+    c_tot AS (SELECT SUM(n_t) AS t_c FROM ct),
+    terms AS (
+        SELECT st.source,
+               CAST(st.n_st AS DOUBLE) / s_tot.t_s AS p,
+               CAST(ct.n_t AS DOUBLE) / c_tot.t_c AS q
+        FROM st
+        JOIN s_tot USING (source)
+        JOIN ct USING (tok)
+        CROSS JOIN c_tot
+    ),
+    contrib AS (
+        SELECT source,
+               CAST(floor((0.5 * p * ln(p / (0.5 * (p + q)))
+                           + 0.5 * q * ln(q / (0.5 * (p + q)))) * 1000000.0 + 0.5)
+                    AS BIGINT) AS c_micro,
+               CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+        FROM terms
+    )
+    SELECT source,
+           COUNT(*) AS n_shared_tokens,
+           SUM(c_micro)
+             + CAST(floor(0.5 * ln(2.0) * (1000000 - SUM(q_micro)) + 0.5) AS BIGINT)
+             AS jsd_micro
+    FROM contrib GROUP BY source
+    """
+
+
+@register(
+    "source_js_divergence",
+    oracle=_jsd_oracle(),
+    survey_ids=("A17", "U7"),
+    description="Per-source unigram JS divergence vs corpus: drift/quality monitor",
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: JSD(source unigrams ‖ corpus
+    unigrams), fixed-point micro units.
+
+    Tokens absent from a source contribute exactly ``0.5·q·ln 2`` each,
+    so their total is closed-form from the shared-token q mass:
+    ``0.5·ln2·(1 − Σ_shared q)`` — no anti-join over the full vocabulary
+    needed. Both the per-token contributions and the q mass are
+    micro-scaled BIGINTs before summation (fixed-point by design: both
+    engines lose the same sub-micro bits, so partial-agg order can't
+    flip the hash).
+
+    Scale: one narrow (source, tok) explode; counts partial-aggregate
+    map-side; the corpus token table joins the per-source table on tok —
+    both sides shrink to vocabulary size before the join, and the
+    per-source totals/corpus total are broadcast-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n_st"))
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("t_s"))
+    ct = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    c_tot = ct.agg(F.sum("n_t").alias("t_c"))
+    terms = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(c_tot))
+        .select(
+            "source",
+            (F.col("n_st").cast("double") / F.col("t_s")).alias("p"),
+            (F.col("n_t").cast("double") / F.col("t_c")).alias("q"),
+        )
+    )
+    contrib = terms.select(
+        "source",
+        F.expr(
+            "CAST(floor((0.5d * p * ln(p / (0.5d * (p + q)))"
+            " + 0.5d * q * ln(q / (0.5d * (p + q)))) * 1000000.0d + 0.5d) AS BIGINT)"
+        ).alias("c_micro"),
+        F.expr("CAST(floor(q * 1000000.0d + 0.5d) AS BIGINT)").alias("q_micro"),
+    )
+    return contrib.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shared_tokens"),
+        (
+            F.sum("c_micro")
+            + F.expr(
+                "CAST(floor(0.5d * ln(2.0d) * (1000000 - SUM(q_micro)) + 0.5d) AS BIGINT)"
+            )
+        ).alias("jsd_micro"),
+    )

@@ -365,6 +365,78 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contamination_semantic_oracle() -> str:
+    """DuckDB twin of the semantic contamination gate: same planted
+    eval copies, same 4×10 sign-chain signatures on BOTH sides, band
+    join corpus×eval, exact-cosine verify at t=0.9. Reuses the float
+    forms already proven bit-identical in _cosine_lsh_oracle."""
+    bks = [_lsh_bucket_sql("v", 64, 10, seed=t) for t in range(4)]
+    sig_cols = ", ".join(f"{bks[t]} AS bk{t}" for t in range(4))
+    c_banded = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bk{t} AS bk FROM csig" for t in range(4)
+    )
+    e_banded = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bk{t} AS bk FROM esig" for t in range(4)
+    )
+    return f"""
+    WITH base0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    eval AS (SELECT * FROM base0 WHERE vec_id % 97 = 0),
+    planted AS (SELECT vec_id + 2000000 AS vec_id,
+                       list_transform(v, (x, i) -> x * (1.0 + 0.001 * sin(vec_id * 11 + (i - 1)))) AS v
+                FROM eval),
+    corpus AS (SELECT * FROM base0 WHERE vec_id % 97 <> 0
+               UNION ALL SELECT * FROM planted),
+    csig AS (SELECT vec_id, {sig_cols} FROM corpus),
+    esig AS (SELECT vec_id, {sig_cols} FROM eval),
+    cb AS ({c_banded}),
+    eb AS ({e_banded}),
+    cand AS (SELECT DISTINCT c.vec_id AS corpus_id, e.vec_id AS eval_id
+             FROM cb c JOIN eb e ON c.t = e.t AND c.bk = e.bk),
+    scored AS (SELECT corpus_id, eval_id,
+                      ROUND(({_dot_sql("cv", "ev", 64)}) /
+                            (({_norm_sql("cv", 64)}) * ({_norm_sql("ev", 64)})), 6) AS cosine_sim
+               FROM cand
+               JOIN (SELECT vec_id AS corpus_id, v AS cv FROM corpus) USING (corpus_id)
+               JOIN (SELECT vec_id AS eval_id, v AS ev FROM eval) USING (eval_id))
+    SELECT corpus_id, eval_id, cosine_sim FROM scored WHERE cosine_sim >= 0.9
+    """
+
+
+@register(
+    "contamination_semantic",
+    oracle=_contamination_semantic_oracle(),
+    survey_ids=("U7", "X18"),
+    description="Semantic eval-contamination gate: sign-LSH corpus×eval probe, cosine-verified",
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space contamination: flag corpus vectors embedding next
+    to an eval-benchmark vector (paraphrase contamination that the
+    8-gram check at queries_text.py misses). The synthetic corpus has
+    no natural cross-vector cosine ≥0.9, so the query plants a
+    deterministic ~1e-3 perturbation copy of every eval vector into the
+    corpus — the contamination ground truth, one output row each —
+    using different constants (×11, +2e6) from the dedup planting so
+    the two fixtures can't mask each other.
+
+    Scale: eval benchmarks are bounded-small (broadcast side); the
+    corpus is never shuffled — each partition probes eval buckets
+    locally, and only candidate ids reach the verify join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    evalset = base.where(F.col("vec_id") % 97 == 0)
+    planted = evalset.select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x * (1.0d + 0.001d * sin(vec_id * 11 + i)))"
+        ).alias("embedding"),
+    )
+    corpus = base.where(F.col("vec_id") % 97 != 0).unionByName(planted)
+    return S.semantic_contamination(
+        corpus, evalset, threshold=0.9, dim=64, bits=10, n_tables=4
+    )
+
+
 @register(
     "knn_ivf",
     oracle=f"""
