@@ -80,6 +80,9 @@ _FRONT = [
     "contamination_semantic",
     "text_bm25_topk",
     "source_js_divergence",
+    "events_decay_activity",
+    "chat_pack_conversations",
+    "sample_mixture_budget",
 ]
 
 

@@ -611,3 +611,148 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decayed activity: the recency-weighted engagement
+# score a data pipeline uses to weight users/sources by freshness.
+# Fixed-point discipline: each event's decay weight is micro-scaled to
+# BIGINT before the per-user sum, so partial-agg order can't flip the
+# hash (registry.py float rules).
+# ---------------------------------------------------------------------------
+DECAY_HALFLIFE_S = 7 * 86400
+
+
+@register(
+    "events_decay_activity",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(ts) AS t_ref FROM events),
+    w AS (
+        SELECT user_id,
+               CAST(floor(exp(-ln(2.0) * (epoch_us(t_ref) - epoch_us(ts))
+                              / 1000000.0 / {DECAY_HALFLIFE_S}) * 1000000.0 + 0.5)
+                    AS BIGINT) AS w_micro
+        FROM events CROSS JOIN ref
+    )
+    SELECT user_id, COUNT(*) AS n_events, SUM(w_micro) AS activity_micro
+    FROM w GROUP BY user_id
+    """,
+    survey_ids=("A8", "X9"),
+    description="Half-life decayed per-user activity score (7-day half-life, fixed-point)",
+)
+def events_decay_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity: Σ 2^(−age/halflife) per user, where
+    age is exact integer microseconds from the corpus max timestamp.
+
+    Scale: the reference timestamp is ONE scalar aggregate broadcast
+    into every partition's projection (crossJoin of a 1-row aggregate —
+    Spark plans it as BroadcastNestedLoopJoin of a single row, not a
+    shuffle); the decay weight is a pure column expression and the
+    per-user sum partial-aggregates map-side. No window, no sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("t_ref"))
+    w_micro = F.expr(
+        f"CAST(floor(exp(-ln(2.0d) * (unix_micros(t_ref) - unix_micros(ts))"
+        f" / 1000000.0d / {DECAY_HALFLIFE_S}) * 1000000.0d + 0.5d) AS BIGINT)"
+    )
+    return (
+        ev.select("user_id", "ts")
+        .crossJoin(F.broadcast(ref))
+        .select("user_id", w_micro.alias("w_micro"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("w_micro").alias("activity_micro"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversation packing: sessionize → per-session token cost → greedy
+# shard-local packing into fixed context windows (the chat-training
+# preprocessing step: sessions become conversations, conversations are
+# packed into training sequences). Composes the registry's sessionize
+# lag-window with operators/sampling.pack_sequences.
+# ---------------------------------------------------------------------------
+PACK_BUDGET_TOKENS = 512
+
+
+@register(
+    "chat_pack_conversations",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, props,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_S} * 1000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, props,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    conv AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               SUM(8 + octet_length(encode(coalesce(props, ''))) // 4) AS cost_tokens
+        FROM sess GROUP BY 1, 2
+    ),
+    packed AS (
+        SELECT *,
+               COALESCE(SUM(cost_tokens) OVER (PARTITION BY user_id ORDER BY session_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS excl_cum
+        FROM conv
+    )
+    SELECT user_id, session_id, n_events, CAST(cost_tokens AS BIGINT) AS cost_tokens,
+           CAST(excl_cum // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin_id,
+           CAST(excl_cum - (excl_cum // {PACK_BUDGET_TOKENS}) * {PACK_BUDGET_TOKENS} AS BIGINT)
+             AS offset_in_bin
+    FROM packed
+    """,
+    survey_ids=("S10", "F11", "A8"),
+    description="Sessionize → conversation token cost → shard-local context-window packing",
+)
+def chat_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-training preprocessing: events sessionize into conversations
+    (same 30-min gap rule as sessionize_events, tie-broken by event_id),
+    each conversation gets a token cost (8 overhead + len(props)/4 per
+    event), and conversations pack into {PACK_BUDGET}-token context
+    windows per user via operators/sampling.pack_sequences.
+
+    Scale: ONE shuffle on user_id serves the lag window, the session
+    groupBy, and the packing window (same partitioning → Exchange
+    reuse); packing state per user is bounded by that user's session
+    count, and users pack in parallel (the shard-local restatement of
+    inherently-sequential first-fit, same trade documented on
+    pack_sequences).
+    """
+    from ..operators.sampling import pack_sequences
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > SESSION_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", "event_id", "props").withColumn(
+        "session_id", F.sum(new_session).over(w).cast("bigint")
+    )
+    conv = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.lit(8) + F.floor(F.octet_length(F.coalesce("props", F.lit(""))) / 4)
+        ).cast("bigint").alias("cost_tokens"),
+    )
+    packed = pack_sequences(
+        conv,
+        size_col="cost_tokens",
+        target=PACK_BUDGET_TOKENS,
+        order_col="session_id",
+        shard_col="user_id",
+    )
+    return packed.select(
+        "user_id", "session_id", "n_events", "cost_tokens", "bin_id", "offset_in_bin"
+    )

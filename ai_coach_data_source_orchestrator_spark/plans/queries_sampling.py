@@ -222,3 +222,76 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.leakage_safe_split(docs, "family", splits=_SPLITS, salt=_SPLIT_SALT).select(
         "doc_id", "family", "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planning: given per-source available tokens and a
+# temperature-weighted target mixture, emit each source's token budget,
+# sampling rate, and epoch count — the "mixing board" a pretraining run
+# plans its data loader from (temperature weights per Blevins &
+# Zettlemoyer-style mixing; epochs >1 mean the source repeats). Pure
+# aggregation arithmetic: the only float sum (Σ availᵗ) goes through
+# DECIMAL(28,12) like the temperature-mix oracle, so both engines add
+# exactly.
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 1_000_000
+_BUDGET_TAU = 0.7
+
+
+@register(
+    "sample_mixture_budget",
+    oracle=f"""
+    WITH c AS (
+      SELECT source,
+             SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(CAST(pow(avail_tokens, {_BUDGET_TAU}) AS DECIMAL(28,12))) AS DOUBLE) AS sw
+          FROM c)
+    SELECT c.source, c.avail_tokens,
+           CAST(floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}) AS BIGINT)
+             AS target_tokens,
+           CAST(floor(least(1.0, (floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}))
+                                 / c.avail_tokens) * 1000000.0 + 0.5) AS BIGINT) AS rate_micro,
+           CAST(floor((floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}))
+                      / c.avail_tokens * 1000000.0 + 0.5) AS BIGINT) AS epochs_micro
+    FROM c CROSS JOIN t
+    """,
+    survey_ids=("F8", "U1", "A8"),
+    description="Temperature-weighted token-budget mixture plan (rates + epochs per source)",
+)
+def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: per-source token budgets under a global budget,
+    weights ∝ avail^τ (τ=0.7 flattens the head like multilingual
+    sampling temperature), plus the sampling rate (capped at 1) and the
+    epoch multiplier (>1e6 micro ⇒ the loader repeats the source).
+
+    Scale: two tiny aggregations (per-source totals ≤ source
+    cardinality rows, then a 1-row weight sum broadcast back) — the
+    documents table is scanned once, projecting only (source, length).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.sum(T.char_token_estimate(F.col("text"))).alias("avail_tokens")
+    )
+    t = c.agg(
+        F.expr(
+            f"CAST(SUM(CAST(pow(avail_tokens, {_BUDGET_TAU}) AS DECIMAL(28,12))) AS DOUBLE)"
+        ).alias("sw")
+    )
+    target = f"floor(pow(avail_tokens, {_BUDGET_TAU}) / sw * {_BUDGET_TOKENS})"
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "avail_tokens",
+            F.expr(f"CAST({target} AS BIGINT)").alias("target_tokens"),
+            F.expr(
+                f"CAST(floor(least(1.0d, ({target}) / avail_tokens) * 1000000.0d + 0.5d)"
+                " AS BIGINT)"
+            ).alias("rate_micro"),
+            F.expr(
+                f"CAST(floor(({target}) / avail_tokens * 1000000.0d + 0.5d) AS BIGINT)"
+            ).alias("epochs_micro"),
+        )
+    )
