@@ -274,3 +274,58 @@ def test_minhash_hot_bucket_cap_not_force_broadcast(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     df = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=50)
     assert "ResolvedHint" not in _optimized(df)
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_stats(spark, sf_dir):
+    # The corpus-stats row broadcasts under every partition's scoring
+    # projection, and the global top-k is per-partition heaps + driver
+    # merge — never a full sort or a corpus-wide rank Window.
+    df = REGISTRY["text_bm25_topk"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_contamination_semantic_broadcasts_eval_side_only(spark, sf_dir):
+    # The eval benchmark (bounded-small by definition) broadcasts; the
+    # corpus must never be the build side of any join.
+    df = REGISTRY["contamination_semantic"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side banded table never sort-merges against eval
+    assert "SortMergeJoin" not in plan
+
+
+def test_js_divergence_vocab_join_unhinted(spark, sf_dir):
+    # Both join sides shrink to vocabulary cardinality before the tok
+    # join — neither is hint-forced, AQE picks the strategy. Only the
+    # bounded per-source totals / corpus total rows are broadcast.
+    df = REGISTRY["source_js_divergence"].fn(spark, sf_dir)
+    opt = _optimized(df)
+    # exactly the two bounded-cardinality hints (s_tot, c_tot) survive
+    assert opt.count("ResolvedHint") <= 2
+
+
+def test_chat_pack_single_user_shuffle(spark, sf_dir):
+    # Lag window, session groupBy, and packing window all key on
+    # user_id: one Exchange serves the chain (Exchange reuse), so the
+    # executed plan has exactly one hashpartitioning(user_id) exchange.
+    df = REGISTRY["chat_pack_conversations"].fn(spark, sf_dir)
+    plan = _executed(df)
+    import re
+
+    user_exchanges = [
+        m for m in re.finditer(r"Exchange hashpartitioning\(user_id", plan)
+    ]
+    assert len(user_exchanges) == 1, f"{len(user_exchanges)} user_id exchanges"
+
+
+def test_decay_activity_no_window_no_sort(spark, sf_dir):
+    # The reference timestamp is a broadcast 1-row aggregate; scoring is
+    # a pure projection + partial-aggregating groupBy. Any Sort or
+    # Window in the plan means someone turned it into a per-user scan.
+    df = REGISTRY["events_decay_activity"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "Window" not in plan
+    assert "Sort " not in plan
