@@ -630,3 +630,75 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync-style, restated over
+    token streams): cut a chunk boundary after token ``i`` whenever the
+    rolling hash of the ``k`` tokens ending at ``i`` is ≡ 0 mod
+    ``divisor`` — so boundaries depend only on LOCAL content, and an
+    insertion or deletion reshuffles at most the chunks it touches
+    (fixed-size chunking would shift every later boundary, defeating
+    dedup; this is the property backup/dedup systems buy with CDC).
+    Expected chunk length ≈ ``divisor`` tokens.
+
+    Emits one row per (doc, chunk): ``chunk_idx``, ``start_pos``,
+    ``n_tokens``, ``chunk_hash`` (sha256 of the space-joined chunk) —
+    feed to a groupBy(chunk_hash) for chunk-level dedup/delta storage.
+
+    The gram hash is the sha256-derived 60-bit integer (same
+    engine-independent trick as ``simhash``/``winnow_fingerprints``),
+    so a SQL oracle reproduces every boundary decision bit-for-bit.
+
+    Plan shape: ONE shuffle on doc_id serves the lag window, the
+    boundary prefix-sum, and the chunk groupBy (identical partitioning
+    → Exchange reuse); per-doc window state is bounded by document
+    length, and the chunk-dedup groupBy keys on the uniform chunk hash.
+    """
+    toked = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", *[F.lag("tok", k - 1 - j).over(w) for j in range(k - 1)], F.col("tok")
+    )
+    boundary = (F.col("pos") >= k - 1) & (
+        F.conv(F.substring(F.sha2(gram, 256), 1, 15), 16, 10).cast("bigint") % divisor == 0
+    )
+    flagged = toked.withColumn("b", boundary)
+    chunked = flagged.withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum(F.col("b").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_pos"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_pos",
+            "n_tokens",
+            F.substring(F.sha2("chunk_text", 256), 1, 16).alias("chunk_hash"),
+        )
+    )

@@ -83,6 +83,7 @@ _FRONT = [
     "events_decay_activity",
     "chat_pack_conversations",
     "sample_mixture_budget",
+    "dedup_cdc_chunks",
 ]
 
 

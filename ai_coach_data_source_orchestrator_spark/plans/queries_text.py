@@ -1365,3 +1365,81 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_id", verdict.alias("verdict"), (verdict == "keep").alias("kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (operators/dedup.py:cdc_chunks): the
+# insertion-robust chunk-level dedup fixed-size or whole-doc hashing
+# can't do — an edit reshuffles only the chunks it touches, so storage
+# dedup / delta-encoding still finds every untouched chunk. Boundaries
+# are sha256-derived (engine-independent), so the oracle replays every
+# boundary decision bit-for-bit.
+# ---------------------------------------------------------------------------
+_CDC_K = 4
+_CDC_D = 16
+
+
+def _cdc_oracle() -> str:
+    lags = " || ' ' || ".join(
+        [f"LAG(tok, {_CDC_K - 1 - j}) OVER w" for j in range(_CDC_K - 1)] + ["tok"]
+    )
+    return f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (
+        SELECT doc_id, i AS pos, toks[i + 1] AS tok
+        FROM toked, unnest(range(len(toks))) s(i)
+    ),
+    g AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN pos >= {_CDC_K - 1}
+                    THEN ('0x' || substr(sha256({lags}), 1, 15))::BIGINT % {_CDC_D} = 0
+                    ELSE FALSE END AS b
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    c AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(SUM(CASE WHEN b THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        FROM g
+    ),
+    ch AS (
+        SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+               substr(sha256(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS chunk_hash
+        FROM c GROUP BY 1, 2
+    )
+    SELECT chunk_hash,
+           MIN(n_tokens) AS n_tokens,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS survivor_doc_id
+    FROM ch GROUP BY chunk_hash
+    """
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=_cdc_oracle(),
+    survey_ids=("U3", "U7", "X15"),
+    description="Content-defined chunking dedup: rolling-hash boundaries, chunk-hash groupBy",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over CDC boundaries (k=4 gram rolling hash,
+    divisor 16 ⇒ ~16-token expected chunks). Output is the chunk-store
+    view: every distinct chunk with its copy count, doc spread, and
+    min-id survivor — the scalable restatement of rsync/backup-style
+    content-addressed storage over a text corpus.
+
+    Scale: one doc_id shuffle (window chain + per-doc chunk groupBy
+    share the partitioning), then one shuffle on the uniform chunk
+    hash; no joins, no skew (the hash key is uniform by construction).
+    """
+    chunks = D.cdc_chunks(
+        load_table(spark, sf_dir, "documents"), k=_CDC_K, divisor=_CDC_D
+    )
+    return chunks.groupBy("chunk_hash").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("survivor_doc_id"),
+    )

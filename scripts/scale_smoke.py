@@ -95,6 +95,14 @@ QUERIES = [
     ("text_filter_funnel", "documents"),
     ("slack_render_blocks", "events"),
     ("x_jira_ticket_render", "orders"),
+    # round 6 additions
+    ("contamination_semantic", "embeddings"),
+    ("text_bm25_topk", "documents"),
+    ("source_js_divergence", "documents"),
+    ("events_decay_activity", "events"),
+    ("chat_pack_conversations", "events"),
+    ("sample_mixture_budget", "documents"),
+    ("dedup_cdc_chunks", "documents"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —

@@ -294,3 +294,40 @@ def test_lsh_pair_set_equals_bruteforce_on_testdata(spark, sf_dir):
         f"LSH pair set diverged from brute force on {sf_dir}: "
         f"missed={sorted(exact - lsh)} spurious={sorted(lsh - exact)}"
     )
+
+
+def test_cdc_chunks_insertion_locality(spark):
+    """The CDC selling point: inserting tokens mid-document changes only
+    the chunks overlapping the edit — every chunk fully before or after
+    resynchronizes to an identical hash (fixed-size chunking would shift
+    every downstream boundary). Also pins boundary determinism: same
+    text ⇒ same chunk set."""
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"w{i * 37 % 101}x{i}" for i in range(120))
+    toks = base.split(" ")
+    edited = " ".join(toks[:60] + ["INS1", "INS2", "INS3"] + toks[60:])
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, base)], "doc_id bigint, text string"
+    )
+    rows = cdc_chunks(df, k=4, divisor=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    h1 = {r["chunk_hash"] for r in by_doc[1]}
+    h2 = {r["chunk_hash"] for r in by_doc[2]}
+    h3 = {r["chunk_hash"] for r in by_doc[3]}
+    # determinism: identical docs chunk identically
+    assert h1 == h3
+    assert sorted((r["chunk_idx"], r["start_pos"], r["n_tokens"]) for r in by_doc[1]) == sorted(
+        (r["chunk_idx"], r["start_pos"], r["n_tokens"]) for r in by_doc[3]
+    )
+    # locality: the edited doc still shares most chunks with the base —
+    # everything outside the edited chunk's neighborhood resyncs.
+    shared = h1 & h2
+    assert len(shared) >= max(1, len(h1) - 3), (
+        f"insertion broke resync: {len(shared)}/{len(h1)} chunks shared"
+    )
+    # coverage: chunks tile the token stream exactly
+    n_toks = sum(r["n_tokens"] for r in by_doc[1])
+    assert n_toks == 120
