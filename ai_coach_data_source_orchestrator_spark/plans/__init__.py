@@ -84,6 +84,7 @@ _FRONT = [
     "chat_pack_conversations",
     "sample_mixture_budget",
     "dedup_cdc_chunks",
+    "k_bucketed_join_roundtrip",
 ]
 
 

@@ -397,3 +397,72 @@ def k_orc_columnar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the 100 TB join strategy partitionBy can't
+# give you — both tables written bucketBy(n, key) + sortBy(key) into
+# the warehouse, so a later equi-join on the key needs NO Exchange on
+# either side (the scan itself is the shuffle, paid once at write
+# time). tests/test_plan_shapes.py pins the exchange-free plan.
+# ---------------------------------------------------------------------------
+_BUCKETS = 8
+
+
+@register(
+    "k_bucketed_join_roundtrip",
+    oracle="""
+    SELECT o.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_custkey
+    """,
+    survey_ids=("K2", "K3", "J1"),
+    description="bucketBy+sortBy warehouse write; key join runs with zero Exchange",
+)
+def k_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders and lineitem bucketed on the join key, then join the
+    bucketed tables and roll up per customer.
+
+    At 100 TB this is THE amortization play: the bucketed write shuffles
+    once, and every subsequent join/aggregation on the bucket key is
+    exchange-free forever (Spark trusts the table's bucket spec the way
+    it trusts nothing about raw parquet). The oracle computes the same
+    rollup straight from the raw tables — bucketing must be physically
+    invisible in the values.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, df, key in (
+        ("bkt_orders", orders, "o_orderkey"),
+        ("bkt_lineitem", li, "l_orderkey"),
+    ):
+        # DROP alone is not enough: a fresh session's in-memory catalog
+        # doesn't know about a previous run's table, but the managed
+        # LOCATION persists on disk and blocks the recreate.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bo = spark.table("bkt_orders")
+    bl = spark.table("bkt_lineitem")
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_qty"
+            ),
+        )
+    )

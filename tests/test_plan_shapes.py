@@ -329,3 +329,24 @@ def test_decay_activity_no_window_no_sort(spark, sf_dir):
     plan = _executed(df)
     assert "Window" not in plan
     assert "Sort " not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # The whole point of k_bucketed_join_roundtrip: after the bucketed
+    # writes, an equi-join on the bucket key must not shuffle EITHER
+    # side — the scan provides the partitioning. At test SF the tiny
+    # orders side would broadcast (also exchange-free, but it proves
+    # nothing about bucketing), so broadcast is disabled to force the
+    # sort-merge path a 100 TB join would take. The groupBy keys
+    # o_custkey, so one rollup exchange remains legal.
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["k_bucketed_join_roundtrip"].fn(spark, sf_dir)
+        plan = _executed(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
