@@ -85,6 +85,9 @@ _FRONT = [
     "sample_mixture_budget",
     "dedup_cdc_chunks",
     "k_bucketed_join_roundtrip",
+    "knn_recall_audit",
+    "dedup_incremental_ingest",
+    "embedding_label_centroids",
 ]
 
 

@@ -632,3 +632,203 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionByName(planted), threshold=0.9, n_centroids=16
     )
     return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"), "is_dup")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: the pipeline-health query every production ANN
+# deployment runs — exact top-k vs the LSH path's top-k, per query.
+# Both sides are deterministic (ties broken by neighbor_id in both
+# engines), so the oracle recomputes the identical recall numbers by
+# composing the two existing CTE blocks.
+# ---------------------------------------------------------------------------
+def _recall_audit_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    bf_scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             ({_dot_sql("qv", "nv", 64)}) / (({_norm_sql("qv", 64)}) * ({_norm_sql("nv", 64)})) AS sim
+      FROM q0 CROSS JOIN (SELECT vec_id, v AS nv FROM e) e
+      WHERE query_id <> e.vec_id
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM bf_scored
+      ) WHERE rank <= {TOP_K}
+    ),
+    b AS (SELECT vec_id, v, {_lsh_bucket_sql("v", 64, 8)} AS bucket FROM e),
+    lq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}),
+    ann_scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             ({_dot_sql("qv", "nv", 64)}) / (({_norm_sql("qv", 64)}) * ({_norm_sql("nv", 64)})) AS sim
+      FROM lq JOIN (SELECT vec_id, v AS nv, bucket FROM b) b
+        ON lq.bucket = b.bucket AND query_id <> b.vec_id
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM ann_scored
+      ) WHERE rank <= {TOP_K}
+    ),
+    n_ann AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1),
+    n_bf AS (SELECT query_id, COUNT(*) AS n_exact FROM bf GROUP BY 1),
+    hits AS (SELECT a.query_id, COUNT(*) AS n_hits
+             FROM ann a JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT query_id,
+           n_exact,
+           COALESCE(n_ann, 0) AS n_ann,
+           COALESCE(n_hits, 0) AS n_hits,
+           CAST(floor(COALESCE(n_hits, 0) / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             AS recall_micro
+    FROM n_bf LEFT JOIN n_ann USING (query_id) LEFT JOIN hits USING (query_id)
+    """
+
+
+@register(
+    "knn_recall_audit",
+    oracle=_recall_audit_oracle(),
+    survey_ids=("O3", "U7"),
+    description="ANN health check: per-query recall@k of the LSH path vs exact top-k",
+)
+def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH ANN path measured against the exact
+    brute-force top-k, per query vector — the audit loop that catches a
+    degraded index (bad hyperplanes, too-coarse buckets) before it
+    poisons retrieval training data.
+
+    Scale: the exact side is the expensive leg, but the audit runs over
+    a SAMPLED query set (here: vec_id < {N_QUERIES}) — the standard
+    production trade; both legs broadcast only the bounded query side,
+    and the hit join keys on (query_id, neighbor_id) pairs (k rows per
+    query).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    bf = S.brute_force_topk(emb, queries, k=TOP_K, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.lsh_topk(emb, queries, k=TOP_K, bits=8, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    n_bf = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    hits = (
+        ann.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_bf.join(n_ann, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                "CAST(floor(COALESCE(n_hits, 0) / CAST(n_exact AS DOUBLE) * 1000000.0d + 0.5d)"
+                " AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid statistics: the embedding-space drift monitor — a
+# label whose centroid norm or member-cohesion moves between corpus
+# snapshots signals upstream distribution shift. Per-dimension sums go
+# through DECIMAL(28,12) (the proven exact-sum trick), so the 64 partial
+# aggregations are order-independent in both engines.
+# ---------------------------------------------------------------------------
+_DIM = 64
+
+
+def _label_centroid_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CAST(v[{d + 1}] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m{d}"
+        for d in range(_DIM)
+    )
+    cent_list = "[" + ", ".join(f"m{d}" for d in range(_DIM)) + "]"
+    return f"""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT label, COUNT(*) AS n_vecs, {sums}
+      FROM e GROUP BY label
+    ),
+    c2 AS (SELECT label, n_vecs, {cent_list} AS c FROM cent),
+    member AS (
+      SELECT e.label,
+             CAST(floor((({_dot_sql("v", "c", _DIM)}) /
+                         (({_norm_sql("v", _DIM)}) * ({_norm_sql("c", _DIM)})))
+                        * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+      FROM e JOIN c2 ON e.label = c2.label
+    )
+    SELECT c2.label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(floor(({_norm_sql("c", _DIM)}) * 1000000.0 + 0.5) AS BIGINT)
+             AS centroid_norm_micro,
+           m.mean_cos_micro
+    FROM c2 JOIN (
+      SELECT label, CAST(floor(CAST(SUM(cos_micro) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+               AS mean_cos_micro
+      FROM member GROUP BY label
+    ) m ON c2.label = m.label
+    """
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=_label_centroid_oracle(),
+    survey_ids=("A8", "U7"),
+    description="Per-label centroid norm + member cohesion (embedding drift monitor)",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norm and mean member-to-centroid cosine.
+
+    Scale: one groupBy(label) with 64 decimal partial sums (map-side
+    combine — the shuffle carries one row per label per partition), the
+    bounded centroid table broadcasts back to members, and the cohesion
+    pass is a second map-side-combining aggregation. No windows, no
+    per-pair work.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.col("embedding").cast("array<double>").alias("v"))
+    sums = [
+        F.sum(F.expr(f"CAST(v[{d}] AS DECIMAL(28,12))")).alias(f"s{d}")
+        for d in range(_DIM)
+    ]
+    cent = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"), *sums)
+    c2 = cent.select(
+        "label",
+        "n_vecs",
+        F.array(
+            *[F.expr(f"CAST(s{d} AS DOUBLE) / n_vecs") for d in range(_DIM)]
+        ).alias("c"),
+    )
+    member = e.join(F.broadcast(c2.select("label", "c")), "label").select(
+        "label",
+        F.floor(S.cosine_expr("v", "c", _DIM) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    cohesion = member.groupBy("label").agg(
+        F.floor(
+            F.sum("cos_micro").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_cos_micro")
+    )
+    return (
+        c2.join(cohesion, "label")
+        .select(
+            "label",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.floor(S.l2_norm_expr("c", _DIM) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("centroid_norm_micro"),
+            "mean_cos_micro",
+        )
+    )

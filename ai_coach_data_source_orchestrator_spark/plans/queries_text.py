@@ -1443,3 +1443,53 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("survivor_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: the production shape of exact dedup — a new
+# shard arrives and must be checked against the fingerprints of
+# everything ALREADY ingested, not against itself alone. Modeled here
+# with a deterministic store/new split of the documents table.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental_ingest",
+    oracle="""
+    WITH store AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 5 = 0
+    ),
+    new_docs AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT n.doc_id,
+           EXISTS (SELECT 1 FROM store s WHERE s.h = n.h) AS already_ingested
+    FROM new_docs n
+    """,
+    survey_ids=("U3", "K8", "K9"),
+    description="New-shard dedup against the ingested-corpus fingerprint store (anti-join shape)",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup: flag each new-shard document whose
+    content hash already exists in the ingested store (doc_id % 5 == 0
+    plays the store role). The real deployment persists the store as a
+    bucketed fingerprint table (see k_bucketed_join_roundtrip) so this
+    join is exchange-free on the store side.
+
+    Scale: both sides reduce to (hash) / (doc_id, hash) projections
+    before the join; the join keys on the uniform sha256 — no skew, no
+    forced broadcast (the store grows with corpus history, the r4
+    text_line_dedup lesson), AQE picks the strategy. Left-semi would
+    drop the clean docs; the LEFT join + flag keeps the full manifest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    store = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    new_docs = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    return new_docs.join(store, "h", "left").select(
+        "doc_id", F.coalesce("hit", F.lit(False)).alias("already_ingested")
+    )
