@@ -103,6 +103,9 @@ QUERIES = [
     ("chat_pack_conversations", "events"),
     ("sample_mixture_budget", "documents"),
     ("dedup_cdc_chunks", "documents"),
+    ("knn_recall_audit", "embeddings"),
+    ("dedup_incremental_ingest", "documents"),
+    ("embedding_label_centroids", "embeddings"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
