@@ -362,3 +362,36 @@ def test_filename_or_mtime_range_inverted_bounds_match_nothing(spark):
         )
     )
     assert kept.count() == 0
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    """Hand-checkable BM25 behavior on a 4-doc fixture: a doc matching a
+    RARE query term outranks a doc matching only a common one, and more
+    occurrences of the same term never lower the score."""
+    import ai_coach_data_source_orchestrator_spark.plans.queries_retrieval as R
+    from pyspark.sql import functions as F
+
+    # build the same scoring pipeline the registry query uses, on a fixture
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler", "en", "s0", 31),  # 3x common term
+            (2, "spark filler filler filler filler", "en", "s0", 33),  # 1x common term
+            (3, "merge filler filler filler filler", "en", "s0", 33),  # 1x rare term
+            (4, "filler filler filler filler filler", "en", "s0", 34),  # no query terms
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bm25_fixture_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in R.text_bm25_topk(spark, d).collect()}
+    assert 4 not in out  # zero-score docs excluded
+    assert out[1]["score_micro"] > out[2]["score_micro"]  # tf monotone
+    # 'merge' appears in 1/4 docs, 'spark' in 2/4 → rare-term match wins
+    assert out[3]["score_micro"] > out[2]["score_micro"]
+    # ranks are 1..n and agree with descending score order
+    by_rank = sorted(out.values(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == list(range(1, len(out) + 1))
+    scores = [r["score_micro"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)

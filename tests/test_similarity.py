@@ -162,3 +162,41 @@ def test_semantic_dedup_flags_planted_copies(spark, sf_dir):
     cl = {r["vec_id"]: r["cluster"] for r in rows}
     same = sum(cl[p] == cl[p - 1_000_000] for p in planted)
     assert same / len(planted) >= 0.95
+
+
+def test_contamination_semantic_finds_planted_only(spark, sf_dir):
+    """The registry query plants a perturbed copy of every eval vector
+    (vec_id % 97 == 0) into the corpus at id+2_000_000; the gate must
+    flag exactly those copies against their source eval vectors — full
+    recall on the planted set, zero false positives above 0.9."""
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    got = REGISTRY["contamination_semantic"].fn(spark, sf_dir).collect()
+    ids = [
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    ]
+    planted = {(i + 2_000_000, i) for i in ids if i % 97 == 0}
+    found = {(r["corpus_id"], r["eval_id"]) for r in got}
+    assert found == planted, (
+        f"missed={sorted(planted - found)[:5]} spurious={sorted(found - planted)[:5]}"
+    )
+    assert all(r["cosine_sim"] >= 0.9 for r in got)
+
+
+def test_recall_audit_bounds_and_exact_leg(spark, sf_dir):
+    """Recall is a fraction of the exact top-k: 0 ≤ n_hits ≤ n_ann ≤
+    n_exact = k, and recall_micro is exactly the scaled ratio."""
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+    from ai_coach_data_source_orchestrator_spark.plans.queries_similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rows = REGISTRY["knn_recall_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r["n_exact"] == TOP_K
+        assert 0 <= r["n_hits"] <= min(r["n_ann"], r["n_exact"])
+        assert r["recall_micro"] == int(r["n_hits"] / r["n_exact"] * 1_000_000 + 0.5)
