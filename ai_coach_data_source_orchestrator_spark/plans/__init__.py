@@ -88,6 +88,7 @@ _FRONT = [
     "knn_recall_audit",
     "dedup_incremental_ingest",
     "embedding_label_centroids",
+    "sketch_hll_rollup",
 ]
 
 

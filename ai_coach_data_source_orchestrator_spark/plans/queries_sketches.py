@@ -299,3 +299,84 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL register-merge rollup: THE property that makes sketches the 100 TB
+# cardinality tool — per-source register tables merge by register-max
+# into the corpus sketch without touching tokens again. The Spark side
+# computes the ALL row by MERGING the per-source registers; the oracle
+# computes it DIRECTLY from all tokens — hash equality between the two
+# is the mergeability proof (max is associative/commutative), run by
+# the driver on every sample.
+# ---------------------------------------------------------------------------
+_HLL_ROLLUP_SQL = f"""
+    WITH tk AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    h AS (SELECT source, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS h FROM tk),
+    r AS (SELECT source AS grp, h % {SK.HLL_REGISTERS} AS idx,
+                 MAX({60 - 6 + 1} - length(ltrim(bin(h >> 6), '0'))) AS r
+          FROM h GROUP BY 1, 2),
+    rall AS (SELECT 'ALL' AS grp, h % {SK.HLL_REGISTERS} AS idx,
+                    MAX({60 - 6 + 1} - length(ltrim(bin(h >> 6), '0'))) AS r
+             FROM h GROUP BY 1, 2),
+    regs AS (SELECT * FROM r UNION ALL SELECT * FROM rall),
+    a AS (SELECT grp, SUM(CAST(power(2.0, -r) AS DECIMAL(38,20))) AS s_nonzero,
+                 COUNT(*) AS present FROM regs GROUP BY 1),
+    e AS (SELECT grp, CAST(s_nonzero AS DOUBLE) + ({SK.HLL_REGISTERS} - present) AS s,
+                 ({SK.HLL_REGISTERS} - present) AS v
+          FROM a),
+    est AS (SELECT grp,
+                   CASE WHEN ({SK.HLL_ALPHA_M2!r} / s) <= {SK.HLL_SMALL_RANGE!r} AND v > 0
+                        THEN {float(SK.HLL_REGISTERS)!r} * ln({float(SK.HLL_REGISTERS)!r} / v)
+                        ELSE {SK.HLL_ALPHA_M2!r} / s END AS est_distinct
+            FROM e),
+    ex AS (SELECT source AS grp, COUNT(DISTINCT tok) AS exact_distinct FROM tk GROUP BY 1
+           UNION ALL SELECT 'ALL', COUNT(DISTINCT tok) FROM tk)
+    SELECT est.grp, ROUND(est.est_distinct, 4) AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est JOIN ex USING (grp)
+"""
+
+
+@register(
+    "sketch_hll_rollup",
+    oracle=_HLL_ROLLUP_SQL,
+    survey_ids=("A6", "A4"),
+    description="HLL register-merge rollup: per-source sketches → corpus sketch, merge-proof",
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup: per-source HLL register tables merge by
+    register-max into the corpus-level sketch — the tokens are read
+    ONCE; every rollup level above the leaves is sketch arithmetic on
+    m-row register tables. The oracle computes the ALL row directly
+    from the token stream, so the value-hash match proves the merged
+    registers are identical to direct computation.
+
+    Scale: this is how a 100 TB pipeline serves distinct counts at
+    every rollup level (per-source, per-day, corpus) from one scan —
+    register tables are m rows per group, merge is a groupBy(idx) max.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    regs_src = SK.hll_registers(toks, "source", "tok")
+    merged = (
+        regs_src.groupBy("idx")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("ALL").alias("grp"), "idx", "r")
+    )
+    est = SK.hll_finalize(regs_src.unionByName(merged))
+    exact = (
+        toks.groupBy("source")
+        .agg(F.countDistinct("tok").alias("exact_distinct"))
+        .select(F.col("source").alias("grp"), "exact_distinct")
+        .unionByName(
+            toks.agg(F.countDistinct("tok").alias("exact_distinct")).select(
+                F.lit("ALL").alias("grp"), "exact_distinct"
+            )
+        )
+    )
+    return est.join(exact, "grp").select(
+        "grp",
+        F.round("est_distinct", 4).alias("est_distinct"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+    )
