@@ -584,3 +584,58 @@ def quantize_int8(
         F.round("__scale", 6).alias("scale"),
         F.round("max_abs_err", 6).alias("max_abs_err"),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011): split each
+    vector into ``n_sub`` subspaces and store only the id of the nearest
+    per-subspace codebook entry — 64 float32 dims become ``n_sub`` code
+    bytes, the compression that lets a 100 TB embedding corpus keep its
+    ANN index in memory (ADC scans the codes against a per-query lookup
+    table; reconstruction error is bounded per subspace).
+
+    Codebook: the subvectors of the ``n_codes`` lowest-id vectors (the
+    same deterministic 'sample' method as IVF — no training pass; a
+    k-means codebook drops in via ``_centroid_matrix(method='kmeans')``).
+
+    Determinism contract: the per-subspace squared distance accumulates
+    LEFT-ASSOCIATIVELY over the 8 dims (an explicit python loop over
+    numpy columns, not a vectorized sum — bit-identical to a SQL
+    ``(a-b)*(a-b) + ...`` chain), and ties break toward the lower code
+    id — so a SQL oracle reproduces every code exactly.
+
+    Scale: pure Arrow-batched projection, codebook broadcast by
+    closure; no join, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+    sub_dim = dim // n_sub
+    cent = _centroid_matrix(df, id_col, vec_col, n_codes)  # (n_codes, dim)
+
+    @pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        M = np.stack(v.values).astype("float64")  # (batch, dim)
+        out = np.empty((len(M), n_sub), dtype="int32")
+        for s in range(n_sub):
+            acc = np.zeros((len(M), n_codes), dtype="float64")
+            for d in range(sub_dim):
+                col = s * sub_dim + d
+                diff = M[:, col][:, None] - cent[None, :, col]
+                acc += diff * diff
+            out[:, s] = np.argmin(acc, axis=1)  # first min ⇒ lowest cid
+        return pd.Series(list(out))
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    return base.select("vec_id", codes("v").alias("codes"))

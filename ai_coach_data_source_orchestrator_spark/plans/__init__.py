@@ -89,6 +89,7 @@ _FRONT = [
     "dedup_incremental_ingest",
     "embedding_label_centroids",
     "sketch_hll_rollup",
+    "embedding_pq_encode",
 ]
 
 

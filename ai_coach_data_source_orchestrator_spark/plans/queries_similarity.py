@@ -832,3 +832,71 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cos_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization encode (operators/similarity.py:pq_encode): 64
+# float dims → 8 code bytes against a deterministic per-subspace
+# codebook. The Spark side accumulates each subspace distance
+# left-associatively inside the Arrow batch (an explicit dim loop, not
+# a vectorized sum), so the oracle's literal (a-b)² chains produce the
+# SAME float64 distances and therefore the same argmin codes.
+# ---------------------------------------------------------------------------
+_PQ_SUB = 8
+_PQ_CODES = 16
+_PQ_SUBDIM = 64 // _PQ_SUB
+
+
+def _pq_oracle() -> str:
+    def dist(s: int) -> str:
+        return " + ".join(
+            f"(v[{s * _PQ_SUBDIM + d + 1}] - cv[{s * _PQ_SUBDIM + d + 1}])"
+            f" * (v[{s * _PQ_SUBDIM + d + 1}] - cv[{s * _PQ_SUBDIM + d + 1}])"
+            for d in range(_PQ_SUBDIM)
+        )
+    subspaces = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, cid, {dist(s)} AS dist FROM e CROSS JOIN cent"
+        for s in range(_PQ_SUB)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      FROM e ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    d AS ({subspaces}),
+    best AS (
+      SELECT vec_id, s, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS r
+      FROM d
+    )
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), '-' ORDER BY s) AS pq_code
+    FROM best WHERE r = 1 GROUP BY vec_id
+    """
+
+
+@register(
+    "embedding_pq_encode",
+    oracle=_pq_oracle(),
+    survey_ids=("X15", "U7"),
+    description="Product-quantization encode: 64 dims → 8 subspace codes, code-exact oracle",
+)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the embedding corpus against the deterministic 16-entry
+    per-subspace codebook (lowest-id vectors, same 'sample' method as
+    IVF). The serialized code string is what an ADC index stores — 8
+    bytes instead of 256, the memory play that keeps 100 TB of
+    embeddings scannable.
+
+    Scale: one Arrow projection per row (codebook broadcast by
+    closure); the only collect is the bounded codebook matrix.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = S.pq_encode(emb, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=64)
+    return codes.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), "-").alias(
+            "pq_code"
+        ),
+    )
