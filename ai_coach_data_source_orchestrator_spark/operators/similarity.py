@@ -639,3 +639,80 @@ def pq_encode(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
     return base.select("vec_id", codes("v").alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    a (n_sub × n_codes) distance lookup table against the codebook, and
+    every corpus vector is scored by EIGHT TABLE LOOKUPS instead of 64
+    multiplies — the scan that makes PQ indexes fast.
+
+    Determinism contract: per-subspace distances accumulate
+    left-associatively (same loop as ``pq_encode``) and are micro-scaled
+    to int64 BEFORE the across-subspace sum, so the total is an exact
+    integer in any summation order — a SQL oracle reproduces every
+    estimated distance and hence the exact ranking (ties break on
+    neighbor_id).
+
+    Scale: codes are a pure projection; the query table (bounded, like
+    the IVF centroid matrix) is collected once into the closure; scoring
+    is one Arrow gather per batch; only the per-query top-k window
+    shuffles, keyed by query_id.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+    sub_dim = dim // n_sub
+    cent = _centroid_matrix(corpus, id_col, vec_col, n_codes)  # (n_codes, dim)
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv"))
+        .orderBy("qid")
+        .collect()
+    )  # bounded query set — the one allowed collect (IVF-centroid precedent)
+    qids = np.array([r["qid"] for r in q_rows], dtype="int64")
+    Q = np.array([list(r["qv"]) for r in q_rows], dtype="float64")  # (n_q, dim)
+    # dtable[q, s, c]: left-associative over sub_dim, then micro-scaled.
+    dtable = np.zeros((len(Q), n_sub, n_codes), dtype="float64")
+    for s in range(n_sub):
+        for d in range(sub_dim):
+            col = s * sub_dim + d
+            diff = Q[:, col][:, None] - cent[None, :, col]
+            dtable[:, s, :] += diff * diff
+    dtable_micro = np.floor(dtable * 1_000_000.0 + 0.5).astype("int64")
+
+    codes_df = pq_encode(corpus, id_col, vec_col, n_sub, n_codes, dim)
+
+    @pandas_udf("array<bigint>")
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.values)  # (batch, n_sub)
+        ests = np.zeros((len(C), len(qids)), dtype="int64")
+        for s in range(n_sub):
+            # gather: dtable_micro[q, s, code_s] for every (row, q)
+            ests += dtable_micro[:, s, :][:, C[:, s]].T  # (batch, n_q)
+        return pd.Series(list(ests))
+
+    scored = codes_df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(adc("codes")).alias("q_idx", "est_micro"),
+    ).select(
+        F.element_at(F.lit([int(q) for q in qids]), F.col("q_idx") + 1).alias("query_id"),
+        "neighbor_id",
+        "est_micro",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("est_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "est_micro")
+    )

@@ -90,6 +90,7 @@ _FRONT = [
     "embedding_label_centroids",
     "sketch_hll_rollup",
     "embedding_pq_encode",
+    "knn_pq_adc",
 ]
 
 

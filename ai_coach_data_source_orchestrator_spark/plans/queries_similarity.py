@@ -900,3 +900,69 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pq_code"
         ),
     )
+
+
+def _pq_adc_oracle() -> str:
+    def dist(s: int, a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{s * _PQ_SUBDIM + d + 1}] - {b}[{s * _PQ_SUBDIM + d + 1}])"
+            f" * ({a}[{s * _PQ_SUBDIM + d + 1}] - {b}[{s * _PQ_SUBDIM + d + 1}])"
+            for d in range(_PQ_SUBDIM)
+        )
+    code_subspaces = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, cid, {dist(s, 'v', 'cv')} AS dist FROM e CROSS JOIN cent"
+        for s in range(_PQ_SUB)
+    )
+    dtable = " UNION ALL ".join(
+        f"SELECT query_id, {s} AS s, cid,"
+        f" CAST(floor(({dist(s, 'qv', 'cv')}) * 1000000.0 + 0.5) AS BIGINT) AS d_micro"
+        f" FROM q CROSS JOIN cent"
+        for s in range(_PQ_SUB)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      FROM e ORDER BY vec_id LIMIT {_PQ_CODES}
+    ),
+    d AS ({code_subspaces}),
+    best AS (
+      SELECT vec_id, s, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS r
+      FROM d
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    dt AS ({dtable}),
+    est AS (
+      SELECT dt.query_id, b.vec_id AS neighbor_id, SUM(dt.d_micro) AS est_micro
+      FROM best b JOIN dt ON dt.s = b.s AND dt.cid = b.cid
+      WHERE b.r = 1 AND dt.query_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, est_micro,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY est_micro, neighbor_id) AS rank
+      FROM est
+    )
+    SELECT query_id, neighbor_id, rank, est_micro FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "knn_pq_adc",
+    oracle=_pq_adc_oracle(),
+    survey_ids=("O3", "U7", "X15"),
+    description="PQ asymmetric-distance top-k: 8 table lookups per corpus vector",
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over the PQ-encoded corpus: the query builds a
+    subspace×code distance table once, and every corpus vector is
+    scored by 8 integer table lookups — the memory-bandwidth-bound scan
+    real PQ indexes run. Estimated distances are fixed-point (micro), so
+    the oracle reproduces the exact ranking.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.pq_adc_topk(
+        emb, queries, k=TOP_K, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=64
+    )
