@@ -91,6 +91,7 @@ _FRONT = [
     "sketch_hll_rollup",
     "embedding_pq_encode",
     "knn_pq_adc",
+    "text_topk_per_source",
 ]
 
 

@@ -237,3 +237,48 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("jsd_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source top-k tokens: the grouped heavy-hitters view (what is each
+# source actually about?). Unlike the global corpus_zipf_topk, the
+# window partitions by source — per-group state is the group's
+# vocabulary, and groups rank in parallel.
+# ---------------------------------------------------------------------------
+_TOPK_PER_SOURCE = 5
+
+
+@register(
+    "text_topk_per_source",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, tok, n,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rank
+      FROM cnt
+    )
+    SELECT source, tok, n, rank FROM ranked WHERE rank <= {_TOPK_PER_SOURCE}
+    """,
+    survey_ids=("A17", "O3", "A4"),
+    description="Per-source top-k tokens: grouped heavy hitters, parallel per-group rank",
+)
+def text_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top tokens per source — counts partial-aggregate map-side down to
+    vocabulary cardinality; the rank window partitions by source, so no
+    global sort exists and groups rank independently (ties break on the
+    token for engine-stable output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    cnt = (
+        docs.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK_PER_SOURCE)
+        .select("source", "tok", "n", "rank")
+    )
