@@ -106,6 +106,10 @@ QUERIES = [
     ("knn_recall_audit", "embeddings"),
     ("dedup_incremental_ingest", "documents"),
     ("embedding_label_centroids", "embeddings"),
+    ("sketch_hll_rollup", "documents"),
+    ("embedding_pq_encode", "embeddings"),
+    ("knn_pq_adc", "embeddings"),
+    ("text_topk_per_source", "documents"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —

@@ -350,3 +350,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_pq_encode_is_pure_projection(spark, sf_dir):
+    # PQ encode must be scan → Arrow projection, nothing else: no
+    # semantic Exchange, no join (the codebook travels inside the UDF
+    # closure). ensure_parallelism's explicit round-robin of the bare
+    # scan is the one permissible repartition (tiny-file test corpus).
+    df = REGISTRY["embedding_pq_encode"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "Join" not in plan
+
+
+def test_pq_adc_single_query_window_shuffle(spark, sf_dir):
+    # ADC scoring is projection-only; the ONLY exchange is the
+    # per-query top-k window keyed on query_id.
+    import re
+
+    df = REGISTRY["knn_pq_adc"].fn(spark, sf_dir)
+    plan = _executed(df)
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges and set(exchanges) == {"query_id"}, exchanges
