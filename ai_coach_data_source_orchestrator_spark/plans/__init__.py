@@ -92,6 +92,7 @@ _FRONT = [
     "embedding_pq_encode",
     "knn_pq_adc",
     "text_topk_per_source",
+    "dedup_cross_source_matrix",
 ]
 
 

@@ -1493,3 +1493,63 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_docs.join(store, "h", "left").select(
         "doc_id", F.coalesce("hit", F.lit(False)).alias("already_ingested")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup attribution: WHICH source pairs share
+# near-duplicates — the corpus-forensics view that catches mirrored
+# feeds / scraped re-posts before mixing weights are computed. Pairs
+# come from the LSH scale path; the oracle recomputes them brute-force
+# (pair-set equality is pinned by test_dedup_skew.py).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cross_source_matrix",
+    oracle=_SHINGLES_SQL
+    + """
+    , pairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0 THEN 0.0
+                        ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.6
+    )
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN da.source <= db.source THEN doc_a ELSE doc_b END)
+                AS BIGINT) AS n_docs_lo
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.doc_a
+    JOIN documents db ON db.doc_id = pairs.doc_b
+    GROUP BY 1, 2
+    """,
+    survey_ids=("U7", "A4"),
+    description="Source×source near-dup pair matrix (mirror/scrape forensics)",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per (source, source) cell. The pair graph is
+    the LSH candidate set (verified exact-Jaccard); attribution joins
+    each endpoint to its source (id→source projections only — shingle
+    sets never ride past the pair stage) and aggregates on the
+    canonicalized source pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prs = D.minhash_lsh_pairs(docs, k=3, threshold=0.6).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    attributed = (
+        prs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_b"), "doc_b")
+    )
+    lo = F.least("src_a", "src_b")
+    hi = F.greatest("src_a", "src_b")
+    lo_doc = F.when(F.col("src_a") <= F.col("src_b"), F.col("doc_a")).otherwise(F.col("doc_b"))
+    return (
+        attributed.select(lo.alias("source_lo"), hi.alias("source_hi"), lo_doc.alias("lo_doc"))
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("lo_doc").alias("n_docs_lo"),
+        )
+    )
