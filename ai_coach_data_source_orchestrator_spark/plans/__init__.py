@@ -93,6 +93,7 @@ _FRONT = [
     "knn_pq_adc",
     "text_topk_per_source",
     "dedup_cross_source_matrix",
+    "sketch_cms_rollup",
 ]
 
 

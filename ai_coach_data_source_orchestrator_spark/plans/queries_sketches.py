@@ -380,3 +380,62 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_distinct", 4).alias("est_distinct"),
         F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS counter-matrix merge rollup — the additive twin of
+# sketch_hll_rollup: per-source counter matrices SUM into the corpus
+# matrix (counter increment is associative/commutative). The Spark side
+# merges per-source matrices; the oracle builds the corpus matrix
+# DIRECTLY from the token stream — value-hash equality is the
+# mergeability proof.
+# ---------------------------------------------------------------------------
+_CMS_ROLLUP_SQL = f"""
+    WITH tk AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    b AS (SELECT j, {_cms_bucket_sql("tok", "j")} AS bucket
+          FROM tk, unnest([0, 1, 2, 3]) s(j))
+    SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM b GROUP BY 1, 2
+"""
+
+
+@register(
+    "sketch_cms_rollup",
+    oracle=_CMS_ROLLUP_SQL,
+    survey_ids=("A6", "A4"),
+    description="CMS matrix merge rollup: per-source counters sum to the corpus matrix",
+)
+def sketch_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge per-source CMS counter matrices into the corpus matrix by
+    summing counters per (row, bucket) — the additive-sketch rollup that
+    serves frequency estimates at any grouping level from one token
+    scan. The oracle computes the corpus matrix directly, so the hash
+    match proves merged state ≡ direct state.
+
+    Scale: per-source matrices are ≤ d·w rows each; the merge groupBy
+    touches ≤ d·w·n_sources rows — sketch arithmetic, not data.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    # per-source matrices: same explode as cms_counts, keyed by source too
+    d, w = SK.CMS_DEPTH, SK.CMS_WIDTH
+    rows = toks.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        SK._salted_bucket("cms", F.col("tok"), j, w).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("source", "rb.j", "rb.bucket")
+    per_source = rows.groupBy("source", "j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_source.groupBy("j", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .select("j", "bucket", "c")
+    )
