@@ -110,6 +110,8 @@ QUERIES = [
     ("embedding_pq_encode", "embeddings"),
     ("knn_pq_adc", "embeddings"),
     ("text_topk_per_source", "documents"),
+    ("dedup_cross_source_matrix", "documents"),
+    ("sketch_cms_rollup", "documents"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
