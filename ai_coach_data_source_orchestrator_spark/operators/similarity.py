@@ -334,9 +334,15 @@ def semantic_contamination(
 
     Scale: the eval benchmark is bounded-small by definition (the §4
     broadcast policy's canonical case), so its banded signature table is
-    broadcast — the corpus never shuffles; each corpus partition probes
-    the eval buckets locally. Corpus vectors ride to the verify join by
-    id only.
+    broadcast and the CANDIDATE stage never shuffles the corpus — each
+    partition probes the eval buckets locally, and corpus vectors ride
+    to the verify join by id only. The verify join itself is unhinted
+    (the r4 lesson): the candidate set is bounded by |eval|×collisions,
+    so AQE broadcasts it in the common case (corpus side stays
+    shuffle-free), but a pathologically contaminated corpus can outgrow
+    the broadcast threshold, at which point the corpus vector table
+    legitimately exchanges on corpus_id — that data motion is the
+    honest cost of verifying that many candidates.
     """
     sig = _np_signature_udf(dim, bits, n_tables)
     c = ensure_parallelism(corpus).select(
@@ -593,6 +599,7 @@ def pq_encode(
     n_sub: int = 8,
     n_codes: int = 16,
     dim: int = 64,
+    codebook=None,
 ) -> DataFrame:
     """Product quantization encode (Jégou et al. 2011): split each
     vector into ``n_sub`` subspaces and store only the id of the nearest
@@ -620,7 +627,10 @@ def pq_encode(
 
     globals().setdefault("pd", pd)
     sub_dim = dim // n_sub
-    cent = _centroid_matrix(df, id_col, vec_col, n_codes)  # (n_codes, dim)
+    # callers that already hold the codebook (pq_adc_topk) pass it in —
+    # otherwise each composed query would run the bounded
+    # lowest-id-collect driver job twice for byte-identical matrices.
+    cent = codebook if codebook is not None else _centroid_matrix(df, id_col, vec_col, n_codes)
 
     @pandas_udf("array<int>")
     def codes(v: pd.Series) -> pd.Series:
@@ -691,7 +701,7 @@ def pq_adc_topk(
             dtable[:, s, :] += diff * diff
     dtable_micro = np.floor(dtable * 1_000_000.0 + 0.5).astype("int64")
 
-    codes_df = pq_encode(corpus, id_col, vec_col, n_sub, n_codes, dim)
+    codes_df = pq_encode(corpus, id_col, vec_col, n_sub, n_codes, dim, codebook=cent)
 
     @pandas_udf("array<bigint>")
     def adc(codes: pd.Series) -> pd.Series:

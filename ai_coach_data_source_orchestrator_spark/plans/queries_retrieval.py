@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as T
 from ..sources.tables import load_table
 from .registry import register
 
@@ -97,7 +98,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, which follows BM25_TERMS order textually in both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = T.tokens(F.col("text"))
     toked = docs.select(
         "doc_id",
         toks.alias("toks"),
@@ -205,7 +206,7 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source totals/corpus total are broadcast-sized.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    tok = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
     st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n_st"))
     s_tot = st.groupBy("source").agg(F.sum("n_st").alias("t_s"))
     ct = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
@@ -272,7 +273,7 @@ def text_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cnt = (
-        docs.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -251,10 +251,12 @@ _BUDGET_TAU = 0.7
     SELECT c.source, c.avail_tokens,
            CAST(floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}) AS BIGINT)
              AS target_tokens,
-           CAST(floor(least(1.0, (floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}))
-                                 / c.avail_tokens) * 1000000.0 + 0.5) AS BIGINT) AS rate_micro,
-           CAST(floor((floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}))
-                      / c.avail_tokens * 1000000.0 + 0.5) AS BIGINT) AS epochs_micro
+           CASE WHEN c.avail_tokens = 0 THEN 0 ELSE
+             CAST(floor(least(1.0, (floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}))
+                                   / c.avail_tokens) * 1000000.0 + 0.5) AS BIGINT) END AS rate_micro,
+           CASE WHEN c.avail_tokens = 0 THEN 0 ELSE
+             CAST(floor((floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}))
+                        / c.avail_tokens * 1000000.0 + 0.5) AS BIGINT) END AS epochs_micro
     FROM c CROSS JOIN t
     """,
     survey_ids=("F8", "U1", "A8"),
@@ -286,12 +288,16 @@ def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "avail_tokens",
             F.expr(f"CAST({target} AS BIGINT)").alias("target_tokens"),
+            # zero-token sources would hit 0/0 → NaN, whose least()/cast
+            # semantics differ between engines — emit 0 explicitly.
             F.expr(
+                "CASE WHEN avail_tokens = 0 THEN 0 ELSE "
                 f"CAST(floor(least(1.0d, ({target}) / avail_tokens) * 1000000.0d + 0.5d)"
-                " AS BIGINT)"
+                " AS BIGINT) END"
             ).alias("rate_micro"),
             F.expr(
-                f"CAST(floor(({target}) / avail_tokens * 1000000.0d + 0.5d) AS BIGINT)"
+                "CASE WHEN avail_tokens = 0 THEN 0 ELSE "
+                f"CAST(floor(({target}) / avail_tokens * 1000000.0d + 0.5d) AS BIGINT) END"
             ).alias("epochs_micro"),
         )
     )

@@ -413,7 +413,8 @@ _BUCKETS = 8
     "k_bucketed_join_roundtrip",
     oracle="""
     SELECT o.o_custkey,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
            ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_custkey
@@ -460,7 +461,8 @@ def k_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bo.join(bl, bo.o_orderkey == bl.l_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
             F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias(
                 "total_qty"
             ),

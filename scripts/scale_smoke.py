@@ -112,6 +112,7 @@ QUERIES = [
     ("text_topk_per_source", "documents"),
     ("dedup_cross_source_matrix", "documents"),
     ("sketch_cms_rollup", "documents"),
+    ("k_bucketed_join_roundtrip", "lineitem"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
@@ -119,6 +120,7 @@ QUERIES = [
 EXTRA_TABLES = {
     "slack_render_blocks": {"customer"},
     "j1_star_join_revenue": {"orders", "customer", "nation", "region"},
+    "k_bucketed_join_roundtrip": {"orders"},
 }
 
 if os.environ.get("SMOKE_QUERIES"):
