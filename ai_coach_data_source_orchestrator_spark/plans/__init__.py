@@ -94,6 +94,8 @@ _FRONT = [
     "text_topk_per_source",
     "dedup_cross_source_matrix",
     "sketch_cms_rollup",
+    "text_ngram_novelty",
+    "doc_language_confusion",
 ]
 
 

@@ -1553,3 +1553,129 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lo_doc").alias("n_docs_lo"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-doc n-gram novelty: what fraction of a document's k-grams occur
+# NOWHERE else in the corpus — the inverse signal of duplicated_spans
+# (high novelty = fresh content worth keeping; near-zero = boilerplate
+# or a copy). Same k-gram hash machinery, aggregated per doc.
+# ---------------------------------------------------------------------------
+_NOVELTY_K = 5
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+        SELECT doc_id,
+               substr(sha256(array_to_string(t[i + 1:i + {_NOVELTY_K}], ' ')), 1, 16) AS gh
+        FROM toked, unnest(range(greatest(len(t) - {_NOVELTY_K} + 1, 0))) s(i)
+    ),
+    counts AS (SELECT gh, COUNT(*) AS n FROM g GROUP BY 1),
+    per_doc AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN counts.n = 1 THEN 1 ELSE 0 END) AS n_unique
+        FROM g JOIN counts USING (gh) GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST(floor(CAST(n_unique AS DOUBLE) / n_grams * 1000000.0 + 0.5) AS BIGINT)
+             AS novelty_micro
+    FROM per_doc
+    """,
+    survey_ids=("U7", "F12"),
+    description="Corpus-unique k-gram fraction per doc (novelty/boilerplate signal)",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's 5-grams that are corpus-unique.
+
+    Scale: grams hash narrow (projection), ONE shuffle on the uniform
+    gram hash for the count, an unhinted equi-join back on the same key
+    (re-uses the partitioning), and a per-doc sum. Same shape as
+    duplicated_spans minus the windows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = ensure_parallelism(docs).select(
+        "doc_id", T.tokens(F.col("text")).alias("t")
+    )
+    n = F.size("t")
+    k = _NOVELTY_K
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+    )
+    g = (
+        toked.where(n >= k)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.substring(F.sha2("gram", 256), 1, 16).alias("gh"))
+    )
+    counts = g.groupBy("gh").agg(F.count(F.lit(1)).alias("cn"))
+    return (
+        g.join(counts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("cn") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_unique").cast("bigint").alias("n_unique"),
+            F.floor(
+                F.col("n_unique").cast("double") / F.col("n_grams") * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: predicted language (the stopword-hit
+# classifier) vs the corpus's labeled lang column — the QA view that
+# tells you WHERE the classifier disagrees with upstream labels before
+# you trust either for mixing decisions.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_language_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS s_en,
+               len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+               len(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x))) AS s_es,
+               len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr
+        FROM t
+    ),
+    pred AS (
+        SELECT lang AS lang_label,
+               CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+    )
+    SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+    survey_ids=("X1", "A4"),
+    description="langid-vs-label confusion matrix (classifier QA before mixing decisions)",
+)
+def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab of the stopword-hit classifier against the labeled
+    lang column — bounded output (|langs|² cells), one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_label"),
+            T.langid(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
