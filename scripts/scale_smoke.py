@@ -113,6 +113,8 @@ QUERIES = [
     ("dedup_cross_source_matrix", "documents"),
     ("sketch_cms_rollup", "documents"),
     ("k_bucketed_join_roundtrip", "lineitem"),
+    ("text_ngram_novelty", "documents"),
+    ("doc_language_confusion", "documents"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
