@@ -96,6 +96,7 @@ _FRONT = [
     "sketch_cms_rollup",
     "text_ngram_novelty",
     "doc_language_confusion",
+    "sample_topn_per_source",
 ]
 
 

@@ -301,3 +301,55 @@ def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-N per-group sample: rank rows inside each group by a salted
+# sha256 of their key and keep the first N — the deterministic
+# "reservoir" that eval-set builders need (every source contributes
+# EXACTLY N docs, reproducible across engines, partitionings, reruns —
+# none of which is true of rand()-based reservoir sampling).
+# ---------------------------------------------------------------------------
+_TOPN_SALT = "topn-v1"
+_TOPN_N = 10
+
+
+@register(
+    "sample_topn_per_source",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             sha256('{_TOPN_SALT}' || '|' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
+      FROM h
+    )
+    SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_TOPN_N}
+    """,
+    survey_ids=("U1", "F8", "O3"),
+    description="Deterministic exact-N per-group sample (salted-hash rank reservoir)",
+)
+def sample_topn_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly N documents per source, chosen by salted-hash order — the
+    reproducible eval-sample builder.
+
+    Scale: the window partitions by source (groups rank in parallel;
+    per-group state is the group's row stream), and at extreme group
+    sizes the standard refinement is a pre-filter on the hash gate to
+    ~10N rows per group before ranking — the rank itself never needs a
+    global sort.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.sha2(F.concat_ws("|", F.lit(_TOPN_SALT), F.col("doc_id").cast("string")), 256)
+    w = Window.partitionBy("source").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPN_N)
+    )
