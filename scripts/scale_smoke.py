@@ -115,6 +115,7 @@ QUERIES = [
     ("k_bucketed_join_roundtrip", "lineitem"),
     ("text_ngram_novelty", "documents"),
     ("doc_language_confusion", "documents"),
+    ("sample_topn_per_source", "documents"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
