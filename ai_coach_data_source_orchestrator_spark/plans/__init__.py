@@ -97,6 +97,7 @@ _FRONT = [
     "text_ngram_novelty",
     "doc_language_confusion",
     "sample_topn_per_source",
+    "events_anomaly_zscore",
 ]
 
 

@@ -756,3 +756,75 @@ def chat_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "user_id", "session_id", "n_events", "cost_tokens", "bin_id", "offset_in_bin"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user daily anomaly z-scores: flag the days a user's event volume
+# deviates from their own history — the ingest-health monitor that
+# catches a runaway client or a dead feed per entity. Mean/variance are
+# derived from EXACT integer sums (Σx, Σx², n over bigint day-counts),
+# so the float arithmetic is a deterministic expression over exact
+# inputs in both engines; z is emitted fixed-point.
+# ---------------------------------------------------------------------------
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT user_id,
+               COUNT(*) AS n_days,
+               SUM(n) AS sum_n,
+               SUM(n * n) AS sumsq_n
+        FROM daily GROUP BY 1
+    )
+    SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n AS BIGINT) AS n_events,
+           CASE WHEN s.n_days < 2
+                     OR (CAST(s.sumsq_n AS DOUBLE) / s.n_days
+                         - (CAST(s.sum_n AS DOUBLE) / s.n_days) * (CAST(s.sum_n AS DOUBLE) / s.n_days)) <= 0
+                THEN 0
+                ELSE CAST(floor((d.n - CAST(s.sum_n AS DOUBLE) / s.n_days)
+                                / sqrt(CAST(s.sumsq_n AS DOUBLE) / s.n_days
+                                       - (CAST(s.sum_n AS DOUBLE) / s.n_days)
+                                         * (CAST(s.sum_n AS DOUBLE) / s.n_days))
+                                * 1000000.0 + 0.5) AS BIGINT) END AS z_micro
+    FROM daily d JOIN stats s ON d.user_id = s.user_id
+    """,
+    survey_ids=("A8", "A10", "X9"),
+    description="Per-user daily event-volume z-score from exact integer moments",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-score of each (user, day) event count against that user's own
+    daily distribution. Degenerate histories (single day, zero
+    variance) emit 0 rather than NaN/Inf in both engines.
+
+    Scale: one shuffle to (user, day) counts, one to user moments (a
+    bigint triple per user, broadcast back), and the scoring is a pure
+    projection — no windows, no sort, no per-day state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sumsq_n"),
+    )
+    mean = "CAST(sum_n AS DOUBLE) / n_days"
+    var = f"CAST(sumsq_n AS DOUBLE) / n_days - ({mean}) * ({mean})"
+    return (
+        daily.join(F.broadcast(stats), "user_id")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.expr(
+                f"CASE WHEN n_days < 2 OR ({var}) <= 0 THEN 0 "
+                f"ELSE CAST(floor((n - ({mean})) / sqrt({var}) * 1000000.0d + 0.5d) AS BIGINT) END"
+            ).alias("z_micro"),
+        )
+    )

@@ -116,6 +116,7 @@ QUERIES = [
     ("text_ngram_novelty", "documents"),
     ("doc_language_confusion", "documents"),
     ("sample_topn_per_source", "documents"),
+    ("events_anomaly_zscore", "events"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
