@@ -150,3 +150,38 @@ def test_leakage_safe_split_fractions_and_partition_invariance(spark):
         for r in SA.leakage_safe_split(df.repartition(7), "g", salt="t").collect()
     }
     assert again == {(r["id"], r["split"]) for r in out.collect()}
+
+
+def test_mixture_budget_invariants(spark, sf_dir):
+    """Targets sum to ≤ the global budget (floor rounding loses at most
+    n_sources tokens), rates are capped at 1, and epochs == rate
+    whenever the source has more tokens than its target."""
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+    from ai_coach_data_source_orchestrator_spark.plans.queries_sampling import (
+        _BUDGET_TOKENS,
+    )
+
+    rows = REGISTRY["sample_mixture_budget"].fn(spark, sf_dir).collect()
+    assert rows
+    total_target = sum(r["target_tokens"] for r in rows)
+    assert total_target <= _BUDGET_TOKENS
+    assert total_target >= _BUDGET_TOKENS - len(rows)  # floor slack only
+    for r in rows:
+        assert 0 <= r["rate_micro"] <= 1_000_000
+        if r["target_tokens"] <= r["avail_tokens"]:
+            assert r["rate_micro"] == r["epochs_micro"]
+        else:
+            assert r["epochs_micro"] > 1_000_000  # source repeats
+
+
+def test_topn_per_source_exact_n_and_deterministic(spark, sf_dir):
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+    from ai_coach_data_source_orchestrator_spark.plans.queries_sampling import _TOPN_N
+
+    a = REGISTRY["sample_topn_per_source"].fn(spark, sf_dir).collect()
+    b = REGISTRY["sample_topn_per_source"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    per_src = {}
+    for r in a:
+        per_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == _TOPN_N for v in per_src.values())

@@ -176,3 +176,28 @@ def test_contamination_gate_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert batch, "vacuous: batch contamination produced no rows"
     assert streamed == batch
+
+
+def test_chat_pack_bins_respect_budget_and_tile(spark, sf_dir):
+    """Packing invariants on the real events table: offsets stay inside
+    the budget, bins fill contiguously (offset == running size of the
+    user's earlier sessions in the same bin), and every session lands in
+    exactly one bin."""
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+    from ai_coach_data_source_orchestrator_spark.plans.queries_events import (
+        PACK_BUDGET_TOKENS,
+    )
+
+    rows = REGISTRY["chat_pack_conversations"].fn(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r["session_id"])
+        run = 0
+        for r in sessions:
+            expect_bin, expect_off = divmod(run, PACK_BUDGET_TOKENS)
+            assert (r["bin_id"], r["offset_in_bin"]) == (expect_bin, expect_off)
+            assert 0 <= r["offset_in_bin"] < PACK_BUDGET_TOKENS
+            run += r["cost_tokens"]
