@@ -206,3 +206,38 @@ def team_threshold_filter(
         "matched_count",
         (F.col("matched_count") >= minimum_required).alias("should_include"),
     )
+
+
+def clean_assignee(col: Column) -> Column:
+    """Reference-exact assignee cleanup (jira/split-by-assignee.js:68-82).
+
+    JS semantics preserved precisely:
+    - ``row.assignee || 'Unassigned'`` — JS-falsy fallback, so NULL *and
+      empty string* become 'Unassigned';
+    - only when the value contains ':' or '{' (JSON-contaminated CSV
+      cells), extract ``/^([^{:,]+)/`` — and when that match FAILS
+      (value starts with one of those chars) the original string is
+      kept, not emptied;
+    - the trailing ``String(assignee).trim()`` runs for every non-
+      'Unassigned' value, so a whitespace-only assignee becomes ''
+      (NOT 'Unassigned' — the fallback ran before the trim; quirk kept).
+    """
+    base = F.when(col.isNull() | (col == ""), F.lit("Unassigned")).otherwise(col)
+    extracted = F.regexp_extract(base, r"^([^{:,]+)", 1)
+    contaminated = base.contains(":") | base.contains("{")
+    picked = F.when(
+        contaminated, F.when(extracted != "", extracted).otherwise(base)
+    ).otherwise(base)
+    return F.when(base == "Unassigned", base).otherwise(F.trim(picked))
+
+
+def safe_assignee_filename(col: Column) -> Column:
+    """Reference-exact per-assignee filename slug
+    (jira/split-by-assignee.js:125-129): ``[^a-z0-9]/gi`` → '_',
+    collapse runs, strip edge underscores — CASE-PRESERVING (the /i
+    flag widens the match, it does not lowercase), unlike the
+    lowercasing X14 slugify used for report filenames.
+    """
+    s = F.regexp_replace(col, r"[^a-zA-Z0-9]", "_")
+    s = F.regexp_replace(s, r"_+", "_")
+    return F.regexp_replace(s, r"^_|_$", "")

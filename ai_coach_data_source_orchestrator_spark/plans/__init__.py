@@ -98,6 +98,7 @@ _FRONT = [
     "doc_language_confusion",
     "sample_topn_per_source",
     "events_anomaly_zscore",
+    "x_assignee_split_groups",
 ]
 
 

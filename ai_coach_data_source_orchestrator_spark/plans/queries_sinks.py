@@ -468,3 +468,79 @@ def k_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K2-adjacent: the split-by-assignee grouping layer — reference-exact
+# assignee cleanup (JSON-contaminated CSV cells, JS-falsy 'Unassigned'
+# fallback) and the case-preserving per-assignee filename slug, grouped
+# the way the reference's per-assignee CSV writer groups
+# (jira/split-by-assignee.js:68-147). The row logic is golden-pinned
+# against the reference's own JS in test_golden_split_assignee.py.
+# ---------------------------------------------------------------------------
+@register(
+    "x_assignee_split_groups",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey,
+             CASE c_custkey % 5
+               WHEN 0 THEN c_name || '{accountId:' || CAST(c_custkey AS VARCHAR) || '}'
+               WHEN 1 THEN c_name || ' : ext'
+               WHEN 2 THEN ''
+               WHEN 3 THEN '  ' || c_name || '  '
+               ELSE c_name END AS raw
+      FROM customer
+    ),
+    b AS (
+      SELECT c_custkey,
+             CASE WHEN raw IS NULL OR raw = '' THEN 'Unassigned' ELSE raw END AS base
+      FROM a
+    ),
+    cl AS (
+      SELECT c_custkey,
+             CASE WHEN base = 'Unassigned' THEN base
+                  ELSE trim(CASE WHEN (contains(base, ':') OR contains(base, '{'))
+                                 THEN CASE WHEN regexp_extract(base, '^([^{:,]+)', 1) <> ''
+                                           THEN regexp_extract(base, '^([^{:,]+)', 1)
+                                           ELSE base END
+                                 ELSE base END) END AS assignee
+      FROM b
+    )
+    SELECT assignee,
+           regexp_replace(regexp_replace(regexp_replace(assignee,
+             '[^a-zA-Z0-9]', '_', 'g'), '_+', '_', 'g'), '^_|_$', '', 'g') AS safe_filename,
+           CAST(COUNT(*) AS BIGINT) AS n_issues
+    FROM cl GROUP BY 1, 2
+    """,
+    survey_ids=("K2", "K3", "X1", "J2"),
+    description="split-by-assignee grouping: contaminated-cell cleanup + case-preserving slug",
+)
+def x_assignee_split_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-assignee grouping with the reference's exact cleanup quirks:
+    JSON/colon-contaminated cells extract the leading name, values
+    starting with a contamination char survive untouched, empty/null
+    falls back to 'Unassigned' (JS-falsy), and the filename slug keeps
+    case. Dirty values are synthesized deterministically from the
+    customer table (custkey % 5 picks the contamination kind).
+    """
+    from ..functions.names import clean_assignee, safe_assignee_filename
+
+    cust = load_table(spark, sf_dir, "customer")
+    raw = (
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(F.col("c_name"), F.lit("{accountId:"), F.col("c_custkey").cast("string"), F.lit("}")),
+        )
+        .when(F.col("c_custkey") % 5 == 1, F.concat(F.col("c_name"), F.lit(" : ext")))
+        .when(F.col("c_custkey") % 5 == 2, F.lit(""))
+        .when(F.col("c_custkey") % 5 == 3, F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")))
+        .otherwise(F.col("c_name"))
+    )
+    cleaned = cust.select(clean_assignee(raw).alias("assignee"))
+    return (
+        cleaned.select(
+            "assignee", safe_assignee_filename(F.col("assignee")).alias("safe_filename")
+        )
+        .groupBy("assignee", "safe_filename")
+        .agg(F.count(F.lit(1)).alias("n_issues"))
+    )

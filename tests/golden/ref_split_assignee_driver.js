@@ -1,0 +1,45 @@
+// Golden-test driver for the INLINE (unexported) row logic of the
+// reference's jira/split-by-assignee.js. Unlike the other drivers this
+// cannot require() the module — loading it runs main() with fs/config
+// side effects — so the driver quotes the two inline transformations
+// verbatim as TEST SCAFFOLDING (same status as the other golden
+// drivers: reference code executed for parity diffing, never shipped
+// in the engine):
+//   - assignee cleanup: split-by-assignee.js:68-82
+//   - safe filename:    split-by-assignee.js:125-129
+//
+// Usage: node ref_split_assignee_driver.js <fixture.json>
+// fixture: { "assignees": [str|null, ...] }
+
+const fs = require('fs');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+
+function cleanAssignee(raw) {
+  // split-by-assignee.js:68-82, quoted logic
+  let assignee = raw || 'Unassigned';
+  if (assignee && assignee !== 'Unassigned') {
+    if (assignee.includes(':') || assignee.includes('{')) {
+      const match = assignee.match(/^([^{:,]+)/);
+      if (match) {
+        assignee = match[1].trim();
+      }
+    }
+    assignee = String(assignee).trim();
+  }
+  return assignee;
+}
+
+function safeName(assignee) {
+  // split-by-assignee.js:125-129, quoted logic
+  return assignee
+    .replace(/[^a-z0-9]/gi, '_')
+    .replace(/_+/g, '_')
+    .replace(/^_|_$/g, '');
+}
+
+const out = fixture.assignees.map((a) => {
+  const cleaned = cleanAssignee(a);
+  return { cleaned, safe: safeName(cleaned) };
+});
+process.stdout.write(JSON.stringify(out));

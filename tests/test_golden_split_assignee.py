@@ -1,0 +1,73 @@
+"""Golden parity: clean_assignee / safe_assignee_filename vs the
+reference's inline split-by-assignee row logic executed via node
+(tests/golden/ref_split_assignee_driver.js).
+
+The edge cases pin the JS quirks the implementation must reproduce:
+empty string → 'Unassigned' (JS-falsy fallback), failed contamination
+match keeps the original, whitespace-only assignee trims to '' (the
+fallback ran before the trim), and the filename slug preserves case.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions import names as N
+
+DRIVER = Path(__file__).parent / "golden" / "ref_split_assignee_driver.js"
+
+CASES = [
+    None,                          # null → Unassigned
+    "",                            # JS-falsy → Unassigned
+    "Unassigned",                  # passthrough, no trim
+    "Bob Smith",                   # clean
+    "  Padded Name  ",             # plain trim
+    "   ",                         # whitespace-only → '' (quirk)
+    "Jane Doe{accountId:5}",       # JSON contamination → 'Jane Doe'
+    "Jane Doe : extra",            # colon contamination → 'Jane Doe'
+    "{weird}",                     # match fails → original kept
+    ":starts-with-colon",          # match fails → original kept
+    "a,b:c",                       # comma stops the extraction → 'a'
+    "Ana-María López Jr.",         # non-ASCII → filename underscores
+    "__Already_Safe__",            # collapse + strip edges
+    "MiXeD CaSe 42",               # case preserved in slug
+]
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_split_assignee_row_logic_matches_reference(spark, tmp_path):
+    fixture = tmp_path / "fixture.json"
+    fixture.write_text(json.dumps({"assignees": CASES}))
+    ref = json.loads(
+        subprocess.run(
+            ["node", str(DRIVER), str(fixture)],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CASES)], "i int, assignee string"
+    )
+    got = {
+        r["i"]: (r["cleaned"], r["safe"])
+        for r in df.select(
+            "i",
+            N.clean_assignee(F.col("assignee")).alias("cleaned"),
+            N.safe_assignee_filename(
+                N.clean_assignee(F.col("assignee"))
+            ).alias("safe"),
+        ).collect()
+    }
+    for i, expected in enumerate(ref):
+        assert got[i] == (expected["cleaned"], expected["safe"]), (
+            f"case {i} ({CASES[i]!r}): spark={got[i]} "
+            f"reference=({expected['cleaned']!r}, {expected['safe']!r})"
+        )
