@@ -193,3 +193,35 @@ def get_project_folder(
     if team and isinstance(team, str) and team.strip():
         return team.strip()
     return "default"
+
+
+def format_date_range(start_date: object, end_date: object) -> str:
+    """Reference-exact (jira-data-extractor.js:52-57): both dates
+    JS-truthy → ``start_to_end``; otherwise today's ISO date. The
+    ``today`` parameter-less fallback is injectable upstream (see
+    make_timestamps) — callers on reproducible paths always pass both
+    dates, so the wall-clock branch never reaches goldens."""
+    if not start_date or not end_date:
+        from datetime import datetime, timezone
+
+        return datetime.now(timezone.utc).strftime("%Y-%m-%d")
+    return f"{start_date}_to_{end_date}"
+
+
+def build_jira_data_filename(
+    project_folder: str,
+    report_type: str,
+    date_range: str,
+    member_name: str | None = None,
+) -> str:
+    """Reference-exact (jira-data-extractor.js:67-74): 1on1 reports with
+    a member get ``jira_data_1on1_<lower, \\s+→_>_<range>.md`` — note
+    this slug ONLY lowercases and collapses whitespace (punctuation
+    survives), unlike both the output-filename slugify and the
+    split-by-assignee safe name; three distinct filename sanitizers
+    coexist in the reference and must not be collapsed (the r5
+    filename-date lesson)."""
+    if report_type == "1on1" and member_name:
+        safe = re.sub(r"\s+", "_", member_name.lower())
+        return f"jira_data_{report_type}_{safe}_{date_range}.md"
+    return f"jira_data_{report_type}_{date_range}.md"

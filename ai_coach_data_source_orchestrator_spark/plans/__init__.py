@@ -35,7 +35,11 @@ from . import queries_retrieval  # noqa: E402,F401
 # multimodal_decode's corpus gained a P5-PGM leg this round (doc_id % 3
 # split, VERDICT r5 item 6) — its r5 green row describes the old
 # two-kind output, so a fresh driver row outranks stale refreshes.
-_CHANGED_ORACLE = ("multimodal_decode",)
+# s18_python_literal_extract's extractor became reference-exact this
+# round (close-quote newline anchor, \""" unescape, JS trim — gaps the
+# new jira-extractor golden driver exposed), so its r4 row describes
+# the old untrimmed output.
+_CHANGED_ORACLE = ("multimodal_decode", "s18_python_literal_extract")
 
 _FRONT = [
     # ------------------------------------------------------------------
@@ -74,8 +78,10 @@ _FRONT = [
     "j2_alias_first_match_join",
     "j5_hierarchy_resolution",
     "o3_latest_order_per_customer",
-    # -- oracle/output CHANGED in round 6 (PGM corpus leg) --
+    # -- oracle/output CHANGED in round 6 (PGM corpus leg; reference-
+    #    exact S18 extractor) --
     "multimodal_decode",
+    "s18_python_literal_extract",
     # -- new in round 6 (never driver-sampled) --
     "contamination_semantic",
     "text_bm25_topk",

@@ -235,7 +235,10 @@ _TQ = '"' * 3  # keeps the SQL's triple-quotes out of this module's own literals
         "  FROM documents\n"
         ")\n"
         "SELECT doc_id,\n"
-        f"       regexp_extract(pysrc, '(?s)JIRA_DATA\\s*=\\s*{_TQ}(.*?){_TQ}', 1) AS literal_text\n"
+        "       regexp_replace(regexp_replace(\n"
+        f"         replace(regexp_extract(pysrc, '(?s)JIRA_DATA\\s*=\\s*{_TQ}(.*?){_TQ}\\s*\\n', 1),\n"
+        f"                 '\\{_TQ}', '{_TQ}'),\n"
+        "         '^\\s+', ''), '\\s+$', '') AS literal_text\n"
         "FROM src"
     ),
     survey_ids=("S18", "S17"),

@@ -60,13 +60,29 @@ def read_markdown_dir(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-PY_LITERAL_PATTERN = '(?s){name}\\s*=\\s*"""(.*?)"""'
+# Reference-exact (jira-data-extractor.js:29): the close-quotes must be
+# followed by optional whitespace and a NEWLINE — a literal closed at
+# EOF without a trailing newline does NOT match (reference returns
+# null), and the anchor is what lets the lazy group skip embedded
+# escaped quotes when they aren't at end-of-line.
+PY_LITERAL_PATTERN = '(?s){name}\\s*=\\s*"""(.*?)"""\\s*\\n'
 
 
 def extract_python_literal(df: DataFrame, var_name: str, content_col: str = "content") -> DataFrame:
     """S18 — pull a triple-quoted module-level literal out of generated
     .py text (jira-data-extractor.js:18-44): ``VAR = \"\"\"...\"\"\"`` →
     ``literal_text`` column ('' when absent, reference returns null —
-    callers filter on length)."""
+    callers filter on length). Close-quote must be followed by a
+    newline, embedded ``\\\"\"\"`` unescapes, result is JS-trimmed —
+    all three pinned against the reference's own extractJiraData in
+    tests/test_golden_jira_extractor.py."""
     pat = PY_LITERAL_PATTERN.format(name=var_name)
-    return df.withColumn("literal_text", F.regexp_extract(F.col(content_col), pat, 1))
+    raw = F.regexp_extract(F.col(content_col), pat, 1)
+    # jira-data-extractor.js:37,39 — unescape \""" and JS-trim (ALL
+    # whitespace, including newlines; Spark's trim() strips spaces only,
+    # so the JS behavior needs the regexp form).
+    unescaped = F.replace(raw, F.lit('\\"""'), F.lit('"""'))
+    return df.withColumn(
+        "literal_text",
+        F.regexp_replace(F.regexp_replace(unescaped, r"^\s+", ""), r"\s+$", ""),
+    )

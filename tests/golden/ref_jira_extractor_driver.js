@@ -1,0 +1,35 @@
+// Golden-test driver: runs the REFERENCE repo's jira-data extractor
+// (lib/jira-data-extractor.js — extractJiraData, formatDateRange,
+// buildOutputFilename) over fixture files and prints results.
+// extractJiraData takes a PATH, so the fixture directory carries one
+// .py file per case. Plain require, read-only, no network.
+//
+// Usage: node ref_jira_extractor_driver.js <fixture.json> [referenceRoot]
+// fixture: { "files": {"case1": "<py source>", ...},
+//            "dateRanges": [[start, end], ...],
+//            "filenames": [[projectFolder, reportType, dateRange, memberName], ...] }
+
+const fs = require('fs');
+const os = require('os');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const ex = require(path.join(refRoot, 'lib', 'jira-data-extractor.js'));
+
+const dir = fs.mkdtempSync(path.join(os.tmpdir(), 'jira-extract-'));
+const extracted = {};
+for (const [name, content] of Object.entries(fixture.files)) {
+  const p = path.join(dir, `${name}.py`);
+  fs.writeFileSync(p, content, 'utf8');
+  extracted[name] = ex.extractJiraData(p);
+}
+
+const out = {
+  extracted,
+  dateRanges: fixture.dateRanges.map(([s, e]) => ex.formatDateRange(s, e)),
+  filenames: fixture.filenames.map(([pf, rt, dr, mn]) =>
+    ex.buildOutputFilename(pf, rt, dr, mn)
+  ),
+};
+process.stdout.write(JSON.stringify(out));

@@ -1,0 +1,84 @@
+"""Golden parity: our S18 python-literal extractor + jira_data naming
+vs the reference's OWN lib/jira-data-extractor.js executed via node
+(tests/golden/ref_jira_extractor_driver.js).
+
+This golden pinned three extractor divergences fixed this round: the
+close-quote NEWLINE anchor (a literal closed at EOF without a trailing
+newline must NOT match), the ``\\\"\"\"`` unescape, and the JS trim
+(which strips newlines — Spark's trim() strips spaces only). It also
+pins a THIRD distinct filename sanitizer (lowercase + whitespace→_
+only) coexisting with slugify and the split-by-assignee safe name.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions import naming as NA
+from ai_coach_data_source_orchestrator_spark.sources.files import extract_python_literal
+
+DRIVER = Path(__file__).parent / "golden" / "ref_jira_extractor_driver.js"
+
+FILES = {
+    "simple": 'H = 1\nJIRA_DATA = """\nline one\nline two\n"""\nTAIL = 2\n',
+    "padded": 'JIRA_DATA = """\n\n  spaced content  \n\n"""\n',
+    "escaped": 'JIRA_DATA = """before \\\\""" after\n"""\n',
+    "no_trailing_newline": 'JIRA_DATA = """\ncontent\n"""',  # no \n after close
+    "spaces_then_newline": 'JIRA_DATA = """\nbody\n"""   \nX = 1\n',
+    "absent": "OTHER = 5\n",
+    "empty_literal": 'JIRA_DATA = """"""\n',
+}
+DATE_RANGES = [["2025-01-06", "2025-01-12"], ["2025-03-01", "2025-03-31"]]
+FILENAMES = [
+    ["acme", "weekly", "2025-01-06_to_2025-01-12", None],
+    ["acme", "1on1", "2025-01-06_to_2025-01-12", "Mark Jerly Bundalian"],
+    ["acme", "1on1", "2025-01-06_to_2025-01-12", "Ana-María  López Jr."],
+    ["acme", "1on1", "2025-01-06_to_2025-01-12", None],  # member missing → plain
+    ["acme", "dashboard", "2025-02-01_to_2025-02-28", "ignored for non-1on1"],
+]
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node unavailable")
+def test_extractor_and_naming_match_reference(spark, tmp_path):
+    fixture = tmp_path / "fixture.json"
+    fixture.write_text(
+        json.dumps({"files": FILES, "dateRanges": DATE_RANGES, "filenames": FILENAMES})
+    )
+    ref = json.loads(
+        subprocess.run(
+            ["node", str(DRIVER), str(fixture)],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in FILES.items()], "name string, content string"
+    )
+    got = {
+        r["name"]: r["literal_text"]
+        for r in extract_python_literal(df, "JIRA_DATA").collect()
+    }
+    for name in FILES:
+        expected = ref["extracted"][name]
+        # reference returns null for absent/unterminated; ours returns ''
+        expected_norm = expected if expected is not None else ""
+        assert got[name] == expected_norm, (
+            f"{name}: spark={got[name]!r} reference={expected!r}"
+        )
+    # the newline-anchor case must specifically NOT extract
+    assert ref["extracted"]["no_trailing_newline"] is None
+
+    assert [
+        NA.format_date_range(s, e) for s, e in DATE_RANGES
+    ] == ref["dateRanges"]
+    assert [
+        NA.build_jira_data_filename(pf, rt, dr, mn) for pf, rt, dr, mn in FILENAMES
+    ] == ref["filenames"]
