@@ -291,10 +291,12 @@ def test_markdown_dir_scan_and_literal_extraction(spark, tmp_path):
     names = sorted(r["filename"] for r in df.collect())
     assert names == ["a_report.md", "b_report.md"]
 
+    # Close-quote newline anchor + JS trim (jira-data-extractor.js:29,39;
+    # the r6 golden driver showed the reference trims the extracted body).
     py = 'HEADER = 1\nJIRA_DATA = """\nline1\nline2\n"""\nTAIL = 2'
     src = spark.createDataFrame([(py,)], "content string")
     out = FS.extract_python_literal(src, "JIRA_DATA")
-    assert out.collect()[0]["literal_text"] == "\nline1\nline2\n"
+    assert out.collect()[0]["literal_text"] == "line1\nline2"
 
 
 def test_json_scan(spark, tmp_path):
