@@ -208,6 +208,28 @@ def team_threshold_filter(
     )
 
 
+# The exact character set JS String.prototype.trim strips (ECMA-262
+# WhiteSpace + LineTerminator): ASCII controls, space, NBSP, Ogham
+# space, the U+2000-200A run, LS/PS, NNBSP, MMSP, ideographic space,
+# and the ZWNBSP/BOM. Spelled as LITERAL characters so the same class
+# string works in Java regex (Spark) and RE2 (DuckDB), whose \u escape
+# syntaxes differ. Spark's F.trim strips only ASCII spaces — using it
+# for a "JS trim" was this module's own S18-class bug.
+JS_WHITESPACE_CLASS = (
+    "[\t\n\x0b\f\r \u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000\ufeff]"
+)
+
+
+def js_trim(col: Column) -> Column:
+    """Reference-faithful JS ``String.trim``: strips the full ECMA
+    whitespace set from both ends (F.trim strips ASCII spaces only)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, f"^{JS_WHITESPACE_CLASS}+", ""),
+        f"{JS_WHITESPACE_CLASS}+$",
+        "",
+    )
+
+
 def clean_assignee(col: Column) -> Column:
     """Reference-exact assignee cleanup (jira/split-by-assignee.js:68-82).
 
@@ -228,7 +250,7 @@ def clean_assignee(col: Column) -> Column:
     picked = F.when(
         contaminated, F.when(extracted != "", extracted).otherwise(base)
     ).otherwise(base)
-    return F.when(base == "Unassigned", base).otherwise(F.trim(picked))
+    return F.when(base == "Unassigned", base).otherwise(js_trim(picked))
 
 
 def safe_assignee_filename(col: Column) -> Column:

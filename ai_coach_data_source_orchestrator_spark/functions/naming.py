@@ -195,16 +195,17 @@ def get_project_folder(
     return "default"
 
 
-def format_date_range(start_date: object, end_date: object) -> str:
+def format_date_range(
+    start_date: object, end_date: object, now: datetime | None = None
+) -> str:
     """Reference-exact (jira-data-extractor.js:52-57): both dates
-    JS-truthy → ``start_to_end``; otherwise today's ISO date. The
-    ``today`` parameter-less fallback is injectable upstream (see
-    make_timestamps) — callers on reproducible paths always pass both
-    dates, so the wall-clock branch never reaches goldens."""
+    JS-truthy → ``start_to_end``; otherwise today's ISO date. ``now``
+    is injectable for reproducible goldens (same convention as
+    build_filename); wall clock only when omitted."""
     if not start_date or not end_date:
-        from datetime import datetime, timezone
+        from datetime import timezone
 
-        return datetime.now(timezone.utc).strftime("%Y-%m-%d")
+        return (now or datetime.now(timezone.utc)).strftime("%Y-%m-%d")
     return f"{start_date}_to_{end_date}"
 
 

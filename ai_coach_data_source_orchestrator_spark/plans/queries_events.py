@@ -802,8 +802,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance) emit 0 rather than NaN/Inf in both engines.
 
     Scale: one shuffle to (user, day) counts, one to user moments (a
-    bigint triple per user, broadcast back), and the scoring is a pure
-    projection — no windows, no sort, no per-day state.
+    bigint triple per user), and the scoring is a pure projection — no
+    windows, no sort, no per-day state. The moments join is UNHINTED
+    (user cardinality is unbounded at 100 TB — the r4 forced-broadcast
+    lesson): both sides already hash-partition on user_id from their
+    groupBys, so the exchange is reused, and AQE still broadcasts when
+    the moments table is actually small.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -817,7 +821,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = "CAST(sum_n AS DOUBLE) / n_days"
     var = f"CAST(sumsq_n AS DOUBLE) / n_days - ({mean}) * ({mean})"
     return (
-        daily.join(F.broadcast(stats), "user_id")
+        daily.join(stats, "user_id")
         .select(
             "user_id",
             F.date_format("day", "yyyy-MM-dd").alias("day"),

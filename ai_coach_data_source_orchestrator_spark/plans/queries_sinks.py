@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.markup import adf_to_text
+from ..functions.names import JS_WHITESPACE_CLASS
 from ..sinks.merge import upsert_parquet
 from ..sinks.writers import csv_write_union_header, partitioned_csv_write
 from ..sources.tables import load_table
@@ -238,7 +239,7 @@ _TQ = '"' * 3  # keeps the SQL's triple-quotes out of this module's own literals
         "       regexp_replace(regexp_replace(\n"
         f"         replace(regexp_extract(pysrc, '(?s)JIRA_DATA\\s*=\\s*{_TQ}(.*?){_TQ}\\s*\\n', 1),\n"
         f"                 '\\{_TQ}', '{_TQ}'),\n"
-        "         '^\\s+', ''), '\\s+$', '') AS literal_text\n"
+        f"         '^{JS_WHITESPACE_CLASS}+', ''), '{JS_WHITESPACE_CLASS}+$', '') AS literal_text\n"
         "FROM src"
     ),
     survey_ids=("S18", "S17"),
@@ -502,11 +503,15 @@ def k_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl AS (
       SELECT c_custkey,
              CASE WHEN base = 'Unassigned' THEN base
-                  ELSE trim(CASE WHEN (contains(base, ':') OR contains(base, '{'))
-                                 THEN CASE WHEN regexp_extract(base, '^([^{:,]+)', 1) <> ''
-                                           THEN regexp_extract(base, '^([^{:,]+)', 1)
-                                           ELSE base END
-                                 ELSE base END) END AS assignee
+                  ELSE regexp_replace(regexp_replace(
+                         CASE WHEN (contains(base, ':') OR contains(base, '{'))
+                              THEN CASE WHEN regexp_extract(base, '^([^{:,]+)', 1) <> ''
+                                        THEN regexp_extract(base, '^([^{:,]+)', 1)
+                                        ELSE base END
+                              ELSE base END,
+                         '^[	
+    -     　﻿]+', ''), '[	
+    -     　﻿]+$', '') END AS assignee
       FROM b
     )
     SELECT assignee,

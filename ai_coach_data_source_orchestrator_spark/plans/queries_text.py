@@ -1643,26 +1643,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_language_confusion",
     oracle=f"""
-    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
-    s AS (
-        SELECT doc_id, lang,
-               len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS s_en,
-               len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
-               len(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x))) AS s_es,
-               len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr
-        FROM t
-    ),
-    pred AS (
-        SELECT lang AS lang_label,
-               CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-                    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
-                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-                    ELSE 'fr' END AS lang_pred
-        FROM s
-    )
-    SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM pred GROUP BY 1, 2
+    WITH pred AS ({REGISTRY['text_langid'].oracle})
+    SELECT d.lang AS lang_label, pred.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
     """,
     survey_ids=("X1", "A4"),
     description="langid-vs-label confusion matrix (classifier QA before mixing decisions)",

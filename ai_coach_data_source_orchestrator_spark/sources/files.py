@@ -82,7 +82,6 @@ def extract_python_literal(df: DataFrame, var_name: str, content_col: str = "con
     # whitespace, including newlines; Spark's trim() strips spaces only,
     # so the JS behavior needs the regexp form).
     unescaped = F.replace(raw, F.lit('\\"""'), F.lit('"""'))
-    return df.withColumn(
-        "literal_text",
-        F.regexp_replace(F.regexp_replace(unescaped, r"^\s+", ""), r"\s+$", ""),
-    )
+    from ..functions.names import js_trim
+
+    return df.withColumn("literal_text", js_trim(unescaped))

@@ -33,6 +33,7 @@ FILES = {
     "spaces_then_newline": 'JIRA_DATA = """\nbody\n"""   \nX = 1\n',
     "absent": "OTHER = 5\n",
     "empty_literal": 'JIRA_DATA = """"""\n',
+    "unicode_ws": 'JIRA_DATA = """\ncontent\u00a0\n"""\n',  # JS trim strips NBSP
 }
 DATE_RANGES = [["2025-01-06", "2025-01-12"], ["2025-03-01", "2025-03-31"]]
 FILENAMES = [

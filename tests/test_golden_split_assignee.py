@@ -37,6 +37,8 @@ CASES = [
     "Ana-María López Jr.",         # non-ASCII → filename underscores
     "__Already_Safe__",            # collapse + strip edges
     "MiXeD CaSe 42",               # case preserved in slug
+    "\tBob Smith\n",                # JS trim strips tabs/newlines (not just spaces)
+    "\u00a0NBSP Name\u00a0",        # ...and Unicode whitespace (NBSP)
 ]
 
 
