@@ -212,3 +212,60 @@ def test_salted_join_equals_plain_join(spark, big, small, n_salts):
         ours = sorted(map(tuple, salted_join(b, s, "k", n_salts=n_salts, how=how).collect()))
         plain = sorted(map(tuple, b.join(s, "k", how).collect()))
         assert ours == plain, (how, n_salts)
+
+
+def _brute_cdc_chunks(tokens: list[str], k: int, divisor: int):
+    """Independent python restatement of CDC chunking for cross-check:
+    boundary after token i when the sha256-derived 60-bit hash of the
+    k-gram ending at i is ≡ 0 mod divisor; chunks tile the stream."""
+    import hashlib
+
+    def h60(gram: str) -> int:
+        return int(hashlib.sha256(gram.encode()).hexdigest()[:15], 16)
+
+    chunks, cur = [], []
+    for i, tok in enumerate(tokens):
+        cur.append(tok)
+        if i >= k - 1 and h60(" ".join(tokens[i - k + 1 : i + 1])) % divisor == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=2, max_value=5),
+    divisor=st.sampled_from([4, 8, 16]),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cdc_chunks_match_bruteforce(spark, words, k, divisor):
+    """cdc_chunks must agree with an independent sequential chunker on
+    arbitrary token streams: same chunk count, same start positions,
+    same sizes, same content hashes — and the chunks tile the stream
+    exactly (Σ n_tokens == len(words))."""
+    import hashlib
+
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id bigint, text string")
+    got = sorted(
+        (r["chunk_idx"], r["start_pos"], r["n_tokens"], r["chunk_hash"])
+        for r in cdc_chunks(df, k=k, divisor=divisor).collect()
+    )
+    expected, pos = [], 0
+    for idx, chunk in enumerate(_brute_cdc_chunks(words, k, divisor)):
+        expected.append(
+            (
+                idx,
+                pos,
+                len(chunk),
+                hashlib.sha256(" ".join(chunk).encode()).hexdigest()[:16],
+            )
+        )
+        pos += len(chunk)
+    assert got == expected
+    assert sum(n for _, _, n, _ in got) == len(words)
