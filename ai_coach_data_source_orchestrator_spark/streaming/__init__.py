@@ -7,6 +7,7 @@ from .neardup import near_dup_gate_stream
 from .contamination import contamination_gate_stream, eval_gram_set
 from .sketch import hll_registers_stream, hll_finalize, cms_counts_stream, cms_estimate
 from .bloom import bloom_gate_stream
+from .cdc import cdc_chunk_store_stream, chunk_rows_stream
 
 __all__ = [
     "asof_join_stream",

@@ -1,0 +1,113 @@
+"""Streaming content-defined chunk-store ingest (the streaming twin of
+``operators/dedup.cdc_chunks`` / the ``dedup_cdc_chunks`` registry
+query).
+
+Documents arrive WHOLE (one row per doc), so chunking needs no
+cross-row state at all: the batch operator's per-doc window chain
+restates as a per-row sequential chunker inside an Arrow batch —
+bit-identical boundaries because both derive them from the same
+sha256-based 60-bit gram hash (``tests/test_properties.py::
+test_cdc_chunks_match_bruteforce`` pins the batch window form against
+this exact sequential definition). Chunk-store dedup is then
+first-seen-wins within the watermark horizon via
+``dropDuplicatesWithinWatermark`` on the uniform chunk hash — the same
+bounded-state trade documented on ``streaming/dedup.py``.
+
+Scale: chunking is a stateless projection (no shuffle); the dedup
+state shuffle keys on the uniformly-distributed chunk hash (no hot
+keys), bounded by arrival rate × horizon.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("chunk_idx", LongType()),
+        StructField("start_pos", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("chunk_hash", StringType()),
+    ]
+)
+
+
+def _h60(gram: str) -> int:
+    return int(hashlib.sha256(gram.encode()).hexdigest()[:15], 16)
+
+
+def chunk_rows_stream(
+    docs: DataFrame,
+    k: int = 4,
+    divisor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per (doc, chunk): the sequential CDC chunker applied
+    per document inside Arrow batches — works identically on batch and
+    streaming DataFrames (no window, no state)."""
+    import pandas as pd
+
+    def chunker(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {f.name: [] for f in CHUNK_SCHEMA.fields}
+            for doc_id, ts, text in zip(pdf[id_col], pdf[ts_col], pdf[text_col]):
+                tokens = str(text).strip().split()
+                if not tokens:
+                    tokens = [""]
+                cur_start, cur, idx = 0, [], 0
+                for i, tok in enumerate(tokens):
+                    cur.append(tok)
+                    at_boundary = (
+                        i >= k - 1
+                        and _h60(" ".join(tokens[i - k + 1 : i + 1])) % divisor == 0
+                    )
+                    if at_boundary or i == len(tokens) - 1:
+                        out["doc_id"].append(int(doc_id))
+                        out["ts"].append(ts)
+                        out["chunk_idx"].append(idx)
+                        out["start_pos"].append(cur_start)
+                        out["n_tokens"].append(len(cur))
+                        out["chunk_hash"].append(
+                            hashlib.sha256(" ".join(cur).encode()).hexdigest()[:16]
+                        )
+                        idx += 1
+                        cur_start, cur = i + 1, []
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, ts_col, text_col).mapInPandas(
+        chunker, schema=CHUNK_SCHEMA
+    )
+
+
+def cdc_chunk_store_stream(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    k: int = 4,
+    divisor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-seen chunk per content hash within the watermark horizon —
+    what a streaming ingest appends to the content-addressed chunk
+    store (chunks already present inside the horizon are dropped; the
+    durable store's own upsert handles the rest, sinks.py)."""
+    chunks = chunk_rows_stream(docs, k, divisor, id_col, text_col, ts_col)
+    return chunks.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["chunk_hash"]
+    )

@@ -201,3 +201,59 @@ def test_chat_pack_bins_respect_budget_and_tile(spark, sf_dir):
             assert (r["bin_id"], r["offset_in_bin"]) == (expect_bin, expect_off)
             assert 0 <= r["offset_in_bin"] < PACK_BUDGET_TOKENS
             run += r["cost_tokens"]
+
+
+def test_cdc_chunk_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CDC ⇄ batch equivalence: replaying the documents table
+    through a file stream must produce (1) the exact per-(doc, chunk)
+    rows of the batch window operator — the sequential chunker and the
+    window chain derive identical boundaries — and (2) a first-seen
+    chunk store whose hash set equals the batch distinct set."""
+    import uuid as _uuid
+
+    from ai_coach_data_source_orchestrator_spark.operators.dedup import cdc_chunks
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+    from ai_coach_data_source_orchestrator_spark.streaming import cdc as SC
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        "text",
+    )
+    d = tmp_path / f"docs_{_uuid.uuid4().hex[:8]}"
+    gate = F.crc32(F.col("text")) % 2 == 0  # two files → two micro-batches
+    docs.where(gate).coalesce(1).write.parquet(str(d))
+    docs.where(~gate).coalesce(1).write.mode("append").parquet(str(d))
+
+    batch = cdc_chunks(
+        load_table(spark, sf_dir, "documents"), k=4, divisor=16
+    )
+    batch_rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_pos"], r["n_tokens"], r["chunk_hash"])
+        for r in batch.collect()
+    )
+    batch_hashes = {r[4] for r in batch_rows}
+
+    sdf = spark.readStream.schema("doc_id bigint, ts timestamp, text string").parquet(
+        str(d)
+    )
+    name = f"cdc_{_uuid.uuid4().hex[:8]}"
+    q = (
+        SC.cdc_chunk_store_stream(sdf, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    store = spark.sql(f"SELECT * FROM {name}").collect()
+    # (2) the chunk store lands every distinct hash exactly once
+    assert sorted(r["chunk_hash"] for r in store) == sorted(batch_hashes)
+
+    # (1) pre-dedup chunk rows equal the batch operator's rows exactly
+    streamed_rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_pos"], r["n_tokens"], r["chunk_hash"])
+        for r in SC.chunk_rows_stream(docs).collect()  # batch DF through the same path
+    )
+    assert streamed_rows == batch_rows
