@@ -32,79 +32,79 @@ from . import queries_retrieval  # noqa: E402,F401
 # old output, so a fresh row is strictly more informative than
 # re-greening an unchanged r2 query. tests/test_registry.py counts
 # these when checking the rotation policy's capacity math.
-# multimodal_decode's corpus gained a P5-PGM leg this round (doc_id % 3
-# split, VERDICT r5 item 6) — its r5 green row describes the old
-# two-kind output, so a fresh driver row outranks stale refreshes.
-# s18_python_literal_extract's extractor became reference-exact this
-# round (close-quote newline anchor, \""" unescape, JS trim — gaps the
-# new jira-extractor golden driver exposed), so its r4 row describes
-# the old untrimmed output.
-_CHANGED_ORACLE = ("multimodal_decode", "s18_python_literal_extract")
+# Round 7: the four r6 hash-red queries' oracles gained a final
+# CAST(... AS BIGINT) — DuckDB SUM(BIGINT) returns HUGEINT, which the
+# driver's pandas materialization converts to float64, hashing 1234.0
+# against Spark's bigint 1234 (VERDICT r6 item 1). The Spark values were
+# already correct; the oracle changed, so each needs a fresh driver row.
+_CHANGED_ORACLE = (
+    "source_js_divergence",
+    "events_decay_activity",
+    "sample_mixture_budget",
+    "knn_pq_adc",
+)
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 6 rotation (VERDICT r5 item 1): zero never-green queries and
-    # zero changed oracles remain, so the window is spent entirely on the
-    # 26 queries whose latest green driver row predates round 4 — the
-    # exact set the hygiene test (tests/test_registry.py) enumerates
-    # against the r5 artifacts. 26 < 50, so the remaining slots go to
-    # queries added this round (appended below as they land).
+    # Round 7 rotation (VERDICT r6 item 2): the four never-green queries
+    # whose HUGEINT oracles were fixed this round (above) plus the 46
+    # queries whose latest green driver row is r4 — exactly the set the
+    # hygiene test (tests/test_registry.py) enumerates against the r6
+    # artifacts. 4 + 46 = 50 = one full driver window, so any NEW r7
+    # query overflows; prefer depth over breadth this round.
     # ------------------------------------------------------------------
-    # Latest green row r2 (testdata regenerated twice since):
-    "a13_week_frame",
-    "a14_array_set_diff",
-    "asof_join_checkpoints",
-    "dedup_embedding_cosine",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "rollup_hypertable_cascade",
-    "u6_union_tagged_sources",
-    "x10_x11_timestamp_formats",
-    "x14_slugify",
-    "x16_mask_secrets",
-    "x17_redact_code",
-    "x18_prompt_denylist",
-    "x2_wiki_to_markdown",
-    "x4_slack_markup",
-    "x5_html_bullets",
-    "x6_linkify_issue_keys",
-    # Latest green row r3:
-    "a1_status_groups_canonical_order",
-    "a3_group_stats_pct",
-    "a45_status_priority_cube",
-    "f1_date_range_filter",
-    "f3_semi_join_children_in_range",
-    "j1_star_join_revenue",
-    "j2_alias_first_match_join",
-    "j5_hierarchy_resolution",
-    "o3_latest_order_per_customer",
-    # -- oracle/output CHANGED in round 6 (PGM corpus leg; reference-
-    #    exact S18 extractor) --
-    "multimodal_decode",
-    "s18_python_literal_extract",
-    # -- new in round 6 (never driver-sampled) --
-    "contamination_semantic",
-    "text_bm25_topk",
+    # -- never driver-green; oracle CAST fixed in round 7 --
     "source_js_divergence",
     "events_decay_activity",
-    "chat_pack_conversations",
     "sample_mixture_budget",
-    "dedup_cdc_chunks",
-    "k_bucketed_join_roundtrip",
-    "knn_recall_audit",
-    "dedup_incremental_ingest",
-    "embedding_label_centroids",
-    "sketch_hll_rollup",
-    "embedding_pq_encode",
     "knn_pq_adc",
-    "text_topk_per_source",
-    "dedup_cross_source_matrix",
-    "sketch_cms_rollup",
-    "text_ngram_novelty",
-    "doc_language_confusion",
-    "sample_topn_per_source",
-    "events_anomaly_zscore",
-    "x_assignee_split_groups",
+    # -- latest green row r4 (testdata regenerated twice since) --
+    "a15_participants",
+    "a18_reactions_rollup",
+    "cc_large_star",
+    "contamination_ngram_overlap",
+    "dashboard_week_frame",
+    "dedup_simhash",
+    "epic_tree_render",
+    "f5_substring_filter",
+    "f6_team_threshold_filter",
+    "f9_section_date_trim",
+    "j10_member_doc_join",
+    "j12_channel_resolution",
+    "j3_mention_resolution",
+    "j4_field_label_join",
+    "j7_changelog_attach",
+    "j8_changelog_injection",
+    "j9_blob_path_join",
+    "k1_csv_union_header_roundtrip",
+    "k2_partitioned_write_roundtrip",
+    "k5_json_snapshot_roundtrip",
+    "k6_datasource_sections",
+    "k8_upsert_merge",
+    "k9_cache_freshness",
+    "k_bucketed_colocated_join",
+    "o4_lexicographic_concat",
+    "pack_token_bins",
+    "s12_drive_catalog_scan",
+    "s14_jdbc_pushdown_join",
+    "s1_jira_connector_roundtrip",
+    "s9_slack_history_pushdown",
+    "sample_stratified_hash",
+    "sample_temperature_mix",
+    "slack_capture_pipeline",
+    "text_c4_filters",
+    "text_line_dedup",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_token_entropy",
+    "text_url_normalize",
+    "u2_distinct_keys_from_text",
+    "u8_schema_union_by_name",
+    "weekly_digest_pipeline",
+    "x19_transcript_parse",
+    "x21_changelog_compact",
+    "x23_json_field_extract",
+    "x24_custom_field_map",
 ]
 
 

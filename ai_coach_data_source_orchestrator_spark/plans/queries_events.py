@@ -634,7 +634,10 @@ DECAY_HALFLIFE_S = 7 * 86400
                     AS BIGINT) AS w_micro
         FROM events CROSS JOIN ref
     )
-    SELECT user_id, COUNT(*) AS n_events, SUM(w_micro) AS activity_micro
+    SELECT user_id, COUNT(*) AS n_events,
+           -- CAST: DuckDB SUM(BIGINT) returns HUGEINT -> float64 through the
+           -- driver's pandas path; int64 holds the micro-scaled sum easily.
+           CAST(SUM(w_micro) AS BIGINT) AS activity_micro
     FROM w GROUP BY user_id
     """,
     survey_ids=("A8", "X9"),

@@ -175,8 +175,13 @@ def _jsd_oracle() -> str:
     )
     SELECT source,
            COUNT(*) AS n_shared_tokens,
-           SUM(c_micro)
+           -- Outer cast: DuckDB SUM(BIGINT) is HUGEINT, which the driver's
+           -- pandas materialization turns into float64 (hash mismatch vs
+           -- Spark's bigint). CAST back to BIGINT — values are micro-scaled
+           -- and fit comfortably in int64.
+           CAST(SUM(c_micro)
              + CAST(floor(0.5 * ln(2.0) * (1000000 - SUM(q_micro)) + 0.5) AS BIGINT)
+             AS BIGINT)
              AS jsd_micro
     FROM contrib GROUP BY source
     """

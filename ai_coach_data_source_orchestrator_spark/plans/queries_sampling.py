@@ -243,7 +243,9 @@ _BUDGET_TAU = 0.7
     oracle=f"""
     WITH c AS (
       SELECT source,
-             SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS avail_tokens
+             -- CAST: DuckDB SUM(BIGINT) returns HUGEINT -> float64 through
+             -- the driver's pandas path; int64 holds the token sum easily.
+             CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS avail_tokens
       FROM documents GROUP BY source
     ),
     t AS (SELECT CAST(SUM(CAST(pow(avail_tokens, {_BUDGET_TAU}) AS DECIMAL(28,12))) AS DOUBLE) AS sw

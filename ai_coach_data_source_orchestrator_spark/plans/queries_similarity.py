@@ -934,7 +934,9 @@ def _pq_adc_oracle() -> str:
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     dt AS ({dtable}),
     est AS (
-      SELECT dt.query_id, b.vec_id AS neighbor_id, SUM(dt.d_micro) AS est_micro
+      -- CAST: DuckDB SUM(BIGINT) returns HUGEINT -> float64 through the
+      -- driver's pandas path; int64 holds the micro-scaled distance sum.
+      SELECT dt.query_id, b.vec_id AS neighbor_id, CAST(SUM(dt.d_micro) AS BIGINT) AS est_micro
       FROM best b JOIN dt ON dt.s = b.s AND dt.cid = b.cid
       WHERE b.r = 1 AND dt.query_id <> b.vec_id
       GROUP BY 1, 2

@@ -79,6 +79,40 @@ def test_oracle_parity(spark, sf_dir, spec):
     assert sc == oc, f"{spec.name}: first value mismatches at {[(i, sc[i], oc[i]) for i in mism]}"
 
 
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_output_types_survive_pandas(spec, sf_dir):
+    # Driver-canonicalizer contract, round 2 (the r6 HUGEINT failure):
+    # the external harness materializes oracle results through pandas
+    # (fetchdf), where DuckDB HUGEINT/UHUGEINT becomes float64 — so an
+    # un-cast SUM(BIGINT) column hashes `1234.0` against Spark's bigint
+    # `1234`. Our local fetchall() yields exact Python ints and CANNOT
+    # see this (all 145 parities were green locally while the driver
+    # showed 4 red rows in r6). Pin it Spark-free at the type level:
+    # DESCRIBE every oracle and reject HUGEINT-family and
+    # wider-than-int64 DECIMAL output columns.
+    con = _duck(sf_dir)
+    rows = con.execute(f"DESCRIBE SELECT * FROM ({spec.oracle})").fetchall()
+    bad = []
+    for name, coltype, *_ in rows:
+        t = coltype.upper()
+        if "HUGEINT" in t:  # HUGEINT and UHUGEINT
+            bad.append((name, coltype))
+        elif t.startswith("DECIMAL"):
+            # DECIMAL(p,0) with p>18 can exceed int64; wider scales reach
+            # pandas as float64/object. int64 max is 19 digits but not all
+            # 19-digit values fit, so require p<=18.
+            import re as _re
+
+            m = _re.match(r"DECIMAL\((\d+),(\d+)\)", t)
+            if m and (int(m.group(1)) > 18 or int(m.group(2)) > 0):
+                bad.append((name, coltype))
+    assert not bad, (
+        f"{spec.name}: oracle output columns {bad} will not survive the "
+        f"driver's pandas materialization exactly — wrap in CAST(... AS "
+        f"BIGINT) (or DOUBLE if genuinely fractional)"
+    )
+
+
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
 def test_rows_only_runs(spark, sf_dir, spec):
     sdf = spec.fn(spark, sf_dir)
