@@ -31,8 +31,39 @@ LANG_PRIORITY = ("en", "de", "es", "fr")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization of trimmed text → array<string>."""
+    """Whitespace tokenization of trimmed text → array<string>.
+
+    Exact semantics (``tokens_py`` is the Python twin — keep in sync):
+    Spark ``trim`` strips ASCII space (0x20) ONLY from both ends; Java
+    regex ``\\s`` is the ASCII class ``[ \\t\\n\\x0B\\f\\r]`` (NBSP and
+    other Unicode whitespace are ordinary characters); ``split`` with
+    the default limit −1 KEEPS leading/trailing empty tokens, so
+    ``"\\ta b\\n"`` tokenizes to ``["", "a", "b", ""]``.
+    """
     return F.split(F.trim(text), r"\s+")
+
+
+# Python re class identical to Java \s (ASCII-only; \x0b is Java \x0B).
+_ASCII_WS_RE = None  # compiled lazily to keep module import light
+
+
+def tokens_py(text: str) -> list[str]:
+    """Python twin of :func:`tokens` — bit-identical token positions for
+    any input, including edge/Unicode whitespace.
+
+    Used by per-row chunkers (``streaming/cdc.py``) whose boundaries
+    must agree with the batch window operator built on :func:`tokens`.
+    Verified against Spark on edge cases in
+    ``tests/test_streaming_batch_equivalence.py``.
+    """
+    global _ASCII_WS_RE
+    if _ASCII_WS_RE is None:
+        import re
+
+        _ASCII_WS_RE = re.compile(r"[\t\n\x0b\f\r ]+")
+    # str.strip(" ") strips ASCII spaces only (Spark trim); re.split on
+    # the ASCII class keeps leading/trailing empties (Java limit −1).
+    return _ASCII_WS_RE.split(text.strip(" "))
 
 
 def token_count(text: Column) -> Column:

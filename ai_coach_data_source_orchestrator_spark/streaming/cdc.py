@@ -25,6 +25,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.text import tokens_py
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -66,9 +68,13 @@ def chunk_rows_stream(
         for pdf in batches:
             out = {f.name: [] for f in CHUNK_SCHEMA.fields}
             for doc_id, ts, text in zip(pdf[id_col], pdf[ts_col], pdf[text_col]):
-                tokens = str(text).strip().split()
-                if not tokens:
-                    tokens = [""]
+                # tokens_py is the exact Python twin of the batch
+                # tokenizer (functions.text.tokens): ASCII-space-only
+                # trim, ASCII \s split, leading/trailing empty tokens
+                # kept. A bare str.strip().split() here diverged on
+                # edge/Unicode whitespace (tabs, NBSP), producing
+                # different chunk boundaries than the batch operator.
+                tokens = tokens_py(str(text))
                 cur_start, cur, idx = 0, [], 0
                 for i, tok in enumerate(tokens):
                     cur.append(tok)

@@ -203,6 +203,35 @@ def test_chat_pack_bins_respect_budget_and_tile(spark, sf_dir):
             run += r["cost_tokens"]
 
 
+def test_tokens_py_is_exact_twin_of_spark_tokens(spark):
+    """functions.text.tokens_py must match tokens() token-for-token on
+    whitespace edge cases — the CDC streaming chunker's boundary
+    equivalence rests on this (empties kept, ASCII-only trim/split,
+    Unicode whitespace NOT a separator)."""
+    from ai_coach_data_source_orchestrator_spark.functions.text import tokens, tokens_py
+
+    cases = [
+        "",
+        " ",
+        "  a  ",
+        "\ta b\n",
+        "a\xa0b",          # NBSP: one token
+        " x",          # EM SPACE: not trimmed, not a separator
+        "a  b\tc",
+        " \t ",
+        "a b ",
+        "\n\na",
+        "x\x0b\x0cy",
+        "a\r\nb",
+        "﻿token",      # BOM (JS trim would strip it; ours must not)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string").select(
+        "text", tokens(F.col("text")).alias("toks")
+    )
+    for row in df.collect():
+        assert tokens_py(row["text"]) == row["toks"], repr(row["text"])
+
+
 def test_cdc_chunk_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming CDC ⇄ batch equivalence: replaying the documents table
     through a file stream must produce (1) the exact per-(doc, chunk)
@@ -215,7 +244,29 @@ def test_cdc_chunk_stream_matches_batch(spark, sf_dir, tmp_path):
     from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
     from ai_coach_data_source_orchestrator_spark.streaming import cdc as SC
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # The synthetic corpus is space-clean, which once masked a
+    # tokenizer divergence (ADVICE r6): the streaming chunker used
+    # str.strip().split() — full-Unicode whitespace, empties dropped —
+    # while the batch tokens() is ASCII-trim + Java \s with empties
+    # kept. Append documents with edge/Unicode whitespace so the
+    # equivalence claim covers the divergent cases: leading/trailing
+    # tabs+newlines (leading/trailing empty tokens), NBSP and EM SPACE
+    # (NOT separators in Java \s — must stay inside one token),
+    # whitespace-only and empty text, and \r\n / vertical-tab runs.
+    base = 10_000_000
+    edge_texts = [
+        "\talpha beta gamma delta epsilon zeta\n",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "   ",
+        "",
+        "one\r\ntwo\x0bthree\x0cfour five six seven eight nine ten",
+        " \t mixed    ws\ttokens\n\n",
+    ]
+    edge = spark.createDataFrame(
+        [(base + i, t) for i, t in enumerate(edge_texts)], "doc_id bigint, text string"
+    )
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").unionByName(edge)
+    docs = all_docs.select(
         "doc_id",
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
         "text",
@@ -225,9 +276,7 @@ def test_cdc_chunk_stream_matches_batch(spark, sf_dir, tmp_path):
     docs.where(gate).coalesce(1).write.parquet(str(d))
     docs.where(~gate).coalesce(1).write.mode("append").parquet(str(d))
 
-    batch = cdc_chunks(
-        load_table(spark, sf_dir, "documents"), k=4, divisor=16
-    )
+    batch = cdc_chunks(all_docs, k=4, divisor=16)
     batch_rows = sorted(
         (r["doc_id"], r["chunk_idx"], r["start_pos"], r["n_tokens"], r["chunk_hash"])
         for r in batch.collect()
