@@ -660,6 +660,7 @@ def pq_adc_topk(
     n_sub: int = 8,
     n_codes: int = 16,
     dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
     a (n_sub × n_codes) distance lookup table against the codebook, and
@@ -677,6 +678,12 @@ def pq_adc_topk(
     the IVF centroid matrix) is collected once into the closure; scoring
     is one Arrow gather per batch; only the per-query top-k window
     shuffles, keyed by query_id.
+
+    ``exclude_self`` assumes queries are DRAWN FROM THE CORPUS id
+    space (the registry query's setup) and drops the trivial
+    query==neighbor hit. Pass ``False`` for a disjoint external query
+    set — otherwise a corpus vector whose id happens to collide with a
+    query id would be silently excluded from that query's top-k.
     """
     import numpy as np
     import pandas as pd  # noqa: F401
@@ -690,6 +697,12 @@ def pq_adc_topk(
         .orderBy("qid")
         .collect()
     )  # bounded query set — the one allowed collect (IVF-centroid precedent)
+    if not q_rows:
+        # Empty query set: np indexing on a 0-row dtable and F.lit([])
+        # both crash downstream — return the (empty) answer directly.
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, est_micro bigint"
+        )
     qids = np.array([r["qid"] for r in q_rows], dtype="int64")
     Q = np.array([list(r["qv"]) for r in q_rows], dtype="float64")  # (n_q, dim)
     # dtable[q, s, c]: left-associative over sub_dim, then micro-scaled.
@@ -719,7 +732,9 @@ def pq_adc_topk(
         F.element_at(F.lit([int(q) for q in qids]), F.col("q_idx") + 1).alias("query_id"),
         "neighbor_id",
         "est_micro",
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("est_micro"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -439,14 +439,27 @@ def k_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    import hashlib
     import shutil
     from urllib.parse import urlparse
 
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for name, df, key in (
+    # Table names are suffixed with a token derived from (application id,
+    # sf_dir): two concurrent PROCESSES (e.g. the smoke script and pytest
+    # sharing spark-warehouse/) get disjoint names and can no longer race
+    # on each other's DROP + rmtree of a half-written bucketed table
+    # (ADVICE r6). Within one session the name is stable, so repeated
+    # runs reuse/overwrite only their own tables.
+    token = hashlib.sha256(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:12]
+    names = {}
+    for base, df, key in (
         ("bkt_orders", orders, "o_orderkey"),
         ("bkt_lineitem", li, "l_orderkey"),
     ):
+        name = f"{base}_{token}"
+        names[base] = name
         # DROP alone is not enough: a fresh session's in-memory catalog
         # doesn't know about a previous run's table, but the managed
         # LOCATION persists on disk and blocks the recreate.
@@ -459,8 +472,8 @@ def k_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    bo = spark.table("bkt_orders")
-    bl = spark.table("bkt_lineitem")
+    bo = spark.table(names["bkt_orders"])
+    bl = spark.table(names["bkt_lineitem"])
     return (
         bo.join(bl, bo.o_orderkey == bl.l_orderkey)
         .groupBy("o_custkey")

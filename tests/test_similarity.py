@@ -200,3 +200,42 @@ def test_recall_audit_bounds_and_exact_leg(spark, sf_dir):
         assert r["n_exact"] == TOP_K
         assert 0 <= r["n_hits"] <= min(r["n_ann"], r["n_exact"])
         assert r["recall_micro"] == int(r["n_hits"] / r["n_exact"] * 1_000_000 + 0.5)
+
+
+def test_pq_adc_external_queries_keep_colliding_ids(spark):
+    """ADVICE r6: with a DISJOINT external query set (exclude_self=False),
+    a corpus vector whose id equals a query id must still be eligible —
+    and with the default exclude_self=True it is dropped."""
+    dim, n_codes = 64, 4
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 13) for j in range(dim)]) for i in range(24)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # External queries reuse ids 0 and 1 but are NOT corpus rows.
+    queries = spark.createDataFrame(
+        [(0, [2.5] * dim), (1, [9.5] * dim)], "vec_id bigint, embedding array<double>"
+    )
+    incl = S.pq_adc_topk(
+        corpus, queries, k=24, n_codes=n_codes, exclude_self=False
+    ).collect()
+    # every query scores the FULL corpus, including neighbor_id == query_id
+    by_q = {}
+    for r in incl:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q[0] == set(range(24)) and by_q[1] == set(range(24))
+
+    excl = S.pq_adc_topk(corpus, queries, k=24, n_codes=n_codes).collect()
+    for r in excl:
+        assert r["query_id"] != r["neighbor_id"]
+
+
+def test_pq_adc_empty_query_set_short_circuits(spark):
+    dim = 64
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(dim)]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = S.pq_adc_topk(corpus, empty, n_codes=4)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "est_micro"]
+    assert out.count() == 0
