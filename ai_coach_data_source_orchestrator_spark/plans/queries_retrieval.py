@@ -10,8 +10,16 @@ Float discipline (see registry.py): every per-term float score is
 micro-scaled to a BIGINT *before* any cross-row summation, so float
 addition order — which differs between Spark partial aggregation and
 DuckDB — can never flip the value hash. Transcendentals (ln) on
-deterministic double inputs are bit-identical across both engines (libm
-on this box; same precedent as sqrt/sin in the LSH oracles).
+deterministic double inputs have matched bit-for-bit between both
+engines on every box tested so far (same precedent as sqrt/sin in the
+LSH oracles) — but that is an EMPIRICAL same-box property of the two
+runtimes' libm, not a theorem: the fixed-point pattern
+``floor(f(x)·1e6 + 0.5)`` flips a whole micro unit if a future
+DuckDB/JVM build differs by one ulp exactly at a floor boundary.
+``tests/test_oracle_parity.py::test_transcendental_floor_margins``
+asserts no value in the current testdata sits within 1e-9 of a
+boundary, so a regenerated corpus that lands on one is diagnosed
+there instead of as an opaque hash mismatch.
 """
 
 from __future__ import annotations

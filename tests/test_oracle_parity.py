@@ -113,6 +113,116 @@ def test_oracle_output_types_survive_pandas(spec, sf_dir):
     )
 
 
+def test_transcendental_floor_margins(sf_dir):
+    """The fixed-point-of-transcendental pattern ``floor(f(x)·1e6+0.5)``
+    relies on DuckDB and the JVM computing f(x) bit-identically — an
+    EMPIRICAL same-box libm property, not a theorem. If a regenerated
+    corpus ever places a value within ~a-few-ulps of a floor boundary,
+    a one-ulp engine difference flips a whole micro unit and the parity
+    failure would be opaque. Assert every pre-floor value in the current
+    testdata keeps ≥1e-9 distance from the nearest integer, per site
+    (BM25 term scores, JSD contributions, decay weights, mixture
+    budgets) — so a boundary-straddling corpus fails HERE with a name.
+    """
+    from ai_coach_data_source_orchestrator_spark.plans.queries_events import (
+        DECAY_HALFLIFE_S,
+    )
+    from ai_coach_data_source_orchestrator_spark.plans.queries_retrieval import (
+        _TOKS,
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+    from ai_coach_data_source_orchestrator_spark.plans.queries_sampling import (
+        _BUDGET_TAU,
+        _BUDGET_TOKENS,
+    )
+
+    con = _duck(sf_dir)
+    margin = "abs(v - round(v))"
+
+    term_vs = []
+    for t in BM25_TERMS:
+        tf = f"len(list_filter(toks, x -> x = '{t}'))"
+        idf = f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        score = (
+            f"({idf}) * ({tf} * ({BM25_K1} + 1.0)) / "
+            f"({tf} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        )
+        term_vs.append(f"({score}) * 1000000.0 + 0.5")
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    sites = {
+        "bm25_term_scores": f"""
+            WITH toked AS (
+                SELECT doc_id, {_TOKS} AS toks,
+                       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS dl
+                FROM documents
+            ),
+            stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens, {df_cols} FROM toked)
+            SELECT MIN({margin}) FROM (
+                SELECT unnest([{", ".join(term_vs)}]) AS v
+                FROM toked CROSS JOIN
+                     (SELECT *, CAST(total_tokens AS DOUBLE) / n_docs AS avgdl FROM stats)
+            )""",
+        "jsd_contributions": f"""
+            WITH tok AS (
+                SELECT source, unnest({_TOKS}) AS tok FROM documents
+            ),
+            st AS (SELECT source, tok, COUNT(*) AS n_st FROM tok GROUP BY 1, 2),
+            s_tot AS (SELECT source, SUM(n_st) AS t_s FROM st GROUP BY 1),
+            ct AS (SELECT tok, COUNT(*) AS n_t FROM tok GROUP BY 1),
+            c_tot AS (SELECT SUM(n_t) AS t_c FROM ct),
+            terms AS (
+                SELECT CAST(st.n_st AS DOUBLE) / s_tot.t_s AS p,
+                       CAST(ct.n_t AS DOUBLE) / c_tot.t_c AS q
+                FROM st JOIN s_tot USING (source) JOIN ct USING (tok) CROSS JOIN c_tot
+            )
+            SELECT MIN({margin}) FROM (
+                SELECT unnest([
+                    (0.5 * p * ln(p / (0.5 * (p + q)))
+                     + 0.5 * q * ln(q / (0.5 * (p + q)))) * 1000000.0 + 0.5,
+                    q * 1000000.0 + 0.5
+                ]) AS v
+                FROM terms
+            )""",
+        "decay_weights": f"""
+            WITH ref AS (SELECT MAX(ts) AS t_ref FROM events)
+            SELECT MIN({margin}) FROM (
+                SELECT exp(-ln(2.0) * (epoch_us(t_ref) - epoch_us(ts))
+                           / 1000000.0 / {DECAY_HALFLIFE_S}) * 1000000.0 + 0.5 AS v
+                FROM events CROSS JOIN ref
+            )""",
+        "mixture_budget": f"""
+            WITH c AS (
+                SELECT source,
+                       CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS avail_tokens
+                FROM documents GROUP BY source
+            ),
+            t AS (SELECT CAST(SUM(CAST(pow(avail_tokens, {_BUDGET_TAU}) AS DECIMAL(28,12))) AS DOUBLE) AS sw
+                  FROM c)
+            SELECT MIN({margin}) FROM (
+                SELECT unnest([
+                    pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS},
+                    least(1.0, (floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}))
+                          / c.avail_tokens) * 1000000.0 + 0.5,
+                    (floor(pow(c.avail_tokens, {_BUDGET_TAU}) / t.sw * {_BUDGET_TOKENS}))
+                          / c.avail_tokens * 1000000.0 + 0.5
+                ]) AS v
+                FROM c CROSS JOIN t WHERE c.avail_tokens > 0
+            )""",
+    }
+    for name, sql in sites.items():
+        (got,) = con.execute(sql).fetchone()
+        assert got is not None and got >= 1e-9, (
+            f"{name}: a pre-floor value sits {got} from a floor boundary — "
+            f"a one-ulp libm difference between engines could flip the hash; "
+            f"regenerated testdata should be inspected/re-rolled"
+        )
+
+
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
 def test_rows_only_runs(spark, sf_dir, spec):
     sdf = spec.fn(spark, sf_dir)
