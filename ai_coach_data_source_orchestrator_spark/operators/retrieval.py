@@ -1,0 +1,60 @@
+"""BM25 corpus-statistics builders, shared by the batch registry query
+(``plans/queries_retrieval.text_bm25_topk``) and its streaming twin
+(``streaming/retrieval.bm25_corpus_stats_stream``).
+
+Reference scope: the reference ranks documents for retrieval-style
+subset pulls (search/export paths, e.g. confluence/lib/search.js); BM25
+is the standard lexical scorer for that job, restated Spark-first.
+
+The whole point of sharing these builders is that the streaming side
+maintains EXACTLY the batch aggregate incrementally: one row of
+(n_docs, total_tokens, df_term...) built from identical column
+expressions, so the batch-equivalence test proves the merge is exact,
+not merely close.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# Fixed query-term set (ordered — the unrolled score sum follows this
+# order textually in both engines). Chosen from the synthetic corpus
+# vocabulary with a spread of document frequencies.
+BM25_TERMS = ("spark", "join", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, toks, dl): the tokenized view every BM25 stage reads.
+    ``dl`` is 0 for whitespace-only text (split yields [""] there, which
+    must not count as one token)."""
+    toks = T.tokens(F.col(text_col))
+    return docs.select(
+        id_col,
+        toks.alias("toks"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .alias("dl"),
+    )
+
+
+def bm25_stats_aggs() -> list[Column]:
+    """The one-pass corpus aggregate: N, total tokens, per-term document
+    frequencies — all map-side-combinable sums/counts, which is what
+    makes the same expression list valid as an incrementally-maintained
+    streaming aggregate (Spark merges partials across micro-batches
+    exactly as it merges them across partitions)."""
+    return [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    ] + [
+        F.sum(
+            F.when(F.array_contains("toks", t), F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"df_{t}")
+        for t in BM25_TERMS
+    ]

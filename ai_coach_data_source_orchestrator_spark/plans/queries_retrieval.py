@@ -33,13 +33,17 @@ from .registry import register
 
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
-# Fixed query-term set (ordered — the unrolled score sum follows this
-# order textually in BOTH engines). Chosen from the synthetic corpus
-# vocabulary with a spread of document frequencies.
-BM25_TERMS = ("spark", "join", "window", "merge")
-BM25_K1 = 1.2
-BM25_B = 0.75
-BM25_TOPK = 10
+# Constants and the tokenize/stats builders live in operators/retrieval
+# (shared with the streaming corpus-stats twin); re-exported here for
+# the oracle builders and tests.
+from ..operators.retrieval import (  # noqa: E402
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+    BM25_TOPK,
+    bm25_stats_aggs,
+    bm25_tokenize,
+)
 
 
 def _bm25_oracle() -> str:
@@ -106,24 +110,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, which follows BM25_TERMS order textually in both engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    toked = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
-        .otherwise(F.size(toks))
-        .alias("dl"),
-    )
-    stats_aggs = [
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
-    ] + [
-        F.sum(
-            F.when(F.array_contains("toks", t), F.lit(1)).otherwise(F.lit(0))
-        ).alias(f"df_{t}")
-        for t in BM25_TERMS
-    ]
-    stats = toked.agg(*stats_aggs).withColumn(
+    toked = bm25_tokenize(docs)
+    stats = toked.agg(*bm25_stats_aggs()).withColumn(
         "avgdl", F.col("total_tokens").cast("double") / F.col("n_docs")
     )
 

@@ -1,0 +1,36 @@
+"""Streaming twin of the BM25/JSD corpus-stats aggregate.
+
+A retrieval index over a growing corpus needs its global statistics
+(document count, total tokens, per-term document frequencies) kept
+CURRENT as documents arrive — recomputing the batch aggregate per query
+would rescan the corpus. Structured Streaming maintains exactly the
+batch one-row aggregate incrementally: every statistic in
+``operators/retrieval.bm25_stats_aggs`` is an algebraic sum/count, so
+Spark's stateful aggregation merges each micro-batch's partials into
+the running state the same way batch merges partials across partitions
+— the result is bit-identical to the batch aggregate over the same
+documents (proved in ``tests/test_streaming_batch_equivalence.py``).
+
+State: ONE row (a handful of longs) regardless of corpus size — the
+cheapest possible streaming state; no watermark needed because nothing
+is ever evicted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.retrieval import bm25_stats_aggs, bm25_tokenize
+
+
+def bm25_corpus_stats_stream(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Running (n_docs, total_tokens, df_term..., avgdl) over a document
+    stream. Write with ``outputMode("complete")`` — the sink always
+    holds the current one-row snapshot a scoring job broadcasts."""
+    toked = bm25_tokenize(docs, id_col, text_col)
+    return toked.agg(*bm25_stats_aggs()).withColumn(
+        "avgdl", F.col("total_tokens").cast("double") / F.col("n_docs")
+    )

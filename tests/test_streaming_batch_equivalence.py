@@ -306,3 +306,51 @@ def test_cdc_chunk_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in SC.chunk_rows_stream(docs).collect()  # batch DF through the same path
     )
     assert streamed_rows == batch_rows
+
+
+def test_bm25_corpus_stats_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming ⇄ batch equivalence for the BM25/JSD corpus-stats
+    aggregate (VERDICT r6 item 6): replaying the documents table through
+    a two-file stream in complete mode must leave the memory sink
+    holding EXACTLY the batch one-row aggregate — Spark merges per-batch
+    partials into running state the same way batch merges partials
+    across partitions, and every statistic is an algebraic sum/count so
+    the merge is exact (avgdl, the one float, is derived from exact
+    longs post-merge)."""
+    import uuid as _uuid
+
+    from ai_coach_data_source_orchestrator_spark.operators.retrieval import (
+        bm25_stats_aggs,
+        bm25_tokenize,
+    )
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+    from ai_coach_data_source_orchestrator_spark.streaming import retrieval as SR
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tmp_path / f"bm25_{_uuid.uuid4().hex[:8]}"
+    gate = F.crc32(F.col("text")) % 2 == 0  # two files → two micro-batches
+    docs.where(gate).coalesce(1).write.parquet(str(d))
+    docs.where(~gate).coalesce(1).write.mode("append").parquet(str(d))
+
+    batch_row = (
+        bm25_tokenize(docs)
+        .agg(*bm25_stats_aggs())
+        .withColumn("avgdl", F.col("total_tokens").cast("double") / F.col("n_docs"))
+        .collect()[0]
+        .asDict()
+    )
+
+    sdf = spark.readStream.schema("doc_id bigint, text string").parquet(str(d))
+    name = f"bm25_{_uuid.uuid4().hex[:8]}"
+    q = (
+        SR.bm25_corpus_stats_stream(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(stream_rows) == 1
+    assert stream_rows[0].asDict() == batch_row
