@@ -289,37 +289,125 @@ def compact_change_line() -> Column:
     )
 
 
+def changelog_author(display_name: Column, name: Column, email: Column) -> Column:
+    """``(h.author && (displayName || name || emailAddress)) || 'Unknown'``
+    (changelog-flatten.js:168) — JS-truthy chain, so EMPTY strings fall
+    through just like null."""
+    nz = lambda c: F.when(c.isNotNull() & (c != ""), c)  # noqa: E731
+    return F.coalesce(nz(display_name), nz(name), nz(email), F.lit("Unknown"))
+
+
+# Stand-in for the reference's `${Date.now()}` missing-history-id
+# fallback (changelog-flatten.js:169): one token per run, so every
+# missing-id history in a call collapses into a single group — exactly
+# what the reference does when the histories flatten within one clock
+# millisecond (golden-pinned in test_golden_changelog_bullets.py).
+MISSING_HISTORY_ID = "__missing_history_id__"
+
+
 def changelog_bullets(changelogs: DataFrame, end_date: str | None = None) -> DataFrame:
     """(issue_key, bullets_md): per-history ``date author`` header +
     ``- item`` lines, chronological, F10 end-date cutoff — the
     getChangelogBullets block format (changelog-markdown.js:60-105).
-    Groups join with a blank line."""
+    Groups join with a blank line.
+
+    Ordering contract: the reference stable-sorts flattened entries by
+    DATE STRING ONLY (changelog-flatten.js:184
+    ``a.date.localeCompare(b.date)``), so within one date the Jira
+    API's history order — and within one history the raw item index —
+    survive into the output. When the ingest captured those ordinals
+    (``history_ord``/``item_ord`` columns present), this emits
+    reference-exact ordering: blocks and items follow
+    (date, history_ord, item_ord), missing history ids collapse into
+    one group per issue (the pinned-clock quirk above), and the block
+    header carries the first entry's date+author. Frames WITHOUT
+    ordinals keep the previous deterministic normalization — blocks by
+    (created, history_id), items by (field, line) — because a
+    DataFrame has no row order to preserve; callers that need
+    reference-exact output must carry the ordinals from ingest.
+    """
     ch = changelogs
     if end_date is not None:
+        # Reference: entries filtered by formatted date <= 'end 23:59'
+        # string-compare — date-only vs the longer key makes the end
+        # date INCLUSIVE, which the date cast reproduces.
         ch = ch.where(F.col("created").cast("date") <= F.lit(end_date))
-    item = F.struct(F.col("field").alias("f"), compact_change_line().alias("l"))
-    groups = (
-        ch.groupBy("issue_key", "history_id")
-        .agg(
-            F.min("created").alias("created"),
-            F.min("author").alias("author"),
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(item)), lambda i: F.concat(F.lit("- "), i["l"])),
-                "\n",
-            ).alias("items_md"),
+    ordered = {"history_ord", "item_ord"} <= set(ch.columns)
+    if ordered:
+        date_str = F.col("created").cast("date").cast("string")
+        gkey = F.coalesce(
+            F.when(F.trim("history_id") != "", F.trim("history_id")),
+            F.lit(MISSING_HISTORY_ID),
         )
-        .select(
-            "issue_key",
-            F.struct(
-                "created",
-                "history_id",
-                F.concat(
-                    F.col("created").cast("date").cast("string"), F.lit(" "),
-                    F.coalesce("author", F.lit("Unknown")), F.lit("\n"), F.col("items_md"),
-                ).alias("block"),
-            ).alias("g"),
+        ord_struct = F.struct(
+            date_str.alias("d"),
+            F.col("history_ord").alias("h"),
+            F.col("item_ord").alias("i"),
         )
-    )
+        item = F.struct(
+            date_str.alias("d"),
+            F.col("history_ord").alias("h"),
+            F.col("item_ord").alias("i"),
+            compact_change_line().alias("l"),
+        )
+        first = F.struct(
+            date_str.alias("d"),
+            F.col("history_ord").alias("h"),
+            F.col("item_ord").alias("i"),
+            F.coalesce("author", F.lit("Unknown")).alias("a"),
+        )
+        groups = (
+            ch.groupBy("issue_key", gkey.alias("gkey"))
+            .agg(
+                # lexicographic struct min = the (date, h, i)-first entry;
+                # its date+author head the block (groups.set(key, {date: e.date,
+                # author: e.author}) over the SORTED entries).
+                F.min(first).alias("first"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(item)),
+                        lambda i: F.concat(F.lit("- "), i["l"]),
+                    ),
+                    "\n",
+                ).alias("items_md"),
+            )
+            .select(
+                "issue_key",
+                F.struct(
+                    F.col("first.d").alias("d"),
+                    F.col("first.h").alias("h"),
+                    F.col("first.i").alias("i"),
+                    F.concat(
+                        F.col("first.d"), F.lit(" "), F.col("first.a"),
+                        F.lit("\n"), F.col("items_md"),
+                    ).alias("block"),
+                ).alias("g"),
+            )
+        )
+    else:
+        item = F.struct(F.col("field").alias("f"), compact_change_line().alias("l"))
+        groups = (
+            ch.groupBy("issue_key", "history_id")
+            .agg(
+                F.min("created").alias("created"),
+                F.min("author").alias("author"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(item)), lambda i: F.concat(F.lit("- "), i["l"])),
+                    "\n",
+                ).alias("items_md"),
+            )
+            .select(
+                "issue_key",
+                F.struct(
+                    "created",
+                    "history_id",
+                    F.concat(
+                        F.col("created").cast("date").cast("string"), F.lit(" "),
+                        F.coalesce("author", F.lit("Unknown")), F.lit("\n"), F.col("items_md"),
+                    ).alias("block"),
+                ).alias("g"),
+            )
+        )
     return (
         groups.groupBy("issue_key")
         .agg(

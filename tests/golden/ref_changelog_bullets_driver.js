@@ -1,0 +1,61 @@
+// Golden-test driver: executes the REFERENCE repo's full changelog
+// bullet-block assembly (jira/lib/changelog-markdown.js —
+// getChangelogBullets, exported; grouping by historyId, first-seen
+// block ordering over the date-string-stable-sorted entries of
+// jira/lib/changelog-flatten.js flattenChangelogs, end_date cutoff)
+// over a JSON fixture and prints the per-case block arrays. Both
+// modules are EVALUATED from /root/reference with stubbed config
+// (fixture-supplied, so end_date is exercised); fs/path are real but
+// the cache-read path is unreachable (every case passes rawHistories
+// as an array). Date.now is PINNED so the missing-history-id fallback
+// (`${Date.now()}`) is deterministic — which also exposes the
+// reference's collapse of ALL missing-id histories in one call into a
+// single group. Read-only, no network, nothing copied.
+//
+// Usage: node ref_changelog_bullets_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+delete process.env.TEAM;
+delete process.env.REPORT_TYPE;
+Date.now = () => 1700000000000; // pin the missing-id fallback
+
+let currentConfig = null;
+const configStub = {
+  ConfigManager: { loadForReportType: () => currentConfig },
+  load: () => currentConfig,
+};
+
+const flattenSrc = fs.readFileSync(
+  path.join(refRoot, 'jira', 'lib', 'changelog-flatten.js'),
+  'utf8'
+);
+const flattenModule = { exports: {} };
+new Function('require', 'module', 'exports', flattenSrc)(
+  () => configStub, flattenModule, flattenModule.exports
+);
+
+const mdSrc = fs.readFileSync(
+  path.join(refRoot, 'jira', 'lib', 'changelog-markdown.js'),
+  'utf8'
+);
+const mdRequire = (name) => {
+  if (name === 'fs') return fs;
+  if (name === 'path') return path;
+  if (name === './changelog-flatten') return flattenModule.exports;
+  return configStub; // ../../lib/config
+};
+const mdModule = { exports: {} };
+new Function('require', 'module', 'exports', '__dirname', mdSrc)(
+  mdRequire, mdModule, mdModule.exports, path.join(refRoot, 'jira', 'lib')
+);
+
+const out = fixture.cases.map((c) => {
+  currentConfig = c.config || null;
+  return mdModule.exports.getChangelogBullets(c.key, c.histories);
+});
+process.stdout.write(JSON.stringify({ bullets: out }));

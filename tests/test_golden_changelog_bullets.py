@@ -1,0 +1,177 @@
+"""Golden parity: changelog_bullets (ordered mode) vs the reference's
+OWN getChangelogBullets (jira/lib/changelog-markdown.js:40-82 over
+changelog-flatten.js flattenChangelogs) executed via node.
+
+The ordering semantics are the whole point (this drove the r7
+ordered-mode rewrite): the reference stable-sorts entries by DATE
+STRING ONLY, so same-date blocks keep Jira API history order — NOT
+timestamp order — and items inside a block keep their raw index order
+— NOT field order; missing-id histories collapse into one group via
+the `${Date.now()}` fallback (the driver pins the clock). None of that
+is visible to fixtures with one item per history, which is why the
+divergence survived until this driver.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.pipeline.epic_tree import (
+    changelog_author,
+    changelog_bullets,
+)
+
+DRIVER = Path(__file__).parent / "golden" / "ref_changelog_bullets_driver.js"
+REF = Path("/root/reference")
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+# (key, config, histories) — created as no-zone ISO so JS local-time
+# formatting and the Spark date cast agree on the calendar date.
+CASES = [
+    # multi-item history: raw item order (status before assignee) must
+    # survive — an alphabetical item sort flips it; same-date histories
+    # arrive OUT of timestamp order: input order must win over time.
+    (
+        "T-1",
+        None,
+        [
+            {"id": "900", "author": {"displayName": "Alice"}, "created": "2025-10-08T11:00:00",
+             "items": [
+                 {"field": "status", "fromString": "To Do", "toString": "Done"},
+                 {"field": "assignee", "fromString": "Bob", "toString": "Alice"},
+             ]},
+            {"id": "100", "author": {"name": "bob"}, "created": "2025-10-08T09:00:00",
+             "items": [{"field": "priority", "fromString": "P2", "toString": "P1"}]},
+            {"id": "500", "author": {"emailAddress": "c@x"}, "created": "2025-10-07T23:00:00",
+             "items": [{"field": "summary", "fromString": "a", "toString": "b"}]},
+        ],
+    ),
+    # missing-id histories collapse into ONE group (pinned Date.now);
+    # input order is reversed vs date order — the date sort decides
+    # which entry heads the merged block.
+    (
+        "T-2",
+        None,
+        [
+            {"author": {"displayName": "NoId2"}, "created": "2025-10-06T10:00:00",
+             "items": [{"field": "status", "fromString": "B", "toString": "C"}]},
+            {"author": {"displayName": "NoId1"}, "created": "2025-10-05T10:00:00",
+             "items": [{"field": "status", "fromString": "A", "toString": "B"}]},
+        ],
+    ),
+    # author fallback chain: empty displayName falls through (JS-falsy),
+    # {} → Unknown; a missing-id history coexisting with real ids.
+    (
+        "T-3",
+        None,
+        [
+            {"id": "7", "author": {}, "created": "2025-10-01T08:00:00",
+             "items": [{"field": "labels", "fromString": "a, b", "toString": "b, c"}]},
+            {"id": "8", "author": {"displayName": "", "name": "fallback"},
+             "created": "2025-10-02T08:00:00",
+             "items": [{"field": "Rank", "fromString": None, "toString": "Ranked higher"}]},
+            {"author": {"displayName": "Orphan"}, "created": "2025-10-03T08:00:00",
+             "items": [{"field": "parent", "fromString": "E-1", "toString": "E-2"}]},
+        ],
+    ),
+]
+
+# end_date cutoff: 23:30 on the end date survives the reference's
+# string-compare against 'YYYY-MM-DD 23:59'; 00:30 next day is dropped.
+END_DATE_CASE = (
+    "T-4",
+    {"jira": {"end_date": "2025-10-08"}},
+    [
+        {"id": "1", "author": {"displayName": "A"}, "created": "2025-10-08T23:30:00",
+         "items": [{"field": "status", "fromString": "x", "toString": "y"}]},
+        {"id": "2", "author": {"displayName": "B"}, "created": "2025-10-09T00:30:00",
+         "items": [{"field": "status", "fromString": "y", "toString": "z"}]},
+    ],
+)
+
+
+def _reference_blocks(cases):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(
+            {"cases": [{"key": k, "config": cfg, "histories": h} for k, cfg, h in cases]}
+        ),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)["bullets"]
+
+
+def _frame(spark, cases):
+    rows = []
+    for key, _cfg, histories in cases:
+        for h_ord, h in enumerate(histories):
+            a = h.get("author") or {}
+            for i_ord, it in enumerate(h["items"]):
+                rows.append(
+                    (
+                        key,
+                        h.get("id"),
+                        h_ord,
+                        i_ord,
+                        a.get("displayName"),
+                        a.get("name"),
+                        a.get("emailAddress"),
+                        h["created"].replace("T", " "),
+                        it["field"],
+                        it.get("fromString"),
+                        it.get("toString"),
+                    )
+                )
+    df = spark.createDataFrame(
+        rows,
+        "issue_key string, history_id string, history_ord int, item_ord int, "
+        "a_display string, a_name string, a_email string, created string, "
+        "field string, from_string string, to_string string",
+    )
+    return df.withColumn(
+        "author", changelog_author(F.col("a_display"), F.col("a_name"), F.col("a_email"))
+    )
+
+
+def _spark_blocks(df, end_date=None):
+    got = {
+        r["issue_key"]: r["bullets_md"]
+        for r in changelog_bullets(df, end_date=end_date).collect()
+    }
+    out = {}
+    for key, md in got.items():
+        blocks = []
+        for grp in md.split("\n\n"):
+            blocks.extend(grp.split("\n"))
+            blocks.append("")
+        out[key] = blocks
+    return out
+
+
+@needs_node
+def test_changelog_bullets_match_reference(spark):
+    ref = _reference_blocks(CASES)
+    mine = _spark_blocks(_frame(spark, CASES))
+    for (key, _cfg, _h), expected in zip(CASES, ref):
+        assert mine[key] == expected, key
+
+
+@needs_node
+def test_changelog_bullets_end_date_matches_reference(spark):
+    ref = _reference_blocks([END_DATE_CASE])
+    key, cfg, _h = END_DATE_CASE
+    mine = _spark_blocks(_frame(spark, [END_DATE_CASE]), end_date=cfg["jira"]["end_date"])
+    assert mine[key] == ref[0]
