@@ -117,6 +117,19 @@ QUERIES = [
     ("doc_language_confusion", "documents"),
     ("sample_topn_per_source", "documents"),
     ("events_anomaly_zscore", "events"),
+    # round 7 additions: fact-table-heavy registry queries previously
+    # unmeasured at sf1 — window chains, as-of, rollup cascade, cube,
+    # hierarchy walk, markup transform, epic-tree render.
+    ("rollup_hypertable_cascade", "events"),
+    ("asof_join_checkpoints", "events"),
+    ("a10_daily_window", "events"),
+    ("a13_week_frame", "events"),
+    ("o3_latest_order_per_customer", "orders"),
+    ("a45_status_priority_cube", "orders"),
+    ("j5_hierarchy_resolution", "part"),
+    ("x2_wiki_to_markdown", "part"),
+    ("u3_dedup_by_key", "lineitem"),
+    ("epic_tree_render", "supplier"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
@@ -126,6 +139,14 @@ EXTRA_TABLES = {
     "j1_star_join_revenue": {"orders", "customer", "nation", "region"},
     "k_bucketed_join_roundtrip": {"orders"},
 }
+
+# The invalidation stamp must cover the FULL table list even for
+# SMOKE_QUERIES-subset runs: a stamp over the filtered subset would
+# mismatch a previously-stored full stamp and rmtree a complete (and
+# expensive) synthesis just to rebuild a few tables. With the full
+# stamp, a subset run reuses existing replicas, synthesizes only its
+# missing tables, and a later full run fills in the rest.
+ALL_TABLES = list(TABLES)
 
 if os.environ.get("SMOKE_QUERIES"):
     _wanted = set(os.environ["SMOKE_QUERIES"].split(","))
@@ -169,7 +190,7 @@ def _alphabet_rotation(r: int) -> tuple[str, str]:
 
 def _source_stamp() -> str:
     return ",".join(
-        f"{t}:{os.path.getmtime(f'{SRC}/{t}.parquet'):.0f}" for t in TABLES
+        f"{t}:{os.path.getmtime(f'{SRC}/{t}.parquet'):.0f}" for t in ALL_TABLES
     )
 
 
