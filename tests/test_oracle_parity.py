@@ -113,6 +113,75 @@ def test_oracle_output_types_survive_pandas(spec, sf_dir):
     )
 
 
+def _duck_family(t: str) -> str:
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        # The HUGEINT/DECIMAL pin above already restricts oracles to
+        # integer-valued DECIMAL(<=18,0), which pandas reads as int.
+        return "int"
+    for fam, names in (
+        ("int", ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")),
+        ("float", ("FLOAT", "DOUBLE", "REAL")),
+        ("bool", ("BOOLEAN",)),
+        ("date", ("DATE",)),
+        ("timestamp", ("TIMESTAMP",)),
+        ("string", ("VARCHAR",)),
+    ):
+        if any(t.startswith(n) for n in names):
+            return fam
+    return t
+
+
+def _spark_family(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.DecimalType):
+        return "int" if dt.scale == 0 else "float"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.StringType):
+        return "string"
+    return type(dt).__name__
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_spark_type_families_agree(spark, sf_dir, spec):
+    # Cross-engine TYPE parity, statically (no execution — Spark schema
+    # comes from analysis only, the oracle from DESCRIBE): an oracle
+    # column typed DOUBLE against a Spark bigint is INVISIBLE to the
+    # value-compare test (both stringify 1234.0 -> "1234" under %.9g)
+    # and to fetchall(), but the driver hashes the pandas float64
+    # against Spark's int64 and goes red — the same failure shape as
+    # the r6 HUGEINT bug, one type-system level up.
+    con = _duck(sf_dir)
+    duck_types = {
+        name: coltype
+        for name, coltype, *_ in con.execute(
+            f"DESCRIBE SELECT * FROM ({spec.oracle})"
+        ).fetchall()
+    }
+    sdf = spec.fn(spark, sf_dir)
+    mismatched = []
+    for f in sdf.schema.fields:
+        dfam = _duck_family(duck_types[f.name])
+        sfam = _spark_family(f.dataType)
+        if dfam != sfam:
+            mismatched.append((f.name, duck_types[f.name], str(f.dataType)))
+    assert not mismatched, (
+        f"{spec.name}: oracle/Spark type families diverge {mismatched} — "
+        f"the driver's pandas materialization will hash different "
+        f"representations even when values are equal"
+    )
+
+
 def test_transcendental_floor_margins(sf_dir):
     """The fixed-point-of-transcendental pattern ``floor(f(x)·1e6+0.5)``
     relies on DuckDB and the JVM computing f(x) bit-identically — an
