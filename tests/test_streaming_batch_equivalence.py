@@ -232,6 +232,28 @@ def test_tokens_py_is_exact_twin_of_spark_tokens(spark):
         assert tokens_py(row["text"]) == row["toks"], repr(row["text"])
 
 
+def test_tokens_py_randomized_sweep(spark):
+    """300 seeded-random strings over a whitespace-heavy alphabet (ASCII
+    ws, Unicode ws, BOM, letters), compared in ONE Spark job — the
+    hand-picked edge cases above prove the known quirks; this sweeps
+    the combinatorial neighborhood for unknown ones."""
+    import random
+
+    from ai_coach_data_source_orchestrator_spark.functions.text import tokens, tokens_py
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = list(" \t\n\x0b\f\r\xa0  ﻿") + list("abXY9")
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, text string"
+    ).select("i", "text", tokens(F.col("text")).alias("toks"))
+    for row in df.collect():
+        assert tokens_py(row["text"]) == row["toks"], repr(row["text"])
+
+
 def test_cdc_chunk_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming CDC ⇄ batch equivalence: replaying the documents table
     through a file stream must produce (1) the exact per-(doc, chunk)
