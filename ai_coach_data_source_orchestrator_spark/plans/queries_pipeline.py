@@ -88,6 +88,12 @@ def derive_fixture_inputs(spark: SparkSession, sf_dir: str) -> tuple[WeeklyInput
     changelogs = sup.where(k % 4 == 1).select(
         F.concat(F.lit("SUP-"), k.cast("string")).alias("issue_key"),
         F.concat(F.lit("h"), k.cast("string")).alias("history_id"),
+        # API-order ordinals (one history with one item per issue here)
+        # switch changelog_bullets into its reference-exact ordered
+        # mode, so the flagship pipeline exercises the branch the
+        # golden driver pins (pipeline/epic_tree.py).
+        F.lit(0).alias("history_ord"),
+        F.lit(0).alias("item_ord"),
         F.col("s_name").alias("author"),
         F.lit("2025-10-08 11:00:00").alias("created"),
         F.lit("status").alias("field"),
