@@ -37,11 +37,17 @@ from . import queries_retrieval  # noqa: E402,F401
 # driver's pandas materialization converts to float64, hashing 1234.0
 # against Spark's bigint 1234 (VERDICT r6 item 1). The Spark values were
 # already correct; the oracle changed, so each needs a fresh driver row.
+# j8_changelog_injection's fixture+oracle additionally moved to the
+# reference-exact ordered changelog semantics this round (multi-item
+# histories with API ordinals; golden driver
+# tests/golden/ref_changelog_bullets_driver.js) — its r4 green row
+# describes the old normalized ordering.
 _CHANGED_ORACLE = (
     "source_js_divergence",
     "events_decay_activity",
     "sample_mixture_budget",
     "knn_pq_adc",
+    "j8_changelog_injection",
 )
 
 _FRONT = [

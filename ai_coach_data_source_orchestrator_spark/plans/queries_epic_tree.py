@@ -13,7 +13,7 @@ list_transform over split lines mirrors the posexplode/reassemble plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline import epic_tree as E
@@ -114,28 +114,38 @@ def epic_tree_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _changelog_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog fixture WITH API-order ordinals, shaped to make the
+    reference's ordering quirks observable in the driver hash
+    (r7 golden-driver finding, pipeline/epic_tree.changelog_bullets):
+
+    - history h1 carries TWO items whose raw order (status, then
+      assignee) an alphabetical item sort would flip;
+    - for k%8==5 issues a SECOND history h0 shares h1's DATE but has a
+      LATER time and an EARLIER API ordinal — the reference's
+      date-string-stable sort puts h0's block first; timestamp
+      ordering would flip it.
+    """
     sup = load_table(spark, sf_dir, "supplier")
     k = F.col("s_suppkey")
     key = F.concat(F.lit("SUP-"), k.cast("string"))
-    a = sup.where(k % 4 == 1).select(
-        key.alias("issue_key"),
-        F.lit("h1").alias("history_id"),
-        F.col("s_name").alias("author"),
-        F.lit("2025-10-08 11:00:00").alias("created"),
-        F.lit("status").alias("field"),
-        F.lit("To Do").alias("from_string"),
-        F.lit("Done").alias("to_string"),
-    )
-    b = sup.where(k % 8 == 5).select(
-        key.alias("issue_key"),
-        F.lit("h0").alias("history_id"),
-        F.col("s_name").alias("author"),
-        F.lit("2025-10-07 10:00:00").alias("created"),
-        F.lit("priority").alias("field"),
-        F.lit(None).cast("string").alias("from_string"),
-        F.lit("High").alias("to_string"),
-    )
-    return a.unionByName(b)
+
+    def leg(where, hid, h_ord, i_ord, created, field, from_s, to_s):
+        return sup.where(where).select(
+            key.alias("issue_key"),
+            F.lit(hid).alias("history_id"),
+            F.lit(h_ord).alias("history_ord"),
+            F.lit(i_ord).alias("item_ord"),
+            F.col("s_name").alias("author"),
+            F.lit(created).alias("created"),
+            F.lit(field).alias("field"),
+            (F.lit(from_s) if from_s is not None else F.lit(None)).cast("string").alias("from_string"),
+            to_s.alias("to_string") if isinstance(to_s, Column) else F.lit(to_s).alias("to_string"),
+        )
+
+    a0 = leg(k % 4 == 1, "h1", 1, 0, "2025-10-08 11:00:00", "status", "To Do", "Done")
+    a1 = leg(k % 4 == 1, "h1", 1, 1, "2025-10-08 11:00:00", "assignee", None, F.col("s_name"))
+    b = leg(k % 8 == 5, "h0", 0, 0, "2025-10-08 15:00:00", "priority", None, "High")
+    return a0.unionByName(a1).unionByName(b)
 
 
 @register(
@@ -143,27 +153,37 @@ def _changelog_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH {_ISSUE_CTE},
     chg AS (
-      SELECT 'SUP-' || CAST(k AS VARCHAR) AS issue_key, 'h1' AS history_id, s_name AS author,
+      -- h1: TWO items in raw API order (status before assignee —
+      -- alphabetical would flip them), API ordinal 1
+      SELECT 'SUP-' || CAST(k AS VARCHAR) AS issue_key, 'h1' AS history_id,
+             1 AS history_ord, 0 AS item_ord, s_name AS author,
              '2025-10-08 11:00:00' AS created, 'status' AS field,
              'To Do' AS from_string, 'Done' AS to_string
       FROM sup WHERE k % 4 = 1
       UNION ALL
-      SELECT 'SUP-' || CAST(k AS VARCHAR), 'h0', s_name,
-             '2025-10-07 10:00:00', 'priority', NULL, 'High'
+      SELECT 'SUP-' || CAST(k AS VARCHAR), 'h1', 1, 1, s_name,
+             '2025-10-08 11:00:00', 'assignee', NULL, s_name
+      FROM sup WHERE k % 4 = 1
+      UNION ALL
+      -- h0: SAME date, LATER time, EARLIER API ordinal — the
+      -- reference's date-string-stable sort puts this block first
+      SELECT 'SUP-' || CAST(k AS VARCHAR), 'h0', 0, 0, s_name,
+             '2025-10-08 15:00:00', 'priority', NULL, 'High'
       FROM sup WHERE k % 8 = 5
     ),
     hist AS (
-      SELECT issue_key, history_id, min(created) AS created, min(author) AS author,
+      SELECT issue_key, history_id, min(history_ord) AS history_ord,
+             CAST(CAST(min(created) AS DATE) AS VARCHAR) AS d, min(author) AS author,
              string_agg(
                '- ' || field || ': ' || COALESCE(NULLIF(from_string, ''), '-')
                     || ' → ' || COALESCE(NULLIF(to_string, ''), '-'),
-               chr(10) ORDER BY field) AS items
+               chr(10) ORDER BY item_ord) AS items
       FROM chg GROUP BY issue_key, history_id
     ),
     bullets AS (
       SELECT issue_key,
-             string_agg(CAST(CAST(created AS DATE) AS VARCHAR) || ' ' || author || chr(10) || items,
-                        chr(10) || chr(10) ORDER BY created, history_id) AS bullets_md
+             string_agg(d || ' ' || author || chr(10) || items,
+                        chr(10) || chr(10) ORDER BY d, history_ord) AS bullets_md
       FROM hist GROUP BY issue_key
     ),
     m AS (SELECT map(list(issue_key), list(bullets_md)) AS km FROM bullets)
