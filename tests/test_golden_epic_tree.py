@@ -24,10 +24,12 @@ else must match byte-for-byte:
    fixture leaves them unset so both sides skip them (the reference
    skips empty fields via `.filter(i => i.value)`).
 
-Item order inside a multi-item changelog history: the reference keeps
-Jira's item order; we sort by field name. The fixture's multi-item
-history lists items in field order so both agree (single-item
-histories elsewhere).
+Changelog ordering is reference-exact (r7, changelog_bullets ordered
+mode): the fixture's multi-item history lists items in RAW Jira order
+(status before assignee — alphabetical would flip), and histories 103
+and 104 share a date while their API order disagrees with their
+timestamps — the reference's date-string-stable sort keeps API order,
+and so do we.
 """
 
 from __future__ import annotations
@@ -80,21 +82,26 @@ COMMENTS = [
 ]
 COMMENT_SCHEMA = "issue_key string, author string, created string, body string"
 
-# (issue_key, history_id, created, author, field, from_string, to_string)
+# (issue_key, history_id, history_ord, item_ord, created, author, field,
+#  from_string, to_string) — rows listed in API order; ordinals mirror it.
 CHANGELOGS = [
-    # multi-item history: items listed in field order (see module docstring)
-    ("AIC-2", "100", "2024-06-01T08:00:00.000+0000", "Dana Q", "assignee", "", "Bob X"),
-    ("AIC-2", "100", "2024-06-01T08:00:00.000+0000", "Dana Q", "status", "To Do", "In Progress"),
-    ("AIC-2", "101", "2024-06-02T08:00:00.000+0000", "Bob X", "labels", "alpha, beta", "beta, gamma"),
-    ("AIC-4", "102", "2024-06-02T09:00:00.000+0000", "Eve Z", "description", "old", "{noformat}new text{noformat}"),
-    ("AIC-4", "103", "2024-06-03T10:00:00.000+0000", "Eve Z", "Link", "", "blocks AIC-9"),
-    ("AIC-4", "104", "2024-06-04T10:00:00.000+0000", "Eve Z", "Sprint", "Sprint 1", "Sprint 2"),
-    ("AIC-4", "105", "2024-06-05T10:00:00.000+0000", "Eve Z", "Rank", "", "Ranked higher"),
-    ("AIC-4", "106", "2024-06-06T10:00:00.000+0000", "Eve Z", "Deployment Env", "stage", "prod"),
+    # multi-item history in RAW Jira item order: status before assignee
+    # (an alphabetical item sort would flip these two lines)
+    ("AIC-2", "100", 0, 0, "2024-06-01T08:00:00.000+0000", "Dana Q", "status", "To Do", "In Progress"),
+    ("AIC-2", "100", 0, 1, "2024-06-01T08:00:00.000+0000", "Dana Q", "assignee", "", "Bob X"),
+    ("AIC-2", "101", 1, 0, "2024-06-02T08:00:00.000+0000", "Bob X", "labels", "alpha, beta", "beta, gamma"),
+    ("AIC-4", "102", 0, 0, "2024-06-02T09:00:00.000+0000", "Eve Z", "description", "old", "{noformat}new text{noformat}"),
+    # 103 and 104 share a DATE but 104's time is EARLIER while its API
+    # ordinal is LATER — the date-string-stable sort keeps 103 first;
+    # a timestamp sort would flip the blocks.
+    ("AIC-4", "103", 1, 0, "2024-06-03T10:00:00.000+0000", "Eve Z", "Link", "", "blocks AIC-9"),
+    ("AIC-4", "104", 2, 0, "2024-06-03T07:00:00.000+0000", "Eve Z", "Sprint", "Sprint 1", "Sprint 2"),
+    ("AIC-4", "105", 3, 0, "2024-06-05T10:00:00.000+0000", "Eve Z", "Rank", "", "Ranked higher"),
+    ("AIC-4", "106", 4, 0, "2024-06-06T10:00:00.000+0000", "Eve Z", "Deployment Env", "stage", "prod"),
 ]
 CHANGELOG_SCHEMA = (
-    "issue_key string, history_id string, created string, author string, "
-    "field string, from_string string, to_string string"
+    "issue_key string, history_id string, history_ord int, item_ord int, "
+    "created string, author string, field string, from_string string, to_string string"
 )
 
 
@@ -123,7 +130,7 @@ def _reference_fixture():
         issues[ik].setdefault("_epicTreeComments", []).append(c)
 
     histories: dict[str, list[dict]] = {}
-    for ik, hid, created, author, field, from_s, to_s in CHANGELOGS:
+    for ik, hid, _h_ord, _i_ord, created, author, field, from_s, to_s in CHANGELOGS:
         hists = histories.setdefault(ik, [])
         if not hists or hists[-1]["id"] != hid:
             hists.append(
@@ -203,15 +210,16 @@ def test_changelog_blocks_exact_no_normalization(spark, tmp_path):
     ours = _run_ours(spark)["AIC-1"]
     expected = [
         "2024-06-01 Dana Q",
-        "- assignee: - → Bob X",
+        # RAW Jira item order: status line precedes assignee
         "- status: To Do → In Progress",
+        "- assignee: - → Bob X",
         "2024-06-02 Bob X",
         "- labels: +gamma -alpha",
         "2024-06-02 Eve Z",
         "- description: [updated; 8 chars]",
         "2024-06-03 Eve Z",
         "- Link: blocks AIC-9",
-        "2024-06-04 Eve Z",
+        # 104 shares 103's date with an earlier time — API order wins
         "- Sprint: +Sprint 2 -Sprint 1",
         "2024-06-05 Eve Z",
         "- Rank: Ranked higher",
@@ -221,3 +229,9 @@ def test_changelog_blocks_exact_no_normalization(spark, tmp_path):
     for line in expected:
         assert line in theirs, f"reference missing {line!r} — fixture drift?"
         assert line in ours, f"ours missing {line!r}"
+    # The two ordering quirks, asserted POSITIONALLY on both sides: the
+    # multi-item history keeps raw order, and the same-date 103/104
+    # blocks keep API order despite 104's earlier timestamp.
+    for md in (theirs, ours):
+        assert md.index("- status: To Do") < md.index("- assignee: -")
+        assert md.index("- Link: blocks") < md.index("- Sprint: +Sprint 2")
