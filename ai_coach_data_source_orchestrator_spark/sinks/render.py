@@ -29,7 +29,12 @@ def render_markdown_report(
 
 
 def _escape_triple_quotes(text: str) -> str:
-    return text.replace('"""', '\\"\\"\\"')
+    # Reference-exact: ONE backslash before the whole triple
+    # (generate_weekly_digest.js:538 `replace(/"""/g, '\\"""')`), NOT a
+    # backslash per quote — the reference's extractor (and our S18 twin,
+    # sources/files.py) unescapes exactly `\"""`, so the per-quote form
+    # would not round-trip.
+    return text.replace('"""', '\\"""')
 
 
 def render_python_datasource(

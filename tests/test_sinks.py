@@ -165,9 +165,50 @@ def test_render_python_datasource_escapes_and_injectable_ts():
         {"JIRA_DATA": 'x """ y', "TRANSCRIPT_DATA": "t"}, generated_at="2025-01-06T00:00:00Z"
     )
     assert 'JIRA_DATA = """' in out and "TRANSCRIPT_DATA" in out
-    assert '\\"\\"\\"' in out          # embedded triple-quote escaped
+    # Reference-exact escape: ONE backslash before the whole triple
+    # (generate_weekly_digest.js:538) — the old per-quote form could not
+    # be round-tripped by the extractor's \""" unescape.
+    assert '\\"""' in out and '\\"\\"\\"' not in out
     assert "2025-01-06T00:00:00Z" in out  # injectable, reproducible goldens
     assert "def " not in out           # helpers stripped by default
+
+
+def test_render_datasource_roundtrips_through_s18_extractor(spark):
+    """WRITE→READ interop: a datasource our sink renders must come back
+    byte-identical through the reference-exact S18 extractor — embedded
+    triple quotes survive ONLY because both sides agree on the \\\"\"\"
+    escape form (the old per-quote escape broke this round trip)."""
+    from ai_coach_data_source_orchestrator_spark.sources.files import (
+        extract_python_literal,
+    )
+
+    content = 'line one\nsnippet """ mid-line, and "quoted"\nlast line'
+    out = K.render_python_datasource(
+        {"JIRA_DATA": content}, generated_at="2025-01-06T00:00:00Z"
+    )
+    df = spark.createDataFrame([(out,)], "content string")
+    got = extract_python_literal(df, "JIRA_DATA").collect()[0]["literal_text"]
+    # the renderer pads the literal with newlines; the extractor JS-trims
+    assert got == content
+
+
+def test_s18_truncates_on_eol_escaped_triple_like_reference(spark):
+    """Shared quirk, pinned deliberately: when an ESCAPED \\\"\"\" lands
+    at end-of-line, the extractor's close anchor (close-quotes +
+    optional ws + newline, jira-data-extractor.js:29) cannot tell it
+    from a real close and truncates there — verified against the
+    reference's own regex+unescape, which does exactly the same. Not a
+    bug to fix on our side: diverging would break bug-compatibility."""
+    from ai_coach_data_source_orchestrator_spark.sources.files import (
+        extract_python_literal,
+    )
+
+    content = 'line one\ncode = """ends line"""\nlast line'  # EOL triple
+    out = K.render_python_datasource({"JIRA_DATA": content}, generated_at="t")
+    df = spark.createDataFrame([(out,)], "content string")
+    got = extract_python_literal(df, "JIRA_DATA").collect()[0]["literal_text"]
+    # reference output for the same input (node: match + unescape + trim)
+    assert got == 'line one\ncode = """ends line\\'
 
 
 def test_render_markdown_report_ordering(spark):
