@@ -41,6 +41,87 @@ from ..sinks.render import render_python_datasource
 STATUS_ORDER = ["To Do", "Backlog", "Selected for Development", "In Progress", "Done", "Unknown"]
 
 
+# ---------------------------------------------------------------------------
+# Reference-exact section summaries (generate_weekly_digest.js:397-530).
+# The reference RE-PARSES its own rendered markdown with regexes and
+# prepends a summary header to each shipped datasource section; these
+# are byte-exact Python twins (JS object key order == dict insertion
+# order; JS String.trim over ASCII content == str.strip), golden-pinned
+# in test_golden_weekly_digest.py by executing the reference's own
+# assembler over the same content. Driver-side on purpose: they run on
+# the already-collected per-team section strings (KBs, §7.3).
+# ---------------------------------------------------------------------------
+import re as _re
+
+_JIRA_KEY_RE = _re.compile(r"\[([A-Z]+-\d+)\]")
+
+
+def summarize_jira_epic_tree(content: str) -> str:
+    """parseEpicTree branch (:400-429) + header build (:482-494):
+    unique [KEY] count, per-line **Status**/**Assignee** tallies in
+    first-seen document order, `---` separator before the content."""
+    total = len(dict.fromkeys(_JIRA_KEY_RE.findall(content)))
+    by_status: dict[str, int] = {}
+    by_assignee: dict[str, int] = {}
+    for line in content.split("\n"):
+        m = _re.search(r"\*\*Assignee\*\*:\s*(.+)$", line) or _re.search(
+            r"Assignee:\s*(.+)$", line
+        )
+        if m:
+            name = m.group(1).strip()
+            if name:
+                by_assignee[name] = by_assignee.get(name, 0) + 1
+        m = _re.search(r"\*\*Status\*\*:\s*(.+)$", line) or _re.search(
+            r"Status:\s*(.+)$", line
+        )
+        if m:
+            status = m.group(1).strip()
+            if status:
+                by_status[status] = by_status.get(status, 0) + 1
+    header = "## JIRA Summary\n\n"
+    header += f"**Total Tickets**: {total}  \n\n"
+    if by_status:
+        header += "### By Status\n"
+        for k, v in by_status.items():
+            header += f"- **{k}**: {v}\n"
+        header += "\n"
+    if by_assignee:
+        header += "### By Assignee\n"
+        for k, v in by_assignee.items():
+            header += f"- **{k}**: {v}\n"
+        header += "\n"
+    return header + "---\n\n" + content
+
+
+def summarize_daily_reports(content: str) -> str:
+    """summarizeDaily (:497-516). The `# Daily Report:` count is ZERO
+    over the reference's own daily renderer too (nothing emits that
+    header — dead counter, see test_golden_weekly_digest docstring);
+    replicated regex-for-regex, not 'fixed'."""
+    total_reports = content.count("# Daily Report:")
+    employees = {
+        m.group(1).strip()
+        for m in _re.finditer(r"\*\*Employee\*\*:\s*([^\n]+)", content)
+    }
+    dates = _re.findall(r"(?m)^##\s+(\d{4}-\d{2}-\d{2})", content)
+    header = "## Daily Reports Summary\n\n"
+    header += f"**Total Reports**: {total_reports}  \n"
+    header += f"**Unique Employees**: {len(employees)}  \n"
+    if dates:
+        header += f"**Date Range**: {min(dates)} to {max(dates)}  \n"
+    header += "\n---\n\n"
+    return header + content
+
+
+def summarize_transcripts(content: str) -> str:
+    """summarizeTranscripts (:518-524)."""
+    count = content.count("# Transcript:")
+    header = "## Transcripts Summary\n\n"
+    header += f"**Total Transcripts**: {count}  \n\n"
+    header += "---\n\n"
+    return header + content
+
+
 @dataclass
 class WeeklyInputs:
     jira_issues: DataFrame  # FIXTURES §1
@@ -247,9 +328,20 @@ def run_weekly_digest(
         .groupBy("filename")
         .agg(F.array_join(F.transform(F.array_sort(F.collect_list("u")), lambda u: u["line"]), "\n").alias("block"))
         .orderBy("filename")  # O4 lexicographic concat
-        .select(F.concat(F.lit("# Transcript: "), F.col("filename"), F.lit("\n"), F.col("block")).alias("content"))
+        .select(
+            "filename",
+            F.concat(F.lit("# Transcript: "), F.col("filename"), F.lit("\n"), F.col("block")).alias("content"),
+            "block",
+        )
     )
-    transcript_md = "\n\n".join(r["content"] for r in t_blocks.collect())
+    t_rows = t_blocks.collect()
+    transcript_md = "\n\n".join(r["content"] for r in t_rows)
+    # The SHIPPED section uses the reference's exact per-file wrapper
+    # (generate_weekly_digest.js:386-395: leading newline, blank line
+    # after the header, `---` rule after EVERY file).
+    transcript_shipped = "".join(
+        f"\n# Transcript: {r['filename']}\n\n{r['block']}\n\n---\n\n" for r in t_rows
+    )
 
     # --- Digest assembly (A6-A9, U6, K6) ----------------------------------
     summary = {
@@ -270,12 +362,28 @@ def run_weekly_digest(
         ],
         "source string, section_order int, content string",
     )
+    # Shipped datasource sections follow the reference byte-for-byte
+    # (source preference :300-311 — the enriched epic tree IS the JIRA
+    # section, linkified :345 then summarized; daily files concatenate
+    # with a `---` rule after each :362-376; transcripts get the
+    # per-file wrapper built above). The flat status report ships as an
+    # extra TEAM_REPORT_DATA section — the reference's team-report
+    # md_output artifact, which its digest only uses when no epic tree
+    # exists.
+    linkified_tree = "\n\n".join(
+        r["c"]
+        for r in tree.orderBy("epic_key")
+        .select(M.linkify_issue_keys(F.col("markdown"), jira_host).alias("c"))
+        .collect()
+    )
+    daily_shipped = daily_md + "\n\n---\n\n" if daily_md else ""
     datasource_text = render_python_datasource(
         {
-            "JIRA_DATA": jira_md,
+            "JIRA_DATA": summarize_jira_epic_tree(linkified_tree),
+            "TEAM_REPORT_DATA": jira_md,
             "EPIC_TREE_DATA": epic_tree_md,
-            "DAILY_REPORTS_DATA": daily_md,
-            "TRANSCRIPT_DATA": transcript_md,
+            "DAILY_REPORTS_DATA": summarize_daily_reports(daily_shipped),
+            "TRANSCRIPT_DATA": summarize_transcripts(transcript_shipped),
         },
         generated_at=generated_at,
     )

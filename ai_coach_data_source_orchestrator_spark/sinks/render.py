@@ -51,7 +51,11 @@ def render_python_datasource(
     """
     parts = [f'"""Generated datasource. generated_at={generated_at}"""\n']
     for name, content in data_sections.items():
-        parts.append(f'{name} = """\n{_escape_triple_quotes(content)}\n"""\n')
+        # Reference-exact literal shape: content abuts the quotes with
+        # NO padding newlines (generate_weekly_digest.js:537-539
+        # `'NAME = """' + content + '"""\n\n'`), so executing our module
+        # and the reference's yields byte-identical section values.
+        parts.append(f'{name} = """{_escape_triple_quotes(content)}"""\n')
     if include_helpers:
         parts.append(
             "def get_sections():\n"

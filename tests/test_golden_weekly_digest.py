@@ -24,10 +24,13 @@ What must agree (asserted):
 Documented divergences (normalized or deliberately not asserted):
 
 - The reference embeds wall-clock (`# Generated on <now>`); stripped.
-- Daily-report summaries: the reference counts `# Daily Report:` file
-  headers from its own daily renderer; our daily section uses `## date`
-  day grouping, so its Total Reports reads 0 over our format. The
-  passthrough of our content is asserted; the count is not parity.
+- Daily-report summaries: the digest counts `# Daily Report:` headers
+  (generate_weekly_digest.js:498), but NO reference renderer emits that
+  pattern — daily-reports/csv-to-markdown.js writes one `# Daily
+  Reports` title plus `## <date>` groups, so the reference's own Total
+  Reports reads 0 over its own output exactly as it does over ours
+  (bug-compatible, verified by grep over the reference tree). The
+  passthrough of our content is asserted; the dead count is not.
 - Section separators: the reference joins transcript files with
   `\\n\\n---\\n\\n` and its own per-file headers; we join blocks with
   `\\n\\n`. Containment is asserted, not byte equality.
@@ -212,6 +215,19 @@ def test_transcript_count_parity(result, ref_digest):
     assert f"**Total Transcripts**: {n_ours}" in ns["TRANSCRIPT_DATA"]
     for block in blocks.values():
         assert block in ns["TRANSCRIPT_DATA"]
+
+
+@needs_reference
+def test_shipped_sections_byte_equal_reference(result, ref_digest):
+    """r7: the sections OUR datasource ships must equal the reference's
+    BYTE-FOR-BYTE — summary headers (JIRA/Daily/Transcripts), linkify,
+    source preference, per-file wrappers, `---` rules, everything. This
+    retires the old containment-only assertions for these three keys."""
+    text, _ = ref_digest
+    theirs = _exec_datasource(text)
+    ours = _exec_datasource(result.datasource_text)
+    for key in ("JIRA_DATA", "DAILY_REPORTS_DATA", "TRANSCRIPT_DATA"):
+        assert ours[key] == theirs[key], key
 
 
 @needs_reference
