@@ -31,12 +31,12 @@ Documented divergences (normalized or deliberately not asserted):
   Reports reads 0 over its own output exactly as it does over ours
   (bug-compatible, verified by grep over the reference tree). The
   passthrough of our content is asserted; the dead count is not.
-- Section separators: the reference joins transcript files with
-  `\\n\\n---\\n\\n` and its own per-file headers; we join blocks with
-  `\\n\\n`. Containment is asserted, not byte equality.
-- Triple-quote escaping styles differ (backslash-quote-quote-quote in
-  the reference vs per-quote backslashes in ours); the fixture
-  contains no triple quotes.
+Former divergences CLOSED in r7 (test_shipped_sections_byte_equal_
+reference now asserts byte equality of JIRA_DATA / DAILY_REPORTS_DATA /
+TRANSCRIPT_DATA between our generated module and the reference's):
+summary headers, linkify+source preference, transcript per-file
+wrappers and `---` rules, the unpadded triple-quote literal shape, and
+the `\\\"\"\"` escape form.
 """
 
 from __future__ import annotations
