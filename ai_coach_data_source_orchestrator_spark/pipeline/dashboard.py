@@ -24,13 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dates as D
-from ..sinks.render import render_python_datasource
+from ..sinks.render import render_dashboard_datasource
 
 
 @dataclass
 class DashboardResult:
     by_day: DataFrame  # (day, weekday, n_transcripts, transcripts array)
-    unknown: DataFrame  # (filename,) — unparseable dates, kept explicitly
+    unknown: DataFrame  # (filename, content) — unparseable dates, kept explicitly
     datasource_text: str  # K6 dashboard variant with JSON literal
 
 
@@ -51,6 +51,9 @@ def run_dashboard_week(
     transcripts: DataFrame,  # (filename, content, ...)
     config: dict,
     generated_at: str = "1970-01-01T00:00:00Z",
+    jira_md: str = "",
+    daily_md: str = "",
+    slack_docs: DataFrame | None = None,  # (filename, content)
 ) -> DashboardResult:
     start, _ = week_bounds(config)
     # One Mon..Sun frame anchored at the Monday of `start` (X13).
@@ -64,31 +67,73 @@ def run_dashboard_week(
     parsed = transcripts.withColumn(
         "fdate", D.date_from_filename_strict(F.col("filename"))
     )
-    unknown = parsed.where(F.col("fdate").isNull()).select("filename")
+    unknown = parsed.where(F.col("fdate").isNull()).select("filename", "content")
     by_day = (
         frame.join(parsed.where(F.col("fdate").isNotNull()), frame.day == F.col("fdate"), "left")
         .groupBy("day", "weekday")
         .agg(
             F.count("filename").alias("n_transcripts"),
             F.array_sort(F.collect_list("filename")).alias("transcripts"),
+            # the shipped byDay arrays carry transcript CONTENTS in
+            # filename order (groupTranscriptsByDay pushes content in
+            # sorted-dir order, generate_dashboard.js:358-375)
+            # gate the struct on filename: collect_list skips NULL
+            # elements but would keep a struct(null, null) from an
+            # empty frame day's left join
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("filename").isNotNull(), F.struct("filename", "content"))
+                    )
+                ),
+                lambda s: s["content"],
+            ).alias("contents"),
         )
         .orderBy("day")
     )
 
     day_rows = by_day.collect()
-    unknown_rows = [r["filename"] for r in unknown.collect()]
-    payload = {
-        "byDay": [
+    unknown_rows = unknown.orderBy("filename").collect()
+    # Reference shape exactly: TRANSCRIPT_DATA_BY_DAY is the 7-element
+    # frame array itself — [{day, date, transcripts: [CONTENTS]}] —
+    # while unparseable-date files ship as a separate TEXT section
+    # (generate_dashboard.js:336-376, 473-478, 519-531); ensure_ascii
+    # off so json.dumps matches JSON.stringify byte-for-byte.
+    by_day_json = json.dumps(
+        [
             {
                 "day": r["weekday"],
                 "date": str(r["day"]),
-                "transcripts": list(r["transcripts"]),
+                "transcripts": list(r["contents"]),
             }
             for r in day_rows
         ],
-        "unknownDate": unknown_rows,
-    }
-    datasource_text = render_python_datasource(
-        {"TRANSCRIPT_DATA_BY_DAY": json.dumps(payload, indent=2)}, generated_at=generated_at
+        indent=2,
+        ensure_ascii=False,
+    )
+    wrap = "\n# Transcript: {f}\n\n{c}\n\n---\n\n"
+    transcript_text = "".join(
+        wrap.format(f=r["filename"], c=r["content"])
+        for r in parsed.orderBy("filename").collect()
+        if r["content"]
+    )
+    unknown_text = "".join(
+        wrap.format(f=r["filename"], c=r["content"]) for r in unknown_rows
+    )
+    slack_text = ""
+    if slack_docs is not None:
+        slack_text = "".join(
+            f"\n# Slack: {r['filename']}\n\n{r['content']}\n\n---\n\n"
+            for r in slack_docs.orderBy("filename").collect()
+            if r["content"]
+        )
+    datasource_text = render_dashboard_datasource(
+        jira=jira_md,
+        daily=daily_md,
+        transcript=transcript_text,
+        by_day_json=by_day_json,
+        unknown=unknown_text,
+        slack=slack_text,
+        generated_at=generated_at,
     )
     return DashboardResult(by_day=by_day, unknown=unknown, datasource_text=datasource_text)

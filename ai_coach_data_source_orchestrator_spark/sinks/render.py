@@ -64,6 +64,35 @@ def render_python_datasource(
     return "\n".join(parts)
 
 
+def render_dashboard_datasource(
+    jira: str,
+    daily: str,
+    transcript: str,
+    by_day_json: str,
+    unknown: str,
+    slack: str,
+    generated_at: str,
+) -> str:
+    """K6 dashboard variant (generate_dashboard.js:495-541): the same
+    unpadded triple-quoted sections as the weekly emit, plus
+    TRANSCRIPT_DATA_BY_DAY as a BARE Python list literal under the
+    reference's two format comments, and the unknown-date text section
+    under its own comment. Key order and comment text are byte-exact."""
+    tq = _escape_triple_quotes
+    return (
+        f'"""Generated dashboard datasource. generated_at={generated_at}"""\n\n'
+        f'JIRA_DATA = """{tq(jira)}"""\n\n'
+        f'DAILY_REPORTS_DATA = """{tq(daily)}"""\n\n'
+        f'TRANSCRIPT_DATA = """{tq(transcript)}"""\n\n'
+        "# Transcripts grouped by day of week (Monday-Sunday)\n"
+        '# Format: [{"day": "Monday", "date": "YYYY-MM-DD", "transcripts": ["...", ...]}, ...]\n'
+        f"TRANSCRIPT_DATA_BY_DAY = {by_day_json}\n\n"
+        "# Transcripts with unparseable dates\n"
+        f'TRANSCRIPTS_WITH_UNKNOWN_DATE = """{tq(unknown)}"""\n\n'
+        f'SLACK_DATA = """{tq(slack)}"""\n\n'
+    )
+
+
 def token_estimates(sections: DataFrame, content_col: str = "content") -> DataFrame:
     """A17 — ceil(chars/4) per section (generate_weekly_digest.js:758-769)."""
     return sections.withColumn(

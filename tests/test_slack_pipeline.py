@@ -96,5 +96,18 @@ def test_dashboard_frame_empty_days_and_unknown(spark):
     assert rows["2025-10-08"] == ("Wednesday", 2)
     assert rows["2025-10-11"] == ("Saturday", 1)
     assert [r["filename"] for r in res.unknown.collect()] == ["mystery-notes.md"]
-    assert '"unknownDate"' in res.datasource_text
-    assert "TRANSCRIPT_DATA_BY_DAY" in res.datasource_text
+    # Reference-exact dashboard emit (generate_dashboard.js:495-541):
+    # BY_DAY is a bare Python list of {day, date, transcripts:[CONTENTS]},
+    # unparseable files ship as their own wrapped text section.
+    ns: dict = {}
+    exec(res.datasource_text, ns)  # noqa: S102 — fixture-generated module
+    by_day = ns["TRANSCRIPT_DATA_BY_DAY"]
+    assert [e["day"] for e in by_day] == [
+        "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday",
+    ]
+    wed = next(e for e in by_day if e["date"] == "2025-10-08")
+    assert sorted(wed["transcripts"]) == ["a", "b"]  # contents, not filenames
+    assert "# Transcript: mystery-notes.md" in ns["TRANSCRIPTS_WITH_UNKNOWN_DATE"]
+    assert "\nd\n" in ns["TRANSCRIPTS_WITH_UNKNOWN_DATE"]
+    for key in ("JIRA_DATA", "DAILY_REPORTS_DATA", "TRANSCRIPT_DATA", "SLACK_DATA"):
+        assert key in ns
