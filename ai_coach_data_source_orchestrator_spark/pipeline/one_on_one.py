@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from ..functions import naming as NM
 from ..functions.names import strip_suffix_parts
-from ..sinks.render import render_python_datasource
+from ..sinks.render import render_one_on_one_datasource
 
 # Generational suffixes are stripped ONLY from the trailing token — the
 # reference (generate_datasources.js:277-281) removes them from the
@@ -165,25 +165,66 @@ def match_member_documents(
     )
 
 
+# ECMA WhiteSpace+LineTerminator set for JS String.trim (same chars as
+# functions.names.JS_WHITESPACE_CLASS, as a str.strip argument).
+_JS_WS = "\t\n\x0b\f\r                  　﻿"
+
+_NO_DAILY = "# Daily Reports\n\nNo daily reports found for this team member."
+_NO_JIRA = "# JIRA Tickets Report\n\nNo JIRA tickets found for this team member."
+_NO_FATHOM = "# Transcripts\n\nNo transcripts found."
+
+
 def run_one_on_one(
     spark: SparkSession,
     docs: DataFrame,
     members: list[str],
     mappings: dict | None = None,
     generated_at: str = "1970-01-01T00:00:00Z",
+    jira_docs: DataFrame | None = None,  # (filename, content) per-assignee reports
+    transcripts: DataFrame | None = None,  # (filename, content) shared across members
 ) -> OneOnOneResult:
-    """Per-member datasource emit (generate_datasources.js main flow):
-    each member's matched document becomes their DAILY_REPORTS_DATA."""
+    """Per-member datasource emit, reference-exact
+    (generate_datasources.js:358-385): the member's matched daily
+    report fills DAILY_TEXT, their matched per-assignee jira report
+    fills JIRA_TEXT (same matcher, :371-373), the SHARED sorted-file
+    transcript concatenation fills FATHOM_TEXT (:376-377), with the
+    reference's literal fallback strings when a source is empty, JS
+    trim on matched content (:334,349), and the 20-line template filled
+    via first-occurrence JS replace (sinks/render.py)."""
     matched = match_member_documents(spark, docs, members, mappings)
     with_content = matched.join(docs, "filename").select(
         "member", "filename", "match_rank", "content"
     )
     rows = with_content.collect()  # roster-sized
-    datasources = {
-        r["member"]: render_python_datasource(
-            {"DAILY_REPORTS_DATA": r["content"]}, generated_at=generated_at
+    daily_by_member = {r["member"]: (r["content"] or "").strip(_JS_WS) for r in rows}
+    jira_by_member: dict[str, str] = {}
+    if jira_docs is not None:
+        jm = match_member_documents(spark, jira_docs, members, mappings)
+        jira_by_member = {
+            r["member"]: (r["content"] or "").strip(_JS_WS)
+            for r in jm.join(jira_docs, "filename").select("member", "content").collect()
+        }
+    fathom = ""
+    if transcripts is not None:
+        # readMarkdownFiles (:213-233): sorted filenames, each content
+        # JS-trimmed, joined with one blank line.
+        fathom = "\n\n".join(
+            (r["content"] or "").strip(_JS_WS)
+            for r in transcripts.orderBy("filename").collect()
         )
-        for r in rows
+    # EVERY roster member gets a datasource — the reference's main loop
+    # calls generateDatasourceForMember per member, falling back to the
+    # literal "not found" strings when nothing matched (JS || chains,
+    # so an empty match also falls back).
+    datasources = {
+        m: render_one_on_one_datasource(
+            daily=daily_by_member.get(m) or _NO_DAILY,
+            jira=jira_by_member.get(m) or _NO_JIRA,
+            fathom=fathom or _NO_FATHOM,
+            member=m,
+            generated_date=generated_at,
+        )
+        for m in members
     }
     # Output filename per member, exactly the reference's path:
     # getShortName (mapping formats + ASCII fallback) feeding the

@@ -64,6 +64,80 @@ def render_python_datasource(
     return "\n".join(parts)
 
 
+# The 1:1 template's exact text (datasource-generator/templates/
+# datasource_template.py — a 20-line format spec, reproduced for output
+# byte-parity; the generator fills it with JS String.replace,
+# generate_datasources.js:380-385).
+_ONE_ON_ONE_TEMPLATE = (
+    'DAILY_TEXT = """{{DAILY_CONTENT}}"""\n'
+    "\n"
+    'JIRA_TEXT = """{{JIRA_CONTENT}}"""\n'
+    "\n"
+    'FATHOM_TEXT = """{{FATHOM_CONTENT}}"""\n'
+    "\n"
+    "def get_data_sources():\n"
+    '    """Returns all data sources for this team member."""\n'
+    "    return {\n"
+    '        "daily_text": DAILY_TEXT,\n'
+    '        "jira_text": JIRA_TEXT,\n'
+    '        "fathom_text": FATHOM_TEXT\n'
+    "    }\n"
+    "\n"
+    "def get_team_member_info():\n"
+    '    """Returns information about this team member."""\n'
+    "    return {\n"
+    '        "name": "{{TEAM_MEMBER_NAME}}",\n'
+    '        "generated_date": "{{GENERATED_DATE}}"\n'
+    "    }\n"
+)
+
+
+def _js_replace_once(s: str, needle: str, replacement: str) -> str:
+    """JS ``String.replace(string, string)``: first occurrence only,
+    and the replacement string undergoes GetSubstitution — ``$$``,
+    ``$&``, ``$```, ``$'`` are live even with a string pattern, so
+    content containing e.g. ``$&`` duplicates the placeholder. Python's
+    str.replace is literal; this twin keeps the quirk."""
+    i = s.find(needle)
+    if i < 0:
+        return s
+    before, after = s[:i], s[i + len(needle):]
+    out: list[str] = []
+    j = 0
+    while j < len(replacement):
+        c = replacement[j]
+        if c == "$" and j + 1 < len(replacement):
+            n = replacement[j + 1]
+            if n in "$&`'":
+                out.append(
+                    {"$": "$", "&": needle, "`": before, "'": after}[n]
+                )
+                j += 2
+                continue
+        out.append(c)
+        j += 1
+    return before + "".join(out) + after
+
+
+def render_one_on_one_datasource(
+    daily: str, jira: str, fathom: str, member: str, generated_date: str
+) -> str:
+    """K6 1:1 variant: the reference fills its 20-line template with
+    five sequential String.replace calls (generate_datasources.js:
+    379-385) — note the template path does NOT escape embedded triple
+    quotes (unlike the weekly/dashboard emits), a quirk kept as-is."""
+    out = _ONE_ON_ONE_TEMPLATE
+    for ph, val in (
+        ("{{DAILY_CONTENT}}", daily),
+        ("{{JIRA_CONTENT}}", jira),
+        ("{{FATHOM_CONTENT}}", fathom),
+        ("{{TEAM_MEMBER_NAME}}", member),
+        ("{{GENERATED_DATE}}", generated_date),
+    ):
+        out = _js_replace_once(out, ph, val)
+    return out
+
+
 def render_dashboard_datasource(
     jira: str,
     daily: str,

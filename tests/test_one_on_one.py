@@ -67,10 +67,48 @@ def test_variation_guard_drops_short_fragments():
 
 
 def test_datasource_emit(spark, docs_df):
-    res = run_one_on_one(spark, docs_df, ["Maria Garcia"], generated_at="2025-10-13")
-    assert set(res.datasources) == {"Maria Garcia"}
-    ds = res.datasources["Maria Garcia"]
-    assert 'DAILY_REPORTS_DATA = """' in ds and "did stuff" in ds
+    """Reference-exact template fill (generate_datasources.js:358-385):
+    DAILY/JIRA/FATHOM sections, literal fallback strings for sources
+    with no match, helpers present (the 1:1 template ships them —
+    unlike the weekly digest's stripped emit)."""
+    res = run_one_on_one(
+        spark, docs_df, ["Maria Garcia", "Chinh Vo Wili"], generated_at="2025-10-13"
+    )
+    # EVERY roster member gets a datasource; unmatched use fallbacks
+    assert set(res.datasources) == {"Maria Garcia", "Chinh Vo Wili"}
+    ns: dict = {}
+    exec(res.datasources["Maria Garcia"], ns)  # noqa: S102 — generated module
+    assert "did stuff" in ns["DAILY_TEXT"]
+    assert ns["JIRA_TEXT"].startswith("# JIRA Tickets Report")  # no jira_docs given
+    assert ns["FATHOM_TEXT"] == "# Transcripts\n\nNo transcripts found."
+    assert ns["get_team_member_info"]()["name"] == "Maria Garcia"
+    assert ns["get_team_member_info"]()["generated_date"] == "2025-10-13"
+    assert ns["get_data_sources"]()["daily_text"] == ns["DAILY_TEXT"]
+
+
+def test_datasource_emit_jira_and_shared_fathom(spark, docs_df):
+    jira_docs = spark.createDataFrame(
+        [("tix_maria_garcia.md", "  **Assignee**: Maria Garcia\n- [P-1] fix  ")],
+        "filename string, content string",
+    )
+    transcripts = spark.createDataFrame(
+        [("b.md", "second  "), ("a.md", "\nfirst")],
+        "filename string, content string",
+    )
+    res = run_one_on_one(
+        spark,
+        docs_df,
+        ["Maria Garcia"],
+        generated_at="2025-10-13",
+        jira_docs=jira_docs,
+        transcripts=transcripts,
+    )
+    ns: dict = {}
+    exec(res.datasources["Maria Garcia"], ns)  # noqa: S102
+    # matched jira content is JS-trimmed (readFileSync(...).trim())
+    assert ns["JIRA_TEXT"] == "**Assignee**: Maria Garcia\n- [P-1] fix"
+    # shared fathom: sorted filenames, each trimmed, one blank line
+    assert ns["FATHOM_TEXT"] == "first\n\nsecond"
 
 
 def test_run_one_on_one_output_filenames(spark):

@@ -236,3 +236,19 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     assert plan.count("Exchange") <= 2  # agg partial->final only; none for the join
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in join_part  # nothing below the join shuffles
+
+
+def test_js_replace_once_dollar_substitution():
+    """JS String.replace processes $-patterns in the replacement even
+    with a string pattern — content containing $& duplicates the
+    placeholder, $` splices the preceding template text. The template
+    filler keeps this quirk (sinks/render._js_replace_once)."""
+    from ai_coach_data_source_orchestrator_spark.sinks.render import _js_replace_once
+
+    assert _js_replace_once("a {{X}} b", "{{X}}", "plain") == "a plain b"
+    assert _js_replace_once("a {{X}} b", "{{X}}", "c$&d") == "a c{{X}}d b"
+    assert _js_replace_once("a {{X}} b", "{{X}}", "$$5") == "a $5 b"
+    assert _js_replace_once("a {{X}} b", "{{X}}", "[$`]") == "a [a ] b"
+    assert _js_replace_once("a {{X}} b", "{{X}}", "[$']") == "a [ b] b"
+    # first occurrence only
+    assert _js_replace_once("{{X}} {{X}}", "{{X}}", "y") == "y {{X}}"
