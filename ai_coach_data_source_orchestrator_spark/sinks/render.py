@@ -138,6 +138,86 @@ def render_one_on_one_datasource(
     return out
 
 
+# The team generator's emitted helper text, byte-exact
+# (generate_team_datasource.js:275-324 — an output FORMAT the shipped
+# module must carry; golden-pinned in test_golden_team_datasource.py).
+# NOTE the 4-space "blank" lines inside function bodies — they are in
+# the reference's template literal and survive into the output.
+_TEAM_HELPERS = '''def get_team_data():
+    """Returns all data sources for the team."""
+    return {{
+        "project": "{project}",
+        "jira_data": JIRA_DATA,
+        "transcript_data": TRANSCRIPT_DATA,
+        "generated_date": "{iso}"
+    }}
+
+def get_jira_summary():
+    """Extracts summary statistics from JIRA data."""
+    import re
+    
+    # Extract ticket counts by status
+    status_pattern = r'### ([^(]+) \\((\\d+)\\)'
+    statuses = re.findall(status_pattern, JIRA_DATA)
+    
+    # Extract total tickets
+    total_pattern = r'\\*\\*Total Tickets\\*\\*: (\\d+)'
+    total_match = re.search(total_pattern, JIRA_DATA)
+    total_tickets = int(total_match.group(1)) if total_match else 0
+    
+    return {{
+        "total_tickets": total_tickets,
+        "by_status": {{status.strip(): int(count) for status, count in statuses}}
+    }}
+
+def get_transcript_count():
+    """Returns the number of transcripts included."""
+    import re
+    pattern = r'# Transcript: '
+    return len(re.findall(pattern, TRANSCRIPT_DATA))
+
+def search_content(keyword, data_type="all"):
+    """Search for a keyword in the specified data type."""
+    keyword_lower = keyword.lower()
+    results = []
+    
+    if data_type in ["all", "jira"]:
+        for line in JIRA_DATA.split('\\n'):
+            if keyword_lower in line.lower():
+                results.append(("JIRA", line.strip()))
+    
+    if data_type in ["all", "transcript"]:
+        for line in TRANSCRIPT_DATA.split('\\n'):
+            if keyword_lower in line.lower():
+                results.append(("Transcript", line.strip()))
+    
+    return results
+'''
+
+
+def render_team_datasource(
+    jira: str,
+    transcript: str,
+    project: str,
+    generated_locale: str,
+    generated_iso: str,
+) -> str:
+    """K6 team variant (generate_team_datasource.js:257-325): header
+    comments, escaped JIRA/TRANSCRIPT sections, then the generator's
+    helper functions with the project name and ISO timestamp
+    interpolated. Both clock strings are injectable (the reference
+    embeds wall-clock twice — toLocaleString in the header,
+    toISOString inside get_team_data)."""
+    tq = _escape_triple_quotes
+    return (
+        f"# Team Datasource for {project}\n"
+        f"# Generated on {generated_locale}\n\n"
+        f'JIRA_DATA = """{tq(jira)}"""\n\n'
+        f'TRANSCRIPT_DATA = """{tq(transcript)}"""\n\n'
+        + _TEAM_HELPERS.format(project=project, iso=generated_iso)
+    )
+
+
 def render_dashboard_datasource(
     jira: str,
     daily: str,

@@ -1,0 +1,128 @@
+// Golden-test driver: executes the REFERENCE repo's team datasource
+// generator (datasource-generator/generate_team_datasource.js —
+// TeamDatasourceGenerator.generateTeamDatasource: newest team report +
+// wrapped transcript concatenation + the emitted helper-function text)
+// over an in-memory fixture and prints the generated Python module.
+//
+// The module is EVALUATED from /root/reference with: a stub `require`
+// (config/mapping/error modules faked; lib/output-filename loaded for
+// real — it is pure), an IN-MEMORY fs (the generator only lists/reads
+// fixture files and "writes" the output, which we capture), a stubbed
+// `process` (argv/env cleared so the legacy-config path runs, exit
+// disabled), a silenced console, and a SHADOWED `Date` so the
+// generator's embedded wall-clock strings are deterministic. Read-only
+// on the real filesystem, no network, nothing copied.
+//
+// Usage: node ref_team_datasource_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(realFs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const src = realFs.readFileSync(
+  path.join(refRoot, 'datasource-generator', 'generate_team_datasource.js'),
+  'utf8'
+);
+
+// ---- in-memory fs over the fixture --------------------------------------
+const dsDir = path.join(refRoot, 'datasource-generator');
+const jiraDir = path.join(refRoot, 'jira', 'md_output', 'golden');
+const txDir = path.join(refRoot, 'transcripts', 'markdown-output', 'golden');
+const files = new Map(); // abs path -> {content, mtime}
+for (const [name, spec] of Object.entries(fixture.jira_files || {})) {
+  files.set(path.join(jiraDir, name), { content: spec.content, mtime: spec.mtime || 0 });
+}
+for (const [name, spec] of Object.entries(fixture.transcript_files || {})) {
+  files.set(path.join(txDir, name), { content: spec.content, mtime: spec.mtime || 0 });
+}
+let captured = null;
+const dirOf = (d) => {
+  const out = [];
+  for (const p of files.keys()) {
+    if (path.dirname(p) === d) out.push(path.basename(p));
+  }
+  return out.sort();
+};
+const fakeFs = {
+  existsSync: (p) => files.has(p) || [jiraDir, txDir, dsDir].includes(p) || p.startsWith(path.join(dsDir, 'output')),
+  mkdirSync: () => {},
+  readdirSync: (d, opts) => {
+    if (opts && opts.withFileTypes) return [];
+    return dirOf(d);
+  },
+  statSync: (p) => {
+    const f = files.get(p);
+    return {
+      isDirectory: () => false,
+      mtime: f ? f.mtime : 0,
+    };
+  },
+  readFileSync: (p, _enc) => {
+    const f = files.get(p);
+    if (!f) throw new Error(`ENOENT: ${p}`);
+    return f.content;
+  },
+  writeFileSync: (p, content) => {
+    captured = { path: p, content };
+  },
+};
+
+// ---- stubs ---------------------------------------------------------------
+const cfg = fixture.config || {};
+const stubs = {
+  fs: fakeFs,
+  path: path,
+  child_process: { spawn: () => { throw new Error('spawn disabled'); } },
+  dotenv: { config: () => {} },
+  '../lib/config': {
+    load: () => cfg,
+    ConfigManager: { loadForReportType: () => cfg },
+  },
+  '../lib/error-handler': { handleError: () => {} },
+  '../lib/errors': { ConfigurationError: class extends Error {} },
+  './lib/mapping-resolver': { loadTeamMapping: () => ({ projectFolder: 'golden' }) },
+  '../lib/project-folder': { getProjectFolder: () => 'golden' },
+  '../lib/date-range-filter': {},
+};
+const stubRequire = (name) => {
+  if (name === 'dotenv') return stubs.dotenv;
+  if (name === './lib/output-filename') {
+    return require(path.join(dsDir, 'lib', 'output-filename.js'));
+  }
+  if (name in stubs) return stubs[name];
+  throw new Error(`unexpected require: ${name}`);
+};
+
+// Deterministic clock for the generator's embedded new Date() strings.
+class FakeDate {
+  toLocaleString() { return fixture.locale_now || 'GOLDEN_LOCALE_NOW'; }
+  toISOString() { return fixture.iso_now || '2025-01-06T00:00:00.000Z'; }
+}
+
+const fakeProcess = {
+  argv: ['node', 'generate_team_datasource.js'],
+  env: {},
+  exit: (code) => { throw new Error(`process.exit(${code})`); },
+};
+
+const mod = { exports: {} };
+new Function(
+  'require', 'module', 'exports', '__dirname', '__filename',
+  'process', 'Date', 'console',
+  src
+)(
+  stubRequire, mod, mod.exports, dsDir,
+  path.join(dsDir, 'generate_team_datasource.js'),
+  fakeProcess, FakeDate,
+  { log: () => {}, warn: () => {}, error: () => {} }
+);
+
+const Generator = mod.exports;
+const g = new Generator();
+g.generateTeamDatasource();
+process.stdout.write(JSON.stringify({
+  output_file: captured && path.basename(captured.path),
+  content: captured && captured.content,
+}));

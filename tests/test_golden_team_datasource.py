@@ -1,0 +1,98 @@
+"""Golden parity: render_team_datasource vs the REFERENCE's own team
+datasource generator (datasource-generator/generate_team_datasource.js),
+executed for real via node over an in-memory fixture (stubbed fs,
+shadowed Date) — newest-mtime team-report selection, sorted transcript
+wrappers, header comments, escaped sections, and the emitted helper
+text must match byte-for-byte."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.sinks.render import render_team_datasource
+
+DRIVER = Path(__file__).parent / "golden" / "ref_team_datasource_driver.js"
+REF = Path("/root/reference")
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+FIXTURE = {
+    "config": {
+        "jira": {"project": "GoldenProj", "start_date": "2025-10-06", "end_date": "2025-10-12"}
+    },
+    "locale_now": "GOLDEN_LOCALE_NOW",
+    "iso_now": "2025-01-06T00:00:00.000Z",
+    "jira_files": {
+        # mtime decides: the NEWEST *team_report.md wins, not name order
+        "zzz_old_team_report.md": {"content": "OLD REPORT", "mtime": 1},
+        "PROJ_team_report.md": {
+            "content": '# Team Report\n\n**Total Tickets**: 4\n\n### Done (2)\nembedded """ triple\n',
+            "mtime": 9,
+        },
+    },
+    "transcript_files": {
+        "b.md": {"content": "second transcript"},
+        "a.md": {"content": "first transcript"},
+    },
+}
+
+
+def _ours() -> str:
+    jira = FIXTURE["jira_files"]["PROJ_team_report.md"]["content"]
+    transcript = "".join(
+        f"\n# Transcript: {f}\n\n{FIXTURE['transcript_files'][f]['content']}\n\n---\n\n"
+        for f in sorted(FIXTURE["transcript_files"])
+    )
+    return render_team_datasource(
+        jira=jira,
+        transcript=transcript,
+        project="GoldenProj",
+        generated_locale=FIXTURE["locale_now"],
+        generated_iso=FIXTURE["iso_now"],
+    )
+
+
+@needs_node
+def test_team_datasource_matches_reference():
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(FIXTURE),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+    assert ref["output_file"] == "datasource_GoldenProj_team.py"
+    theirs = ref["content"]
+    mine = _ours()
+    if mine != theirs:
+        import difflib
+
+        diff = "\n".join(
+            difflib.unified_diff(
+                theirs.splitlines(), mine.splitlines(), "reference", "ours", lineterm=""
+            )
+        )
+        pytest.fail(f"team datasource diverged:\n{diff[:4000]}")
+
+
+@needs_node
+def test_team_datasource_helpers_execute():
+    """The emitted helper functions are real Python — execute ours and
+    check get_jira_summary parses the embedded report."""
+    ns: dict = {}
+    exec(_ours(), ns)  # noqa: S102 — generated module
+    assert ns["get_team_data"]()["project"] == "GoldenProj"
+    s = ns["get_jira_summary"]()
+    assert s["total_tickets"] == 4 and s["by_status"] == {"Done": 2}
+    assert ns["get_transcript_count"]() == 2
+    hits = ns["search_content"]("transcript", "transcript")
+    assert ("Transcript", "first transcript") in hits
