@@ -121,10 +121,18 @@ def match_member_documents(
         "member string, first string, last string",
     )
 
-    # Candidate name values from **Employee**:/Assignee: header lines.
-    header_val = F.regexp_extract(
-        F.col("line"), r"(?i)^(?:\*\*)?(?:Employee|Assignee)(?:\*\*)?:\s*(.+)$", 1
+    # Candidate name values from Employee/Assignee header lines — the
+    # reference's two regexes are ASYMMETRIC (generate_datasources.js:
+    # 300-303): the starred form ``**Employee**:`` matches ANYWHERE in
+    # the line (leading spaces, bullets), while the plain form
+    # ``Employee:`` must start the line; starred is tried first. The
+    # old symmetric ^-anchored regex silently missed indented starred
+    # headers (caught by the r7 node golden, test_golden_one_on_one).
+    starred = F.regexp_extract(
+        F.col("line"), r"(?i)\*\*(?:Employee|Assignee)\*\*:\s*(.+)$", 1
     )
+    plain = F.regexp_extract(F.col("line"), r"(?i)^(?:Employee|Assignee):\s*(.+)$", 1)
+    header_val = F.when(F.length(starred) > 0, starred).otherwise(plain)
     mentions = (
         docs.select("filename", F.explode(F.split("content", "\n")).alias("line"))
         .select("filename", header_val.alias("cand"))

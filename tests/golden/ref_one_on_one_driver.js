@@ -1,0 +1,137 @@
+// Golden-test driver: executes the REFERENCE repo's 1:1 datasource
+// generator (datasource-generator/generate_datasources.js —
+// DatasourceGenerator.generateDatasourceForMember: content-match →
+// filename-match document resolution, literal fallback strings, shared
+// transcript concatenation, and the template fill via JS
+// String.replace) over an in-memory fixture and prints the generated
+// module per member.
+//
+// Same technique as ref_team_datasource_driver.js: stub require
+// (mapping stubbed with the fixture's mapping; the real template file
+// is served through the fake fs), in-memory fs, stubbed process,
+// shadowed Date, silenced console. Read-only, no network, nothing
+// copied.
+//
+// Usage: node ref_one_on_one_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(realFs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const dsDir = path.join(refRoot, 'datasource-generator');
+const src = realFs.readFileSync(path.join(dsDir, 'generate_datasources.js'), 'utf8');
+
+// ---- in-memory fs --------------------------------------------------------
+const dailyDir = path.join(refRoot, 'daily-reports', 'md-output', 'golden');
+const jiraDir = path.join(refRoot, 'jira', 'md_output', 'golden');
+const jiraAssigneeDir = path.join(jiraDir, 'by-assignee');
+const txDir = path.join(refRoot, 'transcripts', 'markdown-output', 'golden');
+const templatePath = path.join(dsDir, 'templates', 'datasource_template.py');
+
+const files = new Map();
+files.set(templatePath, realFs.readFileSync(templatePath, 'utf8'));
+for (const [dir, key] of [
+  [dailyDir, 'daily_files'],
+  [jiraDir, 'jira_files'],
+  [jiraAssigneeDir, 'jira_assignee_files'],
+  [txDir, 'transcript_files'],
+]) {
+  for (const [name, content] of Object.entries(fixture[key] || {})) {
+    files.set(path.join(dir, name), content);
+  }
+}
+const outputs = {};
+const dirOf = (d) => {
+  const out = [];
+  for (const p of files.keys()) {
+    if (path.dirname(p) === d) out.push(path.basename(p));
+  }
+  return out.sort();
+};
+const knownDirs = [dailyDir, jiraDir, jiraAssigneeDir, txDir, dsDir];
+const fakeFs = {
+  existsSync: (p) =>
+    files.has(p) || knownDirs.includes(p) || p.startsWith(path.join(dsDir, 'output')),
+  mkdirSync: () => {},
+  readdirSync: (d, opts) => (opts && opts.withFileTypes ? [] : dirOf(d)),
+  statSync: () => ({ isDirectory: () => false, mtime: 0 }),
+  readFileSync: (p) => {
+    if (!files.has(p)) throw new Error(`ENOENT: ${p}`);
+    return files.get(p);
+  },
+  writeFileSync: (p, content) => {
+    outputs[path.basename(p)] = content;
+  },
+};
+
+// ---- stubs ---------------------------------------------------------------
+const cfg = fixture.config || {};
+const mapping = fixture.mapping || { mappings: {} };
+const stubs = {
+  fs: fakeFs,
+  path: path,
+  child_process: { spawn: () => { throw new Error('spawn disabled'); } },
+  dotenv: { config: () => {} },
+  '../lib/config': { load: () => cfg, ConfigManager: { loadForReportType: () => cfg } },
+  '../lib/error-handler': { handleError: () => {} },
+  '../lib/errors': {
+    ConfigurationError: class extends Error {},
+    ValidationError: class extends Error {},
+    FileSystemError: class extends Error {},
+  },
+  './lib/mapping-resolver': {
+    loadTeamMapping: () => mapping,
+    getShortName: (name, m) => {
+      const entry = (m && m.mappings && m.mappings[name]) || null;
+      if (typeof entry === 'string') return entry;
+      if (entry && entry.shortName) return entry.shortName;
+      return name.toLowerCase().replace(/[^a-z0-9]+/g, '_').replace(/^_+|_+$/g, '');
+    },
+  },
+  '../lib/project-folder': { getProjectFolder: () => 'golden' },
+  '../lib/date-range-filter': {},
+};
+const stubRequire = (name) => {
+  if (name === 'dotenv') return stubs.dotenv;
+  if (name === './lib/output-filename') {
+    return require(path.join(dsDir, 'lib', 'output-filename.js'));
+  }
+  if (name in stubs) return stubs[name];
+  throw new Error(`unexpected require: ${name}`);
+};
+
+class FakeDate {
+  toLocaleString() { return fixture.locale_now || 'GOLDEN_LOCALE_NOW'; }
+  toISOString() { return fixture.iso_now || '2025-01-06T00:00:00.000Z'; }
+}
+
+const fakeProcess = {
+  argv: ['node', 'generate_datasources.js'],
+  env: {},
+  exit: (code) => { throw new Error(`process.exit(${code})`); },
+};
+
+const mod = { exports: {} };
+new Function(
+  'require', 'module', 'exports', '__dirname', '__filename',
+  'process', 'Date', 'console',
+  src
+)(
+  stubRequire, mod, mod.exports, dsDir,
+  path.join(dsDir, 'generate_datasources.js'),
+  fakeProcess, FakeDate,
+  { log: () => {}, warn: () => {}, error: () => {} }
+);
+
+(async () => {
+  const g = new mod.exports();
+  for (const member of fixture.members || []) {
+    await g.generateDatasourceForMember(member);
+  }
+  process.stdout.write(JSON.stringify({ outputs }));
+})().catch((e) => {
+  process.stderr.write(String(e && e.stack));
+  process.exit(1);
+});

@@ -1,0 +1,87 @@
+"""Golden parity: run_one_on_one's per-member datasource modules vs the
+REFERENCE's own DatasourceGenerator.generateDatasourceForMember,
+executed for real via node (tests/golden/ref_one_on_one_driver.js) —
+content-match resolution, JS trim, literal fallback strings, shared
+sorted-transcript FATHOM section, and the template fill must agree
+byte-for-byte per member."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.one_on_one import run_one_on_one
+
+DRIVER = Path(__file__).parent / "golden" / "ref_one_on_one_driver.js"
+REF = Path("/root/reference")
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+MEMBERS = ["Maria Garcia", "Chinh Vo Wili"]
+MAPPING = {"Maria Garcia": {"shortName": "mgarcia"}}
+DAILY = {
+    "report_maria.md": "  **Employee**: Maria Garcia\n\n- did stuff  ",
+    "other.md": "**Employee**: Someone Else\nnope",
+}
+JIRA_ASSIGNEE = {"tix_Maria_Garcia.md": "**Assignee**: Maria Garcia\n- [P-1] fix"}
+TRANSCRIPTS = {"b.md": "second  ", "a.md": "\nfirst"}
+
+FIXTURE = {
+    "config": {"jira": {"project": "GoldenProj"}},
+    "mapping": {"mappings": MAPPING},
+    "members": MEMBERS,
+    "daily_files": DAILY,
+    "jira_assignee_files": JIRA_ASSIGNEE,
+    "transcript_files": TRANSCRIPTS,
+    "locale_now": "2025-10-13",
+    "iso_now": "2025-10-13",
+}
+
+
+@needs_node
+def test_one_on_one_modules_match_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(FIXTURE),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    theirs = json.loads(out.stdout)["outputs"]
+
+    docs = spark.createDataFrame(list(DAILY.items()), "filename string, content string")
+    jira_docs = spark.createDataFrame(
+        list(JIRA_ASSIGNEE.items()), "filename string, content string"
+    )
+    transcripts = spark.createDataFrame(
+        list(TRANSCRIPTS.items()), "filename string, content string"
+    )
+    res = run_one_on_one(
+        spark,
+        docs,
+        MEMBERS,
+        mappings=MAPPING,
+        generated_at="2025-10-13",
+        jira_docs=jira_docs,
+        transcripts=transcripts,
+    )
+    assert set(res.filenames.values()) == set(theirs)
+    for member in MEMBERS:
+        ref_module = theirs[res.filenames[member]]
+        mine = res.datasources[member]
+        if mine != ref_module:
+            import difflib
+
+            diff = "\n".join(
+                difflib.unified_diff(
+                    ref_module.splitlines(), mine.splitlines(), "reference", "ours", lineterm=""
+                )
+            )
+            pytest.fail(f"{member} datasource diverged:\n{diff[:3000]}")
