@@ -35,12 +35,27 @@ class DashboardResult:
 
 
 def week_bounds(config: dict) -> tuple[str, str]:
-    """Coalesce order per generate_dashboard.js:299-307."""
-    tf = (config.get("transcripts") or {}).get("date_filter") or {}
+    """Coalesce order per generate_dashboard.js:299-307 — the reference
+    reads ``transcripts.dateFilter`` (camelCase) accepting BOTH
+    ``startDate`` and ``start_date`` inner spellings; both outer
+    spellings are accepted here too."""
+    tx = config.get("transcripts") or {}
+    tf = tx.get("dateFilter") or tx.get("date_filter") or {}
     sf = (config.get("slack") or {}).get("date_filter") or {}
     jf = config.get("jira") or {}
-    start = tf.get("start_date") or sf.get("start_date") or jf.get("start_date")
-    end = tf.get("end_date") or sf.get("end_date") or jf.get("end_date") or start
+    start = (
+        tf.get("startDate")
+        or tf.get("start_date")
+        or sf.get("start_date")
+        or jf.get("start_date")
+    )
+    end = (
+        tf.get("endDate")
+        or tf.get("end_date")
+        or sf.get("end_date")
+        or jf.get("end_date")
+        or start
+    )
     if not start:
         raise ValueError("dashboard week bounds unresolvable from config")
     return start, end
@@ -127,9 +142,23 @@ def run_dashboard_week(
             for r in slack_docs.orderBy("filename").collect()
             if r["content"]
         )
+    host = (config.get("jira") or {}).get("host") or ""
+    if jira_md and host:
+        # linkifyIssueKeys applies to the jira section when a host is
+        # configured (generate_dashboard.js:380-391, 400-406)
+        from ..functions import markup as M
+
+        jira_md = (
+            spark.createDataFrame([(jira_md,)], "c string")
+            .select(M.linkify_issue_keys(F.col("c"), host).alias("c"))
+            .collect()[0]["c"]
+        )
+    # one `---` rule after each non-empty daily file (:431-433); our
+    # caller passes the concatenated daily markdown as one "file"
+    daily_shipped = daily_md + "\n\n---\n\n" if daily_md else ""
     datasource_text = render_dashboard_datasource(
         jira=jira_md,
-        daily=daily_md,
+        daily=daily_shipped,
         transcript=transcript_text,
         by_day_json=by_day_json,
         unknown=unknown_text,

@@ -1,0 +1,127 @@
+// Golden-test driver: executes the REFERENCE repo's dashboard
+// generator (datasource-generator/generate_dashboard.js —
+// DashboardGenerator.generateDashboard: epic-tree-preferring jira file
+// selection + linkify, daily/transcript/slack wrappers, the
+// Monday-anchored byDay frame with transcript CONTENTS, the
+// unknown-date section, and the seven-section python emit) over an
+// in-memory fixture and prints the generated module.
+//
+// Same technique as ref_team_datasource_driver.js, except `Date` is
+// shadowed by a SUBCLASS pinning only the zero-argument constructor
+// (wall-clock embeds) — the frame math constructs real dates from ISO
+// strings and must keep real UTC arithmetic. ./lib/date-range-filter
+// and ./lib/output-filename are loaded for real (pure modules).
+// Read-only, no network, nothing copied.
+//
+// Usage: node ref_dashboard_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(realFs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const dsDir = path.join(refRoot, 'datasource-generator');
+const src = realFs.readFileSync(path.join(dsDir, 'generate_dashboard.js'), 'utf8');
+
+const jiraDir = path.join(refRoot, 'jira', 'md_output', 'golden');
+const dailyDir = path.join(refRoot, 'daily-reports', 'md-output', 'golden');
+const txDir = path.join(refRoot, 'transcripts', 'markdown-output', 'golden');
+const slackDir = path.join(refRoot, 'slack', 'md-output', 'golden', 'sanitized');
+
+const files = new Map();
+for (const [dir, key] of [
+  [jiraDir, 'jira_files'],
+  [dailyDir, 'daily_files'],
+  [txDir, 'transcript_files'],
+  [slackDir, 'slack_files'],
+]) {
+  for (const [name, spec] of Object.entries(fixture[key] || {})) {
+    const content = typeof spec === 'string' ? spec : spec.content;
+    const mtime = typeof spec === 'string' ? 0 : spec.mtime || 0;
+    files.set(path.join(dir, name), { content, mtime });
+  }
+}
+let captured = null;
+const dirOf = (d) => {
+  const out = [];
+  for (const p of files.keys()) {
+    if (path.dirname(p) === d) out.push(path.basename(p));
+  }
+  return out.sort();
+};
+const knownDirs = [jiraDir, dailyDir, txDir, slackDir, dsDir];
+const fakeFs = {
+  existsSync: (p) =>
+    files.has(p) || knownDirs.includes(p) || p.startsWith(path.join(dsDir, 'output')),
+  mkdirSync: () => {},
+  readdirSync: (d, opts) => (opts && opts.withFileTypes ? [] : dirOf(d)),
+  statSync: (p) => {
+    const f = files.get(p);
+    return { isDirectory: () => false, mtime: f ? f.mtime : 0 };
+  },
+  readFileSync: (p) => {
+    const f = files.get(p);
+    if (!f) throw new Error(`ENOENT: ${p}`);
+    return f.content;
+  },
+  writeFileSync: (p, content) => {
+    captured = { path: p, content };
+  },
+};
+
+const cfg = fixture.config || {};
+const stubs = {
+  fs: fakeFs,
+  path: path,
+  child_process: { spawn: () => { throw new Error('spawn disabled'); } },
+  dotenv: { config: () => {} },
+  '../lib/config': { load: () => cfg, ConfigManager: { loadForReportType: () => cfg } },
+  '../lib/error-handler': { handleError: () => {} },
+  '../lib/errors': { ConfigurationError: class extends Error {} },
+  './lib/mapping-resolver': { loadTeamMapping: () => ({ projectFolder: 'golden' }) },
+  '../lib/project-folder': { getProjectFolder: () => 'golden' },
+};
+const stubRequire = (name) => {
+  if (name === 'dotenv') return stubs.dotenv;
+  if (name === './lib/output-filename' || name === './lib/date-range-filter') {
+    return require(path.join(dsDir, 'lib', path.basename(name) + '.js'));
+  }
+  if (name in stubs) return stubs[name];
+  throw new Error(`unexpected require: ${name}`);
+};
+
+// Pin only the zero-arg constructor; ISO-string construction (frame
+// math, getDayOfWeek) keeps real UTC behavior.
+const FIXED_MS = Date.parse(fixture.now_iso || '2025-01-06T00:00:00.000Z');
+class PinnedDate extends Date {
+  constructor(...args) {
+    if (args.length === 0) super(FIXED_MS);
+    else super(...args);
+  }
+}
+
+const fakeProcess = {
+  argv: ['node', 'generate_dashboard.js'],
+  env: {},
+  exit: (code) => { throw new Error(`process.exit(${code})`); },
+};
+
+const mod = { exports: {} };
+new Function(
+  'require', 'module', 'exports', '__dirname', '__filename',
+  'process', 'Date', 'console',
+  src
+)(
+  stubRequire, mod, mod.exports, dsDir,
+  path.join(dsDir, 'generate_dashboard.js'),
+  fakeProcess, PinnedDate,
+  { log: () => {}, warn: () => {}, error: () => {} }
+);
+
+const g = new mod.exports();
+g.generateDashboard();
+process.stdout.write(JSON.stringify({
+  output_file: captured && path.basename(captured.path),
+  content: captured && captured.content,
+}));

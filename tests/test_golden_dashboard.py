@@ -1,0 +1,100 @@
+"""Golden parity: run_dashboard_week's datasource module vs the
+REFERENCE's own dashboard generator executed via node
+(tests/golden/ref_dashboard_driver.js) — all six shipped section
+VALUES must match byte-for-byte: the linkified epic-tree JIRA section,
+the daily/transcript/slack wrappers, the Monday-anchored byDay frame
+carrying transcript CONTENTS, and the unknown-date text section."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.dashboard import run_dashboard_week
+
+DRIVER = Path(__file__).parent / "golden" / "ref_dashboard_driver.js"
+REF = Path("/root/reference")
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+EPIC_TREE = "# Tree\n\n- [PROJ-1] alpha\n- ![img][PROJ-2] skip\n"
+DAILY = "## 2025-10-08\n**A**: did x"
+TRANSCRIPTS = {
+    "fathom-transcripts-2025-10-08T07_00_00+00_00.md": "hello wed",
+    "call-10_11_2025.md": "sat call",
+    "mystery-notes.md": "no date",
+}
+SLACK = {"chan.md": "# general\nhi"}
+
+FIXTURE = {
+    "config": {
+        "jira": {"project": "GoldenProj", "host": "https://x.atlassian.net"},
+        "transcripts": {
+            "dateFilter": {"startDate": "2025-10-08", "endDate": "2025-10-12"}
+        },
+    },
+    "jira_files": {
+        # the flat team report is NEWER but the enriched epic tree must win
+        "team_x_team_report.md": {"content": "flat report [PROJ-9]", "mtime": 5},
+        "epic_tree_with_changelog_2025.md": {"content": EPIC_TREE, "mtime": 1},
+    },
+    "daily_files": {"reports.md": DAILY},
+    "transcript_files": TRANSCRIPTS,
+    "slack_files": SLACK,
+}
+
+KEYS = (
+    "JIRA_DATA",
+    "DAILY_REPORTS_DATA",
+    "TRANSCRIPT_DATA",
+    "TRANSCRIPT_DATA_BY_DAY",
+    "TRANSCRIPTS_WITH_UNKNOWN_DATE",
+    "SLACK_DATA",
+)
+
+
+def _exec(text: str) -> dict:
+    ns: dict = {}
+    exec(text, ns)  # noqa: S102 — fixture-generated data-only module
+    return ns
+
+
+@needs_node
+def test_dashboard_sections_byte_equal_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(FIXTURE),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+    assert ref["output_file"] == "datasource_dashboard_GoldenProj.py"
+    theirs = _exec(ref["content"])
+
+    transcripts = spark.createDataFrame(
+        list(TRANSCRIPTS.items()), "filename string, content string"
+    )
+    slack_docs = spark.createDataFrame(list(SLACK.items()), "filename string, content string")
+    res = run_dashboard_week(
+        spark,
+        transcripts,
+        FIXTURE["config"],
+        jira_md=EPIC_TREE,
+        daily_md=DAILY,
+        slack_docs=slack_docs,
+    )
+    ours = _exec(res.datasource_text)
+    for key in KEYS:
+        assert ours[key] == theirs[key], key
+    # sanity on the interesting bits: linkify fired, contents landed
+    assert "[PROJ-1](https://x.atlassian.net/browse/PROJ-1)" in ours["JIRA_DATA"]
+    wed = next(e for e in ours["TRANSCRIPT_DATA_BY_DAY"] if e["date"] == "2025-10-08")
+    assert wed["transcripts"] == ["hello wed"]
