@@ -1,0 +1,182 @@
+"""Daily-report markdown assembly (SURVEY §3 daily vertical), the full
+document format of ``daily-reports/csv-to-markdown.js``
+(DailyReportMarkdownConverter.generateMarkdown:52-202):
+
+``# Daily Reports`` header with Employee/Project/Template lines from
+the first row and a Generated stamp; one ``## <niceDate>`` group per
+report date ascending ("October 8, 2025" — en-US long form); within a
+date, ``### name — project`` subheads when the date has multiple rows
+(else ``**Employee**/**Project**`` context lines); ``### Tasks Done`` /
+``### To Do`` bullet lists from the HTML fields with plain-text and
+``- (none)`` fallbacks; a ``### Details`` meta list; and a final
+JS-trim + newline.
+
+Spark-first split: per-row blocks are pure column expressions over the
+golden-pinned HTML helpers (functions/markup), the multiple-rows flag
+is a per-date window count, and per-date documents aggregate with
+``collect_list`` — only the final per-date strings (KBs) are collected
+for the driver-side concatenation, same as every other render sink
+(§7.3).
+
+Determinism note: the reference takes "first row" and within-date row
+order from raw CSV order; a DataFrame has no row order, so both are
+pinned to (report_date, employee_id) ascending — byte-identical when
+the CSV was exported in that order (the db query's ORDER BY).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import markup as M
+
+_JS_WS = (
+    "\t\n\x0b\f\r   "
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "    　﻿"
+)
+
+
+def _nz(col):
+    """JS-truthy string: trimmed non-empty, else NULL."""
+    t = F.trim(col)
+    return F.when(t != "", t)
+
+
+def _employee_name():
+    # buildEmployeeName (:204-208): trim each part, drop empties, join.
+    return F.concat_ws(
+        " ",
+        F.coalesce(_nz(F.col("employee_first_name")), F.lit(None)),
+        F.coalesce(_nz(F.col("employee_last_name")), F.lit(None)),
+    )
+
+
+def _bullet_section(title: str, html_col) -> F.Column:
+    """``### <title>`` + '- item' lines from <li> extraction, falling
+    back to the whole-field plain text, then '- (none)' (:159-180)."""
+    items = M.html_bullet_items(html_col)
+    fallback = _nz(M.html_to_plain(F.coalesce(html_col, F.lit(""))))
+    bullets = F.when(
+        F.size(items) > 0,
+        F.concat(
+            F.array_join(F.transform(items, lambda i: F.concat(F.lit("- "), i)), "\n"),
+            F.lit("\n\n"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("- "), F.coalesce(fallback, F.lit("(none)")), F.lit("\n\n"))
+    )
+    return F.concat(F.lit(f"### {title}\n\n"), bullets)
+
+
+def render_daily_reports_md(reports: DataFrame, generated: str) -> str:
+    """One markdown document for a batch of daily-report rows.
+
+    Expected columns: employee_first_name, employee_last_name,
+    client_project_name, report_template_name, report_date (string or
+    date), content (HTML), todo (HTML), client_project_id, employee_id.
+    """
+    rows_exist = reports.limit(1).count() > 0
+    if not rows_exist:
+        return "# Daily Reports\n\nNo daily report data available."
+
+    d = reports.withColumn("__date_key", F.col("report_date").cast("string"))
+    w_date = Window.partitionBy("__date_key")
+    name = _employee_name()
+    project = _nz(F.col("client_project_name"))
+
+    # per-row heading: '### name — project' (multiple rows on the date)
+    # vs '**Employee**/**Project**' context lines (single row) — the
+    # label/context drops empty parts (:131-147).
+    label = F.concat_ws(
+        " — ", F.coalesce(_nz(name), F.lit(None)), F.coalesce(project, F.lit(None))
+    )
+    multi_head = F.when(label != "", F.concat(F.lit("### "), label, F.lit("\n\n"))).otherwise(
+        F.lit("")
+    )
+    context = F.concat_ws(
+        "  \n",
+        F.when(_nz(name).isNotNull(), F.concat(F.lit("**Employee**: "), name)),
+        F.when(project.isNotNull(), F.concat(F.lit("**Project**: "), project)),
+    )
+    single_head = F.when(context != "", F.concat(context, F.lit("\n\n"))).otherwise(F.lit(""))
+    multiple = F.count(F.lit(1)).over(w_date) > 1
+    head = F.when(multiple, multi_head).otherwise(single_head)
+
+    tasks = _bullet_section("Tasks Done", F.coalesce(F.col("content"), F.lit("")))
+    todo = _bullet_section("To Do", F.coalesce(F.col("todo"), F.lit("")))
+
+    meta_items = F.filter(
+        F.array(
+            F.when(
+                _nz(F.col("report_template_name")).isNotNull(),
+                F.concat(F.lit("Template: "), F.trim("report_template_name")),
+            ),
+            F.when(
+                _nz(F.col("client_project_id").cast("string")).isNotNull(),
+                F.concat(F.lit("Project ID: "), F.trim(F.col("client_project_id").cast("string"))),
+            ),
+            F.when(
+                _nz(F.col("employee_id").cast("string")).isNotNull(),
+                F.concat(F.lit("Employee ID: "), F.trim(F.col("employee_id").cast("string"))),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    details = F.when(
+        F.size(meta_items) > 0,
+        F.concat(
+            F.lit("### Details\n\n"),
+            F.array_join(F.transform(meta_items, lambda m: F.concat(F.lit("- "), m)), "\n"),
+            F.lit("\n\n"),
+        ),
+    ).otherwise(F.lit(""))
+
+    block = F.concat(head, tasks, todo, details)
+    # '## October 8, 2025' — Spark's date_format uses US-English month
+    # names, matching toLocaleDateString('en-US', long month) (:226).
+    nice = F.date_format(F.col("__date_key").cast("date"), "MMMM d, yyyy")
+    per_date = (
+        d.select(
+            "__date_key",
+            nice.alias("nice"),
+            F.struct(F.col("employee_id").alias("k"), block.alias("b")).alias("s"),
+        )
+        .groupBy("__date_key", "nice")
+        .agg(
+            F.concat(
+                F.lit("## "),
+                F.first("nice"),
+                F.lit("\n\n"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")), lambda s: s["b"]), ""
+                ),
+                F.lit("\n"),
+            ).alias("date_md")
+        )
+        .orderBy("__date_key")
+    )
+
+    first = (
+        d.orderBy("__date_key", "employee_id")
+        .select(
+            name.alias("name"),
+            project.alias("project"),
+            _nz(F.col("report_template_name")).alias("template"),
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    header = "# Daily Reports\n\n"
+    if first["name"]:
+        header += f"**Employee**: {first['name']}  \n"
+    if first["project"]:
+        header += f"**Project**: {first['project']}  \n"
+    if first["template"]:
+        header += f"**Template**: {first['template']}  \n"
+    header += f"**Generated**: {generated}\n\n"
+
+    body = "".join(r["date_md"] for r in per_date.collect())
+    return (header + body).strip(_JS_WS) + "\n"

@@ -1,0 +1,66 @@
+// Golden-test driver: executes the REFERENCE repo's full daily-report
+// markdown assembly (daily-reports/csv-to-markdown.js —
+// DailyReportMarkdownConverter.generateMarkdown: header lines, per-date
+// groups with en-US long dates, multi-row subheads vs single-row
+// context lines, Tasks Done / To Do bullet extraction with fallbacks,
+// Details meta) over JSON rows and prints the markdown. The module's
+// fs/csv-parser/config imports are stubbed (generateMarkdown is pure);
+// Date is shadowed by a subclass pinning only the zero-arg constructor
+// so the Generated stamp is deterministic while date parsing keeps
+// real arithmetic; the pinned locale string is reported back so the
+// Python side can inject the same stamp. Read-only, no network,
+// nothing copied.
+//
+// Usage: node ref_daily_report_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const src = fs.readFileSync(
+  path.join(refRoot, 'daily-reports', 'csv-to-markdown.js'),
+  'utf8'
+);
+
+const stubs = {
+  fs: { existsSync: () => true, mkdirSync: () => {}, createReadStream: () => { throw new Error('fs disabled'); }, writeFileSync: () => {}, readdirSync: () => [] },
+  path: path,
+  'csv-parser': () => { throw new Error('csv disabled'); },
+  '../lib/project-folder': { getProjectFolder: () => 'golden' },
+  '../lib/config': { load: () => ({}) },
+};
+const stubRequire = (name) => {
+  if (name in stubs) return stubs[name];
+  throw new Error(`unexpected require: ${name}`);
+};
+
+const FIXED_MS = Date.parse(fixture.now_iso || '2025-01-06T00:00:00.000Z');
+class PinnedDate extends Date {
+  constructor(...args) {
+    if (args.length === 0) super(FIXED_MS);
+    else super(...args);
+  }
+}
+
+const fakeProcess = { env: {}, argv: ['node', 'csv-to-markdown.js'] };
+
+const mod = { exports: {} };
+new Function(
+  'require', 'module', 'exports', '__dirname', '__filename',
+  'process', 'Date', 'console',
+  src + '\n;module.exports.DailyReportMarkdownConverter = DailyReportMarkdownConverter;'
+)(
+  stubRequire, mod, mod.exports,
+  path.join(refRoot, 'daily-reports'),
+  path.join(refRoot, 'daily-reports', 'csv-to-markdown.js'),
+  fakeProcess, PinnedDate,
+  { log: () => {}, warn: () => {}, error: () => {} }
+);
+
+const conv = new mod.exports.DailyReportMarkdownConverter();
+process.stdout.write(JSON.stringify({
+  markdown: conv.generateMarkdown(fixture.rows || []),
+  generated: new PinnedDate().toLocaleString(),
+}));

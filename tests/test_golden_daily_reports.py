@@ -1,0 +1,113 @@
+"""Golden parity: render_daily_reports_md vs the REFERENCE's own
+generateMarkdown (daily-reports/csv-to-markdown.js), executed via node
+— header lines, en-US long-date groups, multi-row subheads vs
+single-row context lines, bullet extraction with plain-text and
+``- (none)`` fallbacks, Details meta, final trim."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.daily_reports import (
+    render_daily_reports_md,
+)
+
+DRIVER = Path(__file__).parent / "golden" / "ref_daily_report_driver.js"
+REF = Path("/root/reference")
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+# Rows in (report_date, employee_id) order — the determinism pin both
+# sides share (module docstring). Covers: a multi-row date (subheads),
+# a single-row date (context lines), <li> bullets, plain-HTML fallback,
+# empty→(none) fallback, missing project, Details variants.
+ROWS = [
+    {
+        "employee_id": "7",
+        "employee_first_name": "Jolony Tim",
+        "employee_last_name": "Tangpuz",
+        "client_project_name": "Orchestrator",
+        "client_project_id": "31",
+        "report_template_name": "Std Daily",
+        "report_date": "2025-10-07",
+        "content": "<ul><li><p>shipped <b>thing</b></p></li><li>reviewed &amp; merged</li></ul>",
+        "todo": "plain follow-up, no tags",
+    },
+    {
+        "employee_id": "3",
+        "employee_first_name": "Harold",
+        "employee_last_name": "Inacay",
+        "client_project_name": "Orchestrator",
+        "client_project_id": "31",
+        "report_template_name": "Std Daily",
+        "report_date": "2025-10-08",
+        "content": "<p>just a paragraph</p>",
+        "todo": "",
+    },
+    {
+        "employee_id": "7",
+        "employee_first_name": "Jolony Tim",
+        "employee_last_name": "Tangpuz",
+        "client_project_name": "",
+        "client_project_id": "",
+        "report_template_name": "",
+        "report_date": "2025-10-08",
+        "content": "",
+        "todo": "<ol><li>first</li><li>second</li></ol>",
+    },
+]
+
+SCHEMA = (
+    "employee_id string, employee_first_name string, employee_last_name string, "
+    "client_project_name string, client_project_id string, report_template_name string, "
+    "report_date string, content string, todo string"
+)
+
+
+@needs_node
+def test_daily_reports_md_matches_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps({"rows": ROWS}),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+    df = spark.createDataFrame([tuple(r[k] for k in [
+        "employee_id", "employee_first_name", "employee_last_name",
+        "client_project_name", "client_project_id", "report_template_name",
+        "report_date", "content", "todo",
+    ]) for r in ROWS], SCHEMA)
+    mine = render_daily_reports_md(df, generated=ref["generated"])
+    if mine != ref["markdown"]:
+        import difflib
+
+        diff = "\n".join(
+            difflib.unified_diff(
+                ref["markdown"].splitlines(), mine.splitlines(), "reference", "ours", lineterm=""
+            )
+        )
+        pytest.fail(f"daily report markdown diverged:\n{diff[:4000]}")
+
+
+@needs_node
+def test_daily_reports_md_empty(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps({"rows": []}),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)["markdown"]
+    empty = spark.createDataFrame([], SCHEMA)
+    assert render_daily_reports_md(empty, generated="x") == ref
