@@ -114,6 +114,7 @@ def format_ticket(
     comments_json: Column | None = None,
     changelog_bullets: Column | None = None,
     jira_host: str | None = None,
+    heading_level: int = 3,
 ) -> Column:
     """formatTicket (:210-346). ``cols`` is keyed by the reference's
     CSV labels ('Issue key', 'Summary', 'Issue Type', 'Status',
@@ -132,9 +133,15 @@ def format_ticket(
         return cols.get(name, F.lit(None).cast("string"))
 
     # JS `|| fallback`: empty string falls through too, not just null
+    # heading_level parameterizes the two renderer variants: the
+    # per-assignee report uses ### tickets with #### subsections
+    # (csv-to-markdown.js), the team report #### tickets with #####
+    # subsections (team-report.js formatTicketCondensed).
+    h = "#" * heading_level
+    sub = "#" * (heading_level + 1)
     issue_key = F.coalesce(F.nullif(col("Issue key"), F.lit("")), F.lit("N/A"))
     summary = F.coalesce(F.nullif(col("Summary"), F.lit("")), F.lit("Untitled"))
-    md = F.concat(F.lit("### ["), issue_key, F.lit("] "), summary, F.lit("\n\n"))
+    md = F.concat(F.lit(f"{h} ["), issue_key, F.lit("] "), summary, F.lit("\n\n"))
 
     key_info = []
     if host:
@@ -190,7 +197,7 @@ def format_ticket(
             md,
             F.when(
                 cf_lines != "",
-                F.concat(F.lit("#### Custom Fields\n\n"), cf_lines, F.lit("\n")),
+                F.concat(F.lit(f"{sub} Custom Fields\n\n"), cf_lines, F.lit("\n")),
             ).otherwise(F.lit("")),
         )
 
@@ -236,7 +243,7 @@ def format_ticket(
         md = F.concat(
             md,
             F.when(
-                body != "", F.concat(F.lit("#### Comments\n\n"), body)
+                body != "", F.concat(F.lit(f"{sub} Comments\n\n"), body)
             ).otherwise(F.lit("")),
         )
 
@@ -261,7 +268,7 @@ def format_ticket(
             F.when(
                 F.size(bullets) > 0,
                 F.concat(
-                    F.lit("#### Changelog\n\n"),
+                    F.lit(f"{sub} Changelog\n\n"),
                     F.array_join(bullets, "\n"),
                     F.lit("\n\n"),
                 ),

@@ -1,0 +1,183 @@
+"""Team-report document assembly (jira/team-report.js
+generateTeamReport:414-560) — the reference's second document renderer,
+distinct from the per-assignee report (csv-to-markdown.js) it shares
+most ticket formatting with:
+
+``# Team Report - <project>`` header with Project/Date Range/Total/
+Generated lines; an Executive Summary with By Status / By Type /
+By Team Member percentage lists (toFixed(1) — ECMA half-UP at exact
+ties, see ``_to_fixed_1``); ``## Tickets by Status`` in the canonical
+status order with first-seen extras, assignees sorted within a status,
+``#### [KEY]``-level formatTicketCondensed blocks; ``## Team Member
+Details`` with per-assignee status breakdowns; and a footer stamp.
+
+Spark-first split: per-ticket blocks are ONE column expression
+(functions/jira_ticket.format_ticket at heading_level=4) evaluated in a
+single job; the groupings/percentages/document order are assembled
+driver-side from the collected (ordinal, status, assignee, type, block)
+rows — per-team report scale (KBs), the same trade as every render sink
+(SURVEY §7.3). Input rows carry ``row_ord`` (the CSV line number):
+the reference's "first seen" orderings are raw file order, which a
+DataFrame must be told.
+
+Quirk kept: extractFieldValue only parses entity JSON containing the
+substring ``"name"`` — an assignee cell with only ``displayName`` stays
+RAW JSON in every label and grouping (verified against the reference in
+test_golden_team_report.py).
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import jira_ticket as J
+
+_STATUS_ORDER = [
+    "To Do",
+    "Backlog",
+    "Selected for Development",
+    "In Progress",
+    "Done",
+    "Unknown",
+]
+
+
+def _to_fixed_1(x: float) -> str:
+    """ECMA ``Number.prototype.toFixed(1)``: round the double's EXACT
+    binary value to one decimal, ties away from zero ("pick the larger
+    n"). C-style formatting rounds half-even at representable ties
+    (12.25 → '12.2' vs toFixed '12.3'), so go through Decimal."""
+    return str(Decimal(x).quantize(Decimal("0.1"), rounding=ROUND_HALF_UP))
+
+
+def render_team_report(
+    tickets: DataFrame,
+    config: dict,
+    generated: str,
+    field_map: dict[str, str] | None = None,
+    bullets: DataFrame | None = None,  # (issue_key, bullets array<string>)
+) -> str:
+    """One markdown document from raw-export-shaped ticket rows.
+
+    ``tickets`` columns: row_ord int plus the export fields (key,
+    summary, issuetype, status, priority, assignee, reporter, created,
+    updated, description, labels, sprint, parent, project, resolution,
+    environment, fixVersions, duedate, Comment, customfield_*...).
+    """
+    jira_cfg = config.get("jira") or {}
+    rows_exist = tickets.limit(1).count() > 0
+    if not rows_exist:
+        return "# Team Report\n\nNo tickets found.\n"
+
+    cols = {c: F.col(f"`{c}`") for c in tickets.columns if c != "row_ord"}
+    mapped = J.map_export_fields(cols)
+    field_map = field_map or {}
+    custom = [
+        (field_map.get(c, c), F.col(f"`{c}`"))
+        for c in tickets.columns
+        if c.startswith("customfield_")
+    ]
+    t = tickets
+    bullets_col = None
+    if bullets is not None:
+        t = t.join(
+            F.broadcast(bullets),
+            t["key"] == bullets["issue_key"],
+            "left",
+        ).drop("issue_key")
+        bullets_col = F.col("bullets")
+    block = J.format_ticket(
+        mapped,
+        custom_fields=custom,
+        comments_json=cols.get("Comment"),
+        changelog_bullets=bullets_col,
+        jira_host=jira_cfg.get("host"),
+        heading_level=4,
+    )
+    # JS `|| fallback` on the MAPPED values (:423-447, 507-512)
+    status_lbl = F.coalesce(F.nullif(mapped["Status"], F.lit("")), F.lit("Unknown"))
+    assignee_lbl = F.coalesce(F.nullif(mapped["Assignee"], F.lit("")), F.lit("Unassigned"))
+    type_lbl = F.coalesce(F.nullif(mapped["Issue Type"], F.lit("")), F.lit("Unknown"))
+    collected = (
+        t.select(
+            F.col("row_ord"),
+            status_lbl.alias("status"),
+            assignee_lbl.alias("assignee"),
+            type_lbl.alias("itype"),
+            mapped["Project name"].alias("project_name"),
+            mapped["Project key"].alias("project_key"),
+            block.alias("block"),
+        )
+        .orderBy("row_ord")
+        .collect()
+    )
+
+    first = collected[0]
+    project_name = first["project_name"] or "Unknown Project"
+    project_key = first["project_key"] or "N/A"
+    total = len(collected)
+
+    # insertion-order groupings over file order (JS object semantics)
+    by_status: dict[str, list] = {}
+    by_assignee: dict[str, list] = {}
+    by_type: dict[str, int] = {}
+    for r in collected:
+        by_status.setdefault(r["status"], []).append(r)
+        by_assignee.setdefault(r["assignee"], []).append(r)
+        by_type[r["itype"]] = by_type.get(r["itype"], 0) + 1
+    # canonical order first, then remaining first-seen (:91-131)
+    status_sorted = {
+        s: by_status[s] for s in _STATUS_ORDER if s in by_status
+    }
+    for s in by_status:
+        if s not in status_sorted:
+            status_sorted[s] = by_status[s]
+    assignee_sorted = {a: by_assignee[a] for a in sorted(by_assignee)}
+
+    md = f"# Team Report - {project_name}\n\n"
+    md += f"**Project**: {project_name} ({project_key})  \n"
+    md += f"**Date Range**: {jira_cfg.get('start_date')} to {jira_cfg.get('end_date')}  \n"
+    md += f"**Total Tickets**: {total}  \n"
+    md += f"**Generated**: {generated}\n\n"
+
+    md += "## Executive Summary\n\n"
+    md += "### By Status\n\n"
+    for s, rows in status_sorted.items():
+        md += f"- **{s}**: {len(rows)} tickets ({_to_fixed_1(len(rows) / total * 100)}%)\n"
+    md += "\n"
+    md += "### By Type\n\n"
+    for ty, n in sorted(by_type.items(), key=lambda kv: -kv[1]):
+        md += f"- **{ty}**: {n} tickets ({_to_fixed_1(n / total * 100)}%)\n"
+    md += "\n"
+    md += "### By Team Member\n\n"
+    for a, rows in sorted(assignee_sorted.items(), key=lambda kv: -len(kv[1])):
+        md += f"- **{a}**: {len(rows)} tickets ({_to_fixed_1(len(rows) / total * 100)}%)\n"
+    md += "\n"
+
+    md += "## Tickets by Status\n\n"
+    for s, rows in status_sorted.items():
+        md += f"### {s} ({len(rows)})\n\n"
+        ba: dict[str, list] = {}
+        for r in rows:
+            ba.setdefault(r["assignee"], []).append(r)
+        for a in sorted(ba):
+            md += f"**{a}** ({len(ba[a])} tickets)\n\n"
+            for r in ba[a]:
+                md += r["block"]
+
+    md += "## Team Member Details\n\n"
+    for a, rows in assignee_sorted.items():
+        md += f"### {a} ({len(rows)} tickets)\n\n"
+        sc: dict[str, int] = {}
+        for r in rows:
+            sc[r["status"]] = sc.get(r["status"], 0) + 1
+        for s, n in sc.items():
+            md += f"- {s}: {n}\n"
+        md += "\n"
+
+    md += "\n---\n\n"
+    md += f"*Team report generated from Jira export on {generated}*\n"
+    return md

@@ -1,0 +1,81 @@
+// Golden-test driver: executes the REFERENCE repo's team-report
+// renderer (jira/team-report.js — generateTeamReport: mapFieldNames
+// with JSON field extraction, Executive Summary percentages, canonical
+// status-order grouping, per-assignee groups with formatTicketCondensed
+// blocks, Team Member Details, footer) over fixture rows and prints
+// the markdown. The module auto-runs main() on load, so the source is
+// truncated at its '// Run the script' marker; the CSV stream is an
+// EventEmitter the driver feeds rows through (same technique as
+// ref_jira_report_driver.js); changelog bullets come from the fixture;
+// Date is shadowed by a subclass pinning only the zero-arg constructor
+// (header/footer stamps) and the pinned locale string is reported
+// back. Read-only, no network, nothing copied.
+//
+// Usage: node ref_team_report_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+const { EventEmitter } = require('events');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+let src = fs.readFileSync(path.join(refRoot, 'jira', 'team-report.js'), 'utf8');
+const cut = src.indexOf('// Run the script');
+if (cut !== -1) src = src.slice(0, cut);
+
+let emitter = null;
+let written = null;
+const stubRequire = (name) => {
+  if (name === '../lib/config') return { load: () => fixture.config || {} };
+  if (name === '../lib/project-folder') return { getProjectFolder: () => 'golden' };
+  if (name === './lib/changelog-markdown')
+    return { getChangelogBullets: (key) => (fixture.changelogs || {})[key] || [] };
+  if (name === './lib/field-map') return { loadFieldMap: async () => fixture.fieldMap || {} };
+  if (name === 'dotenv') return { config: () => {} };
+  if (name === 'csv-parser') {
+    return () => {
+      emitter = new EventEmitter();
+      return emitter;
+    };
+  }
+  if (name === 'path') return path;
+  if (name === 'fs')
+    return {
+      existsSync: () => false,
+      readdirSync: () => [],
+      mkdirSync: () => {},
+      createReadStream: () => ({ pipe: (x) => x }),
+      writeFileSync: (_p, content) => {
+        written = content;
+      },
+    };
+  return {};
+};
+
+const FIXED_MS = Date.parse(fixture.now_iso || '2025-01-06T00:00:00.000Z');
+class PinnedDate extends Date {
+  constructor(...args) {
+    if (args.length === 0) super(FIXED_MS);
+    else super(...args);
+  }
+}
+
+const mod = new Function(
+  'require', 'module', 'exports', 'process', 'Date', 'console',
+  src + '\n;return { generateTeamReport };'
+)(
+  stubRequire, { exports: {} }, {}, { env: {} }, PinnedDate,
+  { log: () => {}, warn: () => {}, error: () => {} }
+);
+
+(async () => {
+  const prom = mod.generateTeamReport('in.csv', 'out.md', fixture.fieldMap || {});
+  fixture.rows.forEach((r) => emitter.emit('data', r));
+  emitter.emit('end');
+  await prom;
+  process.stdout.write(JSON.stringify({
+    markdown: written,
+    generated: new PinnedDate().toLocaleString(),
+  }));
+})();

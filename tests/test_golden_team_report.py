@@ -1,0 +1,116 @@
+"""Golden parity: render_team_report vs the REFERENCE's own
+generateTeamReport (jira/team-report.js), executed via node — header,
+Executive Summary percentages, canonical status ordering, per-assignee
+groups with #### ticket blocks (##### subsections), Team Member
+Details, and the footer must match byte-for-byte. The fixture covers
+the raw-JSON-assignee quirk (no "name" substring → unparsed label),
+name-over-displayName extraction, parent envelopes, custom-field map
+resolution, comment JSON, changelog bullets, and Jira-markup
+description conversion."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.team_report import render_team_report
+
+DRIVER = Path(__file__).parent / "golden" / "ref_team_report_driver.js"
+REF = Path("/root/reference")
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+CONFIG = {
+    "jira": {
+        "project": "PROJ",
+        "host": "https://x.atlassian.net",
+        "start_date": "2025-10-06",
+        "end_date": "2025-10-12",
+    }
+}
+CHANGELOGS = {"PROJ-1": ["2025-10-08 Ada", "- status: To Do → Done", ""]}
+FIELD_MAP = {"customfield_10020": "Sprint Field"}
+ROWS = [
+    {
+        "key": "PROJ-1", "summary": "Build thing",
+        "issuetype": '{"name":"Story"}', "status": '{"name":"Done"}',
+        # name+displayName: extractFieldValue returns .name ("ada")
+        "assignee": '{"name":"ada","displayName":"Ada L"}',
+        "reporter": "", "created": "2025-10-06T10:00:00.000+0000",
+        "updated": "2025-10-07T11:30:00.000+0000",
+        "description": "h1. Title\n*bold* text",
+        "labels": "alpha", "project": '{"name":"Golden Project","key":"PROJ"}',
+    },
+    {
+        "key": "PROJ-2", "summary": "Fix bug",
+        "issuetype": '{"name":"Bug"}', "status": '{"name":"In Progress"}',
+        # displayName only: no "name" substring → label stays RAW JSON
+        "assignee": '{"displayName":"Bob X"}',
+        "created": "2025-10-07T09:00:00.000+0000",
+        "project": '{"name":"Golden Project","key":"PROJ"}',
+        "parent": '{"key":"PROJ-9","fields":{"summary":"Epic nine"}}',
+        "customfield_10020": "Sprint 7",
+    },
+    {
+        "key": "PROJ-3", "summary": "Docs",
+        "issuetype": '{"name":"Task"}', "status": '{"name":"In Progress"}',
+        "assignee": "", "created": "2025-10-08T09:00:00.000+0000",
+        "project": '{"name":"Golden Project","key":"PROJ"}',
+        "Comment": '{"comments":[{"body":"lgtm *ship*","author":{"displayName":"Eve"},"created":"2025-10-08T12:00:00.000+0000"}]}',
+    },
+]
+
+ALL_COLS = [
+    "key", "summary", "issuetype", "status", "assignee", "reporter",
+    "created", "updated", "description", "labels", "project", "parent",
+    "customfield_10020", "Comment",
+]
+
+
+@needs_node
+def test_team_report_matches_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(
+            {"config": CONFIG, "changelogs": CHANGELOGS, "fieldMap": FIELD_MAP, "rows": ROWS}
+        ),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+
+    rows = [
+        tuple([i] + [r.get(c) for c in ALL_COLS]) for i, r in enumerate(ROWS)
+    ]
+    schema = "row_ord int, " + ", ".join(f"`{c}` string" for c in ALL_COLS)
+    df = spark.createDataFrame(rows, schema)
+    bullets = spark.createDataFrame(
+        [(k, v) for k, v in CHANGELOGS.items()],
+        "issue_key string, bullets array<string>",
+    )
+    mine = render_team_report(
+        df, CONFIG, generated=ref["generated"], field_map=FIELD_MAP, bullets=bullets
+    )
+    if mine != ref["markdown"]:
+        import difflib
+
+        diff = "\n".join(
+            difflib.unified_diff(
+                ref["markdown"].splitlines(), mine.splitlines(), "reference", "ours", lineterm=""
+            )
+        )
+        pytest.fail(f"team report diverged:\n{diff[:4000]}")
+
+
+@needs_node
+def test_team_report_empty(spark):
+    df = spark.createDataFrame([], "row_ord int, `key` string")
+    assert render_team_report(df, CONFIG, generated="x") == "# Team Report\n\nNo tickets found.\n"
