@@ -260,21 +260,26 @@ def run_weekly_digest(
         F.concat_ws(" ", "first_name", "last_name").alias("author"),
         M.html_to_plain(F.col("content")).alias("text"),
     )
-    day_blocks = (
-        daily_by_day.groupBy("report_date")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("author", "text"))),
-                    lambda s: F.concat(F.lit("**"), s["author"], F.lit("**: "), s["text"]),
-                ),
-                "\n",
-            ).alias("block")
-        )
-        .orderBy("report_date")
-        .select(F.concat(F.lit("## "), F.col("report_date").cast("string"), F.lit("\n"), F.col("block")).alias("content"))
+    # The daily SECTION ships in the reference's own daily-report
+    # document format (pipeline/daily_reports.py, golden-pinned) — a
+    # reference user reading DAILY_REPORTS_DATA gets the exact document
+    # daily-reports/csv-to-markdown.js would have written. The weekly
+    # inputs carry a subset of the converter's columns; the rest render
+    # as absent fields, exactly like sparse CSV exports.
+    from .daily_reports import render_daily_reports_md
+
+    daily_renderer_in = daily.select(
+        F.col("employee_id").cast("string").alias("employee_id"),
+        F.col("first_name").alias("employee_first_name"),
+        F.col("last_name").alias("employee_last_name"),
+        F.lit(None).cast("string").alias("client_project_name"),
+        F.lit(None).cast("string").alias("client_project_id"),
+        F.lit(None).cast("string").alias("report_template_name"),
+        "report_date",
+        "content",
+        F.lit(None).cast("string").alias("todo"),
     )
-    daily_md = "\n\n".join(r["content"] for r in day_blocks.collect())
+    daily_md = render_daily_reports_md(daily_renderer_in, generated=generated_at)
 
     # --- Epic tree (J6/J8): nested epic→child→subtask render with
     # changelog bullets injected after issue headings — the reference's
