@@ -401,7 +401,15 @@ def run_weekly_digest(
     # sections means regenerating unchanged data only refreshes
     # generated_at on the existing row.
     if warehouse_path is not None:
-        content_key = "\n\x00\n".join([jira_md, epic_tree_md, daily_md, transcript_md])
+        # The daily document embeds its **Generated** stamp (reference
+        # format); the idempotency hash must not see it or every run
+        # would be a "new" report — the very reference bug (SURVEY §7.4
+        # risk 6) this content key exists to avoid. The renderer emits
+        # the stamp exactly once, in the header.
+        stable_daily = daily_md.replace(
+            f"**Generated**: {generated_at}", "**Generated**: <stamp>", 1
+        )
+        content_key = "\n\x00\n".join([jira_md, epic_tree_md, stable_daily, transcript_md])
         report_row = spark.createDataFrame(
             [(team, "weekly", generated_at, datasource_text, content_key)],
             "team_id string, report_type_id string, generated_at string, output string, content_src string",
