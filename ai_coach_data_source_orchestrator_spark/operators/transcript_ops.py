@@ -186,3 +186,92 @@ def participants(df: DataFrame, file_col: str = "filename", content_col: str = "
         .groupBy("filename")
         .agg(F.array_sort(F.collect_set(F.col("m.speaker"))).alias("participants"))
     )
+
+
+def transcript_document(
+    df: DataFrame,
+    now_long: str,
+    processed_stamp: str,
+    file_col: str = "filename",
+    content_col: str = "content",
+) -> DataFrame:
+    """→ (filename, markdown): the FULL per-transcript document
+    (convertToMarkdownWithParticipants, transcript-to-markdown.js:13-51)
+    — ``# <date>`` title from the filename (en-US long form; raw
+    basename fallback when unparseable; ``now_long`` when even that is
+    empty), a sorted Meeting Participants list, the processed body
+    (``## time - speaker`` blocks with inline or accumulated content,
+    preamble lines passed through), and the processed-on footer with an
+    injectable stamp (the reference embeds wall-clock). Empty/blank
+    content short-circuits to the literal fallback document.
+
+    Scale: one parse pass (parse_transcripts) + per-file ordered
+    aggregation — the whole document builds as column expressions; no
+    driver-side line loops.
+    """
+    from ..functions import dates as D
+    from ..functions.names import js_trim as _js_trim_local
+
+    rows = parse_transcripts(df, file_col, content_col)
+    piece = F.when(
+        F.col("pattern") >= 0,
+        F.concat(
+            F.lit("## "), F.col("time"), F.lit(" - "), F.col("speaker"),
+            F.lit("\n"), F.col("utterance"), F.lit("\n"),
+        ),
+    ).otherwise(F.col("utterance"))
+    body = (
+        rows.select(file_col, F.struct("pos", piece.alias("p")).alias("s"))
+        .groupBy(file_col)
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["p"]), "\n"
+            ).alias("body")
+        )
+    )
+    parts = participants(df, file_col, content_col).select(
+        file_col,
+        F.when(
+            F.size("participants") > 0,
+            F.concat(
+                F.lit("## Meeting Participants\n\n"),
+                F.array_join(
+                    F.transform(F.col("participants"), lambda p: F.concat(F.lit("- "), p)),
+                    "\n",
+                ),
+                F.lit("\n\n"),
+            ),
+        ).otherwise(F.lit("")).alias("participants_md"),
+    )
+    base_name = F.regexp_replace(F.col(file_col), r"\.[^/.]+$", "")
+    fdate = D.date_from_filename(F.col(file_col))
+    title_date = F.coalesce(
+        F.when(fdate.isNotNull(), F.date_format(fdate, "MMMM d, yyyy")),
+        F.when(base_name != "", base_name),
+        F.lit(now_long),
+    )
+    out = (
+        df.select(file_col, content_col)
+        .join(body, file_col, "left")
+        .join(parts, file_col, "left")
+        .select(
+            file_col,
+            F.when(
+                # content.trim() === '' — JS trim strips newlines too;
+                # Spark's F.trim would miss "  \n  " (functions/names).
+                _js_trim_local(F.coalesce(F.col(content_col), F.lit(""))) == "",
+                F.lit("# Transcript\n\nNo transcript data available."),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("# "), title_date, F.lit("\n\n"),
+                    F.coalesce("participants_md", F.lit("")),
+                    F.coalesce("body", F.lit("")),
+                    F.lit("\n---\n\n*Transcript processed on "),
+                    F.lit(processed_stamp), F.lit("*\n"),
+                )
+            )
+            .alias("markdown"),
+        )
+    )
+    return out

@@ -1,0 +1,62 @@
+// Golden-test driver: executes the REFERENCE repo's FULL transcript
+// document assembly (transcripts/transcript-to-markdown.js —
+// convertToMarkdownWithParticipants: filename-date title with raw-name
+// fallback, sorted Meeting Participants, processed body with inline and
+// accumulated speaker blocks plus preamble passthrough, processed-on
+// footer) over fixture cases and prints the markdown per case. The
+// module is evaluated with a stubbed require and a Date subclass
+// pinning only the zero-arg constructor (footer stamp + no-date
+// fallbacks); the pinned locale strings are reported back so the
+// Python side injects the same values. Read-only, no network,
+// nothing copied.
+//
+// Usage: node ref_transcript_doc_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const src = fs.readFileSync(
+  path.join(refRoot, 'transcripts', 'transcript-to-markdown.js'),
+  'utf8'
+);
+
+const FIXED_MS = Date.parse(fixture.now_iso || '2025-01-06T00:00:00.000Z');
+class PinnedDate extends Date {
+  constructor(...args) {
+    if (args.length === 0) super(FIXED_MS);
+    else super(...args);
+  }
+}
+
+const stubRequire = (name) => {
+  if (name === 'fs') return fs;
+  if (name === 'path') return path;
+  return {}; // lib/errors etc. — unused on this path
+};
+
+const mod = { exports: {} };
+new Function(
+  'require', 'module', 'exports', '__dirname', '__filename', 'Date', 'console',
+  src
+)(
+  stubRequire, mod, mod.exports,
+  path.join(refRoot, 'transcripts'),
+  path.join(refRoot, 'transcripts', 'transcript-to-markdown.js'),
+  PinnedDate,
+  { log: () => {}, warn: () => {}, error: () => {} }
+);
+
+const parser = new (mod.exports.TranscriptToMarkdown || mod.exports)();
+const docs = fixture.cases.map((c) =>
+  parser.convertToMarkdownWithParticipants(c.content, c.filename)
+);
+process.stdout.write(JSON.stringify({
+  docs,
+  now_long: new PinnedDate().toLocaleDateString('en-US', {
+    year: 'numeric', month: 'long', day: 'numeric',
+  }),
+  processed: new PinnedDate().toLocaleString(),
+}));

@@ -1,0 +1,89 @@
+"""Golden parity: transcript_document vs the REFERENCE's own
+convertToMarkdownWithParticipants, executed via node — the full
+per-transcript document must match byte-for-byte: filename-date title
+(en-US long form, raw-basename fallback), sorted participants list,
+inline and accumulated speaker blocks, preamble passthrough, the
+stuck-currentSpeaker quirk (content after an inline entry still
+attributes to the LAST header-style speaker), and the footer stamp."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.operators.transcript_ops import (
+    transcript_document,
+)
+
+DRIVER = Path(__file__).parent / "golden" / "ref_transcript_doc_driver.js"
+REF = Path("/root/reference")
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+CASES = [
+    # inline entries + accumulated header-style entry + preamble line
+    {
+        "filename": "fathom-transcripts-2025-10-08T07_00_00+00_00.md",
+        "content": (
+            "Weekly sync notes\n"
+            "07:00 - Ada Lovelace\n"
+            "  first point\n"
+            "  second point\n"
+            "07:01 - Bob X\n"
+            "quick ack\n"
+            "Charlie D: inline style here\n"
+        ),
+    },
+    # stuck-currentSpeaker quirk: content after the inline entry
+    # re-attributes to Ada (flushCurrentEntry never clears the speaker)
+    {
+        "filename": "call-10_11_2025.md",
+        "content": (
+            "07:00 - Ada Lovelace\n"
+            "  before inline\n"
+            "Charlie D: inline interruption\n"
+            "after inline goes back to Ada\n"
+        ),
+    },
+    # unparseable filename date → raw basename title; no speakers
+    {"filename": "mystery-notes.md", "content": "just some prose\nsecond line\n"},
+    # empty content → literal fallback document
+    {"filename": "call-10_11_2025.md", "content": "   \n  "},
+]
+
+
+@needs_node
+def test_transcript_documents_match_reference(spark):
+    out = subprocess.run(
+        ["node", str(DRIVER), "/dev/stdin"],
+        input=json.dumps({"cases": CASES}),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+
+    for i, case in enumerate(CASES):
+        df = spark.createDataFrame(
+            [(case["filename"], case["content"])], "filename string, content string"
+        )
+        got = transcript_document(
+            df, now_long=ref["now_long"], processed_stamp=ref["processed"]
+        ).collect()[0]["markdown"]
+        expected = ref["docs"][i]
+        if got != expected:
+            import difflib
+
+            diff = "\n".join(
+                difflib.unified_diff(
+                    expected.splitlines(), got.splitlines(), "reference", "ours", lineterm=""
+                )
+            )
+            pytest.fail(f"case {i} ({case['filename']}) diverged:\n{diff[:3000]}")
