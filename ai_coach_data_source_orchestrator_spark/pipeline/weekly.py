@@ -326,17 +326,23 @@ def run_weekly_digest(
         )
         .select("filename", "participants", "matched_count")
     )
-    utter = T.parse_transcripts(tf.join(transcript_files, "filename", "left_semi"))
+    # Each kept transcript becomes the reference's FULL converted
+    # document (transcript_ops.transcript_document, golden-pinned:
+    # date title, participants, speaker blocks, footer) — the digest
+    # reads exactly these files from markdown-output in the reference
+    # flow, so TRANSCRIPT_DATA carries what a reference user would see.
+    kept = tf.join(transcript_files, "filename", "left_semi")
     t_blocks = (
-        utter.where(F.col("speaker").isNotNull())
-        .select("filename", F.struct("pos", F.concat(F.col("speaker"), F.lit(": "), F.col("utterance")).alias("line")).alias("u"))
-        .groupBy("filename")
-        .agg(F.array_join(F.transform(F.array_sort(F.collect_list("u")), lambda u: u["line"]), "\n").alias("block"))
+        T.transcript_document(
+            kept, now_long=generated_at, processed_stamp=generated_at
+        )
         .orderBy("filename")  # O4 lexicographic concat
         .select(
             "filename",
-            F.concat(F.lit("# Transcript: "), F.col("filename"), F.lit("\n"), F.col("block")).alias("content"),
-            "block",
+            F.concat(
+                F.lit("# Transcript: "), F.col("filename"), F.lit("\n"), F.col("markdown")
+            ).alias("content"),
+            F.col("markdown").alias("block"),
         )
     )
     t_rows = t_blocks.collect()
@@ -409,7 +415,14 @@ def run_weekly_digest(
         stable_daily = daily_md.replace(
             f"**Generated**: {generated_at}", "**Generated**: <stamp>", 1
         )
-        content_key = "\n\x00\n".join([jira_md, epic_tree_md, stable_daily, transcript_md])
+        # the transcript documents likewise carry a per-file footer stamp
+        stable_transcripts = transcript_md.replace(
+            f"*Transcript processed on {generated_at}*",
+            "*Transcript processed on <stamp>*",
+        )
+        content_key = "\n\x00\n".join(
+            [jira_md, epic_tree_md, stable_daily, stable_transcripts]
+        )
         report_row = spark.createDataFrame(
             [(team, "weekly", generated_at, datasource_text, content_key)],
             "team_id string, report_type_id string, generated_at string, output string, content_src string",

@@ -154,7 +154,10 @@ def ref_digest(result, tmp_path_factory):
     blocks = {}
     tx_md = [r["content"] for r in result.sections.collect() if r["source"] == "transcripts"][0]
     for m in re.finditer(r"# Transcript: (\S+)\n((?:(?!# Transcript: ).)*)", tx_md, re.S):
-        blocks[m.group(1)] = m.group(2).strip("\n")
+        # restore the single trailing newline the real converter writes
+        # (transcript-to-markdown.js ends every document with one) —
+        # stripping it here would diverge from the real file contents
+        blocks[m.group(1)] = m.group(2).strip("\n") + "\n"
     for fname, block in blocks.items():
         (tx_dir / fname).write_text(block)
 

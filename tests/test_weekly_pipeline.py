@@ -161,7 +161,9 @@ def test_datasource_render_and_linkify(result):
     assert "[PROJ-2](https://jira.example.com/browse/PROJ-2)" in ds  # X6
     assert "**bold**" in ds  # X2 wiki → markdown
     assert "generated_at=2025-10-13T00:00:00Z" in ds  # injectable timestamp
-    assert "Jolony Tim Tangpuz: hello team" in ds
+    # transcripts ship as the reference's converted documents (r7):
+    # '## <time> - <speaker>' blocks, not raw 'speaker: text' lines
+    assert "- Jolony Tim Tangpuz\nhello team" in ds
 
 
 def test_epic_tree_section_nested_and_injected(result):
