@@ -22,8 +22,9 @@ from typing import Any
 ALLOWED_REPORT_TYPES = ("1on1", "team", "weekly")
 
 
-class ConfigurationError(ValueError):
-    pass
+# Typed taxonomy error (errors.py): exit code 1, default resolution
+# steps, structured toJSON — still a ValueError for existing callers.
+from .errors import ConfigurationError  # noqa: E402,F401
 
 
 def merge_configs(base: Any, override: Any) -> Any:

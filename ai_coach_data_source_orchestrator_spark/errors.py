@@ -1,0 +1,462 @@
+"""Typed error taxonomy + centralized handler (SURVEY §1.1 "Errors").
+
+The reference ships a structured error surface that every CLI entry
+point routes through: seven typed error classes carrying exit codes,
+per-status resolution steps, and a JSON shape for structured logging
+(lib/errors.js:15-284), plus a centralized handler that renders a
+framed human-readable report, optionally logs a JSON error file, and
+exits with the class-specific code (lib/error-handler.js:56-229).
+A user switching to this repo keeps the same failure contract: the
+same class names, the same exit codes, the same resolution steps for
+the same HTTP statuses, and byte-identical plain-terminal report text
+(golden-pinned by tests/golden/ref_errors_driver.js executing the
+reference's own formatErrorMessage).
+
+Driver-side by design: errors are raised during config load / source
+setup / sink finalization on the driver, never inside executor tasks —
+a bad config must fail before any cluster work starts, and executor
+exceptions surface through Spark's own task-failure machinery.
+
+JS-coercion notes replicated exactly (template-literal ``${value}``
+semantics in the Additional Context block): numbers render plainly,
+booleans lowercase, ``None`` → ``null``, lists comma-join with
+null-elisions, dicts → ``[object Object]``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+from typing import Any, Callable
+
+__all__ = [
+    "BaseError",
+    "ConfigurationError",
+    "DatabaseConnectionError",
+    "JiraAPIError",
+    "GoogleDriveError",
+    "FileSystemError",
+    "ValidationError",
+    "NetworkError",
+    "format_error_message",
+    "get_exit_code",
+    "handle_error",
+    "wrap_main",
+    "create_error_from_native",
+]
+
+
+def _js_iso(dt: datetime.datetime) -> str:
+    """JS ``Date.toISOString()``: UTC, exactly 3-digit milliseconds."""
+    dt = dt.astimezone(datetime.timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"
+
+
+def _js_template(v: Any) -> str:
+    """JS template-literal ``${v}`` coercion for context values
+    (error-handler.js:96: ``lines.push(`  ${key}: ${value}`)``)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        # Array.prototype.join(','): null/undefined elide to ''.
+        return ",".join("" if x is None else _js_template(x) for x in v)
+    if isinstance(v, dict):
+        return "[object Object]"
+    return str(v)
+
+
+class BaseError(Exception):
+    """lib/errors.js:15-41 — message + context + ISO timestamp +
+    ``toJSON`` for structured logging. ``now`` is injectable so tests
+    never read the wall clock."""
+
+    exit_code = 1
+    recoverable = True
+
+    def __init__(self, message: str, context: dict | None = None,
+                 now: datetime.datetime | None = None):
+        super().__init__(message)
+        self.message = message
+        self.context = dict(context or {})
+        self.name = type(self).__name__
+        self.timestamp = _js_iso(now or datetime.datetime.now(datetime.timezone.utc))
+        # The reference's BaseError does NOT populate resolutionSteps —
+        # only subclasses do (errors.js:15-41) — so a direct BaseError
+        # renders no Resolution Steps section even when the context
+        # carries some.
+        self.resolution_steps: list[str] = []
+
+    def to_json(self) -> dict:
+        """lib/errors.js:32-40 (stack omitted: Python tracebacks are
+        attached by the logging layer, not the error object)."""
+        return {
+            "name": self.name,
+            "message": self.message,
+            "context": self.context,
+            "timestamp": self.timestamp,
+        }
+
+
+class ConfigurationError(BaseError, ValueError):
+    """lib/errors.js:52-67 — exit 1. Subclasses ValueError so existing
+    ``except ValueError`` call sites (config loaders) keep working."""
+
+    exit_code = 1
+
+    def __init__(self, message: str, context: dict | None = None, **kw):
+        super().__init__(message, context, **kw)
+        self.resolution_steps = self.context.get("resolutionSteps") or [
+            "Check your configuration file for syntax errors",
+            "Ensure all required fields are present",
+            "Verify date formats (YYYY-MM-DD)",
+            "See config.example.jsonc for reference",
+            "Review docs/CONFIG_VALIDATION.md for detailed validation rules",
+        ]
+
+
+class DatabaseConnectionError(BaseError):
+    """lib/errors.js:78-94 — exit 2."""
+
+    exit_code = 2
+
+    def __init__(self, message: str, context: dict | None = None, **kw):
+        super().__init__(message, context, **kw)
+        self.resolution_steps = self.context.get("resolutionSteps") or [
+            "Verify SSH credentials in .env file",
+            "Check that SSH_PRIVATE_KEY_PATH points to a valid key file",
+            "Ensure the remote host is accessible",
+            "Verify database credentials (DB_USER, DB_PASSWORD, DB_DATABASE)",
+            'Check that DB_HOST is "localhost" when using SSH tunnel',
+            "Verify the remote database is running",
+        ]
+
+
+class JiraAPIError(BaseError):
+    """lib/errors.js:105-145 — exit 3; status-specific steps. For
+    401/404/429 the hardcoded steps win even over a caller-supplied
+    ``resolutionSteps`` (reference behavior — only the else-branch
+    consults context)."""
+
+    exit_code = 3
+
+    def __init__(self, message: str, context: dict | None = None, **kw):
+        super().__init__(message, context, **kw)
+        self.status_code = self.context.get("statusCode")
+        if self.status_code == 401:
+            self.resolution_steps = [
+                "Check JIRA_EMAIL in .env file",
+                "Verify JIRA_API_TOKEN is valid and not expired",
+                "Generate a new API token at: https://id.atlassian.com/manage-profile/security/api-tokens",
+                "Ensure the API token has appropriate permissions",
+            ]
+        elif self.status_code == 404:
+            self.resolution_steps = [
+                "Verify the Jira project key in config file",
+                "Ensure config.jira.host is the correct Jira instance",
+                "Check that the project exists and you have access to it",
+            ]
+        elif self.status_code == 429:
+            self.resolution_steps = [
+                "Jira API rate limit exceeded",
+                "Wait a few minutes before retrying",
+                "Consider reducing the date range in your query",
+                "Check if other processes are making Jira API calls",
+            ]
+        else:
+            self.resolution_steps = self.context.get("resolutionSteps") or [
+                "Verify JIRA_EMAIL and JIRA_API_TOKEN in .env file",
+                "Check that config.jira.host is correct (domain only, no protocol)",
+                "Ensure the Jira instance is accessible",
+                "Verify the project key exists",
+                "Check network connectivity",
+            ]
+
+
+class GoogleDriveError(BaseError):
+    """lib/errors.js:156-194 — exit 4; 403/404-specific steps."""
+
+    exit_code = 4
+
+    def __init__(self, message: str, context: dict | None = None, **kw):
+        super().__init__(message, context, **kw)
+        self.status_code = self.context.get("statusCode")
+        if self.status_code == 403:
+            self.resolution_steps = [
+                "Check service account permissions for the Google Drive folder",
+                "Share the folder with the service account email (found in service-account-key.json)",
+                'Ensure the service account has "Viewer" or higher permissions',
+                "Verify the folder ID is correct in config file",
+            ]
+        elif self.status_code == 404:
+            self.resolution_steps = [
+                "Verify the Google Drive folder ID in config file",
+                "Ensure the folder exists and is not in trash",
+                "Check that the folder ID format is correct (alphanumeric string)",
+            ]
+        else:
+            self.resolution_steps = self.context.get("resolutionSteps") or [
+                "Verify service-account-key.json exists and is valid",
+                "Check config.transcripts.serviceAccountKeyFile path",
+                "Ensure folder IDs are correct in config file",
+                "Share folders with service account email",
+                "Verify network connectivity to Google Drive API",
+            ]
+
+
+class FileSystemError(BaseError):
+    """lib/errors.js:205-241 — exit 5; operation-specific steps.
+    Reference quirk kept: the read-branch additionally requires the
+    MESSAGE to contain 'not found'; a read error without that phrase
+    falls through to the generic steps."""
+
+    exit_code = 5
+
+    def __init__(self, message: str, context: dict | None = None, **kw):
+        super().__init__(message, context, **kw)
+        operation = self.context.get("operation")
+        if operation == "read" and "not found" in message:
+            self.resolution_steps = [
+                "Run npm run clean to reset output directories",
+                "Ensure prerequisite scripts have been run",
+                "Check that the file path is correct",
+                "Verify the file was created by previous steps",
+            ]
+        elif operation in ("write", "mkdir"):
+            self.resolution_steps = [
+                "Check file/directory permissions",
+                "Ensure you have write access to the target directory",
+                "Verify disk space is available",
+                "Check that the path is not too long (Windows limitation)",
+            ]
+        else:
+            self.resolution_steps = self.context.get("resolutionSteps") or [
+                "Check file and directory permissions",
+                "Ensure all required directories exist",
+                "Verify file paths are correct",
+                "Run npm run clean to reset output directories",
+            ]
+
+
+class ValidationError(BaseError):
+    """lib/errors.js:252-265 — exit 6."""
+
+    exit_code = 6
+
+    def __init__(self, message: str, context: dict | None = None, **kw):
+        super().__init__(message, context, **kw)
+        self.resolution_steps = self.context.get("resolutionSteps") or [
+            "Check the input data format",
+            "Verify all required fields are present",
+            "Ensure data types are correct",
+            "Review the data source for completeness",
+        ]
+
+
+class NetworkError(BaseError):
+    """lib/errors.js:275-288 — exit 7."""
+
+    exit_code = 7
+
+    def __init__(self, message: str, context: dict | None = None, **kw):
+        super().__init__(message, context, **kw)
+        self.resolution_steps = self.context.get("resolutionSteps") or [
+            "Check your internet connection",
+            "Verify the host is accessible",
+            "Check for firewall or proxy restrictions",
+            "Try again in a few moments",
+        ]
+
+
+_EXIT_CODES = {
+    ConfigurationError: 1,
+    DatabaseConnectionError: 2,
+    JiraAPIError: 3,
+    GoogleDriveError: 4,
+    FileSystemError: 5,
+    ValidationError: 6,
+    NetworkError: 7,
+}
+
+
+def get_exit_code(error: BaseException) -> int:
+    """error-handler.js:176-196 — explicit exitCode wins, then the
+    class map, then 1."""
+    code = getattr(error, "exit_code", None)
+    if code:
+        return code
+    for cls, c in _EXIT_CODES.items():
+        if isinstance(error, cls):
+            return c
+    return 1
+
+
+def _error_name(error: BaseException) -> str:
+    """JS ``error.name``: taxonomy errors carry their class name; a
+    bare ``Exception`` maps to the native JS 'Error'."""
+    name = getattr(error, "name", None)
+    if name:
+        return name
+    if type(error) is Exception:
+        return "Error"
+    return type(error).__name__
+
+
+def format_error_message(error: BaseException, context: dict | None = None,
+                         debug: bool | None = None) -> str:
+    """error-handler.js:56-128, plain-terminal mode (non-TTY →
+    supportsColor() false, no ANSI codes) — byte-identical to the
+    reference's output, golden-pinned. ``debug`` defaults to the same
+    env gate the reference uses (DEBUG / NODE_ENV=development); the
+    Python traceback replaces the V8 stack when enabled (machine-
+    specific, excluded from the golden)."""
+    context = context or {}
+    if debug is None:
+        debug = bool(os.environ.get("DEBUG")) or os.environ.get("NODE_ENV") == "development"
+
+    lines: list[str] = []
+    lines.append("")
+    lines.append("═" * 80)
+    lines.append(f"ERROR: {_error_name(error)}")
+    lines.append("═" * 80)
+    lines.append("")
+
+    lines.append("Message:")
+    lines.append(f"  {getattr(error, 'message', None) or error}")
+    lines.append("")
+
+    # JS truthiness gates: '' / 0 / null all skip the section.
+    for key, label in (("module", "Module:"), ("operation", "Operation:"),
+                       ("configFile", "Config File:")):
+        if context.get(key):
+            lines.append(label)
+            lines.append(f"  {_js_template(context[key])}")
+            lines.append("")
+
+    err_context = getattr(error, "context", None)
+    if err_context and len(err_context) > 0:
+        lines.append("Additional Context:")
+        for key, value in err_context.items():
+            if key != "resolutionSteps":
+                lines.append(f"  {key}: {_js_template(value)}")
+        lines.append("")
+
+    steps = getattr(error, "resolution_steps", None)
+    if steps:
+        lines.append("Resolution Steps:")
+        for i, step in enumerate(steps):
+            lines.append(f"  {i + 1}. {step}")
+        lines.append("")
+
+    if debug:
+        import traceback
+
+        lines.append("Stack Trace:")
+        tb = "".join(traceback.format_exception(type(error), error,
+                                                error.__traceback__)).splitlines()
+        for line in tb[1:] if len(tb) > 1 else tb:
+            lines.append(f"  {line.strip()}")
+        lines.append("")
+    else:
+        lines.append("Tip: Set DEBUG=true or NODE_ENV=development to see full stack trace")
+        lines.append("")
+
+    lines.append("─" * 80)
+    lines.append("")
+    return "\n".join(lines)
+
+
+def log_error_to_file(error: BaseException, context: dict | None = None,
+                      log_dir: str | None = None,
+                      now: datetime.datetime | None = None) -> str | None:
+    """error-handler.js:134-170 — JSON error file under logs/;
+    failures to log never mask the original error."""
+    try:
+        log_dir = log_dir or os.path.join(os.getcwd(), "logs")
+        os.makedirs(log_dir, exist_ok=True)
+        ts = _js_iso(now or datetime.datetime.now(datetime.timezone.utc))
+        log_file = os.path.join(log_dir, "error-" + ts.replace(":", "-").replace(".", "-") + ".log")
+        payload = {
+            "timestamp": ts,
+            "error": error.to_json() if isinstance(error, BaseError) else {
+                "name": _error_name(error),
+                "message": str(error),
+            },
+            "context": context or {},
+            "environment": {
+                "pythonVersion": sys.version.split()[0],
+                "platform": sys.platform,
+                "cwd": os.getcwd(),
+                "configFile": os.environ.get("CONFIG_FILE"),
+            },
+        }
+        with open(log_file, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=2)
+        return log_file
+    except OSError:
+        return None
+
+
+def handle_error(error: BaseException, context: dict | None = None, *,
+                 exit: bool = True, log_to_file: bool | None = None,
+                 stream=None) -> int:
+    """error-handler.js:205-229 — render, optionally log, optionally
+    exit with the class code. Returns the exit code when not exiting
+    (so callers can propagate it)."""
+    context = dict(context or {})
+    if "configFile" not in context and os.environ.get("CONFIG_FILE"):
+        context["configFile"] = os.environ["CONFIG_FILE"]
+    if log_to_file is None:
+        log_to_file = (os.environ.get("NODE_ENV") == "production"
+                       or os.environ.get("LOG_ERRORS") == "true")
+
+    print(format_error_message(error, context), file=stream or sys.stderr)
+    if log_to_file:
+        log_error_to_file(error, context)
+
+    code = get_exit_code(error)
+    if exit:
+        raise SystemExit(code)
+    return code
+
+
+def wrap_main(fn: Callable, context: dict | None = None) -> Callable:
+    """error-handler.js:246-254 ``wrapAsync`` — wrap an entry point so
+    any raise routes through handle_error (and exits)."""
+
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except SystemExit:
+            raise
+        except BaseException as e:  # noqa: BLE001 — entry-point boundary
+            handle_error(e, context)
+
+    return wrapped
+
+
+_NATIVE_TYPE_MAP = {
+    "config": ConfigurationError,
+    "database": DatabaseConnectionError,
+    "jira": JiraAPIError,
+    "drive": GoogleDriveError,
+    "filesystem": FileSystemError,
+    "validation": ValidationError,
+    "network": NetworkError,
+}
+
+
+def create_error_from_native(native: BaseException, type_key: str,
+                             context: dict | None = None, **kw) -> BaseError:
+    """error-handler.js:264-280 — wrap a third-party exception in the
+    taxonomy, keeping the original chained."""
+    cls = _NATIVE_TYPE_MAP.get(type_key, BaseError)
+    error = cls(str(native), context, **kw)
+    error.original_error = native
+    error.__cause__ = native
+    return error

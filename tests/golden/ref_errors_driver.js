@@ -1,0 +1,45 @@
+// Golden-test driver: runs the REFERENCE repo's error taxonomy and
+// centralized handler (lib/errors.js + lib/error-handler.js) over a
+// JSON case matrix and prints, per case, the error's name, exit code,
+// resolution steps, JSON shape (minus timestamp/stack), and the full
+// formatErrorMessage() text in plain-terminal mode (stdout is piped,
+// so supportsColor() is false and no ANSI codes are emitted). Pure
+// functions: no fs beyond the fixture read, no network, nothing
+// copied.
+//
+// Usage: node ref_errors_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+// Deterministic: the tip-line branch (not the stack trace) must render.
+delete process.env.DEBUG;
+delete process.env.NODE_ENV;
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const errors = require(path.join(refRoot, 'lib', 'errors.js'));
+const handler = require(path.join(refRoot, 'lib', 'error-handler.js'));
+
+const out = fixture.cases.map((c) => {
+  let err;
+  if (c.cls === 'Error') {
+    err = new Error(c.message);
+  } else {
+    err = new errors[c.cls](c.message, c.context || {});
+  }
+  const json = err.toJSON ? err.toJSON() : null;
+  if (json) {
+    delete json.timestamp;
+    delete json.stack;
+  }
+  return {
+    name: err.name,
+    exitCode: handler.getExitCode(err),
+    resolutionSteps: err.resolutionSteps || null,
+    statusCode: err.statusCode === undefined ? null : err.statusCode,
+    json: json,
+    formatted: handler.formatErrorMessage(err, c.formatContext || {}),
+  };
+});
+process.stdout.write(JSON.stringify(out));

@@ -1,0 +1,185 @@
+"""Golden parity: our typed error taxonomy + centralized handler
+(errors.py) vs the reference's OWN lib/errors.js + lib/error-handler.js
+executed via node — class names, exit codes, resolution-step selection
+(including the status-specific branches where hardcoded steps beat
+caller overrides), the toJSON shape, and the BYTE-IDENTICAL plain-mode
+formatErrorMessage() report."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark import errors as E
+
+DRIVER = Path(__file__).parent / "golden" / "ref_errors_driver.js"
+REF = Path("/root/reference")
+
+CASES = [
+    # every class, default steps
+    {"cls": "ConfigurationError", "message": "Config file is missing",
+     "context": {"configFile": "config.json"},
+     "formatContext": {"module": "jira", "operation": "export-to-csv",
+                       "configFile": "config.json"}},
+    {"cls": "DatabaseConnectionError", "message": "SSH tunnel failed",
+     "context": {"host": "db.internal", "port": 5432},
+     "formatContext": {"module": "daily-reports", "operation": "db-query"}},
+    {"cls": "ValidationError", "message": "CSV row missing key field",
+     "context": {"row": 17}, "formatContext": {}},
+    {"cls": "NetworkError", "message": "request timed out",
+     "context": {}, "formatContext": {"module": "slack"}},
+    # caller-supplied resolutionSteps override (non-status classes)
+    {"cls": "ConfigurationError", "message": "bad dates",
+     "context": {"resolutionSteps": ["Fix the dates", "Retry"]},
+     "formatContext": {"configFile": "c.json"}},
+    # JiraAPIError status branches; 401 hardcoded steps beat the override
+    {"cls": "JiraAPIError", "message": "auth failed",
+     "context": {"statusCode": 401, "resolutionSteps": ["ignored"]},
+     "formatContext": {"module": "jira"}},
+    {"cls": "JiraAPIError", "message": "no such project",
+     "context": {"statusCode": 404}, "formatContext": {}},
+    {"cls": "JiraAPIError", "message": "slow down",
+     "context": {"statusCode": 429}, "formatContext": {}},
+    {"cls": "JiraAPIError", "message": "server error",
+     "context": {"statusCode": 500}, "formatContext": {}},
+    {"cls": "JiraAPIError", "message": "socket hangup", "context": {},
+     "formatContext": {}},
+    # GoogleDriveError status branches
+    {"cls": "GoogleDriveError", "message": "permission denied",
+     "context": {"statusCode": 403}, "formatContext": {}},
+    {"cls": "GoogleDriveError", "message": "folder gone",
+     "context": {"statusCode": 404}, "formatContext": {}},
+    {"cls": "GoogleDriveError", "message": "bad gateway",
+     "context": {"statusCode": 502}, "formatContext": {}},
+    # FileSystemError operation branches (read needs 'not found' in message)
+    {"cls": "FileSystemError", "message": "input file not found: x.csv",
+     "context": {"operation": "read"}, "formatContext": {}},
+    {"cls": "FileSystemError", "message": "EACCES reading x.csv",
+     "context": {"operation": "read"}, "formatContext": {}},
+    {"cls": "FileSystemError", "message": "cannot write report",
+     "context": {"operation": "write"}, "formatContext": {}},
+    {"cls": "FileSystemError", "message": "cannot create dir",
+     "context": {"operation": "mkdir"}, "formatContext": {}},
+    {"cls": "FileSystemError", "message": "cannot delete",
+     "context": {"operation": "delete", "resolutionSteps": ["Custom step"]},
+     "formatContext": {}},
+    {"cls": "FileSystemError", "message": "disk on fire", "context": {},
+     "formatContext": {}},
+    # BaseError: the reference does NOT populate resolutionSteps here,
+    # even when the context carries some — no steps section renders
+    {"cls": "BaseError", "message": "generic failure",
+     "context": {"resolutionSteps": ["never shown"]}, "formatContext": {}},
+    # native Error: name 'Error', exit 1, no steps/context sections
+    {"cls": "Error", "message": "boom", "formatContext": {}},
+    # JS template coercion of Additional Context values
+    {"cls": "JiraAPIError", "message": "coercion matrix",
+     "context": {"statusCode": 500, "attempt": 3, "retried": True,
+                 "hosts": ["a", "b", None], "meta": {"a": 1},
+                 "frac": 2.5, "whole": 3.0, "empty": "", "zero": 0,
+                 "nothing": None},
+     "formatContext": {"module": "jira", "operation": 123}},
+    # JS truthiness gates on the format context: '' and 0 skip sections
+    {"cls": "ValidationError", "message": "gates",
+     "context": {}, "formatContext": {"module": "", "operation": 0,
+                                      "configFile": "cfg.json"}},
+    # newline in message renders verbatim inside the frame
+    {"cls": "NetworkError", "message": "line one\nline two",
+     "context": {}, "formatContext": {}},
+]
+
+_PY_CLS = {
+    "BaseError": E.BaseError,
+    "ConfigurationError": E.ConfigurationError,
+    "DatabaseConnectionError": E.DatabaseConnectionError,
+    "JiraAPIError": E.JiraAPIError,
+    "GoogleDriveError": E.GoogleDriveError,
+    "FileSystemError": E.FileSystemError,
+    "ValidationError": E.ValidationError,
+    "NetworkError": E.NetworkError,
+}
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    if shutil.which("node") is None or not REF.exists():
+        pytest.skip("node or reference repo unavailable")
+    fixture = tmp_path_factory.mktemp("errors") / "cases.json"
+    fixture.write_text(json.dumps({"cases": CASES}), encoding="utf-8")
+    out = subprocess.run(
+        ["node", str(DRIVER), str(fixture), str(REF)],
+        capture_output=True, text=True, timeout=60, check=True,
+    )
+    return json.loads(out.stdout)
+
+
+def _build(case):
+    if case["cls"] == "Error":
+        return Exception(case["message"])
+    return _PY_CLS[case["cls"]](case["message"], case.get("context") or {})
+
+
+@pytest.mark.parametrize("i", range(len(CASES)), ids=[
+    f"{i}_{c['cls']}" for i, c in enumerate(CASES)])
+def test_error_parity(ref, i):
+    case, expected = CASES[i], ref[i]
+    err = _build(case)
+
+    assert E._error_name(err) == expected["name"]
+    assert E.get_exit_code(err) == expected["exitCode"]
+
+    steps = getattr(err, "resolution_steps", None) or None
+    assert steps == (expected["resolutionSteps"] or None)
+
+    status = getattr(err, "status_code", None)
+    assert status == expected["statusCode"]
+
+    if expected["json"] is not None:
+        got = err.to_json()
+        got.pop("timestamp", None)
+        exp = dict(expected["json"])
+        assert got == exp
+
+    formatted = E.format_error_message(err, case.get("formatContext") or {},
+                                       debug=False)
+    assert formatted == expected["formatted"]
+
+
+def test_handle_error_exits_with_class_code(capsys):
+    with pytest.raises(SystemExit) as exc:
+        E.handle_error(E.GoogleDriveError("denied", {"statusCode": 403}),
+                       {"module": "transcripts"}, log_to_file=False)
+    assert exc.value.code == 4
+    err_text = capsys.readouterr().err
+    assert "ERROR: GoogleDriveError" in err_text
+    assert "Share the folder with the service account email" in err_text
+
+
+def test_wrap_main_routes_through_handler(capsys):
+    @E.wrap_main
+    def main():
+        raise E.NetworkError("down")
+
+    with pytest.raises(SystemExit) as exc:
+        main()
+    assert exc.value.code == 7
+
+
+def test_create_error_from_native_maps_and_chains():
+    native = OSError("ECONNREFUSED")
+    err = E.create_error_from_native(native, "network", {"host": "h"})
+    assert isinstance(err, E.NetworkError)
+    assert err.__cause__ is native
+    assert err.original_error is native
+    assert E.get_exit_code(err) == 7
+    unknown = E.create_error_from_native(native, "no-such-type")
+    assert type(unknown) is E.BaseError
+
+
+def test_configuration_error_is_valueerror():
+    # config.py call sites catch ValueError; the taxonomy keeps that.
+    with pytest.raises(ValueError):
+        raise E.ConfigurationError("bad")
