@@ -17,6 +17,11 @@ Subcommands:
                                   from the star schema
 - ``bench``                     — the headline benchmark (delegates to bench.py's
                                   logic via the registry)
+- ``audit``                     — transcript coverage audit over a directory of
+                                  ``.txt`` transcripts (scripts/
+                                  audit-transcripts.js): per-file participant/
+                                  match counts and the would-exclude verdict,
+                                  byte-compatible with the reference's report
 
 Usage:
     python -m ai_coach_data_source_orchestrator_spark.cli list
@@ -140,6 +145,40 @@ def _cmd_weekly(args) -> int:
     return 0
 
 
+def _cmd_audit(args) -> int:
+    import json
+
+    from .pipeline.audit import audit_transcripts, render_audit_report
+
+    if not os.path.isdir(args.dir):
+        # Reference parity: a missing downloads dir is a clean exit, not
+        # a traceback (audit-transcripts.js:35-38).
+        print(f"Downloads directory not found: {args.dir}")
+        return 0
+    # readdir order, .txt case-insensitive — audit-transcripts.js:47
+    listed = [f for f in os.listdir(args.dir) if f.lower().endswith(".txt")]
+    mappings = None
+    if args.mapping:
+        with open(args.mapping) as f:
+            mappings = json.load(f).get("mappings") or {}
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name in listed:
+        try:
+            with open(os.path.join(args.dir, name), encoding="utf-8") as f:
+                rows.append((name, f.read()))
+        except OSError:
+            continue  # unreadable files are skipped (audit-transcripts.js:57)
+    docs = spark.createDataFrame(rows, "filename string, content string")
+    audit = audit_transcripts(
+        spark, docs, args.member or [], mappings, minimum_required=args.min_required
+    )
+    print(render_audit_report(audit, [n for n, _ in rows], args.dir), end="")
+    return 0
+
+
 def _cmd_bench(_args) -> int:
     import runpy
 
@@ -180,10 +219,20 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench", help="run the headline benchmark")
 
+    a = sub.add_parser("audit", help="transcript coverage audit")
+    a.add_argument("--dir", required=True, help="directory of .txt transcripts")
+    a.add_argument("--member", action="append", help="team member (repeatable)")
+    a.add_argument("--mapping", help="team-name-mapping.json path")
+    a.add_argument("--min-required", type=int, default=1)
+
     args = p.parse_args(argv)
-    return {"list": _cmd_list, "query": _cmd_query, "weekly": _cmd_weekly, "bench": _cmd_bench}[
-        args.cmd
-    ](args)
+    return {
+        "list": _cmd_list,
+        "query": _cmd_query,
+        "weekly": _cmd_weekly,
+        "bench": _cmd_bench,
+        "audit": _cmd_audit,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

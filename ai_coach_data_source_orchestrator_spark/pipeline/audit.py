@@ -1,0 +1,163 @@
+"""Transcript coverage audit (scripts/audit-transcripts.js).
+
+The reference ships an audit CLI that scans a team's downloaded
+transcripts and reports, per file, how many participants were detected,
+how many matched the configured team roster, and whether the current
+exclusion rules would drop the file — plus a four-line summary. The
+per-file verdict composes two already-pinned pieces:
+
+- participant extraction (transcript-to-markdown.js:59-82 —
+  ``operators/transcript_ops.participants``), and
+- roster matching (lib/name-matcher.js:329-391 filterParticipantsByTeam
+  — ``functions/names.match_names`` over the broadcast alias table).
+
+The audit's OWN rule differs from the weekly pipeline's keep rule: a
+file "would exclude" only when it matched fewer than the minimum AND
+has <= 2 participants (audit-transcripts.js:67 — the 1:1 safeguard);
+multi-person meetings are always kept regardless of match count.
+
+Scale: everything through ``audit_transcripts`` is distributed — one
+parse pass, a broadcast alias probe, and two per-file aggregations
+(first-match-position dedup, then the per-file rollup). Only
+``render_audit_report`` collects, and the audit table is bounded by the
+transcript-file count (a human-readable report, same class as the other
+renders). The CSV text and summary are byte-pinned against the
+reference's own script by tests/golden/ref_audit_driver.js.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import names as N
+from ..operators import transcript_ops as T
+
+
+def audit_transcripts(
+    spark: SparkSession,
+    files: DataFrame,
+    team_members: Iterable[str],
+    mappings: Mapping[str, Any] | None = None,
+    minimum_required: int = 1,
+    file_col: str = "filename",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-file audit rows: ``(filename, participant_count,
+    matched_count, matched_names, would_exclude)``.
+
+    Semantics (audit-transcripts.js:54-72 + name-matcher.js:329-391):
+
+    - ``participant_count`` — distinct detected speakers (0 when the
+      transcript has none; such files still get a row).
+    - ``matched_count`` — distinct roster members matched across the
+      (sorted) participant list; 0 when the roster is empty (the
+      reference "includes all" but still reports 0 matches).
+    - ``matched_names`` — the matched members' canonical names joined
+      with ';' in FIRST-OCCURRENCE order over the sorted participants
+      (the reference accumulates a Set while iterating — insertion
+      order), '' when none.
+    - ``would_exclude`` — matched_count < minimum_required AND
+      participant_count <= 2 (the audit-only 1:1 safeguard).
+    """
+    team_members = list(team_members or [])
+
+    parts = T.participants(files, file_col, content_col)
+    base = (
+        files.select(F.col(file_col).alias("filename"))
+        .join(parts, "filename", "left")
+        .select(
+            "filename",
+            F.coalesce(
+                "participants", F.array().cast("array<string>")
+            ).alias("participants"),
+        )
+    )
+    counts = base.select(
+        "filename", F.size("participants").alias("participant_count")
+    )
+
+    if team_members:
+        exploded = base.select(
+            "filename",
+            F.posexplode("participants").alias("pos", "participant"),
+        )
+        aliases = N.alias_table(spark, team_members, mappings)
+        matched = N.match_names(exploded, aliases, probe_col="participant")
+        firsts = (
+            matched.where(F.col("canonical_name").isNotNull())
+            .groupBy("filename", "canonical_name")
+            .agg(F.min("pos").alias("first_pos"))
+        )
+        per_file = firsts.groupBy("filename").agg(
+            F.count(F.lit(1)).alias("matched_count"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("first_pos", "canonical_name"))
+                    ),
+                    lambda s: s["canonical_name"],
+                ),
+                ";",
+            ).alias("matched_names"),
+        )
+        rows = counts.join(per_file, "filename", "left")
+    else:
+        # Empty roster: the reference warns and reports zero matches
+        # for every file (name-matcher.js:330-340).
+        rows = counts.withColumn(
+            "matched_count", F.lit(None).cast("bigint")
+        ).withColumn("matched_names", F.lit(None).cast("string"))
+
+    return rows.select(
+        "filename",
+        "participant_count",
+        F.coalesce("matched_count", F.lit(0)).cast("int").alias("matched_count"),
+        F.coalesce("matched_names", F.lit("")).alias("matched_names"),
+        (
+            (F.coalesce("matched_count", F.lit(0)) < F.lit(int(minimum_required)))
+            & (F.col("participant_count") <= F.lit(2))
+        ).alias("would_exclude"),
+    )
+
+
+def render_audit_report(
+    audit: DataFrame, file_order: list[str], downloads_dir: str
+) -> str:
+    """The exact stdout of scripts/audit-transcripts.js:49-80: banner,
+    CSV header, one row per file in LISTING order (the reference walks
+    readdirSync order, not sorted order), and the summary block.
+    Booleans render JS-style lowercase; matched names are always
+    double-quoted."""
+    by_name = {r["filename"]: r for r in audit.collect()}
+    order = [f for f in file_order if f in by_name]
+
+    lines = [
+        f"\nAuditing transcripts in: {downloads_dir}",
+        "filename,participants,matched,matchedNames,wouldExclude",
+    ]
+    total = ones = multi = excluded = 0
+    for name in order:
+        r = by_name[name]
+        pc, mc = r["participant_count"], r["matched_count"]
+        wx = r["would_exclude"]
+        lines.append(
+            f'{name},{pc},{mc},"{r["matched_names"]}",{"true" if wx else "false"}'
+        )
+        total += 1
+        if pc <= 2:
+            ones += 1
+        else:
+            multi += 1
+        if wx:
+            excluded += 1
+
+    lines.append("\nSummary")
+    lines.append(f"  Total files: {total}")
+    lines.append(f"  1:1 (<=2 participants): {ones}")
+    lines.append(f"  Multi-person (>=3 participants): {multi}")
+    lines.append(f"  Would exclude (under current rules): {excluded}")
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,115 @@
+// Golden-test driver: executes the REFERENCE repo's transcript audit
+// CLI (scripts/audit-transcripts.js) over an in-memory downloads
+// directory and prints its exact stdout. The script's own source is
+// EVALUATED from /root/reference with: a fake fs serving the fixture's
+// transcript files (listing order preserved — the script walks
+// readdirSync order), stubbed config/project-folder modules, the REAL
+// transcript-to-markdown module (pure methods only), and the REAL
+// name-matcher module loaded under the path-restricted fs shim so its
+// loadTeamMapping can read ONLY the fixture's mapping file. stdout is
+// captured from console.log; console.warn (stderr in node) is dropped,
+// matching what a user piping the audit sees. Read-only, no network,
+// nothing copied.
+//
+// Usage: node ref_audit_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+const { guardedFs } = require('./sandbox_fs');
+
+const fixturePath = path.resolve(process.argv[2]);
+const fixture = JSON.parse(realFs.readFileSync(fixturePath, 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const fixtureDir = path.dirname(fixturePath);
+
+// Real, pure reference modules.
+const transcriptToMarkdown = require(path.join(refRoot, 'transcripts', 'transcript-to-markdown.js'));
+
+// name-matcher is loaded under the fs sandbox because the audit path
+// DOES hit its fs (loadTeamMapping reads the mapping file).
+function loadSandboxed(rel, extraReadRoots) {
+  const abs = path.join(refRoot, rel);
+  const src = realFs.readFileSync(abs, 'utf8');
+  const mod = { exports: {} };
+  const req = (name) => {
+    if (name === 'fs') return guardedFs([refRoot, ...extraReadRoots], []);
+    if (name === 'path') return path;
+    if (name === './errors') return require(path.join(refRoot, 'lib', 'errors.js'));
+    throw new Error(`unexpected require from ${rel}: ${name}`);
+  };
+  new Function('require', 'module', 'exports', '__dirname', '__filename', src)(
+    req, mod, mod.exports, path.dirname(abs), abs
+  );
+  return mod.exports;
+}
+const nameMatcher = loadSandboxed(path.join('lib', 'name-matcher.js'), [fixtureDir]);
+
+// ---- in-memory downloads dir over the fixture ----------------------------
+const scriptsDir = path.join(refRoot, 'scripts');
+const downloadsDir = path.join(
+  refRoot, 'transcripts', 'downloads', fixture.projectFolder || 'golden'
+);
+const files = new Map(); // basename -> content, insertion order = listing order
+for (const f of fixture.files) files.set(f.name, f.content);
+
+const fakeFs = {
+  existsSync: (p) => path.resolve(p) === downloadsDir,
+  readdirSync: (p) => {
+    if (path.resolve(p) !== downloadsDir) throw new Error(`ENOENT: ${p}`);
+    return Array.from(files.keys());
+  },
+  readFileSync: (p, _enc) => {
+    const base = path.basename(p);
+    if (path.dirname(path.resolve(p)) !== downloadsDir || !files.has(base)) {
+      throw new Error(`ENOENT: ${p}`);
+    }
+    return files.get(base);
+  },
+};
+
+// ---- stubs ----------------------------------------------------------------
+const stubs = {
+  fs: fakeFs,
+  path: path,
+  '../lib/config': {
+    ConfigManager: { loadForReportType: () => fixture.config },
+  },
+  '../lib/project-folder': {
+    getProjectFolder: () => fixture.projectFolder || 'golden',
+  },
+  '../transcripts/transcript-to-markdown': transcriptToMarkdown,
+  '../lib/name-matcher': nameMatcher,
+};
+const stubRequire = (name) => {
+  if (name in stubs) return stubs[name];
+  throw new Error(`unexpected require: ${name}`);
+};
+
+const captured = [];
+const fakeConsole = {
+  log: (...a) => captured.push(a.join(' ')),
+  warn: () => {},
+  error: (...a) => { throw new Error(`audit error: ${a.join(' ')}`); },
+};
+const fakeProcess = {
+  argv: ['node', 'audit-transcripts.js', '--team', fixture.team || 'golden',
+         '--report', fixture.report || 'weekly'],
+  env: {},
+  exit: (code) => { throw new Error(`process.exit(${code})`); },
+};
+
+const src = realFs
+  .readFileSync(path.join(scriptsDir, 'audit-transcripts.js'), 'utf8')
+  .replace(/^#![^\n]*\n/, ''); // shebang is not valid Function-body syntax
+// The script body is a synchronous async-IIFE (no awaits), so captured
+// output is complete when the evaluation returns.
+new Function('require', 'module', 'exports', '__dirname', '__filename',
+  'process', 'console', src)(
+  stubRequire, { exports: {} }, {}, scriptsDir,
+  path.join(scriptsDir, 'audit-transcripts.js'), fakeProcess, fakeConsole
+);
+
+process.stdout.write(JSON.stringify({
+  downloads_dir: downloadsDir,
+  stdout: captured.map((l) => l + '\n').join(''),
+}));

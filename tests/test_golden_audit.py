@@ -1,0 +1,157 @@
+"""Golden parity: the transcript audit (pipeline/audit.py) vs the
+reference's OWN scripts/audit-transcripts.js executed via node
+(tests/golden/ref_audit_driver.js) — byte-for-byte stdout.
+
+The fixture pins the audit-specific behaviors: the case-insensitive
+``.txt`` listing filter, readdir (insertion) order in the CSV body,
+zero-participant files, the Set-dedup of two participants matching the
+same roster member, first-occurrence match order (participant-sorted,
+not roster order), the ``matchedCount < min && participantCount <= 2``
+exclusion safeguard (multi-person files are never excluded), and the
+lowercase-JS booleans / always-quoted matchedNames cell.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.audit import (
+    audit_transcripts,
+    render_audit_report,
+)
+
+DRIVER = Path(__file__).parent / "golden" / "ref_audit_driver.js"
+REF = Path("/root/reference")
+
+TEAM_MEMBERS = ["Mark Jerly Bundalian", "Jana Reyes", "Bob Oneil"]
+MAPPINGS = {
+    "Mark Jerly Bundalian": {
+        "fullName": "Mark Jerly Bundalian",
+        "aliases": ["Mark", "MJ"],
+    },
+    "Jana Reyes": {"fullName": "Jana Reyes", "aliases": ["Jana"]},
+    "Bob Oneil": {"fullName": "Bob Oneil", "aliases": ["Bobby"]},
+}
+
+# name -> content, dict order = the directory listing order the driver
+# replays (deliberately not sorted).
+FILES = {
+    "zz-standup.txt": (
+        "Mark (00:01): morning all\n"
+        "Jana Reyes (00:02): hello\n"
+        "Carlos (00:03): yo\n"
+    ),
+    "a-oneonone.txt": (
+        "MJ (00:01): quick sync\n"
+        "Client Guy (00:02): sounds good\n"
+    ),
+    "b-no-speakers.txt": "just prose notes\nno transcript lines here\n",
+    "notes.md": "Mark (00:01): should never be listed\n",
+    "C-UPPER.TXT": (
+        "Xavier (1:00): a\n"
+        "Yolanda (1:01): b\n"
+        "Zed (1:02): c\n"
+    ),
+    "d-dup-member.txt": (
+        "Mark (0:01): alias hit\n"
+        "Mark Jerly Bundalian (0:02): full-name hit\n"
+    ),
+    "e-order.txt": (
+        "Walter (0:01): unmatched\n"
+        "Bobby (0:02): roster-last, sorts first\n"
+        "Mark (0:03): roster-first, sorts last\n"
+    ),
+}
+
+MINIMUM_REQUIRED = 2
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+def test_audit_report_matches_reference(spark, tmp_path):
+    mapping_path = tmp_path / "team-name-mapping.json"
+    mapping_path.write_text(
+        json.dumps({"projectFolder": "golden", "mappings": MAPPINGS})
+    )
+    fixture = {
+        "projectFolder": "golden",
+        "team": "golden",
+        "report": "weekly",
+        "files": [{"name": n, "content": c} for n, c in FILES.items()],
+        "config": {
+            "transcripts": {
+                "teamMembers": TEAM_MEMBERS,
+                "minimumTeamMembersRequired": MINIMUM_REQUIRED,
+                "teamMappingFile": str(mapping_path),
+            }
+        },
+    }
+    fixture_path = tmp_path / "fixture.json"
+    fixture_path.write_text(json.dumps(fixture))
+
+    out = subprocess.run(
+        ["node", str(DRIVER), str(fixture_path)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+
+    listed = [n for n in FILES if n.lower().endswith(".txt")]
+    docs = spark.createDataFrame(
+        [(n, FILES[n]) for n in listed], "filename string, content string"
+    )
+    audit = audit_transcripts(
+        spark, docs, TEAM_MEMBERS, MAPPINGS, minimum_required=MINIMUM_REQUIRED
+    )
+    ours = render_audit_report(audit, listed, ref["downloads_dir"])
+    assert ours == ref["stdout"]
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+def test_audit_empty_roster_matches_reference(spark, tmp_path):
+    """Empty teamMembers: the reference reports 0 matches everywhere and
+    the <=2-participant safeguard alone drives wouldExclude."""
+    mapping_path = tmp_path / "team-name-mapping.json"
+    mapping_path.write_text(json.dumps({"projectFolder": "golden", "mappings": {}}))
+    files = {k: v for k, v in FILES.items() if k.lower().endswith(".txt")}
+    fixture = {
+        "projectFolder": "golden",
+        "team": "golden",
+        "report": "weekly",
+        "files": [{"name": n, "content": c} for n, c in files.items()],
+        "config": {
+            "transcripts": {
+                "teamMembers": [],
+                "teamMappingFile": str(mapping_path),
+            }
+        },
+    }
+    fixture_path = tmp_path / "fixture.json"
+    fixture_path.write_text(json.dumps(fixture))
+
+    out = subprocess.run(
+        ["node", str(DRIVER), str(fixture_path)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout)
+
+    listed = list(files)
+    docs = spark.createDataFrame(
+        [(n, files[n]) for n in listed], "filename string, content string"
+    )
+    audit = audit_transcripts(spark, docs, [], {}, minimum_required=1)
+    ours = render_audit_report(audit, listed, ref["downloads_dir"])
+    assert ours == ref["stdout"]
