@@ -22,6 +22,10 @@ Subcommands:
                                   audit-transcripts.js): per-file participant/
                                   match counts and the would-exclude verdict,
                                   byte-compatible with the reference's report
+- ``clean``                     — remove generated/downloaded outputs from a
+                                  workspace root (scripts/clean.js): project
+                                  discovery, team/project scoping, module
+                                  selection, Slack users.json preservation
 
 Usage:
     python -m ai_coach_data_source_orchestrator_spark.cli list
@@ -179,6 +183,19 @@ def _cmd_audit(args) -> int:
     return 0
 
 
+def _cmd_clean(args) -> int:
+    from .workspace import clean_workspace
+
+    clean_workspace(
+        args.root,
+        team=args.team,
+        project_folder=args.project_folder,
+        modules=args.modules.split(",") if args.modules else None,
+        purge_slack_users=args.purge_slack_users,
+    )
+    return 0
+
+
 def _cmd_bench(_args) -> int:
     import runpy
 
@@ -225,6 +242,13 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--mapping", help="team-name-mapping.json path")
     a.add_argument("--min-required", type=int, default=1)
 
+    c = sub.add_parser("clean", help="clean workspace outputs")
+    c.add_argument("--root", required=True, help="workspace root directory")
+    c.add_argument("--team")
+    c.add_argument("--project-folder")
+    c.add_argument("--modules", help="comma-separated: daily,jira,transcripts,slack,datasource")
+    c.add_argument("--purge-slack-users", action="store_true")
+
     args = p.parse_args(argv)
     return {
         "list": _cmd_list,
@@ -232,6 +256,7 @@ def main(argv: list[str] | None = None) -> int:
         "weekly": _cmd_weekly,
         "bench": _cmd_bench,
         "audit": _cmd_audit,
+        "clean": _cmd_clean,
     }[args.cmd](args)
 
 

@@ -1,0 +1,300 @@
+"""Workspace cleaning (scripts/clean.js) — the reference's centralized
+output janitor, re-expressed over an injectable workspace root.
+
+The reference scopes every module's outputs by project folder and ships
+one cleaner that (a) discovers project folders from the mapping files
+and existing output subdirectories, (b) cleans per-module per-project
+directories with Slack ``users.json`` preservation, (c) always drops
+the global Jira changelog caches when the jira module is selected, and
+(d) sweeps legacy root-level files by extension. This is driver-side
+filesystem work by design (it manages local artifacts, not data) — no
+Spark involvement.
+
+Report text is byte-pinned against the reference's own script by
+tests/golden/ref_clean_driver.js over identical temp trees. One
+documented divergence: the reference walks raw ``readdirSync`` order
+inside a directory; we sort listings for determinism. The report SET is
+identical; line order within one directory could differ when several
+legacy files share a directory (the golden fixtures keep one per
+directory, and discovery order is sorted by both sides).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from collections.abc import Callable, Iterable
+from pathlib import Path
+
+from .functions.naming import get_project_folder
+
+# Module → directories to clean, relative to the workspace root
+# (scripts/clean.js:16-36). Key order is the default cleaning order.
+MODULES: dict[str, list[str]] = {
+    "daily": ["daily-reports/data", "daily-reports/md-output"],
+    "jira": ["jira/data", "jira/md_output"],
+    "transcripts": ["transcripts/downloads", "transcripts/markdown-output"],
+    "slack": ["slack/data", "slack/md-output"],
+    "datasource": ["datasource-generator/output"],
+}
+
+_OUTPUT_DIRS = [
+    "datasource-generator/output",
+    "jira/data",
+    "jira/md_output",
+    "daily-reports/data",
+    "daily-reports/md-output",
+    "transcripts/downloads",
+    "transcripts/markdown-output",
+    "slack/data",
+    "slack/md-output",
+]
+
+_CHANGELOG_CACHES = ["jira/data/changelogs", "jira/data/by-assignee/changelogs"]
+
+_ROOT_LEVEL = [
+    ("jira/data", (".csv",)),
+    ("jira/md_output", (".md",)),
+    ("daily-reports/data", (".csv",)),
+    ("daily-reports/md-output", (".md",)),
+    ("transcripts/downloads", (".txt",)),
+    ("transcripts/markdown-output", (".md",)),
+]
+
+
+def discover_project_folders(root: str | Path) -> list[str]:
+    """clean.js:81-132 — union of ``projectFolder`` values from
+    ``datasource-generator/team-name-mapping*.json`` and existing
+    subdirectories of the module output dirs (skipping a directory
+    literally named ``.gitkeep``), sorted."""
+    root = Path(root)
+    found: set[str] = set()
+
+    generator_dir = root / "datasource-generator"
+    if generator_dir.is_dir():
+        for f in sorted(generator_dir.iterdir()):
+            name = f.name
+            if name.startswith("team-name-mapping") and name.endswith(".json"):
+                try:
+                    folder = json.loads(f.read_text()).get("projectFolder")
+                except (ValueError, OSError):
+                    continue
+                if isinstance(folder, str) and folder:
+                    found.add(folder.strip())
+
+    for rel in _OUTPUT_DIRS:
+        d = root / rel
+        if not d.is_dir():
+            continue
+        try:
+            for entry in sorted(d.iterdir()):
+                if entry.is_dir() and entry.name != ".gitkeep":
+                    found.add(entry.name)
+        except OSError:
+            continue
+
+    return sorted(found)
+
+
+def _remove_directory(path: Path, out: Callable[[str], None]) -> bool:
+    if path.exists():
+        try:
+            shutil.rmtree(path)
+            return True
+        except OSError as e:
+            out(f"  ✗ Error removing {path}: {e}")
+            return False
+    return False
+
+
+def _clean_slack_directory(
+    path: Path, purge_users: bool, out: Callable[[str], None]
+) -> int:
+    """clean.js:151-188 — per-entry deletion preserving ``users.json``
+    (case-insensitive) unless purging; subdirectories count one each."""
+    if not path.exists():
+        return 0
+    deleted = 0
+    try:
+        for entry in sorted(path.iterdir()):
+            if entry.is_dir():
+                if _remove_directory(entry, out):
+                    deleted += 1
+            else:
+                if not purge_users and entry.name.lower() == "users.json":
+                    continue
+                try:
+                    entry.unlink()
+                    deleted += 1
+                except OSError as e:
+                    out(f"  ✗ Error deleting {entry}: {e}")
+    except OSError as e:
+        out(f"  ✗ Error reading {path}: {e}")
+    return deleted
+
+
+def _clean_module_for_project(
+    root: Path,
+    module: str,
+    project_folder: str,
+    purge_slack_users: bool,
+    out: Callable[[str], None],
+) -> int:
+    total = 0
+    for rel in MODULES[module]:
+        dir_path = root / rel / project_folder
+        if not dir_path.exists():
+            continue
+        out(f"  Cleaning {rel}/{project_folder}/...")
+        if module == "slack":
+            deleted = _clean_slack_directory(dir_path, purge_slack_users, out)
+            if deleted > 0:
+                out(f"    ✓ Removed {deleted} item(s)")
+                total += deleted
+            # Drop the directory only when truly empty (users.json keeps
+            # it alive — clean.js:211-222).
+            try:
+                if not any(dir_path.iterdir()):
+                    dir_path.rmdir()
+            except OSError:
+                pass
+        else:
+            if _remove_directory(dir_path, out):
+                out("    ✓ Removed")
+                total += 1
+    return total
+
+
+def _mapping_resolution_log(root: Path) -> list[str]:
+    """The stdout lines mapping-resolver.js:33-57 emits while the
+    team-scope fallback resolves (config is empty for the cleaner, so
+    the configured-path branch never logs)."""
+    base = root / "datasource-generator"
+    default_path = base / "team-name-mapping.json"
+    if not default_path.exists():
+        return []  # the "no mapping" message is a console.warn (stderr)
+    try:
+        folder = json.loads(default_path.read_text()).get("projectFolder")
+    except (ValueError, OSError):
+        folder = None
+    if folder and folder != "default":
+        if (base / f"team-name-mapping-{folder}.json").exists():
+            return [f"Using project-specific mapping: team-name-mapping-{folder}.json"]
+    return ["Using default team mapping: team-name-mapping.json"]
+
+
+def clean_workspace(
+    root: str | Path,
+    team: str | None = None,
+    project_folder: str | None = None,
+    modules: Iterable[str] | None = None,
+    purge_slack_users: bool = False,
+    out: Callable[[str], None] = print,
+) -> int:
+    """scripts/clean.js:316-400 — returns the total removed count and
+    emits the reference's exact report through ``out``."""
+    root = Path(root)
+    selected = (
+        [m for m in modules if m in MODULES] if modules is not None else list(MODULES)
+    )
+
+    out("=" * 60)
+    out("Centralized Cleaning Script")
+    out("=" * 60)
+    out("")
+
+    if team:
+        out(f"Team-scoped cleaning: {team}")
+        # getProjectFolder(team, null): the team-specific mapping file
+        # short-circuits BEFORE mapping-resolver logs anything.
+        base = root / "datasource-generator"
+        team_file = base / f"team-name-mapping-{team}.json"
+        direct = None
+        if team_file.exists():
+            try:
+                folder = json.loads(team_file.read_text()).get("projectFolder")
+                if isinstance(folder, str) and folder.strip():
+                    direct = folder.strip()
+            except (ValueError, OSError):
+                pass
+        if direct is None:
+            for line in _mapping_resolution_log(root):
+                out(line)
+        resolved = direct or get_project_folder(team, None, base)
+        folders = [resolved]
+        out(f"Resolved to projectFolder: {resolved}")
+    elif project_folder:
+        out(f"ProjectFolder-scoped cleaning: {project_folder}")
+        folders = [project_folder]
+    else:
+        out("Discovering project folders...")
+        folders = discover_project_folders(root)
+        out(
+            f"Found {len(folders)} project folder(s): "
+            f"{', '.join(folders) or '(none)'}"
+        )
+
+    if not folders:
+        out("\nNo project folders to clean. Nothing to do.")
+        return 0
+
+    out(f"\nModules to clean: {', '.join(selected)}")
+    if "slack" in selected:
+        out(
+            "Slack users.json: "
+            + ("will be removed" if purge_slack_users else "will be preserved")
+        )
+    out("")
+
+    total = 0
+    for folder in folders:
+        out(f"\nCleaning project: {folder}")
+        out("-" * 60)
+        for module in selected:
+            total += _clean_module_for_project(
+                root, module, folder, purge_slack_users, out
+            )
+
+    if "jira" in selected:
+        out("\nCleaning Jira changelog caches (global)")
+        out("-" * 60)
+        for rel in _CHANGELOG_CACHES:
+            cache = root / rel
+            if cache.exists():
+                out(f"  Removing Jira changelog cache: {rel}/")
+                if _remove_directory(cache, out):
+                    out("    ✓ Removed")
+                    total += 1
+
+    out("\nCleaning root-level files (legacy data)")
+    out("-" * 60)
+    root_removed = 0
+    for rel, exts in _ROOT_LEVEL:
+        d = root / rel
+        if not d.is_dir():
+            continue
+        try:
+            entries = sorted(d.iterdir())
+        except OSError as e:
+            out(f"  ✗ Error reading {rel}: {e}")
+            continue
+        for entry in entries:
+            if entry.is_dir() or entry.name == ".gitkeep":
+                continue
+            if any(entry.name.endswith(ext) for ext in exts):
+                try:
+                    entry.unlink()
+                    out(f"  Cleaning root-level file: {rel}/{entry.name}")
+                    out("    ✓ Removed")
+                    root_removed += 1
+                except OSError as e:
+                    out(f"    ✗ Error deleting {entry.name}: {e}")
+    total += root_removed
+    if root_removed == 0:
+        out("  No root-level files found")
+
+    out("")
+    out("=" * 60)
+    out(f"Cleaning complete! Removed {total} item(s).")
+    out("=" * 60)
+    return total

@@ -1,0 +1,113 @@
+// Golden-test driver: executes the REFERENCE repo's centralized
+// cleaning script (scripts/clean.js) against a throwaway temp tree
+// built from the fixture and prints (a) its exact stdout and (b) the
+// surviving tree. The script source is EVALUATED with __dirname
+// pointed INSIDE the temp tree, so every path it touches stays under
+// the sandbox; lib/project-folder.js and its mapping-resolver are
+// loaded the same way (their tryRequireJson/require-cache JSON loads
+// are emulated over plain readFileSync). Real fs, but only ever under
+// the mkdtemp root, which is removed afterwards. No network, nothing
+// copied.
+//
+// Usage: node ref_clean_driver.js <fixture.json> [referenceRoot]
+// fixture: { tree: {relpath: content | null (=dir)}, argv: [...] }
+
+const fs = require('fs');
+const os = require('os');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const tmpRoot = fs.mkdtempSync(path.join(os.tmpdir(), 'cleangold-'));
+try {
+  // ---- build the tree ----------------------------------------------------
+  for (const [rel, content] of Object.entries(fixture.tree || {})) {
+    const abs = path.join(tmpRoot, rel);
+    if (content === null) {
+      fs.mkdirSync(abs, { recursive: true });
+    } else {
+      fs.mkdirSync(path.dirname(abs), { recursive: true });
+      fs.writeFileSync(abs, content);
+    }
+  }
+
+  // ---- module loader with JSON-require emulation ---------------------------
+  function evalRef(relSource, fakeDirname, requireMap) {
+    const src = fs
+      .readFileSync(path.join(refRoot, relSource), 'utf8')
+      .replace(/^#![^\n]*\n/, '');
+    const req = (name) => {
+      if (name.endsWith('.json') || name.startsWith('/')) {
+        // tryRequireJson-style require of an absolute JSON path
+        return JSON.parse(fs.readFileSync(name, 'utf8'));
+      }
+      if (name in requireMap) return requireMap[name];
+      throw new Error(`unexpected require from ${relSource}: ${name}`);
+    };
+    req.cache = {};
+    req.resolve = (p) => p;
+    const mod = { exports: {} };
+    new Function(
+      'require', 'module', 'exports', '__dirname', '__filename',
+      'process', 'console', src
+    )(
+      req, mod, mod.exports, fakeDirname,
+      path.join(fakeDirname, path.basename(relSource)), fakeProcess, fakeConsole
+    );
+    return mod.exports;
+  }
+
+  const captured = [];
+  const fakeConsole = {
+    log: (...a) => captured.push(a.length ? a.join(' ') : ''),
+    warn: () => {},
+    error: () => {},
+  };
+  const fakeProcess = {
+    argv: ['node', 'clean.js', ...(fixture.argv || [])],
+    env: {},
+    exit: (code) => { throw new Error(`process.exit(${code})`); },
+  };
+
+  const mappingResolver = evalRef(
+    'datasource-generator/lib/mapping-resolver.js',
+    path.join(tmpRoot, 'datasource-generator', 'lib'),
+    { fs, path }
+  );
+  const projectFolder = evalRef(
+    'lib/project-folder.js',
+    path.join(tmpRoot, 'lib'),
+    { fs, path, '../datasource-generator/lib/mapping-resolver': mappingResolver }
+  );
+  const clean = evalRef(
+    'scripts/clean.js',
+    path.join(tmpRoot, 'scripts'),
+    { fs, path, '../lib/project-folder': projectFolder }
+  );
+
+  clean.main();
+
+  // ---- surviving tree ------------------------------------------------------
+  const survivors = [];
+  (function walk(dir, rel) {
+    for (const entry of fs.readdirSync(dir, { withFileTypes: true }).sort(
+      (a, b) => (a.name < b.name ? -1 : 1)
+    )) {
+      const r = rel ? rel + '/' + entry.name : entry.name;
+      if (entry.isDirectory()) {
+        survivors.push(r + '/');
+        walk(path.join(dir, entry.name), r);
+      } else {
+        survivors.push(r);
+      }
+    }
+  })(tmpRoot, '');
+
+  process.stdout.write(JSON.stringify({
+    stdout: captured.map((l) => l + '\n').join(''),
+    tree: survivors,
+  }));
+} finally {
+  fs.rmSync(tmpRoot, { recursive: true, force: true });
+}

@@ -1,0 +1,155 @@
+"""Golden parity: workspace cleaning (workspace.py) vs the reference's
+OWN scripts/clean.js executed via node over identical temp trees
+(tests/golden/ref_clean_driver.js) — byte-for-byte stdout AND identical
+surviving file trees.
+
+Scenarios pin: discovery (mapping-file projectFolders ∪ output
+subdirectories, broken mapping ignored), team scoping through the
+team-specific mapping file, the mapping-resolver fallback (including
+its "Using default team mapping" stdout line), module selection with
+user ordering, Slack users.json preservation vs --purge-slack-users,
+the global Jira changelog caches, legacy root-level extension sweeps,
+and the empty-workspace "Nothing to do" exit.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.workspace import clean_workspace
+
+DRIVER = Path(__file__).parent / "golden" / "ref_clean_driver.js"
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+# relpath -> content (None = empty directory)
+TREE = {
+    "datasource-generator/team-name-mapping.json": json.dumps(
+        {"projectFolder": "alpha", "mappings": {}}
+    ),
+    "datasource-generator/team-name-mapping-rocks.json": json.dumps(
+        {"projectFolder": "beta", "mappings": {}}
+    ),
+    "datasource-generator/team-name-mapping-broken.json": "{not json",
+    "daily-reports/data/alpha/day.csv": "a,b\n",
+    "daily-reports/md-output/alpha/day.md": "# d\n",
+    "jira/data/alpha/export.csv": "k\n",
+    "jira/data/changelogs/c1.json": "{}",
+    "jira/data/by-assignee/changelogs/c2.json": "{}",
+    "jira/md_output/beta/report.md": "# r\n",
+    "transcripts/downloads/gamma/t.txt": "Mark (0:01): hi\n",
+    "slack/data/alpha/users.json": "{}",
+    "slack/data/alpha/messages.json": "[]",
+    "slack/data/alpha/threads/deep.json": "[]",
+    "slack/md-output/alpha/out.md": "# s\n",
+    "datasource-generator/output/alpha/ds.py": "x = 1\n",
+    # legacy root-level files (one per directory — listing order within
+    # a directory is the one documented readdir-vs-sorted divergence)
+    "jira/data/legacy.csv": "old\n",
+    "jira/md_output/legacy.md": "old\n",
+    "transcripts/downloads/legacy.txt": "old\n",
+    "daily-reports/data/keepme.txt": "not a csv\n",
+    "transcripts/markdown-output/.gitkeep": "",
+}
+
+
+def _build(root: Path) -> None:
+    for rel, content in TREE.items():
+        p = root / rel
+        if content is None:
+            p.mkdir(parents=True, exist_ok=True)
+        else:
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(content)
+
+
+def _survivors(root: Path) -> list[str]:
+    out: list[str] = []
+
+    def walk(d: Path, rel: str) -> None:
+        for entry in sorted(d.iterdir(), key=lambda e: e.name):
+            r = f"{rel}/{entry.name}" if rel else entry.name
+            if entry.is_dir():
+                out.append(r + "/")
+                walk(entry, r)
+            else:
+                out.append(r)
+
+    walk(root, "")
+    return out
+
+
+def _run_reference(tmp_path: Path, argv: list[str], tree=TREE) -> dict:
+    fixture = tmp_path / "fixture.json"
+    fixture.write_text(json.dumps({"tree": tree, "argv": argv}))
+    out = subprocess.run(
+        ["node", str(DRIVER), str(fixture)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+def _run_ours(tmp_path: Path, tree=TREE, **kwargs) -> tuple[str, list[str]]:
+    root = tmp_path / "ours"
+    root.mkdir()
+    for rel, content in tree.items():
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content or "")
+    lines: list[str] = []
+    clean_workspace(root, out=lines.append, **kwargs)
+    # one entry per out() call, exactly like the node console.log capture
+    text = "".join(line + "\n" for line in lines)
+    return text, _survivors(root)
+
+
+@pytest.mark.parametrize(
+    "argv,kwargs",
+    [
+        ([], {}),
+        (["--team", "rocks"], {"team": "rocks"}),
+        (["--team", "unknown"], {"team": "unknown"}),
+        (
+            ["--projectFolder", "alpha", "--modules", "slack,jira"],
+            {"project_folder": "alpha", "modules": ["slack", "jira"]},
+        ),
+        (
+            ["--projectFolder", "alpha", "--modules=slack", "--purge-slack-users"],
+            {
+                "project_folder": "alpha",
+                "modules": ["slack"],
+                "purge_slack_users": True,
+            },
+        ),
+        (
+            ["--modules", "daily,bogus,datasource"],
+            {"modules": ["daily", "bogus", "datasource"]},
+        ),
+    ],
+    ids=["discover-all", "team-rocks", "team-unknown", "pf-slack-jira",
+         "purge-users", "module-filter"],
+)
+def test_clean_matches_reference(tmp_path, argv, kwargs):
+    ref = _run_reference(tmp_path, argv)
+    ours_text, ours_tree = _run_ours(tmp_path, **kwargs)
+    assert ours_text == ref["stdout"]
+    assert ours_tree == ref["tree"]
+
+
+def test_clean_empty_workspace_matches_reference(tmp_path):
+    tree = {"README.md": "nothing to clean\n"}
+    ref = _run_reference(tmp_path, [], tree=tree)
+    ours_text, ours_tree = _run_ours(tmp_path, tree=tree)
+    assert ours_text == ref["stdout"]
+    assert ours_tree == ref["tree"]
