@@ -26,6 +26,10 @@ Subcommands:
                                   workspace root (scripts/clean.js): project
                                   discovery, team/project scoping, module
                                   selection, Slack users.json preservation
+- ``seed``                      — seed the warehouse dimension tables
+                                  (organizations/teams/report_types) and write
+                                  the uuid cache (scripts/seed-neon-db.js +
+                                  sync-neon-uuids.js)
 
 Usage:
     python -m ai_coach_data_source_orchestrator_spark.cli list
@@ -196,6 +200,28 @@ def _cmd_clean(args) -> int:
     return 0
 
 
+def _cmd_seed(args) -> int:
+    from .sinks.seed import discover_teams, seed_warehouse, sync_uuid_cache
+
+    teams = list(args.member or [])
+    if args.configs_dir:
+        teams += discover_teams(args.configs_dir)
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    result = seed_warehouse(spark, args.warehouse, teams)
+    for section in ("organizations", "teams", "reportTypes"):
+        print(f"{section}:")
+        for name, uid in result[section].items():
+            print(f"  ✓ {name}: {uid}")
+    for team in result["unknown"]:
+        print(f"  ⚠ Unknown team '{team}' - not mapped to any organization")
+    path = sync_uuid_cache(
+        spark, args.warehouse, args.cache_dir or ".", env=args.env
+    )
+    print(f"  ✓ UUID cache saved to: {path}")
+    return 0
+
+
 def _cmd_bench(_args) -> int:
     import runpy
 
@@ -249,6 +275,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--modules", help="comma-separated: daily,jira,transcripts,slack,datasource")
     c.add_argument("--purge-slack-users", action="store_true")
 
+    s = sub.add_parser("seed", help="seed warehouse dimensions + uuid cache")
+    s.add_argument("--warehouse", required=True, help="warehouse root directory")
+    s.add_argument("--configs-dir", help="discover teams from this configs/ dir")
+    s.add_argument("--member", action="append", help="team name (repeatable)")
+    s.add_argument("--env", default="dev")
+    s.add_argument("--cache-dir", help="where to write .neon-db-ids.{env}.json")
+
     args = p.parse_args(argv)
     return {
         "list": _cmd_list,
@@ -257,6 +290,7 @@ def main(argv: list[str] | None = None) -> int:
         "bench": _cmd_bench,
         "audit": _cmd_audit,
         "clean": _cmd_clean,
+        "seed": _cmd_seed,
     }[args.cmd](args)
 
 

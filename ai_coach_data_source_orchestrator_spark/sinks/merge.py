@@ -44,15 +44,10 @@ def latest_wins(df: DataFrame, keys: tuple[str, ...], version_col: str) -> DataF
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
-def upsert_parquet(
-    spark: SparkSession,
-    table_path: str,
-    updates: DataFrame,
-    keys: tuple[str, ...],
-    version_col: str,
-) -> DataFrame:
-    """MERGE-emulation on parquet: existing ∪ updates → latest-wins on
-    ``keys``. Returns the merged table (also rewritten at table_path).
+def atomic_swap_write(spark: SparkSession, table_path: str, build) -> DataFrame:
+    """Read-merge-publish a parquet table atomically. ``build(current)``
+    receives the current table DataFrame (or ``None`` on first write)
+    and returns the full replacement table.
 
     Atomicity: the merged result is written to ``<path>.__staging__``
     (a different directory than the one being read), then swapped in
@@ -77,15 +72,15 @@ def upsert_parquet(
     # deleted below, losing the table.
     if not fs.exists(dest) and fs.exists(backup):
         if not fs.rename(backup, dest):
-            raise IOError(f"upsert_parquet: could not restore backup for {table_path}")
+            raise IOError(f"atomic_swap_write: could not restore backup for {table_path}")
 
     spark.catalog.refreshByPath(table_path)  # drop stale file-listing cache
     try:
         current = spark.read.parquet(table_path)
-        staged = current.unionByName(updates, allowMissingColumns=True)
+        current.schema  # force the read to resolve now, not inside build
     except Exception:  # first write — table does not exist yet
-        staged = updates
-    merged = latest_wins(staged, keys, version_col)
+        current = None
+    merged = build(current)
 
     fs.delete(staging, True)
     fs.delete(backup, True)
@@ -96,16 +91,41 @@ def upsert_parquet(
 
     if fs.exists(dest):
         if not fs.rename(dest, backup):
-            raise IOError(f"upsert_parquet: could not move {table_path} aside")
+            raise IOError(f"atomic_swap_write: could not move {table_path} aside")
     if not fs.rename(staging, dest):
         # restore the old table before failing
         if fs.exists(backup):
             fs.rename(backup, dest)
-        raise IOError(f"upsert_parquet: could not publish staging for {table_path}")
+        raise IOError(
+            f"atomic_swap_write: could not publish staging for {table_path}"
+        )
     fs.delete(backup, True)
 
     spark.catalog.refreshByPath(table_path)
     return spark.read.parquet(table_path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: tuple[str, ...],
+    version_col: str,
+) -> DataFrame:
+    """MERGE-emulation on parquet: existing ∪ updates → latest-wins on
+    ``keys``. Returns the merged table (also rewritten at table_path).
+    Publication goes through ``atomic_swap_write`` (see there for the
+    crash-safety contract)."""
+
+    def build(current: DataFrame | None) -> DataFrame:
+        staged = (
+            current.unionByName(updates, allowMissingColumns=True)
+            if current is not None
+            else updates
+        )
+        return latest_wins(staged, keys, version_col)
+
+    return atomic_swap_write(spark, table_path, build)
 
 
 def lineage_links(report_rows: DataFrame, source_cols: tuple[str, ...]) -> DataFrame:

@@ -1,0 +1,212 @@
+"""Warehouse dimension seeding + UUID cache (scripts/seed-neon-db.js,
+scripts/sync-neon-uuids.js; db/schema.js:12-29, 104-111).
+
+The reference bootstraps its warehouse with three dimension tables —
+``organizations`` (unique name), ``teams`` (org FK + unique name per
+org), ``report_types`` (unique name, the fixed '1on1' / 'dashboard' /
+'weekly-digest' triple) — seeded idempotently (``onConflictDoNothing``)
+from the teams discovered under ``configs/``, and maintains a
+name→UUID cache file ``.neon-db-ids.{env}.json`` so the fact-table
+writers (K8 upserts, sinks/merge.py) can resolve ``team_id`` /
+``report_type_id`` without round trips.
+
+Spark restatement: the dims are parquet tables under the warehouse
+root, published through ``atomic_swap_write`` with insert-if-absent
+semantics — existing rows keep their ids forever (the reference's
+DO NOTHING contract), new names get ids and the swap is atomic. One
+deliberate divergence, documented here: the reference's ids are
+server-generated random UUIDs (``defaultRandom()``); ours default to
+content-addressed UUIDv5 of ``<table>:<natural key>`` so a re-seed on
+an empty warehouse — or two independent clusters seeding the same
+config — produce identical ids with no coordination (the better
+contract for a distributed engine; the uniqueness guarantee is the
+same). Pass ``id_factory`` to restore random ids.
+
+Dimension tables are roster-sized; rows are assembled driver-side and
+published through the same crash-safe swap as the 100 TB fact tables.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Callable, Iterable, Mapping
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .merge import atomic_swap_write
+
+# Fixed report-type triple (seed-neon-db.js:166).
+REPORT_TYPES = ("1on1", "dashboard", "weekly-digest")
+
+# Team → organization buckets (seed-neon-db.js:53-70). Both orgs are
+# always seeded, even when no discovered team maps to them.
+ORG_TEAMS: dict[str, tuple[str, ...]] = {
+    "Full Scale": ("rocks", "timeclock"),
+    "Full Scale Ventures": ("engagepath", "ai-coach", "aicoach"),
+}
+
+_NAMESPACE = uuid.uuid5(uuid.NAMESPACE_URL, "ai-coach-data-source-orchestrator-spark")
+
+
+def default_id_factory(table: str, natural_key: str) -> str:
+    """Content-addressed UUIDv5 — deterministic across re-seeds and
+    clusters (see module docstring for the divergence note)."""
+    return str(uuid.uuid5(_NAMESPACE, f"{table}:{natural_key}"))
+
+
+def discover_teams(configs_dir: str | Path) -> list[str]:
+    """seed-neon-db.js:34-48 — subdirectory names under ``configs/``
+    except ``shared``; missing dir → empty. Sorted for determinism
+    (the reference walks raw readdir order)."""
+    d = Path(configs_dir)
+    if not d.is_dir():
+        return []
+    return sorted(e.name for e in d.iterdir() if e.is_dir() and e.name != "shared")
+
+
+def map_teams_to_organizations(
+    teams: Iterable[str],
+) -> tuple[dict[str, list[str]], list[str]]:
+    """seed-neon-db.js:53-70 — bucket known teams under their org;
+    unknown teams are reported back (the reference warns) and NOT
+    seeded."""
+    mapping: dict[str, list[str]] = {org: [] for org in ORG_TEAMS}
+    unknown: list[str] = []
+    for team in teams:
+        for org, members in ORG_TEAMS.items():
+            if team in members:
+                mapping[org].append(team)
+                break
+        else:
+            unknown.append(team)
+    return mapping, unknown
+
+
+def _insert_if_absent(
+    spark: SparkSession,
+    table_path: str,
+    rows: list[tuple],
+    schema: str,
+    key: str,
+) -> DataFrame:
+    """onConflictDoNothing on parquet: existing rows (and their ids)
+    always win; only genuinely new natural keys are appended."""
+    new = spark.createDataFrame(rows, schema)
+
+    def build(current: DataFrame | None) -> DataFrame:
+        if current is None:
+            return new
+        return current.unionByName(new.join(current, key, "left_anti"))
+
+    return atomic_swap_write(spark, table_path, build)
+
+
+def seed_warehouse(
+    spark: SparkSession,
+    warehouse_root: str,
+    teams: Iterable[str],
+    id_factory: Callable[[str, str], str] = default_id_factory,
+) -> dict:
+    """Seed organizations / teams / report_types idempotently and
+    return the uuid-cache fragment for exactly the seeded names
+    (seed-neon-db.js:100-195: the cache records what this run touched,
+    existing or inserted). Unknown teams come back under ``unknown``."""
+    root = warehouse_root.rstrip("/")
+    org_mapping, unknown = map_teams_to_organizations(teams)
+
+    orgs = _insert_if_absent(
+        spark,
+        f"{root}/organizations",
+        [
+            (id_factory("organizations", org), org, f"{org} organization")
+            for org in org_mapping
+        ],
+        "id string, name string, description string",
+        "name",
+    )
+    org_ids = {r["name"]: r["id"] for r in orgs.collect()}
+
+    team_rows = [
+        (
+            id_factory("teams", f"{org}/{team}"),
+            org_ids[org],
+            team,
+            f"{team} project",
+        )
+        for org, members in org_mapping.items()
+        for team in members
+    ]
+    teams_df = _insert_if_absent(
+        spark,
+        f"{root}/teams",
+        team_rows,
+        "id string, organization_id string, name string, description string",
+        "name",
+    )
+
+    types_df = _insert_if_absent(
+        spark,
+        f"{root}/report_types",
+        [
+            (id_factory("report_types", name), name, f"{name} report type")
+            for name in REPORT_TYPES
+        ],
+        "id string, name string, description string",
+        "name",
+    )
+
+    seeded_teams = {t for members in org_mapping.values() for t in members}
+    return {
+        "organizations": org_ids,
+        "teams": {
+            r["name"]: r["id"]
+            for r in teams_df.collect()
+            if r["name"] in seeded_teams
+        },
+        "reportTypes": {r["name"]: r["id"] for r in types_df.collect()},
+        "unknown": unknown,
+    }
+
+
+def build_uuid_cache(
+    spark: SparkSession, warehouse_root: str, project_id: str = "neondb"
+) -> dict:
+    """sync-neon-uuids.js — rebuild the full name→id cache from the
+    warehouse dims (ALL rows, unlike the seed fragment)."""
+    root = warehouse_root.rstrip("/")
+
+    def names(table: str) -> dict[str, str]:
+        try:
+            df = spark.read.parquet(f"{root}/{table}")
+        except Exception:
+            return {}
+        return {r["name"]: r["id"] for r in df.select("name", "id").collect()}
+
+    return {
+        "projectId": project_id,
+        "organizations": names("organizations"),
+        "teams": names("teams"),
+        "reportTypes": names("report_types"),
+    }
+
+
+def sync_uuid_cache(
+    spark: SparkSession,
+    warehouse_root: str,
+    cache_dir: str | Path,
+    env: str = "dev",
+    project_id: str = "neondb",
+) -> Path:
+    """Write ``.neon-db-ids.{env}.json`` (2-space indent, the
+    reference's JSON.stringify shape) and return its path."""
+    cache = build_uuid_cache(spark, warehouse_root, project_id)
+    path = Path(cache_dir) / f".neon-db-ids.{env}.json"
+    path.write_text(json.dumps(cache, indent=2) + "\n")
+    return path
+
+
+def resolve_team_id(cache: Mapping, team: str) -> str | None:
+    """Cache lookup the fact-table writers use for ``team_id``."""
+    return (cache.get("teams") or {}).get(team)

@@ -1,0 +1,110 @@
+"""Warehouse dimension seeding (sinks/seed.py) vs the reference's
+seed-neon-db.js / sync-neon-uuids.js contracts: idempotent
+insert-if-absent dims, existing-id preservation, the fixed org/team
+buckets and report-type triple, unknown-team reporting, and the
+uuid-cache file shape."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.sinks.seed import (
+    REPORT_TYPES,
+    build_uuid_cache,
+    discover_teams,
+    map_teams_to_organizations,
+    resolve_team_id,
+    seed_warehouse,
+    sync_uuid_cache,
+)
+
+
+def test_discover_teams_skips_shared_and_files(tmp_path):
+    (tmp_path / "rocks").mkdir()
+    (tmp_path / "engagepath").mkdir()
+    (tmp_path / "shared").mkdir()
+    (tmp_path / "README.md").write_text("not a team")
+    assert discover_teams(tmp_path) == ["engagepath", "rocks"]
+    assert discover_teams(tmp_path / "missing") == []
+
+
+def test_org_mapping_buckets_and_unknowns():
+    mapping, unknown = map_teams_to_organizations(
+        ["rocks", "aicoach", "mystery", "timeclock"]
+    )
+    assert mapping == {
+        "Full Scale": ["rocks", "timeclock"],
+        "Full Scale Ventures": ["aicoach"],
+    }
+    assert unknown == ["mystery"]
+
+
+def test_seed_idempotent_and_fk_consistent(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    first = seed_warehouse(spark, root, ["rocks", "engagepath", "mystery"])
+    second = seed_warehouse(spark, root, ["rocks", "engagepath", "mystery"])
+
+    assert first["unknown"] == ["mystery"]
+    assert "mystery" not in first["teams"]
+    # idempotent: identical ids on re-seed, no duplicate rows
+    assert first == second
+    teams = spark.read.parquet(f"{root}/teams")
+    assert teams.count() == 2
+    orgs = spark.read.parquet(f"{root}/organizations")
+    assert orgs.count() == 2  # both orgs seeded even with one team each
+    # FK consistency: every team's organization_id exists in organizations
+    org_keys = orgs.select(orgs["id"].alias("organization_id"))
+    dangling = teams.join(org_keys, "organization_id", "left_anti")
+    assert dangling.count() == 0
+    types = spark.read.parquet(f"{root}/report_types")
+    assert {r["name"] for r in types.collect()} == set(REPORT_TYPES)
+
+
+def test_seed_preserves_preexisting_ids(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    # Simulate a warehouse seeded elsewhere (random ids, the reference's
+    # defaultRandom contract): custom id must survive a re-seed.
+    spark.createDataFrame(
+        [("custom-id-123", "Full Scale", "Full Scale organization")],
+        "id string, name string, description string",
+    ).write.parquet(f"{root}/organizations")
+
+    result = seed_warehouse(spark, root, ["rocks"])
+    assert result["organizations"]["Full Scale"] == "custom-id-123"
+    teams = spark.read.parquet(f"{root}/teams")
+    row = teams.where("name = 'rocks'").collect()[0]
+    assert row["organization_id"] == "custom-id-123"
+
+
+def test_seed_appends_new_teams_only(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    first = seed_warehouse(spark, root, ["rocks"])
+    second = seed_warehouse(spark, root, ["rocks", "timeclock"])
+    assert second["teams"]["rocks"] == first["teams"]["rocks"]
+    assert spark.read.parquet(f"{root}/teams").count() == 2
+
+
+def test_uuid_cache_shape_and_lookup(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    seed_warehouse(spark, root, ["rocks", "aicoach"])
+    path = sync_uuid_cache(spark, root, tmp_path, env="prod", project_id="p1")
+    assert path.name == ".neon-db-ids.prod.json"
+    cache = json.loads(path.read_text())
+    assert set(cache) == {"projectId", "organizations", "teams", "reportTypes"}
+    assert cache["projectId"] == "p1"
+    assert set(cache["teams"]) == {"rocks", "aicoach"}
+    assert set(cache["reportTypes"]) == set(REPORT_TYPES)
+    assert resolve_team_id(cache, "rocks") == cache["teams"]["rocks"]
+    assert resolve_team_id(cache, "nope") is None
+    # empty warehouse → empty maps, not errors
+    empty = build_uuid_cache(spark, str(tmp_path / "none"))
+    assert empty["teams"] == {} and empty["organizations"] == {}
+
+
+def test_deterministic_ids_across_independent_seeds(spark, tmp_path):
+    a = seed_warehouse(spark, str(tmp_path / "a"), ["rocks"])
+    b = seed_warehouse(spark, str(tmp_path / "b"), ["rocks"])
+    assert a["teams"]["rocks"] == b["teams"]["rocks"]
+    assert a["organizations"] == b["organizations"]
