@@ -19,7 +19,9 @@ import json
 import os
 from typing import Any
 
-ALLOWED_REPORT_TYPES = ("1on1", "team", "weekly")
+# lib/config.js:6 — the CODE allows four types (its docstrings say
+# three; the constant wins, and 'dashboard' configs load fine there).
+ALLOWED_REPORT_TYPES = ("1on1", "team", "weekly", "dashboard")
 
 
 # Typed taxonomy error (errors.py): exit code 1, default resolution
@@ -49,12 +51,17 @@ def merge_configs(base: Any, override: Any) -> Any:
     return out
 
 
-def _load_json(path: str) -> dict:
+def _load_json(path: str, label: str) -> dict:
+    """``label`` names the layer in the error, reference-exact
+    (lib/config.js:374,396,401: 'shared defaults' / 'team base config'
+    / 'report override'). The parser detail after the path differs by
+    engine (JSON.parse vs json) and is not part of the parity
+    contract."""
     try:
         with open(path, encoding="utf-8") as f:
             return json.load(f)
     except json.JSONDecodeError as e:
-        raise ConfigurationError(f"Failed to parse {path}: {e}") from e
+        raise ConfigurationError(f"Failed to parse {label} at {path}: {e}") from e
 
 
 def load_config(configs_dir: str, team: str, report_type: str) -> dict:
@@ -65,7 +72,8 @@ def load_config(configs_dir: str, team: str, report_type: str) -> dict:
         raise ConfigurationError("TEAM must be a non-empty string.")
     if report_type not in ALLOWED_REPORT_TYPES:
         raise ConfigurationError(
-            f"Invalid REPORT_TYPE: {report_type!r}. Allowed: {', '.join(ALLOWED_REPORT_TYPES)}."
+            f"Invalid REPORT_TYPE: '{report_type}'. "
+            f"Allowed values are {', '.join(ALLOWED_REPORT_TYPES)}."
         )
     team_dir = os.path.join(configs_dir, team)
     if not os.path.isdir(team_dir):
@@ -74,7 +82,8 @@ def load_config(configs_dir: str, team: str, report_type: str) -> dict:
             if os.path.isdir(os.path.join(configs_dir, d)) and d != "shared"
         )
         raise ConfigurationError(
-            f"Team directory not found: {team_dir}. Available teams: {', '.join(teams) or '(none)'}."
+            f"Team directory not found: {team_dir}. "
+            f"Available teams: {', '.join(teams) or '(none found)'}."
         )
 
     defaults_path = os.path.join(configs_dir, "shared", "defaults.json")
@@ -83,16 +92,16 @@ def load_config(configs_dir: str, team: str, report_type: str) -> dict:
 
     merged: dict = {}
     if os.path.exists(defaults_path):
-        merged = merge_configs(merged, _load_json(defaults_path))
+        merged = merge_configs(merged, _load_json(defaults_path, "shared defaults"))
     if not os.path.exists(base_path):
         raise ConfigurationError(f"Team base config not found: {base_path}.")
-    merged = merge_configs(merged, _load_json(base_path))
+    merged = merge_configs(merged, _load_json(base_path, "team base config"))
     if not os.path.exists(override_path):
         raise ConfigurationError(
             f"Report override config not found: {override_path}. "
             f"Available report types: {', '.join(ALLOWED_REPORT_TYPES)}."
         )
-    merged = merge_configs(merged, _load_json(override_path))
+    merged = merge_configs(merged, _load_json(override_path, "report override"))
     merged.setdefault("team", team)
     merged.setdefault("report_type", report_type)
     validate_config(merged)
@@ -126,10 +135,27 @@ def validate_config(cfg: dict) -> None:
                 raise ConfigurationError(f"{label} must be a valid YYYY-MM-DD date, got {v!r}")
         if start and end and start > end:
             raise ConfigurationError(f"start_date {start} must be <= end_date {end}")
+    # A config-value reportType key is gated against the same allowed
+    # list, unwrapped (lib/config.js:129-136 — distinct from the env
+    # REPORT_TYPE check in load_config).
+    rt = cfg.get("reportType")
+    if rt is not None and rt not in ALLOWED_REPORT_TYPES:
+        raise ConfigurationError(
+            f"Invalid reportType: '{rt}'. "
+            f"Allowed values are {', '.join(ALLOWED_REPORT_TYPES)}."
+        )
     # The reference's per-section runtime sweep runs on every load
     # (lib/config.js:138-182) — a jira/dailyReports section without its
-    # dates is a hard error there, so it is here too.
-    validate_sections(cfg)
+    # dates is a hard error there, so it is here too, wrapped in the
+    # reference's exact report frame (:184-192).
+    try:
+        validate_sections(cfg)
+    except ConfigurationError as e:
+        raise ConfigurationError(
+            f"Configuration validation failed:\n\n  {e}\n\n"
+            "Please check your configuration file and fix the errors above.\n"
+            "See config.example.jsonc for a complete example."
+        ) from e
 
 
 # ---------------------------------------------------------------------------
