@@ -27,90 +27,78 @@ from . import queries_retrieval  # noqa: E402,F401
 # front block as they land.
 # ---------------------------------------------------------------------------
 # Queries whose ORACLE or OUTPUT changed since their last driver-green
-# row (this session's reference-parity fixes). They occupy window slots
-# ahead of stale refreshes — their historical green rows describe the
-# old output, so a fresh row is strictly more informative than
-# re-greening an unchanged r2 query. tests/test_registry.py counts
-# these when checking the rotation policy's capacity math.
-# Round 7: the four r6 hash-red queries' oracles gained a final
-# CAST(... AS BIGINT) — DuckDB SUM(BIGINT) returns HUGEINT, which the
-# driver's pandas materialization converts to float64, hashing 1234.0
-# against Spark's bigint 1234 (VERDICT r6 item 1). The Spark values were
-# already correct; the oracle changed, so each needs a fresh driver row.
-# j8_changelog_injection's fixture+oracle additionally moved to the
-# reference-exact ordered changelog semantics this round (multi-item
-# histories with API ordinals; golden driver
-# tests/golden/ref_changelog_bullets_driver.js) — its r4 green row
-# describes the old normalized ordering.
-_CHANGED_ORACLE = (
-    "source_js_divergence",
-    "events_decay_activity",
-    "sample_mixture_budget",
-    "knn_pq_adc",
-    "j8_changelog_injection",
-)
+# row. They occupy window slots ahead of stale refreshes — their
+# historical green rows describe the old output, so a fresh row is
+# strictly more informative than re-greening an unchanged query.
+# tests/test_registry.py counts these when checking the rotation
+# policy's capacity math.
+# Round 8: EMPTY — all five r7 entries (the four HUGEINT-cast fixes and
+# the reference-exact j8 changelog ordering) earned green r7 driver rows
+# (CORRECTNESS_r07.json: 50/50 full green), so their declarations have
+# served their purpose and their slots are freed for the r8 rotation.
+_CHANGED_ORACLE: tuple[str, ...] = ()
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 7 rotation (VERDICT r6 item 2): the four never-green queries
-    # whose HUGEINT oracles were fixed this round (above) plus the 46
-    # queries whose latest green driver row is r4 — exactly the set the
-    # hygiene test (tests/test_registry.py) enumerates against the r6
-    # artifacts. 4 + 46 = 50 = one full driver window, so any NEW r7
-    # query overflows; prefer depth over breadth this round.
+    # Round 8 rotation (VERDICT r7 item 1): the 49 queries whose latest
+    # green driver row is r5 — exactly the set the hygiene test
+    # (tests/test_registry.py) enumerates against the r7 artifacts —
+    # plus the one new r8 query (`audit_coverage`, never sampled).
+    # 1 + 49 = 50 = one full driver window with zero forced overflow;
+    # after the r8 window every registry query's latest row is r6+.
     # ------------------------------------------------------------------
-    # -- never driver-green; oracle CAST fixed in round 7 --
-    "source_js_divergence",
-    "events_decay_activity",
-    "sample_mixture_budget",
-    "knn_pq_adc",
-    # -- latest green row r4 (testdata regenerated twice since) --
-    "a15_participants",
-    "a18_reactions_rollup",
-    "cc_large_star",
-    "contamination_ngram_overlap",
-    "dashboard_week_frame",
-    "dedup_simhash",
-    "epic_tree_render",
-    "f5_substring_filter",
-    "f6_team_threshold_filter",
-    "f9_section_date_trim",
-    "j10_member_doc_join",
-    "j12_channel_resolution",
-    "j3_mention_resolution",
-    "j4_field_label_join",
-    "j7_changelog_attach",
-    "j8_changelog_injection",
-    "j9_blob_path_join",
-    "k1_csv_union_header_roundtrip",
-    "k2_partitioned_write_roundtrip",
-    "k5_json_snapshot_roundtrip",
-    "k6_datasource_sections",
-    "k8_upsert_merge",
-    "k9_cache_freshness",
-    "k_bucketed_colocated_join",
-    "o4_lexicographic_concat",
-    "pack_token_bins",
-    "s12_drive_catalog_scan",
-    "s14_jdbc_pushdown_join",
-    "s1_jira_connector_roundtrip",
-    "s9_slack_history_pushdown",
-    "sample_stratified_hash",
-    "sample_temperature_mix",
-    "slack_capture_pipeline",
-    "text_c4_filters",
-    "text_line_dedup",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_token_entropy",
-    "text_url_normalize",
-    "u2_distinct_keys_from_text",
-    "u8_schema_union_by_name",
-    "weekly_digest_pipeline",
-    "x19_transcript_parse",
-    "x21_changelog_compact",
-    "x23_json_field_extract",
-    "x24_custom_field_map",
+    # -- new in round 8, never driver-sampled --
+    "audit_coverage",
+    # -- latest green row r5 (testdata regenerated twice since) --
+    "a10_daily_window",
+    "a8_summary_aggregates",
+    "a_percentile_profile",
+    "cohort_retention",
+    "corpus_health_report",
+    "corpus_zipf_topk",
+    "dedup_connected_components",
+    "dedup_embedding_cosine_lsh",
+    "dedup_exact",
+    "dedup_family_histogram",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_span_ngram",
+    "embedding_normalize_truncate",
+    "embedding_quantize_int8",
+    "f8_or_of_overrides",
+    "funnel_view_click_purchase",
+    "graph_host_pagerank",
+    "j_salted_skew_join",
+    "k_orc_columnar_roundtrip",
+    "knn_brute_force_cosine",
+    "knn_ivf",
+    "knn_lsh_buckets",
+    "multimodal_features",
+    "range_join_windows",
+    "sample_dsir_importance",
+    "sample_train_test_split",
+    "sessionize_events",
+    "sketch_bloom_membership",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
+    "sketch_quantile_sample",
+    "slack_render_blocks",
+    "text_chunk_windows",
+    "text_external_lint",
+    "text_filter_funnel",
+    "text_langid",
+    "text_lm_perplexity",
+    "text_quality_score",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    "u3_dedup_by_key",
+    "x20_section_split",
+    "x22_human_size",
+    "x3_adf_flatten",
+    "x7_multiformat_date_extract",
+    "x_jira_ticket_render",
 ]
 
 

@@ -290,7 +290,14 @@ def j10_member_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("report_"), F.col("c_custkey").cast("string"), F.lit(".md")).alias("filename"),
         F.concat(F.lit("# Report\n**Employee**: "), F.col("c_name"), F.lit("\n- work")).alias("content"),
     )
-    members = [r["c_name"] for r in cust.where(F.col("c_custkey") % 100 == 3).collect()]
+    # The roster is people-bounded by construction (§4 broadcast policy):
+    # limit(200) caps the collect at any sf — inert at test scales (the 1%
+    # filter yields 15 rows at sf0.01, well under the cap) but structural
+    # at 100 TB, where "1% of customers" would otherwise grow unbounded.
+    members = [
+        r["c_name"]
+        for r in cust.where(F.col("c_custkey") % 100 == 3).limit(200).collect()
+    ]
     out = match_member_documents(spark, docs, members)
     return out.select("member", "filename", F.col("match_rank").cast("int").alias("match_rank"))
 
@@ -442,3 +449,74 @@ def slack_render_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_slack_capture(spark, SlackInputs(messages, users), {})
     return result.rendered.select("channel_id", "day", "content_raw")
+
+
+# ---------------------------------------------------------------------------
+# Transcript coverage audit (scripts/audit-transcripts.js:49-80) as a
+# driver-oracled registry query — the distributed core of the r7 `audit`
+# CLI: one parse pass over the transcript corpus, a broadcast alias
+# probe, and two per-file aggregations. The audit-only exclusion rule
+# (matched < min AND participants <= 2 — the 1:1 safeguard,
+# audit-transcripts.js:67) differs from the weekly keep rule (F6) and is
+# byte-pinned by tests/golden/ref_audit_driver.js; this query puts the
+# same row logic under the driver's rows+schema+hash gate.
+#
+# Fixture: one transcript per (c_custkey % 700) so the corpus mixes 1:1
+# files (<=2 speakers) with multi-person ones at sf0.01; roster =
+# customers 1..8, minimum_required = 2, so matched counts and both
+# verdict branches are exercised.
+# ---------------------------------------------------------------------------
+@register(
+    "audit_coverage",
+    oracle="""
+    WITH lines AS (
+      SELECT 'f' || (c_custkey % 700) AS filename, c_custkey, c_name
+      FROM customer
+    )
+    SELECT filename,
+           CAST(COUNT(DISTINCT c_name) AS INT) AS participant_count,
+           CAST(COUNT(DISTINCT CASE WHEN c_custkey BETWEEN 1 AND 8
+                                    THEN c_name END) AS INT) AS matched_count,
+           COALESCE(array_to_string(
+             list_sort(list(DISTINCT c_name)
+                       FILTER (WHERE c_custkey BETWEEN 1 AND 8)), ';'),
+             '') AS matched_names,
+           (COUNT(DISTINCT CASE WHEN c_custkey BETWEEN 1 AND 8
+                                THEN c_name END) < 2
+            AND COUNT(DISTINCT c_name) <= 2) AS would_exclude
+    FROM lines GROUP BY filename
+    """,
+    survey_ids=("F6", "A15", "X19", "U4"),
+    description="Per-file transcript audit: participant/match counts + 1:1 exclusion verdict",
+)
+def audit_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.audit import audit_transcripts
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    line = F.when(
+        k % 2 == 1,
+        F.concat(F.lit("10:15 "), F.col("c_name"), F.lit(": hi "), k.cast("string")),
+    ).otherwise(F.concat(F.col("c_name"), F.lit(": hello "), k.cast("string")))
+    docs = (
+        cust.select(
+            F.concat(F.lit("f"), (k % 700).cast("string")).alias("filename"),
+            k.alias("c_custkey"),
+            line.alias("line"),
+        )
+        .groupBy("filename")
+        .agg(F.sort_array(F.collect_list(F.struct("c_custkey", "line"))).alias("ls"))
+        .select(
+            "filename",
+            F.array_join(F.transform("ls", lambda x: x["line"]), "\n").alias("content"),
+        )
+    )
+    team = [f"Customer#{i:09d}" for i in range(1, 9)]
+    out = audit_transcripts(spark, docs, team, minimum_required=2)
+    return out.select(
+        "filename",
+        F.col("participant_count").cast("int").alias("participant_count"),
+        "matched_count",
+        "matched_names",
+        "would_exclude",
+    )

@@ -57,6 +57,14 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Box condition at start: the r6→r7 18% uniform headline swing was
+    # diagnosed as machine load, not code (VERDICT r7 "Performance").
+    # Recording the 1-min load average inside the artifact lets future
+    # readers separate load from regression without archaeology.
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
     spark = get_spark("ai-coach-orchestrator-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -110,6 +118,10 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
     print(
         json.dumps(
             {
@@ -122,6 +134,8 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "errors": errors,
                 "methodology": "value=min(cold,warm) per query; cold=first run incl. codegen",
+                "load_1min_start": load_start,
+                "load_1min_end": load_end,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
