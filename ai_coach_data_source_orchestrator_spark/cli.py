@@ -15,6 +15,12 @@ Subcommands:
                                   (issues/comments/changelogs/daily/
                                   transcripts) or deriving demo fixtures
                                   from the star schema
+- ``run-all``                   — the multi-team orchestrator (scripts/
+                                  run-all-weekly.js / run-all-1on1.js): every
+                                  team's pipeline in ONE SparkSession with
+                                  shared inputs, per-team output dirs, the
+                                  reference's abort-on-failure contract, and a
+                                  closing summary table
 - ``bench``                     — the headline benchmark (delegates to bench.py's
                                   logic via the registry)
 - ``audit``                     — transcript coverage audit over a directory of
@@ -98,8 +104,36 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _load_weekly_inputs(spark, inputs_dir: str):
+    from .pipeline import WeeklyInputs
+
+    rd = spark.read
+    return WeeklyInputs(
+        jira_issues=rd.parquet(f"{inputs_dir}/issues.parquet"),
+        jira_comments=rd.parquet(f"{inputs_dir}/comments.parquet"),
+        jira_changelogs=rd.parquet(f"{inputs_dir}/changelogs.parquet"),
+        daily_reports=rd.parquet(f"{inputs_dir}/daily.parquet"),
+        transcripts=rd.parquet(f"{inputs_dir}/transcripts.parquet"),
+    )
+
+
+def _weekly_config(args) -> dict:
+    return {
+        "team": args.team,
+        "report_type": "weekly",
+        "date_range": {"start_date": args.start, "end_date": args.end},
+        "team_members": args.member or [],
+        "transcripts": {"minimum_participants": args.min_participants},
+        "jira": {
+            "host": args.jira_host,
+            "start_date": args.start,
+            "end_date": args.end,
+        },
+    }
+
+
 def _cmd_weekly(args) -> int:
-    from .pipeline import WeeklyInputs, run_weekly_digest
+    from .pipeline import run_weekly_digest
     from .plans.queries_pipeline import derive_fixture_inputs
 
     if args.inputs_dir and not (args.start and args.end and args.team):
@@ -110,26 +144,8 @@ def _cmd_weekly(args) -> int:
     spark = get_spark("ai-coach-orchestrator-cli")
     spark.sparkContext.setLogLevel("ERROR")
     if args.inputs_dir:
-        rd = spark.read
-        inputs = WeeklyInputs(
-            jira_issues=rd.parquet(f"{args.inputs_dir}/issues.parquet"),
-            jira_comments=rd.parquet(f"{args.inputs_dir}/comments.parquet"),
-            jira_changelogs=rd.parquet(f"{args.inputs_dir}/changelogs.parquet"),
-            daily_reports=rd.parquet(f"{args.inputs_dir}/daily.parquet"),
-            transcripts=rd.parquet(f"{args.inputs_dir}/transcripts.parquet"),
-        )
-        config = {
-            "team": args.team,
-            "report_type": "weekly",
-            "date_range": {"start_date": args.start, "end_date": args.end},
-            "team_members": args.member or [],
-            "transcripts": {"minimum_participants": args.min_participants},
-            "jira": {
-                "host": args.jira_host,
-                "start_date": args.start,
-                "end_date": args.end,
-            },
-        }
+        inputs = _load_weekly_inputs(spark, args.inputs_dir)
+        config = _weekly_config(args)
     else:
         inputs, config = derive_fixture_inputs(spark, args.sf_dir)
         if args.team:
@@ -151,6 +167,160 @@ def _cmd_weekly(args) -> int:
     for key, val in result.summary.items():
         print(f"  {key}: {val}")
     return 0
+
+
+def _cmd_run_all(args) -> int:
+    """Multi-team run (scripts/run-all-weekly.js / run-all-1on1.js).
+
+    The reference spawns ``npm run <team>:<verb>`` as a fresh process
+    per team; here every team executes inside ONE SparkSession with the
+    shared inputs built once (SURVEY §4: team as a partition column),
+    while the orchestration contract — discovery, banners, abort on the
+    first failing team with its exit status, inter-team delay — is the
+    reference's own, golden-pinned in test_golden_run_all.py."""
+    import traceback
+
+    from .pipeline import run_weekly_digest
+    from .pipeline.run_all import discover_run_teams, run_all_teams
+    from .plans.queries_pipeline import derive_fixture_inputs
+
+    if args.inputs_dir and not (args.start and args.end):
+        print("--start/--end required with --inputs-dir", file=sys.stderr)
+        return 2
+    teams = list(args.team or [])
+    if not teams:
+        teams = discover_run_teams(args.configs_dir or "configs")
+    delay_ms = args.delay_ms
+    if delay_ms is None:
+        # the reference reads INTER_PROJECT_DELAY_MS (run-all-weekly.js:22)
+        delay_ms = int(os.environ.get("INTER_PROJECT_DELAY_MS") or 0)
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    generated_at = args.generated_at or datetime.datetime.now(
+        datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    # Shared inputs, built ONCE and reused by every team — the whole
+    # point of running multi-team in one session instead of N processes
+    # each re-deriving/re-downloading the world.
+    if args.verb == "weekly":
+        if args.inputs_dir:
+            inputs = _load_weekly_inputs(spark, args.inputs_dir)
+            base_config = _weekly_config(args)
+        else:
+            inputs, base_config = derive_fixture_inputs(spark, args.sf_dir)
+    else:  # 1on1 demo fixture: per-member docs from the customer table
+        from pyspark.sql import functions as F
+
+        from .sources.tables import load_table
+
+        cust = load_table(spark, args.sf_dir, "customer")
+        docs = cust.select(
+            F.concat(
+                F.lit("report_"), F.col("c_custkey").cast("string"), F.lit(".md")
+            ).alias("filename"),
+            F.concat(
+                F.lit("# Report\n**Employee**: "), F.col("c_name"), F.lit("\n- work")
+            ).alias("content"),
+        )
+        members = [
+            r["c_name"]
+            for r in cust.orderBy("c_custkey").limit(3 * max(len(teams), 1)).collect()
+        ]
+
+    summaries: list[dict] = []
+
+    def run_team(team: str) -> int:
+        try:
+            team_dir = os.path.join(args.out_dir, team)
+            os.makedirs(team_dir, exist_ok=True)
+            if args.verb == "weekly":
+                config = dict(base_config)
+                config["team"] = team
+                result = run_weekly_digest(
+                    spark,
+                    inputs,
+                    config,
+                    generated_at=generated_at,
+                    warehouse_path=args.warehouse,
+                )
+                out_path = os.path.join(team_dir, "weekly_digest.py")
+                with open(out_path, "w") as f:
+                    f.write(result.datasource_text)
+                summaries.append(
+                    {
+                        "team": team,
+                        "status": "ok",
+                        "outputs": 1,
+                        "issues": result.summary["n_issues"],
+                        "transcripts": result.summary["n_transcripts"],
+                    }
+                )
+            else:
+                from .pipeline.one_on_one import run_one_on_one
+
+                # per-team roster slice: 3 members per team, disjoint —
+                # per-team isolation on shared docs (the reference's
+                # per-team configs carry disjoint rosters)
+                i = teams.index(team)
+                roster = members[3 * i : 3 * i + 3]
+                result = run_one_on_one(
+                    spark, docs, roster, generated_at=generated_at
+                )
+                for member, text in result.datasources.items():
+                    fname = (result.filenames or {}).get(
+                        member, f"datasource_{member}.py"
+                    )
+                    with open(os.path.join(team_dir, fname), "w") as f:
+                        f.write(text)
+                summaries.append(
+                    {
+                        "team": team,
+                        "status": "ok",
+                        "outputs": len(result.datasources),
+                        "issues": 0,
+                        "transcripts": 0,
+                    }
+                )
+            return 0
+        except Exception as e:  # noqa: BLE001 — per-team fault isolation
+            # the reference inherits the failing child's stderr; print
+            # ours before the orchestrator's abort line
+            traceback.print_exc(limit=1)
+            summaries.append(
+                {
+                    "team": team,
+                    "status": f"error: {type(e).__name__}",
+                    "outputs": 0,
+                    "issues": 0,
+                    "transcripts": 0,
+                }
+            )
+            return 1
+
+    code = run_all_teams(
+        teams,
+        run_team,
+        verb=args.verb,
+        delay_ms=delay_ms,
+        cwd=os.getcwd(),
+        cmd="in-process",
+        make_args=lambda t: [
+            f"run_{'weekly_digest' if args.verb == 'weekly' else 'one_on_one'}(team={t})"
+        ],
+    )
+    if summaries:
+        print()
+        header = f"{'team':20s} {'status':24s} {'outputs':>7s} {'issues':>7s} {'transcripts':>11s}"
+        print(header)
+        print("-" * len(header))
+        for s in summaries:
+            print(
+                f"{s['team']:20s} {s['status']:24s} {s['outputs']:>7d} "
+                f"{s['issues']:>7d} {s['transcripts']:>11d}"
+            )
+    return code
 
 
 def _cmd_audit(args) -> int:
@@ -260,6 +430,27 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--jira-host", default="https://jira.example.com")
     w.add_argument("--generated-at", help="override the embedded timestamp (for reproducible output)")
 
+    r = sub.add_parser(
+        "run-all", help="run the weekly (or 1on1) pipeline for every team in one session"
+    )
+    r.add_argument("--verb", choices=["weekly", "1on1"], default="weekly")
+    r.add_argument("--team", action="append", help="explicit team (repeatable; overrides discovery)")
+    r.add_argument("--configs-dir", help="discover teams from this configs/ dir (RUN_TEAMS env overrides)")
+    r.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    r.add_argument("--inputs-dir", help="dir with issues/comments/changelogs/daily/transcripts parquet")
+    r.add_argument("--out-dir", required=True, help="per-team outputs go to <out-dir>/<team>/")
+    r.add_argument("--warehouse", help="parquet warehouse dir for the idempotent upsert")
+    r.add_argument("--member", action="append", help="team member (repeatable, with --inputs-dir)")
+    r.add_argument("--start")
+    r.add_argument("--end")
+    r.add_argument("--min-participants", type=int, default=1)
+    r.add_argument("--jira-host", default="https://jira.example.com")
+    r.add_argument("--generated-at", help="override the embedded timestamp")
+    r.add_argument(
+        "--delay-ms", type=int, default=None,
+        help="inter-team delay (default: INTER_PROJECT_DELAY_MS env)",
+    )
+
     sub.add_parser("bench", help="run the headline benchmark")
 
     a = sub.add_parser("audit", help="transcript coverage audit")
@@ -287,6 +478,7 @@ def main(argv: list[str] | None = None) -> int:
         "list": _cmd_list,
         "query": _cmd_query,
         "weekly": _cmd_weekly,
+        "run-all": _cmd_run_all,
         "bench": _cmd_bench,
         "audit": _cmd_audit,
         "clean": _cmd_clean,

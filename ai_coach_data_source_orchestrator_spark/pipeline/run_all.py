@@ -1,0 +1,112 @@
+"""Multi-team orchestration — the reference's ``run-all`` scripts
+(scripts/run-all-weekly.js, scripts/run-all-1on1.js; the two are
+identical except the npm verb and the completion banner).
+
+The reference loops teams SEQUENTIALLY, spawning ``npm run
+<team>:<verb>`` as a fresh child process per team and aborting the
+whole run on the first non-zero exit (run-all-weekly.js:27-49), with an
+optional ``INTER_PROJECT_DELAY_MS`` sleep between teams. Team discovery
+is ``RUN_TEAMS`` env override first, else the subdirectories of
+``configs/`` except ``shared`` (run-all-weekly.js:5-15).
+
+This module keeps that orchestration contract byte-compatible — the
+discovery line, per-team banner, exec/cwd echoes, exit-status lines,
+abort semantics and exit codes, sleep message, and completion banner
+are golden-pinned against the reference's own scripts executed via
+node (tests/golden/ref_run_all_driver.js) — but the execution model is
+Spark-first (SURVEY §4: team as a partition column): the CLI's
+``run-all`` verb runs every team inside ONE SparkSession, building the
+shared input DataFrames once, so N teams cost one JVM + N light
+per-team plans instead of N full processes each re-reading the world.
+Per-team isolation is per-team config + per-team output directory +
+the warehouse upsert's ``team_id`` key — not process boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Callable, Iterable, Mapping
+
+
+class SpawnError(RuntimeError):
+    """A per-team run failed to START (the reference's ``res.error``
+    branch, run-all-weekly.js:36-39) — distinct from a run that started
+    and exited non-zero."""
+
+
+def discover_run_teams(
+    configs_dir: str, env: Mapping[str, str] | None = None
+) -> list[str]:
+    """run-all-weekly.js:5-15 — ``RUN_TEAMS`` env override wins (split
+    on ',', trim each, drop empties); else the subdirectory names under
+    ``configs/`` except ``shared`` in directory order (the reference
+    walks raw ``readdirSync`` order); unreadable/missing dir → []."""
+    env = os.environ if env is None else env
+    raw = env.get("RUN_TEAMS")
+    if raw:
+        return [s.strip() for s in raw.split(",") if s.strip()]
+    try:
+        return [
+            e.name
+            for e in os.scandir(configs_dir)
+            if e.is_dir() and e.name != "shared"
+        ]
+    except OSError:
+        return []
+
+
+def run_all_teams(
+    teams: Iterable[str],
+    run_team: Callable[[str], int],
+    *,
+    verb: str = "weekly",
+    delay_ms: int = 0,
+    cwd: str = ".",
+    cmd: str = "npm",
+    make_args: Callable[[str], list[str]] | None = None,
+    out: Callable[[str], None] | None = None,
+    err: Callable[[str], None] | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """The reference's sequential orchestration loop, message-for-
+    message (run-all-weekly.js:22-51 / run-all-1on1.js — only ``verb``
+    and the completion banner differ). Returns the process exit status:
+    0 on success, 1 for a spawn failure, the team's exit status (or 1
+    if falsy) for the first non-zero exit — subsequent teams do NOT
+    run, exactly like the reference's ``process.exit`` mid-loop.
+
+    ``run_team(team)`` executes one team and returns its exit status;
+    it raises :class:`SpawnError` for a failure to start. ``cmd`` /
+    ``make_args`` only feed the informational ``exec:`` echo — the
+    reference prints the npm command line it is about to spawn
+    (run-all-weekly.js:34); callers pass whatever describes their
+    actual execution.
+    """
+    teams = list(teams)
+    out = out or print
+    err = err or (lambda s: print(s, file=sys.stderr))
+    out(f"Discovered teams: {', '.join(teams) if teams else '(none)'}")
+    for team in teams:
+        args = make_args(team) if make_args else ["run", f"{team}:{verb}"]
+        out(f"\n=== Running {team}:{verb} ===")
+        out(f"[orchestrator] cwd={cwd}")
+        out(f"[orchestrator] exec: {cmd} {' '.join(args)}")
+        try:
+            status = run_team(team)
+        except SpawnError as e:
+            # console.error(msg, err.message) joins with a space
+            err(f"[orchestrator] Error spawning {team}:{verb} → {e}")
+            return 1
+        out(f"[orchestrator] {team}:{verb} exited with status {status}")
+        if status != 0:
+            err(f"[orchestrator] Aborting due to non-zero exit for {team}:{verb}")
+            return status or 1
+        if delay_ms:
+            # the reference sleeps after EVERY successful team, the
+            # last one included (the check is `if (delayMs)`, :45-48)
+            out(f"[orchestrator] Sleeping {delay_ms} ms before next team...")
+            sleep(delay_ms / 1000.0)
+    out(f"\n✓ All {verb} workflows completed.")
+    return 0

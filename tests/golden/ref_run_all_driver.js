@@ -1,0 +1,92 @@
+// Golden-test driver: executes the REFERENCE repo's multi-team
+// orchestrators (scripts/run-all-weekly.js / scripts/run-all-1on1.js)
+// with their environment fully scripted by the fixture: a fake fs
+// serving the configs/ listing (order preserved — discovery walks
+// readdirSync order), a stubbed child_process whose spawnSync returns
+// fixture-controlled exit statuses / spawn errors per npm script, a
+// fake process (env, platform=linux, trapped exit), and captured
+// console.log/console.error as an interleaved event stream. The
+// orchestrator's real Atomics.wait sleep runs — fixtures keep
+// INTER_PROJECT_DELAY_MS tiny. Read-only, no real spawns, no network.
+//
+// Prints one JSON line: {"events": [{"s": "out"|"err", "text": ...}],
+// "exit": code|null, "calls": [{cmd, args, cwd, shell, stdio}]}.
+//
+// Usage: node ref_run_all_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const script = fixture.script || 'run-all-weekly.js';
+const scriptsDir = path.join(refRoot, 'scripts');
+const scriptPath = path.join(scriptsDir, script);
+const configsRoot = path.join(refRoot, 'configs');
+const src = realFs.readFileSync(scriptPath, 'utf8');
+
+const events = [];
+const calls = [];
+let exitCode = null;
+
+const fakeConsole = {
+  log: (...a) => events.push({ s: 'out', text: a.join(' ') }),
+  error: (...a) => events.push({ s: 'err', text: a.join(' ') }),
+};
+
+// discoverTeams reads path.join(__dirname, '..', 'configs') with
+// {withFileTypes: true} and filters Dirents; any throw → [] (:8-14).
+const fakeFs = {
+  readdirSync: (p, _opts) => {
+    if (path.resolve(p) !== configsRoot) throw new Error(`ENOENT: ${p}`);
+    if (!fixture.configsDirs) throw Object.assign(new Error(`ENOENT: ${p}`), { code: 'ENOENT' });
+    return fixture.configsDirs.map((d) => ({
+      name: d.name,
+      isDirectory: () => d.dir !== false,
+    }));
+  },
+};
+
+// fixture.runs maps the npm script name ("teamA:weekly") to either
+// {status: N} or {errorMessage: "..."} (spawnSync's res.error branch).
+const fakeChildProcess = {
+  spawnSync: (cmd, args, opts) => {
+    calls.push({
+      cmd,
+      args,
+      cwd: opts && opts.cwd,
+      shell: !!(opts && opts.shell),
+      stdio: opts && opts.stdio,
+    });
+    const spec = (fixture.runs || {})[args[1]] || { status: 0 };
+    if (spec.errorMessage) return { error: { message: spec.errorMessage }, status: null };
+    return { status: spec.status };
+  },
+};
+
+const exitSentinel = { __exit: true };
+const fakeProcess = {
+  env: Object.assign({}, fixture.env || {}),
+  platform: 'linux',
+  exit: (code) => {
+    exitCode = code;
+    throw exitSentinel;
+  },
+};
+
+const req = (name) => {
+  if (name === 'fs') return fakeFs;
+  if (name === 'path') return path;
+  if (name === 'child_process') return fakeChildProcess;
+  throw new Error(`unexpected require from ${script}: ${name}`);
+};
+
+try {
+  new Function('require', 'module', 'exports', '__dirname', '__filename', 'process', 'console', src)(
+    req, { exports: {} }, {}, scriptsDir, scriptPath, fakeProcess, fakeConsole
+  );
+} catch (e) {
+  if (e !== exitSentinel) throw e;
+}
+
+console.log(JSON.stringify({ events, exit: exitCode, calls }));

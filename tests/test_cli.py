@@ -51,3 +51,68 @@ def test_weekly_inputs_dir_requires_dates_and_team(tmp_path):
         ["weekly", "--out", str(tmp_path / "d.py"), "--inputs-dir", "/nonexistent"]
     )
     assert rc == 2
+
+
+def test_run_all_two_teams_one_session(spark, sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "all")
+    rc = cli.main(
+        [
+            "run-all", "--sf-dir", sf_dir, "--out-dir", out_dir,
+            "--team", "alpha", "--team", "beta",
+            "--generated-at", "2025-10-13T00:00:00Z",
+            "--warehouse", str(tmp_path / "wh"),
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "Discovered teams: alpha, beta" in captured
+    assert "=== Running alpha:weekly ===" in captured
+    assert "=== Running beta:weekly ===" in captured
+    assert "✓ All weekly workflows completed." in captured
+    assert "alpha" in captured.split("workflows completed.")[-1]  # summary table
+    a = open(os.path.join(out_dir, "alpha", "weekly_digest.py")).read()
+    b = open(os.path.join(out_dir, "beta", "weekly_digest.py")).read()
+    assert "JIRA_DATA" in a and "JIRA_DATA" in b
+    # per-team isolation on shared inputs: identical data, team-specific rows
+    import pyspark.sql.functions as F  # noqa: F401
+
+    wh = spark.read.parquet(str(tmp_path / "wh"))
+    assert sorted(r["team_id"] for r in wh.select("team_id").collect()) == ["alpha", "beta"]
+
+
+def test_run_all_matches_single_team_weekly(sf_dir, tmp_path, capsys):
+    # a team run via the orchestrator must be byte-identical to the same
+    # team run standalone — isolation means the loop adds nothing
+    out_dir = str(tmp_path / "all")
+    assert cli.main(
+        [
+            "run-all", "--sf-dir", sf_dir, "--out-dir", out_dir,
+            "--team", "solo", "--generated-at", "2025-10-13T00:00:00Z",
+        ]
+    ) == 0
+    single = str(tmp_path / "single.py")
+    assert cli.main(
+        [
+            "weekly", "--sf-dir", sf_dir, "--out", single,
+            "--team", "solo", "--generated-at", "2025-10-13T00:00:00Z",
+        ]
+    ) == 0
+    assert open(os.path.join(out_dir, "solo", "weekly_digest.py")).read() == open(single).read()
+
+
+def test_run_all_one_on_one_verb(sf_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "oo")
+    rc = cli.main(
+        [
+            "run-all", "--verb", "1on1", "--sf-dir", sf_dir, "--out-dir", out_dir,
+            "--team", "t1", "--team", "t2",
+            "--generated-at", "2025-10-13T00:00:00Z",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "✓ All 1on1 workflows completed." in captured
+    t1 = sorted(os.listdir(os.path.join(out_dir, "t1")))
+    t2 = sorted(os.listdir(os.path.join(out_dir, "t2")))
+    assert len(t1) == 3 and len(t2) == 3  # one datasource per roster member
+    assert not set(t1) & set(t2)  # disjoint rosters -> disjoint files

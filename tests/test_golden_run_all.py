@@ -1,0 +1,181 @@
+"""Golden parity: the multi-team orchestrator (pipeline/run_all.py) vs
+the reference's OWN scripts/run-all-weekly.js and run-all-1on1.js
+executed via node (tests/golden/ref_run_all_driver.js) — the complete
+console stream (stdout AND stderr, interleaved), the process exit
+code, and the per-team spawn sequence, compared event-for-event.
+
+Scenarios pin the orchestration-specific behaviors: configs/ discovery
+in listing order with ``shared`` and plain files excluded, the messy
+``RUN_TEAMS`` split-trim-filter override, the ``(none)`` empty-
+discovery line (the completion banner still prints), abort-on-first-
+non-zero-exit with the team's status as the process exit code and NO
+further spawns, the spawn-error branch exiting 1, the inter-team sleep
+message firing after EVERY team (the last included), and the 1on1
+variant's verb/banner."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.run_all import (
+    SpawnError,
+    discover_run_teams,
+    run_all_teams,
+)
+
+DRIVER = Path(__file__).parent / "golden" / "ref_run_all_driver.js"
+REF = Path("/root/reference")
+
+SCENARIOS = {
+    "discovery_all_green": {
+        "script": "run-all-weekly.js",
+        "configsDirs": [
+            {"name": "timeclock"},
+            {"name": "shared"},  # excluded by name
+            {"name": "README.md", "dir": False},  # excluded: not a dir
+            {"name": "aicoach"},
+        ],
+        "runs": {"timeclock:weekly": {"status": 0}, "aicoach:weekly": {"status": 0}},
+    },
+    "run_teams_env_override": {
+        "script": "run-all-weekly.js",
+        "env": {"RUN_TEAMS": " rocks , ,engagepath,"},
+        "configsDirs": [{"name": "ignored-when-env-set"}],
+        "runs": {"rocks:weekly": {"status": 0}, "engagepath:weekly": {"status": 0}},
+    },
+    "empty_discovery": {
+        # no configsDirs key → the driver's fake readdirSync throws,
+        # exercising the try/catch → [] branch (run-all-weekly.js:12-14)
+        "script": "run-all-weekly.js",
+    },
+    "abort_on_nonzero": {
+        "script": "run-all-weekly.js",
+        "configsDirs": [{"name": "a"}, {"name": "b"}, {"name": "c"}],
+        "runs": {
+            "a:weekly": {"status": 0},
+            "b:weekly": {"status": 3},
+            "c:weekly": {"status": 0},  # must never be spawned
+        },
+    },
+    "spawn_error": {
+        "script": "run-all-weekly.js",
+        "configsDirs": [{"name": "a"}, {"name": "b"}],
+        "runs": {"a:weekly": {"errorMessage": "npm ENOENT"}},
+    },
+    "inter_team_delay": {
+        "script": "run-all-weekly.js",
+        "env": {"INTER_PROJECT_DELAY_MS": "20"},
+        "configsDirs": [{"name": "a"}, {"name": "b"}],
+        "runs": {"a:weekly": {"status": 0}, "b:weekly": {"status": 0}},
+    },
+    "one_on_one_variant": {
+        "script": "run-all-1on1.js",
+        "configsDirs": [{"name": "timeclock"}, {"name": "aicoach"}],
+        "runs": {"timeclock:1on1": {"status": 0}, "aicoach:1on1": {"status": 0}},
+    },
+}
+
+
+def _python_twin(fixture: dict) -> dict:
+    """Run our orchestrator under the same script as the fixture and
+    capture the identical artifact shape."""
+    verb = "1on1" if fixture.get("script") == "run-all-1on1.js" else "weekly"
+    env = dict(fixture.get("env") or {})
+
+    if env.get("RUN_TEAMS"):
+        teams = discover_run_teams("/nonexistent", env=env)
+    elif "configsDirs" in fixture:
+        teams = [
+            d["name"]
+            for d in fixture["configsDirs"]
+            if d.get("dir", True) and d["name"] != "shared"
+        ]
+    else:
+        teams = discover_run_teams(str(REF / "no-such-configs"), env=env)
+
+    events: list[dict] = []
+    calls: list[dict] = []
+    sleeps: list[float] = []
+
+    def run_team(team: str) -> int:
+        args = ["run", f"{team}:{verb}"]
+        calls.append(
+            {
+                "cmd": "npm",
+                "args": args,
+                "cwd": str(REF),
+                "shell": True,
+                "stdio": "inherit",
+            }
+        )
+        spec = (fixture.get("runs") or {}).get(f"{team}:{verb}", {"status": 0})
+        if "errorMessage" in spec:
+            raise SpawnError(spec["errorMessage"])
+        return spec["status"]
+
+    code = run_all_teams(
+        teams,
+        run_team,
+        verb=verb,
+        delay_ms=int(env.get("INTER_PROJECT_DELAY_MS") or 0),
+        cwd=str(REF),
+        cmd="npm",
+        out=lambda s: events.append({"s": "out", "text": s}),
+        err=lambda s: events.append({"s": "err", "text": s}),
+        sleep=sleeps.append,
+    )
+    return {"events": events, "exit": code, "calls": calls, "sleeps": sleeps}
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_run_all_orchestration_matches_reference(name, tmp_path):
+    fixture = SCENARIOS[name]
+    fixture_path = tmp_path / f"{name}.json"
+    fixture_path.write_text(json.dumps(fixture))
+    out = subprocess.run(
+        ["node", str(DRIVER), str(fixture_path)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout.strip().splitlines()[-1])
+    ours = _python_twin(fixture)
+
+    assert ours["events"] == ref["events"]
+    # reference: no explicit exit on the success path → null
+    assert ours["exit"] == (ref["exit"] if ref["exit"] is not None else 0)
+    assert ours["calls"] == ref["calls"]
+
+
+def test_sleep_fires_after_every_team_including_last():
+    ours = _python_twin(SCENARIOS["inter_team_delay"])
+    assert ours["sleeps"] == [0.02, 0.02]
+    assert sum(e["text"].startswith("[orchestrator] Sleeping") for e in ours["events"]) == 2
+
+
+def test_abort_spawns_nothing_after_failure():
+    ours = _python_twin(SCENARIOS["abort_on_nonzero"])
+    assert ours["exit"] == 3
+    assert [c["args"][1] for c in ours["calls"]] == ["a:weekly", "b:weekly"]
+
+
+def test_discover_run_teams_filesystem(tmp_path):
+    (tmp_path / "configs" / "teamB").mkdir(parents=True)
+    (tmp_path / "configs" / "shared").mkdir()
+    (tmp_path / "configs" / "teamA").mkdir()
+    (tmp_path / "configs" / "notes.txt").write_text("x")
+    got = discover_run_teams(str(tmp_path / "configs"), env={})
+    assert sorted(got) == ["teamA", "teamB"]  # scandir order is fs-defined
+    assert discover_run_teams(str(tmp_path / "missing"), env={}) == []
+    assert discover_run_teams(
+        str(tmp_path / "missing"), env={"RUN_TEAMS": " a , ,b,"}
+    ) == ["a", "b"]
