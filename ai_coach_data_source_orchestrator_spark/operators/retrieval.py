@@ -43,6 +43,67 @@ def bm25_tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def source_token_histogram(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(source, tok, n_st) — the per-source unigram histogram the JSD
+    drift monitor reads. One narrow explode + a count that partial-
+    aggregates map-side down to vocabulary cardinality. The SAME
+    expression serves batch (plans/queries_retrieval.
+    source_js_divergence) and streaming (streaming/retrieval.
+    source_token_histogram_stream): counts are algebraic longs, so the
+    streaming state merge is exactly the batch partial-merge."""
+    return (
+        docs.select(source_col, F.explode(T.tokens(F.col(text_col))).alias("tok"))
+        .groupBy(source_col, "tok")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+
+
+def jsd_from_histogram(st: DataFrame) -> DataFrame:
+    """Per-source JSD vs the corpus, fixed-point micro units, from a
+    (source, tok, n_st) histogram — batch tail of the JSD monitor, also
+    run over a streamed histogram snapshot (the corpus counts are exact
+    sums of the per-source counts, so deriving them here is value-
+    identical to counting the token stream directly).
+
+    Tokens absent from a source contribute exactly ``0.5·q·ln 2`` each,
+    so their total is closed-form from the shared-token q mass — no
+    anti-join over the full vocabulary. Contributions are micro-scaled
+    BIGINTs before summation, so partial-agg order can't flip a hash.
+    """
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("t_s"))
+    ct = st.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    c_tot = ct.agg(F.sum("n_t").alias("t_c"))
+    terms = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(c_tot))
+        .select(
+            "source",
+            (F.col("n_st").cast("double") / F.col("t_s")).alias("p"),
+            (F.col("n_t").cast("double") / F.col("t_c")).alias("q"),
+        )
+    )
+    contrib = terms.select(
+        "source",
+        F.expr(
+            "CAST(floor((0.5d * p * ln(p / (0.5d * (p + q)))"
+            " + 0.5d * q * ln(q / (0.5d * (p + q)))) * 1000000.0d + 0.5d) AS BIGINT)"
+        ).alias("c_micro"),
+        F.expr("CAST(floor(q * 1000000.0d + 0.5d) AS BIGINT)").alias("q_micro"),
+    )
+    return contrib.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shared_tokens"),
+        (
+            F.sum("c_micro")
+            + F.expr(
+                "CAST(floor(0.5d * ln(2.0d) * (1000000 - SUM(q_micro)) + 0.5d) AS BIGINT)"
+            )
+        ).alias("jsd_micro"),
+    )
+
+
 def bm25_stats_aggs() -> list[Column]:
     """The one-pass corpus aggregate: N, total tokens, per-term document
     frequencies — all map-side-combinable sums/counts, which is what

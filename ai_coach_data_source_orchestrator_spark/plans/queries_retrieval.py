@@ -206,39 +206,10 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides shrink to vocabulary size before the join, and the
     per-source totals/corpus total are broadcast-sized.
     """
+    from ..operators.retrieval import jsd_from_histogram, source_token_histogram
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
-    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n_st"))
-    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("t_s"))
-    ct = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
-    c_tot = ct.agg(F.sum("n_t").alias("t_c"))
-    terms = (
-        st.join(F.broadcast(s_tot), "source")
-        .join(ct, "tok")
-        .crossJoin(F.broadcast(c_tot))
-        .select(
-            "source",
-            (F.col("n_st").cast("double") / F.col("t_s")).alias("p"),
-            (F.col("n_t").cast("double") / F.col("t_c")).alias("q"),
-        )
-    )
-    contrib = terms.select(
-        "source",
-        F.expr(
-            "CAST(floor((0.5d * p * ln(p / (0.5d * (p + q)))"
-            " + 0.5d * q * ln(q / (0.5d * (p + q)))) * 1000000.0d + 0.5d) AS BIGINT)"
-        ).alias("c_micro"),
-        F.expr("CAST(floor(q * 1000000.0d + 0.5d) AS BIGINT)").alias("q_micro"),
-    )
-    return contrib.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_shared_tokens"),
-        (
-            F.sum("c_micro")
-            + F.expr(
-                "CAST(floor(0.5d * ln(2.0d) * (1000000 - SUM(q_micro)) + 0.5d) AS BIGINT)"
-            )
-        ).alias("jsd_micro"),
-    )
+    return jsd_from_histogram(source_token_histogram(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.retrieval import bm25_stats_aggs, bm25_tokenize
+from ..operators.retrieval import (
+    bm25_stats_aggs,
+    bm25_tokenize,
+    source_token_histogram,
+)
+
+
+def source_token_histogram_stream(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Running per-source unigram histogram ``(source, tok, n_st)`` over
+    a document stream — the incremental state behind the JSD drift
+    monitor (``operators/retrieval.jsd_from_histogram`` runs over the
+    sink snapshot exactly as it runs over the batch histogram; proved
+    bit-identical in ``tests/test_streaming_batch_equivalence.py``).
+
+    The builder IS the batch builder: counts are algebraic longs, so
+    each micro-batch's partials merge into state precisely the way batch
+    merges partials across partitions. Write with
+    ``outputMode("complete")``. State is (sources × vocabulary) count
+    rows — bounded by vocabulary, not corpus size; nothing is evicted,
+    so no watermark. A reader that self-joins the snapshot (the JSD
+    tail does) must materialize it first — e.g. read the sink store, or
+    ``localCheckpoint()`` — because a memory-sink view cannot
+    deduplicate self-join attribute references."""
+    return source_token_histogram(docs, source_col, text_col)
 
 
 def bm25_corpus_stats_stream(
