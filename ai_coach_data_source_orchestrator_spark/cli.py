@@ -36,6 +36,13 @@ Subcommands:
                                   (organizations/teams/report_types) and write
                                   the uuid cache (scripts/seed-neon-db.js +
                                   sync-neon-uuids.js)
+- ``db-migrate``/``db-drop``/``db-query`` — the warehouse admin trio
+                                  (scripts/run-neon-migrations.js,
+                                  drop-all-tables.js, query-neon-db.js):
+                                  create the declared tables, drop them
+                                  children-first, and render the six
+                                  inspection sections with node's exact
+                                  console.table format
 
 Usage:
     python -m ai_coach_data_source_orchestrator_spark.cli list
@@ -392,6 +399,28 @@ def _cmd_seed(args) -> int:
     return 0
 
 
+def _cmd_db_migrate(args) -> int:
+    from .sinks.admin import migrate_warehouse
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return migrate_warehouse(spark, args.warehouse, label=args.label)
+
+
+def _cmd_db_drop(args) -> int:
+    from .sinks.admin import drop_all_tables
+
+    return drop_all_tables(args.warehouse, label=args.label)
+
+
+def _cmd_db_query(args) -> int:
+    from .sinks.admin import query_warehouse
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return query_warehouse(spark, args.warehouse)
+
+
 def _cmd_bench(_args) -> int:
     import runpy
 
@@ -466,6 +495,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--modules", help="comma-separated: daily,jira,transcripts,slack,datasource")
     c.add_argument("--purge-slack-users", action="store_true")
 
+    for verb, helptext in (
+        ("db-migrate", "create the warehouse tables (run-neon-migrations.js)"),
+        ("db-drop", "drop ALL warehouse tables (drop-all-tables.js)"),
+        ("db-query", "inspect the warehouse (query-neon-db.js)"),
+    ):
+        d = sub.add_parser(verb, help=helptext)
+        d.add_argument("--warehouse", required=True, help="warehouse root directory")
+        if verb != "db-query":
+            d.add_argument("--label", help="database label for the banner (default: warehouse path)")
+
     s = sub.add_parser("seed", help="seed warehouse dimensions + uuid cache")
     s.add_argument("--warehouse", required=True, help="warehouse root directory")
     s.add_argument("--configs-dir", help="discover teams from this configs/ dir")
@@ -483,6 +522,9 @@ def main(argv: list[str] | None = None) -> int:
         "audit": _cmd_audit,
         "clean": _cmd_clean,
         "seed": _cmd_seed,
+        "db-migrate": _cmd_db_migrate,
+        "db-drop": _cmd_db_drop,
+        "db-query": _cmd_db_query,
     }[args.cmd](args)
 
 

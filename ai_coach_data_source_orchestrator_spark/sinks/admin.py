@@ -1,0 +1,284 @@
+"""Warehouse admin surface — the reference's three DB admin scripts
+(scripts/drop-all-tables.js, run-neon-migrations.js, query-neon-db.js)
+over the parquet warehouse, message-for-message.
+
+All three are driver-side by design: they manage table METADATA
+(create/drop/inspect), not data volume — the inspection queries
+aggregate through Spark and collect only report-sized per-team rows.
+Stdout parity is pinned by tests/golden/ref_db_admin_driver.js, which
+executes the reference's own scripts over scripted clients; the only
+operand divergence is the database label (a Neon host there, the
+warehouse path here) and the storage backend named in the SQL echo.
+"""
+
+from __future__ import annotations
+
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import DROP_ORDER, create_tables, list_tables, read_table, table_path
+
+_Out = Callable[[str], None]
+
+
+def db_label(database_url: str) -> str:
+    """``url.split('@')[1]?.split('/')[0] || 'configured'``
+    (drop-all-tables.js:23) — the host portion, or the literal
+    fallback."""
+    parts = database_url.split("@")
+    if len(parts) < 2 or not parts[1].split("/")[0]:
+        return "configured"
+    return parts[1].split("/")[0]
+
+
+# ---------------------------------------------------------------------------
+# drop-all-tables.js
+# ---------------------------------------------------------------------------
+def drop_all_tables(
+    warehouse: str,
+    out: _Out = print,
+    warn: _Out | None = None,
+    label: str | None = None,
+    remove: Callable[[str], None] | None = None,
+) -> int:
+    """Drop every warehouse table, children first (drop-all-tables.js:
+    22-56). DROP IF EXISTS semantics: an absent table still reports
+    ``✓ Dropped`` (the reference's SQL is IF EXISTS); a failing removal
+    reports the ``⚠ Could not drop`` warning and continues."""
+    warn = warn or out
+    label = label if label is not None else warehouse
+
+    def _remove(path: str) -> None:
+        shutil.rmtree(path, ignore_errors=False)
+
+    remove = remove or _remove
+    out("\n⚠️  WARNING: This will drop ALL tables and data! ⚠️\n")
+    out(f"Database: {label}\n")
+    out("Dropping all tables...\n")
+    for table in DROP_ORDER:
+        try:
+            import os
+
+            p = table_path(warehouse, table)
+            if os.path.isdir(p):
+                remove(p)
+            out(f"  ✓ Dropped: {table}")
+        except Exception as e:  # noqa: BLE001 — per-table fault isolation (:47-49)
+            warn(f"  ⚠ Could not drop {table}: {e}")
+    out("\n✓ All tables dropped successfully!\n")
+    out("Next steps:")
+    out("  1. Run: npm run db:migrate")
+    out("  2. Run: npm run db:seed")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# run-neon-migrations.js
+# ---------------------------------------------------------------------------
+def migrate_warehouse(
+    spark: SparkSession,
+    warehouse: str,
+    out: _Out = print,
+    err: _Out = print,
+    label: str | None = None,
+) -> int:
+    """Materialize the declared schema and verify, with the migration
+    runner's stdout shape (run-neon-migrations.js:29-56): header, apply
+    step, sorted table listing, completion banner. Idempotent —
+    existing tables are untouched, exactly like re-running applied
+    Drizzle migrations."""
+    label = label if label is not None else warehouse
+    out("\n=== Running Drizzle Migrations ===\n")
+    out(f"Database: {label}\n")
+    try:
+        out("Applying migrations from ./drizzle directory...")
+        create_tables(spark, warehouse)
+        out("  ✓ All migrations completed successfully!\n")
+        out("Verifying tables...")
+        tables = list_tables(warehouse)
+        out(f"  ✓ Found {len(tables)} tables:")
+        for t in tables:
+            out(f"    - {t}")
+        out("\n✓ Migration completed successfully!\n")
+        return 0
+    except Exception as e:  # noqa: BLE001 — the runner's catch-all (:57-62)
+        err(f"\n✗ Migration failed: {e}")
+        return 1
+
+
+# ---------------------------------------------------------------------------
+# query-neon-db.js — six inspection queries + node's console.table
+# ---------------------------------------------------------------------------
+def _inspect(v) -> str:
+    """One table cell, node-util.inspect style: strings quoted, numbers
+    and booleans plain JS literals, null spelled out."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return f"'{v}'"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def render_console_table(rows: list[dict]) -> str:
+    """Node ``console.table`` over an array of objects, byte-for-byte
+    (golden-pinned): box-drawing borders, an ``(index)`` column,
+    first-seen key order across all rows, left-aligned cells with one
+    space of padding."""
+    cols: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in cols:
+                cols.append(k)
+    headers = ["(index)"] + cols
+    cells = [
+        [str(i)] + [_inspect(r[k]) if k in r else "" for k in cols]
+        for i, r in enumerate(rows)
+    ]
+    widths = [
+        max(len(h), *(len(row[j]) for row in cells)) if cells else len(h)
+        for j, h in enumerate(headers)
+    ]
+
+    def line(left: str, mid: str, right: str) -> str:
+        return left + mid.join("─" * (w + 2) for w in widths) + right
+
+    def row_line(vals: list[str]) -> str:
+        return "│" + "│".join(f" {v.ljust(w)} " for v, w in zip(vals, widths)) + "│"
+
+    parts = [line("┌", "┬", "┐"), row_line(headers), line("├", "┼", "┤")]
+    parts += [row_line(c) for c in cells]
+    parts.append(line("└", "┴", "┘"))
+    return "\n".join(parts)
+
+
+def warehouse_inspection_queries(
+    spark: SparkSession, warehouse: str
+) -> list[tuple[str, DataFrame | None, str | None]]:
+    """The six sections of query-neon-db.js:32-135 as Spark plans:
+    (section title, DataFrame or None when the table is missing,
+    empty-result fallback line). Column aliases mirror the drizzle
+    projections (camelCase keys render in the table headers). Dates
+    and timestamps are stringified where drizzle returns strings."""
+
+    def rd(table: str) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(table_path(warehouse, table)):
+            return None
+        return read_table(spark, warehouse, table)
+
+    teams, orgs = rd("teams"), rd("organizations")
+    org_teams = None
+    if teams is not None and orgs is not None:
+        org_teams = (
+            teams.alias("t")
+            .join(orgs.alias("o"), F.col("t.organization_id") == F.col("o.id"))
+            .select(
+                F.col("o.name").alias("organization"),
+                F.col("t.name").alias("team"),
+                F.col("t.id").alias("teamId"),
+            )
+            .orderBy("organization", "team")
+        )
+
+    rt = rd("report_types")
+    report_types = (
+        rt.select("name", "description").orderBy("name") if rt is not None else None
+    )
+
+    def per_team(table: str, date_col: str, count_alias: str) -> DataFrame | None:
+        t = rd(table)
+        if t is None or teams is None:
+            return None
+        return (
+            t.join(teams.select(F.col("id").alias("team_id"), F.col("name").alias("team")), "team_id")
+            .groupBy("team")
+            .agg(
+                F.count(F.lit(1)).alias(count_alias),
+                F.min(F.col(date_col).cast("string")).alias("earliestDate"),
+                F.max(F.col(date_col).cast("string")).alias("latestDate"),
+            )
+            .orderBy("team")
+        )
+
+    def captures(table: str) -> DataFrame | None:
+        t = rd(table)
+        if t is None or teams is None:
+            return None
+        return (
+            t.join(teams.select(F.col("id").alias("team_id"), F.col("name").alias("team")), "team_id")
+            .select(
+                "team",
+                F.col("collected_week_start").cast("string").alias("collectedWeekStart"),
+                F.col("collected_week_end").cast("string").alias("collectedWeekEnd"),
+                F.col("byte_size").alias("byteSize"),
+            )
+            .orderBy(F.col("team"), F.col("collectedWeekStart").desc())
+        )
+
+    return [
+        ("Organizations and Teams:", org_teams, None),
+        ("\nReport Types:", report_types, None),
+        (
+            "\nDaily Reports:",
+            per_team("daily_reports", "report_date", "reportCount"),
+            "  (no daily reports yet)",
+        ),
+        (
+            "\nMeeting Transcripts:",
+            per_team("meeting_transcripts", "transcript_date", "transcriptCount"),
+            "  (no transcripts yet)",
+        ),
+        ("\nJira Snapshots:", captures("jira_snapshots"), "  (no Jira snapshots yet)"),
+        ("\nSlack Captures:", captures("slack_captures"), "  (no Slack captures yet)"),
+    ]
+
+
+def emit_query_report(
+    sections: list[tuple[str, list[dict], str | None]], out: _Out
+) -> None:
+    """The stdout body of query-neon-db.js:27-139 given collected rows:
+    per-section title, then console.table — unconditionally for the
+    first two sections (the script tables even an empty result there),
+    behind a non-empty guard with a literal fallback line for the rest.
+    ``rows`` may be a thunk — evaluated AFTER the title prints, the
+    reference's statement order (title, await query, table)."""
+    out("\n=== Querying Neon Database ===\n")
+    for title, rows, fallback in sections:
+        out(title)
+        if callable(rows):
+            rows = rows()
+        if rows:
+            out(render_console_table(rows))
+        elif fallback is not None:
+            out(fallback)
+        else:
+            out(render_console_table(rows))
+    out("\n✓ Query completed successfully!\n")
+
+
+def query_warehouse(
+    spark: SparkSession, warehouse: str, out: _Out = print, err: _Out = print
+) -> int:
+    """query-neon-db.js:27-148 over the parquet warehouse."""
+    try:
+        sections = [
+            (
+                title,
+                (lambda d=df: [r.asDict() for r in d.collect()] if d is not None else []),
+                fb,
+            )
+            for title, df, fb in warehouse_inspection_queries(spark, warehouse)
+        ]
+        emit_query_report(sections, out)
+        return 0
+    except Exception as e:  # noqa: BLE001 — the script's catch-all (:141-146)
+        err(f"✗ Query failed: {e}")
+        return 1

@@ -1,0 +1,221 @@
+"""The warehouse relational schema — the reference's ``db/schema.js``
+restated as Spark StructTypes over a parquet warehouse directory.
+
+One entry per pgTable (db/schema.js:12-157), with the type mapping
+uuid→string, text→string, timestamp→timestamp, date→date,
+bigint(mode:number)→long, jsonb→string(JSON). Constraints that Postgres
+enforces mechanically become declared metadata here, enforced by the
+sinks that write each table:
+
+- unique indexes → the upsert key groups ``sinks/merge.UPSERT_KEYS``
+  (latest-wins MERGE emulation) and ``sinks/seed`` (insert-if-absent);
+- FK ``onDelete: cascade`` chains → ``DROP_ORDER``, the reference's own
+  children-first list (scripts/drop-all-tables.js:31-41);
+- the report_data_links exactly-one-source CHECK →
+  ``sinks/merge.lineage_links``'s validation filter.
+
+``create_tables`` is the migration twin (scripts/run-neon-migrations.js):
+it materializes each missing table as an empty parquet dataset with the
+declared schema, so every downstream reader — including a first
+``upsert_parquet`` against a fresh warehouse — sees the right columns
+and types from day one. Existing tables are never touched (Drizzle's
+migrator is similarly idempotent over applied migrations).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_S = T.StringType()
+_TS = T.TimestampType()
+_D = T.DateType()
+_L = T.LongType()
+
+
+def _f(name: str, dtype, nullable: bool = True) -> T.StructField:
+    return T.StructField(name, dtype, nullable)
+
+
+def _audit() -> list[T.StructField]:
+    # created_at/updated_at defaultNow() pair every table carries
+    return [_f("created_at", _TS, False), _f("updated_at", _TS, False)]
+
+
+# Declaration order = db/schema.js order (parents before children);
+# DROP_ORDER below is the reverse dependency walk the reference uses.
+WAREHOUSE_SCHEMA: dict[str, T.StructType] = {
+    # db/schema.js:12-18
+    "organizations": T.StructType(
+        [_f("id", _S, False), _f("name", _S, False), _f("description", _S)] + _audit()
+    ),
+    # db/schema.js:21-28
+    "teams": T.StructType(
+        [
+            _f("id", _S, False),
+            _f("organization_id", _S, False),
+            _f("name", _S, False),
+            _f("description", _S),
+        ]
+        + _audit()
+    ),
+    # db/schema.js:31-46
+    "daily_reports": T.StructType(
+        [
+            _f("id", _S, False),
+            _f("team_id", _S, False),
+            _f("report_date", _D, False),
+            _f("content", _S, False),
+            _f("blob_key", _S),
+            _f("blob_url", _S),
+            _f("author_name", _S, False),
+            _f("checksum_sha256", _S),
+        ]
+        + _audit()
+    ),
+    # db/schema.js:49-66
+    "meeting_transcripts": T.StructType(
+        [
+            _f("id", _S, False),
+            _f("team_id", _S, False),
+            _f("transcript_date", _TS, False),
+            _f("filename", _S, False),
+            _f("transcript_text", _S, False),
+            _f("blob_key", _S),
+            _f("blob_url", _S),
+            _f("byte_size", _L),
+            _f("checksum_sha256", _S),
+        ]
+        + _audit()
+    ),
+    # db/schema.js:69-84
+    "jira_snapshots": T.StructType(
+        [
+            _f("id", _S, False),
+            _f("team_id", _S, False),
+            _f("collected_week_start", _D, False),
+            _f("collected_week_end", _D, False),
+            _f("blob_key", _S, False),
+            _f("blob_url", _S, False),
+            _f("byte_size", _L),
+            _f("checksum_sha256", _S),
+        ]
+        + _audit()
+    ),
+    # db/schema.js:86-103 (same storage shape as jira_snapshots)
+    "slack_captures": T.StructType(
+        [
+            _f("id", _S, False),
+            _f("team_id", _S, False),
+            _f("collected_week_start", _D, False),
+            _f("collected_week_end", _D, False),
+            _f("blob_key", _S, False),
+            _f("blob_url", _S, False),
+            _f("byte_size", _L),
+            _f("checksum_sha256", _S),
+        ]
+        + _audit()
+    ),
+    # db/schema.js:104-110
+    "report_types": T.StructType(
+        [_f("id", _S, False), _f("name", _S, False), _f("description", _S)] + _audit()
+    ),
+    # db/schema.js:113-131; jsonb columns carried as JSON strings
+    "generated_reports": T.StructType(
+        [
+            _f("id", _S, False),
+            _f("report_type_id", _S, False),
+            _f("team_id", _S, False),
+            _f("triggered_by", _S),
+            _f("generated_at", _TS, False),
+            _f("execution_id", _S),
+            _f("blob_key", _S),
+            _f("blob_url", _S),
+            _f("output", _S),
+            _f("model_info", _S),
+            _f("content_hash", _S),
+        ]
+        + _audit()
+    ),
+    # db/schema.js:134-157
+    "report_data_links": T.StructType(
+        [
+            _f("id", _S, False),
+            _f("generated_report_id", _S, False),
+            _f("jira_snapshot_id", _S),
+            _f("slack_capture_id", _S),
+            _f("daily_report_id", _S),
+            _f("meeting_transcript_id", _S),
+        ]
+        + _audit()
+    ),
+}
+
+# Unique indexes per table (db/schema.js uniqueIndex calls) — the key
+# groups the write paths enforce. generated_reports carries TWO.
+UNIQUE_KEYS: dict[str, tuple[tuple[str, ...], ...]] = {
+    "daily_reports": (("team_id", "author_name", "report_date"),),  # :45
+    "meeting_transcripts": (("team_id", "filename", "transcript_date"),),  # :65
+    "report_types": (("name",),),  # :106 .unique()
+    "generated_reports": (
+        ("execution_id",),  # :129
+        ("team_id", "report_type_id", "content_hash"),  # :130
+    ),
+    "report_data_links": (
+        ("generated_report_id", "jira_snapshot_id"),  # :150-153
+        ("generated_report_id", "slack_capture_id"),
+        ("generated_report_id", "daily_report_id"),
+        ("generated_report_id", "meeting_transcript_id"),
+    ),
+}
+
+# Children-first drop order — VERBATIM the reference's list
+# (scripts/drop-all-tables.js:31-41).
+DROP_ORDER: tuple[str, ...] = (
+    "report_data_links",
+    "generated_reports",
+    "slack_captures",
+    "jira_snapshots",
+    "meeting_transcripts",
+    "daily_reports",
+    "report_types",
+    "teams",
+    "organizations",
+)
+
+
+def table_path(warehouse: str, table: str) -> str:
+    return os.path.join(warehouse, table)
+
+
+def list_tables(warehouse: str) -> list[str]:
+    """The declared tables that exist in the warehouse, sorted — the
+    information_schema verification query's shape
+    (run-neon-migrations.js:43-49 orders by table_name)."""
+    return sorted(
+        t for t in WAREHOUSE_SCHEMA if os.path.isdir(table_path(warehouse, t))
+    )
+
+
+def create_tables(spark: SparkSession, warehouse: str) -> list[str]:
+    """Materialize every missing table as an empty parquet dataset with
+    its declared schema; existing tables are left untouched. Returns
+    the tables created this call."""
+    created = []
+    for name, schema in WAREHOUSE_SCHEMA.items():
+        path = table_path(warehouse, name)
+        if os.path.isdir(path):
+            continue
+        spark.createDataFrame([], schema).write.parquet(path)
+        created.append(name)
+    return created
+
+
+def read_table(spark: SparkSession, warehouse: str, table: str) -> DataFrame:
+    if table not in WAREHOUSE_SCHEMA:
+        raise KeyError(f"unknown warehouse table {table!r}")
+    return spark.read.schema(WAREHOUSE_SCHEMA[table]).parquet(
+        table_path(warehouse, table)
+    )

@@ -98,7 +98,13 @@ def _insert_if_absent(
     def build(current: DataFrame | None) -> DataFrame:
         if current is None:
             return new
-        return current.unionByName(new.join(current, key, "left_anti"))
+        # allowMissingColumns: a warehouse bootstrapped by db-migrate
+        # (sinks/schema.create_tables) carries the full reference
+        # column set (created_at/updated_at audit pair); seed rows
+        # supply only the natural columns and must still insert.
+        return current.unionByName(
+            new.join(current, key, "left_anti"), allowMissingColumns=True
+        )
 
     return atomic_swap_write(spark, table_path, build)
 

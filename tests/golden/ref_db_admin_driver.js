@@ -1,0 +1,130 @@
+// Golden-test driver: executes the REFERENCE repo's three DB admin
+// scripts (scripts/drop-all-tables.js, run-neon-migrations.js,
+// query-neon-db.js) with every external dependency scripted by the
+// fixture: dotenv is a no-op, the neon client records issued SQL and
+// returns fixture rows, drizzle's query chain resolves fixture rows
+// per-query, the migrator is a fixture-controlled no-op/thrower, and
+// db/schema is an opaque stub (the fake db never inspects its args).
+// Console output goes through a REAL node Console instance over
+// capture streams, so console.table renders exactly as a user sees it.
+// Read-only, no network, nothing copied.
+//
+// Prints one JSON line:
+//   {"stdout": "...", "stderr": "...", "exit": code|null, "sqls": [...]}
+//
+// Usage: node ref_db_admin_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+const { Writable } = require('stream');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const script = fixture.script; // e.g. 'drop-all-tables.js'
+const scriptsDir = path.join(refRoot, 'scripts');
+const scriptPath = path.join(scriptsDir, script);
+const src = realFs.readFileSync(scriptPath, 'utf8');
+
+let stdoutText = '';
+let stderrText = '';
+const sqls = [];
+let exitCode = null;
+
+const mk = (sink) =>
+  new Writable({
+    write(chunk, _enc, cb) {
+      sink(chunk.toString());
+      cb();
+    },
+  });
+const fakeConsole = new console.Console(
+  mk((t) => (stdoutText += t)),
+  mk((t) => (stderrText += t))
+);
+
+// neon(url) → a tagged-template/array-callable sql client. drop uses
+// sql([`DROP TABLE ...`]) (array form); migrations uses the tagged
+// template for the information_schema verification.
+const sqlErrors = fixture.sqlErrors || {}; // substring → error message
+function makeSqlClient() {
+  return (strings, ..._vals) => {
+    const text = Array.isArray(strings) ? strings.join('?') : String(strings);
+    sqls.push(text.replace(/\s+/g, ' ').trim());
+    for (const [needle, msg] of Object.entries(sqlErrors)) {
+      if (text.includes(needle)) return Promise.reject(new Error(msg));
+    }
+    if (text.includes('information_schema')) {
+      return Promise.resolve((fixture.tables || []).map((t) => ({ table_name: t })));
+    }
+    return Promise.resolve([]);
+  };
+}
+
+// drizzle db stub for query-neon-db.js: six awaited select() chains in
+// source order; each resolves fixture.queries[i] (default []).
+let selectIdx = 0;
+function makeDb() {
+  const rowsFor = (i) => ((fixture.queries || [])[i] !== undefined ? fixture.queries[i] : []);
+  return {
+    select: () => {
+      const myRows = rowsFor(selectIdx++);
+      const chain = {
+        from: () => chain,
+        innerJoin: () => chain,
+        groupBy: () => chain,
+        orderBy: () => chain,
+        then: (res, rej) => Promise.resolve(myRows).then(res, rej),
+      };
+      return chain;
+    },
+  };
+}
+
+const opaque = new Proxy({}, { get: () => new Proxy(function () {}, { get: () => opaqueFn, apply: () => ({}) }) });
+const opaqueFn = function () { return {}; };
+// db/schema stub: scripts only pass schema.<table>.<col> into the fake
+// db/drizzle helpers, which ignore them entirely.
+const schemaStub = new Proxy({}, { get: () => new Proxy({}, { get: () => ({}) }) });
+
+const exitSentinel = { __exit: true };
+const fakeProcess = {
+  env: Object.assign({}, fixture.env || {}),
+  exit: (code) => {
+    exitCode = code === undefined ? 0 : code;
+    throw exitSentinel;
+  },
+};
+
+const req = (name) => {
+  if (name === 'dotenv') return { config: () => ({}) };
+  if (name === '@neondatabase/serverless') return { neon: () => makeSqlClient() };
+  if (name === 'drizzle-orm/neon-http') return { drizzle: () => makeDb() };
+  if (name === 'drizzle-orm/neon-http/migrator')
+    return {
+      migrate: () =>
+        fixture.migrateError
+          ? Promise.reject(new Error(fixture.migrateError))
+          : Promise.resolve(),
+    };
+  if (name === 'drizzle-orm') return { sql: () => ({}), count: () => ({}), min: () => ({}), max: () => ({}) };
+  if (name === '../db/schema') return schemaStub;
+  throw new Error(`unexpected require from ${script}: ${name}`);
+};
+
+const mod = { exports: {} };
+new Function('require', 'module', 'exports', '__dirname', '__filename', 'process', 'console', src)(
+  req, mod, mod.exports, scriptsDir, scriptPath, fakeProcess, fakeConsole
+);
+
+const fnName = Object.keys(mod.exports)[0]; // dropAllTables / runMigrations / queryDatabase
+Promise.resolve()
+  .then(() => mod.exports[fnName]())
+  .catch((e) => {
+    if (e !== exitSentinel) throw e;
+  })
+  .then(() => {
+    // use the REAL stdout for the artifact line
+    require('process').stdout.write(
+      JSON.stringify({ stdout: stdoutText, stderr: stderrText, exit: exitCode, sqls }) + '\n'
+    );
+  });

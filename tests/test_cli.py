@@ -116,3 +116,19 @@ def test_run_all_one_on_one_verb(sf_dir, tmp_path, capsys):
     t2 = sorted(os.listdir(os.path.join(out_dir, "t2")))
     assert len(t1) == 3 and len(t2) == 3  # one datasource per roster member
     assert not set(t1) & set(t2)  # disjoint rosters -> disjoint files
+
+
+def test_db_admin_lifecycle(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    assert cli.main(["db-migrate", "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "✓ Found 9 tables:" in out and "    - organizations" in out
+    assert cli.main(["db-query", "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "(no daily reports yet)" in out and "✓ Query completed successfully!" in out
+    assert cli.main(["db-drop", "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert out.count("✓ Dropped:") == 9
+    import os
+
+    assert os.listdir(wh) == []  # all table dirs gone
