@@ -399,6 +399,63 @@ def _cmd_seed(args) -> int:
     return 0
 
 
+def _cmd_store(args) -> int:
+    """Warehouse ingest (lib/neon-db-storage.js storeAllData): load the
+    generated artifacts into the warehouse tables. Gating flags come
+    from the same environment variables the reference reads."""
+    import json
+
+    from .sinks.store import store_all_data
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs(d):
+        if not d or not os.path.isdir(d):
+            return None
+        rows = []
+        for i, name in enumerate(f for f in os.listdir(d) if f.endswith(".md")):
+            p = os.path.join(d, name)
+            try:
+                with open(p, encoding="utf-8") as f:
+                    rows.append((i, p, f.read()))
+            except OSError:
+                continue
+        return spark.createDataFrame(rows, "ord int, path string, content string")
+
+    jira_file = None
+    if args.jira_file and os.path.exists(args.jira_file):
+        with open(args.jira_file, encoding="utf-8") as f:
+            jira_file = (args.jira_file, f.read())
+    manifest = None
+    if args.manifest and os.path.exists(args.manifest):
+        with open(args.manifest) as f:
+            manifest = json.load(f)
+    config = {
+        "jira": {"start_date": args.start, "end_date": args.end},
+        "slack": {"dateFilter": {"start_date": args.start, "end_date": args.end}},
+    }
+    result = store_all_data(
+        spark,
+        args.warehouse,
+        project_folder=args.project_folder,
+        config=config,
+        daily_docs=docs(args.daily_dir),
+        transcript_docs=docs(args.transcripts_dir),
+        jira_file=jira_file,
+        slack_present=bool(args.slack_dir and os.path.isdir(args.slack_dir)),
+        vercel_results=manifest,
+        storage_enabled=os.environ.get("ENABLE_NEON_DB_STORAGE") in ("true", "1"),
+        vercel_enabled=os.environ.get("ENABLE_VERCEL_BLOB_UPLOAD") in ("true", "1"),
+        database_configured=True,  # the warehouse path IS the database
+        neon_env=os.environ.get("NEON_ENV", "dev"),
+        cache_path=args.cache_path,
+        now=args.generated_at
+        or datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M:%S"),
+    )
+    return 0 if result is not None and result.get("success") else 1
+
+
 def _cmd_db_migrate(args) -> int:
     from .sinks.admin import migrate_warehouse
 
@@ -495,6 +552,19 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--modules", help="comma-separated: daily,jira,transcripts,slack,datasource")
     c.add_argument("--purge-slack-users", action="store_true")
 
+    st = sub.add_parser("store", help="ingest generated artifacts into the warehouse (neon-db-storage.js)")
+    st.add_argument("--warehouse", required=True)
+    st.add_argument("--project-folder", required=True)
+    st.add_argument("--daily-dir")
+    st.add_argument("--transcripts-dir")
+    st.add_argument("--jira-file")
+    st.add_argument("--slack-dir")
+    st.add_argument("--manifest", help="upload-results JSON (blob references per local path)")
+    st.add_argument("--cache-path", help=".neon-db-ids.{env}.json path (from `seed`)")
+    st.add_argument("--start")
+    st.add_argument("--end")
+    st.add_argument("--generated-at")
+
     for verb, helptext in (
         ("db-migrate", "create the warehouse tables (run-neon-migrations.js)"),
         ("db-drop", "drop ALL warehouse tables (drop-all-tables.js)"),
@@ -522,6 +592,7 @@ def main(argv: list[str] | None = None) -> int:
         "audit": _cmd_audit,
         "clean": _cmd_clean,
         "seed": _cmd_seed,
+        "store": _cmd_store,
         "db-migrate": _cmd_db_migrate,
         "db-drop": _cmd_db_drop,
         "db-query": _cmd_db_query,

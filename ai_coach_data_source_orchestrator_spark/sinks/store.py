@@ -1,0 +1,494 @@
+"""Warehouse ingest — the reference's ``lib/neon-db-storage.js``
+``storeAllData`` as ONE Spark job per source family.
+
+The reference walks artifact directories file-by-file and row-inserts
+into Neon (daily sections, transcripts, one Jira snapshot, Slack
+captures), deduplicating via unique constraints. Here the parsing is
+DataFrame-distributed — the daily section splitter is the pinned X20
+expression, author/date extraction are column regexes — and the writes
+are the K8 upsert (``sinks/merge.upsert_parquet``) into the declared
+warehouse tables (``sinks/schema``). Only per-file log stats are
+collected (path, author, section count — report-sized); section
+contents flow straight from scan to upsert.
+
+Stdout/stderr are message-for-message with the reference (golden:
+tests/golden/ref_store_driver.js executes the real module), including
+its quirks, replicated not fixed:
+
+- ``extractAuthorName``'s regex ``\\*\\*Employee\\*\\*:\\s*(.+?)(?:\\s+|$)``
+  lazily stops at the FIRST whitespace — "**Employee**: John Smith"
+  yields author "John" (neon-db-storage.js:130-137; node-verified).
+- an unparseable ``## <header>`` date warns ``Invalid date`` and skips
+  the section (:177-180); a dateless transcript filename and a
+  transcript without a blob reference are skipped with warnings.
+- every attempted insert counts as "inserted" (conflict-updates too).
+
+Documented divergences: rows get deterministic UUIDv5 ids (Neon's
+``defaultRandom()`` is server-side randomness) and the jira/slack
+capture tables use an id-keyed idempotent append — the reference's
+plain INSERT duplicates snapshots on re-run because those tables have
+no unique index (db/schema.js:69-103); same read contract, no dupes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as _uuid
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.markup import split_daily_sections
+from ..functions.names import JS_WHITESPACE_CLASS, js_trim
+from .merge import upsert_parquet
+from .schema import WAREHOUSE_SCHEMA, table_path
+
+_Out = Callable[[str], None]
+_W = JS_WHITESPACE_CLASS
+
+
+def _uuid5(*parts: str) -> str:
+    return str(_uuid.uuid5(_uuid.NAMESPACE_URL, "spark-graft:" + "\x00".join(parts)))
+
+
+def uuid5_col(*cols: F.Column | str) -> F.Column:
+    """JVM-side UUIDv5 over NAMESPACE_URL, bit-identical to
+    :func:`_uuid5` (unit-pinned): sha1 over namespace bytes + name,
+    version nibble forced to 5, variant bits to 10xx — no Python UDF on
+    the distributed id path."""
+    name = F.concat_ws("\x00", *[F.col(c) if isinstance(c, str) else c for c in cols])
+    payload = F.concat(
+        F.to_binary(F.lit(_uuid.NAMESPACE_URL.hex), F.lit("hex")),
+        F.encode(F.concat(F.lit("spark-graft:"), name), "UTF-8"),
+    )
+    h = F.sha1(payload)  # 40 hex chars
+    # variant: (nibble & 0x3) | 0x8 → one of 8/9/a/b
+    variant = F.element_at(
+        F.split(F.lit("8,9,a,b,8,9,a,b,8,9,a,b,8,9,a,b"), ","),
+        (F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 16) + 1,
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def extract_author_name() -> F.Column:
+    """neon-db-storage.js:130-137 over a ``content`` column — first
+    match of the starred Employee header, LAZY up to the first
+    whitespace run (the first-word quirk), JS-trimmed."""
+    got = F.regexp_extract(
+        F.col("content"), rf"\*\*Employee\*\*:{_W}*(.+?)(?:{_W}+|\z)", 1
+    )
+    return F.when(F.length(got) > 0, js_trim(got))
+
+
+def parse_date_from_filename() -> F.Column:
+    """neon-db-storage.js:103-123 over a ``filename`` column: first
+    YYYY-MM-DD anywhere, else MM-DD-YYYY, else MM_DD_YYYY — each
+    reassembled exactly as the reference feeds ``new Date(...)``;
+    invalid calendar dates come back null (the reference's Invalid
+    Date object fails at insert time instead — same row outcome)."""
+    iso = F.nullif(F.regexp_extract("filename", r"(\d{4})-(\d{2})-(\d{2})", 0), F.lit(""))
+    mdy = F.regexp_extract("filename", r"(\d{2})-(\d{2})-(\d{4})", 0)
+    mdy_iso = F.when(
+        F.length(mdy) > 0,
+        F.concat_ws(
+            "-",
+            F.regexp_extract("filename", r"(\d{2})-(\d{2})-(\d{4})", 3),
+            F.regexp_extract("filename", r"(\d{2})-(\d{2})-(\d{4})", 1),
+            F.regexp_extract("filename", r"(\d{2})-(\d{2})-(\d{4})", 2),
+        ),
+    )
+    mdy_u = F.regexp_extract("filename", r"(\d{2})_(\d{2})_(\d{4})", 0)
+    mdy_u_iso = F.when(
+        F.length(mdy_u) > 0,
+        F.concat_ws(
+            "-",
+            F.regexp_extract("filename", r"(\d{2})_(\d{2})_(\d{4})", 3),
+            F.regexp_extract("filename", r"(\d{2})_(\d{2})_(\d{4})", 1),
+            F.regexp_extract("filename", r"(\d{2})_(\d{2})_(\d{4})", 2),
+        ),
+    )
+    return F.try_to_timestamp(
+        F.coalesce(iso, mdy_iso, mdy_u_iso), F.lit("yyyy-MM-dd")
+    )
+
+
+def _daily_invalid_headers(doc: F.Column) -> F.Column:
+    """The ``## <header>`` strings with a non-empty body whose date
+    parses under NEITHER accepted form — the reference warns
+    ``Invalid date: <header>`` per such section (:177-180)."""
+    headers = F.transform(
+        F.regexp_extract_all(doc, F.lit(r"(?m)^## (.+)$"), F.lit(1)),
+        lambda h: F.regexp_replace(h, r"^\s+|\s+$", ""),
+    )
+    bodies = F.split(doc, r"(?m)^## .+$", -1)
+    body_tail = F.transform(
+        F.slice(bodies, 2, F.greatest(F.size(bodies) - 1, F.lit(0))),
+        lambda b: F.regexp_replace(b, r"^\s+|\s+$", ""),
+    )
+    pairs = F.filter(
+        F.arrays_zip(headers.alias("h"), body_tail.alias("b")),
+        lambda p: p["b"] != "",
+    )
+    bad = F.filter(
+        pairs,
+        lambda p: F.try_to_timestamp(p["h"], F.lit("MMMM d, yyyy")).isNull()
+        & F.try_to_timestamp(
+            F.nullif(F.regexp_extract(p["h"], r"\d{4}-\d{2}-\d{2}", 0), F.lit("")),
+            F.lit("yyyy-MM-dd"),
+        ).isNull(),
+    )
+    return F.transform(bad, lambda p: p["h"])
+
+
+def _blob_refs_df(spark: SparkSession, vercel_results: Mapping) -> DataFrame:
+    """findBlobReference (:202-226) flattened to a tiny lookup table:
+    (normalized local path → blob_key, blob_url, checksum). Bounded by
+    the upload manifest — broadcast side of every attach join."""
+    rows = []
+    for family in ("transcripts", "dailyReports", "slack", "jiraData"):
+        for r in (vercel_results.get(family) or {}).get("urls", []) or []:
+            if r.get("localPath"):
+                rows.append(
+                    (
+                        os.path.normpath(r["localPath"]),
+                        r.get("pathname"),
+                        r.get("url"),
+                        r.get("checksum"),
+                    )
+                )
+    return spark.createDataFrame(
+        rows, "path string, blob_key string, blob_url string, blob_checksum string"
+    )
+
+
+def store_all_data(
+    spark: SparkSession,
+    warehouse: str,
+    *,
+    project_folder: str,
+    config: Mapping | None,
+    daily_docs: DataFrame | None = None,  # (ord int, path string, content string)
+    transcript_docs: DataFrame | None = None,
+    jira_file: tuple[str, str] | None = None,  # (path, content)
+    slack_present: bool = False,
+    vercel_results: Mapping | None = None,
+    storage_enabled: bool = False,
+    vercel_enabled: bool = False,
+    database_configured: bool = True,
+    neon_env: str = "dev",
+    cache_path: str | None = None,
+    now: str = "1970-01-01 00:00:00",
+    out: _Out = print,
+    warn: _Out = print,
+    err: _Out = print,
+) -> dict | None:
+    """storeAllData (:240-532). Gating, per-family processing, and the
+    summary — reference stdout/stderr verbatim; Spark underneath."""
+    if not storage_enabled:
+        out("\n[Neon DB] Storage disabled (ENABLE_NEON_DB_STORAGE not set to true)")
+        return None
+    if not vercel_enabled:
+        warn("\n[Neon DB] ⚠ Storage enabled but Vercel Blob upload is not enabled.")
+        warn("[Neon DB] Neon storage requires ENABLE_VERCEL_BLOB_UPLOAD=true")
+        warn("[Neon DB] Skipping database storage.")
+        return None
+    if vercel_results is None:
+        warn("\n[Neon DB] ⚠ No Vercel upload results available. Skipping database storage.")
+        return None
+    if not database_configured:
+        warn("\n[Neon DB] ⚠ DATABASE_URL not configured in .env")
+        warn("[Neon DB] Skipping database storage.")
+        return None
+
+    out("\n=== Storing Data to Neon Database ===\n")
+    out(f"Project: {project_folder}")
+    out(f"Environment: {neon_env}")
+
+    # loadUUIDCache + getProjectUUID (:60-96)
+    cache = None
+    if cache_path and os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            err(f"[Neon DB] ✗ Failed to load UUID cache: {e}")
+    else:
+        warn(f"\n[Neon DB] ⚠ UUID cache file not found: {cache_path}")
+        warn("[Neon DB] Run: npm run db:seed first")
+    project_uuid = None
+    if cache and cache.get("teams"):
+        project_uuid = cache["teams"].get(project_folder)
+        if not project_uuid:
+            warn(f"[Neon DB] ⚠ No UUID found for project: {project_folder}")
+    if not project_uuid:
+        err("[Neon DB] ✗ Could not find project UUID. Run npm run db:seed first.")
+        return None
+    out(f"Project UUID: {project_uuid}\n")
+
+    refs = _blob_refs_df(spark, vercel_results)
+    results = {
+        "dailyReports": {"inserted": 0, "updated": 0, "files": 0},
+        "transcripts": {"inserted": 0, "updated": 0, "files": 0},
+        "jiraSnapshots": {"inserted": 0, "updated": 0, "files": 0},
+        "slackCaptures": {"inserted": 0, "updated": 0, "files": 0},
+    }
+
+    # --- daily reports (:304-357) -----------------------------------------
+    if daily_docs is not None:
+        out("Processing daily reports...")
+        parsed = daily_docs.select(
+            "ord",
+            "path",
+            extract_author_name().alias("author"),
+            split_daily_sections(F.col("content")).alias("sections"),
+            _daily_invalid_headers(F.col("content")).alias("bad_headers"),
+        )
+        stats = (
+            parsed.select("ord", "path", "author", F.size("sections").alias("n"), "bad_headers")
+            .orderBy("ord")
+            .collect()
+        )
+        rows = (
+            parsed.where(F.col("author").isNotNull())
+            .select("path", "author", F.explode("sections").alias("s"))
+            .join(F.broadcast(refs), "path", "left")
+            .select(
+                F.col("author").alias("author_name"),
+                F.col("s.date").cast("date").alias("report_date"),
+                F.col("s.content").alias("content"),
+                F.col("s.checksum").alias("checksum_sha256"),
+                "blob_key",
+                "blob_url",
+            )
+            .withColumn("team_id", F.lit(project_uuid))
+            .withColumn("created_at", F.lit(now).cast("timestamp"))
+            .withColumn("updated_at", F.lit(now).cast("timestamp"))
+        )
+        rows = rows.withColumn(
+            "id",
+            uuid5_col(
+                F.lit("daily_reports"),
+                "team_id",
+                "author_name",
+                F.col("report_date").cast("string"),
+            ),
+        ).select(*[f.name for f in WAREHOUSE_SCHEMA["daily_reports"].fields])
+        upsert_parquet(
+            spark,
+            table_path(warehouse, "daily_reports"),
+            rows,
+            keys=("team_id", "author_name", "report_date"),
+            version_col="updated_at",
+        )
+        for r in stats:
+            # reference file order (:311-356): author gate FIRST — an
+            # authorless file skips section parsing entirely, so its
+            # bad headers never warn
+            if r["author"] is None:
+                warn(f"  ⚠ Could not extract author from: {os.path.basename(r['path'])}")
+                continue
+            for h in r["bad_headers"]:
+                warn(f"[Neon DB] ⚠ Invalid date: {h}")
+            if r["n"] > 0:
+                results["dailyReports"]["inserted"] += r["n"]
+                results["dailyReports"]["files"] += 1
+                out(f"  ✓ {os.path.basename(r['path'])}: {r['n']} daily sections")
+
+    # --- transcripts (:360-415) -------------------------------------------
+    if transcript_docs is not None:
+        out("\nProcessing transcripts...")
+        parsed = transcript_docs.select(
+            "ord",
+            "path",
+            F.element_at(F.split("path", "/"), -1).alias("filename"),
+            "content",
+        ).withColumn("tdate", parse_date_from_filename())
+        with_refs = parsed.join(F.broadcast(refs), "path", "left")
+        stats = (
+            with_refs.select(
+                "ord",
+                "filename",
+                F.col("tdate").isNotNull().alias("has_date"),
+                F.col("blob_key").isNotNull().alias("has_blob"),
+            )
+            .orderBy("ord")
+            .collect()
+        )
+        rows = (
+            with_refs.where(F.col("tdate").isNotNull() & F.col("blob_key").isNotNull())
+            .select(
+                "filename",
+                F.col("tdate").alias("transcript_date"),
+                F.col("content").alias("transcript_text"),
+                "blob_key",
+                "blob_url",
+                F.octet_length("content").cast("long").alias("byte_size"),
+                F.col("blob_checksum").alias("checksum_sha256"),
+            )
+            .withColumn("team_id", F.lit(project_uuid))
+            .withColumn("created_at", F.lit(now).cast("timestamp"))
+            .withColumn("updated_at", F.lit(now).cast("timestamp"))
+        )
+        rows = rows.withColumn(
+            "id",
+            uuid5_col(
+                F.lit("meeting_transcripts"),
+                "team_id",
+                "filename",
+                F.col("transcript_date").cast("string"),
+            ),
+        ).select(*[f.name for f in WAREHOUSE_SCHEMA["meeting_transcripts"].fields])
+        upsert_parquet(
+            spark,
+            table_path(warehouse, "meeting_transcripts"),
+            rows,
+            keys=("team_id", "filename", "transcript_date"),
+            version_col="updated_at",
+        )
+        for r in stats:
+            if not r["has_date"]:
+                warn(f"  ⚠ Could not parse date from filename: {r['filename']}")
+                continue
+            if not r["has_blob"]:
+                warn(f"  ⚠ No blob reference for transcript: {r['filename']}")
+                continue
+            results["transcripts"]["inserted"] += 1
+            results["transcripts"]["files"] += 1
+            out(f"  ✓ {r['filename']}")
+
+    # --- jira snapshot (:418-452) — one file, driver-side by nature -------
+    if jira_file is not None:
+        out("\nProcessing Jira snapshot...")
+        jpath, jcontent = jira_file
+        ref_row = (
+            refs.where(F.col("path") == os.path.normpath(jpath)).limit(1).collect()
+        )
+        if ref_row:
+            start = (config or {}).get("jira", {}).get("start_date")
+            end = (config or {}).get("jira", {}).get("end_date")
+            if start and end:
+                br = ref_row[0]
+                row = spark.createDataFrame(
+                    [
+                        (
+                            _uuid5("jira_snapshots", project_uuid, start, end, br["blob_key"]),
+                            project_uuid,
+                            start,
+                            end,
+                            br["blob_key"],
+                            br["blob_url"],
+                            len(jcontent.encode("utf-8")),
+                            br["blob_checksum"],
+                            now,
+                            now,
+                        )
+                    ],
+                    "id string, team_id string, collected_week_start string, collected_week_end string,"
+                    " blob_key string, blob_url string, byte_size long, checksum_sha256 string,"
+                    " created_at string, updated_at string",
+                ).select(
+                    "id",
+                    "team_id",
+                    F.col("collected_week_start").cast("date").alias("collected_week_start"),
+                    F.col("collected_week_end").cast("date").alias("collected_week_end"),
+                    "blob_key",
+                    "blob_url",
+                    "byte_size",
+                    "checksum_sha256",
+                    F.col("created_at").cast("timestamp").alias("created_at"),
+                    F.col("updated_at").cast("timestamp").alias("updated_at"),
+                )
+                upsert_parquet(
+                    spark,
+                    table_path(warehouse, "jira_snapshots"),
+                    row,
+                    keys=("id",),
+                    version_col="updated_at",
+                )
+                results["jiraSnapshots"]["inserted"] += 1
+                results["jiraSnapshots"]["files"] += 1
+                out(f"  ✓ {os.path.basename(jpath)}")
+            else:
+                warn("  ⚠ Missing date range in config for Jira snapshot")
+
+    # --- slack captures (:455-494) ----------------------------------------
+    if slack_present:
+        out("\nProcessing Slack captures...")
+        blob_refs = (vercel_results.get("slack") or {}).get("urls", []) or []
+        start = (config or {}).get("slack", {}).get("dateFilter", {}).get("start_date")
+        end = (config or {}).get("slack", {}).get("dateFilter", {}).get("end_date")
+        if start and end and blob_refs:
+            tuples = []
+            for br in blob_refs:
+                byte_size = 0
+                lp = br.get("localPath")
+                if lp and os.path.exists(lp):
+                    byte_size = os.stat(lp).st_size
+                elif lp and br.get("localContent") is not None:
+                    byte_size = len(br["localContent"].encode("utf-8"))
+                key = br.get("blob_key") or br.get("pathname")
+                tuples.append(
+                    (
+                        _uuid5("slack_captures", project_uuid, start, end, str(key)),
+                        project_uuid,
+                        start,
+                        end,
+                        key,
+                        br.get("blob_url") or br.get("url"),
+                        byte_size,
+                        br.get("checksum"),
+                        now,
+                        now,
+                    )
+                )
+            rows = spark.createDataFrame(
+                tuples,
+                "id string, team_id string, collected_week_start string, collected_week_end string,"
+                " blob_key string, blob_url string, byte_size long, checksum_sha256 string,"
+                " created_at string, updated_at string",
+            ).select(
+                "id",
+                "team_id",
+                F.col("collected_week_start").cast("date").alias("collected_week_start"),
+                F.col("collected_week_end").cast("date").alias("collected_week_end"),
+                "blob_key",
+                "blob_url",
+                "byte_size",
+                "checksum_sha256",
+                F.col("created_at").cast("timestamp").alias("created_at"),
+                F.col("updated_at").cast("timestamp").alias("updated_at"),
+            )
+            upsert_parquet(
+                spark,
+                table_path(warehouse, "slack_captures"),
+                rows,
+                keys=("id",),
+                version_col="updated_at",
+            )
+            results["slackCaptures"]["inserted"] += len(blob_refs)
+            results["slackCaptures"]["files"] = len(blob_refs)
+            out(f"  ✓ {len(blob_refs)} Slack files")
+        else:
+            warn("  ⚠ Missing date range or no blob references for Slack captures")
+
+    # --- summary (:497-513) -----------------------------------------------
+    out("\n=== Neon Database Storage Summary ===")
+    out(f"Daily Reports: {results['dailyReports']['inserted']} inserted from {results['dailyReports']['files']} files")
+    out(f"Transcripts: {results['transcripts']['inserted']} inserted from {results['transcripts']['files']} files")
+    out(f"Jira Snapshots: {results['jiraSnapshots']['inserted']} inserted from {results['jiraSnapshots']['files']} files")
+    out(f"Slack Captures: {results['slackCaptures']['inserted']} inserted from {results['slackCaptures']['files']} files")
+    total = sum(results[k]["inserted"] for k in results)
+    if total == 0:
+        warn("⚠ No records inserted. Check input directories and Vercel upload results.")
+    else:
+        out(f"\n✓ Successfully stored {total} records to Neon database")
+    return {"success": True, "projectUUID": project_uuid, "results": results}

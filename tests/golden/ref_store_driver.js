@@ -1,0 +1,129 @@
+// Golden-test driver: executes the REFERENCE repo's warehouse ingest
+// (lib/neon-db-storage.js storeAllData) end-to-end with its world
+// scripted by the fixture: an in-memory fs serving the daily/transcript
+// /jira/slack artifacts and the uuid cache, a recording drizzle stub
+// whose insert chains capture table name, row values, and onConflict
+// target columns, the REAL sha256 checksum, and fixture-controlled env
+// and vercelResults. Console output goes through a real node Console
+// over capture streams. Read-only, no network, nothing copied.
+//
+// Prints one JSON line:
+//   {"stdout": ..., "stderr": ..., "inserts": [{table, values,
+//    conflictTarget|null}], "result": <storeAllData return>}
+//
+// Usage: node ref_store_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+const crypto = require('crypto');
+const { Writable } = require('stream');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const modPath = path.join(refRoot, 'lib', 'neon-db-storage.js');
+const src = realFs.readFileSync(modPath, 'utf8');
+
+let stdoutText = '';
+let stderrText = '';
+const mk = (sink) => new Writable({ write(c, _e, cb) { sink(c.toString()); cb(); } });
+const fakeConsole = new console.Console(mk((t) => (stdoutText += t)), mk((t) => (stderrText += t)));
+
+// ---- in-memory fs over fixture.files: {abs path -> content} --------------
+const files = fixture.files || {};
+const isDir = (p) => {
+  const withSep = p.endsWith('/') ? p : p + '/';
+  return Object.keys(files).some((f) => f.startsWith(withSep));
+};
+const fakeFs = {
+  existsSync: (p) => Object.prototype.hasOwnProperty.call(files, p) || isDir(String(p)),
+  readdirSync: (p) => {
+    const withSep = p.endsWith('/') ? p : p + '/';
+    const names = [];
+    for (const f of Object.keys(files)) {
+      if (f.startsWith(withSep)) {
+        const rest = f.slice(withSep.length);
+        if (!rest.includes('/')) names.push(rest);
+      }
+    }
+    return names;
+  },
+  readFileSync: (p, _enc) => {
+    if (!Object.prototype.hasOwnProperty.call(files, p)) throw new Error(`ENOENT: ${p}`);
+    return files[p];
+  },
+  statSync: (p) => {
+    if (!Object.prototype.hasOwnProperty.call(files, p)) throw new Error(`ENOENT: ${p}`);
+    return { size: Buffer.byteLength(files[p], 'utf8') };
+  },
+};
+
+// ---- recording drizzle stub ----------------------------------------------
+const inserts = [];
+const failInserts = fixture.failInserts || {}; // table -> {match: substr, message}
+const tableStub = (name) =>
+  new Proxy({ __table: name }, { get: (t, prop) => (prop === '__table' ? name : { __col: String(prop) }) });
+const schemaStub = {
+  dailyReports: tableStub('daily_reports'),
+  meetingTranscripts: tableStub('meeting_transcripts'),
+  jiraSnapshots: tableStub('jira_snapshots'),
+  slackCaptures: tableStub('slack_captures'),
+};
+function makeDb() {
+  return {
+    insert: (tbl) => ({
+      values: (vals) => {
+        const rec = { table: tbl.__table, values: vals, conflictTarget: null };
+        const settle = () => {
+          const fail = failInserts[rec.table];
+          if (fail && JSON.stringify(vals).includes(fail.match)) {
+            return Promise.reject(new Error(fail.message));
+          }
+          inserts.push(rec);
+          return Promise.resolve();
+        };
+        return {
+          onConflictDoUpdate: (opts) => {
+            rec.conflictTarget = (opts.target || []).map((c) => c.__col);
+            return { then: (res, rej) => settle().then(res, rej) };
+          },
+          then: (res, rej) => settle().then(res, rej),
+        };
+      },
+    }),
+  };
+}
+
+const exitSentinel = { __exit: true };
+const fakeProcess = {
+  env: Object.assign({}, fixture.env || {}),
+  exit: (code) => { throw exitSentinel; },
+};
+
+const req = (name) => {
+  if (name === 'dotenv') return { config: () => ({}) };
+  if (name === 'fs') return fakeFs;
+  if (name === 'path') return path;
+  if (name === '@neondatabase/serverless') return { neon: () => ({}) };
+  if (name === 'drizzle-orm/neon-http') return { drizzle: () => makeDb() };
+  if (name === './vercel-blob-uploader')
+    return { computeChecksum: (c) => crypto.createHash('sha256').update(c, 'utf8').digest('hex') };
+  if (name === '../db/schema') return schemaStub;
+  throw new Error(`unexpected require from neon-db-storage.js: ${name}`);
+};
+
+const mod = { exports: {} };
+new Function('require', 'module', 'exports', '__dirname', '__filename', 'process', 'console', src)(
+  req, mod, mod.exports, path.join(refRoot, 'lib'), modPath, fakeProcess, fakeConsole
+);
+
+Promise.resolve()
+  .then(() => mod.exports.storeAllData(fixture.options || {}))
+  .catch((e) => { if (e !== exitSentinel) throw e; return null; })
+  .then((result) => {
+    // strip wall-clock updatedAt from any recorded conflict set (we
+    // record target columns only; values may hold Date objects which
+    // JSON-serialize to ISO strings)
+    require('process').stdout.write(
+      JSON.stringify({ stdout: stdoutText, stderr: stderrText, inserts, result }) + '\n'
+    );
+  });

@@ -132,3 +132,43 @@ def test_db_admin_lifecycle(spark, tmp_path, capsys):
     import os
 
     assert os.listdir(wh) == []  # all table dirs gone
+
+
+def test_store_cli_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    monkeypatch.setenv("ENABLE_NEON_DB_STORAGE", "true")
+    monkeypatch.setenv("ENABLE_VERCEL_BLOB_UPLOAD", "true")
+    wh = str(tmp_path / "wh")
+    assert cli.main(["db-migrate", "--warehouse", wh]) == 0
+    assert cli.main(["seed", "--warehouse", wh, "--member", "timeclock",
+                     "--cache-dir", str(tmp_path)]) == 0
+    capsys.readouterr()
+    daily = tmp_path / "daily"
+    daily.mkdir()
+    (daily / "john.md").write_text(
+        "**Employee**: John\n\n## October 27, 2025\n\nwork\n"
+    )
+    manifest = {"dailyReports": {"urls": [
+        {"localPath": str(daily / "john.md"), "pathname": "b/j.md",
+         "url": "https://b/j.md", "checksum": "c1"}]}}
+    mpath = tmp_path / "manifest.json"
+    mpath.write_text(json.dumps(manifest))
+    rc = cli.main([
+        "store", "--warehouse", wh, "--project-folder", "timeclock",
+        "--daily-dir", str(daily), "--manifest", str(mpath),
+        "--cache-path", str(tmp_path / ".neon-db-ids.dev.json"),
+        "--start", "2025-10-20", "--end", "2025-10-28",
+        "--generated-at", "2025-10-28 00:00:00",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "✓ john.md: 1 daily sections" in out
+    assert "✓ Successfully stored 1 records to Neon database" in out
+    rows = spark.read.parquet(f"{wh}/daily_reports").collect()
+    assert len(rows) == 1 and rows[0]["author_name"] == "John"
+    # and the inspection CLI sees it
+    assert cli.main(["db-query", "--warehouse", wh]) == 0
+    q = capsys.readouterr().out
+    assert "'John'" not in q  # daily section lists per-TEAM counts, not authors
+    assert "reportCount" in q and "'timeclock'" in q

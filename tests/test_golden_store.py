@@ -1,0 +1,295 @@
+"""Golden parity: the warehouse ingest (sinks/store.py) vs the
+reference's OWN lib/neon-db-storage.js storeAllData executed via node
+(tests/golden/ref_store_driver.js) — stdout and stderr as whole
+strings, plus the inserted row payloads compared field-for-field
+against the warehouse tables the Spark twin writes.
+
+Pinned quirks: the extractAuthorName first-word capture ("John Smith"
+→ "John"), the authorless-file gate that suppresses that file's
+Invalid-date warnings, the per-section Invalid-date warning for a
+parseable file, transcript skips (dateless filename, missing blob
+reference), the Jira missing-date-range and Slack
+missing-refs warnings, all five storage gates (disabled flag, missing
+Vercel flag, no upload results, no DATABASE_URL, missing/empty uuid
+cache), and the zero-inserted summary warning."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.sinks import store as S
+from ai_coach_data_source_orchestrator_spark.sinks.schema import read_table
+
+DRIVER = Path(__file__).parent / "golden" / "ref_store_driver.js"
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+ENV_OK = {
+    "ENABLE_NEON_DB_STORAGE": "true",
+    "ENABLE_VERCEL_BLOB_UPLOAD": "1",
+    "DATABASE_URL": "postgresql://u:p@h/db",
+    "NEON_ENV": "dev",
+}
+CACHE_PATH = "/root/reference/.neon-db-ids.dev.json"
+
+DAILY_JOHN = (
+    "# Daily Reports\n\n**Employee**: John Smith\n\n"
+    "## October 27, 2025\n\ndid things\n\n"
+    "## 2025-10-28\n\nmore things\n\n"
+    "## BadDate Header\n\ncontent here\n"
+)
+DAILY_ANON = "# Daily\n\nno author marker\n\n## October 1, 2025\n\nwork\n"
+TR_OK = "# Transcript\n\nhello world\n"
+
+
+def full_fixture() -> dict:
+    return {
+        "env": dict(ENV_OK),
+        "files": {
+            CACHE_PATH: json.dumps({"teams": {"timeclock": "uuid-tc-1"}}),
+            "/data/daily/john.md": DAILY_JOHN,
+            "/data/daily/anon.md": DAILY_ANON,
+            "/data/tr/fathom-transcripts-2025-10-08T07_00_00.md": TR_OK,
+            "/data/tr/noblob-10-09-2025.md": "x",
+            "/data/tr/nodate.md": "y",
+            "/data/jira/extract.json": '{"issues": []}',
+            "/data/slack/ch.md": "slack stuff",
+        },
+        "options": {
+            "projectFolder": "timeclock",
+            "config": {
+                "jira": {"start_date": "2025-10-06", "end_date": "2025-10-12"},
+                "slack": {"dateFilter": {"start_date": "2025-10-06", "end_date": "2025-10-12"}},
+            },
+            "dailyReportsDir": "/data/daily",
+            "transcriptsDir": "/data/tr",
+            "jiraDataFile": "/data/jira/extract.json",
+            "slackDir": "/data/slack",
+            "vercelResults": {
+                "dailyReports": {"urls": [
+                    {"localPath": "/data/daily/john.md", "pathname": "blob/daily/john.md",
+                     "url": "https://blob/x/john.md", "checksum": "c-john"}]},
+                "transcripts": {"urls": [
+                    {"localPath": "/data/tr/fathom-transcripts-2025-10-08T07_00_00.md",
+                     "pathname": "blob/tr/f1.md", "url": "https://blob/x/f1.md", "checksum": "c-tr1"}]},
+                "jiraData": {"urls": [
+                    {"localPath": "/data/jira/extract.json", "pathname": "blob/jira/e.json",
+                     "url": "https://blob/x/e.json", "checksum": "c-jira"}]},
+                "slack": {"urls": [
+                    {"localPath": "/data/slack/ch.md", "pathname": "blob/slack/ch.md",
+                     "url": "https://blob/x/ch.md", "checksum": "c-slack"}]},
+            },
+        },
+    }
+
+
+def _node(tmp_path, fixture: dict) -> dict:
+    p = tmp_path / "fixture.json"
+    p.write_text(json.dumps(fixture))
+    out = subprocess.run(
+        ["node", str(DRIVER), str(p)], capture_output=True, text=True, check=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _collect():
+    lines: list[str] = []
+    return lines, (lambda s: lines.append(s))
+
+
+def _text(lines):
+    return "".join(s + "\n" for s in lines)
+
+
+def _docs(spark, fixture, prefix):
+    rows = [
+        (i, p, c)
+        for i, (p, c) in enumerate(fixture["files"].items())
+        if p.startswith(prefix)
+    ]
+    if not rows:
+        return None
+    return spark.createDataFrame(rows, "ord int, path string, content string")
+
+
+def _run_twin(spark, fixture, warehouse, cache_path=CACHE_PATH, cache_json=None, tmp=None):
+    opts = fixture["options"]
+    env = fixture.get("env", {})
+    if cache_json is not None:
+        cache_path = str(tmp / "cache.json")
+        Path(cache_path).write_text(cache_json)
+    out, emit_out = _collect()
+    wn, emit_warn = _collect()
+    er, emit_err = _collect()
+    jira_file = None
+    if opts.get("jiraDataFile") and opts["jiraDataFile"] in fixture["files"]:
+        jira_file = (opts["jiraDataFile"], fixture["files"][opts["jiraDataFile"]])
+    # slack byteSize comes from the local file; surface fixture contents
+    vr = json.loads(json.dumps(opts.get("vercelResults"))) if opts.get("vercelResults") else None
+    if vr and vr.get("slack"):
+        for u in vr["slack"].get("urls", []):
+            if u.get("localPath") in fixture["files"]:
+                u["localContent"] = fixture["files"][u["localPath"]]
+    result = S.store_all_data(
+        spark,
+        warehouse,
+        project_folder=opts.get("projectFolder", ""),
+        config=opts.get("config"),
+        daily_docs=_docs(spark, fixture, opts.get("dailyReportsDir", "\x00") + "/"),
+        transcript_docs=_docs(spark, fixture, opts.get("transcriptsDir", "\x00") + "/"),
+        jira_file=jira_file,
+        slack_present=any(
+            p.startswith(opts.get("slackDir", "\x00") + "/") for p in fixture["files"]
+        ),
+        vercel_results=vr,
+        storage_enabled=env.get("ENABLE_NEON_DB_STORAGE") in ("true", "1"),
+        vercel_enabled=env.get("ENABLE_VERCEL_BLOB_UPLOAD") in ("true", "1"),
+        database_configured=bool(env.get("DATABASE_URL")),
+        neon_env=env.get("NEON_ENV", "dev"),
+        cache_path=cache_path,
+        now="2025-10-13 00:00:00",
+        out=emit_out,
+        warn=emit_warn,
+        err=emit_err,
+    )
+    return result, _text(out), _text(wn), _text(er)
+
+
+def test_full_ingest_matches_reference(spark, tmp_path):
+    fixture = full_fixture()
+    # our cache is a real temp file with the same payload
+    ref = _node(tmp_path, fixture)
+    result, out, wn, er = _run_twin(
+        spark, fixture, str(tmp_path / "wh"),
+        cache_json=fixture["files"][CACHE_PATH], tmp=tmp_path,
+    )
+    assert out == ref["stdout"]
+    # node console.warn AND console.error both land on stderr
+    assert wn + er == ref["stderr"] or (wn == ref["stderr"] and er == "")
+    assert result["results"] == ref["result"]["results"]
+    assert result["projectUUID"] == ref["result"]["projectUUID"]
+
+    # row payload parity against the recorded drizzle inserts
+    by_table: dict[str, list[dict]] = {}
+    for i in ref["inserts"]:
+        by_table.setdefault(i["table"], []).append(i["values"])
+
+    daily = {
+        (r["author_name"], str(r["report_date"]), r["content"], r["checksum_sha256"], r["blob_key"], r["blob_url"])
+        for r in read_table(spark, str(tmp_path / "wh"), "daily_reports").collect()
+    }
+    assert daily == {
+        (v["authorName"], v["reportDate"], v["content"], v["checksumSha256"], v["blobKey"], v["blobUrl"])
+        for v in by_table["daily_reports"]
+    }
+    tr = read_table(spark, str(tmp_path / "wh"), "meeting_transcripts").collect()
+    assert len(tr) == len(by_table["meeting_transcripts"]) == 1
+    v = by_table["meeting_transcripts"][0]
+    r = tr[0]
+    assert (r["filename"], r["transcript_text"], r["blob_key"], r["byte_size"], r["checksum_sha256"]) == (
+        v["filename"], v["transcriptText"], v["blobKey"], v["byteSize"], v["checksumSha256"]
+    )
+    assert str(r["transcript_date"]).startswith(v["transcriptDate"][:10])
+    js = read_table(spark, str(tmp_path / "wh"), "jira_snapshots").collect()
+    v = by_table["jira_snapshots"][0]
+    assert len(js) == 1 and (
+        str(js[0]["collected_week_start"]), str(js[0]["collected_week_end"]),
+        js[0]["blob_key"], js[0]["byte_size"], js[0]["checksum_sha256"],
+    ) == (v["collectedWeekStart"], v["collectedWeekEnd"], v["blobKey"], v["byteSize"], v["checksumSha256"])
+    sc = read_table(spark, str(tmp_path / "wh"), "slack_captures").collect()
+    v = by_table["slack_captures"][0]
+    assert len(sc) == 1 and (sc[0]["blob_key"], sc[0]["byte_size"]) == (v["blobKey"], v["byteSize"])
+
+    # idempotence (documented divergence — the reference would duplicate
+    # jira/slack rows): a second identical run leaves every table as-is
+    _run_twin(spark, fixture, str(tmp_path / "wh"),
+              cache_json=fixture["files"][CACHE_PATH], tmp=tmp_path)
+    assert read_table(spark, str(tmp_path / "wh"), "jira_snapshots").count() == 1
+    assert read_table(spark, str(tmp_path / "wh"), "slack_captures").count() == 1
+    assert read_table(spark, str(tmp_path / "wh"), "daily_reports").count() == len(daily)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda f: f["env"].pop("ENABLE_NEON_DB_STORAGE"),
+        lambda f: f["env"].pop("ENABLE_VERCEL_BLOB_UPLOAD"),
+        lambda f: f["options"].pop("vercelResults"),
+        lambda f: f["env"].pop("DATABASE_URL"),
+    ],
+    ids=["storage-disabled", "vercel-flag-missing", "no-vercel-results", "no-database-url"],
+)
+def test_storage_gates(spark, tmp_path, mutate):
+    fixture = full_fixture()
+    mutate(fixture)
+    ref = _node(tmp_path, fixture)
+    result, out, wn, er = _run_twin(
+        spark, fixture, str(tmp_path / "wh"),
+        cache_json=fixture["files"][CACHE_PATH], tmp=tmp_path,
+    )
+    assert result is None and ref["result"] is None
+    assert out == ref["stdout"]
+    assert wn + er == ref["stderr"]
+    assert ref["inserts"] == []
+
+
+def test_missing_uuid_cache_and_unknown_team(spark, tmp_path):
+    # missing cache file: both sides point at the same nonexistent path
+    fixture = full_fixture()
+    fixture["env"]["NEON_ENV"] = "missing"
+    del fixture["files"][CACHE_PATH]
+    ref = _node(tmp_path, fixture)
+    missing = "/root/reference/.neon-db-ids.missing.json"
+    result, out, wn, er = _run_twin(spark, fixture, str(tmp_path / "wh"), cache_path=missing)
+    assert result is None and ref["result"] is None
+    assert out == ref["stdout"] and wn + er == ref["stderr"]
+
+    # cache present but the team is absent
+    fixture = full_fixture()
+    fixture["files"][CACHE_PATH] = json.dumps({"teams": {"other": "u-x"}})
+    ref = _node(tmp_path, fixture)
+    result, out, wn, er = _run_twin(
+        spark, fixture, str(tmp_path / "wh"),
+        cache_json=fixture["files"][CACHE_PATH], tmp=tmp_path,
+    )
+    assert result is None and ref["result"] is None
+    assert out == ref["stdout"] and wn + er == ref["stderr"]
+
+
+def test_zero_inserted_and_partial_warnings(spark, tmp_path):
+    fixture = full_fixture()
+    # empty the blob manifest families and drop config dates: daily
+    # rows lose blob refs but still insert; transcripts all skip; jira
+    # misses its date range; slack has no refs → partial warnings
+    fixture["options"]["vercelResults"] = {
+        "dailyReports": {"urls": []}, "transcripts": {"urls": []},
+        "jiraData": {"urls": []}, "slack": {"urls": []},
+    }
+    fixture["options"]["config"] = {"slack": {"dateFilter": {"start_date": "2025-10-06", "end_date": "2025-10-12"}}}
+    ref = _node(tmp_path, fixture)
+    result, out, wn, er = _run_twin(
+        spark, fixture, str(tmp_path / "wh"),
+        cache_json=fixture["files"][CACHE_PATH], tmp=tmp_path,
+    )
+    assert out == ref["stdout"]
+    assert wn + er == ref["stderr"]
+    assert result["results"] == ref["result"]["results"]
+
+
+def test_uuid5_col_matches_python_uuid5(spark):
+    df = spark.createDataFrame(
+        [("daily_reports", "team-1", "John", "2025-10-27"), ("t", "", "ü", "x")],
+        "a string, b string, c string, d string",
+    )
+    got = df.select(S.uuid5_col("a", "b", "c", "d").alias("u"), "a", "b", "c", "d").collect()
+    for r in got:
+        assert r["u"] == S._uuid5(r["a"], r["b"], r["c"], r["d"])
