@@ -399,6 +399,35 @@ def _cmd_seed(args) -> int:
     return 0
 
 
+def _cmd_upload(args) -> int:
+    """Blob upload manifest (lib/vercel-blob-uploader.js uploadAllData)
+    with the local blob backend; writes the manifest JSON that `store`
+    consumes. Gating flags come from the reference's env vars."""
+    import json
+
+    from .sinks.blob import local_blob_put, upload_all_data
+
+    config = {"jira": {"start_date": args.start, "end_date": args.end}}
+    manifest = upload_all_data(
+        project_folder=args.project_folder,
+        config=config,
+        transcripts_dir=args.transcripts_dir,
+        daily_reports_dir=args.daily_dir,
+        slack_dir=args.slack_dir,
+        jira_data_file=args.jira_file,
+        put=local_blob_put(args.blob_root),
+        upload_enabled=os.environ.get("ENABLE_VERCEL_BLOB_UPLOAD") in ("true", "1"),
+        token=os.environ.get("BLOB_READ_WRITE_TOKEN"),
+    )
+    if manifest is None:
+        return 1
+    if args.manifest_out:
+        with open(args.manifest_out, "w") as f:
+            json.dump(manifest, f, indent=2)
+        print(f"wrote {args.manifest_out}")
+    return 0
+
+
 def _cmd_store(args) -> int:
     """Warehouse ingest (lib/neon-db-storage.js storeAllData): load the
     generated artifacts into the warehouse tables. Gating flags come
@@ -552,6 +581,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--modules", help="comma-separated: daily,jira,transcripts,slack,datasource")
     c.add_argument("--purge-slack-users", action="store_true")
 
+    up = sub.add_parser("upload", help="build the blob manifest with a local blob backend (vercel-blob-uploader.js)")
+    up.add_argument("--project-folder", required=True)
+    up.add_argument("--blob-root", required=True, help="local directory standing in for the blob store")
+    up.add_argument("--daily-dir")
+    up.add_argument("--transcripts-dir")
+    up.add_argument("--jira-file")
+    up.add_argument("--slack-dir")
+    up.add_argument("--manifest-out", help="write the manifest JSON here (feed to `store`)")
+    up.add_argument("--start")
+    up.add_argument("--end")
+
     st = sub.add_parser("store", help="ingest generated artifacts into the warehouse (neon-db-storage.js)")
     st.add_argument("--warehouse", required=True)
     st.add_argument("--project-folder", required=True)
@@ -592,6 +632,7 @@ def main(argv: list[str] | None = None) -> int:
         "audit": _cmd_audit,
         "clean": _cmd_clean,
         "seed": _cmd_seed,
+        "upload": _cmd_upload,
         "store": _cmd_store,
         "db-migrate": _cmd_db_migrate,
         "db-drop": _cmd_db_drop,

@@ -1,0 +1,279 @@
+"""Blob upload manifest builder — the reference's
+``lib/vercel-blob-uploader.js`` with the storage backend pluggable.
+
+The reference pushes every generated markdown artifact to Vercel Blob
+and returns the manifest (per-family ``{uploaded, failed, skipped,
+urls:[{pathname, url, localPath, checksum}]}``) that the warehouse
+ingest (``sinks/store.py``) joins against. This twin reproduces the
+whole orchestration — date-ranged blob pathnames, recursive ``.md``
+discovery, per-file logging, the gating flags, checksums, the summary
+— message-for-message (golden: tests/golden/ref_upload_driver.js runs
+the real module), with ``put`` injected: the bundled
+:func:`local_blob_put` writes into a local blob-root directory (the
+no-network stand-in), and a real deployment passes its object-store
+client. Driver-side by design: the manifest is file-count-sized, and
+upload I/O is per-file network work the reference also serializes.
+
+Replicated quirks: subdirectory structure is FLATTENED into the blob
+basename (``buildBlobPathname`` takes ``path.basename`` of the
+relative path, :65-74 — two files named alike in different subdirs
+collide), and a filename already containing ``_to_`` anywhere skips
+the date-range suffix.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+from typing import Callable, Mapping
+
+_Out = Callable[[str], None]
+
+
+def compute_checksum(content: str) -> str:
+    """sha256 hex over utf-8 (vercel-blob-uploader.js:22-24) — equals
+    Spark ``sha2(col, 256)`` and DuckDB ``sha256``."""
+    return hashlib.sha256(content.encode("utf-8")).hexdigest()
+
+
+def format_date_range(start: str | None, end: str | None, today: str | None = None) -> str:
+    """:50-55 — ``{start}_to_{end}``; either missing → today's ISO date."""
+    if not start or not end:
+        return today or datetime.date.today().isoformat()
+    return f"{start}_to_{end}"
+
+
+def build_blob_pathname(project_folder: str, module: str, filename: str, date_range: str) -> str:
+    """:65-74 — ``{project}/{module}/{base}[_{range}]{ext}`` with the
+    base stripped of directories (the flattening quirk) and the suffix
+    skipped when the base already contains ``_to_``."""
+    base = os.path.basename(filename)
+    stem, ext = os.path.splitext(base)
+    new_stem = stem if "_to_" in stem else f"{stem}_{date_range}"
+    return f"{project_folder}/{module}/{new_stem}{ext}"
+
+
+class RealFs:
+    """Default filesystem for the CLI path; tests inject a fixture fs
+    with the same four methods."""
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p)
+
+    def read(self, p: str) -> str:
+        with open(p, encoding="utf-8") as f:
+            return f.read()
+
+
+def local_blob_put(blob_root: str) -> Callable[[str, str], dict]:
+    """A no-network ``put``: writes the content under ``blob_root`` and
+    returns ``{url, pathname}`` with a ``file://`` url."""
+
+    def put(pathname: str, content: str) -> dict:
+        dest = os.path.join(blob_root, pathname)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        with open(dest, "w", encoding="utf-8") as f:
+            f.write(content)
+        return {"url": f"file://{dest}", "pathname": pathname}
+
+    return put
+
+
+def _upload_file(path: str, blob_pathname: str, put, fs, warn: _Out) -> dict:
+    """:82-109 — read, checksum, put; failure warns and reports."""
+    try:
+        content = fs.read(path)
+        checksum = compute_checksum(content)
+        result = put(blob_pathname, content)
+        return {
+            "success": True,
+            "url": result["url"],
+            "pathname": result["pathname"],
+            "localPath": path,
+            "checksum": checksum,
+        }
+    except Exception as e:  # noqa: BLE001 — per-file fault isolation
+        warn(f"  ⚠ Failed to upload {path}: {e}")
+        return {"success": False, "error": str(e), "localPath": path, "checksum": None}
+
+
+def _find_markdown_files(directory: str, fs) -> list[tuple[str, str]]:
+    """:138-155 — recursive, listing order, ``.md`` only; returns
+    (full path, path relative to the root)."""
+    found: list[tuple[str, str]] = []
+
+    def walk(d: str) -> None:
+        for item in fs.listdir(d):
+            full = os.path.join(d, item)
+            if fs.isdir(full):
+                walk(full)
+            elif item.endswith(".md"):
+                found.append((full, os.path.relpath(full, directory)))
+
+    walk(directory)
+    return found
+
+
+def upload_directory(
+    directory: str,
+    project_folder: str,
+    module: str,
+    config: Mapping | None,
+    put,
+    fs=None,
+    out: _Out = print,
+    warn: _Out = print,
+    today: str | None = None,
+) -> dict:
+    """:119-181."""
+    fs = fs or RealFs()
+    if not fs.exists(directory):
+        warn(f"  ⚠ Directory not found: {directory}")
+        return {"uploaded": 0, "failed": 0, "skipped": 0, "urls": []}
+    c = config or {}
+    date_range = format_date_range(
+        c.get("jira", {}).get("start_date")
+        or c.get("dailyReports", {}).get("query", {}).get("report_date_start"),
+        c.get("jira", {}).get("end_date")
+        or c.get("dailyReports", {}).get("query", {}).get("report_date_end"),
+        today,
+    )
+    results = {"uploaded": 0, "failed": 0, "skipped": 0, "urls": []}
+    files = _find_markdown_files(directory, fs)
+    out(f"  Found {len(files)} markdown files in {directory}")
+    for full, rel in files:
+        blob_pathname = build_blob_pathname(project_folder, module, rel, date_range)
+        out(f"  Uploading: {rel} → {blob_pathname}")
+        result = _upload_file(full, blob_pathname, put, fs, warn)
+        if result["success"]:
+            results["uploaded"] += 1
+            results["urls"].append(
+                {
+                    "pathname": result["pathname"],
+                    "url": result["url"],
+                    "localPath": result["localPath"],
+                    "checksum": result["checksum"],
+                }
+            )
+            out(f"    ✓ Uploaded: {result['url']}")
+        else:
+            results["failed"] += 1
+    return results
+
+
+def upload_jira_data(
+    file_path: str,
+    project_folder: str,
+    config: Mapping | None,
+    put,
+    fs=None,
+    out: _Out = print,
+    warn: _Out = print,
+    today: str | None = None,
+) -> dict:
+    """:190-226 — note: no ``skipped`` key, matching the reference."""
+    fs = fs or RealFs()
+    if not fs.exists(file_path):
+        warn(f"  ⚠ Jira data file not found: {file_path}")
+        return {"uploaded": 0, "failed": 0, "urls": []}
+    c = config or {}
+    date_range = format_date_range(
+        c.get("jira", {}).get("start_date"), c.get("jira", {}).get("end_date"), today
+    )
+    filename = os.path.basename(file_path)
+    blob_pathname = build_blob_pathname(project_folder, "jira", filename, date_range)
+    out(f"  Uploading: {filename} → {blob_pathname}")
+    result = _upload_file(file_path, blob_pathname, put, fs, warn)
+    if result["success"]:
+        out(f"    ✓ Uploaded: {result['url']}")
+        return {
+            "uploaded": 1,
+            "failed": 0,
+            "urls": [
+                {
+                    "pathname": result["pathname"],
+                    "url": result["url"],
+                    "localPath": result["localPath"],
+                    "checksum": result["checksum"],
+                }
+            ],
+        }
+    return {"uploaded": 0, "failed": 1, "urls": []}
+
+
+def upload_all_data(
+    *,
+    project_folder: str,
+    config: Mapping | None = None,
+    transcripts_dir: str | None = None,
+    daily_reports_dir: str | None = None,
+    slack_dir: str | None = None,
+    jira_data_file: str | None = None,
+    put,
+    fs=None,
+    upload_enabled: bool = False,
+    token: str | None = None,
+    out: _Out = print,
+    warn: _Out = print,
+    err: _Out = print,
+    today: str | None = None,
+) -> dict | None:
+    """:239-326 — the manifest builder the warehouse ingest consumes."""
+    fs = fs or RealFs()
+    if not upload_enabled:
+        out("\n[Vercel Blob] Upload disabled (ENABLE_VERCEL_BLOB_UPLOAD not set to true)")
+        return None
+    if not (token and token.strip()):
+        warn("\n[Vercel Blob] ⚠ Upload enabled but BLOB_READ_WRITE_TOKEN not found. Skipping upload.")
+        return None
+    out("\n=== Uploading to Vercel Blob Storage ===\n")
+    all_results: dict = {"transcripts": None, "dailyReports": None, "slack": None, "jiraData": None}
+    try:
+        if transcripts_dir:
+            out("Uploading transcripts...")
+            all_results["transcripts"] = upload_directory(
+                transcripts_dir, project_folder, "transcripts", config, put, fs, out, warn, today
+            )
+            r = all_results["transcripts"]
+            out(f"  ✓ Transcripts: {r['uploaded']} uploaded, {r['failed']} failed\n")
+        if daily_reports_dir:
+            out("Uploading daily reports...")
+            all_results["dailyReports"] = upload_directory(
+                daily_reports_dir, project_folder, "daily-reports", config, put, fs, out, warn, today
+            )
+            r = all_results["dailyReports"]
+            out(f"  ✓ Daily reports: {r['uploaded']} uploaded, {r['failed']} failed\n")
+        if slack_dir:
+            out("Uploading Slack data (sanitized)...")
+            all_results["slack"] = upload_directory(
+                slack_dir, project_folder, "slack/sanitized", config, put, fs, out, warn, today
+            )
+            r = all_results["slack"]
+            out(f"  ✓ Slack: {r['uploaded']} uploaded, {r['failed']} failed\n")
+        if jira_data_file:
+            out("Uploading extracted Jira data...")
+            all_results["jiraData"] = upload_jira_data(
+                jira_data_file, project_folder, config, put, fs, out, warn, today
+            )
+            r = all_results["jiraData"]
+            out(f"  ✓ Jira data: {r['uploaded']} uploaded, {r['failed']} failed\n")
+
+        total_uploaded = sum((all_results[k] or {}).get("uploaded", 0) for k in all_results)
+        total_failed = sum((all_results[k] or {}).get("failed", 0) for k in all_results)
+        out("=== Vercel Blob Upload Summary ===")
+        out(f"Total uploaded: {total_uploaded}")
+        out(f"Total failed: {total_failed}")
+        if total_failed > 0:
+            warn("⚠ Some files failed to upload. Check warnings above for details.")
+        return all_results
+    except Exception as e:  # noqa: BLE001 — the uploader's catch-all (:321-325)
+        err(f"[Vercel Blob] Upload failed: {e}")
+        err("Continuing workflow without uploads...")
+        return None

@@ -1,0 +1,82 @@
+// Golden-test driver: executes the REFERENCE repo's blob uploader
+// (lib/vercel-blob-uploader.js uploadAllData) with an in-memory fs
+// over the fixture's artifact tree, a scripted @vercel/blob `put`
+// (fixture-controlled URL scheme and per-path failures), and captured
+// console streams. Prints the full stdout/stderr plus the returned
+// manifest and the recorded put calls. Read-only, no network.
+//
+// Usage: node ref_upload_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+const { Writable } = require('stream');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const modPath = path.join(refRoot, 'lib', 'vercel-blob-uploader.js');
+const src = realFs.readFileSync(modPath, 'utf8');
+
+let stdoutText = '';
+let stderrText = '';
+const mk = (sink) => new Writable({ write(c, _e, cb) { sink(c.toString()); cb(); } });
+const fakeConsole = new console.Console(mk((t) => (stdoutText += t)), mk((t) => (stderrText += t)));
+
+const files = fixture.files || {};
+const isDir = (p) => {
+  const withSep = p.endsWith('/') ? p : p + '/';
+  return Object.keys(files).some((f) => f.startsWith(withSep));
+};
+const fakeFs = {
+  existsSync: (p) => Object.prototype.hasOwnProperty.call(files, p) || isDir(String(p)),
+  readdirSync: (p) => {
+    const withSep = p.endsWith('/') ? p : p + '/';
+    const names = new Set();
+    for (const f of Object.keys(files)) {
+      if (f.startsWith(withSep)) names.add(f.slice(withSep.length).split('/')[0]);
+    }
+    return Array.from(names);
+  },
+  statSync: (p) => {
+    if (Object.prototype.hasOwnProperty.call(files, p))
+      return { isDirectory: () => false, size: Buffer.byteLength(files[p], 'utf8') };
+    if (isDir(String(p))) return { isDirectory: () => true };
+    throw new Error(`ENOENT: ${p}`);
+  },
+  readFileSync: (p) => {
+    if (!Object.prototype.hasOwnProperty.call(files, p)) throw new Error(`ENOENT: ${p}`);
+    return files[p];
+  },
+};
+
+const putCalls = [];
+const failPuts = fixture.failPuts || []; // substrings of blobPathname
+const fakePut = (pathname, content, opts) => {
+  putCalls.push({ pathname, contentLength: content.length, opts });
+  for (const needle of failPuts) {
+    if (pathname.includes(needle)) return Promise.reject(new Error(`upload refused: ${needle}`));
+  }
+  return Promise.resolve({ url: `https://blob.example.com/${pathname}`, pathname });
+};
+
+const fakeProcess = { env: Object.assign({}, fixture.env || {}) };
+
+const req = (name) => {
+  if (name === 'fs') return fakeFs;
+  if (name === 'path') return path;
+  if (name === 'crypto') return require('crypto');
+  if (name === '@vercel/blob') return { put: fakePut };
+  throw new Error(`unexpected require from vercel-blob-uploader.js: ${name}`);
+};
+
+const mod = { exports: {} };
+new Function('require', 'module', 'exports', '__dirname', '__filename', 'process', 'console', src)(
+  req, mod, mod.exports, path.join(refRoot, 'lib'), modPath, fakeProcess, fakeConsole
+);
+
+Promise.resolve()
+  .then(() => mod.exports.uploadAllData(fixture.options || {}))
+  .then((manifest) => {
+    require('process').stdout.write(
+      JSON.stringify({ stdout: stdoutText, stderr: stderrText, manifest, putCalls }) + '\n'
+    );
+  });

@@ -172,3 +172,37 @@ def test_store_cli_end_to_end(spark, tmp_path, capsys, monkeypatch):
     q = capsys.readouterr().out
     assert "'John'" not in q  # daily section lists per-TEAM counts, not authors
     assert "reportCount" in q and "'timeclock'" in q
+
+
+def test_upload_then_store_cli_chain(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    monkeypatch.setenv("ENABLE_NEON_DB_STORAGE", "true")
+    monkeypatch.setenv("ENABLE_VERCEL_BLOB_UPLOAD", "true")
+    monkeypatch.setenv("BLOB_READ_WRITE_TOKEN", "tok")
+    wh = str(tmp_path / "wh")
+    assert cli.main(["seed", "--warehouse", wh, "--member", "timeclock",
+                     "--cache-dir", str(tmp_path)]) == 0
+    daily = tmp_path / "daily"
+    daily.mkdir()
+    (daily / "jane.md").write_text("**Employee**: Jane\n\n## 2025-10-27\n\nshipped\n")
+    mpath = str(tmp_path / "m.json")
+    assert cli.main([
+        "upload", "--project-folder", "timeclock", "--blob-root", str(tmp_path / "blobs"),
+        "--daily-dir", str(daily), "--manifest-out", mpath,
+        "--start", "2025-10-20", "--end", "2025-10-28",
+    ]) == 0
+    manifest = json.load(open(mpath))
+    assert manifest["dailyReports"]["uploaded"] == 1
+    capsys.readouterr()
+    assert cli.main([
+        "store", "--warehouse", wh, "--project-folder", "timeclock",
+        "--daily-dir", str(daily), "--manifest", mpath,
+        "--cache-path", str(tmp_path / ".neon-db-ids.dev.json"),
+        "--start", "2025-10-20", "--end", "2025-10-28",
+        "--generated-at", "2025-10-28 00:00:00",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "✓ Successfully stored 1 records" in out
+    row = spark.read.parquet(f"{wh}/daily_reports").collect()[0]
+    assert row["blob_key"] == "timeclock/daily-reports/jane_2025-10-20_to_2025-10-28.md"

@@ -1,0 +1,251 @@
+"""Golden parity: the blob upload manifest builder (sinks/blob.py) vs
+the reference's OWN lib/vercel-blob-uploader.js uploadAllData executed
+via node (tests/golden/ref_upload_driver.js) — stdout, stderr, and the
+returned manifest compared whole, plus an upload→ingest roundtrip:
+the manifest our twin builds feeds sinks/store.py and lands the rows.
+
+Pinned: date-ranged blob pathnames with the `_to_` skip and the
+subdirectory-flattening quirk, recursive .md discovery in listing
+order, per-file upload/failure lines, the two gating flags (enabled +
+non-blank token), per-family summaries, the failed-upload warning, and
+the jiraData result's missing `skipped` key."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.sinks import blob as B
+
+DRIVER = Path(__file__).parent / "golden" / "ref_upload_driver.js"
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+class FixtureFs:
+    """The driver's in-memory fs, mirrored: dict-order listings with
+    first-level names deduped."""
+
+    def __init__(self, files: dict[str, str]):
+        self.files = files
+
+    def exists(self, p):
+        return p in self.files or self.isdir(p)
+
+    def isdir(self, p):
+        sep = p if p.endswith("/") else p + "/"
+        return any(f.startswith(sep) for f in self.files)
+
+    def listdir(self, p):
+        sep = p if p.endswith("/") else p + "/"
+        seen = dict.fromkeys(
+            f[len(sep):].split("/")[0] for f in self.files if f.startswith(sep)
+        )
+        return list(seen)
+
+    def read(self, p):
+        if p not in self.files:
+            raise OSError(f"ENOENT: {p}")
+        return self.files[p]
+
+
+def full_fixture() -> dict:
+    return {
+        "env": {"ENABLE_VERCEL_BLOB_UPLOAD": "true", "BLOB_READ_WRITE_TOKEN": "tok_x"},
+        "files": {
+            "/data/tr/fathom-2025-10-08.md": "# Transcript\n\nhello\n",
+            "/data/tr/sub/deep_2025-10-06_to_2025-10-12.md": "t2",
+            "/data/daily/john.md": "**Employee**: John\n\n## October 27, 2025\n\nwork\n",
+            "/data/slack/general.md": "s1",
+            "/data/slack/bad.md": "s2",
+            "/data/jira/extract.json": "{}",
+        },
+        "failPuts": ["bad_"],
+        "options": {
+            "projectFolder": "timeclock",
+            "config": {"jira": {"start_date": "2025-10-06", "end_date": "2025-10-12"}},
+            "transcriptsDir": "/data/tr",
+            "dailyReportsDir": "/data/daily",
+            "slackDir": "/data/slack",
+            "jiraDataFile": "/data/jira/extract.json",
+        },
+    }
+
+
+def _node(tmp_path, fixture):
+    p = tmp_path / "fixture.json"
+    p.write_text(json.dumps(fixture))
+    out = subprocess.run(
+        ["node", str(DRIVER), str(p)], capture_output=True, text=True, check=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _collect():
+    lines: list[str] = []
+    return lines, (lambda s: lines.append(s))
+
+
+def _text(lines):
+    return "".join(s + "\n" for s in lines)
+
+
+def _twin(fixture):
+    opts = fixture["options"]
+    env = fixture.get("env", {})
+    fail = fixture.get("failPuts", [])
+
+    def put(pathname, content):
+        for needle in fail:
+            if needle in pathname:
+                raise RuntimeError(f"upload refused: {needle}")
+        return {"url": f"https://blob.example.com/{pathname}", "pathname": pathname}
+
+    out, emit_out = _collect()
+    wn, emit_warn = _collect()
+    er, emit_err = _collect()
+    manifest = B.upload_all_data(
+        project_folder=opts.get("projectFolder", ""),
+        config=opts.get("config"),
+        transcripts_dir=opts.get("transcriptsDir"),
+        daily_reports_dir=opts.get("dailyReportsDir"),
+        slack_dir=opts.get("slackDir"),
+        jira_data_file=opts.get("jiraDataFile"),
+        put=put,
+        fs=FixtureFs(fixture["files"]),
+        upload_enabled=env.get("ENABLE_VERCEL_BLOB_UPLOAD") in ("true", "1"),
+        token=env.get("BLOB_READ_WRITE_TOKEN"),
+        out=emit_out,
+        warn=emit_warn,
+        err=emit_err,
+    )
+    return manifest, _text(out), _text(wn), _text(er)
+
+
+def test_upload_all_matches_reference(tmp_path):
+    fixture = full_fixture()
+    ref = _node(tmp_path, fixture)
+    manifest, out, wn, er = _twin(fixture)
+    assert out == ref["stdout"]
+    assert wn + er == ref["stderr"]
+    assert manifest == ref["manifest"]
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda f: f["env"].pop("ENABLE_VERCEL_BLOB_UPLOAD"),
+        lambda f: f["env"].update(BLOB_READ_WRITE_TOKEN="   "),
+        lambda f: f["options"].pop("transcriptsDir"),
+        lambda f: f["options"].update(transcriptsDir="/data/missing"),
+        lambda f: f["options"].update(jiraDataFile="/data/missing.json"),
+        lambda f: f["options"].update(config={}),  # dateless → today suffix
+    ],
+    ids=["disabled", "blank-token", "family-absent", "dir-missing", "jira-missing", "no-dates"],
+)
+def test_upload_branches(tmp_path, mutate):
+    fixture = full_fixture()
+    mutate(fixture)
+    ref = _node(tmp_path, fixture)
+    # pin 'today' to node's value by parsing it back out of the ref
+    # output when the no-dates branch fires (both sides run the same
+    # UTC day in this container; the explicit operand removes the
+    # midnight race)
+    import re
+
+    m = re.search(r"_(\d{4}-\d{2}-\d{2})\.md", ref["stdout"])
+    today = m.group(1) if m else None
+    opts = fixture["options"]
+    env = fixture.get("env", {})
+
+    def put(pathname, content):
+        for needle in fixture.get("failPuts", []):
+            if needle in pathname:
+                raise RuntimeError(f"upload refused: {needle}")
+        return {"url": f"https://blob.example.com/{pathname}", "pathname": pathname}
+
+    out, emit_out = _collect()
+    wn, emit_warn = _collect()
+    er, emit_err = _collect()
+    manifest = B.upload_all_data(
+        project_folder=opts.get("projectFolder", ""),
+        config=opts.get("config"),
+        transcripts_dir=opts.get("transcriptsDir"),
+        daily_reports_dir=opts.get("dailyReportsDir"),
+        slack_dir=opts.get("slackDir"),
+        jira_data_file=opts.get("jiraDataFile"),
+        put=put,
+        fs=FixtureFs(fixture["files"]),
+        upload_enabled=env.get("ENABLE_VERCEL_BLOB_UPLOAD") in ("true", "1"),
+        token=env.get("BLOB_READ_WRITE_TOKEN"),
+        out=emit_out,
+        warn=emit_warn,
+        err=emit_err,
+        today=today,
+    )
+    assert _text(out) == ref["stdout"]
+    assert _text(wn) + _text(er) == ref["stderr"]
+    assert manifest == ref["manifest"]
+
+
+def test_upload_then_store_roundtrip(spark, tmp_path):
+    """The full artifact → blob manifest → warehouse chain with the
+    local blob backend: upload writes real files under the blob root,
+    the manifest feeds store_all_data, and the rows land."""
+    from ai_coach_data_source_orchestrator_spark.sinks.schema import read_table
+    from ai_coach_data_source_orchestrator_spark.sinks.store import store_all_data
+
+    daily = tmp_path / "daily"
+    daily.mkdir()
+    (daily / "john.md").write_text("**Employee**: John\n\n## October 27, 2025\n\nwork\n")
+    out, emit = _collect()
+    manifest = B.upload_all_data(
+        project_folder="timeclock",
+        config={"jira": {"start_date": "2025-10-20", "end_date": "2025-10-28"}},
+        daily_reports_dir=str(daily),
+        put=B.local_blob_put(str(tmp_path / "blobs")),
+        upload_enabled=True,
+        token="tok",
+        out=emit,
+        warn=emit,
+        err=emit,
+    )
+    assert manifest["dailyReports"]["uploaded"] == 1
+    blob_file = tmp_path / "blobs" / "timeclock" / "daily-reports" / "john_2025-10-20_to_2025-10-28.md"
+    assert blob_file.exists()
+
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps({"teams": {"timeclock": "uuid-tc"}}))
+    docs = spark.createDataFrame(
+        [(0, str(daily / "john.md"), (daily / "john.md").read_text())],
+        "ord int, path string, content string",
+    )
+    result = store_all_data(
+        spark,
+        str(tmp_path / "wh"),
+        project_folder="timeclock",
+        config={"jira": {"start_date": "2025-10-20", "end_date": "2025-10-28"}},
+        daily_docs=docs,
+        vercel_results=manifest,
+        storage_enabled=True,
+        vercel_enabled=True,
+        cache_path=str(cache),
+        out=emit,
+        warn=emit,
+        err=emit,
+    )
+    assert result["results"]["dailyReports"] == {"inserted": 1, "updated": 0, "files": 1}
+    rows = read_table(spark, str(tmp_path / "wh"), "daily_reports").collect()
+    assert len(rows) == 1
+    assert rows[0]["blob_key"] == "timeclock/daily-reports/john_2025-10-20_to_2025-10-28.md"
+    assert rows[0]["blob_url"] == f"file://{blob_file}"
+    # checksum chain: uploader sha256 == stored section checksum source
+    assert rows[0]["checksum_sha256"] is not None
