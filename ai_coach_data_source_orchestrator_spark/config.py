@@ -108,6 +108,84 @@ def load_config(configs_dir: str, team: str, report_type: str) -> dict:
     return merged
 
 
+def load_single_config(
+    config_file: str | None = None,
+    cwd: str | None = None,
+    out: Any = print,
+) -> dict:
+    """The legacy single-file load path (lib/config.js:202-284): the
+    ``CONFIG_FILE`` env var (or ``config.json``) resolved against the
+    working directory, with the reference's exact not-found and
+    parse-failure reports including their resolution steps. The
+    ``run-with-config.js`` wrapper is exactly
+    ``CONFIG_FILE=<file> <command>`` over this loader.
+
+    Divergence: the reference ``require()``s the file so a ``.js``
+    config executes; ours parses JSON only (executing config code is a
+    non-goal for a cluster job)."""
+    config_file = config_file or os.environ.get("CONFIG_FILE") or "config.json"
+    config_path = os.path.abspath(os.path.join(cwd or os.getcwd(), config_file))
+    if not os.path.exists(config_path):
+        raise ConfigurationError(
+            f"Configuration file not found: {config_path}\n\n"
+            "Please ensure one of the following:\n"
+            "  1. Create a 'config.json' file in the project root\n"
+            "  2. Copy 'config.example.jsonc' to 'config.json' and customize it\n"
+            "  3. Set the CONFIG_FILE environment variable to point to your config file\n\n"
+            "Example: CONFIG_FILE=config.project1.json npm run daily:query",
+            {
+                "configFile": config_path,
+                "resolutionSteps": [
+                    "Create a 'config.json' file in the project root",
+                    "Copy 'config.example.jsonc' to 'config.json' and customize it",
+                    "Set the CONFIG_FILE environment variable to point to your config file",
+                ],
+            },
+        )
+    out(f"Using config file: {config_path}")
+    try:
+        with open(config_path, encoding="utf-8") as f:
+            raw = json.load(f)
+    except (json.JSONDecodeError, OSError) as e:
+        raise ConfigurationError(
+            f"Failed to parse configuration file: {config_path}\n"
+            f"Error: {e}\n\n"
+            "Please ensure the configuration file is valid JSON or JavaScript.",
+            {
+                "configFile": config_path,
+                "parseError": str(e),
+                "resolutionSteps": [
+                    "Check for syntax errors in the configuration file",
+                    "Ensure the file is valid JSON or JavaScript",
+                    "Verify there are no trailing commas in JSON files",
+                    "Check that all quotes are properly closed",
+                ],
+            },
+        ) from e
+    validate_config(raw)
+    out("✓ Configuration validated successfully")
+    return raw
+
+
+def load(
+    team: str | None = None,
+    report_type: str | None = None,
+    configs_dir: str = "configs",
+    config_file: str | None = None,
+    env: Any = None,
+    out: Any = print,
+) -> dict:
+    """The reference's ``_load`` dispatcher (lib/config.js:202-208):
+    TEAM + REPORT_TYPE (param or env) → the hierarchical 3-layer
+    loader; otherwise the single-file path."""
+    env = os.environ if env is None else env
+    team = team or env.get("TEAM")
+    report_type = report_type or env.get("REPORT_TYPE")
+    if team and report_type:
+        return load_config(configs_dir, team, report_type)
+    return load_single_config(config_file, out=out)
+
+
 def _valid_iso_date(s: Any) -> bool:
     # Strict validity, lib/validators.js:13-33 — 2025-02-30 is rejected,
     # never rolled over.

@@ -192,7 +192,10 @@ def run_one_on_one(
     transcripts: DataFrame | None = None,  # (filename, content) shared across members
 ) -> OneOnOneResult:
     """Per-member datasource emit, reference-exact
-    (generate_datasources.js:358-385): the member's matched daily
+    (generate_datasources.js:358-385; also the whole of
+    datasource-generator/generate_from_existing.js:17-40, whose
+    generateFromExisting loop is exactly this per-member emit over
+    already-generated markdown): the member's matched daily
     report fills DAILY_TEXT, their matched per-assignee jira report
     fills JIRA_TEXT (same matcher, :371-373), the SHARED sorted-file
     transcript concatenation fills FATHOM_TEXT (:376-377), with the

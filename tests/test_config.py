@@ -121,3 +121,73 @@ def test_validate_year_zero_and_unicode_digits():
         validate_config(
             {"jira": {"start_date": "٢٠٢٥-١٠-٠١", "end_date": "2025-01-01"}}
         )
+
+
+# ---------------------------------------------------------------------------
+# Single-file (CONFIG_FILE) load path — lib/config.js:202-284 + the
+# run-with-config.js wrapper semantics
+# ---------------------------------------------------------------------------
+def test_load_single_config_happy_path(tmp_path, capsys):
+    import json
+
+    from ai_coach_data_source_orchestrator_spark.config import load_single_config
+
+    p = tmp_path / "config.project1.json"
+    p.write_text(json.dumps({"jira": {"start_date": "2025-10-06", "end_date": "2025-10-12"}}))
+    cfg = load_single_config(str(p))
+    assert cfg["jira"]["end_date"] == "2025-10-12"
+    out = capsys.readouterr().out
+    assert f"Using config file: {p}" in out
+    assert "✓ Configuration validated successfully" in out
+
+
+def test_load_single_config_missing_has_resolution_steps(tmp_path):
+    import pytest as _pytest
+
+    from ai_coach_data_source_orchestrator_spark.config import (
+        ConfigurationError,
+        load_single_config,
+    )
+
+    with _pytest.raises(ConfigurationError) as ei:
+        load_single_config("nope.json", cwd=str(tmp_path))
+    assert "Configuration file not found" in str(ei.value)
+    assert ei.value.resolution_steps[0] == "Create a 'config.json' file in the project root"
+
+
+def test_load_single_config_parse_error(tmp_path):
+    import pytest as _pytest
+
+    from ai_coach_data_source_orchestrator_spark.config import (
+        ConfigurationError,
+        load_single_config,
+    )
+
+    p = tmp_path / "bad.json"
+    p.write_text("{not json")
+    with _pytest.raises(ConfigurationError) as ei:
+        load_single_config(str(p), out=lambda s: None)
+    assert "Failed to parse configuration file" in str(ei.value)
+    assert "trailing commas" in ei.value.resolution_steps[2]
+
+
+def test_load_dispatcher_env_team_wins(tmp_path, monkeypatch):
+    import json
+
+    from ai_coach_data_source_orchestrator_spark.config import load
+
+    # hierarchical layout
+    (tmp_path / "configs" / "shared").mkdir(parents=True)
+    (tmp_path / "configs" / "alpha").mkdir()
+    (tmp_path / "configs" / "shared" / "defaults.json").write_text('{"a": 1}')
+    (tmp_path / "configs" / "alpha" / "config.json").write_text('{"b": 2}')
+    (tmp_path / "configs" / "alpha" / "config.weekly.json").write_text('{"c": 3}')
+    cfg = load(env={"TEAM": "alpha", "REPORT_TYPE": "weekly"},
+               configs_dir=str(tmp_path / "configs"))
+    assert (cfg["a"], cfg["b"], cfg["c"]) == (1, 2, 3)
+
+    # CONFIG_FILE mode when TEAM/REPORT_TYPE absent (run-with-config.js)
+    single = tmp_path / "single.json"
+    single.write_text(json.dumps({"x": 9}))
+    cfg2 = load(env={}, config_file=str(single), out=lambda s: None)
+    assert cfg2["x"] == 9
