@@ -130,6 +130,30 @@ QUERIES = [
     ("x2_wiki_to_markdown", "part"),
     ("u3_dedup_by_key", "lineitem"),
     ("epic_tree_render", "supplier"),
+    # round 8 additions: the remaining fact-table-reading registry
+    # queries not yet measured at sf1 — event windows/funnels/cohorts/
+    # range joins, the orders semi-join and stratified sampler, and the
+    # documents/embeddings scans (quality, langid, winnowing, PII,
+    # exact/fingerprint dedup, packing, normalization, multimodal).
+    ("sessionize_events", "events"),
+    ("funnel_view_click_purchase", "events"),
+    ("cohort_retention", "events"),
+    ("a_percentile_profile", "events"),
+    ("range_join_windows", "events"),
+    ("a14_array_set_diff", "events"),
+    ("f3_semi_join_children_in_range", "lineitem"),
+    ("sample_stratified_hash", "orders"),
+    ("text_quality_score", "documents"),
+    ("text_token_stats", "documents"),
+    ("text_langid", "documents"),
+    ("text_winnow_fingerprints", "documents"),
+    ("text_pii_scrub", "documents"),
+    ("dedup_exact", "documents"),
+    ("dedup_fingerprint", "documents"),
+    ("pack_token_bins", "documents"),
+    ("u2_distinct_keys_from_text", "documents"),
+    ("multimodal_features", "documents"),
+    ("embedding_normalize_truncate", "embeddings"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
@@ -138,6 +162,7 @@ EXTRA_TABLES = {
     "slack_render_blocks": {"customer"},
     "j1_star_join_revenue": {"orders", "customer", "nation", "region"},
     "k_bucketed_join_roundtrip": {"orders"},
+    "f3_semi_join_children_in_range": {"orders"},
 }
 
 # The invalidation stamp must cover the FULL table list even for
