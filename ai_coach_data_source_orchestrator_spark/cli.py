@@ -399,6 +399,85 @@ def _cmd_seed(args) -> int:
     return 0
 
 
+def _cmd_team(args) -> int:
+    """Flat per-team status report (npm run <team>:team →
+    jira/team-report.js via generate_team_datasource.js). Input: raw
+    export-shaped ticket rows (--tickets parquet with row_ord + export
+    columns) or a demo fixture derived from `orders`."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.team_report import render_team_report
+    from .sources.tables import load_table
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.tickets:
+        tickets = spark.read.parquet(args.tickets)
+    else:
+        orders = load_table(spark, args.sf_dir, "orders").orderBy("o_orderkey").limit(args.limit)
+        k = F.col("o_orderkey")
+        tickets = orders.select(
+            k.cast("int").alias("row_ord"),
+            F.concat(F.lit("PROJ-"), k.cast("string")).alias("key"),
+            F.concat(F.lit("Order for customer "), F.col("o_custkey").cast("string")).alias("summary"),
+            F.lit('{"name":"Story"}').alias("issuetype"),
+            F.concat(F.lit('{"name":"'), F.col("o_orderstatus"), F.lit('"}')).alias("status"),
+            F.concat(
+                F.lit('{"name":"Clerk#'), (F.col("o_custkey") % 5).cast("string"), F.lit('"}')
+            ).alias("assignee"),
+            F.concat(F.col("o_orderdate").cast("string"), F.lit("T00:00:00.000+0000")).alias("created"),
+            F.lit('{"name":"Demo Project","key":"PROJ"}').alias("project"),
+        )
+    config = {
+        "team": args.team,
+        "jira": {
+            "project": "PROJ",
+            "host": args.jira_host,
+            "start_date": args.start,
+            "end_date": args.end,
+        },
+    }
+    generated = args.generated_at or datetime.datetime.now(
+        datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    md = render_team_report(tickets, config, generated=generated)
+    with open(args.out, "w") as f:
+        f.write(md)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_dashboard(args) -> int:
+    """Weekly dashboard datasource (npm run <team>:dashboard →
+    generate_dashboard.js): Monday-anchored by-day transcript frame +
+    JSON byDay literal."""
+    from .pipeline.dashboard import run_dashboard_week
+    from .plans.queries_pipeline import derive_fixture_inputs
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.inputs_dir:
+        if not (args.start and args.end):
+            print("--start/--end required with --inputs-dir", file=sys.stderr)
+            return 2
+        transcripts = spark.read.parquet(f"{args.inputs_dir}/transcripts.parquet")
+        start, end = args.start, args.end
+    else:
+        inputs, base = derive_fixture_inputs(spark, args.sf_dir)
+        transcripts = inputs.transcripts
+        start = args.start or base["date_range"]["start_date"]
+        end = args.end or base["date_range"]["end_date"]
+    config = {"transcripts": {"dateFilter": {"startDate": start, "endDate": end}}}
+    generated_at = args.generated_at or datetime.datetime.now(
+        datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    result = run_dashboard_week(spark, transcripts, config, generated_at=generated_at)
+    with open(args.out, "w") as f:
+        f.write(result.datasource_text)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def _cmd_upload(args) -> int:
     """Blob upload manifest (lib/vercel-blob-uploader.js uploadAllData)
     with the local blob backend; writes the manifest JSON that `store`
@@ -581,6 +660,25 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--modules", help="comma-separated: daily,jira,transcripts,slack,datasource")
     c.add_argument("--purge-slack-users", action="store_true")
 
+    t = sub.add_parser("team", help="flat per-team status report (jira/team-report.js)")
+    t.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    t.add_argument("--tickets", help="parquet of export-shaped ticket rows (row_ord + export columns)")
+    t.add_argument("--out", required=True)
+    t.add_argument("--team", default="demo-team")
+    t.add_argument("--limit", type=int, default=50, help="fixture rows (demo mode)")
+    t.add_argument("--start")
+    t.add_argument("--end")
+    t.add_argument("--jira-host", default="https://jira.example.com")
+    t.add_argument("--generated-at")
+
+    dash = sub.add_parser("dashboard", help="weekly dashboard datasource (generate_dashboard.js)")
+    dash.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    dash.add_argument("--inputs-dir", help="dir with transcripts.parquet")
+    dash.add_argument("--out", required=True)
+    dash.add_argument("--start")
+    dash.add_argument("--end")
+    dash.add_argument("--generated-at")
+
     up = sub.add_parser("upload", help="build the blob manifest with a local blob backend (vercel-blob-uploader.js)")
     up.add_argument("--project-folder", required=True)
     up.add_argument("--blob-root", required=True, help="local directory standing in for the blob store")
@@ -632,6 +730,8 @@ def main(argv: list[str] | None = None) -> int:
         "audit": _cmd_audit,
         "clean": _cmd_clean,
         "seed": _cmd_seed,
+        "team": _cmd_team,
+        "dashboard": _cmd_dashboard,
         "upload": _cmd_upload,
         "store": _cmd_store,
         "db-migrate": _cmd_db_migrate,

@@ -13,6 +13,7 @@ warehouse path here) and the storage backend named in the SQL echo.
 
 from __future__ import annotations
 
+import os
 import shutil
 from typing import Callable
 
@@ -60,8 +61,6 @@ def drop_all_tables(
     out("Dropping all tables...\n")
     for table in DROP_ORDER:
         try:
-            import os
-
             p = table_path(warehouse, table)
             if os.path.isdir(p):
                 remove(p)
@@ -168,8 +167,6 @@ def warehouse_inspection_queries(
     and timestamps are stringified where drizzle returns strings."""
 
     def rd(table: str) -> DataFrame | None:
-        import os
-
         if not os.path.isdir(table_path(warehouse, table)):
             return None
         return read_table(spark, warehouse, table)

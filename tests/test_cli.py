@@ -206,3 +206,25 @@ def test_upload_then_store_cli_chain(spark, tmp_path, capsys, monkeypatch):
     assert "✓ Successfully stored 1 records" in out
     row = spark.read.parquet(f"{wh}/daily_reports").collect()[0]
     assert row["blob_key"] == "timeclock/daily-reports/jane_2025-10-20_to_2025-10-28.md"
+
+
+def test_team_report_cli(sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "team.md")
+    assert cli.main([
+        "team", "--sf-dir", sf_dir, "--out", out, "--limit", "10",
+        "--start", "1990-01-01", "--end", "1999-12-31",
+        "--generated-at", "2025-10-13T00:00:00Z",
+    ]) == 0
+    md = open(out).read()
+    assert md.startswith("# ")  # report title
+    assert "PROJ-" in md and "Executive Summary" in md
+
+
+def test_dashboard_cli(sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "dash.py")
+    assert cli.main([
+        "dashboard", "--sf-dir", sf_dir, "--out", out,
+        "--generated-at", "2025-10-13T00:00:00Z",
+    ]) == 0
+    text = open(out).read()
+    assert "TRANSCRIPT_DATA_BY_DAY" in text
