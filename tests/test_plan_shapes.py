@@ -372,3 +372,55 @@ def test_pq_adc_single_query_window_shuffle(spark, sf_dir):
     plan = _executed(df)
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert exchanges and set(exchanges) == {"query_id"}, exchanges
+
+
+def test_store_ingest_broadcasts_blob_manifest(spark, sf_dir, tmp_path):
+    """The warehouse ingest's blob-reference attach (sinks/store.py)
+    must broadcast the manifest side: the manifest is upload-count-
+    bounded (§4 policy) while the section rows scale with the corpus —
+    a shuffle join here would move the data to meet the metadata."""
+    import json
+
+    from ai_coach_data_source_orchestrator_spark.sinks.store import store_all_data
+
+    docs = spark.createDataFrame(
+        [(0, "/a/x.md", "**Employee**: Ann\n\n## 2025-10-27\n\nwork")],
+        "ord int, path string, content string",
+    )
+    cache = tmp_path / "c.json"
+    cache.write_text(json.dumps({"teams": {"t": "u-1"}}))
+    plans: list[str] = []
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # capture the daily rows plan by listening at the upsert boundary
+    import ai_coach_data_source_orchestrator_spark.sinks.store as S
+
+    orig = S.upsert_parquet
+
+    def spy(spark_, path, rows, **kw):
+        plans.append(rows._sc is not None and rows._jdf.queryExecution().executedPlan().toString())
+        return orig(spark_, path, rows, **kw)
+
+    S.upsert_parquet = spy
+    try:
+        store_all_data(
+            spark,
+            str(tmp_path / "wh"),
+            project_folder="t",
+            config={},
+            daily_docs=docs,
+            vercel_results={"dailyReports": {"urls": [
+                {"localPath": "/a/x.md", "pathname": "b/x.md", "url": "u", "checksum": "c"}
+            ]}},
+            storage_enabled=True,
+            vercel_enabled=True,
+            cache_path=str(cache),
+            out=lambda s: None,
+            warn=lambda s: None,
+            err=lambda s: None,
+        )
+    finally:
+        S.upsert_parquet = orig
+    assert plans, "daily upsert never invoked"
+    assert "BroadcastHashJoin" in plans[0]
+    assert "SortMergeJoin" not in plans[0]
