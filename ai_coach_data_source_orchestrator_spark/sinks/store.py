@@ -149,6 +149,84 @@ def _daily_invalid_headers(doc: F.Column) -> F.Column:
     return F.transform(bad, lambda p: p["h"])
 
 
+def daily_section_rows(
+    docs: DataFrame, refs: DataFrame, project_uuid: str, now: str
+) -> DataFrame:
+    """The daily_reports rows for a (path, content) document set — the
+    distributed core of the daily family (:311-356), shared by the
+    batch ingest and ``streaming/store.daily_ingest_stream`` (the same
+    expressions over a streaming DataFrame; ids are deterministic
+    UUIDv5 so replays converge)."""
+    parsed = docs.select(
+        "path",
+        extract_author_name().alias("author"),
+        split_daily_sections(F.col("content")).alias("sections"),
+    )
+    rows = (
+        parsed.where(F.col("author").isNotNull())
+        .select("path", "author", F.explode("sections").alias("s"))
+        .join(F.broadcast(refs), "path", "left")
+        .select(
+            F.col("author").alias("author_name"),
+            F.col("s.date").cast("date").alias("report_date"),
+            F.col("s.content").alias("content"),
+            F.col("s.checksum").alias("checksum_sha256"),
+            "blob_key",
+            "blob_url",
+        )
+        .withColumn("team_id", F.lit(project_uuid))
+        .withColumn("created_at", F.lit(now).cast("timestamp"))
+        .withColumn("updated_at", F.lit(now).cast("timestamp"))
+    )
+    return rows.withColumn(
+        "id",
+        uuid5_col(
+            F.lit("daily_reports"),
+            "team_id",
+            "author_name",
+            F.col("report_date").cast("string"),
+        ),
+    ).select(*[f.name for f in WAREHOUSE_SCHEMA["daily_reports"].fields])
+
+
+def transcript_ingest_rows(
+    docs: DataFrame, refs: DataFrame, project_uuid: str, now: str
+) -> DataFrame:
+    """The meeting_transcripts rows for a (path, content) document set
+    (:366-414) — filename-dated, blob-referenced files only; shared by
+    batch and streaming exactly like :func:`daily_section_rows`."""
+    parsed = docs.select(
+        "path",
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        "content",
+    ).withColumn("tdate", parse_date_from_filename())
+    rows = (
+        parsed.join(F.broadcast(refs), "path", "left")
+        .where(F.col("tdate").isNotNull() & F.col("blob_key").isNotNull())
+        .select(
+            "filename",
+            F.col("tdate").alias("transcript_date"),
+            F.col("content").alias("transcript_text"),
+            "blob_key",
+            "blob_url",
+            F.octet_length("content").cast("long").alias("byte_size"),
+            F.col("blob_checksum").alias("checksum_sha256"),
+        )
+        .withColumn("team_id", F.lit(project_uuid))
+        .withColumn("created_at", F.lit(now).cast("timestamp"))
+        .withColumn("updated_at", F.lit(now).cast("timestamp"))
+    )
+    return rows.withColumn(
+        "id",
+        uuid5_col(
+            F.lit("meeting_transcripts"),
+            "team_id",
+            "filename",
+            F.col("transcript_date").cast("string"),
+        ),
+    ).select(*[f.name for f in WAREHOUSE_SCHEMA["meeting_transcripts"].fields])
+
+
 def _blob_refs_df(spark: SparkSession, vercel_results: Mapping) -> DataFrame:
     """findBlobReference (:202-226) flattened to a tiny lookup table:
     (normalized local path → blob_key, blob_url, checksum). Bounded by
@@ -257,31 +335,9 @@ def store_all_data(
             .orderBy("ord")
             .collect()
         )
-        rows = (
-            parsed.where(F.col("author").isNotNull())
-            .select("path", "author", F.explode("sections").alias("s"))
-            .join(F.broadcast(refs), "path", "left")
-            .select(
-                F.col("author").alias("author_name"),
-                F.col("s.date").cast("date").alias("report_date"),
-                F.col("s.content").alias("content"),
-                F.col("s.checksum").alias("checksum_sha256"),
-                "blob_key",
-                "blob_url",
-            )
-            .withColumn("team_id", F.lit(project_uuid))
-            .withColumn("created_at", F.lit(now).cast("timestamp"))
-            .withColumn("updated_at", F.lit(now).cast("timestamp"))
+        rows = daily_section_rows(
+            daily_docs.select("path", "content"), refs, project_uuid, now
         )
-        rows = rows.withColumn(
-            "id",
-            uuid5_col(
-                F.lit("daily_reports"),
-                "team_id",
-                "author_name",
-                F.col("report_date").cast("string"),
-            ),
-        ).select(*[f.name for f in WAREHOUSE_SCHEMA["daily_reports"].fields])
         upsert_parquet(
             spark,
             table_path(warehouse, "daily_reports"),
@@ -323,30 +379,9 @@ def store_all_data(
             .orderBy("ord")
             .collect()
         )
-        rows = (
-            with_refs.where(F.col("tdate").isNotNull() & F.col("blob_key").isNotNull())
-            .select(
-                "filename",
-                F.col("tdate").alias("transcript_date"),
-                F.col("content").alias("transcript_text"),
-                "blob_key",
-                "blob_url",
-                F.octet_length("content").cast("long").alias("byte_size"),
-                F.col("blob_checksum").alias("checksum_sha256"),
-            )
-            .withColumn("team_id", F.lit(project_uuid))
-            .withColumn("created_at", F.lit(now).cast("timestamp"))
-            .withColumn("updated_at", F.lit(now).cast("timestamp"))
+        rows = transcript_ingest_rows(
+            transcript_docs.select("path", "content"), refs, project_uuid, now
         )
-        rows = rows.withColumn(
-            "id",
-            uuid5_col(
-                F.lit("meeting_transcripts"),
-                "team_id",
-                "filename",
-                F.col("transcript_date").cast("string"),
-            ),
-        ).select(*[f.name for f in WAREHOUSE_SCHEMA["meeting_transcripts"].fields])
         upsert_parquet(
             spark,
             table_path(warehouse, "meeting_transcripts"),

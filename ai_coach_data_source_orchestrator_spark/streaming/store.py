@@ -1,0 +1,74 @@
+"""Streaming warehouse ingest — the storeAllData daily/transcript
+families (``sinks/store.py``) over a DOCUMENT STREAM.
+
+The reference ingests by directory walk per run (lib/neon-db-storage.js
+storeAllData); at scale the natural shape is incremental: artifact
+documents land continuously (a cloud-storage drop zone read with
+``readStream``), each micro-batch parses DISTRIBUTED through the exact
+batch builders (``daily_section_rows`` / ``transcript_ingest_rows``)
+and ``foreachBatch`` applies the same idempotent K8 upsert. Because ids
+are deterministic UUIDv5 and the upsert keys are the reference's unique
+constraints, replays, overlaps, and re-deliveries all CONVERGE to the
+batch result — proved row-identical in
+``tests/test_streaming_batch_equivalence.py``.
+
+No watermark: the upsert is keyed, so late or duplicate files are
+harmless updates, and no aggregation state accumulates (parse is
+stateless per document; state lives in the warehouse table itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..sinks.merge import upsert_parquet
+from ..sinks.schema import table_path
+from ..sinks.store import daily_section_rows, transcript_ingest_rows
+
+
+def daily_ingest_stream(
+    docs: DataFrame,  # streaming (path, content)
+    refs: DataFrame,  # static blob manifest (path, blob_key, blob_url, blob_checksum)
+    project_uuid: str,
+    warehouse: str,
+    now: str,
+    checkpoint: str,
+):
+    """writeStream query: daily report documents → daily_reports
+    upserts. Returns the DataStreamWriter (caller starts/triggers)."""
+    rows = daily_section_rows(docs, refs, project_uuid, now)
+
+    def apply(batch: DataFrame, _epoch: int) -> None:
+        upsert_parquet(
+            batch.sparkSession,
+            table_path(warehouse, "daily_reports"),
+            batch,
+            keys=("team_id", "author_name", "report_date"),
+            version_col="updated_at",
+        )
+
+    return rows.writeStream.foreachBatch(apply).option("checkpointLocation", checkpoint)
+
+
+def transcript_ingest_stream(
+    docs: DataFrame,
+    refs: DataFrame,
+    project_uuid: str,
+    warehouse: str,
+    now: str,
+    checkpoint: str,
+):
+    """writeStream query: transcript documents → meeting_transcripts
+    upserts."""
+    rows = transcript_ingest_rows(docs, refs, project_uuid, now)
+
+    def apply(batch: DataFrame, _epoch: int) -> None:
+        upsert_parquet(
+            batch.sparkSession,
+            table_path(warehouse, "meeting_transcripts"),
+            batch,
+            keys=("team_id", "filename", "transcript_date"),
+            version_col="updated_at",
+        )
+
+    return rows.writeStream.foreachBatch(apply).option("checkpointLocation", checkpoint)

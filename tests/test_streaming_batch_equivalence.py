@@ -441,3 +441,84 @@ def test_source_token_histogram_stream_matches_batch_jsd(spark, sf_dir, tmp_path
         for r in REGISTRY["source_js_divergence"].fn(spark, sf_dir).collect()
     )
     assert streamed_jsd == batch_jsd
+
+
+def test_streaming_ingest_converges_to_batch_store(spark, tmp_path):
+    """Streaming ⇄ batch equivalence for the warehouse ingest: daily
+    and transcript documents replayed through a two-file stream (with
+    one document deliberately present in BOTH files — a re-delivery)
+    must leave the warehouse tables row-identical to one batch
+    store_all_data run over the deduplicated corpus. Deterministic
+    UUIDv5 ids + the reference's unique-key upsert groups make
+    replays/overlaps converge instead of duplicating."""
+    import json
+    import uuid as _uuid
+
+    from ai_coach_data_source_orchestrator_spark.sinks.schema import read_table
+    from ai_coach_data_source_orchestrator_spark.sinks.store import store_all_data
+    from ai_coach_data_source_orchestrator_spark.streaming import store as SS
+
+    daily_docs = [
+        ("/in/ann.md", "**Employee**: Ann\n\n## 2025-10-27\n\nwork a\n\n## 2025-10-28\n\nwork b"),
+        ("/in/bob.md", "**Employee**: Bob\n\n## October 27, 2025\n\nfixed things"),
+        ("/in/cat.md", "**Employee**: Cat\n\n## 2025-10-28\n\nreviewed"),
+    ]
+    tr_docs = [
+        ("/tr/fathom-2025-10-27.md", "# T1\n\nhello"),
+        ("/tr/fathom-2025-10-28.md", "# T2\n\nworld"),
+    ]
+    manifest = {
+        "dailyReports": {"urls": [
+            {"localPath": p, "pathname": f"b{p}", "url": f"u{p}", "checksum": f"c{p}"}
+            for p, _ in daily_docs
+        ]},
+        "transcripts": {"urls": [
+            {"localPath": p, "pathname": f"b{p}", "url": f"u{p}", "checksum": f"c{p}"}
+            for p, _ in tr_docs
+        ]},
+    }
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps({"teams": {"t": "uuid-t"}}))
+    quiet = dict(out=lambda s: None, warn=lambda s: None, err=lambda s: None)
+
+    # batch reference run
+    wh_batch = str(tmp_path / "wh_batch")
+    store_all_data(
+        spark, wh_batch, project_folder="t", config={},
+        daily_docs=spark.createDataFrame(
+            [(i, p, c) for i, (p, c) in enumerate(daily_docs)],
+            "ord int, path string, content string"),
+        transcript_docs=spark.createDataFrame(
+            [(i, p, c) for i, (p, c) in enumerate(tr_docs)],
+            "ord int, path string, content string"),
+        vercel_results=manifest, storage_enabled=True, vercel_enabled=True,
+        cache_path=str(cache), now="2025-10-29 00:00:00", **quiet,
+    )
+
+    # streaming run: two files, ann.md re-delivered in both
+    from ai_coach_data_source_orchestrator_spark.sinks.store import _blob_refs_df
+
+    refs = _blob_refs_df(spark, manifest)
+    wh_stream = str(tmp_path / "wh_stream")
+    for family, docs_list, split, builder in (
+        ("daily", daily_docs, 2, SS.daily_ingest_stream),
+        ("tr", tr_docs, 1, SS.transcript_ingest_stream),
+    ):
+        d = tmp_path / f"in_{family}"
+        first = docs_list[:split]
+        second = docs_list[split - 1:]  # overlap: re-deliver one doc
+        spark.createDataFrame(first, "path string, content string").coalesce(1).write.parquet(str(d))
+        spark.createDataFrame(second, "path string, content string").coalesce(1).write.mode("append").parquet(str(d))
+        sdf = spark.readStream.schema("path string, content string").parquet(str(d))
+        q = (
+            builder(sdf, refs, "uuid-t", wh_stream, "2025-10-29 00:00:00",
+                    str(tmp_path / f"ckpt_{family}_{_uuid.uuid4().hex[:6]}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for table in ("daily_reports", "meeting_transcripts"):
+        batch_rows = sorted(map(tuple, read_table(spark, wh_batch, table).collect()))
+        stream_rows = sorted(map(tuple, read_table(spark, wh_stream, table).collect()))
+        assert stream_rows == batch_rows, table
