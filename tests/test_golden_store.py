@@ -293,3 +293,33 @@ def test_uuid5_col_matches_python_uuid5(spark):
     got = df.select(S.uuid5_col("a", "b", "c", "d").alias("u"), "a", "b", "c", "d").collect()
     for r in got:
         assert r["u"] == S._uuid5(r["a"], r["b"], r["c"], r["d"])
+
+
+def test_uuid5_col_randomized_sweep(spark):
+    """300 seeded-random tuples (ASCII, unicode, empties, separators,
+    long strings) — the JVM uuid5 expression must be bit-identical to
+    Python's uuid.uuid5 on every one."""
+    import random
+    import string
+
+    rng = random.Random(20251013)
+    alphabets = [
+        string.ascii_letters + string.digits,
+        string.printable,
+        "äöüßéñ中文日本語한국어🙂🚀",
+        "-_\x01\x02 ",
+    ]
+    rows = []
+    for i in range(300):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            a = rng.choice(alphabets)
+            parts.append("".join(rng.choice(a) for _ in range(rng.randint(0, 40))))
+        while len(parts) < 4:
+            parts.append("")
+        rows.append(tuple(parts[:4]))
+    df = spark.createDataFrame(rows, "a string, b string, c string, d string")
+    got = df.select(S.uuid5_col("a", "b", "c", "d").alias("u"), "a", "b", "c", "d").collect()
+    assert len(got) == 300
+    for r in got:
+        assert r["u"] == S._uuid5(r["a"], r["b"], r["c"], r["d"]), (r["a"], r["b"])
