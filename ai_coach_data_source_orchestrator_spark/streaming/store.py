@@ -50,6 +50,33 @@ def daily_ingest_stream(
     return rows.writeStream.foreachBatch(apply).option("checkpointLocation", checkpoint)
 
 
+def transcript_rejects(docs: DataFrame, refs: DataFrame) -> DataFrame:
+    """(path, filename, reason) for documents the transcript ingest
+    skips — dateless filenames and missing blob references, the same
+    two gates the batch path warns about (SURVEY §2.9: dirty data goes
+    to an explicit bucket, never dropped silently; the reference's
+    model is the dashboard's unknownDate section,
+    generate_dashboard.js:357-367)."""
+    from pyspark.sql import functions as F
+
+    from ..sinks.store import parse_date_from_filename
+
+    parsed = (
+        docs.select("path", F.element_at(F.split("path", "/"), -1).alias("filename"))
+        .withColumn("tdate", parse_date_from_filename())
+        .join(F.broadcast(refs.select("path", "blob_key")), "path", "left")
+    )
+    return parsed.where(
+        F.col("tdate").isNull() | F.col("blob_key").isNull()
+    ).select(
+        "path",
+        "filename",
+        F.when(F.col("tdate").isNull(), F.lit("no_date_in_filename"))
+        .otherwise(F.lit("no_blob_reference"))
+        .alias("reason"),
+    )
+
+
 def transcript_ingest_stream(
     docs: DataFrame,
     refs: DataFrame,
@@ -57,10 +84,15 @@ def transcript_ingest_stream(
     warehouse: str,
     now: str,
     checkpoint: str,
+    dead_letter: bool = True,
 ):
     """writeStream query: transcript documents → meeting_transcripts
-    upserts."""
-    rows = transcript_ingest_rows(docs, refs, project_uuid, now)
+    upserts; rejects land in ``<warehouse>/ingest_dead_letter`` (keyed
+    on path+reason, so re-deliveries don't duplicate) instead of
+    vanishing."""
+    from pyspark.sql import functions as F
+
+    keep = transcript_ingest_rows(docs, refs, project_uuid, now)
 
     def apply(batch: DataFrame, _epoch: int) -> None:
         upsert_parquet(
@@ -71,4 +103,61 @@ def transcript_ingest_stream(
             version_col="updated_at",
         )
 
+    if not dead_letter:
+        return rowsink(keep, apply, checkpoint)
+
+    # one stream, two sinks: union keep-rows and rejects with a
+    # discriminator so a single foreachBatch routes both
+    rejects = transcript_rejects(docs, refs).select(
+        F.lit("reject").alias("__kind"),
+        F.to_json(F.struct("path", "filename", "reason")).alias("__payload"),
+    )
+    tagged = keep.select(
+        F.lit("keep").alias("__kind"), F.to_json(F.struct(*keep.columns)).alias("__payload")
+    ).unionByName(rejects)
+
+    def route(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        from ..sinks.schema import WAREHOUSE_SCHEMA
+
+        keep_rows = (
+            batch.where(F.col("__kind") == "keep")
+            .select(
+                F.from_json(
+                    "__payload",
+                    WAREHOUSE_SCHEMA["meeting_transcripts"],
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        upsert_parquet(
+            spark,
+            table_path(warehouse, "meeting_transcripts"),
+            keep_rows,
+            keys=("team_id", "filename", "transcript_date"),
+            version_col="updated_at",
+        )
+        reject_rows = (
+            batch.where(F.col("__kind") == "reject")
+            .select(
+                F.from_json(
+                    "__payload", "path string, filename string, reason string"
+                ).alias("r")
+            )
+            .select("r.*")
+            .withColumn("__v", F.lit(0).cast("long"))
+        )
+        if reject_rows.limit(1).count() > 0:
+            upsert_parquet(
+                spark,
+                table_path(warehouse, "ingest_dead_letter"),
+                reject_rows,
+                keys=("path", "reason"),
+                version_col="__v",
+            )
+
+    return tagged.writeStream.foreachBatch(route).option("checkpointLocation", checkpoint)
+
+
+def rowsink(rows: DataFrame, apply, checkpoint: str):
     return rows.writeStream.foreachBatch(apply).option("checkpointLocation", checkpoint)

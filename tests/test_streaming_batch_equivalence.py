@@ -466,6 +466,8 @@ def test_streaming_ingest_converges_to_batch_store(spark, tmp_path):
     tr_docs = [
         ("/tr/fathom-2025-10-27.md", "# T1\n\nhello"),
         ("/tr/fathom-2025-10-28.md", "# T2\n\nworld"),
+        ("/tr/nodate.md", "dateless"),  # → dead letter: no_date_in_filename
+        ("/tr/fathom-2025-10-30.md", "orphan"),  # → dead letter: no_blob_reference
     ]
     manifest = {
         "dailyReports": {"urls": [
@@ -474,7 +476,7 @@ def test_streaming_ingest_converges_to_batch_store(spark, tmp_path):
         ]},
         "transcripts": {"urls": [
             {"localPath": p, "pathname": f"b{p}", "url": f"u{p}", "checksum": f"c{p}"}
-            for p, _ in tr_docs
+            for p, _ in tr_docs[:2]  # the last two stay unreferenced
         ]},
     }
     cache = tmp_path / "cache.json"
@@ -522,3 +524,14 @@ def test_streaming_ingest_converges_to_batch_store(spark, tmp_path):
         batch_rows = sorted(map(tuple, read_table(spark, wh_batch, table).collect()))
         stream_rows = sorted(map(tuple, read_table(spark, wh_stream, table).collect()))
         assert stream_rows == batch_rows, table
+
+    # the streaming path's rejects land in the dead-letter table (the
+    # batch path only warns) — idempotent on the re-delivered replay
+    dl = sorted(
+        (r["filename"], r["reason"])
+        for r in spark.read.parquet(f"{wh_stream}/ingest_dead_letter").collect()
+    )
+    assert dl == [
+        ("fathom-2025-10-30.md", "no_blob_reference"),
+        ("nodate.md", "no_date_in_filename"),
+    ]
