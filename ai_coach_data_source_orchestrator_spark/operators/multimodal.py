@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-``decode_media`` REALLY decodes the codec-free container formats —
-netpbm P6/P5 images and RIFF/WAV mono PCM16 — in plain Python/NumPy
-(header parse, magic validation, payload extraction), exercised
-end-to-end by ``synthesize_media_corpus`` → ``decode_features`` against
-a SQL oracle. Compressed formats (PNG/JPEG/MP4) still raise
-NotImplementedError: those need codec libraries absent from this
+``decode_media`` REALLY decodes the codec-library-free formats —
+netpbm P6/P5 images, RIFF/WAV mono PCM16, and (r8) PNG — in plain
+Python/NumPy (header parse, magic validation, zlib inflate + scanline
+unfiltering for PNG, payload extraction), exercised end-to-end by
+``synthesize_media_corpus`` → ``decode_features`` against a SQL oracle.
+Truly codec-bound formats (JPEG/MP3/MP4) still raise
+NotImplementedError: those need DSP libraries absent from this
 container, and production would dispatch them to PIL/pyav inside the
 same Arrow batcher. ``extract_features``/``resize_media``/
 ``sample_frames`` keep their deterministic fake dimension source so
@@ -141,8 +142,151 @@ def decode_media(payload: bytes, mime: str) -> dict:
             raise ValueError("missing fmt/data chunk")
         return {"kind": "audio", "sample_rate": fmt, "values": data}
 
+    if mime == "image/png":
+        return _decode_png(payload)
+
     raise NotImplementedError(
         f"media decode for {mime!r} requires codec libraries not present in this environment"
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """REAL PNG decode in stdlib-only Python: signature + chunk walk,
+    IHDR parse, concatenated-IDAT zlib inflate, and full scanline
+    unfiltering (None/Sub/Up/Average/Paeth). Supports the common
+    non-interlaced 8-bit color types — greyscale (0), RGB (2),
+    grey+alpha (4), RGBA (6). PNG needs no codec library: the only
+    compression is zlib, which ships with Python — unlike JPEG/MP3,
+    which still raise above. Output shape matches the netpbm path
+    (``values`` = all channel bytes row-major)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, color={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        else:  # Sub/Average/Paeth need the in-progress row
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[x] = (line[x] + pred) % 256
+        out[y] = cur.astype(np.uint8)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "values": out.reshape(-1),
+    }
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color: int = 2,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Minimal PNG writer for the decode tests: real chunks/CRCs, zlib
+    deflate, and per-row filter selection (the FORWARD filters, so the
+    decoder's five unfilter branches all get exercised)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = width * channels
+    assert len(pixels) == height * stride
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride).astype(np.int32)
+    row_filters = row_filters or [0] * height
+    raw = bytearray()
+    bpp = channels
+    for y in range(height):
+        f = row_filters[y]
+        cur = px[y]
+        prev = px[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        raw.append(f)
+        for x in range(stride):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((int(cur[x]) - pred) % 256)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
     )
 
 

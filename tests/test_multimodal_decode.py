@@ -89,11 +89,13 @@ def test_malformed_inputs_raise(payload, mime):
         decode_media(payload, mime)
 
 
-def test_compressed_formats_still_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n\x1a\n", "image/png")
+def test_codec_bound_formats_still_stubbed():
+    # PNG became a real decode in r8 (stdlib zlib suffices); the DSP-
+    # codec formats remain honestly stubbed
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
 
 
 # ---------------------------------------------------------------------------
@@ -133,3 +135,76 @@ try:
 
 except ImportError:  # hypothesis is baked in, but stay import-safe
     pass
+
+
+# ---------------------------------------------------------------------------
+# PNG (r8): stdlib-only real decode — zlib inflate + all five unfilters
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h = 9, 5
+    pixels = rng.randint(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()
+    # one row per filter type, exercising every unfilter branch
+    png = encode_png(w, h, pixels, color=2, row_filters=[0, 1, 2, 3, 4])
+    got = decode_media(png, "image/png")
+    assert (got["kind"], got["width"], got["height"]) == ("image", w, h)
+    assert got["values"].tobytes() == pixels
+
+
+def test_png_color_types_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for color, ch in ((0, 1), (4, 2), (6, 4)):
+        w, h = 6, 4
+        px = rng.randint(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+        got = decode_media(
+            encode_png(w, h, px, color=color, row_filters=[4, 3, 1, 2]), "image/png"
+        )
+        assert got["values"].tobytes() == px, f"color type {color}"
+    with _pytest.raises(ValueError, match="bad PNG signature"):
+        decode_media(b"notapng", "image/png")
+    # 16-bit depth must be rejected, not mis-decoded
+    import struct
+    import zlib as _zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG shape"):
+        decode_media(b"\x89PNG\r\n\x1a\n" + chunk, "image/png")
+
+
+def test_png_matches_ppm_decode_for_same_image():
+    """The PNG and PPM paths must agree byte-for-byte on the same RGB
+    image — PNG is just a compressed container around the identical
+    pixel stream."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+        encode_ppm,
+    )
+
+    w, h = 4, 3
+    rgb = bytes((i * 31 + 7) % 256 for i in range(w * h * 3))
+    via_ppm = decode_media(encode_ppm(w, h, rgb), "image/x-portable-pixmap")
+    via_png = decode_media(encode_png(w, h, rgb, color=2, row_filters=[2, 4, 1]), "image/png")
+    assert np.array_equal(via_ppm["values"], via_png["values"])
+    assert (via_ppm["width"], via_ppm["height"]) == (via_png["width"], via_png["height"])
