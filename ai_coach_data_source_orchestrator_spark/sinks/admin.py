@@ -125,11 +125,25 @@ def _inspect(v) -> str:
     return str(v)
 
 
+def _display_width(s: str) -> int:
+    """Node's getStringWidth: East-Asian Wide/Fullwidth code points
+    occupy two terminal columns, combining marks zero, everything else
+    one — cell padding must use COLUMNS, not code points."""
+    import unicodedata
+
+    w = 0
+    for ch in s:
+        if unicodedata.combining(ch):
+            continue
+        w += 2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1
+    return w
+
+
 def render_console_table(rows: list[dict]) -> str:
     """Node ``console.table`` over an array of objects, byte-for-byte
-    (golden-pinned): box-drawing borders, an ``(index)`` column,
-    first-seen key order across all rows, left-aligned cells with one
-    space of padding."""
+    (golden-pinned + node-fuzzed): box-drawing borders, an ``(index)``
+    column, first-seen key order across all rows, left-aligned cells
+    with one space of padding, display-width-aware sizing."""
     cols: list[str] = []
     for r in rows:
         for k in r:
@@ -141,7 +155,9 @@ def render_console_table(rows: list[dict]) -> str:
         for i, r in enumerate(rows)
     ]
     widths = [
-        max(len(h), *(len(row[j]) for row in cells)) if cells else len(h)
+        max(_display_width(h), *(_display_width(row[j]) for row in cells))
+        if cells
+        else _display_width(h)
         for j, h in enumerate(headers)
     ]
 
@@ -149,7 +165,13 @@ def render_console_table(rows: list[dict]) -> str:
         return left + mid.join("─" * (w + 2) for w in widths) + right
 
     def row_line(vals: list[str]) -> str:
-        return "│" + "│".join(f" {v.ljust(w)} " for v, w in zip(vals, widths)) + "│"
+        return (
+            "│"
+            + "│".join(
+                f" {v}{' ' * (w - _display_width(v))} " for v, w in zip(vals, widths)
+            )
+            + "│"
+        )
 
     parts = [line("┌", "┬", "┐"), row_line(headers), line("├", "┼", "┤")]
     parts += [row_line(c) for c in cells]

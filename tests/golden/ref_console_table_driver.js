@@ -1,0 +1,17 @@
+// Golden-test driver: renders each row-set in the fixture with node's
+// REAL console.table (via a capture-stream Console) and prints the
+// rendered strings as JSON — the fuzz oracle for
+// sinks/admin.render_console_table.
+// Usage: node ref_console_table_driver.js <fixture.json>
+const fs = require('fs');
+const { Writable } = require('stream');
+const cases = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const out = [];
+for (const rows of cases) {
+  let text = '';
+  const sink = new Writable({ write(c, _e, cb) { text += c.toString(); cb(); } });
+  const con = new console.Console(sink, sink);
+  con.table(rows);
+  out.push(text);
+}
+process.stdout.write(JSON.stringify(out) + '\n');

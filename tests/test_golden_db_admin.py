@@ -233,3 +233,37 @@ def test_query_warehouse_end_to_end(spark, tmp_path):
     assert "  (no daily reports yet)" in text
     assert "  (no transcripts yet)" in text
     assert text.endswith("\n✓ Query completed successfully!\n\n")
+
+
+def test_console_table_randomized_fuzz(tmp_path):
+    """60 seeded-random row-sets (mixed key orders, missing keys, null
+    cells, ints, floats, booleans, unicode strings, empty sets) — our
+    renderer must match node's real console.table byte-for-byte on
+    every one."""
+    import random
+
+    rng = random.Random(20251014)
+    keys_pool = ["team", "n", "ok", "note", "läbel", "x_y"]
+    values = [
+        lambda: rng.randint(-999, 99999),
+        lambda: rng.choice([True, False]),
+        lambda: None,
+        lambda: "".join(rng.choice("abzüß中 9-_") for _ in range(rng.randint(0, 12))),
+    ]
+    cases = []
+    for _ in range(60):
+        rows = []
+        for _r in range(rng.randint(0, 5)):
+            ks = rng.sample(keys_pool, rng.randint(1, len(keys_pool)))
+            rows.append({k: rng.choice(values)() for k in ks})
+        cases.append(rows)
+    p = tmp_path / "cases.json"
+    p.write_text(json.dumps(cases))
+    driver = Path(__file__).parent / "golden" / "ref_console_table_driver.js"
+    out = subprocess.run(
+        ["node", str(driver), str(p)], capture_output=True, text=True, check=True
+    )
+    expected = json.loads(out.stdout)
+    for rows, want in zip(cases, expected):
+        got = admin.render_console_table(rows) + "\n"
+        assert got == want, f"rows={rows!r}"
