@@ -92,9 +92,14 @@ def extract_author_name() -> F.Column:
 def parse_date_from_filename() -> F.Column:
     """neon-db-storage.js:103-123 over a ``filename`` column: first
     YYYY-MM-DD anywhere, else MM-DD-YYYY, else MM_DD_YYYY — each
-    reassembled exactly as the reference feeds ``new Date(...)``;
-    invalid calendar dates come back null (the reference's Invalid
-    Date object fails at insert time instead — same row outcome)."""
+    reassembled exactly as the reference feeds ``new Date(...)``, with
+    V8's parse semantics replicated (node-fuzzed,
+    test_golden_pure_fuzz): month must be 01-12 and day 01-31, but day
+    overflow past the month length ROLLS OVER (``2025-02-30`` → Mar 2
+    — the same V8 leniency config.py's ``_js_parse_config_date``
+    documents); out-of-range fields come back null (the reference's
+    Invalid Date object fails at insert time instead — same row
+    outcome)."""
     iso = F.nullif(F.regexp_extract("filename", r"(\d{4})-(\d{2})-(\d{2})", 0), F.lit(""))
     mdy = F.regexp_extract("filename", r"(\d{2})-(\d{2})-(\d{4})", 0)
     mdy_iso = F.when(
@@ -116,8 +121,14 @@ def parse_date_from_filename() -> F.Column:
             F.regexp_extract("filename", r"(\d{2})_(\d{2})_(\d{4})", 2),
         ),
     )
-    return F.try_to_timestamp(
-        F.coalesce(iso, mdy_iso, mdy_u_iso), F.lit("yyyy-MM-dd")
+    cand = F.coalesce(iso, mdy_iso, mdy_u_iso)
+    parts = F.split(cand, "-")
+    y = F.element_at(parts, 1).cast("int")
+    mo = F.element_at(parts, 2).cast("int")
+    d = F.element_at(parts, 3).cast("int")
+    rolled = F.date_add(F.make_date(y, mo, F.lit(1)), d - 1)
+    return F.when(
+        mo.between(1, 12) & d.between(1, 31), rolled.cast("timestamp")
     )
 
 

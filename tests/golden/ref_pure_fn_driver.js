@@ -1,0 +1,66 @@
+// Golden-test driver: calls individual EXPORTED pure helpers of the
+// reference's neon-db-storage.js / vercel-blob-uploader.js modules
+// (loaded with stubbed side-effect deps) over fixture-supplied
+// arguments — the fuzz oracle for the Python twins.
+//
+// Fixture: {"calls": [{"module": "store"|"blob", "fn": name,
+//                      "args": [...]}, ...]}
+// Output: JSON array of results; Date objects → ISO string,
+// Invalid Date → {"__invalidDate": true}, thrown → {"__threw": msg}.
+//
+// Usage: node ref_pure_fn_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+const crypto = require('crypto');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+function loadSandboxed(rel, reqMap) {
+  const abs = path.join(refRoot, rel);
+  const src = realFs.readFileSync(abs, 'utf8');
+  const mod = { exports: {} };
+  const req = (name) => {
+    if (name in reqMap) return reqMap[name];
+    throw new Error(`unexpected require from ${rel}: ${name}`);
+  };
+  const noConsole = { log() {}, warn() {}, error() {} };
+  new Function('require', 'module', 'exports', '__dirname', '__filename', 'process', 'console', src)(
+    req, mod, mod.exports, path.dirname(abs), abs, { env: {} }, noConsole
+  );
+  return mod.exports;
+}
+
+const store = loadSandboxed(path.join('lib', 'neon-db-storage.js'), {
+  dotenv: { config: () => ({}) },
+  fs: {},
+  path,
+  '@neondatabase/serverless': { neon: () => ({}) },
+  'drizzle-orm/neon-http': { drizzle: () => ({}) },
+  './vercel-blob-uploader': {
+    computeChecksum: (c) => crypto.createHash('sha256').update(c, 'utf8').digest('hex'),
+  },
+  '../db/schema': {},
+});
+const blob = loadSandboxed(path.join('lib', 'vercel-blob-uploader.js'), {
+  fs: {},
+  path,
+  crypto,
+  '@vercel/blob': { put: () => Promise.resolve({}) },
+});
+
+const mods = { store, blob };
+const out = [];
+for (const call of fixture.calls) {
+  try {
+    let r = mods[call.module][call.fn](...call.args);
+    if (r instanceof Date) {
+      r = isNaN(r.getTime()) ? { __invalidDate: true } : r.toISOString();
+    }
+    out.push(r === undefined ? null : r);
+  } catch (e) {
+    out.push({ __threw: String(e && e.message) });
+  }
+}
+process.stdout.write(JSON.stringify(out) + '\n');

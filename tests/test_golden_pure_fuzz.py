@@ -1,0 +1,140 @@
+"""Randomized fuzz of the parity-sensitive PURE helpers against the
+reference's own exported functions (tests/golden/ref_pure_fn_driver.js
+loads the real modules with stubbed side-effect deps and calls each
+helper directly).
+
+Covered: blob pathname building (dotfiles, multi-dot names, extension-
+less names, `_to_` anywhere, subdirectories, unicode), the date-range
+formatter, the db label splitter, filename-date parsing (three
+patterns, precedence, invalid calendar dates), and the author-header
+extraction (lazy first-word capture over ECMA whitespace)."""
+
+from __future__ import annotations
+
+import json
+import random
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.sinks import admin, blob
+
+DRIVER = Path(__file__).parent / "golden" / "ref_pure_fn_driver.js"
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+
+
+def _node(tmp_path, calls):
+    p = tmp_path / "calls.json"
+    p.write_text(json.dumps({"calls": calls}))
+    out = subprocess.run(
+        ["node", str(DRIVER), str(p)], capture_output=True, text=True, check=True
+    )
+    return json.loads(out.stdout)
+
+
+def test_build_blob_pathname_fuzz(tmp_path):
+    rng = random.Random(20251015)
+    stems = ["report", "a.b.c", ".env", "x.", "über-doc", "weekly_2025-10-06_to_2025-10-12", "no"]
+    exts = ["", ".md", ".json", ".tar.gz", "."]
+    dirs = ["", "sub/", "a/b/"]
+    cases = []
+    for _ in range(80):
+        fname = rng.choice(dirs) + rng.choice(stems) + rng.choice(exts)
+        cases.append(("timeclock", rng.choice(["transcripts", "slack/sanitized"]), fname, "2025-10-06_to_2025-10-12"))
+    got_ref = _node(tmp_path, [{"module": "blob", "fn": "buildBlobPathname", "args": list(c)} for c in cases])
+    for c, want in zip(cases, got_ref):
+        assert blob.build_blob_pathname(*c) == want, c
+
+
+def test_format_date_range_and_db_label_fuzz(tmp_path):
+    range_cases = [("2025-10-06", "2025-10-12"), ("", "2025-10-12"), ("2025-10-06", None), (None, None)]
+    label_cases = [
+        "postgresql://u:p@db.example.com/neondb?sslmode=require",
+        "postgres://u@host/db",
+        "no-at-sign",
+        "a@b@c/d",
+        "u:p@/db",
+    ]
+    calls = [{"module": "blob", "fn": "formatDateRange", "args": list(c)} for c in range_cases]
+    ref = _node(tmp_path, calls)
+    for (s, e), want in zip(range_cases, ref):
+        # the missing-date branch returns node's "today" — feed it back
+        # as our today operand so the comparison is clock-free
+        assert blob.format_date_range(s, e, today=want) == want
+    # db_label: the reference inlines the expression (drop-all-tables.js
+    # :23); replicate its split semantics directly
+    for url in label_cases:
+        parts = url.split("@")
+        want = (parts[1].split("/")[0] if len(parts) > 1 else None) or "configured"
+        assert admin.db_label(url) == want, url
+
+
+def test_filename_date_and_author_fuzz(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ai_coach_data_source_orchestrator_spark.sinks.store import (
+        extract_author_name,
+        parse_date_from_filename,
+    )
+
+    rng = random.Random(20251016)
+    fnames = [
+        "fathom-transcripts-2025-10-13T07_00_00.md",
+        "meeting-10-09-2025.md",
+        "meeting-10_09_2025.md",
+        "x-2025-02-30-y.md",  # ISO pattern wins, invalid calendar date
+        "x-02-30-2025.md",  # MM-DD invalid day
+        "both-2025-10-08-and-10-09-2024.md",  # pattern precedence
+        "nodate.md",
+        "13-40-2025.md",  # invalid month/day
+        "prefix120-11-2025.md",  # match starts mid-number
+        "00-00-0000.md",
+    ]
+    for _ in range(30):
+        a, b, c = rng.randint(0, 99), rng.randint(0, 99), rng.randint(1900, 2100)
+        fnames.append(f"gen-{a:02d}-{b:02d}-{c:04d}.md")
+        fnames.append(f"gen-{c:04d}-{a:02d}-{b:02d}.md")
+    ref = _node(
+        tmp_path,
+        [{"module": "store", "fn": "parseDateFromFilename", "args": [f]} for f in fnames],
+    )
+    df = spark.createDataFrame([(f,) for f in fnames], "filename string")
+    ours = {
+        r["filename"]: r["d"]
+        for r in df.select(
+            "filename", parse_date_from_filename().cast("date").cast("string").alias("d")
+        ).collect()
+    }
+    for f, want in zip(fnames, ref):
+        if want is None or (isinstance(want, dict) and want.get("__invalidDate")):
+            # reference Invalid Date → failed insert; ours → null/skip.
+            # Same row outcome (documented divergence in the message).
+            assert ours[f] is None, f
+        else:
+            assert ours[f] == want[:10], (f, want)
+
+    contents = [
+        "**Employee**: John Smith\nmore",
+        "**Employee**:Jane\n",
+        "pre **Employee**: Ümit Tail",  # NBSP is ECMA \s → first-word stops there
+        "**Employee**: \n",  # only whitespace after colon
+        "**employee**: case matters\n",
+        "no header at all",
+        "**Employee**: tab\tsplit",
+        "**Employee**: end-of-string",
+    ]
+    ref = _node(
+        tmp_path,
+        [{"module": "store", "fn": "extractAuthorName", "args": [c]} for c in contents],
+    )
+    dfc = spark.createDataFrame([(c,) for c in contents], "content string")
+    ours = {r["content"]: r["a"] for r in dfc.select("content", extract_author_name().alias("a")).collect()}
+    for c, want in zip(contents, ref):
+        assert ours[c] == want, (repr(c), want, ours[c])
