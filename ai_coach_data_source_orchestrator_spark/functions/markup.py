@@ -232,19 +232,70 @@ def human_size(size_bytes: Column) -> Column:
     )
 
 
+_V8_MONTHS = (
+    "january", "february", "march", "april", "may", "june",
+    "july", "august", "september", "october", "november", "december",
+)
+
+
+def daily_header_date(h: Column) -> Column:
+    """``new Date(header)`` for a daily section header, V8-faithful for
+    the classes the pipeline emits (node-probed, golden-pinned in
+    test_golden_sections):
+
+    - en-US month-name forms, case-insensitive, optional comma/period,
+      ABBREVIATED OR PREFIX month tokens of ≥3 letters ("Sept 5, 2025",
+      "Octob 27, 2025" both parse — V8 matches month-name prefixes);
+    - the YYYY-MM-DD extract fallback (neon-db-storage.js:167-170);
+    - V8's day-overflow ROLLOVER in both: month must be 01-12 and day
+      01-31, but "February 30" / "2025-02-30" roll to March 2 — they do
+      NOT reject (same leniency class as config._js_parse_config_date).
+
+    Out of model (documented): day-first ("27 October 2025"), slash
+    dates, 2-digit years, non-padded ISO — V8's legacy parser accepts
+    them but no reference renderer emits them.
+    """
+    name = F.lower(
+        F.regexp_extract(h, r"(?i)^([a-z]{3,9})\.?\s+\d{1,2},?\s+\d{4}$", 1)
+    )
+    mn_day = F.regexp_extract(
+        h, r"(?i)^[a-z]{3,9}\.?\s+(\d{1,2}),?\s+(\d{4})$", 1
+    ).try_cast("int")
+    mn_year = F.regexp_extract(
+        h, r"(?i)^[a-z]{3,9}\.?\s+(\d{1,2}),?\s+(\d{4})$", 2
+    ).try_cast("int")
+    month_no = F.when(F.lit(False), 0)
+    for i, m in enumerate(_V8_MONTHS):
+        month_no = month_no.when(
+            (F.length(name) >= 3) & F.lit(m).startswith(name), i + 1
+        )
+    month_no = month_no.otherwise(F.lit(None))
+    mn_date = F.when(
+        month_no.isNotNull() & mn_day.between(1, 31),
+        F.date_add(F.make_date(mn_year, month_no, F.lit(1)), mn_day - 1),
+    )
+    iso_y = F.regexp_extract(h, r"(\d{4})-(\d{2})-(\d{2})", 1).try_cast("int")
+    iso_m = F.regexp_extract(h, r"(\d{4})-(\d{2})-(\d{2})", 2).try_cast("int")
+    iso_d = F.regexp_extract(h, r"(\d{4})-(\d{2})-(\d{2})", 3).try_cast("int")
+    iso_date = F.when(
+        iso_m.between(1, 12) & iso_d.between(1, 31),
+        F.date_add(F.make_date(iso_y, iso_m, F.lit(1)), iso_d - 1),
+    )
+    return F.coalesce(mn_date, iso_date)
+
+
 def split_daily_sections(doc: Column) -> Column:
     """X20 — reference-exact restatement of ``splitDailyReportByDate``
     (lib/neon-db-storage.js:145-194), pinned by the node golden
     (tests/test_golden_sections.py): split on ``^## (.+)$`` headers,
-    full-whitespace-trim header and body, skip empty bodies, parse the
-    header as 'Month D, YYYY' else extract YYYY-MM-DD (unparseable →
-    section skipped, mirroring the reference's continue), and checksum
-    the RECONSTRUCTED ``## {header}\\n\\n{body}`` — the exact string the
+    full-whitespace-trim header and body, skip empty bodies, date the
+    header via :func:`daily_header_date` (V8-faithful month-name and
+    ISO forms with day rollover; unparseable → section skipped,
+    mirroring the reference's continue), and checksum the
+    RECONSTRUCTED ``## {header}\\n\\n{body}`` — the exact string the
     reference uploads.
 
-    Returns array<struct<date, content, checksum>>. (JS ``new Date()``
-    also accepts exotic strings like bare "27"; the pipeline contract
-    is date headers, so only the two documented forms are modeled.)
+    Returns array<struct<date, content, checksum>>.
     """
     headers = F.transform(
         F.regexp_extract_all(doc, F.lit(r"(?m)^## (.+)$"), F.lit(1)),
@@ -262,13 +313,7 @@ def split_daily_sections(doc: Column) -> Column:
 
     def section(p: Column) -> Column:
         content = F.concat(F.lit("## "), p["h"], F.lit("\n\n"), p["b"])
-        d = F.coalesce(
-            F.try_to_timestamp(p["h"], F.lit("MMMM d, yyyy")).cast("date"),
-            F.try_to_timestamp(
-                F.nullif(F.regexp_extract(p["h"], r"\d{4}-\d{2}-\d{2}", 0), F.lit("")),
-                F.lit("yyyy-MM-dd"),
-            ).cast("date"),
-        )
+        d = daily_header_date(p["h"])
         return F.struct(
             d.alias("date"), content.alias("content"), F.sha2(content, 256).alias("checksum")
         )

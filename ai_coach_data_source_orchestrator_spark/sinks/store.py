@@ -149,14 +149,9 @@ def _daily_invalid_headers(doc: F.Column) -> F.Column:
         F.arrays_zip(headers.alias("h"), body_tail.alias("b")),
         lambda p: p["b"] != "",
     )
-    bad = F.filter(
-        pairs,
-        lambda p: F.try_to_timestamp(p["h"], F.lit("MMMM d, yyyy")).isNull()
-        & F.try_to_timestamp(
-            F.nullif(F.regexp_extract(p["h"], r"\d{4}-\d{2}-\d{2}", 0), F.lit("")),
-            F.lit("yyyy-MM-dd"),
-        ).isNull(),
-    )
+    from ..functions.markup import daily_header_date
+
+    bad = F.filter(pairs, lambda p: daily_header_date(p["h"]).isNull())
     return F.transform(bad, lambda p: p["h"])
 
 

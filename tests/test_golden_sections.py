@@ -25,6 +25,14 @@ DOCS = [
     "## 2024-02-29\nleap day content",
     "preamble\n## March 3, 2024\n  indented body  \nsecond line\n",
     "",
+    # V8 leniency classes (r8, node-probed): abbreviated / prefix /
+    # lowercase month tokens, optional comma and period, day-overflow
+    # ROLLOVER for both month-name and ISO forms, day-32 rejection
+    "## Oct 30, 2025\n\nabbrev\n\n## oct 2, 2025\n\nlowercase\n\n"
+    "## Sept 5, 2025\n\nfour-letter prefix\n\n## Octob 27, 2025\n\nlonger prefix\n\n"
+    "## Oct. 27, 2025\n\nperiod\n\n## Feb 30 2025\n\nrolls to march 2\n\n"
+    "## 2025-02-30\n\niso rollover\n\n## October 32, 2025\n\nday 32 invalid\n\n"
+    "## March  3,  2024\n\ndouble spaces\n",
 ]
 
 
