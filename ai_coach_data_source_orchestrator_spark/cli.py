@@ -269,8 +269,11 @@ def _cmd_run_all(args) -> int:
 
                 # per-team roster slice: 3 members per team, disjoint —
                 # per-team isolation on shared docs (the reference's
-                # per-team configs carry disjoint rosters)
-                i = teams.index(team)
+                # per-team configs carry disjoint rosters). Slice by
+                # loop position, not name lookup: a duplicated team
+                # name must not alias two teams onto one roster.
+                i = run_team.counter
+                run_team.counter += 1
                 roster = members[3 * i : 3 * i + 3]
                 result = run_one_on_one(
                     spark, docs, roster, generated_at=generated_at
@@ -306,6 +309,7 @@ def _cmd_run_all(args) -> int:
             )
             return 1
 
+    run_team.counter = 0
     code = run_all_teams(
         teams,
         run_team,
