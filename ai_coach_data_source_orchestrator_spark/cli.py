@@ -36,6 +36,15 @@ Subcommands:
                                   (organizations/teams/report_types) and write
                                   the uuid cache (scripts/seed-neon-db.js +
                                   sync-neon-uuids.js)
+- ``slack-list``/``slack-users``  — the Slack discovery scripts
+                                  (slack/list-channels.js,
+                                  build-user-map.js): channel report and
+                                  users.json map over a scripted API
+                                  fixture (no network here), console
+                                  contract golden-pinned
+- ``list-reports``              — the package.json ``list-reports``
+                                  one-liner: configured teams + the four
+                                  report types
 - ``db-migrate``/``db-drop``/``db-query`` — the warehouse admin trio
                                   (scripts/run-neon-migrations.js,
                                   drop-all-tables.js, query-neon-db.js):
@@ -600,6 +609,86 @@ def _cmd_bench(_args) -> int:
     return 0
 
 
+def _fixture_transport(path: str):
+    """Offline Slack transport: consume scripted API responses from a
+    JSON file (same shape as the golden fixtures' ``responses`` list —
+    [{status?, headers?, body?|rawBody?}] in request order). No network
+    exists in this container; a deployment passes a real HTTPS
+    transport to the library functions instead."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        spec = json.load(f)
+    responses = list(spec.get("responses") if isinstance(spec, dict) else spec)
+
+    def transport(method: str, params: dict) -> tuple[int, dict, str]:
+        if not responses:
+            raise RuntimeError(f"api fixture exhausted at {method}")
+        r = responses.pop(0)
+        body = r["rawBody"] if "rawBody" in r else json.dumps(r.get("body") or {})
+        return r.get("status", 200), r.get("headers") or {}, body
+
+    return transport
+
+
+def _slack_admin_loaders(args):
+    """Config loaders for the slack admin verbs, mirroring the
+    reference's ConfigManager dispatch (TEAM+REPORT_TYPE → hierarchical,
+    else CONFIG_FILE single-file)."""
+    from .config import load_config, load_single_config
+
+    configs_dir = args.configs_dir or "configs"
+    return (
+        lambda team, rt: load_config(configs_dir, team, rt),
+        lambda: load_single_config(args.config_file),
+    )
+
+
+def _cmd_slack_list(args) -> int:
+    """slack:list (slack/list-channels.js) — golden-pinned in
+    tests/test_golden_slack_admin.py."""
+    from .pipeline.slack_admin import list_channels_main
+
+    hier, single = _slack_admin_loaders(args)
+    return list_channels_main(
+        transport=_fixture_transport(args.api_fixture),
+        load_for_report_type=hier,
+        load=single,
+    )
+
+
+def _cmd_slack_users(args) -> int:
+    """slack:users (slack/build-user-map.js) — golden-pinned in
+    tests/test_golden_slack_admin.py."""
+    from .pipeline.slack_admin import build_user_map_main
+
+    hier, single = _slack_admin_loaders(args)
+    return build_user_map_main(
+        transport=_fixture_transport(args.api_fixture),
+        load_for_report_type=hier,
+        load=single,
+        slack_dir=args.slack_dir,
+        mapping_base_dir=args.mapping_base_dir,
+    )
+
+
+def _cmd_list_reports(args) -> int:
+    """The reference's ``list-reports`` npm one-liner (package.json):
+    enumerate configs/ team dirs (minus ``shared``) and the fixed
+    report-type list, with its exact two output lines."""
+    teams: list[str] = []
+    configs = args.configs_dir or "configs"
+    if os.path.isdir(configs):
+        teams = [
+            e.name
+            for e in os.scandir(configs)
+            if e.is_dir() and e.name != "shared"
+        ]
+    print("Available teams:", ", ".join(teams) or "(none)")
+    print("Report types: 1on1, team, weekly, dashboard")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ai_coach_data_source_orchestrator_spark.cli")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -717,6 +806,24 @@ def main(argv: list[str] | None = None) -> int:
         if verb != "db-query":
             d.add_argument("--label", help="database label for the banner (default: warehouse path)")
 
+    for verb, helptext in (
+        ("slack-list", "list Slack channels for config discovery (list-channels.js)"),
+        ("slack-users", "build the Slack user-id→name map (build-user-map.js)"),
+    ):
+        sl = sub.add_parser(verb, help=helptext)
+        sl.add_argument(
+            "--api-fixture", required=True,
+            help="JSON file of scripted Slack API responses (no network in this environment)",
+        )
+        sl.add_argument("--configs-dir", help="hierarchical configs root (with TEAM/REPORT_TYPE env)")
+        sl.add_argument("--config-file", help="single-file config path (CONFIG_FILE mode)")
+        if verb == "slack-users":
+            sl.add_argument("--slack-dir", default="slack", help="output root for data/<project>/users.json")
+            sl.add_argument("--mapping-base-dir", help="team-name-mapping*.json directory")
+
+    lr = sub.add_parser("list-reports", help="list configured teams and report types")
+    lr.add_argument("--configs-dir", help="configs root (default: configs)")
+
     s = sub.add_parser("seed", help="seed warehouse dimensions + uuid cache")
     s.add_argument("--warehouse", required=True, help="warehouse root directory")
     s.add_argument("--configs-dir", help="discover teams from this configs/ dir")
@@ -738,6 +845,9 @@ def main(argv: list[str] | None = None) -> int:
         "dashboard": _cmd_dashboard,
         "upload": _cmd_upload,
         "store": _cmd_store,
+        "slack-list": _cmd_slack_list,
+        "slack-users": _cmd_slack_users,
+        "list-reports": _cmd_list_reports,
         "db-migrate": _cmd_db_migrate,
         "db-drop": _cmd_db_drop,
         "db-query": _cmd_db_query,

@@ -54,11 +54,29 @@ def _js_iso(dt: datetime.datetime) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"
 
 
+class _JSUndefined:
+    """JS ``undefined`` sentinel for context values: a PRESENT key
+    holding undefined (e.g. ``{configFile: process.env.CONFIG_FILE}``
+    with the var unset) still prints in Additional Context — as
+    ``undefined``, not ``null``. Falsy, singleton."""
+
+    def __bool__(self) -> bool:
+        return False
+
+    def __repr__(self) -> str:
+        return "undefined"
+
+
+JS_UNDEFINED = _JSUndefined()
+
+
 def _js_template(v: Any) -> str:
     """JS template-literal ``${v}`` coercion for context values
     (error-handler.js:96: ``lines.push(`  ${key}: ${value}`)``)."""
     if isinstance(v, bool):
         return "true" if v else "false"
+    if v is JS_UNDEFINED:
+        return "undefined"
     if v is None:
         return "null"
     if isinstance(v, float) and v.is_integer():

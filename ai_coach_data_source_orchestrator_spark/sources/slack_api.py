@@ -1,0 +1,249 @@
+"""Slack admin/discovery API twins (slack/lib/api.js).
+
+The reference's ``slack:list`` and ``slack:users`` npm scripts are
+driver-side DISCOVERY scans: they enumerate the workspace's channels /
+users so a human can pick channel ids for config or so downstream
+joins get a user-id→name dimension. Per SURVEY §2.1/§4, listing scans
+like these stay serial driver loops producing bounded dimension data
+(the distributed fan-out lives in ``sources/rest.py``); what this
+module adds is the reference's EXACT request/retry/report semantics —
+pagination cursors, the 429 retry budget with its console message, the
+name-fallback chain, and the cache-file format — so the CLI twins are
+byte-comparable against the reference scripts executed by the golden
+drivers (tests/golden/ref_slack_admin_driver.js).
+
+Transport contract: ``(method, params) -> (status, headers, body)``
+where ``method`` is the Slack API method name (``conversations.list``)
+and ``body`` is the raw response TEXT (parse failures must replicate
+slackRequest's NetworkError, slack/lib/api.js:92-97). Header keys are
+matched lowercase (node normalizes them).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+from typing import Any
+
+from ..errors import NetworkError
+
+SlackTransport = Callable[[str, dict], tuple[int, dict, str]]
+
+# JS trim's whitespace set (String.prototype.trim) — shared convention
+# with pipeline/one_on_one.py.
+_JS_WS = "\t\n\x0b\f\r \xa0                　﻿"
+
+
+class RateLimited(Exception):
+    """slackRequest's 429 rejection (slack/lib/api.js:62-67): a plain
+    ``{statusCode, retryAfter, message}`` object, NOT a NetworkError —
+    the callers' ``error.statusCode === 429`` checks only ever match
+    this shape."""
+
+    status_code = 429
+
+    def __init__(self, retry_after: int):
+        super().__init__(f"Rate limited, retry after {retry_after}s")
+        self.retry_after = retry_after
+
+
+def _js_str(v: Any) -> str:
+    """URLSearchParams value stringification: String(v)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+_URLSP_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789*-._"
+)
+
+
+def _urlsearchparams(params: dict) -> str:
+    """WHATWG URLSearchParams().toString(): x-www-form-urlencoded —
+    space → '+', byte-wise %XX uppercase hex for everything outside
+    [A-Za-z0-9*\\-._]. (Python's ``quote_plus`` differs on '*' and
+    '~', so spell the set out.)"""
+
+    def enc(s: str) -> str:
+        out = []
+        for b in s.encode("utf-8"):
+            c = chr(b)
+            if c in _URLSP_SAFE:
+                out.append(c)
+            elif c == " ":
+                out.append("+")
+            else:
+                out.append(f"%{b:02X}")
+        return "".join(out)
+
+    return "&".join(f"{enc(_js_str(k))}={enc(_js_str(v))}" for k, v in params.items())
+
+
+def slack_request(
+    transport: SlackTransport,
+    method: str,
+    params: dict | None = None,
+    debug: bool = False,
+    out: Callable[[str], None] = print,
+) -> dict:
+    """One Slack Web API GET (slack/lib/api.js:30-111): 429 → raise
+    RateLimited honoring the lowercase ``retry-after`` header (default
+    60); other non-200 → NetworkError('Slack API returned HTTP N');
+    parse failure and ``ok: false`` replicate the reference's messages
+    byte-for-byte."""
+    params = params or {}
+    qs = _urlsearchparams(params)
+    if debug:
+        out(f"[DEBUG] Request: GET /api/{method}{'?' + qs if qs else ''}")
+    status, headers, body = transport(method, params)
+    if debug:
+        out(f"[DEBUG] Response status: {status}")
+    if status == 429:
+        lower = {str(k).lower(): v for k, v in (headers or {}).items()}
+        try:
+            retry_after = int(str(lower.get("retry-after", "60")).strip() or "60")
+        except ValueError:
+            # parseInt('junk', 10) → NaN; `|| 60` does NOT rescue NaN,
+            # but Slack always sends a numeric header; mirror the sane
+            # default rather than NaN-seconds sleeps.
+            retry_after = 60
+        raise RateLimited(retry_after)
+    if status != 200:
+        raise NetworkError(
+            f"Slack API returned HTTP {status}",
+            {"statusCode": status, "response": body},
+        )
+    try:
+        payload = json.loads(body)
+    except ValueError as e:
+        raise NetworkError(
+            f"Failed to parse Slack API response: {e}",
+            {"parseError": str(e), "response": body},
+        ) from e
+    if not payload.get("ok"):
+        error_msg = payload.get("error") or "unknown_error"
+        raise NetworkError(
+            f"Slack API error: {error_msg}",
+            {"statusCode": status, "error": error_msg, "response": payload},
+        )
+    return payload
+
+
+def fetch_all_channels(
+    transport: SlackTransport,
+    types: str = "public_channel,private_channel",
+    exclude_archived: bool = True,
+    debug: bool = False,
+    out: Callable[[str], None] = print,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[dict]:
+    """conversations.list cursor walk (slack/lib/api.js:120-174):
+    limit 200 pages, 429 → retry SAME cursor up to 3 times with the
+    reference's console line, budget reset only on a successful page
+    THAT HAS a next cursor; over budget → NetworkError('Rate limit
+    exceeded after 3 retries')."""
+    channels: list[dict] = []
+    cursor = ""
+    retry_count = 0
+    max_retries = 3
+    while True:
+        try:
+            params: dict = {
+                "types": types,
+                "exclude_archived": exclude_archived,
+                "limit": 200,
+            }
+            if cursor:
+                params["cursor"] = cursor
+            response = slack_request(transport, "conversations.list", params, debug, out)
+            got = response.get("channels")
+            if isinstance(got, list):
+                channels.extend(got)
+            next_cursor = (response.get("response_metadata") or {}).get("next_cursor") or ""
+            if not next_cursor:
+                break
+            cursor = next_cursor
+            retry_count = 0
+        except RateLimited as e:
+            if retry_count >= max_retries:
+                raise NetworkError(
+                    f"Rate limit exceeded after {max_retries} retries",
+                    {"retryCount": retry_count, "lastError": str(e)},
+                ) from e
+            wait_time = e.retry_after or 60
+            out(f"Rate limited. Waiting {wait_time} seconds before retry...")
+            sleep(float(wait_time))
+            retry_count += 1
+    return channels
+
+
+def fetch_user_map(
+    transport: SlackTransport,
+    target_path: str | None = None,
+    debug: bool = False,
+    out: Callable[[str], None] = print,
+    sleep: Callable[[float], None] = time.sleep,
+    write_file: Callable[[str, str], None] | None = None,
+) -> dict[str, str]:
+    """users.list → {user_id: display name} (slack/lib/api.js:344-394).
+    Name fallback chain with JS trim: profile.real_name → display_name
+    → m.name → m.id (empty strings fall through). 429 over the 3-retry
+    budget and ANY other error both BREAK with the partial map (the
+    reference returns what it has). Cache write is best-effort
+    JSON.stringify(map, null, 2); failures are ignored."""
+    result: dict[str, str] = {}
+    cursor = ""
+    retry_count = 0
+    max_retries = 3
+    while True:
+        try:
+            params: dict = {"limit": 200}
+            if cursor:
+                params["cursor"] = cursor
+            response = slack_request(transport, "users.list", params, debug, out)
+            members = response.get("members")
+            if not isinstance(members, list):
+                members = []
+            for m in members:
+                if not m or not m.get("id"):
+                    continue
+                profile = m.get("profile") or {}
+                real = str(profile["real_name"]).strip(_JS_WS) if profile.get("real_name") else ""
+                display = str(profile["display_name"]).strip(_JS_WS) if profile.get("display_name") else ""
+                name = real or display or m.get("name") or m["id"]
+                result[m["id"]] = name
+            nxt = (response.get("response_metadata") or {}).get("next_cursor") or ""
+            if not nxt:
+                break
+            cursor = nxt
+            retry_count = 0
+        except RateLimited as e:
+            if retry_count >= max_retries:
+                break
+            wait_time = e.retry_after or 60
+            if debug:
+                out(f"Rate limited on users.list. Waiting {wait_time}s...")
+            sleep(float(wait_time))
+            retry_count += 1
+        except Exception:  # noqa: BLE001 — reference: return what we have
+            break
+    if target_path:
+        try:
+            text = json.dumps(result, indent=2, ensure_ascii=False)
+            if write_file is not None:
+                write_file(target_path, text)
+            else:
+                import os
+
+                os.makedirs(os.path.dirname(target_path), exist_ok=True)
+                with open(target_path, "w", encoding="utf-8") as f:
+                    f.write(text)
+        except Exception:  # noqa: BLE001 — reference ignores cache write errors
+            pass
+    return result

@@ -1,0 +1,162 @@
+// Golden-test driver: executes the REFERENCE repo's slack admin
+// scripts (slack/list-channels.js main / slack/build-user-map.js main)
+// with their world scripted by the fixture: the REAL slack/lib/api.js
+// pagination/retry code over a stubbed https layer serving fixture
+// responses in order, the REAL lib/errors.js taxonomy, the REAL
+// lib/error-handler.js loaded with a captured console/process (so the
+// formatted error reports and exit codes are the reference's own), the
+// REAL lib/project-folder.js resolution, a stubbed ConfigManager
+// returning fixture config, and setTimeout firing immediately (sleep
+// durations are recorded, not waited). Read-only, no network, nothing
+// copied.
+//
+// Prints one JSON line:
+//   {"events": [{"s": "out"|"err", "text": ...}], "exit": code|null,
+//    "requests": ["/api/conversations.list?..." ...],
+//    "sleeps": [ms...], "writes": [{path, content}]}
+//
+// Usage: node ref_slack_admin_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const script = fixture.script || 'list-channels.js';
+const slackDir = path.join(refRoot, 'slack');
+const scriptPath = path.join(slackDir, script);
+
+const events = [];
+const requests = [];
+const sleeps = [];
+const writes = [];
+let exitCode = null;
+
+const fakeConsole = {
+  log: (...a) => events.push({ s: 'out', text: a.join(' ') }),
+  warn: (...a) => events.push({ s: 'err', text: a.join(' ') }),
+  error: (...a) => events.push({ s: 'err', text: a.join(' ') }),
+};
+
+const exitSentinel = { __exit: true };
+const fakeProcess = {
+  env: Object.assign({}, fixture.env || {}),
+  stdout: { isTTY: false },
+  platform: 'linux',
+  cwd: () => fixture.cwd || '/work',
+  exit: (code) => {
+    exitCode = code === undefined ? 0 : code;
+    throw exitSentinel;
+  },
+};
+
+// setTimeout fires immediately; record the requested delay.
+const fakeSetTimeout = (fn, ms) => {
+  sleeps.push(ms);
+  fn();
+};
+
+// ---- https stub: responses consumed in order ------------------------------
+const responses = (fixture.responses || []).slice();
+const httpsStub = {
+  request(options, cb) {
+    requests.push(options.path);
+    return {
+      on() {},
+      end() {
+        const spec = responses.shift();
+        if (!spec) throw new Error(`no fixture response left for ${options.path}`);
+        const res = {
+          statusCode: spec.status === undefined ? 200 : spec.status,
+          statusMessage: spec.statusMessage || 'OK',
+          headers: spec.headers || {},
+          handlers: {},
+          on(event, h) { this.handlers[event] = h; },
+        };
+        cb(res);
+        setImmediate(() => {
+          const body = spec.rawBody !== undefined ? spec.rawBody : JSON.stringify(spec.body || {});
+          res.handlers['data'](body);
+          res.handlers['end']();
+        });
+      },
+    };
+  },
+};
+
+// fs stub handed to api.js (fetchUserMap cache writes only).
+const fakeFsForApi = {
+  existsSync: () => false,
+  mkdirSync: () => {},
+  writeFileSync: (p, content) => writes.push({ path: String(p), content: String(content) }),
+};
+
+// ---- mini loader: run reference source with our require/process -----------
+const realErrors = require(path.join(refRoot, 'lib', 'errors.js'));
+const realProjectFolder = require(path.join(refRoot, 'lib', 'project-folder.js'));
+
+function loadWith(srcPath, dirname, reqMap) {
+  // node's CJS loader strips a leading shebang; new Function doesn't.
+  const src = realFs.readFileSync(srcPath, 'utf8').replace(/^#![^\n]*\n/, '');
+  const mod = { exports: {} };
+  const req = (name) => {
+    if (name in reqMap) return reqMap[name];
+    throw new Error(`unexpected require from ${path.basename(srcPath)}: ${name}`);
+  };
+  new Function(
+    'require', 'module', 'exports', '__dirname', '__filename',
+    'process', 'console', 'Buffer', 'setTimeout', 'setImmediate', 'URLSearchParams',
+    src
+  )(
+    req, mod, mod.exports, dirname, srcPath,
+    fakeProcess, fakeConsole, Buffer, fakeSetTimeout, setImmediate, URLSearchParams
+  );
+  return mod.exports;
+}
+
+const errorHandler = loadWith(path.join(refRoot, 'lib', 'error-handler.js'), path.join(refRoot, 'lib'), {
+  './errors': realErrors,
+  fs: { existsSync: () => true, mkdirSync: () => {}, appendFileSync: () => {} },
+  path: path,
+});
+
+const slackApi = loadWith(path.join(refRoot, 'slack', 'lib', 'api.js'), path.join(slackDir, 'lib'), {
+  https: httpsStub,
+  '../../lib/errors': realErrors,
+  fs: fakeFsForApi,
+  path: path,
+  dotenv: { config: () => ({}) },
+});
+
+const configManager = {
+  load: () => {
+    if (fixture.configError) throw new realErrors.ConfigurationError(fixture.configError);
+    return fixture.config || {};
+  },
+  loadForReportType: (_team, _rt) => {
+    if (fixture.configError) throw new realErrors.ConfigurationError(fixture.configError);
+    return fixture.config || {};
+  },
+};
+
+const main = loadWith(scriptPath, slackDir, {
+  dotenv: { config: () => ({}) },
+  fs: fakeFsForApi,
+  path: path,
+  '../lib/config': { ConfigManager: configManager },
+  '../lib/error-handler': errorHandler,
+  '../lib/errors': realErrors,
+  '../lib/project-folder': realProjectFolder,
+  './lib/api': slackApi,
+});
+
+Promise.resolve()
+  .then(() => main())
+  .catch((e) => { if (e !== exitSentinel) throw e; })
+  .then(() => {
+    process.stdout.write(JSON.stringify({ events, exit: exitCode, requests, sleeps, writes }) + '\n');
+  })
+  .catch((e) => {
+    process.stderr.write(String(e && e.stack) + '\n');
+    process.exit(1);
+  });

@@ -228,3 +228,94 @@ def test_dashboard_cli(sf_dir, tmp_path, capsys):
     ]) == 0
     text = open(out).read()
     assert "TRANSCRIPT_DATA_BY_DAY" in text
+
+
+def test_slack_list_cli(tmp_path, capsys, monkeypatch):
+    import json
+
+    monkeypatch.setenv("TEAM", "cliteam")
+    monkeypatch.setenv("REPORT_TYPE", "weekly")
+    monkeypatch.setenv("SLACK_TOKEN", "xoxb-cli")
+    cfg_dir = tmp_path / "configs" / "cliteam"
+    cfg_dir.mkdir(parents=True)
+    (cfg_dir / "config.json").write_text(json.dumps({"slack": {"botTokenEnv": "SLACK_TOKEN"}}))
+    (cfg_dir / "config.weekly.json").write_text("{}")
+    fixture = tmp_path / "api.json"
+    fixture.write_text(json.dumps({"responses": [{"body": {
+        "ok": True,
+        "channels": [{"id": "C9", "name": "ops", "purpose": {"value": "Ops talk"}}],
+        "response_metadata": {},
+    }}]}))
+    assert cli.main([
+        "slack-list", "--api-fixture", str(fixture),
+        "--configs-dir", str(tmp_path / "configs"),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "ops (C9)" in out and "Total: 1 channels" in out
+
+
+def test_slack_users_cli_writes_map(tmp_path, capsys, monkeypatch):
+    import json
+
+    monkeypatch.setenv("TEAM", "cliteam")
+    monkeypatch.setenv("REPORT_TYPE", "weekly")
+    monkeypatch.setenv("SLACK_TOKEN", "xoxb-cli")
+    cfg_dir = tmp_path / "configs" / "cliteam"
+    cfg_dir.mkdir(parents=True)
+    (cfg_dir / "config.json").write_text(json.dumps(
+        {"slack": {"botTokenEnv": "SLACK_TOKEN"},
+         "jira": {"project": "OPS", "start_date": "2025-01-01", "end_date": "2025-01-07"}}
+    ))
+    (cfg_dir / "config.weekly.json").write_text("{}")
+    fixture = tmp_path / "api.json"
+    fixture.write_text(json.dumps({"responses": [{"body": {
+        "ok": True,
+        "members": [{"id": "U9", "profile": {"real_name": "Cli User"}}],
+        "response_metadata": {},
+    }}]}))
+    assert cli.main([
+        "slack-users", "--api-fixture", str(fixture),
+        "--configs-dir", str(tmp_path / "configs"),
+        "--slack-dir", str(tmp_path / "slack"),
+        "--mapping-base-dir", str(tmp_path / "no-mappings"),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "✓ Wrote 1 users" in out
+    # projectFolder falls through mapping (absent) to jira.project.lower()
+    written = tmp_path / "slack" / "data" / "ops" / "users.json"
+    assert json.loads(written.read_text()) == {"U9": "Cli User"}
+
+
+def test_slack_list_cli_config_error_exit_code(tmp_path, capsys, monkeypatch):
+    import json
+
+    monkeypatch.delenv("TEAM", raising=False)
+    monkeypatch.delenv("REPORT_TYPE", raising=False)
+    cfg = tmp_path / "config.json"
+    cfg.write_text("{}")  # valid config, no slack section
+    fixture = tmp_path / "api.json"
+    fixture.write_text(json.dumps({"responses": []}))
+    code = cli.main([
+        "slack-list", "--api-fixture", str(fixture), "--config-file", str(cfg),
+    ])
+    from ai_coach_data_source_orchestrator_spark.errors import (
+        ConfigurationError,
+        get_exit_code,
+    )
+
+    assert code == get_exit_code(ConfigurationError("x"))
+    err = capsys.readouterr().err
+    assert "Slack configuration not found" in err
+
+
+def test_list_reports_cli(tmp_path, capsys):
+    (tmp_path / "configs" / "teamB").mkdir(parents=True)
+    (tmp_path / "configs" / "shared").mkdir()
+    (tmp_path / "configs" / "teamA").mkdir()
+    assert cli.main(["list-reports", "--configs-dir", str(tmp_path / "configs")]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].startswith("Available teams: ")
+    assert set(out[0].removeprefix("Available teams: ").split(", ")) == {"teamA", "teamB"}
+    assert out[1] == "Report types: 1on1, team, weekly, dashboard"
+    assert cli.main(["list-reports", "--configs-dir", str(tmp_path / "none")]) == 0
+    assert "Available teams: (none)" in capsys.readouterr().out

@@ -1,0 +1,264 @@
+"""Golden parity: the slack admin twins (pipeline/slack_admin.py +
+sources/slack_api.py) vs the reference's OWN slack/list-channels.js
+and slack/build-user-map.js executed via node over the REAL
+slack/lib/api.js with a scripted https layer
+(tests/golden/ref_slack_admin_driver.js). Compared artifacts: the
+complete interleaved console stream (stdout AND stderr — error
+scenarios route through the reference's real error-handler.js), the
+process exit code, the REQUEST PATH SEQUENCE (pins our
+URLSearchParams re-implementation byte-for-byte, cursors included),
+the sleep schedule, and the users.json writes (path and
+JSON.stringify(map, null, 2) content)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.slack_admin import (
+    build_user_map_main,
+    list_channels_main,
+)
+from ai_coach_data_source_orchestrator_spark.sources.slack_api import _urlsearchparams
+
+DRIVER = Path(__file__).parent / "golden" / "ref_slack_admin_driver.js"
+REF = Path("/root/reference")
+
+_PAGE1 = {
+    "ok": True,
+    "channels": [
+        {
+            "id": "C001",
+            "name": "general",
+            "purpose": {"value": "Company-wide announcements"},
+            "topic": {"value": "ignored when purpose set"},
+        },
+        {
+            "id": "C002",
+            "name_normalized": "dev-team",  # no `name` → fallback
+            "topic": {"value": "Engineering chatter"},
+        },
+    ],
+    "response_metadata": {"next_cursor": "dGVhbTpDMDAz=="},
+}
+_PAGE2 = {
+    "ok": True,
+    "channels": [
+        {"id": "C003", "name": "quiet"},  # no purpose/topic → no desc line
+        {"id": "C004", "name": "empty-desc", "purpose": {"value": ""}},
+    ],
+    "response_metadata": {"next_cursor": ""},
+}
+
+_USERS_PAGE1 = {
+    "ok": True,
+    "members": [
+        {"id": "U1", "profile": {"real_name": "  Alice Cruz  "}, "name": "alice"},
+        {"id": "U2", "profile": {"display_name": "bobby"}, "name": "bob"},
+        {"id": "U3", "profile": {"real_name": "   "}, "name": "carol"},  # trims empty
+        {"id": "U4", "profile": {}},  # → falls through to id
+        {"name": "no-id-skipped"},
+        None,
+    ],
+    "response_metadata": {"next_cursor": "cGFnZTI="},
+}
+_USERS_PAGE2 = {
+    "ok": True,
+    "members": [{"id": "U5", "profile": {"real_name": "Eve Müller"}, "name": "eve"}],
+    "response_metadata": {},
+}
+
+SCENARIOS = {
+    "list_happy_multipage": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "golden-team", "REPORT_TYPE": "dashboard", "SLACK_TOKEN": "xoxb-fake"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}},
+        "responses": [{"body": _PAGE1}, {"body": _PAGE2}],
+    },
+    "list_no_channels": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "SLACK_TOKEN": "xoxb-fake"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}},
+        "responses": [{"body": {"ok": True, "channels": []}}],
+    },
+    "list_config_file_mode": {
+        "script": "list-channels.js",
+        "env": {"SLACK_TOKEN": "xoxb-fake", "CONFIG_FILE": "config.project1.json"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN", "types": "public_channel"}},
+        "responses": [{"body": _PAGE2}],
+    },
+    "list_debug_mode": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "SLACK_TOKEN": "xoxb-fake", "DEBUG": "true"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}},
+        "responses": [{"body": _PAGE1}, {"body": _PAGE2}],
+    },
+    "list_no_slack_section": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly"},
+        "config": {"jira": {"project": "X"}},
+        "responses": [],
+    },
+    "list_no_bot_token_env": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "CONFIG_FILE": "cfg.json"},
+        "config": {"slack": {"channels": ["general"]}},
+        "responses": [],
+    },
+    "list_missing_token": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly"},
+        "config": {"slack": {"botTokenEnv": "SLACK_BOT_TOKEN"}},
+        "responses": [],
+    },
+    "list_rate_limited_retry": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "SLACK_TOKEN": "xoxb-fake"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}},
+        "responses": [
+            {"status": 429, "headers": {"retry-after": "3"}},
+            {"body": _PAGE2},
+        ],
+    },
+    "list_rate_limit_exhausted": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "SLACK_TOKEN": "xoxb-fake"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}},
+        "responses": [{"status": 429}] * 4,
+    },
+    "list_api_error_ok_false": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "SLACK_TOKEN": "xoxb-fake"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}},
+        "responses": [{"body": {"ok": False, "error": "invalid_auth"}}],
+    },
+    "list_http_500": {
+        "script": "list-channels.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "SLACK_TOKEN": "xoxb-fake"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}},
+        "responses": [{"status": 500, "rawBody": "upstream exploded"}],
+    },
+    "users_happy_default_path": {
+        "script": "build-user-map.js",
+        "env": {"TEAM": "golden-team", "REPORT_TYPE": "dashboard", "SLACK_TOKEN": "xoxb-fake"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}, "jira": {"project": "ROCKS"}},
+        "responses": [{"body": _USERS_PAGE1}, {"body": _USERS_PAGE2}],
+    },
+    "users_custom_path": {
+        "script": "build-user-map.js",
+        "cwd": "/work",
+        "env": {"SLACK_TOKEN": "xoxb-fake"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN", "userMapFile": "out/users.json"}},
+        "responses": [{"body": _USERS_PAGE2}],
+    },
+    "users_rate_limit_partial": {
+        "script": "build-user-map.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "SLACK_TOKEN": "xoxb-fake", "DEBUG": "true"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}},
+        "responses": [{"body": _USERS_PAGE1}]
+        + [{"status": 429, "headers": {"retry-after": "2"}}] * 4,
+    },
+    "users_api_error_partial": {
+        "script": "build-user-map.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "SLACK_TOKEN": "xoxb-fake"},
+        "config": {"slack": {"botTokenEnv": "SLACK_TOKEN"}},
+        "responses": [{"body": _USERS_PAGE1}, {"body": {"ok": False, "error": "ratelimited"}}],
+    },
+    "users_no_slack_section": {
+        "script": "build-user-map.js",
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly"},
+        "config": {},
+        "responses": [],
+    },
+}
+
+
+def _python_twin(fixture: dict) -> dict:
+    events: list[dict] = []
+    requests: list[str] = []
+    sleeps: list[float] = []
+    writes: list[dict] = []
+    responses = list(fixture.get("responses") or [])
+    env = dict(fixture.get("env") or {})
+
+    def transport(method: str, params: dict) -> tuple[int, dict, str]:
+        qs = _urlsearchparams(params)
+        requests.append(f"/api/{method}{'?' + qs if qs else ''}")
+        spec = responses.pop(0)
+        body = (
+            spec["rawBody"]
+            if "rawBody" in spec
+            else json.dumps(spec.get("body") or {}, separators=(",", ":"))
+        )
+        return spec.get("status", 200), spec.get("headers") or {}, body
+
+    common = dict(
+        transport=transport,
+        env=env,
+        load_for_report_type=lambda t, r: fixture.get("config") or {},
+        load=lambda: fixture.get("config") or {},
+        out=lambda s: events.append({"s": "out", "text": s}),
+        err=lambda s: events.append({"s": "err", "text": s}),
+        sleep=lambda secs: sleeps.append(secs * 1000),
+    )
+    if fixture["script"] == "list-channels.js":
+        code = list_channels_main(**common)
+    else:
+        code = build_user_map_main(
+            **common,
+            slack_dir=str(REF / "slack"),
+            cwd=fixture.get("cwd") or "/work",
+            mapping_base_dir=str(REF / "datasource-generator"),
+            write_file=lambda p, c: writes.append({"path": p, "content": c}),
+        )
+    return {
+        "events": events,
+        "exit": code,
+        "requests": requests,
+        "sleeps": sleeps,
+        "writes": writes,
+    }
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_slack_admin_matches_reference(name, tmp_path, monkeypatch):
+    # Deterministic error rendering: the tip-line branch, not the stack.
+    monkeypatch.delenv("DEBUG", raising=False)
+    monkeypatch.delenv("NODE_ENV", raising=False)
+    monkeypatch.delenv("CONFIG_FILE", raising=False)
+    fixture = SCENARIOS[name]
+    fixture_path = tmp_path / f"{name}.json"
+    fixture_path.write_text(json.dumps(fixture))
+    out = subprocess.run(
+        ["node", str(DRIVER), str(fixture_path)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout.strip().splitlines()[-1])
+    ours = _python_twin(fixture)
+
+    assert ours["requests"] == ref["requests"]
+    assert ours["events"] == ref["events"]
+    # handleError exits with the class code; success path never exits.
+    assert ours["exit"] == (ref["exit"] if ref["exit"] is not None else 0)
+    assert ours["sleeps"] == ref["sleeps"]
+    assert ours["writes"] == ref["writes"]
+
+
+def test_urlsearchparams_encoding_corners():
+    # WHATWG set: '*' '-' '.' '_' survive, space → '+', everything else
+    # (incl. '~', '=' inside cursor tokens, unicode) percent-encodes.
+    assert _urlsearchparams({"a": "x y"}) == "a=x+y"
+    assert _urlsearchparams({"cursor": "dGVhbQ=="}) == "cursor=dGVhbQ%3D%3D"
+    assert _urlsearchparams({"t": "a,b*c~d"}) == "t=a%2Cb*c%7Ed"
+    assert _urlsearchparams({"u": "é"}) == "u=%C3%A9"
+    assert _urlsearchparams({"n": 200, "b": True}) == "n=200&b=true"
