@@ -42,6 +42,11 @@ Subcommands:
                                   users.json map over a scripted API
                                   fixture (no network here), console
                                   contract golden-pinned
+- ``refresh-field-map``         — the per-team Jira field-map cache
+                                  refresh (jira/refresh-field-map.js +
+                                  jira/lib/field-map.js: 24 h TTL cache
+                                  under configs/<team>/field-map.json,
+                                  graceful empty-map fallback)
 - ``list-reports``              — the package.json ``list-reports``
                                   one-liner: configured teams + the four
                                   report types
@@ -672,6 +677,48 @@ def _cmd_slack_users(args) -> int:
     )
 
 
+def _cmd_refresh_field_map(args) -> int:
+    """jira:refresh-field-map (jira/refresh-field-map.js) —
+    golden-pinned in tests/test_golden_field_map.py. The Jira API is
+    served from --api-fixture ({status?, statusMessage?, body|rawBody})
+    since this container has no network."""
+    import json
+
+    from .config import load
+    from .errors import handle_error
+    from .sources.field_map import refresh_field_map_main
+
+    with open(args.api_fixture, encoding="utf-8") as f:
+        spec = json.load(f)
+    response = spec.get("response", spec) if isinstance(spec, dict) else spec
+
+    def transport(hostname: str, path: str) -> tuple[int, str, str]:
+        body = (
+            response["rawBody"]
+            if "rawBody" in response
+            else json.dumps(response.get("body") or [])
+        )
+        return response.get("status", 200), response.get("statusMessage", "OK"), body
+
+    def get_config() -> dict:
+        # the reference's getConfig wrapper (field-map.js:17-26):
+        # loader failures route through handleError and EXIT.
+        try:
+            return load(configs_dir=args.configs_dir or "configs",
+                        config_file=args.config_file)
+        except Exception as e:  # noqa: BLE001 — mirror getConfig's catch
+            handle_error(e, {"module": "jira", "operation": "field-map:init",
+                             "configFile": os.environ.get("CONFIG_FILE") or "config.json"})
+            raise
+
+    return refresh_field_map_main(
+        transport,
+        get_config=get_config,
+        configs_dir=args.configs_dir or "configs",
+        argv=["--force"] if args.force else [],
+    )
+
+
 def _cmd_list_reports(args) -> int:
     """The reference's ``list-reports`` npm one-liner (package.json):
     enumerate configs/ team dirs (minus ``shared``) and the fixed
@@ -821,6 +868,18 @@ def main(argv: list[str] | None = None) -> int:
             sl.add_argument("--slack-dir", default="slack", help="output root for data/<project>/users.json")
             sl.add_argument("--mapping-base-dir", help="team-name-mapping*.json directory")
 
+    rfm = sub.add_parser(
+        "refresh-field-map",
+        help="refresh the per-team Jira field-map cache (refresh-field-map.js)",
+    )
+    rfm.add_argument(
+        "--api-fixture", required=True,
+        help="JSON file with the scripted /rest/api/3/field response (no network here)",
+    )
+    rfm.add_argument("--configs-dir", help="configs root holding <team>/field-map.json")
+    rfm.add_argument("--config-file", help="single-file config path (CONFIG_FILE mode)")
+    rfm.add_argument("--force", action="store_true", help="print the force banner (refresh is always forced)")
+
     lr = sub.add_parser("list-reports", help="list configured teams and report types")
     lr.add_argument("--configs-dir", help="configs root (default: configs)")
 
@@ -846,6 +905,7 @@ def main(argv: list[str] | None = None) -> int:
         "upload": _cmd_upload,
         "store": _cmd_store,
         "slack-list": _cmd_slack_list,
+        "refresh-field-map": _cmd_refresh_field_map,
         "slack-users": _cmd_slack_users,
         "list-reports": _cmd_list_reports,
         "db-migrate": _cmd_db_migrate,

@@ -1,0 +1,279 @@
+"""Jira field-map cache twin (jira/lib/field-map.js) and the
+``jira:refresh-field-map`` CLI (jira/refresh-field-map.js).
+
+The reference caches the Jira ``{customfield_10020: 'Sprint', ...}``
+id→name map per team under ``configs/<team>/field-map.json`` with a
+24 h TTL, fetching ``/rest/api/3/field`` on miss and falling back to
+raw field ids (empty map) on ANY failure — reports keep rendering.
+This module reproduces that contract exactly: cache file shape
+(``{timestamp, fieldMap}``, JSON.stringify(data, null, 2)), the
+console/warn message stream, the error taxonomy, and the CLI's sample
+listing. Golden-pinned against the reference's own executed modules in
+tests/golden/ref_field_map_driver.js / tests/test_golden_field_map.py.
+
+Downstream the map is a broadcast dimension (S7/J4 —
+``sources/rest.jira_field_map`` builds the DataFrame form); this twin
+is the driver-side freshness/cache layer in front of it.
+
+Documented divergence: JSON parse failures surface Python's error text
+inside the reference's message frame (V8's ``Unexpected token`` wording
+is not reproducible), same class as config.load_single_config.
+
+Transport contract: ``(hostname, path) -> (status, status_message,
+body_text)`` — credentials never reach the transport seam, mirroring
+the reference where auth lives in the request headers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from typing import Any
+
+from ..errors import ConfigurationError, JiraAPIError
+
+FieldTransport = Callable[[str, str], tuple[int, str, str]]
+
+DEFAULT_TTL_MS = 24 * 60 * 60 * 1000
+
+
+def get_jira_host(config: dict) -> str:
+    """field-map.js:32-39 — strip scheme and one trailing slash.
+    JS ``String.replace`` with a string pattern replaces the FIRST
+    occurrence only."""
+    host = ((config or {}).get("jira") or {}).get("host")
+    if not host:
+        raise ConfigurationError(
+            "No Jira host specified in configuration (jira.host)",
+            {"field": "jira.host"},
+        )
+    s = str(host)
+    s = s.replace("https://", "", 1)
+    s = s.replace("http://", "", 1)
+    if s.endswith("/"):
+        s = s[:-1]
+    return s
+
+
+def get_cache_path(
+    team: str | None,
+    configs_dir: str = "configs",
+    mkdir: Callable[[str], None] | None = None,
+) -> str:
+    """field-map.js:44-66 — ``configs/<team>/field-map.json`` (lives
+    with the config so clean scripts never purge it); TEAM required."""
+    if not team:
+        raise ConfigurationError(
+            "TEAM environment variable is required for field map caching",
+            {
+                "field": "TEAM",
+                "resolutionSteps": [
+                    "Set TEAM environment variable (e.g., TEAM=engagepath)",
+                    "Or use a team-specific npm script (e.g., npm run engagepath:jira-team)",
+                ],
+            },
+        )
+    config_dir = os.path.join(configs_dir, team)
+    if mkdir is not None:
+        mkdir(config_dir)
+    else:
+        os.makedirs(config_dir, exist_ok=True)
+    return os.path.join(config_dir, "field-map.json")
+
+
+def read_cache(
+    cache_path: str,
+    ttl_ms: float,
+    now_ms: float,
+    read_text: Callable[[str], str | None],
+) -> dict | None:
+    """field-map.js:71-88 — None on missing/expired/invalid. A cache
+    without a ``timestamp`` key ages from epoch 0 (always expired for
+    any sane TTL), and ``data.fieldMap || {}`` resurrects a map-less
+    file as empty."""
+    try:
+        text = read_text(cache_path)
+        if text is None:
+            return None
+        data = json.loads(text)
+        age = now_ms - (data.get("timestamp") or 0)
+        if age > ttl_ms:
+            return None
+        return data.get("fieldMap") or {}
+    except Exception:  # noqa: BLE001 — invalid cache file, ignore (reference)
+        return None
+
+
+def write_cache(
+    cache_path: str,
+    field_map: dict,
+    now_ms: float,
+    write_text: Callable[[str, str], None],
+    warn: Callable[[str], None] = print,
+) -> None:
+    """field-map.js:93-105 — JSON.stringify({timestamp, fieldMap},
+    null, 2); failures warn and continue."""
+    try:
+        data = {"timestamp": now_ms, "fieldMap": field_map}
+        write_text(cache_path, json.dumps(data, indent=2, ensure_ascii=False))
+    except Exception as e:  # noqa: BLE001 — non-fatal (reference)
+        warn(f"[field-map] Failed to write cache: {e}")
+
+
+def fetch_fields_from_api(
+    transport: FieldTransport,
+    env: dict,
+    config: dict,
+) -> dict[str, str]:
+    """field-map.js:110-185 — credential gate BEFORE host resolution,
+    then GET /rest/api/3/field; 200 → {id: name} for entries carrying
+    both; non-200 → JiraAPIError('HTTP N: message') with the response
+    truncated to 500 chars."""
+    missing = [v for v in ("JIRA_EMAIL", "JIRA_API_TOKEN") if not env.get(v)]
+    if missing:
+        raise ConfigurationError(
+            "Missing required Jira credentials in .env", {"missing": missing}
+        )
+    jira_host = get_jira_host(config)
+    request_path = "/rest/api/3/field"
+    status, status_message, data = transport(jira_host, request_path)
+    if status == 200:
+        try:
+            fields = json.loads(data)
+        except ValueError as e:
+            raise JiraAPIError(
+                f"Failed to parse Jira fields response: {e}",
+                {"host": jira_host, "path": request_path},
+            ) from e
+        field_map: dict[str, str] = {}
+        if isinstance(fields, list):
+            for field in fields:
+                if field.get("id") and field.get("name"):
+                    field_map[field["id"]] = field["name"]
+        return field_map
+    raise JiraAPIError(
+        f"HTTP {status}: {status_message}",
+        {
+            "statusCode": status,
+            "host": jira_host,
+            "path": request_path,
+            "response": str(data)[:500],
+        },
+    )
+
+
+def load_field_map(
+    transport: FieldTransport,
+    env: dict | None = None,
+    get_config: Callable[[], dict] | None = None,
+    configs_dir: str = "configs",
+    ttl_ms: float = DEFAULT_TTL_MS,
+    force: bool = False,
+    now_ms: float | None = None,
+    out: Callable[[str], None] = print,
+    warn: Callable[[str], None] = print,
+    read_text: Callable[[str], str | None] | None = None,
+    write_text: Callable[[str, str], None] | None = None,
+    mkdir: Callable[[str], None] | None = None,
+) -> dict[str, str]:
+    """field-map.js:192-220 loadFieldMap — cache-or-fetch with the
+    graceful empty-map fallback (reports continue on raw field ids).
+    ``get_config`` is the reference's lazy getConfig(); its OWN errors
+    (handleError + exit) are the caller's concern — here a config
+    loader raise propagates like any other failure into the fallback
+    unless the caller wraps it, mirroring who catches what."""
+    env = os.environ if env is None else env
+    if now_ms is None:
+        import time
+
+        now_ms = time.time() * 1000
+    if read_text is None:
+        read_text = _fs_read_text
+    if write_text is None:
+        write_text = _fs_write_text
+    try:
+        # Reference order (field-map.js:44-47): getCachePath() resolves
+        # the config FIRST — a wrapped loader's handleError(exit) fires
+        # before the TEAM check and before any [field-map] output. The
+        # SystemExit it raises deliberately bypasses the fallback catch.
+        config = (get_config or (lambda: {}))()
+        cache_path = get_cache_path(env.get("TEAM"), configs_dir, mkdir)
+        if not force:
+            cached = read_cache(cache_path, ttl_ms, now_ms, read_text)
+            # JS `if (cachedMap)`: readCache returns an OBJECT or null,
+            # and {} is truthy in JS — a fresh-but-empty cache short-
+            # circuits the fetch. Python {} is falsy, so test None-ness.
+            if cached is not None:
+                return cached
+        out("[field-map] Fetching field metadata from Jira API...")
+        field_map = fetch_fields_from_api(transport, env, config)
+        out(f"[field-map] Loaded {len(field_map)} field mappings")
+        write_cache(cache_path, field_map, now_ms, write_text, warn)
+        return field_map
+    except Exception as e:  # noqa: BLE001 — reference: warn + empty fallback
+        warn(f"[field-map] Failed to load field map: {e}")
+        warn("[field-map] Falling back to raw field IDs")
+        return {}
+
+
+def refresh_field_map_main(
+    transport: FieldTransport,
+    env: dict | None = None,
+    get_config: Callable[[], dict] | None = None,
+    configs_dir: str = "configs",
+    argv: list[str] | None = None,
+    now_ms: float | None = None,
+    out: Callable[[str], None] = print,
+    warn: Callable[[str], None] = print,
+    read_text: Callable[[str], str | None] | None = None,
+    write_text: Callable[[str, str], None] | None = None,
+    mkdir: Callable[[str], None] | None = None,
+) -> int:
+    """jira/refresh-field-map.js main() — always force-refreshes; the
+    ``--force`` flag only adds its banner line. loadFieldMap never
+    raises (internal fallback), so the catch/handleError tail is
+    effectively dead code; we keep the success-path contract."""
+    env = os.environ if env is None else env
+    force = "--force" in (argv or [])
+    out("[refresh-field-map] Refreshing Jira field mappings...")
+    if force:
+        out("[refresh-field-map] Force refresh enabled (ignoring cache)")
+    field_map = load_field_map(
+        transport,
+        env,
+        get_config,
+        configs_dir,
+        force=True,
+        now_ms=now_ms,
+        out=out,
+        warn=warn,
+        read_text=read_text,
+        write_text=write_text,
+        mkdir=mkdir,
+    )
+    count = len(field_map)
+    out(f"[refresh-field-map] ✓ Successfully refreshed field map with {count} field(s)")
+    if count > 0:
+        out("[refresh-field-map] Sample mappings:")
+        for fid, name in list(field_map.items())[:5]:
+            out(f"  {fid} → {name}")
+        if count > 5:
+            out(f"  ... and {count - 5} more")
+    return 0
+
+
+def _fs_read_text(path: str) -> str | None:
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+def _fs_write_text(path: str, text: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
+def _noop_mkdir(_path: str) -> None:  # pragma: no cover - test helper
+    pass

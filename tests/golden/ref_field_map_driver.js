@@ -1,0 +1,179 @@
+// Golden-test driver: executes the REFERENCE repo's Jira field-map
+// cache layer (jira/lib/field-map.js loadFieldMap) and its CLI
+// (jira/refresh-field-map.js main) with the world scripted by the
+// fixture: a stubbed https layer serving one fixture response, a fake
+// fs over fixture.cacheFiles capturing writes/mkdirs, a stubbed
+// ConfigManager, the REAL lib/errors.js, the REAL lib/error-handler.js
+// loaded with a captured console/process, and an injected Date
+// ({now: () => fixture.nowMs}) so cache timestamps are deterministic.
+// Read-only, no network, nothing copied.
+//
+// Prints one JSON line:
+//   {"events": [{"s": "out"|"err", "text": ...}], "exit": code|null,
+//    "requests": [{hostname, path, auth}], "writes": [{path, content}],
+//    "mkdirs": [path...], "result": <loadFieldMap return>}
+//
+// Usage: node ref_field_map_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const jiraLibDir = path.join(refRoot, 'jira', 'lib');
+
+const events = [];
+const requests = [];
+const writes = [];
+const mkdirs = [];
+let exitCode = null;
+
+const fakeConsole = {
+  log: (...a) => events.push({ s: 'out', text: a.join(' ') }),
+  warn: (...a) => events.push({ s: 'err', text: a.join(' ') }),
+  error: (...a) => events.push({ s: 'err', text: a.join(' ') }),
+};
+
+// Real process.exit terminates the process IMMEDIATELY — but this
+// driver emulates it with a thrown sentinel, which an intervening
+// reference catch block (loadFieldMap's fallback) can swallow. Record
+// the event count at exit time and truncate afterwards so the emitted
+// stream matches what a real run would have printed before dying.
+const exitSentinel = { __exit: true };
+let exitEventMark = null;
+const fakeProcess = {
+  env: Object.assign({}, fixture.env || {}),
+  argv: ['node', 'refresh-field-map.js'].concat(fixture.argv || []),
+  stdout: { isTTY: false },
+  platform: 'linux',
+  exit: (code) => {
+    if (exitCode === null) {
+      exitCode = code === undefined ? 0 : code;
+      exitEventMark = events.length;
+    }
+    throw exitSentinel;
+  },
+};
+
+const fakeDate = { now: () => (fixture.nowMs === undefined ? 0 : fixture.nowMs) };
+
+// ---- fake fs over fixture.cacheFiles (keyed by path suffix) --------------
+const cacheFiles = Object.assign({}, fixture.cacheFiles || {});
+const fakeFs = {
+  existsSync: (p) => Object.prototype.hasOwnProperty.call(cacheFiles, String(p)) || (fixture.existingDirs || []).includes(String(p)),
+  mkdirSync: (p, _opts) => mkdirs.push(String(p)),
+  readFileSync: (p, _enc) => {
+    if (!Object.prototype.hasOwnProperty.call(cacheFiles, String(p))) throw new Error(`ENOENT: ${p}`);
+    return cacheFiles[String(p)];
+  },
+  writeFileSync: (p, content) => writes.push({ path: String(p), content: String(content) }),
+};
+
+// ---- https stub: one response per request ---------------------------------
+const httpsStub = {
+  request(options, cb) {
+    requests.push({
+      hostname: options.hostname,
+      path: options.path,
+      auth: options.headers && options.headers.Authorization,
+    });
+    return {
+      on() {},
+      end() {
+        const spec = fixture.response || { status: 200, body: [] };
+        const res = {
+          statusCode: spec.status === undefined ? 200 : spec.status,
+          statusMessage: spec.statusMessage === undefined ? 'OK' : spec.statusMessage,
+          handlers: {},
+          on(event, h) { this.handlers[event] = h; },
+        };
+        cb(res);
+        setImmediate(() => {
+          const body = spec.rawBody !== undefined ? spec.rawBody : JSON.stringify(spec.body || []);
+          res.handlers['data'](body);
+          res.handlers['end']();
+        });
+      },
+    };
+  },
+};
+
+const realErrors = require(path.join(refRoot, 'lib', 'errors.js'));
+const realProjectFolder = require(path.join(refRoot, 'lib', 'project-folder.js'));
+
+function loadWith(srcPath, dirname, reqMap) {
+  const src = realFs.readFileSync(srcPath, 'utf8').replace(/^#![^\n]*\n/, '');
+  const mod = { exports: {} };
+  const req = (name) => {
+    if (name in reqMap) return reqMap[name];
+    throw new Error(`unexpected require from ${path.basename(srcPath)}: ${name}`);
+  };
+  new Function(
+    'require', 'module', 'exports', '__dirname', '__filename',
+    'process', 'console', 'Buffer', 'setTimeout', 'setImmediate', 'Date',
+    src
+  )(
+    req, mod, mod.exports, dirname, srcPath,
+    fakeProcess, fakeConsole, Buffer, (fn) => fn(), setImmediate, fakeDate
+  );
+  return mod.exports;
+}
+
+const errorHandler = loadWith(path.join(refRoot, 'lib', 'error-handler.js'), path.join(refRoot, 'lib'), {
+  './errors': realErrors,
+  fs: { existsSync: () => true, mkdirSync: () => {}, appendFileSync: () => {} },
+  path: path,
+});
+
+const configManager = {
+  load: () => {
+    if (fixture.configError) throw new realErrors.ConfigurationError(fixture.configError);
+    return fixture.config || {};
+  },
+  loadForReportType: (_t, _r) => {
+    if (fixture.configError) throw new realErrors.ConfigurationError(fixture.configError);
+    return fixture.config || {};
+  },
+};
+const configModule = { ConfigManager: configManager, load: configManager.load };
+
+const fieldMap = loadWith(path.join(jiraLibDir, 'field-map.js'), jiraLibDir, {
+  https: httpsStub,
+  fs: fakeFs,
+  path: path,
+  dotenv: { config: () => ({}) },
+  '../../lib/config': configModule,
+  '../../lib/project-folder': realProjectFolder,
+  '../../lib/errors': realErrors,
+  '../../lib/error-handler': errorHandler,
+});
+
+let run;
+if (fixture.mode === 'lib') {
+  run = () => fieldMap.loadFieldMap(fixture.options || {});
+} else {
+  const main = loadWith(path.join(refRoot, 'jira', 'refresh-field-map.js'), path.join(refRoot, 'jira'), {
+    './lib/field-map': fieldMap,
+    '../lib/error-handler': errorHandler,
+  });
+  run = () => main();
+}
+
+Promise.resolve()
+  .then(run)
+  .then(
+    (result) => ({ result: result === undefined ? null : result }),
+    (e) => {
+      if (e !== exitSentinel) throw e;
+      return { result: null };
+    }
+  )
+  .then(({ result }) => {
+    const finalEvents = exitEventMark === null ? events : events.slice(0, exitEventMark);
+    const finalResult = exitCode === null ? result : null;
+    process.stdout.write(JSON.stringify({ events: finalEvents, exit: exitCode, requests, writes, mkdirs, result: finalResult }) + '\n');
+  })
+  .catch((e) => {
+    process.stderr.write(String(e && e.stack) + '\n');
+    process.exit(1);
+  });

@@ -319,3 +319,34 @@ def test_list_reports_cli(tmp_path, capsys):
     assert out[1] == "Report types: 1on1, team, weekly, dashboard"
     assert cli.main(["list-reports", "--configs-dir", str(tmp_path / "none")]) == 0
     assert "Available teams: (none)" in capsys.readouterr().out
+
+
+def test_refresh_field_map_cli(tmp_path, capsys, monkeypatch):
+    import json
+
+    monkeypatch.setenv("TEAM", "cliteam")
+    monkeypatch.setenv("REPORT_TYPE", "weekly")
+    monkeypatch.setenv("JIRA_EMAIL", "a@b.c")
+    monkeypatch.setenv("JIRA_API_TOKEN", "tok")
+    cfg_dir = tmp_path / "configs" / "cliteam"
+    cfg_dir.mkdir(parents=True)
+    (cfg_dir / "config.json").write_text(json.dumps(
+        {"jira": {"host": "x.example.com",
+                  "start_date": "2025-01-01", "end_date": "2025-01-07"}}
+    ))
+    (cfg_dir / "config.weekly.json").write_text("{}")
+    fixture = tmp_path / "api.json"
+    fixture.write_text(json.dumps({"response": {"body": [
+        {"id": f"customfield_{i}", "name": f"Field {i}"} for i in range(7)
+    ]}}))
+    assert cli.main([
+        "refresh-field-map", "--api-fixture", str(fixture),
+        "--configs-dir", str(tmp_path / "configs"), "--force",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Force refresh enabled" in out
+    assert "✓ Successfully refreshed field map with 7 field(s)" in out
+    assert "... and 2 more" in out
+    cache = json.loads((cfg_dir / "field-map.json").read_text())
+    assert cache["fieldMap"]["customfield_3"] == "Field 3"
+    assert isinstance(cache["timestamp"], float)

@@ -1,0 +1,301 @@
+"""Golden parity: the Jira field-map cache twin
+(sources/field_map.py) vs the reference's OWN jira/lib/field-map.js +
+jira/refresh-field-map.js executed via node with a scripted https/fs
+world (tests/golden/ref_field_map_driver.js). Compared artifacts: the
+interleaved console stream (stdout AND stderr), the exit code, the
+request sequence (hostname + path + the Basic-auth header contract),
+the cache writes (path and the JSON.stringify(data, null, 2) content,
+timestamps pinned via the driver's injected Date), mkdir calls, and —
+in lib mode — loadFieldMap's return value (cache-hit semantics,
+including the {}-is-truthy fresh-empty-cache corner)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.errors import handle_error
+from ai_coach_data_source_orchestrator_spark.sources.field_map import (
+    load_field_map,
+    refresh_field_map_main,
+)
+
+DRIVER = Path(__file__).parent / "golden" / "ref_field_map_driver.js"
+REF = Path("/root/reference")
+CONFIGS = str(REF / "configs")
+CACHE_T = str(REF / "configs" / "t" / "field-map.json")
+
+_CREDS = {"JIRA_EMAIL": "golden@example.com", "JIRA_API_TOKEN": "tok-123"}
+_ENV_T = {"TEAM": "t", "REPORT_TYPE": "weekly", **_CREDS}
+_HOST_CFG = {"jira": {"host": "https://golden.atlassian.net/"}}
+
+_FIELDS_8 = [
+    {"id": "customfield_10020", "name": "Sprint"},
+    {"id": "customfield_10021", "name": "Flagged"},
+    {"id": "summary", "name": "Summary"},
+    {"id": "status", "name": "Status"},
+    {"id": "assignee", "name": "Assignee"},
+    {"id": "customfield_10030", "name": "Story Points"},
+    {"id": "customfield_10031", "name": "Epic Link"},
+    {"id": "labels", "name": "Labels"},
+    {"id": "orphan_no_name"},  # filtered: no name
+    {"name": "orphan no id"},  # filtered: no id
+]
+
+SCENARIOS = {
+    "cli_happy_many": {
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "response": {"body": _FIELDS_8},
+        "nowMs": 1755200000000,
+    },
+    "cli_force_flag": {
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "argv": ["--force"],
+        "response": {"body": _FIELDS_8[:3]},
+        "nowMs": 1755200000000,
+    },
+    "cli_five_fields": {
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "response": {"body": _FIELDS_8[:5]},
+        "nowMs": 1755200000000,
+    },
+    "cli_zero_fields": {
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "response": {"body": []},
+        "nowMs": 1755200000000,
+    },
+    "cli_missing_credentials": {
+        "env": {"TEAM": "t", "REPORT_TYPE": "weekly", "JIRA_EMAIL": "x@y.z"},
+        "config": _HOST_CFG,
+        "nowMs": 1755200000000,
+    },
+    "cli_http_500": {
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "response": {"status": 500, "statusMessage": "Internal Server Error", "rawBody": "boom"},
+        "nowMs": 1755200000000,
+    },
+    "cli_missing_team": {
+        "env": _CREDS,  # no TEAM → single-file config path, then TEAM gate
+        "config": _HOST_CFG,
+        "nowMs": 1755200000000,
+    },
+    "cli_no_host": {
+        "env": _ENV_T,
+        "config": {},
+        "nowMs": 1755200000000,
+    },
+    "cli_config_error": {
+        "env": _ENV_T,
+        "configError": "Team directory not found: configs/t.",
+        "nowMs": 1755200000000,
+    },
+    "lib_cache_fresh": {
+        "mode": "lib",
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "cacheFiles": {
+            CACHE_T: json.dumps(
+                {"timestamp": 1755199990000, "fieldMap": {"customfield_1": "One"}}
+            )
+        },
+        "nowMs": 1755200000000,
+    },
+    "lib_cache_fresh_empty_map": {
+        # {} is truthy in JS: a fresh-but-empty cache short-circuits.
+        "mode": "lib",
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "cacheFiles": {
+            CACHE_T: json.dumps({"timestamp": 1755199990000, "fieldMap": {}})
+        },
+        "nowMs": 1755200000000,
+    },
+    "lib_cache_stale_refetches": {
+        "mode": "lib",
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "cacheFiles": {
+            CACHE_T: json.dumps({"timestamp": 1755200000000 - 25 * 3600 * 1000,
+                                 "fieldMap": {"old": "Stale"}})
+        },
+        "response": {"body": _FIELDS_8[:2]},
+        "nowMs": 1755200000000,
+    },
+    "lib_cache_invalid_json_refetches": {
+        "mode": "lib",
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "cacheFiles": {CACHE_T: "not json {"},
+        "response": {"body": _FIELDS_8[:1]},
+        "nowMs": 1755200000000,
+    },
+    "lib_custom_ttl": {
+        "mode": "lib",
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "options": {"ttlMs": 1000},
+        "cacheFiles": {
+            CACHE_T: json.dumps({"timestamp": 1755200000000 - 2000,
+                                 "fieldMap": {"old": "Stale"}})
+        },
+        "response": {"body": _FIELDS_8[:1]},
+        "nowMs": 1755200000000,
+    },
+    "lib_force_skips_fresh_cache": {
+        "mode": "lib",
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "options": {"force": True},
+        "cacheFiles": {
+            CACHE_T: json.dumps({"timestamp": 1755200000000, "fieldMap": {"c": "C"}})
+        },
+        "response": {"body": _FIELDS_8[:1]},
+        "nowMs": 1755200000000,
+    },
+    "lib_missing_timestamp_expired": {
+        # no timestamp key → ages from epoch 0 → always expired
+        "mode": "lib",
+        "env": _ENV_T,
+        "config": _HOST_CFG,
+        "cacheFiles": {CACHE_T: json.dumps({"fieldMap": {"c": "C"}})},
+        "response": {"body": _FIELDS_8[:1]},
+        "nowMs": 1755200000000,
+    },
+}
+
+
+def _python_twin(fixture: dict) -> dict:
+    events: list[dict] = []
+    requests: list[dict] = []
+    writes: list[dict] = []
+    mkdirs: list[str] = []
+    env = dict(fixture.get("env") or {})
+    cache_files = dict(fixture.get("cacheFiles") or {})
+
+    out = lambda s: events.append({"s": "out", "text": s})  # noqa: E731
+    warn = lambda s: events.append({"s": "err", "text": s})  # noqa: E731
+
+    def transport(hostname: str, path: str) -> tuple[int, str, str]:
+        email, token = env.get("JIRA_EMAIL"), env.get("JIRA_API_TOKEN")
+        auth = "Basic " + base64.b64encode(f"{email}:{token}".encode()).decode()
+        requests.append({"hostname": hostname, "path": path, "auth": auth})
+        spec = fixture.get("response") or {"status": 200, "body": []}
+        body = (
+            spec["rawBody"]
+            if "rawBody" in spec
+            else json.dumps(spec.get("body") or [], separators=(",", ":"))
+        )
+        return spec.get("status", 200), spec.get("statusMessage", "OK"), body
+
+    class _Err:
+        def __init__(self):
+            self._buf = ""
+
+        def write(self, s):
+            if s == "\n":
+                warn(self._buf)
+                self._buf = ""
+            else:
+                self._buf += s
+
+        def flush(self):
+            pass
+
+    def get_config() -> dict:
+        # the reference's getConfig wrapper: handleError(exit) on loader
+        # failure — module jira / operation field-map:init.
+        try:
+            if fixture.get("configError"):
+                from ai_coach_data_source_orchestrator_spark.errors import (
+                    ConfigurationError,
+                )
+
+                raise ConfigurationError(fixture["configError"])
+            return fixture.get("config") or {}
+        except Exception as e:  # noqa: BLE001 — mirror getConfig's catch
+            handle_error(
+                e,
+                {
+                    "module": "jira",
+                    "operation": "field-map:init",
+                    "configFile": env.get("CONFIG_FILE") or "config.json",
+                },
+                exit=True,
+                stream=_Err(),
+            )
+            raise
+
+    kwargs = dict(
+        transport=transport,
+        env=env,
+        get_config=get_config,
+        configs_dir=CONFIGS,
+        now_ms=fixture.get("nowMs", 0),
+        out=out,
+        warn=warn,
+        read_text=lambda p: cache_files.get(p),
+        write_text=lambda p, c: writes.append({"path": p, "content": c}),
+        mkdir=mkdirs.append,
+    )
+    exit_code = None
+    result = None
+    try:
+        if fixture.get("mode") == "lib":
+            opts = fixture.get("options") or {}
+            result = load_field_map(
+                **kwargs,
+                ttl_ms=opts.get("ttlMs", 24 * 3600 * 1000),
+                force=bool(opts.get("force")),
+            )
+        else:
+            refresh_field_map_main(**kwargs, argv=fixture.get("argv") or [])
+    except SystemExit as e:
+        exit_code = int(e.code)
+    return {
+        "events": events,
+        "exit": exit_code,
+        "requests": requests,
+        "writes": writes,
+        "mkdirs": mkdirs,
+        "result": result,
+    }
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_field_map_matches_reference(name, tmp_path, monkeypatch):
+    monkeypatch.delenv("DEBUG", raising=False)
+    monkeypatch.delenv("NODE_ENV", raising=False)
+    monkeypatch.delenv("CONFIG_FILE", raising=False)
+    fixture = SCENARIOS[name]
+    fixture_path = tmp_path / f"{name}.json"
+    fixture_path.write_text(json.dumps(fixture))
+    out = subprocess.run(
+        ["node", str(DRIVER), str(fixture_path)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout.strip().splitlines()[-1])
+    ours = _python_twin(fixture)
+
+    assert ours["events"] == ref["events"]
+    assert ours["requests"] == ref["requests"]
+    assert ours["writes"] == ref["writes"]
+    assert ours["mkdirs"] == ref["mkdirs"]
+    assert ours["exit"] == ref["exit"]
+    if fixture.get("mode") == "lib":
+        assert ours["result"] == ref["result"]
