@@ -42,6 +42,13 @@ Subcommands:
                                   users.json map over a scripted API
                                   fixture (no network here), console
                                   contract golden-pinned
+- ``jira-all``/``jira-team-all``/``slack-all``/``daily-all`` — the four
+                                  per-module composite runners
+                                  (jira/run-all.js, run-team-report.js,
+                                  slack/run-all.js, daily-reports/
+                                  run-all.js): reference banner/abort
+                                  contract around this engine's Spark
+                                  steps in one session
 - ``refresh-field-map``         — the per-team Jira field-map cache
                                   refresh (jira/refresh-field-map.js +
                                   jira/lib/field-map.js: 24 h TTL cache
@@ -417,35 +424,42 @@ def _cmd_seed(args) -> int:
     return 0
 
 
+def _export_shaped_tickets(spark, args):
+    """Export-shaped ticket rows for the jira verbs: ``--tickets``
+    parquet (row_ord + export columns) or a demo fixture derived from
+    ``orders`` — shared by ``team``, ``jira-all``, ``jira-team-all``."""
+    from pyspark.sql import functions as F
+
+    from .sources.tables import load_table
+
+    if getattr(args, "tickets", None):
+        return spark.read.parquet(args.tickets)
+    orders = load_table(spark, args.sf_dir, "orders").orderBy("o_orderkey").limit(args.limit)
+    k = F.col("o_orderkey")
+    return orders.select(
+        k.cast("int").alias("row_ord"),
+        F.concat(F.lit("PROJ-"), k.cast("string")).alias("key"),
+        F.concat(F.lit("Order for customer "), F.col("o_custkey").cast("string")).alias("summary"),
+        F.lit('{"name":"Story"}').alias("issuetype"),
+        F.concat(F.lit('{"name":"'), F.col("o_orderstatus"), F.lit('"}')).alias("status"),
+        F.concat(
+            F.lit('{"name":"Clerk#'), (F.col("o_custkey") % 5).cast("string"), F.lit('"}')
+        ).alias("assignee"),
+        F.concat(F.col("o_orderdate").cast("string"), F.lit("T00:00:00.000+0000")).alias("created"),
+        F.lit('{"name":"Demo Project","key":"PROJ"}').alias("project"),
+    )
+
+
 def _cmd_team(args) -> int:
     """Flat per-team status report (npm run <team>:team →
     jira/team-report.js via generate_team_datasource.js). Input: raw
     export-shaped ticket rows (--tickets parquet with row_ord + export
     columns) or a demo fixture derived from `orders`."""
-    from pyspark.sql import functions as F
-
     from .pipeline.team_report import render_team_report
-    from .sources.tables import load_table
 
     spark = get_spark("ai-coach-orchestrator-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    if args.tickets:
-        tickets = spark.read.parquet(args.tickets)
-    else:
-        orders = load_table(spark, args.sf_dir, "orders").orderBy("o_orderkey").limit(args.limit)
-        k = F.col("o_orderkey")
-        tickets = orders.select(
-            k.cast("int").alias("row_ord"),
-            F.concat(F.lit("PROJ-"), k.cast("string")).alias("key"),
-            F.concat(F.lit("Order for customer "), F.col("o_custkey").cast("string")).alias("summary"),
-            F.lit('{"name":"Story"}').alias("issuetype"),
-            F.concat(F.lit('{"name":"'), F.col("o_orderstatus"), F.lit('"}')).alias("status"),
-            F.concat(
-                F.lit('{"name":"Clerk#'), (F.col("o_custkey") % 5).cast("string"), F.lit('"}')
-            ).alias("assignee"),
-            F.concat(F.col("o_orderdate").cast("string"), F.lit("T00:00:00.000+0000")).alias("created"),
-            F.lit('{"name":"Demo Project","key":"PROJ"}').alias("project"),
-        )
+    tickets = _export_shaped_tickets(spark, args)
     config = {
         "team": args.team,
         "jira": {
@@ -494,6 +508,202 @@ def _cmd_dashboard(args) -> int:
         f.write(result.datasource_text)
     print(f"wrote {args.out}")
     return 0
+
+
+def _slack_fixture_inputs(spark, args):
+    """Slack fixture inputs for the composite verbs: ``--messages``
+    parquet or the events-derived demo shape shared with the
+    ``slack_capture_pipeline`` registry query."""
+    from pyspark.sql import functions as F
+
+    from .sources.tables import load_table
+
+    if getattr(args, "messages", None):
+        messages = spark.read.parquet(args.messages)
+    else:
+        ev = load_table(spark, args.sf_dir, "events")
+        base_ts = 1_760_000_000
+        uid = (F.col("user_id") % 50).cast("string")
+        messages = ev.select(
+            F.concat(F.lit("C"), (F.col("event_id") % 4).cast("string")).alias("channel_id"),
+            F.format_string("%.6f", (F.lit(base_ts) + F.col("event_id") * 40).cast("double")).alias("ts"),
+            F.concat(F.lit("U"), uid).alias("user"),
+            F.concat(F.lit("saw "), F.col("event_type"), F.lit(" from <@U"), uid, F.lit(">")).alias("text"),
+            F.when(
+                F.col("event_id") % 6 == 1,
+                F.format_string("%.6f", (F.lit(base_ts) + (F.col("event_id") - 1) * 40).cast("double")),
+            ).alias("thread_ts"),
+            (F.col("event_id") % 3).cast("bigint").alias("reply_count"),
+            F.when(
+                F.col("event_id") % 4 == 0,
+                F.array(F.struct(F.lit("thumbsup").alias("name"), F.lit(2).cast("bigint").alias("count"))),
+            ).alias("reactions"),
+        )
+    users = load_table(spark, args.sf_dir, "customer").select(
+        F.concat(F.lit("U"), (F.col("c_custkey") % 50).cast("string")).alias("user_id"),
+        F.col("c_name").alias("display_name"),
+    ).dropDuplicates(["user_id"])
+    return messages, users
+
+
+def _cmd_jira_composite(args) -> int:
+    """jira:all / jira:team-all (jira/run-all.js, run-team-report.js):
+    the composite jira pipelines. Orchestration contract (banners, step
+    echoes, abort-on-first-failure, output locations) is the
+    reference's own, golden-pinned in tests/test_golden_module_runners
+    .py; the steps run THIS engine's Spark implementations inside ONE
+    session — export CSV, per-assignee split, per-assignee markdown
+    (or the team report) — instead of spawned node children."""
+    from pyspark.sql import functions as F
+
+    from .functions import jira_ticket as JT
+    from .functions import names as N
+    from .pipeline.module_runners import run_jira_all, run_jira_team_all
+    from .sinks.writers import partitioned_csv_write
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    tickets = _export_shaped_tickets(spark, args)
+    raw_cols = [c for c in tickets.columns if c != "row_ord"]
+    mapped = JT.map_export_fields({c: F.col(c) for c in raw_cols})
+    cleaned = N.clean_assignee(mapped["Assignee"])
+    safe = N.safe_assignee_filename(cleaned)
+    generated = args.generated_at or datetime.datetime.now(
+        datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def run_step(script_name: str) -> int:
+        if script_name == "export-to-csv.js":
+            tickets.orderBy("row_ord").write.mode("overwrite").option(
+                "header", "true"
+            ).csv(os.path.join(args.out_dir, "data", "export"))
+        elif script_name == "split-by-assignee.js":
+            partitioned_csv_write(
+                tickets.withColumn("assignee_file", safe),
+                os.path.join(args.out_dir, "data", "by-assignee"),
+                "assignee_file",
+            )
+        elif script_name == "csv-to-markdown.js":
+            ticket_md = JT.format_ticket(mapped, jira_host=args.jira_host)
+            reports = JT.assignee_report(
+                tickets.withColumn("__file", safe),
+                ticket_md=ticket_md,
+                status=mapped["Status"],
+                order=F.col("row_ord"),
+                project_name=mapped["Project name"],
+                project_key=mapped["Project key"],
+                assignee=cleaned,
+                group_cols=["__file"],
+                start_date=args.start or "",
+                end_date=args.end or "",
+                generated_at=generated,
+            ).collect()  # roster-sized: one row per assignee document
+            md_dir = os.path.join(args.out_dir, "md_output")
+            os.makedirs(md_dir, exist_ok=True)
+            for r in reports:
+                with open(os.path.join(md_dir, f"{r['__file']}.md"), "w") as f:
+                    f.write(r["report_md"])
+        elif script_name == "team-report.js":
+            from .pipeline.team_report import render_team_report
+
+            config = {
+                "team": getattr(args, "team", None) or "demo-team",
+                "jira": {
+                    "project": "PROJ",
+                    "host": args.jira_host,
+                    "start_date": args.start,
+                    "end_date": args.end,
+                },
+            }
+            md = render_team_report(tickets, config, generated=generated)
+            os.makedirs(os.path.join(args.out_dir, "md_output"), exist_ok=True)
+            with open(os.path.join(args.out_dir, "md_output", "team_report.md"), "w") as f:
+                f.write(md)
+        return 0
+
+    if args.cmd == "jira-all":
+        return run_jira_all(run_step, load_config=lambda: {})
+    return run_jira_team_all(run_step)
+
+
+def _cmd_slack_all(args) -> int:
+    """slack:all (slack/run-all.js): download → markdown in one
+    session. Step 1 snapshots the raw message stream; step 2 runs the
+    capture pipeline and writes the per-channel markdown documents."""
+    from .pipeline.module_runners import run_slack_all
+    from .pipeline.slack import SlackInputs, run_slack_capture
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    messages, users = _slack_fixture_inputs(spark, args)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def download() -> None:
+        messages.write.mode("overwrite").json(os.path.join(args.out_dir, "data", "raw"))
+
+    def convert() -> None:
+        result = run_slack_capture(spark, SlackInputs(messages, users), {})
+        docs = result.documents.collect()  # channel-count-sized
+        md_dir = os.path.join(args.out_dir, "md_output")
+        os.makedirs(md_dir, exist_ok=True)
+        for r in docs:
+            with open(os.path.join(md_dir, f"{r['channel_id']}.md"), "w") as f:
+                f.write(r["markdown_sanitized"])
+
+    return run_slack_all(download, convert)
+
+
+def _cmd_daily_all(args) -> int:
+    """daily:all (daily-reports/run-all.js): db query → markdown.
+    Step 1 materializes the daily-report rows as CSV (db-query.js's
+    export); step 2 renders the markdown document."""
+    from .pipeline.daily_reports import render_daily_reports_md
+    from .pipeline.module_runners import run_daily_all
+    from .plans.queries_pipeline import derive_fixture_inputs
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    if args.inputs_dir:
+        daily = spark.read.parquet(f"{args.inputs_dir}/daily.parquet")
+    else:
+        inputs, _cfg = derive_fixture_inputs(spark, args.sf_dir)
+        daily = inputs.daily_reports
+    # adapt the weekly-inputs shape to the renderer's db-query column
+    # contract (same projection pipeline/weekly.py uses)
+    if "employee_first_name" not in daily.columns:
+        daily = daily.select(
+            F.col("employee_id").cast("string").alias("employee_id"),
+            F.col("first_name").alias("employee_first_name"),
+            F.col("last_name").alias("employee_last_name"),
+            F.lit(None).cast("string").alias("client_project_name"),
+            F.lit(None).cast("string").alias("client_project_id"),
+            F.lit(None).cast("string").alias("report_template_name"),
+            "report_date",
+            "content",
+            F.lit(None).cast("string").alias("todo"),
+        )
+    generated = args.generated_at or datetime.datetime.now(
+        datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def run_command(npm_script: str) -> int:
+        if npm_script == "daily:query":
+            daily.write.mode("overwrite").option("header", "true").csv(
+                os.path.join(args.out_dir, "data", "daily")
+            )
+        elif npm_script == "daily:convert":
+            md = render_daily_reports_md(daily, generated=generated)
+            md_dir = os.path.join(args.out_dir, "md-output")
+            os.makedirs(md_dir, exist_ok=True)
+            with open(os.path.join(md_dir, "daily.md"), "w") as f:
+                f.write(md)
+        return 0
+
+    return run_daily_all(run_command, load_config=lambda: {})
 
 
 def _cmd_upload(args) -> int:
@@ -868,6 +1078,32 @@ def main(argv: list[str] | None = None) -> int:
             sl.add_argument("--slack-dir", default="slack", help="output root for data/<project>/users.json")
             sl.add_argument("--mapping-base-dir", help="team-name-mapping*.json directory")
 
+    for verb, helptext in (
+        ("jira-all", "composite jira pipeline: export -> split -> markdown (jira/run-all.js)"),
+        ("jira-team-all", "composite jira team report: export -> report (jira/run-team-report.js)"),
+    ):
+        ja = sub.add_parser(verb, help=helptext)
+        ja.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+        ja.add_argument("--tickets", help="parquet of export-shaped ticket rows (row_ord + export columns)")
+        ja.add_argument("--out-dir", required=True, help="data/ and md_output/ land here")
+        ja.add_argument("--limit", type=int, default=50, help="fixture rows (demo mode)")
+        ja.add_argument("--team", default="demo-team")
+        ja.add_argument("--start")
+        ja.add_argument("--end")
+        ja.add_argument("--jira-host", default="https://jira.example.com")
+        ja.add_argument("--generated-at")
+
+    sa = sub.add_parser("slack-all", help="composite slack pipeline: download -> markdown (slack/run-all.js)")
+    sa.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sa.add_argument("--messages", help="parquet of slack-shaped message rows")
+    sa.add_argument("--out-dir", required=True)
+
+    da = sub.add_parser("daily-all", help="composite daily pipeline: query -> markdown (daily-reports/run-all.js)")
+    da.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    da.add_argument("--inputs-dir", help="dir with daily.parquet")
+    da.add_argument("--out-dir", required=True)
+    da.add_argument("--generated-at")
+
     rfm = sub.add_parser(
         "refresh-field-map",
         help="refresh the per-team Jira field-map cache (refresh-field-map.js)",
@@ -905,6 +1141,10 @@ def main(argv: list[str] | None = None) -> int:
         "upload": _cmd_upload,
         "store": _cmd_store,
         "slack-list": _cmd_slack_list,
+        "jira-all": _cmd_jira_composite,
+        "jira-team-all": _cmd_jira_composite,
+        "slack-all": _cmd_slack_all,
+        "daily-all": _cmd_daily_all,
         "refresh-field-map": _cmd_refresh_field_map,
         "slack-users": _cmd_slack_users,
         "list-reports": _cmd_list_reports,

@@ -1,0 +1,211 @@
+"""Per-module composite runners — the reference's four remaining
+sequential-pipeline entry points:
+
+- ``jira:all``      → jira/run-all.js        (export → split → markdown)
+- ``jira:team-all`` → jira/run-team-report.js (export → team report)
+- ``slack:all``     → slack/run-all.js        (download → markdown)
+- ``daily:all``     → daily-reports/run-all.js (db query → markdown)
+
+Each reference script is a banner/step/abort shell around child
+executions (``spawn('node', [script])`` / ``spawn('npm', [...])`` /
+direct module awaits). These twins keep that console contract
+byte-compatible — golden-pinned against the reference's own scripts
+executed via node (tests/golden/ref_module_runners_driver.js) — while
+the actual steps are injected callables, so the CLI wires them to this
+engine's Spark implementations (one SparkSession across steps, shared
+input DataFrames) instead of fresh node processes.
+
+Step contract: ``run_step(script_name) -> int`` returns the step's
+exit status; raising :class:`SpawnError` models the child 'error'
+event (failure to start). Error objects render as JS ``String(err)``
+(``Error: <message>``) in the two-arg console.error lines, matching
+what node prints as the first line of an inspected Error.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Callable, Mapping
+
+from ..errors import handle_error
+from .run_all import SpawnError
+
+Out = Callable[[str], None]
+
+
+class _StepFailed(Exception):
+    """runScript's non-zero-exit rejection: ``new Error(`${script}
+    failed with exit code ${code}`)`` — message carried to the outer
+    catch."""
+
+
+def _run_script_jira(
+    script_name: str,
+    description: str,
+    run_step: Callable[[str], int],
+    out: Out,
+    err: Out,
+) -> None:
+    """jira/run-all.js:7-31 runScript (identical in
+    run-team-report.js): banner pair, spawn, ✓ line or the two error
+    branches."""
+    out(f"\n=== {description} ===")
+    out(f"Running: node jira/{script_name}")
+    try:
+        code = run_step(script_name)
+    except SpawnError as e:
+        err(f"Error running {script_name}: Error: {e}")
+        raise _StepFailed(str(e)) from e
+    if code != 0:
+        err(f"{script_name} exited with code {code}")
+        raise _StepFailed(f"{script_name} failed with exit code {code}")
+    out(f"✓ {description} completed successfully")
+
+
+def run_jira_all(
+    run_step: Callable[[str], int],
+    *,
+    env: Mapping[str, str] | None = None,
+    load_config: Callable[[], dict] | None = None,
+    mapping_base_dir: str = "datasource-generator",
+    out: Out | None = None,
+    err: Out | None = None,
+) -> int:
+    """jira/run-all.js — the full export pipeline. Returns the process
+    exit status (1 on any step failure; the reference process.exit(1)s
+    from the catch). A ``load_config`` raise in the SUCCESS tail lands
+    in the same catch — the pipeline reports failure even though every
+    step succeeded, reference semantics."""
+    env = os.environ if env is None else env
+    out = out or print
+    err = err or (lambda s: print(s, file=sys.stderr))
+    out("Starting Jira data export pipeline...\n")
+    try:
+        _run_script_jira("export-to-csv.js", "Step 1: Export data from Jira", run_step, out, err)
+        _run_script_jira("split-by-assignee.js", "Step 2: Split CSV by assignee", run_step, out, err)
+        _run_script_jira("csv-to-markdown.js", "Step 3: Convert to markdown", run_step, out, err)
+        out("\n=== All steps completed successfully! ===")
+        cfg = (load_config or (lambda: {}))()
+        from ..functions.naming import get_project_folder
+
+        pf = get_project_folder(env.get("TEAM"), cfg, mapping_base_dir)
+        out("\nOutput locations:")
+        out(f"  - Main export: jira/data/{pf}/")
+        out(f"  - Split CSVs: jira/data/{pf}/by-assignee/")
+        out(f"  - Markdown reports: jira/md_output/{pf}/")
+        return 0
+    except Exception as e:  # noqa: BLE001 — script boundary (reference catch)
+        err("\n=== Pipeline failed ===")
+        err(str(e))
+        return 1
+
+
+def run_jira_team_all(
+    run_step: Callable[[str], int],
+    *,
+    out: Out | None = None,
+    err: Out | None = None,
+) -> int:
+    """jira/run-team-report.js — export → team report. Output-location
+    lines are FIXED strings here (no project-folder scoping), unlike
+    jira:all."""
+    out = out or print
+    err = err or (lambda s: print(s, file=sys.stderr))
+    out("Starting Jira team report generation...\n")
+    try:
+        _run_script_jira("export-to-csv.js", "Step 1: Export data from Jira", run_step, out, err)
+        _run_script_jira("team-report.js", "Step 2: Generate team report", run_step, out, err)
+        out("\n=== Team report generation completed successfully! ===")
+        out("\nOutput locations:")
+        out("  - CSV export: jira/data/")
+        out("  - Team report: jira/md_output/")
+        return 0
+    except Exception as e:  # noqa: BLE001 — script boundary (reference catch)
+        err("\n=== Team report generation failed ===")
+        err(str(e))
+        return 1
+
+
+def run_slack_all(
+    download: Callable[[], None],
+    convert: Callable[[], None],
+    *,
+    env: Mapping[str, str] | None = None,
+    out: Out | None = None,
+    err_stream=None,
+) -> int:
+    """slack/run-all.js — await download() then convert(); any raise
+    routes through the shared error handler (module slack, operation
+    run-all) WITHOUT the jira runners' banner/exit-1 shape."""
+    env = os.environ if env is None else env
+    out = out or print
+    try:
+        out("=== Running Slack Pipeline ===\n")
+        out("Step 1: Downloading Slack messages...")
+        download()
+        out("\n")
+        out("Step 2: Converting to Markdown...")
+        convert()
+        out("\n=== Slack Pipeline Complete ===")
+        return 0
+    except Exception as e:  # noqa: BLE001 — script boundary (reference catch)
+        return handle_error(
+            e,
+            {
+                "module": "slack",
+                "operation": "run-all",
+                "configFile": env.get("CONFIG_FILE") or "config.json",
+            },
+            exit=False,
+            stream=err_stream,
+        )
+
+
+def run_daily_all(
+    run_command: Callable[[str], int],
+    *,
+    env: Mapping[str, str] | None = None,
+    load_config: Callable[[], dict] | None = None,
+    mapping_base_dir: str = "datasource-generator",
+    out: Out | None = None,
+    err: Out | None = None,
+) -> int:
+    """daily-reports/run-all.js — ``npm run daily:query`` then
+    ``daily:convert`` with the '='-rule separators and the
+    project-folder-scoped directory listing. ``run_command(npm_script)``
+    returns the child exit code; SpawnError models the 'error' event
+    (its message is what the catch prints)."""
+    env = os.environ if env is None else env
+    out = out or print
+    err = err or (lambda s: print(s, file=sys.stderr))
+    out("Daily Reports - Query and Convert\n")
+    try:
+        out("Step 1: Running database query...\n")
+        _run_command_daily("daily:query", run_command)
+        out("\n" + "=" * 50 + "\n")
+        out("Step 2: Converting CSV files to Markdown...\n")
+        _run_command_daily("daily:convert", run_command)
+        out("\n" + "=" * 50 + "\n")
+        out("✓ All tasks completed successfully!")
+        out("\nCheck the following directories:")
+        team = env.get("TEAM") or ""
+        cfg = (load_config or (lambda: {}))()
+        from ..functions.naming import get_project_folder
+
+        pf = get_project_folder(team, cfg, mapping_base_dir)
+        out(f"  - CSV files: daily-reports/data/{pf}/")
+        out(f"  - Markdown files: daily-reports/md-output/{pf}/")
+        return 0
+    except Exception as e:  # noqa: BLE001 — script boundary (reference catch)
+        err(f"\n✗ Error: {e}")
+        return 1
+
+
+def _run_command_daily(npm_script: str, run_command: Callable[[str], int]) -> None:
+    """daily-reports/run-all.js:8-27 runCommand — non-zero close →
+    Error('Command failed with exit code N'); spawn 'error' events
+    propagate the error itself."""
+    code = run_command(npm_script)
+    if code != 0:
+        raise _StepFailed(f"Command failed with exit code {code}")

@@ -1,0 +1,192 @@
+// Golden-test driver: executes the REFERENCE repo's four per-module
+// composite runners — jira/run-all.js, jira/run-team-report.js,
+// slack/run-all.js, daily-reports/run-all.js — with their worlds
+// scripted by the fixture: a stubbed child_process.spawn whose
+// event-emitter children report fixture-controlled exit codes / spawn
+// errors, stubbed slack download/convert step modules, a stubbed
+// config loader, the REAL lib/project-folder.js resolution, the REAL
+// lib/errors.js + lib/error-handler.js (loaded with captured
+// console/process), and captured console streams. The jira and daily
+// scripts AUTO-RUN at module level; completion is awaited via
+// process.beforeExit (all stub events fire through setImmediate).
+// Read-only, no real spawns, no network, nothing copied.
+//
+// Prints one JSON line:
+//   {"events": [{"s": "out"|"err", "text": ...}], "exit": code|null,
+//    "calls": [{cmd, args, cwd, shell, stdio}]}
+//
+// Usage: node ref_module_runners_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const events = [];
+const calls = [];
+let exitCode = null;
+let exitEventMark = null;
+
+const fakeConsole = {
+  log: (...a) => events.push({ s: 'out', text: a.map(String).join(' ') }),
+  warn: (...a) => events.push({ s: 'err', text: a.map(String).join(' ') }),
+  error: (...a) => events.push({ s: 'err', text: a.map(String).join(' ') }),
+};
+
+const exitSentinel = { __exit: true };
+const fakeProcess = {
+  env: Object.assign({}, fixture.env || {}),
+  stdout: { isTTY: false },
+  platform: 'linux',
+  exit: (code) => {
+    if (exitCode === null) {
+      exitCode = code === undefined ? 0 : code;
+      exitEventMark = events.length;
+    }
+    throw exitSentinel;
+  },
+};
+
+// ---- child_process.spawn stub ---------------------------------------------
+// fixture.runs: key = script basename (jira) or npm script name (daily),
+// value = {status: N} | {errorMessage: "..."}.
+function makeChild(spec) {
+  const handlers = {};
+  const child = {
+    on(event, h) {
+      handlers[event] = h;
+      return child;
+    },
+  };
+  setImmediate(() => {
+    if (spec.errorMessage) {
+      if (handlers['error']) handlers['error'](new Error(spec.errorMessage));
+      return;
+    }
+    const code = spec.status === undefined ? 0 : spec.status;
+    if (handlers['exit']) handlers['exit'](code);
+    if (handlers['close']) handlers['close'](code);
+  });
+  return child;
+}
+
+const childProcessStub = {
+  spawn: (cmd, args, opts) => {
+    const rec = {
+      cmd,
+      args,
+      shell: !!(opts && opts.shell),
+      stdio: opts && opts.stdio,
+    };
+    if (opts && opts.cwd !== undefined) rec.cwd = opts.cwd;
+    calls.push(rec);
+    const key = cmd === 'npm' ? args[1] : path.basename(args[0]);
+    return makeChild((fixture.runs || {})[key] || { status: 0 });
+  },
+};
+
+const realErrors = require(path.join(refRoot, 'lib', 'errors.js'));
+const realProjectFolder = require(path.join(refRoot, 'lib', 'project-folder.js'));
+
+function loadWith(srcPath, dirname, reqMap) {
+  const src = realFs.readFileSync(srcPath, 'utf8').replace(/^#![^\n]*\n/, '');
+  const mod = { exports: {} };
+  const req = (name) => {
+    if (name in reqMap) return reqMap[name];
+    throw new Error(`unexpected require from ${path.basename(srcPath)}: ${name}`);
+  };
+  new Function(
+    'require', 'module', 'exports', '__dirname', '__filename',
+    'process', 'console', 'Buffer', 'setTimeout', 'setImmediate',
+    src
+  )(
+    req, mod, mod.exports, dirname, srcPath,
+    fakeProcess, fakeConsole, Buffer, (fn) => fn(), setImmediate
+  );
+  return mod.exports;
+}
+
+const errorHandler = loadWith(path.join(refRoot, 'lib', 'error-handler.js'), path.join(refRoot, 'lib'), {
+  './errors': realErrors,
+  fs: { existsSync: () => true, mkdirSync: () => {}, appendFileSync: () => {} },
+  path: path,
+});
+
+const configStub = {
+  load: () => {
+    if (fixture.configError) throw new realErrors.ConfigurationError(fixture.configError);
+    return fixture.config || {};
+  },
+};
+
+// Slack step stubs: fixture.slackSteps.{download,convert} =
+// {errorCls?, errorMessage?} — errorCls names a lib/errors class.
+function slackStep(spec) {
+  return async () => {
+    spec = spec || {};
+    if (spec.errorMessage) {
+      const Cls = spec.errorCls ? realErrors[spec.errorCls] : Error;
+      throw new Cls(spec.errorMessage, spec.context || {});
+    }
+  };
+}
+
+const script = fixture.script;
+let run;
+if (script === 'slack-run-all') {
+  const main = loadWith(path.join(refRoot, 'slack', 'run-all.js'), path.join(refRoot, 'slack'), {
+    dotenv: { config: () => ({}) },
+    '../lib/error-handler': errorHandler,
+    './download': slackStep((fixture.slackSteps || {}).download),
+    './convert-to-markdown': slackStep((fixture.slackSteps || {}).convert),
+  });
+  run = () => main();
+} else if (script === 'jira-run-all') {
+  run = () => loadWith(path.join(refRoot, 'jira', 'run-all.js'), path.join(refRoot, 'jira'), {
+    child_process: childProcessStub,
+    path: path,
+    '../lib/config': configStub,
+    '../lib/project-folder': realProjectFolder,
+  });
+} else if (script === 'jira-run-team-report') {
+  run = () => loadWith(path.join(refRoot, 'jira', 'run-team-report.js'), path.join(refRoot, 'jira'), {
+    child_process: childProcessStub,
+    path: path,
+  });
+} else if (script === 'daily-run-all') {
+  run = () => loadWith(path.join(refRoot, 'daily-reports', 'run-all.js'), path.join(refRoot, 'daily-reports'), {
+    child_process: childProcessStub,
+    path: path,
+    '../lib/config': configStub,
+    '../lib/project-folder': realProjectFolder,
+  });
+} else {
+  throw new Error(`unknown fixture.script: ${script}`);
+}
+
+// The jira/daily runners auto-run and call process.exit from inside a
+// promise chain the driver never holds — the emulated exit's thrown
+// sentinel surfaces as an unhandled rejection. Swallow exactly that.
+process.on('unhandledRejection', (e) => {
+  if (e !== exitSentinel) throw e;
+});
+
+function finish() {
+  const finalEvents = exitEventMark === null ? events : events.slice(0, exitEventMark);
+  process.stdout.write(JSON.stringify({ events: finalEvents, exit: exitCode, calls }) + '\n');
+}
+
+Promise.resolve()
+  .then(run)
+  .catch((e) => { if (e !== exitSentinel) throw e; })
+  .then(() => {
+    // jira/daily runners auto-run async work at module level; wait for
+    // the event loop to drain (all setImmediate-fired child events and
+    // their continuations) before emitting.
+    process.once('beforeExit', finish);
+  })
+  .catch((e) => {
+    process.stderr.write(String(e && e.stack) + '\n');
+    process.exit(1);
+  });

@@ -350,3 +350,63 @@ def test_refresh_field_map_cli(tmp_path, capsys, monkeypatch):
     cache = json.loads((cfg_dir / "field-map.json").read_text())
     assert cache["fieldMap"]["customfield_3"] == "Field 3"
     assert isinstance(cache["timestamp"], float)
+
+
+def test_jira_all_cli_end_to_end(tmp_path, capsys):
+    out_dir = tmp_path / "jira"
+    assert cli.main([
+        "jira-all", "--out-dir", str(out_dir), "--limit", "20",
+        "--start", "2025-10-06", "--end", "2025-10-12",
+        "--generated-at", "2025-10-13T00:00:00Z",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Starting Jira data export pipeline..." in out
+    assert "✓ Step 3: Convert to markdown completed successfully" in out
+    assert "=== All steps completed successfully! ===" in out
+    assert (out_dir / "data" / "export").is_dir()
+    assert (out_dir / "data" / "by-assignee").is_dir()
+    mds = list((out_dir / "md_output").glob("*.md"))
+    assert len(mds) == 5  # Clerk#0..4 from the demo fixture
+    body = mds[0].read_text()
+    assert body.startswith("# JIRA Tickets Report - ")
+    assert "## Summary" in body
+
+
+def test_jira_team_all_cli(tmp_path, capsys):
+    out_dir = tmp_path / "jira"
+    assert cli.main([
+        "jira-team-all", "--out-dir", str(out_dir), "--limit", "10",
+        "--start", "2025-10-06", "--end", "2025-10-12",
+        "--generated-at", "2025-10-13T00:00:00Z",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Starting Jira team report generation..." in out
+    assert "=== Team report generation completed successfully! ===" in out
+    report = (out_dir / "md_output" / "team_report.md").read_text()
+    assert report.startswith("# Team Report - ")
+
+
+def test_slack_all_cli(tmp_path, capsys):
+    out_dir = tmp_path / "slack"
+    assert cli.main(["slack-all", "--out-dir", str(out_dir)]) == 0
+    out = capsys.readouterr().out
+    assert "=== Running Slack Pipeline ===" in out
+    assert "=== Slack Pipeline Complete ===" in out
+    assert (out_dir / "data" / "raw").is_dir()
+    mds = list((out_dir / "md_output").glob("C*.md"))
+    assert len(mds) == 4
+    assert "## Slack:" in mds[0].read_text()
+
+
+def test_daily_all_cli(tmp_path, capsys):
+    out_dir = tmp_path / "daily"
+    assert cli.main([
+        "daily-all", "--out-dir", str(out_dir),
+        "--generated-at", "2025-10-13T00:00:00Z",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Daily Reports - Query and Convert" in out
+    assert "✓ All tasks completed successfully!" in out
+    assert (out_dir / "data" / "daily").is_dir()
+    md = (out_dir / "md-output" / "daily.md").read_text()
+    assert md.startswith("# Daily Reports")

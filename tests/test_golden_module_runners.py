@@ -1,0 +1,232 @@
+"""Golden parity: the per-module composite runners
+(pipeline/module_runners.py) vs the reference's OWN jira/run-all.js,
+jira/run-team-report.js, slack/run-all.js, and daily-reports/run-all.js
+executed via node (tests/golden/ref_module_runners_driver.js) — the
+complete interleaved console stream, the process exit code, and the
+child-spawn call sequence.
+
+Scenarios pin the runner-specific behaviors: the three-step jira
+pipeline's banner pairs and abort-on-first-failure (later steps never
+spawn), the spawn-'error'-event branch (Error toString in the two-arg
+console.error, error.message in the catch), jira:all's project-folder-
+scoped output locations vs team-all's FIXED strings, a config-load
+failure in the success tail still failing the pipeline, slack's
+error-handler routing, and daily's '='-rule separators + npm-script
+spawn shape."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark import errors as errmod
+from ai_coach_data_source_orchestrator_spark.pipeline.module_runners import (
+    run_daily_all,
+    run_jira_all,
+    run_jira_team_all,
+    run_slack_all,
+)
+from ai_coach_data_source_orchestrator_spark.pipeline.run_all import SpawnError
+
+DRIVER = Path(__file__).parent / "golden" / "ref_module_runners_driver.js"
+REF = Path("/root/reference")
+
+SCENARIOS = {
+    "jira_all_green": {
+        "script": "jira-run-all",
+        "env": {"TEAM": "golden-team"},
+        "config": {"jira": {"project": "ROCKS"}},
+    },
+    "jira_all_step2_fails": {
+        "script": "jira-run-all",
+        "runs": {"split-by-assignee.js": {"status": 3}},
+    },
+    "jira_all_spawn_error": {
+        "script": "jira-run-all",
+        "runs": {"export-to-csv.js": {"errorMessage": "ENOENT node"}},
+    },
+    "jira_all_config_error_in_tail": {
+        # all three steps succeed, then config.load() throws → the same
+        # catch reports pipeline failure with exit 1
+        "script": "jira-run-all",
+        "configError": "Configuration file not found: config.json",
+    },
+    "jira_team_all_green": {
+        "script": "jira-run-team-report",
+    },
+    "jira_team_all_report_fails": {
+        "script": "jira-run-team-report",
+        "runs": {"team-report.js": {"status": 2}},
+    },
+    "slack_all_green": {
+        "script": "slack-run-all",
+    },
+    "slack_all_download_fails": {
+        "script": "slack-run-all",
+        "env": {"CONFIG_FILE": "cfg.json"},
+        "slackSteps": {
+            "download": {"errorCls": "NetworkError", "errorMessage": "Slack API error: invalid_auth"}
+        },
+    },
+    "slack_all_convert_fails": {
+        "script": "slack-run-all",
+        "slackSteps": {
+            "convert": {"errorCls": "FileSystemError", "errorMessage": "EACCES: permission denied"}
+        },
+    },
+    "daily_all_green": {
+        "script": "daily-run-all",
+        "env": {"TEAM": "golden-team"},
+        "config": {"jira": {"project": "OPS"}},
+    },
+    "daily_all_query_fails": {
+        "script": "daily-run-all",
+        "runs": {"daily:query": {"status": 4}},
+    },
+    "daily_all_spawn_error": {
+        "script": "daily-run-all",
+        "runs": {"daily:convert": {"errorMessage": "npm ENOENT"}},
+    },
+}
+
+
+class _ErrStream:
+    def __init__(self, emit):
+        self._emit = emit
+        self._buf = ""
+
+    def write(self, s):
+        if s == "\n":
+            self._emit(self._buf)
+            self._buf = ""
+        else:
+            self._buf += s
+
+    def flush(self):
+        pass
+
+
+def _python_twin(fixture: dict) -> dict:
+    events: list[dict] = []
+    calls: list[dict] = []
+    env = dict(fixture.get("env") or {})
+    runs = fixture.get("runs") or {}
+    out = lambda s: events.append({"s": "out", "text": s})  # noqa: E731
+    err = lambda s: events.append({"s": "err", "text": s})  # noqa: E731
+
+    def load_config() -> dict:
+        if fixture.get("configError"):
+            raise errmod.ConfigurationError(fixture["configError"])
+        return fixture.get("config") or {}
+
+    script = fixture["script"]
+    if script in ("jira-run-all", "jira-run-team-report"):
+
+        def run_step(script_name: str) -> int:
+            calls.append(
+                {
+                    "cmd": "node",
+                    "args": [str(REF / "jira" / script_name)],
+                    "shell": True,
+                    "stdio": "inherit",
+                }
+            )
+            spec = runs.get(script_name, {"status": 0})
+            if "errorMessage" in spec:
+                raise SpawnError(spec["errorMessage"])
+            return spec["status"]
+
+        if script == "jira-run-all":
+            code = run_jira_all(
+                run_step,
+                env=env,
+                load_config=load_config,
+                mapping_base_dir=str(REF / "datasource-generator"),
+                out=out,
+                err=err,
+            )
+        else:
+            code = run_jira_team_all(run_step, out=out, err=err)
+    elif script == "slack-run-all":
+
+        def step(spec):
+            def go():
+                if spec and spec.get("errorMessage"):
+                    cls = getattr(errmod, spec["errorCls"]) if spec.get("errorCls") else Exception
+                    raise cls(spec["errorMessage"], spec.get("context") or {})
+
+            return go
+
+        steps = fixture.get("slackSteps") or {}
+        code = run_slack_all(
+            step(steps.get("download")),
+            step(steps.get("convert")),
+            env=env,
+            out=out,
+            err_stream=_ErrStream(err),
+        )
+    else:  # daily-run-all
+
+        def run_command(npm_script: str) -> int:
+            calls.append(
+                {
+                    "cmd": "npm",
+                    "args": ["run", npm_script],
+                    "cwd": str(REF),
+                    "shell": True,
+                    "stdio": "inherit",
+                }
+            )
+            spec = runs.get(npm_script, {"status": 0})
+            if "errorMessage" in spec:
+                raise SpawnError(spec["errorMessage"])
+            return spec["status"]
+
+        code = run_daily_all(
+            run_command,
+            env=env,
+            load_config=load_config,
+            mapping_base_dir=str(REF / "datasource-generator"),
+            out=out,
+            err=err,
+        )
+    return {"events": events, "exit": code, "calls": calls}
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_module_runner_matches_reference(name, tmp_path, monkeypatch):
+    monkeypatch.delenv("DEBUG", raising=False)
+    monkeypatch.delenv("NODE_ENV", raising=False)
+    monkeypatch.delenv("CONFIG_FILE", raising=False)
+    fixture = SCENARIOS[name]
+    fixture_path = tmp_path / f"{name}.json"
+    fixture_path.write_text(json.dumps(fixture))
+    out = subprocess.run(
+        ["node", str(DRIVER), str(fixture_path)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout.strip().splitlines()[-1])
+    ours = _python_twin(fixture)
+
+    assert ours["events"] == ref["events"]
+    # the reference only exits explicitly on failure; success → null
+    assert ours["exit"] == (ref["exit"] if ref["exit"] is not None else 0)
+    assert ours["calls"] == ref["calls"]
+
+
+def test_jira_all_aborts_after_first_failure():
+    fixture = SCENARIOS["jira_all_step2_fails"]
+    ours = _python_twin(fixture)
+    spawned = [Path(c["args"][0]).name for c in ours["calls"]]
+    assert spawned == ["export-to-csv.js", "split-by-assignee.js"]
+    assert ours["exit"] == 1
