@@ -257,3 +257,41 @@ def run_one_on_one(
     return OneOnOneResult(
         member_docs=matched, datasources=datasources, filenames=filenames
     )
+
+
+def generate_from_existing(
+    generate_for_member: "Callable[[str], str]",
+    config: dict,
+    out: "Callable[[str], None]" = print,
+    err: "Callable[[str], None]" = None,
+) -> int:
+    """The ``datasource:from-existing`` wrapper
+    (datasource-generator/generate_from_existing.js:17-38): loop
+    ``generateDatasourceForMember`` over ``config.jira.team_members``
+    with the script's exact banner/summary lines; empty roster →
+    stderr line + exit 1. A generator raise propagates to the caller
+    (the reference's ``.catch(console.error)`` prints it and the
+    process still exits 0 — the CLI twin mirrors that).
+
+    Divergences (documented): the reference crashes with a V8
+    TypeError when ``config.jira`` is absent (module-level property
+    access) — here an absent section is an empty roster; and the
+    module-level loadTeamMapping call whose result is never used (a
+    dead variable in the reference) is not replayed, so its
+    mapping-resolver log lines do not appear.
+    """
+    import os as _os
+    import sys as _sys
+
+    err = err or (lambda s: print(s, file=_sys.stderr))
+    team_members = ((config.get("jira") or {}).get("team_members")) or []
+    if not team_members:
+        err("No team members configured in config.json")
+        return 1
+    out(f"\nGenerating datasource files for {len(team_members)} team members...\n")
+    generated_files = [generate_for_member(m) for m in team_members]
+    out("\n=== Generation Complete ===\n")
+    out(f"Generated {len(generated_files)} datasource files:")
+    for f in generated_files:
+        out(f"  - {_os.path.basename(f)}")
+    return 0

@@ -1,0 +1,82 @@
+// Golden-test driver: executes the REFERENCE repo's
+// datasource-generator/generate_from_existing.js wrapper with its
+// world scripted by the fixture: a stubbed DatasourceGenerator whose
+// generateDatasourceForMember returns fixture-controlled output paths
+// (or throws), a stubbed config loader and mapping-resolver (the
+// loaded mapping is a dead variable in the reference), and captured
+// console/process. Read-only, nothing copied.
+//
+// Prints one JSON line:
+//   {"events": [{"s": "out"|"err", "text": ...}], "exit": code|null,
+//    "calls": [member...]}
+//
+// Usage: node ref_from_existing_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+const genDir = path.join(refRoot, 'datasource-generator');
+
+const events = [];
+const calls = [];
+let exitCode = null;
+let exitEventMark = null;
+
+const fakeConsole = {
+  log: (...a) => events.push({ s: 'out', text: a.map(String).join(' ') }),
+  warn: (...a) => events.push({ s: 'err', text: a.map(String).join(' ') }),
+  error: (...a) => events.push({ s: 'err', text: a.map(String).join(' ') }),
+};
+
+const exitSentinel = { __exit: true };
+const fakeProcess = {
+  env: Object.assign({}, fixture.env || {}),
+  stdout: { isTTY: false },
+  exit: (code) => {
+    if (exitCode === null) {
+      exitCode = code === undefined ? 0 : code;
+      exitEventMark = events.length;
+    }
+    throw exitSentinel;
+  },
+};
+
+function DatasourceGenerator() {}
+DatasourceGenerator.prototype.generateDatasourceForMember = async function (member) {
+  calls.push(member);
+  const spec = (fixture.results || {})[member] || {};
+  if (spec.errorMessage) throw new Error(spec.errorMessage);
+  return spec.path || `/out/datasource_${member.toLowerCase()}.py`;
+};
+
+const src = realFs.readFileSync(path.join(genDir, 'generate_from_existing.js'), 'utf8')
+  .replace(/^#![^\n]*\n/, '');
+const mod = { exports: {} };
+const req = (name) => {
+  if (name === 'fs') return realFs; // unused by the wrapper body
+  if (name === 'path') return path;
+  if (name === './generate_datasources') return DatasourceGenerator;
+  if (name === '../lib/config') return { load: () => fixture.config || {} };
+  if (name === './lib/mapping-resolver')
+    return { loadTeamMapping: () => ({ projectFolder: 'default', mappings: {} }) };
+  throw new Error(`unexpected require from generate_from_existing.js: ${name}`);
+};
+new Function(
+  'require', 'module', 'exports', '__dirname', '__filename', 'process', 'console',
+  src
+)(req, mod, mod.exports, genDir, path.join(genDir, 'generate_from_existing.js'), fakeProcess, fakeConsole);
+
+Promise.resolve()
+  .then(() => mod.exports())
+  .catch((e) => {
+    if (e !== exitSentinel) {
+      // the reference's `.catch(console.error)` tail when run as main
+      fakeConsole.error(String(e));
+    }
+  })
+  .then(() => {
+    const finalEvents = exitEventMark === null ? events : events.slice(0, exitEventMark);
+    process.stdout.write(JSON.stringify({ events: finalEvents, exit: exitCode, calls }) + '\n');
+  });
