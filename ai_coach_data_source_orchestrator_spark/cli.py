@@ -792,6 +792,51 @@ def _cmd_store(args) -> int:
     return 0 if result is not None and result.get("success") else 1
 
 
+def _cmd_store_stream(args) -> int:
+    """Incremental warehouse ingest (VERDICT r8 item 3): the streaming
+    twin of `store` for the daily/transcript document families. Resolves
+    the project UUID through the same seed cache as the batch path, then
+    drains the drop zones with Trigger.AvailableNow — rerunning the verb
+    after new files land (or after a crash) resumes from the per-family
+    checkpoints."""
+    import json
+
+    from .streaming.store import run_store_streams
+
+    project_uuid = None
+    if args.cache_path and os.path.exists(args.cache_path):
+        try:
+            with open(args.cache_path) as f:
+                project_uuid = (json.load(f).get("teams") or {}).get(args.project_folder)
+        except (OSError, json.JSONDecodeError) as e:
+            print(f"[Neon DB] ✗ Failed to load UUID cache: {e}", file=sys.stderr)
+    if not project_uuid:
+        print(
+            "[Neon DB] ✗ Could not find project UUID. Run the `seed` verb first.",
+            file=sys.stderr,
+        )
+        return 1
+    manifest = None
+    if args.manifest and os.path.exists(args.manifest):
+        with open(args.manifest) as f:
+            manifest = json.load(f)
+
+    spark = get_spark("ai-coach-orchestrator-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return run_store_streams(
+        spark,
+        args.warehouse,
+        project_uuid,
+        args.generated_at
+        or datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M:%S"),
+        args.checkpoint,
+        manifest,
+        daily_dir=args.daily_dir,
+        transcripts_dir=args.transcripts_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+
+
 def _cmd_db_migrate(args) -> int:
     from .sinks.admin import migrate_warehouse
 
@@ -1053,6 +1098,21 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--end")
     st.add_argument("--generated-at")
 
+    ss = sub.add_parser(
+        "store-stream",
+        help="incremental warehouse ingest over drop-zone directories "
+        "(streaming twin of `store`; availableNow trigger drains and exits)",
+    )
+    ss.add_argument("--warehouse", required=True)
+    ss.add_argument("--project-folder", required=True)
+    ss.add_argument("--daily-dir")
+    ss.add_argument("--transcripts-dir")
+    ss.add_argument("--manifest", help="upload-results JSON (blob references per local path)")
+    ss.add_argument("--cache-path", help=".neon-db-ids.{env}.json path (from `seed`)")
+    ss.add_argument("--checkpoint", required=True, help="checkpoint root (one subdir per family)")
+    ss.add_argument("--generated-at")
+    ss.add_argument("--max-files-per-trigger", type=int)
+
     for verb, helptext in (
         ("db-migrate", "create the warehouse tables (run-neon-migrations.js)"),
         ("db-drop", "drop ALL warehouse tables (drop-all-tables.js)"),
@@ -1140,6 +1200,7 @@ def main(argv: list[str] | None = None) -> int:
         "dashboard": _cmd_dashboard,
         "upload": _cmd_upload,
         "store": _cmd_store,
+        "store-stream": _cmd_store_stream,
         "slack-list": _cmd_slack_list,
         "jira-all": _cmd_jira_composite,
         "jira-team-all": _cmd_jira_composite,

@@ -19,6 +19,9 @@ stateless per document; state lives in the warehouse table itself).
 
 from __future__ import annotations
 
+import os
+from typing import Callable, Mapping
+
 from pyspark.sql import DataFrame
 
 from ..sinks.merge import upsert_parquet
@@ -161,3 +164,99 @@ def transcript_ingest_stream(
 
 def rowsink(rows: DataFrame, apply, checkpoint: str):
     return rows.writeStream.foreachBatch(apply).option("checkpointLocation", checkpoint)
+
+
+def drop_zone_stream(
+    spark, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming ``(path, content)`` over a local/cloud drop-zone
+    directory of whole-document text files (``*.md``).
+
+    ``wholetext`` makes each FILE one row (the ingest parsers operate
+    on whole documents, same unit as the reference's per-file walk in
+    lib/neon-db-storage.js storeAllData); ``input_file_name()`` is
+    normalized back to a plain filesystem path so the blob-manifest
+    join (keyed on the uploader's ``localPath``) matches exactly the
+    batch path's ``os.path.join`` paths. At cloud scale the directory
+    is an object-store prefix and Spark's file-source checkpoint tracks
+    which objects are already ingested — no listing diff logic needed
+    here.
+    """
+    from pyspark.sql import functions as F
+
+    # NOTE: the option value must be a real boolean — the string "true"
+    # is silently ignored by the text source here and the read degrades
+    # to one-row-per-LINE (observed on pyspark 4.1.2).
+    reader = spark.readStream.format("text").option("wholetext", True)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(os.path.join(directory, "*.md"))
+    return raw.select(
+        F.url_decode(F.regexp_replace(F.input_file_name(), "^file:/*", "/")).alias(
+            "path"
+        ),
+        F.col("value").alias("content"),
+    )
+
+
+def run_store_streams(
+    spark,
+    warehouse: str,
+    project_uuid: str,
+    now: str,
+    checkpoint_root: str,
+    manifest: Mapping | None,
+    daily_dir: str | None = None,
+    transcripts_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    await_seconds: int = 600,
+    out: Callable[[str], None] = print,
+) -> int:
+    """CLI body for ``store-stream`` (VERDICT r8 item 3): incremental
+    twin of ``store --daily-dir/--transcripts-dir`` over drop zones.
+
+    Each family gets its own checkpoint under ``checkpoint_root`` so
+    the two streams recover independently; ``Trigger.AvailableNow``
+    drains whatever landed since the last run and exits — re-running
+    the verb IS the resume path (kill/restart recovery is pinned in
+    tests/test_streaming_batch_equivalence.py::
+    test_store_stream_cli_kill_resume). Idempotent K8 upserts make a
+    replayed half-committed micro-batch converge, not duplicate.
+    """
+    from ..sinks.store import _blob_refs_df
+
+    refs = _blob_refs_df(spark, manifest or {})
+    started = []
+    for family, directory, builder in (
+        ("daily", daily_dir, daily_ingest_stream),
+        ("transcripts", transcripts_dir, transcript_ingest_stream),
+    ):
+        if not directory or not os.path.isdir(directory):
+            continue
+        docs = drop_zone_stream(spark, directory, max_files_per_trigger)
+        q = (
+            builder(
+                docs,
+                refs,
+                project_uuid,
+                warehouse,
+                now,
+                os.path.join(checkpoint_root, family),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        started.append((family, q))
+        out(f"store-stream: {family} <- {directory}")
+    for family, q in started:
+        ok = q.awaitTermination(await_seconds)
+        if not ok:
+            q.stop()
+            out(f"store-stream: {family} timed out after {await_seconds}s")
+            return 1
+        progress = q.lastProgress or {}
+        n = (progress.get("sources") or [{}])[0].get("numInputRows", 0)
+        out(f"store-stream: {family} drained ({n} new document(s))")
+    if not started:
+        out("store-stream: nothing to do (no drop-zone directory found)")
+    return 0

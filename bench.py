@@ -68,21 +68,32 @@ def main() -> None:
     # the 1-min load to drop below SPARK_GRAFT_BENCH_LOAD_MAX (default
     # 2.0); if it never does, stamp the artifact load_contaminated=true
     # so the number is self-describing.
+    # Empirically (SKILL.md gotchas) the warm headline stays inflated
+    # until BOTH the 1-min and the 15-min averages drain — a fresh
+    # full-suite run keeps the 15-min average > 2 for ~20 min and warm
+    # readings decay 14.4 → 11.8 alongside it, so the 15-min average is
+    # gated too.
     load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+    load15_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD15_MAX", "2.5"))
     load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
-    load_start = None
+    load_start = load15_start = None
     load_contaminated = False
     try:
         deadline = time.monotonic() + load_wait
-        load_start = round(os.getloadavg()[0], 2)
-        while load_start > load_max and time.monotonic() < deadline:
+        while True:
+            la = os.getloadavg()
+            load_start, load15_start = round(la[0], 2), round(la[2], 2)
+            if load_start <= load_max and load15_start <= load15_max:
+                break
+            if time.monotonic() >= deadline:
+                break
             print(
-                f"load {load_start} > {load_max}; waiting for the box to idle",
+                f"load 1m={load_start} 15m={load15_start} over "
+                f"({load_max}, {load15_max}); waiting for the box to idle",
                 file=sys.stderr,
             )
             time.sleep(15)
-            load_start = round(os.getloadavg()[0], 2)
-        load_contaminated = load_start > load_max
+        load_contaminated = load_start > load_max or load15_start > load15_max
     except OSError:
         pass
     spark = get_spark("ai-coach-orchestrator-spark-bench")
@@ -155,6 +166,7 @@ def main() -> None:
                 "errors": errors,
                 "methodology": "value=min(cold,warm) per query; cold=first run incl. codegen",
                 "load_1min_start": load_start,
+                "load_15min_start": load15_start,
                 "load_1min_end": load_end,
                 "load_contaminated": load_contaminated,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
