@@ -424,3 +424,50 @@ def test_store_ingest_broadcasts_blob_manifest(spark, sf_dir, tmp_path):
     assert plans, "daily upsert never invoked"
     assert "BroadcastHashJoin" in plans[0]
     assert "SortMergeJoin" not in plans[0]
+
+
+def _ingest_plan(spark, builder):
+    from ai_coach_data_source_orchestrator_spark.sinks.store import _blob_refs_df
+
+    docs = spark.createDataFrame(
+        [
+            (0, "/a/x.md", "**Employee**: Ann\n\n## 2025-10-27\n\nwork"),
+            (1, "/a/fathom-2025-10-27.md", "# T\n\nhello"),
+        ],
+        "ord int, path string, content string",
+    ).select("path", "content")
+    refs = _blob_refs_df(spark, {"dailyReports": {"urls": [
+        {"localPath": "/a/x.md", "pathname": "b", "url": "u", "checksum": "c"},
+        {"localPath": "/a/fathom-2025-10-27.md", "pathname": "b2", "url": "u2", "checksum": "c2"},
+    ]}})
+    return _executed(builder(docs, refs, "uuid-t", "2025-10-29 00:00:00"))
+
+
+def test_daily_ingest_rows_no_python_udf_no_shuffle(spark):
+    """VERDICT r8 item 4: the daily ingest row builder
+    (sinks/store.py daily_section_rows — shared by batch store and the
+    store-stream CLI) must be a pure JVM pipeline: the UUIDv5 id is a
+    column expression (sinks/store.py uuid5_col), the manifest attach is
+    a broadcast, and the whole build is shuffle-free (scan → explode →
+    broadcast-join → project)."""
+    from ai_coach_data_source_orchestrator_spark.sinks.store import daily_section_rows
+
+    plan = _ingest_plan(spark, daily_section_rows)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_transcript_ingest_rows_no_python_udf_no_shuffle(spark):
+    """Same contract for the transcript family
+    (sinks/store.py transcript_ingest_rows)."""
+    from ai_coach_data_source_orchestrator_spark.sinks.store import (
+        transcript_ingest_rows,
+    )
+
+    plan = _ingest_plan(spark, transcript_ingest_rows)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
