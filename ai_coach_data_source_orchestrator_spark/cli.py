@@ -209,7 +209,11 @@ def _cmd_run_all(args) -> int:
     import traceback
 
     from .pipeline import run_weekly_digest
-    from .pipeline.run_all import discover_run_teams, run_all_teams
+    from .pipeline.run_all import (
+        discover_run_teams,
+        run_all_teams,
+        run_all_teams_parallel,
+    )
     from .plans.queries_pipeline import derive_fixture_inputs
 
     if args.inputs_dir and not (args.start and args.end):
@@ -259,7 +263,7 @@ def _cmd_run_all(args) -> int:
 
     summaries: list[dict] = []
 
-    def run_team(team: str) -> int:
+    def run_team(team: str, index: int | None = None) -> int:
         try:
             team_dir = os.path.join(args.out_dir, team)
             os.makedirs(team_dir, exist_ok=True)
@@ -278,6 +282,7 @@ def _cmd_run_all(args) -> int:
                     f.write(result.datasource_text)
                 summaries.append(
                     {
+                        "pos": index,
                         "team": team,
                         "status": "ok",
                         "outputs": 1,
@@ -293,9 +298,10 @@ def _cmd_run_all(args) -> int:
                 # per-team configs carry disjoint rosters). Slice by
                 # loop position, not name lookup: a duplicated team
                 # name must not alias two teams onto one roster.
-                i = run_team.counter
-                run_team.counter += 1
-                roster = members[3 * i : 3 * i + 3]
+                if index is None:
+                    index = run_team.counter
+                    run_team.counter += 1
+                roster = members[3 * index : 3 * index + 3]
                 result = run_one_on_one(
                     spark, docs, roster, generated_at=generated_at
                 )
@@ -307,6 +313,7 @@ def _cmd_run_all(args) -> int:
                         f.write(text)
                 summaries.append(
                     {
+                        "pos": index,
                         "team": team,
                         "status": "ok",
                         "outputs": len(result.datasources),
@@ -321,6 +328,7 @@ def _cmd_run_all(args) -> int:
             traceback.print_exc(limit=1)
             summaries.append(
                 {
+                    "pos": index,
                     "team": team,
                     "status": f"error: {type(e).__name__}",
                     "outputs": 0,
@@ -331,17 +339,27 @@ def _cmd_run_all(args) -> int:
             return 1
 
     run_team.counter = 0
-    code = run_all_teams(
-        teams,
-        run_team,
-        verb=args.verb,
-        delay_ms=delay_ms,
-        cwd=os.getcwd(),
-        cmd="in-process",
-        make_args=lambda t: [
-            f"run_{'weekly_digest' if args.verb == 'weekly' else 'one_on_one'}(team={t})"
-        ],
-    )
+    if getattr(args, "parallel", False):
+        code = run_all_teams_parallel(
+            teams,
+            run_team,
+            verb=args.verb,
+            max_workers=getattr(args, "max_workers", None),
+        )
+        # completion order is scheduling luck; report in team order
+        summaries.sort(key=lambda s: (s["pos"] is None, s["pos"]))
+    else:
+        code = run_all_teams(
+            teams,
+            run_team,
+            verb=args.verb,
+            delay_ms=delay_ms,
+            cwd=os.getcwd(),
+            cmd="in-process",
+            make_args=lambda t: [
+                f"run_{'weekly_digest' if args.verb == 'weekly' else 'one_on_one'}(team={t})"
+            ],
+        )
     if summaries:
         print()
         header = f"{'team':20s} {'status':24s} {'outputs':>7s} {'issues':>7s} {'transcripts':>11s}"
@@ -1039,6 +1057,12 @@ def main(argv: list[str] | None = None) -> int:
         "--delay-ms", type=int, default=None,
         help="inter-team delay (default: INTER_PROJECT_DELAY_MS env)",
     )
+    r.add_argument(
+        "--parallel", action="store_true",
+        help="run teams concurrently on the shared session (outputs are "
+        "byte-identical to sequential; banners print per team on completion)",
+    )
+    r.add_argument("--max-workers", type=int, default=None)
 
     sub.add_parser("bench", help="run the headline benchmark")
 

@@ -27,9 +27,26 @@ guarantee it.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Per-table locks: the merge is a read-merge-publish cycle, so two
+# threads upserting the SAME table concurrently (run-all --parallel
+# with a shared warehouse) could both read the pre-state and the later
+# publish would silently drop the earlier rows — a lost update, not a
+# crash. Serializing per table path keeps the heavy per-team compute
+# parallel while the table-level critical section stays correct; on
+# Delta/Iceberg this is the transaction the MERGE commit provides.
+_TABLE_LOCKS: dict[str, threading.Lock] = {}
+_TABLE_LOCKS_GUARD = threading.Lock()
+
+
+def _table_lock(table_path: str) -> threading.Lock:
+    with _TABLE_LOCKS_GUARD:
+        return _TABLE_LOCKS.setdefault(table_path, threading.Lock())
 
 UPSERT_KEYS: dict[str, tuple[str, ...]] = {
     "daily_reports": ("team_id", "author_name", "report_date"),
@@ -57,6 +74,11 @@ def atomic_swap_write(spark: SparkSession, table_path: str, build) -> DataFrame:
     it can never expose a half-written table to the merge's own scan.
     """
     table_path = table_path.rstrip("/")
+    with _table_lock(table_path):
+        return _atomic_swap_write_locked(spark, table_path, build)
+
+
+def _atomic_swap_write_locked(spark: SparkSession, table_path: str, build) -> DataFrame:
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path

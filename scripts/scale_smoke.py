@@ -204,12 +204,21 @@ KEY_STRIDE = 10_000_000
 
 
 def _alphabet_rotation(r: int) -> tuple[str, str]:
+    """Per-replica letter bijection. A plain rotation repeats every 26
+    replicas — at SMOKE_SCALE=100 (sf10) replicas r and r+26 would carry
+    IDENTICAL text under distinct doc_ids, quadratically inflating the
+    near-dup families the smoke is supposed to hold constant. An affine
+    cipher x → (a·x + b) mod 26 (a coprime to 26) yields 312 distinct
+    bijections; for r < 26 it degrades to the original rotation (a=1),
+    so previously-synthesized sf1/sf3 replicas remain consistent."""
     lower = string.ascii_lowercase
     upper = string.ascii_uppercase
-    rot = r % 26
+    coprime = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    a, b = coprime[(r // 26) % len(coprime)], r % 26
+    mapped = [(a * i + b) % 26 for i in range(26)]
     return (
         lower + upper,
-        lower[rot:] + lower[:rot] + upper[rot:] + upper[:rot],
+        "".join(lower[m] for m in mapped) + "".join(upper[m] for m in mapped),
     )
 
 

@@ -1,0 +1,126 @@
+"""Parallel run-all (VERDICT r8 item 6): the opt-in `--parallel` mode
+must produce byte-identical per-team outputs and a row-identical
+warehouse vs the sequential orchestrator, while actually overlapping
+team work on the shared session. The table-merge lock
+(sinks/merge._table_lock) is pinned separately: concurrent upserts to
+ONE table from many threads must not lose updates.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ai_coach_data_source_orchestrator_spark import cli
+from ai_coach_data_source_orchestrator_spark.pipeline.run_all import (
+    run_all_teams_parallel,
+)
+
+TEAMS = ["alpha", "beta", "gamma", "delta"]
+
+
+def _run(mode_args, out_dir, wh, sf_dir):
+    t0 = time.perf_counter()
+    rc = cli.main(
+        [
+            "run-all", "--sf-dir", sf_dir, "--out-dir", out_dir,
+            *[a for t in TEAMS for a in ("--team", t)],
+            "--generated-at", "2025-10-13T00:00:00Z",
+            "--warehouse", wh,
+            *mode_args,
+        ]
+    )
+    return rc, time.perf_counter() - t0
+
+
+def test_parallel_weekly_byte_equal_and_faster(spark, sf_dir, tmp_path, capsys):
+    out_seq, wh_seq = str(tmp_path / "seq"), str(tmp_path / "wh_seq")
+    out_par, wh_par = str(tmp_path / "par"), str(tmp_path / "wh_par")
+    rc, t_seq = _run([], out_seq, wh_seq, sf_dir)
+    assert rc == 0
+    rc, t_par = _run(["--parallel"], out_par, wh_par, sf_dir)
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "parallel mode: 4 team(s)" in captured
+    assert "✓ All weekly workflows completed." in captured
+
+    for team in TEAMS:
+        seq = open(os.path.join(out_seq, team, "weekly_digest.py")).read()
+        par = open(os.path.join(out_par, team, "weekly_digest.py")).read()
+        assert par == seq, f"{team} datasource diverged under --parallel"
+
+    wh_a = sorted(map(tuple, spark.read.parquet(wh_seq).collect()))
+    wh_b = sorted(map(tuple, spark.read.parquet(wh_par).collect()))
+    assert wh_a == wh_b
+    assert sorted({r[0] for r in spark.read.parquet(wh_par).select("team_id").collect()}) \
+        == sorted(TEAMS)
+
+    # the economics claim: 4 teams overlapped on one session must beat
+    # the sequential loop (sequential ran FIRST, so warm-up favors it)
+    assert t_par < t_seq, f"parallel {t_par:.2f}s not faster than sequential {t_seq:.2f}s"
+
+
+def test_parallel_1on1_rosters_deterministic(sf_dir, tmp_path):
+    """Roster slicing is positional; under threads the explicit index
+    (not a start-order counter) must keep each team's member set — and
+    thus every output file — identical to the sequential run."""
+    out_seq, out_par = str(tmp_path / "seq"), str(tmp_path / "par")
+    base = [
+        "run-all", "--verb", "1on1", "--sf-dir", sf_dir,
+        *[a for t in TEAMS[:3] for a in ("--team", t)],
+        "--generated-at", "2025-10-13T00:00:00Z",
+    ]
+    assert cli.main(base + ["--out-dir", out_seq]) == 0
+    assert cli.main(base + ["--out-dir", out_par, "--parallel"]) == 0
+    for team in TEAMS[:3]:
+        seq_files = sorted(os.listdir(os.path.join(out_seq, team)))
+        par_files = sorted(os.listdir(os.path.join(out_par, team)))
+        assert par_files == seq_files, team
+        for f in seq_files:
+            assert (
+                open(os.path.join(out_par, team, f)).read()
+                == open(os.path.join(out_seq, team, f)).read()
+            ), (team, f)
+
+
+def test_parallel_failure_runs_all_and_returns_first_failing_status():
+    ran = []
+
+    def run_team(team):
+        ran.append(team)
+        return {"beta": 7, "gamma": 3}.get(team, 0)
+
+    code = run_all_teams_parallel(
+        ["alpha", "beta", "gamma"], run_team, out=lambda s: None, err=lambda s: None
+    )
+    # no mid-loop abort in parallel mode (threads already in flight),
+    # and the exit status is the FIRST failing team's in team order —
+    # matching what the sequential abort would have returned
+    assert sorted(ran) == ["alpha", "beta", "gamma"]
+    assert code == 7
+
+
+def test_concurrent_upserts_to_one_table_lose_nothing(spark, tmp_path):
+    """The per-table merge lock: N threads upserting disjoint key sets
+    into the SAME parquet table must all land (without the lock, two
+    read-merge-publish cycles interleave and the later publish drops
+    the earlier rows)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ai_coach_data_source_orchestrator_spark.sinks.merge import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+
+    def one(i: int):
+        rows = spark.createDataFrame(
+            [(f"t{i}", f"k{j}", i * 100 + j, 1) for j in range(5)],
+            "team_id string, k string, v int, ver long",
+        )
+        upsert_parquet(spark, path, rows, keys=("team_id", "k"), version_col="ver")
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(one, range(6)))
+
+    got = sorted(map(tuple, spark.read.parquet(path).select("team_id", "k", "v").collect()))
+    want = sorted((f"t{i}", f"k{j}", i * 100 + j) for i in range(6) for j in range(5))
+    assert got == want
