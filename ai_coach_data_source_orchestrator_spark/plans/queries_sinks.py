@@ -16,6 +16,7 @@ tests/test_sinks.py.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -412,6 +413,46 @@ def k_orc_columnar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BUCKETS = 8
 
+# Warehouse-litter control (VERDICT r8 item 7): the per-process table
+# suffix that fixed the concurrent DROP race also meant every session
+# left its bkt_* directories behind (~3.5 MB/run, unbounded across
+# sessions). Each process now removes ITS OWN tables at interpreter
+# exit (pure filesystem rmtree — safe after the JVM is gone; the
+# returned DataFrame has long been evaluated by then), and sweeps
+# other sessions' leftovers once they are old enough that no live
+# process can still be using them.
+_BUCKET_DIRS: set[str] = set()
+_STALE_BUCKET_SECONDS = 6 * 3600
+
+
+def _cleanup_bucket_dirs() -> None:
+    import shutil
+
+    for d in _BUCKET_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sweep_stale_bucket_dirs(warehouse: str) -> None:
+    import re
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(warehouse)
+    except OSError:
+        return
+    for name in entries:
+        if not re.fullmatch(r"bkt_(orders|lineitem)(_[0-9a-f]{12})?", name):
+            continue
+        path = os.path.join(warehouse, name)
+        if path in _BUCKET_DIRS:
+            continue  # ours, and possibly mid-use
+        try:
+            if time.time() - os.path.getmtime(path) > _STALE_BUCKET_SECONDS:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
 
 @register(
     "k_bucketed_join_roundtrip",
@@ -453,6 +494,11 @@ def k_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     token = hashlib.sha256(
         f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
     ).hexdigest()[:12]
+    _sweep_stale_bucket_dirs(warehouse)
+    if not _BUCKET_DIRS:
+        import atexit
+
+        atexit.register(_cleanup_bucket_dirs)
     names = {}
     for base, df, key in (
         ("bkt_orders", orders, "o_orderkey"),
@@ -460,6 +506,7 @@ def k_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         name = f"{base}_{token}"
         names[base] = name
+        _BUCKET_DIRS.add(f"{warehouse}/{name}")
         # DROP alone is not enough: a fresh session's in-memory catalog
         # doesn't know about a previous run's table, but the managed
         # LOCATION persists on disk and blocks the recreate.

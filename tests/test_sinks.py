@@ -252,3 +252,31 @@ def test_js_replace_once_dollar_substitution():
     assert _js_replace_once("a {{X}} b", "{{X}}", "[$']") == "a [ b] b"
     # first occurrence only
     assert _js_replace_once("{{X}} {{X}}", "{{X}}", "y") == "y {{X}}"
+
+
+def test_bucketed_tables_removed_at_process_exit(sf_dir, tmp_path):
+    """VERDICT r8 item 7: a process running k_bucketed_join_roundtrip
+    must remove its suffixed bkt_* warehouse dirs when it exits — the
+    per-process name suffix (concurrency fix) must not translate into
+    unbounded spark-warehouse growth across sessions."""
+    import subprocess
+    import sys
+
+    wh = tmp_path / "warehouse"
+    code = f"""
+import glob
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+    .config("spark.sql.warehouse.dir", {str(wh)!r})
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+assert REGISTRY["k_bucketed_join_roundtrip"].fn(spark, {sf_dir!r}).count() > 0
+assert glob.glob({str(wh)!r} + "/bkt_*"), "tables should exist mid-session"
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=300)
+    import glob
+
+    left = glob.glob(str(wh / "bkt_*"))
+    assert left == [], f"bucketed table dirs left behind: {left}"
