@@ -1,0 +1,96 @@
+"""Batch-protocol adapter for REAL secretlint (VERDICT r8 item 8).
+
+``sanitize.external_lint_scrub`` ships Arrow batches to its linter
+command as ONE stdin JSON array of ``{"id", "text"}`` and expects one
+result array back — an amortized protocol (one process per batch, not
+per document). Real secretlint's CLI contract is per-document: raw
+text on stdin, one JSON array of file results on stdout
+(``npx secretlint --stdin --format json``, exactly the invocation the
+reference uses in slack/lib/sanitizer.js:124-157).
+
+This adapter is the bridge: run as the ``external_lint_scrub``
+command, it reads the batch array, feeds each document to secretlint
+on stdin, and maps every result message's ``loc.start.line`` back into
+the batch result shape. Line semantics are preserved verbatim — the
+reference, too, "conservatively redact[s] entire matched lines"
+(sanitizer.js:137-151), so redaction via this adapter matches the
+reference's secretlint path line-for-line.
+
+The secretlint invocation defaults to the reference's and is
+overridable with argv (``python lint_secretlint.py <cmd> <args...>``
+— deterministic even across Spark's forked python workers, whose
+environment predates any test-time setenv) or with
+``SPARK_GRAFT_SECRETLINT_CMD`` (whitespace-split), e.g. a pinned
+binary instead of npx. Exit-code 1 with JSON on stdout
+means "issues found" for secretlint — only a missing/errored spawn or
+empty stdout degrades that document to no-messages (the caller's
+observable-fallback contract covers whole-batch failures).
+
+Usage:
+    external_lint_scrub(df, [sys.executable, lint_secretlint.__file__])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+DEFAULT_CMD = ["npx", "--yes", "secretlint", "--stdin", "--format", "json"]
+
+
+def secretlint_command() -> list[str]:
+    override = os.environ.get("SPARK_GRAFT_SECRETLINT_CMD")
+    return override.split() if override else list(DEFAULT_CMD)
+
+
+def flag_lines(text: str, cmd: list[str] | None = None, timeout_s: int = 60) -> list[int]:
+    """1-based line numbers secretlint flags in ``text`` — the same
+    collection loop as the reference (sanitizer.js:139-146: every
+    ``messages[].loc.start.line`` across every file result)."""
+    try:
+        res = subprocess.run(
+            cmd or secretlint_command(),
+            input=text,
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return []
+    if not res.stdout:
+        return []
+    try:
+        results = json.loads(res.stdout)
+    except ValueError:
+        return []
+    lines: set[int] = set()
+    if isinstance(results, list):
+        for file_res in results:
+            for msg in (file_res or {}).get("messages") or []:
+                loc = msg.get("loc") or {}
+                start = loc.get("start")
+                if isinstance(start, dict) and isinstance(start.get("line"), int):
+                    lines.add(start["line"])
+    return sorted(lines)
+
+
+def main() -> None:
+    docs = json.load(sys.stdin)
+    cmd = sys.argv[1:] or secretlint_command()
+    out = [
+        {
+            "id": d["id"],
+            "messages": [
+                {"loc": {"start": {"line": n}}}
+                for n in flag_lines(d.get("text") or "", cmd)
+            ],
+        }
+        for d in docs
+    ]
+    json.dump(out, sys.stdout)
+
+
+if __name__ == "__main__":
+    main()
