@@ -272,3 +272,43 @@ def leakage_safe_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "res-v1",
+) -> DataFrame:
+    """Deterministic weighted reservoir sample of ``k`` rows
+    (Efraimidis–Spirakis A-ES): every row gets the key
+    ``ln(u) / (w + 1)`` for a per-row uniform ``u ∈ (0, 1]`` derived
+    from a sha256 hash of ``key_col``, and the global top-k by key is
+    the sample — inclusion probability proportional to weight, ONE
+    pass, no RNG state.
+
+    Scale shape: the ranking key is a narrow projection and the top-k
+    is ``orderBy().limit(k)`` — Spark plans TakeOrdered (per-partition
+    partial top-k, then a k-row merge on the driver), so a 100 TB scan
+    moves exactly k rows; the A-ES key is also mergeable across
+    independent shards (max-combine), which is what makes this the
+    streaming/distributed-reservoir primitive.
+
+    Cross-engine determinism: ``u = (hash64_prefix + 1) / 2^32`` is
+    exact in doubles; ``ln``'s last ulp can differ between libm
+    implementations, so the key is rounded to 9 decimals for ranking
+    with ``key_col`` as the tiebreak — both engines then select the
+    same k rows (the 1-ulp rank flip the rounding absorbs is the same
+    trick the winnowing oracles use).
+    """
+    u = (
+        F.conv(F.substring(F.sha2(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")), 256), 1, 8), 16, 10).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    es_key = F.round(F.log(u) / (F.col(weight_col) + 1), 9)
+    return (
+        df.withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -48,7 +48,11 @@ _FRONT = [
     # as they land); after the r9 window every registry query's latest
     # row is r7+.
     # ------------------------------------------------------------------
-    # -- new round-9 queries slot in here as they land (4 free slots) --
+    # -- new in round 9, never driver-sampled --
+    "sample_weighted_reservoir",
+    "text_gopher_rules",
+    "text_ccnet_buckets",
+    "store_stream_ingest",
     # -- latest green row r6 (two driver windows ago) --
     "a13_week_frame",
     "a14_array_set_diff",

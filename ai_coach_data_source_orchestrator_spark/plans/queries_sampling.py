@@ -355,3 +355,40 @@ def sample_topn_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _TOPN_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis–Spirakis 2006): k documents
+# drawn with probability proportional to size, one pass, deterministic.
+# The A-ES key makes the reservoir MERGEABLE (max-combine across
+# shards/streams) — the distributed/streaming counterpart of the hash
+# gates above, and the standard primitive for "sample 1M docs from
+# 100 TB by token budget" without a global shuffle: TakeOrdered moves
+# exactly k rows. Oracle replays the identical sha256→uniform→ln-key
+# arithmetic; the 9-decimal key rounding + doc_id tiebreak absorb the
+# cross-libm ln() ulp so both engines rank identically.
+# ---------------------------------------------------------------------------
+_RES_K = 200
+_RES_SALT = "res-v1"
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ROUND(ln((('0x' || substr(sha256('{_RES_SALT}' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                      / 4294967296.0) / (n_chars + 1), 9) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, es_key
+    FROM s ORDER BY es_key DESC, doc_id LIMIT {_RES_K}
+    """,
+    survey_ids=("U1", "O5"),
+    description="Efraimidis-Spirakis weighted reservoir: size-proportional k-sample, one pass, mergeable",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SA.weighted_reservoir(
+        docs, weight_col="n_chars", k=_RES_K, key_col="doc_id", salt=_RES_SALT
+    ).select("doc_id", F.col("n_chars").cast("bigint").alias("weight"), "es_key")

@@ -1663,3 +1663,176 @@ def doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_label", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Table A1 — the rule set Dolma/
+# RefinedWeb reuse): word-count bounds, mean-word-length band,
+# symbol-to-word ratio (# and ellipsis), bullet-line and ellipsis-line
+# ratios, alphabetic-word fraction, and a required-stopword count.
+# Complements text_quality_score (C4-ish signals) with the published
+# repetition-free structural rules. Pure column expressions over one
+# scan — free at 100 TB, no shuffle, no Python. Word bounds are scaled
+# to the fixture corpus (10-99 words/doc) so the keep flag
+# discriminates; the published 50/100k bounds are a constant swap.
+# ---------------------------------------------------------------------------
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 30, 90
+_G_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS sum_chars,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter(toks, w -> w = '#' OR contains(w, '...') OR contains(w, '…'))) AS n_sym,
+             len(list_filter(list_transform(toks, w -> lower(w)),
+                             w -> list_contains({_G_STOP_SQL}, w))) AS stop_hits,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> left(l, 2) IN ('- ', '* ', '• '))) AS n_bullet,
+             len(list_filter(lines, l -> right(l, 3) = '...' OR right(l, 1) = '…')) AS n_ellipsis
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE ROUND(CAST(sum_chars AS DOUBLE) / n_words, 6) END AS mean_word_len,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) END AS alpha_ratio,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE ROUND(CAST(n_sym AS DOUBLE) / n_words, 6) END AS symbol_ratio,
+           ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_ratio,
+           ROUND(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) AS ellipsis_ratio,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND CAST(sum_chars AS DOUBLE) / n_words BETWEEN 3 AND 10
+            AND CAST(n_sym AS DOUBLE) / n_words < 0.1
+            AND CAST(n_bullet AS DOUBLE) / n_lines <= 0.9
+            AND CAST(n_ellipsis AS DOUBLE) / n_lines <= 0.3
+            AND CAST(n_alpha AS DOUBLE) / n_words > 0.8
+            AND stop_hits >= 2) AS keep
+    FROM m
+    """,
+    survey_ids=("F12", "U5"),
+    description="Gopher structural quality rules: word/symbol/bullet/stopword gates",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    lines = F.split(F.col("text"), "\n", -1)
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    m = docs.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("bigint")
+        .alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(toks, lambda w: F.length(w).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        ).alias("sum_chars"),
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("bigint").alias("n_alpha"),
+        F.size(
+            F.filter(toks, lambda w: (w == "#") | w.contains("...") | w.contains("…"))
+        ).cast("bigint").alias("n_sym"),
+        F.size(
+            F.filter(
+                F.transform(toks, lambda w: F.lower(w)),
+                lambda w: F.array_contains(stops, w),
+            )
+        ).cast("bigint").alias("stop_hits"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.substring(l, 1, 2).isin("- ", "* ", "• "))
+        ).cast("bigint").alias("n_bullet"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: (F.substring(l, -3, 3) == "...") | (F.substring(l, -1, 1) == "…"),
+            )
+        ).cast("bigint").alias("n_ellipsis"),
+    )
+    nz = lambda num, den: F.when(F.col(den) == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.round(F.col(num).cast("double") / F.col(den), 6)
+    )
+    mean_wl = F.col("sum_chars").cast("double") / F.col("n_words")
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & mean_wl.between(3, 10)
+        & (F.col("n_sym").cast("double") / F.col("n_words") < 0.1)
+        & (F.col("n_bullet").cast("double") / F.col("n_lines") <= 0.9)
+        & (F.col("n_ellipsis").cast("double") / F.col("n_lines") <= 0.3)
+        & (F.col("n_alpha").cast("double") / F.col("n_words") > 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        nz("sum_chars", "n_words").alias("mean_word_len"),
+        nz("n_alpha", "n_words").alias("alpha_ratio"),
+        nz("n_sym", "n_words").alias("symbol_ratio"),
+        F.round(F.col("n_bullet").cast("double") / F.col("n_lines"), 6).alias("bullet_ratio"),
+        F.round(F.col("n_ellipsis").cast("double") / F.col("n_lines"), 6).alias("ellipsis_ratio"),
+        "stop_hits",
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): per-language
+# head/middle/tail terciles of the bigram-LM score above — the standard
+# "keep head, sample middle, drop tail" corpus split. Window ntile over
+# (lang) partitions: one shuffle on a low-cardinality key whose skew is
+# bounded by corpus language mix; the LM scoring reuses
+# text_lm_perplexity's decimal-exact fold, so the ordering both engines
+# ntile over is bit-identical (6-dp score, doc_id tiebreak).
+# ---------------------------------------------------------------------------
+@register(
+    "text_ccnet_buckets",
+    oracle=f"""
+    WITH lm AS ({_LM_SQL}),
+    s AS (
+      SELECT d.doc_id, d.lang, lm.bits_per_bigram,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY lm.bits_per_bigram, lm.doc_id) AS t
+      FROM documents d JOIN lm ON d.doc_id = lm.doc_id
+      WHERE lm.n_bigrams > 0
+    )
+    SELECT doc_id, lang, bits_per_bigram,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM s
+    """,
+    survey_ids=("F12", "A13"),
+    description="CCNet head/middle/tail perplexity terciles per language",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lm = text_lm_perplexity(spark, sf_dir).where(F.col("n_bigrams") > 0)
+    w = Window.partitionBy("lang").orderBy("bits_per_bigram", "doc_id")
+    return (
+        docs.join(lm, "doc_id")
+        .withColumn("t", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "bits_per_bigram",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

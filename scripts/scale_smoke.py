@@ -154,6 +154,12 @@ QUERIES = [
     ("u2_distinct_keys_from_text", "documents"),
     ("multimodal_features", "documents"),
     ("embedding_normalize_truncate", "embeddings"),
+    # round 9 additions (store_stream_ingest is excluded: its input is a
+    # fixed 30-doc fixture, so a per-row ratio over the documents table
+    # would be meaningless)
+    ("sample_weighted_reservoir", "documents"),
+    ("text_gopher_rules", "documents"),
+    ("text_ccnet_buckets", "documents"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —

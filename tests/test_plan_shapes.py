@@ -471,3 +471,25 @@ def test_transcript_ingest_rows_no_python_udf_no_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
+    """A-ES weighted reservoir: global top-k must plan as TakeOrdered
+    (per-partition partial top-k, k-row merge) — never a full sort with
+    a range-partition shuffle, and no Python on the key path."""
+    df = REGISTRY["sample_weighted_reservoir"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "TakeOrdered" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_is_pure_projection(spark, sf_dir):
+    """Gopher structural rules: one scan, zero shuffles, whole-stage
+    codegen — the shape that makes quality gating free at 100 TB."""
+    df = REGISTRY["text_gopher_rules"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(" in plan
