@@ -20,7 +20,9 @@ Subcommands:
                                   team's pipeline in ONE SparkSession with
                                   shared inputs, per-team output dirs, the
                                   reference's abort-on-failure contract, and a
-                                  closing summary table
+                                  closing summary table; ``--parallel`` opts
+                                  into concurrent teams on the shared session
+                                  (byte-identical outputs, pinned)
 - ``bench``                     — the headline benchmark (delegates to bench.py's
                                   logic via the registry)
 - ``audit``                     — transcript coverage audit over a directory of
@@ -57,6 +59,12 @@ Subcommands:
 - ``list-reports``              — the package.json ``list-reports``
                                   one-liner: configured teams + the four
                                   report types
+- ``store-stream``              — incremental twin of ``store``: drains
+                                  daily/transcript drop-zone directories
+                                  through Structured Streaming
+                                  (availableNow) into the same keyed
+                                  upserts; re-running the verb resumes
+                                  from the per-family checkpoints
 - ``db-migrate``/``db-drop``/``db-query`` — the warehouse admin trio
                                   (scripts/run-neon-migrations.js,
                                   drop-all-tables.js, query-neon-db.js):
