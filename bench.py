@@ -74,7 +74,7 @@ def main() -> None:
     # readings decay 14.4 → 11.8 alongside it, so the 15-min average is
     # gated too.
     load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
-    load15_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD15_MAX", "2.5"))
+    load15_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD15_MAX", "2.0"))
     load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
     load_start = load15_start = None
     load_contaminated = False
