@@ -262,8 +262,9 @@ def cosine_dup_pairs_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    bits: int = 10,
+    bits: int | None = 10,
     n_tables: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup, sign-LSH bucketed — the scale path.
 
@@ -274,10 +275,28 @@ def cosine_dup_pairs_lsh(
     ~2^-10 per table. Exact cosine verifies every candidate, so
     precision is 1; recall/table-count trade-off is measured in
     tests/test_similarity.py.
+
+    **Signature width must scale with the corpus** (r9 sf10 finding):
+    expected bucket size is n / 2^bits, so FIXED bits make candidate
+    pairs grow as n²/2^bits — at 250 k vectors a 10-bit table holds
+    ~244 ids/bucket and the verify join exploded to an ~80 GB spill.
+    ``bits=None`` sizes the signature as
+    ``max(10, ceil(log2(n)) + 2)`` (E[bucket] ≤ 0.25, so candidates
+    are collision-driven, not pigeonhole-driven); the first 10
+    hyperplanes are unchanged, so oracle-pinned 10-bit runs at small
+    SF are bit-identical. ``max_bucket_size`` is the independent skew
+    cap (same broadcast anti-join as minhash_lsh_pairs) for corpora
+    with genuine mega-clusters — drop them here, collapse them with
+    semantic_dedup upstream.
     """
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
+    if bits is None:
+        import math
+
+        n = base.count()  # metadata-cheap on columnar sources
+        bits = max(10, math.ceil(math.log2(max(n, 2))) + 2)
     # All n_tables signatures in ONE batch-matmul pass, exploded to
     # (id, table, bucket) rows — not a union of per-table DataFrames (a
     # union multiplies partition count by n_tables and re-scans the
@@ -288,6 +307,16 @@ def cosine_dup_pairs_lsh(
     # vector is fetched, so each candidate pair is scored exactly once.
     sig = _np_signature_udf(dim, bits, n_tables)
     banded = base.select("id", F.posexplode(sig("v")).alias("table", "bucket"))
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("table", "bucket")
+            .agg(F.count("*").alias("__bs"))
+            .where(F.col("__bs") > max_bucket_size)
+            .select("table", "bucket")
+        )
+        # Unhinted: AQE broadcasts the anti-join side when it is small
+        # (same reasoning as the minhash guard, dedup.py).
+        banded = banded.join(hot, ["table", "bucket"], "left_anti")
     cand = (
         banded.withColumnRenamed("id", "id_a")
         .join(banded.withColumnRenamed("id", "id_b"), ["table", "bucket"])

@@ -360,8 +360,14 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, (x, i) -> x * (1.0d + 0.001d * sin(vec_id * 7 + i)))"
         ).alias("embedding"),
     )
+    # bits=None auto-sizes the signature to ceil(log2 n)+2 with a floor
+    # of 10 — at every oracle-checked SF (n ≤ 2 500) the floor keeps the
+    # EXACT 10-bit chains the oracle pins, while at smoke scale the
+    # widening keeps candidates collision-driven instead of pigeonhole-
+    # driven (the r9 sf10 run spilled ~80 GB through the verify join at
+    # fixed bits=10 with 250 k vectors; auto-bits restored linearity).
     return S.cosine_dup_pairs_lsh(
-        base.unionByName(planted), threshold=0.9, dim=64, bits=10, n_tables=4
+        base.unionByName(planted), threshold=0.9, dim=64, bits=None, n_tables=4
     )
 
 

@@ -281,6 +281,27 @@ def synthesize(spark) -> None:
                             F.slice("embedding", 1, rot),
                         ),
                     )
+                # Rotation alone repeats every `dim` replicas — at
+                # SMOKE_SCALE=100 with dim=64, replicas r and r+64 would
+                # be IDENTICAL vectors under new ids, inflating near-dup
+                # candidates and kNN ties. A per-replica sign-flip
+                # pattern (keyed on r // dim; identity for r < dim, so
+                # sf1/sf3 replicas are unchanged) preserves norms and
+                # within-replica dot products EXACTLY (s_j^2 = 1) while
+                # scrambling cross-replica geometry.
+                if r >= dim:
+                    import hashlib
+
+                    hbits = int(
+                        hashlib.sha256(f"flip{r // dim}".encode()).hexdigest(), 16
+                    )
+                    signs = F.array(
+                        *[F.lit(-1.0 if (hbits >> j) & 1 else 1.0) for j in range(dim)]
+                    )
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.zip_with("embedding", signs, lambda a, b: (a * b).cast("float")),
+                    )
                 rep = rep.withColumn(
                     "vec_id", (F.col("vec_id") + F.lit(r * KEY_STRIDE)).cast("long")
                 )

@@ -630,3 +630,77 @@ def test_store_stream_cli_kill_resume(spark, tmp_path, capsys):
     batch_rows = sorted(map(tuple, read_table(spark, wh_batch, "daily_reports").collect()))
     stream_rows = sorted(map(tuple, read_table(spark, wh_stream, "daily_reports").collect()))
     assert stream_rows == batch_rows
+
+
+def test_sessionize_stream_kill_resume_recovers_state(spark, sf_dir, tmp_path):
+    """Stateful checkpoint recovery (the hard case the store-stream test
+    doesn't cover): session_window keeps open-session state + watermark
+    in the state store. Split the events replay into time-ordered files,
+    KILL the query after the first committed micro-batch, restart from
+    the same checkpoint into the same exactly-once parquet sink, and the
+    final per-user session rollup must equal the batch sessionizer —
+    proving both state-store recovery (open sessions survive the kill)
+    and the file sink's replay dedup (_spark_metadata)."""
+    import time
+    import uuid as _uuid
+
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in REGISTRY["sessionize_events"].fn(spark, sf_dir).collect()
+    }
+    assert batch, "vacuous: batch sessionize produced no rows"
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    mid_s = ev.select(F.unix_timestamp("ts").cast("double").alias("s")).approxQuantile(
+        "s", [0.5], 0.01
+    )[0]
+    mid = F.timestamp_seconds(F.lit(mid_s))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush = (
+        ev.select("user_id").distinct()
+        .select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            (F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            "user_id",
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    d = tmp_path / f"kr_{_uuid.uuid4().hex[:8]}"
+    # three files in ascending event-time, distinct mtimes so the file
+    # source's discovery order matches event-time order
+    for part in (ev.where(F.col("ts") <= mid), ev.where(F.col("ts") > mid), flush):  # noqa: E501
+        part.coalesce(1).write.mode("append").parquet(str(d))
+        time.sleep(1.1)
+
+    sink = str(tmp_path / "kr_out")
+    ckpt = str(tmp_path / "kr_ckpt")
+    stream = lambda: ST.session_windows_stream(  # noqa: E731
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "1").parquet(str(d)),
+        gap="30 minutes",
+    ).writeStream.format("parquet").option("path", sink).option(
+        "checkpointLocation", ckpt
+    ).outputMode("append")
+
+    q = stream().start()
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        p = q.lastProgress
+        if p and (p.get("sources") or [{}])[0].get("numInputRows", 0) > 0:
+            break
+        time.sleep(0.2)
+    q.stop()  # kill mid-stream: open sessions live only in the state store
+    q.awaitTermination(60)
+
+    q2 = stream().trigger(availableNow=True).start()
+    assert q2.awaitTermination(180), "resumed stream did not drain"
+
+    out = spark.read.parquet(sink).where(F.col("session_value").isNotNull())
+    stream_rollup = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in out.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    assert stream_rollup == batch
