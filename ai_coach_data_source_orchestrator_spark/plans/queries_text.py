@@ -1592,10 +1592,15 @@ _NOVELTY_K = 5
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fraction of each document's 5-grams that are corpus-unique.
 
-    Scale: grams hash narrow (projection), ONE shuffle on the uniform
-    gram hash for the count, an unhinted equi-join back on the same key
-    (re-uses the partitioning), and a per-doc sum. Same shape as
-    duplicated_spans minus the windows.
+    Scale (r9 restructure — was the heaviest sf10 smoke op at 117 s):
+    a corpus-UNIQUE gram has exactly one occurrence, so its owning doc
+    is recoverable as ``min(doc_id)`` inside the same gram-hash
+    aggregation — no gram-sized join back, and no second evaluation of
+    the explode+sha256 stage (the old join re-derived it for the probe
+    side). Now: one map-side-combinable per-doc count, one shuffle on
+    the uniform gram hash carrying (count, min doc), and a doc-sized
+    join of two doc-sized aggregates. Results identical (oracle
+    unchanged).
     """
     docs = load_table(spark, sf_dir, "documents")
     toked = ensure_parallelism(docs).select(
@@ -1612,20 +1617,24 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(grams).alias("gram"))
         .select("doc_id", F.substring(F.sha2("gram", 256), 1, 16).alias("gh"))
     )
-    counts = g.groupBy("gh").agg(F.count(F.lit(1)).alias("cn"))
-    return (
-        g.join(counts, "gh")
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    uniques = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cn"), F.min("doc_id").alias("doc_id"))
+        .where(F.col("cn") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("cn") == 1, 1).otherwise(0)).alias("n_unique"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return (
+        per_doc.join(uniques, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.col("n_unique").cast("bigint").alias("n_unique"),
+            F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
             F.floor(
-                F.col("n_unique").cast("double") / F.col("n_grams") * F.lit(1000000.0)
+                F.coalesce("n_unique", F.lit(0)).cast("double")
+                / F.col("n_grams")
+                * F.lit(1000000.0)
                 + F.lit(0.5)
             )
             .cast("bigint")
