@@ -127,24 +127,47 @@ def main() -> None:
     # both cold and warm are recorded so a single-shot cost is visible.
     # Per-query fault isolation: an erroring query is recorded in
     # "errors" and excluded from the totals instead of killing the run.
+    # `value` stays count()-forced for band continuity with r1-r8.
+    # count() lets Catalyst prune subtrees the count doesn't need (pure
+    # projections collapse to a metadata row count; left-join
+    # enrichments drop the join) — so `queries_forced`/`value_forced`
+    # additionally record best-of-2 with EVERY output column evaluated
+    # (bit_xor of xxhash64 — unprunable, overflow-free), the honest
+    # full-evaluation cost. scripts/scale_smoke.py uses the forced form
+    # exclusively (r9 finding: text_lm_perplexity sf10 measured 2 s by
+    # count, 51 s forced).
+    from pyspark.sql import functions as F
+
+    def force(df):
+        df.select(
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+        ).collect()
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    forced: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in names:
         spec = REGISTRY[name]
         runs = []
+        fruns = []
         try:
             for _ in range(2):
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(spec.fn(spark, sf_dir))
+                fruns.append(time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             continue
         cold[name] = round(runs[0], 3)
         warm[name] = round(runs[1], 3)
+        forced[name] = round(min(fruns), 3)
         dt = round(min(runs), 3)
         timings[name] = dt
         total += dt
@@ -162,9 +185,11 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "queries_warm": warm,
+                "queries_forced": forced,
+                "value_forced": round(sum(forced.values()), 3),
                 "cold_total": round(sum(cold.values()), 3),
                 "errors": errors,
-                "methodology": "value=min(cold,warm) per query; cold=first run incl. codegen",
+                "methodology": "value=min(cold,warm) count-forced per query (band-comparable r1+); value_forced=min-of-2 with all output columns evaluated (unprunable)",
                 "load_1min_start": load_start,
                 "load_15min_start": load15_start,
                 "load_1min_end": load_end,

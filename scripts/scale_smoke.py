@@ -321,11 +321,29 @@ def synthesize(spark) -> None:
         f.write(stamp)
 
 
+METHODOLOGY = (
+    "best-of-2 warm, FORCED evaluation (bit_xor of xxhash64 over all output "
+    "columns — count() lets Catalyst prune unreferenced subtrees: left-join "
+    "enrichments and pure projections collapse to a metadata row count, "
+    "under-measuring by up to 25x; measured r9 on text_lm_perplexity sf10: "
+    "2s count vs 51s forced); per_row_cost_ratio = (t_big/rows_big)/"
+    "(t_small/rows_small); <~2 = linear"
+)
+
+
+def _force(df) -> None:
+    """Evaluate EVERY output column: bit_xor(xxhash64(cols)) cannot be
+    pruned (the hash needs all columns) and cannot overflow (xor)."""
+    df.select(
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+    ).collect()
+
+
 def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
+        _force(REGISTRY[name].fn(spark, sf_dir))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -359,7 +377,7 @@ def main() -> None:
 
     summary = {
         "scale_factor": SCALE,
-        "methodology": "best-of-2 warm; per_row_cost_ratio = (t_big/rows_big)/(t_small/rows_small); <~2 = linear",
+        "methodology": METHODOLOGY,
         "queries": results,
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -375,7 +393,11 @@ def main() -> None:
                 prior = json.load(f)
         except (json.JSONDecodeError, OSError):
             prior = None
-        if prior and prior.get("scale_factor") == SCALE:
+        if (
+            prior
+            and prior.get("scale_factor") == SCALE
+            and prior.get("methodology") == METHODOLOGY
+        ):
             merged = dict(prior.get("queries", {}))
             merged.update(summary["queries"])
             summary["queries"] = merged
