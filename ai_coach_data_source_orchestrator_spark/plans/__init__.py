@@ -40,66 +40,66 @@ _CHANGED_ORACLE: tuple[str, ...] = ()
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 9 rotation (VERDICT r8 item 1): the 46 queries whose latest
-    # green driver row is r6 — exactly the set the hygiene test
-    # (tests/test_registry.py) enumerates against the r8 artifacts.
-    # 46 < 50 = zero forced overflow, with 4 free slots for queries
-    # added this round (new entries slot into the head of this list
-    # as they land); after the r9 window every registry query's latest
-    # row is r7+.
+    # Round 10 rotation (VERDICT r9 item 1): the exactly-50 queries
+    # whose latest green driver row is r7 — the set the hygiene test
+    # (tests/test_registry.py) enumerates against the r9 artifacts.
+    # 50 = 50 window slots: a perfect zero-overflow rotation. New
+    # queries added this round would overflow the window; if any land,
+    # they slot at the head and the capacity math in the test accounts
+    # for the forced overflow. After the r10 window every registry
+    # query's latest row is r8+.
     # ------------------------------------------------------------------
-    # -- new in round 9, never driver-sampled --
-    "sample_weighted_reservoir",
-    "text_gopher_rules",
-    "text_ccnet_buckets",
-    "store_stream_ingest",
-    # -- latest green row r6 (two driver windows ago) --
-    "a13_week_frame",
-    "a14_array_set_diff",
-    "a1_status_groups_canonical_order",
-    "a3_group_stats_pct",
-    "a45_status_priority_cube",
-    "asof_join_checkpoints",
-    "chat_pack_conversations",
-    "contamination_semantic",
-    "dedup_cdc_chunks",
-    "dedup_cross_source_matrix",
-    "dedup_embedding_cosine",
-    "dedup_incremental_ingest",
-    "doc_language_confusion",
-    "embedding_label_centroids",
-    "embedding_pq_encode",
-    "events_anomaly_zscore",
-    "f1_date_range_filter",
-    "f3_semi_join_children_in_range",
-    "j1_star_join_revenue",
-    "j2_alias_first_match_join",
-    "j5_hierarchy_resolution",
-    "k_bucketed_join_roundtrip",
-    "knn_recall_audit",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "o3_latest_order_per_customer",
-    "rollup_hypertable_cascade",
-    "s18_python_literal_extract",
-    "sample_topn_per_source",
-    "sketch_cms_rollup",
-    "sketch_hll_rollup",
-    "text_bm25_topk",
-    "text_ngram_novelty",
-    "text_topk_per_source",
-    "u6_union_tagged_sources",
-    "x10_x11_timestamp_formats",
-    "x14_slugify",
-    "x16_mask_secrets",
-    "x17_redact_code",
-    "x18_prompt_denylist",
-    "x2_wiki_to_markdown",
-    "x4_slack_markup",
-    "x5_html_bullets",
-    "x6_linkify_issue_keys",
-    "x_assignee_split_groups",
+    # -- latest green row r7 (two driver windows ago) --
+    "a15_participants",
+    "a18_reactions_rollup",
+    "cc_large_star",
+    "contamination_ngram_overlap",
+    "dashboard_week_frame",
+    "dedup_simhash",
+    "epic_tree_render",
+    "events_decay_activity",
+    "f5_substring_filter",
+    "f6_team_threshold_filter",
+    "f9_section_date_trim",
+    "j10_member_doc_join",
+    "j12_channel_resolution",
+    "j3_mention_resolution",
+    "j4_field_label_join",
+    "j7_changelog_attach",
+    "j8_changelog_injection",
+    "j9_blob_path_join",
+    "k1_csv_union_header_roundtrip",
+    "k2_partitioned_write_roundtrip",
+    "k5_json_snapshot_roundtrip",
+    "k6_datasource_sections",
+    "k8_upsert_merge",
+    "k9_cache_freshness",
+    "k_bucketed_colocated_join",
+    "knn_pq_adc",
+    "o4_lexicographic_concat",
+    "pack_token_bins",
+    "s12_drive_catalog_scan",
+    "s14_jdbc_pushdown_join",
+    "s1_jira_connector_roundtrip",
+    "s9_slack_history_pushdown",
+    "sample_mixture_budget",
+    "sample_stratified_hash",
+    "sample_temperature_mix",
+    "slack_capture_pipeline",
+    "source_js_divergence",
+    "text_c4_filters",
+    "text_line_dedup",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_token_entropy",
+    "text_url_normalize",
+    "u2_distinct_keys_from_text",
+    "u8_schema_union_by_name",
+    "weekly_digest_pipeline",
+    "x19_transcript_parse",
+    "x21_changelog_compact",
+    "x23_json_field_extract",
+    "x24_custom_field_map",
 ]
 
 
