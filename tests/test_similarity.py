@@ -108,6 +108,39 @@ def test_ivf_kmeans_centroids_recall(neardup_corpus):
     assert recall >= 0.6, f"IVF-kmeans recall {recall}"
 
 
+@pytest.mark.parametrize(
+    ("n_rows", "want_centroids", "want_method"),
+    [
+        (100, 16, "sample"),  # floor binds; sample below the threshold
+        (5000, 71, "kmeans"),  # ceil(sqrt(5000)); trained past 4096
+    ],
+)
+def test_ivf_autosizing_rules(spark, monkeypatch, n_rows, want_centroids, want_method):
+    """VERDICT r9 item 3: centroid count is a function of corpus size
+    (nlist = max(16, ceil(sqrt(n)))), and lowest-id sampling gives way
+    to trained kmeans centroids past 4 096 vectors. The decision is
+    asserted at the _centroid_matrix seam so the (expensive) kmeans
+    training never actually runs."""
+
+    class _Captured(Exception):
+        pass
+
+    seen = {}
+
+    def capture(corpus, id_col, vec_col, n_centroids, method="sample"):
+        seen["n_centroids"], seen["method"] = n_centroids, method
+        raise _Captured
+
+    monkeypatch.setattr(S, "_centroid_matrix", capture)
+    df = spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(_Captured):
+        S.ivf_topk(df, df.limit(2))
+    assert seen == {"n_centroids": want_centroids, "method": want_method}
+
+
 def test_hyperplane_seed_independence():
     p0 = S._hyperplane(0, 16, seed=0)
     p1 = S._hyperplane(0, 16, seed=1)
@@ -195,7 +228,9 @@ def test_recall_audit_bounds_and_exact_leg(spark, sf_dir):
     )
 
     rows = REGISTRY["knn_recall_audit"].fn(spark, sf_dir).collect()
-    assert len(rows) == N_QUERIES
+    # One row per (query, method) — methods are lsh + ivf since r10.
+    assert len(rows) == 2 * N_QUERIES
+    assert {r["method"] for r in rows} == {"lsh", "ivf"}
     for r in rows:
         assert r["n_exact"] == TOP_K
         assert 0 <= r["n_hits"] <= min(r["n_ann"], r["n_exact"])
