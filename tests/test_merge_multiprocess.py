@@ -1,0 +1,157 @@
+"""Cross-PROCESS upsert safety (VERDICT r9 item 4).
+
+`sinks/merge.py`'s threading locks serialize one driver; the 100 TB-
+relevant hazard is two separate Spark JOBS upserting the same warehouse
+table — read-merge-publish interleaves and the later publish silently
+drops the earlier writer's rows. The O_EXCL lockfile protocol
+(`merge._process_lock`) closes that; this module proves it with two
+REAL driver processes (separate JVMs) upserting disjoint key sets into
+one table concurrently, plus pure-python protocol tests for the
+acquire / contend / stale-reclaim paths. On Delta/Iceberg the MERGE
+commit protocol replaces the lockfile; the keys are the contract.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.sinks import merge as M
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Each worker is a full SparkSession in its own process: 3 sequential
+# upsert batches of 10 keys, all disjoint from the sibling process.
+_WORKER = """
+import sys
+from pyspark.sql import SparkSession
+
+from ai_coach_data_source_orchestrator_spark.sinks.merge import upsert_parquet
+
+tag, path = sys.argv[1], sys.argv[2]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+base = int(tag[1:]) * 1000
+for batch in range(3):
+    rows = spark.createDataFrame(
+        [(tag, f"k{batch}_{j}", base + batch * 100 + j, 1) for j in range(10)],
+        "team_id string, k string, v int, ver long",
+    )
+    upsert_parquet(spark, path, rows, keys=("team_id", "k"), version_col="ver")
+print("WORKER_DONE", tag)
+"""
+
+
+def test_two_processes_disjoint_upserts_lose_nothing(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO_ROOT, env.get("PYTHONPATH")) if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), f"p{i}", path],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in (1, 2)
+    ]
+    outs = [p.communicate(timeout=570) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        assert "WORKER_DONE" in out
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("team_id", "k", "v").collect())
+    )
+    want = sorted(
+        (f"p{i}", f"k{b}_{j}", i * 1000 + b * 100 + j)
+        for i in (1, 2)
+        for b in range(3)
+        for j in range(10)
+    )
+    assert got == want, (
+        f"lost updates across processes: {len(got)} rows, expected {len(want)}"
+    )
+    # No lock/staging/backup litter left behind.
+    litter = [n for n in os.listdir(tmp_path) if "__lock__" in n or "__staging__" in n]
+    assert not litter, litter
+
+
+def test_process_lock_mutual_exclusion(tmp_path):
+    """Two acquirers, one critical section at a time (threads stand in
+    for processes — the O_EXCL file, not the GIL, is the arbiter)."""
+    table = str(tmp_path / "t")
+    active, max_active, hold = [0], [0], 0.05
+    errs = []
+
+    def worker():
+        try:
+            with M._process_lock(table, timeout=10):
+                active[0] += 1
+                max_active[0] = max(max_active[0], active[0])
+                time.sleep(hold)
+                active[0] -= 1
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert max_active[0] == 1
+    assert not os.path.exists(table + M._LOCK_SUFFIX)
+
+
+def test_process_lock_times_out_against_live_holder(tmp_path):
+    table = str(tmp_path / "t")
+    lock = table + M._LOCK_SUFFIX
+    # A LIVE holder (this very process) that never releases.
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()} {time.time():.3f}\n")
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        with M._process_lock(table, timeout=0.5):
+            pass
+    assert time.monotonic() - t0 < 5
+    os.unlink(lock)
+
+
+def test_process_lock_reclaims_dead_holder(tmp_path):
+    """A lockfile whose pid is gone (crashed writer) must not wedge the
+    table: the next acquirer breaks it via the atomic rename steal."""
+    table = str(tmp_path / "t")
+    lock = table + M._LOCK_SUFFIX
+    # A real, provably-dead pid: spawn-and-wait a no-op child.
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
+    with open(lock, "w") as f:
+        f.write(f"{child.pid} {time.time():.3f}\n")
+    t0 = time.monotonic()
+    with M._process_lock(table, timeout=10):
+        assert os.path.exists(lock)  # ours now
+    assert time.monotonic() - t0 < 5
+    assert not os.path.exists(lock)
+
+
+def test_process_lock_noop_on_object_store_paths(tmp_path):
+    # Non-POSIX warehouses are transactional-format territory: the
+    # lockfile must not try to create local files for s3:// paths.
+    with M._process_lock("s3://bucket/warehouse/tbl", timeout=1):
+        pass
+    assert not os.path.exists("s3:")
