@@ -49,6 +49,12 @@ _FRONT = [
     # for the forced overflow. After the r10 window every registry
     # query's latest row is r8+.
     # ------------------------------------------------------------------
+    # -- new in round 10, never driver-sampled --
+    # The streaming near-dup gate graduated to the driver gate
+    # (VERDICT r9 item 6). With the window exactly full (50 stale),
+    # it displaces one stale refresh (x23_json_field_extract — still
+    # green at r7, re-greens in r11).
+    "dedup_stream_neardup_gate",
     # -- changed oracle this round (r9 green row describes old output) --
     # knn_recall_audit gained IVF rows; it displaces ONE stale refresh
     # (o4_lexicographic_concat — still green at r7, re-greens in r11)
@@ -102,7 +108,6 @@ _FRONT = [
     "weekly_digest_pipeline",
     "x19_transcript_parse",
     "x21_changelog_compact",
-    "x23_json_field_extract",
     "x24_custom_field_map",
 ]
 

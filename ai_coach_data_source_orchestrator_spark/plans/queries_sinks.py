@@ -437,6 +437,8 @@ def _sweep_stale_bucket_dirs(warehouse: str) -> None:
     import shutil
     import time
 
+    from ..sinks.merge import _pid_alive
+
     try:
         entries = os.listdir(warehouse)
     except OSError:
@@ -447,6 +449,22 @@ def _sweep_stale_bucket_dirs(warehouse: str) -> None:
         path = os.path.join(warehouse, name)
         if path in _BUCKET_DIRS:
             continue  # ours, and possibly mid-use
+        # Liveness beats age (ADVICE r9): reads don't touch mtime, so a
+        # >6h-old dir can belong to a LIVE session still joining
+        # against it. Each writer drops a .inuse sentinel with its pid
+        # (dot-prefixed — invisible to the parquet scan); a live owner
+        # is never swept, a dead owner is swept immediately, and only
+        # sentinel-less pre-r10 litter falls back to the mtime window.
+        sentinel = os.path.join(path, ".inuse")
+        try:
+            with open(sentinel) as f:
+                owner = int(f.read().split()[0])
+            if _pid_alive(owner):
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            continue
+        except (OSError, ValueError, IndexError):
+            pass
         try:
             if time.time() - os.path.getmtime(path) > _STALE_BUCKET_SECONDS:
                 shutil.rmtree(path, ignore_errors=True)
@@ -519,6 +537,11 @@ def k_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
+        # Liveness sentinel for the cross-session sweeper (see
+        # _sweep_stale_bucket_dirs): our pid, in a dot-file the
+        # parquet scan ignores.
+        with open(f"{warehouse}/{name}/.inuse", "w") as f:
+            f.write(f"{os.getpid()}\n")
     bo = spark.table(names["bkt_orders"])
     bl = spark.table(names["bkt_lineitem"])
     return (
@@ -716,7 +739,18 @@ def store_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # ADVICE r9: a False return means the drain timed out with the
+    # warehouse only partially written — fail loudly instead of handing
+    # the driver a confusing oracle mismatch. The run_dir (drop zone +
+    # checkpoint + warehouse) is read lazily by the returned DataFrame,
+    # so it is reclaimed at interpreter exit, not here.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("store_stream_ingest: availableNow drain exceeded 300 s")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
     return spark.read.parquet(os.path.join(warehouse, "daily_reports")).select(
         "team_id",
         "author_name",

@@ -317,6 +317,93 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming near-dup gate under the driver gate (VERDICT r9 item 6):
+# the same documents replayed through a REAL multi-micro-batch
+# readStream into the stateful MinHash-LSH bucket gate
+# (streaming/neardup.py — applyInPandasWithState keyed by bucket),
+# candidates exact-Jaccard-verified downstream exactly like the batch
+# operator's verify stage. Streaming buckets are bit-identical to
+# batch buckets (same hash chain), so the verified output equals the
+# batch LSH output and the brute-force Jaccard oracle binds unchanged.
+# 32 perms × 16 bands keeps the per-micro-batch interpreted signature
+# chain cheap while the 2-row bands put the miss probability at the
+# 0.6 threshold below 1e-3 (and ≈1e-14 at the fixture's actual ≥0.94
+# near-dup similarities).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_stream_neardup_gate",
+    oracle=_JACCARD_PAIRS_SQL,
+    survey_ids=("U7", "S10", "F11", "K9"),
+    description="Streaming stateful LSH near-dup gate (multi-micro-batch replay), exact-Jaccard verified",
+)
+def dedup_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid_mod
+
+    from .. import streaming as ST
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # Drop zone: two parquet files + maxFilesPerTrigger=1 → at least
+    # two micro-batches, so bucket STATE genuinely carries membership
+    # across batches (pairs between even and odd doc_ids can only be
+    # emitted from recovered state). At scale documents land here from
+    # upstream writers; the two-file split is the fixture, not the path.
+    run_dir = tempfile.mkdtemp(prefix="neardup_gate_")
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    drop = os.path.join(run_dir, "drop")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    sink = f"neardup_gate_{_uuid_mod.uuid4().hex[:8]}"
+    q = (
+        ST.near_dup_gate_stream(stream, k=3, num_perm=32, bands=16)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dedup_stream_neardup_gate: drain exceeded 300 s")
+
+    # Candidates are bounded (collision-driven, dozens at fixture SF);
+    # materialize them off the memory sink so the verify join below
+    # doesn't re-reference the streaming snapshot (memory-sink views
+    # cannot be multiply referenced — see streaming/retrieval.py).
+    cand_rows = (
+        spark.table(sink).select("doc_a", "doc_b").distinct().collect()
+    )
+    cand = spark.createDataFrame(
+        [(r["doc_a"], r["doc_b"]) for r in cand_rows] or [],
+        "doc_a bigint, doc_b bigint",
+    )
+
+    # Downstream exact-Jaccard verify — the batch operator's verify
+    # stage, fed by streamed candidates instead of the self-join.
+    s = D._shingle_sets(docs, "text", "doc_id", k=3)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = D._jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.6)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup. Round 3: the token hash moved from xxhash64 to a
 # sha256-derived 60-bit integer (same trick as winnow_fingerprints),
 # which DuckDB reproduces with ('0x'||substr(sha256(t),1,15))::BIGINT —

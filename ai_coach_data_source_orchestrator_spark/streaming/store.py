@@ -248,14 +248,24 @@ def run_store_streams(
         )
         started.append((family, q))
         out(f"store-stream: {family} <- {directory}")
-    for family, q in started:
+    for i, (family, q) in enumerate(started):
         ok = q.awaitTermination(await_seconds)
         if not ok:
-            q.stop()
+            # Stop EVERY started stream, not just the timed-out one —
+            # returning with a sibling stream still running leaks it
+            # into the caller's session (ADVICE r9).
+            for _, other in started[i:]:
+                other.stop()
             out(f"store-stream: {family} timed out after {await_seconds}s")
             return 1
-        progress = q.lastProgress or {}
-        n = (progress.get("sources") or [{}])[0].get("numInputRows", 0)
+        # availableNow + maxFilesPerTrigger drains in MULTIPLE micro-
+        # batches; lastProgress covers only the final one. Sum the
+        # whole drain from recentProgress (ADVICE r9).
+        n = sum(
+            (p.get("sources") or [{}])[0].get("numInputRows", 0)
+            for p in (q.recentProgress or [])
+            if p
+        )
         out(f"store-stream: {family} drained ({n} new document(s))")
     if not started:
         out("store-stream: nothing to do (no drop-zone directory found)")
