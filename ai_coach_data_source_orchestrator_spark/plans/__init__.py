@@ -33,10 +33,11 @@ from . import queries_retrieval  # noqa: E402,F401
 # tests/test_registry.py counts these when checking the rotation
 # policy's capacity math.
 # Round 10: knn_recall_audit gained IVF rows (method column + per-
-# method recall, VERDICT r9 item 3) — its r9 green row describes the
-# LSH-only output, so it needs a fresh window slot ahead of one stale
-# refresh.
-_CHANGED_ORACLE: tuple[str, ...] = ("knn_recall_audit",)
+# method recall, VERDICT r9 item 3) and multimodal_decode gained the
+# baseline-JFIF corpus split (doc_id % 3 → % 4, VERDICT r9 item 8) —
+# their r9 green rows describe the old outputs, so both need fresh
+# window slots ahead of stale refreshes.
+_CHANGED_ORACLE: tuple[str, ...] = ("knn_recall_audit", "multimodal_decode")
 
 _FRONT = [
     # ------------------------------------------------------------------
@@ -55,11 +56,14 @@ _FRONT = [
     # it displaces one stale refresh (x23_json_field_extract — still
     # green at r7, re-greens in r11).
     "dedup_stream_neardup_gate",
-    # -- changed oracle this round (r9 green row describes old output) --
-    # knn_recall_audit gained IVF rows; it displaces ONE stale refresh
-    # (o4_lexicographic_concat — still green at r7, re-greens in r11)
-    # because the window is exactly full: 50 stale + 1 changed > 50.
+    # -- changed oracle this round (r9 green rows describe old output) --
+    # knn_recall_audit gained IVF rows; multimodal_decode gained the
+    # JFIF corpus split. With the window exactly full (50 stale), each
+    # displaces one stale refresh (o4_lexicographic_concat and
+    # u2_distinct_keys_from_text — both still green at r7, re-green in
+    # r11).
     "knn_recall_audit",
+    "multimodal_decode",
     # -- latest green row r7 (two driver windows ago) --
     "a15_participants",
     "a18_reactions_rollup",
@@ -103,7 +107,6 @@ _FRONT = [
     "text_repetition_stats",
     "text_token_entropy",
     "text_url_normalize",
-    "u2_distinct_keys_from_text",
     "u8_schema_union_by_name",
     "weekly_digest_pipeline",
     "x19_transcript_parse",

@@ -189,7 +189,7 @@ _RMS_MICRO = (
     oracle=f"""
     WITH img AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      FROM documents WHERE doc_id % 3 = 0
+      FROM documents WHERE doc_id % 4 = 0
     ),
     ivals AS (
       SELECT doc_id, w, h, w * h * 3 AS n_values,
@@ -200,7 +200,7 @@ _RMS_MICRO = (
     ),
     gry AS (
       SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
-      FROM documents WHERE doc_id % 3 = 1
+      FROM documents WHERE doc_id % 4 = 1
     ),
     gvals AS (
       SELECT doc_id, w, h, w * h AS n_values,
@@ -210,7 +210,7 @@ _RMS_MICRO = (
       GROUP BY doc_id, w, h
     ),
     aud AS (
-      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 3 = 2
+      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 4 = 2
     ),
     avals AS (
       SELECT doc_id, n_values,
@@ -219,6 +219,21 @@ _RMS_MICRO = (
                  * ((doc_id * 131 + i * 17) % 2003 - 1001)) AS val_sumsq
       FROM aud, unnest(range(n_values)) s(i)
       GROUP BY doc_id, n_values
+    ),
+    jm AS (
+      SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      FROM documents WHERE doc_id % 4 = 3
+    ),
+    jvals AS (
+      -- per-8x8-block constant v_b=(id*41+b*13)%256: each block
+      -- contributes 64*v to the sum and 64*v^2 to the sum of squares
+      -- (the DC-only DCT round-trips these pixels exactly — see
+      -- operators/multimodal.synthesize_media_corpus)
+      SELECT doc_id, w, h, w * h AS n_values,
+             64 * SUM((doc_id * 41 + b * 13) % 256) AS val_sum,
+             64 * SUM(((doc_id * 41 + b * 13) % 256) * ((doc_id * 41 + b * 13) % 256)) AS val_sumsq
+      FROM jm, unnest(range((w // 8) * (h // 8))) s(b)
+      GROUP BY doc_id, w, h
     )
     SELECT doc_id, 'image' AS kind, CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
@@ -235,17 +250,26 @@ _RMS_MICRO = (
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM avals
+    UNION ALL
+    SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
+           CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           {_MEAN_MICRO}, {_RMS_MICRO}
+    FROM jvals
     """,
     survey_ids=("S13", "K7"),
-    description="REAL media decode: synthesized PPM/PGM/WAV bytes parsed back to verified features",
+    description="REAL media decode: synthesized PPM/PGM/WAV/JFIF bytes parsed back to verified features",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize genuine PPM (P6) / PGM (P5) / WAV (PCM16) container bytes from
-    closed-form doc_id formulas, then REALLY decode them (header parse +
-    numpy payload extraction) and derive mean-luma / RMS-amplitude
-    features. The oracle recomputes the same features straight from the
-    formulas, so any decode defect (header offset, endianness, channel
-    count) breaks the hash match.
+    """Synthesize genuine PPM (P6) / PGM (P5) / WAV (PCM16) / baseline
+    JFIF container bytes from closed-form doc_id formulas, then REALLY
+    decode them (header parse + numpy payload extraction; for JPEG the
+    full canonical-Huffman entropy decode → dequantize → IDCT chain)
+    and derive mean-luma / RMS-amplitude features. The oracle recomputes
+    the same features straight from the formulas, so any decode defect
+    (header offset, endianness, channel count, Huffman/DCT bug) breaks
+    the hash match. The JPEG split's per-block-constant pixels keep the
+    lossy codec's round-trip exact (DC-only blocks) — the decoder still
+    runs its general path.
 
     Scale: synthesis and decode are Arrow-batched mapInPandas over the
     partitioned documents table; payloads never leave executors; the

@@ -90,12 +90,66 @@ def test_malformed_inputs_raise(payload, mime):
 
 
 def test_codec_bound_formats_still_stubbed():
-    # PNG became a real decode in r8 (stdlib zlib suffices); the DSP-
-    # codec formats remain honestly stubbed
+    # PNG became a real decode in r8 (stdlib zlib suffices) and
+    # baseline grayscale JFIF in r10 (numpy DCT + canonical Huffman);
+    # the DSP-codec formats remain honestly stubbed
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
+        decode_media(b"ID3\x04\x00\x00", "audio/mpeg")
+
+
+def test_jpeg_constant_block_roundtrip_exact():
+    """Per-8x8-block-constant grays survive the lossy pipeline EXACTLY
+    (DC-only blocks, all-ones quant) — the property the registry
+    oracle's closed-form restatement depends on."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    for doc_id in (3, 7, 11, 15, 19, 103):
+        w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+        img = np.zeros((h, w), dtype=np.uint8)
+        for b in range((w // 8) * (h // 8)):
+            by, bx = divmod(b, w // 8)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (doc_id * 41 + b * 13) % 256
+        d = decode_media(M.encode_jpeg_baseline_gray(w, h, img.tobytes()), "image/jpeg")
+        assert (d["kind"], d["width"], d["height"]) == ("image", w, h)
+        assert np.array_equal(d["values"], img.reshape(-1))
+
+
+def test_jpeg_general_images_near_lossless_and_exercise_ac_paths():
+    """Arbitrary grays push nonzero AC coefficients (run-lengths, ZRL,
+    value extension) through the general entropy path; with all-ones
+    quantization the only loss is coefficient rounding: |err| <= 2."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    grad = (np.add.outer(np.arange(16) * 11, np.arange(24) * 10) % 256).astype(np.uint8)
+    for img in (noise, grad):
+        h, w = img.shape
+        d = decode_media(M.encode_jpeg_baseline_gray(w, h, img.tobytes()), "image/jpeg")
+        err = np.abs(d["values"].astype(int) - img.reshape(-1).astype(int))
+        assert err.max() <= 2, err.max()
+
+
+def test_jpeg_unsupported_shapes_raise():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    img = np.full((8, 8), 9, dtype=np.uint8)
+    payload = bytearray(M.encode_jpeg_baseline_gray(8, 8, img.tobytes()))
+    with pytest.raises(ValueError):
+        decode_media(b"\x00\x00" + bytes(payload[2:]), "image/jpeg")  # bad SOI
+    # SOF0 -> SOF2 (progressive) must raise NotImplementedError
+    i = bytes(payload).find(b"\xff\xc0")
+    progressive = bytes(payload[:i]) + b"\xff\xc2" + bytes(payload[i + 2 :])
+    with pytest.raises(NotImplementedError):
+        decode_media(progressive, "image/jpeg")
 
 
 # ---------------------------------------------------------------------------
