@@ -37,7 +37,15 @@ from . import queries_retrieval  # noqa: E402,F401
 # baseline-JFIF corpus split (doc_id % 3 → % 4, VERDICT r9 item 8) —
 # their r9 green rows describe the old outputs, so both need fresh
 # window slots ahead of stale refreshes.
-_CHANGED_ORACLE: tuple[str, ...] = ("knn_recall_audit", "multimodal_decode")
+# graph_host_pagerank's fixture graph was rebuilt after the mutation
+# audit proved the old one exactly 2-regular (uniform ranks — NO rank
+# bug could turn the oracle red); its r8 green row describes the old
+# uniform output.
+_CHANGED_ORACLE: tuple[str, ...] = (
+    "knn_recall_audit",
+    "multimodal_decode",
+    "graph_host_pagerank",
+)
 
 _FRONT = [
     # ------------------------------------------------------------------
@@ -64,6 +72,9 @@ _FRONT = [
     # r11).
     "knn_recall_audit",
     "multimodal_decode",
+    # graph_host_pagerank: de-degenerated fixture graph (see
+    # _CHANGED_ORACLE) — displaces s12_drive_catalog_scan to r11.
+    "graph_host_pagerank",
     # -- latest green row r7 (two driver windows ago) --
     "a15_participants",
     "a18_reactions_rollup",
@@ -92,7 +103,6 @@ _FRONT = [
     "k_bucketed_colocated_join",
     "knn_pq_adc",
     "pack_token_bins",
-    "s12_drive_catalog_scan",
     "s14_jdbc_pushdown_join",
     "s1_jira_connector_roundtrip",
     "s9_slack_history_pushdown",

@@ -33,12 +33,21 @@ _ITERS = 5
 def _pr_sql() -> str:
     d = f"CAST({_D} AS DOUBLE)"
     ctes = [
+        # The second edge family exists only for doc_id % 3 = 0 and its
+        # map is non-affine (doc_id//3 breaks the permutation
+        # structure): degrees genuinely vary, so ranks are non-uniform
+        # and the iteration dynamics are observable. The r10 mutation
+        # audit caught the previous fixture being exactly 2-regular
+        # (both edge maps affine-coprime permutations mod 30) — ranks
+        # were uniform 1/n at EVERY iteration, so no iteration-count or
+        # damping bug could ever turn the oracle red.
         f"""raw AS (
       SELECT 'h' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) AS src,
              'h' || CAST((doc_id * 7 + 3) % {_N_HOSTS} AS VARCHAR) AS dst FROM documents
       UNION ALL
       SELECT 'h' || CAST(doc_id % {_N_HOSTS} AS VARCHAR),
-             'h' || CAST((doc_id * 13 + 5) % {_N_HOSTS} AS VARCHAR) FROM documents
+             'h' || CAST(((doc_id // 3) * 13 + 5) % {_N_HOSTS} AS VARCHAR)
+      FROM documents WHERE doc_id % 3 = 0
     )""",
         "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
@@ -82,9 +91,9 @@ def graph_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         h(F.col("doc_id") % _N_HOSTS).alias("src"),
         h((F.col("doc_id") * 7 + 3) % _N_HOSTS).alias("dst"),
     )
-    e2 = docs.select(
+    e2 = docs.where(F.col("doc_id") % 3 == 0).select(
         h(F.col("doc_id") % _N_HOSTS).alias("src"),
-        h((F.col("doc_id") * 13 + 5) % _N_HOSTS).alias("dst"),
+        h((F.floor(F.col("doc_id") / 3) * 13 + 5) % _N_HOSTS).alias("dst"),
     )
     edges = e1.unionByName(e2).where(F.col("src") != F.col("dst"))
     out = G.pagerank(edges, damping=_D, n_iter=_ITERS)

@@ -45,11 +45,14 @@ from test_oracle_parity import _canon, _duck
 from ai_coach_data_source_orchestrator_spark.plans import (
     REGISTRY,
     queries_events as qev,
+    queries_graph as qgr,
+    queries_joins as qjn,
     queries_markup as qmk,
     queries_relational as qrel,
     queries_retrieval as qre,
     queries_sampling as qsa,
     queries_similarity as qsi,
+    queries_sinks as qsn,
     queries_sketches as qsk,
     queries_text as qtx,
 )
@@ -271,6 +274,32 @@ MUTANTS = [
         "slugify run-collapse [^a-z0-9]+ -> [^a-z0-9] (adjacent separators keep their width)",
         _slugify_no_run_collapse,
     ),
+    # -- join family --------------------------------------------------------
+    Mutant(
+        "f6_team_threshold_filter",
+        "dropped-element",
+        "team roster without member #8 (matched_count drops where they appear)",
+        _const(qjn, "_TEAM", [f"Customer#{i:09d}" for i in range(1, 8)]),
+    ),
+    # -- graph family (iterative) -------------------------------------------
+    Mutant(
+        "graph_host_pagerank",
+        "wrong-constant",
+        "PageRank fixed-point 5 -> 4 iterations",
+        _const(qgr, "_ITERS", 4),
+    ),
+    # -- sinks/streaming family (the real readStream path under mutation) ---
+    Mutant(
+        "store_stream_ingest",
+        "boundary",
+        "streaming ingest fixture 30 -> 29 documents (one upsert row short)",
+        _const(qsn, "_SS_N", 29),
+    ),
+    # NOTE: queries_connectors has no salvageable constant seam — its
+    # _SLACK_EPOCH shifts BOTH the synthesized message timestamps and
+    # the pushdown window by the same delta, so the filtered set is
+    # shift-invariant (a correct mutant there must change the window
+    # and the data independently, which no module constant does).
 ]
 
 
@@ -291,6 +320,9 @@ def test_audit_spans_families_and_size():
         "queries_text",
         "queries_similarity",
         "queries_markup",
+        "queries_joins",
+        "queries_graph",
+        "queries_sinks",
     } <= modules, f"families missing from audit: {modules}"
     classes = {m.bug_class for m in MUTANTS}
     assert {
