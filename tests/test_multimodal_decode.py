@@ -187,6 +187,47 @@ try:
         assert d["sample_rate"] == rate
         assert np.array_equal(d["values"], arr)
 
+    @given(
+        bw=st.integers(min_value=1, max_value=5),
+        bh=st.integers(min_value=1, max_value=5),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_block_constant_property(bw, bh, seed):
+        """ANY per-8x8-block-constant gray of ANY block grid round-trips
+        the full DCT/Huffman pipeline EXACTLY — the invariant the
+        registry oracle's closed-form restatement is built on (extreme
+        block values hit the widest DC-diff categories)."""
+        from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(seed)
+        w, h = bw * 8, bh * 8
+        img = np.zeros((h, w), dtype=np.uint8)
+        for b in range(bw * bh):
+            by, bx = divmod(b, bw)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = int(rng.integers(0, 256))
+        d = decode_media(M.encode_jpeg_baseline_gray(w, h, img.tobytes()), "image/jpeg")
+        assert (d["width"], d["height"]) == (w, h)
+        assert np.array_equal(d["values"], img.reshape(-1))
+
+    @given(
+        bw=st.integers(min_value=1, max_value=3),
+        bh=st.integers(min_value=1, max_value=3),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_jpeg_general_property_bounded_error(bw, bh, seed):
+        """Arbitrary grays: all-ones quantization bounds the error to
+        coefficient rounding (|err| <= 2 across random images)."""
+        from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(seed)
+        w, h = bw * 8, bh * 8
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        d = decode_media(M.encode_jpeg_baseline_gray(w, h, img.tobytes()), "image/jpeg")
+        err = np.abs(d["values"].astype(int) - img.reshape(-1).astype(int))
+        assert err.max() <= 2
+
 except ImportError:  # hypothesis is baked in, but stay import-safe
     pass
 
