@@ -209,3 +209,57 @@ def _run_command_daily(npm_script: str, run_command: Callable[[str], int]) -> No
     code = run_command(npm_script)
     if code != 0:
         raise _StepFailed(f"Command failed with exit code {code}")
+
+
+def run_download_examples(
+    config: Mapping,
+    initialize_drive: Callable[[], object],
+    download_files_with_prefix: Callable[[object, object, object], None],
+    out: Out | None = None,
+    err: Out | None = None,
+) -> None:
+    """transcripts/download-examples.js:7-50 ``runExamples`` — the demo
+    wrapper around the (separately twinned) drive downloader: five
+    banner-labelled example invocations with the dateFilter /
+    convertToMarkdown config gates, one try/catch printing
+    ``Error: <message>``. The reference script defines but comments out
+    its own invocation; the golden driver executes the reference's
+    function directly (tests/golden/ref_download_examples_driver.js)
+    and this twin matches its console stream and downloader call
+    sequence byte-for-byte. The injected callables wire to
+    sources/rest.drive_catalog_scan + drive_prefix_filter +
+    drive_download_fanout in this engine.
+    """
+    out = out or print
+    err = err or (lambda s: print(s, file=sys.stderr))
+    try:
+        out("Initializing Google Drive API...")
+        drive = initialize_drive()
+        t = config.get("transcripts", {}) or {}
+        out("\n=== Example 1: Download using config.json settings ===")
+        download_files_with_prefix(drive, t.get("folderId"), t.get("filePrefix"))
+        out('\n=== Example 2: Downloading files with prefix "AI_Coach_" ===')
+        download_files_with_prefix(drive, t.get("folderId"), "AI_Coach_")
+        out('\n=== Example 3: Downloading files with prefix "fathom-" ===')
+        download_files_with_prefix(drive, t.get("folderId"), "fathom-")
+        out("\n=== Example 4: Downloading files from specific date range ===")
+        date_filter = t.get("dateFilter") or {}
+        if date_filter.get("enabled"):
+            out(
+                f"Using date filter from config: {date_filter.get('startDate')}"
+                f" to {date_filter.get('endDate')}"
+            )
+            download_files_with_prefix(drive, t.get("folderId"), t.get("filePrefix"))
+        else:
+            out("Date filtering is disabled in config.json")
+        out("\n=== Example 5: Download with markdown conversion ===")
+        if t.get("convertToMarkdown"):
+            out("Markdown conversion is enabled")
+            out(f"Transcripts will be converted to: {t.get('markdownOutputDir')}")
+        else:
+            out(
+                'To enable markdown conversion, set "convertToMarkdown": true'
+                " in config.json under transcripts"
+            )
+    except Exception as e:  # noqa: BLE001 — script boundary (reference catch)
+        err(f"Error: {e}")

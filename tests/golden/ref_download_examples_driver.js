@@ -1,0 +1,80 @@
+// Golden-test driver: executes the REFERENCE repo's
+// transcripts/download-examples.js with its world scripted by the
+// fixture — stubbed ./download-from-drive (initializeDrive +
+// downloadFilesWithPrefix recording every call and optionally
+// throwing), stubbed ../lib/config loader returning the fixture
+// config, and a captured console. The reference defines runExamples()
+// but comments out its own invocation, so the driver appends an
+// export hook and awaits the reference's OWN function. Read-only, no
+// network, nothing copied.
+//
+// Prints one JSON line: {"events": [{"s": "out"|"err", "text": ...}],
+//                        "calls": [{folderId, prefix}]}
+//
+// Usage: node ref_download_examples_driver.js <fixture.json> [referenceRoot]
+
+const realFs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(realFs.readFileSync(path.resolve(process.argv[2]), 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+const events = [];
+const calls = [];
+
+const fakeConsole = {
+  log: (...a) => events.push({ s: 'out', text: a.map(String).join(' ') }),
+  warn: (...a) => events.push({ s: 'err', text: a.map(String).join(' ') }),
+  error: (...a) => events.push({ s: 'err', text: a.map(String).join(' ') }),
+};
+
+const stubDownload = {
+  initializeDrive: async () => {
+    if (fixture.initError) throw new Error(fixture.initError);
+    return { __drive: true };
+  },
+  downloadFilesWithPrefix: async (drive, folderId, prefix) => {
+    calls.push({
+      folderId: folderId === undefined ? null : folderId,
+      prefix: prefix === undefined ? null : prefix,
+    });
+    const msg = (fixture.downloadErrors || {})[String(calls.length)];
+    if (msg) throw new Error(msg);
+  },
+};
+
+const requireMap = {
+  './download-from-drive': stubDownload,
+  '../lib/config': { load: () => fixture.config },
+  path: path,
+};
+
+const src = realFs.readFileSync(
+  path.join(refRoot, 'transcripts', 'download-examples.js'),
+  'utf8'
+);
+const module_ = { exports: {} };
+const fn = new Function(
+  'require',
+  'module',
+  'exports',
+  'process',
+  'console',
+  '__dirname',
+  src + '\n;module.exports.__run = runExamples;'
+);
+fn(
+  (k) => {
+    if (k in requireMap) return requireMap[k];
+    throw new Error('unstubbed require: ' + k);
+  },
+  module_,
+  module_.exports,
+  { env: {} },
+  fakeConsole,
+  path.join(refRoot, 'transcripts')
+);
+
+module_.exports.__run().then(() => {
+  console.log(JSON.stringify({ events, calls }));
+});

@@ -1,0 +1,129 @@
+"""Golden parity: the transcripts demo wrapper
+(pipeline/module_runners.run_download_examples) vs the reference's OWN
+transcripts/download-examples.js runExamples() executed via node
+(tests/golden/ref_download_examples_driver.js) — the full console
+stream and the downloader call sequence (folderId, prefix per call).
+
+This was the last reference file without a twin (VERDICT r9 "What's
+missing"): a 56-line demo shell around the already-twinned drive
+downloader. Scenarios pin the five example banners, both sides of the
+dateFilter?.enabled and convertToMarkdown gates, the abort-on-first-
+throw catch (later examples never invoked, `Error: <message>`
+printed), and the init-failure path.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from ai_coach_data_source_orchestrator_spark.pipeline.module_runners import (
+    run_download_examples,
+)
+
+DRIVER = Path(__file__).parent / "golden" / "ref_download_examples_driver.js"
+REF = Path("/root/reference")
+
+_BASE_T = {"folderId": "folder-123", "filePrefix": "Weekly_"}
+
+SCENARIOS = {
+    "defaults_both_gates_off": {"config": {"transcripts": dict(_BASE_T)}},
+    "date_filter_enabled": {
+        "config": {
+            "transcripts": {
+                **_BASE_T,
+                "dateFilter": {
+                    "enabled": True,
+                    "startDate": "2025-09-01",
+                    "endDate": "2025-09-30",
+                },
+            }
+        }
+    },
+    "date_filter_present_but_disabled": {
+        "config": {
+            "transcripts": {
+                **_BASE_T,
+                "dateFilter": {"enabled": False, "startDate": "x", "endDate": "y"},
+            }
+        }
+    },
+    "markdown_conversion_enabled": {
+        "config": {
+            "transcripts": {
+                **_BASE_T,
+                "convertToMarkdown": True,
+                "markdownOutputDir": "./markdown-output",
+            }
+        }
+    },
+    "no_file_prefix_configured": {
+        # example 1 passes the missing prefix through (JS undefined /
+        # Python None — recorded as null either way)
+        "config": {"transcripts": {"folderId": "folder-9"}}
+    },
+    "download_throws_mid_sequence": {
+        "config": {"transcripts": dict(_BASE_T)},
+        "downloadErrors": {"2": "Drive API error: rateLimitExceeded"},
+    },
+    "init_fails": {
+        "config": {"transcripts": dict(_BASE_T)},
+        "initError": "invalid_grant: Invalid JWT",
+    },
+}
+
+
+def _python_twin(fixture: dict) -> dict:
+    events: list[dict] = []
+    calls: list[dict] = []
+
+    def initialize_drive():
+        if fixture.get("initError"):
+            raise RuntimeError(fixture["initError"])
+        return object()
+
+    def download(drive, folder_id, prefix):
+        calls.append({"folderId": folder_id, "prefix": prefix})
+        msg = (fixture.get("downloadErrors") or {}).get(str(len(calls)))
+        if msg:
+            raise RuntimeError(msg)
+
+    run_download_examples(
+        fixture["config"],
+        initialize_drive,
+        download,
+        out=lambda s: events.append({"s": "out", "text": s}),
+        err=lambda s: events.append({"s": "err", "text": s}),
+    )
+    return {"events": events, "calls": calls}
+
+
+@pytest.mark.skipif(
+    shutil.which("node") is None or not REF.exists(),
+    reason="node or reference repo unavailable",
+)
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_download_examples_matches_reference(name, tmp_path):
+    fixture = SCENARIOS[name]
+    fixture_path = tmp_path / f"{name}.json"
+    fixture_path.write_text(json.dumps(fixture))
+    out = subprocess.run(
+        ["node", str(DRIVER), str(fixture_path)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ref = json.loads(out.stdout.strip().splitlines()[-1])
+    ours = _python_twin(fixture)
+    assert ours["events"] == ref["events"]
+    assert ours["calls"] == ref["calls"]
+
+
+def test_download_examples_aborts_after_throw():
+    ours = _python_twin(SCENARIOS["download_throws_mid_sequence"])
+    assert len(ours["calls"]) == 2  # examples 3..5 never run
+    assert ours["events"][-1]["s"] == "err"
