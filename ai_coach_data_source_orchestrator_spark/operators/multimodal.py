@@ -354,7 +354,7 @@ def _jpeg_build_table(symbols: list[int]) -> tuple[list[int], list[int], dict]:
     per the spec's convention). Returns (bits, vals, {sym: (code, L)})."""
     vals = sorted(set(symbols))
     n = len(vals)
-    length = max(1, (n + 1 - 1).bit_length())  # 2^length >= n+1
+    length = max(1, n.bit_length())  # 2^length > n, so all-ones stays free
     bits = [0] * 16
     bits[length - 1] = n
     enc = {v: (i, length) for i, v in enumerate(vals)}
@@ -472,18 +472,16 @@ def encode_jpeg_baseline_gray(width: int, height: int, gray: bytes) -> bytes:
 
     qtable = bytes([0]) + bytes(64 * [1])  # id 0, 8-bit, all ones (zigzag)
     sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
-    dht = (
-        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
-        , bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
-    )
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xFFDB, qtable)
         + seg(0xFFC0, sof)
-        + seg(0xFFC4, dht[0])
-        + seg(0xFFC4, dht[1])
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
         + seg(0xFFDA, sos)
         + scan
         + b"\xff\xd9"  # EOI
