@@ -41,10 +41,13 @@ from . import queries_retrieval  # noqa: E402,F401
 # audit proved the old one exactly 2-regular (uniform ranks — NO rank
 # bug could turn the oracle red); its r8 green row describes the old
 # uniform output.
+# text_line_dedup's synthesis gained exactly-29/30-doc boundary lines
+# after the audit showed any K in [2, n/5] produced identical output.
 _CHANGED_ORACLE: tuple[str, ...] = (
     "knn_recall_audit",
     "multimodal_decode",
     "graph_host_pagerank",
+    "text_line_dedup",
 )
 
 _FRONT = [

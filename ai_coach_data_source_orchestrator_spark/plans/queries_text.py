@@ -916,9 +916,19 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lines cross the threshold, every original line survives.
 # ---------------------------------------------------------------------------
 _LINE_K = 30
+# Boundary-exercising synthesis (r10 mutation-audit lesson, same class
+# as the PageRank fixture fix): 'shared boilerplate line' is in every
+# doc and 'footer variant k' in n/5 docs — any K in [2, n/5] removed
+# the identical set, so the oracle could never see the threshold's
+# exact value. The two notice lines appear in EXACTLY 30 and EXACTLY
+# 29 docs (doc_id < 30 / < 29 — corpus-size-independent): at K=30 the
+# first is removed and the second kept, and a one-off threshold bug in
+# either direction now changes the output.
 _LINE_AUG_SQL = (
     "text || chr(10) || 'shared boilerplate line' || chr(10) || "
     "'footer variant ' || CAST(doc_id % 5 AS VARCHAR)"
+    " || CASE WHEN doc_id < 30 THEN chr(10) || 'notice at threshold' ELSE '' END"
+    " || CASE WHEN doc_id < 29 THEN chr(10) || 'notice below threshold' ELSE '' END"
 )
 
 _LINE_DEDUP_SQL = f"""
@@ -961,6 +971,10 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit("\nshared boilerplate line\nfooter variant "),
         (F.col("doc_id") % 5).cast("string"),
+        # exactly-30-doc and exactly-29-doc lines: the K boundary is
+        # observable in both directions (see _LINE_AUG_SQL comment)
+        F.when(F.col("doc_id") < 30, F.lit("\nnotice at threshold")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") < 29, F.lit("\nnotice below threshold")).otherwise(F.lit("")),
     )
     lines = docs.select(
         "doc_id", F.posexplode(F.split(aug, "\n")).alias("pos", "line")

@@ -241,6 +241,12 @@ MUTANTS = [
             tuple(w for w in qtx._GOPHER_STOPS if w != "the"),
         ),
     ),
+    Mutant(
+        "text_line_dedup",
+        "boundary",
+        "repeated-line threshold K=30 -> 29 (fixture has an exactly-29-doc line that flips hot)",
+        _const(qtx, "_LINE_K", 29),
+    ),
     # AUDIT FINDING (first run of this file): the off-by-one mutant
     # k=50 -> 49 SURVIVED — the sf0.001 vocabulary holds only 31
     # distinct tokens, so every k >= 31 returns the identical full
