@@ -1,0 +1,68 @@
+"""Boundary-convention parity on handmade fixtures.
+
+The mutation audit (tests/test_oracle_mutation.py) proves the oracles
+discriminate on the driver's tables — but a strict-vs-inclusive
+comparison bug is only observable when a row sits EXACTLY on the
+boundary, and the driver's synthetic data holds no exact-1800 s
+inter-event gap (checked at sf0.001 and sf0.01). Rather than distort
+the registry query's semantics with synthesized events, this module
+runs the SAME registry Spark fn and the SAME registry DuckDB oracle on
+a handmade events.parquet whose gaps land exactly ON, one second
+BELOW, and one second ABOVE the session threshold — pinning that both
+engines implement the identical strict-`>` convention where it
+actually matters."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+
+def _write_boundary_events(path: str) -> dict[int, int]:
+    """Three users: gaps of exactly 1800 s (same session under strict >),
+    1801 s (new session), 1799 s (same session). Returns the expected
+    n_sessions per user under the strict-`>` convention."""
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = [
+        (1, 10, base),
+        (2, 10, base + 1800 * 1_000_000),  # exactly ON: same session
+        (3, 20, base),
+        (4, 20, base + 1801 * 1_000_000),  # just above: new session
+        (5, 30, base),
+        (6, 30, base + 1799 * 1_000_000),  # just below: same session
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["p"] * len(rows)),
+        }
+    )
+    pq.write_table(table, path)
+    return {10: 1, 20: 2, 30: 1}
+
+
+def test_sessionize_boundary_convention_matches_oracle(spark, tmp_path):
+    expected = _write_boundary_events(str(tmp_path / "events.parquet"))
+    spec = REGISTRY["sessionize_events"]
+
+    srows = {
+        r["user_id"]: r["n_sessions"]
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    orows = {u: n for u, n, _ in con.execute(spec.oracle).fetchall()}
+
+    # Both engines agree with each other AND with the strict-> ground
+    # truth: the exactly-on-boundary gap does NOT open a session.
+    assert srows == expected
+    assert orows == expected
