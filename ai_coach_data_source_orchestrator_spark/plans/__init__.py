@@ -62,11 +62,13 @@ _FRONT = [
     # query's latest row is r8+.
     # ------------------------------------------------------------------
     # -- new in round 10, never driver-sampled --
-    # The streaming near-dup gate graduated to the driver gate
-    # (VERDICT r9 item 6). With the window exactly full (50 stale),
-    # it displaces one stale refresh (x23_json_field_extract — still
-    # green at r7, re-greens in r11).
+    # Two streaming families graduated to the driver gate (VERDICT r9
+    # item 6 asked for one; the CDC chunk ingest closes the follow-up).
+    # With the window exactly full (50 stale), each displaces one stale
+    # refresh (x23_json_field_extract, k5_json_snapshot_roundtrip —
+    # both still green at r7, re-green in r11).
     "dedup_stream_neardup_gate",
+    "dedup_stream_cdc_ingest",
     # -- changed oracle this round (r9 green rows describe old output) --
     # knn_recall_audit gained IVF rows; multimodal_decode gained the
     # JFIF corpus split. With the window exactly full (50 stale), each
@@ -99,7 +101,6 @@ _FRONT = [
     "j9_blob_path_join",
     "k1_csv_union_header_roundtrip",
     "k2_partitioned_write_roundtrip",
-    "k5_json_snapshot_roundtrip",
     "k6_datasource_sections",
     "k8_upsert_merge",
     "k9_cache_freshness",

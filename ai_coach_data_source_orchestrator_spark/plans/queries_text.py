@@ -1547,6 +1547,77 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming CDC chunk ingest under the driver gate (the third streaming
+# family after store_stream_ingest and dedup_stream_neardup_gate): the
+# same documents replayed through a REAL multi-micro-batch readStream
+# into the per-batch CDC chunker (streaming/cdc.chunk_rows_stream —
+# stateless mapInPandas, the exact Python twin of the batch boundary
+# chain, batch-equivalence-tested), then rolled up batch-side into the
+# identical chunk-store view — so the batch FastCDC oracle binds
+# unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_stream_cdc_ingest",
+    oracle=_cdc_oracle(),
+    survey_ids=("U3", "X15", "S10", "F11"),
+    description="Streaming CDC chunk ingest (readStream replay, per-batch chunker) rolled up to the chunk store",
+)
+def dedup_stream_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid_mod
+
+    from ..streaming.cdc import chunk_rows_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        # arrival time for the stream (fixed base + doc_id micros —
+        # deterministic; the chunk rollup below is ts-independent)
+        F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("doc_id")).alias("ts"),
+    )
+    run_dir = tempfile.mkdtemp(prefix="cdc_ingest_")
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    drop = os.path.join(run_dir, "drop")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    sink = f"cdc_ingest_{_uuid_mod.uuid4().hex[:8]}"
+    q = (
+        chunk_rows_stream(stream, k=_CDC_K, divisor=_CDC_D)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dedup_stream_cdc_ingest: drain exceeded 300 s")
+    # Single reference to the memory-sink snapshot (multiple references
+    # are illegal — see streaming/retrieval.py); the rollup matches the
+    # batch dedup_cdc_chunks projection term-for-term.
+    return (
+        spark.table(sink)
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental ingest dedup: the production shape of exact dedup — a new
 # shard arrives and must be checked against the fingerprints of
 # everything ALREADY ingested, not against itself alone. Modeled here
