@@ -62,13 +62,15 @@ _FRONT = [
     # query's latest row is r8+.
     # ------------------------------------------------------------------
     # -- new in round 10, never driver-sampled --
-    # Two streaming families graduated to the driver gate (VERDICT r9
-    # item 6 asked for one; the CDC chunk ingest closes the follow-up).
+    # Three streaming families graduated to the driver gate (VERDICT r9
+    # item 6 asked for one; with these, EVERY streaming family the r9
+    # verdict listed as locally-proven-only runs under the hash gate).
     # With the window exactly full (50 stale), each displaces one stale
-    # refresh (x23_json_field_extract, k5_json_snapshot_roundtrip —
-    # both still green at r7, re-green in r11).
+    # refresh (x23_json_field_extract, k5_json_snapshot_roundtrip,
+    # x21_changelog_compact — all still green at r7, re-green in r11).
     "dedup_stream_neardup_gate",
     "dedup_stream_cdc_ingest",
+    "sketch_stream_hll",
     # -- changed oracle this round (r9 green rows describe old output) --
     # knn_recall_audit gained IVF rows; multimodal_decode gained the
     # JFIF corpus split. With the window exactly full (50 stale), each
@@ -124,7 +126,6 @@ _FRONT = [
     "u8_schema_union_by_name",
     "weekly_digest_pipeline",
     "x19_transcript_parse",
-    "x21_changelog_compact",
     "x24_custom_field_map",
 ]
 

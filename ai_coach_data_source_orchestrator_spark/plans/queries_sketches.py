@@ -73,6 +73,76 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming HLL under the driver gate (the fourth and final streaming
+# family — store ingest, near-dup gate, and CDC ingest graduated
+# earlier in r10): token stream replayed through a REAL two-micro-batch
+# readStream into the native stateful register aggregation
+# (groupBy(grp, idx).max(rho) — state bounded at m registers per source
+# regardless of stream length), finalized batch-side with the identical
+# estimator arithmetic. Register max is associative/commutative, so the
+# replayed registers equal the batch registers bit-for-bit and the
+# batch HLL oracle binds unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_stream_hll",
+    oracle=_HLL_SQL,
+    survey_ids=("A6", "S10", "F11"),
+    description="Streaming HLL registers (readStream replay, stateful agg) finalized vs exact",
+)
+def sketch_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid_mod
+
+    from ..streaming.sketch import hll_registers_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    run_dir = tempfile.mkdtemp(prefix="hll_stream_")
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    drop = os.path.join(run_dir, "drop")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    toks_stream = stream.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    sink = f"hll_stream_{_uuid_mod.uuid4().hex[:8]}"
+    q = (
+        hll_registers_stream(toks_stream, "source", "tok")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("sketch_stream_hll: drain exceeded 300 s")
+
+    # Single reference to the sinked register table; finalize + exact
+    # audit reproduce sketch_hll_distinct's projection term-for-term.
+    est = SK.hll_finalize(spark.table(sink))
+    toks = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("source").agg(F.countDistinct("tok").alias("exact_distinct"))
+    return est.join(exact, est.grp == exact.source).select(
+        "source",
+        F.round("est_distinct", 4).alias("est_distinct"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 _CMS_TOPK = 20
 
 
