@@ -407,7 +407,20 @@ def encode_jpeg_baseline_gray(width: int, height: int, gray: bytes) -> bytes:
 
     import numpy as np
 
-    assert width % 8 == 0 and height % 8 == 0 and len(gray) == width * height
+    # Explicit errors, not assert: under `python -O` a stripped assert
+    # lets a mis-sized buffer surface later as an opaque numpy reshape
+    # error, or silently truncate block iteration for non-multiple-of-8
+    # dims (ADVICE r10).
+    if width % 8 or height % 8:
+        raise ValueError(
+            f"encode_jpeg_baseline_gray: dimensions must be multiples of 8, "
+            f"got {width}x{height}"
+        )
+    if len(gray) != width * height:
+        raise ValueError(
+            f"encode_jpeg_baseline_gray: payload is {len(gray)} bytes, "
+            f"expected width*height = {width * height}"
+        )
     C = _jpeg_dct_basis()
     px = (
         np.frombuffer(gray, dtype=np.uint8)
@@ -503,10 +516,30 @@ def _decode_jpeg(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("bad JPEG SOI")
     pos, qtables, hufftables, sof = 2, {}, {}, None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # Optional 0xFF fill bytes before a marker are legal padding
+        # (ITU-T T.81 §B.1.1.2) and appear in streams from other
+        # encoders; skip them rather than misparse 0xFF as the marker
+        # byte and its successor as a length field (ADVICE r10).
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
+        # Standalone (length-less) markers: TEM 0x01 and RST0-7
+        # 0xD0-0xD7 carry no segment — treating the following two bytes
+        # as a length would desynchronize the walk. RSTn before SOS is
+        # malformed; TEM is legal-but-pointless — reject both clearly.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM, RSTn, stray SOI
+            raise ValueError(
+                f"standalone marker 0xFF{marker:02X} in header at {pos}"
+            )
+        if marker == 0xD9:  # EOI before SOS: truncated stream
+            raise ValueError("EOI before SOS")
+        if pos + 4 > len(payload):
+            break
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + length]
         pos += 2 + length

@@ -225,48 +225,75 @@ def run_store_streams(
     """
     from ..sinks.store import _blob_refs_df
 
-    refs = _blob_refs_df(spark, manifest or {})
-    started = []
-    for family, directory, builder in (
-        ("daily", daily_dir, daily_ingest_stream),
-        ("transcripts", transcripts_dir, transcript_ingest_stream),
-    ):
-        if not directory or not os.path.isdir(directory):
-            continue
-        docs = drop_zone_stream(spark, directory, max_files_per_trigger)
-        q = (
-            builder(
-                docs,
-                refs,
-                project_uuid,
-                warehouse,
-                now,
-                os.path.join(checkpoint_root, family),
+    # The drained-row count below sums numInputRows over recentProgress,
+    # which Spark caps at spark.sql.streaming.numRecentProgressUpdates
+    # (default 100) — an availableNow drain with maxFilesPerTrigger=1
+    # over a big drop zone produces one progress entry per FILE and
+    # would silently undercount (ADVICE r10). Raise the retention far
+    # past any plausible single-drain batch count; these drains are
+    # bounded, so the extra progress objects are small and short-lived.
+    _PROGRESS_RETENTION = 100_000
+    prev_retention = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(_PROGRESS_RETENTION)
+    )
+
+    try:
+        refs = _blob_refs_df(spark, manifest or {})
+        started = []
+        for family, directory, builder in (
+            ("daily", daily_dir, daily_ingest_stream),
+            ("transcripts", transcripts_dir, transcript_ingest_stream),
+        ):
+            if not directory or not os.path.isdir(directory):
+                continue
+            docs = drop_zone_stream(spark, directory, max_files_per_trigger)
+            q = (
+                builder(
+                    docs,
+                    refs,
+                    project_uuid,
+                    warehouse,
+                    now,
+                    os.path.join(checkpoint_root, family),
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        started.append((family, q))
-        out(f"store-stream: {family} <- {directory}")
-    for i, (family, q) in enumerate(started):
-        ok = q.awaitTermination(await_seconds)
-        if not ok:
-            # Stop EVERY started stream, not just the timed-out one —
-            # returning with a sibling stream still running leaks it
-            # into the caller's session (ADVICE r9).
-            for _, other in started[i:]:
-                other.stop()
-            out(f"store-stream: {family} timed out after {await_seconds}s")
-            return 1
-        # availableNow + maxFilesPerTrigger drains in MULTIPLE micro-
-        # batches; lastProgress covers only the final one. Sum the
-        # whole drain from recentProgress (ADVICE r9).
-        n = sum(
-            (p.get("sources") or [{}])[0].get("numInputRows", 0)
-            for p in (q.recentProgress or [])
-            if p
-        )
-        out(f"store-stream: {family} drained ({n} new document(s))")
-    if not started:
-        out("store-stream: nothing to do (no drop-zone directory found)")
-    return 0
+            started.append((family, q))
+            out(f"store-stream: {family} <- {directory}")
+        for i, (family, q) in enumerate(started):
+            ok = q.awaitTermination(await_seconds)
+            if not ok:
+                # Stop EVERY started stream, not just the timed-out one —
+                # returning with a sibling stream still running leaks it
+                # into the caller's session (ADVICE r9).
+                for _, other in started[i:]:
+                    other.stop()
+                out(f"store-stream: {family} timed out after {await_seconds}s")
+                return 1
+            # availableNow + maxFilesPerTrigger drains in MULTIPLE micro-
+            # batches; lastProgress covers only the final one. Sum the
+            # whole drain from recentProgress (ADVICE r9); retention was
+            # raised above so the sum sees every micro-batch, but if a
+            # drain somehow exceeds even that, say "at least" rather than
+            # report a silent undercount as exact (ADVICE r10).
+            progress = [p for p in (q.recentProgress or []) if p]
+            n = sum(
+                (p.get("sources") or [{}])[0].get("numInputRows", 0)
+                for p in progress
+            )
+            qualifier = "at least " if len(progress) >= _PROGRESS_RETENTION else ""
+            out(f"store-stream: {family} drained ({qualifier}{n} new document(s))")
+        if not started:
+            out("store-stream: nothing to do (no drop-zone directory found)")
+        return 0
+    finally:
+        if prev_retention is None:
+            spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", prev_retention
+            )

@@ -152,6 +152,49 @@ def test_jpeg_unsupported_shapes_raise():
         decode_media(progressive, "image/jpeg")
 
 
+def test_jpeg_fill_bytes_before_marker_are_skipped():
+    """0xFF fill bytes before a marker are legal padding (T.81
+    §B.1.1.2) emitted by some encoders; the marker walk must skip
+    them, not parse 0xFF as a marker with a bogus length (ADVICE r10)."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    payload = bytes(M.encode_jpeg_baseline_gray(8, 8, img.tobytes()))
+    i = payload.find(b"\xff\xc0")  # pad before SOF0
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    d = decode_media(padded, "image/jpeg")
+    assert np.array_equal(d["values"], img.reshape(-1))
+
+
+def test_jpeg_standalone_markers_rejected_cleanly():
+    """TEM (0xFF01) and RSTn (0xFFD0-D7) carry no length field; a walk
+    that reads two bytes of length would desynchronize and fail with an
+    opaque downstream error — they must raise a clear ValueError."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    img = np.full((8, 8), 5, dtype=np.uint8)
+    payload = bytes(M.encode_jpeg_baseline_gray(8, 8, img.tobytes()))
+    i = payload.find(b"\xff\xc0")
+    for standalone in (b"\xff\x01", b"\xff\xd3"):
+        mangled = payload[:i] + standalone + payload[i:]
+        with pytest.raises(ValueError, match="standalone marker"):
+            decode_media(mangled, "image/jpeg")
+
+
+def test_jpeg_encoder_validates_inputs_with_real_errors():
+    """ValueError (not assert, which -O strips) for bad dims/payload."""
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError, match="multiples of 8"):
+        M.encode_jpeg_baseline_gray(12, 8, bytes(96))
+    with pytest.raises(ValueError, match="payload"):
+        M.encode_jpeg_baseline_gray(8, 8, bytes(63))
+
+
 # ---------------------------------------------------------------------------
 # Property-based round-trips: any dims/pixels and any PCM samples must
 # survive encode→decode exactly (hypothesis finds header-boundary and
