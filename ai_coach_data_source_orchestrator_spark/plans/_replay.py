@@ -1,0 +1,76 @@
+"""Bounded readStream replay harness for the driver-gated streaming
+queries (VERDICT r9 item 6 / r10 item 3 pattern, factored out after the
+fourth inline copy).
+
+Each graduated streaming query replays a deterministic batch fixture
+through a REAL file-source stream — two parquet files +
+``maxFilesPerTrigger=1`` guarantee at least two micro-batches, so
+stateful operators genuinely carry state (and their checkpoints)
+across batch boundaries; the memory-sink table is then finalized
+batch-side and compared against the batch oracle. At scale the drop
+zone is where upstream writers land files; the two-file split is the
+fixture, not the path.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def new_run_dir(prefix: str) -> str:
+    """Self-cleaning scratch directory for drop zones + checkpoints."""
+    run_dir = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
+    return run_dir
+
+
+def two_batch_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    schema: str,
+    split,
+    run_dir: str,
+    subdir: str = "drop",
+) -> DataFrame:
+    """Write ``df`` as a two-file drop zone (rows matching ``split``
+    first) and open it as a file-source stream, one file per trigger."""
+    drop = os.path.join(run_dir, subdir)
+    df.where(split).coalesce(1).write.parquet(drop)
+    df.where(~split).coalesce(1).write.mode("append").parquet(drop)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+
+
+def drain_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    run_dir: str,
+    output_mode: str,
+    timeout: float = 300.0,
+) -> str:
+    """Drain ``stream_df`` into a memory sink with ``availableNow`` and
+    a real checkpoint; returns the sink table name. Raises on timeout
+    (a False awaitTermination means a PARTIAL sink — surfacing later as
+    a baffling oracle mismatch)."""
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(run_dir, f"ckpt_{sink}"))
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"{name}: drain exceeded {timeout:.0f} s")
+    return sink

@@ -114,10 +114,7 @@ def a13_week_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 SESSION_GAP_S = 1800
 
-
-@register(
-    "sessionize_events",
-    oracle=f"""
+_SESSIONIZE_SQL = f"""
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_S} * 1000000
@@ -129,7 +126,12 @@ SESSION_GAP_S = 1800
            CAST(SUM(new_session) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM flagged GROUP BY user_id
-    """,
+    """
+
+
+@register(
+    "sessionize_events",
+    oracle=_SESSIONIZE_SQL,
     survey_ids=("S10", "F11"),
     description="30-min-gap sessionization via lag window, per-user rollup",
 )
@@ -153,6 +155,66 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("new_session").cast("bigint").alias("n_sessions"),
             F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization under the driver gate (VERDICT r10 item 3):
+# the same events replayed through a REAL two-micro-batch readStream
+# into the native session_window stateful aggregation
+# (streaming/sessionize.session_windows_stream), rolled up batch-side
+# to the identical per-user (n_sessions, n_events) projection.
+#
+# Boundary parity, verified empirically: session_window merges two
+# events when their gap is ≤ the gap duration (touching windows merge)
+# and splits strictly above it — exactly the batch lag-window rule
+# (split iff diff > SESSION_GAP_S), so the batch oracle binds
+# unchanged at any timestamp granularity.
+#
+# Complete output mode = the bounded-replay form (all session state
+# retained, no watermark eviction); a production unbounded stream uses
+# the module's watermark + append path where closed sessions emit once
+# the watermark passes — state is per OPEN session per user, reaped by
+# the watermark, not per event.
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_stream_windows",
+    oracle=_SESSIONIZE_SQL,
+    survey_ids=("S10", "F11"),
+    description="Streaming session_window sessionization (readStream replay) vs batch lag-window rule",
+)
+def sessionize_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessionize import session_windows_stream
+    from ._replay import drain_to_memory, new_run_dir, two_batch_stream
+
+    # Split on event_id, NOT user_id or time: every user's events
+    # interleave out-of-order across the two micro-batches, so almost
+    # every session is assembled by cross-batch session-state MERGES —
+    # the strongest exercise of the stateful operator the replay can
+    # stage (a user-keyed split would hand each user's whole history to
+    # one batch and the state would never merge).
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    run_dir = new_run_dir("sess_stream_")
+    stream = two_batch_stream(
+        spark,
+        ev,
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+        F.col("event_id") % 2 == 0,
+        run_dir,
+    )
+    sessions = session_windows_stream(
+        stream.drop("event_id"), gap=f"{SESSION_GAP_S} seconds"
+    )
+    sink = drain_to_memory(sessions, "sess_stream", run_dir, "complete")
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
         )
     )
 
@@ -276,9 +338,7 @@ def x7_multiformat_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-independent proof of the semantics. Output timestamps go
 # through whole-second epochs (both engines truncate identically).
 # ---------------------------------------------------------------------------
-@register(
-    "asof_join_checkpoints",
-    oracle="""
+_ASOF_SQL = """
     WITH ck AS (
       SELECT user_id, ts, MAX(value) AS ckpt_value
       FROM events WHERE event_id % 5 = 0
@@ -290,7 +350,12 @@ def x7_multiformat_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            ck.ckpt_value AS asof_value
     FROM events e ASOF LEFT JOIN ck
       ON e.user_id = ck.user_id AND e.ts >= ck.ts
-    """,
+    """
+
+
+@register(
+    "asof_join_checkpoints",
+    oracle=_ASOF_SQL,
     survey_ids=("J7", "O5"),
     description="As-of join: latest per-user checkpoint at-or-before each event",
 )
@@ -315,6 +380,81 @@ def asof_join_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_timestamp("ts").alias("ts_epoch"),
         F.unix_timestamp("asof_ts").alias("asof_ts_epoch"),
+        F.col("asof_ckpt_value").alias("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of join under the driver gate (VERDICT r10 item 3): both
+# sides of asof_join_checkpoints arrive as REAL file-source streams
+# into the keyed-state join (streaming/asof.asof_join_stream —
+# applyInPandasWithState over the tagged union).
+#
+# Replay discipline: with allowed_lateness=0 the per-key horizon is the
+# max event time seen, so a left row emits in the micro-batch where it
+# arrives, matched against rights seen SO FAR — batch parity therefore
+# needs cross-batch arrival to be time-ordered. The split is a strict
+# GLOBAL ts cutoff applied to both sides (ties stay in one batch), so
+# no batch-2 right can precede a batch-1 left; within a batch, arrival
+# order is free (the state function buffers and sorts). Scratch-proven
+# exact against the batch operator before registration. A production
+# stream with genuine disorder raises allowed_lateness to its disorder
+# bound and pays state linear in rows inside that horizon — the module
+# docstring's contract.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_stream_checkpoints",
+    oracle=_ASOF_SQL,
+    survey_ids=("J7", "O5", "S10", "F11"),
+    description="Streaming keyed-state as-of join (two readStream sides) vs batch/DuckDB ASOF",
+)
+def asof_stream_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.asof import asof_join_stream
+    from ._replay import drain_to_memory, new_run_dir, two_batch_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    # Event time rides as exact integer microseconds in a double (µs
+    # epochs ≪ 2^53) — the match must be µs-precise even though the
+    # output projects whole-second epochs like the batch query.
+    left = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").cast("double").alias("ts")
+    )
+    right = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ckpt_value"))
+        .select(
+            "user_id", F.unix_micros("ts").cast("double").alias("ts"), "ckpt_value"
+        )
+    )
+    cut = left.approxQuantile("ts", [0.5], 0.0)[0]
+    run_dir = new_run_dir("asof_stream_")
+    ls = two_batch_stream(
+        spark,
+        left,
+        "event_id bigint, user_id bigint, ts double",
+        F.col("ts") < cut,
+        run_dir,
+        subdir="left",
+    )
+    rs = two_batch_stream(
+        spark,
+        right,
+        "user_id bigint, ts double, ckpt_value double",
+        F.col("ts") < cut,
+        run_dir,
+        subdir="right",
+    )
+    joined = asof_join_stream(
+        ls, rs, on=["user_id"], ts_col="ts", value_cols=["ckpt_value"],
+        allowed_lateness=0.0,
+    )
+    sink = drain_to_memory(joined, "asof_stream", run_dir, "append")
+    return spark.table(sink).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ts") / 1e6).cast("bigint").alias("ts_epoch"),
+        F.floor(F.col("asof_ts") / 1e6).cast("bigint").alias("asof_ts_epoch"),
         F.col("asof_ckpt_value").alias("asof_value"),
     )
 

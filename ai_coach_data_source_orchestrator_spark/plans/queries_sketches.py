@@ -219,6 +219,65 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming CMS under the driver gate (VERDICT r10 item 3): the token
+# stream replayed through a REAL two-micro-batch readStream into the
+# native stateful counter aggregation (streaming/sketch.
+# cms_counts_stream — state bounded at d·w counters TOTAL regardless of
+# stream length), point-estimated batch-side by the identical
+# cms_estimate arithmetic. Counter increment is associative and
+# commutative, so the replayed matrix equals the batch matrix
+# bit-for-bit and the batch CMS oracle binds unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_stream_cms",
+    oracle=_CMS_SQL,
+    survey_ids=("A6", "S10", "F11"),
+    description="Streaming count-min counter matrix (readStream replay) point-estimated vs exact",
+)
+def sketch_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..streaming.sketch import cms_counts_stream
+    from ._replay import drain_to_memory, new_run_dir, two_batch_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    run_dir = new_run_dir("cms_stream_")
+    stream = two_batch_stream(
+        spark,
+        docs,
+        "doc_id bigint, text string",
+        F.col("doc_id") % 2 == 0,
+        run_dir,
+    )
+    toks_stream = stream.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    sink = drain_to_memory(
+        cms_counts_stream(toks_stream, "tok"), "cms_stream", run_dir, "complete"
+    )
+    counts = spark.table(sink)
+
+    # Batch-side tail, term-for-term sketch_cms_heavy_hitters: exact
+    # counts ride through the probe, distributed top-K, rank window
+    # over the K survivors only.
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    est = SK.cms_estimate(exact, counts, "tok", carry_cols=("exact_count",))
+    top = est.orderBy(F.desc("est_count"), F.asc("token")).limit(_CMS_TOPK)
+    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "token",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sampled quantiles: per-source token-count p50/p90 estimated from a
 # deterministic 25% hash sample, audited against the exact quantiles.
 # The third leg of the sketch family (HLL=cardinality, CMS=frequency,
@@ -360,6 +419,59 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = deny.withColumn("exact_member", F.lit(True))
     return (
         probed.join(F.broadcast(exact), ["key"], "left")
+        .select(
+            "doc_id",
+            "possible_member",
+            F.coalesce("exact_member", F.lit(False)).alias("exact_member"),
+            (F.col("possible_member") & ~F.coalesce("exact_member", F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom gate under the driver gate (VERDICT r10 item 3): the
+# documents replayed through a REAL two-micro-batch readStream into the
+# stream-static broadcast probe (streaming/bloom.bloom_gate_stream — k
+# broadcast joins against the m-bit filter, ZERO state store: the whole
+# point of gating on a Bloom filter instead of anti-joining the
+# denylist is that the static side is m bits at any corpus scale).
+# Append mode — each arriving doc's verdict is final on arrival — and
+# the verdicts are deterministic per key, so the batch Bloom oracle
+# binds unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_stream_bloom_gate",
+    oracle=_BLOOM_SQL,
+    survey_ids=("X18", "U3", "S10", "F11"),
+    description="Streaming Bloom denylist gate (stateless broadcast probe) vs exact membership",
+)
+def sketch_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.bloom import bloom_gate_stream
+    from ._replay import drain_to_memory, new_run_dir, two_batch_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("key")
+    )
+    deny = docs.where(F.col("doc_id") % 13 == 0).select("key").distinct()
+    bits = SK.bloom_bits(deny, "key")
+
+    run_dir = new_run_dir("bloom_stream_")
+    stream = two_batch_stream(
+        spark,
+        docs,
+        "doc_id bigint, key string",
+        F.col("doc_id") % 2 == 0,
+        run_dir,
+    )
+    sink = drain_to_memory(
+        bloom_gate_stream(stream, "key", bits), "bloom_stream", run_dir, "append"
+    )
+    exact = deny.withColumn("exact_member", F.lit(True))
+    return (
+        spark.table(sink)
+        .join(F.broadcast(exact), ["key"], "left")
         .select(
             "doc_id",
             "possible_member",

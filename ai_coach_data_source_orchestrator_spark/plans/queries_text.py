@@ -690,6 +690,46 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming contamination gate under the driver gate (VERDICT r10 item
+# 3): training documents replayed through a REAL two-micro-batch
+# readStream into the stream-static broadcast hit-join
+# (streaming/contamination.contamination_gate_stream). The eval-gram
+# set is built batch-side (benchmark-sized by definition) and
+# re-broadcast per micro-batch — the train side never shuffles, the
+# same 100 TB plan shape as the batch query. Each document's grams
+# travel inside its own row, so its aggregate completes within the
+# micro-batch that carries it: update mode emits every doc exactly
+# once and the batch oracle binds unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "contamination_stream_gate",
+    oracle=_CONTAMINATION_SQL,
+    survey_ids=("U7", "S10", "F11"),
+    description="Streaming train/eval 3-gram contamination gate (broadcast hit-join) vs batch",
+)
+def contamination_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.contamination import contamination_gate_stream, eval_gram_set
+    from ._replay import drain_to_memory, new_run_dir, two_batch_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_grams = eval_gram_set(docs, k=3, eval_mod=50)
+
+    run_dir = new_run_dir("contam_stream_")
+    stream = two_batch_stream(
+        spark,
+        docs,
+        "doc_id bigint, text string",
+        F.col("doc_id") % 2 == 0,
+        run_dir,
+    )
+    gated = contamination_gate_stream(
+        stream, eval_grams, k=3, eval_mod=50, threshold=0.3
+    )
+    sink = drain_to_memory(gated, "contam_stream", run_dir, "update")
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
 # Token-distribution entropy: Shannon entropy of the per-document token
 # histogram plus its normalized form — a degenerate-text signal (entropy
 # near 0 = one token repeated; near log2(n_distinct) = uniform). The
