@@ -196,20 +196,58 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bits: int = 8,
+    bits: int | None = 8,
     dim: int = 64,
+    n_probe: int | None = None,
 ) -> DataFrame:
-    """ANN top-k: candidates share the query's LSH bucket; exact cosine
-    re-rank within the bucket. Recall < 1 by construction (measured in
-    tests against ``brute_force_topk``); raise recall with fewer bits or
-    multi-probe (not needed for the driver corpus).
+    """ANN top-k: candidates share one of the query's probed LSH
+    buckets; exact cosine re-rank within the candidate set. Recall < 1
+    by construction (measured in tests against ``brute_force_topk``).
+
+    **Signature width scales with the corpus** (VERDICT r10 item 4 —
+    the same lesson its siblings ``cosine_dup_pairs_lsh`` and
+    ``ivf_topk`` already apply): expected bucket size is n / 2^bits, so
+    FIXED 8 bits leave buckets of n/256 and the per-query re-rank grows
+    linearly with corpus size. ``bits=None`` keeps the oracle-pinned
+    8-bit floor through n = 4 096 — every oracle-checked fixture runs
+    the EXACT sign chains the DuckDB oracle pins, single-probe — and
+    past 4 096 sizes the signature as ``ceil(log2 n) - 4``
+    (E[bucket] ≈ 16), switching on multi-probe to hold recall.
+
+    ``n_probe`` is the number of buckets probed per query: 1 = own
+    bucket only; p > 1 additionally probes the buckets at Hamming
+    distance 1 on hyperplanes 0..p-2 (the classic flip-one-plane
+    multiprobe — near-neighbors most often differ in exactly one sign).
+    ``None`` auto-selects: 1 at the 8-bit floor (bucket already holds
+    ~n/256 ≥ k candidates), ``bits + 1`` (all single flips) when the
+    signature widened — candidate volume stays O((bits+1) · n / 2^bits)
+    ≈ O(log n) per query instead of O(n/256).
     """
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
+    if bits is None:
+        import math
+
+        n = c.count()  # metadata-cheap on columnar sources
+        bits = 8 if n <= 4096 else max(8, math.ceil(math.log2(max(n, 2))) - 4)
+    if n_probe is None:
+        n_probe = 1 if bits == 8 else bits + 1
     c = c.withColumn("bucket", hyperplane_signature("nv", dim, bits))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("bucket", hyperplane_signature("qv", dim, bits))
+    if n_probe > 1:
+        # Probe set per query: own bucket + single-hyperplane flips.
+        # Probed buckets are DISTINCT values, so no candidate pair can
+        # arrive twice — no dedup stage needed before the re-rank.
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(min(n_probe - 1, bits))
+            ],
+        )
+        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
 
     sim = cosine_expr("qv", "nv", dim) if dim else cosine(F.col("qv"), F.col("nv"))
     scored = (
@@ -545,6 +583,54 @@ def ivf_topk(
     )
 
 
+def _cluster_pair_candidates(threshold: float, guard: float = 1e-6):
+    """applyInPandas body: near-dup CANDIDATE pairs within one cluster,
+    via a blocked BLAS cosine matmul with a safety band under the
+    threshold. Approximate by design — every returned pair is exactly
+    re-verified JVM-side (see semantic_dedup), so this function only
+    has to guarantee it never MISSES a true pair: the band must exceed
+    the numpy-vs-JVM float summation skew (≲1e-12) plus the widest
+    value round(·,6) maps onto the threshold (5e-7); 1e-6 covers both
+    with three orders of margin.
+
+    Memory on skewed clusters: the score matrix is built in row blocks
+    of 2 048, so a pathological cluster of m members costs
+    O(2048 · m) floats per block, never O(m²)."""
+    import numpy as np
+    import pandas as pd
+
+    cut = threshold - guard - 5e-7
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["id"].to_numpy()
+        X = np.stack(pdf["v"].values).astype("float64")  # (m, dim)
+        nrm = np.linalg.norm(X, axis=1)
+        Xn = X / np.maximum(nrm, 1e-12)[:, None]
+        out_a, out_b = [], []
+        B = 2048
+        for i0 in range(0, m, B):
+            S = Xn[i0 : i0 + B] @ Xn.T  # (block, m)
+            bi, j = np.nonzero(S >= cut)
+            i = bi + i0
+            keep = i < j  # each unordered pair once, no self-pairs
+            if keep.any():
+                ia, jb = ids[i[keep]], ids[j[keep]]
+                # candidate orientation follows ID order (the batch
+                # semantics pair on id_a < id_b, not row order)
+                out_a.append(np.minimum(ia, jb))
+                out_b.append(np.maximum(ia, jb))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return fn
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -598,17 +684,40 @@ def semantic_dedup(
         .withColumn("cluster", F.col("cids")[0])
         .drop("cids")
     )
-    # The assignment projection feeds three consumers (both self-join
-    # sides + the final output); with no Exchange to reuse, Spark would
-    # re-run the Arrow matmul over the corpus for each. localCheckpoint
-    # materializes it once (same device dedup.py's CC loop uses).
+    # The assignment projection feeds several consumers (candidate
+    # generation, both verify-join sides, the final output); with no
+    # Exchange to reuse, Spark would re-run the Arrow matmul over the
+    # corpus for each. localCheckpoint materializes it once (same
+    # device dedup.py's CC loop uses).
     assigned = assigned.localCheckpoint(eager=False)
-    a = assigned.select("cluster", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select("cluster", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+
+    # Within-cluster pair scoring in two stages (VERDICT r10 item 6 —
+    # this was the sf10 wall-clock hog at 228 s for 250 k vectors):
+    #
+    # 1. CANDIDATES: per cluster, one BLAS matmul over the normalized
+    #    member matrix inside applyInPandas, keeping pairs whose
+    #    approximate cosine clears threshold - guard. float ops here
+    #    need no cross-engine exactness — the band (1e-6, vs numpy-vs-
+    #    JVM summation skew ≲1e-12) makes the set a strict superset of
+    #    the true matches. Blocked rows bound memory on a skewed
+    #    cluster. This replaces |cluster|² JVM expression evaluations
+    #    per cluster with a vectorized matmul — measured 228 s → the
+    #    verify join below on ~50 k surviving pairs.
+    # 2. VERIFY: the surviving pairs are re-scored with the ORIGINAL
+    #    left-associative JVM cosine chain and the original
+    #    round(·,6) ≥ threshold decision — so the operator's output is
+    #    bit-identical to the plain self-join form and the frozen
+    #    DuckDB oracle binds unchanged.
+    cand = assigned.groupBy("cluster").applyInPandas(
+        _cluster_pair_candidates(threshold, guard=1e-6),
+        "id_a bigint, id_b bigint",
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     sim = (cosine_expr("va", "vb", dim) if dim else cosine(F.col("va"), F.col("vb")))
     dropped = (
-        a.join(b, "cluster")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .where(F.round(sim, 6) >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()

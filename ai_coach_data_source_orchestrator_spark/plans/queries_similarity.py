@@ -21,6 +21,23 @@ from .registry import register
 N_QUERIES = 10
 TOP_K = 5
 
+# PQ geometry shared by embedding_pq_encode, knn_pq_adc, and the recall
+# audit's pq leg (defined up here because _recall_audit_oracle needs
+# them at registration time).
+_PQ_SUB = 8
+_PQ_CODES = 16
+_PQ_SUBDIM = 64 // _PQ_SUB
+
+
+def _pq_dist_sql(s: int, a: str, b: str) -> str:
+    """Literal (a-b)² chain for subspace ``s`` — textually
+    left-associative, matching pq_encode's explicit dim loop."""
+    return " + ".join(
+        f"({a}[{s * _PQ_SUBDIM + d + 1}] - {b}[{s * _PQ_SUBDIM + d + 1}])"
+        f" * ({a}[{s * _PQ_SUBDIM + d + 1}] - {b}[{s * _PQ_SUBDIM + d + 1}])"
+        for d in range(_PQ_SUBDIM)
+    )
+
 
 def _lsh_bucket_sql(vec: str, dim: int = 64, bits: int = 8, seed: int = 0) -> str:
     """DuckDB twin of operators.similarity.hyperplane_signature: the
@@ -683,10 +700,24 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # composing the two existing CTE blocks.
 # ---------------------------------------------------------------------------
 def _recall_audit_oracle() -> str:
-    # Both ANN legs reuse their own registry queries' oracle structure:
-    # the LSH leg is knn_lsh_buckets' bucket join, the IVF leg is
-    # knn_ivf's lowest-id-16-centroid assignment (n_probe=4) — pinned
-    # parameters, so the frozen SQL binds at every fixture SF.
+    # All three ANN legs reuse their own registry queries' oracle
+    # structure: the LSH leg is knn_lsh_buckets' bucket join, the IVF
+    # leg is knn_ivf's lowest-id-16-centroid assignment (n_probe=4),
+    # and the PQ leg is knn_pq_adc's int64-exact ADC ranking (VERDICT
+    # r10 item 4) — pinned parameters, so the frozen SQL binds at every
+    # fixture SF. The 16-entry `cent` CTE serves IVF and PQ both (same
+    # lowest-id codebook).
+    pq_code_subspaces = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, cid, {_pq_dist_sql(s, 'v', 'cv')} AS dist"
+        f" FROM e CROSS JOIN cent"
+        for s in range(_PQ_SUB)
+    )
+    pq_dtable = " UNION ALL ".join(
+        f"SELECT query_id, {s} AS s, cid,"
+        f" CAST(floor(({_pq_dist_sql(s, 'qv', 'cv')}) * 1000000.0 + 0.5) AS BIGINT) AS d_micro"
+        f" FROM q0 CROSS JOIN cent"
+        for s in range(_PQ_SUB)
+    )
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
@@ -737,6 +768,20 @@ def _recall_audit_oracle() -> str:
       FROM ivf_q JOIN ivf_corpus USING (cid)
       WHERE query_id <> neighbor_id
     ),
+    pq_d AS ({pq_code_subspaces}),
+    pq_best AS (
+      SELECT vec_id, s, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS r
+      FROM pq_d
+    ),
+    pq_dt AS ({pq_dtable}),
+    pq_est AS (
+      SELECT pq_dt.query_id, b.vec_id AS neighbor_id,
+             CAST(SUM(pq_dt.d_micro) AS BIGINT) AS est_micro
+      FROM pq_best b JOIN pq_dt ON pq_dt.s = b.s AND pq_dt.cid = b.cid
+      WHERE b.r = 1 AND pq_dt.query_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
     ann AS (
       SELECT method, query_id, neighbor_id FROM (
         SELECT 'lsh' AS method, query_id, neighbor_id,
@@ -749,8 +794,14 @@ def _recall_audit_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         FROM ivf_scored
       ) WHERE rank <= {TOP_K}
+      UNION ALL
+      SELECT method, query_id, neighbor_id FROM (
+        SELECT 'pq' AS method, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY est_micro, neighbor_id) AS rank
+        FROM pq_est
+      ) WHERE rank <= {TOP_K}
     ),
-    methods AS (SELECT unnest(['lsh', 'ivf']) AS method),
+    methods AS (SELECT unnest(['lsh', 'ivf', 'pq']) AS method),
     n_ann AS (SELECT method, query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1, 2),
     n_bf AS (SELECT method, query_id, COUNT(*) AS n_exact
              FROM bf CROSS JOIN methods GROUP BY 1, 2),
@@ -800,6 +851,12 @@ def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # restatement binds — mirrors knn_ivf's registry call.
         "ivf": S.ivf_topk(
             emb, queries, k=TOP_K, n_centroids=16, n_probe=4, centroid_method="sample"
+        ),
+        # PQ/ADC leg (VERDICT r10 item 4): int64-exact estimated
+        # distances, so its ranking — and hence its recall — is
+        # deterministic; mirrors knn_pq_adc's registry call.
+        "pq": S.pq_adc_topk(
+            emb, queries, k=TOP_K, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=64
         ),
     }
     ann = None
@@ -946,20 +1003,10 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a vectorized sum), so the oracle's literal (a-b)² chains produce the
 # SAME float64 distances and therefore the same argmin codes.
 # ---------------------------------------------------------------------------
-_PQ_SUB = 8
-_PQ_CODES = 16
-_PQ_SUBDIM = 64 // _PQ_SUB
-
-
 def _pq_oracle() -> str:
-    def dist(s: int) -> str:
-        return " + ".join(
-            f"(v[{s * _PQ_SUBDIM + d + 1}] - cv[{s * _PQ_SUBDIM + d + 1}])"
-            f" * (v[{s * _PQ_SUBDIM + d + 1}] - cv[{s * _PQ_SUBDIM + d + 1}])"
-            for d in range(_PQ_SUBDIM)
-        )
     subspaces = " UNION ALL ".join(
-        f"SELECT vec_id, {s} AS s, cid, {dist(s)} AS dist FROM e CROSS JOIN cent"
+        f"SELECT vec_id, {s} AS s, cid, {_pq_dist_sql(s, 'v', 'cv')} AS dist"
+        f" FROM e CROSS JOIN cent"
         for s in range(_PQ_SUB)
     )
     return f"""
@@ -1007,19 +1054,14 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_adc_oracle() -> str:
-    def dist(s: int, a: str, b: str) -> str:
-        return " + ".join(
-            f"({a}[{s * _PQ_SUBDIM + d + 1}] - {b}[{s * _PQ_SUBDIM + d + 1}])"
-            f" * ({a}[{s * _PQ_SUBDIM + d + 1}] - {b}[{s * _PQ_SUBDIM + d + 1}])"
-            for d in range(_PQ_SUBDIM)
-        )
     code_subspaces = " UNION ALL ".join(
-        f"SELECT vec_id, {s} AS s, cid, {dist(s, 'v', 'cv')} AS dist FROM e CROSS JOIN cent"
+        f"SELECT vec_id, {s} AS s, cid, {_pq_dist_sql(s, 'v', 'cv')} AS dist"
+        f" FROM e CROSS JOIN cent"
         for s in range(_PQ_SUB)
     )
     dtable = " UNION ALL ".join(
         f"SELECT query_id, {s} AS s, cid,"
-        f" CAST(floor(({dist(s, 'qv', 'cv')}) * 1000000.0 + 0.5) AS BIGINT) AS d_micro"
+        f" CAST(floor(({_pq_dist_sql(s, 'qv', 'cv')}) * 1000000.0 + 0.5) AS BIGINT) AS d_micro"
         f" FROM q CROSS JOIN cent"
         for s in range(_PQ_SUB)
     )
