@@ -32,101 +32,90 @@ from . import queries_retrieval  # noqa: E402,F401
 # strictly more informative than re-greening an unchanged query.
 # tests/test_registry.py counts these when checking the rotation
 # policy's capacity math.
-# Round 10: knn_recall_audit gained IVF rows (method column + per-
-# method recall, VERDICT r9 item 3) and multimodal_decode gained the
-# baseline-JFIF corpus split (doc_id % 3 → % 4, VERDICT r9 item 8) —
-# their r9 green rows describe the old outputs, so both need fresh
-# window slots ahead of stale refreshes.
-# graph_host_pagerank's fixture graph was rebuilt after the mutation
-# audit proved the old one exactly 2-regular (uniform ranks — NO rank
-# bug could turn the oracle red); its r8 green row describes the old
-# uniform output.
-# text_line_dedup's synthesis gained exactly-29/30-doc boundary lines
-# after the audit showed any K in [2, n/5] produced identical output.
+# Round 11: knn_recall_audit gained the PQ/ADC leg (VERDICT r10 item
+# 4) and multimodal_decode gained the color-4:2:0-JFIF corpus split
+# (doc_id % 4 → % 5, VERDICT r10 item 5) — their r10 green rows
+# describe the old outputs.
 _CHANGED_ORACLE: tuple[str, ...] = (
     "knn_recall_audit",
     "multimodal_decode",
-    "graph_host_pagerank",
-    "text_line_dedup",
 )
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 10 rotation (VERDICT r9 item 1): the exactly-50 queries
-    # whose latest green driver row is r7 — the set the hygiene test
-    # (tests/test_registry.py) enumerates against the r9 artifacts.
-    # 50 = 50 window slots: a perfect zero-overflow rotation. New
-    # queries added this round would overflow the window; if any land,
-    # they slot at the head and the capacity math in the test accounts
-    # for the forced overflow. After the r10 window every registry
-    # query's latest row is r8+.
+    # Round 11 rotation (VERDICT r10 item 1): 55 queries are stale (6
+    # r7-fresh + 49 r8-fresh), plus 5 new streaming graduations and 2
+    # changed oracles = 62 candidates for 50 slots — the first rotation
+    # with large forced overflow (12). Priority, per the hygiene test's
+    # rule: never-green first, changed-oracle next, then ALL r7-stale,
+    # then r8-stale. Among the equally-r8-stale, queries whose
+    # implementing module changed this round (queries_similarity,
+    # queries_events, queries_sketches, queries_text — the lsh_topk /
+    # SemDeDup / recall-audit / streaming-graduation diffs) take the 37
+    # remaining slots; conveniently that is EXACTLY the touched-module
+    # set, so the 12 spilled to lead the r12 window all live in modules
+    # with zero diffs this round: a8_summary_aggregates, audit_coverage,
+    # f8_or_of_overrides, k_orc_columnar_roundtrip,
+    # sample_dsir_importance, sample_train_test_split,
+    # slack_render_blocks, u3_dedup_by_key, x20_section_split,
+    # x22_human_size, x3_adf_flatten, x_jira_ticket_render.
     # ------------------------------------------------------------------
-    # -- new in round 10, never driver-sampled --
-    # Three streaming families graduated to the driver gate (VERDICT r9
-    # item 6 asked for one; with these, EVERY streaming family the r9
-    # verdict listed as locally-proven-only runs under the hash gate).
-    # With the window exactly full (50 stale), each displaces one stale
-    # refresh (x23_json_field_extract, k5_json_snapshot_roundtrip,
-    # x21_changelog_compact — all still green at r7, re-green in r11).
-    "dedup_stream_neardup_gate",
-    "dedup_stream_cdc_ingest",
-    "sketch_stream_hll",
-    # -- changed oracle this round (r9 green rows describe old output) --
-    # knn_recall_audit gained IVF rows; multimodal_decode gained the
-    # JFIF corpus split. With the window exactly full (50 stale), each
-    # displaces one stale refresh (o4_lexicographic_concat and
-    # u2_distinct_keys_from_text — both still green at r7, re-green in
-    # r11).
+    # -- new in round 11, never driver-sampled: the last five streaming
+    # families graduate to the driver hash gate (VERDICT r10 item 3) --
+    "sessionize_stream_windows",
+    "asof_stream_checkpoints",
+    "contamination_stream_gate",
+    "sketch_stream_cms",
+    "sketch_stream_bloom_gate",
+    # -- changed oracle this round (r10 green rows describe old output) --
     "knn_recall_audit",
     "multimodal_decode",
-    # graph_host_pagerank: de-degenerated fixture graph (see
-    # _CHANGED_ORACLE) — displaces s12_drive_catalog_scan to r11.
-    "graph_host_pagerank",
-    # -- latest green row r7 (two driver windows ago) --
-    "a15_participants",
-    "a18_reactions_rollup",
-    "cc_large_star",
-    "contamination_ngram_overlap",
-    "dashboard_week_frame",
-    "dedup_simhash",
-    "epic_tree_render",
-    "events_decay_activity",
-    "f5_substring_filter",
-    "f6_team_threshold_filter",
-    "f9_section_date_trim",
-    "j10_member_doc_join",
-    "j12_channel_resolution",
-    "j3_mention_resolution",
-    "j4_field_label_join",
-    "j7_changelog_attach",
-    "j8_changelog_injection",
-    "j9_blob_path_join",
-    "k1_csv_union_header_roundtrip",
-    "k2_partitioned_write_roundtrip",
-    "k6_datasource_sections",
-    "k8_upsert_merge",
-    "k9_cache_freshness",
-    "k_bucketed_colocated_join",
-    "knn_pq_adc",
-    "pack_token_bins",
-    "s14_jdbc_pushdown_join",
-    "s1_jira_connector_roundtrip",
-    "s9_slack_history_pushdown",
-    "sample_mixture_budget",
-    "sample_stratified_hash",
-    "sample_temperature_mix",
-    "slack_capture_pipeline",
-    "source_js_divergence",
-    "text_c4_filters",
-    "text_line_dedup",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_token_entropy",
-    "text_url_normalize",
-    "u8_schema_union_by_name",
-    "weekly_digest_pipeline",
-    "x19_transcript_parse",
-    "x24_custom_field_map",
+    # -- latest green row r7 (three driver windows ago; the six-query
+    # debt documented in the r10 rotation comment) --
+    "k5_json_snapshot_roundtrip",
+    "o4_lexicographic_concat",
+    "s12_drive_catalog_scan",
+    "u2_distinct_keys_from_text",
+    "x21_changelog_compact",
+    "x23_json_field_extract",
+    # -- latest green row r8, implementing module touched this round --
+    "a10_daily_window",
+    "a_percentile_profile",
+    "cohort_retention",
+    "corpus_health_report",
+    "corpus_zipf_topk",
+    "dedup_connected_components",
+    "dedup_embedding_cosine_lsh",
+    "dedup_exact",
+    "dedup_family_histogram",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_span_ngram",
+    "embedding_normalize_truncate",
+    "embedding_quantize_int8",
+    "funnel_view_click_purchase",
+    "j_salted_skew_join",
+    "knn_brute_force_cosine",
+    "knn_ivf",
+    "knn_lsh_buckets",
+    "multimodal_features",
+    "range_join_windows",
+    "sessionize_events",
+    "sketch_bloom_membership",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
+    "sketch_quantile_sample",
+    "text_chunk_windows",
+    "text_external_lint",
+    "text_filter_funnel",
+    "text_langid",
+    "text_lm_perplexity",
+    "text_quality_score",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    "x7_multiformat_date_extract",
 ]
 
 

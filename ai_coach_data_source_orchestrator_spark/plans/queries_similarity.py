@@ -206,7 +206,7 @@ _RMS_MICRO = (
     oracle=f"""
     WITH img AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      FROM documents WHERE doc_id % 4 = 0
+      FROM documents WHERE doc_id % 5 = 0
     ),
     ivals AS (
       SELECT doc_id, w, h, w * h * 3 AS n_values,
@@ -217,7 +217,7 @@ _RMS_MICRO = (
     ),
     gry AS (
       SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
-      FROM documents WHERE doc_id % 4 = 1
+      FROM documents WHERE doc_id % 5 = 1
     ),
     gvals AS (
       SELECT doc_id, w, h, w * h AS n_values,
@@ -227,7 +227,7 @@ _RMS_MICRO = (
       GROUP BY doc_id, w, h
     ),
     aud AS (
-      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 4 = 2
+      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 5 = 2
     ),
     avals AS (
       SELECT doc_id, n_values,
@@ -239,7 +239,7 @@ _RMS_MICRO = (
     ),
     jm AS (
       SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
-      FROM documents WHERE doc_id % 4 = 3
+      FROM documents WHERE doc_id % 5 = 3
     ),
     jvals AS (
       -- per-8x8-block constant v_b=(id*41+b*13)%256: each block
@@ -251,6 +251,36 @@ _RMS_MICRO = (
              64 * SUM(((doc_id * 41 + b * 13) % 256) * ((doc_id * 41 + b * 13) % 256)) AS val_sumsq
       FROM jm, unnest(range((w // 8) * (h // 8))) s(b)
       GROUP BY doc_id, w, h
+    ),
+    jc AS (
+      SELECT doc_id, 16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h
+      FROM documents WHERE doc_id % 5 = 4
+    ),
+    jcv AS (
+      -- color 4:2:0 JFIF, per-16x16-MCU constant YCbCr planes: the
+      -- DC-only round-trip restores y/cb/cr exactly, so the oracle
+      -- replays only the DECODER's YCbCr->RGB arithmetic — identical
+      -- float64 expression order and floor-half-up rounding as
+      -- operators/multimodal._decode_jpeg's color tail
+      SELECT doc_id, w, h,
+             (doc_id * 23 + m * 7) % 256 AS y,
+             CAST((doc_id * 29 + m * 11) % 256 AS DOUBLE) - 128.0 AS cbd,
+             CAST((doc_id * 31 + m * 13) % 256 AS DOUBLE) - 128.0 AS crd
+      FROM jc, unnest(range((w // 16) * (h // 16))) s(m)
+    ),
+    jcrgb AS (
+      SELECT doc_id, w, h,
+             least(greatest(floor(y + 1.402 * crd + 0.5), 0), 255) AS r,
+             least(greatest(floor(y - 0.344136 * cbd - 0.714136 * crd + 0.5), 0), 255) AS g,
+             least(greatest(floor(y + 1.772 * cbd + 0.5), 0), 255) AS b
+      FROM jcv
+    ),
+    jcvals AS (
+      -- each MCU is 256 pixels of one (r, g, b)
+      SELECT doc_id, w, h, w * h * 3 AS n_values,
+             CAST(256 * SUM(r + g + b) AS BIGINT) AS val_sum,
+             CAST(256 * SUM(r * r + g * g + b * b) AS BIGINT) AS val_sumsq
+      FROM jcrgb GROUP BY doc_id, w, h
     )
     SELECT doc_id, 'image' AS kind, CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
@@ -272,9 +302,14 @@ _RMS_MICRO = (
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM jvals
+    UNION ALL
+    SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
+           CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           {_MEAN_MICRO}, {_RMS_MICRO}
+    FROM jcvals
     """,
     survey_ids=("S13", "K7"),
-    description="REAL media decode: synthesized PPM/PGM/WAV/JFIF bytes parsed back to verified features",
+    description="REAL media decode: synthesized PPM/PGM/WAV/gray+color-JFIF bytes parsed back to verified features",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize genuine PPM (P6) / PGM (P5) / WAV (PCM16) / baseline

@@ -346,3 +346,156 @@ def test_png_matches_ppm_decode_for_same_image():
     via_png = decode_media(encode_png(w, h, rgb, color=2, row_filters=[2, 4, 1]), "image/png")
     assert np.array_equal(via_ppm["values"], via_png["values"])
     assert (via_ppm["width"], via_ppm["height"]) == (via_png["width"], via_png["height"])
+
+
+def test_jpeg_color_mcu_constant_roundtrip_exact():
+    """Per-16x16-MCU-constant YCbCr planes survive the 4:2:0 pipeline
+    EXACTLY up to the decoder's YCbCr->RGB arithmetic (DC-only blocks,
+    all-ones quant) — the property the registry oracle's closed-form
+    color restatement depends on (VERDICT r10 item 5)."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    for doc_id in (4, 9, 14, 19, 24, 104):
+        w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
+        Y = np.zeros((h, w), np.uint8)
+        Cb = np.zeros((h // 2, w // 2), np.uint8)
+        Cr = np.zeros((h // 2, w // 2), np.uint8)
+        for m in range((w // 16) * (h // 16)):
+            my, mx = divmod(m, w // 16)
+            Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (doc_id * 23 + m * 7) % 256
+            Cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (doc_id * 29 + m * 11) % 256
+            Cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (doc_id * 31 + m * 13) % 256
+        d = decode_media(
+            M.encode_jpeg_baseline_color(w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes()),
+            "image/jpeg",
+        )
+        assert (d["kind"], d["width"], d["height"]) == ("image", w, h)
+        yf = Y.astype(np.float64)
+        cb = Cb.repeat(2, 0).repeat(2, 1).astype(np.float64) - 128.0
+        cr = Cr.repeat(2, 0).repeat(2, 1).astype(np.float64) - 128.0
+        exp = np.clip(
+            np.stack(
+                [
+                    np.floor(yf + 1.402 * cr + 0.5),
+                    np.floor(yf - 0.344136 * cb - 0.714136 * cr + 0.5),
+                    np.floor(yf + 1.772 * cb + 0.5),
+                ],
+                axis=-1,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert np.array_equal(d["values"], exp.reshape(-1))
+
+
+def test_jpeg_color_real_rgb_bounded_error_on_smooth_image():
+    """A smooth RGB gradient through rgb_to_ycbcr + 2x2 chroma averaging
+    + encode/decode stays close to the original (4:2:0 loses chroma
+    detail, not luma; smooth chroma keeps the loss small)."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    h, w = 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(yy * 4) % 256, (xx * 4) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    ycc = M.rgb_to_ycbcr(rgb)
+    Y = ycc[..., 0]
+    Cb = np.floor(
+        ycc[..., 1].astype(np.float64).reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 0.5
+    ).astype(np.uint8)
+    Cr = np.floor(
+        ycc[..., 2].astype(np.float64).reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 0.5
+    ).astype(np.uint8)
+    d = decode_media(
+        M.encode_jpeg_baseline_color(w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes()),
+        "image/jpeg",
+    )
+    err = np.abs(d["values"].reshape(h, w, 3).astype(int) - rgb.astype(int))
+    assert err.max() <= 16, err.max()  # smooth-gradient chroma loss bound
+
+
+def test_jpeg_color_validates_inputs():
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError, match="multiples of 16"):
+        M.encode_jpeg_baseline_color(24, 16, bytes(384), bytes(96), bytes(96))
+    with pytest.raises(ValueError, match="luma plane"):
+        M.encode_jpeg_baseline_color(16, 16, bytes(255), bytes(64), bytes(64))
+    with pytest.raises(ValueError, match="chroma planes"):
+        M.encode_jpeg_baseline_color(16, 16, bytes(256), bytes(63), bytes(64))
+
+
+def test_jpeg_unsupported_color_shapes_still_raise():
+    """4:2:2 sampling and component counts other than 1/3 remain at the
+    documented PIL/libjpeg boundary."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    Y = np.full((16, 16), 9, np.uint8)
+    Cb = np.full((8, 8), 100, np.uint8)
+    Cr = np.full((8, 8), 200, np.uint8)
+    payload = bytearray(
+        M.encode_jpeg_baseline_color(16, 16, Y.tobytes(), Cb.tobytes(), Cr.tobytes())
+    )
+    i = bytes(payload).find(b"\xff\xc0")
+    # SOF0 component table starts at i+10; Y sampling byte is i+11.
+    assert payload[i + 11] == 0x22
+    payload[i + 11] = 0x21  # 4:2:2
+    with pytest.raises(NotImplementedError, match="4:4:4 or 4:2:0"):
+        decode_media(bytes(payload), "image/jpeg")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        mw=st.integers(min_value=1, max_value=3),
+        mh=st.integers(min_value=1, max_value=3),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_jpeg_color_mcu_constant_property(mw, mh, seed):
+        """Any MCU-constant YCbCr layout round-trips exactly through the
+        4:2:0 encode/decode up to the documented color conversion."""
+        import numpy as np
+
+        from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(seed)
+        w, h = 16 * mw, 16 * mh
+        yv = rng.integers(0, 256, size=(mh, mw), dtype=np.uint8)
+        cbv = rng.integers(0, 256, size=(mh, mw), dtype=np.uint8)
+        crv = rng.integers(0, 256, size=(mh, mw), dtype=np.uint8)
+        Y = yv.repeat(16, 0).repeat(16, 1)
+        Cb = cbv.repeat(8, 0).repeat(8, 1)
+        Cr = crv.repeat(8, 0).repeat(8, 1)
+        d = decode_media(
+            M.encode_jpeg_baseline_color(w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes()),
+            "image/jpeg",
+        )
+        yf = Y.astype(np.float64)
+        cb = Cb.repeat(2, 0).repeat(2, 1).astype(np.float64) - 128.0
+        cr = Cr.repeat(2, 0).repeat(2, 1).astype(np.float64) - 128.0
+        exp = np.clip(
+            np.stack(
+                [
+                    np.floor(yf + 1.402 * cr + 0.5),
+                    np.floor(yf - 0.344136 * cb - 0.714136 * cr + 0.5),
+                    np.floor(yf + 1.772 * cb + 0.5),
+                ],
+                axis=-1,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert np.array_equal(d["values"], exp.reshape(-1))
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
