@@ -78,7 +78,7 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str) -> dict:
+def decode_media(payload: bytes, mime: str, jfif_coeffs=None) -> dict:
     """Real decode entry point for the codec-free container formats.
 
     PPM/PGM (netpbm P6/P5) and RIFF/WAV PCM16 decode in plain
@@ -149,7 +149,7 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return _decode_png(payload)
 
     if mime == "image/jpeg":
-        return _decode_jpeg(payload)
+        return _decode_jpeg(payload, jfif_coeffs=jfif_coeffs)
 
     raise NotImplementedError(
         f"media decode for {mime!r} requires codec libraries not present in this environment"
@@ -311,6 +311,15 @@ def encode_png(
 # Progressive scans, restart intervals, 4:2:2, and 12-bit depth still
 # raise — that residue is where PIL/libjpeg earn their keep.
 # ---------------------------------------------------------------------------
+
+# JFIF (BT.601 full-range) YCbCr->RGB coefficients. A module constant
+# (not inline literals) for two reasons: a production decoder exposes
+# the conversion matrix as an option (BT.709 content mislabeled as
+# JFIF is a real-corpus hazard), and the oracle mutation audit needs a
+# driver-side seam — decode_features captures this tuple BY VALUE into
+# its Arrow closure, because executor processes re-import the module
+# and would never see a driver-side monkeypatch of the global.
+_JFIF_COEFFS = (1.402, 0.344136, 0.714136, 1.772)
 
 # Zigzag order: raster index of each successive zigzag position.
 _JPEG_ZZ = [
@@ -663,7 +672,7 @@ def encode_jpeg_baseline_color(
     )
 
 
-def _decode_jpeg(payload: bytes) -> dict:
+def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
     """General baseline-sequential JFIF decoder, numpy-only: marker
     walk (DQT/SOF0/DHT/SOS, fill-byte tolerant), canonical Huffman
     reconstruction, byte-unstuffed bit reading, per-component
@@ -892,6 +901,7 @@ def _decode_jpeg(payload: bytes) -> dict:
     # do), NOT numpy banker's rint: the registry oracle recomputes
     # these exact expressions, so the float64 op order and the rounding
     # rule must both match the SQL restatement term for term.
+    cr_r, cb_g, cr_g, cb_b = jfif_coeffs or _JFIF_COEFFS
     yc, cbc, crc = comps
     Y = planes[yc["id"]].astype(np.float64)
     up = []
@@ -900,9 +910,9 @@ def _decode_jpeg(payload: bytes) -> dict:
         p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         up.append(p.astype(np.float64) - 128.0)
     cb, cr = up
-    r = np.floor(Y + 1.402 * cr + 0.5)
-    g = np.floor(Y - 0.344136 * cb - 0.714136 * cr + 0.5)
-    b = np.floor(Y + 1.772 * cb + 0.5)
+    r = np.floor(Y + cr_r * cr + 0.5)
+    g = np.floor(Y - cb_g * cb - cr_g * cr + 0.5)
+    b = np.floor(Y + cb_b * cb + 0.5)
     rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
     rgb = rgb[:height, :width]
     return {
@@ -1072,11 +1082,15 @@ def decode_features(media: DataFrame) -> DataFrame:
     """
     import numpy as np
 
+    # Captured at driver time so the closure ships the value (see
+    # _JFIF_COEFFS comment).
+    jfif_coeffs = _JFIF_COEFFS
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in DECODED_SCHEMA.fields}
             for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
-                d = decode_media(bytes(payload), mime)
+                d = decode_media(bytes(payload), mime, jfif_coeffs=jfif_coeffs)
                 vals = d["values"].astype(np.int64)
                 rows["doc_id"].append(int(doc_id))
                 rows["kind"].append(d["kind"])

@@ -33,6 +33,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _HEADING_KEY_RE = r"^#{3,4} \[([A-Z][A-Z0-9]+-[0-9]+)\]"
+# The reference's change-arrow glyph (jira/lib/changelog-flatten.js:96:
+# `${from} \u2192 ${to}`). A module constant so the oracle mutation
+# audit has a seam — F.lit folds it into the plan DRIVER-side, so a
+# test monkeypatch genuinely changes the computation.
+CHANGE_ARROW = " \u2192 "
 
 
 def _info_lines(pairs: list[tuple[str, Column]]) -> Column:
@@ -224,7 +229,7 @@ def compact_change_line() -> Column:
     to_s = F.coalesce(F.col("to_string"), F.lit(""))
     from_str = F.when(from_s == "", F.lit("-")).otherwise(from_s)
     to_str = F.when(to_s == "", F.lit("-")).otherwise(to_s)
-    arrow = F.concat(from_str, F.lit(" → "), to_str)
+    arrow = F.concat(from_str, F.lit(CHANGE_ARROW), to_str)
 
     def norm(col: Column) -> Column:
         return F.filter(

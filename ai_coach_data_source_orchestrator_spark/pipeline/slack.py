@@ -97,6 +97,15 @@ def reactions_rollup(reactions_col: str = "reactions") -> F.Column:
     )
 
 
+def thread_key():
+    """Slack thread grouping key (slack/download.js:173-193): replies
+    group under their parent's thread_ts; parents without replies group
+    alone under their own ts. A module-level seam (not inline) so the
+    oracle mutation audit can drop the coalesce and prove the parity
+    harness catches the classic every-reply-is-its-own-thread bug."""
+    return F.coalesce("thread_ts", "ts")
+
+
 def run_slack_capture(spark: SparkSession, inputs: SlackInputs, config: dict) -> SlackResult:
     users = inputs.user_map
     msgs = resolve_mentions(inputs.messages, users)
@@ -142,7 +151,7 @@ def run_slack_capture(spark: SparkSession, inputs: SlackInputs, config: dict) ->
         ).otherwise(F.lit("")),
     )
     msgs = msgs.withColumn("block", block).withColumn(
-        "thread_key", F.coalesce("thread_ts", "ts")
+        "thread_key", thread_key()
     )
 
     # F11: replies render under their parent; parents (or singletons)

@@ -36,29 +36,41 @@ from . import queries_retrieval  # noqa: E402,F401
 # 4) and multimodal_decode gained the color-4:2:0-JFIF corpus split
 # (doc_id % 4 → % 5, VERDICT r10 item 5) — their r10 green rows
 # describe the old outputs.
+# slack_capture_pipeline / slack_render_blocks: the r11 mutation audit
+# proved their thread fixtures structurally toothless (thread_ts
+# pointed at a parent in a DIFFERENT channel, so no thread ever
+# grouped and the dropped-coalesce mutant survived); the fixtures now
+# parent same-channel (event_id - 4) and both outputs changed.
 _CHANGED_ORACLE: tuple[str, ...] = (
     "knn_recall_audit",
     "multimodal_decode",
+    "slack_capture_pipeline",
+    "slack_render_blocks",
 )
 
 _FRONT = [
     # ------------------------------------------------------------------
     # Round 11 rotation (VERDICT r10 item 1): 55 queries are stale (6
-    # r7-fresh + 49 r8-fresh), plus 5 new streaming graduations and 2
-    # changed oracles = 62 candidates for 50 slots — the first rotation
-    # with large forced overflow (12). Priority, per the hygiene test's
-    # rule: never-green first, changed-oracle next, then ALL r7-stale,
-    # then r8-stale. Among the equally-r8-stale, queries whose
-    # implementing module changed this round (queries_similarity,
-    # queries_events, queries_sketches, queries_text — the lsh_topk /
-    # SemDeDup / recall-audit / streaming-graduation diffs) take the 37
-    # remaining slots; conveniently that is EXACTLY the touched-module
-    # set, so the 12 spilled to lead the r12 window all live in modules
-    # with zero diffs this round: a8_summary_aggregates, audit_coverage,
-    # f8_or_of_overrides, k_orc_columnar_roundtrip,
-    # sample_dsir_importance, sample_train_test_split,
-    # slack_render_blocks, u3_dedup_by_key, x20_section_split,
-    # x22_human_size, x3_adf_flatten, x_jira_ticket_render.
+    # r7-fresh + 49 r8-fresh), plus 5 new streaming graduations, 3
+    # changed-oracle non-stale (knn_recall_audit, multimodal_decode,
+    # slack_capture_pipeline) and 1 changed-oracle already-stale
+    # (slack_render_blocks) = 63 candidates for 50 slots — the first
+    # rotation with large forced overflow (13). Priority, per the
+    # hygiene test's rule: never-green first, changed-oracle next, then
+    # ALL r7-stale, then r8-stale. Among the equally-r8-stale, queries
+    # whose implementing module changed this round (queries_similarity,
+    # queries_events, queries_sketches, queries_text,
+    # queries_pipeline — the lsh_topk / SemDeDup / recall-audit /
+    # streaming-graduation / slack-thread-fixture diffs) take the
+    # remaining slots. The 13 spilled to lead the r12 window:
+    # a8_summary_aggregates, audit_coverage, f8_or_of_overrides,
+    # k_orc_columnar_roundtrip, sample_dsir_importance,
+    # sample_train_test_split, slack_render_blocks→(kept, changed),
+    # u3_dedup_by_key, x20_section_split, x22_human_size,
+    # x3_adf_flatten, x_jira_ticket_render (zero-diff modules), plus
+    # text_winnow_fingerprints and x7_multiformat_date_extract (the
+    # touched-module alphabetical tail, displaced when the two slack
+    # fixture fixes claimed slots).
     # ------------------------------------------------------------------
     # -- new in round 11, never driver-sampled: the last five streaming
     # families graduate to the driver hash gate (VERDICT r10 item 3) --
@@ -67,9 +79,11 @@ _FRONT = [
     "contamination_stream_gate",
     "sketch_stream_cms",
     "sketch_stream_bloom_gate",
-    # -- changed oracle this round (r10 green rows describe old output) --
+    # -- changed oracle this round (r10 green rows describe old output;
+    # slack_render_blocks was already r8-stale and sits in the r8 block) --
     "knn_recall_audit",
     "multimodal_decode",
+    "slack_capture_pipeline",
     # -- latest green row r7 (three driver windows ago; the six-query
     # debt documented in the r10 rotation comment) --
     "k5_json_snapshot_roundtrip",
@@ -114,8 +128,7 @@ _FRONT = [
     "text_lm_perplexity",
     "text_quality_score",
     "text_token_stats",
-    "text_winnow_fingerprints",
-    "x7_multiformat_date_extract",
+    "slack_render_blocks",
 ]
 
 

@@ -210,7 +210,8 @@ def dashboard_week_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT 'C' || CAST(event_id % 4 AS VARCHAR) AS channel_id,
              1760000000 + event_id * 40 AS ts_num,
-             CASE WHEN event_id % 6 = 1 THEN 1760000000 + (event_id - 1) * 40 END AS thread_num
+             CASE WHEN event_id % 6 = 1 AND event_id >= 5
+                  THEN 1760000000 + (event_id - 4) * 40 END AS thread_num
       FROM events
     ),
     t AS (
@@ -237,9 +238,11 @@ def slack_capture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%.6f", (F.lit(base_ts) + F.col("event_id") * 40).cast("double")).alias("ts"),
         F.concat(F.lit("U"), uid).alias("user"),
         F.concat(F.lit("saw "), F.col("event_type"), F.lit(" from <@U"), uid, F.lit(">")).alias("text"),
+        # Same-channel thread parent (event_id - 4) — see
+        # slack_capture_pipeline's fixture note (r11 mutation finding).
         F.when(
-            F.col("event_id") % 6 == 1,
-            F.format_string("%.6f", (F.lit(base_ts) + (F.col("event_id") - 1) * 40).cast("double")),
+            (F.col("event_id") % 6 == 1) & (F.col("event_id") >= 5),
+            F.format_string("%.6f", (F.lit(base_ts) + (F.col("event_id") - 4) * 40).cast("double")),
         ).alias("thread_ts"),
         (F.col("event_id") % 3).cast("bigint").alias("reply_count"),
         F.when(
@@ -381,7 +384,8 @@ def k_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT 'C' || CAST(event_id % 4 AS VARCHAR) AS channel_id,
              1760000000 + event_id * 40 AS ts_num,
-             CASE WHEN event_id % 6 = 1 THEN 1760000000 + (event_id - 1) * 40 END AS thread_num,
+             CASE WHEN event_id % 6 = 1 AND event_id >= 5
+                  THEN 1760000000 + (event_id - 4) * 40 END AS thread_num,
              'U' || CAST(user_id % 50 AS VARCHAR) AS uid,
              'saw ' || event_type AS verb,
              event_id % 3 AS reply_count,
@@ -432,9 +436,11 @@ def slack_render_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%.6f", (F.lit(base_ts) + F.col("event_id") * 40).cast("double")).alias("ts"),
         F.concat(F.lit("U"), uid).alias("user"),
         F.concat(F.lit("saw "), F.col("event_type"), F.lit(" from <@U"), uid, F.lit(">")).alias("text"),
+        # Same-channel thread parent (event_id - 4) — see
+        # slack_capture_pipeline's fixture note (r11 mutation finding).
         F.when(
-            F.col("event_id") % 6 == 1,
-            F.format_string("%.6f", (F.lit(base_ts) + (F.col("event_id") - 1) * 40).cast("double")),
+            (F.col("event_id") % 6 == 1) & (F.col("event_id") >= 5),
+            F.format_string("%.6f", (F.lit(base_ts) + (F.col("event_id") - 4) * 40).cast("double")),
         ).alias("thread_ts"),
         (F.col("event_id") % 3).cast("bigint").alias("reply_count"),
         F.when(

@@ -54,6 +54,37 @@ HEADLINE = [
 ]
 
 
+def _calibration_history() -> list[float]:
+    """calibration_sec values from prior BENCH_r*.json artifacts at the
+    repo root — the measured yardstick history the load gate normalizes
+    against (VERDICT r10 item 2)."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    vals = []
+    for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                c = json.load(f).get("calibration_sec")
+            if isinstance(c, (int, float)) and c > 0:
+                vals.append(float(c))
+        except Exception:  # noqa: BLE001 - a malformed artifact is not fatal
+            continue
+    return vals
+
+
+def _calibrate(spark) -> float:
+    """Fixed pure-JVM CPU workload, best-of-3: how much does the box's
+    current business actually COST, in seconds. Load averages say the
+    box WAS busy; this measures whether that matters right now."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,8 +112,30 @@ def main() -> None:
     # whenever the bench runs right after the tests. The gate still
     # breaks at the deadline and stamps honestly if the box never idles.
     load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "1500"))
+    # Calibration-normalized gate (VERDICT r10 item 2): three rounds
+    # running, the DRIVER artifact stamped load_contaminated=true off a
+    # raw 15-min loadavg the builder cannot control (the driver benches
+    # right after its own correctness sweep heats the box), while the
+    # in-round selfchecks proved the actual cost near zero. The loadavg
+    # is a lagging indicator of PAST business; the measured calibration
+    # workload is the box's CURRENT capacity. So: if the loads are
+    # under the thresholds, clean (as before). If they are over, run
+    # the calibration yardstick — when it lands within
+    # SPARK_GRAFT_BENCH_CAL_TOL (default 15%) of the median across
+    # prior BENCH_r*.json artifacts, the residual 15-min average is
+    # history, not contention: stamp clean with basis="calibration".
+    # Only when BOTH indicators stay bad through the deadline does the
+    # artifact self-flag.
+    cal_tol = float(os.environ.get("SPARK_GRAFT_BENCH_CAL_TOL", "0.15"))
     load_start = load15_start = None
     load_contaminated = False
+    gate_basis = "loadavg"
+    cal_gate = None
+    spark = get_spark("ai-coach-orchestrator-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    cal_hist = _calibration_history()
+    cal_median = sorted(cal_hist)[len(cal_hist) // 2] if cal_hist else None
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm for _calibrate
     try:
         deadline = time.monotonic() + load_wait
         while True:
@@ -90,19 +143,29 @@ def main() -> None:
             load_start, load15_start = round(la[0], 2), round(la[2], 2)
             if load_start <= load_max and load15_start <= load15_max:
                 break
+            if cal_median is not None:
+                cal_gate = round(_calibrate(spark), 3)
+                if cal_gate <= cal_median * (1.0 + cal_tol):
+                    gate_basis = "calibration"
+                    break
             if time.monotonic() >= deadline:
+                load_contaminated = True
+                gate_basis = "deadline"
                 break
             print(
                 f"load 1m={load_start} 15m={load15_start} over "
-                f"({load_max}, {load15_max}); waiting for the box to idle",
+                f"({load_max}, {load15_max})"
+                + (
+                    f", calibration {cal_gate} > {cal_median} * {1 + cal_tol:.2f}"
+                    if cal_gate is not None and cal_median is not None
+                    else ""
+                )
+                + "; waiting for the box to idle",
                 file=sys.stderr,
             )
             time.sleep(15)
-        load_contaminated = load_start > load_max or load15_start > load15_max
     except OSError:
         pass
-    spark = get_spark("ai-coach-orchestrator-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
         names = [n for n in REGISTRY if n not in EXCLUDE_AT_SCALE]
@@ -188,11 +251,7 @@ def main() -> None:
     # stamps "clean" (15-min 1.98 vs 1.99), and only a yardstick like
     # this lets a reader normalize readings across runs/rounds
     # (inflation ≈ calibration_sec ratio, it's the same contention).
-    cal_runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
-        cal_runs.append(time.perf_counter() - t0)
+    cal_end = round(_calibrate(spark), 3)
     print(
         json.dumps(
             {
@@ -211,7 +270,10 @@ def main() -> None:
                 "load_15min_start": load15_start,
                 "load_1min_end": load_end,
                 "load_contaminated": load_contaminated,
-                "calibration_sec": round(min(cal_runs), 3),
+                "load_gate_basis": gate_basis,
+                "calibration_gate_sec": cal_gate,
+                "calibration_history_median": cal_median,
+                "calibration_sec": cal_end,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

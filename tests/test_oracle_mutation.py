@@ -7,8 +7,9 @@ the reference's own JavaScript, but nothing had ever demonstrated that
 the oracles themselves DISCRIMINATE: that a real implementation bug in
 the Spark side turns the parity harness red.
 
-This module is that demonstration. For 24 queries spanning every query
-family, it applies ONE deliberate semantic mutation to the Spark side —
+This module is that demonstration. Across 34 mutants spanning every
+query family, it applies deliberate semantic mutations to the Spark
+side —
 via monkeypatch, so the mutated computation actually runs — and asserts
 the same compare the driver performs (column set, row count,
 order-insensitive canonical values) goes red. The oracle SQL strings
@@ -26,7 +27,16 @@ on real seams):
   * wrong parameter      — shingle k=3 → 4 (changes every Jaccard);
   * regex weakening      — slugify ``[^a-z0-9]+`` → ``[^a-z0-9]`` (no
     run-collapse);
-  * dropped list element — Gopher stopword list without "the".
+  * dropped list element — Gopher stopword list without "the";
+  * dropped step        — wiki→markdown without blank-line collapse,
+    HTML bullets without entity decoding (r11);
+  * dropped coalesce    — Slack thread key without the thread_ts
+    fallback (r11 — this one SURVIVED against the original fixture,
+    exposing that its thread parents lived in a different channel and
+    no thread ever actually grouped; the fixture was strengthened to
+    same-channel parents and the mutant now kills);
+  * wrong coefficient   — YCbCr→RGB Cr weight 1.402→1.403 through the
+    real color-JPEG decode path, PageRank damping 0.85→0.9 (r11).
 
 Every mutant must be KILLED (parity red). A surviving mutant means
 either the fixture doesn't exercise that behavior or the compare can't
@@ -306,7 +316,102 @@ MUTANTS = [
     # the pushdown window by the same delta, so the filtered set is
     # shift-invariant (a correct mutant there must change the window
     # and the data independently, which no module constant does).
+    # -- round 11 additions (VERDICT r10 item 7): the unmutated
+    # families — multimodal decode, PageRank damping, renderers
+    # (X2/X5), epic-tree changelog assembly, slack pipeline --
+    Mutant(
+        "multimodal_decode",
+        "wrong-constant",
+        "YCbCr->RGB Cr coefficient 1.402 -> 1.403 (every color-JFIF pixel's red channel drifts)",
+        _const(qsi.M, "_JFIF_COEFFS", (1.403, 0.344136, 0.714136, 1.772)),
+    ),
+    Mutant(
+        "graph_host_pagerank",
+        "wrong-constant",
+        "PageRank damping 0.85 -> 0.9 (every non-uniform rank changes)",
+        _const(qgr, "_D", 0.9),
+    ),
+    Mutant(
+        "j8_changelog_injection",
+        "wrong-constant",
+        "changelog arrow \N{RIGHTWARDS ARROW} inverted to \N{LEFTWARDS ARROW} (compactItem glyph)",
+        lambda mp: mp.setattr(
+            __import__(
+                "ai_coach_data_source_orchestrator_spark.pipeline.epic_tree",
+                fromlist=["CHANGE_ARROW"],
+            ),
+            "CHANGE_ARROW",
+            " \N{LEFTWARDS ARROW} ",
+        ),
+    ),
+    Mutant(
+        "x2_wiki_to_markdown",
+        "dropped-step",
+        "wiki->markdown without the blank-line collapse (the trailing \\n\\s*\\n\\s*\\n rule)",
+        lambda mp: _wiki_no_blankline_collapse(mp),
+    ),
+    Mutant(
+        "x5_html_bullets",
+        "dropped-step",
+        "HTML bullets without entity decoding (&amp;/&lt;/&gt; left encoded)",
+        lambda mp: _html_bullets_no_entity_decode(mp),
+    ),
+    Mutant(
+        "slack_capture_pipeline",
+        "dropped-coalesce",
+        "thread key coalesce(thread_ts, ts) -> ts (every reply becomes its own thread)",
+        lambda mp: mp.setattr(
+            __import__(
+                "ai_coach_data_source_orchestrator_spark.pipeline.slack",
+                fromlist=["thread_key"],
+            ),
+            "thread_key",
+            lambda: __import__("pyspark.sql.functions", fromlist=["col"]).col("ts"),
+        ),
+    ),
 ]
+
+
+def _wiki_no_blankline_collapse(mp):
+    # functions/markup.py:39 collapses 3+ blank-separated newlines to
+    # exactly two; the mutant drops that rule (a classic forgotten
+    # cleanup step). The fixture wiki carries a literal \n\n\n run, so
+    # every row's markdown changes if the oracle discriminates.
+    from pyspark.sql import functions as F
+
+    def mutant(col):
+        c = F.regexp_replace(col, r"\{color:[^}]*\}(.*?)\{color\}", "$1")
+        for level in range(1, 7):
+            c = F.regexp_replace(c, rf"(?m)^h{level}\.\s+(.*)$", "#" * level + " $1")
+        c = F.regexp_replace(c, r"\*([^*]+)\*", "**$1**")
+        c = F.regexp_replace(c, r"(?m)^#\s+(.*)$", "1. $1")
+        c = F.regexp_replace(c, r"(?m)^\*\s+(.*)$", "- $1")
+        c = F.regexp_replace(c, r"\[([^|\]]*)\|([^\]]*)\]", "[$1]($2)")
+        return F.trim(c)
+
+    mp.setattr(qmk.M, "wiki_to_markdown", mutant)
+
+
+def _html_bullets_no_entity_decode(mp):
+    # functions/markup.py:102 pipes each <li> body through
+    # decode_entities; the mutant forgets it. The fixture html embeds
+    # &amp;/&lt;/&gt;, so every bullets row keeps raw entities.
+    from pyspark.sql import functions as F
+
+    M = qmk.M
+
+    def mutant(col):
+        items = F.regexp_extract_all(col, F.lit(r"(?is)<li[^>]*>(.*?)</li>"), F.lit(1))
+
+        def clean(item):
+            c = F.regexp_replace(item, r"(?i)^\s*<p[^>]*>", "")
+            c = F.regexp_replace(c, r"(?i)</p>\s*$", "")
+            c = M.strip_html_tags(M.html_inline_to_markdown(c))  # no decode_entities
+            return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+        return F.filter(F.transform(items, clean), lambda x: F.length(x) > 0)
+
+    mp.setattr(qmk.M, "html_bullet_items", mutant)
 
 
 def test_audit_spans_families_and_size():
@@ -315,7 +420,11 @@ def test_audit_spans_families_and_size():
     # module family.
     assert len(MUTANTS) >= 20
     queries = {m.query for m in MUTANTS}
-    assert len(queries) == len(MUTANTS), "one mutation per query"
+    # A query may carry several mutants (graph_host_pagerank probes both
+    # the iteration count and the damping factor), but each mutant must
+    # be a distinct bug.
+    assert len({(m.query, m.description) for m in MUTANTS}) == len(MUTANTS)
+    assert len(queries) >= 20
     modules = {REGISTRY[m.query].fn.__module__.rsplit(".", 1)[-1] for m in MUTANTS}
     assert {
         "queries_relational",
@@ -341,7 +450,9 @@ def test_audit_spans_families_and_size():
     } <= classes
 
 
-@pytest.mark.parametrize("m", MUTANTS, ids=lambda m: f"{m.query}-{m.bug_class}")
+@pytest.mark.parametrize(
+    "m", MUTANTS, ids=lambda m: f"{m.query}-{m.bug_class}-{m.description[:24]}"
+)
 def test_mutant_is_killed(spark, sf_dir, m, monkeypatch):
     spec = REGISTRY[m.query]
     assert spec.oracle is not None, f"{m.query} has no oracle to discriminate with"
