@@ -427,7 +427,10 @@ def asof_stream_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.unix_micros("ts").cast("double").alias("ts"), "ckpt_value"
         )
     )
-    cut = left.approxQuantile("ts", [0.5], 0.0)[0]
+    # Any ts split point works (the requirement is only that the two
+    # batches are time-ordered), so a cheap approximate median suffices
+    # — relativeError=0 would force an exact full-sort quantile.
+    cut = left.approxQuantile("ts", [0.5], 0.01)[0]
     run_dir = new_run_dir("asof_stream_")
     ls = two_batch_stream(
         spark,

@@ -160,6 +160,16 @@ QUERIES = [
     ("sample_weighted_reservoir", "documents"),
     ("text_gopher_rules", "documents"),
     ("text_ccnet_buckets", "documents"),
+    # round 11 additions: the five newly driver-gated streaming
+    # replays — their per-row ratios include the (fixed) drop-zone
+    # write + checkpoint overhead, so the interesting signal is that
+    # the STATEFUL cores (session-window merge, keyed as-of state,
+    # counter matrix) stay linear as the replayed volume grows 10x.
+    ("sessionize_stream_windows", "events"),
+    ("asof_stream_checkpoints", "events"),
+    ("sketch_stream_cms", "documents"),
+    ("sketch_stream_bloom_gate", "documents"),
+    ("contamination_stream_gate", "documents"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
