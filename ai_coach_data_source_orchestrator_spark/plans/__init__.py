@@ -51,26 +51,27 @@ _CHANGED_ORACLE: tuple[str, ...] = (
 _FRONT = [
     # ------------------------------------------------------------------
     # Round 11 rotation (VERDICT r10 item 1): 55 queries are stale (6
-    # r7-fresh + 49 r8-fresh), plus 5 new streaming graduations, 3
-    # changed-oracle non-stale (knn_recall_audit, multimodal_decode,
+    # r7-fresh + 49 r8-fresh), plus 6 new never-green queries (5
+    # streaming graduations + knn_lsh_multiprobe), 3 changed-oracle
+    # non-stale (knn_recall_audit, multimodal_decode,
     # slack_capture_pipeline) and 1 changed-oracle already-stale
-    # (slack_render_blocks) = 63 candidates for 50 slots — the first
-    # rotation with large forced overflow (13). Priority, per the
+    # (slack_render_blocks) = 64 candidates for 50 slots — the first
+    # rotation with large forced overflow (14). Priority, per the
     # hygiene test's rule: never-green first, changed-oracle next, then
     # ALL r7-stale, then r8-stale. Among the equally-r8-stale, queries
     # whose implementing module changed this round (queries_similarity,
     # queries_events, queries_sketches, queries_text,
     # queries_pipeline — the lsh_topk / SemDeDup / recall-audit /
     # streaming-graduation / slack-thread-fixture diffs) take the
-    # remaining slots. The 13 spilled to lead the r12 window:
+    # remaining slots. The 14 spilled to lead the r12 window:
     # a8_summary_aggregates, audit_coverage, f8_or_of_overrides,
     # k_orc_columnar_roundtrip, sample_dsir_importance,
-    # sample_train_test_split, slack_render_blocks→(kept, changed),
-    # u3_dedup_by_key, x20_section_split, x22_human_size,
-    # x3_adf_flatten, x_jira_ticket_render (zero-diff modules), plus
-    # text_winnow_fingerprints and x7_multiformat_date_extract (the
-    # touched-module alphabetical tail, displaced when the two slack
-    # fixture fixes claimed slots).
+    # sample_train_test_split, u3_dedup_by_key, x20_section_split,
+    # x22_human_size, x3_adf_flatten, x_jira_ticket_render (zero-diff
+    # modules), plus text_winnow_fingerprints, text_token_stats, and
+    # x7_multiformat_date_extract (the touched-module alphabetical
+    # tail, displaced when the slack fixture fixes and the multiprobe
+    # query claimed slots).
     # ------------------------------------------------------------------
     # -- new in round 11, never driver-sampled: the last five streaming
     # families graduate to the driver hash gate (VERDICT r10 item 3) --
@@ -79,6 +80,10 @@ _FRONT = [
     "contamination_stream_gate",
     "sketch_stream_cms",
     "sketch_stream_bloom_gate",
+    # knn_lsh_multiprobe: the widened-signature multiprobe path under
+    # the hash gate (VERDICT r10 item 4 follow-up) — displaces
+    # text_token_stats (r8) to the r12 spill.
+    "knn_lsh_multiprobe",
     # -- changed oracle this round (r10 green rows describe old output;
     # slack_render_blocks was already r8-stale and sits in the r8 block) --
     "knn_recall_audit",
@@ -127,7 +132,6 @@ _FRONT = [
     "text_langid",
     "text_lm_perplexity",
     "text_quality_score",
-    "text_token_stats",
     "slack_render_blocks",
 ]
 

@@ -126,6 +126,59 @@ def knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=TOP_K, bits=8, dim=64)
 
 
+# ---------------------------------------------------------------------------
+# Multiprobe LSH under the driver gate (VERDICT r10 item 4 follow-up):
+# the mechanism that holds recall when lsh_topk's signature auto-widens
+# at scale. Pinned at bits=12 / n_probe=13 (own bucket + all 12
+# single-hyperplane flips) so the oracle restates the exact probe set
+# the wide path runs; at fixture sizes 12 bits leaves E[bucket] ≈ 0.5,
+# so WITHOUT the flips most queries would return nothing — the query
+# is green only if multiprobe genuinely recovers candidates.
+# ---------------------------------------------------------------------------
+_MP_BITS = 12
+_MP_PROBES = 13  # own bucket + one flip per hyperplane
+
+
+@register(
+    "knn_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {{bucket}} AS bucket FROM e),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT query_id, qv,
+             CASE WHEN j = 0 THEN bucket ELSE xor(bucket, CAST(1 AS BIGINT) << (j - 1)) END AS bucket
+      FROM q0, unnest(range({_MP_PROBES})) s(j)
+    ),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             ({{dot}}) / (({{nq}}) * ({{nn}})) AS sim
+      FROM probes q JOIN (SELECT vec_id, v AS nv, bucket FROM b) b
+        ON q.bucket = b.bucket AND query_id <> b.vec_id
+    ),
+    ranked AS (SELECT query_id, neighbor_id, sim,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS cosine_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """.format(
+        bucket=_lsh_bucket_sql("v", 64, _MP_BITS),
+        dot=_dot_sql("qv", "nv", 64),
+        nq=_norm_sql("qv", 64),
+        nn=_norm_sql("nv", 64),
+    ),
+    survey_ids=("O3",),
+    description="Multiprobe sign-LSH ANN: wide 12-bit signature + flip-one-plane probes, exact re-rank",
+)
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return S.lsh_topk(
+        emb, queries, k=TOP_K, bits=_MP_BITS, dim=64, n_probe=_MP_PROBES
+    )
+
+
 @register(
     "multimodal_features",
     oracle="""
