@@ -108,6 +108,34 @@ def shingles(text: Column, k: int = 3) -> Column:
     return shingles_of_tokens(tokens(text), k)
 
 
+def shingles_py(text: str | None, k: int = 3) -> list[str]:
+    """Python twin of :func:`shingles` — identical distinct k-gram set
+    in identical first-occurrence order (``array_distinct`` keeps the
+    first hit), built on :func:`tokens_py` so token boundaries agree
+    bit-for-bit with the JVM expression.
+
+    Exists for streaming operators that must compute grams inside an
+    Arrow batch: the JVM form is an interpreted higher-order function,
+    and Catalyst's InferFiltersFromGenerate + CollapseProject will push
+    a re-inlined copy of the whole expression (split() re-run per
+    shingle position) below any Exchange — a persist blocks that in
+    batch, but streams cannot persist (see
+    streaming/contamination.py). Twinhood is pinned in
+    tests/test_streaming_batch_equivalence.py.
+    """
+    toks = tokens_py(text if text is not None else "")
+    if len(toks) < k:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(toks) - k + 1):
+        g = " ".join(toks[i : i + k])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
 def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     """Number of tokens (with multiplicity) found in ``words``."""
     arr = F.array(*[F.lit(w) for w in words])

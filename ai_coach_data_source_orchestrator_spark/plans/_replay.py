@@ -24,8 +24,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def new_run_dir(prefix: str) -> str:
-    """Self-cleaning scratch directory for drop zones + checkpoints."""
-    run_dir = tempfile.mkdtemp(prefix=prefix)
+    """Self-cleaning scratch directory for drop zones + checkpoints.
+
+    Prefers tmpfs (/dev/shm): the state store fsyncs a delta file per
+    partition per micro-batch, and on-disk checkpoints made those
+    commits the dominant cost of the bounded replays (measured ~13 s of
+    a ~27 s micro-batch at the sf1 smoke volume). The replay fixtures
+    are self-contained and rebuilt per run, so RAM-backed checkpoints
+    lose nothing; a production stream checkpoints to reliable shared
+    storage and pays that fsync as the price of exactly-once."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    run_dir = tempfile.mkdtemp(prefix=prefix, dir=base)
     atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
     return run_dir
 

@@ -455,7 +455,10 @@ def sketch_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.sha2(F.col("text"), 256).alias("key")
     )
     deny = docs.where(F.col("doc_id") % 13 == 0).select("key").distinct()
-    bits = SK.bloom_bits(deny, "key")
+    # Materialized once: the stream-static joins would otherwise rebuild
+    # the filter (a full deny-list scan + distinct) per micro-batch per
+    # hash function. At scale the m-bit filter is built once and shipped.
+    bits = SK.bloom_bits(deny, "key").localCheckpoint(eager=True)
 
     run_dir = new_run_dir("bloom_stream_")
     stream = two_batch_stream(

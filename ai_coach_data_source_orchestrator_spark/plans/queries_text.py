@@ -712,7 +712,12 @@ def contamination_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._replay import drain_to_memory, new_run_dir, two_batch_stream
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    eval_grams = eval_gram_set(docs, k=3, eval_mod=50)
+    # Materialize the eval-gram set ONCE: a stream-static join re-plans
+    # (and would re-shingle + re-distinct the eval split) every
+    # micro-batch — measured 16x the batch twin's sf1 wall-clock before
+    # this checkpoint. At scale the eval set is a curated benchmark
+    # artifact loaded from storage, not recomputed per batch.
+    eval_grams = eval_gram_set(docs, k=3, eval_mod=50).localCheckpoint(eager=True)
 
     run_dir = new_run_dir("contam_stream_")
     stream = two_batch_stream(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles_of_tokens, tokens
+from ..functions.text import shingles_of_tokens, shingles_py, tokens
 
 
 def eval_gram_set(static_docs: DataFrame, k: int = 3, eval_mod: int = 50) -> DataFrame:
@@ -48,10 +48,38 @@ def contamination_gate_stream(
 ) -> DataFrame:
     """Per-arriving-document eval-overlap stats, batch-identical columns:
     (doc_id, n_grams, n_hits, overlap_frac, contaminated)."""
-    sh = docs.where(F.col("doc_id") % eval_mod != 0).select(
-        "doc_id", shingles_of_tokens(tokens(F.col("text")), k).alias("sh")
+    # Grams are derived PYTHON-side in an Arrow batch (shingles_py, the
+    # pinned twin of the JVM expression) rather than with the
+    # explode(shingles_of_tokens(...)) form: in a STREAMING plan,
+    # InferFiltersFromGenerate derives a size(sh) > 0 pre-filter from
+    # the explode, filter pushdown carries it below any Exchange, and
+    # CollapseProject re-inlines the whole interpreted shingle
+    # expression (split() re-run per shingle position) onto the
+    # single-partition file-source scan — measured 27 s per micro-batch
+    # at the sf1 smoke volume vs ~3 s for the same work batch-side,
+    # where a persist blocks the collapse (operators/dedup.
+    # _shingle_sets). mapInPandas is a hard optimizer barrier the
+    # filter cannot be pushed through, and the repartition ahead of it
+    # spreads the per-doc gram loop across cores instead of the one
+    # scan partition a one-file micro-batch provides.
+    import pandas as pd
+
+    def _gram_rows(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for g in shingles_py(text, k):
+                    ids.append(int(doc_id))
+                    grams.append(g)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "g": pd.Series(grams, dtype="object")})
+
+    train = (
+        docs.where(F.col("doc_id") % eval_mod != 0)
+        .repartition(F.col("doc_id"))
+        .mapInPandas(_gram_rows, "doc_id bigint, g string")
     )
-    train = sh.select("doc_id", F.explode("sh").alias("g"))
     joined = train.join(F.broadcast(eval_grams), "g", "left")
     agg = joined.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),

@@ -254,6 +254,41 @@ def test_tokens_py_randomized_sweep(spark):
         assert tokens_py(row["text"]) == row["toks"], repr(row["text"])
 
 
+def test_shingles_py_is_exact_twin_of_spark_shingles(spark):
+    """functions.text.shingles_py must match shingles() gram-for-gram —
+    including DISTINCT semantics (array_distinct keeps first occurrence)
+    and the <k-token empty case. The streaming contamination gate
+    computes grams via shingles_py inside an Arrow batch (the JVM form
+    collapses quadratically in streaming plans — see
+    streaming/contamination.py), so this twinhood carries that query's
+    oracle equality."""
+    import random
+
+    from ai_coach_data_source_orchestrator_spark.functions.text import (
+        shingles,
+        shingles_py,
+    )
+
+    rng = random.Random(0xBEEF)
+    vocab = ["a", "b", "cc", "d9", "\xa0x"]
+    cases = [
+        "",
+        " ",
+        "a b",          # < k tokens
+        "a b c",        # exactly k
+        "a b c a b c a b c",  # repeated grams — distinct keeps first
+        "\ta  b\nc d\t",
+    ] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 15)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string").select(
+        "text", shingles(F.col("text"), 3).alias("sh")
+    )
+    for row in df.collect():
+        assert shingles_py(row["text"], 3) == row["sh"], repr(row["text"])
+
+
 def test_cdc_chunk_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming CDC ⇄ batch equivalence: replaying the documents table
     through a file stream must produce (1) the exact per-(doc, chunk)
