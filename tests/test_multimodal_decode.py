@@ -499,3 +499,84 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_jpeg_restart_intervals_roundtrip_exact():
+    """DRI/RSTn (r11): constant-block grays and MCU-constant color both
+    round-trip exactly across restart boundaries (byte-realign + DC
+    predictor reset), for several interval widths."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    w, h = 24, 16
+    img = np.zeros((h, w), np.uint8)
+    for b in range((w // 8) * (h // 8)):
+        by, bx = divmod(b, w // 8)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (11 + b * 13) % 256
+    for ri in (1, 2, 3, 5):
+        pay = M.encode_jpeg_baseline_gray(w, h, img.tobytes(), restart_interval=ri)
+        assert b"\xff\xdd" in pay and b"\xff\xd0" in pay  # DRI + RST0 present
+        d = decode_media(pay, "image/jpeg")
+        assert np.array_equal(d["values"], img.reshape(-1)), ri
+
+    w, h = 48, 32
+    Y = np.zeros((h, w), np.uint8)
+    Cb = np.zeros((h // 2, w // 2), np.uint8)
+    Cr = np.zeros((h // 2, w // 2), np.uint8)
+    for m in range((w // 16) * (h // 16)):
+        my, mx = divmod(m, w // 16)
+        Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (7 + m * 23) % 256
+        Cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (91 + m * 11) % 256
+        Cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (170 + m * 13) % 256
+    yf = Y.astype(np.float64)
+    cb = Cb.repeat(2, 0).repeat(2, 1).astype(np.float64) - 128.0
+    cr = Cr.repeat(2, 0).repeat(2, 1).astype(np.float64) - 128.0
+    exp = np.clip(
+        np.stack(
+            [
+                np.floor(yf + 1.402 * cr + 0.5),
+                np.floor(yf - 0.344136 * cb - 0.714136 * cr + 0.5),
+                np.floor(yf + 1.772 * cb + 0.5),
+            ],
+            axis=-1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for ri in (1, 2, 3):
+        pay = M.encode_jpeg_baseline_color(
+            w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes(), restart_interval=ri
+        )
+        d = decode_media(pay, "image/jpeg")
+        assert np.array_equal(d["values"], exp.reshape(-1)), ri
+
+
+def test_jpeg_restart_general_image_bounded_error():
+    """Arbitrary grays through restart intervals keep the |err| <= 2
+    bound — the per-segment DC re-anchoring must not drift."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+    pay = M.encode_jpeg_baseline_gray(32, 16, img.tobytes(), restart_interval=2)
+    d = decode_media(pay, "image/jpeg")
+    err = np.abs(d["values"].astype(int) - img.reshape(-1).astype(int))
+    assert err.max() <= 2, err.max()
+
+
+def test_jpeg_out_of_sequence_restart_rejected():
+    """A RST marker whose low-3-bit sequence number breaks the 0-7 cycle
+    means a dropped/duplicated segment — must fail loudly, not smear."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    img = np.full((16, 24), 50, dtype=np.uint8)
+    pay = bytearray(M.encode_jpeg_baseline_gray(24, 16, img.tobytes(), restart_interval=1))
+    i = bytes(pay).find(b"\xff\xd0")
+    pay[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker out of sequence"):
+        decode_media(bytes(pay), "image/jpeg")
