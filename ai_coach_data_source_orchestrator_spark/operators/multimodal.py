@@ -8,8 +8,8 @@ baseline-sequential grayscale JFIF, and (r11) baseline COLOR JFIF
 + scanline unfiltering for PNG, canonical-Huffman entropy decode +
 dequantize + IDCT for JPEG), exercised end-to-end by
 ``synthesize_media_corpus`` → ``decode_features`` against a SQL
-oracle. Still raising NotImplementedError: progressive JPEG, 4:2:2, and
-MP3/MP4 — DSP libraries absent from this
+oracle. Still raising NotImplementedError: progressive JPEG, exotic
+sampling factors (4:4:0/4:1:1), and MP3/MP4 — DSP libraries absent from this
 container; production would dispatch them to PIL/pyav inside the
 same Arrow batcher. ``extract_features``/``resize_media``/
 ``sample_frames`` keep their deterministic fake dimension source so
@@ -304,12 +304,12 @@ def encode_png(
 # numpy. The decoder is a GENERAL baseline decoder (marker walk, DHT
 # canonical code reconstruction, byte-unstuffed bit reader,
 # per-component DC-prediction + AC run-length block decode, dequantize,
-# inverse zigzag, float IDCT) handling grayscale, 4:4:4, and 4:2:0
+# inverse zigzag, float IDCT) handling grayscale, 4:4:4, 4:2:2, and 4:2:0
 # YCbCr scans (nearest-neighbor chroma upsample + BT.601 conversion);
 # the encoders are its real inverse with optimized (per-image
 # canonical) Huffman tables, like `jpegtran -optimize` emits.
-# Progressive scans, 4:2:2, and 12-bit depth still
-# raise — that residue is where PIL/libjpeg earn their keep.
+# Progressive scans, exotic samplings (4:4:0/4:1:1), and 12-bit
+# depth still raise — that residue is where PIL/libjpeg earn their keep.
 # ---------------------------------------------------------------------------
 
 # JFIF (BT.601 full-range) YCbCr->RGB coefficients. A module constant
@@ -581,55 +581,65 @@ def encode_jpeg_baseline_color(
     cb: bytes,
     cr: bytes,
     restart_interval: int = 0,
+    sampling: str = "420",
 ) -> bytes:
     """Real baseline-sequential JFIF encoder, three components with
-    4:2:0 chroma subsampling (VERDICT r10 item 5) — planar YCbCr input
-    (``y`` at full resolution, ``cb``/``cr`` pre-subsampled to
-    (width/2)×(height/2)); convert RGB sources with ``rgb_to_ycbcr`` +
-    2×2 chroma averaging first. Taking planes (rather than RGB) keeps
-    the per-MCU-constant synthesis closed-form for the SQL oracle: the
+    chroma subsampling (VERDICT r10 item 5) — planar YCbCr input.
+    ``sampling="420"`` (default): ``cb``/``cr`` at (width/2)×(height/2),
+    16×16 MCUs of 2×2 Y blocks; ``sampling="422"``: chroma at
+    (width/2)×height, 16×8 MCUs of 2×1 Y blocks (the video-still
+    layout). Convert RGB sources with ``rgb_to_ycbcr`` + chroma
+    averaging first. Taking planes (rather than RGB) keeps the
+    per-MCU-constant synthesis closed-form for the SQL oracle: the
     oracle states Y/Cb/Cr directly and replays only the DECODER's
     YCbCr→RGB arithmetic, instead of a round-trip through two rounded
     color conversions.
 
     All-ones quantization for both table ids, so per-block-constant
     planes round-trip exactly (DC-only blocks — same contract as the
-    grayscale encoder). Dimensions must be multiples of 16 (whole
-    4:2:0 MCUs; no edge replication). Separate optimized luma/chroma
-    Huffman table pairs, interleaved MCU scan (2×2 Y, 1 Cb, 1 Cr),
+    grayscale encoder). Dimensions must cover whole MCUs (16×16 for
+    4:2:0, 16×8 for 4:2:2; no edge replication). Separate optimized
+    luma/chroma Huffman table pairs, interleaved MCU scan,
     per-component DC prediction — the exact layout libjpeg emits for a
-    quality-100 4:2:0 encode.
+    quality-100 encode at that sampling.
     """
     import struct
 
     import numpy as np
 
-    if width % 16 or height % 16:
+    if sampling not in ("420", "422"):
+        raise ValueError(f"unsupported sampling {sampling!r} (420 or 422)")
+    yh, yv = (2, 2) if sampling == "420" else (2, 1)
+    mcu_w, mcu_h = 8 * yh, 8 * yv
+    ch_w, ch_h = width // 2, height // yv if yv == 2 else height
+    # (chroma is half-width always; half-height only for 4:2:0)
+    ch_h = height // 2 if sampling == "420" else height
+    if width % mcu_w or height % mcu_h:
         raise ValueError(
-            f"encode_jpeg_baseline_color: dimensions must be multiples of 16, "
-            f"got {width}x{height}"
+            f"encode_jpeg_baseline_color: dimensions must be multiples of "
+            f"{mcu_w}x{mcu_h} for {sampling}, got {width}x{height}"
         )
     if len(y) != width * height:
         raise ValueError(
             f"encode_jpeg_baseline_color: luma plane is {len(y)} bytes, "
             f"expected {width * height}"
         )
-    if len(cb) != (width // 2) * (height // 2) or len(cr) != len(cb):
+    if len(cb) != ch_w * ch_h or len(cr) != len(cb):
         raise ValueError(
             "encode_jpeg_baseline_color: chroma planes must be "
-            f"{(width // 2) * (height // 2)} bytes (4:2:0 subsampled)"
+            f"{ch_w * ch_h} bytes ({sampling} subsampled)"
         )
     C = _jpeg_dct_basis()
     yp = np.frombuffer(y, dtype=np.uint8).reshape(height, width).astype(np.float64) - 128.0
     cbp = (
         np.frombuffer(cb, dtype=np.uint8)
-        .reshape(height // 2, width // 2)
+        .reshape(ch_h, ch_w)
         .astype(np.float64)
         - 128.0
     )
     crp = (
         np.frombuffer(cr, dtype=np.uint8)
-        .reshape(height // 2, width // 2)
+        .reshape(ch_h, ch_w)
         .astype(np.float64)
         - 128.0
     )
@@ -639,17 +649,17 @@ def encode_jpeg_baseline_color(
     # luma and chroma symbol tables (chroma shares one pair across
     # Cb+Cr, like libjpeg).
     y_blocks, cb_blocks, cr_blocks = [], [], []
-    for myc in range(height // 16):
-        for mxc in range(width // 16):
-            for vy in range(2):
-                for vx in range(2):
+    for myc in range(height // mcu_h):
+        for mxc in range(width // mcu_w):
+            for vy in range(yv):
+                for vx in range(yh):
                     y_blocks.append(
-                        _jpeg_dct_zigzag(yp, myc * 2 + vy, mxc * 2 + vx, C)
+                        _jpeg_dct_zigzag(yp, myc * yv + vy, mxc * yh + vx, C)
                     )
             cb_blocks.append(_jpeg_dct_zigzag(cbp, myc, mxc, C))
             cr_blocks.append(_jpeg_dct_zigzag(crp, myc, mxc, C))
 
-    n_mcus_total = (height // 16) * (width // 16)
+    n_mcus_total = (height // mcu_h) * (width // mcu_w)
 
     def per_component(blocks, per_mcu: int):
         """Entropy blocks with the DC predictor restarting at every
@@ -667,7 +677,7 @@ def encode_jpeg_baseline_color(
             ac.append(0x00)
         return dc, ac, per
 
-    y_dc_syms, y_ac_syms, y_per = per_component(y_blocks, 4)
+    y_dc_syms, y_ac_syms, y_per = per_component(y_blocks, yh * yv)
     cb_dc, cb_ac, cb_per = per_component(cb_blocks, 1)
     cr_dc, cr_ac, cr_per = per_component(cr_blocks, 1)
     c_dc_syms, c_ac_syms = cb_dc + cr_dc, cb_ac + cr_ac
@@ -690,12 +700,13 @@ def encode_jpeg_baseline_color(
                 w.write(vbits, size)
 
     w = _BitWriter()
+    blocks_per_mcu = yh * yv
     for m in range(n_mcus_total):
         if restart_interval and m and m % restart_interval == 0:
             w.align()
             w.raw_marker(0xD0 + ((m // restart_interval - 1) & 7))
-        for j in range(4):
-            write_block(w, y_per[m * 4 + j], ydc_enc, yac_enc)
+        for j in range(blocks_per_mcu):
+            write_block(w, y_per[m * blocks_per_mcu + j], ydc_enc, yac_enc)
         write_block(w, cb_per[m], cdc_enc, cac_enc)
         write_block(w, cr_per[m], cdc_enc, cac_enc)
     scan = w.finish()
@@ -706,7 +717,7 @@ def encode_jpeg_baseline_color(
     qtables = bytes([0]) + bytes(64 * [1]) + bytes([1]) + bytes(64 * [1])
     sof = (
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, qtable 0
+        + bytes([1, (yh << 4) | yv, 0])  # Y sampling, qtable 0
         + bytes([2, 0x11, 1])  # Cb: 1x1, qtable 1
         + bytes([3, 0x11, 1])  # Cr: 1x1, qtable 1
     )
@@ -796,13 +807,17 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                 if sampling != [(1, 1)]:
                     raise NotImplementedError("subsampled single component")
             elif ncomp == 3:
-                # 4:4:4 (no subsampling) and 4:2:0 (the overwhelmingly
-                # common camera/web layout) are supported; 4:2:2 and
-                # exotic factors remain out of scope (VERDICT r10 item
-                # 5 asked for the 4:2:0 chroma path specifically).
-                if sampling not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+                # 4:4:4 (no subsampling), 4:2:0 (the overwhelmingly
+                # common camera/web layout), and 4:2:2 (horizontal-only,
+                # common in video stills) are supported; exotic factors
+                # remain out of scope.
+                if sampling not in (
+                    [(1, 1)] * 3,
+                    [(2, 2), (1, 1), (1, 1)],
+                    [(2, 1), (1, 1), (1, 1)],
+                ):
                     raise NotImplementedError(
-                        "only 4:4:4 or 4:2:0 three-component JPEG"
+                        "only 4:4:4, 4:2:2, or 4:2:0 three-component JPEG"
                     )
             else:
                 raise NotImplementedError(

@@ -431,8 +431,8 @@ def test_jpeg_color_validates_inputs():
 
 
 def test_jpeg_unsupported_color_shapes_still_raise():
-    """4:2:2 sampling and component counts other than 1/3 remain at the
-    documented PIL/libjpeg boundary."""
+    """Exotic sampling factors (vertical-only 4:4:0, 4:1:1) remain at
+    the documented PIL/libjpeg boundary (4:2:2 decodes since r11)."""
     import numpy as np
 
     from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
@@ -440,15 +440,17 @@ def test_jpeg_unsupported_color_shapes_still_raise():
     Y = np.full((16, 16), 9, np.uint8)
     Cb = np.full((8, 8), 100, np.uint8)
     Cr = np.full((8, 8), 200, np.uint8)
-    payload = bytearray(
+    base = bytes(
         M.encode_jpeg_baseline_color(16, 16, Y.tobytes(), Cb.tobytes(), Cr.tobytes())
     )
-    i = bytes(payload).find(b"\xff\xc0")
+    i = base.find(b"\xff\xc0")
     # SOF0 component table starts at i+10; Y sampling byte is i+11.
-    assert payload[i + 11] == 0x22
-    payload[i + 11] = 0x21  # 4:2:2
-    with pytest.raises(NotImplementedError, match="4:4:4 or 4:2:0"):
-        decode_media(bytes(payload), "image/jpeg")
+    assert base[i + 11] == 0x22
+    for samp in (0x12, 0x41):  # 4:4:0 vertical-only, 4:1:1
+        payload = bytearray(base)
+        payload[i + 11] = samp
+        with pytest.raises(NotImplementedError, match="4:4:4, 4:2:2, or 4:2:0"):
+            decode_media(bytes(payload), "image/jpeg")
 
 
 try:
@@ -580,3 +582,59 @@ def test_jpeg_out_of_sequence_restart_rejected():
     pay[i + 1] = 0xD5
     with pytest.raises(ValueError, match="restart marker out of sequence"):
         decode_media(bytes(pay), "image/jpeg")
+
+
+def test_jpeg_422_mcu_constant_roundtrip_exact():
+    """4:2:2 (horizontal-only subsampling, r11): per-16x8-MCU-constant
+    planes round-trip exactly, with and without restart intervals."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    w, h = 48, 16
+    Y = np.zeros((h, w), np.uint8)
+    Cb = np.zeros((h, w // 2), np.uint8)
+    Cr = np.zeros((h, w // 2), np.uint8)
+    n_mx = w // 16
+    for m in range(n_mx * (h // 8)):
+        my, mx = divmod(m, n_mx)
+        Y[my * 8 : my * 8 + 8, mx * 16 : mx * 16 + 16] = (7 + m * 23) % 256
+        Cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (91 + m * 11) % 256
+        Cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (170 + m * 13) % 256
+    yf = Y.astype(np.float64)
+    cb = Cb.repeat(2, 1).astype(np.float64) - 128.0
+    cr = Cr.repeat(2, 1).astype(np.float64) - 128.0
+    exp = np.clip(
+        np.stack(
+            [
+                np.floor(yf + 1.402 * cr + 0.5),
+                np.floor(yf - 0.344136 * cb - 0.714136 * cr + 0.5),
+                np.floor(yf + 1.772 * cb + 0.5),
+            ],
+            axis=-1,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for ri in (0, 1, 2):
+        pay = M.encode_jpeg_baseline_color(
+            w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes(),
+            restart_interval=ri, sampling="422",
+        )
+        d = decode_media(pay, "image/jpeg")
+        assert (d["width"], d["height"]) == (w, h)
+        assert np.array_equal(d["values"], exp.reshape(-1)), ri
+
+
+def test_jpeg_422_validates_chroma_geometry():
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    with pytest.raises(ValueError, match="chroma planes"):
+        # 4:2:2 chroma is half-WIDTH only: a 4:2:0-sized plane must fail
+        M.encode_jpeg_baseline_color(
+            16, 16, bytes(256), bytes(64), bytes(64), sampling="422"
+        )
+    with pytest.raises(ValueError, match="unsupported sampling"):
+        M.encode_jpeg_baseline_color(
+            16, 16, bytes(256), bytes(64), bytes(64), sampling="411"
+        )
