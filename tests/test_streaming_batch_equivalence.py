@@ -739,3 +739,90 @@ def test_sessionize_stream_kill_resume_recovers_state(spark, sf_dir, tmp_path):
         .collect()
     }
     assert stream_rollup == batch
+
+
+def test_asof_stream_kill_resume(spark, sf_dir, tmp_path):
+    """Checkpoint recovery for the keyed-state as-of join (r11, the
+    riskiest state path of the five newly gated streaming families):
+    drain with only the FIRST time-slice present, stop (a kill between
+    arrivals), land the second slice, resume from the same checkpoint
+    into the same parquet sink — the union of both drains' emissions
+    must equal the batch as-of over the full corpus. The second drain's
+    matches depend on the RIGHT BUFFER recovered from the checkpoint
+    (batch-2 lefts need batch-1 rights), so a state-recovery bug cannot
+    hide behind upsert idempotency."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ai_coach_data_source_orchestrator_spark.plans.queries_events import (
+        asof_join_checkpoints,
+    )
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+    from ai_coach_data_source_orchestrator_spark.streaming.asof import asof_join_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").cast("double").alias("ts")
+    )
+    right = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ckpt_value"))
+        .select(
+            "user_id", F.unix_micros("ts").cast("double").alias("ts"), "ckpt_value"
+        )
+    )
+    cut = left.approxQuantile("ts", [0.5], 0.01)[0]
+    ldrop, rdrop = str(tmp_path / "l"), str(tmp_path / "r")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain() -> None:
+        ls = (
+            spark.readStream.schema("event_id bigint, user_id bigint, ts double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ldrop)
+        )
+        rs = (
+            spark.readStream.schema("user_id bigint, ts double, ckpt_value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rdrop)
+        )
+        joined = asof_join_stream(
+            ls, rs, on=["user_id"], ts_col="ts", value_cols=["ckpt_value"],
+            allowed_lateness=0.0,
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    # Slice 1 only → drain → "kill" (query has exited; the checkpoint
+    # carries the max-ts watermark and the pruned right buffer).
+    left.where(F.col("ts") < cut).coalesce(1).write.parquet(ldrop)
+    right.where(F.col("ts") < cut).coalesce(1).write.parquet(rdrop)
+    drain()
+    n_first = spark.read.parquet(out_dir).count()
+    assert 0 < n_first < left.count()
+
+    # Slice 2 lands; resume from the SAME checkpoint.
+    left.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(ldrop)
+    right.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(rdrop)
+    drain()
+
+    got = spark.read.parquet(out_dir).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ts") / 1e6).cast("bigint").alias("ts_epoch"),
+        F.floor(F.col("asof_ts") / 1e6).cast("bigint").alias("asof_ts_epoch"),
+        F.col("asof_ckpt_value").alias("asof_value"),
+    )
+    want = asof_join_checkpoints(spark, sf_dir)
+    g = sorted(map(tuple, got.collect()), key=str)
+    w = sorted(map(tuple, want.collect()), key=str)
+    assert len(g) == len(w) and g == w
