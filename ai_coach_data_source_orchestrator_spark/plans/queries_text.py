@@ -1180,14 +1180,36 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = pairs.select("doc_id", F.explode(F.arrays_zip("a", "b")).alias("p")).select(
         "doc_id", F.col("p.a").alias("w1"), F.col("p.b").alias("w2")
     )
+    # Three consumers (both LM count aggregations + the scoring join)
+    # with no reusable Exchange between them: without a materialization
+    # Spark re-runs the tokenize + zip + explode scan three times —
+    # this was the worst remaining sf10 smoke cost (56 s at 500 k docs).
+    big = big.localCheckpoint(eager=False)
+    # Per-doc bigram multiplicities: shrinks the scoring join's left
+    # side to distinct (doc, bigram) rows and carries the multiplicity
+    # as an integer instead of repeated rows.
+    doc_big = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
     c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    # Score each DISTINCT bigram once (the log2 value is a function of
+    # the bigram alone), then attribute per doc with multiplicity. The
+    # decimal term sum is order-independent and k·term equals the old
+    # per-instance repeated addition exactly (decimal multiplication by
+    # an integer is exact at this scale), so the frozen oracle binds.
     term = F.log2(F.col("c12").cast("double") / F.col("c1")).cast("decimal(28,12)")
+    bigram_term = c12.join(c1, ["w1"]).select("w1", "w2", term.alias("term"))
+    # SHUFFLE_HASH, not broadcast: bigram_term is vocabulary²-bounded —
+    # corpus-scale, not dimension-scale — and AQE's post-shuffle size
+    # estimate offered it for broadcast at the 100× smoke, OOMing the
+    # driver. Both sides hash-partition on (w1, w2); per-key build
+    # sides are tiny so the shuffled hash join skips the sort.
     agg = (
-        big.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+        doc_big.join(bigram_term.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), (-F.sum(term)).alias("s"))
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            (-F.sum(F.col("k").cast("decimal(10,0)") * F.col("term"))).alias("s"),
+        )
     )
     return docs.select("doc_id").join(agg, ["doc_id"], "left").select(
         "doc_id",
