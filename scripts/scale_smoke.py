@@ -165,6 +165,7 @@ QUERIES = [
     # write + checkpoint overhead, so the interesting signal is that
     # the STATEFUL cores (session-window merge, keyed as-of state,
     # counter matrix) stay linear as the replayed volume grows 10x.
+    ("knn_lsh_multiprobe", "embeddings"),
     ("sessionize_stream_windows", "events"),
     ("asof_stream_checkpoints", "events"),
     ("sketch_stream_cms", "documents"),

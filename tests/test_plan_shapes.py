@@ -493,3 +493,25 @@ def test_gopher_rules_is_pure_projection(spark, sf_dir):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "*(" in plan
+
+
+def test_lm_bigram_term_join_never_broadcasts(spark, sf_dir):
+    """text_lm_perplexity's bigram-term scoring join must plan as a
+    SHUFFLE_HASH join: the term table is vocabulary²-bounded —
+    corpus-scale, not dimension-scale — and AQE's post-shuffle estimate
+    offered it for broadcast at the 100× smoke, OOMing an 8g driver.
+    The hint must survive plan changes."""
+    df = REGISTRY["text_lm_perplexity"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "ShuffledHashJoin" in plan, plan[:800]
+
+
+def test_lm_bigram_stream_is_checkpointed_once(spark, sf_dir):
+    """The exploded bigram stream feeds three consumers; the
+    localCheckpoint must make the scan appear ONCE in the executed plan
+    (three FileScans of documents = the 3x recompute regression)."""
+    df = REGISTRY["text_lm_perplexity"].fn(spark, sf_dir)
+    plan = _executed(df)
+    # documents is scanned once for the final left-join spine plus zero
+    # times inside the (checkpointed) bigram subtree.
+    assert plan.count("FileScan parquet") <= 1, plan.count("FileScan parquet")
