@@ -611,8 +611,8 @@ def encode_jpeg_baseline_color(
         raise ValueError(f"unsupported sampling {sampling!r} (420 or 422)")
     yh, yv = (2, 2) if sampling == "420" else (2, 1)
     mcu_w, mcu_h = 8 * yh, 8 * yv
-    ch_w, ch_h = width // 2, height // yv if yv == 2 else height
-    # (chroma is half-width always; half-height only for 4:2:0)
+    # Chroma is half-width always; half-height only for 4:2:0.
+    ch_w = width // 2
     ch_h = height // 2 if sampling == "420" else height
     if width % mcu_w or height % mcu_h:
         raise ValueError(
@@ -745,10 +745,12 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
     reconstruction, byte-unstuffed bit reading, per-component
     DC-prediction + AC run-length block decode over interleaved MCUs,
     dequantize, inverse zigzag, float IDCT, level shift. Grayscale
-    returns the luma plane; three-component 4:4:4 / 4:2:0 scans return
-    interleaved RGB (nearest chroma upsample, BT.601, floor-half-up).
-    Progressive (SOF2), 12-bit, restart-interval, and other-sampling
-    streams raise — the documented PIL/libjpeg boundary."""
+    returns the luma plane; three-component 4:4:4 / 4:2:2 / 4:2:0
+    scans return interleaved RGB (nearest chroma upsample, BT.601,
+    floor-half-up). Restart intervals (DRI + RST0-7, sequence-checked)
+    are supported. Progressive (SOF2), 12-bit, 16-bit quant tables,
+    and exotic sampling factors (4:4:0/4:1:1) raise — the documented
+    PIL/libjpeg boundary."""
     import struct
 
     import numpy as np
@@ -757,6 +759,11 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
         raise ValueError("bad JPEG SOI")
     pos, qtables, hufftables, sof = 2, {}, {}, None
     restart_interval = 0
+    # Initialized up front: the marker walk has truncation `break`s
+    # that bypass the loop's else clause, and a payload cut off after
+    # SOF0 but before SOS must raise the clean error below rather than
+    # a NameError at the scan_tables check (ADVICE r11).
+    scan_tables = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -846,7 +853,7 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 scan_tables[cs] = (tt >> 4, tt & 0xF)
             break
-    else:
+    if scan_tables is None:
         raise ValueError("no SOS marker")
     if sof is None:
         raise ValueError("missing SOF0")

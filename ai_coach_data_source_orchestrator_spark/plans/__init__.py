@@ -44,95 +44,89 @@ from . import queries_retrieval  # noqa: E402,F401
 _CHANGED_ORACLE: tuple[str, ...] = (
     "knn_recall_audit",
     "multimodal_decode",
-    "slack_capture_pipeline",
-    "slack_render_blocks",
 )
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 11 rotation (VERDICT r10 item 1): 55 queries are stale (6
-    # r7-fresh + 49 r8-fresh), plus 6 new never-green queries (5
-    # streaming graduations + knn_lsh_multiprobe), 3 changed-oracle
-    # non-stale (knn_recall_audit, multimodal_decode,
-    # slack_capture_pipeline) and 1 changed-oracle already-stale
-    # (slack_render_blocks) = 64 candidates for 50 slots — the first
-    # rotation with large forced overflow (14). Priority, per the
-    # hygiene test's rule: never-green first, changed-oracle next, then
-    # ALL r7-stale, then r8-stale. Among the equally-r8-stale, queries
-    # whose implementing module changed this round (queries_similarity,
-    # queries_events, queries_sketches, queries_text,
-    # queries_pipeline — the lsh_topk / SemDeDup / recall-audit /
-    # streaming-graduation / slack-thread-fixture diffs) take the
-    # remaining slots. The 14 spilled to lead the r12 window:
-    # a8_summary_aggregates, audit_coverage, f8_or_of_overrides,
-    # k_orc_columnar_roundtrip, sample_dsir_importance,
-    # sample_train_test_split, u3_dedup_by_key, x20_section_split,
-    # x22_human_size, x3_adf_flatten, x_jira_ticket_render (zero-diff
-    # modules), plus text_winnow_fingerprints, text_token_stats, and
-    # x7_multiformat_date_extract (the touched-module alphabetical
-    # tail, displaced when the slack fixture fixes and the multiprobe
-    # query claimed slots).
+    # Round 12 rotation (VERDICT r11 item 2): 62 queries are stale (14
+    # r8-fresh + 48 r9-fresh), zero never-green, and two changed-oracle
+    # non-stale entries — knn_recall_audit gains the multiprobe recall
+    # leg (VERDICT r11 item 4) and multimodal_decode gains the
+    # progressive-JPEG corpus member (VERDICT r11 item 3, doc_id % 5 →
+    # % 6) — so 64 candidates for 50 slots, a 14-query forced overflow.
+    # Priority per the hygiene test's rule: changed-oracle first (their
+    # old green rows describe outputs that no longer exist), then ALL
+    # 14 r8-stale (the r11 rotation comment's documented spill — the
+    # standing promise), then r9-stale with this round's touched
+    # modules (queries_text: the LM decimal-precision fix;
+    # queries_similarity: the recall-audit leg plus the two
+    # multimodal-operator-backed queries, since operators/multimodal.py
+    # carries the progressive decoder) ahead of the alphabetical rest.
+    # The 14 spilled to lead the r13 window: store_stream_ingest,
+    # text_bm25_topk, text_topk_per_source, u6_union_tagged_sources,
+    # x10_x11_timestamp_formats, x14_slugify, x16_mask_secrets,
+    # x17_redact_code, x18_prompt_denylist, x2_wiki_to_markdown,
+    # x4_slack_markup, x5_html_bullets, x6_linkify_issue_keys,
+    # x_assignee_split_groups (untouched queries_markup /
+    # queries_retrieval / queries_sinks modules — the alphabetical
+    # tail of the equally-r9-stale block).
     # ------------------------------------------------------------------
-    # -- new in round 11, never driver-sampled: the last five streaming
-    # families graduate to the driver hash gate (VERDICT r10 item 3) --
-    "sessionize_stream_windows",
-    "asof_stream_checkpoints",
-    "contamination_stream_gate",
-    "sketch_stream_cms",
-    "sketch_stream_bloom_gate",
-    # knn_lsh_multiprobe: the widened-signature multiprobe path under
-    # the hash gate (VERDICT r10 item 4 follow-up) — displaces
-    # text_token_stats (r8) to the r12 spill.
-    "knn_lsh_multiprobe",
-    # -- changed oracle this round (r10 green rows describe old output;
-    # slack_render_blocks was already r8-stale and sits in the r8 block) --
+    # -- changed oracle this round (r11 green rows describe old output) --
     "knn_recall_audit",
     "multimodal_decode",
-    "slack_capture_pipeline",
-    # -- latest green row r7 (three driver windows ago; the six-query
-    # debt documented in the r10 rotation comment) --
-    "k5_json_snapshot_roundtrip",
-    "o4_lexicographic_concat",
-    "s12_drive_catalog_scan",
-    "u2_distinct_keys_from_text",
-    "x21_changelog_compact",
-    "x23_json_field_extract",
-    # -- latest green row r8, implementing module touched this round --
-    "a10_daily_window",
-    "a_percentile_profile",
-    "cohort_retention",
-    "corpus_health_report",
-    "corpus_zipf_topk",
-    "dedup_connected_components",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact",
-    "dedup_family_histogram",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_span_ngram",
-    "embedding_normalize_truncate",
-    "embedding_quantize_int8",
-    "funnel_view_click_purchase",
-    "j_salted_skew_join",
-    "knn_brute_force_cosine",
-    "knn_ivf",
-    "knn_lsh_buckets",
-    "multimodal_features",
-    "range_join_windows",
-    "sessionize_events",
-    "sketch_bloom_membership",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct",
-    "sketch_quantile_sample",
-    "text_chunk_windows",
-    "text_external_lint",
-    "text_filter_funnel",
-    "text_langid",
-    "text_lm_perplexity",
-    "text_quality_score",
-    "slack_render_blocks",
+    # -- latest green row r8 (three driver windows ago; the full
+    # documented r11 spill, honored first per the standing rule) --
+    "a8_summary_aggregates",
+    "audit_coverage",
+    "f8_or_of_overrides",
+    "k_orc_columnar_roundtrip",
+    "sample_dsir_importance",
+    "sample_train_test_split",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    "u3_dedup_by_key",
+    "x20_section_split",
+    "x22_human_size",
+    "x3_adf_flatten",
+    "x7_multiformat_date_extract",
+    "x_jira_ticket_render",
+    # -- latest green row r9, implementing module touched this round --
+    "contamination_semantic",
+    "dedup_cdc_chunks",
+    "dedup_cross_source_matrix",
+    "dedup_embedding_cosine",
+    "dedup_incremental_ingest",
+    "doc_language_confusion",
+    "embedding_label_centroids",
+    "embedding_pq_encode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "text_ccnet_buckets",
+    "text_gopher_rules",
+    "text_ngram_novelty",
+    # -- latest green row r9, untouched modules (alphabetical until the
+    # window is full) --
+    "a13_week_frame",
+    "a14_array_set_diff",
+    "a1_status_groups_canonical_order",
+    "a3_group_stats_pct",
+    "a45_status_priority_cube",
+    "asof_join_checkpoints",
+    "chat_pack_conversations",
+    "events_anomaly_zscore",
+    "f1_date_range_filter",
+    "f3_semi_join_children_in_range",
+    "j1_star_join_revenue",
+    "j2_alias_first_match_join",
+    "j5_hierarchy_resolution",
+    "k_bucketed_join_roundtrip",
+    "o3_latest_order_per_customer",
+    "rollup_hypertable_cascade",
+    "s18_python_literal_extract",
+    "sample_topn_per_source",
+    "sample_weighted_reservoir",
+    "sketch_cms_rollup",
+    "sketch_hll_rollup",
 ]
 
 

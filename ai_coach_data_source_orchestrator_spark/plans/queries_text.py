@@ -1208,7 +1208,10 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),
-            (-F.sum(F.col("k").cast("decimal(10,0)") * F.col("term"))).alias("s"),
+            # decimal(9,0) × decimal(28,12) → precision 38, scale 12: the
+            # product stays exact (a 10,0 cast pushed precision to 39 and
+            # Spark clamped to (38,11), rounding each k·term at 1e-11).
+            (-F.sum(F.col("k").cast("decimal(9,0)") * F.col("term"))).alias("s"),
         )
     )
     return docs.select("doc_id").join(agg, ["doc_id"], "left").select(

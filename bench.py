@@ -127,45 +127,60 @@ def main() -> None:
     # Only when BOTH indicators stay bad through the deadline does the
     # artifact self-flag.
     cal_tol = float(os.environ.get("SPARK_GRAFT_BENCH_CAL_TOL", "0.15"))
-    load_start = load15_start = None
-    load_contaminated = False
-    gate_basis = "loadavg"
-    cal_gate = None
     spark = get_spark("ai-coach-orchestrator-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     cal_hist = _calibration_history()
     cal_median = sorted(cal_hist)[len(cal_hist) // 2] if cal_hist else None
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm for _calibrate
-    try:
-        deadline = time.monotonic() + load_wait
-        while True:
-            la = os.getloadavg()
-            load_start, load15_start = round(la[0], 2), round(la[2], 2)
-            if load_start <= load_max and load15_start <= load15_max:
-                break
-            if cal_median is not None:
-                cal_gate = round(_calibrate(spark), 3)
-                if cal_gate <= cal_median * (1.0 + cal_tol):
-                    gate_basis = "calibration"
-                    break
-            if time.monotonic() >= deadline:
-                load_contaminated = True
-                gate_basis = "deadline"
-                break
-            print(
-                f"load 1m={load_start} 15m={load15_start} over "
-                f"({load_max}, {load15_max})"
-                + (
-                    f", calibration {cal_gate} > {cal_median} * {1 + cal_tol:.2f}"
-                    if cal_gate is not None and cal_median is not None
-                    else ""
+
+    def wait_for_idle(budget_sec: float):
+        """Block until the box looks usable; returns
+        (load_1min, load_15min, contaminated, gate_basis, cal_gate).
+        The calibration probe runs at most once per CAL_PROBE_INTERVAL
+        (ADVICE r11: probing every 15 s poll sustains the 1-min load
+        average itself, making the loadavg branch self-defeating on a
+        borderline box), and after a probe the next loadavg read waits
+        one clean poll so the probe's own CPU burst drains first."""
+        CAL_PROBE_INTERVAL = 120.0
+        load_1, load_15, cal_gate = None, None, None
+        last_probe = float("-inf")
+        probe_cooldown = False
+        try:
+            deadline = time.monotonic() + budget_sec
+            while True:
+                if not probe_cooldown:
+                    la = os.getloadavg()
+                    load_1, load_15 = round(la[0], 2), round(la[2], 2)
+                    if load_1 <= load_max and load_15 <= load15_max:
+                        return load_1, load_15, False, "loadavg", cal_gate
+                probe_cooldown = False
+                now = time.monotonic()
+                if cal_median is not None and now - last_probe >= CAL_PROBE_INTERVAL:
+                    last_probe = now
+                    probe_cooldown = True
+                    cal_gate = round(_calibrate(spark), 3)
+                    if cal_gate <= cal_median * (1.0 + cal_tol):
+                        return load_1, load_15, False, "calibration", cal_gate
+                if time.monotonic() >= deadline:
+                    return load_1, load_15, True, "deadline", cal_gate
+                print(
+                    f"load 1m={load_1} 15m={load_15} over "
+                    f"({load_max}, {load15_max})"
+                    + (
+                        f", calibration {cal_gate} > {cal_median} * {1 + cal_tol:.2f}"
+                        if cal_gate is not None and cal_median is not None
+                        else ""
+                    )
+                    + "; waiting for the box to idle",
+                    file=sys.stderr,
                 )
-                + "; waiting for the box to idle",
-                file=sys.stderr,
-            )
-            time.sleep(15)
-    except OSError:
-        pass
+                time.sleep(15)
+        except OSError:
+            return load_1, load_15, False, "loadavg-unavailable", cal_gate
+
+    load_start, load15_start, load_contaminated, gate_basis, cal_gate = wait_for_idle(
+        load_wait
+    )
 
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
         names = [n for n in REGISTRY if n not in EXCLUDE_AT_SCALE]
@@ -211,47 +226,78 @@ def main() -> None:
             F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
         ).collect()
 
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    forced: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    total = 0.0
-    for name in names:
-        spec = REGISTRY[name]
-        runs = []
-        fruns = []
-        try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                spec.fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
-            for _ in range(2):
-                t0 = time.perf_counter()
-                force(spec.fn(spark, sf_dir))
-                fruns.append(time.perf_counter() - t0)
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:500]
-            continue
-        cold[name] = round(runs[0], 3)
-        warm[name] = round(runs[1], 3)
-        forced[name] = round(min(fruns), 3)
-        dt = round(min(runs), 3)
-        timings[name] = dt
-        total += dt
+    def run_suite():
+        timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        warm: dict[str, float] = {}
+        forced: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        total = 0.0
+        for name in names:
+            spec = REGISTRY[name]
+            runs = []
+            fruns = []
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    spec.fn(spark, sf_dir).count()
+                    runs.append(time.perf_counter() - t0)
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    force(spec.fn(spark, sf_dir))
+                    fruns.append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                continue
+            cold[name] = round(runs[0], 3)
+            warm[name] = round(runs[1], 3)
+            forced[name] = round(min(fruns), 3)
+            dt = round(min(runs), 3)
+            timings[name] = dt
+            total += dt
+        return timings, cold, warm, forced, errors, total
+
+    # End-of-run gate (VERDICT r11 item 1): the start-time gate has a
+    # blind spot — BENCH_r11 passed it, then the box loaded up DURING
+    # the run (end calibration 0.116 vs median 0.093, 1-min load 9.89)
+    # and the artifact still stamped clean over a 13.06 s warm, 1-2 s
+    # of pure contention. Now the SAME tolerance is re-applied to the
+    # post-run calibration; if it drifted, the queries are re-run once
+    # after the box drains, and if the second pass is dirty too the
+    # artifact stamps load_contaminated=true with basis
+    # "end-calibration" — the stamp must agree with its own telemetry.
+    attempts = 0
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1")) + 1
+    while True:
+        attempts += 1
+        timings, cold, warm, forced, errors, total = run_suite()
+        # Box-condition calibration: a fixed pure-JVM CPU workload timed
+        # best-of-3 right after the queries. Load averages say the box
+        # WAS busy; this says how much the busy-ness actually cost — the
+        # r10 early/late pair read 11.4 s vs 15.5 s on identical code
+        # with both stamps "clean" (15-min 1.98 vs 1.99), and only a
+        # yardstick like this lets a reader normalize readings across
+        # runs/rounds (inflation ≈ calibration_sec ratio).
+        cal_end = round(_calibrate(spark), 3)
+        end_clean = cal_median is None or cal_end <= cal_median * (1.0 + cal_tol)
+        if end_clean or load_contaminated:
+            break
+        if attempts >= max_attempts:
+            load_contaminated = True
+            gate_basis = "end-calibration"
+            break
+        print(
+            f"end-of-run calibration {cal_end} > {cal_median} * "
+            f"{1 + cal_tol:.2f}: box loaded up during the run; draining "
+            "and re-running the suite once",
+            file=sys.stderr,
+        )
+        wait_for_idle(load_wait)
 
     try:
         load_end = round(os.getloadavg()[0], 2)
     except OSError:
         load_end = None
-    # Box-condition calibration: a fixed pure-JVM CPU workload timed
-    # best-of-3 right after the queries. Load averages say the box WAS
-    # busy; this says how much the busy-ness actually cost — the r10
-    # early/late pair read 11.4 s vs 15.5 s on identical code with both
-    # stamps "clean" (15-min 1.98 vs 1.99), and only a yardstick like
-    # this lets a reader normalize readings across runs/rounds
-    # (inflation ≈ calibration_sec ratio, it's the same contention).
-    cal_end = round(_calibrate(spark), 3)
     print(
         json.dumps(
             {
@@ -266,6 +312,25 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "errors": errors,
                 "methodology": "value=min(cold,warm) count-forced per query (band-comparable r1+); value_forced=min-of-2 with all output columns evaluated (unprunable)",
+                # Calibration-normalized series (VERDICT r11 item 8):
+                # raw × (median / end-calibration) — an estimate of what
+                # the same run would read on a median-condition box, so
+                # cross-round comparison stops depending on box luck.
+                # The raw values remain the artifact of record.
+                "queries_warm_normalized": (
+                    {
+                        k: round(v * cal_median / cal_end, 3)
+                        for k, v in warm.items()
+                    }
+                    if cal_median and cal_end
+                    else None
+                ),
+                "value_normalized": (
+                    round(total * cal_median / cal_end, 3)
+                    if cal_median and cal_end
+                    else None
+                ),
+                "bench_attempts": attempts,
                 "load_1min_start": load_start,
                 "load_15min_start": load15_start,
                 "load_1min_end": load_end,
