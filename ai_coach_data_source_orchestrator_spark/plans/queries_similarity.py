@@ -259,7 +259,7 @@ _RMS_MICRO = (
     oracle=f"""
     WITH img AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      FROM documents WHERE doc_id % 5 = 0
+      FROM documents WHERE doc_id % 6 = 0
     ),
     ivals AS (
       SELECT doc_id, w, h, w * h * 3 AS n_values,
@@ -270,7 +270,7 @@ _RMS_MICRO = (
     ),
     gry AS (
       SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
-      FROM documents WHERE doc_id % 5 = 1
+      FROM documents WHERE doc_id % 6 = 1
     ),
     gvals AS (
       SELECT doc_id, w, h, w * h AS n_values,
@@ -280,7 +280,7 @@ _RMS_MICRO = (
       GROUP BY doc_id, w, h
     ),
     aud AS (
-      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 5 = 2
+      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 6 = 2
     ),
     avals AS (
       SELECT doc_id, n_values,
@@ -292,7 +292,7 @@ _RMS_MICRO = (
     ),
     jm AS (
       SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
-      FROM documents WHERE doc_id % 5 = 3
+      FROM documents WHERE doc_id % 6 = 3
     ),
     jvals AS (
       -- per-8x8-block constant v_b=(id*41+b*13)%256: each block
@@ -307,7 +307,7 @@ _RMS_MICRO = (
     ),
     jc AS (
       SELECT doc_id, 16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h
-      FROM documents WHERE doc_id % 5 = 4
+      FROM documents WHERE doc_id % 6 = 4
     ),
     jcv AS (
       -- color 4:2:0 JFIF, per-16x16-MCU constant YCbCr planes: the
@@ -333,7 +333,22 @@ _RMS_MICRO = (
       SELECT doc_id, w, h, w * h * 3 AS n_values,
              CAST(256 * SUM(r + g + b) AS BIGINT) AS val_sum,
              CAST(256 * SUM(r * r + g * g + b * b) AS BIGINT) AS val_sumsq
-      FROM jcrgb GROUP BY doc_id, w, h
+      FROM jcrgb GROUP BY doc_id, w, h),
+    jp AS (
+      SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
+      FROM documents WHERE doc_id % 6 = 5
+    ),
+    jpvals AS (
+      -- PROGRESSIVE (SOF2) grayscale, per-8x8-block constant
+      -- v_b=(id*43+b*17)%256: the multi-scan successive-approximation
+      -- decode reconstructs the same DC-only coefficients as baseline,
+      -- so each block still contributes exactly 64*v / 64*v^2 (see
+      -- operators/multimodal.encode_jpeg_progressive_gray)
+      SELECT doc_id, w, h, w * h AS n_values,
+             64 * SUM((doc_id * 43 + b * 17) % 256) AS val_sum,
+             64 * SUM(((doc_id * 43 + b * 17) % 256) * ((doc_id * 43 + b * 17) % 256)) AS val_sumsq
+      FROM jp, unnest(range((w // 8) * (h // 8))) s(b)
+      GROUP BY doc_id, w, h
     )
     SELECT doc_id, 'image' AS kind, CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
@@ -360,21 +375,28 @@ _RMS_MICRO = (
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM jcvals
+    UNION ALL
+    SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
+           CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           {_MEAN_MICRO}, {_RMS_MICRO}
+    FROM jpvals
     """,
     survey_ids=("S13", "K7"),
-    description="REAL media decode: synthesized PPM/PGM/WAV/gray+color-JFIF bytes parsed back to verified features",
+    description="REAL media decode: synthesized PPM/PGM/WAV/gray+color+progressive-JFIF bytes parsed back to verified features",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize genuine PPM (P6) / PGM (P5) / WAV (PCM16) / baseline
-    JFIF container bytes from closed-form doc_id formulas, then REALLY
-    decode them (header parse + numpy payload extraction; for JPEG the
-    full canonical-Huffman entropy decode → dequantize → IDCT chain)
-    and derive mean-luma / RMS-amplitude features. The oracle recomputes
-    the same features straight from the formulas, so any decode defect
-    (header offset, endianness, channel count, Huffman/DCT bug) breaks
-    the hash match. The JPEG split's per-block-constant pixels keep the
-    lossy codec's round-trip exact (DC-only blocks) — the decoder still
-    runs its general path.
+    + PROGRESSIVE (SOF2) JFIF container bytes from closed-form doc_id
+    formulas, then REALLY decode them (header parse + numpy payload
+    extraction; for JPEG the full canonical-Huffman entropy decode →
+    dequantize → IDCT chain, multi-scan successive-approximation
+    accumulation for the progressive member) and derive mean-luma /
+    RMS-amplitude features. The oracle recomputes the same features
+    straight from the formulas, so any decode defect (header offset,
+    endianness, channel count, Huffman/DCT bug, progressive scan-state
+    bug) breaks the hash match. The JPEG splits' per-block-constant
+    pixels keep the lossy codec's round-trip exact (DC-only blocks) —
+    the decoder still runs its general path.
 
     Scale: synthesis and decode are Arrow-batched mapInPandas over the
     partitioned documents table; payloads never leave executors; the
@@ -578,6 +600,19 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_ivf",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    mb AS (SELECT vec_id, v, {_lsh_bucket_sql("v", 64, _MP_BITS)} AS bucket FROM e),
+    mq0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM mb WHERE vec_id < {N_QUERIES}),
+    mprobes AS (
+      SELECT query_id, qv,
+             CASE WHEN j = 0 THEN bucket ELSE xor(bucket, CAST(1 AS BIGINT) << (j - 1)) END AS bucket
+      FROM mq0, unnest(range({_MP_PROBES})) s(j)
+    ),
+    mp_scored AS (
+      SELECT query_id, mb.vec_id AS neighbor_id,
+             ({_dot_sql("qv", "nv", 64)}) / (({_norm_sql("qv", 64)}) * ({_norm_sql("nv", 64)})) AS sim
+      FROM mprobes mq JOIN (SELECT vec_id, v AS nv, bucket FROM mb) mb
+        ON mq.bucket = mb.bucket AND query_id <> mb.vec_id
+    ),
     cent AS (
       SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
       FROM e ORDER BY vec_id LIMIT 16
@@ -788,13 +823,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # composing the two existing CTE blocks.
 # ---------------------------------------------------------------------------
 def _recall_audit_oracle() -> str:
-    # All three ANN legs reuse their own registry queries' oracle
-    # structure: the LSH leg is knn_lsh_buckets' bucket join, the IVF
-    # leg is knn_ivf's lowest-id-16-centroid assignment (n_probe=4),
-    # and the PQ leg is knn_pq_adc's int64-exact ADC ranking (VERDICT
-    # r10 item 4) — pinned parameters, so the frozen SQL binds at every
-    # fixture SF. The 16-entry `cent` CTE serves IVF and PQ both (same
-    # lowest-id codebook).
+    # All four ANN legs reuse their own registry queries' oracle
+    # structure: the LSH leg is knn_lsh_buckets' bucket join, the
+    # multiprobe leg is knn_lsh_multiprobe's 12-bit/13-probe flip set
+    # (VERDICT r11 item 4), the IVF leg is knn_ivf's
+    # lowest-id-16-centroid assignment (n_probe=4), and the PQ leg is
+    # knn_pq_adc's int64-exact ADC ranking (VERDICT r10 item 4) —
+    # pinned parameters, so the frozen SQL binds at every fixture SF.
+    # The 16-entry `cent` CTE serves IVF and PQ both (same lowest-id
+    # codebook).
     pq_code_subspaces = " UNION ALL ".join(
         f"SELECT vec_id, {s} AS s, cid, {_pq_dist_sql(s, 'v', 'cv')} AS dist"
         f" FROM e CROSS JOIN cent"
@@ -829,6 +866,19 @@ def _recall_audit_oracle() -> str:
              ({_dot_sql("qv", "nv", 64)}) / (({_norm_sql("qv", 64)}) * ({_norm_sql("nv", 64)})) AS sim
       FROM lq JOIN (SELECT vec_id, v AS nv, bucket FROM b) b
         ON lq.bucket = b.bucket AND query_id <> b.vec_id
+    ),
+    mb AS (SELECT vec_id, v, {_lsh_bucket_sql("v", 64, _MP_BITS)} AS bucket FROM e),
+    mq0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM mb WHERE vec_id < {N_QUERIES}),
+    mprobes AS (
+      SELECT query_id, qv,
+             CASE WHEN j = 0 THEN bucket ELSE xor(bucket, CAST(1 AS BIGINT) << (j - 1)) END AS bucket
+      FROM mq0, unnest(range({_MP_PROBES})) s(j)
+    ),
+    mp_scored AS (
+      SELECT query_id, mb.vec_id AS neighbor_id,
+             ({_dot_sql("qv", "nv", 64)}) / (({_norm_sql("qv", 64)}) * ({_norm_sql("nv", 64)})) AS sim
+      FROM mprobes mq JOIN (SELECT vec_id, v AS nv, bucket FROM mb) mb
+        ON mq.bucket = mb.bucket AND query_id <> mb.vec_id
     ),
     cent AS (
       SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
@@ -878,6 +928,12 @@ def _recall_audit_oracle() -> str:
       ) WHERE rank <= {TOP_K}
       UNION ALL
       SELECT method, query_id, neighbor_id FROM (
+        SELECT 'lshmp' AS method, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM mp_scored
+      ) WHERE rank <= {TOP_K}
+      UNION ALL
+      SELECT method, query_id, neighbor_id FROM (
         SELECT 'ivf' AS method, query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         FROM ivf_scored
@@ -889,7 +945,7 @@ def _recall_audit_oracle() -> str:
         FROM pq_est
       ) WHERE rank <= {TOP_K}
     ),
-    methods AS (SELECT unnest(['lsh', 'ivf', 'pq']) AS method),
+    methods AS (SELECT unnest(['lsh', 'lshmp', 'ivf', 'pq']) AS method),
     n_ann AS (SELECT method, query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1, 2),
     n_bf AS (SELECT method, query_id, COUNT(*) AS n_exact
              FROM bf CROSS JOIN methods GROUP BY 1, 2),
@@ -910,7 +966,7 @@ def _recall_audit_oracle() -> str:
     "knn_recall_audit",
     oracle=_recall_audit_oracle(),
     survey_ids=("O3", "U7"),
-    description="ANN health check: per-query recall@k of the LSH and IVF paths vs exact top-k",
+    description="ANN health check: per-query recall@k of LSH, multiprobe-LSH, IVF and PQ vs exact top-k",
 )
 def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of BOTH approximate ANN paths (sign-LSH buckets and
@@ -920,6 +976,12 @@ def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists) before it poisons retrieval training data. The IVF
     leg was added per VERDICT r9 item 3: auto-sized centroids make IVF
     recall a function of centroid QUALITY, which only an audit sees.
+    The multiprobe leg (VERDICT r11 item 4) pins the widened
+    12-bit/13-probe shape knn_lsh_multiprobe runs; on the synthetic
+    near-uniform fixture embeddings its ABSOLUTE recall is small (no
+    cluster structure for LSH to exploit — the 8-bit leg reads ~2% on
+    the same data), so read the legs relatively and across rounds: the
+    audit exists to catch a leg that MOVES.
 
     Scale: the exact side is the expensive leg, but the audit runs over
     a SAMPLED query set (here: vec_id < {N_QUERIES}) — the standard
@@ -935,6 +997,13 @@ def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     legs = {
         "lsh": S.lsh_topk(emb, queries, k=TOP_K, bits=8, dim=64),
+        # Multiprobe leg (VERDICT r11 item 4): the widened-signature
+        # path exists precisely to HOLD recall as bits grow — audit it
+        # with a number, pinned at the same 12-bit / 13-probe shape as
+        # knn_lsh_multiprobe.
+        "lshmp": S.lsh_topk(
+            emb, queries, k=TOP_K, bits=_MP_BITS, dim=64, n_probe=_MP_PROBES
+        ),
         # Pinned (not auto) so the oracle's frozen 16-centroid
         # restatement binds — mirrors knn_ivf's registry call.
         "ivf": S.ivf_topk(

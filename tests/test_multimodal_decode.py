@@ -145,11 +145,17 @@ def test_jpeg_unsupported_shapes_raise():
     payload = bytearray(M.encode_jpeg_baseline_gray(8, 8, img.tobytes()))
     with pytest.raises(ValueError):
         decode_media(b"\x00\x00" + bytes(payload[2:]), "image/jpeg")  # bad SOI
-    # SOF0 -> SOF2 (progressive) must raise NotImplementedError
     i = bytes(payload).find(b"\xff\xc0")
-    progressive = bytes(payload[:i]) + b"\xff\xc2" + bytes(payload[i + 2 :])
-    with pytest.raises(NotImplementedError):
-        decode_media(progressive, "image/jpeg")
+    # SOF0 -> SOF1 (extended sequential) stays out of scope
+    extended = bytes(payload[:i]) + b"\xff\xc1" + bytes(payload[i + 2 :])
+    with pytest.raises(NotImplementedError, match="SOF0.*SOF2"):
+        decode_media(extended, "image/jpeg")
+    # SOF2 is SUPPORTED now — but a baseline-shaped scan header
+    # (Ss=0, Se=63) inside a progressive frame is malformed and must
+    # fail loudly, not decode garbage.
+    mislabeled = bytes(payload[:i]) + b"\xff\xc2" + bytes(payload[i + 2 :])
+    with pytest.raises(ValueError, match="DC-only"):
+        decode_media(mislabeled, "image/jpeg")
 
 
 def test_jpeg_fill_bytes_before_marker_are_skipped():
@@ -638,3 +644,146 @@ def test_jpeg_422_validates_chroma_geometry():
         M.encode_jpeg_baseline_color(
             16, 16, bytes(256), bytes(64), bytes(64), sampling="411"
         )
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) JPEG — VERDICT r11 item 3. The load-bearing
+# property: baseline and progressive encoders share one coefficient
+# pipeline, so decoding either stream must reconstruct IDENTICAL pixels
+# — which exercises every progressive scan path (DC first/refine, AC
+# spectral bands, successive approximation, EOB runs, correction bits)
+# against the already-oracle-pinned baseline decode.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_block_constant_roundtrip_exact():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    for w, h, ri in ((8, 8, 0), (24, 16, 0), (32, 24, 3), (40, 8, 5)):
+        img = np.zeros((h, w), dtype=np.uint8)
+        for b in range((w // 8) * (h // 8)):
+            by, bx = divmod(b, w // 8)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (43 + b * 17) % 256
+        pay = M.encode_jpeg_progressive_gray(w, h, img.tobytes(), restart_interval=ri)
+        d = decode_media(pay, "image/jpeg")
+        assert d["width"] == w and d["height"] == h
+        assert (d["values"].reshape(h, w) == img).all()
+
+
+def test_jpeg_progressive_equals_baseline_gray():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        w, h = 8 * rng.integers(1, 6), 8 * rng.integers(1, 6)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        db = decode_media(M.encode_jpeg_baseline_gray(w, h, img.tobytes()), "image/jpeg")
+        dp = decode_media(
+            M.encode_jpeg_progressive_gray(w, h, img.tobytes()), "image/jpeg"
+        )
+        assert (db["values"] == dp["values"]).all()
+
+
+def test_jpeg_progressive_equals_baseline_color():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(9)
+    for sampling in ("420", "422"):
+        mw, mh = (16, 16) if sampling == "420" else (16, 8)
+        for _ in range(4):
+            w, h = mw * rng.integers(1, 4), mh * rng.integers(1, 4)
+            ch_w, ch_h = w // 2, h // 2 if sampling == "420" else h
+            Y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            Cb = rng.integers(0, 256, (ch_h, ch_w), dtype=np.uint8)
+            Cr = rng.integers(0, 256, (ch_h, ch_w), dtype=np.uint8)
+            db = decode_media(
+                M.encode_jpeg_baseline_color(
+                    w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes(), sampling=sampling
+                ),
+                "image/jpeg",
+            )
+            dp = decode_media(
+                M.encode_jpeg_progressive_color(
+                    w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes(), sampling=sampling
+                ),
+                "image/jpeg",
+            )
+            assert (db["values"] == dp["values"]).all()
+
+
+def test_jpeg_progressive_eob_runs_and_restarts():
+    """A mostly-flat image makes the AC scans emit real multi-block
+    EOBn runs (and restart intervals bound them) — the decoder's
+    eobrun skip/refine bookkeeping, not just per-block EOB0."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(3)
+    img = np.full((48, 64), 120, dtype=np.uint8)
+    img[:8, :8] = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    db = decode_media(M.encode_jpeg_baseline_gray(64, 48, img.tobytes()), "image/jpeg")
+    for ri in (0, 5):
+        dp = decode_media(
+            M.encode_jpeg_progressive_gray(64, 48, img.tobytes(), restart_interval=ri),
+            "image/jpeg",
+        )
+        assert (db["values"] == dp["values"]).all()
+    # flat image: the whole AC band is one EOBn run — tiny stream
+    flat = np.full((32, 32), 55, dtype=np.uint8)
+    pay = M.encode_jpeg_progressive_gray(32, 32, flat.tobytes())
+    d = decode_media(pay, "image/jpeg")
+    assert (d["values"].reshape(32, 32) == flat).all()
+
+
+def test_jpeg_progressive_444_closed_form():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    w, h = 16, 8
+    Y = np.full((h, w), 77, np.uint8)
+    Cb = np.full((h, w), 200, np.uint8)
+    Cr = np.full((h, w), 30, np.uint8)
+    d = decode_media(
+        M.encode_jpeg_progressive_color(
+            w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes(), sampling="444"
+        ),
+        "image/jpeg",
+    )
+    cb, cr = 200 - 128.0, 30 - 128.0
+    exp = [
+        int(np.clip(np.floor(77 + 1.402 * cr + 0.5), 0, 255)),
+        int(np.clip(np.floor(77 - 0.344136 * cb - 0.714136 * cr + 0.5), 0, 255)),
+        int(np.clip(np.floor(77 + 1.772 * cb + 0.5), 0, 255)),
+    ]
+    assert d["values"].reshape(h, w, 3)[0, 0].tolist() == exp
+
+
+def test_jpeg_progressive_malformed_scans_rejected():
+    """Scan-order violations must fail loudly: an AC band before the
+    component's DC scan, and interleaved AC scans, are both malformed
+    per T.81 §G."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    img = np.full((8, 8), 9, dtype=np.uint8)
+    pay = bytearray(M.encode_jpeg_progressive_gray(8, 8, img.tobytes()))
+    # The first SOS in the stream is the DC scan (Ss=0, Se=0, Ah=0,
+    # Al=1); rewrite its band to 1..63 so an AC scan arrives first.
+    i = bytes(pay).find(b"\xff\xda")
+    assert i > 0
+    # SOS body: len(2) ns(1) comp pairs(2*ns) Ss Se AhAl
+    ss_off = i + 4 + 1 + 2
+    assert pay[ss_off] == 0 and pay[ss_off + 1] == 0
+    bad = bytearray(pay)
+    bad[ss_off], bad[ss_off + 1] = 1, 63
+    with pytest.raises(ValueError, match="AC scan before"):
+        decode_media(bytes(bad), "image/jpeg")
