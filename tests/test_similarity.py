@@ -228,9 +228,10 @@ def test_recall_audit_bounds_and_exact_leg(spark, sf_dir):
     )
 
     rows = REGISTRY["knn_recall_audit"].fn(spark, sf_dir).collect()
-    # One row per (query, method) — lsh + ivf since r10, pq since r11.
-    assert len(rows) == 3 * N_QUERIES
-    assert {r["method"] for r in rows} == {"lsh", "ivf", "pq"}
+    # One row per (query, method) — lsh + ivf since r10, pq since r11,
+    # lshmp (the widened multiprobe shape) since r12.
+    assert len(rows) == 4 * N_QUERIES
+    assert {r["method"] for r in rows} == {"lsh", "lshmp", "ivf", "pq"}
     for r in rows:
         assert r["n_exact"] == TOP_K
         assert 0 <= r["n_hits"] <= min(r["n_ann"], r["n_exact"])
