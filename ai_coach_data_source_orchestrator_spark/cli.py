@@ -1036,7 +1036,7 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--inputs-dir", help="dir with issues/comments/changelogs/daily/transcripts parquet")
     w.add_argument("--out", required=True, help="datasource .py output path")
     w.add_argument("--epic-tree-out", help="also write the epic-tree markdown")
-    w.add_argument("--warehouse", help="parquet warehouse dir for the idempotent upsert")
+    w.add_argument("--warehouse", help="parquet warehouse dir for the idempotent upsert (object-store paths need register_lock_store or a single writer — see README warehouse contract)")
     w.add_argument("--team", default=None)
     w.add_argument("--member", action="append", help="team member (repeatable)")
     w.add_argument("--start")
@@ -1054,7 +1054,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     r.add_argument("--inputs-dir", help="dir with issues/comments/changelogs/daily/transcripts parquet")
     r.add_argument("--out-dir", required=True, help="per-team outputs go to <out-dir>/<team>/")
-    r.add_argument("--warehouse", help="parquet warehouse dir for the idempotent upsert")
+    r.add_argument("--warehouse", help="parquet warehouse dir for the idempotent upsert (object-store paths need register_lock_store or a single writer — see README warehouse contract)")
     r.add_argument("--member", action="append", help="team member (repeatable, with --inputs-dir)")
     r.add_argument("--start")
     r.add_argument("--end")
@@ -1212,7 +1212,7 @@ def main(argv: list[str] | None = None) -> int:
     lr.add_argument("--configs-dir", help="configs root (default: configs)")
 
     s = sub.add_parser("seed", help="seed warehouse dimensions + uuid cache")
-    s.add_argument("--warehouse", required=True, help="warehouse root directory")
+    s.add_argument("--warehouse", required=True, help="warehouse root directory (object-store paths need register_lock_store or a single writer — see README warehouse contract)")
     s.add_argument("--configs-dir", help="discover teams from this configs/ dir")
     s.add_argument("--member", action="append", help="team name (repeatable)")
     s.add_argument("--env", default="dev")

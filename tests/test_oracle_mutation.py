@@ -7,7 +7,7 @@ the reference's own JavaScript, but nothing had ever demonstrated that
 the oracles themselves DISCRIMINATE: that a real implementation bug in
 the Spark side turns the parity harness red.
 
-This module is that demonstration. Across 34 mutants spanning every
+This module is that demonstration. Across 37 mutants spanning every
 query family, it applies deliberate semantic mutations to the Spark
 side —
 via monkeypatch, so the mutated computation actually runs — and asserts
@@ -54,6 +54,7 @@ from test_oracle_parity import _canon, _duck
 
 from ai_coach_data_source_orchestrator_spark.plans import (
     REGISTRY,
+    queries_connectors as qcn,
     queries_events as qev,
     queries_graph as qgr,
     queries_joins as qjn,
@@ -119,7 +120,67 @@ def _slugify_no_run_collapse(mp):
     mp.setattr(qmk, "M", type("MutM", (), {"slugify": staticmethod(mutant)}))
 
 
+def _jira_cursor_starts_at_one():
+    """S1 page-cursor off-by-one (VERDICT r11 item 5): the offset
+    reader's fetches start at startAt+1 — the classic cursor
+    initialized-at-1 bug. The first issue of every page is dropped
+    (at fixture SF: SUP-<lo> vanishes), so the status rollup shifts.
+    The wrapper mutates the TRANSPORT the driver serializes into the
+    mapInPandas fan-out, so the mutated computation runs end to end."""
+    orig = qcn.rest.jira_issue_search_pages
+
+    def mutant(spark, transport, base_url, project, since, **kw):
+        def t(method, url, params):
+            if url.endswith("/search") and int(params.get("maxResults") or 0) > 0:
+                params = {**params, "startAt": int(params.get("startAt") or 0) + 1}
+            return transport(method, url, params)
+
+        return orig(spark, t, base_url, project, since, **kw)
+
+    def apply(mp):
+        mp.setattr(qcn.rest, "jira_issue_search_pages", mutant)
+
+    return apply
+
+
+def _slack_dropped_oldest():
+    """S9 dropped-oldest bound (VERDICT r11 item 5): the pushdown's
+    whole point is that the SERVER filters by [oldest, latest]; drop
+    the oldest bound and every pre-window message floods back in (at
+    fixture SF the real window is empty while the mutant returns every
+    channel's full history)."""
+    orig = qcn.rest.slack_history_fanout
+
+    def mutant(*args, **kw):
+        return orig(*args, **{**kw, "oldest_epoch": 0.0})
+
+    def apply(mp):
+        mp.setattr(qcn.rest, "slack_history_fanout", mutant)
+
+    return apply
+
+
 MUTANTS = [
+    # -- connector family (VERDICT r11 item 5: the one query module
+    # with zero mutants — REST pushdown/pagination semantics) ----------
+    Mutant(
+        "s1_jira_connector_roundtrip",
+        "boundary",
+        "page cursor initialized at 1 (startAt+1 on every fetch; first issue of each page dropped)",
+        _jira_cursor_starts_at_one(),
+    ),
+    Mutant(
+        "s9_slack_history_pushdown",
+        "dropped-filter",
+        "oldest bound dropped from the history pushdown (server returns every pre-window message)",
+        _slack_dropped_oldest(),
+    ),
+    Mutant(
+        "s14_jdbc_pushdown_join",
+        "wrong-constant",
+        "pushed-down employee predicate skewed: o_custkey % 100 < 5 -> < 6",
+        _const(qcn, "_S14_SQL", qcn._S14_SQL.replace("% 100 < 5", "% 100 < 6")),
+    ),
     # -- filter family ------------------------------------------------
     Mutant(
         "f1_date_range_filter",
@@ -427,6 +488,7 @@ def test_audit_spans_families_and_size():
     assert len(queries) >= 20
     modules = {REGISTRY[m.query].fn.__module__.rsplit(".", 1)[-1] for m in MUTANTS}
     assert {
+        "queries_connectors",
         "queries_relational",
         "queries_events",
         "queries_sampling",
