@@ -269,3 +269,45 @@ def test_cdc_chunks_match_bruteforce(spark, words, k, divisor):
         pos += len(chunk)
     assert got == expected
     assert sum(n for _, _, n, _ in got) == len(words)
+
+
+@given(
+    bw=st.integers(min_value=1, max_value=5),
+    bh=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ri=st.sampled_from([0, 1, 2, 3, 7]),
+)
+@settings(max_examples=40, deadline=None)
+def test_progressive_jpeg_decodes_identically_to_baseline(bw, bh, seed, ri):
+    """The progressive (SOF2) entropy layout is a pure re-encoding of
+    the same quantized coefficients, so for ANY image the progressive
+    stream must decode bit-identically to the baseline stream of the
+    same pixels — across dimensions, content, and restart intervals.
+    This drives every progressive scan path (DC first/refine, AC
+    spectral bands, successive approximation, ZRL, EOB runs, correction
+    bits, per-scan restart segments) against the oracle-pinned baseline
+    decoder."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    w, h = 8 * bw, 8 * bh
+    rng = np.random.default_rng(seed)
+    # Mix of flat regions (EOB runs) and noise (dense AC) — quadrant mix
+    # keyed on the seed so hypothesis explores both extremes.
+    img = np.full((h, w), int(rng.integers(0, 256)), dtype=np.uint8)
+    if seed % 3 != 0:
+        img[: h // 2 or 1, : w // 2 or 1] = rng.integers(
+            0, 256, (h // 2 or 1, w // 2 or 1), dtype=np.uint8
+        )
+    if seed % 3 == 2:
+        img[:] = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    base = M.decode_media(
+        M.encode_jpeg_baseline_gray(w, h, img.tobytes()), "image/jpeg"
+    )
+    prog = M.decode_media(
+        M.encode_jpeg_progressive_gray(w, h, img.tobytes(), restart_interval=ri),
+        "image/jpeg",
+    )
+    assert (base["values"] == prog["values"]).all()
+    assert (base["width"], base["height"]) == (prog["width"], prog["height"])
