@@ -1595,7 +1595,7 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                 "nb_w": nb_w,
                 "nb_h": nb_h,
             }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "only baseline (SOF0) or progressive (SOF2) JPEG"
             )
