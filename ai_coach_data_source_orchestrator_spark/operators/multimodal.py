@@ -81,12 +81,14 @@ def as_media_table(docs: DataFrame) -> DataFrame:
 def decode_media(payload: bytes, mime: str, jfif_coeffs=None) -> dict:
     """Real decode entry point for the codec-free container formats.
 
-    PPM/PGM (netpbm P6/P5) and RIFF/WAV PCM16 decode in plain
-    Python/NumPy — no external codec library needed — so these paths are
-    REAL: header parsing, magic validation, and payload extraction all
-    operate on the actual bytes. Compressed formats (PNG/JPEG/MP4/...)
-    still raise: those genuinely need libraries absent from this
-    environment, and production would dispatch them to PIL/pyav here.
+    PPM/PGM (netpbm P6/P5), RIFF/WAV PCM16, PNG (greyscale/RGB/
+    palette/alpha, Adam7 or not) and JFIF JPEG (baseline + progressive)
+    decode in plain Python/NumPy — no external codec library needed —
+    so these paths are REAL: header parsing, magic validation, entropy
+    decode, and payload extraction all operate on the actual bytes.
+    DSP-codec formats (MP3/MP4/...) still raise: those genuinely need
+    libraries absent from this environment, and production would
+    dispatch them to pyav here.
 
     Returns a dict: ``kind`` ('image'|'audio'), plus for images
     ``width/height/values`` (uint8 ndarray of all channel bytes) and for
@@ -156,53 +158,34 @@ def decode_media(payload: bytes, mime: str, jfif_coeffs=None) -> dict:
     )
 
 
-def _decode_png(payload: bytes) -> dict:
-    """REAL PNG decode in stdlib-only Python: signature + chunk walk,
-    IHDR parse, concatenated-IDAT zlib inflate, and full scanline
-    unfiltering (None/Sub/Up/Average/Paeth). Supports the common
-    non-interlaced 8-bit color types — greyscale (0), RGB (2),
-    grey+alpha (4), RGBA (6). PNG needs no codec library: the only
-    compression is zlib, which ships with Python — unlike JPEG/MP3,
-    which still raise above. Output shape matches the netpbm path
-    (``values`` = all channel bytes row-major)."""
-    import struct
-    import zlib
+_ADAM7 = (  # (x0, dx, y0, dy) per pass, T.81-era PNG spec §8.2
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _png_unfilter(raw: bytes, stride: int, height: int, bpp: int, offset: int):
+    """Undo PNG scanline filtering for one (sub-)image of ``height``
+    rows of ``stride`` bytes starting at ``offset`` in the inflated
+    stream. Returns (rows ndarray uint8 (height, stride), new_offset).
+    ``bpp`` is the filter-unit byte distance (max(1, bytes/pixel))."""
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("bad PNG signature")
-    pos, ihdr, idat = 8, None, b""
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if ihdr is None:
-        raise ValueError("missing IHDR")
-    width, height, depth, color, comp, filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG shape (depth={depth}, color={color}, interlace={interlace})"
-        )
-    raw = zlib.decompress(idat)
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
+    need = height * (stride + 1)
+    if offset + need > len(raw):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).astype(
+            np.int32
+        )
         prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
         if ftype == 0:  # None
             cur = line
@@ -226,41 +209,130 @@ def _decode_png(payload: bytes) -> dict:
                     raise ValueError(f"bad PNG filter type {ftype}")
                 cur[x] = (line[x] + pred) % 256
         out[y] = cur.astype(np.uint8)
-    return {
-        "kind": "image",
-        "width": width,
-        "height": height,
-        "values": out.reshape(-1),
-    }
+    return out, offset + need
 
 
-def encode_png(
-    width: int,
-    height: int,
-    pixels: bytes,
-    color: int = 2,
-    row_filters: list[int] | None = None,
-) -> bytes:
-    """Minimal PNG writer for the decode tests: real chunks/CRCs, zlib
-    deflate, and per-row filter selection (the FORWARD filters, so the
-    decoder's five unfilter branches all get exercised)."""
+def _png_unpack_indices(rows, width: int, depth: int):
+    """Unpack a (h, stride) byte matrix of big-endian bit-packed
+    palette indices at ``depth`` ∈ {1,2,4,8} into (h, width) uint8."""
+    import numpy as np
+
+    if depth == 8:
+        return rows[:, :width]
+    per_byte = 8 // depth
+    bits = np.unpackbits(rows, axis=1)
+    h = rows.shape[0]
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    idx = (vals * weights).sum(axis=2).astype(np.uint8)
+    return idx[:, :width]
+
+
+def _decode_png(payload: bytes) -> dict:
+    """REAL PNG decode in stdlib-only Python: signature + chunk walk,
+    IHDR/PLTE parse, concatenated-IDAT zlib inflate, full scanline
+    unfiltering (None/Sub/Up/Average/Paeth), Adam7 de-interlacing, and
+    palette expansion. Supports 8-bit greyscale (0), RGB (2), palette
+    (3, at bit depths 1/2/4/8, expanded to RGB), grey+alpha (4) and
+    RGBA (6) — interlaced or not. PNG needs no codec library: the only
+    compression is zlib, which ships with Python — unlike MP3/MP4,
+    which still raise. 16-bit samples and sub-8-bit GREYSCALE remain
+    out (sample scaling, not structure — the documented boundary).
+    Output shape matches the netpbm path (``values`` = all channel
+    bytes row-major; palette images yield their RGB expansion)."""
     import struct
     import zlib
 
     import numpy as np
 
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-    stride = width * channels
-    assert len(pixels) == height * stride
-    px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride).astype(np.int32)
-    row_filters = row_filters or [0] * height
-    raw = bytearray()
-    bpp = channels
-    for y in range(height):
-        f = row_filters[y]
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat, plte = 8, None, b"", None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    depth_ok = depth == 8 or (color == 3 and depth in (1, 2, 4))
+    if channels is None or not depth_ok or comp != 0 or filt != 0 or interlace > 1:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, color={color}, interlace={interlace})"
+        )
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    raw = zlib.decompress(idat)
+    bpp = max(1, channels * depth // 8)
+
+    def pass_stride(w: int) -> int:
+        return (w * channels * depth + 7) // 8
+
+    # samples grid: palette images carry indices (1/px) here and expand
+    # at the end; everything else carries its channel bytes directly.
+    sample_w = width if color == 3 else width * channels
+    grid = np.zeros((height, sample_w), dtype=np.uint8)
+    if interlace == 0:
+        rows, off = _png_unfilter(raw, pass_stride(width), height, bpp, 0)
+        if off != len(raw):
+            raise ValueError("PNG scanline payload size mismatch")
+        grid = _png_unpack_indices(rows, width, depth) if color == 3 else rows
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        off = 0
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no scanlines at all
+            rows, off = _png_unfilter(raw, pass_stride(pw), ph, bpp, off)
+            if color == 3:
+                idx = _png_unpack_indices(rows, pw, depth)
+                grid[y0::dy, x0::dx] = idx
+            else:
+                px = rows.reshape(ph, pw, channels)
+                view = grid.reshape(height, width, channels)
+                view[y0::dy, x0::dx] = px
+        if off != len(raw):
+            raise ValueError("PNG scanline payload size mismatch")
+    if color == 3:
+        if int(grid.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("palette index out of range")
+        out = palette[grid.reshape(-1)].reshape(-1)
+    else:
+        out = grid.reshape(-1)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "values": out,
+    }
+
+
+def _png_filter_rows(rows, bpp: int, pick) -> bytearray:
+    """FORWARD-filter a (h, stride) uint8 sub-image; ``pick(y)`` returns
+    the filter type for scanline y. Returns filter-byte-prefixed raw."""
+    import numpy as np
+
+    out = bytearray()
+    h, stride = rows.shape
+    px = rows.astype(np.int32)
+    for y in range(h):
+        f = pick(y)
         cur = px[y]
         prev = px[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
-        raw.append(f)
+        out.append(f)
         for x in range(stride):
             a = int(cur[x - bpp]) if x >= bpp else 0
             b = int(prev[x])
@@ -277,7 +349,96 @@ def encode_png(
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-            raw.append((int(cur[x]) - pred) % 256)
+            out.append((int(cur[x]) - pred) % 256)
+    return out
+
+
+def _png_pack_indices(idx, depth: int):
+    """Pack (h, w) uint8 palette indices into big-endian ``depth``-bit
+    rows — the inverse of _png_unpack_indices."""
+    import numpy as np
+
+    if depth == 8:
+        return idx
+    h, w = idx.shape
+    per_byte = 8 // depth
+    padded_w = (w + per_byte - 1) // per_byte * per_byte
+    full = np.zeros((h, padded_w), dtype=np.uint8)
+    full[:, :w] = idx
+    bits = (
+        (full[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(h, -1)
+    return np.packbits(bits, axis=1)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color: int = 2,
+    row_filters: list[int] | None = None,
+    interlace: bool = False,
+    palette: bytes | None = None,
+    depth: int = 8,
+) -> bytes:
+    """Minimal PNG writer for the decode tests: real chunks/CRCs, zlib
+    deflate, per-scanline filter selection (the FORWARD filters, so the
+    decoder's five unfilter branches all get exercised), optional Adam7
+    interlacing (seven independently-filtered passes), and palette
+    images (color=3 + ``palette`` RGB bytes; ``pixels`` are 8-bit
+    indices, bit-packed to ``depth`` ∈ {1,2,4,8}). ``row_filters``
+    cycles over a global scanline counter, so interlaced passes keep
+    exercising every filter type."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    if color == 3:
+        assert palette is not None and len(palette) % 3 == 0
+        assert depth in (1, 2, 4, 8)
+        assert len(pixels) == height * width
+        samples = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        assert int(samples.max(initial=0)) < len(palette) // 3
+        assert int(samples.max(initial=0)) < (1 << depth)
+    else:
+        assert depth == 8
+        stride = width * channels
+        assert len(pixels) == height * stride
+        samples = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+    row_filters = row_filters or [0]
+    counter = [0]
+
+    def pick(_y: int) -> int:
+        f = row_filters[counter[0] % len(row_filters)]
+        counter[0] += 1
+        return f
+
+    bpp = max(1, channels * depth // 8)
+
+    def rows_of(sub):
+        # sub: (h, w) indices for palette, (h, w*channels) bytes else
+        return _png_pack_indices(sub, depth) if color == 3 else sub
+
+    raw = bytearray()
+    if not interlace:
+        raw += _png_filter_rows(rows_of(samples), bpp, pick)
+    else:
+        view = (
+            samples
+            if color == 3
+            else samples.reshape(height, width, channels)
+        )
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = view[y0::dy, x0::dx]
+            if color != 3:
+                sub = sub.reshape(ph, pw * channels)
+            raw += _png_filter_rows(rows_of(np.ascontiguousarray(sub)), bpp, pick)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -287,13 +448,13 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color, 0, 0, 1 if interlace else 0
     )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color == 3:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
 # ---------------------------------------------------------------------------

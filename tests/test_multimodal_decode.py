@@ -787,3 +787,94 @@ def test_jpeg_progressive_malformed_scans_rejected():
     bad[ss_off], bad[ss_off + 1] = 1, 63
     with pytest.raises(ValueError, match="AC scan before"):
         decode_media(bytes(bad), "image/jpeg")
+
+
+# ---------------------------------------------------------------------------
+# Adam7-interlaced + palette PNG — the two common web-PNG shapes the
+# r8 decoder rejected. Same load-bearing pattern as progressive JPEG:
+# an interlaced stream is a pure re-layout of the same pixels, so it
+# must decode bit-identically to the non-interlaced stream.
+# ---------------------------------------------------------------------------
+
+
+def test_png_interlaced_decodes_identically():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(13)
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for w, h in ((1, 1), (2, 3), (7, 5), (13, 11), (16, 9), (3, 17)):
+            px = rng.integers(0, 256, h * w * ch, dtype=np.uint8).tobytes()
+            plain = decode_media(
+                encode_png(w, h, px, color=color, row_filters=[0, 1, 2, 3, 4]),
+                "image/png",
+            )
+            inter = decode_media(
+                encode_png(
+                    w, h, px, color=color, row_filters=[0, 1, 2, 3, 4], interlace=True
+                ),
+                "image/png",
+            )
+            assert (plain["values"] == inter["values"]).all(), (color, w, h)
+            assert inter["values"].tobytes() == px
+
+
+def test_png_palette_expansion_all_depths():
+    """Palette PNGs at bit depths 1/2/4/8, interlaced and not: the
+    decoder must unpack big-endian packed indices and expand through
+    PLTE to the same RGB bytes a truecolor encode would carry."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(17)
+    for depth in (1, 2, 4, 8):
+        ncol = min(1 << depth, 256)
+        pal = rng.integers(0, 256, ncol * 3, dtype=np.uint8).tobytes()
+        lut = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        for w, h in ((1, 1), (7, 5), (13, 11), (16, 8)):
+            idx = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+            expected = lut[idx.reshape(-1)].reshape(-1)
+            for interlace in (False, True):
+                d = decode_media(
+                    encode_png(
+                        w,
+                        h,
+                        idx.tobytes(),
+                        color=3,
+                        palette=pal,
+                        depth=depth,
+                        interlace=interlace,
+                        row_filters=[2, 4, 0, 1, 3],
+                    ),
+                    "image/png",
+                )
+                assert (d["width"], d["height"]) == (w, h)
+                assert (d["values"] == expected).all(), (depth, w, h, interlace)
+
+
+def test_png_palette_without_plte_rejected():
+    import struct
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import encode_png
+
+    payload = encode_png(4, 4, bytes(16), color=3, palette=bytes(12), depth=8)
+    i = payload.find(b"PLTE") - 4
+    (plen,) = struct.unpack(">I", payload[i : i + 4])
+    stripped = payload[:i] + payload[i + 12 + plen :]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_media(stripped, "image/png")
+
+
+def test_png_16bit_still_rejected():
+    import struct
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import encode_png
+
+    payload = bytearray(encode_png(4, 4, bytes(48), color=2))
+    i = payload.find(b"IHDR") + 4
+    assert payload[i + 8] == 8  # bit depth byte
+    payload[i + 8] = 16
+    with pytest.raises(ValueError, match="unsupported PNG shape"):
+        decode_media(bytes(payload), "image/png")
