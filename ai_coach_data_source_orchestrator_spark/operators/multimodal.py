@@ -1,15 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 ``decode_media`` REALLY decodes the codec-library-free formats —
-netpbm P6/P5 images, RIFF/WAV mono PCM16, (r8) PNG, (r10)
-baseline-sequential grayscale JFIF, and (r11) baseline COLOR JFIF
-(4:4:4 and 4:2:0 YCbCr, interleaved MCUs, chroma upsample + BT.601)
-— in plain Python/NumPy (header parse, magic validation, zlib inflate
-+ scanline unfiltering for PNG, canonical-Huffman entropy decode +
-dequantize + IDCT for JPEG), exercised end-to-end by
-``synthesize_media_corpus`` → ``decode_features`` against a SQL
-oracle. Still raising NotImplementedError: progressive JPEG, exotic
-sampling factors (4:4:0/4:1:1), and MP3/MP4 — DSP libraries absent from this
+netpbm P6/P5 images, RIFF/WAV mono PCM16, (r8) PNG (now including
+Adam7 interlace and palette images), (r10) baseline-sequential
+grayscale JFIF, (r11) baseline COLOR JFIF, and (r12) progressive
+(SOF2) JFIF — every chroma layout in ``_JPEG_SAMPLINGS``
+(4:4:4/4:2:0/4:2:2/4:4:0/4:1:1), interleaved MCUs, chroma upsample +
+BT.601 — in plain Python/NumPy (header parse, magic validation, zlib
+inflate + scanline unfiltering for PNG, canonical-Huffman entropy
+decode + multi-scan coefficient accumulation + dequantize + IDCT for
+JPEG), exercised end-to-end by ``synthesize_media_corpus`` →
+``decode_features`` against a SQL oracle. Still raising
+NotImplementedError: 12-bit JPEG, arithmetic/lossless SOFs, and
+MP3/MP4 — DSP libraries absent from this
 container; production would dispatch them to PIL/pyav inside the
 same Arrow batcher. ``extract_features``/``resize_media``/
 ``sample_frames`` keep their deterministic fake dimension source so
@@ -230,16 +233,21 @@ def _png_unpack_indices(rows, width: int, depth: int):
 
 def _decode_png(payload: bytes) -> dict:
     """REAL PNG decode in stdlib-only Python: signature + chunk walk,
-    IHDR/PLTE parse, concatenated-IDAT zlib inflate, full scanline
+    IHDR/PLTE/tRNS parse, concatenated-IDAT zlib inflate, full scanline
     unfiltering (None/Sub/Up/Average/Paeth), Adam7 de-interlacing, and
-    palette expansion. Supports 8-bit greyscale (0), RGB (2), palette
-    (3, at bit depths 1/2/4/8, expanded to RGB), grey+alpha (4) and
-    RGBA (6) — interlaced or not. PNG needs no codec library: the only
-    compression is zlib, which ships with Python — unlike MP3/MP4,
-    which still raise. 16-bit samples and sub-8-bit GREYSCALE remain
-    out (sample scaling, not structure — the documented boundary).
+    palette expansion. Supports every IHDR shape the spec defines
+    except 16-bit palette (which the spec also forbids): greyscale (0)
+    at depths 1/2/4/8/16 (sub-8 levels scale by the exact integer
+    factor 255/(2^d−1)), RGB (2) at 8/16, palette (3, depths 1/2/4/8,
+    expanded to RGB — or RGBA when a tRNS chunk carries per-entry
+    alpha), grey+alpha (4) and RGBA (6) at 8/16 — interlaced or not.
+    16-bit samples come back as uint16 ``values`` (big-endian pairs
+    joined exactly — no lossy >>8 downscale); a tRNS transparent-color
+    key on color types 0/2 is surfaced as ``transparent``. PNG needs
+    no codec library: the only compression is zlib, which ships with
+    Python — unlike MP3/MP4, which still raise.
     Output shape matches the netpbm path (``values`` = all channel
-    bytes row-major; palette images yield their RGB expansion)."""
+    samples row-major; palette images yield their RGB(A) expansion)."""
     import struct
     import zlib
 
@@ -247,7 +255,7 @@ def _decode_png(payload: bytes) -> dict:
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("bad PNG signature")
-    pos, ihdr, idat, plte = 8, None, b"", None
+    pos, ihdr, idat, plte, trns = 8, None, b"", None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -256,6 +264,8 @@ def _decode_png(payload: bytes) -> dict:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -265,10 +275,14 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("missing IHDR")
     width, height, depth, color, comp, filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    depth_ok = depth == 8 or (color == 3 and depth in (1, 2, 4))
-    if channels is None or not depth_ok or comp != 0 or filt != 0 or interlace > 1:
+    # The spec's own legal depth sets per color type (PNG §11.2.2).
+    depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+              4: (8, 16), 6: (8, 16)}.get(color, ())
+    if channels is None or depth not in depths or comp != 0 or filt != 0 \
+            or interlace > 1:
         raise ValueError(
-            f"unsupported PNG shape (depth={depth}, color={color}, interlace={interlace})"
+            f"unsupported PNG shape (depth={depth}, color={color}, "
+            f"interlace={interlace})"
         )
     if color == 3:
         if plte is None or len(plte) % 3:
@@ -276,19 +290,29 @@ def _decode_png(payload: bytes) -> dict:
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     raw = zlib.decompress(idat)
     bpp = max(1, channels * depth // 8)
+    # Bit-packed grids (palette indices OR sub-8 greyscale levels) are
+    # unpacked to one sample per cell; 16-bit grids carry uint16.
+    packed = depth < 8
+    wide = depth == 16
 
     def pass_stride(w: int) -> int:
         return (w * channels * depth + 7) // 8
 
-    # samples grid: palette images carry indices (1/px) here and expand
-    # at the end; everything else carries its channel bytes directly.
-    sample_w = width if color == 3 else width * channels
-    grid = np.zeros((height, sample_w), dtype=np.uint8)
+    def samples_of(rows, pw: int):
+        if packed:
+            return _png_unpack_indices(rows, pw, depth)
+        if wide:
+            pairs = rows.reshape(rows.shape[0], -1, 2).astype(np.uint16)
+            return (pairs[:, :, 0] << 8) | pairs[:, :, 1]
+        return rows
+
+    sample_w = width * (1 if packed else channels)
+    grid = np.zeros((height, sample_w), dtype=np.uint16 if wide else np.uint8)
     if interlace == 0:
         rows, off = _png_unfilter(raw, pass_stride(width), height, bpp, 0)
         if off != len(raw):
             raise ValueError("PNG scanline payload size mismatch")
-        grid = _png_unpack_indices(rows, width, depth) if color == 3 else rows
+        grid = samples_of(rows, width)
     else:  # Adam7: seven independently-filtered sub-images, scattered
         off = 0
         for x0, dx, y0, dy in _ADAM7:
@@ -297,27 +321,43 @@ def _decode_png(payload: bytes) -> dict:
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no scanlines at all
             rows, off = _png_unfilter(raw, pass_stride(pw), ph, bpp, off)
-            if color == 3:
-                idx = _png_unpack_indices(rows, pw, depth)
-                grid[y0::dy, x0::dx] = idx
+            sub = samples_of(rows, pw)
+            if packed:
+                grid[y0::dy, x0::dx] = sub
             else:
-                px = rows.reshape(ph, pw, channels)
+                px = sub.reshape(ph, pw, channels)
                 view = grid.reshape(height, width, channels)
                 view[y0::dy, x0::dx] = px
         if off != len(raw):
             raise ValueError("PNG scanline payload size mismatch")
+    result = {"kind": "image", "width": width, "height": height}
     if color == 3:
         if int(grid.max(initial=0)) >= palette.shape[0]:
             raise ValueError("palette index out of range")
-        out = palette[grid.reshape(-1)].reshape(-1)
+        if trns is not None:
+            # Per-entry alpha, defaulting to opaque past the chunk end
+            # (PNG §11.3.2.1) — expansion becomes RGBA.
+            alpha = np.full(palette.shape[0], 255, dtype=np.uint8)
+            alpha[: min(len(trns), palette.shape[0])] = np.frombuffer(
+                trns[: palette.shape[0]], dtype=np.uint8
+            )
+            rgba = np.concatenate([palette, alpha[:, None]], axis=1)
+            out = rgba[grid.reshape(-1)].reshape(-1)
+        else:
+            out = palette[grid.reshape(-1)].reshape(-1)
+    elif color == 0 and packed:
+        # Exact level scaling: 255/(2^d − 1) is an integer for d ∈
+        # {1, 2, 4} (255, 85, 17), so sub-8 grey is lossless.
+        out = (grid * np.uint8(255 // ((1 << depth) - 1))).reshape(-1)
     else:
         out = grid.reshape(-1)
-    return {
-        "kind": "image",
-        "width": width,
-        "height": height,
-        "values": out,
-    }
+    if trns is not None and color in (0, 2):
+        # Transparent-color key: 2-byte samples regardless of depth.
+        result["transparent"] = tuple(
+            int(v) for v in np.frombuffer(trns, dtype=">u2")
+        )
+    result["values"] = out
+    return result
 
 
 def _png_filter_rows(rows, bpp: int, pick) -> bytearray:
@@ -380,31 +420,38 @@ def encode_png(
     interlace: bool = False,
     palette: bytes | None = None,
     depth: int = 8,
+    trns: bytes | None = None,
 ) -> bytes:
     """Minimal PNG writer for the decode tests: real chunks/CRCs, zlib
     deflate, per-scanline filter selection (the FORWARD filters, so the
     decoder's five unfilter branches all get exercised), optional Adam7
-    interlacing (seven independently-filtered passes), and palette
-    images (color=3 + ``palette`` RGB bytes; ``pixels`` are 8-bit
-    indices, bit-packed to ``depth`` ∈ {1,2,4,8}). ``row_filters``
-    cycles over a global scanline counter, so interlaced passes keep
-    exercising every filter type."""
+    interlacing (seven independently-filtered passes), palette images
+    (color=3 + ``palette`` RGB bytes; ``pixels`` are 8-bit indices,
+    bit-packed to ``depth`` ∈ {1,2,4,8}), sub-8-bit greyscale (color=0,
+    ``pixels`` are raw LEVELS 0..2^depth−1, bit-packed the same way),
+    16-bit samples (``pixels`` are big-endian sample bytes), and a raw
+    ``trns`` chunk (palette alpha table or transparent-color key).
+    ``row_filters`` cycles over a global scanline counter, so
+    interlaced passes keep exercising every filter type."""
     import struct
     import zlib
 
     import numpy as np
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    if color == 3:
-        assert palette is not None and len(palette) % 3 == 0
+    packed = color == 3 or (color == 0 and depth < 8)
+    if packed:
         assert depth in (1, 2, 4, 8)
         assert len(pixels) == height * width
         samples = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-        assert int(samples.max(initial=0)) < len(palette) // 3
         assert int(samples.max(initial=0)) < (1 << depth)
+        if color == 3:
+            assert palette is not None and len(palette) % 3 == 0
+            assert int(samples.max(initial=0)) < len(palette) // 3
     else:
-        assert depth == 8
-        stride = width * channels
+        assert depth in (8, 16)
+        bytes_pp = channels * (depth // 8)
+        stride = width * bytes_pp
         assert len(pixels) == height * stride
         samples = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
     row_filters = row_filters or [0]
@@ -418,8 +465,8 @@ def encode_png(
     bpp = max(1, channels * depth // 8)
 
     def rows_of(sub):
-        # sub: (h, w) indices for palette, (h, w*channels) bytes else
-        return _png_pack_indices(sub, depth) if color == 3 else sub
+        # sub: (h, w) indices/levels when packed, (h, w*bytes_pp) else
+        return _png_pack_indices(sub, depth) if packed else sub
 
     raw = bytearray()
     if not interlace:
@@ -427,8 +474,8 @@ def encode_png(
     else:
         view = (
             samples
-            if color == 3
-            else samples.reshape(height, width, channels)
+            if packed
+            else samples.reshape(height, width, bytes_pp)
         )
         for x0, dx, y0, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
@@ -436,8 +483,8 @@ def encode_png(
             if pw <= 0 or ph <= 0:
                 continue
             sub = view[y0::dy, x0::dx]
-            if color != 3:
-                sub = sub.reshape(ph, pw * channels)
+            if not packed:
+                sub = sub.reshape(ph, pw * bytes_pp)
             raw += _png_filter_rows(rows_of(np.ascontiguousarray(sub)), bpp, pick)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -454,6 +501,8 @@ def encode_png(
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if color == 3:
         out += chunk(b"PLTE", palette)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
@@ -481,6 +530,18 @@ def encode_png(
 # its Arrow closure, because executor processes re-import the module
 # and would never see a driver-side monkeypatch of the global.
 _JFIF_COEFFS = (1.402, 0.344136, 0.714136, 1.772)
+
+# Supported three-component chroma layouts: luma (h, v) factors with
+# chroma fixed at 1×1. 4:2:0 is the dominant camera/web layout, 4:2:2
+# the video-still layout, 4:4:0 its vertical mirror, 4:1:1 the DV
+# layout, 4:4:4 unsubsampled.
+_JPEG_SAMPLINGS = {
+    "444": (1, 1),
+    "420": (2, 2),
+    "422": (2, 1),
+    "440": (1, 2),
+    "411": (4, 1),
+}
 
 # Zigzag order: raster index of each successive zigzag position.
 _JPEG_ZZ = [
@@ -746,10 +807,11 @@ def encode_jpeg_baseline_color(
 ) -> bytes:
     """Real baseline-sequential JFIF encoder, three components with
     chroma subsampling (VERDICT r10 item 5) — planar YCbCr input.
-    ``sampling="420"`` (default): ``cb``/``cr`` at (width/2)×(height/2),
-    16×16 MCUs of 2×2 Y blocks; ``sampling="422"``: chroma at
-    (width/2)×height, 16×8 MCUs of 2×1 Y blocks (the video-still
-    layout). Convert RGB sources with ``rgb_to_ycbcr`` + chroma
+    ``sampling`` picks the luma factors from ``_JPEG_SAMPLINGS``
+    ("420" default: 16×16 MCUs of 2×2 Y blocks; "422": 16×8 of 2×1;
+    "440": 8×16 of 1×2; "411": 32×8 of 4×1; "444": 8×8 of one);
+    chroma planes arrive at (width/yh)×(height/yv). Convert RGB
+    sources with ``rgb_to_ycbcr`` + chroma
     averaging first. Taking planes (rather than RGB) keeps the
     per-MCU-constant synthesis closed-form for the SQL oracle: the
     oracle states Y/Cb/Cr directly and replays only the DECODER's
@@ -758,8 +820,8 @@ def encode_jpeg_baseline_color(
 
     All-ones quantization for both table ids, so per-block-constant
     planes round-trip exactly (DC-only blocks — same contract as the
-    grayscale encoder). Dimensions must cover whole MCUs (16×16 for
-    4:2:0, 16×8 for 4:2:2; no edge replication). Separate optimized
+    grayscale encoder). Dimensions must cover whole MCUs (8·yh × 8·yv;
+    no edge replication). Separate optimized
     luma/chroma Huffman table pairs, interleaved MCU scan,
     per-component DC prediction — the exact layout libjpeg emits for a
     quality-100 encode at that sampling.
@@ -768,13 +830,16 @@ def encode_jpeg_baseline_color(
 
     import numpy as np
 
-    if sampling not in ("420", "422"):
-        raise ValueError(f"unsupported sampling {sampling!r} (420 or 422)")
-    yh, yv = (2, 2) if sampling == "420" else (2, 1)
+    if sampling not in _JPEG_SAMPLINGS:
+        raise ValueError(
+            f"unsupported sampling {sampling!r} "
+            f"({'/'.join(sorted(_JPEG_SAMPLINGS))})"
+        )
+    yh, yv = _JPEG_SAMPLINGS[sampling]
     mcu_w, mcu_h = 8 * yh, 8 * yv
-    # Chroma is half-width always; half-height only for 4:2:0.
-    ch_w = width // 2
-    ch_h = height // 2 if sampling == "420" else height
+    # Chroma at 1/yh width and 1/yv height (Cb/Cr are always 1×1).
+    ch_w = width // yh
+    ch_h = height // yv
     if width % mcu_w or height % mcu_h:
         raise ValueError(
             f"encode_jpeg_baseline_color: dimensions must be multiples of "
@@ -905,6 +970,7 @@ def _encode_jpeg_progressive(
     height: int,
     comps,
     restart_interval: int = 0,
+    quant_precision: int = 8,
 ) -> bytes:
     """Real progressive (SOF2) JFIF encoder over all-ones quantization.
 
@@ -1171,7 +1237,16 @@ def _encode_jpeg_progressive(
     out = bytearray()
     out += b"\xff\xd8"
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, bytes([0]) + bytes(64 * [1]))
+    if quant_precision == 8:
+        out += seg(0xFFDB, bytes([0x00]) + bytes(64 * [1]))
+    elif quant_precision == 16:
+        # Pq=1: 16-bit big-endian entries (legal in progressive frames,
+        # T.81 B.2.4.1). Still all-ones, so the decoded coefficients —
+        # and therefore the pixels — are bit-identical to the Pq=0
+        # stream; the twin test pins exactly that.
+        out += seg(0xFFDB, bytes([0x10]) + struct.pack(">64H", *(64 * [1])))
+    else:
+        raise ValueError("quant_precision must be 8 or 16")
     sof_body = struct.pack(">BHHB", 8, height, width, len(comps))
     for cid, (h, v), _ in comps:
         sof_body += bytes([cid, (h << 4) | v, 0])
@@ -1219,11 +1294,18 @@ def _encode_jpeg_progressive(
 
 
 def encode_jpeg_progressive_gray(
-    width: int, height: int, gray: bytes, restart_interval: int = 0
+    width: int,
+    height: int,
+    gray: bytes,
+    restart_interval: int = 0,
+    quant_precision: int = 8,
 ) -> bytes:
     """Progressive (SOF2) JFIF, single luma component, all-ones
     quantization — the progressive twin of encode_jpeg_baseline_gray
-    (same coefficient pipeline, multi-scan entropy layout)."""
+    (same coefficient pipeline, multi-scan entropy layout).
+    ``quant_precision=16`` emits the DQT as Pq=1 16-bit entries (legal
+    in progressive frames), exercising the decoder's wide-table parse
+    with a bit-identical-pixels guarantee."""
     import numpy as np
 
     if width % 8 or height % 8:
@@ -1238,7 +1320,7 @@ def encode_jpeg_progressive_gray(
         )
     plane = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
     return _encode_jpeg_progressive(
-        width, height, [(1, (1, 1), plane)], restart_interval
+        width, height, [(1, (1, 1), plane)], restart_interval, quant_precision
     )
 
 
@@ -1257,9 +1339,12 @@ def encode_jpeg_progressive_color(
     chroma costs nothing extra here)."""
     import numpy as np
 
-    if sampling not in ("444", "420", "422"):
-        raise ValueError(f"unsupported sampling {sampling!r} (444, 420 or 422)")
-    yh, yv = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[sampling]
+    if sampling not in _JPEG_SAMPLINGS:
+        raise ValueError(
+            f"unsupported sampling {sampling!r} "
+            f"({'/'.join(sorted(_JPEG_SAMPLINGS))})"
+        )
+    yh, yv = _JPEG_SAMPLINGS[sampling]
     mcu_w, mcu_h = 8 * yh, 8 * yv
     ch_w = width // yh
     ch_h = height // yv
@@ -1301,12 +1386,13 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
     first/refinement scans — interleaved or single-component — plus
     per-component AC spectral-selection bands with successive
     approximation and EOB runs). Grayscale returns the luma plane;
-    three-component 4:4:4 / 4:2:2 / 4:2:0 frames return interleaved
-    RGB (nearest chroma upsample, BT.601, floor-half-up). Restart
-    intervals (DRI + RST0-7, sequence-checked per scan) work in both
-    modes. Still raising: 12-bit, 16-bit quant tables, arithmetic /
-    lossless / differential SOFs, exotic sampling (4:4:0/4:1:1) — the
-    documented PIL/libjpeg boundary.
+    three-component 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 / 4:1:1 frames
+    return interleaved RGB (nearest chroma upsample, BT.601,
+    floor-half-up). Quantization tables parse at both precisions
+    (Pq=0 byte and Pq=1 16-bit big-endian entries). Restart intervals
+    (DRI + RST0-7, sequence-checked per scan) work in both modes.
+    Still raising: 12-bit samples, arithmetic / lossless /
+    differential SOFs — the documented PIL/libjpeg boundary.
 
     Both modes decode into per-component quantized-coefficient arrays
     and share one reconstruction pass, so the baseline pixel math is
@@ -1691,10 +1777,21 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                qtables[tq] = np.array(list(body[o + 1 : o + 65]), dtype=np.int64)
-                o += 65
+                if pq == 0:
+                    qtables[tq] = np.array(
+                        list(body[o + 1 : o + 65]), dtype=np.int64
+                    )
+                    o += 65
+                elif pq == 1:
+                    # 16-bit (Pq=1) entries, big-endian — legal for
+                    # extended-sequential/progressive frames (T.81
+                    # B.2.4.1); dequantize is the same int multiply.
+                    qtables[tq] = np.frombuffer(
+                        body[o + 1 : o + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    o += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if sof is not None:
                 raise ValueError("duplicate SOF marker")
@@ -1714,16 +1811,22 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                     raise NotImplementedError("subsampled single component")
             elif ncomp == 3:
                 # 4:4:4 (no subsampling), 4:2:0 (the overwhelmingly
-                # common camera/web layout), and 4:2:2 (horizontal-only,
-                # common in video stills) are supported; exotic factors
-                # remain out of scope.
+                # common camera/web layout), 4:2:2 (horizontal-only,
+                # common in video stills), 4:4:0 (vertical-only) and
+                # 4:1:1 (DV-style 4× horizontal) are supported — the MCU
+                # geometry, block walk, and repeat-upsample below are
+                # all (h, v)-generic, so the whitelist only pins the
+                # layouts the encoder twins can prove round-trip.
                 if sampling not in (
                     [(1, 1)] * 3,
                     [(2, 2), (1, 1), (1, 1)],
                     [(2, 1), (1, 1), (1, 1)],
+                    [(1, 2), (1, 1), (1, 1)],
+                    [(4, 1), (1, 1), (1, 1)],
                 ):
                     raise NotImplementedError(
-                        "only 4:4:4, 4:2:2, or 4:2:0 three-component JPEG"
+                        "only 4:4:4, 4:2:2, 4:2:0, 4:4:0, or 4:1:1 "
+                        "three-component JPEG"
                     )
             else:
                 raise NotImplementedError(

@@ -321,11 +321,13 @@ def test_png_color_types_and_errors():
         assert got["values"].tobytes() == px, f"color type {color}"
     with _pytest.raises(ValueError, match="bad PNG signature"):
         decode_media(b"notapng", "image/png")
-    # 16-bit depth must be rejected, not mis-decoded
+    # An undefined depth/color combination must be rejected, not
+    # mis-decoded (16-bit decodes since r12 — the boundary moved to
+    # spec-illegal shapes like depth 3).
     import struct
     import zlib as _zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 3, 2, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
@@ -437,8 +439,8 @@ def test_jpeg_color_validates_inputs():
 
 
 def test_jpeg_unsupported_color_shapes_still_raise():
-    """Exotic sampling factors (vertical-only 4:4:0, 4:1:1) remain at
-    the documented PIL/libjpeg boundary (4:2:2 decodes since r11)."""
+    """Sampling factors outside _JPEG_SAMPLINGS (e.g. 1×3, 3×1) stay at
+    the documented boundary; 4:4:0 and 4:1:1 decode since r12."""
     import numpy as np
 
     from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
@@ -452,11 +454,84 @@ def test_jpeg_unsupported_color_shapes_still_raise():
     i = base.find(b"\xff\xc0")
     # SOF0 component table starts at i+10; Y sampling byte is i+11.
     assert base[i + 11] == 0x22
-    for samp in (0x12, 0x41):  # 4:4:0 vertical-only, 4:1:1
+    for samp in (0x13, 0x31, 0x42):  # 1x3, 3x1, 4x2: no twin, still out
         payload = bytearray(base)
         payload[i + 11] = samp
-        with pytest.raises(NotImplementedError, match="4:4:4, 4:2:2, or 4:2:0"):
+        with pytest.raises(NotImplementedError, match="three-component JPEG"):
             decode_media(bytes(payload), "image/jpeg")
+
+
+def test_jpeg_all_chroma_layouts_mcu_constant_roundtrip_exact():
+    """Every sampling in _JPEG_SAMPLINGS (4:4:4/4:2:0/4:2:2/4:4:0/4:1:1)
+    round-trips per-MCU-constant YCbCr exactly, and the progressive
+    encode of the same planes decodes bit-identically to the baseline
+    stream — the shared-coefficient-pipeline proof at every layout."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(1211)
+    for samp, (yh, yv) in sorted(M._JPEG_SAMPLINGS.items()):
+        mw, mh = 8 * yh, 8 * yv
+        w, h = mw * 3, mh * 2
+        ymc = rng.randint(20, 236, size=(2, 3), dtype=np.uint8)
+        Y = np.kron(ymc, np.ones((mh, mw), np.uint8))
+        Cb = np.kron(
+            rng.randint(20, 236, size=(2, 3), dtype=np.uint8),
+            np.ones((8, 8), np.uint8),
+        )
+        Cr = np.kron(
+            rng.randint(20, 236, size=(2, 3), dtype=np.uint8),
+            np.ones((8, 8), np.uint8),
+        )
+        base = M.encode_jpeg_baseline_color(
+            w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes(), sampling=samp
+        )
+        d = decode_media(base, "image/jpeg")
+        assert (d["width"], d["height"]) == (w, h), samp
+        # Closed-form expected RGB: nearest upsample + BT.601 half-up.
+        Yf = Y.astype(np.float64)
+        cbf = Cb.repeat(yv, axis=0).repeat(yh, axis=1).astype(np.float64) - 128.0
+        crf = Cr.repeat(yv, axis=0).repeat(yh, axis=1).astype(np.float64) - 128.0
+        r = np.floor(Yf + 1.402 * crf + 0.5)
+        g = np.floor(Yf - 0.344136 * cbf - 0.714136 * crf + 0.5)
+        b = np.floor(Yf + 1.772 * cbf + 0.5)
+        exp = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+        assert np.array_equal(np.asarray(d["values"]), exp.reshape(-1)), samp
+        prog = M.encode_jpeg_progressive_color(
+            w, h, Y.tobytes(), Cb.tobytes(), Cr.tobytes(), sampling=samp
+        )
+        dp = decode_media(prog, "image/jpeg")
+        assert np.array_equal(np.asarray(dp["values"]), np.asarray(d["values"])), samp
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """Pq=1 (16-bit big-endian) DQT entries parse and — being all-ones
+    in the twin — decode bit-identically to the Pq=0 stream; a bad Pq
+    nibble is rejected with a real error."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(16)
+    g = np.kron(
+        rng.randint(0, 256, size=(2, 3), dtype=np.uint8),
+        np.ones((8, 8), np.uint8),
+    )
+    p8 = M.encode_jpeg_progressive_gray(24, 16, g.tobytes())
+    p16 = M.encode_jpeg_progressive_gray(24, 16, g.tobytes(), quant_precision=16)
+    assert p8 != p16  # genuinely different DQT encodings on the wire
+    d8, d16 = decode_media(p8, "image/jpeg"), decode_media(p16, "image/jpeg")
+    assert np.array_equal(np.asarray(d8["values"]), g.reshape(-1))
+    assert np.array_equal(np.asarray(d16["values"]), np.asarray(d8["values"]))
+    with pytest.raises(ValueError, match="quant_precision"):
+        M.encode_jpeg_progressive_gray(24, 16, g.tobytes(), quant_precision=12)
+    # Corrupt the Pq nibble to an undefined value (2): clean rejection.
+    i = p16.find(b"\xff\xdb")
+    bad = bytearray(p16)
+    bad[i + 4] = 0x20 | (bad[i + 4] & 0x0F)
+    with pytest.raises(ValueError, match="bad DQT precision"):
+        decode_media(bytes(bad), "image/jpeg")
 
 
 try:
@@ -642,7 +717,7 @@ def test_jpeg_422_validates_chroma_geometry():
         )
     with pytest.raises(ValueError, match="unsupported sampling"):
         M.encode_jpeg_baseline_color(
-            16, 16, bytes(256), bytes(64), bytes(64), sampling="411"
+            16, 16, bytes(256), bytes(64), bytes(64), sampling="410"
         )
 
 
@@ -867,14 +942,114 @@ def test_png_palette_without_plte_rejected():
         decode_media(stripped, "image/png")
 
 
-def test_png_16bit_still_rejected():
+def test_png_16bit_samples_roundtrip_exact():
+    """16-bit samples (r12): big-endian pairs join into uint16 values
+    with no lossy >>8 downscale — every 16-capable color type, plain
+    and Adam7-interlaced, through all five filters."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(1216)
+    for color, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        w, h = 11, 7
+        vals = rng.randint(0, 65536, size=(h, w * ch), dtype=np.uint16)
+        pix = vals.astype(">u2").tobytes()
+        for interlace in (False, True):
+            payload = encode_png(
+                w, h, pix, color=color, depth=16,
+                row_filters=[0, 1, 2, 3, 4], interlace=interlace,
+            )
+            d = _decode_png(payload)
+            assert (d["width"], d["height"]) == (w, h)
+            assert d["values"].dtype == np.uint16
+            assert np.array_equal(d["values"], vals.reshape(-1)), (color, interlace)
+
+
+def test_png_sub8_greyscale_exact_scaling():
+    """Sub-8-bit greyscale levels scale by the exact integer factor
+    255/(2^d−1) ∈ {255, 85, 17} — lossless, including interlaced."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(852)
+    for depth in (1, 2, 4):
+        w, h = 13, 6
+        levels = rng.randint(0, 1 << depth, size=(h, w), dtype=np.uint8)
+        for interlace in (False, True):
+            payload = encode_png(
+                w, h, levels.tobytes(), color=0, depth=depth,
+                row_filters=[0, 1, 2, 3, 4], interlace=interlace,
+            )
+            d = _decode_png(payload)
+            factor = 255 // ((1 << depth) - 1)
+            assert np.array_equal(
+                d["values"], (levels * factor).reshape(-1)
+            ), (depth, interlace)
+
+
+def test_png_trns_palette_alpha_and_color_key():
+    """tRNS: palette images expand to RGBA (entries past the chunk end
+    default opaque, PNG §11.3.2.1); greyscale/RGB surface the
+    transparent-color key without touching the sample stream."""
     import struct
 
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    pal = bytes(rng.randint(0, 256, size=48, dtype=np.uint8))  # 16 entries
+    idx = rng.randint(0, 16, size=(5, 9), dtype=np.uint8)
+    payload = encode_png(
+        9, 5, idx.tobytes(), color=3, depth=4, palette=pal,
+        trns=bytes([0, 128, 255]), row_filters=[0, 1, 2, 3, 4],
+    )
+    d = _decode_png(payload)
+    pala = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    alpha = np.full(16, 255, np.uint8)
+    alpha[:3] = [0, 128, 255]
+    rgba = np.concatenate([pala, alpha[:, None]], axis=1)
+    assert np.array_equal(d["values"], rgba[idx.reshape(-1)].reshape(-1))
+
+    grey = rng.randint(0, 256, size=(4, 4), dtype=np.uint8)
+    d = _decode_png(
+        encode_png(4, 4, grey.tobytes(), color=0, trns=(7).to_bytes(2, "big"))
+    )
+    assert d["transparent"] == (7,)
+    assert np.array_equal(d["values"], grey.reshape(-1))
+
+    rgb = rng.randint(0, 256, size=(4, 12), dtype=np.uint8)
+    d = _decode_png(
+        encode_png(4, 4, rgb.tobytes(), color=2, trns=struct.pack(">HHH", 1, 2, 3))
+    )
+    assert d["transparent"] == (1, 2, 3)
+    assert np.array_equal(d["values"], rgb.reshape(-1))
+
+
+def test_png_16bit_palette_still_rejected():
+    """Depth-16 palette is illegal per the spec's own table and stays
+    rejected; so do depths the spec never defined (e.g. 3)."""
     from ai_coach_data_source_orchestrator_spark.operators.multimodal import encode_png
 
-    payload = bytearray(encode_png(4, 4, bytes(48), color=2))
+    payload = bytearray(
+        encode_png(4, 4, bytes(16), color=3, depth=8, palette=bytes(6))
+    )
     i = payload.find(b"IHDR") + 4
     assert payload[i + 8] == 8  # bit depth byte
     payload[i + 8] = 16
+    with pytest.raises(ValueError, match="unsupported PNG shape"):
+        decode_media(bytes(payload), "image/png")
+    payload[i + 8] = 3
     with pytest.raises(ValueError, match="unsupported PNG shape"):
         decode_media(bytes(payload), "image/png")
