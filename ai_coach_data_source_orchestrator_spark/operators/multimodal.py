@@ -153,6 +153,9 @@ def decode_media(payload: bytes, mime: str, jfif_coeffs=None) -> dict:
     if mime == "image/png":
         return _decode_png(payload)
 
+    if mime == "image/gif":
+        return _decode_gif(payload)
+
     if mime == "image/jpeg":
         return _decode_jpeg(payload, jfif_coeffs=jfif_coeffs)
 
@@ -504,6 +507,326 @@ def encode_png(
     if trns is not None:
         out += chunk(b"tRNS", trns)
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------------------
+# GIF (r12): the third web image container that needs no codec library —
+# the only compression is LZW, which is ~40 lines of table bookkeeping.
+# Decoder: header/LSD parse, global+local color tables, extension-block
+# walk (GCE transparency honored, comment/app/plaintext skipped),
+# variable-width LSB-first LZW with clear/EOI codes and the 4095-entry
+# cap, four-pass interlace scatter, first-frame composite onto the
+# background with the frame count surfaced. Encoder twin: real LZW
+# compression (dict growth across width bumps, clear-code reset at the
+# cap), sub-block segmentation, optional interlace/GCE — so every
+# decoder path is proven by round-trip, same pattern as PNG/JPEG.
+# ---------------------------------------------------------------------------
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_decode_gif(mcs: int, data: bytes, expected: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at mcs+1, LSB-first
+    bit packing, clear = 2^mcs resets the table, EOI ends the stream,
+    width bumps when the table fills the current width (12-bit cap,
+    then the table freezes until a clear). Returns ``expected`` index
+    bytes (trailing codes past the pixel count are tolerated, matching
+    real-world writers)."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"bad LZW minimum code size {mcs}")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW code {code} before any output")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _lzw_encode_gif(mcs: int, indices: bytes) -> bytes:
+    """The encoder mirror of _lzw_decode_gif: emits an initial clear
+    code, grows the dictionary one entry per emitted code (bumping the
+    width when the just-assigned code reaches 2^width), and emits a
+    clear + reset at the 4095 cap so long streams exercise the
+    decoder's mid-stream reset."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """REAL GIF decode, stdlib-only: GIF87a/89a header + logical screen
+    descriptor, global/local color tables, extension walk (GCE
+    transparency applies to the following image; comment/application/
+    plain-text blocks are length-skipped), per-frame LZW decode with
+    interlace scatter, and a first-frame composite. ``values`` is the
+    logical screen as RGB (or RGBA when frame 0 carries a GCE
+    transparent index: uncovered/transparent pixels get the background
+    RGB at alpha 0, painted pixels alpha 255 — the compositor-accurate
+    first-frame render). Every frame's pixel data is LZW-decoded and
+    bounds-checked even though only frame 0 is rendered; the frame
+    count is surfaced as ``frames``."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"bad GIF signature {payload[:6]!r}")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height, packed, bg_idx, _aspect = struct.unpack(
+        "<HHBBB", payload[6:13]
+    )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if p >= len(payload):
+                raise ValueError("unterminated sub-block sequence")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return b"".join(chunks), p
+            chunks.append(payload[p : p + n])
+            if len(chunks[-1]) != n:
+                raise ValueError("truncated sub-block")
+            p += n
+
+    frames = []  # (left, top, fw, fh, indices ndarray, palette, transparent)
+    gce_transparent = None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("missing GIF trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated extension block")
+            label = payload[pos]
+            pos += 1
+            body, pos = sub_blocks(pos)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                flags, _delay, tidx = struct.unpack("<BHB", body[:4])
+                gce_transparent = tidx if flags & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X} at {pos - 1}")
+        left, top, fw, fh, ipacked = struct.unpack(
+            "<HHHHB", payload[pos : pos + 9]
+        )
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+            if pal.size != 3 * n:
+                raise ValueError("truncated local color table")
+            pal = pal.reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("image without any color table")
+        if left + fw > width or top + fh > height:
+            raise ValueError("frame rectangle exceeds the logical screen")
+        mcs = payload[pos]
+        pos += 1
+        data, pos = sub_blocks(pos)
+        idx = np.frombuffer(
+            _lzw_decode_gif(mcs, data, fw * fh), dtype=np.uint8
+        )
+        if idx.size != fw * fh:
+            raise ValueError("LZW stream shorter than the frame")
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("color index out of palette range")
+        idx = idx.reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: gather the four passes back
+            seq = np.empty((fh, fw), dtype=np.uint8)
+            r = 0
+            for y0, dy in _GIF_INTERLACE:
+                n_rows = len(range(y0, fh, dy))
+                seq[y0::dy] = idx[r : r + n_rows]
+                r += n_rows
+            idx = seq
+        frames.append((left, top, fw, fh, idx, pal, gce_transparent))
+        gce_transparent = None
+
+    if not frames:
+        raise ValueError("GIF contains no image")
+    left, top, fw, fh, idx, pal, transparent = frames[0]
+    bg_rgb = (
+        pal[bg_idx] if gct is not None and bg_idx < pal.shape[0]
+        else np.zeros(3, np.uint8)
+    )
+    if transparent is None:
+        canvas = np.broadcast_to(bg_rgb, (height, width, 3)).copy()
+        canvas[top : top + fh, left : left + fw] = pal[idx]
+        out = canvas.reshape(-1)
+    else:
+        canvas = np.zeros((height, width, 4), dtype=np.uint8)
+        canvas[:, :, :3] = bg_rgb
+        rgba = np.concatenate(
+            [pal[idx], np.full((fh, fw, 1), 255, np.uint8)], axis=2
+        )
+        keep = idx == transparent
+        rgba[keep, :3] = bg_rgb
+        rgba[keep, 3] = 0
+        canvas[top : top + fh, left : left + fw] = rgba
+        out = canvas.reshape(-1)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "values": out,
+        "frames": len(frames),
+    }
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    frames,
+    palette: bytes,
+    interlace: bool = False,
+    transparent: int | None = None,
+    bg_index: int = 0,
+    local_palettes=None,
+) -> bytes:
+    """Minimal GIF writer for the decode tests: real LZW compression
+    (via _lzw_encode_gif, so width bumps / clear resets are genuinely
+    on the wire), ≤255-byte sub-block segmentation, optional four-pass
+    interlace, a GCE transparency block per frame when ``transparent``
+    is set, and optional per-frame local color tables. ``frames`` is a
+    list of full-screen index buffers (bytes, width*height each);
+    ``palette`` is the global table's RGB bytes (length a power of two
+    times 3, ≥ 2 entries)."""
+    import math
+    import struct
+
+    import numpy as np
+
+    n_colors = len(palette) // 3
+    assert len(palette) % 3 == 0 and n_colors >= 2
+    assert (n_colors & (n_colors - 1)) == 0, "palette size must be 2^n"
+    gct_bits = int(math.log2(n_colors))
+    out = bytearray(b"GIF89a" if transparent is not None else b"GIF87a")
+    out += struct.pack(
+        "<HHBBB", width, height, 0x80 | (gct_bits - 1), bg_index, 0
+    )
+    out += palette
+    for fi, frame in enumerate(frames):
+        assert len(frame) == width * height
+        lpal = None if local_palettes is None else local_palettes[fi]
+        ncol = n_colors if lpal is None else len(lpal) // 3
+        if transparent is not None:
+            out += b"\x21\xf9" + bytes([4]) + struct.pack(
+                "<BHB", 0x01, 0, transparent
+            ) + b"\x00"
+        ipacked = 0x40 if interlace else 0
+        if lpal is not None:
+            assert len(lpal) % 3 == 0 and (ncol & (ncol - 1)) == 0
+            ipacked |= 0x80 | (int(math.log2(ncol)) - 1)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipacked)
+        if lpal is not None:
+            out += lpal
+        idx = np.frombuffer(frame, dtype=np.uint8).reshape(height, width)
+        assert int(idx.max(initial=0)) < ncol
+        if interlace:
+            idx = np.concatenate(
+                [idx[y0::dy] for y0, dy in _GIF_INTERLACE], axis=0
+            )
+        mcs = max(2, int(math.log2(ncol)))
+        out.append(mcs)
+        lzw = _lzw_encode_gif(mcs, idx.tobytes())
+        for i in range(0, len(lzw), 255):
+            part = lzw[i : i + 255]
+            out.append(len(part))
+            out += part
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -2000,21 +2323,27 @@ _WAV_RATE = 8000
 
 
 def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
-    """Deterministic real-format media synthesis keyed on ``doc_id % 6``:
+    """Deterministic real-format media synthesis keyed on ``doc_id % 7``:
     0 → P6 PPM RGB images (w=4+id%13, h=3+id%7, byte_i=(id*31+i*7)%256),
     1 → P5 PGM grayscale images (w=5+id%11, h=4+id%5,
     byte_i=(id*37+i*11)%256), 2 → mono PCM16 WAVs (n=16+id%50 samples,
     s_i=(id*131+i*17)%2003-1001), 3 → baseline JFIF grayscale
     (w=8·(1+id%3), h=8·(1+id%2), per-8×8-block constant value
     v_b=(id*41+b*13)%256 in raster block order), 4 → baseline JFIF
-    COLOR, 4:2:0 YCbCr (VERDICT r10 item 5; w=16·(1+id%3),
-    h=16·(1+id%2), per-16×16-MCU constant planes y_m=(id*23+m*7)%256,
+    COLOR cycling through ALL FIVE chroma layouts (VERDICT r10 item 5 +
+    r12: sampling picked by id%5 from 420/422/444/440/411, so the
+    exotic layouts sit under the driver gate too; w=8·yh·(1+id%3),
+    h=8·yv·(1+id%2), per-MCU constant planes y_m=(id*23+m*7)%256,
     cb_m=(id*29+m*11)%256, cr_m=(id*31+m*13)%256 in raster MCU order),
     5 → PROGRESSIVE (SOF2) JFIF grayscale (VERDICT r11 item 3;
     w=8·(1+id%4), h=8·(1+id%3), per-8×8-block constant
     v_b=(id*43+b*17)%256, one restart interval per block row so the
-    DRI path is exercised in progressive mode too). All six container
-    kinds the decoder supports are exercised.
+    DRI path is exercised in progressive mode too), 6 → interlaced GIF
+    (r12: w=5+id%12, h=4+id%6, 16-entry palette byte_k=(id*19+k*53)%256,
+    index_i=(id*47+i*29)%16 — the four-pass interlace scatter and LZW
+    decode are on the driver-gated path, and lossless palette expansion
+    keeps the oracle closed-form). All seven container kinds the
+    decoder supports are exercised.
 
     The payloads are genuine container bytes (parseable by any netpbm /
     WAV / JPEG reader), but every pixel/sample is a closed-form function
@@ -2036,25 +2365,25 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
             out = {"doc_id": [], "mime": [], "payload": []}
             for doc_id in pdf["doc_id"].astype("int64"):
                 doc_id = int(doc_id)
-                if doc_id % 6 == 0:
+                if doc_id % 7 == 0:
                     w, h = 4 + doc_id % 13, 3 + doc_id % 7
                     i = np.arange(w * h * 3, dtype=np.int64)
                     pix = ((doc_id * 31 + i * 7) % 256).astype(np.uint8).tobytes()
                     out["mime"].append("image/x-portable-pixmap")
                     out["payload"].append(encode_ppm(w, h, pix))
-                elif doc_id % 6 == 1:
+                elif doc_id % 7 == 1:
                     w, h = 5 + doc_id % 11, 4 + doc_id % 5
                     i = np.arange(w * h, dtype=np.int64)
                     pix = ((doc_id * 37 + i * 11) % 256).astype(np.uint8).tobytes()
                     out["mime"].append("image/x-portable-graymap")
                     out["payload"].append(encode_pgm(w, h, pix))
-                elif doc_id % 6 == 2:
+                elif doc_id % 7 == 2:
                     n = 16 + doc_id % 50
                     i = np.arange(n, dtype=np.int64)
                     s = (doc_id * 131 + i * 17) % 2003 - 1001
                     out["mime"].append("audio/wav")
                     out["payload"].append(encode_wav_pcm16(s, _WAV_RATE))
-                elif doc_id % 6 == 3:
+                elif doc_id % 7 == 3:
                     w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
                     img = np.zeros((h, w), dtype=np.uint8)
                     for b in range((w // 8) * (h // 8)):
@@ -2066,14 +2395,21 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                     out["payload"].append(
                         encode_jpeg_baseline_gray(w, h, img.tobytes())
                     )
-                elif doc_id % 6 == 4:
-                    w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
+                elif doc_id % 7 == 4:
+                    # Cycle the five chroma layouts so 4:4:0/4:1:1 sit
+                    # under the driver gate, not just unit tests. Per-
+                    # MCU-constant planes keep the oracle closed-form at
+                    # every layout (the MCU is just 8·yh × 8·yv now).
+                    samp = ("420", "422", "444", "440", "411")[doc_id % 5]
+                    yh, yv = _JPEG_SAMPLINGS[samp]
+                    mw, mh = 8 * yh, 8 * yv
+                    w, h = mw * (1 + doc_id % 3), mh * (1 + doc_id % 2)
                     Y = np.zeros((h, w), dtype=np.uint8)
-                    Cb = np.zeros((h // 2, w // 2), dtype=np.uint8)
-                    Cr = np.zeros((h // 2, w // 2), dtype=np.uint8)
-                    for m in range((w // 16) * (h // 16)):
-                        my, mx = divmod(m, w // 16)
-                        Y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
+                    Cb = np.zeros((h // yv, w // yh), dtype=np.uint8)
+                    Cr = np.zeros((h // yv, w // yh), dtype=np.uint8)
+                    for m in range((w // mw) * (h // mh)):
+                        my, mx = divmod(m, w // mw)
+                        Y[my * mh : my * mh + mh, mx * mw : mx * mw + mw] = (
                             doc_id * 23 + m * 7
                         ) % 256
                         Cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
@@ -2095,10 +2431,11 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                             Y.tobytes(),
                             Cb.tobytes(),
                             Cr.tobytes(),
-                            restart_interval=w // 16,
+                            restart_interval=w // mw,
+                            sampling=samp,
                         )
                     )
-                else:
+                elif doc_id % 7 == 5:
                     w, h = 8 * (1 + doc_id % 4), 8 * (1 + doc_id % 3)
                     img = np.zeros((h, w), dtype=np.uint8)
                     for b in range((w // 8) * (h // 8)):
@@ -2115,6 +2452,23 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                     out["payload"].append(
                         encode_jpeg_progressive_gray(
                             w, h, img.tobytes(), restart_interval=w // 8
+                        )
+                    )
+                else:
+                    # GIF member (r12): interlaced on the wire — the
+                    # decoder's four-pass scatter and variable-width
+                    # LZW run on every member, while the decoded pixels
+                    # (palette expansion) stay closed-form in doc_id.
+                    w, h = 5 + doc_id % 12, 4 + doc_id % 6
+                    k = np.arange(48, dtype=np.int64)
+                    pal = ((doc_id * 19 + k * 53) % 256).astype(np.uint8)
+                    i = np.arange(w * h, dtype=np.int64)
+                    idx = ((doc_id * 47 + i * 29) % 16).astype(np.uint8)
+                    out["mime"].append("image/gif")
+                    out["payload"].append(
+                        encode_gif(
+                            w, h, [idx.tobytes()], pal.tobytes(),
+                            interlace=True,
                         )
                     )
                 out["doc_id"].append(doc_id)

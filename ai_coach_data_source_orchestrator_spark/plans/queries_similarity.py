@@ -259,7 +259,7 @@ _RMS_MICRO = (
     oracle=f"""
     WITH img AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      FROM documents WHERE doc_id % 6 = 0
+      FROM documents WHERE doc_id % 7 = 0
     ),
     ivals AS (
       SELECT doc_id, w, h, w * h * 3 AS n_values,
@@ -270,7 +270,7 @@ _RMS_MICRO = (
     ),
     gry AS (
       SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
-      FROM documents WHERE doc_id % 6 = 1
+      FROM documents WHERE doc_id % 7 = 1
     ),
     gvals AS (
       SELECT doc_id, w, h, w * h AS n_values,
@@ -280,7 +280,7 @@ _RMS_MICRO = (
       GROUP BY doc_id, w, h
     ),
     aud AS (
-      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 6 = 2
+      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 7 = 2
     ),
     avals AS (
       SELECT doc_id, n_values,
@@ -292,7 +292,7 @@ _RMS_MICRO = (
     ),
     jm AS (
       SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
-      FROM documents WHERE doc_id % 6 = 3
+      FROM documents WHERE doc_id % 7 = 3
     ),
     jvals AS (
       -- per-8x8-block constant v_b=(id*41+b*13)%256: each block
@@ -306,37 +306,49 @@ _RMS_MICRO = (
       GROUP BY doc_id, w, h
     ),
     jc AS (
-      SELECT doc_id, 16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h
-      FROM documents WHERE doc_id % 6 = 4
+      -- color JFIF cycling all five chroma layouts by doc_id % 5
+      -- (420/422/444/440/411 -> luma factors yh, yv); the MCU is
+      -- 8*yh x 8*yv and each MCU is one constant (y, cb, cr)
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1
+                             WHEN 3 THEN 1 ELSE 4 END AS yh,
+             CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
+                             WHEN 3 THEN 2 ELSE 1 END AS yv
+      FROM documents WHERE doc_id % 7 = 4
+    ),
+    jcd AS (
+      SELECT doc_id, 8 * yh * (1 + doc_id % 3) AS w,
+             8 * yv * (1 + doc_id % 2) AS h, 64 * yh * yv AS px_per_mcu
+      FROM jc
     ),
     jcv AS (
-      -- color 4:2:0 JFIF, per-16x16-MCU constant YCbCr planes: the
-      -- DC-only round-trip restores y/cb/cr exactly, so the oracle
-      -- replays only the DECODER's YCbCr->RGB arithmetic — identical
-      -- float64 expression order and floor-half-up rounding as
+      -- per-MCU constant YCbCr planes: the DC-only round-trip restores
+      -- y/cb/cr exactly at every layout, so the oracle replays only
+      -- the DECODER's YCbCr->RGB arithmetic — identical float64
+      -- expression order and floor-half-up rounding as
       -- operators/multimodal._decode_jpeg's color tail
-      SELECT doc_id, w, h,
+      SELECT doc_id, w, h, px_per_mcu,
              (doc_id * 23 + m * 7) % 256 AS y,
              CAST((doc_id * 29 + m * 11) % 256 AS DOUBLE) - 128.0 AS cbd,
              CAST((doc_id * 31 + m * 13) % 256 AS DOUBLE) - 128.0 AS crd
-      FROM jc, unnest(range((w // 16) * (h // 16))) s(m)
+      FROM jcd, unnest(range((1 + doc_id % 3) * (1 + doc_id % 2))) s(m)
     ),
     jcrgb AS (
-      SELECT doc_id, w, h,
+      SELECT doc_id, w, h, px_per_mcu,
              least(greatest(floor(y + 1.402 * crd + 0.5), 0), 255) AS r,
              least(greatest(floor(y - 0.344136 * cbd - 0.714136 * crd + 0.5), 0), 255) AS g,
              least(greatest(floor(y + 1.772 * cbd + 0.5), 0), 255) AS b
       FROM jcv
     ),
     jcvals AS (
-      -- each MCU is 256 pixels of one (r, g, b)
+      -- each MCU is px_per_mcu pixels of one (r, g, b)
       SELECT doc_id, w, h, w * h * 3 AS n_values,
-             CAST(256 * SUM(r + g + b) AS BIGINT) AS val_sum,
-             CAST(256 * SUM(r * r + g * g + b * b) AS BIGINT) AS val_sumsq
+             CAST(SUM(px_per_mcu * (r + g + b)) AS BIGINT) AS val_sum,
+             CAST(SUM(px_per_mcu * (r * r + g * g + b * b)) AS BIGINT) AS val_sumsq
       FROM jcrgb GROUP BY doc_id, w, h),
     jp AS (
       SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
-      FROM documents WHERE doc_id % 6 = 5
+      FROM documents WHERE doc_id % 7 = 5
     ),
     jpvals AS (
       -- PROGRESSIVE (SOF2) grayscale, per-8x8-block constant
@@ -349,6 +361,27 @@ _RMS_MICRO = (
              64 * SUM(((doc_id * 43 + b * 17) % 256) * ((doc_id * 43 + b * 17) % 256)) AS val_sumsq
       FROM jp, unnest(range((w // 8) * (h // 8))) s(b)
       GROUP BY doc_id, w, h
+    ),
+    gif AS (
+      SELECT doc_id, 5 + doc_id % 12 AS w, 4 + doc_id % 6 AS h
+      FROM documents WHERE doc_id % 7 = 6
+    ),
+    gifpx AS (
+      -- interlaced GIF (r12): LZW + four-pass interlace are lossless,
+      -- so pixel i is just the palette expansion of index
+      -- (id*47+i*29)%16 with palette byte k = (id*19+k*53)%256
+      SELECT doc_id, w, h, 3 * ((doc_id * 47 + i * 29) % 16) AS base
+      FROM gif, unnest(range(w * h)) s(i)
+    ),
+    gifvals AS (
+      SELECT doc_id, w, h, w * h * 3 AS n_values,
+             SUM((doc_id * 19 + (base + 0) * 53) % 256
+               + (doc_id * 19 + (base + 1) * 53) % 256
+               + (doc_id * 19 + (base + 2) * 53) % 256) AS val_sum,
+             SUM(((doc_id * 19 + (base + 0) * 53) % 256) * ((doc_id * 19 + (base + 0) * 53) % 256)
+               + ((doc_id * 19 + (base + 1) * 53) % 256) * ((doc_id * 19 + (base + 1) * 53) % 256)
+               + ((doc_id * 19 + (base + 2) * 53) % 256) * ((doc_id * 19 + (base + 2) * 53) % 256)) AS val_sumsq
+      FROM gifpx GROUP BY doc_id, w, h
     )
     SELECT doc_id, 'image' AS kind, CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
@@ -380,23 +413,36 @@ _RMS_MICRO = (
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM jpvals
+    UNION ALL
+    SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
+           CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           {_MEAN_MICRO}, {_RMS_MICRO}
+    FROM gifvals
     """,
     survey_ids=("S13", "K7"),
-    description="REAL media decode: synthesized PPM/PGM/WAV/gray+color+progressive-JFIF bytes parsed back to verified features",
+    description=(
+        "REAL media decode: synthesized PPM/PGM/WAV/gray+5-layout-color"
+        "+progressive-JFIF/interlaced-GIF bytes parsed back to verified"
+        " features"
+    ),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize genuine PPM (P6) / PGM (P5) / WAV (PCM16) / baseline
-    + PROGRESSIVE (SOF2) JFIF container bytes from closed-form doc_id
-    formulas, then REALLY decode them (header parse + numpy payload
-    extraction; for JPEG the full canonical-Huffman entropy decode →
-    dequantize → IDCT chain, multi-scan successive-approximation
-    accumulation for the progressive member) and derive mean-luma /
-    RMS-amplitude features. The oracle recomputes the same features
-    straight from the formulas, so any decode defect (header offset,
-    endianness, channel count, Huffman/DCT bug, progressive scan-state
-    bug) breaks the hash match. The JPEG splits' per-block-constant
-    pixels keep the lossy codec's round-trip exact (DC-only blocks) —
-    the decoder still runs its general path.
+    + PROGRESSIVE (SOF2) JFIF / interlaced GIF container bytes from
+    closed-form doc_id formulas, then REALLY decode them (header parse
+    + numpy payload extraction; for JPEG the full canonical-Huffman
+    entropy decode → dequantize → IDCT chain, multi-scan successive-
+    approximation accumulation for the progressive member; for GIF
+    variable-width LZW + four-pass de-interlace + palette expansion)
+    and derive mean-luma / RMS-amplitude features. The color-JFIF
+    member cycles all five supported chroma layouts (4:2:0/4:2:2/4:4:4/
+    4:4:0/4:1:1 by doc_id % 5), so the r12 layouts are driver-gated.
+    The oracle recomputes the same features straight from the formulas,
+    so any decode defect (header offset, endianness, channel count,
+    Huffman/DCT bug, progressive scan-state bug, LZW/interlace bug)
+    breaks the hash match. The JPEG splits' per-block-constant pixels
+    keep the lossy codec's round-trip exact (DC-only blocks) — the
+    decoder still runs its general path.
 
     Scale: synthesis and decode are Arrow-batched mapInPandas over the
     partitioned documents table; payloads never leave executors; the

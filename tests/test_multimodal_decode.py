@@ -1053,3 +1053,162 @@ def test_png_16bit_palette_still_rejected():
     payload[i + 8] = 3
     with pytest.raises(ValueError, match="unsupported PNG shape"):
         decode_media(bytes(payload), "image/png")
+
+
+# ---------------------------------------------------------------------------
+# GIF (r12): LZW is the only compression, so GIF needs no codec library
+# either. Twin-encoder proofs throughout — the writer's LZW genuinely
+# compresses (dict growth, width bumps, clear resets on the wire).
+# ---------------------------------------------------------------------------
+
+
+def test_gif_known_bytes_from_spec():
+    """A hand-assembled 1×1 white GIF89a (the canonical minimal stream:
+    clear, index 0, EOI at width 3) decodes without our own encoder in
+    the loop — pinning header/LSD/descriptor offsets and LZW bit order
+    against the spec, not the twin."""
+    import numpy as np
+
+    payload = bytes.fromhex(
+        "474946383961"  # GIF89a
+        "0100010080000"  # LSD: 1x1, GCT flag, 2 entries, bg 0, aspect 0
+        "0"
+        "ffffff" "000000"  # palette: white, black
+        "2c000000000100010000"  # image descriptor (no LCT, no interlace)
+        "02"  # LZW minimum code size
+        "02" "4401"  # one sub-block: clear(100) idx0(000) eoi(101) LSB-first
+        "00"  # sub-block terminator
+        "3b"  # trailer
+    )
+    d = decode_media(payload, "image/gif")
+    assert (d["width"], d["height"], d["frames"]) == (1, 1, 1)
+    assert np.array_equal(d["values"], np.array([255, 255, 255], np.uint8))
+
+
+def test_gif_roundtrip_plain_interlaced_multiframe():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(1212)
+    pal = bytes(rng.randint(0, 256, size=16 * 3, dtype=np.uint8))
+    pala = np.frombuffer(pal, np.uint8).reshape(16, 3)
+    w, h = 19, 11
+    f0 = rng.randint(0, 16, size=w * h).astype(np.uint8)
+    f1 = rng.randint(0, 16, size=w * h).astype(np.uint8)
+
+    d = decode_media(encode_gif(w, h, [f0.tobytes()], pal), "image/gif")
+    assert (d["width"], d["height"], d["frames"]) == (w, h, 1)
+    assert np.array_equal(d["values"], pala[f0].reshape(-1))
+
+    # Interlaced stream must decode bit-identically to the plain one.
+    di = _decode_gif(encode_gif(w, h, [f0.tobytes()], pal, interlace=True))
+    assert np.array_equal(di["values"], d["values"])
+
+    # Multi-frame: every frame LZW-decodes; frame 0 is rendered.
+    dm = _decode_gif(encode_gif(w, h, [f0.tobytes(), f1.tobytes()], pal))
+    assert dm["frames"] == 2
+    assert np.array_equal(dm["values"], d["values"])
+
+
+def test_gif_transparency_and_local_palette():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(77)
+    pal = bytes(rng.randint(0, 256, size=16 * 3, dtype=np.uint8))
+    pala = np.frombuffer(pal, np.uint8).reshape(16, 3)
+    w, h = 9, 7
+    f0 = rng.randint(0, 16, size=w * h).astype(np.uint8)
+
+    # GCE transparency: RGBA out; transparent pixels show bg at alpha 0.
+    d = _decode_gif(
+        encode_gif(w, h, [f0.tobytes()], pal, transparent=5, bg_index=2)
+    )
+    exp = np.concatenate(
+        [pala[f0], np.full((w * h, 1), 255, np.uint8)], axis=1
+    )
+    mask = f0 == 5
+    exp[mask, :3] = pala[2]
+    exp[mask, 3] = 0
+    assert np.array_equal(d["values"], exp.reshape(-1))
+
+    # A local color table overrides the global one for its frame.
+    lpal = bytes(rng.randint(0, 256, size=16 * 3, dtype=np.uint8))
+    lpala = np.frombuffer(lpal, np.uint8).reshape(16, 3)
+    d = _decode_gif(
+        encode_gif(w, h, [f0.tobytes()], pal, local_palettes=[lpal])
+    )
+    assert np.array_equal(d["values"], lpala[f0].reshape(-1))
+
+
+def test_gif_malformed_inputs_raise():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError, match="bad GIF signature"):
+        _decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError, match="contains no image"):
+        _decode_gif(b"GIF89a" + bytes(7) + b"\x3b")
+    with pytest.raises(ValueError, match="truncated GIF header"):
+        _decode_gif(b"GIF89a\x01\x00")
+    # Truncate mid-LZW: the sub-block walk or bit reader must complain.
+    pal = bytes(range(48))
+    f0 = (np.arange(64, dtype=np.uint8) % 16).tobytes()
+    good = encode_gif(8, 8, [f0], pal)
+    with pytest.raises(ValueError):
+        _decode_gif(good[: len(good) - 6])
+    # Flip a data byte into an out-of-range code: either the LZW table
+    # bound or the palette bound trips — never silent garbage.
+    corrupt = bytearray(good)
+    corrupt[-8] ^= 0xFF
+    try:
+        _decode_gif(bytes(corrupt))
+    except ValueError:
+        pass
+
+
+try:
+    from hypothesis import given as _gif_given
+    from hypothesis import settings as _gif_settings
+    from hypothesis import strategies as _gif_st
+
+    @_gif_given(
+        mcs=_gif_st.integers(min_value=2, max_value=8),
+        n=_gif_st.integers(min_value=1, max_value=6000),
+        seed=_gif_st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @_gif_settings(max_examples=40, deadline=None)
+    def test_gif_lzw_roundtrip_property(mcs, n, seed):
+        """LZW encode→decode is the identity across code sizes and
+        stream lengths spanning width bumps and the 4095-entry reset."""
+        import numpy as np
+
+        from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+            _lzw_decode_gif,
+            _lzw_encode_gif,
+        )
+
+        rng = np.random.default_rng(seed)
+        # Low-entropy streams grow the dict fast (long matches), high-
+        # entropy ones emit many codes; mix both.
+        if seed % 2:
+            idx = rng.integers(0, 1 << mcs, size=n, dtype=np.uint8)
+        else:
+            idx = (rng.integers(0, 2, size=n, dtype=np.uint8) * ((1 << mcs) - 1)).astype(np.uint8)
+        enc = _lzw_encode_gif(mcs, idx.tobytes())
+        assert _lzw_decode_gif(mcs, enc, n) == idx.tobytes()
+
+except ImportError:  # pragma: no cover
+    pass
