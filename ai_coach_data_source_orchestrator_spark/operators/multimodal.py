@@ -1,20 +1,23 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 ``decode_media`` REALLY decodes the codec-library-free formats —
-netpbm P6/P5 images, RIFF/WAV mono PCM16, (r8) PNG (now including
-Adam7 interlace and palette images), (r10) baseline-sequential
-grayscale JFIF, (r11) baseline COLOR JFIF, and (r12) progressive
-(SOF2) JFIF — every chroma layout in ``_JPEG_SAMPLINGS``
+netpbm P6/P5 images; RIFF/WAV audio (mono/stereo PCM16 + unsigned
+PCM8 + G.711 µ-law/A-law table expansion); (r8) PNG at every
+spec-legal IHDR shape (depths 1-16, Adam7, palette, tRNS); (r10)
+baseline-sequential grayscale JFIF, (r11) baseline COLOR JFIF, (r12)
+progressive (SOF2) JFIF — every chroma layout in ``_JPEG_SAMPLINGS``
 (4:4:4/4:2:0/4:2:2/4:4:0/4:1:1), interleaved MCUs, chroma upsample +
-BT.601 — in plain Python/NumPy (header parse, magic validation, zlib
-inflate + scanline unfiltering for PNG, canonical-Huffman entropy
-decode + multi-scan coefficient accumulation + dequantize + IDCT for
-JPEG), exercised end-to-end by ``synthesize_media_corpus`` →
-``decode_features`` against a SQL oracle. Still raising
-NotImplementedError: 12-bit JPEG, arithmetic/lossless SOFs, and
-MP3/MP4 — DSP libraries absent from this
-container; production would dispatch them to PIL/pyav inside the
-same Arrow batcher. ``extract_features``/``resize_media``/
+BT.601, DQT at both precisions; (r12) GIF (variable-width LZW,
+four-pass interlace, GCE transparency, local palettes); and (r12)
+BMP (8/24/32-bit, BI_RLE8, both row orders) — in plain Python/NumPy
+(header parse, magic validation, zlib inflate + scanline unfiltering
+for PNG, canonical-Huffman entropy decode + multi-scan coefficient
+accumulation + dequantize + IDCT for JPEG), exercised end-to-end by
+``synthesize_media_corpus`` → ``decode_features`` against a SQL
+oracle. Still raising NotImplementedError: 12-bit JPEG,
+arithmetic/lossless SOFs, and MP3/MP4 — DSP libraries absent from
+this container; production would dispatch them to PIL/pyav inside
+the same Arrow batcher. ``extract_features``/``resize_media``/
 ``sample_frames`` keep their deterministic fake dimension source so
 their oracles stay closed-form over the documents table.
 
@@ -84,18 +87,21 @@ def as_media_table(docs: DataFrame) -> DataFrame:
 def decode_media(payload: bytes, mime: str, jfif_coeffs=None) -> dict:
     """Real decode entry point for the codec-free container formats.
 
-    PPM/PGM (netpbm P6/P5), RIFF/WAV PCM16, PNG (greyscale/RGB/
-    palette/alpha, Adam7 or not) and JFIF JPEG (baseline + progressive)
-    decode in plain Python/NumPy — no external codec library needed —
-    so these paths are REAL: header parsing, magic validation, entropy
-    decode, and payload extraction all operate on the actual bytes.
-    DSP-codec formats (MP3/MP4/...) still raise: those genuinely need
-    libraries absent from this environment, and production would
+    PPM/PGM (netpbm P6/P5), RIFF/WAV (mono/stereo PCM16/PCM8 + G.711
+    µ-law/A-law), PNG (all spec-legal shapes incl. 16-bit, sub-8 grey,
+    tRNS, Adam7), JFIF JPEG (baseline + progressive, five chroma
+    layouts), GIF (LZW, interlace, transparency) and BMP (8/24/32-bit,
+    RLE8) decode in plain Python/NumPy — no external codec library
+    needed — so these paths are REAL: header parsing, magic validation,
+    entropy decode, and payload extraction all operate on the actual
+    bytes. DSP-codec formats (MP3/MP4/...) still raise: those genuinely
+    need libraries absent from this environment, and production would
     dispatch them to pyav here.
 
     Returns a dict: ``kind`` ('image'|'audio'), plus for images
-    ``width/height/values`` (uint8 ndarray of all channel bytes) and for
-    audio ``sample_rate/values`` (int16 ndarray of PCM samples).
+    ``width/height/values`` (uint8 ndarray of channel bytes — uint16
+    for 16-bit PNG) and for audio ``sample_rate/channels/values``
+    (int16 PCM samples; uint8 for PCM8).
     """
     import struct
 
@@ -131,30 +137,56 @@ def decode_media(payload: bytes, mime: str, jfif_coeffs=None) -> dict:
     if mime in ("audio/wav", "audio/x-wav"):
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE container")
-        pos, fmt, data = 12, None, None
+        pos, fmt, raw = 12, None, None
         while pos + 8 <= len(payload):
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
             body = payload[pos + 8 : pos + 8 + size]
             if cid == b"fmt ":
                 audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-                if audio_fmt != 1 or bits != 16 or channels != 1:
+                ok = (
+                    (audio_fmt == 1 and bits in (8, 16))
+                    or (audio_fmt in (6, 7) and bits == 8)  # A-law / µ-law
+                ) and channels in (1, 2)
+                if not ok:
                     raise ValueError(
-                        f"only mono PCM16 supported (fmt={audio_fmt}, bits={bits}, ch={channels})"
+                        "only mono/stereo PCM8/PCM16/G.711 supported "
+                        f"(fmt={audio_fmt}, bits={bits}, ch={channels})"
                     )
-                fmt = rate
+                fmt = (rate, channels, bits, audio_fmt)
             elif cid == b"data":
-                data = np.frombuffer(body, dtype="<i2")
+                raw = body
             pos += 8 + size + (size % 2)  # chunks are word-aligned
-        if fmt is None or data is None:
+        if fmt is None or raw is None:
             raise ValueError("missing fmt/data chunk")
-        return {"kind": "audio", "sample_rate": fmt, "values": data}
+        rate, channels, bits, audio_fmt = fmt
+        if audio_fmt == 7:  # G.711 µ-law: exact table expansion
+            data = g711_decode_table("ulaw")[np.frombuffer(raw, dtype=np.uint8)]
+        elif audio_fmt == 6:  # G.711 A-law
+            data = g711_decode_table("alaw")[np.frombuffer(raw, dtype=np.uint8)]
+        else:
+            # 16-bit PCM is signed little-endian, 8-bit is UNSIGNED
+            # (the RIFF convention) — returned as stored, channel-
+            # interleaved, no rescaling, so sums stay exact for the
+            # oracle.
+            data = np.frombuffer(raw, dtype="<i2" if bits == 16 else np.uint8)
+        if channels == 2 and data.size % 2:
+            raise ValueError("stereo data chunk with an odd sample count")
+        return {
+            "kind": "audio",
+            "sample_rate": rate,
+            "channels": channels,
+            "values": data,
+        }
 
     if mime == "image/png":
         return _decode_png(payload)
 
     if mime == "image/gif":
         return _decode_gif(payload)
+
+    if mime in ("image/bmp", "image/x-ms-bmp"):
+        return _decode_bmp(payload)
 
     if mime == "image/jpeg":
         return _decode_jpeg(payload, jfif_coeffs=jfif_coeffs)
@@ -507,6 +539,243 @@ def encode_png(
     if trns is not None:
         out += chunk(b"tRNS", trns)
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------------------
+# BMP (r12): the zero-entropy-coding image container — BITMAPINFOHEADER
+# parse, bottom-up/top-down row order, 4-byte row padding, BGR(A)→
+# RGB(A) swizzle, 8-bit palette (BGRX entries), and BI_RLE8 decode
+# (counted runs, absolute runs with word padding, EOL/EOF/delta
+# escapes). Encoder twin writes 24/32-bit and 8-bit palette images,
+# optionally RLE8-compressed with a real run-length encoder.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_rle8_decode(data: bytes, width: int, height: int):
+    """BI_RLE8 → (height, width) uint8 index grid. Escapes per the
+    Windows GDI spec: 00 00 = end of line, 00 01 = end of bitmap,
+    00 02 dx dy = position delta, 00 n>=3 = n absolute indices padded
+    to a 16-bit boundary. Un-written cells default to index 0."""
+    import numpy as np
+
+    grid = np.zeros((height, width), dtype=np.uint8)
+    x = y = pos = 0
+    while pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n:  # encoded run: n copies of the next index
+            if pos >= len(data):
+                raise ValueError("truncated RLE8 run")
+            v = data[pos]
+            pos += 1
+            if y >= height or x + n > width:
+                raise ValueError("RLE8 run outside the bitmap")
+            grid[y, x : x + n] = v
+            x += n
+            continue
+        if pos >= len(data):
+            raise ValueError("truncated RLE8 escape")
+        esc = data[pos]
+        pos += 1
+        if esc == 0:  # end of line
+            x, y = 0, y + 1
+        elif esc == 1:  # end of bitmap
+            return grid
+        elif esc == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("truncated RLE8 delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run of esc indices, word-aligned
+            if pos + esc > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            if y >= height or x + esc > width:
+                raise ValueError("RLE8 absolute run outside the bitmap")
+            grid[y, x : x + esc] = np.frombuffer(
+                data, dtype=np.uint8, count=esc, offset=pos
+            )
+            x += esc
+            pos += esc + (esc & 1)
+    raise ValueError("RLE8 stream missing end-of-bitmap")
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """REAL BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER (or any
+    later 40+-byte DIB header), 8-bit palette (BGRX entries, honoring
+    biClrUsed), 24-bit BGR and 32-bit BGRX, BI_RGB rows padded to 4
+    bytes in bottom-up (positive height) or top-down (negative) order,
+    and BI_RLE8 compression. Returns RGB (RGBA for 32-bit) ``values``
+    row-major top-down, matching the other image decoders."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"bad BMP magic {payload[:2]!r}")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    width, height_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression, _img_size = struct.unpack("<II", payload[30:38])
+    (clr_used,) = struct.unpack("<I", payload[46:50])
+    if width <= 0 or height_raw == 0 or planes != 1:
+        raise ValueError("bad BMP dimensions")
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if bpp == 8:
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        if compression == 1:  # BI_RLE8
+            idx = _bmp_rle8_decode(payload[data_off:], width, height)
+        elif compression == 0:
+            stride = (width + 3) // 4 * 4
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * height, offset=data_off
+            ).reshape(height, stride)
+            idx = rows[:, :width]
+        else:
+            raise NotImplementedError(f"BMP compression {compression}")
+        if not top_down:
+            idx = idx[::-1]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        out = pal[idx.reshape(-1)].reshape(-1)
+    elif bpp in (24, 32):
+        if compression != 0:
+            raise NotImplementedError(f"BMP compression {compression}")
+        ch = bpp // 8
+        stride = (width * ch + 3) // 4 * 4
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_off
+        ).reshape(height, stride)
+        px = rows[:, : width * ch].reshape(height, width, ch)
+        if not top_down:
+            px = px[::-1]
+        # BGR(A) -> RGB(A)
+        order = [2, 1, 0] if ch == 3 else [2, 1, 0, 3]
+        out = np.ascontiguousarray(px[:, :, order]).reshape(-1)
+    else:
+        raise NotImplementedError(f"{bpp}-bit BMP")
+    return {"kind": "image", "width": width, "height": height, "values": out}
+
+
+def _bmp_rle8_encode(grid) -> bytes:
+    """Real RLE8 encoder: greedy runs ≥3 become counted runs, short
+    mixed stretches become absolute runs (word-padded), every row ends
+    with 00 00 and the stream with 00 01 — exercising every decoder
+    branch except delta (which no plain raster round-trip emits)."""
+    out = bytearray()
+    h, w = grid.shape
+    for y in range(h):
+        row = grid[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3:
+                out += bytes([run, int(row[x])])
+                x += run
+                continue
+            # Collect a literal stretch until the next long run.
+            start = x
+            while x < w and x - start < 255:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 3:
+                    break
+                x += run
+            n = x - start
+            if n >= 3:
+                out += bytes([0, n]) + bytes(int(v) for v in row[start:x])
+                if n & 1:
+                    out.append(0)  # word alignment
+            else:  # 1-2 pixels: encoded runs are smaller than absolute
+                for v in row[start:x]:
+                    out += bytes([1, int(v)])
+        out += b"\x00\x00"
+    out += b"\x00\x01"
+    return bytes(out)
+
+
+def encode_bmp(
+    width: int,
+    height: int,
+    pixels: bytes,
+    bpp: int = 24,
+    palette: bytes | None = None,
+    top_down: bool = False,
+    rle: bool = False,
+) -> bytes:
+    """Minimal BMP writer for the decode tests. ``pixels`` are RGB
+    bytes for bpp=24, RGBA for bpp=32, or palette indices for bpp=8
+    (``palette`` = RGB triplets, at most 256). Rows are emitted
+    bottom-up unless ``top_down`` (negative biHeight); bpp=8 may be
+    BI_RLE8-compressed via the real run-length encoder."""
+    import struct
+
+    import numpy as np
+
+    assert bpp in (8, 24, 32)
+    ch = bpp // 8
+    if bpp == 8:
+        assert palette is not None and len(palette) % 3 == 0
+        n_colors = len(palette) // 3
+        px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+        assert int(px.max(initial=0)) < n_colors
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(n_colors, 3)
+        pal_bytes = np.zeros((n_colors, 4), dtype=np.uint8)
+        pal_bytes[:, :3] = pal[:, [2, 1, 0]]  # RGB -> BGRX
+        rows_src = px if top_down else px[::-1]
+        if rle:
+            data = _bmp_rle8_encode(rows_src)
+        else:
+            stride = (width + 3) // 4 * 4
+            padded = np.zeros((height, stride), dtype=np.uint8)
+            padded[:, :width] = rows_src
+            data = padded.tobytes()
+        extra = pal_bytes.tobytes()
+        compression = 1 if rle else 0
+        clr_used = n_colors
+    else:
+        assert palette is None and not rle
+        px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ch)
+        order = [2, 1, 0] if ch == 3 else [2, 1, 0, 3]
+        bgr = px[:, :, order]
+        rows_src = bgr if top_down else bgr[::-1]
+        stride = (width * ch + 3) // 4 * 4
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, : width * ch] = rows_src.reshape(height, width * ch)
+        data = padded.tobytes()
+        extra = b""
+        compression = 0
+        clr_used = 0
+    data_off = 14 + 40 + len(extra)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        bpp,
+        compression,
+        len(data),
+        2835,
+        2835,
+        clr_used,
+        0,
+    )
+    head = b"BM" + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+    return head + info + extra + data
 
 
 # ---------------------------------------------------------------------------
@@ -2279,19 +2548,114 @@ def encode_pgm(width: int, height: int, gray: bytes) -> bytes:
     return b"P5\n%d %d\n255\n" % (width, height) + gray
 
 
-def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
-    """Canonical 44-byte RIFF/WAVE header + little-endian mono PCM16."""
+_G711_TABLES: dict = {}
+
+
+def g711_decode_table(law: str):
+    """256-entry int16 expansion table for G.711 (ITU-T G.711 §4.2/4.3,
+    the CCITT reference decode arithmetic), at the conventional 16-bit
+    expansion scale (matches audioop/libsndfile: µ-law ±32124, A-law
+    ±32256):
+
+    µ-law: u = ~c; t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7);
+           linear = ±(t − 0x84)  (sign bit of u picks −)
+    A-law: a = c ^ 0x55; t = (a & 0xF) << 4; seg = (a >> 4) & 7;
+           t += 8 if seg == 0 else 0x108; t <<= max(seg − 1, 0);
+           linear = +t if a & 0x80 else −t
+
+    Both are closed-form integer expressions, which is what lets a SQL
+    oracle replay the expansion without tables."""
+    if law not in _G711_TABLES:
+        import numpy as np
+
+        c = np.arange(256, dtype=np.int64)
+        u = ~c & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84)
+        a = c ^ 0x55
+        seg = (a >> 4) & 7
+        t = ((a & 0x0F) << 4) + np.where(seg == 0, 8, 0x108)
+        t = t << np.maximum(seg - 1, 0)
+        alaw = np.where(a & 0x80, t, -t)
+        _G711_TABLES["ulaw"] = ulaw.astype(np.int16)
+        _G711_TABLES["alaw"] = alaw.astype(np.int16)
+    return _G711_TABLES[law]
+
+
+def g711_encode(samples, law: str):
+    """Linear int16 → G.711 codes by exact nearest-reconstruction-level
+    quantization over the decode table (optimal for the symmetric
+    levels; ties break toward the lower level). Guarantees
+    encode(decode(c)) == c for every canonical code, which is the
+    round-trip property the tests pin."""
+    import numpy as np
+
+    table = g711_decode_table(law).astype(np.int64)
+    order = np.argsort(table, kind="stable")
+    levels = table[order]
+    # Collapse duplicate levels (µ-law has two zeros: 0xFF and 0x7F)
+    # keeping the first code for each, so the mapping is a function.
+    uniq, first = np.unique(levels, return_index=True)
+    codes_for_level = order[first]
+    x = np.asarray(samples, dtype=np.int64)
+    pos = np.searchsorted(uniq, x)
+    pos = np.clip(pos, 1, len(uniq) - 1)
+    lo, hi = uniq[pos - 1], uniq[pos]
+    pick = np.where((x - lo) <= (hi - x), pos - 1, pos)
+    return codes_for_level[pick].astype(np.uint8)
+
+
+def encode_wav_g711(codes, sample_rate: int = 8000, law: str = "ulaw",
+                    channels: int = 1) -> bytes:
+    """RIFF/WAVE container around raw G.711 code bytes (fmt 7 = µ-law,
+    6 = A-law) — the corpus twin for the table-expansion decode."""
     import struct
 
     import numpy as np
 
-    data = np.asarray(samples, dtype="<i2").tobytes()
-    byte_rate = sample_rate * 2
+    fmt_tag = 7 if law == "ulaw" else 6
+    data = np.asarray(codes, dtype=np.uint8).tobytes()
+    byte_rate = sample_rate * channels
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))
         + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + struct.pack(
+            "<IHHIIHH", 16, fmt_tag, channels, sample_rate, byte_rate,
+            channels, 8,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + little-endian mono PCM16."""
+    return encode_wav_pcm(samples, sample_rate, channels=1, bits=16)
+
+
+def encode_wav_pcm(
+    samples, sample_rate: int = 8000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Canonical RIFF/WAVE PCM writer: mono or stereo (``samples`` are
+    channel-interleaved), 16-bit signed or 8-bit UNSIGNED — the r12
+    twin for the widened WAV decode."""
+    import struct
+
+    import numpy as np
+
+    assert channels in (1, 2) and bits in (8, 16)
+    data = np.asarray(samples, dtype="<i2" if bits == 16 else np.uint8).tobytes()
+    block = channels * bits // 8
+    byte_rate = sample_rate * block
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block, bits
+        )
         + b"data"
         + struct.pack("<I", len(data))
         + data

@@ -1212,3 +1212,140 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# ---------------------------------------------------------------------------
+# BMP + WAV extensions + G.711 (late r12).
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_all_variants():
+    """24-bit BGR, 32-bit BGRX, and 8-bit palette BMPs round-trip in
+    both row orders; BI_RLE8 decodes identically to the plain raster
+    (counted runs, absolute runs with word padding, EOL/EOF escapes)."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(1213)
+    w, h = 13, 7
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for top_down in (False, True):
+        d = decode_media(
+            encode_bmp(w, h, rgb.tobytes(), bpp=24, top_down=top_down),
+            "image/bmp",
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        assert np.array_equal(d["values"], rgb.reshape(-1)), top_down
+
+    rgba = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+    d = _decode_bmp(encode_bmp(w, h, rgba.tobytes(), bpp=32))
+    assert np.array_equal(d["values"], rgba.reshape(-1))
+
+    pal = bytes(rng.randint(0, 256, size=30, dtype=np.uint8))
+    pala = np.frombuffer(pal, np.uint8).reshape(10, 3)
+    idx = rng.randint(0, 10, size=(h, w), dtype=np.uint8)
+    idx[2, :] = 7  # full-row run
+    idx[3, :6] = 3  # run + mixed literal tail
+    expected = pala[idx.reshape(-1)].reshape(-1)
+    for rle in (False, True):
+        for top_down in (False, True):
+            d = _decode_bmp(
+                encode_bmp(
+                    w, h, idx.tobytes(), bpp=8, palette=pal,
+                    rle=rle, top_down=top_down,
+                )
+            )
+            assert np.array_equal(d["values"], expected), (rle, top_down)
+    # RLE8 at widths that force odd absolute runs and 1-2 px literals
+    for ww in (1, 2, 3, 31):
+        ii = rng.randint(0, 10, size=(4, ww), dtype=np.uint8)
+        d = _decode_bmp(encode_bmp(ww, 4, ii.tobytes(), bpp=8, palette=pal, rle=True))
+        assert np.array_equal(d["values"], pala[ii.reshape(-1)].reshape(-1)), ww
+
+
+def test_bmp_malformed_and_unsupported():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmp,
+    )
+
+    with pytest.raises(ValueError, match="bad BMP magic"):
+        _decode_bmp(b"XX" + bytes(60))
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        _decode_bmp(b"BM" + bytes(10))
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    payload = bytearray(encode_bmp(4, 4, rgb.tobytes(), bpp=24))
+    payload[28] = 16  # biBitCount -> 16-bit (masked formats out of scope)
+    with pytest.raises(NotImplementedError, match="16-bit BMP"):
+        _decode_bmp(bytes(payload))
+    # RLE8 missing the end-of-bitmap escape must not loop or return junk
+    pal = bytes(6)
+    good = bytearray(
+        encode_bmp(4, 2, bytes(8), bpp=8, palette=pal, rle=True)
+    )
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        _decode_bmp(bytes(good[:-2]))
+
+
+def test_wav_stereo_and_pcm8():
+    """Stereo stays channel-interleaved as stored; 8-bit PCM is
+    UNSIGNED per the RIFF convention — no rescaling on either."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        encode_wav_pcm,
+    )
+
+    rng = np.random.RandomState(21)
+    s16 = rng.randint(-32768, 32768, size=40).astype(np.int16)
+    d = decode_media(encode_wav_pcm(s16, 8000, channels=2, bits=16), "audio/wav")
+    assert d["channels"] == 2 and np.array_equal(d["values"], s16)
+    u8 = rng.randint(0, 256, size=33, dtype=np.uint8)
+    d = decode_media(encode_wav_pcm(u8, 8000, channels=1, bits=8), "audio/wav")
+    assert d["values"].dtype == np.uint8 and np.array_equal(d["values"], u8)
+    with pytest.raises(ValueError, match="odd sample count"):
+        decode_media(
+            encode_wav_pcm(np.zeros(3, np.int16), 8000, channels=2), "audio/wav"
+        )
+
+
+def test_g711_tables_match_reference_and_roundtrip():
+    """The closed-form µ-law/A-law expansions match the stdlib audioop
+    reference bit-for-bit (when available), and nearest-level encoding
+    reconstructs every canonical code's level exactly."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        encode_wav_g711,
+        g711_decode_table,
+        g711_encode,
+    )
+
+    ul, al = g711_decode_table("ulaw"), g711_decode_table("alaw")
+    assert (int(ul.min()), int(ul.max())) == (-32124, 32124)
+    assert (int(al.min()), int(al.max())) == (-32256, 32256)
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+
+        exp_u = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2")
+        exp_a = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2")
+        assert np.array_equal(ul, exp_u)
+        assert np.array_equal(al, exp_a)
+    except ImportError:  # pragma: no cover — audioop removed in 3.13
+        pass
+    codes = np.arange(256, dtype=np.uint8)
+    for law, tab in (("ulaw", ul), ("alaw", al)):
+        rt = g711_encode(tab[codes], law)
+        assert np.array_equal(tab[rt], tab[codes]), law  # level-exact
+        d = decode_media(encode_wav_g711(codes, 8000, law), "audio/wav")
+        assert np.array_equal(d["values"], tab[codes]), law
