@@ -2687,7 +2687,7 @@ _WAV_RATE = 8000
 
 
 def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
-    """Deterministic real-format media synthesis keyed on ``doc_id % 7``:
+    """Deterministic real-format media synthesis keyed on ``doc_id % 9``:
     0 → P6 PPM RGB images (w=4+id%13, h=3+id%7, byte_i=(id*31+i*7)%256),
     1 → P5 PGM grayscale images (w=5+id%11, h=4+id%5,
     byte_i=(id*37+i*11)%256), 2 → mono PCM16 WAVs (n=16+id%50 samples,
@@ -2706,8 +2706,12 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
     (r12: w=5+id%12, h=4+id%6, 16-entry palette byte_k=(id*19+k*53)%256,
     index_i=(id*47+i*29)%16 — the four-pass interlace scatter and LZW
     decode are on the driver-gated path, and lossless palette expansion
-    keeps the oracle closed-form). All seven container kinds the
-    decoder supports are exercised.
+    keeps the oracle closed-form), 7 → BI_RLE8 BMP (late r12:
+    w=6+id%11, h=3+id%5, palette byte_k=(id*59+k*31)%256,
+    index_i=(id*53+i*37)%16, bottom-up rows), 8 → G.711 µ-law WAV
+    (late r12: n=20+id%40 codes c_i=(id*61+i*23)%256, expanded by the
+    closed-form integer µ-law arithmetic). All nine container kinds
+    the decoder supports are exercised.
 
     The payloads are genuine container bytes (parseable by any netpbm /
     WAV / JPEG reader), but every pixel/sample is a closed-form function
@@ -2729,25 +2733,25 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
             out = {"doc_id": [], "mime": [], "payload": []}
             for doc_id in pdf["doc_id"].astype("int64"):
                 doc_id = int(doc_id)
-                if doc_id % 7 == 0:
+                if doc_id % 9 == 0:
                     w, h = 4 + doc_id % 13, 3 + doc_id % 7
                     i = np.arange(w * h * 3, dtype=np.int64)
                     pix = ((doc_id * 31 + i * 7) % 256).astype(np.uint8).tobytes()
                     out["mime"].append("image/x-portable-pixmap")
                     out["payload"].append(encode_ppm(w, h, pix))
-                elif doc_id % 7 == 1:
+                elif doc_id % 9 == 1:
                     w, h = 5 + doc_id % 11, 4 + doc_id % 5
                     i = np.arange(w * h, dtype=np.int64)
                     pix = ((doc_id * 37 + i * 11) % 256).astype(np.uint8).tobytes()
                     out["mime"].append("image/x-portable-graymap")
                     out["payload"].append(encode_pgm(w, h, pix))
-                elif doc_id % 7 == 2:
+                elif doc_id % 9 == 2:
                     n = 16 + doc_id % 50
                     i = np.arange(n, dtype=np.int64)
                     s = (doc_id * 131 + i * 17) % 2003 - 1001
                     out["mime"].append("audio/wav")
                     out["payload"].append(encode_wav_pcm16(s, _WAV_RATE))
-                elif doc_id % 7 == 3:
+                elif doc_id % 9 == 3:
                     w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
                     img = np.zeros((h, w), dtype=np.uint8)
                     for b in range((w // 8) * (h // 8)):
@@ -2759,7 +2763,7 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                     out["payload"].append(
                         encode_jpeg_baseline_gray(w, h, img.tobytes())
                     )
-                elif doc_id % 7 == 4:
+                elif doc_id % 9 == 4:
                     # Cycle the five chroma layouts so 4:4:0/4:1:1 sit
                     # under the driver gate, not just unit tests. Per-
                     # MCU-constant planes keep the oracle closed-form at
@@ -2799,7 +2803,7 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                             sampling=samp,
                         )
                     )
-                elif doc_id % 7 == 5:
+                elif doc_id % 9 == 5:
                     w, h = 8 * (1 + doc_id % 4), 8 * (1 + doc_id % 3)
                     img = np.zeros((h, w), dtype=np.uint8)
                     for b in range((w // 8) * (h // 8)):
@@ -2818,7 +2822,7 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                             w, h, img.tobytes(), restart_interval=w // 8
                         )
                     )
-                else:
+                elif doc_id % 9 == 6:
                     # GIF member (r12): interlaced on the wire — the
                     # decoder's four-pass scatter and variable-width
                     # LZW run on every member, while the decoded pixels
@@ -2834,6 +2838,35 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                             w, h, [idx.tobytes()], pal.tobytes(),
                             interlace=True,
                         )
+                    )
+                elif doc_id % 9 == 7:
+                    # BMP member (late r12): BI_RLE8-compressed palette
+                    # image, bottom-up rows — the run-length decoder and
+                    # the row flip are on the driver-gated path; palette
+                    # expansion keeps the pixels closed-form.
+                    w, h = 6 + doc_id % 11, 3 + doc_id % 5
+                    k = np.arange(48, dtype=np.int64)
+                    pal = ((doc_id * 59 + k * 31) % 256).astype(np.uint8)
+                    i = np.arange(w * h, dtype=np.int64)
+                    idx = ((doc_id * 53 + i * 37) % 16).astype(np.uint8)
+                    out["mime"].append("image/bmp")
+                    out["payload"].append(
+                        encode_bmp(
+                            w, h, idx.tobytes(), bpp=8,
+                            palette=pal.tobytes(), rle=True,
+                        )
+                    )
+                else:
+                    # G.711 µ-law member (late r12): code bytes are
+                    # closed-form, and the decode is the exact integer
+                    # expansion u = 255−c; t = ((u%16)·8+132)·2^(u⌊/16⌋%8);
+                    # val = ±(t−132) — restatable in SQL without tables.
+                    n = 20 + doc_id % 40
+                    i = np.arange(n, dtype=np.int64)
+                    codes = ((doc_id * 61 + i * 23) % 256).astype(np.uint8)
+                    out["mime"].append("audio/wav")
+                    out["payload"].append(
+                        encode_wav_g711(codes, _WAV_RATE, "ulaw")
                     )
                 out["doc_id"].append(doc_id)
             yield pd.DataFrame(out)

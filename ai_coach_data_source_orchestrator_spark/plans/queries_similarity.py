@@ -259,7 +259,7 @@ _RMS_MICRO = (
     oracle=f"""
     WITH img AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      FROM documents WHERE doc_id % 7 = 0
+      FROM documents WHERE doc_id % 9 = 0
     ),
     ivals AS (
       SELECT doc_id, w, h, w * h * 3 AS n_values,
@@ -270,7 +270,7 @@ _RMS_MICRO = (
     ),
     gry AS (
       SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
-      FROM documents WHERE doc_id % 7 = 1
+      FROM documents WHERE doc_id % 9 = 1
     ),
     gvals AS (
       SELECT doc_id, w, h, w * h AS n_values,
@@ -280,7 +280,7 @@ _RMS_MICRO = (
       GROUP BY doc_id, w, h
     ),
     aud AS (
-      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 7 = 2
+      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 9 = 2
     ),
     avals AS (
       SELECT doc_id, n_values,
@@ -292,7 +292,7 @@ _RMS_MICRO = (
     ),
     jm AS (
       SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
-      FROM documents WHERE doc_id % 7 = 3
+      FROM documents WHERE doc_id % 9 = 3
     ),
     jvals AS (
       -- per-8x8-block constant v_b=(id*41+b*13)%256: each block
@@ -314,7 +314,7 @@ _RMS_MICRO = (
                              WHEN 3 THEN 1 ELSE 4 END AS yh,
              CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
                              WHEN 3 THEN 2 ELSE 1 END AS yv
-      FROM documents WHERE doc_id % 7 = 4
+      FROM documents WHERE doc_id % 9 = 4
     ),
     jcd AS (
       SELECT doc_id, 8 * yh * (1 + doc_id % 3) AS w,
@@ -348,7 +348,7 @@ _RMS_MICRO = (
       FROM jcrgb GROUP BY doc_id, w, h),
     jp AS (
       SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
-      FROM documents WHERE doc_id % 7 = 5
+      FROM documents WHERE doc_id % 9 = 5
     ),
     jpvals AS (
       -- PROGRESSIVE (SOF2) grayscale, per-8x8-block constant
@@ -364,7 +364,7 @@ _RMS_MICRO = (
     ),
     gif AS (
       SELECT doc_id, 5 + doc_id % 12 AS w, 4 + doc_id % 6 AS h
-      FROM documents WHERE doc_id % 7 = 6
+      FROM documents WHERE doc_id % 9 = 6
     ),
     gifpx AS (
       -- interlaced GIF (r12): LZW + four-pass interlace are lossless,
@@ -382,6 +382,52 @@ _RMS_MICRO = (
                + ((doc_id * 19 + (base + 1) * 53) % 256) * ((doc_id * 19 + (base + 1) * 53) % 256)
                + ((doc_id * 19 + (base + 2) * 53) % 256) * ((doc_id * 19 + (base + 2) * 53) % 256)) AS val_sumsq
       FROM gifpx GROUP BY doc_id, w, h
+    ),
+    bmp AS (
+      SELECT doc_id, 6 + doc_id % 11 AS w, 3 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 9 = 7
+    ),
+    bmppx AS (
+      -- BI_RLE8 BMP (late r12): run-length decode + bottom-up flip are
+      -- lossless, so pixel i is the palette expansion of index
+      -- (id*53+i*37)%16 with palette byte k = (id*59+k*31)%256
+      SELECT doc_id, w, h, 3 * ((doc_id * 53 + i * 37) % 16) AS base
+      FROM bmp, unnest(range(w * h)) s(i)
+    ),
+    bmpvals AS (
+      SELECT doc_id, w, h, w * h * 3 AS n_values,
+             SUM((doc_id * 59 + (base + 0) * 31) % 256
+               + (doc_id * 59 + (base + 1) * 31) % 256
+               + (doc_id * 59 + (base + 2) * 31) % 256) AS val_sum,
+             SUM(((doc_id * 59 + (base + 0) * 31) % 256) * ((doc_id * 59 + (base + 0) * 31) % 256)
+               + ((doc_id * 59 + (base + 1) * 31) % 256) * ((doc_id * 59 + (base + 1) * 31) % 256)
+               + ((doc_id * 59 + (base + 2) * 31) % 256) * ((doc_id * 59 + (base + 2) * 31) % 256)) AS val_sumsq
+      FROM bmppx GROUP BY doc_id, w, h
+    ),
+    g711 AS (
+      SELECT doc_id, 20 + doc_id % 40 AS n_values
+      FROM documents WHERE doc_id % 9 = 8
+    ),
+    g711px AS (
+      -- G.711 µ-law expansion, restated as the closed-form integer
+      -- arithmetic (ITU-T G.711 §4.2 via the CCITT reference decode):
+      -- u = 255−c; t = ((u%16)·8+132) << (u//16 % 8); val = ±(t−132)
+      SELECT doc_id, n_values,
+             255 - ((doc_id * 61 + i * 23) % 256) AS u
+      FROM g711, unnest(range(n_values)) s(i)
+    ),
+    g711v AS (
+      SELECT doc_id, n_values,
+             CASE WHEN u >= 128
+                  THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+                  ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+             END AS val
+      FROM g711px
+    ),
+    g711vals AS (
+      SELECT doc_id, n_values, SUM(val) AS val_sum,
+             SUM(val * val) AS val_sumsq
+      FROM g711v GROUP BY doc_id, n_values
     )
     SELECT doc_id, 'image' AS kind, CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
@@ -418,6 +464,16 @@ _RMS_MICRO = (
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM gifvals
+    UNION ALL
+    SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
+           CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           {_MEAN_MICRO}, {_RMS_MICRO}
+    FROM bmpvals
+    UNION ALL
+    SELECT doc_id, 'audio', NULL, NULL, 8000,
+           CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           {_MEAN_MICRO}, {_RMS_MICRO}
+    FROM g711vals
     """,
     survey_ids=("S13", "K7"),
     description=(
