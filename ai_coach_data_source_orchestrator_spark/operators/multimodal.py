@@ -84,7 +84,13 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str, jfif_coeffs=None) -> dict:
+def decode_media(
+    payload: bytes,
+    mime: str,
+    jfif_coeffs=None,
+    g711_tables=None,
+    gif_interlace=None,
+) -> dict:
     """Real decode entry point for the codec-free container formats.
 
     PPM/PGM (netpbm P6/P5), RIFF/WAV (mono/stereo PCM16/PCM8 + G.711
@@ -160,10 +166,17 @@ def decode_media(payload: bytes, mime: str, jfif_coeffs=None) -> dict:
         if fmt is None or raw is None:
             raise ValueError("missing fmt/data chunk")
         rate, channels, bits, audio_fmt = fmt
+        # g711_tables is the mutation-audit seam (same pattern as
+        # jfif_coeffs): decode_features captures the driver-side tables
+        # into its closure so a monkeypatch reaches the executors.
         if audio_fmt == 7:  # G.711 µ-law: exact table expansion
-            data = g711_decode_table("ulaw")[np.frombuffer(raw, dtype=np.uint8)]
+            tab = (g711_tables or {}).get("ulaw")
+            tab = g711_decode_table("ulaw") if tab is None else tab
+            data = tab[np.frombuffer(raw, dtype=np.uint8)]
         elif audio_fmt == 6:  # G.711 A-law
-            data = g711_decode_table("alaw")[np.frombuffer(raw, dtype=np.uint8)]
+            tab = (g711_tables or {}).get("alaw")
+            tab = g711_decode_table("alaw") if tab is None else tab
+            data = tab[np.frombuffer(raw, dtype=np.uint8)]
         else:
             # 16-bit PCM is signed little-endian, 8-bit is UNSIGNED
             # (the RIFF convention) — returned as stored, channel-
@@ -183,7 +196,7 @@ def decode_media(payload: bytes, mime: str, jfif_coeffs=None) -> dict:
         return _decode_png(payload)
 
     if mime == "image/gif":
-        return _decode_gif(payload)
+        return _decode_gif(payload, interlace_passes=gif_interlace)
 
     if mime in ("image/bmp", "image/x-ms-bmp"):
         return _decode_bmp(payload)
@@ -896,7 +909,7 @@ def _lzw_encode_gif(mcs: int, indices: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_gif(payload: bytes) -> dict:
+def _decode_gif(payload: bytes, interlace_passes=None) -> dict:
     """REAL GIF decode, stdlib-only: GIF87a/89a header + logical screen
     descriptor, global/local color tables, extension walk (GCE
     transparency applies to the following image; comment/application/
@@ -994,7 +1007,7 @@ def _decode_gif(payload: bytes) -> dict:
         if ipacked & 0x40:  # interlaced: gather the four passes back
             seq = np.empty((fh, fw), dtype=np.uint8)
             r = 0
-            for y0, dy in _GIF_INTERLACE:
+            for y0, dy in interlace_passes or _GIF_INTERLACE:
                 n_rows = len(range(y0, fh, dy))
                 seq[y0::dy] = idx[r : r + n_rows]
                 r += n_rows
@@ -2680,6 +2693,12 @@ DECODED_SCHEMA = StructType(
         StructField("n_values", LongType()),
         StructField("val_sum", LongType()),
         StructField("val_sumsq", LongType()),
+        # First-moment checksum Σ i·vᵢ over the flattened output: sums
+        # alone are ORDER-INVARIANT, so a decoder that permutes pixels
+        # (interlace pass order, row-flip, chroma placement) passes
+        # them — a GIF interlace mutant survived exactly that way in
+        # r12. The position weight makes every spatial bug visible.
+        StructField("val_possum", LongType()),
     ]
 )
 
@@ -2887,15 +2906,27 @@ def decode_features(media: DataFrame) -> DataFrame:
     """
     import numpy as np
 
-    # Captured at driver time so the closure ships the value (see
-    # _JFIF_COEFFS comment).
+    # Captured at driver time so the closures ship the values and a
+    # driver-side monkeypatch reaches the executors — these are the
+    # mutation-audit seams (see _JFIF_COEFFS comment).
     jfif_coeffs = _JFIF_COEFFS
+    g711_tables = {
+        "ulaw": g711_decode_table("ulaw"),
+        "alaw": g711_decode_table("alaw"),
+    }
+    gif_interlace = _GIF_INTERLACE
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in DECODED_SCHEMA.fields}
             for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
-                d = decode_media(bytes(payload), mime, jfif_coeffs=jfif_coeffs)
+                d = decode_media(
+                    bytes(payload),
+                    mime,
+                    jfif_coeffs=jfif_coeffs,
+                    g711_tables=g711_tables,
+                    gif_interlace=gif_interlace,
+                )
                 vals = d["values"].astype(np.int64)
                 rows["doc_id"].append(int(doc_id))
                 rows["kind"].append(d["kind"])
@@ -2905,6 +2936,9 @@ def decode_features(media: DataFrame) -> DataFrame:
                 rows["n_values"].append(int(vals.size))
                 rows["val_sum"].append(int(vals.sum()))
                 rows["val_sumsq"].append(int((vals * vals).sum()))
+                rows["val_possum"].append(
+                    int((np.arange(vals.size, dtype=np.int64) * vals).sum())
+                )
             yield pd.DataFrame(rows).astype(
                 {c: "Int64" for c in ("width", "height", "sample_rate")}
             )

@@ -264,7 +264,8 @@ _RMS_MICRO = (
     ivals AS (
       SELECT doc_id, w, h, w * h * 3 AS n_values,
              SUM((doc_id * 31 + i * 7) % 256) AS val_sum,
-             SUM(((doc_id * 31 + i * 7) % 256) * ((doc_id * 31 + i * 7) % 256)) AS val_sumsq
+             SUM(((doc_id * 31 + i * 7) % 256) * ((doc_id * 31 + i * 7) % 256)) AS val_sumsq,
+             SUM(i * ((doc_id * 31 + i * 7) % 256)) AS val_possum
       FROM img, unnest(range(w * h * 3)) s(i)
       GROUP BY doc_id, w, h
     ),
@@ -275,7 +276,8 @@ _RMS_MICRO = (
     gvals AS (
       SELECT doc_id, w, h, w * h AS n_values,
              SUM((doc_id * 37 + i * 11) % 256) AS val_sum,
-             SUM(((doc_id * 37 + i * 11) % 256) * ((doc_id * 37 + i * 11) % 256)) AS val_sumsq
+             SUM(((doc_id * 37 + i * 11) % 256) * ((doc_id * 37 + i * 11) % 256)) AS val_sumsq,
+             SUM(i * ((doc_id * 37 + i * 11) % 256)) AS val_possum
       FROM gry, unnest(range(w * h)) s(i)
       GROUP BY doc_id, w, h
     ),
@@ -286,7 +288,8 @@ _RMS_MICRO = (
       SELECT doc_id, n_values,
              SUM((doc_id * 131 + i * 17) % 2003 - 1001) AS val_sum,
              SUM(((doc_id * 131 + i * 17) % 2003 - 1001)
-                 * ((doc_id * 131 + i * 17) % 2003 - 1001)) AS val_sumsq
+                 * ((doc_id * 131 + i * 17) % 2003 - 1001)) AS val_sumsq,
+             SUM(i * ((doc_id * 131 + i * 17) % 2003 - 1001)) AS val_possum
       FROM aud, unnest(range(n_values)) s(i)
       GROUP BY doc_id, n_values
     ),
@@ -301,7 +304,13 @@ _RMS_MICRO = (
       -- operators/multimodal.synthesize_media_corpus)
       SELECT doc_id, w, h, w * h AS n_values,
              64 * SUM((doc_id * 41 + b * 13) % 256) AS val_sum,
-             64 * SUM(((doc_id * 41 + b * 13) % 256) * ((doc_id * 41 + b * 13) % 256)) AS val_sumsq
+             64 * SUM(((doc_id * 41 + b * 13) % 256) * ((doc_id * 41 + b * 13) % 256)) AS val_sumsq,
+             -- block (by,bx) occupies rows 8by..8by+7, cols 8bx..8bx+7;
+             -- sum of flat indices y*w+x over the block is
+             -- 8w(64by+28) + 8(64bx+28), times the constant v
+             SUM(((doc_id * 41 + b * 13) % 256)
+                 * (8 * w * (64 * (b // (w // 8)) + 28)
+                    + 8 * (64 * (b % (w // 8)) + 28))) AS val_possum
       FROM jm, unnest(range((w // 8) * (h // 8))) s(b)
       GROUP BY doc_id, w, h
     ),
@@ -318,7 +327,8 @@ _RMS_MICRO = (
     ),
     jcd AS (
       SELECT doc_id, 8 * yh * (1 + doc_id % 3) AS w,
-             8 * yv * (1 + doc_id % 2) AS h, 64 * yh * yv AS px_per_mcu
+             8 * yv * (1 + doc_id % 2) AS h, 64 * yh * yv AS px_per_mcu,
+             8 * yh AS mw, 8 * yv AS mh
       FROM jc
     ),
     jcv AS (
@@ -327,25 +337,37 @@ _RMS_MICRO = (
       -- the DECODER's YCbCr->RGB arithmetic — identical float64
       -- expression order and floor-half-up rounding as
       -- operators/multimodal._decode_jpeg's color tail
-      SELECT doc_id, w, h, px_per_mcu,
+      SELECT doc_id, w, h, px_per_mcu, mw, mh, m,
              (doc_id * 23 + m * 7) % 256 AS y,
              CAST((doc_id * 29 + m * 11) % 256 AS DOUBLE) - 128.0 AS cbd,
              CAST((doc_id * 31 + m * 13) % 256 AS DOUBLE) - 128.0 AS crd
       FROM jcd, unnest(range((1 + doc_id % 3) * (1 + doc_id % 2))) s(m)
     ),
     jcrgb AS (
-      SELECT doc_id, w, h, px_per_mcu,
+      SELECT doc_id, w, h, px_per_mcu, mw, mh, m,
              least(greatest(floor(y + 1.402 * crd + 0.5), 0), 255) AS r,
              least(greatest(floor(y - 0.344136 * cbd - 0.714136 * crd + 0.5), 0), 255) AS g,
              least(greatest(floor(y + 1.772 * cbd + 0.5), 0), 255) AS b
       FROM jcv
     ),
+    jcpos AS (
+      -- sum of flat PIXEL indices y*w+x over MCU m's mw×mh rectangle:
+      -- rows start at (m // (w/mw))·mh, cols at (m % (w/mw))·mw
+      SELECT doc_id, w, h, px_per_mcu, r, g, b,
+             w * mw * (mh * ((m // (w // mw)) * mh) + mh * (mh - 1) // 2)
+             + mh * (mw * ((m % (w // mw)) * mw) + mw * (mw - 1) // 2) AS sp
+      FROM jcrgb
+    ),
     jcvals AS (
-      -- each MCU is px_per_mcu pixels of one (r, g, b)
+      -- each MCU is px_per_mcu pixels of one (r, g, b); interleaved
+      -- RGB flat index of channel c at pixel p is 3p+c, so the MCU's
+      -- moment is 3·sp·(r+g+b) + (g+2b)·px_per_mcu
       SELECT doc_id, w, h, w * h * 3 AS n_values,
              CAST(SUM(px_per_mcu * (r + g + b)) AS BIGINT) AS val_sum,
-             CAST(SUM(px_per_mcu * (r * r + g * g + b * b)) AS BIGINT) AS val_sumsq
-      FROM jcrgb GROUP BY doc_id, w, h),
+             CAST(SUM(px_per_mcu * (r * r + g * g + b * b)) AS BIGINT) AS val_sumsq,
+             CAST(SUM(3 * sp * (r + g + b)
+                      + (g + 2 * b) * px_per_mcu) AS BIGINT) AS val_possum
+      FROM jcpos GROUP BY doc_id, w, h),
     jp AS (
       SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
       FROM documents WHERE doc_id % 9 = 5
@@ -358,7 +380,10 @@ _RMS_MICRO = (
       -- operators/multimodal.encode_jpeg_progressive_gray)
       SELECT doc_id, w, h, w * h AS n_values,
              64 * SUM((doc_id * 43 + b * 17) % 256) AS val_sum,
-             64 * SUM(((doc_id * 43 + b * 17) % 256) * ((doc_id * 43 + b * 17) % 256)) AS val_sumsq
+             64 * SUM(((doc_id * 43 + b * 17) % 256) * ((doc_id * 43 + b * 17) % 256)) AS val_sumsq,
+             SUM(((doc_id * 43 + b * 17) % 256)
+                 * (8 * w * (64 * (b // (w // 8)) + 28)
+                    + 8 * (64 * (b % (w // 8)) + 28))) AS val_possum
       FROM jp, unnest(range((w // 8) * (h // 8))) s(b)
       GROUP BY doc_id, w, h
     ),
@@ -370,7 +395,7 @@ _RMS_MICRO = (
       -- interlaced GIF (r12): LZW + four-pass interlace are lossless,
       -- so pixel i is just the palette expansion of index
       -- (id*47+i*29)%16 with palette byte k = (id*19+k*53)%256
-      SELECT doc_id, w, h, 3 * ((doc_id * 47 + i * 29) % 16) AS base
+      SELECT doc_id, w, h, i, 3 * ((doc_id * 47 + i * 29) % 16) AS base
       FROM gif, unnest(range(w * h)) s(i)
     ),
     gifvals AS (
@@ -380,7 +405,11 @@ _RMS_MICRO = (
                + (doc_id * 19 + (base + 2) * 53) % 256) AS val_sum,
              SUM(((doc_id * 19 + (base + 0) * 53) % 256) * ((doc_id * 19 + (base + 0) * 53) % 256)
                + ((doc_id * 19 + (base + 1) * 53) % 256) * ((doc_id * 19 + (base + 1) * 53) % 256)
-               + ((doc_id * 19 + (base + 2) * 53) % 256) * ((doc_id * 19 + (base + 2) * 53) % 256)) AS val_sumsq
+               + ((doc_id * 19 + (base + 2) * 53) % 256) * ((doc_id * 19 + (base + 2) * 53) % 256)) AS val_sumsq,
+             -- channel c of pixel i sits at flat index 3i+c
+             SUM(3 * i * ((doc_id * 19 + (base + 0) * 53) % 256)
+               + (3 * i + 1) * ((doc_id * 19 + (base + 1) * 53) % 256)
+               + (3 * i + 2) * ((doc_id * 19 + (base + 2) * 53) % 256)) AS val_possum
       FROM gifpx GROUP BY doc_id, w, h
     ),
     bmp AS (
@@ -391,7 +420,7 @@ _RMS_MICRO = (
       -- BI_RLE8 BMP (late r12): run-length decode + bottom-up flip are
       -- lossless, so pixel i is the palette expansion of index
       -- (id*53+i*37)%16 with palette byte k = (id*59+k*31)%256
-      SELECT doc_id, w, h, 3 * ((doc_id * 53 + i * 37) % 16) AS base
+      SELECT doc_id, w, h, i, 3 * ((doc_id * 53 + i * 37) % 16) AS base
       FROM bmp, unnest(range(w * h)) s(i)
     ),
     bmpvals AS (
@@ -401,7 +430,10 @@ _RMS_MICRO = (
                + (doc_id * 59 + (base + 2) * 31) % 256) AS val_sum,
              SUM(((doc_id * 59 + (base + 0) * 31) % 256) * ((doc_id * 59 + (base + 0) * 31) % 256)
                + ((doc_id * 59 + (base + 1) * 31) % 256) * ((doc_id * 59 + (base + 1) * 31) % 256)
-               + ((doc_id * 59 + (base + 2) * 31) % 256) * ((doc_id * 59 + (base + 2) * 31) % 256)) AS val_sumsq
+               + ((doc_id * 59 + (base + 2) * 31) % 256) * ((doc_id * 59 + (base + 2) * 31) % 256)) AS val_sumsq,
+             SUM(3 * i * ((doc_id * 59 + (base + 0) * 31) % 256)
+               + (3 * i + 1) * ((doc_id * 59 + (base + 1) * 31) % 256)
+               + (3 * i + 2) * ((doc_id * 59 + (base + 2) * 31) % 256)) AS val_possum
       FROM bmppx GROUP BY doc_id, w, h
     ),
     g711 AS (
@@ -412,12 +444,12 @@ _RMS_MICRO = (
       -- G.711 µ-law expansion, restated as the closed-form integer
       -- arithmetic (ITU-T G.711 §4.2 via the CCITT reference decode):
       -- u = 255−c; t = ((u%16)·8+132) << (u//16 % 8); val = ±(t−132)
-      SELECT doc_id, n_values,
+      SELECT doc_id, n_values, i,
              255 - ((doc_id * 61 + i * 23) % 256) AS u
       FROM g711, unnest(range(n_values)) s(i)
     ),
     g711v AS (
-      SELECT doc_id, n_values,
+      SELECT doc_id, n_values, i,
              CASE WHEN u >= 128
                   THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
                   ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
@@ -426,52 +458,62 @@ _RMS_MICRO = (
     ),
     g711vals AS (
       SELECT doc_id, n_values, SUM(val) AS val_sum,
-             SUM(val * val) AS val_sumsq
+             SUM(val * val) AS val_sumsq,
+             SUM(i * val) AS val_possum
       FROM g711v GROUP BY doc_id, n_values
     )
     SELECT doc_id, 'image' AS kind, CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height, CAST(NULL AS BIGINT) AS sample_rate,
            CAST(n_values AS BIGINT) AS n_values, CAST(val_sum AS BIGINT) AS val_sum,
+           CAST(val_possum AS BIGINT) AS val_possum,
            {_MEAN_MICRO} AS mean_micro, {_RMS_MICRO} AS rms_micro
     FROM ivals
     UNION ALL
     SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           CAST(val_possum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM gvals
     UNION ALL
     SELECT doc_id, 'audio', NULL, NULL, 8000,
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           CAST(val_possum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM avals
     UNION ALL
     SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           CAST(val_possum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM jvals
     UNION ALL
     SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           CAST(val_possum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM jcvals
     UNION ALL
     SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           CAST(val_possum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM jpvals
     UNION ALL
     SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           CAST(val_possum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM gifvals
     UNION ALL
     SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           CAST(val_possum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM bmpvals
     UNION ALL
     SELECT doc_id, 'audio', NULL, NULL, 8000,
            CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           CAST(val_possum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM g711vals
     """,
@@ -521,6 +563,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         "n_values",
         "val_sum",
+        # First-moment checksum: sums are order-invariant, so spatial
+        # bugs (interlace pass order, row flips, chroma placement)
+        # would pass them — Σ i·vᵢ pins the ARRANGEMENT too.
+        "val_possum",
         mean_micro.alias("mean_micro"),
         rms_micro.alias("rms_micro"),
     )

@@ -386,6 +386,29 @@ MUTANTS = [
         "YCbCr->RGB Cr coefficient 1.402 -> 1.403 (every color-JFIF pixel's red channel drifts)",
         _const(qsi.M, "_JFIF_COEFFS", (1.403, 0.344136, 0.714136, 1.772)),
     ),
+    # -- late-r12 codec members: the seams are the driver-side captures
+    # in decode_features (executor encoders read the pristine module
+    # constants, so only the DECODE side mutates — exactly the defect
+    # class a broken decoder exhibits) --
+    Mutant(
+        "multimodal_decode",
+        "wrong-constant",
+        "GIF interlace passes reversed (scanlines land in the wrong rows on every interlaced member)",
+        _const(qsi.M, "_GIF_INTERLACE", ((1, 2), (2, 4), (4, 8), (0, 8))),
+    ),
+    Mutant(
+        "multimodal_decode",
+        "wrong-constant",
+        "G.711 mu-law expansion off by 4 on every sample (bias slip)",
+        _const(
+            qsi.M,
+            "_G711_TABLES",
+            {
+                "ulaw": qsi.M.g711_decode_table("ulaw") + 4,
+                "alaw": qsi.M.g711_decode_table("alaw"),
+            },
+        ),
+    ),
     Mutant(
         "graph_host_pagerank",
         "wrong-constant",
