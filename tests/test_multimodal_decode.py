@@ -1349,3 +1349,43 @@ def test_g711_tables_match_reference_and_roundtrip():
         assert np.array_equal(tab[rt], tab[codes]), law  # level-exact
         d = decode_media(encode_wav_g711(codes, 8000, law), "audio/wav")
         assert np.array_equal(d["values"], tab[codes]), law
+
+
+try:
+    from hypothesis import given as _bmp_given
+    from hypothesis import settings as _bmp_settings
+    from hypothesis import strategies as _bmp_st
+
+    @_bmp_given(
+        w=_bmp_st.integers(min_value=1, max_value=40),
+        h=_bmp_st.integers(min_value=1, max_value=12),
+        ncol=_bmp_st.sampled_from([2, 5, 16, 200]),
+        seed=_bmp_st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @_bmp_settings(max_examples=40, deadline=None)
+    def test_bmp_rle8_roundtrip_property(w, h, ncol, seed):
+        """RLE8 encode→decode is the identity for any index grid —
+        greedy runs, literal stretches, word padding, and the row
+        terminators all compose correctly at every width."""
+        import numpy as np
+
+        from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+            _decode_bmp,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(seed)
+        # Mix long runs (low-entropy rows) with noise rows.
+        idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+        if h > 1:
+            idx[0, :] = idx[0, 0]  # guaranteed full-row run
+        pal = bytes(rng.integers(0, 256, size=ncol * 3, dtype=np.uint8))
+        pala = np.frombuffer(pal, np.uint8).reshape(ncol, 3)
+        d = _decode_bmp(
+            encode_bmp(w, h, idx.tobytes(), bpp=8, palette=pal, rle=True)
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        assert np.array_equal(d["values"], pala[idx.reshape(-1)].reshape(-1))
+
+except ImportError:  # pragma: no cover
+    pass
