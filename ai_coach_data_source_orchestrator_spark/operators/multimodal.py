@@ -1122,9 +1122,12 @@ def encode_gif(
 # inverse zigzag, float IDCT) handling grayscale, 4:4:4, 4:2:2, and 4:2:0
 # YCbCr scans (nearest-neighbor chroma upsample + BT.601 conversion);
 # the encoders are its real inverse with optimized (per-image
-# canonical) Huffman tables, like `jpegtran -optimize` emits.
-# Progressive scans, exotic samplings (4:4:0/4:1:1), and 12-bit
-# depth still raise — that residue is where PIL/libjpeg earn their keep.
+# canonical) Huffman tables, like `jpegtran -optimize` emits. As of
+# late r12 the Huffman family is complete: sequential SOF0/SOF1,
+# progressive SOF2, 8- and 12-bit samples, all five chroma layouts,
+# both DQT precisions, restart intervals. Arithmetic-coded and
+# lossless SOFs still raise — that residue is where PIL/libjpeg earn
+# their keep.
 # ---------------------------------------------------------------------------
 
 # JFIF (BT.601 full-range) YCbCr->RGB coefficients. A module constant
@@ -1385,6 +1388,97 @@ def encode_jpeg_baseline_gray(
     )
 
 
+def encode_jpeg_extended_gray(
+    width: int, height: int, samples: bytes, restart_interval: int = 0
+) -> bytes:
+    """Real extended-sequential (SOF1) 12-bit grayscale JFIF encoder,
+    all-ones quantization — the 12-bit twin for the decoder's widened
+    sample precision. ``samples`` are little-endian uint16 bytes
+    (width·height·2), values < 4096; level shift is 2048. Per-block-
+    constant planes round-trip EXACTLY for the same reason as 8-bit
+    (F(0,0) = 8·(v−2048) is integral under the all-ones table); DC
+    difference magnitudes reach 15 bits, which T.81's 12-bit DC size
+    categories (SSSS ≤ 15) cover."""
+    import struct
+
+    import numpy as np
+
+    if width % 8 or height % 8:
+        raise ValueError(
+            f"encode_jpeg_extended_gray: dimensions must be multiples of 8, "
+            f"got {width}x{height}"
+        )
+    if len(samples) != width * height * 2:
+        raise ValueError(
+            f"encode_jpeg_extended_gray: payload is {len(samples)} bytes, "
+            f"expected width*height*2 = {width * height * 2}"
+        )
+    px16 = np.frombuffer(samples, dtype="<u2").reshape(height, width)
+    if int(px16.max(initial=0)) > 4095:
+        raise ValueError("encode_jpeg_extended_gray: samples exceed 12 bits")
+    C = _jpeg_dct_basis()
+    px = px16.astype(np.float64) - 2048.0
+    blocks = []
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            f = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = np.rint(C @ f @ C.T).astype(np.int64)
+            blocks.append([int(coef.flat[i]) for i in _JPEG_ZZ])
+
+    if restart_interval:
+        per_block, dc_syms, ac_syms = [], [], []
+        for s0 in range(0, len(blocks), restart_interval):
+            d, a, pb = _jpeg_entropy_blocks(blocks[s0 : s0 + restart_interval])
+            dc_syms += d
+            ac_syms += a
+            per_block += pb
+        if not ac_syms:
+            ac_syms.append(0x00)
+    else:
+        dc_syms, ac_syms, per_block = _jpeg_entropy_blocks(blocks)
+    dc_bits, dc_vals, dc_enc = _jpeg_build_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = _jpeg_build_table(ac_syms)
+
+    w = _BitWriter()
+    for i, (dsize, dbits, acs) in enumerate(per_block):
+        if restart_interval and i and i % restart_interval == 0:
+            w.align()
+            w.raw_marker(0xD0 + ((i // restart_interval - 1) & 7))
+        code, length = dc_enc[dsize]
+        w.write(code, length)
+        if dsize:
+            w.write(dbits, dsize)
+        for sym, size, vbits in acs:
+            code, length = ac_enc[sym]
+            w.write(code, length)
+            if size:
+                w.write(vbits, size)
+    scan = w.finish()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # Pq=1 16-bit table entries: spec-required pairing with 12-bit
+    # sample precision is Pq ∈ {0,1}; emit the wide form so the 12-bit
+    # stream exercises the Pq=1 parse too.
+    qtable = bytes([0x10]) + struct.pack(">64H", *(64 * [1]))
+    sof = struct.pack(">BHHB", 12, height, width, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, qtable)
+        + seg(0xFFC1, sof)
+        + dri
+        + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xFFDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
 def rgb_to_ycbcr(rgb):
     """JFIF (BT.601 full-range) RGB→YCbCr, rounded to uint8 — the
     conversion real encoders apply before subsampling. Input/output are
@@ -1576,6 +1670,7 @@ def _encode_jpeg_progressive(
     comps,
     restart_interval: int = 0,
     quant_precision: int = 8,
+    precision: int = 8,
 ) -> bytes:
     """Real progressive (SOF2) JFIF encoder over all-ones quantization.
 
@@ -1616,7 +1711,7 @@ def _encode_jpeg_progressive(
     for cid, (h, v), plane in comps:
         ph, pw = plane.shape
         nbh, nbw = ph // 8, pw // 8
-        lvl = plane.astype(np.float64) - 128.0
+        lvl = plane.astype(np.float64) - float(1 << (precision - 1))
         arr = np.zeros((nbh, nbw, 64), dtype=np.int32)
         for by in range(nbh):
             for bx in range(nbw):
@@ -1852,7 +1947,7 @@ def _encode_jpeg_progressive(
         out += seg(0xFFDB, bytes([0x10]) + struct.pack(">64H", *(64 * [1])))
     else:
         raise ValueError("quant_precision must be 8 or 16")
-    sof_body = struct.pack(">BHHB", 8, height, width, len(comps))
+    sof_body = struct.pack(">BHHB", precision, height, width, len(comps))
     for cid, (h, v), _ in comps:
         sof_body += bytes([cid, (h << 4) | v, 0])
     out += seg(0xFFC2, sof_body)
@@ -1904,28 +1999,39 @@ def encode_jpeg_progressive_gray(
     gray: bytes,
     restart_interval: int = 0,
     quant_precision: int = 8,
+    precision: int = 8,
 ) -> bytes:
     """Progressive (SOF2) JFIF, single luma component, all-ones
     quantization — the progressive twin of encode_jpeg_baseline_gray
     (same coefficient pipeline, multi-scan entropy layout).
     ``quant_precision=16`` emits the DQT as Pq=1 16-bit entries (legal
     in progressive frames), exercising the decoder's wide-table parse
-    with a bit-identical-pixels guarantee."""
+    with a bit-identical-pixels guarantee. ``precision=12`` takes
+    little-endian uint16 samples (< 4096, level shift 2048) — the
+    progressive 12-bit twin of encode_jpeg_extended_gray."""
     import numpy as np
 
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     if width % 8 or height % 8:
         raise ValueError(
             f"encode_jpeg_progressive_gray: dimensions must be multiples "
             f"of 8, got {width}x{height}"
         )
-    if len(gray) != width * height:
+    bytes_pp = 1 if precision == 8 else 2
+    if len(gray) != width * height * bytes_pp:
         raise ValueError(
             f"encode_jpeg_progressive_gray: payload is {len(gray)} bytes, "
-            f"expected width*height = {width * height}"
+            f"expected {width * height * bytes_pp}"
         )
-    plane = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    plane = np.frombuffer(
+        gray, dtype=np.uint8 if precision == 8 else "<u2"
+    ).reshape(height, width)
+    if precision == 12 and int(plane.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples exceed 4095")
     return _encode_jpeg_progressive(
-        width, height, [(1, (1, 1), plane)], restart_interval, quant_precision
+        width, height, [(1, (1, 1), plane)], restart_interval,
+        quant_precision, precision,
     )
 
 
@@ -2397,13 +2503,25 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                     o += 129
                 else:
                     raise ValueError(f"bad DQT precision {pq}")
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive. SOF1 shares SOF0's scan semantics exactly —
+            # it exists to permit 12-bit samples (and Pq=1 tables),
+            # which SOF0 forbids.
             if sof is not None:
                 raise ValueError("duplicate SOF marker")
             progressive = marker == 0xC2
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if depth != 8:
-                raise NotImplementedError("only 8-bit JPEG")
+            if depth == 12:
+                if marker == 0xC0:
+                    raise ValueError("12-bit samples require SOF1/SOF2")
+                if ncomp != 1:
+                    raise NotImplementedError(
+                        "12-bit color JPEG (grayscale only — the "
+                        "medical/scientific 12-bit corpus is gray)"
+                    )
+            elif depth != 8:
+                raise NotImplementedError("only 8-bit or 12-bit JPEG")
             comps = []
             for ci in range(ncomp):
                 cid, samp, ctq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -2437,7 +2555,7 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                 raise NotImplementedError(
                     f"unsupported component count {ncomp}"
                 )
-            sof = (w, h, comps)
+            sof = (w, h, comps, depth)
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -2464,9 +2582,9 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                 "nb_w": nb_w,
                 "nb_h": nb_h,
             }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0) or progressive (SOF2) JPEG"
+                "only sequential (SOF0/SOF1) or progressive (SOF2) JPEG"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             o = 0
@@ -2487,7 +2605,10 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
 
     if scans_done == 0:
         raise ValueError("no SOS marker")
-    width, height, comps = sof
+    width, height, comps, depth = sof
+    level = float(1 << (depth - 1))
+    maxval = (1 << depth) - 1
+    out_dtype = np.uint8 if depth == 8 else np.uint16
 
     # ---- shared reconstruction: dequantize, inverse zigzag, IDCT ----
     C = _jpeg_dct_basis()
@@ -2505,7 +2626,7 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
         # grid with the same pairwise dot products as the per-block 2-D
         # case, so the float math is unchanged.
         f = np.matmul(np.matmul(C.T, deq), C)
-        img = np.clip(np.rint(f + 128.0), 0, 255).astype(np.uint8)
+        img = np.clip(np.rint(f + level), 0, maxval).astype(out_dtype)
         planes[c["id"]] = (
             img.transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8)
         )

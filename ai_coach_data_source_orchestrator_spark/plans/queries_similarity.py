@@ -531,7 +531,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     + numpy payload extraction; for JPEG the full canonical-Huffman
     entropy decode → dequantize → IDCT chain, multi-scan successive-
     approximation accumulation for the progressive member; for GIF
-    variable-width LZW + four-pass de-interlace + palette expansion)
+    variable-width LZW + four-pass de-interlace + palette expansion;
+    for BMP run-length decode + row flip)
     and derive mean-luma / RMS-amplitude features. The color-JFIF
     member cycles all five supported chroma layouts (4:2:0/4:2:2/4:4:4/
     4:4:0/4:1:1 by doc_id % 5), so the r12 layouts are driver-gated.

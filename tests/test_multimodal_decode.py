@@ -146,10 +146,14 @@ def test_jpeg_unsupported_shapes_raise():
     with pytest.raises(ValueError):
         decode_media(b"\x00\x00" + bytes(payload[2:]), "image/jpeg")  # bad SOI
     i = bytes(payload).find(b"\xff\xc0")
-    # SOF0 -> SOF1 (extended sequential) stays out of scope
+    # SOF0 -> SOF1 (extended sequential) DECODES since late r12 — the
+    # scan semantics are identical; SOF3 (lossless) stays out.
     extended = bytes(payload[:i]) + b"\xff\xc1" + bytes(payload[i + 2 :])
-    with pytest.raises(NotImplementedError, match="SOF0.*SOF2"):
-        decode_media(extended, "image/jpeg")
+    d = decode_media(extended, "image/jpeg")
+    assert np.array_equal(d["values"], img.reshape(-1))
+    lossless = bytes(payload[:i]) + b"\xff\xc3" + bytes(payload[i + 2 :])
+    with pytest.raises(NotImplementedError, match="SOF0/SOF1.*SOF2"):
+        decode_media(lossless, "image/jpeg")
     # SOF2 is SUPPORTED now — but a baseline-shaped scan header
     # (Ss=0, Se=63) inside a progressive frame is malformed and must
     # fail loudly, not decode garbage.
@@ -1389,3 +1393,70 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_jpeg_12bit_extended_sequential_roundtrip():
+    """12-bit samples (SOF1, late r12): per-block-constant planes
+    round-trip EXACTLY as uint16 (level shift 2048, all-ones Pq=1
+    table) including extreme cross-block DC swings (15-bit DIFF
+    categories) and restart intervals; the progressive (SOF2) encode
+    of the same plane decodes bit-identically."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(1214)
+    v = rng.randint(0, 4096, size=(2, 3))
+    v[0, 0], v[1, 2] = 0, 4095  # force a near-maximal DC difference
+    img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype("<u2")
+    seq = None
+    for ri in (0, 3):
+        d = decode_media(
+            M.encode_jpeg_extended_gray(24, 16, img.tobytes(), restart_interval=ri),
+            "image/jpeg",
+        )
+        assert d["values"].dtype == np.uint16
+        assert np.array_equal(d["values"], img.astype(np.uint16).reshape(-1)), ri
+        seq = d
+    prog = decode_media(
+        M.encode_jpeg_progressive_gray(24, 16, img.tobytes(), precision=12),
+        "image/jpeg",
+    )
+    assert np.array_equal(prog["values"], seq["values"])
+    # General 12-bit content: all-ones quant -> coefficient rounding
+    # only, so the error bound matches the 8-bit contract.
+    g = rng.randint(0, 4096, size=(16, 16)).astype("<u2")
+    d = decode_media(M.encode_jpeg_extended_gray(16, 16, g.tobytes()), "image/jpeg")
+    err = np.abs(d["values"].astype(int) - g.astype(int).reshape(-1))
+    assert err.max() <= 2
+
+
+def test_jpeg_12bit_boundaries():
+    """12-bit inside SOF0 is spec-illegal and rejected; 12-bit color
+    stays at the documented grayscale-only boundary; oversized samples
+    are rejected at encode time."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    img = np.full((8, 8), 1234, dtype="<u2")
+    payload = bytearray(M.encode_jpeg_extended_gray(8, 8, img.tobytes()))
+    i = payload.find(b"\xff\xc1")
+    payload[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF1/SOF2"):
+        decode_media(bytes(payload), "image/jpeg")
+    # 3-component SOF with 12-bit precision: grayscale-only boundary
+    Y = np.full((16, 16), 9, np.uint8)
+    Cb = Cr = np.full((8, 8), 100, np.uint8)
+    color = bytearray(
+        M.encode_jpeg_baseline_color(16, 16, Y.tobytes(), Cb.tobytes(), Cr.tobytes())
+    )
+    j = color.find(b"\xff\xc0")
+    color[j + 1] = 0xC1  # extended sequential...
+    color[j + 4] = 12  # ...at 12-bit precision
+    with pytest.raises(NotImplementedError, match="12-bit color"):
+        decode_media(bytes(color), "image/jpeg")
+    with pytest.raises(ValueError, match="exceed 12 bits"):
+        M.encode_jpeg_extended_gray(
+            8, 8, np.full((8, 8), 5000, dtype="<u2").tobytes()
+        )
