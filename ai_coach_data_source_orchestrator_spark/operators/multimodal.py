@@ -8,8 +8,10 @@ baseline-sequential grayscale JFIF, (r11) baseline COLOR JFIF, (r12)
 progressive (SOF2) JFIF — every chroma layout in ``_JPEG_SAMPLINGS``
 (4:4:4/4:2:0/4:2:2/4:4:0/4:1:1), interleaved MCUs, chroma upsample +
 BT.601, DQT at both precisions; (r12) GIF (variable-width LZW,
-four-pass interlace, GCE transparency, local palettes); and (r12)
-BMP (8/24/32-bit, BI_RLE8, both row orders) — in plain Python/NumPy
+four-pass interlace, GCE transparency, local palettes); (r12)
+BMP (8/24/32-bit, BI_RLE8, both row orders); and (r12) TIFF (II/MM,
+strips, PackBits + early-change LZW + predictor 2, grey/WhiteIsZero/
+RGB(A)/16-bit-colormap palette) — in plain Python/NumPy
 (header parse, magic validation, zlib inflate + scanline unfiltering
 for PNG, canonical-Huffman entropy decode + multi-scan coefficient
 accumulation + dequantize + IDCT for JPEG), exercised end-to-end by
@@ -96,8 +98,10 @@ def decode_media(
     PPM/PGM (netpbm P6/P5), RIFF/WAV (mono/stereo PCM16/PCM8 + G.711
     µ-law/A-law), PNG (all spec-legal shapes incl. 16-bit, sub-8 grey,
     tRNS, Adam7), JFIF JPEG (baseline + progressive, five chroma
-    layouts), GIF (LZW, interlace, transparency) and BMP (8/24/32-bit,
-    RLE8) decode in plain Python/NumPy — no external codec library
+    layouts, 8/12-bit), GIF (LZW, interlace, transparency), BMP
+    (8/24/32-bit, RLE8) and TIFF (strips, PackBits/LZW, predictor,
+    both byte orders) decode in plain Python/NumPy — no external codec
+    library
     needed — so these paths are REAL: header parsing, magic validation,
     entropy decode, and payload extraction all operate on the actual
     bytes. DSP-codec formats (MP3/MP4/...) still raise: those genuinely
@@ -200,6 +204,9 @@ def decode_media(
 
     if mime in ("image/bmp", "image/x-ms-bmp"):
         return _decode_bmp(payload)
+
+    if mime == "image/tiff":
+        return _decode_tiff(payload)
 
     if mime == "image/jpeg":
         return _decode_jpeg(payload, jfif_coeffs=jfif_coeffs)
@@ -555,6 +562,412 @@ def encode_png(
 
 
 # ---------------------------------------------------------------------------
+# TIFF (late r12): classic IFD container in either byte order, strip
+# layout, PackBits and LZW compression (the TIFF LZW variant: MSB-first
+# code packing with the "early change" width bump one code before
+# GIF's, clear=256/EOI=257), horizontal-differencing predictor, and
+# greyscale / RGB(A) / 16-bit-colormap palette photometrics. Encoder
+# twin writes both byte orders, multi-row strips, all three
+# compressions and the predictor, so every decode branch round-trips.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (TIFF6 §13): 8-bit symbols, clear=256, EOI=257,
+    first dynamic code 258, MSB-first bit packing, and the EARLY width
+    change — the decoder widens when its next-to-assign code is
+    (1<<width)−2, one code before the GIF rule, because the encoder
+    (one table entry ahead) widens at (1<<width)−1."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"TIFF LZW code {code} before any output")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(
+                f"TIFF LZW code {code} beyond table size {len(table)}"
+            )
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # Early change, decoder side: the encoder runs one table
+            # entry AHEAD and widens when ITS next code hits
+            # (1<<width)-1, so the decoder must widen at (1<<width)-2
+            # to read the very next code at the same width.
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Encoder mirror of _lzw_decode_tiff: widens when the
+    just-assigned code reaches (1<<width)−1 (it runs one entry ahead
+    of the decoder), clears at table entry 4094 per the spec."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(clear, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF6 §9): n∈0..127 → n+1 literal bytes;
+    n∈129..255 (two's-complement −1..−127) → repeat next byte 1−n
+    times; 128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            if pos + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError("PackBits output length mismatch")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs ≥3 become repeat packets, the rest
+    literal packets (≤128 bytes each)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        start = i
+        while i < n and i - start < 128:
+            run = 1
+            while i + run < n and data[i + run] == data[i] and run < 128:
+                run += 1
+            if run >= 3 or i - start + run > 128:
+                # A long run ends the literal; a short run that would
+                # overflow the 128-byte packet cap does too (else the
+                # header byte could reach 0x80, the no-op marker).
+                break
+            i += run
+        out += bytes([i - start - 1]) + data[start:i]
+    return bytes(out)
+
+
+def _decode_tiff(payload: bytes) -> dict:
+    """REAL TIFF decode: II/MM byte-order header, first-IFD tag walk,
+    strip reassembly (StripOffsets/StripByteCounts/RowsPerStrip),
+    Compression 1 (none) / 5 (LZW, with Predictor 2 horizontal
+    differencing) / 32773 (PackBits), PhotometricInterpretation
+    0 (WhiteIsZero, inverted to greyscale) / 1 (grey) / 2 (RGB, 3 or
+    4 samples) / 3 (palette via the 16-bit ColorMap, returned at full
+    16-bit depth per spec — no lossy >>8). 8-bit samples only (the
+    dominant interchange shape); tiles, planar configuration 2, and
+    other bit depths raise."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"bad TIFF byte-order mark {payload[:2]!r}")
+    (magic,) = struct.unpack(bo + "H", payload[2:4])
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    (n_tags,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    tags: dict[int, list[int]] = {}
+    for t in range(n_tags):
+        e = ifd_off + 2 + 12 * t
+        tag, typ, count = struct.unpack(bo + "HHI", payload[e : e + 8])
+        if typ not in TYPE_SIZE:
+            continue
+        size = TYPE_SIZE[typ] * count
+        if size <= 4:
+            raw = payload[e + 8 : e + 8 + size]
+        else:
+            (off,) = struct.unpack(bo + "I", payload[e + 8 : e + 12])
+            raw = payload[off : off + size]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 5: "II"}[typ]
+        vals = list(struct.unpack(bo + fmt * count, raw))
+        tags[tag] = vals
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    compression = one(259, 1)
+    photometric = one(262)
+    predictor = one(317, 1)
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar TIFF (PlanarConfiguration=2)")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"non-8-bit TIFF samples {bits}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, height)
+    stride = width * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, height - si * rows_per_strip)
+        expected = n_rows * stride
+        if compression == 1:
+            if len(strip) < expected:
+                raise ValueError("uncompressed TIFF strip too short")
+            raw += strip[:expected]
+        elif compression == 5:
+            raw += _lzw_decode_tiff(strip, expected)
+        elif compression == 32773:
+            raw += _packbits_decode(strip, expected)
+        else:
+            raise NotImplementedError(f"TIFF compression {compression}")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, stride)
+    if predictor == 2:
+        # Horizontal differencing: cumulative sum per sample channel,
+        # modulo 256 (uint8 wraparound is exactly that).
+        px = px.reshape(height, width, spp)
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+        px = px.reshape(height, stride)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    if photometric == 3:
+        if spp != 1:
+            raise ValueError("palette TIFF must have one sample per pixel")
+        cmap = tags.get(320)
+        if not cmap or len(cmap) % 3:
+            raise ValueError("palette TIFF without a valid ColorMap")
+        n = len(cmap) // 3
+        cm = np.array(cmap, dtype=np.uint16).reshape(3, n).T  # (n, rgb)
+        idx = px.reshape(-1)
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("TIFF palette index out of range")
+        out = cm[idx].reshape(-1)  # 16-bit per spec, no lossy >>8
+    elif photometric == 0:
+        out = (255 - px).reshape(-1)  # WhiteIsZero inversion
+    elif photometric == 1:
+        if spp != 1:
+            raise ValueError("greyscale TIFF must have one sample per pixel")
+        out = px.reshape(-1)
+    elif photometric == 2:
+        if spp not in (3, 4):
+            raise ValueError("RGB TIFF must have 3 or 4 samples per pixel")
+        out = px.reshape(-1)
+    else:
+        raise NotImplementedError(f"TIFF photometric {photometric}")
+    return {"kind": "image", "width": width, "height": height, "values": out}
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    photometric: int = 1,
+    compression: int = 1,
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+    colormap=None,
+) -> bytes:
+    """Minimal TIFF writer for the decode tests: either byte order,
+    multi-row strips, Compression 1/5/32773, Predictor 2 under LZW,
+    and greyscale (1), WhiteIsZero (0), RGB/RGBA (2) or palette (3,
+    ``colormap`` = flat [R...G...B...] 16-bit list, ``pixels`` =
+    indices) photometrics."""
+    import struct
+
+    import numpy as np
+
+    bo = "<" if byte_order == "II" else ">"
+    spp = {0: 1, 1: 1, 3: 1}.get(photometric, len(pixels) // (width * height))
+    assert spp in (1, 3, 4)
+    assert len(pixels) == width * height * spp
+    rows_per_strip = rows_per_strip or height
+    stride = width * spp
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+    if photometric == 0:
+        px = (255 - px)  # store inverted so decode returns the input
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        rows = px[y0 : y0 + rows_per_strip]
+        if predictor == 2:
+            r3 = rows.reshape(rows.shape[0], -1, spp).astype(np.int64)
+            diff = np.empty_like(r3)
+            diff[:, 0] = r3[:, 0]
+            diff[:, 1:] = r3[:, 1:] - r3[:, :-1]
+            rows = (diff % 256).astype(np.uint8).reshape(rows.shape[0], stride)
+        data = rows.tobytes()
+        if compression == 5:
+            strips.append(_lzw_encode_tiff(data))
+        elif compression == 32773:
+            strips.append(_packbits_encode(data))
+        else:
+            strips.append(data)
+
+    entries = {
+        256: (4, [width]),
+        257: (4, [height]),
+        258: (3, [8] * spp),
+        259: (3, [compression]),
+        262: (3, [photometric]),
+        277: (3, [spp]),
+        278: (4, [rows_per_strip]),
+    }
+    if predictor != 1:
+        entries[317] = (3, [predictor])
+    if photometric == 3:
+        assert colormap is not None and len(colormap) % 3 == 0
+        entries[320] = (3, list(colormap))
+    # Layout: header(8) + IFD + external values + strips.
+    n_tags = len(entries) + 2  # + StripOffsets/StripByteCounts
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    TYPE_SIZE = {3: 2, 4: 4}
+    ext = bytearray()
+    ext_base = ifd_off + ifd_size
+
+    def val_bytes(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return struct.pack(bo + fmt * len(vals), *vals)
+
+    n_strips = len(strips)
+    strip_area = ext_base  # patched after ext is final
+    # Reserve external slots first for deterministic offsets: walk all
+    # entries (incl. strip tables) in tag order, appending to ext.
+    strip_offsets_tag = (4, [0] * n_strips)
+    strip_counts_tag = (4, [len(s) for s in strips])
+    all_entries = dict(entries)
+    all_entries[273] = strip_offsets_tag
+    all_entries[279] = strip_counts_tag
+    ext_slots = {}
+    for tag in sorted(all_entries):
+        typ, vals = all_entries[tag]
+        size = TYPE_SIZE[typ] * len(vals)
+        if size > 4:
+            ext_slots[tag] = ext_base + len(ext)
+            ext += b"\x00" * size
+    data_base = ext_base + len(ext)
+    offs, pos = [], data_base
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    all_entries[273] = (4, offs)
+
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off)
+    out += struct.pack(bo + "H", n_tags)
+    for tag in sorted(all_entries):
+        typ, vals = all_entries[tag]
+        vb = val_bytes(typ, vals)
+        out += struct.pack(bo + "HHI", tag, typ, len(vals))
+        if len(vb) <= 4:
+            out += vb + b"\x00" * (4 - len(vb))
+        else:
+            out += struct.pack(bo + "I", ext_slots[tag])
+    out += struct.pack(bo + "I", 0)  # next-IFD pointer
+    ext2 = bytearray(ext)
+    for tag, slot in ext_slots.items():
+        typ, vals = all_entries[tag]
+        vb = val_bytes(typ, vals)
+        ext2[slot - ext_base : slot - ext_base + len(vb)] = vb
+    out += ext2
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # BMP (r12): the zero-entropy-coding image container — BITMAPINFOHEADER
 # parse, bottom-up/top-down row order, 4-byte row padding, BGR(A)→
 # RGB(A) swizzle, 8-bit palette (BGRX entries), and BI_RLE8 decode
@@ -698,13 +1111,15 @@ def _bmp_rle8_encode(grid) -> bytes:
                 out += bytes([run, int(row[x])])
                 x += run
                 continue
-            # Collect a literal stretch until the next long run.
+            # Collect a literal stretch until the next long run (or
+            # the 255-byte absolute-packet cap — a short run must not
+            # overshoot it, or the count byte overflows).
             start = x
             while x < w and x - start < 255:
                 run = 1
                 while x + run < w and row[x + run] == row[x] and run < 255:
                     run += 1
-                if run >= 3:
+                if run >= 3 or x - start + run > 255:
                     break
                 x += run
             n = x - start

@@ -1361,7 +1361,7 @@ try:
     from hypothesis import strategies as _bmp_st
 
     @_bmp_given(
-        w=_bmp_st.integers(min_value=1, max_value=40),
+        w=_bmp_st.integers(min_value=1, max_value=600),
         h=_bmp_st.integers(min_value=1, max_value=12),
         ncol=_bmp_st.sampled_from([2, 5, 16, 200]),
         seed=_bmp_st.integers(min_value=0, max_value=2**31 - 1),
@@ -1460,3 +1460,119 @@ def test_jpeg_12bit_boundaries():
         M.encode_jpeg_extended_gray(
             8, 8, np.full((8, 8), 5000, dtype="<u2").tobytes()
         )
+
+
+# ---------------------------------------------------------------------------
+# TIFF (late r12): IFD container, strips, PackBits + TIFF-LZW (early
+# change) + predictor 2, both byte orders.
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_roundtrip_full_matrix():
+    """Grey / WhiteIsZero / RGB / RGBA across II+MM byte orders, all
+    three compressions (LZW under predictor 2), single- and multi-row
+    strips — every combination round-trips exactly."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(1215)
+    w, h = 17, 9
+    for bo in ("II", "MM"):
+        for comp in (1, 5, 32773):
+            for rps in (None, 3):
+                for phot, spp in ((1, 1), (0, 1), (2, 3), (2, 4)):
+                    px = rng.randint(0, 256, size=(h, w * spp), dtype=np.uint8)
+                    payload = encode_tiff(
+                        w, h, px.tobytes(), photometric=phot,
+                        compression=comp, byte_order=bo, rows_per_strip=rps,
+                        predictor=2 if comp == 5 else 1,
+                    )
+                    d = decode_media(payload, "image/tiff")
+                    assert (d["width"], d["height"]) == (w, h)
+                    assert np.array_equal(
+                        d["values"], px.reshape(-1)
+                    ), (bo, comp, rps, phot)
+
+
+def test_tiff_palette_16bit_colormap():
+    """Palette TIFFs expand through the 16-bit ColorMap at full depth
+    (the spec stores 16-bit channel values — no lossy >>8)."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 16, size=(9, 17), dtype=np.uint8)
+    cmap = [int(x) for x in rng.randint(0, 65536, size=48)]
+    d = _decode_tiff(
+        encode_tiff(17, 9, idx.tobytes(), photometric=3, compression=5,
+                    colormap=cmap, rows_per_strip=4)
+    )
+    cm = np.array(cmap, dtype=np.uint16).reshape(3, 16).T
+    assert d["values"].dtype == np.uint16
+    assert np.array_equal(d["values"], cm[idx.reshape(-1)].reshape(-1))
+
+
+def test_tiff_malformed_and_unsupported():
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+        _decode_tiff,
+        encode_tiff,
+    )
+
+    with pytest.raises(ValueError, match="byte-order"):
+        _decode_tiff(b"XX" + bytes(20))
+    with pytest.raises(ValueError, match="bad TIFF magic"):
+        _decode_tiff(b"II\x2b\x00" + bytes(8))
+    px = np.zeros((4, 4), np.uint8)
+    good = bytearray(encode_tiff(4, 4, px.tobytes()))
+    # Patch BitsPerSample (tag 258) to 16: out-of-scope depth
+    # IFD starts at 8; tags sorted -> 256,257,258 is the 3rd entry.
+    e = 8 + 2 + 12 * 2
+    import struct
+    assert struct.unpack("<H", good[e:e+2])[0] == 258
+    good[e + 8 : e + 10] = struct.pack("<H", 16)
+    with pytest.raises(NotImplementedError, match="non-8-bit"):
+        _decode_tiff(bytes(good))
+    # Truncated LZW strip must not return short data silently
+    lz = bytearray(encode_tiff(4, 4, px.tobytes(), compression=5))
+    with pytest.raises(ValueError):
+        _decode_tiff(bytes(lz[:-3]))
+
+
+try:
+    from hypothesis import given as _tif_given
+    from hypothesis import settings as _tif_settings
+    from hypothesis import strategies as _tif_st
+
+    @_tif_given(
+        n=_tif_st.integers(min_value=1, max_value=8000),
+        seed=_tif_st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @_tif_settings(max_examples=40, deadline=None)
+    def test_tiff_lzw_roundtrip_property(n, seed):
+        """TIFF LZW (MSB-first, early change) encode→decode is the
+        identity across stream lengths spanning every width bump."""
+        import numpy as np
+
+        from ai_coach_data_source_orchestrator_spark.operators.multimodal import (
+            _lzw_decode_tiff,
+            _lzw_encode_tiff,
+        )
+
+        rng = np.random.default_rng(seed)
+        if seed % 2:
+            data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        else:
+            data = (rng.integers(0, 2, size=n, dtype=np.uint8) * 200).tobytes()
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), n) == data
+
+except ImportError:  # pragma: no cover
+    pass
