@@ -53,9 +53,10 @@ _FRONT = [
     # non-stale entries — knn_recall_audit gains the multiprobe recall
     # leg (VERDICT r11 item 4) and multimodal_decode gains the
     # progressive-JPEG corpus member (VERDICT r11 item 3, doc_id % 5 →
-    # % 6) and then, later in r12, the interlaced-GIF, BI_RLE8-BMP and
-    # G.711-µ-law members plus the five-layout color split (doc_id % 6
-    # → % 9; the color member now cycles 420/422/444/440/411) — so 64
+    # % 6) and then, later in r12, the interlaced-GIF, BI_RLE8-BMP,
+    # G.711-µ-law and LZW-TIFF members plus the five-layout color split
+    # (doc_id % 6 → % 10; the color member now cycles
+    # 420/422/444/440/411) — so 64
     # candidates for 50 slots, a 14-query forced overflow.
     # Priority per the hygiene test's rule: changed-oracle first (their
     # old green rows describe outputs that no longer exist), then ALL
