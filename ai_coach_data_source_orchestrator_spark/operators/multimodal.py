@@ -1539,10 +1539,11 @@ def encode_gif(
 # the encoders are its real inverse with optimized (per-image
 # canonical) Huffman tables, like `jpegtran -optimize` emits. As of
 # late r12 the Huffman family is complete: sequential SOF0/SOF1,
-# progressive SOF2, 8- and 12-bit samples, all five chroma layouts,
-# both DQT precisions, restart intervals. Arithmetic-coded and
-# lossless SOFs still raise — that residue is where PIL/libjpeg earn
-# their keep.
+# progressive SOF2, LOSSLESS SOF3 (all 7 spatial predictors, 2-16
+# bit), 8- and 12-bit DCT samples, all five chroma layouts, both DQT
+# precisions, restart intervals. Only the arithmetic-coded and
+# differential/hierarchical SOFs still raise — that residue is where
+# PIL/libjpeg earn their keep.
 # ---------------------------------------------------------------------------
 
 # JFIF (BT.601 full-range) YCbCr->RGB coefficients. A module constant
@@ -1888,6 +1889,118 @@ def encode_jpeg_extended_gray(
         + dri
         + seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
         + seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xFFDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_lossless_gray(
+    width: int,
+    height: int,
+    samples: bytes,
+    depth: int = 8,
+    predictor: int = 1,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Real lossless (SOF3, T.81 §H) grayscale JPEG encoder: spatial
+    prediction (selector 1-7), modulo-65536 differences coded with DC
+    Huffman categories (SSSS=16 → +32768, no extra bits), optional
+    point transform and restart intervals. Lossless means ANY image
+    round-trips bit-exactly — the strongest twin proof in the family.
+    ``samples`` are uint8 bytes for depth ≤ 8, little-endian uint16
+    for 9-16."""
+    import struct
+
+    import numpy as np
+
+    if not 2 <= depth <= 16:
+        raise ValueError("depth must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    wide = depth > 8
+    n = width * height
+    if len(samples) != n * (2 if wide else 1):
+        raise ValueError(
+            f"encode_jpeg_lossless_gray: payload is {len(samples)} bytes, "
+            f"expected {n * (2 if wide else 1)}"
+        )
+    px = np.frombuffer(samples, dtype="<u2" if wide else np.uint8).reshape(
+        height, width
+    ).astype(np.int64)
+    if int(px.max(initial=0)) >> depth:
+        raise ValueError(f"samples exceed {depth} bits")
+    pt = point_transform
+    sh = px >> pt  # encoder applies the point transform by truncation
+    default_pred = 1 << (depth - pt - 1)
+
+    # Token stream mirrors the decoder's walk exactly (incl. the
+    # restart rule: the first sample after an RST takes the default
+    # prediction).
+    syms, toks = [], []
+    fresh = True
+    count = 0
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and count and count % restart_interval == 0:
+                toks.append(("rst",))
+                fresh = True
+            count += 1
+            if fresh:
+                pred = default_pred
+                fresh = False
+            elif y == 0:
+                pred = int(sh[0, x - 1])
+            elif x == 0:
+                pred = int(sh[y - 1, 0])
+            else:
+                ra, rb, rc = int(sh[y, x - 1]), int(sh[y - 1, x]), int(sh[y - 1, x - 1])
+                pred = {
+                    1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                    5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+                    7: (ra + rb) >> 1,
+                }[predictor]
+            diff = (int(sh[y, x]) - pred) % 65536
+            if diff >= 32768:
+                diff -= 65536  # to signed, matching the decoder's extend
+            if diff == -32768 or diff == 32768:
+                syms.append(16)
+                toks.append(("sym", 16))
+            else:
+                size, vbits = _jpeg_magnitude(diff)
+                syms.append(size)
+                toks.append(("sym", size))
+                if size:
+                    toks.append(("bits", vbits, size))
+    bits_l, vals_l, enc = _jpeg_build_table(syms)
+
+    w = _BitWriter()
+    rst = 0
+    for t in toks:
+        if t[0] == "rst":
+            w.align()
+            w.raw_marker(0xD0 + (rst & 7))
+            rst += 1
+        elif t[0] == "sym":
+            code, length = enc[t[1]]
+            w.write(code, length)
+        else:
+            w.write(t[1], t[2])
+    scan = w.finish()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof = struct.pack(">BHHB", depth, height, width, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, predictor, 0, point_transform])
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFC3, sof)
+        + dri
+        + seg(0xFFC4, bytes([0x00]) + bytes(bits_l) + bytes(vals_l))
         + seg(0xFFDA, sos)
         + scan
         + b"\xff\xd9"
@@ -2517,8 +2630,11 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
     floor-half-up). Quantization tables parse at both precisions
     (Pq=0 byte and Pq=1 16-bit big-endian entries). Restart intervals
     (DRI + RST0-7, sequence-checked per scan) work in both modes.
-    Still raising: 12-bit samples, arithmetic / lossless /
-    differential SOFs — the documented PIL/libjpeg boundary.
+    12-bit SOF1/SOF2 grayscale decodes to uint16, and lossless
+    (SOF3, spatial predictors 1-7, point transform, SSSS=16 escape)
+    round-trips any grayscale image bit-exactly at 2-16 bits. Still
+    raising: arithmetic-coded and differential/hierarchical SOFs —
+    the documented boundary.
 
     Both modes decode into per-component quantized-coefficient arrays
     and share one reconstruction pass, so the baseline pixel math is
@@ -2533,6 +2649,8 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
     pos, qtables, hufftables, sof = 2, {}, {}, None
     restart_interval = 0
     progressive = False
+    lossless = False
+    lossless_px = None  # (h, w) int64 samples for the SOF3 path
     coefs: dict | None = None  # comp id -> int32 (by, bx, 64) zigzag coeffs
     geom: dict | None = None
     scans_done = 0
@@ -2587,7 +2705,14 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
         a = body[3 + 2 * ns]
         ah, al = a >> 4, a & 0xF
 
-        if not progressive:
+        if lossless:
+            # T.81 H: Ss selects the predictor (1-7), Se must be 0,
+            # Ah must be 0, Al is the point transform.
+            if not (1 <= ss <= 7) or se != 0 or ah != 0 or ns != 1:
+                raise ValueError("bad lossless scan header")
+            if scans_done:
+                raise NotImplementedError("multiple lossless scans")
+        elif not progressive:
             if (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError("bad baseline scan header")
             if scans_done:
@@ -2668,6 +2793,73 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
             if t is None:
                 raise ValueError(f"undefined Huffman table ({tc}, {ti})")
             return t
+
+        if lossless:
+            # Lossless scan (T.81 §H): row-major samples, each a DC-
+            # style Huffman category + magnitude bits giving the diff
+            # from the spatial prediction; SSSS=16 means +32768 with
+            # no extra bits. Differences are modulo-65536. Restart
+            # intervals count samples (the 1-component MCU) and reset
+            # the next sample to the default prediction.
+            predictor = ss
+            pt = al
+            _, td, _ = scomps[0]
+            dc_t = huff(0, td)
+            w_, h_ = lossless_px.shape[1], lossless_px.shape[0]
+            default_pred = 1 << (sof[3] - pt - 1)
+            fresh = True  # next sample takes the default prediction
+            count = 0
+            for y in range(h_):
+                for x in range(w_):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        next_segment()
+                        fresh = True
+                    count += 1
+                    ssss = read_symbol(dc_t)
+                    if ssss == 16:
+                        diff = 32768
+                    elif ssss:
+                        diff = extend(read_bits(ssss), ssss)
+                    else:
+                        diff = 0
+                    if fresh:
+                        pred = default_pred
+                        fresh = False
+                    elif y == 0:
+                        pred = int(lossless_px[0, x - 1])  # first line: Ra
+                    elif x == 0:
+                        pred = int(lossless_px[y - 1, 0])  # first col: Rb
+                    else:
+                        ra = int(lossless_px[y, x - 1])
+                        rb = int(lossless_px[y - 1, x])
+                        rc = int(lossless_px[y - 1, x - 1])
+                        if predictor == 1:
+                            pred = ra
+                        elif predictor == 2:
+                            pred = rb
+                        elif predictor == 3:
+                            pred = rc
+                        elif predictor == 4:
+                            pred = ra + rb - rc
+                        elif predictor == 5:
+                            pred = ra + ((rb - rc) >> 1)
+                        elif predictor == 6:
+                            pred = rb + ((ra - rc) >> 1)
+                        else:
+                            pred = (ra + rb) >> 1
+                    lossless_px[y, x] = (pred + diff) % 65536
+            if pt:
+                # Decoder output is the reconstruction × 2^Pt (T.81
+                # H.2.3) — prediction ran in the shifted domain above.
+                # (Slice-assign, not <<=: augmented assignment would
+                # rebind the closure name into a local.)
+                lossless_px[:] = lossless_px << pt
+            scans_done += 1
+            return p
 
         if not progressive:
             # Sequential: full 64-coefficient blocks over interleaved MCUs,
@@ -2918,16 +3110,27 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                     o += 129
                 else:
                     raise ValueError(f"bad DQT precision {pq}")
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
             # SOF0 baseline / SOF1 extended sequential / SOF2
-            # progressive. SOF1 shares SOF0's scan semantics exactly —
-            # it exists to permit 12-bit samples (and Pq=1 tables),
-            # which SOF0 forbids.
+            # progressive / SOF3 lossless. SOF1 shares SOF0's scan
+            # semantics exactly — it exists to permit 12-bit samples
+            # (and Pq=1 tables), which SOF0 forbids. SOF3 is the
+            # Huffman-coded spatial-predictor process (T.81 §H): no
+            # DCT, no quantization — sample differences reuse the DC
+            # category coding.
             if sof is not None:
                 raise ValueError("duplicate SOF marker")
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if depth == 12:
+            if lossless:
+                if not 2 <= depth <= 16:
+                    raise ValueError(f"bad lossless precision {depth}")
+                if ncomp != 1:
+                    raise NotImplementedError(
+                        "multi-component lossless JPEG (grayscale only)"
+                    )
+            elif depth == 12:
                 if marker == 0xC0:
                     raise ValueError("12-bit samples require SOF1/SOF2")
                 if ncomp != 1:
@@ -2971,6 +3174,8 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                     f"unsupported component count {ncomp}"
                 )
             sof = (w, h, comps, depth)
+            if lossless:
+                lossless_px = np.zeros((h, w), dtype=np.int64)
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -2997,9 +3202,10 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
                 "nb_w": nb_w,
                 "nb_h": nb_h,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only sequential (SOF0/SOF1) or progressive (SOF2) JPEG"
+                "only sequential (SOF0/SOF1), progressive (SOF2), or "
+                "lossless (SOF3) JPEG — arithmetic/differential SOFs out"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             o = 0
@@ -3021,6 +3227,14 @@ def _decode_jpeg(payload: bytes, jfif_coeffs=None) -> dict:
     if scans_done == 0:
         raise ValueError("no SOS marker")
     width, height, comps, depth = sof
+    if lossless:
+        out_dtype = np.uint8 if depth <= 8 else np.uint16
+        return {
+            "kind": "image",
+            "width": width,
+            "height": height,
+            "values": lossless_px.astype(out_dtype).reshape(-1),
+        }
     level = float(1 << (depth - 1))
     maxval = (1 << depth) - 1
     out_dtype = np.uint8 if depth == 8 else np.uint16

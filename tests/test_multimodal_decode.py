@@ -147,13 +147,19 @@ def test_jpeg_unsupported_shapes_raise():
         decode_media(b"\x00\x00" + bytes(payload[2:]), "image/jpeg")  # bad SOI
     i = bytes(payload).find(b"\xff\xc0")
     # SOF0 -> SOF1 (extended sequential) DECODES since late r12 — the
-    # scan semantics are identical; SOF3 (lossless) stays out.
+    # scan semantics are identical.
     extended = bytes(payload[:i]) + b"\xff\xc1" + bytes(payload[i + 2 :])
     d = decode_media(extended, "image/jpeg")
     assert np.array_equal(d["values"], img.reshape(-1))
-    lossless = bytes(payload[:i]) + b"\xff\xc3" + bytes(payload[i + 2 :])
-    with pytest.raises(NotImplementedError, match="SOF0/SOF1.*SOF2"):
-        decode_media(lossless, "image/jpeg")
+    # SOF3 (lossless) also decodes now — but a DCT-shaped scan header
+    # (Ss=0) inside a lossless frame is malformed and must say so.
+    mislabeled = bytes(payload[:i]) + b"\xff\xc3" + bytes(payload[i + 2 :])
+    with pytest.raises(ValueError, match="bad lossless scan header"):
+        decode_media(mislabeled, "image/jpeg")
+    # Arithmetic-coded SOFs stay at the documented boundary.
+    arith = bytes(payload[:i]) + b"\xff\xc9" + bytes(payload[i + 2 :])
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_media(arith, "image/jpeg")
     # SOF2 is SUPPORTED now — but a baseline-shaped scan header
     # (Ss=0, Se=63) inside a progressive frame is malformed and must
     # fail loudly, not decode garbage.
@@ -1573,6 +1579,90 @@ try:
         else:
             data = (rng.integers(0, 2, size=n, dtype=np.uint8) * 200).tobytes()
         assert _lzw_decode_tiff(_lzw_encode_tiff(data), n) == data
+
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_jpeg_lossless_sof3_roundtrip_everything():
+    """Lossless (SOF3, late r12): ANY image round-trips bit-exactly —
+    all seven predictors, depths 8/12/16, restart intervals, and the
+    SSSS=16 (+32768) escape on extreme 16-bit differences."""
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(1217)
+    for depth in (8, 12, 16):
+        dt = "<u2" if depth > 8 else np.uint8
+        img = rng.randint(0, 1 << depth, size=(9, 13)).astype(dt)
+        exp = img.astype(np.int64).astype(
+            np.uint8 if depth <= 8 else np.uint16
+        ).reshape(-1)
+        for pred in range(1, 8):
+            for ri in (0, 5):
+                d = decode_media(
+                    M.encode_jpeg_lossless_gray(
+                        13, 9, img.tobytes(), depth=depth,
+                        predictor=pred, restart_interval=ri,
+                    ),
+                    "image/jpeg",
+                )
+                assert d["values"].dtype == exp.dtype
+                assert np.array_equal(d["values"], exp), (depth, pred, ri)
+    # SSSS=16: alternating 0/65535 forces the +32768 escape
+    img = np.zeros((2, 16), dtype="<u2")
+    img[0, ::2] = 65535
+    d = decode_media(
+        M.encode_jpeg_lossless_gray(16, 2, img.tobytes(), depth=16),
+        "image/jpeg",
+    )
+    assert np.array_equal(d["values"], img.astype(np.uint16).reshape(-1))
+    # Point transform: decoder outputs reconstruction << Pt (T.81 H.2.3)
+    g = rng.randint(0, 256, size=(6, 8)).astype(np.uint8)
+    d = decode_media(
+        M.encode_jpeg_lossless_gray(8, 6, g.tobytes(), predictor=4,
+                                    point_transform=2),
+        "image/jpeg",
+    )
+    assert np.array_equal(
+        d["values"], ((g.astype(np.int64) >> 2) << 2).astype(np.uint8).reshape(-1)
+    )
+
+
+try:
+    from hypothesis import given as _ll_given
+    from hypothesis import settings as _ll_settings
+    from hypothesis import strategies as _ll_st
+
+    @_ll_given(
+        w=_ll_st.integers(min_value=1, max_value=24),
+        h=_ll_st.integers(min_value=1, max_value=12),
+        pred=_ll_st.integers(min_value=1, max_value=7),
+        depth=_ll_st.sampled_from([8, 12, 16]),
+        seed=_ll_st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @_ll_settings(max_examples=40, deadline=None)
+    def test_jpeg_lossless_property(w, h, pred, depth, seed):
+        """Lossless is lossless: arbitrary content at arbitrary dims
+        round-trips bit-exactly under every predictor."""
+        import numpy as np
+
+        from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+        rng = np.random.default_rng(seed)
+        dt = "<u2" if depth > 8 else np.uint8
+        img = rng.integers(0, 1 << depth, size=(h, w)).astype(dt)
+        d = decode_media(
+            M.encode_jpeg_lossless_gray(
+                w, h, img.tobytes(), depth=depth, predictor=pred
+            ),
+            "image/jpeg",
+        )
+        exp = img.astype(np.int64).astype(
+            np.uint8 if depth <= 8 else np.uint16
+        ).reshape(-1)
+        assert np.array_equal(d["values"], exp)
 
 except ImportError:  # pragma: no cover
     pass
