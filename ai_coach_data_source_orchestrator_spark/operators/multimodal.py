@@ -3456,7 +3456,7 @@ _WAV_RATE = 8000
 
 
 def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
-    """Deterministic real-format media synthesis keyed on ``doc_id % 10``:
+    """Deterministic real-format media synthesis keyed on ``doc_id % 11``:
     0 → P6 PPM RGB images (w=4+id%13, h=3+id%7, byte_i=(id*31+i*7)%256),
     1 → P5 PGM grayscale images (w=5+id%11, h=4+id%5,
     byte_i=(id*37+i*11)%256), 2 → mono PCM16 WAVs (n=16+id%50 samples,
@@ -3481,8 +3481,11 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
     (late r12: n=20+id%40 codes c_i=(id*61+i*23)%256, expanded by the
     closed-form integer µ-law arithmetic), 9 → TIFF (late r12:
     w=7+id%10, h=3+id%6, v_i=(id*67+i*41)%256, LZW + predictor 2 in
-    2-row strips, byte order II/MM by id parity). All ten container
-    kinds the decoder supports are exercised.
+    2-row strips, byte order II/MM by id parity), 10 → LOSSLESS 12-bit
+    JPEG (late r12: w=8+id%9, h=3+id%5, v_i=(id*71+i*37)%4096,
+    predictor 1+id%7, one restart per row — arbitrary pixels, exact by
+    construction). All eleven container kinds the decoder supports are
+    exercised.
 
     The payloads are genuine container bytes (parseable by any netpbm /
     WAV / JPEG reader), but every pixel/sample is a closed-form function
@@ -3504,25 +3507,25 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
             out = {"doc_id": [], "mime": [], "payload": []}
             for doc_id in pdf["doc_id"].astype("int64"):
                 doc_id = int(doc_id)
-                if doc_id % 10 == 0:
+                if doc_id % 11 == 0:
                     w, h = 4 + doc_id % 13, 3 + doc_id % 7
                     i = np.arange(w * h * 3, dtype=np.int64)
                     pix = ((doc_id * 31 + i * 7) % 256).astype(np.uint8).tobytes()
                     out["mime"].append("image/x-portable-pixmap")
                     out["payload"].append(encode_ppm(w, h, pix))
-                elif doc_id % 10 == 1:
+                elif doc_id % 11 == 1:
                     w, h = 5 + doc_id % 11, 4 + doc_id % 5
                     i = np.arange(w * h, dtype=np.int64)
                     pix = ((doc_id * 37 + i * 11) % 256).astype(np.uint8).tobytes()
                     out["mime"].append("image/x-portable-graymap")
                     out["payload"].append(encode_pgm(w, h, pix))
-                elif doc_id % 10 == 2:
+                elif doc_id % 11 == 2:
                     n = 16 + doc_id % 50
                     i = np.arange(n, dtype=np.int64)
                     s = (doc_id * 131 + i * 17) % 2003 - 1001
                     out["mime"].append("audio/wav")
                     out["payload"].append(encode_wav_pcm16(s, _WAV_RATE))
-                elif doc_id % 10 == 3:
+                elif doc_id % 11 == 3:
                     w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
                     img = np.zeros((h, w), dtype=np.uint8)
                     for b in range((w // 8) * (h // 8)):
@@ -3534,7 +3537,7 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                     out["payload"].append(
                         encode_jpeg_baseline_gray(w, h, img.tobytes())
                     )
-                elif doc_id % 10 == 4:
+                elif doc_id % 11 == 4:
                     # Cycle the five chroma layouts so 4:4:0/4:1:1 sit
                     # under the driver gate, not just unit tests. Per-
                     # MCU-constant planes keep the oracle closed-form at
@@ -3574,7 +3577,7 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                             sampling=samp,
                         )
                     )
-                elif doc_id % 10 == 5:
+                elif doc_id % 11 == 5:
                     w, h = 8 * (1 + doc_id % 4), 8 * (1 + doc_id % 3)
                     img = np.zeros((h, w), dtype=np.uint8)
                     for b in range((w // 8) * (h // 8)):
@@ -3593,7 +3596,7 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                             w, h, img.tobytes(), restart_interval=w // 8
                         )
                     )
-                elif doc_id % 10 == 6:
+                elif doc_id % 11 == 6:
                     # GIF member (r12): interlaced on the wire — the
                     # decoder's four-pass scatter and variable-width
                     # LZW run on every member, while the decoded pixels
@@ -3610,7 +3613,7 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                             interlace=True,
                         )
                     )
-                elif doc_id % 10 == 7:
+                elif doc_id % 11 == 7:
                     # BMP member (late r12): BI_RLE8-compressed palette
                     # image, bottom-up rows — the run-length decoder and
                     # the row flip are on the driver-gated path; palette
@@ -3627,7 +3630,7 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                             palette=pal.tobytes(), rle=True,
                         )
                     )
-                elif doc_id % 10 == 8:
+                elif doc_id % 11 == 8:
                     # G.711 µ-law member (late r12): code bytes are
                     # closed-form, and the decode is the exact integer
                     # expansion u = 255−c; t = ((u%16)·8+132)·2^(u⌊/16⌋%8);
@@ -3639,7 +3642,7 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                     out["payload"].append(
                         encode_wav_g711(codes, _WAV_RATE, "ulaw")
                     )
-                else:
+                elif doc_id % 11 == 9:
                     # TIFF member (late r12): grayscale, LZW-compressed
                     # strips of 2 rows under the horizontal predictor,
                     # byte order alternating II/MM — the early-change
@@ -3655,6 +3658,24 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                             w, h, pix.tobytes(), photometric=1,
                             compression=5, predictor=2, rows_per_strip=2,
                             byte_order="II" if doc_id % 2 else "MM",
+                        )
+                    )
+                else:
+                    # Lossless-JPEG member (late r12): 12-bit SOF3 with
+                    # ARBITRARY (non-block-constant) pixels — the only
+                    # JPEG member whose exactness needs no DC-only
+                    # trick, because the process is lossless by
+                    # construction. Predictor cycles all seven
+                    # selectors; one restart per row.
+                    w, h = 8 + doc_id % 9, 3 + doc_id % 5
+                    i = np.arange(w * h, dtype=np.int64)
+                    pix = ((doc_id * 71 + i * 37) % 4096).astype("<u2")
+                    out["mime"].append("image/jpeg")
+                    out["payload"].append(
+                        encode_jpeg_lossless_gray(
+                            w, h, pix.tobytes(), depth=12,
+                            predictor=1 + doc_id % 7,
+                            restart_interval=w,
                         )
                     )
                 out["doc_id"].append(doc_id)

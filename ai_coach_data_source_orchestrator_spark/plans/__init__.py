@@ -54,9 +54,9 @@ _FRONT = [
     # leg (VERDICT r11 item 4) and multimodal_decode gains the
     # progressive-JPEG corpus member (VERDICT r11 item 3, doc_id % 5 →
     # % 6) and then, later in r12, the interlaced-GIF, BI_RLE8-BMP,
-    # G.711-µ-law and LZW-TIFF members plus the five-layout color split
-    # (doc_id % 6 → % 10; the color member now cycles
-    # 420/422/444/440/411) — so 64
+    # G.711-µ-law, LZW-TIFF and lossless-12-bit-JPEG members plus the
+    # five-layout color split (doc_id % 6 → % 11; the color member now
+    # cycles 420/422/444/440/411) — so 64
     # candidates for 50 slots, a 14-query forced overflow.
     # Priority per the hygiene test's rule: changed-oracle first (their
     # old green rows describe outputs that no longer exist), then ALL

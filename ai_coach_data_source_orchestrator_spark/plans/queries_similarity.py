@@ -259,7 +259,7 @@ _RMS_MICRO = (
     oracle=f"""
     WITH img AS (
       SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
-      FROM documents WHERE doc_id % 10 = 0
+      FROM documents WHERE doc_id % 11 = 0
     ),
     ivals AS (
       SELECT doc_id, w, h, w * h * 3 AS n_values,
@@ -271,7 +271,7 @@ _RMS_MICRO = (
     ),
     gry AS (
       SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
-      FROM documents WHERE doc_id % 10 = 1
+      FROM documents WHERE doc_id % 11 = 1
     ),
     gvals AS (
       SELECT doc_id, w, h, w * h AS n_values,
@@ -282,7 +282,7 @@ _RMS_MICRO = (
       GROUP BY doc_id, w, h
     ),
     aud AS (
-      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 10 = 2
+      SELECT doc_id, 16 + doc_id % 50 AS n_values FROM documents WHERE doc_id % 11 = 2
     ),
     avals AS (
       SELECT doc_id, n_values,
@@ -295,7 +295,7 @@ _RMS_MICRO = (
     ),
     jm AS (
       SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
-      FROM documents WHERE doc_id % 10 = 3
+      FROM documents WHERE doc_id % 11 = 3
     ),
     jvals AS (
       -- per-8x8-block constant v_b=(id*41+b*13)%256: each block
@@ -323,7 +323,7 @@ _RMS_MICRO = (
                              WHEN 3 THEN 1 ELSE 4 END AS yh,
              CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
                              WHEN 3 THEN 2 ELSE 1 END AS yv
-      FROM documents WHERE doc_id % 10 = 4
+      FROM documents WHERE doc_id % 11 = 4
     ),
     jcd AS (
       SELECT doc_id, 8 * yh * (1 + doc_id % 3) AS w,
@@ -370,7 +370,7 @@ _RMS_MICRO = (
       FROM jcpos GROUP BY doc_id, w, h),
     jp AS (
       SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
-      FROM documents WHERE doc_id % 10 = 5
+      FROM documents WHERE doc_id % 11 = 5
     ),
     jpvals AS (
       -- PROGRESSIVE (SOF2) grayscale, per-8x8-block constant
@@ -389,7 +389,7 @@ _RMS_MICRO = (
     ),
     gif AS (
       SELECT doc_id, 5 + doc_id % 12 AS w, 4 + doc_id % 6 AS h
-      FROM documents WHERE doc_id % 10 = 6
+      FROM documents WHERE doc_id % 11 = 6
     ),
     gifpx AS (
       -- interlaced GIF (r12): LZW + four-pass interlace are lossless,
@@ -414,7 +414,7 @@ _RMS_MICRO = (
     ),
     bmp AS (
       SELECT doc_id, 6 + doc_id % 11 AS w, 3 + doc_id % 5 AS h
-      FROM documents WHERE doc_id % 10 = 7
+      FROM documents WHERE doc_id % 11 = 7
     ),
     bmppx AS (
       -- BI_RLE8 BMP (late r12): run-length decode + bottom-up flip are
@@ -438,7 +438,7 @@ _RMS_MICRO = (
     ),
     g711 AS (
       SELECT doc_id, 20 + doc_id % 40 AS n_values
-      FROM documents WHERE doc_id % 10 = 8
+      FROM documents WHERE doc_id % 11 = 8
     ),
     g711px AS (
       -- G.711 µ-law expansion, restated as the closed-form integer
@@ -464,7 +464,7 @@ _RMS_MICRO = (
     ),
     tif AS (
       SELECT doc_id, 7 + doc_id % 10 AS w, 3 + doc_id % 6 AS h
-      FROM documents WHERE doc_id % 10 = 9
+      FROM documents WHERE doc_id % 11 = 9
     ),
     tifvals AS (
       -- TIFF (late r12): early-change LZW + horizontal predictor +
@@ -475,6 +475,20 @@ _RMS_MICRO = (
              SUM(((doc_id * 67 + i * 41) % 256) * ((doc_id * 67 + i * 41) % 256)) AS val_sumsq,
              SUM(i * ((doc_id * 67 + i * 41) % 256)) AS val_possum
       FROM tif, unnest(range(w * h)) s(i)
+      GROUP BY doc_id, w, h
+    ),
+    jll AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 3 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 11 = 10
+    ),
+    jllvals AS (
+      -- LOSSLESS 12-bit JPEG (SOF3, late r12): exact by construction,
+      -- so pixel i is just (id*71+i*37)%4096 — no DC-only trick needed
+      SELECT doc_id, w, h, w * h AS n_values,
+             SUM((doc_id * 71 + i * 37) % 4096) AS val_sum,
+             SUM(((doc_id * 71 + i * 37) % 4096) * ((doc_id * 71 + i * 37) % 4096)) AS val_sumsq,
+             SUM(i * ((doc_id * 71 + i * 37) % 4096)) AS val_possum
+      FROM jll, unnest(range(w * h)) s(i)
       GROUP BY doc_id, w, h
     )
     SELECT doc_id, 'image' AS kind, CAST(w AS BIGINT) AS width,
@@ -537,6 +551,12 @@ _RMS_MICRO = (
            CAST(val_possum AS BIGINT),
            {_MEAN_MICRO}, {_RMS_MICRO}
     FROM tifvals
+    UNION ALL
+    SELECT doc_id, 'image', CAST(w AS BIGINT), CAST(h AS BIGINT), NULL,
+           CAST(n_values AS BIGINT), CAST(val_sum AS BIGINT),
+           CAST(val_possum AS BIGINT),
+           {_MEAN_MICRO}, {_RMS_MICRO}
+    FROM jllvals
     """,
     survey_ids=("S13", "K7"),
     description=(
