@@ -2,7 +2,8 @@
 
 ``decode_media`` REALLY decodes the codec-library-free formats —
 netpbm P6/P5 images; RIFF/WAV audio (mono/stereo PCM16 + unsigned
-PCM8 + G.711 µ-law/A-law table expansion); (r8) PNG at every
+PCM8 + G.711 µ-law/A-law expansion + mono IMA-ADPCM adaptive
+decode, cross-checked bit-exact against stdlib audioop); (r8) PNG at every
 spec-legal IHDR shape (depths 1-16, Adam7, palette, tRNS); (r10)
 baseline-sequential grayscale JFIF, (r11) baseline COLOR JFIF, (r12)
 progressive (SOF2) JFIF — every chroma layout in ``_JPEG_SAMPLINGS``
@@ -96,7 +97,7 @@ def decode_media(
     """Real decode entry point for the codec-free container formats.
 
     PPM/PGM (netpbm P6/P5), RIFF/WAV (mono/stereo PCM16/PCM8 + G.711
-    µ-law/A-law), PNG (all spec-legal shapes incl. 16-bit, sub-8 grey,
+    µ-law/A-law + mono IMA-ADPCM), PNG (all spec-legal shapes incl. 16-bit, sub-8 grey,
     tRNS, Adam7), JFIF JPEG (baseline + progressive, five chroma
     layouts, 8/12-bit), GIF (LZW, interlace, transparency), BMP
     (8/24/32-bit, RLE8) and TIFF (strips, PackBits/LZW, predictor,
@@ -153,27 +154,33 @@ def decode_media(
             (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
             body = payload[pos + 8 : pos + 8 + size]
             if cid == b"fmt ":
-                audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                audio_fmt, channels, rate, _, block_align, bits = struct.unpack(
+                    "<HHIIHH", body[:16]
+                )
                 ok = (
                     (audio_fmt == 1 and bits in (8, 16))
                     or (audio_fmt in (6, 7) and bits == 8)  # A-law / µ-law
+                    or (audio_fmt == 0x11 and bits == 4 and channels == 1)
                 ) and channels in (1, 2)
                 if not ok:
                     raise ValueError(
-                        "only mono/stereo PCM8/PCM16/G.711 supported "
-                        f"(fmt={audio_fmt}, bits={bits}, ch={channels})"
+                        "only mono/stereo PCM8/PCM16/G.711/mono IMA-ADPCM "
+                        f"supported (fmt={audio_fmt}, bits={bits}, "
+                        f"ch={channels})"
                     )
-                fmt = (rate, channels, bits, audio_fmt)
+                fmt = (rate, channels, bits, audio_fmt, block_align)
             elif cid == b"data":
                 raw = body
             pos += 8 + size + (size % 2)  # chunks are word-aligned
         if fmt is None or raw is None:
             raise ValueError("missing fmt/data chunk")
-        rate, channels, bits, audio_fmt = fmt
+        rate, channels, bits, audio_fmt, block_align = fmt
         # g711_tables is the mutation-audit seam (same pattern as
         # jfif_coeffs): decode_features captures the driver-side tables
         # into its closure so a monkeypatch reaches the executors.
-        if audio_fmt == 7:  # G.711 µ-law: exact table expansion
+        if audio_fmt == 0x11:  # IMA ADPCM: real adaptive decode
+            data = decode_ima_adpcm_wav(raw, block_align)
+        elif audio_fmt == 7:  # G.711 µ-law: exact table expansion
             tab = (g711_tables or {}).get("ulaw")
             tab = g711_decode_table("ulaw") if tab is None else tab
             data = tab[np.frombuffer(raw, dtype=np.uint8)]
@@ -3309,6 +3316,137 @@ def encode_pgm(width: int, height: int, gray: bytes) -> bytes:
     """Canonical binary PGM (P5, maxval 255): ASCII header + raw gray."""
     assert len(gray) == width * height
     return b"P5\n%d %d\n255\n" % (width, height) + gray
+
+
+# IMA/DVI ADPCM tables (IMA Recommended Practices / Intel DVI; the
+# same math stdlib audioop's adpcm2lin implements, which the tests
+# cross-check). The step table is the standard 89-entry ~1.1× ladder.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step: returns (new_pred, new_index)
+    for a 4-bit code against the current predictor/step-index state."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def _ima_encode_nibble(pred: int, index: int, sample: int) -> int:
+    """Quantize one sample against the state — the standard bit-by-bit
+    quantizer whose reconstruction is exactly _ima_step."""
+    step = _IMA_STEPS[index]
+    delta = sample - pred
+    nibble = 0
+    if delta < 0:
+        nibble = 8
+        delta = -delta
+    if delta >= step:
+        nibble |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nibble |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def decode_ima_adpcm_wav(raw: bytes, block_align: int):
+    """Decode mono IMA-ADPCM WAV data chunks: per-block 4-byte header
+    (int16 predictor = the block's FIRST sample, uint8 step index,
+    reserved), then low-nibble-first 4-bit codes. Returns int16
+    samples. samples_per_block = (block_align − 4) × 2 + 1."""
+    import struct
+
+    import numpy as np
+
+    out = []
+    spb = (block_align - 4) * 2 + 1
+    for b0 in range(0, len(raw), block_align):
+        block = raw[b0 : b0 + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block header")
+        pred, index, reserved = struct.unpack("<hBB", block[:4])
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} out of range")
+        out.append(pred)
+        produced = 1
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):  # low nibble first
+                if produced >= spb:
+                    break
+                pred, index = _ima_step(pred, index, nib)
+                out.append(pred)
+                produced += 1
+    return np.array(out, dtype=np.int16)
+
+
+def encode_wav_ima_adpcm(samples, sample_rate: int = 8000,
+                         samples_per_block: int = 505) -> bytes:
+    """Mono IMA-ADPCM WAV writer (fmt 0x11): real adaptive encoding
+    via the standard quantizer, block headers carrying the first
+    sample + carried-over step index, low-nibble-first packing, and
+    the wSamplesPerBlock extra field. ``samples_per_block`` must be
+    odd (header sample + 2 per data byte)."""
+    import struct
+
+    import numpy as np
+
+    assert samples_per_block % 2 == 1 and samples_per_block >= 3
+    x = np.asarray(samples, dtype=np.int64)
+    block_align = 4 + (samples_per_block - 1) // 2
+    data = bytearray()
+    index = 0
+    for b0 in range(0, len(x), samples_per_block):
+        blk = x[b0 : b0 + samples_per_block]
+        pred = int(blk[0])
+        data += struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for s in blk[1:]:
+            nib = _ima_encode_nibble(pred, index, int(s))
+            pred, index = _ima_step(pred, index, nib)
+            nibs.append(nib)
+        while len(nibs) < samples_per_block - 1:
+            nibs.append(_ima_encode_nibble(pred, index, pred))  # pad
+        for lo, hi in zip(nibs[::2], nibs[1::2]):
+            data.append(lo | (hi << 4))
+    n_blocks = (len(x) + samples_per_block - 1) // samples_per_block
+    byte_rate = (sample_rate * block_align) // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4,
+        2, samples_per_block,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 28 + len(fmt) + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + bytes(data)
+    )
 
 
 _G711_TABLES: dict = {}

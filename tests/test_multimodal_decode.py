@@ -1666,3 +1666,71 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_ima_adpcm_core_matches_audioop_and_container_roundtrips():
+    """The IMA/DVI step-and-index update is bit-identical to stdlib
+    audioop's adpcm2lin across random states and nibbles (the one
+    external reference in the container), and the WAV fmt 0x11
+    container decodes our own adaptive encode with exact block-header
+    samples and sane SNR."""
+    import warnings
+
+    import numpy as np
+
+    from ai_coach_data_source_orchestrator_spark.operators import multimodal as M
+
+    assert len(M._IMA_STEPS) == 89
+    assert M._IMA_STEPS[0] == 7 and M._IMA_STEPS[-1] == 32767
+    assert all(b > a for a, b in zip(M._IMA_STEPS, M._IMA_STEPS[1:]))
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:  # pragma: no cover — removed in 3.13
+        audioop = None
+    if audioop is not None:
+        rng = np.random.RandomState(4)
+        for _ in range(300):
+            pred = int(rng.randint(-32768, 32768))
+            index = int(rng.randint(0, 89))
+            n1, n2 = int(rng.randint(0, 16)), int(rng.randint(0, 16))
+            lin, (p2, i2) = audioop.adpcm2lin(
+                bytes([(n1 << 4) | n2]), 2, (pred, index)
+            )
+            got = np.frombuffer(lin, dtype="<i2")
+            e1 = M._ima_step(pred, index, n1)
+            e2 = M._ima_step(e1[0], e1[1], n2)
+            assert (int(got[0]), int(got[1])) == (e1[0], e2[0])
+            assert (p2, i2) == (e2[0], e2[1])
+
+    t = np.arange(2000)
+    sig = (8000 * np.sin(t / 20.0)).astype(np.int16)
+    d = decode_media(
+        M.encode_wav_ima_adpcm(sig, 8000, samples_per_block=505), "audio/wav"
+    )
+    assert d["sample_rate"] == 8000 and d["values"].dtype == np.int16
+    got = d["values"][:2000].astype(np.float64)
+    err = got - sig.astype(np.float64)
+    snr = 10 * np.log10(
+        (sig.astype(np.float64) ** 2).mean() / max((err**2).mean(), 1e-9)
+    )
+    assert snr > 25, snr
+    # Block headers carry the first sample verbatim.
+    assert got[0] == sig[0] and got[505] == sig[505]
+    # Malformed: a block shorter than its header must raise.
+    import struct
+    bad = bytearray(M.encode_wav_ima_adpcm(sig[:505], 8000, 505))
+    i = bad.find(b"data")
+    (sz,) = struct.unpack("<I", bad[i + 4 : i + 8])
+    bad[i + 4 : i + 8] = struct.pack("<I", 2)
+    bad = bad[: i + 8 + 2]
+    with pytest.raises(ValueError, match="truncated ADPCM block"):
+        decode_media(bytes(bad), "audio/wav")
+    # Corrupt step index beyond 88: clean rejection.
+    good = bytearray(M.encode_wav_ima_adpcm(sig[:505], 8000, 505))
+    j = good.find(b"data") + 8
+    good[j + 2] = 120
+    with pytest.raises(ValueError, match="step index"):
+        decode_media(bytes(good), "audio/wav")
