@@ -17,10 +17,15 @@ RGB(A)/16-bit-colormap palette) — in plain Python/NumPy
 for PNG, canonical-Huffman entropy decode + multi-scan coefficient
 accumulation + dequantize + IDCT for JPEG), exercised end-to-end by
 ``synthesize_media_corpus`` → ``decode_features`` against a SQL
-oracle. Still raising NotImplementedError: 12-bit JPEG,
-arithmetic/lossless SOFs, and MP3/MP4 — DSP libraries absent from
-this container; production would dispatch them to PIL/pyav inside
-the same Arrow batcher. ``extract_features``/``resize_media``/
+oracle. JPEG accepts 8- AND 12-bit sequential (SOF0/SOF1),
+progressive (SOF2), and lossless (SOF3, all 7 predictors, 2–16 bit,
+point transform). The remaining decode boundary — each a precise
+NotImplementedError at its dispatch site — is: arithmetic-coded and
+differential/hierarchical JPEG SOFs (patent-era, ~absent from web
+corpora), planar/tiled TIFF, and FULL MP3/MP4 sample decode (DSP
+libraries absent from this container; production would dispatch
+those to PIL/pyav inside the same Arrow batcher).
+``extract_features``/``resize_media``/
 ``sample_frames`` keep their deterministic fake dimension source so
 their oracles stay closed-form over the documents table.
 
@@ -148,11 +153,16 @@ def decode_media(
     if mime in ("audio/wav", "audio/x-wav"):
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE container")
-        pos, fmt, raw = 12, None, None
+        pos, fmt, raw, fact_len = 12, None, None, None
         while pos + 8 <= len(payload):
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
             body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fact" and size >= 4:
+                # dwSampleLength: the true per-channel sample count —
+                # authoritative for compressed formats whose final
+                # block is padded (IMA-ADPCM pad nibbles, ADVICE r12).
+                (fact_len,) = struct.unpack("<I", body[:4])
             if cid == b"fmt ":
                 audio_fmt, channels, rate, _, block_align, bits = struct.unpack(
                     "<HHIIHH", body[:16]
@@ -180,6 +190,13 @@ def decode_media(
         # into its closure so a monkeypatch reaches the executors.
         if audio_fmt == 0x11:  # IMA ADPCM: real adaptive decode
             data = decode_ima_adpcm_wav(raw, block_align)
+            if fact_len is not None:
+                if fact_len > data.size:
+                    raise ValueError(
+                        f"fact chunk claims {fact_len} samples but only "
+                        f"{data.size} decode"
+                    )
+                data = data[:fact_len]  # drop encoder pad nibbles
         elif audio_fmt == 7:  # G.711 µ-law: exact table expansion
             tab = (g711_tables or {}).get("ulaw")
             tab = g711_decode_table("ulaw") if tab is None else tab
@@ -1440,10 +1457,19 @@ def _decode_gif(payload: bytes, interlace_passes=None) -> dict:
     if not frames:
         raise ValueError("GIF contains no image")
     left, top, fw, fh, idx, pal, transparent = frames[0]
-    bg_rgb = (
-        pal[bg_idx] if gct is not None and bg_idx < pal.shape[0]
-        else np.zeros(3, np.uint8)
-    )
+    # GIF89a §18: the background-color index refers to the GLOBAL color
+    # table — never a frame-local one (ADVICE r12: resolving it via
+    # frame 0's palette composited the wrong background). No global
+    # table → the background is undefined; black is the convention.
+    if gct is None:
+        bg_rgb = np.zeros(3, np.uint8)
+    else:
+        if bg_idx >= gct.shape[0]:
+            raise ValueError(
+                f"background index {bg_idx} outside the "
+                f"{gct.shape[0]}-entry global color table"
+            )
+        bg_rgb = gct[bg_idx]
     if transparent is None:
         canvas = np.broadcast_to(bg_rgb, (height, width, 3)).copy()
         canvas[top : top + fh, left : left + fw] = pal[idx]
@@ -3431,21 +3457,33 @@ def encode_wav_ima_adpcm(samples, sample_rate: int = 8000,
             nibs.append(_ima_encode_nibble(pred, index, pred))  # pad
         for lo, hi in zip(nibs[::2], nibs[1::2]):
             data.append(lo | (hi << 4))
-    n_blocks = (len(x) + samples_per_block - 1) // samples_per_block
     byte_rate = (sample_rate * block_align) // samples_per_block
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4,
         2, samples_per_block,
     )
+    # fact chunk (mandatory for compressed WAVE formats): dwSampleLength
+    # is the TRUE per-channel sample count, which is what lets the
+    # decoder drop the encoder's pad nibbles in the final block
+    # (ADVICE r12: without it the true length is unrecoverable).
+    fact = struct.pack("<I", len(x))
+    # RIFF size = everything after the 8-byte RIFF header: "WAVE" (4) +
+    # each chunk's 8-byte header + body (+ its odd-length pad byte).
+    pad = b"\x00" if len(data) % 2 else b""
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(fact)) + (8 + len(data) + len(pad))
     return (
         b"RIFF"
-        + struct.pack("<I", 28 + len(fmt) + len(data))
+        + struct.pack("<I", riff_size)
         + b"WAVEfmt "
         + struct.pack("<I", len(fmt))
         + fmt
+        + b"fact"
+        + struct.pack("<I", len(fact))
+        + fact
         + b"data"
         + struct.pack("<I", len(data))
         + bytes(data)
+        + pad
     )
 
 
@@ -3517,9 +3555,12 @@ def encode_wav_g711(codes, sample_rate: int = 8000, law: str = "ulaw",
     fmt_tag = 7 if law == "ulaw" else 6
     data = np.asarray(codes, dtype=np.uint8).tobytes()
     byte_rate = sample_rate * channels
+    # RIFF pads an odd-length chunk body to a word boundary (ADVICE
+    # r12); the size field stays the unpadded length.
+    pad = b"\x00" if len(data) % 2 else b""
     return (
         b"RIFF"
-        + struct.pack("<I", 36 + len(data))
+        + struct.pack("<I", 36 + len(data) + len(pad))
         + b"WAVEfmt "
         + struct.pack(
             "<IHHIIHH", 16, fmt_tag, channels, sample_rate, byte_rate,
@@ -3528,6 +3569,7 @@ def encode_wav_g711(codes, sample_rate: int = 8000, law: str = "ulaw",
         + b"data"
         + struct.pack("<I", len(data))
         + data
+        + pad
     )
 
 
@@ -3550,9 +3592,10 @@ def encode_wav_pcm(
     data = np.asarray(samples, dtype="<i2" if bits == 16 else np.uint8).tobytes()
     block = channels * bits // 8
     byte_rate = sample_rate * block
+    pad = b"\x00" if len(data) % 2 else b""  # RIFF word alignment
     return (
         b"RIFF"
-        + struct.pack("<I", 36 + len(data))
+        + struct.pack("<I", 36 + len(data) + len(pad))
         + b"WAVEfmt "
         + struct.pack(
             "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block, bits
@@ -3560,6 +3603,7 @@ def encode_wav_pcm(
         + b"data"
         + struct.pack("<I", len(data))
         + data
+        + pad
     )
 
 
