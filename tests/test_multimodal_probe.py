@@ -1,0 +1,321 @@
+"""MP3/MP4 metadata probing (VERDICT r12 item 3): frame-header and
+box-tree walks, twin-encoder round-trips, and clean rejection of
+malformed streams. Full sample decode for these formats stays a
+documented NotImplementedError in decode_media (DSP libraries absent
+from this container); the probe is pure header parsing — ISO/IEC
+11172-3 §2.4.1.3 frame grammar, ISO/IEC 14496-12 §4 box structure.
+
+Reference parity: the reference catalogs Drive media it never decodes
+(transcripts/download-from-drive.js:306-325); probe_media is that
+triage step re-expressed as Spark-side metadata columns.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+import ai_coach_data_source_orchestrator_spark.operators.multimodal as M
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header walk
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_cbr_roundtrip_all_versions_layers():
+    # Every (version, layer) pair at every sample rate: the twin
+    # encoder writes real headers, the parser must agree on all fields.
+    for version in ("1", "2", "2.5"):
+        for layer in (1, 2, 3):
+            table = M._MP3_BITRATES[(version == "1", layer)]
+            for rate in M._MP3_RATES[version]:
+                kbps = table[5]
+                b = M.encode_mp3(
+                    [(kbps, 0), (kbps, 1), (kbps, 0)],
+                    sample_rate=rate,
+                    version=version,
+                    layer=layer,
+                )
+                m = M.parse_mp3_meta(b)
+                assert m["version"] == version
+                assert m["layer"] == layer
+                assert m["sample_rate"] == rate
+                assert m["n_frames"] == 3
+                assert m["bitrate_kbps"] == kbps
+                # Frame lengths follow the standard integer formula.
+                if layer == 1:
+                    exp = sum(
+                        (12000 * kbps // rate + p) * 4 for p in (0, 1, 0)
+                    )
+                else:
+                    spf = 1152 if (layer == 2 or version == "1") else 576
+                    exp = sum(
+                        (spf // 8) * 1000 * kbps // rate + p
+                        for p in (0, 1, 0)
+                    )
+                assert m["frame_bytes"] == exp == len(b)
+                spf = (
+                    384
+                    if layer == 1
+                    else (1152 if layer == 2 or version == "1" else 576)
+                )
+                assert m["duration_ms"] == 3 * spf * 1000 // rate
+
+
+def test_mp3_vbr_walk_and_null_bitrate():
+    # VBR: per-frame bitrate changes; the walk must still land on every
+    # frame boundary, and the CBR summary field goes None.
+    specs = [(32, 0), (320, 1), (128, 0), (96, 1), (256, 0)]
+    b = M.encode_mp3(specs, sample_rate=44100)
+    m = M.parse_mp3_meta(b)
+    assert m["n_frames"] == 5
+    assert m["bitrate_kbps"] is None
+    assert m["frame_bytes"] == sum(
+        144000 * k // 44100 + p for k, p in specs
+    )
+
+
+def test_mp3_id3v2_skip_including_footer_and_id3v1_tail():
+    specs = [(128, 0)] * 4
+    plain = M.parse_mp3_meta(M.encode_mp3(specs))
+    for size, footer in ((0, False), (57, False), (57, True), (300, True)):
+        tagged = M.encode_mp3(
+            specs, id3v2_size=size, id3v2_footer=footer, id3v1=True
+        )
+        m = M.parse_mp3_meta(tagged)
+        # Tag bytes are invisible to every metadata field.
+        assert m == plain
+        assert len(tagged) == len(
+            M.encode_mp3(specs)
+        ) + 10 + size + (10 if footer else 0) + 128
+
+
+def test_mp3_id3v2_syncsafe_size_is_7_bit():
+    # 0x81 in a size byte is not syncsafe: reject, don't misparse.
+    b = bytearray(M.encode_mp3([(128, 0)], id3v2_size=5))
+    b[6] = 0x81
+    with pytest.raises(ValueError, match="syncsafe"):
+        M.parse_mp3_meta(bytes(b))
+
+
+def test_mp3_malformed_streams_raise():
+    good = M.encode_mp3([(128, 0), (128, 0)])
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        M.parse_mp3_meta(b"")
+    with pytest.raises(ValueError, match="lost MP3 frame sync"):
+        M.parse_mp3_meta(b"\x00\x00\x00\x00")
+    # Truncate mid-frame: the final frame overruns the stream.
+    with pytest.raises(ValueError, match="overruns"):
+        M.parse_mp3_meta(good[:-10])
+    # Garbage after the last frame loses sync (not silently ignored).
+    with pytest.raises(ValueError, match="lost MP3 frame sync|truncated"):
+        M.parse_mp3_meta(good + b"\x12\x34\x56\x78")
+    # Free-format (bitrate index 0) and invalid index 15: rejected.
+    hdr = bytearray(good[:4])
+    hdr[2] = (0 << 4) | (hdr[2] & 0x0F)
+    with pytest.raises(ValueError, match="free-format"):
+        M.parse_mp3_meta(bytes(hdr))
+    hdr[2] = (15 << 4) | (hdr[2] & 0x0F)
+    with pytest.raises(ValueError, match="bitrate index 15"):
+        M.parse_mp3_meta(bytes(hdr))
+    # Reserved sample-rate index (3).
+    hdr = bytearray(good[:4])
+    hdr[2] = (hdr[2] & 0xF0) | (3 << 2) | (hdr[2] & 0x03)
+    with pytest.raises(ValueError, match="reserved sample-rate"):
+        M.parse_mp3_meta(bytes(hdr))
+    # Reserved version id (bits 01) and reserved layer (bits 00).
+    hdr = bytearray(good[:4])
+    hdr[1] = (hdr[1] & 0xE7) | (1 << 3)
+    with pytest.raises(ValueError, match="reserved MPEG version"):
+        M.parse_mp3_meta(bytes(hdr))
+    hdr = bytearray(good[:4])
+    hdr[1] = hdr[1] & 0xF9
+    with pytest.raises(ValueError, match="reserved MPEG layer"):
+        M.parse_mp3_meta(bytes(hdr))
+
+
+def test_mp3_mixed_stream_properties_rejected():
+    # Version/layer/rate must stay constant across frames; VBR bitrate
+    # is the only legal variation.
+    a = M.encode_mp3([(128, 0)], sample_rate=44100)
+    b = M.encode_mp3([(128, 0)], sample_rate=48000)
+    with pytest.raises(ValueError, match="changes version/layer/rate"):
+        M.parse_mp3_meta(a + b)
+
+
+def test_mp3_duration_is_frames_times_spf():
+    # 38 frames at 44100 Hz MPEG1-L3: 38·1152/44100 s = 992.65… ms.
+    m = M.parse_mp3_meta(M.encode_mp3([(64, 0)] * 38, sample_rate=44100))
+    assert m["duration_ms"] == 38 * 1152 * 1000 // 44100 == 992
+
+
+# ---------------------------------------------------------------------------
+# MP4 box-tree walk
+# ---------------------------------------------------------------------------
+
+
+def _tracks(*pairs, mdhd_version=0):
+    return [
+        {"codec": c, "handler": h, "mdhd_version": mdhd_version}
+        for c, h in pairs
+    ]
+
+
+def test_mp4_roundtrip_basic():
+    b = M.encode_mp4(
+        "isom",
+        timescale=600,
+        duration=43_200,
+        tracks=_tracks(("avc1", "vide"), ("mp4a", "soun")),
+        mdat_size=77,
+    )
+    m = M.parse_mp4_meta(b)
+    assert m["brand"] == "isom"
+    assert m["timescale"] == 600 and m["duration"] == 43_200
+    assert m["duration_ms"] == 72_000
+    assert [t["codec"] for t in m["tracks"]] == ["avc1", "mp4a"]
+    assert [t["handler"] for t in m["tracks"]] == ["vide", "soun"]
+    assert m["mdat_bytes"] == 77
+
+
+def test_mp4_version1_64bit_time_fields():
+    # mvhd/mdhd version 1 carries 64-bit creation/modification/duration;
+    # a duration above 2^32 only fits there.
+    big = (1 << 33) + 5
+    b = M.encode_mp4(
+        "iso6",
+        timescale=90_000,
+        duration=big,
+        tracks=_tracks(("hvc1", "vide"), mdhd_version=1),
+        mvhd_version=1,
+    )
+    m = M.parse_mp4_meta(b)
+    assert m["duration"] == big
+    assert m["duration_ms"] == big * 1000 // 90_000
+    assert m["tracks"][0]["duration"] == big
+
+
+def test_mp4_largesize_mdat():
+    b = M.encode_mp4(
+        "isom", 600, 600, _tracks(("mp4a", "soun")), mdat_size=33,
+        mdat_largesize=True,
+    )
+    m = M.parse_mp4_meta(b)
+    assert m["mdat_bytes"] == 33
+    # The wire really uses the 64-bit size path: size field == 1.
+    i = b.find(b"mdat")
+    assert struct.unpack(">I", b[i - 4 : i])[0] == 1
+
+
+def test_mp4_unknown_boxes_are_skipped():
+    # free/skip boxes at top level and inside moov must not derail the
+    # walk (ISO 14496-12 §4.3: readers skip unrecognized boxes).
+    b = M.encode_mp4("isom", 600, 1200, _tracks(("avc1", "vide")), 5)
+    i = b.find(b"moov") - 4
+    free = struct.pack(">I", 8 + 6) + b"free" + b"FILLER"
+    spliced = b[:i] + free + b[i:]
+    m = M.parse_mp4_meta(spliced)
+    assert m["duration"] == 1200 and m["tracks"][0]["codec"] == "avc1"
+
+
+def test_mp4_size_zero_extends_to_eof_top_level_only():
+    b = M.encode_mp4("isom", 600, 600, _tracks(("avc1", "vide")), 21)
+    i = b.find(b"mdat") - 4
+    zeroed = b[:i] + struct.pack(">I", 0) + b[i + 4 :]
+    m = M.parse_mp4_meta(zeroed)
+    assert m["mdat_bytes"] == 21  # same payload, size derived from EOF
+
+
+def test_mp4_malformed_inputs_raise():
+    good = M.encode_mp4("isom", 600, 600, _tracks(("avc1", "vide")), 9)
+    with pytest.raises(ValueError, match="missing leading ftyp"):
+        M.parse_mp4_meta(b"\x00\x00\x00\x08junk")
+    with pytest.raises(ValueError, match="truncated box header"):
+        M.parse_mp4_meta(good + b"\x00\x00\x00")
+    # A box whose declared size overruns its container.
+    i = good.find(b"moov") - 4
+    (sz,) = struct.unpack(">I", good[i : i + 4])
+    oversized = good[:i] + struct.pack(">I", sz + 10_000) + good[i + 4 :]
+    with pytest.raises(ValueError, match="overruns its container"):
+        M.parse_mp4_meta(oversized)
+    # ftyp-only file: no moov.
+    only_ftyp = good[: good.find(b"moov") - 4]
+    with pytest.raises(ValueError, match="missing moov"):
+        M.parse_mp4_meta(only_ftyp)
+
+
+def test_mp4_stsd_with_no_entries_rejected():
+    b = bytearray(M.encode_mp4("isom", 600, 600, _tracks(("avc1", "vide")), 0))
+    i = b.find(b"stsd")
+    # entry_count lives 8 bytes after the fourcc (version+flags, count).
+    b[i + 8 : i + 12] = struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="stsd with no entries"):
+        M.parse_mp4_meta(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# Corpus synthesis invariants (pure-Python mirror of the registry query)
+# ---------------------------------------------------------------------------
+
+
+def test_probe_corpus_formulas_match_parse():
+    # The closed-form fields the DuckDB oracle recomputes must agree
+    # with what parsing the synthesized bytes yields, for both parities
+    # — this is the same contract the driver gate checks end-to-end,
+    # asserted here without a SparkSession.
+    l3 = M._MP3_BITRATES[(True, 3)]
+    pairs = (("avc1", "vide"), ("mp4a", "soun"), ("hvc1", "vide"), ("ac-3", "soun"))
+    for doc_id in range(0, 60):
+        if doc_id % 2 == 0:
+            rate = (44100, 48000, 32000)[doc_id % 3]
+            n = 3 + doc_id % 8
+            specs = [
+                (l3[(doc_id * 7 + f * 3) % 14], (doc_id + f) % 2)
+                for f in range(n)
+            ]
+            m = M.parse_mp3_meta(
+                M.encode_mp3(
+                    specs,
+                    sample_rate=rate,
+                    id3v2_size=13 + doc_id % 100 if doc_id % 4 == 0 else None,
+                    id3v2_footer=doc_id % 8 == 0,
+                    id3v1=doc_id % 4 == 2,
+                )
+            )
+            assert m["n_frames"] == n
+            assert m["sample_rate"] == rate
+            assert m["duration_ms"] == n * 1152 * 1000 // rate
+            assert m["frame_bytes"] == sum(
+                144000 * k // rate + p for k, p in specs
+            )
+        else:
+            ts = 600 * (1 + doc_id % 4)
+            dur = (doc_id * 157) % 200000
+            nt = 1 + doc_id % 3
+            tracks = [
+                {
+                    "codec": pairs[(doc_id + k) % 4][0],
+                    "handler": pairs[(doc_id + k) % 4][1],
+                    "mdhd_version": (doc_id >> 1) % 2,
+                }
+                for k in range(nt)
+            ]
+            m = M.parse_mp4_meta(
+                M.encode_mp4(
+                    "isom",
+                    timescale=ts,
+                    duration=dur,
+                    tracks=tracks,
+                    mdat_size=16 + doc_id % 63,
+                    mvhd_version=(doc_id >> 1) % 2,
+                    mdat_largesize=doc_id % 5 == 0,
+                )
+            )
+            assert m["timescale"] == ts and m["duration"] == dur
+            assert m["duration_ms"] == dur * 1000 // ts
+            assert ",".join(t["codec"] for t in m["tracks"]) == ",".join(
+                pairs[(doc_id + k) % 4][0] for k in range(nt)
+            )
+            assert m["mdat_bytes"] == 16 + doc_id % 63
