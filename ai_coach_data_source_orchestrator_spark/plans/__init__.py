@@ -32,105 +32,97 @@ from . import queries_retrieval  # noqa: E402,F401
 # strictly more informative than re-greening an unchanged query.
 # tests/test_registry.py counts these when checking the rotation
 # policy's capacity math.
-# Round 11: knn_recall_audit gained the PQ/ADC leg (VERDICT r10 item
-# 4) and multimodal_decode gained the color-4:2:0-JFIF corpus split
-# (doc_id % 4 → % 5, VERDICT r10 item 5) — their r10 green rows
-# describe the old outputs.
-# slack_capture_pipeline / slack_render_blocks: the r11 mutation audit
-# proved their thread fixtures structurally toothless (thread_ts
-# pointed at a parent in a DIFFERENT channel, so no thread ever
-# grouped and the dropped-coalesce mutant survived); the fixtures now
-# parent same-channel (event_id - 4) and both outputs changed.
-_CHANGED_ORACLE: tuple[str, ...] = (
-    "knn_recall_audit",
-    "multimodal_decode",
-)
+# Round 13: empty — the r12 changed-oracle pair (knn_recall_audit,
+# multimodal_decode) got green r12 rows describing their current
+# outputs, and no r13 change touches an already-green oracle (the WAV
+# RIFF-conformance and GIF-background fixes are payload/boundary-only:
+# decode_features reads the data chunk via its size field, the corpus
+# G.711/PCM members' decoded features are unchanged, and the corpus
+# GIF member composites from the global table either way).
+_CHANGED_ORACLE: tuple[str, ...] = ()
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 12 rotation (VERDICT r11 item 2): 62 queries are stale (14
-    # r8-fresh + 48 r9-fresh), zero never-green, and two changed-oracle
-    # non-stale entries — knn_recall_audit gains the multiprobe recall
-    # leg (VERDICT r11 item 4) and multimodal_decode gains the
-    # progressive-JPEG corpus member (VERDICT r11 item 3, doc_id % 5 →
-    # % 6) and then, later in r12, the interlaced-GIF, BI_RLE8-BMP,
-    # G.711-µ-law, LZW-TIFF and lossless-12-bit-JPEG members plus the
-    # five-layout color split (doc_id % 6 → % 11; the color member now
-    # cycles 420/422/444/440/411) — so 64
-    # candidates for 50 slots, a 14-query forced overflow.
-    # Priority per the hygiene test's rule: changed-oracle first (their
-    # old green rows describe outputs that no longer exist), then ALL
-    # 14 r8-stale (the r11 rotation comment's documented spill — the
-    # standing promise), then r9-stale with this round's touched
-    # modules (queries_text: the LM decimal-precision fix;
-    # queries_similarity: the recall-audit leg plus the two
-    # multimodal-operator-backed queries, since operators/multimodal.py
-    # carries the progressive decoder) ahead of the alphabetical rest.
-    # The 14 spilled to lead the r13 window: store_stream_ingest,
-    # text_bm25_topk, text_topk_per_source, u6_union_tagged_sources,
-    # x10_x11_timestamp_formats, x14_slugify, x16_mask_secrets,
-    # x17_redact_code, x18_prompt_denylist, x2_wiki_to_markdown,
-    # x4_slack_markup, x5_html_bullets, x6_linkify_issue_keys,
-    # x_assignee_split_groups (untouched queries_markup /
-    # queries_retrieval / queries_sinks modules — the alphabetical
-    # tail of the equally-r9-stale block).
+    # Round 13 rotation (VERDICT r12 item 1): 61 stale queries (the 14
+    # r9-fresh named in the r12 spill + 47 r10-fresh) plus ONE new
+    # never-green query (multimodal_probe — the r12 verdict item 3
+    # MP3/MP4 metadata scan, landed as a sibling query so
+    # multimodal_decode's r12 green row stays descriptive of its
+    # unchanged corpus) = 62 candidates for 50 slots, a 12-query
+    # forced overflow. Priority per the hygiene test's rule:
+    # never-green first, then ALL 14 r9-stale (the r12 rotation
+    # comment's documented spill — the standing promise), then
+    # r10-stale whose implementing or proving modules this round
+    # touches (streaming/dedup gates gain kill/resume proofs;
+    # sinks/merge.py enters the mutation-audit span) ahead of the
+    # alphabetical rest.
+    # The 12 spilled to lead the r14 window: sketch_stream_hll,
+    # source_js_divergence, text_c4_filters, text_line_dedup,
+    # text_pii_scrub, text_repetition_stats, text_token_entropy,
+    # text_url_normalize, u8_schema_union_by_name,
+    # weekly_digest_pipeline, x19_transcript_parse,
+    # x24_custom_field_map (the alphabetical tail of the equally-
+    # r10-stale block; r14 stale will be them + the r11-greens not
+    # re-greened since — keep draining, avoid new registry queries).
     # ------------------------------------------------------------------
-    # -- changed oracle this round (r11 green rows describe old output) --
-    "knn_recall_audit",
-    "multimodal_decode",
-    # -- latest green row r8 (three driver windows ago; the full
-    # documented r11 spill, honored first per the standing rule) --
-    "a8_summary_aggregates",
-    "audit_coverage",
-    "f8_or_of_overrides",
-    "k_orc_columnar_roundtrip",
-    "sample_dsir_importance",
-    "sample_train_test_split",
-    "text_token_stats",
-    "text_winnow_fingerprints",
-    "u3_dedup_by_key",
-    "x20_section_split",
-    "x22_human_size",
-    "x3_adf_flatten",
-    "x7_multiformat_date_extract",
-    "x_jira_ticket_render",
-    # -- latest green row r9, implementing module touched this round --
-    "contamination_semantic",
-    "dedup_cdc_chunks",
-    "dedup_cross_source_matrix",
-    "dedup_embedding_cosine",
-    "dedup_incremental_ingest",
-    "doc_language_confusion",
-    "embedding_label_centroids",
-    "embedding_pq_encode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "text_ccnet_buckets",
-    "text_gopher_rules",
-    "text_ngram_novelty",
-    # -- latest green row r9, untouched modules (alphabetical until the
-    # window is full) --
-    "a13_week_frame",
-    "a14_array_set_diff",
-    "a1_status_groups_canonical_order",
-    "a3_group_stats_pct",
-    "a45_status_priority_cube",
-    "asof_join_checkpoints",
-    "chat_pack_conversations",
-    "events_anomaly_zscore",
-    "f1_date_range_filter",
-    "f3_semi_join_children_in_range",
-    "j1_star_join_revenue",
-    "j2_alias_first_match_join",
-    "j5_hierarchy_resolution",
-    "k_bucketed_join_roundtrip",
-    "o3_latest_order_per_customer",
-    "rollup_hypertable_cascade",
-    "s18_python_literal_extract",
-    "sample_topn_per_source",
-    "sample_weighted_reservoir",
-    "sketch_cms_rollup",
-    "sketch_hll_rollup",
+    # -- never driver-green (new this round) --
+    "multimodal_probe",
+    # -- latest green row r9 (the full documented r12 spill, honored
+    # first per the standing rule) --
+    "store_stream_ingest",
+    "text_bm25_topk",
+    "text_topk_per_source",
+    "u6_union_tagged_sources",
+    "x10_x11_timestamp_formats",
+    "x14_slugify",
+    "x16_mask_secrets",
+    "x17_redact_code",
+    "x18_prompt_denylist",
+    "x2_wiki_to_markdown",
+    "x4_slack_markup",
+    "x5_html_bullets",
+    "x6_linkify_issue_keys",
+    "x_assignee_split_groups",
+    # -- latest green row r10, module under new proof work this round
+    # (streaming kill/resume for the stateful dedup gates; sinks/merge
+    # claim-protocol mutants) --
+    "dedup_stream_cdc_ingest",
+    "dedup_stream_neardup_gate",
+    "k8_upsert_merge",
+    # -- latest green row r10, untouched modules (alphabetical until
+    # the window is full) --
+    "a15_participants",
+    "a18_reactions_rollup",
+    "cc_large_star",
+    "contamination_ngram_overlap",
+    "dashboard_week_frame",
+    "dedup_simhash",
+    "epic_tree_render",
+    "events_decay_activity",
+    "f5_substring_filter",
+    "f6_team_threshold_filter",
+    "f9_section_date_trim",
+    "graph_host_pagerank",
+    "j10_member_doc_join",
+    "j12_channel_resolution",
+    "j3_mention_resolution",
+    "j4_field_label_join",
+    "j7_changelog_attach",
+    "j8_changelog_injection",
+    "j9_blob_path_join",
+    "k1_csv_union_header_roundtrip",
+    "k2_partitioned_write_roundtrip",
+    "k6_datasource_sections",
+    "k9_cache_freshness",
+    "k_bucketed_colocated_join",
+    "knn_pq_adc",
+    "pack_token_bins",
+    "s14_jdbc_pushdown_join",
+    "s1_jira_connector_roundtrip",
+    "s9_slack_history_pushdown",
+    "sample_mixture_budget",
+    "sample_stratified_hash",
+    "sample_temperature_mix",
 ]
 
 
