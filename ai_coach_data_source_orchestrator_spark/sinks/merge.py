@@ -102,6 +102,14 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _holder_stale(holder_pid: int, age: float) -> bool:
+    """A lock is reclaimable only when its holder is provably gone (pid
+    dead) or, as a pid-reuse backstop, older than _LOCK_STALE_S.
+    Module-level seam for the mutation audit: the always-stale mutant
+    (steal from live holders) must be killed by the lock tests."""
+    return not _pid_alive(holder_pid) or age >= _LOCK_STALE_S
+
+
 def _reclaim_if_stale(lock_path: str) -> None:
     """Break a lock whose holder is provably gone. The steal is made
     atomic by renaming the lockfile to a per-claimant name first — of N
@@ -123,7 +131,7 @@ def _reclaim_if_stale(lock_path: str) -> None:
         age = time.time() - os.stat(lock_path).st_mtime
     except (FileNotFoundError, ValueError, IndexError):
         return  # gone already, or mid-write — retry will see the truth
-    if _pid_alive(holder_pid) and age < _LOCK_STALE_S:
+    if not _holder_stale(holder_pid, age):
         return
     tomb = f"{lock_path}.reclaim.{os.getpid()}.{time.monotonic_ns()}"
     try:
@@ -185,6 +193,31 @@ def register_lock_store(scheme: str, store: ConditionalPutStore | None) -> None:
         _LOCK_STORES[scheme] = store
 
 
+def _claim_expired(existing: bytes) -> bool:
+    """TTL check on a claim's embedded expiry wall-clock. A malformed
+    claim (no parseable expiry) is reclaimable — it can only arise from
+    a torn write, and the CAS delete still guarantees a live claim's
+    exact bytes are never deleted. Module-level seam: the mutation
+    audit (tests/test_merge_mutation.py) patches this to prove the
+    multiprocess/claim tests would catch an inverted or never-firing
+    TTL comparison."""
+    try:
+        expiry = float(existing.rsplit(b" ", 1)[1])
+    except (IndexError, ValueError):
+        return True
+    return time.time() > expiry
+
+
+def _cas_reclaim(store: "ConditionalPutStore", key: str, existing: bytes) -> None:
+    """Reclaim an expired claim by CAS delete of the EXACT bytes whose
+    expiry we verified — of N racing reclaimers at most one delete
+    lands, and a fresh live claim written in between is untouchable
+    (its bytes differ). Module-level seam for the mutation audit: the
+    skip-the-CAS mutant (delete whatever is there now) breaks mutual
+    exclusion and must be killed by the claim-protocol tests."""
+    store.delete_if_value(key, existing)
+
+
 @contextmanager
 def _claim_lock(
     store: ConditionalPutStore, key: str, timeout: float
@@ -201,15 +234,8 @@ def _claim_lock(
         if store.put_if_absent(key, claim):
             break
         existing = store.get(key)
-        if existing is not None:
-            try:
-                expiry = float(existing.rsplit(b" ", 1)[1])
-            except (IndexError, ValueError):
-                expiry = 0.0  # malformed claim: reclaimable
-            if time.time() > expiry:
-                # CAS delete of the exact expired bytes; loser of the
-                # race just loops and sees the winner's fresh claim.
-                store.delete_if_value(key, existing)
+        if existing is not None and _claim_expired(existing):
+            _cas_reclaim(store, key, existing)
         if time.monotonic() >= deadline:
             raise TimeoutError(
                 f"upsert claim on {key} not acquired within {timeout:.0f}s"
@@ -260,29 +286,35 @@ def _process_lock(table_path: str, timeout: float = _LOCK_TIMEOUT_S):
     try:
         yield
     finally:
-        # Release only OUR lock (ADVICE r10): if this merge exceeded
-        # _LOCK_STALE_S, the lock was reclaimed and re-acquired by a new
-        # holder — blindly unlinking whatever sits at the path would
-        # delete the new holder's lockfile and admit a third writer.
-        try:
-            with open(path) as f:
-                recorded_pid = int(f.read().split()[0])
-        except (FileNotFoundError, ValueError, IndexError):
-            recorded_pid = None  # reclaimed, or mid-rewrite by a reclaimer
-        if recorded_pid == os.getpid():
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass  # reclaimed between the read and the unlink
-        elif recorded_pid is not None:
-            import warnings
+        _release_process_lock(path)
 
-            warnings.warn(
-                f"upsert lock {path} now held by pid {recorded_pid}; this "
-                f"merge (pid {os.getpid()}) exceeded the stale window and "
-                "was reclaimed — leaving the new holder's lock in place",
-                stacklevel=2,
-            )
+
+def _release_process_lock(path: str) -> None:
+    """Release only OUR lock (ADVICE r10): if this merge exceeded
+    _LOCK_STALE_S, the lock was reclaimed and re-acquired by a new
+    holder — blindly unlinking whatever sits at the path would delete
+    the new holder's lockfile and admit a third writer. Module-level
+    seam for the mutation audit: the release-without-ownership mutant
+    (unconditional unlink) must be killed by the lock tests."""
+    try:
+        with open(path) as f:
+            recorded_pid = int(f.read().split()[0])
+    except (FileNotFoundError, ValueError, IndexError):
+        recorded_pid = None  # reclaimed, or mid-rewrite by a reclaimer
+    if recorded_pid == os.getpid():
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass  # reclaimed between the read and the unlink
+    elif recorded_pid is not None:
+        import warnings
+
+        warnings.warn(
+            f"upsert lock {path} now held by pid {recorded_pid}; this "
+            f"merge (pid {os.getpid()}) exceeded the stale window and "
+            "was reclaimed — leaving the new holder's lock in place",
+            stacklevel=2,
+        )
 
 UPSERT_KEYS: dict[str, tuple[str, ...]] = {
     "daily_reports": ("team_id", "author_name", "report_date"),

@@ -1,0 +1,214 @@
+"""Lock-protocol mutation audit (VERDICT r12 item 6).
+
+The oracle mutation audit (tests/test_oracle_mutation.py) proves the
+DuckDB oracles discriminate real bugs in the QUERY layer; nothing had
+demonstrated the same for sinks/merge.py's claim protocol — the lock
+tests could in principle pass against a protocol with a broken CAS,
+an unconditional release, or a TTL comparison that never (or always)
+fires. This module applies those exact mutants via monkeypatch on the
+module-level seams (_cas_reclaim, _release_process_lock,
+_claim_expired, _holder_stale) and asserts each is KILLED: the same
+deterministic scenario that passes against the real protocol detects
+the violation against the mutant.
+
+Every scenario is run BOTH ways inside one test — unmutated first
+(safety holds), then mutated (violation observed) — so a test can
+never silently pass because the fixture stopped exercising the seam.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+
+import ai_coach_data_source_orchestrator_spark.sinks.merge as M
+
+
+class _FakeStore(M.ConditionalPutStore):
+    def __init__(self):
+        self._data: dict[str, bytes] = {}
+        self._guard = threading.Lock()
+
+    def put_if_absent(self, key, value):
+        with self._guard:
+            if key in self._data:
+                return False
+            self._data[key] = value
+            return True
+
+    def get(self, key):
+        with self._guard:
+            return self._data.get(key)
+
+    def delete_if_value(self, key, expected):
+        with self._guard:
+            if self._data.get(key) == expected:
+                del self._data[key]
+                return True
+            return False
+
+
+class _StaleSnapshotStore(_FakeStore):
+    """get() serves a STALE expired claim exactly once — the
+    interleaving where a reclaimer's read races a release+re-acquire:
+    by the time it acts, the key holds a NEW live claim. The CAS delete
+    is the only thing standing between that reclaimer and deleting the
+    live holder's claim."""
+
+    def __init__(self, stale_bytes: bytes):
+        super().__init__()
+        self._stale = stale_bytes
+        self._served = False
+
+    def get(self, key):
+        if not self._served:
+            self._served = True
+            return self._stale
+        return super().get(key)
+
+
+def test_mutant_cas_skip_on_reclaim_is_killed(monkeypatch):
+    """skip-the-CAS mutant (bug class: dropped-guard): reclaim deletes
+    whatever the key holds NOW instead of the exact expired bytes it
+    verified — the r11 TOCTOU class transplanted to the claim path."""
+    key = "fake://warehouse/tbl" + M._LOCK_SUFFIX
+    expired = b"dead.1 %.3f" % (time.time() - 5)
+    live = b"live.2 %.3f" % (time.time() + 3600)
+
+    # Real protocol: the stale-snapshot race cannot delete the live
+    # claim — the CAS misses and the claimant times out.
+    store = _StaleSnapshotStore(expired)
+    assert store.put_if_absent(key, live)
+    with pytest.raises(TimeoutError):
+        with M._claim_lock(store, key, timeout=0.3):
+            pass
+    assert store.get(key) == live  # mutual exclusion held
+
+    # Mutant: delete ignores the verified bytes → the live claim dies
+    # and the claimant acquires while the holder still believes it owns
+    # the table.
+    monkeypatch.setattr(
+        M,
+        "_cas_reclaim",
+        lambda store, key, existing: store.delete_if_value(key, store.get(key)),
+    )
+    store = _StaleSnapshotStore(expired)
+    assert store.put_if_absent(key, live)
+    acquired = False
+    with M._claim_lock(store, key, timeout=0.3):
+        acquired = True
+        assert store.get(key) != live  # live holder's claim was stolen
+    assert acquired  # the violation the real protocol just prevented
+
+
+def test_mutant_ttl_off_by_window_is_killed(monkeypatch):
+    """TTL off-by-one-window mutant (bug class: boundary): the expiry
+    comparison accidentally adds _LOCK_STALE_S again, so a genuinely
+    expired claim is never reclaimable within a full extra window."""
+    key = "fake://warehouse/tbl" + M._LOCK_SUFFIX
+    expired = b"dead.1 %.3f" % (time.time() - 5)
+
+    # Real protocol: an expired claim is reclaimed and the claimant
+    # acquires promptly.
+    store = _FakeStore()
+    assert store.put_if_absent(key, expired)
+    with M._claim_lock(store, key, timeout=5):
+        assert store.get(key) != expired
+    assert store.get(key) is None
+
+    # Mutant: the claim "expires" one whole stale-window late → the
+    # dead claim wedges every writer until timeout.
+    monkeypatch.setattr(
+        M,
+        "_claim_expired",
+        lambda existing: time.time()
+        > float(existing.rsplit(b" ", 1)[1]) + M._LOCK_STALE_S,
+    )
+    store = _FakeStore()
+    assert store.put_if_absent(key, expired)
+    with pytest.raises(TimeoutError):
+        with M._claim_lock(store, key, timeout=0.3):
+            pass
+    assert store.get(key) == expired  # still wedged
+
+
+def test_mutant_release_without_ownership_is_killed(monkeypatch, tmp_path):
+    """release-without-ownership mutant (bug class: dropped-guard):
+    release unlinks whatever sits at the lock path. After a
+    reclaim + re-acquire, that deletes the NEW holder's lockfile and
+    admits a third writer (the ADVICE r10 release-path finding)."""
+    table = str(tmp_path / "t")
+    lock = table + M._LOCK_SUFFIX
+
+    def scenario():
+        with M._process_lock(table, timeout=5):
+            # Simulate reclaim + re-acquire by a new live holder while
+            # we exceeded the stale window.
+            os.unlink(lock)
+            with open(lock, "w") as f:
+                f.write(f"{os.getpid() + 1} {time.time():.3f}\n")
+        return os.path.exists(lock)
+
+    # Real protocol: the foreign lock survives our release (with the
+    # documented warning).
+    with pytest.warns(UserWarning, match="held by pid"):
+        assert scenario() is True
+    os.unlink(lock)
+
+    # Mutant: unconditional unlink kills the new holder's lock.
+    def blind_release(path):
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    monkeypatch.setattr(M, "_release_process_lock", blind_release)
+    assert scenario() is False
+
+
+def test_mutant_always_stale_is_killed(monkeypatch, tmp_path):
+    """always-stale mutant (bug class: boundary): the staleness
+    predicate treats every holder as reclaimable — a reclaimer steals
+    the lock out from under a LIVE young holder."""
+    table = str(tmp_path / "t")
+    lock = table + M._LOCK_SUFFIX
+
+    # Real protocol: a live, fresh holder is never reclaimed.
+    ctx = M._process_lock(table, timeout=5)
+    ctx.__enter__()
+    try:
+        M._reclaim_if_stale(lock)
+        assert os.path.exists(lock)
+        with open(lock) as f:
+            assert int(f.read().split()[0]) == os.getpid()
+    finally:
+        ctx.__exit__(None, None, None)
+    assert not os.path.exists(lock)
+
+    # Mutant: the same live holder is stolen immediately.
+    monkeypatch.setattr(M, "_holder_stale", lambda pid, age: True)
+    ctx = M._process_lock(table, timeout=5)
+    ctx.__enter__()
+    try:
+        M._reclaim_if_stale(lock)
+        assert not os.path.exists(lock)  # live holder's lock stolen
+    finally:
+        ctx.__exit__(None, None, None)
+
+
+def test_protocol_audit_size_and_classes():
+    # The lock-protocol audit covers the three seams the r12 verdict
+    # named (CAS-on-reclaim, ownership-on-release, TTL comparison) plus
+    # the POSIX staleness predicate; together with the 40 oracle
+    # mutants the audit spans 44 mutants including sinks/merge.py.
+    mutants = [
+        n
+        for n in globals()
+        if n.startswith("test_mutant_") and n.endswith("_is_killed")
+    ]
+    assert len(mutants) >= 4
+    for seam in ("_cas_reclaim", "_claim_expired", "_release_process_lock", "_holder_stale"):
+        assert callable(getattr(M, seam))
