@@ -171,6 +171,85 @@ QUERIES = [
     ("sketch_stream_cms", "documents"),
     ("sketch_stream_bloom_gate", "documents"),
     ("contamination_stream_gate", "documents"),
+    # round 13 additions (VERDICT r12 item 7): every remaining registry
+    # query — full coverage, 156/160. Hint table = the scaled table
+    # whose row count drives the work; queries over connector frames
+    # derived from dimensions (supplier/customer/part issue fixtures)
+    # use that dimension. Still excluded, each with a reason the
+    # artifact should not hide:
+    #   store_stream_ingest     — fixed 30-doc CLI fixture; per-row
+    #                             ratio over any table is meaningless
+    #   dedup_ngram_jaccard     — documented O(n²) all-pairs oracle
+    #   dedup_embedding_cosine  — baseline; the scale paths (minhash /
+    #   dedup_connected_components (O(n²) pair graph) — sign-LSH /
+    #                             cc_large_star) ARE measured above
+    ("multimodal_probe", "documents"),
+    ("multimodal_resize", "documents"),
+    ("multimodal_frame_sample", "documents"),
+    ("dedup_stream_cdc_ingest", "documents"),
+    ("dedup_stream_neardup_gate", "documents"),
+    ("sketch_stream_hll", "documents"),
+    ("text_c4_filters", "documents"),
+    ("corpus_health_report", "documents"),
+    ("x16_mask_secrets", "documents"),
+    ("x17_redact_code", "documents"),
+    ("x18_prompt_denylist", "documents"),
+    ("j9_blob_path_join", "documents"),
+    ("o4_lexicographic_concat", "documents"),
+    ("x3_adf_flatten", "documents"),
+    ("s18_python_literal_extract", "documents"),
+    ("knn_brute_force_cosine", "embeddings"),
+    ("u6_union_tagged_sources", "events"),
+    ("x4_slack_markup", "events"),
+    ("a18_reactions_rollup", "events"),
+    ("k9_cache_freshness", "events"),
+    ("k5_json_snapshot_roundtrip", "events"),
+    ("j3_mention_resolution", "events"),
+    ("slack_capture_pipeline", "events"),
+    ("f1_date_range_filter", "lineitem"),
+    ("j7_changelog_attach", "lineitem"),
+    ("k_bucketed_colocated_join", "lineitem"),
+    ("x21_changelog_compact", "lineitem"),
+    ("k_orc_columnar_roundtrip", "lineitem"),
+    ("x10_x11_timestamp_formats", "orders"),
+    ("x6_linkify_issue_keys", "orders"),
+    ("k8_upsert_merge", "orders"),
+    ("f9_section_date_trim", "orders"),
+    ("k2_partitioned_write_roundtrip", "orders"),
+    ("s14_jdbc_pushdown_join", "orders"),
+    ("a1_status_groups_canonical_order", "orders"),
+    ("a3_group_stats_pct", "orders"),
+    ("a8_summary_aggregates", "orders"),
+    ("f8_or_of_overrides", "orders"),
+    ("x7_multiformat_date_extract", "orders"),
+    ("x20_section_split", "orders"),
+    ("x_assignee_split_groups", "customer"),
+    ("f6_team_threshold_filter", "customer"),
+    ("j10_member_doc_join", "customer"),
+    ("j2_alias_first_match_join", "customer"),
+    ("x23_json_field_extract", "customer"),
+    ("x19_transcript_parse", "customer"),
+    ("u8_schema_union_by_name", "customer"),
+    ("audit_coverage", "customer"),
+    ("a15_participants", "customer"),
+    ("s9_slack_history_pushdown", "customer"),
+    ("x14_slugify", "part"),
+    ("x5_html_bullets", "part"),
+    ("dashboard_week_frame", "part"),
+    ("f5_substring_filter", "part"),
+    ("x22_human_size", "part"),
+    ("x24_custom_field_map", "part"),
+    ("s12_drive_catalog_scan", "part"),
+    ("j12_channel_resolution", "supplier"),
+    ("j4_field_label_join", "supplier"),
+    ("j8_changelog_injection", "supplier"),
+    ("s1_jira_connector_roundtrip", "supplier"),
+    ("weekly_digest_pipeline", "supplier"),
+    # Fixed dims: nation/region do not grow with SF, so these two
+    # report per-row ratio == wall-clock ratio (≈1 when the plan's cost
+    # tracks its input) — an honest "input is a fixed dimension" row.
+    ("k1_csv_union_header_roundtrip", "nation"),
+    ("k6_datasource_sections", "nation"),
 ]
 
 # Secondary tables a query reads beyond its row-count hint table —
@@ -180,6 +259,14 @@ EXTRA_TABLES = {
     "j1_star_join_revenue": {"orders", "customer", "nation", "region"},
     "k_bucketed_join_roundtrip": {"orders"},
     "f3_semi_join_children_in_range": {"orders"},
+    "u6_union_tagged_sources": {"orders"},
+    "j3_mention_resolution": {"customer"},
+    "j7_changelog_attach": {"orders"},
+    "k_bucketed_colocated_join": {"orders"},
+    "s14_jdbc_pushdown_join": {"customer"},
+    "slack_capture_pipeline": {"customer"},
+    "j12_channel_resolution": {"nation"},
+    "j4_field_label_join": {"nation"},
 }
 
 # The invalidation stamp must cover the FULL table list even for
