@@ -183,6 +183,17 @@ QUERIES = [
     #   dedup_embedding_cosine  — baseline; the scale paths (minhash /
     #   dedup_connected_components (O(n²) pair graph) — sign-LSH /
     #                             cc_large_star) ARE measured above
+    #   s1_jira_connector_roundtrip / s9_slack_history_pushdown /
+    #   s12_drive_catalog_scan  — their fixture generators synthesize
+    #                             API pages from a CONTIGUOUS dimension
+    #                             key range (asserted at
+    #                             queries_connectors._key_range), which
+    #                             the stride-offset replication
+    #                             deliberately breaks; their real input
+    #                             is the paged REST payload (bounded
+    #                             mapInPandas fan-out), not the table,
+    #                             so a replicated-table ratio would
+    #                             measure the wrong thing anyway
     ("multimodal_probe", "documents"),
     ("multimodal_resize", "documents"),
     ("multimodal_frame_sample", "documents"),
@@ -232,18 +243,18 @@ QUERIES = [
     ("u8_schema_union_by_name", "customer"),
     ("audit_coverage", "customer"),
     ("a15_participants", "customer"),
-    ("s9_slack_history_pushdown", "customer"),
+    # excluded (see above): ("s9_slack_history_pushdown", "customer"),
     ("x14_slugify", "part"),
     ("x5_html_bullets", "part"),
     ("dashboard_week_frame", "part"),
     ("f5_substring_filter", "part"),
     ("x22_human_size", "part"),
     ("x24_custom_field_map", "part"),
-    ("s12_drive_catalog_scan", "part"),
+    # excluded (see above): ("s12_drive_catalog_scan", "part"),
     ("j12_channel_resolution", "supplier"),
     ("j4_field_label_join", "supplier"),
     ("j8_changelog_injection", "supplier"),
-    ("s1_jira_connector_roundtrip", "supplier"),
+    # excluded (see above): ("s1_jira_connector_roundtrip", "supplier"),
     ("weekly_digest_pipeline", "supplier"),
     # Fixed dims: nation/region do not grow with SF, so these two
     # report per-row ratio == wall-clock ratio (≈1 when the plan's cost
@@ -457,11 +468,20 @@ def main() -> None:
             counts[(d, table)] = counts.get((d, table)) or load_table(spark, d, table).count()
 
     results = {}
+    failures = {}
     for name, table in QUERIES:
-        t_small = time_query(spark, name, SRC)
-        spark.catalog.clearCache()  # don't let sf0.1 persists skew sf1 memory
-        t_big = time_query(spark, name, DST)
-        spark.catalog.clearCache()
+        # Per-query fault isolation (r13: a connector query's
+        # contiguous-key assertion aborted the whole run at query 50 of
+        # 64, and the end-of-run write threw away every measured pair).
+        try:
+            t_small = time_query(spark, name, SRC)
+            spark.catalog.clearCache()  # don't let sf0.1 persists skew sf1 memory
+            t_big = time_query(spark, name, DST)
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"{name}: FAILED — {failures[name]}", flush=True)
+            continue
         n_small, n_big = counts[(SRC, table)], counts[(DST, table)]
         per_row_ratio = (t_big / n_big) / (t_small / n_small)
         results[name] = {
