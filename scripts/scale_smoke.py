@@ -491,6 +491,12 @@ def main() -> None:
             "rows_sf1": n_big,
             "per_row_cost_ratio": round(per_row_ratio, 3),
         }
+        if n_small == n_big:
+            # nation/region hint: fixed dimensions don't grow with SF,
+            # so the "per-row ratio" is just the wall-clock ratio of a
+            # sub-second query — flag it so a >1 reading is not misread
+            # as superlinear scaling.
+            results[name]["fixed_dim_input"] = True
         print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  per-row ratio {per_row_ratio:.2f}", flush=True)
 
     summary = {
