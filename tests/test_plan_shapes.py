@@ -156,6 +156,20 @@ def test_multimodal_decode_shuffles_ids_not_payloads(spark, sf_dir):
     assert "ArrowEvalPython" not in plan  # mapInPandas, not per-row UDF
 
 
+def test_multimodal_probe_shuffles_ids_not_payloads(spark, sf_dir):
+    # Same contract as multimodal_decode for the r13 MP3/MP4 probe:
+    # synthesize → probe → narrow scalar projection is per-partition
+    # end-to-end; the only permissible Exchange is ensure_parallelism's
+    # round-robin of BARE doc_ids below the synthesizer. Container
+    # payloads must never cross the network.
+    df = REGISTRY["multimodal_probe"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert "ENSURE_REQUIREMENTS" not in plan  # no semantic shuffle
+    if "Exchange" in plan:
+        assert plan.index("Exchange") > plan.rindex("MapInPandas")
+    assert "ArrowEvalPython" not in plan  # mapInPandas, not per-row UDF
+
+
 def test_external_lint_is_narrow(spark, sf_dir):
     df = REGISTRY["text_external_lint"].fn(spark, sf_dir)
     plan = _executed(df)
