@@ -527,7 +527,17 @@ def main() -> None:
             summary["queries"] = merged
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps({"max_per_row_ratio": max(r["per_row_cost_ratio"] for r in results.values())}))
+    print(
+        json.dumps(
+            {
+                "max_per_row_ratio": max(
+                    (r["per_row_cost_ratio"] for r in results.values()),
+                    default=None,
+                ),
+                "failures": failures,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
