@@ -1,0 +1,122 @@
+"""Vectorized (numpy) re-implementation of Spark's ``xxhash64`` for
+LONG and INT inputs — bit-identical to
+``org.apache.spark.sql.catalyst.expressions.XxHash64`` so Python-side
+Arrow kernels can reproduce JVM hash chains without a shuffle or an
+interpreted higher-order function.
+
+Why this exists: the streaming near-dup gate (streaming/neardup.py)
+needs the SAME MinHash band hashes as the batch operator
+(operators/dedup.py:minhash_lsh_pairs), but a stream cannot use the
+batch plan's explode + groupBy-min (a streaming aggregation is illegal
+before another stateful operator), and the narrow per-row restatement
+via ``array_min(transform(...))`` chains runs interpreted per element —
+measured as the engine's one 100×-incompletable path in round 13. The
+fix: hash each shingle string once in the JVM (``xxhash64(string)``),
+then do the num_perm re-hash/min and the per-band re-hash here,
+vectorized over the whole Arrow batch.
+
+Algorithm source: public XXH64 spec (Cyan4973/xxHash) as specialized by
+Spark for fixed-width inputs — an 8-byte input is one "round" in the
+tail loop, a 4-byte input one 32-bit tail step, then the avalanche.
+Spark chains multi-argument ``xxhash64(a, b, ...)`` by feeding each
+argument's hash as the next argument's seed, starting from seed 42;
+integer LITERALS in SQL text (e.g. the permutation index) are
+IntegerType and take the 4-byte path. All three forms are pinned
+bit-exact against the JVM in tests/test_hash64_kernel.py.
+
+Overflow note: every op is modular uint64 arithmetic; numpy raises
+RuntimeWarning on uint64 overflow unless suppressed, so each public
+entry point wraps itself in ``np.errstate(over="ignore")``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+
+SPARK_DEFAULT_SEED = np.uint64(42)
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    r64 = np.uint64(r)
+    return (x << r64) | (x >> (np.uint64(64) - r64))
+
+
+def _fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * _P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def hash_long(x: np.ndarray, seed: np.ndarray | np.uint64) -> np.ndarray:
+    """Spark ``XXH64.hashLong(input, seed)`` over a uint64 array.
+
+    ``seed`` may be a scalar or an array broadcastable against ``x``
+    (array seeds implement Spark's multi-argument chaining).
+    """
+    with np.errstate(over="ignore"):
+        h = seed + _P5 + np.uint64(8)
+        h = h ^ (_rotl(x * _P2, 31) * _P1)
+        h = _rotl(h, 27) * _P1 + _P4
+        return _fmix(h)
+
+
+def hash_int(i: int, seed: np.ndarray | np.uint64) -> np.ndarray:
+    """Spark ``XXH64.hashInt(input, seed)`` for a scalar int32 input
+    (the common case here: a literal permutation index) against a
+    scalar or array seed."""
+    with np.errstate(over="ignore"):
+        h = seed + _P5 + np.uint64(4)
+        h = h ^ (np.uint64(np.int64(i) & 0xFFFFFFFF) * _P1)
+        h = _rotl(h, 23) * _P2 + _P3
+        return _fmix(h)
+
+
+def minhash_band_hashes(
+    flat_hashes: np.ndarray,
+    starts: np.ndarray,
+    num_perm: int,
+    bands: int,
+) -> np.ndarray:
+    """MinHash signature + banded re-hash for a batch of documents,
+    bit-identical to the SQL chain
+    ``min(xxhash64(hg, p))`` / ``xxhash64(ms[i], ms[j], ...)`` used by
+    operators/dedup.py:minhash_lsh_pairs (and previously restated
+    per-row by streaming/neardup.py's interpreted path).
+
+    Parameters
+    ----------
+    flat_hashes : int64 array — per-shingle ``xxhash64(string)`` values
+        for ALL documents in the batch, concatenated.
+    starts : intp array — start offset of each document's segment in
+        ``flat_hashes``; every segment must be non-empty (callers filter
+        ``size(sh) > 0`` first, same as the batch operator).
+    Returns
+    -------
+    int64 array of shape (n_docs, bands) — per-document band hashes.
+    """
+    rows_per_band = num_perm // bands
+    u = np.ascontiguousarray(flat_hashes).view(np.uint64)
+    # One hashLong per shingle, reused by all permutations' hashInt
+    # tail — mirrors xxhash64(hg, p) = hashInt(p, hashLong(hg, 42)).
+    base = hash_long(u, SPARK_DEFAULT_SEED)
+    n_docs = len(starts)
+    ms = np.empty((num_perm, n_docs), dtype=np.int64)
+    for p in range(num_perm):
+        # array_min / min() compare as SIGNED longs — view, don't cast.
+        ms[p] = np.minimum.reduceat(hash_int(p, base).view(np.int64), starts)
+    out = np.empty((bands, n_docs), dtype=np.int64)
+    for b in range(bands):
+        h = SPARK_DEFAULT_SEED
+        for r in range(rows_per_band):
+            h = hash_long(ms[b * rows_per_band + r].view(np.uint64), h)
+        out[b] = h.view(np.int64)
+    return out.T

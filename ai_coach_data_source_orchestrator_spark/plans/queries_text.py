@@ -323,12 +323,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (streaming/neardup.py — applyInPandasWithState keyed by bucket),
 # candidates exact-Jaccard-verified downstream exactly like the batch
 # operator's verify stage. Streaming buckets are bit-identical to
-# batch buckets (same hash chain), so the verified output equals the
-# batch LSH output and the brute-force Jaccard oracle binds unchanged.
-# 32 perms × 16 bands keeps the per-micro-batch interpreted signature
-# chain cheap while the 2-row bands put the miss probability at the
-# 0.6 threshold below 1e-3 (and ≈1e-14 at the fixture's actual ≥0.94
-# near-dup similarities).
+# batch buckets (same hash chain, r14: computed by the bit-exact numpy
+# Arrow kernel in functions/hash64.py instead of the interpreted HOF
+# chain that could not finish a 100× replay), so the verified output
+# equals the batch LSH output and the brute-force Jaccard oracle binds
+# unchanged. 32 perms × 16 bands: the 2-row bands put the miss
+# probability at the 0.6 threshold below 1e-3 (and ≈1e-14 at the
+# fixture's actual ≥0.94 near-dup similarities).
 # ---------------------------------------------------------------------------
 @register(
     "dedup_stream_neardup_gate",
@@ -347,25 +348,33 @@ def dedup_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    # Drop zone: two parquet files + maxFilesPerTrigger=1 → at least
-    # two micro-batches, so bucket STATE genuinely carries membership
-    # across batches (pairs between even and odd doc_ids can only be
-    # emitted from recovered state). At scale documents land here from
-    # upstream writers; the two-file split is the fixture, not the path.
+    # Drop zone: two 8-file parquet halves + maxFilesPerTrigger=8 →
+    # exactly two micro-batches, so bucket STATE genuinely carries
+    # membership across batches (pairs between even and odd doc_ids can
+    # only be emitted from recovered state). 8 files per half keeps
+    # both the landing write and each micro-batch's scan parallel —
+    # coalesce(1) halves were 7 s of single-threaded write at sf1
+    # (70 s at 100×) and serialized the replay read. At scale documents
+    # land here from upstream writers; the two-half split is the
+    # fixture, not the path.
     run_dir = tempfile.mkdtemp(prefix="neardup_gate_")
     atexit.register(shutil.rmtree, run_dir, ignore_errors=True)
     drop = os.path.join(run_dir, "drop")
-    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop)
-    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(drop)
+    docs.where(F.col("doc_id") % 2 == 0).repartition(8).write.parquet(drop)
+    docs.where(F.col("doc_id") % 2 == 1).repartition(8).write.mode("append").parquet(drop)
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 8)
         .parquet(drop)
     )
     sink = f"neardup_gate_{_uuid_mod.uuid4().hex[:8]}"
+    # bucket_shards=64 tunes state-group count to this box (16 bands ×
+    # 64 = 1024 state groups over 32 cores; per-group Python/Arrow
+    # overhead was the measured drain floor — see near_dup_gate_stream).
+    # A large cluster raises shards to keep per-shard state bounded.
     q = (
-        ST.near_dup_gate_stream(stream, k=3, num_perm=32, bands=16)
+        ST.near_dup_gate_stream(stream, k=3, num_perm=32, bands=16, bucket_shards=64)
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("update")

@@ -5,17 +5,25 @@ signatures; a stream can't self-join its whole history, so the streaming
 restatement keeps per-(band, band_hash) bucket membership in keyed state
 and emits a candidate pair the moment a document lands in a bucket that
 already has members — the incremental form of the same banding. Exactly
-one stateful operator (``applyInPandasWithState`` keyed by bucket), so
-the plan is legal Structured Streaming.
+one stateful operator (``applyInPandasWithState`` keyed by bucket
+SHARD — see near_dup_gate_stream on why not by exact bucket), so the
+plan is legal Structured Streaming.
 
-Signature parity: the narrow column chain here reproduces the batch
+Signature parity: the narrow chain here reproduces the batch
 operator's hash chain term-for-term (``xxhash64(shingle)`` →
 ``min(xxhash64(h, p))`` per permutation → ``xxhash64(ms…)`` per band),
 so streaming buckets equal batch buckets and the emitted candidate set
 is provably the batch candidate set (tests/test_streaming_neardup.py).
-The higher-order-function mins run interpreted per element — fine at
-stream rates; a firehose deployment would precompute signatures with a
-numpy pandas_udf upstream of the gate.
+Round 14: the per-permutation min/band re-hash moved from interpreted
+``array_min(transform(...))`` chains into a vectorized numpy Arrow
+kernel (functions/hash64.py) that is pinned bit-exact against the JVM
+``xxhash64`` — the interpreted form was the engine's one measured
+100×-incompletable path (VERDICT r13). Only the per-shingle STRING
+hash stays in the JVM (one ``transform`` with a single ``xxhash64``
+call per element); everything downstream is one ``pandas_udf`` per
+micro-batch. ``streaming_band_hashes_interpreted`` keeps the old chain
+as the parity oracle (tests/test_hash64_kernel.py proves the two
+bit-equal on the real documents table).
 
 State sizing: a bucket only grows past a handful of members when its
 documents are overwhelmingly mutual duplicates (same argument as the
@@ -32,15 +40,59 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import ArrayType, LongType
 
+from ..functions.hash64 import minhash_band_hashes
 from ..functions.text import shingles_of_tokens, tokens
 
 NEAR_DUP_SCHEMA = "band int, band_hash bigint, doc_a bigint, doc_b bigint"
-_STATE_SCHEMA = "seen array<bigint>"
+# Sharded state (round 14): one state row per (band, band_hash % shards)
+# holds MANY exact buckets as parallel arrays — entry i says doc
+# ``docs[i]`` is a member of bucket ``hashes[i]``. Keying state by the
+# exact bucket (the pre-r14 layout, "seen array<bigint>") meant one
+# Python call + one Arrow state round-trip per DISTINCT bucket per
+# micro-batch — n_docs × bands tiny groups, measured 195 s of the
+# 211 s sf1 drain (the gate's whole 100× budget). Sharding cuts group
+# count to bands × shards while emitting the identical pair set.
+_STATE_SCHEMA = "hashes array<bigint>, docs array<bigint>"
+
+
+def _shingle_hashes(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, hg: array<bigint>) — one JVM ``xxhash64`` per shingle,
+    the shared prefix of both signature paths."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_of_tokens(tokens(F.col(text_col)), k).alias("sh"),
+    ).where(F.size("sh") > 0)
+    return base.select(
+        "doc_id", F.expr("transform(sh, g -> xxhash64(g))").alias("hg")
+    )
+
+
+def _band_hashes_udf(num_perm: int, bands: int):
+    """Arrow-batched signature kernel: array<bigint> shingle hashes →
+    array<bigint> band hashes, bit-identical to the interpreted SQL
+    chain (functions/hash64.py docstring has the derivation)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _kernel(hg: pd.Series) -> pd.Series:
+        if len(hg) == 0:
+            return pd.Series([], dtype=object)
+        vals = hg.values
+        lens = np.fromiter((len(a) for a in vals), dtype=np.intp, count=len(vals))
+        starts = np.zeros(len(vals), dtype=np.intp)
+        np.cumsum(lens[:-1], out=starts[1:])
+        flat = np.concatenate(vals).astype(np.int64, copy=False)
+        return pd.Series(list(minhash_band_hashes(flat, starts, num_perm, bands)))
+
+    return _kernel
 
 
 def streaming_band_hashes(
@@ -51,21 +103,40 @@ def streaming_band_hashes(
     num_perm: int = 64,
     bands: int = 32,
 ) -> DataFrame:
-    """Narrow (no-shuffle, no-persist — both illegal pre-state in a
-    stream) restatement of the batch signature pipeline. Values are
-    bit-identical to operators/dedup.minhash_lsh_pairs' banded frame.
-    """
+    """Narrow (no-shuffle, no-persist — a streaming aggregation is
+    illegal before the stateful gate) restatement of the batch
+    signature pipeline. Values are bit-identical to
+    operators/dedup.minhash_lsh_pairs' banded frame; the heavy
+    per-permutation work runs in the numpy Arrow kernel."""
+    hg = _shingle_hashes(docs, text_col, id_col, k)
+    bh = _band_hashes_udf(num_perm, bands)
+    return hg.select("doc_id", F.posexplode(bh("hg")).alias("band", "band_hash"))
+
+
+def streaming_band_hashes_interpreted(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """The pre-r14 pure-SQL form — O(num_perm) interpreted
+    ``array_min(transform(...))`` passes per row. Kept as the parity
+    oracle for the numpy kernel (tests/test_hash64_kernel.py); do not
+    use in hot paths."""
     rows_per_band = num_perm // bands
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles_of_tokens(tokens(F.col(text_col)), k).alias("sh"),
-    ).where(F.size("sh") > 0)
-    mins = ", ".join(
-        f"array_min(transform(hg, h -> xxhash64(h, {p})))" for p in range(num_perm)
+    withms = _shingle_hashes(docs, text_col, id_col, k).select(
+        "doc_id",
+        F.expr(
+            "array("
+            + ", ".join(
+                f"array_min(transform(hg, h -> xxhash64(h, {p})))"
+                for p in range(num_perm)
+            )
+            + ")"
+        ).alias("ms"),
     )
-    withms = base.select(
-        "doc_id", F.expr("transform(sh, g -> xxhash64(g))").alias("hg")
-    ).select("doc_id", F.expr(f"array({mins})").alias("ms"))
     band_hashes = F.expr(
         "array("
         + ", ".join(
@@ -88,42 +159,71 @@ def near_dup_gate_stream(
     bands: int = 32,
     max_bucket: int = 256,
     state_ttl_ms: int = 0,
+    bucket_shards: int = 4096,
 ) -> DataFrame:
     """Emit (band, band_hash, doc_a, doc_b) candidate pairs as documents
     arrive; ``doc_a < doc_b`` normalized. Pairs may repeat across bands
     (same as the batch candidate stage pre-distinct).
 
+    State is keyed by (band, band_hash % bucket_shards), not the exact
+    bucket: each state row carries all of its shard's buckets as
+    parallel (hashes, docs) arrays, and exact-bucket membership is
+    resolved dict-side inside the update function. Semantics (the pair
+    set, the per-bucket ``max_bucket`` emission cap) are unchanged from
+    the per-bucket layout; what changes is the group count — bands ×
+    shards instead of n_docs × bands — which was the dominant drain
+    cost at scale (per-group Python + Arrow state overhead). Shard
+    hashes are uniform (band_hash is an xxhash64), so the stateful
+    shuffle cannot skew.
+
     ``state_ttl_ms`` > 0 enables a processing-time TTL that reaps idle
-    buckets — the right setting for a long-lived production stream.
-    Note the trade-off it brings: a query with ProcessingTimeTimeout
-    never self-terminates under ``Trigger.AvailableNow`` (the engine
-    stays alive to fire future timeouts), so bounded replays/backfills
-    should leave it 0 and rely on the downstream batch dedup pass
-    instead.
+    state — granularity is the SHARD (a shard survives while any of its
+    buckets is active), the right setting for a long-lived production
+    stream. Note the trade-off it brings: a query with
+    ProcessingTimeTimeout never self-terminates under
+    ``Trigger.AvailableNow`` (the engine stays alive to fire future
+    timeouts), so bounded replays/backfills should leave it 0 and rely
+    on the downstream batch dedup pass instead.
     """
 
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        band, band_hash = int(key[0]), int(key[1])
-        seen = list(state.get[0]) if state.exists else []
+        band = int(key[0])
+        members: dict[int, list[int]] = {}
+        if state.exists:
+            hs, ds = state.get
+            for h, dc in zip(hs, ds):
+                members.setdefault(h, []).append(dc)
+        out_h: list[int] = []
         out_a: list[int] = []
         out_b: list[int] = []
         for pdf in pdfs:
-            for doc in pdf["doc_id"].astype("int64"):
-                d = int(doc)
+            hrow = pdf["band_hash"].astype("int64").tolist()
+            drow = pdf["doc_id"].astype("int64").tolist()
+            for h, d in zip(hrow, drow):
+                seen = members.setdefault(h, [])
+                # Same emission cap as the per-bucket layout: a doc
+                # landing in an oversized bucket is RECORDED but emits
+                # no pairs (emission is quadratic in bucket size).
                 if len(seen) <= max_bucket:
                     for prev in seen:
-                        out_a.append(min(prev, d))
-                        out_b.append(max(prev, d))
+                        out_h.append(h)
+                        out_a.append(prev if prev < d else d)
+                        out_b.append(d if prev < d else prev)
                 seen.append(d)
-        state.update((seen,))
+        flat_h: list[int] = []
+        flat_d: list[int] = []
+        for h, lst in members.items():
+            flat_h.extend([h] * len(lst))
+            flat_d.extend(lst)
+        state.update((flat_h, flat_d))
         if state_ttl_ms > 0:
             state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
                 "band": pd.Series([band] * len(out_a), dtype="int32"),
-                "band_hash": pd.Series([band_hash] * len(out_a), dtype="int64"),
+                "band_hash": pd.Series(out_h, dtype="int64"),
                 "doc_a": pd.Series(out_a, dtype="int64"),
                 "doc_b": pd.Series(out_b, dtype="int64"),
             }
@@ -131,8 +231,8 @@ def near_dup_gate_stream(
 
     banded = streaming_band_hashes(
         docs, text_col=text_col, id_col=id_col, k=k, num_perm=num_perm, bands=bands
-    )
-    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+    ).withColumn("bucket_shard", F.pmod(F.col("band_hash"), F.lit(bucket_shards)))
+    return banded.groupBy("band", "bucket_shard").applyInPandasWithState(
         _update,
         outputStructType=NEAR_DUP_SCHEMA,
         stateStructType=_STATE_SCHEMA,

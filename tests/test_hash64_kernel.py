@@ -1,0 +1,126 @@
+"""functions/hash64.py ⇄ JVM xxhash64 bit-exactness, and the numpy
+band-hash kernel ⇄ the interpreted SQL chain it replaced (VERDICT r13
+item 2: the interpreted chain was the one measured 100×-incompletable
+path; the replacement must be provably value-identical, not just
+plausible)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions import hash64 as H
+from ai_coach_data_source_orchestrator_spark.operators.dedup import minhash_lsh_pairs
+from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+from ai_coach_data_source_orchestrator_spark.streaming.neardup import (
+    streaming_band_hashes,
+    streaming_band_hashes_interpreted,
+)
+
+# Edge grid: zero, ±1, sign boundary, all-ones, and a few arbitrary
+# magnitudes — enough to catch any rotl/overflow/sign slip.
+_EDGE_LONGS = [
+    0,
+    1,
+    -1,
+    42,
+    2**63 - 1,
+    -(2**63),
+    123456789012345,
+    -987654321,
+    0x7FFFFFFF,
+    -0x80000000,
+]
+
+
+def test_hash_long_matches_jvm(spark):
+    df = spark.createDataFrame([(v,) for v in _EDGE_LONGS], "x bigint")
+    jvm = [r["h"] for r in df.selectExpr("xxhash64(x) AS h").collect()]
+    ours = H.hash_long(
+        np.array(_EDGE_LONGS, dtype=np.int64).view(np.uint64), H.SPARK_DEFAULT_SEED
+    ).view(np.int64)
+    assert ours.tolist() == jvm
+
+
+def test_hash_int_chain_matches_jvm(spark):
+    # xxhash64(x, p) with INTEGER literal p — the per-permutation form.
+    df = spark.createDataFrame([(v,) for v in _EDGE_LONGS], "x bigint")
+    for p in (0, 1, 7, 63):
+        jvm = [r["h"] for r in df.selectExpr(f"xxhash64(x, {p}) AS h").collect()]
+        base = H.hash_long(
+            np.array(_EDGE_LONGS, dtype=np.int64).view(np.uint64),
+            H.SPARK_DEFAULT_SEED,
+        )
+        ours = H.hash_int(p, base).view(np.int64)
+        assert ours.tolist() == jvm, f"perm {p}"
+
+
+def test_hash_long_chain_matches_jvm(spark):
+    # xxhash64(a, b) with two BIGINT args — the band re-hash form.
+    pairs = [(a, b) for a in _EDGE_LONGS[:5] for b in _EDGE_LONGS[5:]]
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    jvm = [r["h"] for r in df.selectExpr("xxhash64(a, b) AS h").collect()]
+    ua = np.array([p[0] for p in pairs], dtype=np.int64).view(np.uint64)
+    ub = np.array([p[1] for p in pairs], dtype=np.int64).view(np.uint64)
+    ours = H.hash_long(ub, H.hash_long(ua, H.SPARK_DEFAULT_SEED)).view(np.int64)
+    assert ours.tolist() == jvm
+
+
+def test_minhash_band_hashes_segments():
+    # Segment handling: three docs of different shingle counts must
+    # each min over exactly their own segment.
+    flat = np.array([5, -3, 8, 100, -100, 7, 7, 7], dtype=np.int64)
+    starts = np.array([0, 3, 5], dtype=np.intp)
+    out = H.minhash_band_hashes(flat, starts, num_perm=4, bands=2)
+    assert out.shape == (3, 2)
+    # Doc 2 is a constant segment: its per-perm mins equal the single
+    # value's hashes, so its band hashes must equal a 1-shingle doc's.
+    solo = H.minhash_band_hashes(
+        np.array([7], dtype=np.int64), np.array([0], dtype=np.intp), 4, 2
+    )
+    assert out[2].tolist() == solo[0].tolist()
+
+
+def test_kernel_band_hashes_equal_interpreted_chain(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    fast = streaming_band_hashes(docs, num_perm=16, bands=8).toPandas()
+    slow = streaming_band_hashes_interpreted(docs, num_perm=16, bands=8).toPandas()
+    key = ["doc_id", "band"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_kernel_band_hashes_equal_batch_operator(spark, sf_dir):
+    # End-to-end: kernel-signed candidates == batch LSH candidates on
+    # the real table (same guarantee test_streaming_neardup.py proves
+    # through the full stateful gate, here isolated to the signature).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    banded = streaming_band_hashes(docs, num_perm=16, bands=8)
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    ours = {
+        (r["doc_a"], r["doc_b"])
+        for r in left.join(right, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, k=3, num_perm=16, bands=8, return_candidates=True
+        ).collect()
+    }
+    assert batch, "vacuous: batch produced no candidate pairs"
+    assert ours == batch
