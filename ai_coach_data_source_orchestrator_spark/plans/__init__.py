@@ -19,12 +19,14 @@ from . import queries_retrieval  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registry ordering.
 #
-# External harnesses sample the registry front-to-back (insertion order), so
-# the queries with the least external verification history go FIRST: the 31
-# entries never sampled through round 2, then the 8 last sampled in round 1,
-# then entries whose oracle changed this round, then everything already
-# verified in round 2.  New queries added in round 3 are slotted into the
-# front block as they land.
+# External harnesses sample the registry front-to-back (insertion order): the
+# driver greens the FIRST 50 entries each round. Rotation policy (r14,
+# VERDICT r13 item 7): with N registered queries the achievable full
+# re-green period is CYCLE = ceil(N/50) rounds, so the window drains
+# oldest-first — never-green queries lead, then changed-oracle, then the
+# stalest tier until the 50 slots are full; the enforced invariant
+# (tests/test_registry.py::test_front_window_rotation_policy) is that no
+# query's green row ages past CYCLE-1 rounds without a front slot.
 # ---------------------------------------------------------------------------
 # Queries whose ORACLE or OUTPUT changed since their last driver-green
 # row. They occupy window slots ahead of stale refreshes — their
@@ -32,97 +34,88 @@ from . import queries_retrieval  # noqa: E402,F401
 # strictly more informative than re-greening an unchanged query.
 # tests/test_registry.py counts these when checking the rotation
 # policy's capacity math.
-# Round 13: empty — the r12 changed-oracle pair (knn_recall_audit,
-# multimodal_decode) got green r12 rows describing their current
-# outputs, and no r13 change touches an already-green oracle (the WAV
-# RIFF-conformance and GIF-background fixes are payload/boundary-only:
-# decode_features reads the data chunk via its size field, the corpus
-# G.711/PCM members' decoded features are unchanged, and the corpus
-# GIF member composites from the global table either way).
+# Round 14: empty — the near-dup gate rewrite (numpy signature kernel,
+# sharded state, 8-file drop zone) is proven output-identical by
+# tests/test_hash64_kernel.py + test_streaming_neardup.py and its r13
+# green row still describes the same verified pair set; extracting
+# multimodal_probe's oracle into _PROBE_ORACLE left the SQL
+# byte-identical.
 _CHANGED_ORACLE: tuple[str, ...] = ()
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 13 rotation (VERDICT r12 item 1): 61 stale queries (the 14
-    # r9-fresh named in the r12 spill + 47 r10-fresh) plus ONE new
-    # never-green query (multimodal_probe — the r12 verdict item 3
-    # MP3/MP4 metadata scan, landed as a sibling query so
-    # multimodal_decode's r12 green row stays descriptive of its
-    # unchanged corpus) = 62 candidates for 50 slots, a 12-query
-    # forced overflow. Priority per the hygiene test's rule:
-    # never-green first, then ALL 14 r9-stale (the r12 rotation
-    # comment's documented spill — the standing promise), then
-    # r10-stale whose implementing or proving modules this round
-    # touches (streaming/dedup gates gain kill/resume proofs;
-    # sinks/merge.py enters the mutation-audit span) ahead of the
-    # alphabetical rest.
-    # The 12 spilled to lead the r14 window: sketch_stream_hll,
-    # source_js_divergence, text_c4_filters, text_line_dedup,
-    # text_pii_scrub, text_repetition_stats, text_token_entropy,
-    # text_url_normalize, u8_schema_union_by_name,
-    # weekly_digest_pipeline, x19_transcript_parse,
-    # x24_custom_field_map (the alphabetical tail of the equally-
-    # r10-stale block; r14 stale will be them + the r11-greens not
-    # re-greened since — keep draining, avoid new registry queries).
+    # Round 14 rotation (VERDICT r13 items 1+7): 1 never-green (the new
+    # multimodal_duration_health rollup, the round's only new registry
+    # query) + the 12 r10-stale leads the r13 verdict names (the r13
+    # rotation comment's documented spill — the standing promise) + 37
+    # of the 48 r11-greens (alphabetical; the drain-oldest-first rule)
+    # = 50 slots exactly. The 11 r11-greens spilled to lead the r15
+    # window (the alphabetical tail):
+    #   slack_capture_pipeline, slack_render_blocks, text_chunk_windows,
+    #   text_external_lint, text_filter_funnel, text_langid,
+    #   text_lm_perplexity, text_quality_score,
+    #   u2_distinct_keys_from_text, x21_changelog_compact,
+    #   x23_json_field_extract
+    # Under the r14 rotation policy (tests/test_registry.py:
+    # test_front_window_rotation_policy) their age at r15-build time is
+    # CYCLE-1, so they MUST hold r15 front slots; r15 fills the rest
+    # from the 50 r12-greens and should avoid new registry queries so
+    # the drain stays ahead of the 4-round cycle.
     # ------------------------------------------------------------------
     # -- never driver-green (new this round) --
-    "multimodal_probe",
-    # -- latest green row r9 (the full documented r12 spill, honored
+    "multimodal_duration_health",
+    # -- latest green row r10 (the full documented r13 spill, honored
     # first per the standing rule) --
-    "store_stream_ingest",
-    "text_bm25_topk",
-    "text_topk_per_source",
-    "u6_union_tagged_sources",
-    "x10_x11_timestamp_formats",
-    "x14_slugify",
-    "x16_mask_secrets",
-    "x17_redact_code",
-    "x18_prompt_denylist",
-    "x2_wiki_to_markdown",
-    "x4_slack_markup",
-    "x5_html_bullets",
-    "x6_linkify_issue_keys",
-    "x_assignee_split_groups",
-    # -- latest green row r10, module under new proof work this round
-    # (streaming kill/resume for the stateful dedup gates; sinks/merge
-    # claim-protocol mutants) --
-    "dedup_stream_cdc_ingest",
-    "dedup_stream_neardup_gate",
-    "k8_upsert_merge",
-    # -- latest green row r10, untouched modules (alphabetical until
-    # the window is full) --
-    "a15_participants",
-    "a18_reactions_rollup",
-    "cc_large_star",
-    "contamination_ngram_overlap",
-    "dashboard_week_frame",
-    "dedup_simhash",
-    "epic_tree_render",
-    "events_decay_activity",
-    "f5_substring_filter",
-    "f6_team_threshold_filter",
-    "f9_section_date_trim",
-    "graph_host_pagerank",
-    "j10_member_doc_join",
-    "j12_channel_resolution",
-    "j3_mention_resolution",
-    "j4_field_label_join",
-    "j7_changelog_attach",
-    "j8_changelog_injection",
-    "j9_blob_path_join",
-    "k1_csv_union_header_roundtrip",
-    "k2_partitioned_write_roundtrip",
-    "k6_datasource_sections",
-    "k9_cache_freshness",
-    "k_bucketed_colocated_join",
-    "knn_pq_adc",
-    "pack_token_bins",
-    "s14_jdbc_pushdown_join",
-    "s1_jira_connector_roundtrip",
-    "s9_slack_history_pushdown",
-    "sample_mixture_budget",
-    "sample_stratified_hash",
-    "sample_temperature_mix",
+    "sketch_stream_hll",
+    "source_js_divergence",
+    "text_c4_filters",
+    "text_line_dedup",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_token_entropy",
+    "text_url_normalize",
+    "u8_schema_union_by_name",
+    "weekly_digest_pipeline",
+    "x19_transcript_parse",
+    "x24_custom_field_map",
+    # -- latest green row r11, alphabetical until the window is full --
+    "a10_daily_window",
+    "a_percentile_profile",
+    "asof_stream_checkpoints",
+    "cohort_retention",
+    "contamination_stream_gate",
+    "corpus_health_report",
+    "corpus_zipf_topk",
+    "dedup_connected_components",
+    "dedup_embedding_cosine_lsh",
+    "dedup_exact",
+    "dedup_family_histogram",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_span_ngram",
+    "embedding_normalize_truncate",
+    "embedding_quantize_int8",
+    "funnel_view_click_purchase",
+    "j_salted_skew_join",
+    "k5_json_snapshot_roundtrip",
+    "knn_brute_force_cosine",
+    "knn_ivf",
+    "knn_lsh_buckets",
+    "knn_lsh_multiprobe",
+    "multimodal_features",
+    "o4_lexicographic_concat",
+    "range_join_windows",
+    "s12_drive_catalog_scan",
+    "sessionize_events",
+    "sessionize_stream_windows",
+    "sketch_bloom_membership",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
+    "sketch_quantile_sample",
+    "sketch_stream_bloom_gate",
+    "sketch_stream_cms",
 ]
 
 

@@ -35,18 +35,39 @@ from .registry import register
 _BASE = "https://fake.example"
 
 
+def _page_scale() -> int:
+    """Page-replication factor for the scale smoke (VERDICT r13 item 3).
+
+    The connector queries' real input is the paged REST payload — the
+    reference's actual bottleneck was exactly these paginated scans
+    (jira/export-to-csv.js:230-272, slack/lib/api.js:187-252) — so the
+    faithful 100× model replicates PAGES, not the backing parquet
+    table (whose stride-offset replicas would also break the
+    contiguous-key assertion in _key_range). With
+    SPARK_GRAFT_CONNECTOR_PAGE_SCALE=K the fake servers synthesize K×
+    the key range: K× the pages through the pagination loop, K× the
+    per-key fan-out, same closed-form attributes. The driver's
+    correctness gate never sets it, so oracle parity always runs at 1.
+    """
+    import os
+
+    return max(1, int(os.environ.get("SPARK_GRAFT_CONNECTOR_PAGE_SCALE", "1")))
+
+
 def _key_range(spark: SparkSession, sf_dir: str, table: str, key: str) -> tuple[int, int]:
     """(min, max) of a contiguous integer key — the ONLY thing the fake
     servers need from the driver. Contiguity is asserted so the
     synthesized rows provably match what the oracle derives from the
-    real table."""
+    real table. Under the page-scale smoke mode the range is extended
+    K× (see _page_scale); key attributes are closed-form in k, so the
+    extension is indistinguishable from a K×-bigger real service."""
     n, lo, hi = (
         load_table(spark, sf_dir, table)
         .agg(F.count("*"), F.min(key), F.max(key))
         .first()
     )
     assert hi - lo + 1 == n, f"{table}.{key} not contiguous: [{lo},{hi}] n={n}"
-    return int(lo), int(hi)
+    return int(lo), int(lo) + int(n) * _page_scale() - 1
 
 
 def _status_of(suppkey: int) -> str:

@@ -614,9 +614,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_probe",
-    oracle="""
+# Shared by multimodal_probe and the duration-health rollup below —
+# the closed-form restatement of the probe corpus (MP3 frame walk /
+# MP4 box walk) straight from the synthesis formulas.
+_PROBE_ORACLE = """
     WITH m3 AS (
       SELECT doc_id,
              [44100, 48000, 32000][CAST(doc_id % 3 AS INTEGER) + 1] AS rate,
@@ -657,7 +658,12 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dur * 1000 // ts AS BIGINT),
            CAST(mdat AS BIGINT)
     FROM m4 JOIN m4c USING (doc_id)
-    """,
+    """
+
+
+@register(
+    "multimodal_probe",
+    oracle=_PROBE_ORACLE,
     survey_ids=("S13",),
     description=(
         "REAL MP3/MP4 metadata probe: synthesized MPEG frame headers /"
@@ -687,6 +693,74 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is a narrow all-scalar projection."""
     docs = load_table(spark, sf_dir, "documents")
     return M.probe_features(M.synthesize_probe_corpus(docs))
+
+
+# Duration-bucket edges (ms, upper-exclusive) for media triage; the
+# last bucket is open-ended. Both engines must emit identical labels.
+_DURATION_BUCKETS: tuple[tuple[int, str], ...] = (
+    (100, "lt_100ms"),
+    (1_000, "100ms_1s"),
+    (10_000, "1s_10s"),
+    (60_000, "10s_1min"),
+    (300_000, "1min_5min"),
+)
+_DURATION_LAST = "ge_5min"
+
+
+def _duration_bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} < {edge} THEN '{label}'" for edge, label in _DURATION_BUCKETS
+    )
+    return f"CASE {cases} ELSE '{_DURATION_LAST}' END"
+
+
+@register(
+    "multimodal_duration_health",
+    oracle=f"""
+    WITH probe AS ({_PROBE_ORACLE})
+    SELECT container,
+           {_duration_bucket_sql('duration_ms')} AS duration_bucket,
+           COUNT(*) AS n_files,
+           CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+           CAST(SUM(payload_bytes) AS BIGINT) AS total_payload_bytes,
+           CAST(MIN(duration_ms) AS BIGINT) AS min_duration_ms,
+           CAST(MAX(duration_ms) AS BIGINT) AS max_duration_ms
+    FROM probe
+    GROUP BY container, duration_bucket
+    """,
+    survey_ids=("S13",),
+    description=(
+        "Corpus-health rollup over the MP3/MP4 probe: media files"
+        " length-bucketed by duration_ms per container"
+    ),
+)
+def multimodal_duration_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket the probed media corpus by duration (VERDICT r13
+    item 8): the triage rollup an ingest engineer runs before deciding
+    chunking/sampling policy for audio/video — the reference's
+    analogue is the per-folder media summary its transcript downloader
+    prints after probing each file
+    (transcripts/download-from-drive.js:589-606, 656-673: evaluated /
+    matched / excluded counts + per-folder totals).
+
+    Scale: the probe is Arrow-batched mapInPandas with payloads pinned
+    executor-side (see multimodal_probe); this adds ONE partial-agg
+    shuffle on (container, bucket) — cardinality ≤ 2 × 6, so the
+    reduce side is trivially broadcast-small at any SF."""
+    probe = multimodal_probe(spark, sf_dir)
+    # Build the CASE right-to-left so the first matching edge wins.
+    bucket = F.lit(_DURATION_LAST)
+    for edge, label in reversed(_DURATION_BUCKETS):
+        bucket = F.when(F.col("duration_ms") < edge, F.lit(label)).otherwise(bucket)
+    return probe.groupBy(
+        "container", bucket.alias("duration_bucket")
+    ).agg(
+        F.count("*").alias("n_files"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+        F.sum("payload_bytes").alias("total_payload_bytes"),
+        F.min("duration_ms").alias("min_duration_ms"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -183,17 +183,8 @@ QUERIES = [
     #   dedup_embedding_cosine  — baseline; the scale paths (minhash /
     #   dedup_connected_components (O(n²) pair graph) — sign-LSH /
     #                             cc_large_star) ARE measured above
-    #   s1_jira_connector_roundtrip / s9_slack_history_pushdown /
-    #   s12_drive_catalog_scan  — their fixture generators synthesize
-    #                             API pages from a CONTIGUOUS dimension
-    #                             key range (asserted at
-    #                             queries_connectors._key_range), which
-    #                             the stride-offset replication
-    #                             deliberately breaks; their real input
-    #                             is the paged REST payload (bounded
-    #                             mapInPandas fan-out), not the table,
-    #                             so a replicated-table ratio would
-    #                             measure the wrong thing anyway
+    # The three REST connector queries are measured in PAGE-replication
+    # mode instead (r14, VERDICT r13 item 3) — see PAGE_SCALED below.
     ("multimodal_probe", "documents"),
     ("multimodal_resize", "documents"),
     ("multimodal_frame_sample", "documents"),
@@ -261,7 +252,28 @@ QUERIES = [
     # tracks its input) — an honest "input is a fixed dimension" row.
     ("k1_csv_union_header_roundtrip", "nation"),
     ("k6_datasource_sections", "nation"),
+    # round 14 additions: the REST connector pipelines, measured in
+    # page-replication mode (PAGE_SCALED below).
+    ("s1_jira_connector_roundtrip", "supplier"),
+    ("s9_slack_history_pushdown", "customer"),
+    ("s12_drive_catalog_scan", "part"),
 ]
+
+# Page-replication mode (VERDICT r13 item 3): these queries' real input
+# is the paged REST payload, not the backing table — and their fixture
+# generators assert a CONTIGUOUS dimension key range that stride-offset
+# table replication deliberately breaks. So the big side runs against
+# the UNREPLICATED source dir with SPARK_GRAFT_CONNECTOR_PAGE_SCALE=
+# SCALE, which makes the fake servers synthesize SCALE× the pages
+# (SCALE× pagination-loop iterations and per-key fan-out — the
+# reference's actual bottleneck: jira/export-to-csv.js:230-272,
+# slack/lib/api.js:187-252). rows_big = rows_small × SCALE by
+# construction; rows are flagged "page_scaled" in the artifact.
+PAGE_SCALED = {
+    "s1_jira_connector_roundtrip",
+    "s9_slack_history_pushdown",
+    "s12_drive_catalog_scan",
+}
 
 # Secondary tables a query reads beyond its row-count hint table —
 # the filtered synthesis must materialize these too.
@@ -294,9 +306,12 @@ if os.environ.get("SMOKE_QUERIES"):
     # Synthesize only the tables the selected queries read (plus the
     # dims every load path touches) — an sf3 lineitem would dominate
     # synthesis time for a documents-only smoke.
-    _needed = {t for _, t in QUERIES} | {"region", "nation"}
+    # Page-scaled queries never read the replicated dir — don't
+    # synthesize their tables for a subset run that only needs them.
+    _needed = {t for n, t in QUERIES if n not in PAGE_SCALED} | {"region", "nation"}
     for name, _ in QUERIES:
-        _needed |= EXTRA_TABLES.get(name, set())
+        if name not in PAGE_SCALED:
+            _needed |= EXTRA_TABLES.get(name, set())
     TABLES = [t for t in TABLES if t in _needed]
 
 KEY_COLS = {
@@ -463,8 +478,10 @@ def main() -> None:
     synthesize(spark)
 
     counts = {}
+    need_dst = {t for n, t in QUERIES if n not in PAGE_SCALED}
     for _, table in QUERIES:
-        for d in (SRC, DST):
+        dirs = (SRC, DST) if table in need_dst else (SRC,)
+        for d in dirs:
             counts[(d, table)] = counts.get((d, table)) or load_table(spark, d, table).count()
 
     results = {}
@@ -476,13 +493,22 @@ def main() -> None:
         try:
             t_small = time_query(spark, name, SRC)
             spark.catalog.clearCache()  # don't let sf0.1 persists skew sf1 memory
-            t_big = time_query(spark, name, DST)
+            if name in PAGE_SCALED:
+                os.environ["SPARK_GRAFT_CONNECTOR_PAGE_SCALE"] = str(SCALE)
+                try:
+                    t_big = time_query(spark, name, SRC)
+                finally:
+                    os.environ.pop("SPARK_GRAFT_CONNECTOR_PAGE_SCALE", None)
+            else:
+                t_big = time_query(spark, name, DST)
             spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
+            os.environ.pop("SPARK_GRAFT_CONNECTOR_PAGE_SCALE", None)
             failures[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"{name}: FAILED — {failures[name]}", flush=True)
             continue
-        n_small, n_big = counts[(SRC, table)], counts[(DST, table)]
+        n_small = counts[(SRC, table)]
+        n_big = n_small * SCALE if name in PAGE_SCALED else counts[(DST, table)]
         per_row_ratio = (t_big / n_big) / (t_small / n_small)
         results[name] = {
             "sec_sf0.1": round(t_small, 3),
@@ -497,12 +523,25 @@ def main() -> None:
             # sub-second query — flag it so a >1 reading is not misread
             # as superlinear scaling.
             results[name]["fixed_dim_input"] = True
+        if name in PAGE_SCALED:
+            # Big side = SCALE× synthesized REST pages over the
+            # unreplicated source dir (see PAGE_SCALED comment).
+            results[name]["page_scaled"] = True
         print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  per-row ratio {per_row_ratio:.2f}", flush=True)
 
+    # ADVICE r13: failures must reach the artifact, not just stdout —
+    # the merge below keeps prior rows, so a silent failure would let a
+    # regressed query masquerade as measured. Each failure is recorded
+    # with a timestamp, and any surviving prior row for a query that
+    # failed THIS run is flagged stale.
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     summary = {
         "scale_factor": SCALE,
         "methodology": METHODOLOGY,
         "queries": results,
+        "failures": {
+            name: {"error": msg, "at": stamp} for name, msg in failures.items()
+        },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(repo, os.environ.get("SMOKE_OUT", "SCALE_SMOKE.json"))
@@ -524,7 +563,19 @@ def main() -> None:
         ):
             merged = dict(prior.get("queries", {}))
             merged.update(summary["queries"])
+            # Prior failures persist until the query is re-measured OK;
+            # a failure this run stale-flags any surviving merged row.
+            merged_failures = {
+                n: f
+                for n, f in (prior.get("failures") or {}).items()
+                if n not in results
+            }
+            merged_failures.update(summary["failures"])
+            for n in merged_failures:
+                if n in merged:
+                    merged[n]["stale_failed_latest_run"] = True
             summary["queries"] = merged
+            summary["failures"] = merged_failures
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(
