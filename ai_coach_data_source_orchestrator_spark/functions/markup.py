@@ -369,3 +369,71 @@ def extract_json_name(col: Column) -> Column:
         F.get_json_object(col, "$.value"),
         col,
     )
+
+
+# Standard-field exclusion set for custom-field extraction, byte-exact
+# from the reference (jira/csv-to-markdown.js:163-185 `excludedFields`)
+# including its lowercase API-name section. Parity with the reference
+# source is pinned by tests/test_custom_fields.py, which re-parses the
+# Set literal out of /root/reference at runtime — an entry added or
+# dropped there fails the golden here.
+JIRA_EXCLUDED_FIELDS: tuple[str, ...] = (
+    "Summary", "Issue key", "Issue id", "Issue Type", "Status",
+    "Project key", "Project name", "Priority", "Resolution",
+    "Assignee", "Reporter", "Creator", "Created", "Updated", "Resolved",
+    "Fix versions", "Due date", "Labels", "Description", "Environment",
+    "Sprint", "Parent", "Parent key", "Parent summary", "Status Category",
+    "Comment", "Assignee Id", "Reporter Id", "Creator Id", "Project type",
+    "Project lead", "Project lead id", "Project description", "Last Viewed",
+    "Votes", "Watchers", "Watchers Id", "Original estimate",
+    "Remaining Estimate", "Time Spent", "Work Ratio", "Security Level",
+    "Attachment",
+    # the reference's lowercase API-name section
+    "summary", "key", "issuetype", "status", "priority", "assignee",
+    "reporter", "created", "updated", "fixVersions", "duedate", "labels",
+    "description", "environment", "sprint", "parent", "resolution",
+    "resolutiondate", "project", "creator", "aggregateprogress", "progress",
+    "votes", "watches", "timetracking", "comment", "components",
+    "issuelinks", "subtasks", "attachment", "versions", "worklog",
+    "timeestimate", "timeoriginalestimate", "timespent",
+    "aggregatetimeestimate", "aggregatetimeoriginalestimate",
+    "aggregatetimespent", "workratio", "lastViewed", "statusCategory",
+    "statuscategorychangedate", "security",
+)
+
+
+def extract_custom_fields(m: Column, field_map: dict[str, str] | None = None) -> Column:
+    """X24 — custom-field extraction from a map column, the full
+    reference pipeline (jira/csv-to-markdown.js:160-205
+    ``extractCustomFields``): drop the standard-field exclusion set and
+    empty/whitespace values, strip the ``Custom field (...)`` wrapper,
+    resolve ``customfield_<id>`` API ids through ``field_map`` (an
+    unmapped id keeps its raw key, reference line 196 ``|| key``).
+
+    JS-semantics notes: the emptiness test is ``String(v).trim() !==
+    ''`` with the ECMA whitespace set — js_trim, not F.trim; exclusion
+    happens on the RAW key, so a mapped label colliding with an
+    excluded name still survives (same as the reference, where the
+    fieldMap applies after the exclusion check)."""
+    from .names import js_trim
+
+    filtered = F.map_filter(
+        m,
+        lambda k, v: (~k.isin(*JIRA_EXCLUDED_FIELDS))
+        & v.isNotNull()
+        & (F.length(js_trim(v)) > 0),
+    )
+
+    def _clean(k: Column, v: Column) -> Column:
+        wrapped = k.startswith("Custom field (") & k.endswith(")")
+        unwrapped = k.substr(F.lit(15), F.length(k) - F.lit(15))
+        resolved = k
+        for api_id, label in (field_map or {}).items():
+            resolved = F.when(k == api_id, F.lit(label)).otherwise(resolved)
+        return (
+            F.when(wrapped, unwrapped)
+            .when(k.rlike(r"^customfield_\d+$"), resolved)
+            .otherwise(k)
+        )
+
+    return F.transform_keys(filtered, _clean)

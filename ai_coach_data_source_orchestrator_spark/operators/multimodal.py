@@ -1461,14 +1461,14 @@ def _decode_gif(payload: bytes, interlace_passes=None) -> dict:
     # table — never a frame-local one (ADVICE r12: resolving it via
     # frame 0's palette composited the wrong background). No global
     # table → the background is undefined; black is the convention.
-    if gct is None:
+    # An OUT-OF-RANGE index also falls back to black rather than
+    # raising (ADVICE r13: real-world encoders commonly write one and
+    # tolerant decoders black-fill; the r12 fix's raise rejected
+    # previously-decodable files — only the frame-local-palette misuse
+    # it targeted should change behavior).
+    if gct is None or bg_idx >= gct.shape[0]:
         bg_rgb = np.zeros(3, np.uint8)
     else:
-        if bg_idx >= gct.shape[0]:
-            raise ValueError(
-                f"background index {bg_idx} outside the "
-                f"{gct.shape[0]}-entry global color table"
-            )
         bg_rgb = gct[bg_idx]
     if transparent is None:
         canvas = np.broadcast_to(bg_rgb, (height, width, 3)).copy()
@@ -3802,8 +3802,9 @@ def parse_mp4_meta(payload: bytes) -> dict:
     metadata — ftyp major brand, mvhd timescale/duration (version 0 or
     1), per-track codec fourccs from stsd via the trak→mdia→minf→stbl
     path with hdlr handler types, and the mdat payload byte count.
-    Handles 64-bit ``largesize`` boxes (size==1) and size==0
-    (extends-to-EOF, top level only). No sample decode."""
+    Handles 64-bit ``largesize`` boxes (size==1), size==0
+    (extends-to-EOF, top level only), leading free/skip padding and
+    styp segment files (ADVICE r13). No sample decode."""
     import struct
 
     def walk(start: int, stop: int, top: bool):
@@ -3830,8 +3831,22 @@ def parse_mp4_meta(payload: bytes) -> dict:
             yield btype, body, pos + size
             pos += size
 
-    if len(payload) < 8 or payload[4:8] != b"ftyp":
-        raise ValueError("not an ISO BMFF file (missing leading ftyp)")
+    # File-type check (ADVICE r13): ftyp need not be the literal first
+    # box — ISO 14496-12 §4.3 says "as early as possible", and real
+    # encoders legally emit leading free/skip padding; segment files
+    # carry styp instead. So: the first top-level box that is not
+    # free/skip/wide must be ftyp or styp.
+    if len(payload) < 8:
+        raise ValueError("not an ISO BMFF file (shorter than one box header)")
+    ftyp_seen = False
+    for btype, _body, _bend in walk(0, len(payload), True):
+        if btype in (b"free", b"skip", b"wide"):
+            continue
+        if btype in (b"ftyp", b"styp"):
+            ftyp_seen = True
+        break
+    if not ftyp_seen:
+        raise ValueError("not an ISO BMFF file (no leading ftyp/styp)")
 
     brand = None
     timescale = duration = None
@@ -3844,7 +3859,7 @@ def parse_mp4_meta(payload: bytes) -> dict:
         return version, body + 4  # version byte + 3 flag bytes
 
     for btype, body, bend in walk(0, len(payload), True):
-        if btype == b"ftyp":
+        if btype in (b"ftyp", b"styp"):
             brand = payload[body : body + 4].decode("latin-1")
         elif btype == b"mdat":
             mdat_bytes += bend - body
@@ -4320,6 +4335,12 @@ PROBE_SCHEMA = StructType(
     ]
 )
 
+# Lenient-mode schema: PROBE_SCHEMA plus a per-row error column (the
+# metadata fields are null on a failed row). See probe_features(strict=).
+PROBE_SCHEMA_LENIENT = StructType(
+    list(PROBE_SCHEMA.fields) + [StructField("error", StringType())]
+)
+
 
 def synthesize_probe_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic MP3/MP4 container synthesis keyed on ``doc_id % 2``:
@@ -4404,52 +4425,79 @@ def synthesize_probe_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
-def probe_features(media: DataFrame) -> DataFrame:
+def probe_features(media: DataFrame, strict: bool = True) -> DataFrame:
     """REAL MP3/MP4 metadata probing over Arrow batches: walk the MPEG
     frame headers / ISO BMFF box tree in the payload bytes and emit the
     triage columns a corpus-ingest pipeline needs (container, codec
     ids, sample rate, frame/track count, duration, payload byte count)
     — no sample decode, so no DSP dependency.
 
+    ``strict=True`` (the synthesized-corpus / oracle mode) raises on
+    the first malformed payload. ``strict=False`` is the real-corpus
+    triage mode (ADVICE r13: one bad row must not fail the whole Spark
+    stage): each row parses best-effort, failures land in a per-row
+    ``error`` column with the metadata fields null, and the schema
+    gains that column (PROBE_SCHEMA_LENIENT). The parsers themselves
+    stay precise — free-format bitrates, mid-stream version changes,
+    trailing junk all *reject*; lenient mode just turns the rejection
+    into data instead of an exception.
+
     Scale: same contract as ``decode_features`` — payloads stay in
     executor binary columns, parsing is ``mapInPandas`` over Arrow
     batches, partition count controls parallelism, and the output is a
     narrow all-scalar projection (the payload column is dropped by the
     projection, not shuffled)."""
+    schema = PROBE_SCHEMA if strict else PROBE_SCHEMA_LENIENT
+
+    def _probe_one(mime: str, payload: bytes) -> dict:
+        if mime == "audio/mpeg":
+            m = parse_mp3_meta(payload)
+            return {
+                "container": "mp3",
+                "codec": f"mpeg{m['version']}-layer{m['layer']}",
+                "sample_rate": m["sample_rate"],
+                "n_units": m["n_frames"],
+                "duration_ms": m["duration_ms"],
+                "payload_bytes": m["frame_bytes"],
+            }
+        if mime == "video/mp4":
+            m = parse_mp4_meta(payload)
+            return {
+                "container": "mp4",
+                "codec": ",".join(t["codec"] or "" for t in m["tracks"]),
+                "sample_rate": None,
+                "n_units": len(m["tracks"]),
+                "duration_ms": m["duration_ms"],
+                "payload_bytes": m["mdat_bytes"],
+            }
+        raise ValueError(f"probe_features: unsupported mime {mime!r}")
+
+    _FIELDS = ("container", "codec", "sample_rate", "n_units", "duration_ms", "payload_bytes")
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k.name: [] for k in PROBE_SCHEMA.fields}
+            rows = {k.name: [] for k in schema.fields}
             for doc_id, mime, payload in zip(
                 pdf["doc_id"], pdf["mime"], pdf["payload"]
             ):
-                payload = bytes(payload)
                 rows["doc_id"].append(int(doc_id))
-                if mime == "audio/mpeg":
-                    m = parse_mp3_meta(payload)
-                    rows["container"].append("mp3")
-                    rows["codec"].append(
-                        f"mpeg{m['version']}-layer{m['layer']}"
-                    )
-                    rows["sample_rate"].append(m["sample_rate"])
-                    rows["n_units"].append(m["n_frames"])
-                    rows["duration_ms"].append(m["duration_ms"])
-                    rows["payload_bytes"].append(m["frame_bytes"])
-                elif mime == "video/mp4":
-                    m = parse_mp4_meta(payload)
-                    rows["container"].append("mp4")
-                    rows["codec"].append(
-                        ",".join(t["codec"] or "" for t in m["tracks"])
-                    )
-                    rows["sample_rate"].append(None)
-                    rows["n_units"].append(len(m["tracks"]))
-                    rows["duration_ms"].append(m["duration_ms"])
-                    rows["payload_bytes"].append(m["mdat_bytes"])
+                if strict:
+                    got = _probe_one(mime, bytes(payload))
                 else:
-                    raise ValueError(f"probe_features: unsupported mime {mime!r}")
-            yield pd.DataFrame(rows).astype({"sample_rate": "Int64"})
+                    try:
+                        got = _probe_one(mime, bytes(payload))
+                        rows["error"].append(None)
+                    except (ValueError, IndexError, KeyError) as e:
+                        got = dict.fromkeys(_FIELDS)
+                        rows["error"].append(f"{type(e).__name__}: {e}"[:300])
+                for f in _FIELDS:
+                    rows[f].append(got[f])
+            yield pd.DataFrame(rows).astype(
+                {"sample_rate": "Int64", "n_units": "Int64",
+                 "duration_ms": "Int64", "payload_bytes": "Int64"}
+            )
 
-    return media.mapInPandas(_probe, schema=PROBE_SCHEMA)
+    return media.mapInPandas(_probe, schema=schema)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -34,13 +34,17 @@ from . import queries_retrieval  # noqa: E402,F401
 # strictly more informative than re-greening an unchanged query.
 # tests/test_registry.py counts these when checking the rotation
 # policy's capacity math.
-# Round 14: empty — the near-dup gate rewrite (numpy signature kernel,
-# sharded state, 8-file drop zone) is proven output-identical by
-# tests/test_hash64_kernel.py + test_streaming_neardup.py and its r13
-# green row still describes the same verified pair set; extracting
-# multimodal_probe's oracle into _PROBE_ORACLE left the SQL
+# Round 14: x24_custom_field_map — the r14 refresh (VERDICT r13 item 6)
+# moved it from a 3-label stand-in exclusion set to the reference's
+# full golden-pinned set plus the label-cleanup rules, which changes
+# its fixture and output (new oracle); its r10 green row describes the
+# old stand-in. It already leads the r14 window as an r10-stale entry.
+# The near-dup gate rewrite (numpy signature kernel, sharded state,
+# 8-file drop zone) is NOT here: it is proven output-identical by
+# tests/test_hash64_kernel.py + test_streaming_neardup.py, and
+# extracting multimodal_probe's oracle into _PROBE_ORACLE left the SQL
 # byte-identical.
-_CHANGED_ORACLE: tuple[str, ...] = ()
+_CHANGED_ORACLE: tuple[str, ...] = ("x24_custom_field_map",)
 
 _FRONT = [
     # ------------------------------------------------------------------

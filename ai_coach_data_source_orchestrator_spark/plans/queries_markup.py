@@ -594,37 +594,39 @@ def x23_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # X24 — map-typed custom-field extraction (jira/csv-to-markdown.js:160-205):
-# drop excluded labels and empty values, explode surviving (label, value).
+# drop the reference's FULL standard-field exclusion set (r14: all ~85
+# entries, byte-exact — functions/markup.JIRA_EXCLUDED_FIELDS, golden-
+# pinned against the reference source by tests/test_custom_fields.py;
+# the pre-r14 fixture used a 3-label stand-in set) and empty values,
+# unwrap "Custom field (...)" labels, resolve customfield_<id> API ids
+# through the field map, explode surviving (label, value).
 # ---------------------------------------------------------------------------
-_EXCLUDED_FIELDS = ("Comment", "Status", "Description")
-
-
 @register(
     "x24_custom_field_map",
     oracle="""
-    SELECT p_partkey, 'Sprint' AS label, p_brand AS value FROM part
+    SELECT p_partkey, 'Team' AS label, p_brand AS value FROM part
     UNION ALL
-    SELECT p_partkey, 'customfield_10999' AS label, p_type AS value FROM part
+    SELECT p_partkey, 'Story Points' AS label, p_type AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'customfield_11001' AS label, p_name AS value FROM part
     """,
     survey_ids=("X24", "U8"),
-    description="MapType custom fields → exclusion-filtered (label, value) rows",
+    description="MapType custom fields → full-exclusion-set filter + label cleanup → (label, value) rows",
 )
 def x24_custom_field_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     m = F.create_map(
-        F.lit("Sprint"), F.col("p_brand"),
-        F.lit("Status"), F.lit("Done"),           # excluded label → dropped
-        F.lit("customfield_10999"), F.col("p_type"),
-        F.lit("Comment"), F.lit("c"),             # excluded label → dropped
-        F.lit("customfield_11000"), F.lit(""),    # empty value → dropped
+        F.lit("Custom field (Team)"), F.col("p_brand"),   # unwrapped → "Team"
+        F.lit("Sprint"), F.lit("S1"),                     # excluded (std field)
+        F.lit("Status"), F.lit("Done"),                   # excluded (std field)
+        F.lit("customfield_10999"), F.col("p_type"),      # mapped → "Story Points"
+        F.lit("customfield_11001"), F.col("p_name"),      # unmapped → raw id
+        F.lit("Work Ratio"), F.lit("0.5"),                # excluded (std field)
+        F.lit("lastViewed"), F.lit("2024-01-01"),         # excluded (API name)
+        F.lit("customfield_11000"), F.lit(" "),           # whitespace value → dropped
     )
-    filtered = F.map_filter(
-        m,
-        lambda k, v: (~k.isin(*_EXCLUDED_FIELDS)) & (F.length(F.trim(v)) > 0),
-    )
-    return part.select(
-        "p_partkey", F.explode(filtered).alias("label", "value")
-    )
+    fields = M.extract_custom_fields(m, {"customfield_10999": "Story Points"})
+    return part.select("p_partkey", F.explode(fields).alias("label", "value"))
 
 
 # ---------------------------------------------------------------------------

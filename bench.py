@@ -181,6 +181,15 @@ def main() -> None:
     load_start, load15_start, load_contaminated, gate_basis, cal_gate = wait_for_idle(
         load_wait
     )
+    # Post-gate yardstick (VERDICT r13 item 5): calibration_gate_sec
+    # can be a STALE probe from a busy poll (the r13 artifact exited
+    # the gate on a quiet loadavg moment while carrying a 0.424 gate
+    # probe next to a 0.109 end probe — three fields from three
+    # different instants that read as self-contradiction). Measuring
+    # once right after the gate passes gives the run a same-moment
+    # starting yardstick, and the normalization below only trusts the
+    # pair when start and end agree.
+    cal_start = round(_calibrate(spark), 3)
 
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
         names = [n for n in REGISTRY if n not in EXCLUDE_AT_SCALE]
@@ -293,11 +302,27 @@ def main() -> None:
             file=sys.stderr,
         )
         wait_for_idle(load_wait)
+        # The retry is a fresh run: its starting yardstick is now.
+        cal_start = round(_calibrate(spark), 3)
 
     try:
         load_end = round(os.getloadavg()[0], 2)
     except OSError:
         load_end = None
+    # Normalization basis (VERDICT r13 item 5): a single end-of-run
+    # probe is one noisy instant — r13's 0.109-vs-median-0.119 read
+    # pushed value_normalized ABOVE the raw on a box whose own gate
+    # probe said 4× median. Use the start/end mean, and when the two
+    # probes disagree beyond the gate tolerance the box changed
+    # condition MID-run: no single factor describes the run, so the
+    # normalized fields are suppressed (null) and the artifact says why
+    # (raw values remain the series of record either way).
+    cal_consistent = (
+        cal_start is not None
+        and cal_end is not None
+        and abs(cal_start - cal_end) <= cal_tol * max(cal_start, cal_end)
+    )
+    cal_run = round((cal_start + cal_end) / 2, 3) if cal_consistent else None
     print(
         json.dumps(
             {
@@ -312,31 +337,40 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "errors": errors,
                 "methodology": "value=min(cold,warm) count-forced per query (band-comparable r1+); value_forced=min-of-2 with all output columns evaluated (unprunable)",
-                # Calibration-normalized series (VERDICT r11 item 8):
-                # raw × (median / end-calibration) — an estimate of what
-                # the same run would read on a median-condition box, so
-                # cross-round comparison stops depending on box luck.
-                # The raw values remain the artifact of record.
+                # Calibration-normalized series (VERDICT r11 item 8,
+                # basis reworked r14): raw × (median / mean(start,end
+                # calibration)) — an estimate of what the same run
+                # would read on a median-condition box, so cross-round
+                # comparison stops depending on box luck. Emitted only
+                # when the start/end probes agree within the gate
+                # tolerance; the raw values remain the series of record.
                 "queries_warm_normalized": (
                     {
-                        k: round(v * cal_median / cal_end, 3)
+                        k: round(v * cal_median / cal_run, 3)
                         for k, v in warm.items()
                     }
-                    if cal_median and cal_end
+                    if cal_median and cal_run
                     else None
                 ),
                 "value_normalized": (
-                    round(total * cal_median / cal_end, 3)
-                    if cal_median and cal_end
+                    round(total * cal_median / cal_run, 3)
+                    if cal_median and cal_run
                     else None
                 ),
+                "calibration_consistent": cal_consistent,
                 "bench_attempts": attempts,
                 "load_1min_start": load_start,
                 "load_15min_start": load15_start,
                 "load_1min_end": load_end,
                 "load_contaminated": load_contaminated,
                 "load_gate_basis": gate_basis,
+                # Three yardstick instants: gate (may be a stale probe
+                # from a busy wait poll — diagnostic only), start
+                # (right after the gate passed), end (right after the
+                # suite). calibration_sec stays the end probe for
+                # history continuity (_calibration_history reads it).
                 "calibration_gate_sec": cal_gate,
+                "calibration_start_sec": cal_start,
                 "calibration_history_median": cal_median,
                 "calibration_sec": cal_end,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,

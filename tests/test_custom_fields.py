@@ -1,0 +1,78 @@
+"""X24 exclusion-set + cleanup parity with the reference
+(VERDICT r13 item 6): the standard-field exclusion set is re-parsed out
+of the reference source at runtime and compared byte-for-byte against
+functions/markup.JIRA_EXCLUDED_FIELDS, and the label-cleanup rules
+(Custom field (...) unwrap, customfield_<id> fieldMap resolution,
+JS-truthiness emptiness) are behavior-pinned on a Spark fixture."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions.markup import (
+    JIRA_EXCLUDED_FIELDS,
+    extract_custom_fields,
+)
+
+_REF = "/root/reference/jira/csv-to-markdown.js"
+
+
+def _reference_exclusion_set() -> list[str]:
+    src = open(_REF, encoding="utf-8").read()
+    block = re.search(
+        r"const excludedFields = new Set\(\[(.*?)\]\);", src, re.DOTALL
+    )
+    assert block, "excludedFields Set literal not found in reference"
+    return re.findall(r"'([^']*)'", block.group(1))
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference tree absent")
+def test_exclusion_set_matches_reference_source():
+    ref = _reference_exclusion_set()
+    assert list(JIRA_EXCLUDED_FIELDS) == ref, (
+        "exclusion set drifted from jira/csv-to-markdown.js"
+    )
+    # The reference relies on Set semantics; a duplicate in our tuple
+    # would be harmless for filtering but means a transcription slip.
+    assert len(set(JIRA_EXCLUDED_FIELDS)) == len(JIRA_EXCLUDED_FIELDS)
+
+
+def test_cleanup_rules(spark):
+    m = F.create_map(
+        F.lit("Custom field (Team)"), F.lit("T1"),   # unwrap
+        F.lit("customfield_10010"), F.lit("8"),      # mapped
+        F.lit("customfield_10011"), F.lit("x"),      # unmapped → raw id
+        F.lit("customfield_abc"), F.lit("y"),        # NOT the id shape → raw key
+        F.lit("Votes"), F.lit("3"),                  # excluded (title case)
+        F.lit("watches"), F.lit("2"),                # excluded (API name)
+        F.lit("Empty"), F.lit(" \t "),          # JS-whitespace-only → dropped
+        F.lit("Zero"), F.lit("0"),                   # "0" is a non-empty STRING → kept
+    )
+    out = (
+        spark.range(1)
+        .select(F.explode(extract_custom_fields(m, {"customfield_10010": "Points"})).alias("k", "v"))
+        .collect()
+    )
+    got = {(r["k"], r["v"]) for r in out}
+    assert got == {
+        ("Team", "T1"),
+        ("Points", "8"),
+        ("customfield_10011", "x"),
+        ("customfield_abc", "y"),
+        ("Zero", "0"),
+    }
+
+
+def test_unmapped_id_keeps_raw_key(spark):
+    # reference line 196: fieldMap[key] || key — no map at all.
+    m = F.create_map(F.lit("customfield_99"), F.lit("v"))
+    out = (
+        spark.range(1)
+        .select(F.explode(extract_custom_fields(m)).alias("k", "v"))
+        .collect()
+    )
+    assert [(r["k"], r["v"]) for r in out] == [("customfield_99", "v")]

@@ -1158,6 +1158,20 @@ def test_gif_transparency_and_local_palette():
     )
     assert np.array_equal(d["values"], lpala[f0].reshape(-1))
 
+    # An out-of-range background index black-fills instead of raising
+    # (ADVICE r13: real encoders commonly write one; tolerant decoders
+    # fall back to black). Transparent pixels must show BLACK at alpha 0.
+    d = _decode_gif(
+        encode_gif(w, h, [f0.tobytes()], pal, transparent=5, bg_index=200)
+    )
+    exp = np.concatenate(
+        [pala[f0], np.full((w * h, 1), 255, np.uint8)], axis=1
+    )
+    mask = f0 == 5
+    exp[mask, :3] = 0
+    exp[mask, 3] = 0
+    assert np.array_equal(d["values"], exp.reshape(-1))
+
 
 def test_gif_malformed_inputs_raise():
     import numpy as np

@@ -230,7 +230,7 @@ def test_mp4_size_zero_extends_to_eof_top_level_only():
 
 def test_mp4_malformed_inputs_raise():
     good = M.encode_mp4("isom", 600, 600, _tracks(("avc1", "vide")), 9)
-    with pytest.raises(ValueError, match="missing leading ftyp"):
+    with pytest.raises(ValueError, match="no leading ftyp/styp"):
         M.parse_mp4_meta(b"\x00\x00\x00\x08junk")
     with pytest.raises(ValueError, match="truncated box header"):
         M.parse_mp4_meta(good + b"\x00\x00\x00")
@@ -319,3 +319,56 @@ def test_probe_corpus_formulas_match_parse():
                 pairs[(doc_id + k) % 4][0] for k in range(nt)
             )
             assert m["mdat_bytes"] == 16 + doc_id % 63
+
+
+# ---------------------------------------------------------------------------
+# r14 tolerance fixes (ADVICE r13)
+# ---------------------------------------------------------------------------
+
+
+def _good_mp4() -> bytes:
+    return M.encode_mp4("isom", 600, 1200, _tracks(("avc1", "vide")), 9)
+
+
+def test_mp4_leading_free_box_and_styp_accepted():
+    good = _good_mp4()
+    # A leading free (or skip) box is legal padding — ftyp follows.
+    padded = M._mp4_box(b"free", b"\x00" * 12) + good
+    m = M.parse_mp4_meta(padded)
+    assert m["brand"] == "isom" and m["duration_ms"] == 2000
+
+    # Segment files carry styp instead of ftyp.
+    i = good.find(b"ftyp")
+    styp = good[:i] + b"styp" + good[i + 4 :]
+    m = M.parse_mp4_meta(styp)
+    assert m["brand"] == "isom" and m["mdat_bytes"] == 9
+
+    # But a non-padding first box is still not ISO BMFF.
+    junk = M._mp4_box(b"junk", b"\x00" * 4) + good
+    with pytest.raises(ValueError, match="no leading ftyp/styp"):
+        M.parse_mp4_meta(junk)
+
+
+def test_probe_features_lenient_mode(spark):
+    # One good MP3, one corrupt payload, one good MP4: strict raises,
+    # lenient emits a per-row error and keeps the good rows (ADVICE
+    # r13 — one bad row must not fail the stage on a real corpus).
+    mp3 = M.encode_mp3([(64, 0), (64, 0)], sample_rate=44100)
+    mp4 = _good_mp4()
+    rows = [
+        (0, "audio/mpeg", bytearray(mp3)),
+        (1, "audio/mpeg", bytearray(b"\xff\xfbjunk-not-a-frame")),
+        (2, "video/mp4", bytearray(mp4)),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, mime string, payload binary")
+
+    with pytest.raises(Exception, match="MP3|frame|bitrate"):
+        M.probe_features(media).collect()
+
+    got = {r["doc_id"]: r for r in M.probe_features(media, strict=False).collect()}
+    assert got[0]["error"] is None and got[0]["container"] == "mp3"
+    assert got[0]["n_units"] == 2
+    assert got[2]["error"] is None and got[2]["container"] == "mp4"
+    assert got[2]["duration_ms"] == 2000
+    assert got[1]["error"] is not None
+    assert got[1]["container"] is None and got[1]["duration_ms"] is None
