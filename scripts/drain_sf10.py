@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Drain the sf10 (100x) smoke backlog: run every QUERIES entry that has
+no row in SCALE_SMOKE_SF10.json, in small chunks so each chunk's results
+merge into the artifact as soon as they're measured (a crash loses one
+chunk, not the run). VERDICT r13 item 4."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "SCALE_SMOKE_SF10.json")
+CHUNK = int(os.environ.get("DRAIN_CHUNK", "6"))
+
+
+def missing() -> list[str]:
+    have = set()
+    if os.path.exists(OUT):
+        have = set(json.load(open(OUT)).get("queries", {}))
+    src = open(os.path.join(REPO, "scripts", "scale_smoke.py")).read()
+    names = re.findall(r'^\s+\("([a-z0-9_]+)",\s*"[a-z]+"\)', src, re.M)
+    return [n for n in names if n not in have]
+
+
+def main() -> None:
+    todo = missing()
+    print(f"{len(todo)} queries lack sf10 rows", flush=True)
+    for i in range(0, len(todo), CHUNK):
+        chunk = todo[i : i + CHUNK]
+        env = dict(
+            os.environ,
+            SMOKE_SCALE="100",
+            SMOKE_OUT="SCALE_SMOKE_SF10.json",
+            SMOKE_QUERIES=",".join(chunk),
+            SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
+        print(f"chunk {i // CHUNK + 1}: {chunk}", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "scale_smoke.py")],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            timeout=3600,
+        )
+        for line in r.stdout.splitlines()[-len(chunk) - 1 :]:
+            print("  " + line, flush=True)
+    left = missing()
+    print(f"done; {len(left)} still missing: {left}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
