@@ -197,7 +197,18 @@ def s9_slack_history_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = hi - lo + 1
     channels = sorted({f"C{(lo + i) % 25}" for i in range(min(n, 25))})
 
+    # Memoized per (channel, bounds): the history endpoint is paged, so
+    # without the cache every cursor fetch would re-synthesize the
+    # channel's FULL in-range list just to slice one page — O(pages²)
+    # fake-server cost that measured as the page-scaled smoke's worst
+    # ratio (0.72 at 100×) while charging the engine for fixture work.
+    # One entry per channel per executor process; bounded by n/25 rows.
+    _msgs_memo: dict = {}
+
     def _chan_msgs(channel: str, oldest: float, latest: float) -> list[dict]:
+        key = (channel, oldest, latest)
+        if key in _msgs_memo:
+            return _msgs_memo[key]
         m = int(channel[1:])
         first = lo + ((m - lo) % 25)
         msgs = [
@@ -207,6 +218,7 @@ def s9_slack_history_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             if oldest <= _SLACK_EPOCH + (ck % 1000) * 60 <= latest
         ]
         msgs.sort(key=lambda r: (r["ts"], r["user"], r["text"]))
+        _msgs_memo[key] = msgs
         return msgs
 
     def transport(method, url, params):
