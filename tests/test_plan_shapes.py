@@ -170,6 +170,30 @@ def test_multimodal_probe_shuffles_ids_not_payloads(spark, sf_dir):
     assert "ArrowEvalPython" not in plan  # mapInPandas, not per-row UDF
 
 
+def test_duration_health_partial_agg_no_payload_shuffle(spark, sf_dir):
+    # r14 rollup over the probe: the groupBy(container, bucket) must be
+    # a two-phase hash aggregate (map-side partial combine before the
+    # exchange — the reduce side sees <= 2x6 groups per partition, not
+    # rows), and the probe's no-payload-shuffle contract must survive
+    # the added aggregation (the only Exchanges are the tiny agg
+    # shuffle above the probe and ensure_parallelism's id round-robin
+    # below the synthesizer).
+    df = REGISTRY["multimodal_duration_health"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert plan.count("HashAggregate") >= 2, plan[:800]  # partial + final
+    assert "ArrowEvalPython" not in plan  # mapInPandas, not per-row UDF
+    # The plan tree prints top-down, so an Exchange printed BEFORE the
+    # probe's MapInPandas is downstream of it (the post-combine agg
+    # shuffle of <= 12 group rows) and one printed AFTER the last
+    # MapInPandas is upstream (the bare-id round-robin). Anything in
+    # between would be shuffling synthesized payloads.
+    first_mip, last_mip = plan.index("MapInPandas"), plan.rindex("MapInPandas")
+    i = plan.find("Exchange")
+    while i != -1:
+        assert i < first_mip or i > last_mip, plan[i : i + 120]
+        i = plan.find("Exchange", i + 1)
+
+
 def test_external_lint_is_narrow(spark, sf_dir):
     df = REGISTRY["text_external_lint"].fn(spark, sf_dir)
     plan = _executed(df)
