@@ -13,8 +13,11 @@ Reference parity, all as regexp_replace chains (JVM-side, codegen):
 - ``linkify_issue_keys``    — [ABC-123] → [ABC-123](host/browse/ABC-123)
                               unless already a link / image
                               (generate_weekly_digest.js:281-292)
-- ``extract_json_name``     — stringified-JSON field → .name/.displayName
-                              (jira/csv-to-markdown.js:19-33)
+- ``extract_field_value``   — stringified-JSON field → .name/.displayName
+                              with the reference's cleanup + gate rules
+                              (jira/csv-to-markdown.js:137-155)
+- ``extract_project_key``   — parseComplexField(project).key || ''
+                              (jira/csv-to-markdown.js:19-33, 369)
 """
 
 from __future__ import annotations
@@ -360,15 +363,67 @@ def format_attachment(file: Column) -> Column:
     )
 
 
-def extract_json_name(col: Column) -> Column:
-    """X23 — parse stringified JSON, prefer .name then .displayName then
-    .value, else the raw string."""
-    return F.coalesce(
-        F.get_json_object(col, "$.name"),
-        F.get_json_object(col, "$.displayName"),
-        F.get_json_object(col, "$.value"),
-        col,
+def extract_field_value(col: Column) -> Column:
+    """X23 — the reference's ``extractFieldValue`` exactly
+    (jira/csv-to-markdown.js:137-155), r15 re-port from the loose
+    pre-r15 ``extract_json_name`` (which invented a ``$.value``
+    fallback and skipped the cleanup/gate rules). Reference order:
+
+    1. falsy / ``'null'`` / ``'undefined'`` → ``''``
+    2. ``'[object Object]'`` → ``''``
+    3. only if the raw string CONTAINS the substring ``"name"`` (the
+       reference gate is ``value.includes('"name"')`` — a JSON field
+       with displayName but no name key never enters this branch):
+       ``JSON.parse``; return ``parsed.name`` if truthy, else
+       ``parsed.displayName`` if truthy; parse failure or neither
+       truthy falls through
+    4. otherwise the raw string unchanged.
+
+    JS-truthiness is modeled as non-NULL and non-empty after
+    ``get_json_object`` extraction — exact for the string-valued
+    name/displayName Jira emits. Documented boundaries (cannot occur
+    in Jira exports, where these fields are JSON.stringify output;
+    excluded from the node parity grid in
+    tests/test_extract_field_value.py): a JSON-number ``"name": 0``
+    (falsy in JS, truthy here as the string "0"), an object-valued
+    name (JS returns the object, which later renders
+    ``[object Object]``; here the JSON substring), and JSON with
+    trailing garbage (``JSON.parse`` throws → raw; ``get_json_object``
+    stops at the root value's end and still extracts — Spark has no
+    strict whole-string validator: ``try_parse_json`` and
+    ``from_json`` + corrupt-record were both measured lenient)."""
+    name = F.get_json_object(col, "$.name")
+    display = F.get_json_object(col, "$.displayName")
+    parsed = (
+        F.when(name.isNotNull() & (name != F.lit("")), name)
+        .when(display.isNotNull() & (display != F.lit("")), display)
+        .otherwise(col)
     )
+    return (
+        F.when(
+            col.isNull()
+            | col.isin("", "null", "undefined", "[object Object]"),
+            F.lit(""),
+        )
+        .when(col.contains('"name"'), parsed)
+        .otherwise(col)
+    )
+
+
+def extract_project_key(col: Column) -> Column:
+    """X23 — the reference's 'Project key' pull
+    (jira/csv-to-markdown.js:369 + parseComplexField:19-33):
+    ``ticket.project ? (parseComplexField(ticket.project).key || '') :
+    ''``. parseComplexField JSON-parses only strings starting with
+    ``{``/``[`` and returns the raw string on parse failure; ``.key``
+    on a string/array/object-without-key is undefined, and ``|| ''``
+    maps every falsy key to ``''``. get_json_object returns NULL for
+    all of those shapes (non-JSON input, arrays, missing key), so the
+    whole chain collapses to one extraction plus coalesce."""
+    key = F.get_json_object(col, "$.key")
+    return F.when(
+        col.isNull() | col.isin("", "null", "undefined"), F.lit("")
+    ).otherwise(F.coalesce(F.nullif(key, F.lit("")), F.lit("")))
 
 
 # Standard-field exclusion set for custom-field extraction, byte-exact
@@ -414,17 +469,25 @@ def extract_custom_fields(m: Column, field_map: dict[str, str] | None = None) ->
     ''`` with the ECMA whitespace set — js_trim, not F.trim; exclusion
     happens on the RAW key, so a mapped label colliding with an
     excluded name still survives (same as the reference, where the
-    fieldMap applies after the exclusion check)."""
+    fieldMap applies after the exclusion check).
+
+    Returns ``array<struct<key:string, value:string>>``, NOT a map: the
+    reference accumulates a LIST of (label, value) lines, so two raw
+    keys cleaning to the same label (two ``customfield_<id>``s resolved
+    to one fieldMap label, or a ``Custom field (X)`` unwrap colliding
+    with a surviving raw ``X``) both survive — a MapType result would
+    throw under Spark's default ``spark.sql.mapKeyDedupPolicy=EXCEPTION``
+    (ADVICE r14). Explode with ``F.inline``."""
     from .names import js_trim
 
-    filtered = F.map_filter(
-        m,
-        lambda k, v: (~k.isin(*JIRA_EXCLUDED_FIELDS))
-        & v.isNotNull()
-        & (F.length(js_trim(v)) > 0),
+    filtered = F.filter(
+        F.map_entries(m),
+        lambda e: (~e["key"].isin(*JIRA_EXCLUDED_FIELDS))
+        & e["value"].isNotNull()
+        & (F.length(js_trim(e["value"])) > 0),
     )
 
-    def _clean(k: Column, v: Column) -> Column:
+    def _clean(k: Column) -> Column:
         wrapped = k.startswith("Custom field (") & k.endswith(")")
         unwrapped = k.substr(F.lit(15), F.length(k) - F.lit(15))
         resolved = k
@@ -436,4 +499,9 @@ def extract_custom_fields(m: Column, field_map: dict[str, str] | None = None) ->
             .otherwise(k)
         )
 
-    return F.transform_keys(filtered, _clean)
+    return F.transform(
+        filtered,
+        lambda e: F.struct(
+            _clean(e["key"]).alias("key"), e["value"].alias("value")
+        ),
+    )

@@ -3854,12 +3854,23 @@ def parse_mp4_meta(payload: bytes) -> dict:
     mdat_bytes = 0
     moov_seen = False
 
-    def full_box(body: int) -> tuple[int, int]:
+    def need(p0: int, n: int, bend: int, box: str) -> None:
+        # ADVICE r14: every fixed-offset field read must stay inside
+        # the ENCLOSING box. Unbounded, a short-but-self-consistent box
+        # either raises struct.error (non-ValueError, escapes the
+        # lenient probe's except tuple) at EOF, or — worse — silently
+        # reads the NEXT box's bytes as its own fields mid-file.
+        if p0 + n > bend:
+            raise ValueError(f"truncated {box} body")
+
+    def full_box(body: int, bend: int, box: str) -> tuple[int, int]:
+        need(body, 4, bend, box)
         version = payload[body]
         return version, body + 4  # version byte + 3 flag bytes
 
     for btype, body, bend in walk(0, len(payload), True):
         if btype in (b"ftyp", b"styp"):
+            need(body, 4, bend, btype.decode("latin-1"))
             brand = payload[body : body + 4].decode("latin-1")
         elif btype == b"mdat":
             mdat_bytes += bend - body
@@ -3867,12 +3878,14 @@ def parse_mp4_meta(payload: bytes) -> dict:
             moov_seen = True
             for mtype, mbody, mend in walk(body, bend, False):
                 if mtype == b"mvhd":
-                    ver, p = full_box(mbody)
+                    ver, p = full_box(mbody, mend, "mvhd")
                     if ver == 1:
+                        need(p, 28, mend, "mvhd")
                         timescale, duration = struct.unpack(
                             ">IQ", payload[p + 16 : p + 28]
                         )
                     else:
+                        need(p, 16, mend, "mvhd")
                         timescale, duration = struct.unpack(
                             ">II", payload[p + 8 : p + 16]
                         )
@@ -3883,18 +3896,21 @@ def parse_mp4_meta(payload: bytes) -> dict:
                             continue
                         for dtype, dbody, dend in walk(tbody, tend, False):
                             if dtype == b"mdhd":
-                                ver, p = full_box(dbody)
+                                ver, p = full_box(dbody, dend, "mdhd")
                                 if ver == 1:
+                                    need(p, 28, dend, "mdhd")
                                     ts, dur = struct.unpack(
                                         ">IQ", payload[p + 16 : p + 28]
                                     )
                                 else:
+                                    need(p, 16, dend, "mdhd")
                                     ts, dur = struct.unpack(
                                         ">II", payload[p + 8 : p + 16]
                                     )
                                 trk["timescale"], trk["duration"] = ts, dur
                             elif dtype == b"hdlr":
-                                _, p = full_box(dbody)
+                                _, p = full_box(dbody, dend, "hdlr")
+                                need(p, 8, dend, "hdlr")
                                 trk["handler"] = payload[p + 4 : p + 8].decode(
                                     "latin-1"
                                 )
@@ -3909,7 +3925,8 @@ def parse_mp4_meta(payload: bytes) -> dict:
                                     ):
                                         if xtype != b"stsd":
                                             continue
-                                        _, p = full_box(xbody)
+                                        _, p = full_box(xbody, xend, "stsd")
+                                        need(p, 4, xend, "stsd")
                                         (n_entries,) = struct.unpack(
                                             ">I", payload[p : p + 4]
                                         )
@@ -3917,6 +3934,7 @@ def parse_mp4_meta(payload: bytes) -> dict:
                                             raise ValueError(
                                                 "stsd with no entries"
                                             )
+                                        need(p, 12, xend, "stsd")
                                         trk["codec"] = payload[
                                             p + 8 : p + 12
                                         ].decode("latin-1")
@@ -4475,6 +4493,8 @@ def probe_features(media: DataFrame, strict: bool = True) -> DataFrame:
     _FIELDS = ("container", "codec", "sample_rate", "n_units", "duration_ms", "payload_bytes")
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             rows = {k.name: [] for k in schema.fields}
             for doc_id, mime, payload in zip(
@@ -4487,7 +4507,12 @@ def probe_features(media: DataFrame, strict: bool = True) -> DataFrame:
                     try:
                         got = _probe_one(mime, bytes(payload))
                         rows["error"].append(None)
-                    except (ValueError, IndexError, KeyError) as e:
+                    # struct.error included (ADVICE r14): the parsers
+                    # bounds-check before every unpack now, but the
+                    # strict=False contract — one bad row must never
+                    # fail the stage — shouldn't hinge on that audit
+                    # staying complete.
+                    except (ValueError, IndexError, KeyError, struct.error) as e:
                         got = dict.fromkeys(_FIELDS)
                         rows["error"].append(f"{type(e).__name__}: {e}"[:300])
                 for f in _FIELDS:

@@ -34,92 +34,95 @@ from . import queries_retrieval  # noqa: E402,F401
 # strictly more informative than re-greening an unchanged query.
 # tests/test_registry.py counts these when checking the rotation
 # policy's capacity math.
-# Round 14: x24_custom_field_map — the r14 refresh (VERDICT r13 item 6)
-# moved it from a 3-label stand-in exclusion set to the reference's
-# full golden-pinned set plus the label-cleanup rules, which changes
-# its fixture and output (new oracle); its r10 green row describes the
-# old stand-in. It already leads the r14 window as an r10-stale entry.
-# The near-dup gate rewrite (numpy signature kernel, sharded state,
-# 8-file drop zone) is NOT here: it is proven output-identical by
-# tests/test_hash64_kernel.py + test_streaming_neardup.py, and
-# extracting multimodal_probe's oracle into _PROBE_ORACLE left the SQL
-# byte-identical.
-_CHANGED_ORACLE: tuple[str, ...] = ("x24_custom_field_map",)
+# Round 15: x23_json_field_extract — the r15 refresh (VERDICT r14
+# item 4) replaced the loose extract_json_name (json_valid +
+# name/displayName/value coalesce) with the reference-exact
+# extractFieldValue semantics (cleanup literals, the '"name"'
+# substring gate, JS truthiness) and added the parseComplexField
+# project_key column; fixture, output schema, and oracle all changed.
+# It already leads the r15 window as an r11-stale entry. The OTHER
+# r15 code changes are output-preserving on their fixtures: x24's
+# extract_custom_fields moved from a MapType (transform_keys) to list
+# semantics (map_entries → array<struct>, ADVICE r14 dup-label fix)
+# but its fixture has no label collisions, so the emitted
+# (label, value) rows — and the oracle — are byte-identical
+# (tests/test_custom_fields.py pins the collision behavior
+# separately); the MP4 bounds-check fix only turns struct.error/
+# garbage reads into precise ValueErrors on malformed payloads the
+# oracle corpus doesn't contain; the near-dup TTL reap only fires on
+# the state_ttl_ms>0 path, which no registry query uses.
+_CHANGED_ORACLE: tuple[str, ...] = ("x23_json_field_extract",)
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 14 rotation (VERDICT r13 items 1+7): 1 never-green (the new
-    # multimodal_duration_health rollup, the round's only new registry
-    # query) + the 12 r10-stale leads the r13 verdict names (the r13
-    # rotation comment's documented spill — the standing promise) + 37
-    # of the 48 r11-greens (alphabetical; the drain-oldest-first rule)
-    # = 50 slots exactly. The 11 r11-greens spilled to lead the r15
-    # window (the alphabetical tail):
-    #   slack_capture_pipeline, slack_render_blocks, text_chunk_windows,
-    #   text_external_lint, text_filter_funnel, text_langid,
-    #   text_lm_perplexity, text_quality_score,
-    #   u2_distinct_keys_from_text, x21_changelog_compact,
-    #   x23_json_field_extract
-    # Under the r14 rotation policy (tests/test_registry.py:
-    # test_front_window_rotation_policy) their age at r15-build time is
-    # CYCLE-1, so they MUST hold r15 front slots; r15 fills the rest
-    # from the 50 r12-greens and should avoid new registry queries so
-    # the drain stays ahead of the 4-round cycle.
+    # Round 15 rotation (VERDICT r14 item 1): the 11 r11-stale leads the
+    # r14 rotation comment documented as the r15 spill (verified against
+    # the raw CORRECTNESS artifacts — at r15 their age is CYCLE-1, so
+    # they MUST hold slots or the rotation alarm flips red when the r15
+    # artifact lands) + 39 of the 50 r12-greens (alphabetical;
+    # drain-oldest-first) = 50 slots exactly. No new registry queries
+    # this round (VERDICT r14 item 6: registry frozen at 161). The 11
+    # r12-greens spilled to lead the r16 window (alphabetical tail):
+    #   text_ccnet_buckets, text_gopher_rules, text_ngram_novelty,
+    #   text_token_stats, text_winnow_fingerprints, u3_dedup_by_key,
+    #   x20_section_split, x22_human_size, x3_adf_flatten,
+    #   x7_multiformat_date_extract, x_jira_ticket_render
+    # At r16-build time their age is CYCLE-1 → they must hold r16 front
+    # slots; r16 fills the rest from the 50 r13-greens, oldest-first.
     # ------------------------------------------------------------------
-    # -- never driver-green (new this round) --
-    "multimodal_duration_health",
-    # -- latest green row r10 (the full documented r13 spill, honored
+    # -- latest green row r11 (the full documented r14 spill, honored
     # first per the standing rule) --
-    "sketch_stream_hll",
-    "source_js_divergence",
-    "text_c4_filters",
-    "text_line_dedup",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_token_entropy",
-    "text_url_normalize",
-    "u8_schema_union_by_name",
-    "weekly_digest_pipeline",
-    "x19_transcript_parse",
-    "x24_custom_field_map",
-    # -- latest green row r11, alphabetical until the window is full --
-    "a10_daily_window",
-    "a_percentile_profile",
-    "asof_stream_checkpoints",
-    "cohort_retention",
-    "contamination_stream_gate",
-    "corpus_health_report",
-    "corpus_zipf_topk",
-    "dedup_connected_components",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact",
-    "dedup_family_histogram",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_span_ngram",
-    "embedding_normalize_truncate",
-    "embedding_quantize_int8",
-    "funnel_view_click_purchase",
-    "j_salted_skew_join",
-    "k5_json_snapshot_roundtrip",
-    "knn_brute_force_cosine",
-    "knn_ivf",
-    "knn_lsh_buckets",
-    "knn_lsh_multiprobe",
-    "multimodal_features",
-    "o4_lexicographic_concat",
-    "range_join_windows",
-    "s12_drive_catalog_scan",
-    "sessionize_events",
-    "sessionize_stream_windows",
-    "sketch_bloom_membership",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_distinct",
-    "sketch_quantile_sample",
-    "sketch_stream_bloom_gate",
-    "sketch_stream_cms",
+    "slack_capture_pipeline",
+    "slack_render_blocks",
+    "text_chunk_windows",
+    "text_external_lint",
+    "text_filter_funnel",
+    "text_langid",
+    "text_lm_perplexity",
+    "text_quality_score",
+    "u2_distinct_keys_from_text",
+    "x21_changelog_compact",
+    "x23_json_field_extract",
+    # -- latest green row r12, alphabetical until the window is full --
+    "a13_week_frame",
+    "a14_array_set_diff",
+    "a1_status_groups_canonical_order",
+    "a3_group_stats_pct",
+    "a45_status_priority_cube",
+    "a8_summary_aggregates",
+    "asof_join_checkpoints",
+    "audit_coverage",
+    "chat_pack_conversations",
+    "contamination_semantic",
+    "dedup_cdc_chunks",
+    "dedup_cross_source_matrix",
+    "dedup_embedding_cosine",
+    "dedup_incremental_ingest",
+    "doc_language_confusion",
+    "embedding_label_centroids",
+    "embedding_pq_encode",
+    "events_anomaly_zscore",
+    "f1_date_range_filter",
+    "f3_semi_join_children_in_range",
+    "f8_or_of_overrides",
+    "j1_star_join_revenue",
+    "j2_alias_first_match_join",
+    "j5_hierarchy_resolution",
+    "k_bucketed_join_roundtrip",
+    "k_orc_columnar_roundtrip",
+    "knn_recall_audit",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "o3_latest_order_per_customer",
+    "rollup_hypertable_cascade",
+    "s18_python_literal_extract",
+    "sample_dsir_importance",
+    "sample_topn_per_source",
+    "sample_train_test_split",
+    "sample_weighted_reservoir",
+    "sketch_cms_rollup",
+    "sketch_hll_rollup",
 ]
 
 

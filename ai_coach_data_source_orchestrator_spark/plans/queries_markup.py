@@ -557,39 +557,77 @@ def x22_human_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X23 — stringified-JSON field extraction (jira/csv-to-markdown.js:19-33)
+# X23 — stringified-JSON field extraction, reference-exact (r15, VERDICT
+# r14 item 4): extractFieldValue (jira/csv-to-markdown.js:137-155 —
+# cleanup literals → '' ; the '"name"' SUBSTRING gate, so a
+# displayName-only JSON field returns RAW; JS-truthy name, then
+# displayName, then raw) and the 'Project key' pull
+# parseComplexField(project).key || '' (lines 19-33, 369). Semantics
+# pinned against the reference's own function source executed in node
+# by tests/test_extract_field_value.py. The pre-r15 query modeled a
+# looser rule (json_valid + name/displayName/value coalesce) — this is
+# a CHANGED ORACLE (plans._CHANGED_ORACLE) and the fixture now covers
+# every reference branch.
 # ---------------------------------------------------------------------------
 @register(
     "x23_json_field_extract",
     oracle="""
     WITH src AS (
       SELECT c_custkey,
-             CASE c_custkey % 3
+             CASE c_custkey % 7
                WHEN 0 THEN '{"name": "' || c_name || '", "id": ' || c_custkey || '}'
                WHEN 1 THEN '{"displayName": "' || c_name || '"}'
-               ELSE 'plain ' || c_name END AS field
+               WHEN 2 THEN '{"name": "", "displayName": "' || c_name || '"}'
+               WHEN 3 THEN 'null'
+               WHEN 4 THEN '[object Object]'
+               WHEN 5 THEN '{"name": ' || c_name
+               ELSE 'plain ' || c_name END AS field,
+             CASE c_custkey % 3
+               WHEN 0 THEN '{"key": "PRJ-' || c_custkey || '", "name": "' || c_name || '"}'
+               WHEN 1 THEN 'Team ' || c_name
+               ELSE '{"id": ' || c_custkey || '}' END AS project
       FROM customer
     )
     SELECT c_custkey,
-      CASE WHEN json_valid(field)
-           THEN COALESCE(json_extract_string(field, '$.name'),
-                         json_extract_string(field, '$.displayName'),
-                         json_extract_string(field, '$.value'), field)
-           ELSE field END AS label
+      CASE WHEN field IS NULL OR field IN ('', 'null', 'undefined', '[object Object]')
+             THEN ''
+           WHEN contains(field, '"name"') AND json_valid(field)
+             THEN COALESCE(NULLIF(json_extract_string(field, '$.name'), ''),
+                           NULLIF(json_extract_string(field, '$.displayName'), ''),
+                           field)
+           ELSE field END AS label,
+      CASE WHEN project IS NULL OR project IN ('', 'null', 'undefined') THEN ''
+           WHEN json_valid(project)
+             THEN COALESCE(NULLIF(json_extract_string(project, '$.key'), ''), '')
+           ELSE '' END AS project_key
     FROM src
     """,
     survey_ids=("X23",),
-    description="Parse stringified JSON, prefer .name/.displayName, raw fallback",
+    description="extractFieldValue + parseComplexField(.key), reference-exact cleanup/gate/truthiness",
 )
 def x23_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     k = F.col("c_custkey")
+    name = F.col("c_name")
     field = (
-        F.when(k % 3 == 0, F.concat(F.lit('{"name": "'), F.col("c_name"), F.lit('", "id": '), k.cast("string"), F.lit("}")))
-        .when(k % 3 == 1, F.concat(F.lit('{"displayName": "'), F.col("c_name"), F.lit('"}')))
-        .otherwise(F.concat(F.lit("plain "), F.col("c_name")))
+        F.when(k % 7 == 0, F.concat(F.lit('{"name": "'), name, F.lit('", "id": '), k.cast("string"), F.lit("}")))
+        .when(k % 7 == 1, F.concat(F.lit('{"displayName": "'), name, F.lit('"}')))     # no '"name"' substring → raw
+        .when(k % 7 == 2, F.concat(F.lit('{"name": "", "displayName": "'), name, F.lit('"}')))  # falsy name → displayName
+        .when(k % 7 == 3, F.lit("null"))                                               # cleanup literal → ''
+        .when(k % 7 == 4, F.lit("[object Object]"))                                    # cleanup literal → ''
+        .when(k % 7 == 5, F.concat(F.lit('{"name": '), name))                          # gate passes, parse fails → raw
+        .otherwise(F.concat(F.lit("plain "), name))
     )
-    return cust.select("c_custkey", M.extract_json_name(field).alias("label"))
+    project = (
+        F.when(k % 3 == 0, F.concat(F.lit('{"key": "PRJ-'), k.cast("string"), F.lit('", "name": "'), name, F.lit('"}')))
+        .when(k % 3 == 1, F.concat(F.lit("Team "), name))                              # non-JSON → .key undefined → ''
+        .otherwise(F.concat(F.lit('{"id": '), k.cast("string"), F.lit("}")))           # JSON without key → ''
+    )
+    return cust.select(
+        "c_custkey",
+        M.extract_field_value(field).alias("label"),
+        M.extract_project_key(project).alias("project_key"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -626,7 +664,11 @@ def x24_custom_field_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("customfield_11000"), F.lit(" "),           # whitespace value → dropped
     )
     fields = M.extract_custom_fields(m, {"customfield_10999": "Story Points"})
-    return part.select("p_partkey", F.explode(fields).alias("label", "value"))
+    # array<struct<key,value>> (list semantics — duplicate cleaned labels
+    # survive, ADVICE r14) → inline, then rename to the oracle's columns.
+    return part.select("p_partkey", F.inline(fields)).select(
+        "p_partkey", F.col("key").alias("label"), F.col("value").alias("value")
+    )
 
 
 # ---------------------------------------------------------------------------

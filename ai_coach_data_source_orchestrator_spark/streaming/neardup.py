@@ -150,45 +150,24 @@ def streaming_band_hashes_interpreted(
     return withms.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
 
 
-def near_dup_gate_stream(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    num_perm: int = 64,
-    bands: int = 32,
-    max_bucket: int = 256,
-    state_ttl_ms: int = 0,
-    bucket_shards: int = 4096,
-) -> DataFrame:
-    """Emit (band, band_hash, doc_a, doc_b) candidate pairs as documents
-    arrive; ``doc_a < doc_b`` normalized. Pairs may repeat across bands
-    (same as the batch candidate stage pre-distinct).
-
-    State is keyed by (band, band_hash % bucket_shards), not the exact
-    bucket: each state row carries all of its shard's buckets as
-    parallel (hashes, docs) arrays, and exact-bucket membership is
-    resolved dict-side inside the update function. Semantics (the pair
-    set, the per-bucket ``max_bucket`` emission cap) are unchanged from
-    the per-bucket layout; what changes is the group count — bands ×
-    shards instead of n_docs × bands — which was the dominant drain
-    cost at scale (per-group Python + Arrow state overhead). Shard
-    hashes are uniform (band_hash is an xxhash64), so the stateful
-    shuffle cannot skew.
-
-    ``state_ttl_ms`` > 0 enables a processing-time TTL that reaps idle
-    state — granularity is the SHARD (a shard survives while any of its
-    buckets is active), the right setting for a long-lived production
-    stream. Note the trade-off it brings: a query with
-    ProcessingTimeTimeout never self-terminates under
-    ``Trigger.AvailableNow`` (the engine stays alive to fire future
-    timeouts), so bounded replays/backfills should leave it 0 and rely
-    on the downstream batch dedup pass instead.
-    """
+def _make_bucket_update(max_bucket: int, state_ttl_ms: int):
+    """Build the ``applyInPandasWithState`` update function for the
+    near-dup gate's sharded bucket state. Module-level (rather than a
+    closure inside ``near_dup_gate_stream``) so the timeout path is
+    unit-testable with a stub GroupState — the engine only exercises
+    ``hasTimedOut`` on a live processing-time stream."""
 
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # TTL reap (ADVICE r14): a timed-out invocation arrives with
+        # empty input and hasTimedOut set — remove the shard's state
+        # and emit nothing. Falling through would rewrite the state
+        # and re-arm the timer, so idle shards would never be reaped
+        # and production state would grow without bound.
+        if state.hasTimedOut:
+            state.remove()
+            return
         band = int(key[0])
         members: dict[int, list[int]] = {}
         if state.exists:
@@ -229,6 +208,46 @@ def near_dup_gate_stream(
             }
         )
 
+    return _update
+
+
+def near_dup_gate_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    max_bucket: int = 256,
+    state_ttl_ms: int = 0,
+    bucket_shards: int = 4096,
+) -> DataFrame:
+    """Emit (band, band_hash, doc_a, doc_b) candidate pairs as documents
+    arrive; ``doc_a < doc_b`` normalized. Pairs may repeat across bands
+    (same as the batch candidate stage pre-distinct).
+
+    State is keyed by (band, band_hash % bucket_shards), not the exact
+    bucket: each state row carries all of its shard's buckets as
+    parallel (hashes, docs) arrays, and exact-bucket membership is
+    resolved dict-side inside the update function. Semantics (the pair
+    set, the per-bucket ``max_bucket`` emission cap) are unchanged from
+    the per-bucket layout; what changes is the group count — bands ×
+    shards instead of n_docs × bands — which was the dominant drain
+    cost at scale (per-group Python + Arrow state overhead). Shard
+    hashes are uniform (band_hash is an xxhash64), so the stateful
+    shuffle cannot skew.
+
+    ``state_ttl_ms`` > 0 enables a processing-time TTL that reaps idle
+    state — granularity is the SHARD (a shard survives while any of its
+    buckets is active), the right setting for a long-lived production
+    stream. Note the trade-off it brings: a query with
+    ProcessingTimeTimeout never self-terminates under
+    ``Trigger.AvailableNow`` (the engine stays alive to fire future
+    timeouts), so bounded replays/backfills should leave it 0 and rely
+    on the downstream batch dedup pass instead.
+    """
+
+    _update = _make_bucket_update(max_bucket, state_ttl_ms)
     banded = streaming_band_hashes(
         docs, text_col=text_col, id_col=id_col, k=k, num_perm=num_perm, bands=bands
     ).withColumn("bucket_shard", F.pmod(F.col("band_hash"), F.lit(bucket_shards)))

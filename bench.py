@@ -85,6 +85,53 @@ def _calibrate(spark) -> float:
     return min(runs)
 
 
+def _quick_cal(spark) -> float:
+    """One single-shot run of the calibration workload (~0.1 s on an
+    idle box) — the between-queries yardstick. Single-shot is noisier
+    than the best-of-3 gate probes, but its job is different: it only
+    needs to DATE a neighbor burst, not price it precisely, and it has
+    to be cheap enough to run after every headline query."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _per_query_history(sf) -> tuple[dict[str, float], dict[str, float]]:
+    """Cross-round per-query medians of (count-forced, full-forced)
+    timings from prior BENCH_r*.json artifacts AT THE SAME SF — the
+    baseline the mid-run outlier re-measure compares against (VERDICT
+    r14 item 2: both bracketing probes can read clean around a burst
+    that starts after the gate and ends before the final probe; a
+    query reading far above its own cross-round median is the in-run
+    signal). Artifacts from other scale factors are skipped — an
+    sf0.01 smoke compared against sf0.1 medians would re-measure
+    everything or nothing, both wrong."""
+    import glob
+    import statistics
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    count_vals: dict[str, list[float]] = {}
+    forced_vals: dict[str, list[float]] = {}
+    for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except Exception:  # noqa: BLE001 - a malformed artifact is not fatal
+            continue
+        if d.get("sf") != sf:
+            continue
+        for store, key in ((count_vals, "queries"), (forced_vals, "queries_forced")):
+            q = d.get(key)
+            if isinstance(q, dict):
+                for name, v in q.items():
+                    if isinstance(v, (int, float)) and v > 0:
+                        store.setdefault(name, []).append(float(v))
+    return (
+        {n: statistics.median(v) for n, v in count_vals.items()},
+        {n: statistics.median(v) for n, v in forced_vals.items()},
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -235,26 +282,77 @@ def main() -> None:
             F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
         ).collect()
 
+    # Mid-run burst machinery (VERDICT r14 item 2): the bracketing gate
+    # probes cannot see a neighbor burst that starts after the gate
+    # passes and ends before the end probe — BENCH_r14 stamped clean
+    # with 1.0×–7× non-uniform per-query inflation. Two in-run signals
+    # close the blind spot: (a) the ~0.1 s yardstick interleaved after
+    # every query dates contention to the query it neighbors
+    # ("calibration_interleaved"); (b) any query whose reading exceeds
+    # REMEASURE_FACTOR × its own cross-round median is re-measured once,
+    # immediately — a real regression reproduces, a burst doesn't — and
+    # the artifact stamps which queries were re-measured and both
+    # readings ("remeasured_queries").
+    remeasure_factor = float(
+        os.environ.get("SPARK_GRAFT_BENCH_REMEASURE_FACTOR", "2.5")
+    )
+    hist_count, hist_forced = _per_query_history(
+        float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    )
+
     def run_suite():
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}
         warm: dict[str, float] = {}
         forced: dict[str, float] = {}
+        cal_at: dict[str, float] = {}
+        remeasured: dict[str, dict] = {}
         errors: dict[str, str] = {}
         total = 0.0
-        for name in names:
-            spec = REGISTRY[name]
+
+        def measure(spec):
             runs = []
             fruns = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(spec.fn(spark, sf_dir))
+                fruns.append(time.perf_counter() - t0)
+            return runs, fruns
+
+        for name in names:
+            spec = REGISTRY[name]
             try:
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    spec.fn(spark, sf_dir).count()
-                    runs.append(time.perf_counter() - t0)
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    force(spec.fn(spark, sf_dir))
-                    fruns.append(time.perf_counter() - t0)
+                runs, fruns = measure(spec)
+                med_c = hist_count.get(name)
+                med_f = hist_forced.get(name)
+                suspect = (
+                    med_c is not None and min(runs) > remeasure_factor * med_c
+                ) or (
+                    med_f is not None and min(fruns) > remeasure_factor * med_f
+                )
+                if suspect:
+                    first = {
+                        "count_min": round(min(runs), 3),
+                        "forced_min": round(min(fruns), 3),
+                    }
+                    runs2, fruns2 = measure(spec)
+                    remeasured[name] = {
+                        **first,
+                        "remeasured_count_min": round(min(runs2), 3),
+                        "remeasured_forced_min": round(min(fruns2), 3),
+                        "median_count": med_c,
+                        "median_forced": med_f,
+                    }
+                    # The recorded readings are the min across BOTH
+                    # passes — same code, so the fastest honest run is
+                    # the throughput number; the artifact keeps the
+                    # inflated first pass in remeasured_queries.
+                    runs = [min(runs[0], runs2[0]), min(runs[1], runs2[1])]
+                    fruns = fruns + fruns2
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
                 continue
@@ -264,7 +362,12 @@ def main() -> None:
             dt = round(min(runs), 3)
             timings[name] = dt
             total += dt
-        return timings, cold, warm, forced, errors, total
+            # Per-query yardstick AFTER the query's runs: a burst
+            # during query k reads as an elevated probe at k (and
+            # usually k±1), so inflation is datable without re-running
+            # the whole suite.
+            cal_at[name] = _quick_cal(spark)
+        return timings, cold, warm, forced, cal_at, remeasured, errors, total
 
     # End-of-run gate (VERDICT r11 item 1): the start-time gate has a
     # blind spot — BENCH_r11 passed it, then the box loaded up DURING
@@ -279,7 +382,16 @@ def main() -> None:
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1")) + 1
     while True:
         attempts += 1
-        timings, cold, warm, forced, errors, total = run_suite()
+        (
+            timings,
+            cold,
+            warm,
+            forced,
+            cal_at,
+            remeasured,
+            errors,
+            total,
+        ) = run_suite()
         # Box-condition calibration: a fixed pure-JVM CPU workload timed
         # best-of-3 right after the queries. Load averages say the box
         # WAS busy; this says how much the busy-ness actually cost — the
@@ -336,7 +448,19 @@ def main() -> None:
                 "value_forced": round(sum(forced.values()), 3),
                 "cold_total": round(sum(cold.values()), 3),
                 "errors": errors,
-                "methodology": "value=min(cold,warm) count-forced per query (band-comparable r1+); value_forced=min-of-2 with all output columns evaluated (unprunable)",
+                # Mid-run burst telemetry (VERDICT r14 item 2): the
+                # single-shot ~0.1 s yardstick measured right after
+                # each query (elevated values date a neighbor burst to
+                # the queries they bracket), and the queries whose
+                # first reading exceeded REMEASURE_FACTOR × their
+                # cross-round median — re-measured once immediately,
+                # with both readings recorded (the headline keeps the
+                # min; a reproducing slowdown shows up as
+                # remeasured ≈ first, a burst as remeasured ≪ first).
+                "calibration_interleaved": cal_at,
+                "remeasured_queries": remeasured,
+                "remeasure_factor": remeasure_factor,
+                "methodology": "value=min(cold,warm) count-forced per query (band-comparable r1+); value_forced=min across passes with all output columns evaluated (unprunable); >2.5x-median outliers re-measured once (remeasured_queries)",
                 # Calibration-normalized series (VERDICT r11 item 8,
                 # basis reworked r14): raw × (median / mean(start,end
                 # calibration)) — an estimate of what the same run

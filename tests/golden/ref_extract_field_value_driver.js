@@ -1,0 +1,52 @@
+// Golden-test driver: executes the REFERENCE repo's field-value
+// extraction logic (jira/csv-to-markdown.js — extractFieldValue,
+// parseComplexField; both internal) over a JSON fixture of input
+// strings and prints the results. The source is evaluated up to its
+// '// Run the conversion' marker with stubbed requires (same sandbox
+// pattern as ref_jira_ticket_driver.js). Read-only, no network,
+// nothing copied.
+//
+// For each input the driver emits:
+//   label      — String(extractFieldValue(v, 'status')): the reference
+//                return as it lands in the markdown interpolation that
+//                consumes it (mapFieldNames → `${...}` templates)
+//   projectKey — the exact 'Project key' expression from line 369:
+//                v ? (parseComplexField(v).key || '') : ''
+//
+// Usage: node ref_extract_field_value_driver.js <fixture.json> [referenceRoot]
+
+const fs = require('fs');
+const path = require('path');
+
+const fixture = JSON.parse(fs.readFileSync(process.argv[2], 'utf8'));
+const refRoot = process.argv[3] || '/root/reference';
+
+let src = fs.readFileSync(path.join(refRoot, 'jira', 'csv-to-markdown.js'), 'utf8');
+const cut = src.indexOf('// Run the conversion');
+if (cut !== -1) src = src.slice(0, cut);
+
+const stubRequire = (name) => {
+  if (name === '../lib/config') return { load: () => ({}) };
+  if (name === '../lib/project-folder') return { getProjectFolder: () => 'default' };
+  if (name === './lib/changelog-markdown') return { getChangelogBullets: () => [] };
+  if (name === './lib/field-map') return { loadFieldMap: async () => ({}) };
+  if (name === 'dotenv') return { config: () => {} };
+  if (name === 'csv-parser') return () => {};
+  if (name === 'path') return path;
+  if (name === 'fs') return { existsSync: () => false, readdirSync: () => [] };
+  return {};
+};
+
+const mod = new Function(
+  'require', 'module', 'exports', 'process',
+  src + '\n;return { extractFieldValue, parseComplexField };'
+)(stubRequire, { exports: {} }, {}, { env: {} });
+
+process.stdout.write(
+  JSON.stringify({
+    labels: fixture.fields.map((v) => String(mod.extractFieldValue(v, 'status'))),
+    projectKeys: (fixture.projects || []).map((v) =>
+      v ? String(mod.parseComplexField(v).key || '') : ''
+    ),
+  })
+);

@@ -54,10 +54,10 @@ def test_cleanup_rules(spark):
     )
     out = (
         spark.range(1)
-        .select(F.explode(extract_custom_fields(m, {"customfield_10010": "Points"})).alias("k", "v"))
+        .select(F.inline(extract_custom_fields(m, {"customfield_10010": "Points"})))
         .collect()
     )
-    got = {(r["k"], r["v"]) for r in out}
+    got = {(r["key"], r["value"]) for r in out}
     assert got == {
         ("Team", "T1"),
         ("Points", "8"),
@@ -72,7 +72,32 @@ def test_unmapped_id_keeps_raw_key(spark):
     m = F.create_map(F.lit("customfield_99"), F.lit("v"))
     out = (
         spark.range(1)
-        .select(F.explode(extract_custom_fields(m)).alias("k", "v"))
+        .select(F.inline(extract_custom_fields(m)))
         .collect()
     )
-    assert [(r["k"], r["v"]) for r in out] == [("customfield_99", "v")]
+    assert [(r["key"], r["value"]) for r in out] == [("customfield_99", "v")]
+
+
+def test_duplicate_cleaned_labels_both_survive(spark):
+    # ADVICE r14 (functions/markup.py): the reference accumulates a
+    # LIST of (label, value) lines, so two raw keys that clean to the
+    # SAME label must BOTH be emitted. The old transform_keys
+    # implementation built a map and threw under Spark's default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION. Three collision shapes:
+    # two customfield_<id>s resolved to one fieldMap label; a
+    # 'Custom field (X)' unwrap colliding with a surviving raw 'X';
+    # and the unwrap colliding with a mapped id.
+    m = F.create_map(
+        F.lit("customfield_1"), F.lit("a"),        # mapped → "Same"
+        F.lit("customfield_2"), F.lit("b"),        # mapped → "Same"
+        F.lit("Custom field (Tier)"), F.lit("c"),  # unwrap → "Tier"
+        F.lit("Tier"), F.lit("d"),                 # raw, not excluded → "Tier"
+    )
+    fmap = {"customfield_1": "Same", "customfield_2": "Same"}
+    out = (
+        spark.range(1)
+        .select(F.inline(extract_custom_fields(m, fmap)))
+        .collect()
+    )
+    got = sorted((r["key"], r["value"]) for r in out)
+    assert got == [("Same", "a"), ("Same", "b"), ("Tier", "c"), ("Tier", "d")]

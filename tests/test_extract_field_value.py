@@ -1,0 +1,107 @@
+"""X23 parity with the reference (VERDICT r14 item 4, the X24 pattern):
+the reference's own ``extractFieldValue`` / ``parseComplexField`` are
+EXECUTED in node (tests/golden/ref_extract_field_value_driver.js
+evaluates jira/csv-to-markdown.js with stubbed requires) over a grid of
+input strings covering every branch, and the Spark twins
+(functions/markup.extract_field_value / extract_project_key) must agree
+string-for-string.
+
+Grid scope: every branch of both reference functions — the cleanup
+literals, the ``'"name"'`` substring gate (a displayName-only JSON
+field must come back RAW), JS-truthiness fallthrough (empty name →
+displayName → raw), parse failure, arrays, null-valued name, leading
+whitespace, non-JSON project strings, keyless JSON projects, falsy
+keys. Documented boundaries excluded (see extract_field_value's
+docstring): number-valued/object-valued name, trailing-garbage JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_coach_data_source_orchestrator_spark.functions.markup import (
+    extract_field_value,
+    extract_project_key,
+)
+
+_REF = "/root/reference/jira/csv-to-markdown.js"
+_DRIVER = os.path.join(os.path.dirname(__file__), "golden", "ref_extract_field_value_driver.js")
+
+FIELDS = [
+    '{"name": "Bug", "id": 3}',            # plain .name pull
+    '{"displayName": "Dana"}',             # no '"name"' substring → RAW (the gate)
+    '{"name": "", "displayName": "D"}',    # falsy name → displayName
+    '{"name": "", "displayName": ""}',     # both falsy → raw
+    "null",                                # cleanup literal → ''
+    "undefined",                           # cleanup literal → ''
+    "[object Object]",                     # cleanup literal → ''
+    "",                                    # falsy → ''
+    '{"name": broken',                     # gate passes, JSON.parse throws → raw
+    "plain text",                          # no gate → raw
+    '{"displayName": "X", "name": "Y"}',   # name wins regardless of key order
+    '[{"name": "a"}]',                     # array: parsed.name undefined → raw
+    '{"name": null}',                      # null name, no displayName → raw
+    '{"name": "0"}',                       # string "0" is JS-truthy → "0"
+    '  {"name": "Lead"}',                  # leading whitespace tolerated by both parsers
+]
+
+PROJECTS = [
+    '{"key": "PRJ-1", "name": "Alpha"}',   # .key pull
+    "Team Alpha",                          # non-JSON → .key undefined → ''
+    '{"id": 9}',                           # keyless JSON → ''
+    "",                                    # falsy project → ''
+    "null",                                # truthy string, parses to nothing → ''
+    '{"key": ""}',                         # falsy key → '' (the || '' branch)
+    '[{"key": "A"}]',                      # array: .key undefined → ''
+]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_REF) or shutil.which("node") is None,
+    reason="reference tree or node absent",
+)
+def test_reference_parity(spark, tmp_path):
+    fixture = tmp_path / "grid.json"
+    fixture.write_text(json.dumps({"fields": FIELDS, "projects": PROJECTS}))
+    ref = json.loads(
+        subprocess.run(
+            ["node", _DRIVER, str(fixture)],
+            check=True,
+            capture_output=True,
+            text=True,
+        ).stdout
+    )
+
+    fdf = spark.createDataFrame(list(enumerate(FIELDS)), "i int, v string")
+    got_labels = [
+        r["l"]
+        for r in fdf.select("i", extract_field_value(F.col("v")).alias("l"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_labels == ref["labels"]
+
+    pdf = spark.createDataFrame(list(enumerate(PROJECTS)), "i int, v string")
+    got_keys = [
+        r["k"]
+        for r in pdf.select("i", extract_project_key(F.col("v")).alias("k"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_keys == ref["projectKeys"]
+
+
+def test_null_input_is_empty(spark):
+    # JS: undefined is falsy → ''. A NULL column must not propagate.
+    df = spark.createDataFrame([(None,)], "v string")
+    row = df.select(
+        extract_field_value(F.col("v")).alias("l"),
+        extract_project_key(F.col("v")).alias("k"),
+    ).collect()[0]
+    assert row["l"] == "" and row["k"] == ""

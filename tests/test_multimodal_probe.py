@@ -246,6 +246,80 @@ def test_mp4_malformed_inputs_raise():
         M.parse_mp4_meta(only_ftyp)
 
 
+def test_mp4_truncated_field_bodies_raise_valueerror():
+    # ADVICE r14: a box whose declared size is SELF-CONSISTENT but whose
+    # body is too short for the fixed-offset field reads must raise
+    # ValueError — not struct.error (which escaped the lenient probe's
+    # except tuple), and never a silent read of the NEXT box's bytes.
+    ftyp = M._mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0))
+
+    # (a) short mvhd at EOF: the old code sliced past the payload end
+    # and struct.unpack raised struct.error.
+    short_mvhd_eof = ftyp + M._mp4_box(b"moov", M._mp4_box(b"mvhd", bytes(4)))
+    with pytest.raises(ValueError, match="truncated mvhd body"):
+        M.parse_mp4_meta(short_mvhd_eof)
+
+    # (b) short mvhd mid-file, trailed by another sibling box: the old
+    # code silently read the free box's bytes as timescale/duration.
+    short_mvhd_mid = ftyp + M._mp4_box(
+        b"moov", M._mp4_box(b"mvhd", bytes(12)) + M._mp4_box(b"free", bytes(16))
+    )
+    with pytest.raises(ValueError, match="truncated mvhd body"):
+        M.parse_mp4_meta(short_mvhd_mid)
+
+    # (c) empty-body mvhd: even the version byte is missing.
+    empty_mvhd = ftyp + M._mp4_box(b"moov", M._mp4_box(b"mvhd", b""))
+    with pytest.raises(ValueError, match="truncated mvhd body"):
+        M.parse_mp4_meta(empty_mvhd)
+
+    # (d) version-1 mvhd whose body only fits the version-0 layout.
+    v1_short = ftyp + M._mp4_box(
+        b"moov", M._mp4_box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16))
+    )
+    with pytest.raises(ValueError, match="truncated mvhd body"):
+        M.parse_mp4_meta(v1_short)
+
+    # (e) short mdhd inside an otherwise-valid trak.
+    mvhd = M._mp4_box(
+        b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, 600, 1200) + bytes(80)
+    )
+    trak = M._mp4_box(
+        b"trak", M._mp4_box(b"mdia", M._mp4_box(b"mdhd", bytes(6)))
+    )
+    with pytest.raises(ValueError, match="truncated mdhd body"):
+        M.parse_mp4_meta(ftyp + M._mp4_box(b"moov", mvhd + trak))
+
+    # (f) short stsd: declares an entry but the body can't hold the
+    # entry-size/fourcc fields.
+    stsd = M._mp4_box(b"stsd", bytes(4) + struct.pack(">I", 1) + bytes(2))
+    trak2 = M._mp4_box(
+        b"trak",
+        M._mp4_box(
+            b"mdia", M._mp4_box(b"minf", M._mp4_box(b"stbl", stsd))
+        ),
+    )
+    with pytest.raises(ValueError, match="truncated stsd body"):
+        M.parse_mp4_meta(ftyp + M._mp4_box(b"moov", mvhd + trak2))
+
+
+def test_probe_lenient_survives_truncated_mvhd(spark):
+    # The ADVICE r14 repro: strict=False over a batch containing a
+    # truncated-mvhd MP4 must keep the stage alive and land the
+    # failure in the error column (the old struct.error failed the
+    # whole stage).
+    ftyp = M._mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    bad = ftyp + M._mp4_box(b"moov", M._mp4_box(b"mvhd", bytes(4)))
+    rows = [
+        (0, "video/mp4", bytearray(_good_mp4())),
+        (1, "video/mp4", bytearray(bad)),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, mime string, payload binary")
+    got = {r["doc_id"]: r for r in M.probe_features(media, strict=False).collect()}
+    assert got[0]["error"] is None and got[0]["duration_ms"] == 2000
+    assert got[1]["error"] is not None and "truncated mvhd" in got[1]["error"]
+    assert got[1]["container"] is None
+
+
 def test_mp4_stsd_with_no_entries_rejected():
     b = bytearray(M.encode_mp4("isom", 600, 600, _tracks(("avc1", "vide")), 0))
     i = b.find(b"stsd")

@@ -66,3 +66,87 @@ def test_streaming_gate_emits_batch_candidate_pairs(spark, sf_dir, tmp_path):
     }
     assert batch_pairs, "vacuous: batch produced no candidate pairs"
     assert stream_pairs == batch_pairs
+
+
+# ---------------------------------------------------------------------------
+# TTL reap (ADVICE r14): the timeout invocation must REMOVE the shard's
+# state and emit nothing — not rewrite it and re-arm the timer, which
+# made the advertised idle-state reaping a no-op and grew production
+# state without bound. The engine only fires hasTimedOut on a live
+# processing-time stream, so the update function is driven directly
+# with a stub GroupState here.
+# ---------------------------------------------------------------------------
+
+
+class _StubGroupState:
+    def __init__(self, existing=None, timed_out=False):
+        self._value = existing
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None and not self.removed
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _run_update(update, key, frames, state):
+    import pandas as pd
+
+    return list(update(key, iter(frames), state))
+
+
+def test_timed_out_shard_state_is_removed_not_rearmed():
+    from ai_coach_data_source_orchestrator_spark.streaming.neardup import _make_bucket_update
+
+    update = _make_bucket_update(max_bucket=256, state_ttl_ms=60_000)
+    state = _StubGroupState(existing=([7, 7], [1, 2]), timed_out=True)
+    out = _run_update(update, (0, 3), [], state)
+    assert out == []                      # nothing emitted on reap
+    assert state.removed                  # state actually removed...
+    assert state.updated is None          # ...not rewritten
+    assert state.timeout_set is None      # ...and the timer not re-armed
+
+
+def test_normal_invocation_arms_ttl_and_emits_pairs():
+    import pandas as pd
+
+    from ai_coach_data_source_orchestrator_spark.streaming.neardup import _make_bucket_update
+
+    update = _make_bucket_update(max_bucket=256, state_ttl_ms=60_000)
+    state = _StubGroupState(existing=([7], [1]))
+    pdf = pd.DataFrame({"band_hash": [7], "doc_id": [5]})
+    out = _run_update(update, (0, 3), [pdf], state)
+    assert len(out) == 1
+    assert out[0][["band_hash", "doc_a", "doc_b"]].values.tolist() == [[7, 1, 5]]
+    assert state.updated == ([7, 7], [1, 5])  # membership recorded
+    assert state.timeout_set == 60_000        # live shard re-arms its TTL
+
+
+def test_no_ttl_mode_never_touches_timer():
+    import pandas as pd
+
+    from ai_coach_data_source_orchestrator_spark.streaming.neardup import _make_bucket_update
+
+    update = _make_bucket_update(max_bucket=256, state_ttl_ms=0)
+    state = _StubGroupState()
+    pdf = pd.DataFrame({"band_hash": [9], "doc_id": [4]})
+    out = _run_update(update, (1, 0), [pdf], state)
+    assert len(out) == 1 and len(out[0]) == 0  # first member: no pairs yet
+    assert state.timeout_set is None
