@@ -1,0 +1,103 @@
+"""Boundary pins for the text-quality core (VERDICT r14 item 5): the
+three oldest-evidence queries — text_lm_perplexity, text_langid,
+text_quality_score — get one cross-check each that exercises a boundary
+the DuckDB oracle cannot see drift on, because the synthetic documents
+corpus never lands exactly on it:
+
+- a hand-computed bigram-LM case (counts, conditional probabilities and
+  bits/bigram worked out on paper, including the no-bigram doc);
+- a fixed multilingual fixture that pins the tie-break PRIORITY order
+  and the shared-stopword trap ('de'/'la' belong to the es/fr lists,
+  not the German one);
+- the quality gate's exact edges: 50/5000-char length bounds inclusive,
+  and the floor() of the 1%-stopword threshold (99 tokens → floor(0.99)
+  = 0, so a stopword-free doc still passes).
+
+Each test runs the REGISTRY query itself over a minimal documents
+parquet, so the pins cover the full query path, not just the helper
+functions.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+
+def _write_docs(dirpath, texts) -> str:
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts), type=pa.string()),
+            "source": pa.array(["fixture"] * len(texts), type=pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+        }
+    )
+    dirpath.mkdir(exist_ok=True)
+    pq.write_table(t, dirpath / "documents.parquet")
+    return str(dirpath)
+
+
+def test_lm_perplexity_hand_computed_bigrams(spark, tmp_path):
+    # Corpus: doc0 "a b a b", doc1 "a b c", doc2 "x" (no bigrams).
+    # Bigram stream: (a,b) (b,a) (a,b) | (a,b) (b,c).
+    # c12: (a,b)=3, (b,a)=1, (b,c)=1;  c1: a=3, b=2.
+    # terms: log2(3/3)=0; log2(1/2)=-1; log2(1/2)=-1.
+    # doc0: -(0 + -1 + 0) / 3 = 1/3 = 0.333333 (round 6)
+    # doc1: -(0 + -1) / 2 = 0.5
+    # doc2: 0 bigrams, bits NULL (left join keeps the row).
+    sf = _write_docs(tmp_path / "sf", ["a b a b", "a b c", "x"])
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_lm_perplexity"].fn(spark, sf).collect()
+    }
+    assert rows[0]["n_bigrams"] == 3 and rows[0]["bits_per_bigram"] == 0.333333
+    assert rows[1]["n_bigrams"] == 2 and rows[1]["bits_per_bigram"] == 0.5
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["bits_per_bigram"] is None
+
+
+def test_langid_priority_and_shared_stopwords(spark, tmp_path):
+    texts = [
+        "the der",               # en=1 de=1 → tie → 'en' (priority order)
+        "la la",                 # 'la' is in BOTH es and fr lists → tie → 'es'
+        "der die das und ist",   # unambiguous German
+        "de de de",              # 'de' is an es stopword, NOT a German one
+        "le les des et",         # unambiguous French
+        "zzz qqq",               # zero hits anywhere → 'und'
+        "",                      # empty → zero hits → 'und'
+    ]
+    expect = ["en", "es", "de", "es", "fr", "und", "und"]
+    sf = _write_docs(tmp_path / "sf", texts)
+    rows = {
+        r["doc_id"]: r["lang_pred"]
+        for r in REGISTRY["text_langid"].fn(spark, sf).collect()
+    }
+    assert [rows[i] for i in range(len(texts))] == expect
+
+
+def test_quality_gate_exact_edges(spark, tmp_path):
+    texts = [
+        "the " + "x" * 46,        # exactly 50 chars → inclusive lower bound passes
+        "the " + "x" * 45,        # 49 chars → fails
+        "the " + "x" * 4996,      # exactly 5000 chars → inclusive upper bound passes
+        "the " + "x" * 4997,      # 5001 chars → fails
+        "the" + " x" * 99,        # 100 tokens, 1 stopword: floor(1.0)=1, 1>=1 → passes
+        "y" + " x" * 99,          # 100 tokens, 0 stopwords: 0>=1 → fails
+        "x" + " x" * 98,          # 99 tokens, 0 stopwords: floor(0.99)=0, 0>=0 → passes
+    ]
+    assert len(texts[0]) == 50 and len(texts[1]) == 49
+    assert len(texts[2]) == 5000 and len(texts[3]) == 5001
+    expect = [True, False, True, False, True, False, True]
+    sf = _write_docs(tmp_path / "sf", texts)
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_quality_score"].fn(spark, sf).collect()
+    }
+    assert [rows[i]["passes_quality"] for i in range(len(texts))] == expect
+    # And the ratio columns on the 100-token single-stopword doc:
+    # hits/tokens = 1/100; token lengths sum = 3 + 99 = 102 → 1.02.
+    assert rows[4]["stopword_ratio"] == 0.01
+    assert rows[4]["mean_token_len"] == 1.02
