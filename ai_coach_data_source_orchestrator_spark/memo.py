@@ -1,0 +1,46 @@
+"""Per-SparkContext memoization for plan-construction artifacts.
+
+Column objects built with ``F.expr`` wrap py4j JVM handles, and
+``UserDefinedFunction`` objects cache their JVM-side registration after
+first use — both are safe to reuse *within* one SparkContext but go
+stale if the context is stopped and a new one started (as the test
+suite does between modules). ``per_context_cache`` therefore keys the
+memo on the live SparkContext object itself: the cache dict lives in
+the context's ``__dict__`` and dies with it, so a fresh context
+rebuilds everything exactly once.
+
+Motivation (optimization r15, guide §1): building the wide static
+expressions (64-term dot chains, 8×64-term sign-LSH signatures, 64
+min-hash aggregates) costs 0.1–0.9 s of driver-side string building +
+SQL-parser py4j round-trips per query call, re-paid on every bench
+invocation. The expressions are pure functions of their arguments.
+"""
+
+from __future__ import annotations
+
+from functools import wraps
+
+
+def per_context_cache(fn):
+    """Memoize ``fn(*args)`` per active SparkContext.
+
+    Args must be hashable. With no active context the call passes
+    through uncached (the result would be unusable anyway for
+    JVM-backed artifacts; pure-Python results just skip the memo).
+    """
+    name = fn.__qualname__
+
+    @wraps(fn)
+    def wrapper(*args):
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is None:
+            return fn(*args)
+        cache = sc.__dict__.setdefault("_ai_coach_plan_memo", {})
+        key = (name, args)
+        if key not in cache:
+            cache[key] = fn(*args)
+        return cache[key]
+
+    return wrapper

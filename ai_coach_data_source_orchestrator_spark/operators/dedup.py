@@ -31,6 +31,7 @@ ops) — no Python in the hot path.
 from __future__ import annotations
 
 import warnings
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +39,7 @@ from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import fingerprint, shingles_of_tokens, tokens
+from ..memo import per_context_cache
 from ..sources.tables import ensure_parallelism
 
 
@@ -54,6 +56,53 @@ def _stage(df: DataFrame) -> DataFrame:
 
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 32  # rows-per-band = NUM_PERM / BANDS = 2
+
+
+# ---------------------------------------------------------------------------
+# Memoized wide-expression builders (optimization r15, guide §1: measured
+# 0.3–0.9 s of driver-side plan construction per query call, re-paid on
+# every bench invocation). A Column is an immutable unresolved-expression
+# template, safe to reuse across plans within one SparkContext (the py4j
+# handle dies with the context — hence per_context_cache, not lru_cache);
+# caching skips both the string build and the SQL-parser round-trip.
+# ---------------------------------------------------------------------------
+@per_context_cache
+def _minhash_sig_expr(num_perm: int) -> Column:
+    mins = ", ".join(f"min(xxhash64(hg, {p}))" for p in range(num_perm))
+    return F.expr(f"array({mins})")
+
+
+@per_context_cache
+def _band_hash_expr(num_perm: int, bands: int) -> Column:
+    rows_per_band = num_perm // bands
+    return F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64("
+            + ", ".join(f"ms[{b * rows_per_band + r}]" for r in range(rows_per_band))
+            + ")"
+            for b in range(bands)
+        )
+        + ")"
+    )
+
+
+@per_context_cache
+def _simhash_bit_sums_expr() -> Column:
+    bit_sums = ", ".join(
+        f"sum(if((shiftright(h, {b}) & 1) = 1, 1, -1))" for b in range(64)
+    )
+    return F.expr(f"array({bit_sums})")
+
+
+@per_context_cache
+def _simhash_reassemble_expr() -> Column:
+    return F.expr(
+        " | ".join(
+            f"IF(bs[{b}] > 0, SHIFTLEFT(CAST(1 AS BIGINT), {b}), CAST(0 AS BIGINT))"
+            for b in range(64)
+        )
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -163,20 +212,13 @@ def minhash_lsh_pairs(
     )
     # Single-F.expr forms (see simhash): num_perm min-aggregates and the
     # per-band re-hash each cost hundreds of py4j round-trips as Column
-    # objects — seconds of driver-side plan construction per call.
-    mins = ", ".join(f"min(xxhash64(hg, {p}))" for p in range(num_perm))
-    sig = exploded.groupBy("doc_id").agg(F.expr(f"array({mins})").alias("ms"))
+    # objects — seconds of driver-side plan construction per call. The
+    # built Columns are memoized per geometry (optimization r15): an
+    # unresolved expression is an immutable template, so repeat query
+    # invocations skip the SQL-parser round-trip too.
+    sig = exploded.groupBy("doc_id").agg(_minhash_sig_expr(num_perm).alias("ms"))
 
-    band_hashes = F.expr(
-        "array("
-        + ", ".join(
-            "xxhash64("
-            + ", ".join(f"ms[{b * rows_per_band + r}]" for r in range(rows_per_band))
-            + ")"
-            for b in range(bands)
-        )
-        + ")"
-    )
+    band_hashes = _band_hash_expr(num_perm, bands)
     # banded is tiny (3 longs × bands per doc) and feeds BOTH sides of
     # the self-join — persist so the signature aggregation runs once.
     banded = _stage(sig.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash")))
@@ -580,18 +622,11 @@ def simhash(
     # Both wide expressions are built as ONE F.expr string each: the
     # Column-API form (64 sum(when(...)) objects + a 64-term bitwiseOR
     # chain) cost ~1.5 s of pure py4j plan construction per call —
-    # 4× the actual execution time at sf0.1.
-    bit_sums = ", ".join(
-        f"sum(if((shiftright(h, {b}) & 1) = 1, 1, -1))" for b in range(64)
-    )
-    agg = toks.groupBy("doc_id").agg(F.expr(f"array({bit_sums})").alias("bs"))
-    sim = F.expr(
-        " | ".join(
-            f"IF(bs[{b}] > 0, SHIFTLEFT(CAST(1 AS BIGINT), {b}), CAST(0 AS BIGINT))"
-            for b in range(64)
-        )
-    )
-    return agg.select("doc_id", sim.alias("simhash"))
+    # 4× the actual execution time at sf0.1 — and are memoized at module
+    # scope (optimization r15) so repeat invocations skip even the
+    # parser round-trip.
+    agg = toks.groupBy("doc_id").agg(_simhash_bit_sums_expr().alias("bs"))
+    return agg.select("doc_id", _simhash_reassemble_expr().alias("simhash"))
 
 
 def simhash_pairs(

@@ -16,10 +16,13 @@ IEEE-deterministic and engine-comparable.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..memo import per_context_cache
 from ..sources.tables import ensure_parallelism
 
 
@@ -52,14 +55,21 @@ def cosine(a: Column, b: Column) -> Column:
 #    costing seconds of pure driver-side plan CONSTRUCTION per query.
 # The `+` chain parses left-associative — bit-identical summation order
 # to the left-fold, so oracle parity is unaffected.
+# All three are memoized (optimization r15): unresolved-expression
+# Columns are immutable templates, and the string build + SQL-parser
+# py4j round-trip for 64-term chains costs tens of ms per call, re-paid
+# on every bench invocation otherwise.
+@per_context_cache
 def dot_expr(a: str, b: str, dim: int) -> Column:
     return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)))
 
 
+@per_context_cache
 def l2_norm_expr(a: str, dim: int) -> Column:
     return F.expr("sqrt(" + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(dim)) + ")")
 
 
+@per_context_cache
 def cosine_expr(a: str, b: str, dim: int) -> Column:
     return dot_expr(a, b, dim) / (l2_norm_expr(a, dim) * l2_norm_expr(b, dim))
 
@@ -96,6 +106,7 @@ def brute_force_topk(
     )
 
 
+@per_context_cache
 def _np_cosine_udf():
     """Arrow-vectorized batch cosine: numpy matrix ops per Arrow batch.
 
@@ -126,6 +137,7 @@ def _np_cosine_udf():
     return cos
 
 
+@per_context_cache
 def _np_signature_udf(dim: int, bits: int, n_tables: int):
     """All n_tables sign-LSH bucket ids in one Arrow batch matmul:
     ``V @ H.T → signs → bit-packed``. The unrolled-SQL signature form
@@ -155,19 +167,23 @@ def _np_signature_udf(dim: int, bits: int, n_tables: int):
     return sig
 
 
-def _hyperplane(j: int, dim: int, seed: int = 0) -> list[float]:
+@lru_cache(maxsize=None)
+def _hyperplane(j: int, dim: int, seed: int = 0) -> tuple[float, ...]:
     """Deterministic ±1 hyperplane j — sha256-derived, no RNG state, so
     every executor (and every rerun) regenerates identical planes.
-    ``seed`` namespaces independent hash tables (multi-table LSH)."""
+    ``seed`` namespaces independent hash tables (multi-table LSH).
+    Memoized (and returning an immutable tuple) — the sha256 derivation
+    is pure and repeat plan builds reuse it."""
     import hashlib
 
     out = []
     for d in range(dim):
         h = hashlib.sha256(f"hyperplane:{seed}:{j}:{d}".encode()).digest()
         out.append(1.0 if h[0] % 2 == 0 else -1.0)
-    return out
+    return tuple(out)
 
 
+@per_context_cache
 def hyperplane_signature(vec: str, dim: int, bits: int = 12, seed: int = 0) -> Column:
     """Deterministic sign-LSH bucket id: bit j = [dot(vec, h_j) > 0].
 
@@ -350,7 +366,19 @@ def cosine_dup_pairs_lsh(
     # and the distinct collapses multi-table collisions before any
     # vector is fetched, so each candidate pair is scored exactly once.
     sig = _np_signature_udf(dim, bits, n_tables)
-    banded = base.select("id", F.posexplode(sig("v")).alias("table", "bucket"))
+    # Persist the banded signature table (optimization r15, guide §2.4
+    # and the minhash `_stage` precedent): BOTH sides of the candidate
+    # self-join consume it, and without the persist each side re-runs
+    # the Arrow signature matmul over the full corpus — two python
+    # passes (measured ~0.4 s fixed each at sf0.1; a full corpus
+    # re-scan + re-hash at real scale). MEMORY_AND_DISK so eviction
+    # degrades to recompute, never OOM; the persisted frame is
+    # (id, table, bucket) only — never the vectors.
+    from pyspark import StorageLevel
+
+    banded = base.select("id", F.posexplode(sig("v")).alias("table", "bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("table", "bucket")
@@ -567,10 +595,36 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
     c = ivf_assign(c, "nv", cent_mat, 1).withColumn("cid", F.col("cids")[0]).drop("cids")
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
-    q = ivf_assign(q, "qv", cent_mat, n_probe).select(
-        "query_id", "qv", F.explode("cids").alias("cid")
+    # Query-side assignment runs on the DRIVER (optimization r15, guide
+    # §4): the query set is bounded-small by this operator's contract
+    # (it is broadcast into the probe join either way), so collecting it
+    # costs what the broadcast already cost — while the distributed form
+    # paid a dedicated Arrow python stage (~0.2 s fixed, measured) plus
+    # its own scan job just to score |queries| rows against a centroid
+    # matrix that already lives on the driver. Same numpy ops as
+    # ``_np_nearest_centroids_udf`` (normalize → matmul → stable
+    # argsort), so the probed-list choice is bit-identical.
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    q_proj = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    q_rows = q_proj.collect()
+    Cn = cent_mat / np.maximum(np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12)
+    probe_rows = []
+    for r in q_rows:
+        v = np.asarray(r["qv"], dtype="float64")
+        vn = v / max(float(np.linalg.norm(v)), 1e-12)
+        order = np.argsort(-(vn @ Cn.T), kind="stable")[:n_probe]
+        probe_rows.extend(
+            (r["query_id"], list(r["qv"]), int(cid)) for cid in order
+        )
+    q_schema = StructType(
+        [*q_proj.schema.fields, StructField("cid", IntegerType(), False)]
+    )
+    q = queries.sparkSession.createDataFrame(probe_rows, schema=q_schema)
     sim = cosine_expr("qv", "nv", dim)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Per-query profiling harness for the optimization rounds (guide §1).
+
+For each selected registry query at $SPARK_GRAFT_SF_DIR:
+  - t_build   — driver-side plan construction (the fn() call itself)
+  - t_cold    — first noop-sink write (includes codegen/janino compile)
+  - t_warm    — best of N further noop writes (steady state)
+  - plan file — .explain("formatted") captured to plans/r15/<name>_<tag>.txt
+
+Usage:
+    python scripts/profile_headline.py [--tag before] [--out plans/r15] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY  # noqa: E402
+from ai_coach_data_source_orchestrator_spark.session import get_spark  # noqa: E402
+from bench import HEADLINE  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", default="before")
+    ap.add_argument("--out", default="plans/r15")
+    ap.add_argument("--warm-runs", type=int, default=2)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = args.names or [n for n in HEADLINE if n in REGISTRY]
+    os.makedirs(args.out, exist_ok=True)
+
+    spark = get_spark("ai-coach-orchestrator-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Session warm-up: JVM codegen machinery + parquet footers.
+    from ai_coach_data_source_orchestrator_spark.sources.tables import TABLES, load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception as e:  # noqa: BLE001
+            print(f"warmup {t}: {type(e).__name__}", file=sys.stderr)
+    # Python worker pool warmup (same rationale as bench.py): don't
+    # charge the one-time worker fork + pandas import storm to the
+    # first python-UDF query measured.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    globals().setdefault("pd", pd)
+
+    @F.pandas_udf("double")
+    def _py_warm(x: pd.Series) -> pd.Series:
+        return x
+
+    (
+        spark.range(1_000, numPartitions=spark.sparkContext.defaultParallelism)
+        .select(_py_warm(F.col("id").cast("double")).alias("x"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    results = {}
+    for name in names:
+        spec = REGISTRY[name]
+        spark.sparkContext.setJobDescription(f"profile: {name}")
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        t_build = time.perf_counter() - t0
+
+        buf = io.StringIO()
+        t0 = time.perf_counter()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        t_explain = time.perf_counter() - t0
+        with open(os.path.join(args.out, f"{name}_{args.tag}.txt"), "w") as f:
+            f.write(buf.getvalue())
+
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t_cold = time.perf_counter() - t0
+
+        warms = []
+        for _ in range(args.warm_runs):
+            df2 = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df2.write.format("noop").mode("overwrite").save()
+            warms.append(time.perf_counter() - t0)
+        results[name] = {
+            "build": round(t_build, 3),
+            "explain": round(t_explain, 3),
+            "cold_noop": round(t_cold, 3),
+            "warm_noop": round(min(warms), 3),
+        }
+        print(name, json.dumps(results[name]), flush=True)
+        spark.sparkContext.setJobDescription(None)
+
+    print(json.dumps({"tag": args.tag, "sf_dir": sf_dir, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
