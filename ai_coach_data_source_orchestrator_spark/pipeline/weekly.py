@@ -208,6 +208,17 @@ def run_weekly_digest(
         .drop("p_key", "p_type", "p_parent_key", "g_key", "g_type")
     )
 
+    # `issues` fans out to six consumers (count, cube, status blocks,
+    # changelog semi-join, in-scope epics, distinct-key count), each a
+    # separate driver action — without a persist every one re-runs the
+    # semi-join + alias match + two epic joins (optimization r15, guide
+    # §5: reused AND expensive to recompute). Materialized here by the
+    # count() the pct math needs anyway; MEMORY_AND_DISK so eviction
+    # degrades to recompute.
+    from pyspark import StorageLevel
+
+    issues = issues.persist(StorageLevel.MEMORY_AND_DISK)
+
     # A1-A5: one cube pass → status totals (+canonical order) and
     # status×assignee cells; pct at 1 decimal (team-report.js:442-502).
     cells = issues.cube("status_c", "assignee_c").agg(F.count("*").alias("n"))
@@ -291,6 +302,10 @@ def run_weekly_digest(
     tree = ET.render_epic_tree(inputs.jira_issues, comments=inputs.jira_comments)
     tree = tree.join(in_scope_epics, "epic_key", "left_semi")
     tree = ET.inject_changelog(tree, ET.changelog_bullets(inputs.jira_changelogs, end_date=end))
+    # Collected TWICE (raw here, linkified for the datasource below) —
+    # persist so the full nested render + changelog injection runs once
+    # (optimization r15, guide §5); the first collect materializes it.
+    tree = tree.persist(StorageLevel.MEMORY_AND_DISK)
     epic_tree_md = "\n\n".join(
         r["markdown"] for r in tree.orderBy("epic_key").collect()
     )
@@ -325,6 +340,10 @@ def run_weekly_digest(
             | ((F.size("participants") > 2) & (F.col("matched_count") > 0))
         )
         .select("filename", "participants", "matched_count")
+        # Consumed by the kept-transcripts semi-join AND the A9 count —
+        # persist so the participant parse + threshold join runs once
+        # (optimization r15, guide §5).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Each kept transcript becomes the reference's FULL converted
     # document (transcript_ops.transcript_document, golden-pinned:
@@ -355,11 +374,19 @@ def run_weekly_digest(
     )
 
     # --- Digest assembly (A6-A9, U6, K6) ----------------------------------
+    # A8 row count + distinct-author count in ONE aggregation job
+    # instead of two actions over the same frame (optimization r15,
+    # guide §1/§5) — values identical: count(1) ≡ count(), and
+    # countDistinct ≡ select().distinct().count() (author is non-null:
+    # concat_ws never yields NULL).
+    d_row = daily_by_day.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("author").alias("a")
+    ).collect()[0]
     summary = {
         "n_issues": total,
         "n_distinct_keys": issues.select("key").distinct().count(),  # A6
-        "n_daily_reports": daily_by_day.count(),  # A8
-        "n_daily_authors": daily_by_day.select("author").distinct().count(),
+        "n_daily_reports": d_row["n"],  # A8
+        "n_daily_authors": d_row["a"],
         "n_transcripts": transcript_files.count(),  # A9
         "date_range": f"{start} to {end}",
         "team": team,

@@ -1355,12 +1355,33 @@ def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, queries, k=TOP_K, n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=64
         ),
     }
+    # Both audit inputs fan out to TWO consumers each (bf → n_bf + hits;
+    # ann → n_ann + hits). Without a persist every consumer re-executes
+    # its full subtree — measured 29.0 s warm for the audit vs 15.8 s
+    # for the sum of its legs at sf0.1, i.e. every corpus scan, LSH
+    # signature, IVF assignment and PQ scoring ran TWICE (optimization
+    # r15, guide §2.4/§5). The persisted frames are (query_id,
+    # neighbor_id[, method]) only — ≤ |queries|·k·(len(legs)+1) rows,
+    # never vectors — so this is the `_stage` pattern dedup.py already
+    # uses: bounded metadata, MEMORY_AND_DISK so eviction degrades to
+    # recompute. The count() after each persist is a materialization
+    # barrier: AQE submits independent shuffle stages concurrently, and
+    # two consumers racing a COLD cache each compute the full subtree
+    # (measured: persist alone still cost 38 s fresh — the race), while
+    # a materialized cache is read by both. This makes the docstring's
+    # "computed ONCE and reused" literally true in the physical plan.
+    from pyspark import StorageLevel
+
+    bf = bf.persist(StorageLevel.MEMORY_AND_DISK)
+    bf.count()
     ann = None
     for method, leg in legs.items():
         tagged = leg.select(
             F.lit(method).alias("method"), "query_id", "neighbor_id"
         )
         ann = tagged if ann is None else ann.unionByName(tagged)
+    ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
+    ann.count()
     n_bf = (
         bf.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_exact"))

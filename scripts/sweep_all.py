@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Full-registry timing sweep for the optimization rounds (guide §1).
+
+One cold + N warm noop-sink runs per registry query at
+$SPARK_GRAFT_SF_DIR; prints one line per query and a JSON summary.
+Lighter than bench.py --ALL (no gate, no remeasure) — this is a
+hotspot *finder*, not an artifact generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY  # noqa: E402
+from ai_coach_data_source_orchestrator_spark.session import get_spark  # noqa: E402
+
+EXCLUDE = {
+    # O(n²)-by-design baselines (bench.py EXCLUDE_AT_SCALE)
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_runs = int(os.environ.get("SWEEP_WARM_RUNS", "1"))
+    only = sys.argv[1:]
+
+    spark = get_spark("ai-coach-orchestrator-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    from ai_coach_data_source_orchestrator_spark.sources.tables import TABLES, load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:  # noqa: BLE001
+            pass
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    globals().setdefault("pd", pd)
+
+    @F.pandas_udf("double")
+    def _py_warm(x: pd.Series) -> pd.Series:
+        return x
+
+    (
+        spark.range(1_000, numPartitions=spark.sparkContext.defaultParallelism)
+        .select(_py_warm(F.col("id").cast("double")).alias("x"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    out = {}
+    names = only or [n for n in REGISTRY if n not in EXCLUDE]
+    for name in names:
+        spec = REGISTRY[name]
+        spark.sparkContext.setJobDescription(f"sweep: {name}")
+        try:
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            t_build = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t_cold = time.perf_counter() - t0
+            warms = []
+            for _ in range(warm_runs):
+                df2 = spec.fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df2.write.format("noop").mode("overwrite").save()
+                warms.append(time.perf_counter() - t0)
+            out[name] = {
+                "build": round(t_build, 3),
+                "cold": round(t_cold, 3),
+                "warm": round(min(warms), 3),
+            }
+            print(name, json.dumps(out[name]), flush=True)
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(name, "ERROR", out[name]["error"], flush=True)
+        spark.sparkContext.setJobDescription(None)
+    print("SWEEP_JSON " + json.dumps({"sf_dir": sf_dir, "results": out}))
+
+
+if __name__ == "__main__":
+    main()
