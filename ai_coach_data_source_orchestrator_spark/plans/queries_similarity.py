@@ -1356,32 +1356,35 @@ def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     # Both audit inputs fan out to TWO consumers each (bf → n_bf + hits;
-    # ann → n_ann + hits). Without a persist every consumer re-executes
-    # its full subtree — measured 29.0 s warm for the audit vs 15.8 s
-    # for the sum of its legs at sf0.1, i.e. every corpus scan, LSH
-    # signature, IVF assignment and PQ scoring ran TWICE (optimization
-    # r15, guide §2.4/§5). The persisted frames are (query_id,
-    # neighbor_id[, method]) only — ≤ |queries|·k·(len(legs)+1) rows,
-    # never vectors — so this is the `_stage` pattern dedup.py already
-    # uses: bounded metadata, MEMORY_AND_DISK so eviction degrades to
-    # recompute. The count() after each persist is a materialization
-    # barrier: AQE submits independent shuffle stages concurrently, and
-    # two consumers racing a COLD cache each compute the full subtree
-    # (measured: persist alone still cost 38 s fresh — the race), while
-    # a materialized cache is read by both. This makes the docstring's
-    # "computed ONCE and reused" literally true in the physical plan.
-    from pyspark import StorageLevel
-
-    bf = bf.persist(StorageLevel.MEMORY_AND_DISK)
-    bf.count()
+    # ann → n_ann + hits). Without a materialization barrier every
+    # consumer re-executes its full subtree — measured 29.0 s warm for
+    # the audit vs 15.8 s for the sum of its legs at sf0.1, i.e. every
+    # corpus scan, LSH signature, IVF assignment and PQ scoring ran
+    # TWICE (optimization r15, guide §2.4/§5). A persist()+count()
+    # barrier fixed the double-compute but traded it for the
+    # cached-plan trap: Spark does not re-apply AQE partition
+    # coalescing to InMemoryRelation subtrees
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning), so
+    # every window/join shuffle inside the four legs materialized at
+    # full shuffle width into the cache and the downstream joins
+    # re-read it through wide exchanges — measured 50.3 s build +
+    # 7.4 s/noop at sf0.1.  Both frames are BOUNDED METADATA by the
+    # audit's sampled-query contract — ≤ |queries|·k rows (bf) and
+    # ≤ |legs|·|queries|·k rows (ann), (query_id, neighbor_id[,
+    # method]) only, never vectors — so the right barrier is the same
+    # bounded collect ivf_topk/pq_adc_topk already use: run each leg
+    # exactly once, pull the id pairs to the driver, and rebuild them
+    # as local relations. The whole recall rollup then runs as one
+    # shuffle-free job over broadcast-sized local tables (measured
+    # build 50.3 → ~16 s = the legs themselves; noop 7.4 → <0.3 s).
+    bf = spark.createDataFrame(bf.collect(), bf.schema)
     ann = None
     for method, leg in legs.items():
         tagged = leg.select(
             F.lit(method).alias("method"), "query_id", "neighbor_id"
         )
         ann = tagged if ann is None else ann.unionByName(tagged)
-    ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
-    ann.count()
+    ann = spark.createDataFrame(ann.collect(), ann.schema)
     n_bf = (
         bf.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_exact"))
