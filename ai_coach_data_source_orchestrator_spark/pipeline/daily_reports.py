@@ -78,10 +78,6 @@ def render_daily_reports_md(reports: DataFrame, generated: str) -> str:
     client_project_name, report_template_name, report_date (string or
     date), content (HTML), todo (HTML), client_project_id, employee_id.
     """
-    rows_exist = reports.limit(1).count() > 0
-    if not rows_exist:
-        return "# Daily Reports\n\nNo daily report data available."
-
     d = reports.withColumn("__date_key", F.col("report_date").cast("string"))
     w_date = Window.partitionBy("__date_key")
     name = _employee_name()
@@ -159,6 +155,14 @@ def render_daily_reports_md(reports: DataFrame, generated: str) -> str:
         .orderBy("__date_key")
     )
 
+    # Empty-input check rides the body collect instead of a dedicated
+    # limit(1).count() pre-action (optimization r15, guide §5: three
+    # driver actions → two; an empty frame yields zero per-date groups,
+    # exactly the old rows_exist=False condition).
+    per_rows = per_date.collect()
+    if not per_rows:
+        return "# Daily Reports\n\nNo daily report data available."
+
     first = (
         d.orderBy("__date_key", "employee_id")
         .select(
@@ -178,5 +182,5 @@ def render_daily_reports_md(reports: DataFrame, generated: str) -> str:
         header += f"**Template**: {first['template']}  \n"
     header += f"**Generated**: {generated}\n\n"
 
-    body = "".join(r["date_md"] for r in per_date.collect())
+    body = "".join(r["date_md"] for r in per_rows)
     return (header + body).strip(_JS_WS) + "\n"

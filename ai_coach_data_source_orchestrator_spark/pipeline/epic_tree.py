@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..memo import per_context_cache
+
 _HEADING_KEY_RE = r"^#{3,4} \[([A-Z][A-Z0-9]+-[0-9]+)\]"
 # The reference's change-arrow glyph (jira/lib/changelog-flatten.js:96:
 # `${from} \u2192 ${to}`). A module constant so the oracle mutation
@@ -206,6 +208,7 @@ def render_epic_tree(issues: DataFrame, comments: DataFrame | None = None) -> Da
     )
 
 
+@per_context_cache
 def compact_change_line() -> Column:
     """X21 compact change-item summary — faithful port of ``compactItem``
     (jira/lib/changelog-flatten.js:81-148) over columns

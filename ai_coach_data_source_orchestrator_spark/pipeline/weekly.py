@@ -222,7 +222,17 @@ def run_weekly_digest(
     # A1-A5: one cube pass → status totals (+canonical order) and
     # status×assignee cells; pct at 1 decimal (team-report.js:442-502).
     cells = issues.cube("status_c", "assignee_c").agg(F.count("*").alias("n"))
-    total = issues.count()
+    # Row total (pct denominator) and the A6 distinct-key count in ONE
+    # aggregation job instead of two driver actions over the same frame
+    # (optimization r15, guide §1/§5) — values identical: count(1) ≡
+    # count(), and countDistinct("key") ≡ select("key").distinct()
+    # .count() because issue keys are the non-null document key (the
+    # fixture builds them with concat; a Jira export's key column is its
+    # primary key). This action also materializes the persisted frame.
+    tot_row = issues.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("key").alias("d")
+    ).collect()[0]
+    total = tot_row["n"]
     status_stats = (
         cells.where(F.col("status_c").isNotNull())
         .withColumn("status_rank", _status_rank())
@@ -302,13 +312,20 @@ def run_weekly_digest(
     tree = ET.render_epic_tree(inputs.jira_issues, comments=inputs.jira_comments)
     tree = tree.join(in_scope_epics, "epic_key", "left_semi")
     tree = ET.inject_changelog(tree, ET.changelog_bullets(inputs.jira_changelogs, end_date=end))
-    # Collected TWICE (raw here, linkified for the datasource below) —
-    # persist so the full nested render + changelog injection runs once
-    # (optimization r15, guide §5); the first collect materializes it.
-    tree = tree.persist(StorageLevel.MEMORY_AND_DISK)
-    epic_tree_md = "\n\n".join(
-        r["markdown"] for r in tree.orderBy("epic_key").collect()
+    # Consumed twice (raw epic-tree section + linkified datasource
+    # section) — one collect carrying BOTH projections instead of a
+    # persist + two driver actions (optimization r15, guide §5: the
+    # second action cost a full job over the cache; the extra column is
+    # the same KB-scale markdown, linkified).
+    tree_rows = (
+        tree.orderBy("epic_key")
+        .select(
+            "markdown",
+            M.linkify_issue_keys(F.col("markdown"), jira_host).alias("linkified"),
+        )
+        .collect()
     )
+    epic_tree_md = "\n\n".join(r["markdown"] for r in tree_rows)
 
     # --- Transcripts vertical (X19/A15/F6/F4) -----------------------------
     # date_from_filename_drive: the download-time filter this models
@@ -384,10 +401,16 @@ def run_weekly_digest(
     ).collect()[0]
     summary = {
         "n_issues": total,
-        "n_distinct_keys": issues.select("key").distinct().count(),  # A6
+        "n_distinct_keys": tot_row["d"],  # A6 — same job as the total above
         "n_daily_reports": d_row["n"],  # A8
         "n_daily_authors": d_row["a"],
-        "n_transcripts": transcript_files.count(),  # A9
+        # A9 — len(t_rows) ≡ transcript_files.count() without another
+        # driver action (optimization r15, guide §5): transcript_files
+        # is one row per filename (participants groups by filename),
+        # and transcript_document groups the semi-joined kept rows by
+        # the same filename key, so both sides count the same distinct
+        # kept-filename set.
+        "n_transcripts": len(t_rows),
         "date_range": f"{start} to {end}",
         "team": team,
     }
@@ -408,12 +431,7 @@ def run_weekly_digest(
     # extra TEAM_REPORT_DATA section — the reference's team-report
     # md_output artifact, which its digest only uses when no epic tree
     # exists.
-    linkified_tree = "\n\n".join(
-        r["c"]
-        for r in tree.orderBy("epic_key")
-        .select(M.linkify_issue_keys(F.col("markdown"), jira_host).alias("c"))
-        .collect()
-    )
+    linkified_tree = "\n\n".join(r["linkified"] for r in tree_rows)
     daily_shipped = daily_md + "\n\n---\n\n" if daily_md else ""
     datasource_text = render_python_datasource(
         {
