@@ -19,6 +19,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,6 +60,48 @@ def two_batch_stream(
     )
 
 
+def _replay_shuffle_partitions(spark: SparkSession) -> str:
+    """State-partition count for the bounded fixture replays.
+
+    A stateful micro-batch runs one state-store task per shuffle
+    partition (open + delta-commit + fsync each), so the per-batch
+    fixed cost is linear in the partition count while the fixtures are
+    a few thousand rows. The session default (32 here; 200 on a vanilla
+    driver session) is throughput sizing for real streams — for the
+    replays it is pure overhead (measured at sf0.1: ~3.6 s → ~2.4 s per
+    twin at 32 → 8; a vanilla 200-partition session pays ~6× that).
+    Overridable via SPARK_GRAFT_REPLAY_SHUFFLE; production streams keep
+    their own sizing — this touches only the replay harness."""
+    env = os.environ.get("SPARK_GRAFT_REPLAY_SHUFFLE")
+    if env:
+        return env
+    try:
+        dp = spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001
+        dp = 8
+    return str(max(1, min(8, dp)))
+
+
+@contextmanager
+def replay_state_conf(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` down to the replay sizing
+    for the duration of a bounded drain, restoring the session value
+    afterwards (availableNow has finished every micro-batch before the
+    drain call returns, so the restore never races a live batch).
+    Results are partition-count independent — every twin's aggregation
+    is deterministic and keyed on natural keys."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _replay_shuffle_partitions(spark))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def drain_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -71,15 +114,17 @@ def drain_to_memory(
     (a False awaitTermination means a PARTIAL sink — surfacing later as
     a baffling oracle mismatch)."""
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(run_dir, f"ckpt_{sink}"))
-        .start()
-    )
-    if not q.awaitTermination(timeout):
+    with replay_state_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(run_dir, f"ckpt_{sink}"))
+            .start()
+        )
+        done = q.awaitTermination(timeout)
+    if not done:
         q.stop()
         raise TimeoutError(f"{name}: drain exceeded {timeout:.0f} s")
     return sink

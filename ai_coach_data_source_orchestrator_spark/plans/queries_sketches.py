@@ -113,16 +113,20 @@ def sketch_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks_stream = stream.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
     sink = f"hll_stream_{_uuid_mod.uuid4().hex[:8]}"
-    q = (
-        hll_registers_stream(toks_stream, "source", "tok")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .start()
-    )
-    if not q.awaitTermination(300):
+    from ._replay import replay_state_conf
+
+    with replay_state_conf(spark):
+        q = (
+            hll_registers_stream(toks_stream, "source", "tok")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         q.stop()
         raise TimeoutError("sketch_stream_hll: drain exceeded 300 s")
 

@@ -373,16 +373,20 @@ def dedup_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64 = 1024 state groups over 32 cores; per-group Python/Arrow
     # overhead was the measured drain floor — see near_dup_gate_stream).
     # A large cluster raises shards to keep per-shard state bounded.
-    q = (
-        ST.near_dup_gate_stream(stream, k=3, num_perm=32, bands=16, bucket_shards=64)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .start()
-    )
-    if not q.awaitTermination(300):
+    from ._replay import replay_state_conf
+
+    with replay_state_conf(spark):
+        q = (
+            ST.near_dup_gate_stream(stream, k=3, num_perm=32, bands=16, bucket_shards=64)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         q.stop()
         raise TimeoutError("dedup_stream_neardup_gate: drain exceeded 300 s")
 
@@ -1669,16 +1673,20 @@ def dedup_stream_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(drop)
     )
     sink = f"cdc_ingest_{_uuid_mod.uuid4().hex[:8]}"
-    q = (
-        chunk_rows_stream(stream, k=_CDC_K, divisor=_CDC_D)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .start()
-    )
-    if not q.awaitTermination(300):
+    from ._replay import replay_state_conf
+
+    with replay_state_conf(spark):
+        q = (
+            chunk_rows_stream(stream, k=_CDC_K, divisor=_CDC_D)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         q.stop()
         raise TimeoutError("dedup_stream_cdc_ingest: drain exceeded 300 s")
     # Single reference to the memory-sink snapshot (multiple references
