@@ -61,6 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = _read_table(spark, path, name)
+    # Row count from the parquet footer — pure metadata (~1 ms, no data
+    # read), attached to the cached handle so ensure_parallelism can
+    # size its fan-out to the table instead of a constant (guide §2.3).
+    try:
+        import pyarrow.parquet as pq
+
+        df.__dict__["_ai_coach_nrows"] = pq.read_metadata(path).num_rows
+    except Exception:  # noqa: BLE001 — sizing is advisory only
+        pass
     per_session[path] = df
     return df
 
@@ -106,6 +115,18 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # Scale-adaptive width (optimization r15, guide §2.3): when the
+    # input is a raw table handle whose footer row count is known, size
+    # the fan-out to ~2 000 rows per partition instead of a constant.
+    # Python/Arrow stages cost ~10 ms of handoff per task regardless of
+    # rows, so fanning a 2 000-row vector table to defaultParallelism
+    # is pure overhead, while a 100 000-row document table still gets
+    # the full width (the cap). At real scale inputs arrive pre-split
+    # and partitions >= target, so this entire function is a no-op
+    # there — the sizing only ever SHRINKS the local fan-out.
+    nrows = df.__dict__.get("_ai_coach_nrows")
+    if min_partitions is None and nrows is not None:
+        target = max(2, min(target, -(-nrows // 2000)))
     memo = df.__dict__.get("_ai_coach_ensure_par")
     if memo is not None and memo[0] == target:
         return memo[1]
