@@ -83,7 +83,10 @@ def as_media_table(docs: DataFrame) -> DataFrame:
 
     payload = F.encode("text", "UTF-8")
     mime = F.element_at(F.array(*[F.lit(m) for m in _MIMES]), (F.col("doc_id") % 3 + 1).cast("int"))
-    return ensure_parallelism(docs).select(
+    # Explicit full width: this frame feeds the per-row python decode
+    # stages downstream (see the fan-out note in synthesize_media_corpus).
+    width = docs.sparkSession.sparkContext.defaultParallelism
+    return ensure_parallelism(docs, width).select(
         "doc_id",
         mime.alias("mime"),
         payload.alias("payload"),
@@ -4285,7 +4288,13 @@ def synthesize_media_corpus(docs: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(docs).select("doc_id").mapInPandas(
+    # Full-width fan-out requested explicitly: per-doc codec work is
+    # milliseconds of python (entropy coding / box-tree walks), orders
+    # above the ~10 ms task handoff, so even a footer-small doc table
+    # wants every core (the row-adaptive sizing in ensure_parallelism
+    # is tuned for cheap-per-row column work and would undersize this).
+    width = docs.sparkSession.sparkContext.defaultParallelism
+    return ensure_parallelism(docs, width).select("doc_id").mapInPandas(
         _synth, schema=SYNTH_MEDIA_SCHEMA
     )
 
@@ -4438,7 +4447,13 @@ def synthesize_probe_corpus(docs: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(docs).select("doc_id").mapInPandas(
+    # Full-width fan-out requested explicitly: per-doc codec work is
+    # milliseconds of python (entropy coding / box-tree walks), orders
+    # above the ~10 ms task handoff, so even a footer-small doc table
+    # wants every core (the row-adaptive sizing in ensure_parallelism
+    # is tuned for cheap-per-row column work and would undersize this).
+    width = docs.sparkSession.sparkContext.defaultParallelism
+    return ensure_parallelism(docs, width).select("doc_id").mapInPandas(
         _synth, schema=SYNTH_MEDIA_SCHEMA
     )
 

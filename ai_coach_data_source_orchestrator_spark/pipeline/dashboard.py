@@ -108,7 +108,15 @@ def run_dashboard_week(
     )
 
     day_rows = by_day.collect()
-    unknown_rows = unknown.orderBy("filename").collect()
+    # One filename-ordered collect of the parsed frame serves BOTH the
+    # transcript section and the unknown-dates section (optimization
+    # r15, guide §5: unknown is parsed filtered on fdate IS NULL, so
+    # the driver-side filter yields the identical ordered rows the
+    # second collect produced).
+    parsed_rows = parsed.orderBy("filename").select(
+        "filename", "content", "fdate"
+    ).collect()
+    unknown_rows = [r for r in parsed_rows if r["fdate"] is None]
     # Reference shape exactly: TRANSCRIPT_DATA_BY_DAY is the 7-element
     # frame array itself — [{day, date, transcripts: [CONTENTS]}] —
     # while unparseable-date files ship as a separate TEXT section
@@ -129,7 +137,7 @@ def run_dashboard_week(
     wrap = "\n# Transcript: {f}\n\n{c}\n\n---\n\n"
     transcript_text = "".join(
         wrap.format(f=r["filename"], c=r["content"])
-        for r in parsed.orderBy("filename").collect()
+        for r in parsed_rows
         if r["content"]
     )
     unknown_text = "".join(

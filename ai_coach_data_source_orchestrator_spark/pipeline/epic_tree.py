@@ -208,8 +208,17 @@ def render_epic_tree(issues: DataFrame, comments: DataFrame | None = None) -> Da
     )
 
 
-@per_context_cache
 def compact_change_line() -> Column:
+    """Memoized entry point — re-reads the CHANGE_ARROW seam on every
+    call so the oracle-mutation audit (which monkeypatches the module
+    constant) still reaches the built expression; the per-context cache
+    below is keyed on the arrow VALUE, so a mutated constant builds a
+    fresh Column while normal runs reuse one."""
+    return _compact_change_line_cached(CHANGE_ARROW)
+
+
+@per_context_cache
+def _compact_change_line_cached(change_arrow: str) -> Column:
     """X21 compact change-item summary — faithful port of ``compactItem``
     (jira/lib/changelog-flatten.js:81-148) over columns
     field/from_string/to_string; shared with the weekly pipeline render
@@ -232,7 +241,7 @@ def compact_change_line() -> Column:
     to_s = F.coalesce(F.col("to_string"), F.lit(""))
     from_str = F.when(from_s == "", F.lit("-")).otherwise(from_s)
     to_str = F.when(to_s == "", F.lit("-")).otherwise(to_s)
-    arrow = F.concat(from_str, F.lit(CHANGE_ARROW), to_str)
+    arrow = F.concat(from_str, F.lit(change_arrow), to_str)
 
     def norm(col: Column) -> Column:
         return F.filter(
