@@ -1377,14 +1377,28 @@ def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as local relations. The whole recall rollup then runs as one
     # shuffle-free job over broadcast-sized local tables (measured
     # build 50.3 → ~16 s = the legs themselves; noop 7.4 → <0.3 s).
-    bf = spark.createDataFrame(bf.collect(), bf.schema)
-    ann = None
+    # ONE action for all five legs (optimization r15, guide §2.6): the
+    # exact leg and the four ANN legs are independent subtrees, and a
+    # single union collect lets the DAG scheduler run their stages
+    # concurrently — the exact leg's scan back-fills cores the ANN
+    # legs' stage tails leave idle (two sequential collects measured
+    # 2.1 s + 2.9 s at sf0.1; merged ≈ the slower of the two). The
+    # split back into bf/ann happens on the driver over the same
+    # bounded id-pair rows; downstream is groupBy/join, so row order
+    # is immaterial (the parity canonicalizer sorts rows either way).
+    union = bf.select(F.lit("bf").alias("method"), "query_id", "neighbor_id")
     for method, leg in legs.items():
-        tagged = leg.select(
-            F.lit(method).alias("method"), "query_id", "neighbor_id"
+        union = union.unionByName(
+            leg.select(F.lit(method).alias("method"), "query_id", "neighbor_id")
         )
-        ann = tagged if ann is None else ann.unionByName(tagged)
-    ann = spark.createDataFrame(ann.collect(), ann.schema)
+    all_rows = union.collect()
+    bf = spark.createDataFrame(
+        [(r["query_id"], r["neighbor_id"]) for r in all_rows if r["method"] == "bf"],
+        bf.schema,
+    )
+    ann = spark.createDataFrame(
+        [r for r in all_rows if r["method"] != "bf"], union.schema
+    )
     n_bf = (
         bf.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_exact"))
