@@ -107,15 +107,28 @@ def run_dashboard_week(
         .orderBy("day")
     )
 
-    day_rows = by_day.collect()
     # One filename-ordered collect of the parsed frame serves BOTH the
     # transcript section and the unknown-dates section (optimization
     # r15, guide §5: unknown is parsed filtered on fdate IS NULL, so
     # the driver-side filter yields the identical ordered rows the
-    # second collect produced).
-    parsed_rows = parsed.orderBy("filename").select(
-        "filename", "content", "fdate"
-    ).collect()
+    # second collect produced). The independent section collects are
+    # submitted from a small thread pool (optimization r15, guide
+    # §2.6) so their jobs overlap instead of running strictly
+    # sequentially; results are gathered in the original program order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    parsed_q = parsed.orderBy("filename").select("filename", "content", "fdate")
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_day = pool.submit(by_day.collect)
+        f_parsed = pool.submit(parsed_q.collect)
+        f_slack = (
+            pool.submit(slack_docs.orderBy("filename").collect)
+            if slack_docs is not None
+            else None
+        )
+        day_rows = f_day.result()
+        parsed_rows = f_parsed.result()
+        slack_rows = f_slack.result() if f_slack is not None else None
     unknown_rows = [r for r in parsed_rows if r["fdate"] is None]
     # Reference shape exactly: TRANSCRIPT_DATA_BY_DAY is the 7-element
     # frame array itself — [{day, date, transcripts: [CONTENTS]}] —
@@ -144,10 +157,10 @@ def run_dashboard_week(
         wrap.format(f=r["filename"], c=r["content"]) for r in unknown_rows
     )
     slack_text = ""
-    if slack_docs is not None:
+    if slack_rows is not None:
         slack_text = "".join(
             f"\n# Slack: {r['filename']}\n\n{r['content']}\n\n---\n\n"
-            for r in slack_docs.orderBy("filename").collect()
+            for r in slack_rows
             if r["content"]
         )
     host = (config.get("jira") or {}).get("host") or ""

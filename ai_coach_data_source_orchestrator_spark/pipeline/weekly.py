@@ -229,14 +229,8 @@ def run_weekly_digest(
     # .count() because issue keys are the non-null document key (the
     # fixture builds them with concat; a Jira export's key column is its
     # primary key). This action also materializes the persisted frame.
-    tot_row = issues.agg(
+    tot_agg = issues.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("key").alias("d")
-    ).collect()[0]
-    total = tot_row["n"]
-    status_stats = (
-        cells.where(F.col("status_c").isNotNull())
-        .withColumn("status_rank", _status_rank())
-        .withColumn("pct", F.round(F.lit(100.0) * F.col("n") / F.lit(max(total, 1)), 1))
     )
 
     # J7/X21: in-range changelog entries, compact-rendered
@@ -270,9 +264,8 @@ def run_weekly_digest(
     # Tie-break non-canonical statuses (same fallback rank) by name so
     # the rendered section order — and hence content_hash — is
     # deterministic across runs (K8/X15 idempotent-upsert contract).
-    jira_md = "\n\n".join(
-        r["content"] for r in status_blocks.orderBy("status_rank", "status_c").collect()
-    )
+    # Collected in the overlapped action block below.
+    status_blocks_q = status_blocks.orderBy("status_rank", "status_c")
 
     # --- Daily-reports vertical (F1/A11/X5) -------------------------------
     daily = inputs.daily_reports.where(F.col("report_date").between(F.lit(start), F.lit(end)))
@@ -300,7 +293,8 @@ def run_weekly_digest(
         "content",
         F.lit(None).cast("string").alias("todo"),
     )
-    daily_md = render_daily_reports_md(daily_renderer_in, generated=generated_at)
+    # Rendered in the overlapped action block below (its two internal
+    # collects are independent of every other section's job).
 
     # --- Epic tree (J6/J8): nested epic→child→subtask render with
     # changelog bullets injected after issue headings — the reference's
@@ -317,15 +311,10 @@ def run_weekly_digest(
     # persist + two driver actions (optimization r15, guide §5: the
     # second action cost a full job over the cache; the extra column is
     # the same KB-scale markdown, linkified).
-    tree_rows = (
-        tree.orderBy("epic_key")
-        .select(
-            "markdown",
-            M.linkify_issue_keys(F.col("markdown"), jira_host).alias("linkified"),
-        )
-        .collect()
+    tree_q = tree.orderBy("epic_key").select(
+        "markdown",
+        M.linkify_issue_keys(F.col("markdown"), jira_host).alias("linkified"),
     )
-    epic_tree_md = "\n\n".join(r["markdown"] for r in tree_rows)
 
     # --- Transcripts vertical (X19/A15/F6/F4) -----------------------------
     # date_from_filename_drive: the download-time filter this models
@@ -381,7 +370,53 @@ def run_weekly_digest(
             F.col("markdown").alias("block"),
         )
     )
-    t_rows = t_blocks.collect()
+    # A8 row count + distinct-author count in ONE aggregation job
+    # instead of two actions over the same frame (optimization r15,
+    # guide §1/§5) — values identical: count(1) ≡ count(), and
+    # countDistinct ≡ select().distinct().count() (author is non-null:
+    # concat_ws never yields NULL).
+    d_agg = daily_by_day.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("author").alias("a")
+    )
+
+    # --- Overlapped driver actions (optimization r15, guide §2.6) ---------
+    # The six remaining actions are the pipeline's REAL outputs (each
+    # section must materialize to a string), but they are independent
+    # jobs the driver was running strictly sequentially — ~1–1.6 s each
+    # at sf0.1, dominated by per-action plan analysis plus small-job
+    # execution. Spark's scheduler happily runs them concurrently;
+    # submitting from a small thread pool lets each job's tasks
+    # back-fill executors the previous job's tail leaves idle. Values
+    # and assembly order are untouched: every future is gathered in the
+    # original program order below, and concurrent materialization of
+    # the shared `issues` persist is block-locked by the cache manager
+    # (one task computes a partition, the others wait).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_tot = pool.submit(tot_agg.collect)
+        f_status = pool.submit(status_blocks_q.collect)
+        f_tree = pool.submit(tree_q.collect)
+        f_t = pool.submit(t_blocks.collect)
+        f_d = pool.submit(d_agg.collect)
+        f_daily = pool.submit(
+            render_daily_reports_md, daily_renderer_in, generated=generated_at
+        )
+        tot_row = f_tot.result()[0]
+        status_rows = f_status.result()
+        tree_rows = f_tree.result()
+        t_rows = f_t.result()
+        d_row = f_d.result()[0]
+        daily_md = f_daily.result()
+
+    total = tot_row["n"]
+    status_stats = (
+        cells.where(F.col("status_c").isNotNull())
+        .withColumn("status_rank", _status_rank())
+        .withColumn("pct", F.round(F.lit(100.0) * F.col("n") / F.lit(max(total, 1)), 1))
+    )
+    jira_md = "\n\n".join(r["content"] for r in status_rows)
+    epic_tree_md = "\n\n".join(r["markdown"] for r in tree_rows)
     transcript_md = "\n\n".join(r["content"] for r in t_rows)
     # The SHIPPED section uses the reference's exact per-file wrapper
     # (generate_weekly_digest.js:386-395: leading newline, blank line
@@ -391,14 +426,6 @@ def run_weekly_digest(
     )
 
     # --- Digest assembly (A6-A9, U6, K6) ----------------------------------
-    # A8 row count + distinct-author count in ONE aggregation job
-    # instead of two actions over the same frame (optimization r15,
-    # guide §1/§5) — values identical: count(1) ≡ count(), and
-    # countDistinct ≡ select().distinct().count() (author is non-null:
-    # concat_ws never yields NULL).
-    d_row = daily_by_day.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("author").alias("a")
-    ).collect()[0]
     summary = {
         "n_issues": total,
         "n_distinct_keys": tot_row["d"],  # A6 — same job as the total above
