@@ -588,13 +588,6 @@ def ivf_topk(
             n_centroids = max(16, math.ceil(math.sqrt(max(n, 1))))
         if centroid_method == "auto":
             centroid_method = "sample" if n <= 4096 else "kmeans"
-    cent_mat = _centroid_matrix(corpus, id_col, vec_col, n_centroids, centroid_method)
-    dim = int(cent_mat.shape[1]) if cent_mat.size else None
-
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
-    )
-    c = ivf_assign(c, "nv", cent_mat, 1).withColumn("cid", F.col("cids")[0]).drop("cids")
     # Query-side assignment runs on the DRIVER (optimization r15, guide
     # §4): the query set is bounded-small by this operator's contract
     # (it is broadcast into the probe join either way), so collecting it
@@ -611,7 +604,27 @@ def ivf_topk(
     q_proj = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    q_rows = q_proj.collect()
+    # The two bounded driver-side inputs — the centroid matrix and the
+    # query rows — are independent jobs; overlap them (optimization
+    # r15, guide §2.6) instead of running them back to back. The
+    # _centroid_matrix seam (and its auto-sizing test pin) is
+    # unchanged; futures are gathered immediately, so any exception
+    # surfaces exactly as before.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_cent = _pool.submit(
+            _centroid_matrix, corpus, id_col, vec_col, n_centroids, centroid_method
+        )
+        _f_q = _pool.submit(q_proj.collect)
+        cent_mat = _f_cent.result()
+        q_rows = _f_q.result()
+    dim = int(cent_mat.shape[1]) if cent_mat.size else None
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    c = ivf_assign(c, "nv", cent_mat, 1).withColumn("cid", F.col("cids")[0]).drop("cids")
     Cn = cent_mat / np.maximum(np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-12)
     probe_rows = []
     for r in q_rows:
