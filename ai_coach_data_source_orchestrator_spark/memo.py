@@ -44,3 +44,61 @@ def per_context_cache(fn):
         return cache[key]
 
     return wrapper
+
+
+# ---------------------------------------------------------------------------
+# Staged-intermediate lifecycle (optimization r16, VERDICT r15 item 1).
+#
+# Operators persist mid-query intermediates that several branches of ONE
+# query consume (LSH banding tables, the weekly pipeline's issue frame).
+# Spark's CacheManager matches cache entries by ANALYZED PLAN, and with
+# the per-session table-handle cache + memoized expression templates a
+# REPEAT invocation of the same query builds a byte-identical plan — so
+# its persist resolved to the PREVIOUS invocation's materialized
+# InMemoryRelation and the "warm" run partially measured cache reads of
+# a mid-query intermediate instead of recompute, while executor memory
+# accumulated across a 158-query session.
+#
+# Fix: every persist call is tracked per SparkContext, and each
+# top-level registry-query invocation RELEASES the previous invocation's
+# stages before building its plan. Within one invocation all stages
+# stay live (the self-join/multi-consumer dedup they exist for);
+# across invocations every byte is recomputed from the parquet inputs.
+# ---------------------------------------------------------------------------
+
+_STAGED_KEY = "_ai_coach_staged_frames"
+
+
+def track_stage(df):
+    """Register a persisted intermediate for release at the start of the
+    next registry-query invocation. Returns ``df`` unchanged."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is not None:
+        sc.__dict__.setdefault(_STAGED_KEY, []).append(df)
+    return df
+
+
+def release_stages() -> None:
+    """Unpersist every intermediate staged by PRIOR query invocations.
+
+    ``blocking=False``: the CacheManager entry is removed synchronously
+    (so an identical plan persisted afterwards gets a FRESH entry and
+    recomputes), block eviction happens in the background. A stale
+    handle from a stopped context is ignored — there is nothing to
+    release there."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return
+    staged = sc.__dict__.get(_STAGED_KEY)
+    if not staged:
+        return
+    sc.__dict__[_STAGED_KEY] = []
+    for df in staged:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 - context churn between tests
+            pass

@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import fingerprint, shingles_of_tokens, tokens
-from ..memo import per_context_cache
+from ..memo import per_context_cache, track_stage
 from ..sources.tables import ensure_parallelism
 
 
@@ -50,9 +50,13 @@ def _stage(df: DataFrame) -> DataFrame:
     query runtime at sf0.1. MEMORY_AND_DISK so eviction degrades to
     recompute, never OOM; in a production pipeline this boundary is a
     stage table (bronze → signatures), which is exactly what a persist
-    models. LRU eviction reclaims leaked handles between queries.
+    models. Tracked via ``track_stage`` (optimization r16, VERDICT r15
+    item 1): the next registry-query invocation unpersists it, so warm
+    repeat runs recompute from parquet instead of reading a prior
+    invocation's InMemoryRelation, and executor memory stays bounded
+    across a full-registry session.
     """
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return track_stage(df.persist(StorageLevel.MEMORY_AND_DISK))
 
 DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 32  # rows-per-band = NUM_PERM / BANDS = 2

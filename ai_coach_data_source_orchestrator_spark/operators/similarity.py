@@ -376,8 +376,16 @@ def cosine_dup_pairs_lsh(
     # (id, table, bucket) only — never the vectors.
     from pyspark import StorageLevel
 
-    banded = base.select("id", F.posexplode(sig("v")).alias("table", "bucket")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from ..memo import track_stage
+
+    # track_stage (optimization r16, VERDICT r15 item 1): the next
+    # registry-query invocation unpersists this stage, so repeat runs
+    # recompute from parquet instead of reading a prior invocation's
+    # InMemoryRelation.
+    banded = track_stage(
+        base.select("id", F.posexplode(sig("v")).alias("table", "bucket")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     if max_bucket_size is not None:
         hot = (
@@ -608,8 +616,11 @@ def ivf_topk(
     # query rows — are independent jobs; overlap them (optimization
     # r15, guide §2.6) instead of running them back to back. The
     # _centroid_matrix seam (and its auto-sizing test pin) is
-    # unchanged; futures are gathered immediately, so any exception
-    # surfaces exactly as before.
+    # unchanged. Exception semantics (ADVICE r15): with both futures
+    # submitted, a failure in one job no longer prevents the sibling
+    # from running to completion — the first-gathered exception still
+    # propagates, but the other job's work is spent either way (both
+    # are bounded driver collects, so the waste is small).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as _pool:

@@ -217,7 +217,13 @@ def run_weekly_digest(
     # degrades to recompute.
     from pyspark import StorageLevel
 
-    issues = issues.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..memo import track_stage
+
+    # track_stage (optimization r16, VERDICT r15 item 1): the next
+    # registry-query invocation unpersists this stage, so repeat runs
+    # recompute from parquet; within THIS run every consumer (including
+    # the returned WeeklyResult frames) still shares one materialization.
+    issues = track_stage(issues.persist(StorageLevel.MEMORY_AND_DISK))
 
     # A1-A5: one cube pass → status totals (+canonical order) and
     # status×assignee cells; pct at 1 decimal (team-report.js:442-502).
@@ -348,9 +354,11 @@ def run_weekly_digest(
         .select("filename", "participants", "matched_count")
         # Consumed by the kept-transcripts semi-join AND the A9 count —
         # persist so the participant parse + threshold join runs once
-        # (optimization r15, guide §5).
+        # (optimization r15, guide §5); released at the next query
+        # invocation via track_stage (r16).
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    transcript_files = track_stage(transcript_files)
     # Each kept transcript becomes the reference's FULL converted
     # document (transcript_ops.transcript_document, golden-pinned:
     # date title, participants, speaker blocks, footer) — the digest
@@ -393,8 +401,15 @@ def run_weekly_digest(
     # (one task computes a partition, the others wait).
     from concurrent.futures import ThreadPoolExecutor
 
+    # The cheap tot_agg collect runs FIRST, alone (ADVICE r15): it
+    # materializes the shared `issues` persist, so the five overlapped
+    # actions below read the cache instead of racing to compute it
+    # (block locking keeps a race correct, but cold-cache partitions
+    # can be computed more than once across concurrent jobs, and a
+    # failure in the materializing job surfaces immediately instead of
+    # after the siblings run to completion).
+    tot_row = tot_agg.collect()[0]
     with ThreadPoolExecutor(max_workers=3) as pool:
-        f_tot = pool.submit(tot_agg.collect)
         f_status = pool.submit(status_blocks_q.collect)
         f_tree = pool.submit(tree_q.collect)
         f_t = pool.submit(t_blocks.collect)
@@ -402,7 +417,6 @@ def run_weekly_digest(
         f_daily = pool.submit(
             render_daily_reports_md, daily_renderer_in, generated=generated_at
         )
-        tot_row = f_tot.result()[0]
         status_rows = f_status.result()
         tree_rows = f_tree.result()
         t_rows = f_t.result()

@@ -1386,10 +1386,23 @@ def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split back into bf/ann happens on the driver over the same
     # bounded id-pair rows; downstream is groupBy/join, so row order
     # is immaterial (the parity canonicalizer sorts rows either way).
-    union = bf.select(F.lit("bf").alias("method"), "query_id", "neighbor_id")
+    # Explicit bigint casts on the id columns (ADVICE r15): every leg
+    # already emits bigint ids, but unionByName would silently widen if
+    # one leg's dtype ever diverged, making the bf rebuild below (which
+    # reuses bf.schema) fail verification — cast so the invariant is
+    # enforced rather than assumed. No-op on today's types.
+    union = bf.select(
+        F.lit("bf").alias("method"),
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+    )
     for method, leg in legs.items():
         union = union.unionByName(
-            leg.select(F.lit(method).alias("method"), "query_id", "neighbor_id")
+            leg.select(
+                F.lit(method).alias("method"),
+                F.col("query_id").cast("bigint").alias("query_id"),
+                F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            )
         )
     all_rows = union.collect()
     bf = spark.createDataFrame(

@@ -51,9 +51,28 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        # Staged-intermediate release (optimization r16, VERDICT r15
+        # item 1): operators persist mid-query intermediates that
+        # several branches of one invocation share; releasing the
+        # PREVIOUS invocation's stages here makes every invocation
+        # recompute from the parquet inputs (no cross-invocation
+        # InMemoryRelation reuse) and bounds executor memory across a
+        # full-registry session to one query's stages. The release is
+        # at query granularity, so composed operators inside one fn
+        # still share their stages.
+        import functools
+
+        from ..memo import release_stages
+
+        @functools.wraps(fn)
+        def invoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_stages()
+            return fn(spark, sf_dir)
+
         REGISTRY[name] = QuerySpec(
             name=name,
-            fn=fn,
+            fn=invoke,
             oracle=oracle,
             survey_ids=tuple(survey_ids),
             description=description or (fn.__doc__ or "").strip().splitlines()[0] if (description or fn.__doc__) else "",

@@ -464,9 +464,7 @@ def main() -> None:
         and abs(cal_start - cal_end) <= cal_tol * max(cal_start, cal_end)
     )
     cal_run = round((cal_start + cal_end) / 2, 3) if cal_consistent else None
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
@@ -527,9 +525,41 @@ def main() -> None:
                 "calibration_history_median": cal_median,
                 "calibration_sec": cal_end,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
+    }
+    # One-line size control (optimization r16, VERDICT r15 item 4): the
+    # driver stores only the LAST 2000 chars of bench output, and the
+    # r12–r14 artifacts all lost their parse because the one-line JSON
+    # outgrew that capture (BENCH_r14 `parsed: {}` cost r15 its
+    # round-over-round comparison). The stdout contract line therefore
+    # stays LEAN by default — metric/value/unit/queries/sf plus the
+    # scalar telemetry (fits the 2000-char tail for the 17-query
+    # headline set) — while the FULL per-query detail (cold/warm/forced
+    # splits, interleaved yardsticks, normalized series) always goes to
+    # stderr as a labeled JSON line, and lands on stdout instead when
+    # SPARK_GRAFT_BENCH_TELEMETRY=1 (how the committed selfcheck
+    # artifacts are produced, keeping the cross-round per-query history
+    # that _per_query_history mines). Nothing is removed from
+    # `queries`; the gated keys are additions from r9–r15.
+    full_line = json.dumps(payload)
+    if os.environ.get("SPARK_GRAFT_BENCH_TELEMETRY"):
+        print(full_line)
+    else:
+        lean_detail_keys = (
+            "queries_cold",
+            "queries_warm",
+            "queries_warm_normalized",
+            "calibration_interleaved",
         )
-    )
+        lean = {k: v for k, v in payload.items() if k not in lean_detail_keys}
+        # The full-registry line carries 158-entry dicts; `queries` is
+        # contractual, but the forced/remeasured detail moves to the
+        # stderr telemetry line to keep stdout parseable.
+        if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+            lean.pop("queries_forced", None)
+            if not lean.get("remeasured_queries"):
+                lean.pop("remeasured_queries", None)
+        print("TELEMETRY " + full_line, file=sys.stderr)
+        print(json.dumps(lean))
 
 
 if __name__ == "__main__":

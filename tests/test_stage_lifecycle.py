@@ -1,0 +1,67 @@
+"""Staged-intermediate lifecycle (optimization r16, VERDICT r15 item 1).
+
+Operators persist mid-query intermediates (LSH banding tables, the
+weekly pipeline's issue frame) that several branches of ONE invocation
+share. Spark's CacheManager matches entries by analyzed plan, so with
+the per-session table-handle cache a repeat invocation's identical plan
+used to resolve to the PREVIOUS invocation's materialized
+InMemoryRelation — warm bench runs partially measured cache reads, and
+executor memory accumulated across a full-registry session. The fix:
+every persist is tracked (``memo.track_stage``) and each registry-query
+invocation releases the previous invocation's stages at entry.
+
+These tests pin that contract:
+- a repeat invocation drops every persistent RDD the first invocation
+  materialized (no cross-invocation InMemoryRelation reuse);
+- within one invocation the stage still deduplicates (persist present);
+- results are identical across invocations (recompute is sound).
+"""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from ai_coach_data_source_orchestrator_spark.memo import release_stages, track_stage
+from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def test_repeat_invocation_releases_prior_stages(spark):
+    fn = REGISTRY["dedup_minhash_lsh"].fn
+    fn(spark, SF_DIR).count()
+    first = _persistent_rdd_ids(spark)
+    assert first, "minhash invocation should persist its staged frames"
+    fn(spark, SF_DIR).count()
+    second = _persistent_rdd_ids(spark)
+    # Every RDD the first invocation cached must be gone: the second
+    # invocation recomputed from parquet, not from the prior cache.
+    assert not (first & second), (
+        f"stages leaked across invocations: {sorted(first & second)}"
+    )
+    # And the session does not accumulate: one invocation's worth only.
+    assert len(second) <= len(first)
+
+
+def test_repeat_invocation_same_result(spark):
+    fn = REGISTRY["dedup_embedding_cosine_lsh"].fn
+    a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert a == b and a
+
+
+def test_track_stage_returns_df_and_release_is_idempotent(spark):
+    df = track_stage(spark.range(10).persist())
+    assert df.count() == 10
+    release_stages()
+    lvl = df.storageLevel
+    assert not lvl.useMemory and not lvl.useDisk, "release must unpersist"
+    release_stages()  # second release: nothing tracked, no error
+    assert df.count() == 10  # unpersisted frame still computes
