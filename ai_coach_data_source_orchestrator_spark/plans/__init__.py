@@ -51,78 +51,82 @@ from . import queries_retrieval  # noqa: E402,F401
 # garbage reads into precise ValueErrors on malformed payloads the
 # oracle corpus doesn't contain; the near-dup TTL reap only fires on
 # the state_ttl_ms>0 path, which no registry query uses.
-_CHANGED_ORACLE: tuple[str, ...] = ("x23_json_field_extract",)
+_CHANGED_ORACLE: tuple[str, ...] = ()
+# Round 16 (optimization round 2): no oracle or output changes — every
+# r16 change is output-preserving (persist lifecycle, action ordering,
+# plan-shape work proven equal by parity tests). x23_json_field_extract
+# (the r15 changed-oracle entry) got its fresh green row in
+# CORRECTNESS_r15, so the list drains to empty.
 
 _FRONT = [
     # ------------------------------------------------------------------
-    # Round 15 rotation (VERDICT r14 item 1): the 11 r11-stale leads the
-    # r14 rotation comment documented as the r15 spill (verified against
-    # the raw CORRECTNESS artifacts — at r15 their age is CYCLE-1, so
-    # they MUST hold slots or the rotation alarm flips red when the r15
-    # artifact lands) + 39 of the 50 r12-greens (alphabetical;
-    # drain-oldest-first) = 50 slots exactly. No new registry queries
-    # this round (VERDICT r14 item 6: registry frozen at 161). The 11
-    # r12-greens spilled to lead the r16 window (alphabetical tail):
-    #   text_ccnet_buckets, text_gopher_rules, text_ngram_novelty,
-    #   text_token_stats, text_winnow_fingerprints, u3_dedup_by_key,
-    #   x20_section_split, x22_human_size, x3_adf_flatten,
-    #   x7_multiformat_date_extract, x_jira_ticket_render
-    # At r16-build time their age is CYCLE-1 → they must hold r16 front
-    # slots; r16 fills the rest from the 50 r13-greens, oldest-first.
+    # Round 16 rotation (VERDICT r15 item 8): the 11 r12-greens the r15
+    # rotation comment documented as the r16 spill lead the window (at
+    # r16 their age is CYCLE-1 = 3, so they MUST hold slots), then the
+    # first 39 of the 50 r13-greens (alphabetical; drain-oldest-first)
+    # fill the remaining slots = 50 exactly. No new registry queries
+    # (registry frozen at 161, standing VERDICT r14 item 6). The 11
+    # r13-greens spilled to lead the r17 window (alphabetical tail):
+    #   u6_union_tagged_sources, x10_x11_timestamp_formats, x14_slugify,
+    #   x16_mask_secrets, x17_redact_code, x18_prompt_denylist,
+    #   x2_wiki_to_markdown, x4_slack_markup, x5_html_bullets,
+    #   x6_linkify_issue_keys, x_assignee_split_groups
+    # At r17-build time their age is CYCLE-1 → they must hold r17 front
+    # slots; r17 fills the rest from the 50 r14-greens, oldest-first.
     # ------------------------------------------------------------------
-    # -- latest green row r11 (the full documented r14 spill, honored
+    # -- latest green row r12 (the full documented r15 spill, honored
     # first per the standing rule) --
-    "slack_capture_pipeline",
-    "slack_render_blocks",
-    "text_chunk_windows",
-    "text_external_lint",
-    "text_filter_funnel",
-    "text_langid",
-    "text_lm_perplexity",
-    "text_quality_score",
-    "u2_distinct_keys_from_text",
-    "x21_changelog_compact",
-    "x23_json_field_extract",
-    # -- latest green row r12, alphabetical until the window is full --
-    "a13_week_frame",
-    "a14_array_set_diff",
-    "a1_status_groups_canonical_order",
-    "a3_group_stats_pct",
-    "a45_status_priority_cube",
-    "a8_summary_aggregates",
-    "asof_join_checkpoints",
-    "audit_coverage",
-    "chat_pack_conversations",
-    "contamination_semantic",
-    "dedup_cdc_chunks",
-    "dedup_cross_source_matrix",
-    "dedup_embedding_cosine",
-    "dedup_incremental_ingest",
-    "doc_language_confusion",
-    "embedding_label_centroids",
-    "embedding_pq_encode",
-    "events_anomaly_zscore",
-    "f1_date_range_filter",
-    "f3_semi_join_children_in_range",
-    "f8_or_of_overrides",
-    "j1_star_join_revenue",
-    "j2_alias_first_match_join",
-    "j5_hierarchy_resolution",
-    "k_bucketed_join_roundtrip",
-    "k_orc_columnar_roundtrip",
-    "knn_recall_audit",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "o3_latest_order_per_customer",
-    "rollup_hypertable_cascade",
-    "s18_python_literal_extract",
-    "sample_dsir_importance",
-    "sample_topn_per_source",
-    "sample_train_test_split",
-    "sample_weighted_reservoir",
-    "sketch_cms_rollup",
-    "sketch_hll_rollup",
+    "text_ccnet_buckets",
+    "text_gopher_rules",
+    "text_ngram_novelty",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    "u3_dedup_by_key",
+    "x20_section_split",
+    "x22_human_size",
+    "x3_adf_flatten",
+    "x7_multiformat_date_extract",
+    "x_jira_ticket_render",
+    # -- latest green row r13, alphabetical until the window is full --
+    "a15_participants",
+    "a18_reactions_rollup",
+    "cc_large_star",
+    "contamination_ngram_overlap",
+    "dashboard_week_frame",
+    "dedup_simhash",
+    "dedup_stream_cdc_ingest",
+    "dedup_stream_neardup_gate",
+    "epic_tree_render",
+    "events_decay_activity",
+    "f5_substring_filter",
+    "f6_team_threshold_filter",
+    "f9_section_date_trim",
+    "graph_host_pagerank",
+    "j10_member_doc_join",
+    "j12_channel_resolution",
+    "j3_mention_resolution",
+    "j4_field_label_join",
+    "j7_changelog_attach",
+    "j8_changelog_injection",
+    "j9_blob_path_join",
+    "k1_csv_union_header_roundtrip",
+    "k2_partitioned_write_roundtrip",
+    "k6_datasource_sections",
+    "k8_upsert_merge",
+    "k9_cache_freshness",
+    "k_bucketed_colocated_join",
+    "knn_pq_adc",
+    "multimodal_probe",
+    "pack_token_bins",
+    "s14_jdbc_pushdown_join",
+    "s1_jira_connector_roundtrip",
+    "s9_slack_history_pushdown",
+    "sample_mixture_budget",
+    "sample_stratified_hash",
+    "sample_temperature_mix",
+    "store_stream_ingest",
+    "text_bm25_topk",
+    "text_topk_per_source",
 ]
 
 
