@@ -135,8 +135,13 @@ def _shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
     # the transform lambda, re-running the regex once per shingle
     # position (measured 6.6 s vs 1.0 s at sf0.1). The persist is the
     # collapse barrier; a plain select is not.
+    # rows_per_partition=256 (optimization r16, guide §2.3): shingling
+    # + per-shingle hashing is a 64-256x per-row JVM expansion with ~1 ms
+    # per-task cost — the Arrow-tuned 2000-row default left a 5000-doc
+    # table on 3 partitions and serialized the hash work (measured
+    # minhash 1.51 s -> 1.15 s at 16-32 partitions).
     toked = _stage(
-        ensure_parallelism(df).select(
+        ensure_parallelism(df, rows_per_partition=256).select(
             F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
         )
     )
@@ -529,8 +534,10 @@ def duplicated_spans(
     and ``flagged`` (fraction ≥ ``flag_fraction`` — the remove/trim
     candidate set).
     """
+    # rows_per_partition=256: ordered-gram explosion + sha2 per gram is
+    # the same heavy JVM expansion class as _shingle_sets above.
     toked = _stage(
-        ensure_parallelism(df).select(
+        ensure_parallelism(df, rows_per_partition=256).select(
             F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
         )
     )
@@ -700,7 +707,7 @@ def cdc_chunks(
     → Exchange reuse); per-doc window state is bounded by document
     length, and the chunk-dedup groupBy keys on the uniform chunk hash.
     """
-    toked = ensure_parallelism(df).select(
+    toked = ensure_parallelism(df, rows_per_partition=256).select(
         F.col(id_col).alias("doc_id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")

@@ -99,7 +99,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    rows_per_partition: int = 2000,
+) -> DataFrame:
     """Repartition only when the input is underpartitioned.
 
     Single-file local tables arrive as one partition, which serializes
@@ -115,21 +119,31 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    # Scale-adaptive width (optimization r15, guide §2.3): when the
-    # input is a raw table handle whose footer row count is known, size
-    # the fan-out to ~2 000 rows per partition instead of a constant.
+    # Scale-adaptive width (optimization r15, guide §2.3; refined r16):
+    # when the input is a raw table handle whose footer row count is
+    # known, size the fan-out to ``rows_per_partition`` instead of a
+    # constant. The right density depends on what runs downstream:
     # Python/Arrow stages cost ~10 ms of handoff per task regardless of
-    # rows, so fanning a 2 000-row vector table to defaultParallelism
-    # is pure overhead, while a 100 000-row document table still gets
-    # the full width (the cap). At real scale inputs arrive pre-split
-    # and partitions >= target, so this entire function is a no-op
-    # there — the sizing only ever SHRINKS the local fan-out.
+    # rows (default 2 000 rows/partition amortizes that), while
+    # JVM-only expansion stages (shingle → hash → 64 aggregates: a
+    # 64–256× per-row blow-up with ~1 ms/task scheduling cost) want far
+    # smaller slices so the hash work actually parallelizes — measured
+    # r16: minhash over 5 000 docs ran 1.51 s on the 3-partition
+    # default vs 1.15 s at 16–32 partitions. Callers with heavy JVM
+    # per-row work pass rows_per_partition=256. At real scale inputs
+    # arrive pre-split and partitions >= target, so this entire
+    # function is a no-op there — the sizing only ever SHRINKS the
+    # local fan-out.
     nrows = df.__dict__.get("_ai_coach_nrows")
     if min_partitions is None and nrows is not None:
-        target = max(2, min(target, -(-nrows // 2000)))
-    memo = df.__dict__.get("_ai_coach_ensure_par")
-    if memo is not None and memo[0] == target:
-        return memo[1]
+        target = max(2, min(target, -(-nrows // rows_per_partition)))
+    # Memoized per target width (r16: a dict — operators with different
+    # densities share one cached table handle, and a single-slot memo
+    # would thrash the 50–120 ms probe on every alternation).
+    memo = df.__dict__.setdefault("_ai_coach_ensure_par", {})
+    hit = memo.get(target)
+    if hit is not None:
+        return hit
     out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
-    df.__dict__["_ai_coach_ensure_par"] = (target, out)
+    memo[target] = out
     return out

@@ -36,18 +36,23 @@ def _persistent_rdd_ids(spark) -> set[int]:
 
 def test_repeat_invocation_releases_prior_stages(spark):
     fn = REGISTRY["dedup_minhash_lsh"].fn
+    # Baseline: other suites may leave localCheckpoint RDDs (deliberately
+    # outside the stage tracker) persisted in the shared session — diff
+    # only what THIS query's invocations create.
+    release_stages()
+    before = _persistent_rdd_ids(spark)
     fn(spark, SF_DIR).count()
-    first = _persistent_rdd_ids(spark)
-    assert first, "minhash invocation should persist its staged frames"
+    first_new = _persistent_rdd_ids(spark) - before
+    assert first_new, "minhash invocation should persist its staged frames"
     fn(spark, SF_DIR).count()
     second = _persistent_rdd_ids(spark)
     # Every RDD the first invocation cached must be gone: the second
     # invocation recomputed from parquet, not from the prior cache.
-    assert not (first & second), (
-        f"stages leaked across invocations: {sorted(first & second)}"
+    assert not (first_new & second), (
+        f"stages leaked across invocations: {sorted(first_new & second)}"
     )
     # And the session does not accumulate: one invocation's worth only.
-    assert len(second) <= len(first)
+    assert len(second - before) <= len(first_new)
 
 
 def test_repeat_invocation_same_result(spark):
