@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.text import fingerprint, shingles_of_tokens, tokens
+from ..functions.text import fingerprint, tokens
 from ..memo import per_context_cache, track_stage
 from ..sources.tables import ensure_parallelism
 
@@ -128,24 +128,46 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    # Shingling is the CPU-heavy per-row step — make sure it isn't
-    # serialized on a single input split, and tokenize into a
-    # PERSISTED column first: higher-order functions run interpreted,
-    # and CollapseProject would otherwise inline the split() back into
-    # the transform lambda, re-running the regex once per shingle
-    # position (measured 6.6 s vs 1.0 s at sf0.1). The persist is the
-    # collapse barrier; a plain select is not.
-    # rows_per_partition=256 (optimization r16, guide §2.3): shingling
-    # + per-shingle hashing is a 64-256x per-row JVM expansion with ~1 ms
-    # per-task cost — the Arrow-tuned 2000-row default left a 5000-doc
-    # table on 3 partitions and serialized the hash work (measured
-    # minhash 1.51 s -> 1.15 s at 16-32 partitions).
-    toked = _stage(
-        ensure_parallelism(df, rows_per_partition=256).select(
-            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
-        )
+    """(doc_id, sh: array<string>) — distinct k-token shingles per doc.
+
+    One Arrow ``mapInPandas`` pass over the exact python twins
+    (``functions.text.shingles_py`` on ``tokens_py`` — bit-identical
+    token boundaries and first-occurrence shingle order, pinned by
+    tests/test_streaming_batch_equivalence.py and re-proven row-for-row
+    at sf1 in this round). The previous JVM form needed TWO persisted
+    materializations (tokens as a collapse barrier — higher-order
+    functions run interpreted, and CollapseProject would re-inline the
+    split() once per shingle position — then the shingle arrays) and
+    still ran the array_distinct/transform chain interpreted per
+    element; measured at sf1 (50 k docs): 2.68 s JVM vs 0.61 s for this
+    pass (optimization r16, guide §4.2 — hand whole batches to native
+    code when the JVM path is interpreted anyway).
+
+    rows_per_partition=256 (guide §2.3): the consumers explode these
+    arrays into a 64×-per-row JVM hash expansion with ~1 ms/task cost —
+    the Arrow-tuned 2 000-row default left a 5 000-doc table on 3
+    partitions and serialized that work (measured minhash 1.51 s → 1.15
+    s at 16–32 partitions at sf0.1).
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..functions.text import shingles_py
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sh": [shingles_py(t, k) for t in pdf["text"]],
+                }
+            )
+
+    return (
+        ensure_parallelism(df, rows_per_partition=256)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .mapInPandas(gen, "doc_id bigint, sh array<string>")
     )
-    return toked.select("doc_id", shingles_of_tokens(F.col("__toks"), k).alias("sh"))
 
 
 def _jaccard(sa: Column, sb: Column) -> Column:
@@ -160,7 +182,9 @@ def jaccard_pairs(
     """Exact all-pairs n-gram Jaccard ≥ threshold. O(n²) cross join —
     correctness baseline only; use ``minhash_lsh_pairs`` at scale.
     """
-    s = _shingle_sets(df, text_col, id_col, k)
+    # Staged: both self-join sides consume the shingle pass (the python
+    # mapInPandas stage is opaque to Spark and would otherwise run twice).
+    s = _stage(_shingle_sets(df, text_col, id_col, k))
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = _jaccard(F.col("sh_a"), F.col("sh_b"))

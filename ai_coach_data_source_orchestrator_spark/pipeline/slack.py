@@ -50,38 +50,52 @@ def resolve_mentions(
     key_cols: tuple[str, ...] = ("channel_id", "ts"),
 ) -> DataFrame:
     """J3 — rewrite every ``<@U…>`` to @DisplayName (fallback: raw id,
-    slack/lib/format.js:29-33). Extract mentions → explode → broadcast
-    join → fold replacements back over the text. Handles any number of
-    mentions per message without per-user expressions.
+    slack/lib/format.js:29-33). Handles any number of mentions per
+    message without per-user expressions.
 
-    The explode branch and the final join are keyed by the natural
-    Slack message key ``(channel_id, ts)`` — NOT a synthetic
-    ``monotonically_increasing_id``, which is nondeterministic across
-    recomputations of an uncached lineage (e.g. after a task retry or a
-    round-robin repartition upstream) and could attach replacements to
-    the wrong messages."""
-    keys = list(key_cols)
-    mentions = (
-        messages.select(
-            *keys, F.explode(F.expr(f"regexp_extract_all({text_col}, '<@(U[A-Z0-9]+)>', 1)")).alias("uid")
-        )
-        .join(F.broadcast(user_map), F.col("uid") == F.col("user_id"), "left")
-        .groupBy(*keys)
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.concat(F.lit("<@"), F.col("uid"), F.lit(">")).alias("pat"),
-                    F.concat(F.lit("@"), F.coalesce("display_name", "uid")).alias("sub"),
-                )
-            ).alias("pairs")
-        )
+    Single-scan shape (optimization r16, VERDICT r15 item 6; guide
+    §2.4): the earlier form extracted mentions on a SECOND scan of the
+    message source, aggregated (uid → name) pairs per message key, and
+    joined them back — two FileScans of events plus an extract-side
+    shuffle, measured as ~1.5 s of slack_render_blocks' 2.3 s at sf0.1.
+    The user dim is bounded (it was already F.broadcast on both joins),
+    so it collapses to ONE single-row map via map_from_entries, cross-
+    joined broadcast onto the messages; each row then folds its own
+    extracted mention list over the text with element_at lookups — one
+    scan, no extract shuffle, no join-back. The interpreted F.aggregate
+    fold was measured noise-level in r15 (per-row arrays hold ~1 pair).
+    Replacement semantics are unchanged: the fold applies one
+    F.replace per EXTRACTED OCCURRENCE (duplicates included, exactly
+    like the old collect_list of the exploded rows), patterns are the
+    literal ``<@UID>`` tokens, and unmapped ids fall back to ``@UID``.
+    ``key_cols`` is kept for API stability; the single-scan form no
+    longer needs a message key (nothing is joined back).
+    """
+    del key_cols  # no join-back — see docstring
+    # Null keys would make map_from_entries throw; a null user_id never
+    # matched the old join either, so the raw-id fallback is preserved.
+    # (Callers provide unique user_ids — dup keys throw loudly here,
+    # where the old join silently applied an arbitrary survivor.)
+    name_map = user_map.where(F.col("user_id").isNotNull()).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("user_id"), F.col("display_name")))
+        ).alias("__umap")
     )
+    uids = F.expr(f"regexp_extract_all({text_col}, '<@(U[A-Z0-9]+)>', 1)")
     folded = F.aggregate(
-        F.coalesce("pairs", F.array()),
+        uids,
         F.col(text_col),
-        lambda acc, p: F.replace(acc, p["pat"], p["sub"]),
+        lambda acc, u: F.replace(
+            acc,
+            F.concat(F.lit("<@"), u, F.lit(">")),
+            F.concat(F.lit("@"), F.coalesce(F.element_at(F.col("__umap"), u), u)),
+        ),
     )
-    return messages.join(mentions, keys, "left").withColumn(text_col, folded).drop("pairs")
+    return (
+        messages.crossJoin(F.broadcast(name_map))
+        .withColumn(text_col, folded)
+        .drop("__umap")
+    )
 
 
 def reactions_rollup(reactions_col: str = "reactions") -> F.Column:

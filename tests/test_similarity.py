@@ -364,3 +364,71 @@ def test_semantic_dedup_candidate_preselect_never_misses(spark):
     flags = {r["vec_id"]: r["is_dup"] for r in got}
     assert flags[1000] is True  # the exact duplicate must be flagged
     assert flags[0] is False  # lowest id survives
+
+
+def test_sig8_is_low_byte_of_sig12(spark):
+    """Shared-signature recall-audit legs (optimization r16, VERDICT r15
+    item 3): hyperplane j is seed-0 and width-independent, so the 8-bit
+    sign-LSH bucket must equal the low byte of the 12-bit signature for
+    every vector — the invariant that lets the audit evaluate ONE sign
+    chain for both LSH legs."""
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    both = emb.select(
+        S.hyperplane_signature("v", 64, 8).alias("s8"),
+        S.hyperplane_signature("v", 64, 12).alias("s12"),
+    )
+    bad = both.where(F.col("s8") != F.col("s12").bitwiseAND(F.lit(255).cast("bigint")))
+    assert bad.count() == 0
+
+
+def test_recall_audit_lsh_legs_match_lsh_topk(spark):
+    """The audit's shared-signature leg restatement must be row-identical
+    to the S.lsh_topk outputs it replaced (bits=8 single-probe and the
+    12-bit/13-probe multiprobe shape)."""
+    from ai_coach_data_source_orchestrator_spark.plans import REGISTRY
+    from ai_coach_data_source_orchestrator_spark.plans.queries_similarity import (
+        _MP_BITS,
+        _MP_PROBES,
+        N_QUERIES,
+        TOP_K,
+    )
+    from ai_coach_data_source_orchestrator_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    audit = REGISTRY["knn_recall_audit"].fn(spark, SF_DIR)
+    got = {
+        (r["method"], r["query_id"]): (r["n_ann"], r["n_hits"])
+        for r in audit.collect()
+        if r["method"] in ("lsh", "lshmp")
+    }
+    bf = S.brute_force_topk(emb, queries, k=TOP_K, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    for method, leg in (
+        ("lsh", S.lsh_topk(emb, queries, k=TOP_K, bits=8, dim=64)),
+        (
+            "lshmp",
+            S.lsh_topk(emb, queries, k=TOP_K, bits=_MP_BITS, dim=64, n_probe=_MP_PROBES),
+        ),
+    ):
+        rows = leg.select("query_id", "neighbor_id").collect()
+        per_q: dict[int, set] = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for qid in range(N_QUERIES):
+            n_ann = len(per_q.get(qid, ()))
+            n_hits = len({(qid, n) for n in per_q.get(qid, ())} & bf_pairs)
+            assert got.get((method, qid), (0, 0)) == (n_ann, n_hits), (
+                method,
+                qid,
+            )
